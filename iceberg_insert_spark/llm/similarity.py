@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (SURVEY.md §2.5).
+
+Two tiers:
+  * ``q_sim_knn`` — exact brute-force cosine top-k, the correctness baseline
+    (oracle-checked). Probes are broadcast against the candidate set, so the
+    scan parallelizes over candidate partitions; cost is O(|cand| * |probes|)
+    and is the right choice whenever |probes| is small.
+  * ``q_sim_knn_lsh`` — the scale path: BucketedRandomProjectionLSH bucket
+    join prunes the pair space before exact re-scoring; at 100 TB the
+    brute-force cross product is infeasible, the LSH join shuffles only
+    bucket-colliding pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+from .vector import cosine
+
+N_PROBES = 10
+TOP_K = 5
+
+_COS_SQL = """
+    ROUND(
+      list_dot_product(pe, ce)
+      / (SQRT(list_dot_product(pe, pe)) * SQRT(list_dot_product(ce, ce))), 6)
+"""
+
+
+@query(
+    "q_sim_knn",
+    oracle=f"""
+    WITH probes AS (
+        SELECT vec_id AS probe_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pe
+        FROM embeddings WHERE vec_id < {N_PROBES}
+    ), cands AS (
+        SELECT vec_id AS cand_id, label AS cand_label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+        FROM embeddings
+    ), scored AS (
+        SELECT probe_id, cand_id, cand_label, {_COS_SQL} AS cos_sim
+        FROM probes CROSS JOIN cands
+        WHERE cand_id != probe_id
+    )
+    SELECT probe_id, cand_id, cand_label, cos_sim, rn
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                       ORDER BY cos_sim DESC, cand_id) AS rn
+          FROM scored)
+    WHERE rn <= {TOP_K}
+    """,
+)
+def q_sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors for the first N_PROBES vectors.
+
+    Ordering is on the *rounded* similarity (both engines), tie-broken by
+    cand_id, so the top-k cut is deterministic cross-engine.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cand_label"),
+        F.col("embedding").alias("ce"),
+    )
+    scored = (
+        cands.crossJoin(F.broadcast(probes))
+        .filter(F.col("cand_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "cand_id",
+            "cand_label",
+            F.round(cosine("pe", "ce"), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return scored.withColumn("rn", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rn") <= TOP_K
+    )
+
+
+@query("q_sim_knn_lsh")
+def q_sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path: LSH-bucketed candidate generation + exact re-score.
+
+    BucketedRandomProjectionLSH (random hyperplane projections, fixed seed)
+    prunes the pair space; survivors are re-scored with exact cosine and
+    top-k'd per probe. Rows-only check: LSH recall is approximate by design.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", array_to_vector("embedding").alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=2.0,
+        numHashTables=4,
+        seed=42,
+    )
+    model = lsh.fit(emb)
+    probes = emb.filter(F.col("vec_id") < N_PROBES)
+    # Euclidean threshold 2.0 on ~unit-norm vectors keeps genuinely-near pairs.
+    pairs = (
+        model.approxSimilarityJoin(probes, emb, 2.0, distCol="l2_dist")
+        .select(
+            F.col("datasetA.vec_id").alias("probe_id"),
+            F.col("datasetB.vec_id").alias("cand_id"),
+            F.col("datasetB.label").alias("cand_label"),
+            F.round(F.col("l2_dist"), 6).alias("l2_dist"),
+        )
+        .filter(F.col("probe_id") != F.col("cand_id"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.asc("l2_dist"), F.asc("cand_id"))
+    return pairs.withColumn("rn", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rn") <= TOP_K
+    )

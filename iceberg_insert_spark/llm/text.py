@@ -1,0 +1,184 @@
+"""Text-analysis operators for LLM training-data pipelines (SURVEY.md §2.5).
+
+All pure JVM column expressions (split/explode/regexp/md5) — no Python UDFs —
+so they stay inside whole-stage codegen and scale linearly with data volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+
+# Stopword set used by quality scoring and the language-ID heuristic. The
+# fixture corpus is a token soup over a shared vocabulary; any real deployment
+# would swap in per-language lists.
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "it")
+
+_SW_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+
+@query(
+    "q_text_tokens",
+    oracle="""
+    SELECT token, COUNT(*) AS tf
+    FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global term frequency: tokenize + explode + count (shuffle on token)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+@query(
+    "q_text_lang_stats",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 4) AS avg_chars,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q_text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle=f"""
+    SELECT doc_id, n_tokens, avg_tok_len, stop_ratio,
+           -- weighted sum of 4dp/2dp-rounded terms => exact <=6-decimal result,
+           -- so HALF_UP (Spark) and scaled-multiply (DuckDB) rounding agree
+           ROUND(0.5 * ROUND(stop_ratio, 4) + 0.3 * LEAST(avg_tok_len / 10.0, 1.0)
+                 + 0.2 * LEAST(n_tokens / 100.0, 1.0), 6) AS quality_score
+    FROM (
+        SELECT doc_id,
+               CAST(LEN(toks) AS BIGINT) AS n_tokens,
+               ROUND(CAST(LENGTH(text) - LEN(toks) + 1 AS DOUBLE)
+                     / LEN(toks), 4) AS avg_tok_len,
+               ROUND(CAST(LEN(LIST_FILTER(toks, t -> t IN {_SW_SQL})) AS DOUBLE)
+                     / LEN(toks), 6) AS stop_ratio
+        FROM (SELECT doc_id, text, STRING_SPLIT(text, ' ') AS toks FROM documents)
+    )
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: token count, mean token length, stopword
+    ratio, combined score — the standard cheap pre-filter before expensive
+    model-based quality classifiers."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    # filter() (not array_intersect, which dedups) so every occurrence counts
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    base = d.select(
+        "doc_id",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.round(
+            (F.length("text") - n_tokens + 1).cast("double") / n_tokens, 4
+        ).alias("avg_tok_len"),
+        F.round(n_stop.cast("double") / n_tokens, 6).alias("stop_ratio"),
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "avg_tok_len",
+        "stop_ratio",
+        F.round(
+            0.5 * F.round(F.col("stop_ratio"), 4)
+            + 0.3 * F.least(F.col("avg_tok_len") / 10.0, F.lit(1.0))
+            + 0.2 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0)),
+            6,
+        ).alias("quality_score"),
+    )
+
+
+@query(
+    "q_text_langid",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE WHEN stop_ratio >= 0.05 THEN 'en' ELSE 'other' END AS lang_pred,
+           stop_ratio
+    FROM (
+        SELECT doc_id, lang,
+               ROUND(CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                          t -> t IN {_SW_SQL})) AS DOUBLE)
+                     / LEN(STRING_SPLIT(text, ' ')), 6) AS stop_ratio
+        FROM documents
+    )
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-hit ratio thresholding. (A real n-gram
+    profile model drops in behind the same shape: per-doc score -> argmax.)"""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    ratio = F.round(
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double")
+        / F.size(toks),
+        6,
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(ratio >= 0.05, "en").otherwise("other").alias("lang_pred"),
+        ratio.alias("stop_ratio"),
+    )
+
+
+@query(
+    "q_text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))),
+                               ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive document fingerprint: md5 over the sorted distinct
+    token set — the cheap canonical-form fingerprint used for shuffle-free
+    exact-ish dedup across snapshots."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " ")
+        ).alias("fingerprint"),
+    )
+
+
+@query(
+    "q_text_tokencount",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+')) AS BIGINT) AS re_tokens
+    FROM documents
+    """,
+)
+def q_text_tokencount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex pass."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+"), 0)).cast(
+            "bigint"
+        ).alias("re_tokens"),
+    )

@@ -1,0 +1,194 @@
+"""Scalar-function surface: string / date / math / array / explode / JSON
+(SURVEY.md §2.4). All JVM built-ins — zero Python in the hot path.
+
+Cross-engine alignment rules baked into each oracle:
+  * Spark length()/instr()/year()/ceil() return INT/LONG while DuckDB returns
+    BIGINT/DOUBLE — both sides are cast to BIGINT explicitly.
+  * transcendental results (ln/pow) are rounded to 6 decimals on both sides
+    (libm implementations differ in the last ulp).
+  * array elements are float32 in the data; both sides cast to DOUBLE before
+    comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+
+
+@query(
+    "q_str_funcs",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name) AS name_upper,
+           SUBSTRING(p_name, 1, 3) AS name_pre,
+           CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+           REPLACE(p_name, ' ', '_') AS name_snake,
+           CONCAT_WS('-', p_brand, p_type) AS brand_type,
+           STRING_SPLIT(p_name, ' ')[1] AS first_token,
+           LPAD(p_brand, 10, '*') AS brand_pad,
+           CAST(INSTR(p_name, 'red') AS BIGINT) AS red_pos,
+           TRIM(CONCAT('  ', p_name, '  ')) AS name_trim
+    FROM part
+    """,
+)
+def q_str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function battery over part.p_name."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 3).alias("name_pre"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_token"),
+        F.lpad("p_brand", 10, "*").alias("brand_pad"),
+        F.instr("p_name", "red").cast("bigint").alias("red_pos"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("name_trim"),
+    )
+
+
+@query(
+    "q_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+           CAST(MONTH(o_orderdate) AS BIGINT) AS o_month,
+           CAST(DAY(o_orderdate) AS BIGINT) AS o_day,
+           CAST(QUARTER(o_orderdate) AS BIGINT) AS o_quarter,
+           CAST(o_orderdate AS DATE) AS o_date,
+           CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+           CAST(DATEDIFF('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT)
+               AS days_since,
+           CAST(o_orderdate AS DATE) + 30 AS due_date,
+           LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end
+    FROM orders
+    """,
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime function battery over orders.o_orderdate (TIMESTAMP_NTZ)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+        F.month("o_orderdate").cast("bigint").alias("o_month"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("o_day"),
+        F.quarter("o_orderdate").cast("bigint").alias("o_quarter"),
+        F.col("o_orderdate").cast("date").alias("o_date"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01 00:00:00").cast("timestamp_ntz")
+        )
+        .cast("bigint")
+        .alias("days_since"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+    )
+
+
+@query(
+    "q_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_extendedprice - 30000.0) AS abs_dev,
+           CAST(CEIL(l_extendedprice / 1000.0) AS BIGINT) AS price_kilo_ceil,
+           CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+           SQRT(l_quantity) AS qty_sqrt,
+           ROUND(POWER(l_quantity, 2), 6) AS qty_sq,
+           ROUND(LN(l_extendedprice), 6) AS price_ln,
+           l_orderkey % 7 AS key_mod,
+           GREATEST(l_tax, l_discount) AS max_rate,
+           LEAST(l_tax, l_discount) AS min_rate,
+           CAST(SIGN(l_extendedprice - 30000.0) AS BIGINT) AS dev_sign
+    FROM lineitem
+    """,
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function battery over lineitem (sqrt is IEEE-exact; ln/pow rounded)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 30000.0).alias("abs_dev"),
+        F.ceil(F.col("l_extendedprice") / 1000.0).cast("bigint").alias(
+            "price_kilo_ceil"
+        ),
+        F.floor(F.col("l_quantity")).cast("bigint").alias("qty_floor"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.round(F.pow("l_quantity", 2), 6).alias("qty_sq"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("price_ln"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).alias("key_mod"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+        F.signum(F.col("l_extendedprice") - 30000.0).cast("bigint").alias("dev_sign"),
+    )
+
+
+@query(
+    "q_array_funcs",
+    oracle="""
+    SELECT vec_id, label,
+           CAST(LEN(embedding) AS BIGINT) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_val,
+           list_transform(embedding[1:3], x -> CAST(x AS DOUBLE)) AS head3,
+           ROUND((SELECT SUM(CAST(x AS DOUBLE)) FROM UNNEST(embedding) AS t(x)), 4)
+               AS vec_sum
+    FROM embeddings
+    """,
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function battery over embeddings.embedding (array<float>, dim 64)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        F.transform(F.slice("embedding", 1, 3), lambda x: x.cast("double")).alias(
+            "head3"
+        ),
+        F.round(
+            F.aggregate(
+                "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            ),
+            4,
+        ).alias("vec_sum"),
+    )
+
+
+@query(
+    "q_explode",
+    oracle="""
+    SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+    FROM documents
+    """,
+)
+def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode(array) -> rows (UDTF shape); DuckDB twin is UNNEST."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+
+
+@query(
+    "q_map_json_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           CAST(LENGTH(props) AS BIGINT) AS props_len,
+           json_extract_string(props, '$.missing') AS missing_val
+    FROM events
+    """,
+)
+def q_map_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events.props JSON-string column."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+        F.length("props").cast("bigint").alias("props_len"),
+        F.get_json_object("props", "$.missing").alias("missing_val"),
+    )

@@ -1,0 +1,283 @@
+"""Join operators (SURVEY.md §2.4): all 9 declared join shapes.
+
+Physical strategy notes (100 TB posture):
+  * Catalyst/AQE picks broadcast vs sort-merge from runtime stats; we pin
+    ``broadcast()`` only where the small side is provably dimension-sized
+    (region/nation) or where a nested-loop would otherwise materialize
+    (theta/cross joins).
+  * The as-of join has no Spark primitive; it is rewritten as a union +
+    window-function pass — one shuffle on the join key, no row explosion,
+    which is the scalable formulation (a range self-join would be O(n^2)
+    per user).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+
+
+@query(
+    "q_join_inner_equi",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_acctbal > 1000
+    """,
+)
+def q_join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join orders x customer; AQE will broadcast the filtered dim."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 1000)
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "q_join_multi",
+    oracle="""
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (TPC-H Q3 shape): 3-way join + agg + top-k.
+
+    customer is broadcast (dimension-sized after the segment filter); the
+    orders<->lineitem join shuffles on the order key; LIMIT after ORDER BY
+    becomes TakeOrderedAndProject (no global sort materialization).
+    """
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q_join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_orderstatus = 'F'
+    """,
+)
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer with a join-side predicate (kept in the ON clause, not WHERE)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_orderstatus == "F")
+    return c.join(o, cond, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "q_join_full_outer",
+    oracle="""
+    WITH s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1),
+         c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1)
+    SELECT COALESCE(s.nk, c.nk) AS nationkey, n_supp, n_cust
+    FROM s FULL OUTER JOIN c ON s.nk = c.nk
+    """,
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of per-nation supplier/customer counts (nulls preserved)."""
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    return s.join(c, s.s_nk == c.c_nk, "full").select(
+        F.coalesce(s.s_nk, c.c_nk).alias("nationkey"), "n_supp", "n_cust"
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (EXISTS): orders having a high-quantity line."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (NOT EXISTS): customers with no orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "q_join_cross",
+    oracle="""
+    SELECT r_name, n_name
+    FROM region CROSS JOIN nation
+    """,
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join of the two tiny dims (5 x 25); broadcast nested loop."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(F.broadcast(n)).select("r_name", "n_name")
+
+
+@query(
+    "q_join_theta_range",
+    oracle="""
+    SELECT a.n_name AS name_a, b.n_name AS name_b
+    FROM nation a JOIN nation b
+      ON a.n_nationkey < b.n_nationkey
+     AND a.n_regionkey = b.n_regionkey
+    """,
+)
+def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (non-equi) self-join: unordered nation pairs within a region.
+
+    The equi component (n_regionkey) lets Catalyst hash-partition; the `<`
+    residual avoids self/duplicate pairs. Small side broadcast-pinned.
+    """
+    n = load_table(spark, sf_dir, "nation")
+    a = n.alias("a")
+    b = n.alias("b")
+    cond = (F.col("a.n_nationkey") < F.col("b.n_nationkey")) & (
+        F.col("a.n_regionkey") == F.col("b.n_regionkey")
+    )
+    return a.join(F.broadcast(b), cond, "inner").select(
+        F.col("a.n_name").alias("name_a"), F.col("b.n_name").alias("name_b")
+    )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    SELECT p.event_id, p.user_id, epoch_us(CAST(p.ts AS TIMESTAMP)) AS ts_us,
+           prev.event_id AS prev_event_id, prev.event_type AS prev_event_type,
+           prev.value AS prev_value
+    FROM events p
+    LEFT JOIN LATERAL (
+        SELECT e.event_id, e.event_type, e.value
+        FROM events e
+        WHERE e.user_id = p.user_id AND e.ts < p.ts
+        ORDER BY e.ts DESC, e.event_id DESC
+        LIMIT 1
+    ) prev ON true
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase -> latest strictly-earlier event of same user.
+
+    Spark has no batch ASOF JOIN; the scalable rewrite is union + one window
+    pass partitioned by user_id (single shuffle, no O(n^2) pair blow-up):
+
+      * probe rows sort BEFORE base rows at equal ts (is_probe DESC) so a
+        same-timestamp base event is excluded — strict `<` semantics;
+      * ``last(<base struct>, ignoreNulls)`` over rows(-inf, -1) picks the
+        latest prior base event, ties broken by event_id (ascending order =>
+        max event_id wins, matching the oracle's ORDER BY event_id DESC).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.lit(0).alias("is_probe"),
+    )
+    probe = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.lit(1).alias("is_probe"),
+    )
+    u = base.unionByName(probe)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.desc("is_probe"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_struct = F.last(
+        F.when(
+            F.col("is_probe") == 0,
+            F.struct(
+                F.col("event_id").alias("pid"),
+                F.col("event_type").alias("ptype"),
+                F.col("value").alias("pval"),
+            ),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        u.withColumn("prev", prev_struct)
+        .filter(F.col("is_probe") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            ).alias("ts_us"),
+            F.col("prev.pid").alias("prev_event_id"),
+            F.col("prev.ptype").alias("prev_event_type"),
+            F.col("prev.pval").alias("prev_value"),
+        )
+    )

@@ -1,0 +1,145 @@
+"""Iceberg-style partition transforms (reference: Utile.java:14-71).
+
+The reference evaluates identity/day/month/year/hour/bucket by hand to group
+records before writing one parquet file per partition (App.java:100-146). In
+Spark these are pure column expressions; the write path (sources/warehouse_sink)
+reuses ``transform_column`` so a repartition on the transform column reproduces
+the reference's file layout without any driver-side grouping.
+
+Semantics parity, cited:
+  * day   -> days since epoch        (Utile.java:37-39, LocalDate.toEpochDay)
+  * month -> year*12 + month - 1     (Utile.java:40-43)
+  * year  -> calendar year           (Utile.java:44-46)
+  * hour  -> hour                    (Utile.java:47-49; the reference takes
+             LocalTime.getHour() — hour-of-day — which diverges from Iceberg's
+             hours-since-epoch spec. We implement hours-since-epoch, the
+             correct Iceberg transform, and note the deviation.)
+  * bucket[N] -> reference uses Java hashCode (Utile.java:63), which violates
+             the Iceberg spec (Murmur3); we use a deterministic pmod bucketing
+             for the oracle-checked query and leave spec-true bucketing to the
+             Iceberg writer at deploy time (SURVEY.md §2.2 T6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+
+_EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def transform_column(transform: str, col: str, n_buckets: int = 16) -> Column:
+    """Partition-transform expression (Utile.java:36-67 dispatch, Spark-side)."""
+    if transform == "identity":
+        return F.col(col)
+    if transform == "day":
+        return F.datediff(F.col(col).cast("date"), F.lit("1970-01-01").cast("date"))
+    if transform == "month":
+        return (F.year(col) * 12 + F.month(col) - 1).cast("int")
+    if transform == "year":
+        return F.year(col)
+    if transform == "hour":
+        return F.expr(f"timestampdiff(HOUR, {_EPOCH_NTZ}, {col})").cast("int")
+    if transform.startswith("bucket"):
+        return F.pmod(F.col(col), F.lit(n_buckets)).cast("int")
+    raise ValueError(f"unknown partition transform: {transform}")
+
+
+@query(
+    "q_part_identity",
+    oracle="""
+    SELECT event_type AS part_key, COUNT(*) AS n_rows
+    FROM events GROUP BY event_type
+    """,
+)
+def q_part_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """identity transform (Utile.java:50-52): partition-value row distribution."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        transform_column("identity", "event_type").alias("part_key")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@query(
+    "q_part_day",
+    oracle="""
+    SELECT CAST(DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+               AS part_day, COUNT(*) AS n_rows
+    FROM events GROUP BY 1
+    """,
+)
+def q_part_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """day transform = epoch-day int (Utile.java:37-39)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        transform_column("day", "ts").cast("bigint").alias("part_day")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@query(
+    "q_part_month",
+    oracle="""
+    SELECT CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1 AS BIGINT)
+               AS part_month, COUNT(*) AS n_rows
+    FROM orders GROUP BY 1
+    """,
+)
+def q_part_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """month transform = year*12 + month - 1 (Utile.java:40-43)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        transform_column("month", "o_orderdate").cast("bigint").alias("part_month")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@query(
+    "q_part_year",
+    oracle="""
+    SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS part_year, COUNT(*) AS n_rows
+    FROM orders GROUP BY 1
+    """,
+)
+def q_part_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year transform (Utile.java:44-46)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        transform_column("year", "o_orderdate").cast("bigint").alias("part_year")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@query(
+    "q_part_hour",
+    oracle="""
+    SELECT CAST(DATEDIFF('hour', TIMESTAMP '1970-01-01 00:00:00',
+                         CAST(ts AS TIMESTAMP)) AS BIGINT) AS part_hour,
+           COUNT(*) AS n_rows
+    FROM events GROUP BY 1
+    """,
+)
+def q_part_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hour transform = hours since epoch (Iceberg-spec; deviation from the
+    reference's hour-of-day, Utile.java:47-49 — documented in module docstring)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        transform_column("hour", "ts").cast("bigint").alias("part_hour")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@query(
+    "q_part_bucket",
+    oracle="""
+    SELECT CAST(o_custkey % 16 AS BIGINT) AS part_bucket, COUNT(*) AS n_rows
+    FROM orders GROUP BY 1
+    """,
+)
+def q_part_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bucket[16] transform via deterministic pmod (spec-true Murmur3 bucketing
+    happens inside the Iceberg writer; the reference's hashCode bucketing,
+    Utile.java:63, is a spec violation we deliberately do not port)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        transform_column("bucket[16]", "o_custkey").cast("bigint").alias("part_bucket")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))

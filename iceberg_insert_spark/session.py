@@ -1,0 +1,92 @@
+"""SparkSession factory tuned for the engine.
+
+The driver may hand us a pre-built session; everything in this package only
+*requires* runtime-settable SQL confs (applied lazily in ``tables.py``), so the
+factory below is a convenience for tests/bench, not a hard dependency.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs every entry point applies defensively (safe on a
+# driver-provided session).
+RUNTIME_CONFS = {
+    # The driver testdata stores events.ts as parquet TIMESTAMP(NANOS), which
+    # Spark's vectorized reader rejects; read as raw nanos and convert
+    # losslessly (data is pure-microsecond) in tables.load_events.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # AQE: runtime re-planning (coalesce shuffle partitions, skew-join split,
+    # broadcast conversion) — key to surviving skew at 100 TB.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow transfer for the pandas-UDF operators.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs; ignore any the session has locked."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    _ensure_package_on_workers(spark)
+    return spark
+
+
+def _ensure_package_on_workers(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via addPyFile.
+
+    Top-level functions (pandas UDFs, applyInPandas/mapInPandas callables) are
+    cloudpickled *by reference*, so workers must be able to import
+    ``iceberg_insert_spark`` — which fails when the driver process was started
+    outside the repo directory. A zip of the package registered once per
+    session makes the import work regardless of driver cwd.
+    """
+    if getattr(spark, "_iis_pyfile_added", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"iceberg_insert_spark_pkg_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    z.write(full, rel)
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        pass  # e.g. a restricted context; worker-side UDF queries may still
+        # work if the driver cwd is the repo root
+    spark._iis_pyfile_added = True
+
+
+def get_spark(app_name: str = "iceberg-insert-spark") -> SparkSession:
+    """Local session for tests/bench. ``local[$SPARK_GRAFT_CPUS]`` (default 32).
+
+    shuffle.partitions is sized to the local core count; on a real cluster this
+    would be (2-3x total executor cores) or simply left to AQE's coalescing.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return apply_runtime_confs(spark)

@@ -1,0 +1,146 @@
+"""Schema-projected JSON ingestion — parity with the reference pipeline.
+
+Reference behavior being reproduced (citations into /root/reference/icebergIngest):
+  * schema-driven parse onto the table schema, App.java:211-239 — here
+    ``spark.read.schema(...).json`` / ``from_json``;
+  * fields in JSON but not in schema: ignored (App.java:219); schema fields
+    missing from JSON: null (App.java:223) — Spark's native projection rule;
+  * malformed record -> dropped (App.java:235-238) — ``mode=DROPMALFORMED``;
+  * type matrix incl. nested struct/list/map — App.java:241-319, mapped per
+    SURVEY.md §1.3 (TIME -> micros-of-day LONG convention; TIMESTAMP parsed
+    properly, unlike the reference's double-parse bug at App.java:262-263).
+
+Unlike the reference, nothing is materialized on the driver: the JSON
+datasource streams line-splits on executors (the reference buffers whole blobs
+in a ByteArrayOutputStream on one thread, App.java:190-193).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import query
+
+# Target table schema per FIXTURES.md §B (exercises every extractJsonValue
+# branch, App.java:241-319).
+EVENTS_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("component_id", T.StringType()),
+        T.StructField("event_date", T.DateType()),
+        T.StructField("event_time", T.StringType()),  # parsed to micros below
+        T.StructField("event_ts", T.TimestampNTZType()),
+        T.StructField("amount", T.DecimalType(10, 2)),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("ratio", T.FloatType()),
+        T.StructField("count", T.IntegerType()),
+        T.StructField("active", T.BooleanType()),
+        T.StructField(
+            "geo",
+            T.StructType(
+                [
+                    T.StructField("lat", T.DoubleType()),
+                    T.StructField("lon", T.DoubleType()),
+                ]
+            ),
+        ),
+        T.StructField("tags", T.ArrayType(T.StringType())),
+        T.StructField("attrs", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+FIXTURE_DIR = "/tmp/iceberg_insert_spark/events_json"
+
+
+def write_fixture(base_dir: str = FIXTURE_DIR, n_rows: int = 200) -> str:
+    """Deterministic JSON-lines fixture per FIXTURES.md §B row mix:
+    ~90% clean, ~5% missing-field, ~3% extra-field, ~2% malformed lines.
+    Layout events/<component_id>/part.json mirrors App.java:166."""
+    if os.path.exists(base_dir):
+        shutil.rmtree(base_dir)
+    components = ["compA", "compB"]
+    for comp in components:
+        os.makedirs(f"{base_dir}/events/{comp}", exist_ok=True)
+    lines: dict[str, list[str]] = {c: [] for c in components}
+    for i in range(n_rows):
+        comp = components[i % 2]
+        if i % 50 == 49:  # ~2% malformed -> dropped (App.java:235-238)
+            lines[comp].append('{"event_id": %d, "broken"' % i)
+            continue
+        row = {
+            "event_id": i,
+            "component_id": comp,
+            "event_date": f"2024-02-{(i % 28) + 1:02d}",
+            "event_time": f"{i % 24:02d}:{i % 60:02d}:{(i * 7) % 60:02d}",
+            "event_ts": f"2024-02-{(i % 28) + 1:02d}T{i % 24:02d}:00:00",
+            "amount": f"{(i * 13) % 1000}.{i % 100:02d}",
+            "score": i * 0.5,
+            "ratio": (i % 10) / 8.0,
+            "count": i % 7,
+            "active": i % 3 == 0,
+            "geo": {"lat": 10.0 + i * 0.01, "lon": -20.0 + i * 0.02},
+            "tags": [f"t{i % 3}", f"t{i % 5}"],
+            "attrs": {"k1": f"v{i % 4}", "src": comp},
+        }
+        if i % 20 == 19:  # ~5% missing nullable field -> null (App.java:223)
+            del row["score"], row["geo"]
+        if i % 33 == 32:  # ~3% extra unknown field -> ignored (App.java:219)
+            row["unknown_field"] = "ignored"
+        lines[comp].append(json.dumps(row))
+    for comp in components:
+        with open(f"{base_dir}/events/{comp}/batch0.json", "w") as f:
+            f.write("\n".join(lines[comp]) + "\n")
+    return base_dir
+
+
+def read_events_json(spark: SparkSession, base_dir: str) -> DataFrame:
+    """Typed, schema-projected read of the landing zone (all components).
+
+    TIME convention (SURVEY.md §1.3): no Spark TIME type, so event_time is
+    parsed to micros-of-day as ``event_time_us`` LONG.
+    """
+    df = (
+        spark.read.schema(EVENTS_JSON_SCHEMA)
+        .option("mode", "DROPMALFORMED")
+        .json(f"{base_dir}/events/*/")
+    )
+    return df.withColumn(
+        "event_time_us",
+        (
+            F.split("event_time", ":").getItem(0).cast("long") * 3600
+            + F.split("event_time", ":").getItem(1).cast("long") * 60
+            + F.split("event_time", ":").getItem(2).cast("long")
+        )
+        * 1_000_000,
+    )
+
+
+@query("q_ingest_json_typed")
+def q_ingest_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end typed JSON ingest (rows-only check: the fixture is generated,
+    not a driver table). Malformed lines are dropped; missing fields null."""
+    base = write_fixture()
+    df = read_events_json(spark, base)
+    # flatten nested values so the returned schema is stable and hashable
+    return df.select(
+        "event_id",
+        "component_id",
+        "event_date",
+        "event_time_us",
+        "event_ts",
+        F.col("amount").cast("string").alias("amount_str"),
+        "score",
+        F.col("ratio").cast("double").alias("ratio_d"),
+        "count",
+        "active",
+        F.col("geo.lat").alias("lat"),
+        F.col("geo.lon").alias("lon"),
+        F.array_join("tags", ",").alias("tags_csv"),
+        F.col("attrs")["k1"].alias("attr_k1"),
+    ).orderBy("event_id")

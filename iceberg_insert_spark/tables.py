@@ -1,0 +1,65 @@
+"""Loaders for the driver test tables (TESTDATA.md / FIXTURES.md §A).
+
+All timestamps are canonicalized to TIMESTAMP_NTZ so results are independent
+of the session timezone (the DuckDB oracle is timezone-naive too):
+
+  * orders.o_orderdate / lineitem.l_shipdate are parquet timestamp[ms] and read
+    natively as TIMESTAMP_NTZ.
+  * events.ts is parquet TIMESTAMP(NANOS) which Spark rejects; we read it as
+    raw nanos (``spark.sql.legacy.parquet.nanosAsLong``) and rebuild a
+    TIMESTAMP_NTZ via integer microsecond arithmetic — verified lossless (the
+    generator emits microsecond-precision values; ns residue is 0 across sfs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from .session import apply_runtime_confs
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+_EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver table as a DataFrame with canonical types."""
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        ts_field = df.schema["ts"].dataType
+        if isinstance(ts_field, LongType):
+            # nanos -> micros is exact integer arithmetic; DIV avoids the
+            # double-precision loss of `/` on ~1.7e18 values.
+            df = df.withColumn(
+                "ts",
+                F.expr(f"timestampadd(MICROSECOND, ts DIV 1000, {_EPOCH_NTZ})"),
+            )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def epoch_us(col: str) -> F.Column:
+    """Epoch microseconds of a TIMESTAMP_NTZ column.
+
+    Timezone-independent; the DuckDB-side twin is ``epoch_us(ts)``.
+    """
+    return F.expr(f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, {col})")
