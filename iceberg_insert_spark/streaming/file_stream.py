@@ -1,0 +1,123 @@
+"""Structured Streaming ingestion + stateful operators (SURVEY.md §2.4).
+
+This is the exactly-once upgrade of the reference's batch loop:
+
+  * reference: poll a landing dir, read whole file into memory, write, then
+    DELETE THE SOURCE BEFORE COMMITTING (App.java:205-207 / NfsApp.java:175-177)
+    — a crash between delete and commit loses data (at-most-once).
+  * here: a checkpointed file source + idempotent sink. The checkpoint records
+    which files are consumed; re-running after any crash resumes without loss
+    or duplication (exactly-once into a transactional sink). Source cleanup is
+    the engine's job (``cleanSource`` option), *after* the batch commits.
+
+``Trigger.AvailableNow`` gives the reference's batch cadence (drain what's
+there, then stop) while keeping streaming semantics — the recommended pattern
+for micro-batch landing-zone ingest at scale (bounded per-batch file counts
+via maxFilesPerTrigger keep executor memory flat at 100 TB backlogs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ..session import apply_runtime_confs
+
+
+def ingest_available_now(
+    spark: SparkSession,
+    src_glob: str,
+    schema: StructType,
+    dest_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Drain the landing zone into a parquet sink, exactly-once.
+
+    Safe to re-run: already-consumed files are skipped via the checkpoint
+    (contrast App.java:205-207's delete-before-commit).
+    """
+    apply_runtime_confs(spark)
+    reader = spark.readStream.schema(schema).option("mode", "DROPMALFORMED")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.json(src_glob)
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", dest_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def windowed_counts_available_now(
+    spark: SparkSession,
+    src_glob: str,
+    schema: StructType,
+    checkpoint_dir: str,
+    ts_col: str = "event_ts",
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    query_name: str = "windowed_counts",
+) -> DataFrame:
+    """Tumbling-window count with a watermark, drained to a memory sink.
+
+    The watermark bounds state: windows older than (max event time - 10 min)
+    are finalized and dropped from the state store — the mechanism that keeps
+    unbounded streams at bounded memory.
+    """
+    apply_runtime_confs(spark)
+    stream = spark.readStream.schema(schema).option("mode", "DROPMALFORMED").json(
+        src_glob
+    )
+    # watermarks require TIMESTAMP (with tz); the ingest convention is NTZ
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("win_start"), "n_events")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
+def dedup_stream_available_now(
+    spark: SparkSession,
+    src_glob: str,
+    schema: StructType,
+    dest_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    ts_col: str = "event_ts",
+    watermark: str = "1 hour",
+) -> None:
+    """Stateful streaming dedup on key_cols within the watermark horizon —
+    the streaming twin of q_dedup_exact, with bounded state."""
+    apply_runtime_confs(spark)
+    stream = spark.readStream.schema(schema).option("mode", "DROPMALFORMED").json(
+        src_glob
+    )
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    deduped = stream.withWatermark(ts_col, watermark).dropDuplicates(
+        key_cols + [ts_col]
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", dest_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,60 @@
+"""Unit tier: JSON type-coercion matrix mirroring the reference parser
+(App.java:241-319) — clean rows, missing fields -> null, extra fields ->
+ignored, malformed lines -> dropped (DROPMALFORMED)."""
+
+from __future__ import annotations
+
+import datetime as dt
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+from iceberg_insert_spark.sources.json_ingest import (
+    EVENTS_JSON_SCHEMA,
+    read_events_json,
+    write_fixture,
+)
+
+BASE = "/tmp/iceberg_insert_spark/ingest_tests"
+
+
+def test_malformed_dropped_and_counts(spark):
+    write_fixture(BASE, n_rows=200)
+    df = read_events_json(spark, BASE)
+    # 200 rows, every 50th malformed -> 4 dropped (App.java:235-238 parity)
+    assert df.count() == 196
+
+
+def test_typed_projection(spark):
+    write_fixture(BASE, n_rows=100)
+    df = read_events_json(spark, BASE)
+    row = df.filter(F.col("event_id") == 3).first()
+    assert row.component_id == "compB"
+    assert row.event_date == dt.date(2024, 2, 4)
+    assert row.event_ts == dt.datetime(2024, 2, 4, 3, 0, 0)
+    assert row.amount == Decimal("39.03")
+    assert row.ratio == 0.375
+    assert row["count"] == 3  # row.count is the Row method, index instead
+    assert row.active is True  # i=3 -> 3 % 3 == 0
+    assert abs(row.geo.lat - 10.03) < 1e-9
+    assert row.tags == ["t0", "t3"]
+    assert row.attrs["k1"] == "v3"
+    # TIME convention: micros-of-day (SURVEY.md §1.3)
+    assert row.event_time_us == (3 * 3600 + 3 * 60 + 21) * 1_000_000
+
+
+def test_missing_field_is_null(spark):
+    """Row 19 omits score and geo -> nulls (App.java:223 parity)."""
+    write_fixture(BASE, n_rows=100)
+    df = read_events_json(spark, BASE)
+    row = df.filter(F.col("event_id") == 19).first()
+    assert row.score is None
+    assert row.geo is None
+
+
+def test_extra_field_ignored(spark):
+    """Row 32 carries unknown_field -> absent from the schema (App.java:219)."""
+    write_fixture(BASE, n_rows=100)
+    df = read_events_json(spark, BASE)
+    assert "unknown_field" not in df.columns
+    assert df.filter(F.col("event_id") == 32).count() == 1

@@ -1,0 +1,92 @@
+"""Stream-smoke tier (SURVEY.md §5.2): checkpointed ingest idempotence
+(exactly-once — the upgrade over the reference's delete-before-commit,
+App.java:205-207), watermarked window aggregation, stateful dedup."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+
+from iceberg_insert_spark.sources.json_ingest import (
+    EVENTS_JSON_SCHEMA,
+    write_fixture,
+)
+from iceberg_insert_spark.streaming.file_stream import (
+    dedup_stream_available_now,
+    ingest_available_now,
+    windowed_counts_available_now,
+)
+
+BASE = "/tmp/iceberg_insert_spark/stream_tests"
+
+
+@pytest.fixture()
+def workdir():
+    if os.path.exists(BASE):
+        shutil.rmtree(BASE)
+    os.makedirs(BASE)
+    yield BASE
+
+
+def test_ingest_exactly_once_rerun(spark, workdir):
+    """Re-running the drained stream must not duplicate rows; new files are
+    picked up incrementally."""
+    fixture = write_fixture(f"{workdir}/landing", n_rows=100)
+    src = f"{fixture}/events/*/"
+    dest, ckpt = f"{workdir}/out", f"{workdir}/ckpt"
+
+    ingest_available_now(spark, src, EVENTS_JSON_SCHEMA, dest, ckpt)
+    n1 = spark.read.parquet(dest).count()
+    assert n1 == 98  # 100 rows - 2 malformed dropped
+
+    # crash-replay: run again with the same checkpoint -> no duplicates
+    ingest_available_now(spark, src, EVENTS_JSON_SCHEMA, dest, ckpt)
+    assert spark.read.parquet(dest).count() == n1
+
+    # late-arriving file -> only the delta is ingested
+    late = {"event_id": 10_000, "component_id": "compA",
+            "event_date": "2024-03-01", "event_time": "01:02:03",
+            "event_ts": "2024-03-01T01:02:03", "amount": "1.23",
+            "score": 1.0, "ratio": 0.5, "count": 1, "active": True,
+            "geo": {"lat": 1.0, "lon": 2.0}, "tags": ["t"],
+            "attrs": {"k1": "v"}}
+    with open(f"{fixture}/events/compA/late.json", "w") as f:
+        f.write(json.dumps(late) + "\n")
+    ingest_available_now(spark, src, EVENTS_JSON_SCHEMA, dest, ckpt)
+    assert spark.read.parquet(dest).count() == n1 + 1
+
+
+def test_windowed_counts_with_watermark(spark, workdir):
+    fixture = write_fixture(f"{workdir}/landing", n_rows=100)
+    out = windowed_counts_available_now(
+        spark,
+        f"{fixture}/events/*/",
+        EVENTS_JSON_SCHEMA,
+        f"{workdir}/ckpt_win",
+        query_name="t_win_counts",
+    )
+    rows = out.collect()
+    assert sum(r.n_events for r in rows) == 98
+    assert all(r.n_events > 0 for r in rows)
+
+
+def test_stateful_dedup(spark, workdir):
+    """Duplicate event_ids across two landing files collapse to one row."""
+    fixture = write_fixture(f"{workdir}/landing", n_rows=60)
+    # duplicate compA's file wholesale into a new landing file
+    src_file = f"{fixture}/events/compA/batch0.json"
+    shutil.copy(src_file, f"{fixture}/events/compA/batch0_dup.json")
+    dest, ckpt = f"{workdir}/dedup_out", f"{workdir}/dedup_ckpt"
+    dedup_stream_available_now(
+        spark,
+        f"{fixture}/events/*/",
+        EVENTS_JSON_SCHEMA,
+        dest,
+        ckpt,
+        key_cols=["event_id"],
+    )
+    back = spark.read.parquet(dest)
+    assert back.count() == back.select("event_id").distinct().count()
