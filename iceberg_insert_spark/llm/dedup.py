@@ -18,11 +18,11 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import load_table
-from .vector import cosine
 
 NGRAM_JACCARD_THRESHOLD = 0.5
 COSINE_DUP_THRESHOLD = 0.4
 SIMHASH_BITS = 32
+EMB_BLOCKS = 8
 
 
 @query(
@@ -114,51 +114,72 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MINHASH_K = 32  # signature length
+MINHASH_BANDS = 8  # 8 bands x 4 rows: P(candidate) ~ 1-(1-j^4)^8, steep at 0.5
+
+
 @query("q_dedup_near")
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs — the 100 TB-scale approximation of
-    q_dedup_ngram. shingle -> HashingTF (binary, fixed hashing: no vocab fit)
-    -> MinHashLSH banding -> bucket join -> Jaccard-distance filter.
-    Rows-only check (LSH is probabilistic; seed pinned for determinism)."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH
+    q_dedup_ngram, entirely in JVM expressions (no ml.fit, no sparse vectors).
 
+    shingle -> K seeded xxhash64 min-aggregates (one pass, map-side partial
+    min) -> signature array -> band buckets (hash of each 4-slot slice) ->
+    self-join per (band, bucket) so only colliding docs ever shuffle ->
+    signature-overlap Jaccard estimate >= threshold. Rows-only check (LSH is
+    probabilistic; hashes seeded deterministically)."""
     d = load_table(spark, sf_dir, "documents")
-    sh = _shingles(d).groupBy("doc_id").agg(
-        F.collect_list("shingle").alias("shingles")
+    sh = _shingles(d)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), "shingle")).alias(f"h{i}")
+            for i in range(MINHASH_K)
+        ]
     )
-    tf = HashingTF(
-        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+    sigs = sig.select(
+        "doc_id", F.array(*[f"h{i}" for i in range(MINHASH_K)]).alias("sig")
     )
-    feat = tf.transform(sh).filter(F.expr("size(shingles) > 0"))
-    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
-    model = mh.fit(feat)
-    pairs = model.approxSimilarityJoin(
-        feat, feat, 1.0 - NGRAM_JACCARD_THRESHOLD, distCol="jaccard_dist"
+    r = MINHASH_K // MINHASH_BANDS
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(F.slice("sig", b * r + 1, r)).alias("bucket"),
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sig", "bk.band", "bk.bucket")
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(y, ["band", "bucket"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.sig").alias("sa"),
+            F.col("y.sig").alias("sb"),
+        )
+        .distinct()  # a pair can collide in several bands
+    )
+    est = (
+        F.aggregate(
+            F.zip_with("sa", "sb", lambda a, b: (a == b).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("double")
+        / MINHASH_K
     )
     return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            F.round(1.0 - F.col("jaccard_dist"), 6).alias("jaccard_est"),
-        )
+        cand.withColumn("jaccard_est", F.round(est, 6))
+        .filter(F.col("jaccard_est") >= NGRAM_JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard_est")
     )
-
-
-def _simhash_col() -> F.Column:
-    """32-bit SimHash from md5-derived token hashes via per-bit vote.
-
-    Token hash = first 8 hex chars of md5 (engine-portable, unlike xxhash64 /
-    DuckDB hash()). Implemented as 32 conditional sums — all JVM expressions.
-    """
-    h = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
-    votes = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(SIMHASH_BITS)
-    ]
-    return votes
 
 
 @query(
@@ -186,12 +207,30 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Near-dup candidates are then signature pairs within small Hamming
     distance — at scale, band the signature into 4 bytes and join per band
     (same pattern as MinHash LSH). The signature itself is oracle-checked.
+
+    The md5-derived token hash is projected ONCE before the aggregate; the
+    32 per-bit votes are then plain bit-ops over that materialized column
+    (inlining the hash into each vote expression costs 32x the hashing).
     """
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("token")
-    ).distinct()
-    votes = tok.groupBy("doc_id").agg(*_simhash_col())
+    tok = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .distinct()
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("token"), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"b{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
     sig = sum(
         F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (1 << i)).otherwise(
             F.lit(0).cast("long")
@@ -219,17 +258,77 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact, threshold {0.4}).
+    """Embedding-cosine near-dup pairs (exact, threshold 0.4), blocked.
 
-    O(n^2) pair scan — correct at validation scale; the LSH variant
-    (q_sim_knn_lsh machinery) replaces the cross join at 100 TB.
+    Blocked all-pairs similarity: vectors hash into EMB_BLOCKS blocks, each
+    of the B*(B+1)/2 block PAIRS becomes one applyInPandas group computing a
+    single numpy float64 matmul. Replication is ~B/2 per vector (vs n for a
+    naive cross join) and per-task memory is bounded by two blocks — this is
+    the 100 TB shape: pick B ~ sqrt(n_vectors / rows_per_task) so tasks stay
+    cache-sized regardless of total n. A per-pair JVM zip_with/aggregate
+    cosine was ~25x slower (interpreted HOF per pair vs one BLAS call per
+    block pair).
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    cos = cosine("ea", "eb")
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .filter(F.round(cos, 6) >= COSINE_DUP_THRESHOLD)
-        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = emb.withColumn(
+        "blk", F.pmod(F.col("vec_id"), F.lit(EMB_BLOCKS)).cast("int")
+    )
+    blocks = spark.range(EMB_BLOCKS).select(F.col("id").cast("int").alias("ba"))
+    bpairs = blocks.crossJoin(
+        spark.range(EMB_BLOCKS).select(F.col("id").cast("int").alias("bb"))
+    ).filter(F.col("ba") <= F.col("bb"))
+    tagged = (
+        e.join(bpairs, e.blk == bpairs.ba)
+        .select("ba", "bb", "vec_id", "embedding", F.lit(0).alias("side"))
+        .unionByName(
+            e.join(bpairs, (e.blk == bpairs.bb) & (bpairs.ba != bpairs.bb))
+            .select("ba", "bb", "vec_id", "embedding", F.lit(1).alias("side"))
+        )
+    )
+
+    def block_cosine(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []})
+        ba, bb = int(pdf["ba"].iat[0]), int(pdf["bb"].iat[0])
+        a = pdf[pdf["side"] == 0]
+        if len(a) == 0:
+            return empty
+        ids_a = a["vec_id"].to_numpy()
+        ma = np.vstack(a["embedding"].to_numpy()).astype(np.float64)
+        if ba == bb:
+            ids_b, mb = ids_a, ma
+        else:
+            b = pdf[pdf["side"] == 1]
+            if len(b) == 0:
+                return empty
+            ids_b = b["vec_id"].to_numpy()
+            mb = np.vstack(b["embedding"].to_numpy()).astype(np.float64)
+        sims = (ma @ mb.T) / np.outer(
+            np.linalg.norm(ma, axis=1), np.linalg.norm(mb, axis=1)
+        )
+        if ba == bb:
+            ii, jj = np.triu_indices(len(ids_a), k=1)
+        else:
+            ii, jj = np.indices((len(ids_a), len(ids_b)))
+            ii, jj = ii.ravel(), jj.ravel()
+        cs = sims[ii, jj]
+        keep = cs >= COSINE_DUP_THRESHOLD - 1e-9  # slack; exact cut below
+        va, vb, cs = ids_a[ii[keep]], ids_b[jj[keep]], cs[keep]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(va, vb),
+                "vec_b": np.maximum(va, vb),
+                "cos_sim": cs,
+            }
+        )
+
+    raw = tagged.groupBy("ba", "bb").applyInPandas(
+        block_cosine, "vec_a bigint, vec_b bigint, cos_sim double"
+    )
+    # Rounding + exact threshold on the JVM side so the cut matches the
+    # oracle's ROUND(...) >= th semantics bit-for-bit.
+    return raw.filter(F.round("cos_sim", 6) >= COSINE_DUP_THRESHOLD).select(
+        "vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim")
     )
