@@ -29,6 +29,19 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark("iceberg-insert-spark-bench")
 
+    # Warmup (excluded, like session build): touch every table once so
+    # parquet footer reads + codegen + the Python worker pool don't land on
+    # whichever query happens to run first alphabetically.
+    from pyspark.sql import functions as F  # noqa: E402
+
+    from iceberg_insert_spark.tables import TABLE_NAMES, load_table  # noqa: E402
+
+    for t in TABLE_NAMES:
+        load_table(spark, sf_dir, t).count()
+    spark.range(32).groupBy((F.col("id") % 4).alias("g")).applyInPandas(
+        lambda pdf: pdf, "id long"
+    ).count()
+
     queries = get_queries()
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
