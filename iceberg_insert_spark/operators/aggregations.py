@@ -176,3 +176,136 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
+
+
+@query(
+    "q_agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(QUANTILE_CONT(l_quantity, 0.5), 6) AS p50_qty,
+           ROUND(QUANTILE_CONT(l_quantity, 0.9), 6) AS p90_qty,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 6) AS p50_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark percentile == DuckDB
+    QUANTILE_CONT, both linear interpolation). At 100 TB swap in
+    approx_percentile — a fixed-memory mergeable sketch — wherever the exact
+    sort-per-group cost isn't justified."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias(
+            "p50_price"
+        ),
+    )
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_quantity), 6) AS sd_qty,
+           ROUND(VAR_SAMP(l_quantity), 6) AS var_qty,
+           ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(COVAR_SAMP(l_quantity, l_discount), 6) AS cov_qty_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (single-pass mergeable moments — map-side
+    partials merge associatively, no extra shuffle vs plain SUM)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias(
+            "cov_qty_disc"
+        ),
+    )
+
+
+@query(
+    "q_agg_collect",
+    oracle="""
+    SELECT r_name,
+           LIST(n_name ORDER BY n_name) AS nations,
+           STRING_AGG(n_name, ',' ORDER BY n_name) AS nations_csv
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered list aggregation. collect_list's arrival order is
+    partition-dependent, so a deterministic surface MUST sort the array —
+    array_sort(collect_list()) is the engine-stable spelling of DuckDB's
+    LIST(... ORDER BY)."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.array_sort(F.collect_list("n_name")).alias("nations"))
+        .select(
+            "r_name",
+            "nations",
+            F.concat_ws(",", "nations").alias("nations_csv"),
+        )
+    )
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS status_o,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS status_f,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS status_p
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide). Pinning the pivot values avoids the extra
+    distinct-values job Spark otherwise runs before planning."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+    )
+    return piv.select(
+        "c_mktsegment",
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_f"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
+    )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value
+    FROM part
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long): zero-shuffle narrow transform."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        "p_retailprice",
+    ).unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "value")

@@ -192,3 +192,57 @@ def q_map_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("props").cast("bigint").alias("props_len"),
         F.get_json_object("props", "$.missing").alias("missing_val"),
     )
+
+
+@query(
+    "q_regexp_funcs",
+    oracle="""
+    SELECT p_partkey,
+           REGEXP_EXTRACT(p_name, '([a-z]+) ([a-z]+)', 2) AS second_word,
+           REGEXP_REPLACE(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           CAST(REGEXP_MATCHES(p_name, 'widget|bolt') AS BIGINT) AS is_hw
+    FROM part
+    """,
+)
+def q_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extract / replace / match. Patterns stick to character classes
+    and alternation — semantics shared by Java regex (Spark) and RE2 (DuckDB).
+    Note DuckDB's REGEXP_REPLACE is first-match unless the 'g' flag is given;
+    Spark's is always global."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"([a-z]+) ([a-z]+)", 2).alias("second_word"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.col("p_name").rlike("widget|bolt").cast("bigint").alias("is_hw"),
+    )
+
+
+@query(
+    "q_null_semantics",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           NULLIF(l_discount, 0.0) AS disc_or_null,
+           COALESCE(NULLIF(l_discount, 0.0), -1.0) AS disc_filled,
+           CAST(l_discount IS NOT DISTINCT FROM l_tax AS BIGINT)
+               AS disc_eq_tax_nullsafe,
+           CAST(NULLIF(l_discount, 0.0) IS NULL AS BIGINT) AS disc_is_null
+    FROM lineitem
+    """,
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling operators: NULLIF to synthesize NULLs, COALESCE to fill,
+    null-safe equality (<=> / IS NOT DISTINCT FROM), IS NULL predicates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_nn = F.nullif(F.col("l_discount"), F.lit(0.0))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        disc_nn.alias("disc_or_null"),
+        F.coalesce(disc_nn, F.lit(-1.0)).alias("disc_filled"),
+        F.col("l_discount")
+        .eqNullSafe(F.col("l_tax"))
+        .cast("bigint")
+        .alias("disc_eq_tax_nullsafe"),
+        disc_nn.isNull().cast("bigint").alias("disc_is_null"),
+    )

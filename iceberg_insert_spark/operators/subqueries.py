@@ -1,0 +1,121 @@
+"""Subqueries: scalar / IN / EXISTS, uncorrelated and correlated (SURVEY.md §2.4).
+
+The reference has no subquery surface (no SQL parser at all — SURVEY.md §0);
+these rows are [EXT] engine surface. They are deliberately expressed through
+``spark.sql`` over temp views: Catalyst's subquery machinery (ScalarSubquery
+reuse, ``RewritePredicateSubquery`` into left-semi/anti joins, correlated
+decorrelation) is the engine feature under test, and the same text runs on the
+DuckDB oracle.
+
+Scale notes: an uncorrelated scalar subquery executes once and broadcasts; IN
+and EXISTS rewrite to semi joins that shuffle on the join key (broadcast when
+the subquery side is small); the correlated Q17-shape aggregates per group
+*before* joining, so the heavy table streams through one hash aggregate
+instead of a per-row re-scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import query
+from ..tables import load_table
+
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+_SCALAR_SQL = """
+    SELECT l_returnflag, COUNT(*) AS n_rows,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    WHERE l_quantity < (SELECT AVG(l_quantity) FROM lineitem)
+    GROUP BY l_returnflag
+"""
+
+
+@query("q_subq_scalar", oracle=_SCALAR_SQL)
+def q_subq_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: computed once, broadcast as a literal.
+
+    l_quantity is integral (verified in testdata) so the < AVG(...) boundary
+    cannot sit on a float ulp between engines.
+    """
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(_SCALAR_SQL)
+
+
+_IN_SQL = """
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING')
+    GROUP BY o_orderpriority
+"""
+
+
+@query("q_subq_in", oracle=_IN_SQL)
+def q_subq_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (subquery) -> Catalyst rewrites to a left-semi join on o_custkey."""
+    _views(spark, sf_dir, "orders", "customer")
+    return spark.sql(_IN_SQL)
+
+
+_EXISTS_SQL = """
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+"""
+
+
+@query("q_subq_exists", oracle=_EXISTS_SQL)
+def q_subq_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS -> decorrelated to a left-semi join."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_EXISTS_SQL)
+
+
+_NOT_EXISTS_SQL = """
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_totalprice > 450000)
+    GROUP BY c_mktsegment
+"""
+
+
+@query("q_subq_not_exists", oracle=_NOT_EXISTS_SQL)
+def q_subq_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated NOT EXISTS -> left-anti join with a pushed filter."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_NOT_EXISTS_SQL)
+
+
+_SCALAR_CORR_SQL = """
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l1
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#4'
+      AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                        FROM lineitem l2
+                        WHERE l2.l_partkey = l1.l_partkey)
+"""
+
+
+@query("q_subq_scalar_corr", oracle=_SCALAR_CORR_SQL)
+def q_subq_scalar_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape).
+
+    Catalyst decorrelates to aggregate-then-join: lineitem is hash-aggregated
+    per partkey once, not re-scanned per outer row. Integral quantities make
+    0.5*AVG an exact double, so the comparison is engine-stable.
+    """
+    _views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_SCALAR_CORR_SQL)

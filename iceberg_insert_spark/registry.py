@@ -30,6 +30,7 @@ _ORACLES: dict[str, str] = {}
 _MODULES = [
     "iceberg_insert_spark.operators.relational",
     "iceberg_insert_spark.operators.joins",
+    "iceberg_insert_spark.operators.subqueries",
     "iceberg_insert_spark.operators.aggregations",
     "iceberg_insert_spark.operators.windows",
     "iceberg_insert_spark.operators.sorts_sets",
