@@ -1,0 +1,104 @@
+"""Physical-plan audit — assert the plans are the ones we'd want at 100 TB.
+
+Correctness tests prove the right ROWS come back; these prove the right PLAN
+produces them: filters reach the parquet scan, projections prune columns,
+dimension joins broadcast, top-k avoids a global sort, aggregates do map-side
+partials, and nothing falls into an accidental cartesian product. Each
+assertion names the scale failure it guards against.
+
+Nothing here executes a job: plans are compiled only (`explainString`), so the
+whole module runs in seconds.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_insert_spark.registry import get_oracles, get_queries
+
+from .conftest import SF_DIR
+
+QUERIES = get_queries()
+
+# Queries whose *intent* is an all-pairs comparison over provably small or
+# blocked inputs — a cartesian there is the algorithm, not an accident.
+CARTESIAN_OK = {
+    "q_join_cross",  # region x nation, both dimension-sized
+    "q_join_theta_range",  # non-equi self-join on nation (25 rows)
+    "q_sim_knn",  # brute-force baseline vs a handful of probe vectors
+}
+
+
+def plan_of(df) -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_scan_projection_pruned(spark):
+    """A 5-column projection must scan 5 columns, not all 11 (at 100 TB the
+    difference is the whole I/O bill)."""
+    p = plan_of(QUERIES["q_scan_project"](spark, SF_DIR))
+    read = next(line for line in p.splitlines() if "ReadSchema" in line)
+    assert "l_quantity" in read
+    for dropped in ("l_tax", "l_returnflag", "l_shipdate", "l_suppkey"):
+        assert dropped not in read, f"unpruned column {dropped}: {read}"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """Range predicates must appear in PushedFilters — filtering after the
+    scan reads every row off disk first."""
+    p = plan_of(QUERIES["q_filter_pred"](spark, SF_DIR))
+    pushed = next(line for line in p.splitlines() if "PushedFilters" in line)
+    assert "GreaterThanOrEqual(l_shipdate" in pushed
+    assert "LessThan(l_quantity" in pushed
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    """The Q5-shaped star must broadcast every dimension: a sort-merge join
+    against region/nation/supplier would shuffle the fact table once per
+    dimension."""
+    p = plan_of(QUERIES["q_join_star"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_sort_limit_is_topk(spark):
+    """ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-partition
+    top-k then merge), never a global sort of the full table."""
+    p = plan_of(QUERIES["q_sort_limit"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_topk_per_group_no_global_sort(spark):
+    """Grouped top-k must shuffle by the group key only — a range partition
+    (global sort) would serialize the whole table through one ordering."""
+    p = plan_of(QUERIES["q_topk_per_group"](spark, SF_DIR))
+    assert "rangepartitioning" not in p.lower()
+    assert "Window" in p
+
+
+def test_groupby_does_partial_aggregation(spark):
+    """groupBy must plan partial (map-side) + final aggregates; shipping raw
+    rows to the reducer multiplies shuffle volume by fan-in."""
+    p = plan_of(QUERIES["q_agg_groupby"](spark, SF_DIR))
+    assert "partial_" in p, "no map-side partial aggregation in plan"
+
+
+def test_minhash_banding_joins_on_buckets(spark):
+    """The LSH near-dup join must be an equi-join on (band, bucket); a
+    cartesian here means the banding failed and every doc meets every doc."""
+    p = plan_of(QUERIES["q_dedup_near"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(get_oracles()) - CARTESIAN_OK)
+)
+def test_no_accidental_cartesian(name, spark):
+    """Sweep every oracle query: no plan may contain a cartesian product
+    unless the algorithm is explicitly all-pairs (whitelist above)."""
+    p = plan_of(QUERIES[name](spark, SF_DIR))
+    assert "CartesianProduct" not in p, f"{name} plans a cartesian product"
