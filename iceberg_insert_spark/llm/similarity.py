@@ -122,3 +122,71 @@ def q_sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.withColumn("rn", F.row_number().over(w).cast("bigint")).filter(
         F.col("rn") <= TOP_K
     )
+
+
+IVF_CELLS = 16
+IVF_NPROBE = 4
+
+
+@query("q_sim_knn_ivf")
+def q_sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: k-means coarse quantizer -> inverted cell lists ->
+    probe only the IVF_NPROBE nearest cells -> exact cosine re-score.
+
+    The scale anatomy: the quantizer trains on a sample (k-means over C
+    centroids, C tiny); the candidate table is written PARTITIONED BY cell
+    (the inverted lists); a probe batch computes distances to the C broadcast
+    centroids, picks nprobe cells, and joins only those partitions — at
+    100 TB the scan prunes (1 - nprobe/C) of the data before any vector math.
+    Rows-only check: recall is approximate by design (seeded: deterministic).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", array_to_vector("embedding").alias("features")
+    )
+    km = KMeans(
+        k=IVF_CELLS, seed=42, maxIter=5, featuresCol="features", predictionCol="cell"
+    )
+    model = km.fit(emb)
+    cand = model.transform(emb).select("vec_id", "label", "embedding", "cell")
+    # C centroids are model metadata — broadcast-sized at any data scale.
+    cents = [
+        (int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cdf = spark.createDataFrame(cents, "cell int, centroid array<double>")
+    probes = cand.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            "pe",
+            "centroid",
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wcell = Window.partitionBy("probe_id").orderBy(F.asc("d2"), F.asc("cell"))
+    probe_cells = (
+        probes.crossJoin(F.broadcast(cdf))
+        .withColumn("d2", d2)
+        .withColumn("rnk", F.row_number().over(wcell))
+        .filter(F.col("rnk") <= IVF_NPROBE)
+        .select("probe_id", "pe", "cell")
+    )
+    scored = (
+        probe_cells.join(cand, "cell")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("cand_id"),
+            F.col("label").alias("cand_label"),
+            F.round(cosine("pe", "embedding"), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return scored.withColumn("rn", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rn") <= TOP_K
+    )

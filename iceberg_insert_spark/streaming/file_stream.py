@@ -121,3 +121,61 @@ def dedup_stream_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def stateful_running_totals_available_now(
+    spark: SparkSession,
+    src_glob: str,
+    schema: StructType,
+    checkpoint_dir: str,
+    key_col: str = "component_id",
+    value_col: str = "score",
+    query_name: str = "stateful_totals",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    running (count, sum) that survives across micro-batches in the state
+    store.
+
+    This is the arbitrary-state tier above ``dropDuplicates``/window aggs —
+    the pattern for operators Spark lacks natively (sessionizers with custom
+    close rules, decaying counters, online sketches). State is partitioned by
+    key, Arrow-batched per group, and checkpointed with the query: a crash
+    replays the last batch against the restored store, keeping exactly-once.
+    Each batch emits the key's updated running row ("update" mode); the last
+    emitted row per key is the final total.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    apply_runtime_confs(spark)
+
+    def update_totals(key, pdf_iter, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf[value_col].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_events": [n], "sum_value": [total]}
+        )
+
+    stream = spark.readStream.schema(schema).option("mode", "DROPMALFORMED").json(
+        src_glob
+    )
+    totals = stream.groupBy(key_col).applyInPandasWithState(
+        update_totals,
+        outputStructType=f"{key_col} string, n_events long, sum_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        totals.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -17,6 +17,7 @@ from iceberg_insert_spark.sources.json_ingest import (
 from iceberg_insert_spark.streaming.file_stream import (
     dedup_stream_available_now,
     ingest_available_now,
+    stateful_running_totals_available_now,
     windowed_counts_available_now,
 )
 
@@ -90,3 +91,40 @@ def test_stateful_dedup(spark, workdir):
     )
     back = spark.read.parquet(dest)
     assert back.count() == back.select("event_id").distinct().count()
+
+
+def test_stateful_running_totals(spark, workdir):
+    """applyInPandasWithState per-key running totals: the last emitted row
+    per key must equal the batch groupBy over the same files."""
+    from pyspark.sql import functions as F
+
+    fixture = write_fixture(f"{workdir}/landing", n_rows=100)
+    src = f"{fixture}/events/*/"
+    out = stateful_running_totals_available_now(
+        spark,
+        src,
+        EVENTS_JSON_SCHEMA,
+        f"{workdir}/state_ckpt",
+        query_name="t_state_totals",
+    )
+    # "update" mode emits one running row per key per batch; the final row
+    # (max n_events) per key is the completed total.
+    final = {}
+    for r in out.collect():
+        if r.component_id not in final or r.n_events > final[r.component_id][0]:
+            final[r.component_id] = (r.n_events, r.sum_value)
+    batch = (
+        spark.read.schema(EVENTS_JSON_SCHEMA)
+        .option("mode", "DROPMALFORMED")
+        .json(src)
+        .groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce("score", F.lit(0.0))).alias("s"),
+        )
+    )
+    expected = {r.component_id: (r.n, r.s) for r in batch.collect()}
+    assert set(final) == set(expected)
+    for k, (n, s) in expected.items():
+        assert final[k][0] == n, (k, final[k], n)
+        assert abs(final[k][1] - s) < 1e-6, (k, final[k], s)
