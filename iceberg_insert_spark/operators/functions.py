@@ -195,6 +195,25 @@ def q_map_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_posexplode",
+    oracle="""
+    SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.token FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(string_split(text, ' '),
+                      (x, i) -> struct_pack(pos := i - 1, token := x))) AS u
+        FROM documents)
+    """,
+)
+def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: UDTF-shaped explode that also emits the element ordinal
+    (0-based; DuckDB's list lambda index is 1-based, adjusted in the twin)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    ).withColumn("pos", F.col("pos").cast("bigint"))
+
+
+@query(
     "q_regexp_funcs",
     oracle="""
     SELECT p_partkey,

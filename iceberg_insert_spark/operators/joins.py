@@ -349,3 +349,173 @@ def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
     )
+
+
+RANGE_JOIN_BUCKET_US = 300_000_000  # 5 minutes
+
+
+@query(
+    "q_join_time_range",
+    oracle="""
+    SELECT a.event_id AS event_a, b.event_id AS event_b,
+           CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS gap_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 5 MINUTES
+    """,
+)
+def q_join_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range join (pairs of same-user events <= 5 min apart) via bucket
+    equi-join — the scalable rewrite of an interval theta-join.
+
+    Each left row replicates into its own 5-min bucket and the next one (a
+    right match can only live there), the join is then a plain equi-join on
+    (user_id, bucket) + an exact refine predicate. Cost: 2x replication of
+    one side instead of the O(n^2)-per-user nested loop a raw inequality
+    join plans; no row can match twice (the two buckets are disjoint).
+    """
+    from ..tables import epoch_us
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    a = ev.select(
+        F.col("event_id").alias("event_a"),
+        "user_id",
+        epoch_us("ts").alias("ta"),
+    ).withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.expr(f"ta div {RANGE_JOIN_BUCKET_US}"),
+                F.expr(f"ta div {RANGE_JOIN_BUCKET_US}") + 1,
+            )
+        ),
+    )
+    b = ev.select(
+        F.col("event_id").alias("event_b"),
+        "user_id",
+        epoch_us("ts").alias("tb"),
+    ).withColumn("bucket", F.expr(f"tb div {RANGE_JOIN_BUCKET_US}"))
+    return (
+        a.join(b, ["user_id", "bucket"])
+        .filter(
+            (F.col("tb") > F.col("ta"))
+            & (F.col("tb") <= F.col("ta") + RANGE_JOIN_BUCKET_US)
+        )
+        .select(
+            "event_a",
+            "event_b",
+            (F.col("tb") - F.col("ta")).cast("bigint").alias("gap_us"),
+        )
+    )
+
+
+@query(
+    "q_funnel",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, MIN(ts) AS signup_ts
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), g AS (
+        SELECT s.user_id, s.signup_ts,
+               MIN(CASE WHEN e.ts > s.signup_ts THEN e.ts END) AS purch_ts
+        FROM s LEFT JOIN events e
+          ON e.user_id = s.user_id AND e.event_type = 'purchase'
+        GROUP BY s.user_id, s.signup_ts
+    )
+    SELECT COUNT(*) AS n_signup_users,
+           COUNT(purch_ts) AS n_converted,
+           CAST(COALESCE(SUM(epoch_us(purch_ts) - epoch_us(signup_ts)), 0)
+                AS BIGINT) AS total_gap_us
+    FROM g
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event funnel: signup -> first later purchase, conversion count + total
+    time-to-convert. One shuffle on user_id for the signup aggregate, one
+    shuffled left join against the purchase slice (filter pushed to the
+    scan), then a global agg — no per-user iteration anywhere."""
+    from ..tables import epoch_us
+
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    g = (
+        s.join(p, "user_id", "left")
+        .groupBy("user_id", "signup_ts")
+        .agg(
+            F.min(
+                F.when(F.col("pts") > F.col("signup_ts"), F.col("pts"))
+            ).alias("purch_ts")
+        )
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("n_signup_users"),
+        F.count("purch_ts").alias("n_converted"),
+        F.coalesce(
+            F.sum(epoch_us("purch_ts") - epoch_us("signup_ts")), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("total_gap_us"),
+    )
+
+
+BUCKETED_TABLE_BUCKETS = 8
+BUCKETED_TABLE_DIR = "/tmp/iceberg_insert_spark/bucketed"
+
+
+@query(
+    "q_join_bucketed",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join on pre-bucketed tables: zero shuffle at join time.
+
+    Both sides are written bucketBy(8, custkey) + sortBy — Spark's
+    counterpart of Iceberg's bucket(N) write distribution. Reading them back,
+    the sort-merge join consumes the bucket layout directly (no Exchange
+    before the join; asserted in tests/test_plans.py). At 100 TB this is THE
+    repeated-join amortization: pay the layout shuffle once at write time,
+    join for free forever after.
+    """
+    import re
+
+    tag = re.sub(r"\W", "_", sf_dir.rstrip("/").split("/")[-1])
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    specs = [
+        ("orders", o, "o_custkey"),
+        ("customer", c, "c_custkey"),
+    ]
+    for name, df, key in specs:
+        tbl = f"bkt_{name}_{tag}"
+        if not spark.catalog.tableExists(tbl):
+            (
+                df.write.bucketBy(BUCKETED_TABLE_BUCKETS, key)
+                .sortBy(key)
+                .mode("overwrite")
+                .format("parquet")
+                .option("path", f"{BUCKETED_TABLE_DIR}/{tag}/{name}")
+                .saveAsTable(tbl)
+            )
+    bo = spark.table(f"bkt_orders_{tag}")
+    bc = spark.table(f"bkt_customer_{tag}")
+    return (
+        bo.join(bc, bo.o_custkey == bc.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )

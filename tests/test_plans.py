@@ -94,6 +94,28 @@ def test_minhash_banding_joins_on_buckets(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_bucketed_join_has_no_shuffle(spark):
+    """Joining two tables bucketed on the join key must not plan an Exchange
+    before the sort-merge join — the bucket layout IS the shuffle, paid once
+    at write time. Auto-broadcast is disabled for the probe: at test SF the
+    tables are broadcast-sized, but the property under test is the one that
+    matters when neither side fits in memory."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["q_join_bucketed"](spark, SF_DIR)
+        jvm = df.sparkSession._jvm
+        p = df._jdf.queryExecution().explainString(
+            jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in p
+    assert p.count("Bucketed: true") == 2, "scans not reading bucket layout"
+    # exactly ONE shuffle in the whole plan: the groupBy above the join
+    assert p.count("Exchange") == 1, "join inputs re-shuffled despite buckets:\n" + p
+
+
 @pytest.mark.parametrize(
     "name", sorted(set(get_oracles()) - CARTESIAN_OK)
 )
