@@ -182,3 +182,38 @@ def q_text_tokencount(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bigint"
         ).alias("re_tokens"),
     )
+
+
+@query(
+    "q_text_editdist",
+    oracle="""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(LEVENSHTEIN(SUBSTRING(a.text, 1, 60),
+                            SUBSTRING(b.text, 1, 60)) AS BIGINT) AS edit_dist
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def q_text_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein distance between adjacent docs' 60-char prefixes.
+
+    Edit distance is O(len^2) per pair — at scale it is strictly a RE-SCORING
+    primitive applied to candidate pairs from the cheap tiers (fingerprint /
+    MinHash / SimHash), never to a raw cross product; the adjacent-id pairing
+    here stands in for that pruned candidate set."""
+    d = load_table(spark, sf_dir, "documents")
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.substring("text", 1, 60).alias("ta"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.substring("text", 1, 60).alias("tb"),
+    )
+    return (
+        a.join(b, b.doc_b == a.doc_a + 1)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("ta", "tb").cast("bigint").alias("edit_dist"),
+        )
+    )

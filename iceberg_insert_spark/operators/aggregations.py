@@ -309,3 +309,63 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_size").cast("double").alias("p_size"),
         "p_retailprice",
     ).unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "value")
+
+
+_MINMAX_KEY = "printf('%020.2f#%012d', o_totalprice, o_orderkey)"
+
+
+@query(
+    "q_agg_minmax_by",
+    oracle=f"""
+    SELECT o_orderstatus,
+           ARG_MAX(o_orderkey, {_MINMAX_KEY}) AS biggest_order,
+           ARG_MIN(o_orderkey, {_MINMAX_KEY}) AS smallest_order,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax) per group. Both engines leave argmax ties
+    unspecified, so the ordering key is a zero-padded composite
+    (price, orderkey) string — total order, engine-stable result."""
+    o = load_table(spark, sf_dir, "orders")
+    key = F.format_string("%020.2f#%012d", "o_totalprice", "o_orderkey")
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", key).alias("biggest_order"),
+        F.min_by("o_orderkey", key).alias("smallest_order"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@query(
+    "q_agg_conditional",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT_IF(o_totalprice > 100000) AS n_big,
+           BOOL_AND(o_totalprice > 0) AS all_positive,
+           BOOL_OR(o_orderstatus = 'P') AS any_pending,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice
+                          ELSE 0 END), 2) AS f_revenue
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregates: count_if / bool_and / bool_or / filtered sum —
+    single-pass predicates folded into the partial aggregate (no pre-filter
+    pass over the fact table)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderstatus") == "P").alias("any_pending"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("o_orderstatus") == "F", F.col("o_totalprice")
+                ).otherwise(0.0)
+            ),
+            2,
+        ).alias("f_revenue"),
+    )

@@ -265,3 +265,63 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("disc_eq_tax_nullsafe"),
         disc_nn.isNull().cast("bigint").alias("disc_is_null"),
     )
+
+
+@query(
+    "q_array_lambda",
+    oracle="""
+    SELECT vec_id,
+           CAST(LEN(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+           ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6)
+               AS sum_e,
+           CAST(LEN(list_filter(embedding, x -> x > 0.5)) > 0 AS BIGINT)
+               AS any_big
+    FROM embeddings
+    """,
+)
+def q_array_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions (filter/transform/aggregate/exists) —
+    all JVM-side lambda expressions, the no-UDF path for array columns.
+    Both engines fold the sum left-to-right, so the float result is
+    order-stable cross-engine."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sum_e = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double"),
+    )
+    return e.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("bigint").alias(
+            "n_pos"
+        ),
+        F.round(sum_e, 6).alias("sum_e"),
+        F.exists("embedding", lambda x: x > 0.5).cast("bigint").alias("any_big"),
+    )
+
+
+@query(
+    "q_try_cast",
+    oracle="""
+    SELECT p_partkey,
+           TRY_CAST(p_name AS INTEGER) AS name_as_int,
+           TRY_CAST(CAST(p_size AS VARCHAR) AS INTEGER) AS size_roundtrip,
+           TRY_CAST(SUBSTRING(p_name, 1, 3) AS DOUBLE) AS prefix_as_double
+    FROM part
+    """,
+)
+def q_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRY_CAST: malformed input -> NULL instead of error — the row-level
+    analogue of the ingest tier's DROPMALFORMED (quarantine, don't crash,
+    at any scale)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.expr("TRY_CAST(p_name AS INTEGER)").alias("name_as_int"),
+        F.expr("TRY_CAST(CAST(p_size AS STRING) AS INTEGER)").alias(
+            "size_roundtrip"
+        ),
+        F.expr("TRY_CAST(SUBSTRING(p_name, 1, 3) AS DOUBLE)").alias(
+            "prefix_as_double"
+        ),
+    )
