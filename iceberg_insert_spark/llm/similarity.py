@@ -147,7 +147,13 @@ def q_sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", "embedding", array_to_vector("embedding").alias("features")
     )
     km = KMeans(
-        k=IVF_CELLS, seed=42, maxIter=5, featuresCol="features", predictionCol="cell"
+        k=IVF_CELLS,
+        seed=42,
+        maxIter=3,
+        initMode="random",  # kmeans|| init costs extra passes; a coarse
+        # quantizer only needs balanced cells, not optimal centroids
+        featuresCol="features",
+        predictionCol="cell",
     )
     model = km.fit(emb)
     cand = model.transform(emb).select("vec_id", "label", "embedding", "cell")
