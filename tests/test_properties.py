@@ -1,0 +1,196 @@
+"""Property-based tests (hypothesis): the PRODUCTION queries run over
+randomly generated tables written to temp parquet, checked against pure-Python
+references.
+
+The oracle tier proves each query matches DuckDB on the fixed driver tables;
+this tier proves the custom REWRITES (as-of-join window trick, session
+gaps-and-islands, range-join bucketing, MinHash banding) hold on adversarial
+shapes the fixtures don't contain: duplicate timestamps, single-event users,
+all-events-one-session, empty probe sets, identical documents.
+
+Examples are capped small (Spark job per example); derandomized for CI
+stability.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from iceberg_insert_spark.registry import get_queries
+
+QUERIES = get_queries()
+BASE = "/tmp/iceberg_insert_spark/prop_tests"
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+GAP_US = 30 * 60 * 1_000_000  # q_stream_session gap
+RANGE_US = 300_000_000  # q_join_time_range window
+
+
+def _write_events(rows: list[tuple]) -> str:
+    """rows: (event_id, user_id, ts_offset_sec, event_type, value)."""
+    d = f"{BASE}/{uuid.uuid4().hex[:12]}"
+    os.makedirs(d, exist_ok=True)
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime(
+                [1_700_000_000 + r[2] for r in rows], unit="s"
+            ).astype("datetime64[us]"),
+            "user_id": [r[1] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": [float(r[4]) for r in rows],
+            "props": ["{}"] * len(rows),
+        }
+    )
+    pdf.to_parquet(f"{d}/events.parquet", index=False)
+    return d
+
+
+def _write_documents(texts: list[str]) -> str:
+    d = f"{BASE}/{uuid.uuid4().hex[:12]}"
+    os.makedirs(d, exist_ok=True)
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["prop"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(f"{d}/documents.parquet", index=False)
+    return d
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 3),  # user_id
+        st.integers(0, 7200),  # ts offset seconds (ties likely)
+        st.sampled_from(["purchase", "view", "click"]),
+        st.integers(0, 100),  # integral value: exact float compare
+    ),
+    min_size=1,
+    max_size=30,
+).map(lambda rs: [(i, u, t, ty, v) for i, (u, t, ty, v) in enumerate(rs)])
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clean():
+    shutil.rmtree(BASE, ignore_errors=True)
+    yield
+    shutil.rmtree(BASE, ignore_errors=True)
+
+
+@given(rows=events_strategy)
+@settings(**SETTINGS)
+def test_asof_join_matches_bruteforce(spark, rows):
+    """q_join_asof == per-probe brute-force max (ts, event_id) prior event,
+    strict < on ts, across duplicate timestamps and single-event users."""
+    sf = _write_events(rows)
+    got = {
+        (r.event_id, r.prev_event_id)
+        for r in QUERIES["q_join_asof"](spark, sf).collect()
+    }
+    expect = set()
+    for eid, u, t, ty, v in rows:
+        if ty != "purchase":
+            continue
+        prior = [
+            (t2, e2)
+            for (e2, u2, t2, _, _) in rows
+            if u2 == u and t2 < t
+        ]
+        expect.add((eid, max(prior)[1] if prior else None))
+    assert got == expect
+
+
+@given(rows=events_strategy)
+@settings(**SETTINGS)
+def test_session_window_matches_gaps_and_islands(spark, rows):
+    """q_stream_session == python gaps-and-islands: sessions break on
+    gap >= 30 min; session_end = last_ts + gap."""
+    sf = _write_events(rows)
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in QUERIES["q_stream_session"](spark, sf).collect()
+    }
+    expect = set()
+    by_user: dict[int, list[int]] = {}
+    for _, u, t, _, _ in rows:
+        by_user.setdefault(u, []).append((1_700_000_000 + t) * 1_000_000)
+    for u, ts in by_user.items():
+        ts.sort()
+        start, prev, n = ts[0], ts[0], 1
+        for t in ts[1:]:
+            if t - prev >= GAP_US:
+                expect.add((u, start, prev + GAP_US, n))
+                start, n = t, 0
+            n += 1
+            prev = t
+        expect.add((u, start, prev + GAP_US, n))
+    assert got == expect
+
+
+@given(rows=events_strategy)
+@settings(**SETTINGS)
+def test_time_range_join_matches_nested_loop(spark, rows):
+    """q_join_time_range's bucket rewrite == the naive nested loop: same-user
+    pairs with 0 < tb - ta <= 5 min, including exact-boundary gaps."""
+    sf = _write_events(rows)
+    got = {
+        (r.event_a, r.event_b, r.gap_us)
+        for r in QUERIES["q_join_time_range"](spark, sf).collect()
+    }
+    us = {e: (u, (1_700_000_000 + t) * 1_000_000) for e, u, t, _, _ in rows}
+    expect = {
+        (ea, eb, tb - ta)
+        for ea, (ua, ta) in us.items()
+        for eb, (ub, tb) in us.items()
+        if ua == ub and 0 < tb - ta <= RANGE_US
+    }
+    assert got == expect
+
+
+texts_strategy = st.lists(
+    st.lists(
+        st.sampled_from("alpha beta gamma delta epsilon zeta".split()),
+        min_size=3,
+        max_size=8,
+    ).map(" ".join),
+    min_size=2,
+    max_size=10,
+)
+
+
+@given(texts=texts_strategy)
+@settings(**SETTINGS)
+def test_minhash_finds_every_exact_duplicate(spark, texts):
+    """MinHash banding guarantee: identical texts have identical signatures,
+    land in the same buckets, and MUST be reported with jaccard_est == 1.0;
+    every reported pair is ordered and above the threshold."""
+    # force at least one duplicate pair
+    texts = texts + [texts[0]]
+    sf = _write_documents(texts)
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard_est
+        for r in QUERIES["q_dedup_near"](spark, sf).collect()
+    }
+    for (a, b), est in pairs.items():
+        assert a < b
+        assert est >= 0.5
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            if texts[i] == texts[j]:
+                assert pairs.get((i, j)) == 1.0, (i, j, texts[i])
