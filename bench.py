@@ -63,6 +63,38 @@ def main() -> None:
     }
     if failures:
         out["failures"] = failures
+
+    # Ingest throughput — the reference's own workload (JSON-lines ->
+    # partitioned parquet; its single-threaded loop is the number to beat).
+    # The JSON landing dir is derived from the events table once and cached.
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        base = f"/tmp/iceberg_insert_spark/bench_ingest/sf{sf}"
+        json_dir, sink_dir = f"{base}/json", f"{base}/sink"
+        if not os.path.isdir(json_dir):
+            ev.coalesce(8).write.mode("overwrite").json(json_dir)
+        n_rows = ev.count()
+        schema = ev.schema
+        t0 = time.perf_counter()
+        (
+            spark.read.schema(schema)
+            .option("mode", "DROPMALFORMED")
+            .json(json_dir)
+            .withColumn("event_date", F.to_date("ts"))
+            .repartition("event_date")
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(sink_dir)
+        )
+        dt = time.perf_counter() - t0
+        out["ingest"] = {
+            "rows": n_rows,
+            "sec": round(dt, 3),
+            "rows_per_sec": round(n_rows / dt),
+        }
+    except Exception as exc:
+        out["ingest_error"] = f"{type(exc).__name__}: {exc}"[:200]
+
     print(json.dumps(out))
     spark.stop()
 
