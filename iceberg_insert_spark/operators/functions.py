@@ -325,3 +325,31 @@ def q_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prefix_as_double"
         ),
     )
+
+
+@query(
+    "q_map_type",
+    oracle="""
+    SELECT event_id,
+           CAST(LEN(json_keys(props)) AS BIGINT) AS n_keys,
+           list_sort(json_keys(props)) AS keys_sorted,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+           CAST(list_contains(json_keys(props), 'missing') AS BIGINT)
+               AS has_missing
+    FROM events
+    """,
+)
+def q_map_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: parse the JSON props column into a real
+    map<string,bigint> and operate on it (size / sorted keys / element_at /
+    contains). Key order out of a JSON parse is engine-specific, so any
+    key listing MUST be sorted before leaving the operator."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.size(m).cast("bigint").alias("n_keys"),
+        F.array_sort(F.map_keys(m)).alias("keys_sorted"),
+        F.element_at(m, "k").alias("k_val"),
+        F.map_contains_key(m, "missing").cast("bigint").alias("has_missing"),
+    )
