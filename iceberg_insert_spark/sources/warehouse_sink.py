@@ -84,3 +84,52 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .orderBy("part_day")
     )
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+) -> dict[str, int]:
+    """Small-file compaction for a hive-partitioned parquet dir — the local
+    analogue of Iceberg's ``rewrite_data_files`` procedure (which replaces
+    this function verbatim when the runtime jars are present).
+
+    Micro-batch ingest accretes one file per partition per batch (the
+    reference is worse: one per partition per SOURCE file, App.java:132-149);
+    at 100 TB that debt becomes the scan's seek bill. Rewrite: read the whole
+    layout, re-shuffle on the partition column, write each partition as
+    ceil(rows/target) files via a per-partition repartitionByRange. Atomicity
+    note: a real lake does this inside a snapshot commit; the local parquet
+    sink rewrites to a temp dir and swaps.
+    """
+    import math
+
+    df = spark.read.parquet(path)
+    part_col = next(
+        c for c in df.columns if c.startswith("part")
+    )  # layout written by append_partitioned
+    n_rows = df.count()
+    files_before = sum(
+        len([f for f in fs if f.endswith(".parquet")])
+        for _, _, fs in os.walk(path)
+    )
+    n_files = max(1, math.ceil(n_rows / target_rows_per_file))
+    tmp = f"{path}__compact_tmp"
+    (
+        df.repartition(n_files, F.col(part_col))
+        .write.mode("overwrite")
+        .partitionBy(part_col)
+        .parquet(tmp)
+    )
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    files_after = sum(
+        len([f for f in fs if f.endswith(".parquet")])
+        for _, _, fs in os.walk(path)
+    )
+    return {
+        "rows": n_rows,
+        "files_before": files_before,
+        "files_after": files_after,
+    }

@@ -58,3 +58,35 @@ def test_extra_field_ignored(spark):
     df = read_events_json(spark, BASE)
     assert "unknown_field" not in df.columns
     assert df.filter(F.col("event_id") == 32).count() == 1
+
+
+def test_compaction_preserves_rows_and_reduces_files(spark, tmp_path):
+    """Many small appends -> compaction -> same rows, fewer files."""
+    from pyspark.sql import functions as F
+
+    from iceberg_insert_spark.sources.warehouse_sink import (
+        append_partitioned,
+        compact_partitioned,
+    )
+    from iceberg_insert_spark.tables import load_table
+
+    from .conftest import SF_DIR
+
+    path = str(tmp_path / "compact_sink")
+    ev = load_table(spark, SF_DIR, "events")
+    for _ in range(3):  # three micro-batches -> 3 files per partition
+        append_partitioned(ev, path, "day", "ts", part_col="part_day")
+    before = spark.read.parquet(path)
+    n_before = before.count()
+    # materialize: `before` reads files compaction is about to replace
+    per_part_before = sorted(
+        map(tuple, before.groupBy("part_day").count().collect())
+    )
+    stats = compact_partitioned(spark, path, target_rows_per_file=10_000_000)
+    after = spark.read.parquet(path)
+    assert after.count() == n_before == stats["rows"]
+    assert stats["files_after"] < stats["files_before"]
+    # content identical, not just counts
+    assert per_part_before == sorted(
+        map(tuple, after.groupBy("part_day").count().collect())
+    )
