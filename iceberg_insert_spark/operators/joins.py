@@ -587,3 +587,52 @@ def salted_join(
         (salted_l[left_key] == salted_r[right_key])
         & (salted_l["_salt"] == salted_r["_salt"]),
     ).drop("_salt")
+
+
+@query(
+    "q_upsert",
+    oracle="""
+    WITH base AS (
+        SELECT * FROM orders WHERE o_orderkey % 10 >= 2
+    ), changes AS (
+        SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+               o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 10 < 4
+    )
+    SELECT * FROM changes
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+           o_orderpriority
+    FROM base
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+    """,
+)
+def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert (MERGE semantics without MERGE): changes take precedence,
+    unmatched base rows survive — `changes UNION ALL (base ANTI-JOIN
+    changes)`. One shuffle per side on the key; with the Iceberg runtime the
+    same intent is `MERGE INTO` and the anti-join happens inside the
+    copy-on-write/merge-on-read machinery. Base = keys %10>=2, changes =
+    keys %10<4, so the mix covers updates (2,3), inserts (0,1), and
+    untouched rows.
+    """
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    o = load_table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 10 >= 2).select(cols)
+    changes = o.filter(F.col("o_orderkey") % 10 < 4).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    survivors = base.join(changes.select("o_orderkey"), "o_orderkey", "left_anti")
+    return changes.unionByName(survivors.select(cols))

@@ -179,3 +179,59 @@ def stateful_running_totals_available_now(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def stream_stream_join_available_now(
+    spark: SparkSession,
+    src_glob: str,
+    schema: StructType,
+    checkpoint_dir: str,
+    key_col: str = "component_id",
+    ts_col: str = "event_ts",
+    window: str = "5 minutes",
+    query_name: str = "stream_join",
+) -> DataFrame:
+    """Stream-stream interval self-join: each event paired with earlier
+    events of the same key within `window`.
+
+    Both sides carry watermarks + the time-range predicate, which is what
+    bounds the join state store: rows older than (watermark - window) are
+    evicted instead of accumulating forever — the mechanism that makes an
+    unbounded two-stream join runnable at 100 TB/day. Append mode (the only
+    mode stream-stream joins support) emits a pair exactly once, when the
+    watermark passes it.
+    """
+    apply_runtime_confs(spark)
+
+    def side(alias: str):
+        s = (
+            spark.readStream.schema(schema)
+            .option("mode", "DROPMALFORMED")
+            .json(src_glob)
+            .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+            .withWatermark(ts_col, "10 minutes")
+        )
+        return s.select(
+            F.col("event_id").alias(f"{alias}_id"),
+            F.col(key_col).alias(f"{alias}_key"),
+            F.col(ts_col).alias(f"{alias}_ts"),
+        )
+
+    left, right = side("l"), side("r")
+    joined = left.join(
+        right,
+        F.expr(
+            f"l_key = r_key AND r_ts < l_ts "
+            f"AND r_ts >= l_ts - INTERVAL {window}"
+        ),
+    ).select("l_id", "r_id", "l_key")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -128,3 +128,53 @@ def test_stateful_running_totals(spark, workdir):
     for k, (n, s) in expected.items():
         assert final[k][0] == n, (k, final[k], n)
         assert abs(final[k][1] - s) < 1e-6, (k, final[k], s)
+
+
+def test_stream_stream_interval_join(spark, workdir):
+    """Stream-stream watermarked interval join == the batch join over the
+    same files."""
+    from pyspark.sql import functions as F
+
+    from iceberg_insert_spark.streaming.file_stream import (
+        stream_stream_join_available_now,
+    )
+
+    fixture = write_fixture(f"{workdir}/landing", n_rows=80)
+    src = f"{fixture}/events/*/"
+    # fixture ts spacing: same-component events are >= 4h apart, so the
+    # interval must be hours-wide to produce pairs
+    out = stream_stream_join_available_now(
+        spark, src, EVENTS_JSON_SCHEMA, f"{workdir}/ssj_ckpt",
+        window="4 hours",
+        query_name="t_ssj",
+    )
+    got = {tuple(r) for r in out.select("l_id", "r_id").collect()}
+    ev = (
+        spark.read.schema(EVENTS_JSON_SCHEMA)
+        .option("mode", "DROPMALFORMED")
+        .json(src)
+        .withColumn("event_ts", F.col("event_ts").cast("timestamp"))
+        .select("event_id", "component_id", "event_ts")
+    )
+    l = ev.select(
+        F.col("event_id").alias("l_id"),
+        F.col("component_id").alias("l_key"),
+        F.col("event_ts").alias("l_ts"),
+    )
+    r = ev.select(
+        F.col("event_id").alias("r_id"),
+        F.col("component_id").alias("r_key"),
+        F.col("event_ts").alias("r_ts"),
+    )
+    expect = {
+        tuple(x)
+        for x in l.join(
+            r,
+            F.expr(
+                "l_key = r_key AND r_ts < l_ts "
+                "AND r_ts >= l_ts - INTERVAL 4 HOURS"
+            ),
+        ).select("l_id", "r_id").collect()
+    }
+    assert got == expect
+    assert len(got) > 0
