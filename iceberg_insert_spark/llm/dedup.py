@@ -332,3 +332,62 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.filter(F.round("cos_sim", 6) >= COSINE_DUP_THRESHOLD).select(
         "vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim")
     )
+
+
+CC_MAX_ITERS = 10
+
+
+@query("q_dedup_clusters")
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components over the MinHash near-dup
+    pair graph, labeling every clustered doc with the smallest doc_id in its
+    component (the canonical survivor for keep-one-per-cluster dedup).
+
+    Iterative min-label propagation, data distributed throughout: each round
+    every node takes min(own label, neighbors' labels) — one join + one
+    aggregate per round, driver orchestrates only the convergence check
+    (count of changed labels). Near-dup components have tiny diameters
+    (similarity is near-transitive), so rounds ~ log(diameter) <=
+    CC_MAX_ITERS; the 100 TB upgrade is the large-star/small-star algorithm,
+    same join/agg primitives with provably fewer rounds. Non-SQL-expressible
+    (iterative) -> rows-only check.
+    """
+    pairs = q_dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).cache()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(CC_MAX_ITERS):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(
+                neighbor_min, labels.doc_id == neighbor_min.doc_a, "left"
+            )
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))

@@ -88,3 +88,50 @@ def q_mm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_payload.repartition("doc_id").mapInPandas(
         _fake_decode, schema=DECODED_SCHEMA
     )
+
+
+FRAME_BYTES = 32
+FRAME_STRIDE = 4  # keep every 4th frame
+
+
+def _fake_frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB frame-sampler: chunk the payload into FRAME_BYTES 'frames' and
+    keep every FRAME_STRIDE-th one (a real implementation seeks keyframes
+    with pyav/ffmpeg). Emits one row per sampled frame — the row-explosion
+    shape of video pipelines, where output >> input row count but payload
+    bytes cross the Python boundary exactly once."""
+    for pdf in batches:
+        out_doc, out_no, out_len, out_sum = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            frames = [
+                payload[i : i + FRAME_BYTES]
+                for i in range(0, len(payload), FRAME_BYTES)
+            ]
+            for no in range(0, len(frames), FRAME_STRIDE):
+                out_doc.append(doc_id)
+                out_no.append(no)
+                out_len.append(len(frames[no]))
+                out_sum.append(sum(frames[no]) % 997)
+        yield pd.DataFrame(
+            {
+                "doc_id": out_doc,
+                "frame_no": out_no,
+                "frame_len": out_len,
+                "frame_checksum": out_sum,
+            }
+        )
+
+
+@query("q_mm_frames")
+def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling pipeline shape: binary payload -> mapInPandas chunk +
+    stride sample -> one row per kept frame. Rows-only check (sampler is a
+    stub; see _fake_frame_sample)."""
+    d = load_table(spark, sf_dir, "documents")
+    with_payload = d.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return with_payload.repartition("doc_id").mapInPandas(
+        _fake_frame_sample,
+        schema="doc_id long, frame_no long, frame_len long, frame_checksum long",
+    )
