@@ -217,3 +217,100 @@ def q_text_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("ta", "tb").cast("bigint").alias("edit_dist"),
         )
     )
+
+
+@query(
+    "q_text_pii",
+    oracle=r"""
+    SELECT doc_id,
+           REGEXP_REPLACE(
+             REGEXP_REPLACE(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+',
+                            '<EMAIL>', 'g'),
+             '\+?[0-9][0-9-]{4,}', '<PHONE>', 'g') AS masked
+    FROM (
+        SELECT doc_id,
+               text || ' contact: user' || doc_id ||
+               '@example.com +1-555-01' || doc_id AS raw
+        FROM documents
+    )
+    """,
+)
+def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: regex masking of emails and phone numbers — the
+    standard redaction pass before training-set export. Pure JVM regex
+    (single scan, no shuffle); the fixture text carries no PII, so the
+    patterns are synthesized per doc and must all be caught."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id"),
+        F.lit("@example.com +1-555-01"),
+        F.col("doc_id"),
+    )
+    masked = F.regexp_replace(
+        F.regexp_replace(raw, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+        r"\+?[0-9][0-9-]{4,}",
+        "<PHONE>",
+    )
+    return d.select("doc_id", masked.alias("masked"))
+
+
+TRAINSET_MIN_SCORE = 0.3
+TRAINSET_MIN_TOKENS = 10
+TRAINSET_MAX_TOKENS = 1000
+
+
+@query(
+    "q_docs_trainset",
+    oracle=f"""
+    WITH survivors AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+    ), q AS (
+        SELECT doc_id, n_tokens,
+               ROUND(0.5 * ROUND(stop_ratio, 4)
+                     + 0.3 * LEAST(avg_tok_len / 10.0, 1.0)
+                     + 0.2 * LEAST(n_tokens / 100.0, 1.0), 6) AS quality_score
+        FROM (
+            SELECT doc_id,
+                   CAST(LEN(toks) AS BIGINT) AS n_tokens,
+                   ROUND(CAST(LENGTH(text) - LEN(toks) + 1 AS DOUBLE)
+                         / LEN(toks), 4) AS avg_tok_len,
+                   ROUND(CAST(LEN(LIST_FILTER(toks, t -> t IN {_SW_SQL}))
+                              AS DOUBLE) / LEN(toks), 6) AS stop_ratio
+            FROM (SELECT doc_id, text, STRING_SPLIT(text, ' ') AS toks
+                  FROM documents)
+        )
+    )
+    SELECT d.doc_id, d.lang, q.n_tokens, q.quality_score
+    FROM documents d
+    JOIN survivors s ON s.doc_id = d.doc_id
+    JOIN q ON q.doc_id = d.doc_id
+    WHERE q.quality_score >= {TRAINSET_MIN_SCORE}
+      AND q.n_tokens BETWEEN {TRAINSET_MIN_TOKENS} AND {TRAINSET_MAX_TOKENS}
+    """,
+)
+def q_docs_trainset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-set selection: exact-dedup survivors that pass the
+    quality score and token-length gates — the composition a real pipeline
+    exports. Each stage is one of the already-verified operators; the join
+    keys are doc_id (broadcast-sized after dedup at validation scale,
+    shuffle-on-key at 100 TB)."""
+    d = load_table(spark, sf_dir, "documents")
+    survivors = d.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id"
+    )
+    q = q_text_quality(spark, sf_dir).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    return (
+        d.join(survivors, "doc_id")
+        .join(q, "doc_id")
+        .filter(
+            (F.col("quality_score") >= TRAINSET_MIN_SCORE)
+            & F.col("n_tokens").between(
+                TRAINSET_MIN_TOKENS, TRAINSET_MAX_TOKENS
+            )
+        )
+        .select("doc_id", "lang", "n_tokens", "quality_score")
+    )
