@@ -144,3 +144,35 @@ def q_ingest_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("tags", ",").alias("tags_csv"),
         F.col("attrs")["k1"].alias("attr_k1"),
     ).orderBy("event_id")
+
+
+def read_events_json_quarantine(
+    spark: SparkSession, base_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE-mode read: (clean rows, quarantined raw lines).
+
+    The reference silently DROPS malformed records (catch -> null,
+    App.java:235-238) and so does our DROPMALFORMED parity path (S5). This
+    is the documented upgrade: unparseable lines land in ``_corrupt_record``
+    and are returned as a quarantine DataFrame for replay/alerting instead
+    of vanishing — at 100 TB, silent drops are how corpora rot. One scan
+    serves both outputs (the corrupt column is just another projected field).
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        EVENTS_JSON_SCHEMA.fields + [StructField("_corrupt_record", StringType())]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(f"{base_dir}/events/*/")
+        .cache()  # one scan, two outputs; Spark requires caching before
+        # referencing _corrupt_record in a filter
+    )
+    clean = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    quarantine = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return clean, quarantine

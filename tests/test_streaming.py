@@ -178,3 +178,48 @@ def test_stream_stream_interval_join(spark, workdir):
     }
     assert got == expect
     assert len(got) > 0
+
+
+def test_quarantine_read_catches_malformed(spark, workdir):
+    """PERMISSIVE quarantine: clean + corrupt partitions the input; nothing
+    silently vanishes (upgrade over the reference's catch->null drop)."""
+    from iceberg_insert_spark.sources.json_ingest import (
+        read_events_json_quarantine,
+    )
+
+    fixture = write_fixture(f"{workdir}/landing", n_rows=100)
+    clean, quarantine = read_events_json_quarantine(spark, fixture)
+    assert clean.count() == 98
+    assert quarantine.count() == 2  # the ~2% malformed lines
+    assert all("broken" in r.raw_line for r in quarantine.collect())
+
+
+def test_continuous_daily_rollup(spark, workdir):
+    """foreachBatch-maintained rollup == batch groupBy over all files, and
+    is idempotent across a checkpointed re-run."""
+    from pyspark.sql import functions as F
+
+    from iceberg_insert_spark.streaming.file_stream import (
+        continuous_daily_rollup_available_now,
+    )
+
+    fixture = write_fixture(f"{workdir}/landing", n_rows=100)
+    src = f"{fixture}/events/*/"
+    rollup_dir, ckpt = f"{workdir}/rollup", f"{workdir}/rollup_ckpt"
+    out = continuous_daily_rollup_available_now(
+        spark, src, EVENTS_JSON_SCHEMA, rollup_dir, ckpt
+    )
+    batch = (
+        spark.read.schema(EVENTS_JSON_SCHEMA)
+        .option("mode", "DROPMALFORMED")
+        .json(src)
+        .groupBy("event_date")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    expect = sorted(map(tuple, batch.collect()))
+    assert sorted(map(tuple, out.collect())) == expect
+    # re-run with same checkpoint: no new batches -> rollup unchanged
+    out2 = continuous_daily_rollup_available_now(
+        spark, src, EVENTS_JSON_SCHEMA, rollup_dir, ckpt
+    )
+    assert sorted(map(tuple, out2.collect())) == expect
