@@ -162,17 +162,22 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS with GROUPING() markers to disambiguate the
-    placeholder NULLs from data NULLs."""
+    placeholder NULLs from data NULLs. View name is sf-scoped: a fixed name
+    would race with concurrent callers on a shared session."""
+    import re
+
+    tag = re.sub(r"\W", "_", sf_dir.rstrip("/").split("/")[-1])
+    view = f"_gs_lineitem__{tag}"
     li = load_table(spark, sf_dir, "lineitem")
-    li.createOrReplaceTempView("_gs_lineitem")
+    li.createOrReplaceTempView(view)
     return spark.sql(
-        """
+        f"""
         SELECT l_returnflag, l_linestatus,
                CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
                CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
                ROUND(SUM(l_quantity), 2) AS sum_qty,
                COUNT(*) AS n_rows
-        FROM _gs_lineitem
+        FROM {view}
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )

@@ -7,6 +7,10 @@ reuse, ``RewritePredicateSubquery`` into left-semi/anti joins, correlated
 decorrelation) is the engine feature under test, and the same text runs on the
 DuckDB oracle.
 
+Temp view names are scoped by sf_dir (``lineitem__sf0_01`` etc.): a shared
+SparkSession serves concurrent queries over different datasets, so a fixed
+view name would be a cross-query race (tests/test_concurrency.py).
+
 Scale notes: an uncorrelated scalar subquery executes once and broadcasts; IN
 and EXISTS rewrite to semi joins that shuffle on the join key (broadcast when
 the subquery side is small); the correlated Q17-shape aggregates per group
@@ -16,100 +20,115 @@ instead of a per-row re-scan.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import query
 from ..tables import load_table
 
 
-def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
-    for n in names:
-        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+def _scoped_sql(
+    spark: SparkSession, sf_dir: str, sql_template: str, *tables: str
+) -> DataFrame:
+    """Register sf-scoped temp views and run the template against them."""
+    tag = re.sub(r"\W", "_", sf_dir.rstrip("/").split("/")[-1])
+    names = {}
+    for t in tables:
+        scoped = f"{t}__{tag}"
+        load_table(spark, sf_dir, t).createOrReplaceTempView(scoped)
+        names[t] = scoped
+    return spark.sql(sql_template.format(**names))
 
 
 _SCALAR_SQL = """
     SELECT l_returnflag, COUNT(*) AS n_rows,
            ROUND(SUM(l_extendedprice), 2) AS sum_price
-    FROM lineitem
-    WHERE l_quantity < (SELECT AVG(l_quantity) FROM lineitem)
+    FROM {lineitem}
+    WHERE l_quantity < (SELECT AVG(l_quantity) FROM {lineitem})
     GROUP BY l_returnflag
 """
 
 
-@query("q_subq_scalar", oracle=_SCALAR_SQL)
+@query("q_subq_scalar", oracle=_SCALAR_SQL.format(lineitem="lineitem"))
 def q_subq_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uncorrelated scalar subquery: computed once, broadcast as a literal.
 
     l_quantity is integral (verified in testdata) so the < AVG(...) boundary
     cannot sit on a float ulp between engines.
     """
-    _views(spark, sf_dir, "lineitem")
-    return spark.sql(_SCALAR_SQL)
+    return _scoped_sql(spark, sf_dir, _SCALAR_SQL, "lineitem")
 
 
 _IN_SQL = """
     SELECT o_orderpriority, COUNT(*) AS n_orders,
            ROUND(SUM(o_totalprice), 2) AS sum_price
-    FROM orders
-    WHERE o_custkey IN (SELECT c_custkey FROM customer
+    FROM {orders}
+    WHERE o_custkey IN (SELECT c_custkey FROM {customer}
                         WHERE c_mktsegment = 'BUILDING')
     GROUP BY o_orderpriority
 """
 
 
-@query("q_subq_in", oracle=_IN_SQL)
+@query("q_subq_in", oracle=_IN_SQL.format(orders="orders", customer="customer"))
 def q_subq_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN (subquery) -> Catalyst rewrites to a left-semi join on o_custkey."""
-    _views(spark, sf_dir, "orders", "customer")
-    return spark.sql(_IN_SQL)
+    return _scoped_sql(spark, sf_dir, _IN_SQL, "orders", "customer")
 
 
 _EXISTS_SQL = """
     SELECT c_mktsegment, COUNT(*) AS n_customers
-    FROM customer
-    WHERE EXISTS (SELECT 1 FROM orders
+    FROM {customer}
+    WHERE EXISTS (SELECT 1 FROM {orders}
                   WHERE o_custkey = c_custkey
                     AND o_orderpriority = '1-URGENT')
     GROUP BY c_mktsegment
 """
 
 
-@query("q_subq_exists", oracle=_EXISTS_SQL)
+@query(
+    "q_subq_exists",
+    oracle=_EXISTS_SQL.format(customer="customer", orders="orders"),
+)
 def q_subq_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS -> decorrelated to a left-semi join."""
-    _views(spark, sf_dir, "customer", "orders")
-    return spark.sql(_EXISTS_SQL)
+    return _scoped_sql(spark, sf_dir, _EXISTS_SQL, "customer", "orders")
 
 
 _NOT_EXISTS_SQL = """
     SELECT c_mktsegment, COUNT(*) AS n_customers
-    FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders
+    FROM {customer}
+    WHERE NOT EXISTS (SELECT 1 FROM {orders}
                       WHERE o_custkey = c_custkey
                         AND o_totalprice > 450000)
     GROUP BY c_mktsegment
 """
 
 
-@query("q_subq_not_exists", oracle=_NOT_EXISTS_SQL)
+@query(
+    "q_subq_not_exists",
+    oracle=_NOT_EXISTS_SQL.format(customer="customer", orders="orders"),
+)
 def q_subq_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated NOT EXISTS -> left-anti join with a pushed filter."""
-    _views(spark, sf_dir, "customer", "orders")
-    return spark.sql(_NOT_EXISTS_SQL)
+    return _scoped_sql(spark, sf_dir, _NOT_EXISTS_SQL, "customer", "orders")
 
 
 _SCALAR_CORR_SQL = """
     SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
-    FROM lineitem l1
-    JOIN part ON p_partkey = l_partkey
+    FROM {lineitem} l1
+    JOIN {part} ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#4'
       AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
-                        FROM lineitem l2
+                        FROM {lineitem} l2
                         WHERE l2.l_partkey = l1.l_partkey)
 """
 
 
-@query("q_subq_scalar_corr", oracle=_SCALAR_CORR_SQL)
+@query(
+    "q_subq_scalar_corr",
+    oracle=_SCALAR_CORR_SQL.format(lineitem="lineitem", part="part"),
+)
 def q_subq_scalar_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery (TPC-H Q17 shape).
 
@@ -117,5 +136,4 @@ def q_subq_scalar_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     per partkey once, not re-scanned per outer row. Integral quantities make
     0.5*AVG an exact double, so the comparison is engine-stable.
     """
-    _views(spark, sf_dir, "lineitem", "part")
-    return spark.sql(_SCALAR_CORR_SQL)
+    return _scoped_sql(spark, sf_dir, _SCALAR_CORR_SQL, "lineitem", "part")
