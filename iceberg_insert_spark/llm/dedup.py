@@ -116,6 +116,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MINHASH_K = 32  # signature length
 MINHASH_BANDS = 8  # 8 bands x 4 rows: P(candidate) ~ 1-(1-j^4)^8, steep at 0.5
+MINHASH_MAX_BUCKET = 1000  # hot-bucket cap; see skew guard below
 
 
 @query("q_dedup_near")
@@ -155,6 +156,18 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "sig", "bk.band", "bk.bucket")
+    # Hot-bucket guard: a degenerate bucket (boilerplate shingles, near-empty
+    # docs) makes the self-join O(n^2) in that bucket. Cap membership — the
+    # standard production LSH skew guard; dropped buckets cost recall on
+    # already-pathological near-identical mobs, never correctness.
+    bucket_sizes = bands.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("_bn")
+    )
+    bands = (
+        bands.join(bucket_sizes, ["band", "bucket"])
+        .filter(F.col("_bn") <= MINHASH_MAX_BUCKET)
+        .drop("_bn")
+    )
     x, y = bands.alias("x"), bands.alias("y")
     cand = (
         x.join(y, ["band", "bucket"])
