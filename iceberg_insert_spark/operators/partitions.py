@@ -45,6 +45,11 @@ def transform_column(transform: str, col: str, n_buckets: int = 16) -> Column:
         return F.expr(f"timestampdiff(HOUR, {_EPOCH_NTZ}, {col})").cast("int")
     if transform.startswith("bucket"):
         return F.pmod(F.col(col), F.lit(n_buckets)).cast("int")
+    if transform.startswith("truncate"):
+        # Iceberg spec transform absent from the reference (Utile.java throws
+        # on it): ints -> v - (v mod W); strings use substring in the caller.
+        width = int(transform[transform.index("[") + 1 : -1])
+        return F.col(col) - F.pmod(F.col(col), F.lit(width))
     raise ValueError(f"unknown partition transform: {transform}")
 
 
@@ -142,4 +147,27 @@ def q_part_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy(
         transform_column("bucket[16]", "o_custkey").cast("bigint").alias("part_bucket")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@query(
+    "q_part_truncate",
+    oracle="""
+    SELECT CAST(o_custkey - o_custkey % 100 AS BIGINT) AS part_trunc,
+           SUBSTRING(o_orderpriority, 1, 1) AS part_prefix,
+           COUNT(*) AS n_rows
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def q_part_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """truncate[W] transform (Iceberg spec §Truncate; the reference's
+    dispatch throws on it, Utile.java:64-66 — parity EXTENSION): ints bin to
+    width-W ranges, strings to a W-char prefix. Range binning is the
+    partition layout for range-pruned scans on high-cardinality keys."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        transform_column("truncate[100]", "o_custkey")
+        .cast("bigint")
+        .alias("part_trunc"),
+        F.substring("o_orderpriority", 1, 1).alias("part_prefix"),
     ).agg(F.count(F.lit(1)).alias("n_rows"))
