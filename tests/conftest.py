@@ -37,11 +37,16 @@ def ddb():
 
 
 def _canon(v):
-    """Canonicalize a cell for order-insensitive comparison."""
+    """Canonicalize a cell for order-insensitive comparison.
+
+    Floats compare BIT-EXACT (hex): every oracle query already rounds any
+    engine-divergent float to <= 6 dp, and a 2026-08 audit found zero
+    last-ulp divergences across all oracles at sf0.01 — so the local gate
+    holds the line at the strictest possible driver hash."""
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return round(v, 9)
+        return v.hex()
     if isinstance(v, list):
         return tuple(_canon(x) for x in v)
     if hasattr(v, "isoformat"):  # datetime/date
