@@ -314,3 +314,118 @@ def q_docs_trainset(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "n_tokens", "quality_score")
     )
+
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+@query(
+    "q_text_chunks",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(c - 1 AS BIGINT) AS chunk_no,
+           ARRAY_TO_STRING(t[(c - 1) * {CHUNK_STRIDE} + 1 :
+                             (c - 1) * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ')
+               AS chunk_text,
+           CAST(LEAST({CHUNK_TOKENS},
+                      LEN(t) - (c - 1) * {CHUNK_STRIDE}) AS BIGINT)
+               AS n_tokens
+    FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+         UNNEST(RANGE(1, GREATEST(CAST(CEIL((LEN(t) - {CHUNK_TOKENS})
+                                            / CAST({CHUNK_STRIDE} AS DOUBLE))
+                                       AS BIGINT) + 1, 1) + 1)) AS u(c)
+    """,
+)
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-prep chunking: overlapping fixed-size token windows
+    (32 tokens, stride 24). Chunk count per doc =
+    ceil((len - chunk)/stride) + 1 (>= 1), so the tail is always covered and
+    consecutive chunks share an 8-token overlap. Pure JVM sequence/slice
+    expressions — a narrow map, no shuffle, the highest-volume transform in
+    a 100 TB pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    n_chunks = F.greatest(
+        F.ceil(
+            (F.size("t") - F.lit(CHUNK_TOKENS))
+            / F.lit(float(CHUNK_STRIDE))
+        ).cast("long")
+        + 1,
+        F.lit(1).cast("long"),
+    )
+    return (
+        toks.select(
+            "doc_id",
+            "t",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+                "chunk_no"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_no",
+            F.concat_ws(
+                " ",
+                F.slice(
+                    "t",
+                    (F.col("chunk_no") * CHUNK_STRIDE + 1).cast("int"),
+                    CHUNK_TOKENS,
+                ),
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(CHUNK_TOKENS).cast("long"),
+                F.size("t") - F.col("chunk_no") * CHUNK_STRIDE,
+            ).alias("n_tokens"),
+        )
+    )
+
+
+DECONTAM_NGRAM = 4
+
+
+@query(
+    "q_text_decontaminate",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               UNNEST([ARRAY_TO_STRING(t[i : i + {DECONTAM_NGRAM} - 1], ' ')
+                       FOR i IN RANGE(1, GREATEST(LEN(t) - {DECONTAM_NGRAM}
+                                                  + 2, 1))]) AS gram
+        FROM toks
+    ), eval_sh AS (
+        SELECT gram FROM sh WHERE doc_id % 50 = 0
+    ), train_sh AS (
+        SELECT doc_id, gram FROM sh WHERE doc_id % 50 != 0
+    )
+    SELECT doc_id AS train_doc_id,
+           COUNT(DISTINCT gram) AS n_shared_grams
+    FROM train_sh
+    WHERE gram IN (SELECT gram FROM eval_sh)
+    GROUP BY doc_id
+    """,
+)
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any 5-gram with the
+    held-out set (doc_id % 50 == 0 stands in for the benchmark corpus).
+
+    The scale shape: eval n-grams are a SMALL broadcast-able set (benchmarks
+    are MBs, corpora are TBs), so the contamination check is a broadcast
+    semi-join against the training shingle stream — no shuffle of the
+    corpus. Flagged docs are then dropped or audited before export."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    gram = F.expr(
+        f"transform(sequence(0, greatest(size(t) - {DECONTAM_NGRAM}, -1)),"
+        f" i -> concat_ws(' ', slice(t, i + 1, {DECONTAM_NGRAM})))"
+    )
+    sh = toks.select("doc_id", F.explode(gram).alias("gram")).distinct()
+    eval_sh = sh.filter(F.col("doc_id") % 50 == 0).select("gram").distinct()
+    train_sh = sh.filter(F.col("doc_id") % 50 != 0)
+    return (
+        train_sh.join(F.broadcast(eval_sh), "gram", "left_semi")
+        .groupBy(F.col("doc_id").alias("train_doc_id"))
+        .agg(F.count_distinct("gram").alias("n_shared_grams"))
+    )
