@@ -196,3 +196,41 @@ def q_sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w).cast("bigint")).filter(
         F.col("rn") <= TOP_K
     )
+
+
+@query(
+    "q_emb_quantize",
+    oracle="""
+    SELECT vec_id,
+           ROUND(127.0 / GREATEST(list_max(list_transform(embedding,
+                                           x -> ABS(CAST(x AS DOUBLE)))),
+                                  1e-30), 6) AS scale,
+           list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE)
+                               * ROUND(127.0 / GREATEST(
+                                   list_max(list_transform(embedding,
+                                            y -> ABS(CAST(y AS DOUBLE)))),
+                                   1e-30), 6)) AS BIGINT)) AS q8
+    FROM embeddings
+    """,
+)
+def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per vector (max-abs scaling) — the
+    standard 4x storage/bandwidth compression for embedding columns; the
+    scale factor rides along for dequantized re-scoring. The scale is
+    rounded to 6dp BEFORE quantizing so both engines multiply by the exact
+    same double. All JVM lambda expressions, zero shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    absmax = F.greatest(
+        F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))),
+        F.lit(1e-30),
+    )
+    scale = F.round(127.0 / absmax, 6)
+    return emb.select(
+        "vec_id",
+        scale.alias("scale"),
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * scale).cast("bigint"),
+        ).alias("q8"),
+    )
