@@ -194,3 +194,24 @@ def test_minhash_finds_every_exact_duplicate(spark, texts):
         for j in range(i + 1, len(texts)):
             if texts[i] == texts[j]:
                 assert pairs.get((i, j)) == 1.0, (i, j, texts[i])
+
+
+def test_minhash_recall_on_high_similarity_pairs(spark):
+    """Tier consistency on the driver tables: every exact-Jaccard pair at
+    >= 0.9 must be recovered by the MinHash tier (banding miss probability
+    (1-j^4)^8 < 3e-4 there, and the seeded hashes make the outcome a fixed
+    property of the dataset, not a flake)."""
+    from .conftest import SF_DIR
+
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in QUERIES["q_dedup_ngram"](spark, SF_DIR).collect()
+    }
+    near = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["q_dedup_near"](spark, SF_DIR).collect()
+    }
+    high = {p for p, j in exact.items() if j >= 0.9}
+    assert high, "fixture should contain high-similarity pairs"
+    missed = high - near
+    assert not missed, f"MinHash missed high-sim pairs: {sorted(missed)[:5]}"
