@@ -374,3 +374,34 @@ def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("f_revenue"),
     )
+
+
+@query(
+    "q_agg_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(20.0 * o_totalprice / 500000.0) + 1 AS BIGINT)
+               AS bucket,
+           COUNT(*) AS n_orders,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket — the one-pass distribution
+    profile (vs exact percentiles' sort-per-group). DuckDB has no
+    width_bucket, so the twin spells out Spark's internal formula
+    floor(n*(x-min)/(max-min))+1 — same float ops, same binning; all
+    o_totalprice values are interior to [0, 500000) so the under/overflow
+    buckets (0 and n+1) never appear."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.width_bucket("o_totalprice", F.lit(0.0), F.lit(500000.0), F.lit(20))
+        .cast("bigint")
+        .alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
