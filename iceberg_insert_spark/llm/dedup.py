@@ -400,7 +400,16 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        if labels.is_cached:  # drop the superseded round's cache eagerly —
+            labels.unpersist()  # a long-lived session would leak one cached
+            # frame per iteration per call otherwise
         labels = new_labels
         if changed == 0:
             break
-    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+    result = labels.select("doc_id", F.col("label").alias("cluster_id"))
+    # materialize before releasing the inputs the plan depends on
+    result = result.cache()
+    result.count()
+    labels.unpersist()
+    edges.unpersist()
+    return result
