@@ -348,6 +348,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CC_MAX_ITERS = 10
+CC_PARTITIONS = 8
 
 
 @query("q_dedup_clusters")
@@ -365,51 +366,62 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     same join/agg primitives with provably fewer rounds. Non-SQL-expressible
     (iterative) -> rows-only check.
     """
+    # The pair graph is orders of magnitude smaller than the corpus (it holds
+    # near-DUPLICATES only), so the iterative phase runs on few, co-located
+    # partitions: edges hash-partitioned on the probe key it joins with each
+    # round, sized so per-round jobs are a handful of tasks, not
+    # shuffle.partitions-many empty ones. At 100 TB, size CC_PARTITIONS to
+    # |pairs|/rows_per_task the same way.
     pairs = q_dedup_near(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.unionByName(
-        pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+    edges = (
+        pairs.unionByName(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
         )
-    ).cache()
+        .repartition(CC_PARTITIONS, "doc_b")
+        .cache()
+    )
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
+        .repartition(CC_PARTITIONS, "doc_id")
     )
+    cached = [edges]
     for _ in range(CC_MAX_ITERS):
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy("doc_a")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # carry the old label through so convergence detection is a filter on
+        # the SAME cached frame, not an extra join per round
         new_labels = (
             labels.join(
                 neighbor_min, labels.doc_id == neighbor_min.doc_a, "left"
             )
             .select(
                 "doc_id",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
             )
             .cache()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        if labels.is_cached:  # drop the superseded round's cache eagerly —
-            labels.unpersist()  # a long-lived session would leak one cached
-            # frame per iteration per call otherwise
-        labels = new_labels
+        cached.append(new_labels)
+        changed = new_labels.filter(
+            F.col("label") != F.col("old_label")
+        ).count()
+        labels = new_labels.select("doc_id", "label")
         if changed == 0:
             break
-    result = labels.select("doc_id", F.col("label").alias("cluster_id"))
-    # materialize before releasing the inputs the plan depends on
-    result = result.cache()
-    result.count()
-    labels.unpersist()
-    edges.unpersist()
+    result = labels.select("doc_id", F.col("label").alias("cluster_id")).cache()
+    result.count()  # materialize so callers never replay the iterative lineage
+    # Release round caches only AFTER result is materialized: unpersisting a
+    # parent mid-loop invalidates dependent cache entries and turns the
+    # propagation quadratic (recompute-from-scratch per round).
+    for df_ in cached:
+        df_.unpersist()
     return result
