@@ -159,12 +159,14 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Hot-bucket guard: a degenerate bucket (boilerplate shingles, near-empty
     # docs) makes the self-join O(n^2) in that bucket. Cap membership — the
     # standard production LSH skew guard; dropped buckets cost recall on
-    # already-pathological near-identical mobs, never correctness.
-    bucket_sizes = bands.groupBy("band", "bucket").agg(
-        F.count(F.lit(1)).alias("_bn")
-    )
+    # already-pathological near-identical mobs, never correctness. A window
+    # count shares the (band, bucket) shuffle the self-join needs anyway,
+    # vs a groupBy + re-join costing two.
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("band", "bucket")
     bands = (
-        bands.join(bucket_sizes, ["band", "bucket"])
+        bands.withColumn("_bn", F.count(F.lit(1)).over(wb))
         .filter(F.col("_bn") <= MINHASH_MAX_BUCKET)
         .drop("_bn")
     )
