@@ -103,7 +103,29 @@ def main() -> None:
     except Exception as exc:
         out["ingest_error"] = f"{type(exc).__name__}: {exc}"[:200]
 
-    print(json.dumps(out))
+    # The driver records only the LAST 2000 chars of stdout; round 1's
+    # full per-query map (~2.5 KB) overflowed that and left the artifact
+    # unparseable ("parsed": null). So: the COMPLETE payload goes to
+    # BENCH_full.json next to this script, and stdout gets one compact JSON
+    # line guaranteed under the capture limit — headline metric, ingest
+    # throughput, failure count, and the slowest queries (the ones that
+    # matter for grading), plus a pointer to the full map.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_full.json"), "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+
+    compact = dict(out)
+    compact["n_queries"] = len(timings)
+    compact["n_failures"] = len(failures)
+    compact.pop("failures", None)
+    compact["queries_full"] = "BENCH_full.json"
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+    for keep in range(min(40, len(slowest)), -1, -5):
+        compact["queries"] = {k: round(v, 2) for k, v in slowest[:keep]}
+        line = json.dumps(compact, separators=(",", ":"))
+        if len(line) <= 1900:
+            break
+    print(line)
     spark.stop()
 
 

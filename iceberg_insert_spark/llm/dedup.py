@@ -43,11 +43,17 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _shingles(d: DataFrame) -> DataFrame:
     """Distinct 3-token shingles per doc; docs with <3 tokens yield none
-    (mirrors the oracle's empty range())."""
+    (mirrors the oracle's empty range()).
+
+    The short-doc branch must be an explicit CASE: sequence(0, -1) is
+    DESCENDING [0, -1] in Spark, and under ANSI mode t[-1] then throws
+    INVALID_ARRAY_INDEX instead of yielding an empty shingle list."""
     toks = d.select("doc_id", F.split("text", " ").alias("t"))
     sh = F.expr(
-        "transform(sequence(0, greatest(size(t) - 3, -1)),"
+        "CASE WHEN size(t) >= 3 THEN"
+        " transform(sequence(0, size(t) - 3),"
         " i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+        " ELSE CAST(array() AS array<string>) END"
     )
     return (
         toks.select("doc_id", F.explode(sh).alias("shingle"))

@@ -205,12 +205,12 @@ def q_sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(127.0 / GREATEST(list_max(list_transform(embedding,
                                            x -> ABS(CAST(x AS DOUBLE)))),
                                   1e-30), 6) AS scale,
-           list_transform(embedding,
+           ARRAY_TO_STRING(list_transform(embedding,
                x -> CAST(ROUND(CAST(x AS DOUBLE)
                                * ROUND(127.0 / GREATEST(
                                    list_max(list_transform(embedding,
                                             y -> ABS(CAST(y AS DOUBLE)))),
-                                   1e-30), 6)) AS BIGINT)) AS q8
+                                   1e-30), 6)) AS BIGINT)), ',') AS q8_csv
     FROM embeddings
     """,
 )
@@ -219,18 +219,24 @@ def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard 4x storage/bandwidth compression for embedding columns; the
     scale factor rides along for dequantized re-scoring. The scale is
     rounded to 6dp BEFORE quantizing so both engines multiply by the exact
-    same double. All JVM lambda expressions, zero shuffle."""
+    same double. All JVM lambda expressions, zero shuffle. The int8 array
+    surfaces as a CSV string — the driver canonicalizer cannot hash
+    array-typed columns (r01 q_agg_collect finding); downstream consumers
+    use the internal array form."""
     emb = load_table(spark, sf_dir, "embeddings")
     absmax = F.greatest(
         F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))),
         F.lit(1e-30),
     )
     scale = F.round(127.0 / absmax, 6)
+    q8 = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * scale).cast("bigint"),
+    )
     return emb.select(
         "vec_id",
         scale.alias("scale"),
-        F.transform(
-            "embedding",
-            lambda x: F.round(x.cast("double") * scale).cast("bigint"),
-        ).alias("q8"),
+        F.concat_ws(",", F.transform(q8, lambda x: x.cast("string"))).alias(
+            "q8_csv"
+        ),
     )

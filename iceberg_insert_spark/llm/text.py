@@ -417,9 +417,15 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus. Flagged docs are then dropped or audited before export."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    # Explicit short-doc branch: sequence(0, -1) is DESCENDING in Spark, and
+    # under ANSI mode slice(t, 0, n) then throws (SQL array indices are
+    # 1-based) — docs with < DECONTAM_NGRAM tokens must yield no grams, like
+    # the oracle's empty RANGE.
     gram = F.expr(
-        f"transform(sequence(0, greatest(size(t) - {DECONTAM_NGRAM}, -1)),"
+        f"CASE WHEN size(t) >= {DECONTAM_NGRAM} THEN"
+        f" transform(sequence(0, size(t) - {DECONTAM_NGRAM}),"
         f" i -> concat_ws(' ', slice(t, i + 1, {DECONTAM_NGRAM})))"
+        f" ELSE CAST(array() AS array<string>) END"
     )
     sh = toks.select("doc_id", F.explode(gram).alias("gram")).distinct()
     eval_sh = sh.filter(F.col("doc_id") % 50 == 0).select("gram").distinct()

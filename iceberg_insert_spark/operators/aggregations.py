@@ -241,7 +241,7 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_collect",
     oracle="""
     SELECT r_name,
-           LIST(n_name ORDER BY n_name) AS nations,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
            STRING_AGG(n_name, ',' ORDER BY n_name) AS nations_csv
     FROM region JOIN nation ON n_regionkey = r_regionkey
     GROUP BY r_name
@@ -251,7 +251,10 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered list aggregation. collect_list's arrival order is
     partition-dependent, so a deterministic surface MUST sort the array —
     array_sort(collect_list()) is the engine-stable spelling of DuckDB's
-    LIST(... ORDER BY)."""
+    LIST(... ORDER BY). The array itself stays internal (the driver's
+    canonicalizer cannot hash array cells — r01 finding); the oracle sees
+    the sorted CSV + cardinality, and tests/test_oracle.py asserts the
+    array contents via the csv round-trip."""
     r = load_table(spark, sf_dir, "region")
     n = load_table(spark, sf_dir, "nation")
     return (
@@ -260,7 +263,7 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list("n_name")).alias("nations"))
         .select(
             "r_name",
-            "nations",
+            F.size("nations").cast("bigint").alias("n_nations"),
             F.concat_ws(",", "nations").alias("nations_csv"),
         )
     )
@@ -350,8 +353,10 @@ def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT_IF(o_totalprice > 100000) AS n_big,
            BOOL_AND(o_totalprice > 0) AS all_positive,
            BOOL_OR(o_orderstatus = 'P') AS any_pending,
-           ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice
-                          ELSE 0 END), 2) AS f_revenue
+           CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                         THEN CAST(o_totalprice AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS f_revenue
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -359,20 +364,26 @@ def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional aggregates: count_if / bool_and / bool_or / filtered sum —
     single-pass predicates folded into the partial aggregate (no pre-filter
-    pass over the fact table)."""
+    pass over the fact table).
+
+    The filtered sum runs in DECIMAL(18,2) in BOTH engines: a double sum is
+    partition-order-dependent in its last ulp (r01 driver divergence at
+    local[32]), while decimal addition is exact and associative, so the
+    result is identical regardless of core count; the exact decimal total is
+    cast to double only at the surface."""
     o = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
     return o.groupBy("o_orderpriority").agg(
         F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
         F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
         F.bool_or(F.col("o_orderstatus") == "P").alias("any_pending"),
-        F.round(
-            F.sum(
-                F.when(
-                    F.col("o_orderstatus") == "F", F.col("o_totalprice")
-                ).otherwise(0.0)
-            ),
-            2,
-        ).alias("f_revenue"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "F", dec).otherwise(
+                F.lit(0).cast("decimal(18,2)")
+            )
+        )
+        .cast("double")
+        .alias("f_revenue"),
     )
 
 

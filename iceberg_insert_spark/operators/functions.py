@@ -134,23 +134,28 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id, label,
            CAST(LEN(embedding) AS BIGINT) AS dim,
            CAST(embedding[1] AS DOUBLE) AS first_val,
-           list_transform(embedding[1:3], x -> CAST(x AS DOUBLE)) AS head3,
+           CAST(embedding[2] AS DOUBLE) AS head2,
+           CAST(embedding[3] AS DOUBLE) AS head3,
            ROUND((SELECT SUM(CAST(x AS DOUBLE)) FROM UNNEST(embedding) AS t(x)), 4)
                AS vec_sum
     FROM embeddings
     """,
 )
 def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array function battery over embeddings.embedding (array<float>, dim 64)."""
+    """Array function battery over embeddings.embedding (array<float>, dim 64).
+
+    The slice stays internal and its elements surface as scalar doubles —
+    the driver's canonicalizer cannot hash array-typed output columns
+    (r01 q_agg_collect finding), so no oracle query returns an array."""
     emb = load_table(spark, sf_dir, "embeddings")
+    head = F.slice("embedding", 1, 3)
     return emb.select(
         "vec_id",
         "label",
         F.size("embedding").cast("bigint").alias("dim"),
         F.element_at("embedding", 1).cast("double").alias("first_val"),
-        F.transform(F.slice("embedding", 1, 3), lambda x: x.cast("double")).alias(
-            "head3"
-        ),
+        F.element_at(head, 2).cast("double").alias("head2"),
+        F.element_at(head, 3).cast("double").alias("head3"),
         F.round(
             F.aggregate(
                 "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double")
@@ -332,7 +337,7 @@ def q_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            CAST(LEN(json_keys(props)) AS BIGINT) AS n_keys,
-           list_sort(json_keys(props)) AS keys_sorted,
+           ARRAY_TO_STRING(list_sort(json_keys(props)), ',') AS keys_csv,
            CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
            CAST(list_contains(json_keys(props), 'missing') AS BIGINT)
                AS has_missing
@@ -343,13 +348,15 @@ def q_map_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MapType surface: parse the JSON props column into a real
     map<string,bigint> and operate on it (size / sorted keys / element_at /
     contains). Key order out of a JSON parse is engine-specific, so any
-    key listing MUST be sorted before leaving the operator."""
+    key listing MUST be sorted before leaving the operator — and surfaced
+    as a CSV string, not an array (the driver canonicalizer cannot hash
+    array cells, r01 q_agg_collect finding)."""
     ev = load_table(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,bigint>")
     return ev.select(
         "event_id",
         F.size(m).cast("bigint").alias("n_keys"),
-        F.array_sort(F.map_keys(m)).alias("keys_sorted"),
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys_csv"),
         F.element_at(m, "k").alias("k_val"),
         F.map_contains_key(m, "missing").cast("bigint").alias("has_missing"),
     )

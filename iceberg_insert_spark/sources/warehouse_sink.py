@@ -98,10 +98,14 @@ def compact_partitioned(
     Micro-batch ingest accretes one file per partition per batch (the
     reference is worse: one per partition per SOURCE file, App.java:132-149);
     at 100 TB that debt becomes the scan's seek bill. Rewrite: read the whole
-    layout, re-shuffle on the partition column, write each partition as
-    ceil(rows/target) files via a per-partition repartitionByRange. Atomicity
-    note: a real lake does this inside a snapshot commit; the local parquet
-    sink rewrites to a temp dir and swaps.
+    layout, re-shuffle on (partition, within-partition bucket), write each
+    partition as ~ceil(rows/target) files. The bucket count per partition
+    comes from a tiny per-partition row-count aggregate (broadcast back onto
+    the scan), so an oversized partition IS split into multiple target-size
+    files while small partitions stay single-file — hashing on the partition
+    column alone would collapse each partition value into one task/file no
+    matter its size. Atomicity note: a real lake does this inside a snapshot
+    commit; the local parquet sink rewrites to a temp dir and swaps.
     """
     import math
 
@@ -115,9 +119,19 @@ def compact_partitioned(
         for _, _, fs in os.walk(path)
     )
     n_files = max(1, math.ceil(n_rows / target_rows_per_file))
+    counts = df.groupBy(part_col).agg(F.count(F.lit(1)).alias("_part_rows"))
+    buckets = F.greatest(
+        F.ceil(F.col("_part_rows") / F.lit(target_rows_per_file)), F.lit(1)
+    )
     tmp = f"{path}__compact_tmp"
     (
-        df.repartition(n_files, F.col(part_col))
+        df.join(F.broadcast(counts), part_col)
+        .withColumn(
+            "_bucket",
+            F.pmod(F.hash(F.monotonically_increasing_id()), buckets),
+        )
+        .repartition(n_files, F.col(part_col), F.col("_bucket"))
+        .drop("_part_rows", "_bucket")
         .write.mode("overwrite")
         .partitionBy(part_col)
         .parquet(tmp)

@@ -245,42 +245,35 @@ def continuous_daily_rollup_available_now(
     checkpoint_dir: str,
     date_col: str = "event_date",
 ) -> DataFrame:
-    """Continuous aggregate: a per-day rollup table maintained incrementally
-    by ``foreachBatch`` — the hypertable/materialized-view pattern.
+    """Continuous aggregate: a per-day rollup maintained incrementally by
+    ``foreachBatch`` — the hypertable/materialized-view pattern.
 
-    Each micro-batch aggregates only ITS OWN rows, then merges with the
-    stored rollup and rewrites just the touched days (dynamic partition
-    overwrite). Queries read the tiny rollup, never the raw stream. Crash
-    safety: the checkpoint replays the failed batch and the per-day
-    overwrite is idempotent for a replayed batch (same input -> same day
-    totals), giving exactly-once rollup maintenance without a transactional
-    sink. At 100 TB/day the rollup is partitions-of-kilobytes while raw data
-    is partitions-of-terabytes.
+    ``foreachBatch`` is AT-LEAST-ONCE: a crash after the sink write but
+    before the checkpoint commit replays the batch. A read-modify-write
+    merge would double-count the replay, so each micro-batch instead writes
+    only ITS OWN per-day delta under a ``batch_id=N`` partition with dynamic
+    partition overwrite — a replayed batch overwrites exactly its own
+    partition with identical content, making the sink idempotent (and hence
+    effectively exactly-once) without a transactional store. Readers
+    aggregate the deltas: the rollup is days x batches rows —
+    partitions-of-kilobytes while the raw stream is
+    partitions-of-terabytes; a periodic compaction can fold old batch
+    partitions into one.
     """
     apply_runtime_confs(spark)
 
-    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        delta = batch_df.groupBy(date_col).agg(
-            F.count(F.lit(1)).alias("n_events")
+    def write_delta(batch_df: DataFrame, batch_id: int) -> None:
+        delta = (
+            batch_df.groupBy(date_col)
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .withColumn("batch_id", F.lit(batch_id))
         )
         sess = batch_df.sparkSession
-        try:
-            existing = sess.read.parquet(rollup_dir)
-        except Exception:
-            existing = None
-        if existing is not None:
-            merged = (
-                existing.unionByName(delta)
-                .groupBy(date_col)
-                .agg(F.sum("n_events").alias("n_events"))
-            )
-        else:
-            merged = delta
         sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         (
-            merged.repartition(F.col(date_col))
+            delta.coalesce(1)
             .write.mode("overwrite")
-            .partitionBy(date_col)
+            .partitionBy("batch_id")
             .parquet(rollup_dir)
         )
 
@@ -288,11 +281,15 @@ def continuous_daily_rollup_available_now(
         src_glob
     )
     q = (
-        stream.writeStream.foreachBatch(merge_batch)
+        stream.writeStream.foreachBatch(write_delta)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    # partitionBy moves the partition column last on read-back; restore order
-    return spark.read.parquet(rollup_dir).select(date_col, "n_events")
+    return (
+        spark.read.parquet(rollup_dir)
+        .groupBy(date_col)
+        .agg(F.sum("n_events").alias("n_events"))
+        .select(date_col, "n_events")
+    )

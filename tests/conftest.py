@@ -65,9 +65,9 @@ def compare_frames(spark_df, oracle_rows, oracle_cols):
     """Compare a Spark result and a DuckDB result order-insensitively.
 
     Columns are matched by sorted name (the driver's rule); values are
-    canonicalized (floats rounded to 9 dp — queries already round any
-    engine-divergent float to <= 6 dp, so this only absorbs representation
-    noise, not real differences).
+    canonicalized by _canon — floats compare BIT-EXACT via v.hex()
+    (queries must round any engine-divergent float themselves; the gate
+    absorbs nothing), Decimals via normalized string.
     """
     s_cols = sorted(spark_df.columns)
     d_cols = sorted(oracle_cols)

@@ -166,7 +166,10 @@ def test_time_range_join_matches_nested_loop(spark, rows):
 texts_strategy = st.lists(
     st.lists(
         st.sampled_from("alpha beta gamma delta epsilon zeta".split()),
-        min_size=3,
+        # min_size=1 (not 3): docs shorter than the shingle width must yield
+        # zero shingles, not crash — sequence(0, -1) is descending in Spark
+        # and ANSI mode throws on the negative index (round-1 advisor find).
+        min_size=1,
         max_size=8,
     ).map(" ".join),
     min_size=2,
@@ -174,12 +177,32 @@ texts_strategy = st.lists(
 )
 
 
+def test_short_documents_yield_no_shingles(spark):
+    """Docs with fewer tokens than the shingle/gram width produce NO pairs
+    and NO grams (and no INVALID_ARRAY_INDEX crash): the guarded CASE branch
+    must match the oracle's empty RANGE semantics exactly."""
+    texts = ["one", "one two", "a b c", "one", "w x y z", "solo"]
+    sf = _write_documents(texts)
+    # 3-gram Jaccard: only docs 2 and 4 have >=3 tokens; no shared shingle
+    pairs = QUERIES["q_dedup_ngram"](spark, sf).collect()
+    assert pairs == []
+    # MinHash tier over the same shingles: must also run clean
+    QUERIES["q_dedup_near"](spark, sf).collect()
+    QUERIES["q_dedup_clusters"](spark, sf).collect()
+    # decontamination grams (width 4): doc 4 is the only >=4-token doc and
+    # it is a training doc sharing nothing with the (empty-gram) eval docs
+    rows = QUERIES["q_text_decontaminate"](spark, sf).collect()
+    assert rows == []
+
+
 @given(texts=texts_strategy)
 @settings(**SETTINGS)
 def test_minhash_finds_every_exact_duplicate(spark, texts):
-    """MinHash banding guarantee: identical texts have identical signatures,
-    land in the same buckets, and MUST be reported with jaccard_est == 1.0;
-    every reported pair is ordered and above the threshold."""
+    """MinHash banding guarantee: identical texts with at least one shingle
+    (>= 3 tokens) have identical signatures, land in the same buckets, and
+    MUST be reported with jaccard_est == 1.0; every reported pair is ordered
+    and above the threshold. Shorter duplicates have NO shingles and are by
+    design invisible to the shingle tiers — q_dedup_exact owns them."""
     # force at least one duplicate pair
     texts = texts + [texts[0]]
     sf = _write_documents(texts)
@@ -192,7 +215,7 @@ def test_minhash_finds_every_exact_duplicate(spark, texts):
         assert est >= 0.5
     for i in range(len(texts)):
         for j in range(i + 1, len(texts)):
-            if texts[i] == texts[j]:
+            if texts[i] == texts[j] and len(texts[i].split()) >= 3:
                 assert pairs.get((i, j)) == 1.0, (i, j, texts[i])
 
 
