@@ -21,7 +21,8 @@ from ..tables import load_table
     oracle="""
     SELECT COUNT(*) AS n_rows,
            ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_price,
            MIN(l_extendedprice) AS min_price,
            MAX(l_extendedprice) AS max_price,
            COUNT(DISTINCT l_suppkey) AS n_supp
@@ -29,12 +30,18 @@ from ..tables import load_table
     """,
 )
 def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ungrouped multi-aggregate over lineitem."""
+    """Ungrouped multi-aggregate over lineitem.
+
+    Money averages use the exact-decimal-sum / count form: a double sum's
+    last ulp depends on partition merge order (r01 q_agg_conditional driver
+    divergence), while DECIMAL addition is associative, so sum-then-divide
+    is bit-identical in both engines at any core count."""
     li = load_table(spark, sf_dir, "lineitem")
+    price_dec = F.col("l_extendedprice").cast("decimal(18,2)")
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        (F.sum(price_dec).cast("double") / F.count(F.lit(1))).alias("avg_price"),
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
         F.countDistinct("l_suppkey").alias("n_supp"),
@@ -46,12 +53,17 @@ def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
            ROUND(AVG(l_quantity), 4) AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4) AS avg_price,
-           ROUND(AVG(l_discount), 4) AS avg_disc,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
@@ -59,19 +71,36 @@ def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 shape: grouped multi-aggregate (partial+final hash agg)."""
+    """TPC-H Q1 shape: grouped multi-aggregate (partial+final hash agg).
+
+    All money sums run in DECIMAL in BOTH engines: double addition is not
+    associative, so a double sum's last ulp depends on partition merge order
+    (the r01 q_agg_conditional driver divergence at local[32]); decimal
+    sums are exact and order-independent. The per-row products have <= 4
+    (price*disc) and <= 6 (…*tax) true decimal digits, so the DECIMAL casts
+    lose nothing. sum_qty stays double: l_quantity is integral, hence exact.
+    """
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp_ntz")
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    price_dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_dec = F.col("l_discount").cast("decimal(18,2)")
+    n = F.count(F.lit(1))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.sum(price_dec).cast("double").alias("sum_base_price"),
+        F.sum(disc_price.cast("decimal(18,4)")).cast("double").alias(
+            "sum_disc_price"
+        ),
+        F.sum(
+            (disc_price * (1 + F.col("l_tax"))).cast("decimal(18,6)")
+        )
+        .cast("double")
+        .alias("sum_charge"),
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        (F.sum(price_dec).cast("double") / n).alias("avg_price"),
+        (F.sum(disc_dec).cast("double") / n).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
@@ -114,18 +143,21 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment, c_nationkey,
            COUNT(*) AS n_cust,
-           ROUND(SUM(c_acctbal), 2) AS sum_bal
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
     FROM customer
     GROUP BY ROLLUP (c_mktsegment, c_nationkey)
     """,
 )
 def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy totals; grouping columns are non-null in the data so
-    the NULL placeholder rows are unambiguous (SURVEY.md §7 hard-part b)."""
+    the NULL placeholder rows are unambiguous (SURVEY.md §7 hard-part b).
+    Money sum in DECIMAL: partition-order-independent (see q_agg_groupby)."""
     c = load_table(spark, sf_dir, "customer")
     return c.rollup("c_mktsegment", "c_nationkey").agg(
         F.count(F.lit(1)).alias("n_cust"),
-        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_bal"),
     )
 
 
@@ -134,17 +166,21 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS sum_price
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
 )
 def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE: all grouping combinations in one pass."""
+    """CUBE: all grouping combinations in one pass. Money sum in DECIMAL:
+    partition-order-independent (see q_agg_groupby)."""
     o = load_table(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
     )
 
 

@@ -33,7 +33,8 @@ def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_filter_pred",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue,
            COUNT(*) AS n_rows
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -43,7 +44,10 @@ def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q6 shape: range + BETWEEN predicates, pushed to the parquet scan."""
+    """TPC-H Q6 shape: range + BETWEEN predicates, pushed to the parquet scan.
+    Revenue sum in DECIMAL(18,4): the 2dp*2dp product has <= 4 true decimal
+    digits and decimal addition is partition-order-independent (see
+    q_agg_groupby)."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.filter(
@@ -53,9 +57,13 @@ def q_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
