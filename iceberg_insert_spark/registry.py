@@ -44,6 +44,7 @@ _MODULES = [
     "iceberg_insert_spark.llm.multimodal",
     "iceberg_insert_spark.sources.json_ingest",
     "iceberg_insert_spark.sources.warehouse_sink",
+    "iceberg_insert_spark.sources.schema_evolution",
 ]
 
 _loaded = False
