@@ -359,77 +359,132 @@ CC_MAX_ITERS = 10
 CC_PARTITIONS = 8
 
 
+def connected_components(
+    pairs: DataFrame,
+    partitions: int = CC_PARTITIONS,
+    max_rounds: int = CC_MAX_ITERS,
+) -> tuple[DataFrame, int]:
+    """Distributed connected components via LARGE-STAR / SMALL-STAR
+    alternation (the MapReduce CC algorithm of Kiveris et al., "Connected
+    Components in MapReduce and Beyond"), labeling every node with its
+    component's minimum node id.
+
+    Each round is two join+aggregate passes over the EDGE set only:
+
+      * large-star: every node u hooks its larger neighbors onto
+        m(u) = min(N(u) ∪ {u}) — flattens long chains from the high side;
+      * small-star: in the (hi -> lo) orientation, every node hooks ALL its
+        smaller neighbors and itself onto its minimum neighbor.
+
+    The alternation converges to a star per component in O(log n) rounds
+    (vs diameter rounds for plain min-label propagation — the r01
+    implementation this replaces), with the same shuffle primitives and no
+    per-node state: the working set stays the edge list, which only
+    shrinks. Driver work is one O(1) signature check per round.
+
+    Returns (labels, rounds): labels has (node, cluster_id) for every node
+    that appears in ``pairs``; rounds is the number of alternations run.
+
+    Lineage note: every round re-references the previous edge frame ~6x
+    (symmetrize + two self-joins), so the LOGICAL plan grows exponentially
+    with rounds even when execution is cached — Catalyst re-analyzes the
+    whole tree and OOMs around round 6. Each round therefore ends in
+    ``localCheckpoint(eager=True)``, which truncates the plan itself; on a
+    real cluster with executor churn, swap in a reliable ``checkpoint`` dir
+    (same call shape, survives executor loss).
+    """
+    edges = (
+        pairs.select(
+            F.greatest(F.col("doc_a"), F.col("doc_b")).alias("u"),
+            F.least(F.col("doc_a"), F.col("doc_b")).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .repartition(partitions, "u")
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _signature(e: DataFrame):
+        # Order-independent set fingerprint: one tiny aggregate, no collect
+        # of edges. xxhash64 collisions cancelling in the sum is a ~2^-64
+        # event — acceptable for a convergence check bounded by max_rounds.
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: a long sum of 64-bit hashes overflows (ANSI throws)
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    sig = _signature(edges)
+    rounds = 0
+    for _ in range(max_rounds):
+        # -- large-star: und = symmetric view; emit (v, m(u)) for v > u
+        und = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m_large = und.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            und.filter(F.col("v") > F.col("u"))
+            .join(m_large, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # -- small-star on the (hi -> lo) edges: hook N_small(u) ∪ {u} to min
+        m_small = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(m_small, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(m_small.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        edges = small.repartition(partitions, "u").localCheckpoint(eager=True)
+        rounds += 1
+        new_sig = _signature(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+
+    # Converged: edges form stars (child -> root). Roots appear only on the
+    # v side; every node not in the child map is its own label.
+    child_label = edges.groupBy("u").agg(F.min("v").alias("_lbl"))
+    labels = (
+        nodes.join(child_label, nodes.node == child_label.u, "left")
+        .select(
+            "node",
+            F.coalesce("_lbl", F.col("node")).alias("cluster_id"),
+        )
+        # materialized + truncated: callers never replay the iteration, and
+        # the per-round checkpoint blocks are GC'd by the ContextCleaner as
+        # their Python references drop.
+        .localCheckpoint(eager=True)
+    )
+    return labels, rounds
+
+
 @query("q_dedup_clusters")
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: connected components over the MinHash near-dup
     pair graph, labeling every clustered doc with the smallest doc_id in its
     component (the canonical survivor for keep-one-per-cluster dedup).
 
-    Iterative min-label propagation, data distributed throughout: each round
-    every node takes min(own label, neighbors' labels) — one join + one
-    aggregate per round, driver orchestrates only the convergence check
-    (count of changed labels). Near-dup components have tiny diameters
-    (similarity is near-transitive), so rounds ~ log(diameter) <=
-    CC_MAX_ITERS; the 100 TB upgrade is the large-star/small-star algorithm,
-    same join/agg primitives with provably fewer rounds. Non-SQL-expressible
-    (iterative) -> rows-only check.
+    Runs large-star/small-star alternation (see ``connected_components``):
+    O(log n) rounds of pure join/agg over the pair graph — which is orders
+    of magnitude smaller than the corpus, since it holds near-DUPLICATES
+    only — on few co-located partitions (at 100 TB, size CC_PARTITIONS to
+    |pairs|/rows_per_task). Driver sees one O(1) convergence signature per
+    round. Non-SQL-expressible (iterative) -> rows-only check; parity with
+    a union-find oracle is pinned in tests/test_properties.py.
     """
-    # The pair graph is orders of magnitude smaller than the corpus (it holds
-    # near-DUPLICATES only), so the iterative phase runs on few, co-located
-    # partitions: edges hash-partitioned on the probe key it joins with each
-    # round, sized so per-round jobs are a handful of tasks, not
-    # shuffle.partitions-many empty ones. At 100 TB, size CC_PARTITIONS to
-    # |pairs|/rows_per_task the same way.
     pairs = q_dedup_near(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.unionByName(
-            pairs.select(
-                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-            )
-        )
-        .repartition(CC_PARTITIONS, "doc_b")
-        .cache()
-    )
-    labels = (
-        edges.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
-        .repartition(CC_PARTITIONS, "doc_id")
-    )
-    cached = [edges]
-    for _ in range(CC_MAX_ITERS):
-        neighbor_min = (
-            edges.join(labels, edges.doc_b == labels.doc_id)
-            .groupBy("doc_a")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        # carry the old label through so convergence detection is a filter on
-        # the SAME cached frame, not an extra join per round
-        new_labels = (
-            labels.join(
-                neighbor_min, labels.doc_id == neighbor_min.doc_a, "left"
-            )
-            .select(
-                "doc_id",
-                F.col("label").alias("old_label"),
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
-            )
-            .cache()
-        )
-        cached.append(new_labels)
-        changed = new_labels.filter(
-            F.col("label") != F.col("old_label")
-        ).count()
-        labels = new_labels.select("doc_id", "label")
-        if changed == 0:
-            break
-    result = labels.select("doc_id", F.col("label").alias("cluster_id")).cache()
-    result.count()  # materialize so callers never replay the iterative lineage
-    # Release round caches only AFTER result is materialized: unpersisting a
-    # parent mid-loop invalidates dependent cache entries and turns the
-    # propagation quadratic (recompute-from-scratch per round).
-    for df_ in cached:
-        df_.unpersist()
-    return result
+    labels, _ = connected_components(pairs)
+    return labels.select(F.col("node").alias("doc_id"), "cluster_id")

@@ -116,6 +116,59 @@ def test_asof_join_matches_bruteforce(spark, rows):
     assert got == expect
 
 
+# Unique ts per user: DuckDB's native ASOF JOIN picks an UNSPECIFIED row
+# among equal-ts base candidates, so only unique-ts data pins the boundary
+# rule cross-engine without comparing undefined behavior. Probe==base ts
+# collisions (each purchase is itself a base event, and shared ts across
+# USERS are fine) still exercise the strict-< edge: an equal-ts event must
+# never be chosen.
+asof_unique_ts_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # user_id
+        st.sets(st.integers(0, 120), min_size=1, max_size=12),  # unique ts
+    ),
+    min_size=1,
+    max_size=3,
+    unique_by=lambda t: t[0],
+).map(
+    lambda users: [
+        (i, u, t, ("purchase" if (i % 2 == 0) else "view"), i)
+        for i, (u, t) in enumerate(
+            (u, t) for u, ts in users for t in sorted(ts)
+        )
+    ]
+)
+
+
+@given(rows=asof_unique_ts_strategy)
+@settings(**SETTINGS)
+def test_asof_join_matches_duckdb_native_asof(spark, rows):
+    """Pin q_join_asof's strict-< boundary against DuckDB's NATIVE ASOF JOIN
+    (`ON p.ts > e.ts`) — not just the LATERAL oracle — so the tie rule at
+    equal timestamps (self-row and same-ts events excluded) is fixed by a
+    second engine's independent implementation (SURVEY hard-part a)."""
+    import duckdb
+
+    sf = _write_events(rows)
+    got = {
+        (r.event_id, r.prev_event_id)
+        for r in QUERIES["q_join_asof"](spark, sf).collect()
+    }
+    con = duckdb.connect()
+    expect = set(
+        con.execute(
+            f"""
+            SELECT p.event_id, e.event_id AS prev_event_id
+            FROM '{sf}/events.parquet' p
+            ASOF LEFT JOIN '{sf}/events.parquet' e
+              ON p.user_id = e.user_id AND p.ts > e.ts
+            WHERE p.event_type = 'purchase'
+            """
+        ).fetchall()
+    )
+    assert got == expect
+
+
 @given(rows=events_strategy)
 @settings(**SETTINGS)
 def test_session_window_matches_gaps_and_islands(spark, rows):
@@ -217,6 +270,56 @@ def test_minhash_finds_every_exact_duplicate(spark, texts):
         for j in range(i + 1, len(texts)):
             if texts[i] == texts[j] and len(texts[i].split()) >= 3:
                 assert pairs.get((i, j)) == 1.0, (i, j, texts[i])
+
+
+def _union_find_labels(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    """Large-star/small-star CC == sequential union-find (min-id labels) on
+    the real near-dup pair graph at the test SF."""
+    from .conftest import SF_DIR
+
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["q_dedup_near"](spark, SF_DIR).collect()
+    ]
+    assert pairs, "fixture should contain near-dup pairs"
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in QUERIES["q_dedup_clusters"](spark, SF_DIR).collect()
+    }
+    assert got == set(_union_find_labels(pairs).items())
+
+
+def test_connected_components_logarithmic_rounds_on_path_graph(spark):
+    """The r01 min-label propagation needed diameter rounds (a 33-node path
+    would exhaust CC_MAX_ITERS=10); large-star/small-star must label the
+    same path in O(log n) alternations."""
+    from iceberg_insert_spark.llm.dedup import connected_components
+
+    n = 33
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    labels, rounds = connected_components(pairs)
+    assert rounds <= 6, f"path-{n} took {rounds} rounds"
+    got = {(r.node, r.cluster_id) for r in labels.collect()}
+    assert got == {(i, 0) for i in range(n)}
 
 
 def test_minhash_recall_on_high_similarity_pairs(spark):
