@@ -435,3 +435,56 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("doc_id").alias("train_doc_id"))
         .agg(F.count_distinct("gram").alias("n_shared_grams"))
     )
+
+
+@query(
+    "q_text_repetition",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+    ), g AS (
+        SELECT doc_id,
+               [t[i] || ' ' || t[i+1] FOR i IN RANGE(1, GREATEST(LEN(t), 1))]
+                   AS grams
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(LEN(grams) AS BIGINT) AS n_bigrams,
+           CAST(LEN(list_distinct(grams)) AS BIGINT) AS n_distinct,
+           ROUND(CASE WHEN LEN(grams) = 0 THEN 0.0
+                      ELSE 1.0 - CAST(LEN(list_distinct(grams)) AS DOUBLE)
+                                 / LEN(grams) END, 6) AS repetition_ratio
+    FROM g
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signal: fraction of duplicate word bigrams
+    per document (1 - distinct/total) — the standard cheap filter for
+    looping/boilerplate text in LLM training pipelines (high ratio = drop).
+
+    Zero-shuffle JVM lambda expressions per row; the bigram list never
+    leaves the executor. Short docs (<2 tokens) score 0.0 via the same
+    guarded CASE branch as the shingle operators (sequence(0,-1) is
+    descending and ANSI indexing throws)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    grams = F.expr(
+        "CASE WHEN size(t) >= 2 THEN"
+        " transform(sequence(0, size(t) - 2),"
+        " i -> concat_ws(' ', t[i], t[i+1]))"
+        " ELSE CAST(array() AS array<string>) END"
+    )
+    g = toks.select("doc_id", grams.alias("grams"))
+    n = F.size("grams").cast("bigint")
+    nd = F.size(F.array_distinct("grams")).cast("bigint")
+    return g.select(
+        "doc_id",
+        n.alias("n_bigrams"),
+        nd.alias("n_distinct"),
+        F.round(
+            F.when(n == 0, F.lit(0.0)).otherwise(
+                1.0 - nd.cast("double") / n
+            ),
+            6,
+        ).alias("repetition_ratio"),
+    )

@@ -664,3 +664,97 @@ def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     survivors = base.join(changes.select("o_orderkey"), "o_orderkey", "left_anti")
     return changes.unionByName(survivors.select(cols))
+
+
+@query(
+    "q_tpch_q13",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+                        AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution — outer join with a
+    join-time (not post-join) predicate, then a two-level aggregate.
+
+    The non-urgent filter MUST live in the join condition: pushing it below a
+    left join as a WHERE would drop zero-order customers instead of counting
+    them at c_count=0. Shuffle profile: one exchange on custkey for join+first
+    agg (same key, reused), one tiny exchange on c_count."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o.withColumnRenamed("o_custkey", "c_custkey").filter(
+                F.col("o_orderpriority") != "1-URGENT"
+            ),
+            "c_custkey",
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+TPCH_Q18_QTY = 200
+
+
+@query(
+    "q_tpch_q18",
+    oracle=f"""
+    SELECT c_custkey, o_orderkey,
+           epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS o_orderdate_us,
+           ROUND(SUM(l_quantity), 2) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > {TPCH_Q18_QTY}
+    )
+    GROUP BY c_custkey, o_orderkey, o_orderdate
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): HAVING on a grouped sum feeding
+    a semi-join back into the fact table.
+
+    The HAVING subquery aggregates lineitem FIRST (map-side partials make the
+    big-order list tiny), then semi-joins — at 100 TB the filter list is
+    dimension-sized and broadcastable while the naive order (join first,
+    filter later) would shuffle the full join. l_quantity is integral so the
+    sums are exact in double."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > TPCH_Q18_QTY)
+        .select("l_orderkey")
+    )
+    from ..tables import epoch_us
+
+    return (
+        li.join(F.broadcast(big), "l_orderkey", "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            epoch_us("o_orderdate").alias("o_orderdate_us"),
+            "total_qty",
+        )
+    )

@@ -198,3 +198,52 @@ def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("c_custkey").over(w).alias("poorest_key"),
         F.last("c_custkey").over(wfull).alias("richest_key"),
     )
+
+
+SCD2_CURRENT_SENTINEL_US = 253_402_300_800_000_000  # 9999-12-31T00:00:00Z
+
+
+@query(
+    "q_scd2_intervals",
+    oracle=f"""
+    SELECT user_id, event_id,
+           value AS state_value,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS valid_from_us,
+           COALESCE(LEAD(epoch_us(CAST(ts AS TIMESTAMP)))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    {SCD2_CURRENT_SENTINEL_US}) AS valid_to_us,
+           CAST(LEAD(event_id)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                AS BIGINT) AS is_current
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build: turn a change stream (purchases as state
+    changes per user) into validity intervals [valid_from, valid_to) with an
+    is_current flag — the standard warehouse pattern for as-of dimension
+    lookups (pairs with q_join_asof on the query side).
+
+    One window pass partitioned by the business key: lead(ts) closes each
+    interval, the open interval gets a far-future sentinel (9999-12-31) so
+    BETWEEN predicates need no NULL branch. At 100 TB this is one shuffle on
+    the business key; incremental maintenance merges only keys present in
+    the new batch."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    from ..tables import epoch_us
+
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    ts_us = epoch_us("ts")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.col("value").alias("state_value"),
+        ts_us.alias("valid_from_us"),
+        F.coalesce(
+            F.lead(ts_us).over(w), F.lit(SCD2_CURRENT_SENTINEL_US)
+        ).alias("valid_to_us"),
+        F.lead("event_id").over(w).isNull().cast("bigint").alias("is_current"),
+    )
