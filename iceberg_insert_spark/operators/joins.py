@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load_table
+from ..tables import exact_sum, load_table
 
 
 @query(
@@ -41,8 +41,8 @@ def q_join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_multi",
     oracle="""
     SELECT l_orderkey,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                         AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
            o_orderdate, o_orderpriority
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -76,15 +76,11 @@ def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            # DECIMAL(18,4) sum: exact, partition-order-independent, and the
-            # revenue-ordered top-k below is therefore deterministic too.
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                    "decimal(18,4)"
-                )
-            )
-            .cast("double")
-            .alias("revenue")
+            # exact fixed-point sum (tables.exact_sum): partition-order-
+            # independent, so the revenue-ordered top-k is deterministic too.
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
@@ -294,8 +290,8 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_star",
     oracle="""
     SELECT n_name,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                         AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
            COUNT(*) AS n_items
     FROM region
     JOIN nation   ON n_regionkey = r_regionkey
@@ -339,16 +335,11 @@ def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            # DECIMAL(18,4) sum: exact, partition-order-independent (see
-            # q_agg_groupby) — large per-nation groups make a double sum's
-            # last ulp a real driver-hash risk.
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                    "decimal(18,4)"
-                )
-            )
-            .cast("double")
-            .alias("revenue"),
+            # exact fixed-point sum (tables.exact_sum) — large per-nation
+            # groups make a double sum's last ulp a real driver-hash risk.
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -489,8 +480,8 @@ BUCKETED_TABLE_DIR = "/tmp/iceberg_insert_spark/bucketed"
     "q_join_bucketed",
     oracle="""
     SELECT c_mktsegment, COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-               AS sum_price
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_price
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     """,
@@ -532,9 +523,7 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("sum_price"),
+            exact_sum(F.col("o_totalprice")).alias("sum_price"),
         )
     )
 
@@ -543,12 +532,13 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q14",
     oracle="""
     SELECT ROUND(
-             100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
-                              THEN CAST(l_extendedprice * (1 - l_discount)
-                                        AS DECIMAL(18,4))
-                              ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                             AS DECIMAL(18,4))) AS DOUBLE), 4)
+             100.0 * (CAST(SUM(CAST(ROUND(CASE WHEN p_type = 'PROMO'
+                                   THEN l_extendedprice * (1 - l_discount)
+                                   ELSE 0.0 END * 10000) AS BIGINT))
+                           AS DOUBLE) / 10000.0)
+             / (CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                    * 10000) AS BIGINT))
+                     AS DOUBLE) / 10000.0), 4)
            AS promo_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -564,21 +554,16 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
     )
     p = F.broadcast(load_table(spark, sf_dir, "part"))
-    # Both sums in DECIMAL(18,4) (exact, partition-order-independent — see
-    # q_agg_groupby); the ratio is then one double division of identical
+    # Both sums in exact fixed-point (tables.exact_sum): partition-order-
+    # independent; the ratio is then one double division of identical
     # operands in both engines.
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,4)"
-    )
-    zero = F.lit(0).cast("decimal(18,4)")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
     return (
         li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.round(
-                100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
-                .cast("double")
-                / F.sum(rev).cast("double"),
+                100.0 * exact_sum(promo, 4) / exact_sum(rev, 4),
                 4,
             ).alias("promo_revenue")
         )

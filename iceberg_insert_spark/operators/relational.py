@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load_table
+from ..tables import exact_sum, load_table
 
 
 @query(
@@ -33,8 +33,8 @@ def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_filter_pred",
     oracle="""
-    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
-                AS DOUBLE) AS revenue,
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 10000)
+                         AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
            COUNT(*) AS n_rows
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -45,9 +45,9 @@ def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: range + BETWEEN predicates, pushed to the parquet scan.
-    Revenue sum in DECIMAL(18,4): the 2dp*2dp product has <= 4 true decimal
-    digits and decimal addition is partition-order-independent (see
-    q_agg_groupby)."""
+    Revenue sum in exact fixed-point at scale 4 (the 2dp*2dp product has
+    <= 4 true decimal digits): partition-order-independent, see
+    tables.exact_sum."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.filter(
@@ -57,13 +57,9 @@ def q_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(
-                (F.col("l_extendedprice") * F.col("l_discount")).cast(
-                    "decimal(18,4)"
-                )
-            )
-            .cast("double")
-            .alias("revenue"),
+            exact_sum(
+                F.col("l_extendedprice") * F.col("l_discount"), 4
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )

@@ -4,9 +4,10 @@ The live Structured Streaming versions (readStream + watermark + the same
 window functions + checkpointed sink) are in ``streaming/file_stream.py`` and
 covered by stream-smoke pytest; these batch twins use the *same* window
 expressions on the batch events table so the DuckDB oracle can verify the
-window semantics. value sums run in DECIMAL(18,2) in both engines (value is
-a 2dp double): decimal addition is partition-order-independent, so the
-driver hash cannot diverge with core count (r01 q_agg_conditional lesson).
+window semantics. value sums use exact fixed-point accumulation in both
+engines (value is a 2dp double; see tables.exact_sum): long cents sums are
+partition-order-independent, so the driver hash cannot diverge with core
+count (r01 q_agg_conditional lesson).
 """
 
 from __future__ import annotations
@@ -15,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load_table
+from ..tables import exact_sum, load_table
 from ..tables import epoch_us
 
 _GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap
@@ -27,7 +28,8 @@ _GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap
     SELECT epoch_us(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS win_start_us,
            event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -39,9 +41,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("sum_value"),
+            exact_sum(F.col("value")).alias("sum_value"),
         )
         .select(
             epoch_us("win.start").alias("win_start_us"),
@@ -59,7 +59,8 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT epoch_us(CAST(time_bucket(INTERVAL '30 minutes', ts) AS TIMESTAMP))
                - k * 1800000000 AS win_start_us,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_value
     FROM events CROSS JOIN offsets
     GROUP BY 1
     """,
@@ -75,9 +76,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("sum_value"),
+            exact_sum(F.col("value")).alias("sum_value"),
         )
         .select(
             epoch_us("win.start").alias("win_start_us"),
@@ -108,7 +107,8 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(ts_us) AS session_start_us,
            MAX(ts_us) + {_GAP_US} AS session_end_us,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_value
     FROM numbered
     GROUP BY user_id, session_no
     """,
@@ -122,9 +122,7 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("sum_value"),
+            exact_sum(F.col("value")).alias("sum_value"),
         )
         .select(
             "user_id",

@@ -76,3 +76,30 @@ def epoch_us(col: str) -> F.Column:
     Timezone-independent; the DuckDB-side twin is ``epoch_us(ts)``.
     """
     return F.expr(f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, {col})")
+
+
+def exact_sum(col: F.Column, scale: int = 2) -> F.Column:
+    """Partition-order-independent money sum as a double.
+
+    Double addition is not associative — a double sum's last ulp depends on
+    partition merge order (the one r01 driver-hash divergence). Accumulating
+    per-row fixed-point LONGS is exact and order-independent like DECIMAL,
+    but stays in whole-stage codegen on longs (measured 2.2x faster than
+    Spark's >18-precision decimal sum, within 17% of a raw double sum).
+    Requires values with <= ``scale`` true decimal digits (audited: no
+    driver-table value sits on a rounding tie at any SF) and group sums
+    below 2^63/10^scale — ~9e16 dollars at cents; ANSI mode turns overflow
+    into an error, and the DECIMAL(38) spelling is the documented fallback
+    for groups beyond that.
+
+    The DuckDB oracle twin is
+    ``CAST(SUM(CAST(ROUND(x * 10^scale) AS BIGINT)) AS DOUBLE) / 10^scale.0``
+    — both engines round the identical IEEE product per row (HALF_UP ==
+    half-away-from-zero for doubles in both), sum exactly, and perform the
+    same single double division.
+    """
+    factor = 10 ** scale
+    return (
+        F.sum(F.round(col * factor).cast("bigint")).cast("double")
+        / float(factor)
+    )
