@@ -488,3 +488,117 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("repetition_ratio"),
     )
+
+
+PACK_TOKEN_BUDGET = 256
+
+
+@query(
+    "q_docs_pack",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(FLOOR(CAST(SUM(n_tokens) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tokens AS DOUBLE) / {PACK_TOKEN_BUDGET}) AS BIGINT)
+               AS pack_id
+    FROM t
+    """,
+)
+def q_docs_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: assign documents to fixed token-budget
+    packs by streaming cumulative token count per source (docs concatenate
+    into a pack until the budget spills, then a new pack starts) — the
+    standard pre-tokenization packing pass that turns ragged documents into
+    dense context windows.
+
+    One window pass partitioned by source (the packing unit), integral token
+    counts so the running sum is exact. At 100 TB each source partition
+    packs independently — the window shuffle is the only exchange, and the
+    greedy-by-id order is reproducible across runs, which training-data
+    lineage requires."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    n_tokens = F.size(F.split("text", " ")).cast("bigint")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = d.select("doc_id", "source", n_tokens.alias("n_tokens"))
+    prefix_excl = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return base.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(prefix_excl.cast("double") / PACK_TOKEN_BUDGET)
+        .cast("bigint")
+        .alias("pack_id"),
+    )
+
+
+SHUFFLE_SEED = 20260813
+
+
+SHUFFLE_PARTITIONS = 32
+
+
+@query("q_docs_shuffle")
+def q_docs_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle: order the corpus by a seeded hash of the
+    document key — reproducible epoch shuffling for training-data export
+    (same seed -> same permutation on any cluster size; new seed -> new
+    permutation). Rows-only check: the permutation is a function of Spark's
+    xxhash64, which no SQL oracle reproduces; the permutation/determinism
+    properties are pinned in tests/test_properties.py.
+
+    Scale shape: a range-partitioned sort on the hash key (balanced output
+    partitions regardless of input skew — hash values are uniform), then
+    positions via the scalable zipWithIndex pattern: row_number WITHIN each
+    sorted partition (parallel window, no cross-partition data movement)
+    plus per-partition offsets from a #partitions-row count aggregate — the
+    ONE global window a naive row_number() over the full order would have
+    collapsed into a single task. Driver handles only the
+    SHUFFLE_PARTITIONS-row offset table."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    key = F.xxhash64(F.col("doc_id"), F.lit(SHUFFLE_SEED))
+    ordered = (
+        d.select("doc_id", key.alias("shuffle_key"))
+        .repartitionByRange(SHUFFLE_PARTITIONS, "shuffle_key", "doc_id")
+        .sortWithinPartitions("shuffle_key", "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        # pin partition contents: the offset job and the position job must
+        # see the SAME range split (repartitionByRange samples boundaries)
+        .localCheckpoint(eager=True)
+    )
+    counts = [
+        (r["_pid"], r["n"])
+        for r in ordered.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    offsets, acc = {}, 0
+    for pid, n in sorted(counts):
+        offsets[pid] = acc
+        acc += n
+    offset_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
+        )
+    )
+    w = Window.partitionBy("_pid").orderBy("shuffle_key", "doc_id")
+    return (
+        ordered.join(offset_df, "_pid")
+        .select(
+            "doc_id",
+            (F.row_number().over(w) + F.col("_off")).cast("bigint").alias(
+                "shuffle_pos"
+            ),
+        )
+    )

@@ -322,6 +322,26 @@ def test_connected_components_logarithmic_rounds_on_path_graph(spark):
     assert got == {(i, 0) for i in range(n)}
 
 
+def test_docs_shuffle_is_deterministic_permutation(spark):
+    """q_docs_shuffle must emit a bijection doc_id -> 1..n, identical across
+    invocations (reproducible epoch shuffle), and not the identity order
+    (the hash actually permutes)."""
+    from .conftest import SF_DIR
+
+    a = {(r.doc_id, r.shuffle_pos)
+         for r in QUERIES["q_docs_shuffle"](spark, SF_DIR).collect()}
+    b = {(r.doc_id, r.shuffle_pos)
+         for r in QUERIES["q_docs_shuffle"](spark, SF_DIR).collect()}
+    assert a == b
+    n = len(a)
+    assert {p for _, p in a} == set(range(1, n + 1))
+    assert len({d for d, _ in a}) == n
+    identity = sorted(a) == [
+        (d, i + 1) for i, (d, _) in enumerate(sorted(a))
+    ]
+    assert not identity, "shuffle must not preserve doc_id order"
+
+
 def test_minhash_recall_on_high_similarity_pairs(spark):
     """Tier consistency on the driver tables: every exact-Jaccard pair at
     >= 0.9 must be recovered by the MinHash tier (banding miss probability
