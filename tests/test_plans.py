@@ -124,3 +124,77 @@ def test_no_accidental_cartesian(name, spark):
     unless the algorithm is explicitly all-pairs (whitelist above)."""
     p = plan_of(QUERIES[name](spark, SF_DIR))
     assert "CartesianProduct" not in p, f"{name} plans a cartesian product"
+
+
+def test_q18_semi_join_broadcasts_filter_list(spark):
+    """Q18's big-order list must reach lineitem as a BROADCAST semi-join:
+    the HAVING aggregate shrinks it to dimension size, and shuffling the
+    full fact table against it instead would be the 100 TB mistake."""
+    p = plan_of(QUERIES["q_tpch_q18"](spark, SF_DIR))
+    assert "LeftSemi" in p
+    semi_section = p[p.index("LeftSemi") :][:400]
+    assert "Broadcast" in semi_section or "BroadcastExchange" in p
+
+
+def test_q13_filter_stays_in_left_join(spark):
+    """Q13's priority filter must act on the orders INPUT of the left join
+    (join-time predicate). If it leaked above the join as a post-filter it
+    would silently drop the zero-order customers the query exists to
+    count."""
+    p = plan_of(QUERIES["q_tpch_q13"](spark, SF_DIR))
+    # the left outer join is present and no Filter node sits above it
+    assert "LeftOuter" in p
+    join_pos = p.index("LeftOuter")
+    above = p[:join_pos]
+    assert "1-URGENT" not in above.split("Filter")[0], (
+        "priority predicate must not filter the join OUTPUT"
+    )
+
+
+def test_docs_pack_single_window_exchange(spark):
+    """Sequence packing must be ONE hash exchange (the per-source window);
+    a second exchange would mean the running sum re-shuffles what the
+    window already partitioned. Count detail-section nodes, not raw
+    substrings — formatted explain prints every node twice (tree +
+    details)."""
+    import re
+
+    p = plan_of(QUERIES["q_docs_pack"](spark, SF_DIR))
+    exchanges = re.findall(r"^\(\d+\) Exchange", p, re.M)
+    assert len(exchanges) == 1, exchanges
+
+
+def test_schema_evolution_read_adds_no_shuffle(spark):
+    """The evolved-table read must stay a union of parallel scans with
+    per-row casts — schema resolution is free at read time; any Exchange
+    below the final aggregate would mean evolution added a shuffle."""
+    import shutil
+
+    from iceberg_insert_spark.sources.schema_evolution import EvolvingTable
+    from pyspark.sql import types as T
+
+    path = "/tmp/iceberg_insert_spark/evolve_plan_test"
+    shutil.rmtree(path, ignore_errors=True)
+    tbl = EvolvingTable(path)
+    tbl.create(T.StructType([T.StructField("id", T.IntegerType())]))
+    tbl.append(spark.range(10).select(F_col_int()))
+    tbl.widen_column("id", T.LongType())
+    tbl.append(spark.range(10, 20).select(F_col_long()))
+    import re
+
+    p = plan_of(tbl.read(spark))
+    assert "Exchange" not in p
+    scans = re.findall(r"^\(\d+\) Scan parquet", p, re.M)
+    assert len(scans) == 2, scans  # one per schema version, parallel union
+
+
+def F_col_int():
+    from pyspark.sql import functions as F
+
+    return F.col("id").cast("int").alias("id")
+
+
+def F_col_long():
+    from pyspark.sql import functions as F
+
+    return F.col("id").alias("id")
