@@ -272,6 +272,37 @@ def test_minhash_finds_every_exact_duplicate(spark, texts):
                 assert pairs.get((i, j)) == 1.0, (i, j, texts[i])
 
 
+money_strategy = st.lists(
+    st.integers(-10_000_000, 10_000_000).map(lambda c: c / 100.0),  # 2dp
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(values=money_strategy)
+@settings(**SETTINGS)
+def test_exact_sum_is_partition_order_independent(spark, values):
+    """tables.exact_sum's whole contract: the same rows summed under 1 and
+    32 partitions (different merge orders) must produce BIT-IDENTICAL
+    doubles, equal to the exact python cents total — where a plain double
+    sum is allowed to drift in its last ulp."""
+    from iceberg_insert_spark.tables import exact_sum
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(v,) for v in values], "x double")
+    outs = set()
+    for parts in (1, 7, 32):
+        row = (
+            df.repartition(parts)
+            .agg(exact_sum(F.col("x")).alias("s"))
+            .first()
+        )
+        outs.add(row["s"].hex())
+    assert len(outs) == 1, outs
+    expected = sum(round(v * 100) for v in values) / 100.0
+    assert float.fromhex(outs.pop()) == expected
+
+
 def _union_find_labels(pairs: list[tuple[int, int]]) -> dict[int, int]:
     parent: dict[int, int] = {}
 
