@@ -355,6 +355,106 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANN_SEED = 20260813
+ANN_SIG_BITS = 30
+ANN_BANDS = 10  # 3 bits per band
+ANN_BUCKET_CAP = 2000
+
+
+@query("q_dedup_embedding_ann")
+def q_dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, ANN tier: random-hyperplane LSH buckets ->
+    exact cosine re-score WITHIN buckets — the 100 TB path that replaces
+    q_dedup_embedding's exact all-pairs O(n^2) compute (r01's one
+    perf_weak item).
+
+    Shape: one mapInPandas pass computes a seeded SIG_BITS hyperplane
+    signature per vector (sign of e.H — one numpy matmul per Arrow batch)
+    and emits BANDS banded keys; only vectors agreeing on all bits of some
+    band meet, in a per-(band,bucket) applyInPandas matmul over
+    cache-sized groups. Work scales with sum(bucket_size^2), not n^2; the
+    window cap drops degenerate hot buckets (same guard as the MinHash
+    tier). Collision probability per band is (1-theta/pi)^3, so recall
+    concentrates exactly where dedup cares: >=0.85-cosine pairs are found
+    with p>0.999 while the 0.4-threshold tail is intentionally sampled —
+    the exact tier remains the ground-truth oracle at validation scale.
+    Every REPORTED pair carries its exact cosine (re-scored, not
+    estimated), so downstream thresholds compose bit-for-bit with the
+    exact tier. Rows-only check; subset + recall properties pinned in
+    tests/test_properties.py.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def signatures(batches):
+        H = None
+        band_ids = np.arange(ANN_BANDS)
+        weights = np.array([1, 2, 4])  # 3 bits/band -> bucket key
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if H is None:
+                dim = len(pdf["embedding"].iat[0])
+                H = np.random.RandomState(ANN_SEED).standard_normal(
+                    (dim, ANN_SIG_BITS)
+                )
+            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            bits = (m @ H) >= 0.0  # n x SIG_BITS
+            keys = bits.reshape(len(pdf), ANN_BANDS, 3) @ weights  # n x BANDS
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), ANN_BANDS),
+                    "band": np.tile(band_ids, len(pdf)),
+                    "bucket": keys.astype(np.int64).ravel(),
+                    "embedding": np.repeat(pdf["embedding"].to_numpy(), ANN_BANDS),
+                }
+            )
+
+    sig = emb.mapInPandas(
+        signatures, "vec_id long, band int, bucket long, embedding array<float>"
+    )
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("band", "bucket")
+    sig = sig.withColumn("_n", F.count(F.lit(1)).over(wb)).filter(
+        F.col("_n") <= ANN_BUCKET_CAP
+    )
+
+    def bucket_cosine(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []})
+        if len(pdf) < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy()
+        m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        sims = (m @ m.T) / np.outer(
+            np.linalg.norm(m, axis=1), np.linalg.norm(m, axis=1)
+        )
+        ii, jj = np.triu_indices(len(ids), k=1)
+        cs = sims[ii, jj]
+        keep = cs >= COSINE_DUP_THRESHOLD - 1e-9  # slack; exact cut below
+        va, vb, cs = ids[ii[keep]], ids[jj[keep]], cs[keep]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(va, vb),
+                "vec_b": np.maximum(va, vb),
+                "cos_sim": cs,
+            }
+        )
+
+    raw = sig.groupBy("band", "bucket").applyInPandas(
+        bucket_cosine, "vec_a bigint, vec_b bigint, cos_sim double"
+    )
+    # A pair can collide in several bands: dedup by key (cos is identical).
+    # Rounding + exact threshold JVM-side, matching the exact tier's cut.
+    return (
+        raw.groupBy("vec_a", "vec_b")
+        .agg(F.round(F.max("cos_sim"), 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
+    )
+
+
 CC_MAX_ITERS = 10
 CC_PARTITIONS = 8
 

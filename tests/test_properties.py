@@ -373,6 +373,55 @@ def test_docs_shuffle_is_deterministic_permutation(spark):
     assert not identity, "shuffle must not preserve doc_id order"
 
 
+def _write_embeddings_with_dups(n_base: int = 120, dim: int = 64) -> str:
+    """Base random vectors plus planted near-duplicates (tiny perturbation,
+    cosine > 0.99) — the driver fixtures top out at cosine ~0.5, so recall
+    on genuinely-near pairs needs planted ground truth."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((n_base, dim)).astype(np.float32)
+    dup = base[: n_base // 4] + 0.01 * rng.standard_normal(
+        (n_base // 4, dim)
+    ).astype(np.float32)
+    mat = np.vstack([base, dup])
+    d = f"{BASE}/{uuid.uuid4().hex[:12]}"
+    os.makedirs(d, exist_ok=True)
+    pd.DataFrame(
+        {
+            "vec_id": range(len(mat)),
+            "embedding": [row for row in mat],
+            "label": ["x"] * len(mat),
+        }
+    ).to_parquet(f"{d}/embeddings.parquet", index=False)
+    return d
+
+
+def test_embedding_ann_subset_and_recall(spark):
+    """ANN embedding dedup tier: every reported pair must appear in the
+    exact tier with the IDENTICAL re-scored cosine (candidates are scored
+    exactly, never estimated), and every planted near-duplicate (cosine
+    >= 0.85; ~0.99 by construction) must be recovered — hyperplane banding
+    miss probability < 1e-3 there, and the seeded hyperplanes make the
+    outcome a fixed property of the data, not a flake."""
+    sf = _write_embeddings_with_dups()
+    exact = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in QUERIES["q_dedup_embedding"](spark, sf).collect()
+    }
+    ann = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in QUERIES["q_dedup_embedding_ann"](spark, sf).collect()
+    }
+    assert ann, "ANN tier should find pairs on the planted fixture"
+    for pair, cs in ann.items():
+        assert exact.get(pair) == cs, (pair, cs, exact.get(pair))
+    high = {p for p, cs in exact.items() if cs >= 0.85}
+    assert len(high) >= 30, "fixture must contain planted near-dups"
+    missed = high - set(ann)
+    assert not missed, f"ANN missed high-cosine pairs: {sorted(missed)[:5]}"
+
+
 def test_minhash_recall_on_high_similarity_pairs(spark):
     """Tier consistency on the driver tables: every exact-Jaccard pair at
     >= 0.9 must be recovered by the MinHash tier (banding miss probability
