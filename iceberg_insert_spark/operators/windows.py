@@ -202,10 +202,7 @@ def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SCD2_CURRENT_SENTINEL_US = 253_402_300_800_000_000  # 9999-12-31T00:00:00Z
 
-
-@query(
-    "q_scd2_intervals",
-    oracle=f"""
+_SCD2_REBUILD_SQL = f"""
     SELECT user_id, event_id,
            value AS state_value,
            epoch_us(CAST(ts AS TIMESTAMP)) AS valid_from_us,
@@ -217,8 +214,28 @@ SCD2_CURRENT_SENTINEL_US = 253_402_300_800_000_000  # 9999-12-31T00:00:00Z
                 AS BIGINT) AS is_current
     FROM events
     WHERE event_type = 'purchase'
-    """,
-)
+    """
+
+
+def _scd2_build(changes: DataFrame) -> DataFrame:
+    """Change stream -> SCD2 validity intervals (one window pass per key)."""
+    from ..tables import epoch_us
+
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    ts_us = epoch_us("ts")
+    return changes.select(
+        "user_id",
+        "event_id",
+        F.col("value").alias("state_value"),
+        ts_us.alias("valid_from_us"),
+        F.coalesce(
+            F.lead(ts_us).over(w), F.lit(SCD2_CURRENT_SENTINEL_US)
+        ).alias("valid_to_us"),
+        F.lead("event_id").over(w).isNull().cast("bigint").alias("is_current"),
+    )
+
+
+@query("q_scd2_intervals", oracle=_SCD2_REBUILD_SQL)
 def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 dimension build: turn a change stream (purchases as state
     changes per user) into validity intervals [valid_from, valid_to) with an
@@ -233,17 +250,71 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )
+    return _scd2_build(ev)
+
+
+SCD2_CUTOFF = "2024-01-20 00:00:00"
+
+
+@query("q_scd2_incremental", oracle=_SCD2_REBUILD_SQL)
+def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance — merge a new change batch into an
+    existing dimension WITHOUT rebuilding history, oracled against the full
+    rebuild (same SQL as q_scd2_intervals): the incremental path must be
+    indistinguishable from recomputing everything.
+
+    The dimension is built from changes before SCD2_CUTOFF; the batch is
+    everything after. Merge touches ONLY keys present in the batch:
+      * untouched users' rows pass through (anti-join on the batch's tiny
+        distinct-key set);
+      * touched users' CLOSED rows pass through unchanged (history is
+        immutable);
+      * each touched user's OPEN row closes at that user's first batch
+        change (broadcast of a per-key min — batch-sized, not dim-sized);
+      * the batch itself chains through the same one-window build.
+    At 100 TB the cost is O(batch + touched keys), never O(dimension):
+    history is neither read nor rewritten beyond the open rows, which is
+    exactly Iceberg MERGE's matched-row surface."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
     from ..tables import epoch_us
 
-    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
-    ts_us = epoch_us("ts")
-    return ev.select(
+    cutoff = F.lit(SCD2_CUTOFF).cast("timestamp_ntz")
+    dim = _scd2_build(ev.filter(F.col("ts") < cutoff))
+    batch = ev.filter(F.col("ts") >= cutoff)
+
+    touched = batch.select("user_id").distinct()
+    untouched = dim.join(F.broadcast(touched), "user_id", "left_anti")
+    t_dim = dim.join(F.broadcast(touched), "user_id")
+    hist = t_dim.filter(F.col("is_current") == 0)
+    first_batch = batch.groupBy("user_id").agg(
+        F.min(epoch_us("ts")).alias("_first_us")
+    )
+    closed_open = (
+        t_dim.filter(F.col("is_current") == 1)
+        .join(F.broadcast(first_batch), "user_id")
+        .select(
+            "user_id",
+            "event_id",
+            "state_value",
+            "valid_from_us",
+            F.col("_first_us").alias("valid_to_us"),
+            F.lit(0).cast("bigint").alias("is_current"),
+        )
+    )
+    new_rows = _scd2_build(batch)
+    cols = [
         "user_id",
         "event_id",
-        F.col("value").alias("state_value"),
-        ts_us.alias("valid_from_us"),
-        F.coalesce(
-            F.lead(ts_us).over(w), F.lit(SCD2_CURRENT_SENTINEL_US)
-        ).alias("valid_to_us"),
-        F.lead("event_id").over(w).isNull().cast("bigint").alias("is_current"),
+        "state_value",
+        "valid_from_us",
+        "valid_to_us",
+        "is_current",
+    ]
+    return (
+        untouched.select(cols)
+        .unionByName(hist.select(cols))
+        .unionByName(closed_open.select(cols))
+        .unionByName(new_rows.select(cols))
     )
