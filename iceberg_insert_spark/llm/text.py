@@ -602,3 +602,182 @@ def q_docs_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+BP_NGRAM = 3
+
+
+def _gram_expr(n: int) -> F.Column:
+    """Guarded word n-gram list over a pre-split token array column `t`.
+
+    Docs with < n tokens yield an EMPTY list: sequence(0, -1) is descending
+    in Spark and ANSI slice/index then throws, so the short-doc branch is
+    explicit (same contract as the oracle's empty RANGE)."""
+    return F.expr(
+        f"CASE WHEN size(t) >= {n} THEN"
+        f" transform(sequence(0, size(t) - {n}),"
+        f" i -> concat_ws(' ', slice(t, i + 1, {n})))"
+        f" ELSE CAST(array() AS array<string>) END"
+    )
+
+
+@query(
+    "q_text_boilerplate",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+    ), g AS (
+        SELECT doc_id,
+               UNNEST([ARRAY_TO_STRING(t[i : i + {BP_NGRAM} - 1], ' ')
+                       FOR i IN RANGE(1, GREATEST(LEN(t) - {BP_NGRAM}
+                                                  + 2, 1))]) AS gram
+        FROM toks
+    ), bp AS (
+        SELECT gram
+        FROM (SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gram)
+        WHERE df >= GREATEST(2, CEIL(0.01 * (SELECT COUNT(*) FROM documents)))
+    ), per AS (
+        SELECT doc_id, COUNT(*) AS n_grams,
+               SUM(CASE WHEN gram IN (SELECT gram FROM bp)
+                        THEN 1 ELSE 0 END) AS n_bp
+        FROM g GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_bp AS BIGINT) AS n_bp,
+           ROUND(CAST(n_bp AS DOUBLE) / n_grams, 6) AS bp_ratio
+    FROM per
+    """,
+)
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection: word {BP_NGRAM}-grams whose
+    document frequency reaches >= max(2, 1% of the corpus) are "boilerplate"
+    (headers, license blurbs, nav chrome in real corpora); each doc then
+    scores the fraction of its gram stream that is boilerplate — the
+    corpus-level complement to q_text_repetition's within-doc signal, and
+    the standard filter before near-dedup (boilerplate inflates MinHash
+    similarity between unrelated pages).
+
+    Scale shape: gram doc-frequency is one (gram)-keyed agg with map-side
+    partial aggregation; the surviving heavy set is SMALL BY CONSTRUCTION
+    (df >= 1% of docs caps it at 100/pct grams), so the per-doc re-score is
+    a broadcast left-join over the gram stream — the corpus shuffles once
+    for the DF count and once for the per-doc re-agg, never for the
+    membership probe. The 1% threshold is a fraction, not an absolute, so
+    the operator's selectivity is SF-invariant from the sf0.001 fixtures to
+    100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    g = toks.select("doc_id", F.explode(_gram_expr(BP_NGRAM)).alias("gram"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("_n"))
+    df_gram = (
+        g.distinct().groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    )
+    bp = (
+        df_gram.crossJoin(F.broadcast(n_docs))
+        .filter(
+            F.col("df")
+            >= F.greatest(F.lit(2).cast("bigint"), F.ceil(0.01 * F.col("_n")))
+        )
+        .select("gram")
+    )
+    per = (
+        g.join(F.broadcast(bp.withColumn("_bp", F.lit(1))), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("_bp"), F.lit(0)).cast("bigint").alias("n_bp"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_grams",
+        "n_bp",
+        F.round(F.col("n_bp").cast("double") / F.col("n_grams"), 6).alias(
+            "bp_ratio"
+        ),
+    )
+
+
+TOPK_NGRAMS = 25
+
+
+@query(
+    "q_text_topk_ngrams",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+    ), g AS (
+        SELECT UNNEST([ARRAY_TO_STRING(t[i : i + {BP_NGRAM} - 1], ' ')
+                       FOR i IN RANGE(1, GREATEST(LEN(t) - {BP_NGRAM}
+                                                  + 2, 1))]) AS gram
+        FROM toks
+    )
+    SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM g GROUP BY gram
+    ORDER BY cnt DESC, gram
+    LIMIT {TOPK_NGRAMS}
+    """,
+)
+def q_text_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: the {TOPK_NGRAMS} most frequent word
+    {BP_NGRAM}-grams — the exact counterpart of sketch-based frequent-items
+    mining, used to surface candidate boilerplate/common-phrase lists for
+    q_text_boilerplate-style filtering.
+
+    Scale shape: explode -> hash agg with map-side partial aggregation (the
+    per-partition combine collapses the gram stream before the one shuffle),
+    then orderBy+limit plans as TakeOrderedAndProject — each partition keeps
+    its local top-{TOPK_NGRAMS} and the driver merges K-sized heaps; the
+    full sorted gram table never materializes. (cnt DESC, gram ASC) is a
+    total order, so the LIMIT boundary is deterministic in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    g = toks.select(F.explode(_gram_expr(BP_NGRAM)).alias("gram"))
+    return (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(TOPK_NGRAMS)
+    )
+
+
+SPLIT_TRAIN_LT = "d000"  # md5-prefix < this -> train  (~81.25%)
+SPLIT_VAL_LT = "e800"  # else < this -> val (~9.4%); remainder test
+
+
+@query(
+    "q_docs_split_hash",
+    oracle=f"""
+    SELECT doc_id,
+           SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 4) AS hash_bucket,
+           CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 4)
+                     < '{SPLIT_TRAIN_LT}' THEN 'train'
+                WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 4)
+                     < '{SPLIT_VAL_LT}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def q_docs_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent key
+    hash: the first 4 hex chars of md5(doc_id) partition [0, 0xffff] into
+    ~81/9/10% bands. The property that matters for training pipelines:
+    membership is a pure function of the key — stable across runs, cluster
+    sizes, and engines (md5 is the oracle-reproducible choice; xxhash64
+    is Spark-private), so adding documents never reshuffles existing
+    assignments the way random() or modulo-on-row-number splits do.
+
+    Zero shuffles — a row-local projection that stays in whole-stage
+    codegen; fixed-length lowercase-hex prefixes compare lexicographically
+    exactly like their numeric values, so the band predicate is a plain
+    string comparison in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    return d.select(
+        "doc_id",
+        bucket.alias("hash_bucket"),
+        F.when(bucket < SPLIT_TRAIN_LT, "train")
+        .when(bucket < SPLIT_VAL_LT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -198,3 +198,35 @@ def F_col_long():
     from pyspark.sql import functions as F
 
     return F.col("id").alias("id")
+
+
+def test_topk_ngrams_take_ordered(spark):
+    """Corpus heavy-hitters must plan as partial+final HashAggregate feeding
+    TakeOrderedAndProject — a global Sort of the gram table would
+    materialize billions of rows to keep 25."""
+    import re
+
+    p = plan_of(QUERIES["q_text_topk_ngrams"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+    assert len(re.findall(r"^\(\d+\) HashAggregate", p, re.M)) >= 2
+    assert not re.search(r"^\(\d+\) Sort\b", p, re.M)
+
+
+def test_boilerplate_membership_broadcasts(spark):
+    """The boilerplate-gram membership probe must be a broadcast join (the
+    heavy set is small by construction); a SortMergeJoin would shuffle the
+    full gram stream a third time."""
+    import re
+
+    p = plan_of(QUERIES["q_text_boilerplate"](spark, SF_DIR))
+    assert re.search(r"^\(\d+\) BroadcastHashJoin", p, re.M)
+    assert not re.search(r"^\(\d+\) SortMergeJoin", p, re.M)
+
+
+def test_split_hash_zero_shuffle(spark):
+    """Hash-split assignment is a row-local projection: any Exchange in the
+    plan means the engine is moving 100 TB to compute md5 prefixes."""
+    import re
+
+    p = plan_of(QUERIES["q_docs_split_hash"](spark, SF_DIR))
+    assert not re.search(r"^\(\d+\) Exchange", p, re.M)
