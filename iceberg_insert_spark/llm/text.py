@@ -781,3 +781,31 @@ def q_docs_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+TOPK_SKETCH_CAPACITY = 100_000
+
+
+@query("q_text_topk_approx")
+def q_text_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based corpus heavy hitters: approx_top_k over the token stream
+    — the constant-state, single-pass alternative to q_text_topk_ngrams'
+    exact groupBy when the vocabulary itself is too large to shuffle (URL
+    tokens, raw byte n-grams). The sketch buffer is map-side combinable and
+    O(capacity) regardless of corpus size, so at 100 TB this is one scan +
+    one constant-size merge tree, no token shuffle at all.
+
+    Rows-only: sketch tie-breaking at the k-th boundary is engine-specific.
+    The binding property (every reported count exact while the vocabulary
+    fits the sketch capacity, and never below the exact k-th count) is
+    pinned against the exact query in tests/test_properties.py."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("token"))
+    sk = tok.agg(
+        F.expr(
+            f"approx_top_k(token, {TOPK_NGRAMS}, {TOPK_SKETCH_CAPACITY})"
+        ).alias("tk")
+    )
+    return sk.select(F.inline("tk")).select(
+        F.col("item").alias("token"), F.col("count").alias("cnt")
+    )

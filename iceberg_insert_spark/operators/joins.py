@@ -743,3 +743,67 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+TPCH_Q3_CUTOFF = "1998-06-01"
+
+
+@query(
+    "q_tpch_q3",
+    oracle=f"""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                         AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+           epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS o_orderdate_us,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '{TPCH_Q3_CUTOFF} 00:00:00'
+      AND l_shipdate  > TIMESTAMP '{TPCH_Q3_CUTOFF} 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): segment-filtered customers x
+    date-filtered orders x lineitem, revenue per order, top 10.
+
+    Scale shape: the BUILDING customer-key set is dimension-sized ->
+    broadcast semi-join prunes orders BEFORE the fact join, so the one
+    big shuffle (orders x lineitem on orderkey) moves only pre-filtered
+    rows; both date predicates push to the parquet scans; the final top-10
+    plans as TakeOrderedAndProject ((revenue DESC, l_orderkey) is a total
+    order, so the LIMIT boundary is deterministic). Revenue accumulates in
+    exact fixed-point (tables.exact_sum) — partition-order-independent."""
+    cutoff = F.lit(TPCH_Q3_CUTOFF).cast("timestamp_ntz")
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > cutoff
+    )
+    from ..tables import epoch_us, exact_sum
+
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        o.join(
+            F.broadcast(c), o.o_custkey == F.col("c_custkey"), "left_semi"
+        )
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(exact_sum(rev, 4).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            epoch_us("o_orderdate").alias("o_orderdate_us"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )

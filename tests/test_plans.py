@@ -230,3 +230,15 @@ def test_split_hash_zero_shuffle(spark):
 
     p = plan_of(QUERIES["q_docs_split_hash"](spark, SF_DIR))
     assert not re.search(r"^\(\d+\) Exchange", p, re.M)
+
+
+def test_tpch_q3_top10_and_pushdown(spark):
+    """Q3's top-10 must plan as TakeOrderedAndProject and BOTH date
+    predicates must reach their parquet scans — at 100 TB the date filters
+    are most of the I/O savings and a global sort of per-order revenue
+    would materialize every order to keep 10."""
+    p = plan_of(QUERIES["q_tpch_q3"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert any("LessThan(o_orderdate" in ln for ln in pushed)
+    assert any("GreaterThan(l_shipdate" in ln for ln in pushed)

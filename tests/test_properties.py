@@ -441,3 +441,39 @@ def test_minhash_recall_on_high_similarity_pairs(spark):
     assert high, "fixture should contain high-similarity pairs"
     missed = high - near
     assert not missed, f"MinHash missed high-sim pairs: {sorted(missed)[:5]}"
+
+
+def test_topk_approx_matches_exact_counts(spark):
+    """approx_top_k is EXACT while the distinct-item count fits the sketch
+    capacity: every reported (token, cnt) must equal the true count, and no
+    reported count may fall below the true k-th count (tie CHOICE at the
+    boundary is free; count VALUES are not)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_insert_spark.llm.text import (
+        TOPK_NGRAMS,
+        q_text_topk_approx,
+    )
+    from iceberg_insert_spark.tables import load_table
+
+    from .conftest import SF_DIR
+
+    approx = {
+        r["token"]: r["cnt"]
+        for r in q_text_topk_approx(spark, SF_DIR).collect()
+    }
+    exact = {
+        r["token"]: r["cnt"]
+        for r in (
+            load_table(spark, SF_DIR, "documents")
+            .select(F.explode(F.split("text", " ")).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+    }
+    assert len(approx) == min(TOPK_NGRAMS, len(exact))
+    for tok, cnt in approx.items():
+        assert exact[tok] == cnt, f"sketch count drifted for {tok!r}"
+    kth = sorted(exact.values(), reverse=True)[: TOPK_NGRAMS][-1]
+    assert min(approx.values()) >= kth
