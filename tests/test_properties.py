@@ -246,6 +246,12 @@ def test_short_documents_yield_no_shingles(spark):
     # it is a training doc sharing nothing with the (empty-gram) eval docs
     rows = QUERIES["q_text_decontaminate"](spark, sf).collect()
     assert rows == []
+    # boilerplate + heavy hitters share the same guarded gram builder: only
+    # the two >=3-token docs may surface, and neither query may crash
+    bp = QUERIES["q_text_boilerplate"](spark, sf).collect()
+    assert sorted(r["doc_id"] for r in bp) == [2, 4]
+    grams = QUERIES["q_text_topk_ngrams"](spark, sf).collect()
+    assert {r["gram"] for r in grams} == {"a b c", "w x y", "x y z"}
 
 
 @given(texts=texts_strategy)
