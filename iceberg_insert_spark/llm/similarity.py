@@ -240,3 +240,51 @@ def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q8_csv"
         ),
     )
+
+
+@query(
+    "q_emb_centroids",
+    oracle="""
+    WITH expanded AS (
+        SELECT label,
+               UNNEST(RANGE(1, LEN(embedding) + 1)) AS dim,
+               UNNEST(embedding) AS val
+        FROM embeddings
+    )
+    SELECT label, CAST(dim AS BIGINT) AS dim,
+           ROUND(CAST(SUM(CAST(ROUND(CAST(val AS DOUBLE) * 1000000)
+                               AS BIGINT)) AS DOUBLE)
+                 / 1000000.0 / COUNT(*), 6) AS centroid
+    FROM expanded
+    GROUP BY label, dim
+    """,
+)
+def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (the IVF-training / cluster-profiling
+    primitive): posexplode each vector to (label, dim, value) and average
+    per cell in exact fixed-point (micro-units as LONG, the exact_sum
+    pattern) so the mean is partition-order-independent in both engines.
+
+    Scale shape: the explode multiplies rows x dim, but map-side partial
+    aggregation collapses each partition to at most labels x dim cells
+    before the one exchange — the shuffle moves O(|labels| * dim) rows
+    regardless of corpus size, and the explode itself never shuffles. This
+    is the fully-distributed mean that seeds/audits q_sim_knn_ivf's k-means
+    cells."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "val"))
+    return (
+        ex.groupBy("label", (F.col("pos") + 1).cast("bigint").alias("dim"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(F.col("val").cast("double") * 1000000).cast(
+                        "bigint"
+                    )
+                ).cast("double")
+                / 1000000.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("centroid")
+        )
+    )

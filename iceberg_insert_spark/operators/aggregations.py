@@ -442,3 +442,64 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 2).alias("lo"),
         F.round(F.max("o_totalprice"), 2).alias("hi"),
     )
+
+
+RETENTION_WEEK_US = 7 * 86_400 * 1_000_000
+
+
+@query(
+    "q_events_retention",
+    oracle=f"""
+    WITH signup AS (
+        SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS su_us
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT e.user_id,
+               s.su_us // {RETENTION_WEEK_US} AS cohort_week,
+               (epoch_us(CAST(e.ts AS TIMESTAMP)) - s.su_us)
+                   // {RETENTION_WEEK_US} AS week_offset
+        FROM events e JOIN signup s ON e.user_id = s.user_id
+        WHERE epoch_us(CAST(e.ts AS TIMESTAMP)) >= s.su_us
+    )
+    SELECT cohort_week, week_offset, COUNT(*) AS n_users
+    FROM activity GROUP BY cohort_week, week_offset
+    """,
+)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by signup week, counted once per
+    later week they were active in — the standard product-analytics triangle
+    (cohort_week x week_offset x retained users).
+
+    All week math is integer microseconds-since-epoch floor-division
+    (`div` / `//`), exact and identical in both engines — no calendar
+    functions whose week-start conventions could diverge. Shuffle profile:
+    signup-time agg combines map-side to one row per signing-up user; the
+    events-x-signup join shuffles on user_id (the signup side is a SUBSET of
+    the user dimension — potentially billions at 100 TB, so no broadcast
+    pin; AQE may still choose one when it fits); the per-user dedup reuses
+    that same user_id clustering before the final tiny (cohort, offset)
+    exchange."""
+    from ..tables import epoch_us
+
+    ev = load_table(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(epoch_us("ts")).alias("su_us"))
+    )
+    act = (
+        ev.select("user_id", epoch_us("ts").alias("t_us"))
+        .join(su, "user_id")
+        .filter(F.col("t_us") >= F.col("su_us"))
+        .select(
+            "user_id",
+            F.expr(f"su_us div {RETENTION_WEEK_US}").alias("cohort_week"),
+            F.expr(f"(t_us - su_us) div {RETENTION_WEEK_US}").alias(
+                "week_offset"
+            ),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )

@@ -242,3 +242,15 @@ def test_tpch_q3_top10_and_pushdown(spark):
     pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
     assert any("LessThan(o_orderdate" in ln for ln in pushed)
     assert any("GreaterThan(l_shipdate" in ln for ln in pushed)
+
+
+def test_emb_centroids_single_tiny_exchange(spark):
+    """The centroid mean must partial-aggregate BEFORE its one exchange:
+    the explode multiplies rows x dim, and shuffling that stream raw
+    instead of the O(labels x dim) partials would move the whole corpus
+    x64."""
+    import re
+
+    p = plan_of(QUERIES["q_emb_centroids"](spark, SF_DIR))
+    assert len(re.findall(r"^\(\d+\) HashAggregate", p, re.M)) >= 2
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1
