@@ -254,3 +254,17 @@ def test_emb_centroids_single_tiny_exchange(spark):
     p = plan_of(QUERIES["q_emb_centroids"](spark, SF_DIR))
     assert len(re.findall(r"^\(\d+\) HashAggregate", p, re.M)) >= 2
     assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1
+
+
+def test_tpch_q10_pushdown_and_broadcast(spark):
+    """Q10's selective predicates (quarter, returnflag) must reach their
+    scans before the orderkey shuffle, nation must broadcast, and the top-20
+    must be TakeOrderedAndProject."""
+    import re
+
+    p = plan_of(QUERIES["q_tpch_q10"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert any("EqualTo(l_returnflag,R)" in ln for ln in pushed)
+    assert any("GreaterThanOrEqual(o_orderdate" in ln for ln in pushed)
+    assert re.search(r"^\(\d+\) BroadcastHashJoin", p, re.M)
