@@ -503,3 +503,24 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return act.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+@query("q_agg_percentile_approx")
+def q_agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-tier percentiles: approx_percentile with accuracy 10000 — the
+    fixed-memory mergeable-sketch answer when q_agg_percentile's exact
+    sort-per-group isn't justified at 100 TB. Rows-only: sketch internals
+    (and therefore last-digit estimates) are engine-specific; the exact
+    twin above carries the oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_quantity", F.lit(0.5), F.lit(10000)).alias(
+            "p50_qty"
+        ),
+        F.approx_percentile("l_quantity", F.lit(0.9), F.lit(10000)).alias(
+            "p90_qty"
+        ),
+        F.approx_percentile(
+            "l_extendedprice", F.lit(0.5), F.lit(10000)
+        ).alias("p50_price"),
+    )

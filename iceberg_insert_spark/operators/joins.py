@@ -868,3 +868,37 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@query(
+    "q_join_skew_salted",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           ROUND(e.value, 2) AS value, c.c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join surfaced as a query: purchases joined to their
+    customer row through `salted_join`, oracled against the PLAIN SQL join —
+    salting is a physical rewrite and must be row-invisible.
+
+    When one user owns >10% of a 100 TB event stream, a hash join sends all
+    its rows to one reducer; the salt spreads them over SALT_FACTOR
+    reducers at the cost of replicating the (dimension-sized) build side
+    SALT_FACTOR ways. AQE's skewedJoin handles moderate skew at runtime;
+    this is the manual escape hatch for pathological keys, kept
+    result-identical (this oracle + the row-equivalence property test in
+    tests/test_salted_join.py)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    c = load_table(spark, sf_dir, "customer")
+    joined = salted_join(ev, c, "user_id", "c_custkey")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round("value", 2).alias("value"),
+        "c_mktsegment",
+    )
