@@ -278,11 +278,19 @@ def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )
+    return scd2_merge(ev, SCD2_CUTOFF)
+
+
+def scd2_merge(changes: DataFrame, cutoff_ts: str) -> DataFrame:
+    """Merge the post-cutoff slice of a change stream into the SCD2
+    dimension built from the pre-cutoff slice; see q_scd2_incremental for
+    the merge surface. Equality with the full rebuild for ANY cutoff is
+    pinned by tests/test_properties.py::test_scd2_incremental_any_cutoff."""
     from ..tables import epoch_us
 
-    cutoff = F.lit(SCD2_CUTOFF).cast("timestamp_ntz")
-    dim = _scd2_build(ev.filter(F.col("ts") < cutoff))
-    batch = ev.filter(F.col("ts") >= cutoff)
+    cutoff = F.lit(cutoff_ts).cast("timestamp_ntz")
+    dim = _scd2_build(changes.filter(F.col("ts") < cutoff))
+    batch = changes.filter(F.col("ts") >= cutoff)
 
     touched = batch.select("user_id").distinct()
     untouched = dim.join(F.broadcast(touched), "user_id", "left_anti")

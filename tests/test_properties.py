@@ -483,3 +483,32 @@ def test_topk_approx_matches_exact_counts(spark):
         assert exact[tok] == cnt, f"sketch count drifted for {tok!r}"
     kth = sorted(exact.values(), reverse=True)[: TOPK_NGRAMS][-1]
     assert min(approx.values()) >= kth
+
+
+def test_scd2_incremental_any_cutoff(spark):
+    """The incremental SCD2 merge must equal the full rebuild for ANY batch
+    cutoff — including a cutoff before all data (dimension empty: pure
+    initial load) and after all data (batch empty: pure pass-through)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_insert_spark.operators.windows import (
+        _scd2_build,
+        scd2_merge,
+    )
+    from iceberg_insert_spark.tables import load_table
+
+    from .conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    rebuilt = sorted(map(tuple, _scd2_build(ev).collect()))
+    for cutoff in (
+        "2020-01-01 00:00:00",  # everything is batch
+        "2024-01-05 12:00:00",
+        "2024-01-13 03:17:00",
+        "2024-01-28 00:00:00",
+        "2030-01-01 00:00:00",  # everything is dimension
+    ):
+        merged = sorted(map(tuple, scd2_merge(ev, cutoff).collect()))
+        assert merged == rebuilt, f"cutoff {cutoff} diverged"
