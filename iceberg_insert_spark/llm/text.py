@@ -809,3 +809,208 @@ def q_text_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.select(F.inline("tk")).select(
         F.col("item").alias("token"), F.col("count").alias("cnt")
     )
+
+
+PIPE_MIN_TOKENS = 15
+PIPE_MAX_REP = 0.06
+PIPE_MAX_BP = 0.06
+
+
+@query(
+    "q_pipeline_e2e",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, text, source, STRING_SPLIT(text, ' ') AS t FROM documents
+    ), feat AS (
+        SELECT doc_id, text, source,
+               CAST(LEN(t) AS BIGINT) AS n_tokens,
+               CASE WHEN LEN(t) >= 2 THEN
+                 ROUND(1.0 - CAST(LEN(list_distinct([t[i] || ' ' || t[i+1]
+                                FOR i IN RANGE(1, LEN(t))])) AS DOUBLE)
+                       / (LEN(t) - 1), 6)
+               ELSE 0.0 END AS rep_ratio
+        FROM toks
+    ), g AS (
+        SELECT doc_id, UNNEST([ARRAY_TO_STRING(t[i : i + 2], ' ')
+                               FOR i IN RANGE(1, GREATEST(LEN(t) - 1, 1))]) AS gram
+        FROM toks
+    ), bp AS (
+        SELECT gram
+        FROM (SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gram)
+        WHERE df >= GREATEST(2, CEIL(0.01 * (SELECT COUNT(*) FROM documents)))
+    ), bpr AS (
+        SELECT doc_id, COUNT(*) AS n_grams,
+               SUM(CASE WHEN gram IN (SELECT gram FROM bp)
+                        THEN 1 ELSE 0 END) AS n_bp
+        FROM g GROUP BY doc_id
+    ), quality AS (
+        SELECT f.doc_id, f.text, f.source, f.n_tokens
+        FROM feat f LEFT JOIN bpr ON f.doc_id = bpr.doc_id
+        WHERE f.n_tokens >= {PIPE_MIN_TOKENS}
+          AND f.rep_ratio <= {PIPE_MAX_REP}
+          AND ROUND(COALESCE(CAST(bpr.n_bp AS DOUBLE) / bpr.n_grams, 0.0), 6)
+              <= {PIPE_MAX_BP}
+    ), dedup AS (
+        SELECT doc_id, text, source, n_tokens FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+            FROM quality
+        ) WHERE rn = 1
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               UNNEST([ARRAY_TO_STRING(t[i : i + {DECONTAM_NGRAM} - 1], ' ')
+                       FOR i IN RANGE(1, GREATEST(LEN(t) - {DECONTAM_NGRAM}
+                                                  + 2, 1))]) AS gram
+        FROM toks
+    ), eval_sh AS (
+        SELECT DISTINCT gram FROM sh WHERE doc_id % 50 = 0
+    ), contaminated AS (
+        SELECT DISTINCT doc_id FROM sh
+        WHERE doc_id % 50 != 0 AND gram IN (SELECT gram FROM eval_sh)
+    ), clean AS (
+        SELECT * FROM dedup
+        WHERE doc_id % 50 != 0
+          AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ), final AS (
+        SELECT doc_id, source, n_tokens,
+               CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 4)
+                         < '{SPLIT_TRAIN_LT}' THEN 'train'
+                    WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 4)
+                         < '{SPLIT_VAL_LT}' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM clean
+    )
+    SELECT doc_id, source, n_tokens, split,
+           CAST(FLOOR(CAST(SUM(n_tokens) OVER (
+                    PARTITION BY source, split ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tokens AS DOUBLE) / {PACK_TOKEN_BUDGET}) AS BIGINT)
+               AS pack_id
+    FROM final
+    """,
+)
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship end-to-end training-data pipeline, one declarative plan:
+
+        quality gates (token floor, within-doc repetition, cross-doc
+        boilerplate fraction) -> exact dedup (min-id per text) ->
+        benchmark decontamination (shared 4-grams vs the eval slice) ->
+        deterministic hash split -> per-(source, split) sequence packing.
+
+    Every stage is an already-oracled operator (q_text_repetition,
+    q_text_boilerplate, q_dedup_exact, q_text_decontaminate,
+    q_docs_split_hash, q_docs_pack); this query proves they COMPOSE into
+    the real production shape — one Catalyst plan, no materialization
+    between stages, oracled end-to-end against the equivalent CTE chain.
+
+    Scale shape: the corpus-wide aggregates (gram DF, eval-gram set) are
+    small by construction and broadcast into row-local probes; the heavy
+    streams shuffle only where the semantics force it (gram DF count,
+    per-doc re-agg, dedup window on text, pack window on (source, split)).
+    Filters run BEFORE the dedup/pack windows, so the expensive stages see
+    only surviving rows."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "text", "source", F.split("text", " ").alias("t")
+    )
+    n_tok = F.size("t").cast("bigint")
+    rep = F.when(
+        F.size("t") >= 2,
+        F.round(
+            1.0
+            - F.size(F.array_distinct(_gram_expr(2))).cast("double")
+            / (F.size("t") - 1),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    feat = toks.select(
+        "doc_id",
+        "text",
+        "source",
+        n_tok.alias("n_tokens"),
+        rep.alias("rep_ratio"),
+    )
+    g = toks.select("doc_id", F.explode(_gram_expr(BP_NGRAM)).alias("gram"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("_n"))
+    bpset = (
+        g.distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(
+            F.col("df")
+            >= F.greatest(F.lit(2).cast("bigint"), F.ceil(0.01 * F.col("_n")))
+        )
+        .select("gram")
+    )
+    bpr = (
+        g.join(F.broadcast(bpset.withColumn("_bp", F.lit(1))), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("_bp"), F.lit(0)).alias("n_bp"),
+        )
+    )
+    quality = (
+        feat.join(bpr, "doc_id", "left")
+        .filter(
+            (F.col("n_tokens") >= PIPE_MIN_TOKENS)
+            & (F.col("rep_ratio") <= PIPE_MAX_REP)
+            & (
+                F.round(
+                    F.coalesce(
+                        F.col("n_bp").cast("double") / F.col("n_grams"),
+                        F.lit(0.0),
+                    ),
+                    6,
+                )
+                <= PIPE_MAX_BP
+            )
+        )
+        .select("doc_id", "text", "source", "n_tokens")
+    )
+    from pyspark.sql import Window
+
+    w_dedup = Window.partitionBy("text").orderBy("doc_id")
+    dedup = (
+        quality.withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    sh = toks.select(
+        "doc_id", F.explode(_gram_expr(DECONTAM_NGRAM)).alias("gram")
+    ).distinct()
+    eval_sh = sh.filter(F.col("doc_id") % 50 == 0).select("gram").distinct()
+    contaminated = (
+        sh.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(eval_sh), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = dedup.filter(F.col("doc_id") % 50 != 0).join(
+        contaminated, "doc_id", "left_anti"
+    )
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    final = clean.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.when(bucket < SPLIT_TRAIN_LT, "train")
+        .when(bucket < SPLIT_VAL_LT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    w_pack = (
+        Window.partitionBy("source", "split")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prefix_excl = F.sum("n_tokens").over(w_pack) - F.col("n_tokens")
+    return final.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "split",
+        F.floor(prefix_excl.cast("double") / PACK_TOKEN_BUDGET)
+        .cast("bigint")
+        .alias("pack_id"),
+    )
