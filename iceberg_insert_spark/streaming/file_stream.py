@@ -293,3 +293,45 @@ def continuous_daily_rollup_available_now(
         .agg(F.sum("n_events").alias("n_events"))
         .select(date_col, "n_events")
     )
+
+
+def stream_static_enrich_available_now(
+    spark: SparkSession,
+    src_glob: str,
+    schema: StructType,
+    dim_path: str,
+    checkpoint_dir: str,
+    query_name: str = "stream_enrich",
+) -> DataFrame:
+    """Stream-static enrichment: each micro-batch of the event stream joins
+    a STATIC dimension (broadcast) — the most common production streaming
+    shape (event -> reference-data decoration).
+
+    The static side is planned per micro-batch, so dimension updates
+    between triggers are picked up automatically (no restart), and the
+    broadcast keeps the join stateless and map-side: no watermark, no state
+    store, no shuffle of the stream. Contrast stream-stream joins, which
+    buffer BOTH sides in state; enrichment against slowly-changing
+    reference data should never pay that. Inner join semantics: events
+    without a dimension row are dropped (use a left join + null columns for
+    a quarantine variant)."""
+    apply_runtime_confs(spark)
+    dim = F.broadcast(spark.read.parquet(dim_path))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("mode", "DROPMALFORMED")
+        .json(src_glob)
+    )
+    enriched = stream.join(dim, "component_id").select(
+        "event_id", "component_id", "owner", "tier", "score"
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -223,3 +223,38 @@ def test_continuous_daily_rollup(spark, workdir):
         spark, src, EVENTS_JSON_SCHEMA, rollup_dir, ckpt
     )
     assert sorted(map(tuple, out2.collect())) == expect
+
+
+def test_stream_static_enrichment(spark, workdir):
+    """Stream-static broadcast join: every surviving event is decorated with
+    its dimension row, matching the equivalent BATCH join exactly; events
+    with no dimension row are dropped (inner semantics)."""
+    from iceberg_insert_spark.streaming.file_stream import (
+        stream_static_enrich_available_now,
+    )
+
+    fixture = write_fixture(f"{workdir}/landing", n_rows=100)
+    src = f"{fixture}/events/*/"
+    dim_path = f"{workdir}/dim"
+    # dimension covers compA only -> compB events must drop out
+    spark.createDataFrame(
+        [("compA", "alice", "gold")], "component_id string, owner string, tier string"
+    ).write.mode("overwrite").parquet(dim_path)
+
+    got = stream_static_enrich_available_now(
+        spark, src, EVENTS_JSON_SCHEMA, dim_path, f"{workdir}/ckpt",
+        query_name="enrich_t1",
+    )
+    batch = (
+        spark.read.schema(EVENTS_JSON_SCHEMA)
+        .option("mode", "DROPMALFORMED")
+        .json(src)
+        .join(spark.read.parquet(dim_path), "component_id")
+        .select("event_id", "component_id", "owner", "tier", "score")
+    )
+    g = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert g == b
+    assert len(g) > 0
+    assert {r[1] for r in g} == {"compA"}
+    assert {r[2] for r in g} == {"alice"}
