@@ -1014,3 +1014,78 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("pack_id"),
     )
+
+
+TFIDF_TOP_TERMS = 3
+
+
+@query(
+    "q_text_tfidf",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+    ), df AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+    ), scored AS (
+        SELECT tf.doc_id, tf.token,
+               ROUND(tf.tf * LN(CAST((SELECT COUNT(*) FROM documents)
+                                     AS DOUBLE) / df.df), 6) AS tfidf
+        FROM tf JOIN df ON tf.token = df.token
+    )
+    SELECT doc_id, token, tfidf
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+        FROM scored
+    )
+    WHERE rn <= {TFIDF_TOP_TERMS}
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TFIDF_TOP_TERMS} TF-IDF terms per document — the classic
+    keyword/topic signal (and the sparse-retrieval scoring primitive BM25
+    refines).
+
+    Exactness across engines: tf, df, and N are integers, so
+    tf * ln(N/df) is the same IEEE double in both (one product, one log,
+    one division of identical operands — only SUM merge order ever
+    diverges, and there is none here). (tfidf DESC, token ASC) totally
+    orders the per-doc top-k.
+
+    Scale shape: tf aggregates (doc_id, token)-keyed with map-side
+    partials; df is a second token-keyed agg whose result is
+    vocabulary-sized -> joined back token-keyed (co-clustered with the tf
+    stream, no extra corpus pass); N broadcasts as a 1-row agg; the
+    per-doc top-k is a window over the already-aggregated tf rows, never
+    the raw token stream."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("_n").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOP_TERMS)
+        .drop("rn")
+    )
