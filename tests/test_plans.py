@@ -268,3 +268,15 @@ def test_tpch_q10_pushdown_and_broadcast(spark):
     assert any("EqualTo(l_returnflag,R)" in ln for ln in pushed)
     assert any("GreaterThanOrEqual(o_orderdate" in ln for ln in pushed)
     assert re.search(r"^\(\d+\) BroadcastHashJoin", p, re.M)
+
+
+def test_pipeline_e2e_broadcasts_corpus_aggregates(spark):
+    """The pipeline's three corpus-level small sets (doc count, boilerplate
+    grams, eval grams) must broadcast — and the whole 6-stage chain must
+    not plan a cartesian or more than one sort-merge join."""
+    import re
+
+    p = plan_of(QUERIES["q_pipeline_e2e"](spark, SF_DIR))
+    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", p, re.M)) >= 3
+    assert len(re.findall(r"^\(\d+\) SortMergeJoin", p, re.M)) <= 1
+    assert "CartesianProduct" not in p
