@@ -1089,3 +1089,157 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TFIDF_TOP_TERMS)
         .drop("rn")
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@query(
+    "q_text_bm25",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+        FROM documents
+    ), dl AS (
+        SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               AVG(CAST(dl AS DOUBLE)) AS avgdl
+        FROM dl
+    ), tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+    ), df AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+    ), scored AS (
+        SELECT tf.doc_id, tf.token,
+               ROUND(
+                 LN((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                 * (tf.tf * ({BM25_K1} + 1.0))
+                 / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                    + {BM25_B} * dl.dl / stats.avgdl)), 6) AS bm25
+        FROM tf
+        JOIN df ON tf.token = df.token
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+    )
+    SELECT doc_id, token, bm25
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY bm25 DESC, token) AS rn
+        FROM scored
+    )
+    WHERE rn <= {TFIDF_TOP_TERMS}
+    """,
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TFIDF_TOP_TERMS} BM25 terms per document — TF-IDF with
+    saturation (k1) and document-length normalization (b), the standard
+    sparse-retrieval ranking function.
+
+    Determinism: every input to the formula is integer-derived (tf, df, N,
+    dl) or an exact constant; AVG over bigints sums exactly in both
+    engines before one double division — so the scores are identical IEEE
+    doubles, no sum-order exposure. Scale shape mirrors q_text_tfidf with
+    one extra doc-keyed join (dl, co-clustered with tf) and a broadcast
+    2-value stats row."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf_part = (F.col("tf") * (BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(df, "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id", "token", F.round(idf * tf_part, 6).alias("bm25")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("bm25"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOP_TERMS)
+        .drop("rn")
+    )
+
+
+@query(
+    "q_pack_manifest",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), p AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(FLOOR(CAST(SUM(n_tokens) OVER (
+                        PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - n_tokens AS DOUBLE) / {PACK_TOKEN_BUDGET}) AS BIGINT)
+                   AS pack_id
+        FROM t
+    )
+    SELECT source, pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           MD5(STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+               AS content_hash
+    FROM p GROUP BY source, pack_id
+    """,
+)
+def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data lineage manifest: one row per (source, pack) with doc
+    count, token count, and an order-canonical md5 over the member doc ids
+    — the reproducibility receipt a training run stores so ANY engine can
+    re-derive and verify exactly which documents fed which context window
+    (md5(ordered id list) is engine-reproducible, unlike file checksums).
+
+    Composes on q_docs_pack's window; the manifest agg reuses the same
+    (source)-clustering, and the member list is sorted INSIDE each pack
+    group (collect_list is unordered by contract — sort_array makes the
+    hash deterministic) before hashing. Output is all-scalar: the id list
+    itself never surfaces (driver canonicalizer cannot hash arrays)."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    n_tokens = F.size(F.split("text", " ")).cast("bigint")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = d.select("doc_id", "source", n_tokens.alias("n_tokens"))
+    prefix_excl = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    packed = base.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(prefix_excl.cast("double") / PACK_TOKEN_BUDGET)
+        .cast("bigint")
+        .alias("pack_id"),
+    )
+    ids_csv = F.concat_ws(
+        ",",
+        F.transform(
+            F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")
+        ),
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.md5(ids_csv).alias("content_hash"),
+    )

@@ -524,3 +524,56 @@ def q_agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_extendedprice", F.lit(0.5), F.lit(10000)
         ).alias("p50_price"),
     )
+
+
+PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+@query(
+    "q_profile_table",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS column_name,
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nulls,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+        FROM orders
+        """
+        for c in PROFILE_COLS
+    ),
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling pass: per-column null count + distinct cardinality in
+    ONE scan — the dbt-utils/Deequ-style quality primitive that gates
+    ingestion at 100 TB (a column whose null fraction jumps is a broken
+    upstream).
+
+    One aggregate row computes all 2x|cols| stats (single scan, map-side
+    partials — count_distinct becomes per-column expand+partial, still one
+    pass over the parquet), then a stack() pivots the row into the
+    (column_name, n_nulls, n_distinct) profile. The oracle scans once per
+    column; ours scans once total."""
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.agg(
+        *[
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"n_{c}")
+            for c in PROFILE_COLS
+        ],
+        *[F.count_distinct(F.col(c)).alias(f"d_{c}") for c in PROFILE_COLS],
+    )
+    stack_args = ", ".join(
+        f"'{c}', n_{c}, d_{c}" for c in PROFILE_COLS
+    )
+    return agg.select(
+        F.expr(
+            f"stack({len(PROFILE_COLS)}, {stack_args})"
+            " as (column_name, n_nulls, n_distinct)"
+        )
+    )
