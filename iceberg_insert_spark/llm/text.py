@@ -1243,3 +1243,81 @@ def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("n_tokens"),
         F.md5(ids_csv).alias("content_hash"),
     )
+
+
+@query(
+    "q_text_bigram_lm",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+    ), g AS (
+        SELECT doc_id,
+               UNNEST(t[1 : LEN(t) - 1]) AS w1,
+               UNNEST(t[2 : LEN(t)]) AS w2
+        FROM toks WHERE LEN(t) >= 2
+    ), c2 AS (
+        SELECT w1, w2, COUNT(*) AS c12 FROM g GROUP BY w1, w2
+    ), c1 AS (
+        SELECT w1, COUNT(*) AS c1 FROM g GROUP BY w1
+    )
+    SELECT g.doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(ROUND(LN(CAST(c2.c12 AS DOUBLE) / c1.c1)
+                                     * 1000000) AS BIGINT)) AS DOUBLE)
+                 / 1000000.0 / COUNT(*), 6) AS avg_logprob
+    FROM g
+    JOIN c2 ON g.w1 = c2.w1 AND g.w2 = c2.w2
+    JOIN c1 ON g.w1 = c1.w1
+    GROUP BY g.doc_id
+    """,
+)
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram-LM quality score: each document's mean log P(w2|w1)
+    under the corpus MLE bigram model — the cheap statistical stand-in for
+    model-based (perplexity) quality filtering: documents far below the
+    corpus-typical log-prob are noise, far above are boilerplate.
+
+    Determinism is the hard part: a sum of raw double logs is
+    partition-order-dependent, so each log term is rounded to micro-units
+    and ACCUMULATED AS LONG (the exact_sum pattern applied to
+    transcendentals) — both engines compute the identical IEEE ln on
+    integer-ratio inputs, the identical per-term rounding, and an exact
+    integer sum, then one double division each.
+
+    Scale shape: the model (c2 bigram counts, c1 prefix counts) is two
+    map-side-combined aggs over the bigram stream; scoring joins the stream
+    back on the bigram key (vocabulary-clustered, co-partitioned with c2);
+    the per-doc mean re-aggregates on doc_id. No broadcast pin on c2 — a
+    real vocabulary can exceed the broadcast threshold; AQE may still
+    choose one when it fits."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    n = F.size("t")
+    g = toks.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, n - 1).alias("w1"),
+                F.slice("t", 2, n - 1).alias("w2"),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c2 = g.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = g.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    term = F.round(
+        F.log(F.col("c12").cast("double") / F.col("c1")) * 1000000
+    ).cast("bigint")
+    return (
+        g.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(term).cast("double") / 1000000.0 / F.count(F.lit(1)),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
