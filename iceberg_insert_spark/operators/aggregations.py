@@ -577,3 +577,34 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as (column_name, n_nulls, n_distinct)"
         )
     )
+
+
+@query("q_events_hll_daily")
+def q_events_hll_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-day HLL sketches of distinct users,
+    UNION-merged into the month WITHOUT re-scanning events — the
+    pre-aggregation pattern that makes 100 TB dashboards possible (store
+    KB-sized sketches per grain; answer any coarser-grain distinct query
+    by merging sketches, never by re-reading the fact table; exact distinct
+    counts do NOT compose this way).
+
+    Output: one row per day (daily estimate) plus a month row whose
+    estimate comes ONLY from merging the daily sketches. Rows-only (HLL
+    estimates are engine-specific); tests/test_properties.py pins the
+    estimates to within 5% of exact and the merge to >= the max daily."""
+    from ..tables import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .localCheckpoint(eager=True)  # sketches computed once, reused twice
+    )
+    per_day = daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("grain"),
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+    )
+    month = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    ).select(F.lit("MONTH").alias("grain"), "approx_users")
+    return per_day.unionByName(month)

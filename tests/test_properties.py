@@ -512,3 +512,36 @@ def test_scd2_incremental_any_cutoff(spark):
     ):
         merged = sorted(map(tuple, scd2_merge(ev, cutoff).collect()))
         assert merged == rebuilt, f"cutoff {cutoff} diverged"
+
+
+def test_hll_daily_rollup_merge_accuracy(spark):
+    """Daily HLL estimates must sit within 5% of exact per-day distincts,
+    and the month row — produced ONLY by merging daily sketches — within
+    5% of the exact month distinct (and never below the max daily)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_insert_spark.tables import load_table
+
+    from .conftest import SF_DIR
+
+    got = {
+        r["grain"]: r["approx_users"]
+        for r in QUERIES["q_events_hll_daily"](spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    exact_day = {
+        r["grain"]: r["n"]
+        for r in ev.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                "grain"
+            )
+        )
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    exact_month = ev.select("user_id").distinct().count()
+    assert set(got) == set(exact_day) | {"MONTH"}
+    for day, est in got.items():
+        exact = exact_month if day == "MONTH" else exact_day[day]
+        assert abs(est - exact) <= max(0.05 * exact, 2.0), (day, est, exact)
+    assert got["MONTH"] >= max(v for k, v in got.items() if k != "MONTH")
