@@ -1321,3 +1321,45 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+STRATIFIED_QUOTA = 20
+
+
+@query(
+    "q_docs_stratified",
+    oracle=f"""
+    SELECT doc_id, source, pick_rank FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id)
+                   AS pick_rank
+        FROM documents
+    )
+    WHERE pick_rank <= {STRATIFIED_QUOTA}
+    """,
+)
+def q_docs_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified subsample: the first {STRATIFIED_QUOTA}
+    documents per source in md5(doc_id) order — balanced source mixing for
+    eval sets and ablations. Hash order is an unbiased, engine-reproducible
+    stand-in for random order (same property as q_docs_split_hash:
+    membership is a pure function of the key, so reruns and engine swaps
+    pick the identical sample; `TABLESAMPLE` cannot promise that).
+
+    Scale shape: one window partitioned by source; rank never looks past
+    the quota, so at 100 TB the right plan caps per-partition work — and
+    the md5 sort key is computed once in the window's own exchange, not in
+    a separate pass."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source")
+        .withColumn("pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") <= STRATIFIED_QUOTA)
+    )
