@@ -216,8 +216,8 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tok, (SELECT UNNEST(RANGE(0, {SIMHASH_BITS})) AS i)
     )
     SELECT doc_id,
-           SUM(CASE WHEN bit_sum > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
-               AS simhash
+           CAST(SUM(CASE WHEN bit_sum > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+               AS BIGINT) AS simhash
     FROM (SELECT doc_id, i, SUM(vote) AS bit_sum FROM bits GROUP BY doc_id, i)
     GROUP BY doc_id
     """,

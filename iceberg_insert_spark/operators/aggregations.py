@@ -382,7 +382,7 @@ def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_conditional",
     oracle="""
     SELECT o_orderpriority,
-           COUNT_IF(o_totalprice > 100000) AS n_big,
+           CAST(COUNT_IF(o_totalprice > 100000) AS BIGINT) AS n_big,
            BOOL_AND(o_totalprice > 0) AS all_positive,
            BOOL_OR(o_orderstatus = 'P') AS any_pending,
            CAST(SUM(CAST(ROUND(CASE WHEN o_orderstatus = 'F'

@@ -207,9 +207,9 @@ def zvalue(a: Column, b: Column, bits: int = Z_BITS) -> Column:
         FROM orders
     )
     SELECT o_orderkey,
-           (SELECT SUM(((da >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i + 1))
+           CAST((SELECT SUM(((da >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i + 1))
                        + ((db >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i)))
-            FROM RANGE({Z_BITS}) AS r(i)) AS zval
+            FROM RANGE({Z_BITS}) AS r(i)) AS BIGINT) AS zval
     FROM dims
     """,
 )

@@ -49,48 +49,63 @@ _MODULES = [
 
 _loaded = False
 
-# Driver-window priority. The round-1 driver correctness harness hashed only
-# the FIRST 50 queries in queries() iteration order, leaving later
-# registrations self-graded (VERDICT.md round 1). Python dicts preserve
-# insertion order, so get_queries()/get_oracles() emit the names below first:
-# the 52 queries that got NO driver row in round 1, ordered so the 50-slot
-# window covers every oracled one (the two stub-backed multimodal rows-only
-# queries take slots 51-52 — least information lost if the window cuts
-# there). Names absent from this list follow in registration order; they are
-# the round-1 driver-green set and stay covered by tests/test_oracle.py.
-_PRIORITY = [
-    "q_set_except",
-    # operators.functions (12, all oracled)
-    "q_str_funcs", "q_date_funcs", "q_math_funcs", "q_array_funcs",
-    "q_explode", "q_map_json_funcs", "q_posexplode", "q_regexp_funcs",
-    "q_null_semantics", "q_array_lambda", "q_try_cast", "q_map_type",
-    # operators.partitions (8; Utile.java transform parity T1-T6)
-    "q_part_identity", "q_part_day", "q_part_month", "q_part_year",
-    "q_part_hour", "q_part_bucket", "q_part_truncate", "q_zorder",
-    # operators.streaming_twins (3)
-    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
-    # operators.udf (2)
-    "q_udf_zscore", "q_udaf_grouped",
-    # llm.text (11, all oracled)
-    "q_text_tokens", "q_text_lang_stats", "q_text_quality", "q_text_langid",
-    "q_text_fingerprint", "q_text_tokencount", "q_text_editdist",
-    "q_text_pii", "q_docs_trainset", "q_text_chunks", "q_text_decontaminate",
-    # llm.dedup (6)
-    "q_dedup_exact", "q_dedup_ngram", "q_dedup_near", "q_dedup_simhash",
-    "q_dedup_embedding", "q_dedup_clusters",
-    # llm.similarity (4)
-    "q_sim_knn", "q_sim_knn_lsh", "q_sim_knn_ivf", "q_emb_quantize",
-    # sources + multimodal oracle query -> exactly slot 50
-    "q_mm_bytes", "q_ingest_json_typed", "q_sink_partitioned",
-    # slots 51-52: rows-only stub-backed multimodal (pytest-covered)
-    "q_mm_pipeline", "q_mm_frames",
-]
+# Driver-window rotation. The driver's correctness harness hashes only the
+# FIRST 50 queries in queries() iteration order per round, so queries()
+# emission order decides which operators get an INDEPENDENT check each round.
+# Rounds 1-2 steered this with a hand-maintained name list; per round-2
+# ADVICE, the ordering is now DERIVED from the recorded coverage data
+# (CORRECTNESS_r*.json committed at the repo root), so it cannot drift when
+# queries are added or renamed:
+#   group 0 — never driver-checked (new this round), oracled before
+#             rows-only (a hash check is strictly more information);
+#   group 1 — driver-checked but NOT fully green last time (red hash or a
+#             harness error): re-verify the fix next window;
+#   group 2 — green, oldest round first (staleness rotation).
+# Ties break by registration order. If no correctness files exist (fresh
+# clone), everything is group 0 and registration order is preserved.
+
+
+def _driver_history() -> dict[str, tuple[int, bool]]:
+    """name -> (last round with a driver row, was that row fully clean)."""
+    import json
+    import re
+    from pathlib import Path
+
+    hist: dict[str, tuple[int, bool]] = {}
+    root = Path(__file__).resolve().parent.parent
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", f.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.loads(f.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            clean = (
+                row.get("err") in (None, "no_oracle")
+                and row.get("hash_match") is not False
+                and row.get("rows_match") is not False
+                and row.get("schema_match") is not False
+            )
+            hist[name] = (rnd, clean)
+    return hist
 
 
 def _prioritized(d: dict) -> dict:
-    out = {n: d[n] for n in _PRIORITY if n in d}
-    out.update({n: v for n, v in d.items() if n not in out})
-    return out
+    hist = _driver_history()
+    reg_order = {n: i for i, n in enumerate(d)}
+
+    def key(n: str):
+        if n not in hist:
+            return (0, 0 if n in _ORACLES else 1, 0, reg_order[n])
+        rnd, clean = hist[n]
+        if not clean:
+            return (1, 0, rnd, reg_order[n])
+        return (2, 0, rnd, reg_order[n])
+
+    return {n: d[n] for n in sorted(d, key=key)}
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
