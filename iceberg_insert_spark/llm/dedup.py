@@ -13,13 +13,23 @@ Tiered like a real pipeline:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import load_table
 
 NGRAM_JACCARD_THRESHOLD = 0.5
+# Hot-shingle guard for the exact n-gram tier: shingles appearing in more
+# than this many documents are excluded from the pair JOIN (not from the
+# per-doc counts). One corpus-frequent shingle (boilerplate) otherwise makes
+# its join key quadratic — cap² bounds the per-key pair work exactly like
+# MINHASH_MAX_BUCKET bounds the LSH tier. A shingle shared by >1000 docs
+# carries near-zero Jaccard discrimination; pairs whose overlap is ONLY such
+# shingles are dropped, every other pair keeps its exact score (n_common can
+# only shrink for pairs that also share capped shingles, and the DuckDB twin
+# applies the identical cap, so the oracle stays exact).
+NGRAM_MAX_DF = 1000
 COSINE_DUP_THRESHOLD = 0.4
 SIMHASH_BITS = 32
 EMB_BLOCKS = 8
@@ -71,9 +81,15 @@ def _shingles(d: DataFrame) -> DataFrame:
         FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents)
     ), cnt AS (
         SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), shf AS (
+        SELECT doc_id, shingle
+        FROM (SELECT doc_id, shingle,
+                     COUNT(*) OVER (PARTITION BY shingle) AS df
+              FROM sh)
+        WHERE df <= {NGRAM_MAX_DF}
     ), inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-        FROM sh a JOIN sh b USING (shingle)
+        FROM shf a JOIN shf b USING (shingle)
         WHERE a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
@@ -93,12 +109,32 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (only docs sharing a shingle ever meet), then a pair-count aggregate.
     This is the exact ground truth; MinHash below approximates it when the
     shingle join gets hot.
+
+    Hot-shingle guard (r2 verdict #6): shingles with document frequency
+    > NGRAM_MAX_DF are dropped from the join via a window count — the count
+    rides the same shuffle the self-join needs (exchange reuse on the
+    shingle hash partitioning), so the guard costs no extra exchange. The
+    per-doc denominators stay unfiltered; the DuckDB twin applies the
+    identical cap.
     """
     d = load_table(spark, sf_dir, "documents")
+    return ngram_pairs(d, max_df=NGRAM_MAX_DF)
+
+
+def ngram_pairs(d: DataFrame, max_df: int = NGRAM_MAX_DF) -> DataFrame:
+    """Shingle-Jaccard pair computation over any (doc_id, text) frame —
+    the body of q_dedup_ngram, split out so the hot-shingle guard is
+    property-testable on planted corpora (tests/test_properties.py)."""
     sh = _shingles(d)
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    wdf = Window.partitionBy("shingle")
+    shf = (
+        sh.withColumn("df", F.count(F.lit(1)).over(wdf))
+        .filter(F.col("df") <= max_df)
+        .drop("df")
+    )
+    a = shf.alias("a")
+    b = shf.alias("b")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))

@@ -228,17 +228,25 @@ def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))),
         F.lit(1e-30),
     )
-    scale = F.round(127.0 / absmax, 6)
-    q8 = F.transform(
-        "embedding",
-        lambda x: F.round(x.cast("double") * scale).cast("bigint"),
-    )
-    return emb.select(
-        "vec_id",
-        scale.alias("scale"),
-        F.concat_ws(",", F.transform(q8, lambda x: x.cast("string"))).alias(
-            "q8_csv"
-        ),
+    # Project the scale ONCE (no CSE across expressions, and a lambda body
+    # re-evaluates captured subtrees per ELEMENT — inlining absmax here costs
+    # dims x the array_max scan; r2 measured it at 2x query time). Two
+    # references to `scale` below keep CollapseProject from re-inlining it.
+    return (
+        emb.withColumn("scale", F.round(127.0 / absmax, 6))
+        .select(
+            "vec_id",
+            "scale",
+            F.concat_ws(
+                ",",
+                F.transform(
+                    "embedding",
+                    lambda x: F.round(x.cast("double") * F.col("scale"))
+                    .cast("bigint")
+                    .cast("string"),
+                ),
+            ).alias("q8_csv"),
+        )
     )
 
 

@@ -545,3 +545,34 @@ def test_hll_daily_rollup_merge_accuracy(spark):
         exact = exact_month if day == "MONTH" else exact_day[day]
         assert abs(est - exact) <= max(0.05 * exact, 2.0), (day, est, exact)
     assert got["MONTH"] >= max(v for k, v in got.items() if k != "MONTH")
+
+
+def test_ngram_hot_shingle_guard_keeps_planted_pairs(spark):
+    """The hot-shingle cap must bound the pair blowup from a boilerplate
+    shingle without losing genuinely similar pairs: 60 docs all share one
+    boilerplate shingle (df=60 > cap) but are otherwise unrelated; two
+    planted near-dup docs share many rare shingles. With the cap, the
+    planted pair survives with its EXACT jaccard and the boilerplate docs
+    produce zero pairs; uncapped, the same corpus yields C(60,2)+ pairs
+    below threshold entering the aggregate."""
+    from iceberg_insert_spark.llm.dedup import ngram_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(1, base + " one"), (2, base + " two")]  # near-dups: 8/12 shared
+    for i in range(60):  # boilerplate cohort: same 3-token footer, else unique
+        rows.append((100 + i, f"u{i}a u{i}b copyright footer text u{i}c"))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_pairs(d, max_df=10).collect()
+    }
+    uncapped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_pairs(d, max_df=10**9).collect()
+    }
+    assert (1, 2) in capped
+    assert capped[(1, 2)] == uncapped[(1, 2)]  # exact score preserved
+    # no boilerplate-only pair ever reaches threshold, capped or not
+    assert all(a == 1 and b == 2 for (a, b) in capped)
+    assert capped == uncapped
