@@ -559,6 +559,7 @@ def connected_components(
 
     sig = _signature(edges)
     rounds = 0
+    converged = False
     for _ in range(max_rounds):
         # -- large-star: und = symmetric view; emit (v, m(u)) for v > u
         und = edges.unionByName(
@@ -587,8 +588,24 @@ def connected_components(
         rounds += 1
         new_sig = _signature(edges)
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+
+    if not converged:
+        # Without convergence the star edges may still chain (child -> v
+        # where v is not the component minimum), so min(v) labels below
+        # would be silently wrong for callers (r2 advice). max_rounds is a
+        # runaway bound, not a tuning knob — O(log n) rounds suffice, so
+        # hitting it means something is pathological. Warn loudly.
+        import warnings
+
+        warnings.warn(
+            f"connected_components exhausted max_rounds={max_rounds} without "
+            "edge-set convergence; labels may not be component minima",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
     # Converged: edges form stars (child -> root). Roots appear only on the
     # v side; every node not in the child map is its own label.

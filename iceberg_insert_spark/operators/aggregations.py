@@ -493,10 +493,18 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("t_us") >= F.col("su_us"))
         .select(
             "user_id",
-            F.expr(f"su_us div {RETENTION_WEEK_US}").alias("cohort_week"),
-            F.expr(f"(t_us - su_us) div {RETENTION_WEEK_US}").alias(
-                "week_offset"
-            ),
+            # FLOOR division, not `div` (truncate-toward-zero): the DuckDB
+            # twin's `//` floors, and a pre-1970 signup makes su_us negative.
+            # Subtracting pmod makes the dividend an exact multiple, so `div`
+            # equals floor with no double-precision round trip.
+            F.expr(
+                f"(su_us - pmod(su_us, {RETENTION_WEEK_US}))"
+                f" div {RETENTION_WEEK_US}"
+            ).alias("cohort_week"),
+            F.expr(
+                f"(t_us - su_us - pmod(t_us - su_us, {RETENTION_WEEK_US}))"
+                f" div {RETENTION_WEEK_US}"
+            ).alias("week_offset"),
         )
         .distinct()
     )

