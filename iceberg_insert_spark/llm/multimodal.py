@@ -2,13 +2,21 @@
 
 Images/audio/video are opaque BINARY payloads + a typed metadata struct; the
 decode / feature-extract steps run as Arrow-batched ``mapInPandas`` so each
-executor streams batches without materializing a partition. The actual codec
-call is STUBBED (no image/audio libraries in this container): ``_fake_decode``
-is a deterministic placeholder with the real batch shape, schema, and
-partitioning, so swapping in PIL/librosa later touches one function.
+executor streams batches without materializing a partition.
+
+The image path is REAL as of round 3: payloads are valid PNGs (built by the
+pure-stdlib grayscale codec in ``llm/png_codec.py`` — chunk parse + zlib,
+no external libraries) and the decode step parses chunks, verifies CRCs,
+inflates IDAT, and de-filters scanlines to recover actual pixels. The
+``_fake_*`` stub branch now runs ONLY for payloads that are not decodable
+PNGs (foreign codecs — e.g. the video frame-sampler below, which would need
+pyav/ffmpeg); each output row carries a ``codec`` column naming the branch
+that produced it.
 
 The test payloads are derived from documents.text bytes (the driver ships no
-binary fixture), which keeps the whole path oracle-able where it's pure SQL.
+binary fixture): each document's UTF-8 bytes become the pixels of a
+32-wide grayscale PNG, so decoded features are independently checkable
+against the text.
 """
 
 from __future__ import annotations
@@ -22,11 +30,14 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import load_table
+from .png_codec import PngFormatError, decode_png_gray8, encode_png_gray8, is_png
 
 DECODED_SCHEMA = (
-    "doc_id long, byte_len long, fake_width long, fake_height long, "
-    "checksum_mod long"
+    "doc_id long, byte_len long, width long, height long, "
+    "checksum_mod long, codec string"
 )
+
+IMG_WIDTH = 32
 
 
 @query(
@@ -53,40 +64,95 @@ def q_mm_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """STUB decode step — deterministic stand-in for a real codec.
+def _bytes_to_png(data: bytes) -> bytes:
+    """Pack arbitrary bytes into a 32-wide grayscale PNG (zero-padded to a
+    full final row; empty input becomes one zero row)."""
+    height = max(1, -(-len(data) // IMG_WIDTH))
+    pixels = data.ljust(IMG_WIDTH * height, b"\x00")
+    return encode_png_gray8(IMG_WIDTH, height, pixels)
 
-    A real implementation would do ``PIL.Image.open(io.BytesIO(payload))``
-    etc. per row; this container has no codec libraries, so we derive fake
-    dimensions from the payload bytes. Batch shape / schema / Arrow transfer
-    are the real production plumbing.
-    """
+
+def _encode_png(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched image writer: text bytes -> real PNG payload column."""
     for pdf in batches:
-        payloads = pdf["payload"]
-        byte_len = payloads.map(len)
-        checksum = payloads.map(lambda b: sum(b[:64]) if len(b) else 0)
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "byte_len": byte_len,
-                "fake_width": (checksum % 640) + 1,
-                "fake_height": (byte_len % 480) + 1,
-                "checksum_mod": checksum % 997,
+                "payload": [
+                    _bytes_to_png(t.encode("utf-8")) for t in pdf["text"]
+                ],
+            }
+        )
+
+
+def _fake_features(payload: bytes) -> tuple[int, int, int]:
+    """STUB feature triple (width, height, checksum) for non-decodable
+    payloads — deterministic placeholder derived from the leading bytes."""
+    checksum = sum(payload[:64]) if len(payload) else 0
+    return (checksum % 640) + 1, (len(payload) % 480) + 1, checksum % 997
+
+
+def _decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Decode step: REAL PNG decode (chunk parse, CRC check, inflate,
+    de-filter) for PNG payloads; the stub branch only for payloads the
+    codec can't handle. checksum_mod over decoded pixels equals the sum of
+    the original bytes mod 997 (zero padding adds nothing) — pinned in
+    tests/test_multimodal_golden.py."""
+    for pdf in batches:
+        rows = {k: [] for k in
+                ("doc_id", "byte_len", "width", "height",
+                 "checksum_mod", "codec")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            payload = bytes(payload)
+            try:
+                if not is_png(payload):
+                    raise PngFormatError("not a PNG")
+                w, h, pixels = decode_png_gray8(payload)
+                checksum, codec = sum(pixels) % 997, "png"
+            except PngFormatError:
+                w, h, checksum = _fake_features(payload)
+                codec = "stub"
+            rows["doc_id"].append(doc_id)
+            rows["byte_len"].append(len(payload))
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["checksum_mod"].append(checksum)
+            rows["codec"].append(codec)
+        yield pd.DataFrame(rows)
+
+
+def _fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Legacy stub decode — the pre-r3 placeholder, kept as the golden
+    contract for the fallback branch (tests/test_multimodal_golden.py)."""
+    for pdf in batches:
+        feats = [_fake_features(bytes(b)) for b in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "byte_len": pdf["payload"].map(len),
+                "fake_width": [f[0] for f in feats],
+                "fake_height": [f[1] for f in feats],
+                "checksum_mod": [f[2] for f in feats],
             }
         )
 
 
 @query("q_mm_pipeline")
 def q_mm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full multimodal pipeline shape: binary column -> mapInPandas decode ->
-    typed features. Rows-only check (decode is a stub; see _fake_decode)."""
+    """Full multimodal pipeline: text bytes -> REAL PNG binary column
+    (pure-stdlib encoder) -> mapInPandas decode (chunk parse + inflate +
+    de-filter) -> typed pixel features. Rows-only driver check (PNG byte
+    length is compression-dependent, not SQL-expressible); the codec
+    round-trip and feature math are pytest-pinned."""
     d = load_table(spark, sf_dir, "documents")
-    with_payload = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    payloads = d.select("doc_id", "text").mapInPandas(
+        _encode_png, schema="doc_id long, payload binary"
+    )
     # repartition on the key so decode parallelism is independent of source
     # file count — at 100 TB the payload column dominates and batches must
     # stay bounded per task.
-    return with_payload.repartition("doc_id").mapInPandas(
-        _fake_decode, schema=DECODED_SCHEMA
+    return payloads.repartition("doc_id").mapInPandas(
+        _decode_features, schema=DECODED_SCHEMA
     )
 
 
@@ -97,9 +163,10 @@ FRAME_STRIDE = 4  # keep every 4th frame
 def _fake_frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """STUB frame-sampler: chunk the payload into FRAME_BYTES 'frames' and
     keep every FRAME_STRIDE-th one (a real implementation seeks keyframes
-    with pyav/ffmpeg). Emits one row per sampled frame — the row-explosion
-    shape of video pipelines, where output >> input row count but payload
-    bytes cross the Python boundary exactly once."""
+    with pyav/ffmpeg — video codecs are out of pure-stdlib reach, unlike
+    the PNG path above). Emits one row per sampled frame — the
+    row-explosion shape of video pipelines, where output >> input row count
+    but payload bytes cross the Python boundary exactly once."""
     for pdf in batches:
         out_doc, out_no, out_len, out_sum = [], [], [], []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):

@@ -326,3 +326,56 @@ def scd2_merge(changes: DataFrame, cutoff_ts: str) -> DataFrame:
         .unionByName(closed_open.select(cols))
         .unionByName(new_rows.select(cols))
     )
+
+
+@query(
+    "q_scd2_asof_enrich",
+    oracle=f"""
+    WITH dim AS ({_SCD2_REBUILD_SQL}),
+    fact AS (
+        SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT f.event_id, f.user_id, f.ts_us,
+           d.state_value, d.event_id AS state_event_id
+    FROM fact f LEFT JOIN dim d
+      ON d.user_id = f.user_id
+     AND f.ts_us >= d.valid_from_us AND f.ts_us < d.valid_to_us
+    """,
+)
+def q_scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-enriched fact query: every click event picks up the user's
+    purchase state AS OF the click time from the SCD2 validity intervals —
+    the standard warehouse composition of q_scd2_intervals (dimension side)
+    and q_join_asof (lookup side), proving the two operators compose.
+
+    The interval lookup is spelled as an equi-join on the business key with
+    the [valid_from, valid_to) containment as a residual predicate: Catalyst
+    plans the user_id equality as an ordinary shuffled join (NO nested-loop
+    range join), and because SCD2 intervals are disjoint per key, at most
+    one dimension row survives the residual — row counts are fact-stable.
+    Clicks before a user's first purchase keep NULL state via the left join.
+    At 100 TB: one shuffle of each side on user_id; the far-future sentinel
+    on open intervals means no NULL branch in the predicate."""
+    from ..tables import epoch_us
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = _scd2_build(ev.filter(F.col("event_type") == "purchase"))
+    fact = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", epoch_us("ts").alias("ts_us")
+    )
+    d = dim.alias("d")
+    f_ = fact.alias("f")
+    return f_.join(
+        d,
+        (F.col("d.user_id") == F.col("f.user_id"))
+        & (F.col("f.ts_us") >= F.col("d.valid_from_us"))
+        & (F.col("f.ts_us") < F.col("d.valid_to_us")),
+        "left",
+    ).select(
+        "f.event_id",
+        "f.user_id",
+        "f.ts_us",
+        "d.state_value",
+        F.col("d.event_id").alias("state_event_id"),
+    )

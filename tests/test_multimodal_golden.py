@@ -63,3 +63,144 @@ def test_fake_frame_sample_golden():
              for r in out2.itertuples(index=False)]
     assert rows2 == [(0, FRAME_BYTES, FRAME_BYTES % 997), (4, 2, 2)]
     assert FRAME_STRIDE == 4  # golden rows above assume the stride constant
+
+
+# ---- real PNG codec (r3): round-trip, filters, corruption, pipeline ----
+
+import struct
+import zlib
+
+import pytest
+
+from iceberg_insert_spark.llm.png_codec import (
+    PNG_SIGNATURE,
+    PngFormatError,
+    _chunk,
+    decode_png_gray8,
+    encode_png_gray8,
+    is_png,
+)
+
+
+def test_png_roundtrip_exact():
+    pixels = bytes((x * 7 + y * 13) % 256 for y in range(5) for x in range(32))
+    data = encode_png_gray8(32, 5, pixels)
+    assert is_png(data)
+    assert decode_png_gray8(data) == (32, 5, pixels)
+
+
+def _png_with_filters(width, height, filtered_rows):
+    """Hand-build a PNG whose scanlines use explicit per-row filter types,
+    exercising the decoder's de-filter paths (the encoder only emits 0)."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(bytes([f]) + bytes(row) for f, row in filtered_rows)
+    return (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_all_filter_types():
+    # target pixels, 4 wide x 5 tall — one row per filter type
+    rows = [
+        [10, 20, 30, 40],  # f0 None: stored literally
+        [5, 10, 15, 20],  # f1 Sub: store x - left
+        [7, 22, 35, 41],  # f2 Up: store x - above
+        [8, 16, 24, 32],  # f3 Average
+        [9, 18, 27, 36],  # f4 Paeth
+    ]
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    filtered = [(0, rows[0])]
+    filtered.append(
+        (1, [(rows[1][x] - (rows[1][x - 1] if x else 0)) % 256 for x in range(4)])
+    )
+    filtered.append((2, [(rows[2][x] - rows[1][x]) % 256 for x in range(4)]))
+    filtered.append(
+        (3, [(rows[3][x] - (((rows[3][x - 1] if x else 0) + rows[2][x]) // 2)) % 256
+             for x in range(4)])
+    )
+    filtered.append(
+        (4, [(rows[4][x] - paeth(rows[4][x - 1] if x else 0, rows[3][x],
+                                 rows[3][x - 1] if x else 0)) % 256
+             for x in range(4)])
+    )
+    data = _png_with_filters(4, 5, filtered)
+    w, h, pixels = decode_png_gray8(data)
+    assert (w, h) == (4, 5)
+    assert list(pixels) == [p for row in rows for p in row]
+
+
+def test_png_rejects_corruption():
+    good = encode_png_gray8(2, 2, bytes([1, 2, 3, 4]))
+    corrupt = bytearray(good)
+    corrupt[20] ^= 0xFF  # flip a byte inside IHDR -> CRC mismatch
+    with pytest.raises(PngFormatError):
+        decode_png_gray8(bytes(corrupt))
+    with pytest.raises(PngFormatError):
+        decode_png_gray8(b"\x89PNG\r\n\x1a\nnot really")
+    with pytest.raises(PngFormatError):
+        decode_png_gray8(b"JFIF....")
+
+
+def test_decode_features_real_vs_stub_branch():
+    """PNG payloads take the real branch (exact pixel checksum = byte sum of
+    the original text, since zero padding adds nothing); non-PNG payloads
+    fall back to the stub branch and say so."""
+    from iceberg_insert_spark.llm.multimodal import (
+        _bytes_to_png,
+        _decode_features,
+    )
+
+    text = b"hello multimodal world"
+    png = _bytes_to_png(text)
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2], "payload": [png, b"\xff\xd8\xffJPEGish"]}
+    )
+    (out,) = list(_decode_features(iter([pdf])))
+    got = out.set_index("doc_id").to_dict("index")
+    assert got[1]["codec"] == "png"
+    assert got[1]["width"] == 32
+    assert got[1]["height"] == 1
+    assert got[1]["byte_len"] == len(png)
+    assert got[1]["checksum_mod"] == sum(text) % 997
+    assert got[2]["codec"] == "stub"
+
+
+def test_mm_pipeline_decodes_real_bytes(spark):
+    """Every documents row must round-trip text -> PNG -> decoded pixels on
+    the real branch: codec='png' everywhere, width=IMG_WIDTH, and the pixel
+    checksum equals the text's UTF-8 byte sum mod 997."""
+    from pyspark.sql import functions as F
+
+    from iceberg_insert_spark.registry import get_queries
+    from iceberg_insert_spark.tables import load_table
+
+    from .conftest import SF_DIR
+
+    out = get_queries()["q_mm_pipeline"](spark, SF_DIR)
+    docs = load_table(spark, SF_DIR, "documents")
+    n_docs = docs.count()
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("codec") == "png").cast("int")).alias("n_png"),
+        F.sum((F.col("width") == IMG_WIDTH_EXPECTED).cast("int")).alias("n_w"),
+    ).first()
+    assert agg["n"] == n_docs
+    assert agg["n_png"] == n_docs
+    assert agg["n_w"] == n_docs
+    # spot-check checksum math against the raw text, python-side
+    sample = {r["doc_id"]: r["checksum_mod"] for r in out.limit(50).collect()}
+    texts = {r["doc_id"]: r["text"]
+             for r in docs.filter(F.col("doc_id").isin(*sample)).collect()}
+    for doc_id, checksum in sample.items():
+        assert checksum == sum(texts[doc_id].encode("utf-8")) % 997
+
+
+IMG_WIDTH_EXPECTED = 32

@@ -280,3 +280,25 @@ def test_pipeline_e2e_broadcasts_corpus_aggregates(spark):
     assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", p, re.M)) >= 3
     assert len(re.findall(r"^\(\d+\) SortMergeJoin", p, re.M)) <= 1
     assert "CartesianProduct" not in p
+
+
+def test_pipeline_e2e_no_global_sort(spark):
+    """Every Sort in the pipeline must be partition-local (window/SMJ
+    prep): a global sort at this point would range-shuffle the full
+    surviving corpus. The pack/split windows partition by (source, split),
+    so even they sort only within partitions. The single
+    BroadcastNestedLoopJoin allowed is the 1-row corpus-count scalar
+    attach; anything more means a small-set join fell off the broadcast
+    path."""
+    import re
+
+    p = plan_of(QUERIES["q_pipeline_e2e"](spark, SF_DIR))
+    # formatted-explain Sort arguments end with "<global>, 0" where
+    # <global> is true/false
+    globals_ = [
+        m.group(1)
+        for m in re.finditer(r"Arguments: \[[^\]]*\], (true|false), 0", p)
+    ]
+    assert globals_, "no Sort nodes parsed — plan shape changed?"
+    assert "true" not in globals_, f"global sort appeared: {globals_}"
+    assert len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", p, re.M)) <= 1
