@@ -641,3 +641,90 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = q_dedup_near(spark, sf_dir).select("doc_a", "doc_b")
     labels, _ = connected_components(pairs)
     return labels.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+@query(
+    "q_dedup_incremental",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id,
+               MD5(LIST_AGGR(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))),
+                             'string_agg', ' ')) AS fp
+        FROM documents
+    ), corpus AS (
+        SELECT fp, MIN(doc_id) AS corpus_id
+        FROM f WHERE doc_id % 5 < 4 GROUP BY fp
+    ), batch AS (
+        SELECT doc_id, fp FROM f WHERE doc_id % 5 = 4
+    ), k AS (
+        SELECT fp, MIN(doc_id) AS batch_keep FROM batch GROUP BY fp
+    )
+    SELECT b.doc_id,
+           CASE WHEN c.fp IS NOT NULL THEN 'dup_corpus'
+                WHEN b.doc_id <> k.batch_keep THEN 'dup_batch'
+                ELSE 'new' END AS status,
+           CAST(CASE WHEN c.fp IS NOT NULL THEN c.corpus_id
+                     WHEN b.doc_id <> k.batch_keep THEN k.batch_keep
+                     ELSE b.doc_id END AS BIGINT) AS keep_id
+    FROM batch b
+    LEFT JOIN corpus c ON b.fp = c.fp
+    JOIN k ON b.fp = k.fp
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch-vs-corpus dedup — the production shape at 100 TB.
+
+    A pipeline never re-dedups the whole corpus when new data lands; it keeps
+    a persisted *signature store* (content fingerprint -> canonical doc_id)
+    and checks only the delta against it. Each batch doc is classified:
+    ``dup_corpus`` (fingerprint already in the store, keep_id = the stored
+    canonical id), ``dup_batch`` (first seen inside this batch by another
+    row), or ``new`` (becomes the store's canonical id). Appending the
+    ``new`` rows to the store makes the operator exactly-once composable
+    across arbitrarily many batches.
+
+    Fingerprint = md5 of the sorted distinct token set, so token reordering
+    and repetition collide (a near-dup class exact text hashing misses);
+    the fixture corpus has ~11% such collisions. The corpus/batch split is
+    ``doc_id % 5`` so the same definition holds at every scale factor.
+
+    Scale: the corpus side carries only (fp, corpus_id) — never text — so
+    the store join is a digest-keyed shuffle of O(|batch|) probe rows
+    against the store partitions; the in-batch keeper agg is O(|batch|).
+    Nothing is O(|corpus|) except the (amortized, persisted) store itself.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    f = d.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                " ", F.array_sort(F.array_distinct(F.split("text", " ")))
+            )
+        ).alias("fp"),
+    )
+    corpus = (
+        f.filter(F.col("doc_id") % 5 < 4)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("corpus_id"))
+    )
+    batch = f.filter(F.col("doc_id") % 5 == 4)
+    keep = batch.groupBy("fp").agg(F.min("doc_id").alias("batch_keep"))
+    status = (
+        F.when(F.col("corpus_id").isNotNull(), F.lit("dup_corpus"))
+        .when(F.col("doc_id") != F.col("batch_keep"), F.lit("dup_batch"))
+        .otherwise(F.lit("new"))
+    )
+    keep_id = (
+        F.when(F.col("corpus_id").isNotNull(), F.col("corpus_id"))
+        .when(F.col("doc_id") != F.col("batch_keep"), F.col("batch_keep"))
+        .otherwise(F.col("doc_id"))
+    )
+    return (
+        batch.join(corpus, "fp", "left")
+        .join(keep, "fp")
+        .select(
+            "doc_id",
+            status.alias("status"),
+            keep_id.cast("long").alias("keep_id"),
+        )
+    )

@@ -1,0 +1,279 @@
+"""Corpus-quality operators for LLM training-data pipelines (SURVEY.md §2.5).
+
+Quality filtering is the first stage of every production training-data
+pipeline; the reference has no analogue (its 686 LoC are ingest-only,
+App.java:51-158) — these are BASELINE.json:6 [EXT] mandate rows.
+
+Design rules shared by this module:
+
+* **Fixed-point integer math everywhere an oracle exists.** Ratios are
+  emitted as ``*_ppm`` (parts-per-million) / ``*_milli`` BIGINTs computed
+  with integer division, never doubles — the result is bit-identical across
+  engines and partition orders (same rationale as ``tables.exact_sum``).
+  All numerators here are non-negative, so Spark's truncating ``div`` and
+  DuckDB's flooring ``//`` agree (the advisor's floor-vs-trunc divergence
+  only exists for negative operands).
+* **Pure JVM column expressions** (split / higher-order array functions) —
+  zero Python row UDFs, so the per-doc signals stay inside whole-stage
+  codegen and scale linearly. The one exception is the compression-ratio
+  signal, which genuinely needs zlib: it is the repo's canonical
+  "Python-unavoidable → Arrow-batched pandas_udf" case and is rows-only.
+
+100 TB posture: every per-doc query here is embarrassingly parallel (no
+shuffle at all); the corpus-level ones shuffle once on a low-cardinality
+key (token / source) with map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+from .text import STOPWORDS
+
+_SW_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+# Gopher-style rule thresholds (Rae et al. 2021 §A1.1 shape, re-parameterized
+# for the fixture corpus: token-soup docs are 20..120 words, all-lowercase).
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WLEN_MILLI = 3_000   # mean word length >= 3.0 chars
+GOPHER_MAX_MEAN_WLEN_MILLI = 10_000  # mean word length <= 10.0 chars
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_MIN_ALPHA_PPM = 800_000       # >= 80% of words purely [a-z]
+
+
+@query(
+    "q_text_gopher_rules",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents
+    ), sig AS (
+        SELECT doc_id,
+               LEN(w) AS n_words,
+               CAST(LIST_SUM(LIST_TRANSFORM(w, x -> STRLEN(x))) AS BIGINT)
+                   AS sum_wlen,
+               LEN(LIST_FILTER(w, x -> x IN {_SW_SQL})) AS n_stop,
+               LEN(LIST_FILTER(w, x -> REGEXP_MATCHES(x, '^[a-z]+$')))
+                   AS n_alpha
+        FROM t
+    )
+    SELECT doc_id, n_words,
+           CAST(sum_wlen * 1000 // n_words AS BIGINT) AS mean_wlen_milli,
+           n_stop,
+           CAST(n_alpha * 1000000 // n_words AS BIGINT) AS alpha_ppm,
+           CAST(CASE WHEN n_words BETWEEN {GOPHER_MIN_WORDS}
+                                      AND {GOPHER_MAX_WORDS}
+                      AND sum_wlen * 1000 // n_words
+                          BETWEEN {GOPHER_MIN_MEAN_WLEN_MILLI}
+                              AND {GOPHER_MAX_MEAN_WLEN_MILLI}
+                      AND n_stop >= {GOPHER_MIN_STOPWORDS}
+                      AND n_alpha * 1000000 // n_words
+                          >= {GOPHER_MIN_ALPHA_PPM}
+                THEN 1 ELSE 0 END AS BIGINT) AS passes
+    FROM sig
+    """,
+)
+def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule battery: word count, mean word length,
+    stopword presence, alphabetic-word fraction, and the combined pass flag.
+
+    One narrow projection per document — no shuffle, no UDF; the rule
+    signals are higher-order array expressions inside codegen. The fixture
+    corpus has no symbols/uppercase, so the alpha rule is exercised but
+    near-saturated; thresholds are module constants so a deployment can
+    re-tune without touching the plan shape.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sig = d.select(
+        "doc_id",
+        F.expr("split(text, ' ')").alias("w"),
+    ).select(
+        "doc_id",
+        F.expr("size(w)").cast("long").alias("n_words"),
+        F.expr(
+            "aggregate(transform(w, x -> length(x)), 0L, (a, x) -> a + x)"
+        ).alias("sum_wlen"),
+        F.expr(
+            f"size(filter(w, x -> x in {_SW_SQL}))"
+        ).cast("long").alias("n_stop"),
+        F.expr(
+            "size(filter(w, x -> x rlike '^[a-z]+$'))"
+        ).cast("long").alias("n_alpha"),
+    )
+    mean_milli = F.expr("sum_wlen * 1000 div n_words")
+    alpha_ppm = F.expr("n_alpha * 1000000 div n_words")
+    passes = (
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mean_milli.between(
+            GOPHER_MIN_MEAN_WLEN_MILLI, GOPHER_MAX_MEAN_WLEN_MILLI
+        )
+        & (F.col("n_stop") >= GOPHER_MIN_STOPWORDS)
+        & (alpha_ppm >= GOPHER_MIN_ALPHA_PPM)
+    )
+    return sig.select(
+        "doc_id",
+        "n_words",
+        mean_milli.alias("mean_wlen_milli"),
+        "n_stop",
+        alpha_ppm.alias("alpha_ppm"),
+        passes.cast("long").alias("passes"),
+    )
+
+
+@query(
+    "q_text_vocab_growth",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    first AS (
+        SELECT token, MIN(doc_id) AS first_doc
+        FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+              FROM documents)
+        GROUP BY token
+    ), dec AS (
+        SELECT CAST(first_doc * 10 // n_docs AS BIGINT) AS decile,
+               COUNT(*) AS new_tokens
+        FROM first, n
+        GROUP BY 1
+    )
+    SELECT decile, new_tokens,
+           CAST(SUM(new_tokens) OVER (ORDER BY decile) AS BIGINT)
+               AS cum_vocab
+    FROM dec
+    """,
+)
+def q_text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: new and cumulative distinct tokens
+    per corpus decile (doc_id order — the fixture ids are 0..N-1).
+
+    One token shuffle (min-groupBy with map-side partials); the cumulative
+    window runs over the ≤10-row decile aggregate, not the corpus, so the
+    unpartitioned window is O(1) regardless of scale. A flattening curve is
+    the standard "corpus is saturating / new data is redundant" signal when
+    deciding whether more crawl is worth ingesting.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    first = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    dec = (
+        first.crossJoin(F.broadcast(n_docs))
+        .select(F.expr("first_doc * 10 div n_docs").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("new_tokens"))
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return dec.select(
+        "decile",
+        "new_tokens",
+        F.sum("new_tokens").over(w).alias("cum_vocab"),
+    )
+
+
+@query(
+    "q_docs_mixture_weights",
+    oracle="""
+    WITH s AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT)
+                   AS src_tokens
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens,
+               COUNT(*) AS n_sources
+        FROM s
+    )
+    SELECT source, n_docs, src_tokens,
+           CAST(src_tokens * 1000000 // total_tokens AS BIGINT)
+               AS share_ppm,
+           CAST(total_tokens * 1000000 // (n_sources * src_tokens)
+                AS BIGINT) AS weight_ppm
+    FROM s, tot
+    """,
+)
+def q_docs_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture reweighting: per-source token share and the sampling weight
+    that rebalances the corpus to a uniform target mixture
+    (weight = target_share / actual_share, in ppm fixed point).
+
+    This is the "data mixing" step of training-set assembly (e.g. The Pile /
+    Dolma recipes): the pipeline samples source s with relative weight
+    weight_ppm to hit the target blend. One shuffle on source with map-side
+    partials; the share/weight arithmetic runs over the |sources|-row
+    aggregate via an unpartitioned window — O(|sources|), not O(corpus).
+    A non-uniform target is a broadcast-map swap, same plan shape.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    s = (
+        d.select(
+            "source", F.size(F.split("text", " ")).cast("long").alias("nt")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("src_tokens"),
+        )
+    )
+    w = Window.partitionBy()
+    s = s.select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        F.sum("src_tokens").over(w).alias("total_tokens"),
+        F.count(F.lit(1)).over(w).alias("n_sources"),
+    )
+    return s.select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        F.expr("src_tokens * 1000000 div total_tokens").alias("share_ppm"),
+        F.expr(
+            "total_tokens * 1000000 div (n_sources * src_tokens)"
+        ).alias("weight_ppm"),
+    )
+
+
+@query("q_text_compression")
+def q_text_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal: deflate(text) size / raw size, in
+    ppm. Highly repetitive (low-information) documents compress far below
+    the corpus norm; the flag marks docs under 40% of raw size.
+
+    zlib has no JVM-expression equivalent, so this is the repo's canonical
+    Arrow-batched ``pandas_udf`` — one Python round-trip per ~10k-row batch,
+    never per row. No shuffle; rows-only (no SQL engine can mirror zlib).
+    Determinism: zlib level is pinned (6) and the output is an integer ppm,
+    so repeated runs are bit-identical (property-tested).
+    """
+    @F.pandas_udf("long")
+    def comp_ppm(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        def ratio(t: str) -> int:
+            raw = t.encode("utf-8")
+            if not raw:
+                return 1_000_000
+            return len(zlib.compress(raw, 6)) * 1_000_000 // len(raw)
+
+        return texts.map(ratio)
+
+    d = load_table(spark, sf_dir, "documents")
+    out = d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        comp_ppm("text").alias("comp_ppm"),
+    )
+    return out.withColumn(
+        "low_info", (F.col("comp_ppm") < 400_000).cast("long")
+    )

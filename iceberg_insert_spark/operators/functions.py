@@ -360,3 +360,35 @@ def q_map_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "k").alias("k_val"),
         F.map_contains_key(m, "missing").cast("bigint").alias("has_missing"),
     )
+
+
+@query(
+    "q_json_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(props ->> '$.k' AS BIGINT) AS k_val,
+           CAST(props ->> '$.missing' AS BIGINT) AS missing_val,
+           CAST(json_valid(props) AS BIGINT) AS is_valid
+    FROM events
+    """,
+)
+def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingest via Spark 4's VARIANT type: ``parse_json``
+    once, then typed path extraction with ``variant_get`` /
+    ``try_variant_get`` (missing path -> NULL, no error).
+
+    VARIANT is the modern replacement for the reference's hand-rolled
+    schema-projected JSON parse (App.java:211-239 / extractJsonValue
+    :241-274): the binary-encoded variant keeps the full document while
+    letting the scan prune to the accessed paths, so at 100 TB you pay the
+    JSON string parse once at ingest, not per query. The DuckDB twin uses
+    its JSON path operators over the raw string — same typed results.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_val"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("missing_val"),
+        F.try_parse_json("props").isNotNull().cast("bigint").alias("is_valid"),
+    )
