@@ -296,3 +296,92 @@ def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid")
         )
     )
+
+
+PCA_COMPONENTS = 2
+
+
+@query("q_emb_pca_project")
+def q_emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed exact PCA: project embeddings onto the top-2 principal
+    components (whitening / visualization / redundancy-audit primitive).
+
+    Two-phase, the only scalable PCA shape for tall-skinny data (n rows x
+    small fixed dim d):
+
+      1. One distributed pass accumulates the dim-pair Gram matrix and the
+         per-dim means: posexplode to (i, j, xi*xj) cells, map-side partial
+         aggregation collapses every partition to <= d*(d+1)/2 cells before
+         the single exchange — the shuffle and the driver collect are
+         O(d^2) (d=64 -> 2,080 cells) REGARDLESS of row count, the same
+         bounded-driver-state argument as q_docs_shuffle's offset table.
+      2. The d x d eigendecomposition is microscopic and runs on the driver
+         (numpy), exactly like k-means centers in q_sim_knn_ivf; the top-k
+         eigenvectors are broadcast back as literal arrays and the
+         projection is a JVM zip_with dot product — no Python in the
+         per-row path.
+
+    Eigenvector sign is fixed deterministically (largest-|.| coordinate
+    made positive), so output is reproducible run-to-run. Rows-only: no SQL
+    oracle can express eigendecomposition; parity vs numpy's full PCA is
+    property-tested (tests/test_pca.py).
+    """
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        F.posexplode("embedding").alias("i", "xi"),
+        F.col("embedding").alias("v"),
+    )
+    pairs = (
+        ex.select("i", "xi", F.posexplode("v").alias("j", "xj"))
+        .filter(F.col("j") >= F.col("i"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("xi").cast("double") * F.col("xj")).alias("s"))
+    )
+    means = (
+        e.select(F.posexplode("embedding").alias("i", "xi"))
+        .groupBy("i")
+        .agg(
+            F.sum(F.col("xi").cast("double")).alias("m"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    mrows = means.collect()  # O(d) — bounded, documented
+    d = len(mrows)
+    n = mrows[0]["n"]
+    mu = np.zeros(d)
+    for r in mrows:
+        mu[r["i"]] = r["m"] / n
+    gram = np.zeros((d, d))
+    for r in pairs.collect():  # O(d^2) — bounded, documented
+        gram[r["i"], r["j"]] = r["s"]
+        gram[r["j"], r["i"]] = r["s"]
+    cov = gram / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:PCA_COMPONENTS]
+    comps = []
+    for idx in order:
+        c = vecs[:, idx]
+        if c[int(np.argmax(np.abs(c)))] < 0:
+            c = -c
+        comps.append(c)
+
+    def dot_expr(c: "np.ndarray") -> F.Column:
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        offset = float(mu @ c)
+        return (
+            F.aggregate(
+                F.zip_with("embedding", lit, lambda a, b: a.cast("double") * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            - F.lit(offset)
+        )
+
+    return e.select(
+        "vec_id",
+        "label",
+        F.round(dot_expr(comps[0]), 6).alias("pc1"),
+        F.round(dot_expr(comps[1]), 6).alias("pc2"),
+    )

@@ -576,3 +576,38 @@ def test_ngram_hot_shingle_guard_keeps_planted_pairs(spark):
     # no boilerplate-only pair ever reaches threshold, capped or not
     assert all(a == 1 and b == 2 for (a, b) in capped)
     assert capped == uncapped
+
+
+def test_compression_signal_separates_repetitive_text(spark, tmp_path):
+    """q_text_compression's deflate-ratio signal must rank a highly
+    repetitive document well below a high-entropy one, and be deterministic
+    across runs (pinned zlib level, integer ppm output)."""
+    import random
+
+    from iceberg_insert_spark.llm.quality import q_text_compression
+
+    rng = random.Random(7)
+    noisy = " ".join(
+        "".join(rng.choice("abcdefghijklmnop") for _ in range(8))
+        for _ in range(60)
+    )
+    rows = [(0, "spam ham " * 120), (1, noisy)]
+    df = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    p = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.parquet(p)
+    # point the loader at a dir shaped like a testdata sf dir
+    run1 = {
+        r["doc_id"]: r["comp_ppm"]
+        for r in q_text_compression(spark, str(tmp_path)).collect()
+    }
+    run2 = {
+        r["doc_id"]: r["comp_ppm"]
+        for r in q_text_compression(spark, str(tmp_path)).collect()
+    }
+    assert run1 == run2
+    assert run1[0] < 100_000  # repetition collapses under deflate
+    assert run1[1] > 400_000  # random text stays near incompressible
+    assert run1[0] < run1[1]
