@@ -37,6 +37,7 @@ _MODULES = [
     "iceberg_insert_spark.operators.functions",
     "iceberg_insert_spark.operators.partitions",
     "iceberg_insert_spark.operators.streaming_twins",
+    "iceberg_insert_spark.operators.tpch",
     "iceberg_insert_spark.operators.udf",
     "iceberg_insert_spark.llm.dedup",
     "iceberg_insert_spark.llm.similarity",
