@@ -389,3 +389,109 @@ def stream_static_enrich_available_now(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def incremental_dedup_stream_available_now(
+    spark: SparkSession,
+    src_glob: str,
+    schema: StructType,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Streaming twin of ``q_dedup_incremental``: every micro-batch of
+    documents is classified against a persisted *signature store*
+    (fingerprint -> canonical doc_id) and the store absorbs the batch's
+    genuinely-new fingerprints — continuous exactly-once corpus dedup.
+
+    Per micro-batch (inside ``foreachBatch``):
+      1. fingerprint each doc (md5 of the sorted distinct token set — the
+         same near-dup-tolerant signature as the batch operator);
+      2. classify: ``dup_corpus`` (store hit, keep_id = stored canonical),
+         ``dup_batch`` (first seen earlier in this batch), ``new``;
+      3. write the classified rows AND the new (fp, doc_id) store rows,
+         each under its own ``batch_id=N`` partition with dynamic partition
+         overwrite.
+
+    Exactly-once: ``foreachBatch`` is at-least-once, so a replayed batch
+    must not see its own half-written effects — the store read EXCLUDES the
+    current batch_id's partition, and both writes overwrite exactly their
+    own partition with recomputed-identical content (same idempotency
+    argument as ``continuous_daily_rollup_available_now``). At 100 TB the
+    store carries digests only (never text) and would be bucketed on fp so
+    the probe join is shuffle-free; here it is a plain parquet directory.
+    """
+    from pyspark.errors import AnalysisException
+
+    apply_runtime_confs(spark)
+
+    fp_expr = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        f = batch_df.select("doc_id", fp_expr.alias("fp"))
+        try:
+            store = (
+                sess.read.parquet(store_dir)
+                .filter(F.col("batch_id") != batch_id)  # replay isolation
+                .groupBy("fp")
+                .agg(F.min("doc_id").alias("corpus_id"))
+            )
+        except AnalysisException:  # first batch: no store yet
+            store = sess.createDataFrame([], "fp string, corpus_id long")
+        keep = f.groupBy("fp").agg(F.min("doc_id").alias("batch_keep"))
+        classified = (
+            f.join(store, "fp", "left")
+            .join(keep, "fp")
+            .select(
+                "fp",
+                "doc_id",
+                F.when(F.col("corpus_id").isNotNull(), "dup_corpus")
+                .when(F.col("doc_id") != F.col("batch_keep"), "dup_batch")
+                .otherwise("new")
+                .alias("status"),
+                F.coalesce(
+                    "corpus_id",
+                    F.when(
+                        F.col("doc_id") != F.col("batch_keep"),
+                        F.col("batch_keep"),
+                    ).otherwise(F.col("doc_id")),
+                ).alias("keep_id"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .localCheckpoint()  # pin: both writes must see ONE classification
+        )
+        sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            classified.drop("fp")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+        (
+            classified.filter(F.col("status") == "new")
+            .select("fp", "doc_id", "batch_id")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(store_dir)
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("mode", "DROPMALFORMED")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(src_glob)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)

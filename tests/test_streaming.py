@@ -300,3 +300,62 @@ def test_stream_static_enrichment(spark, workdir):
     assert len(g) > 0
     assert {r[1] for r in g} == {"compA"}
     assert {r[2] for r in g} == {"alice"}
+
+
+def test_incremental_dedup_stream(spark, workdir):
+    """Streaming signature-store dedup: per-file micro-batches classify
+    against the store built by earlier batches, and a later run (new file,
+    same checkpoint) sees the persisted store."""
+    import json
+    import os
+
+    from iceberg_insert_spark.streaming.file_stream import (
+        incremental_dedup_stream_available_now,
+    )
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    land = f"{workdir}/docs_landing"
+    os.makedirs(land, exist_ok=True)
+    texts = {i: f"alpha{i} beta{i} gamma{i} delta{i}" for i in range(10)}
+    # batch 0: ten unique docs
+    with open(f"{land}/b0.json", "w") as f:
+        for i in range(10):
+            f.write(json.dumps({"doc_id": i, "text": texts[i]}) + "\n")
+    run = lambda: incremental_dedup_stream_available_now(  # noqa: E731
+        spark,
+        land,
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("text", StringType()),
+            ]
+        ),
+        f"{workdir}/sig_store",
+        f"{workdir}/dedup_out",
+        f"{workdir}/dedup_stream_ckpt",
+    )
+    out = {r.doc_id: r for r in run().collect()}
+    assert all(out[i].status == "new" for i in range(10))
+
+    # batch 1 (new landing file, same checkpoint): 2 corpus dups (reordered
+    # tokens — the fingerprint is order-insensitive), an in-batch dup pair,
+    # and one new doc
+    with open(f"{land}/b1.json", "w") as f:
+        f.write(json.dumps({"doc_id": 10, "text": texts[0]}) + "\n")
+        reordered = " ".join(reversed(texts[1].split()))
+        f.write(json.dumps({"doc_id": 11, "text": reordered}) + "\n")
+        f.write(json.dumps({"doc_id": 12, "text": "fresh one two"}) + "\n")
+        f.write(json.dumps({"doc_id": 13, "text": "fresh one two"}) + "\n")
+        f.write(json.dumps({"doc_id": 14, "text": "lone new doc"}) + "\n")
+    out = {r.doc_id: r for r in run().collect()}
+    assert len(out) == 15
+    assert (out[10].status, out[10].keep_id) == ("dup_corpus", 0)
+    assert (out[11].status, out[11].keep_id) == ("dup_corpus", 1)
+    assert (out[12].status, out[12].keep_id) == ("new", 12)
+    assert (out[13].status, out[13].keep_id) == ("dup_batch", 12)
+    assert (out[14].status) == "new"
+
+    # store holds exactly one row per distinct fingerprint, never a dup fp
+    store = spark.read.parquet(f"{workdir}/sig_store")
+    assert store.count() == store.select("fp").distinct().count() == 12
