@@ -385,3 +385,84 @@ def q_emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dot_expr(comps[0]), 6).alias("pc1"),
         F.round(dot_expr(comps[1]), 6).alias("pc2"),
     )
+
+
+@query(
+    "q_sim_knn_classify",
+    oracle=f"""
+    WITH probes AS (
+        SELECT vec_id AS probe_id, label AS true_label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pe
+        FROM embeddings WHERE vec_id < {N_PROBES}
+    ), cands AS (
+        SELECT vec_id AS cand_id, label AS cand_label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+        FROM embeddings
+    ), scored AS (
+        SELECT probe_id, true_label, cand_id, cand_label,
+               {_COS_SQL} AS cos_sim
+        FROM probes CROSS JOIN cands
+        WHERE cand_id != probe_id
+    ), knn AS (
+        SELECT probe_id, true_label, cand_label
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                           ORDER BY cos_sim DESC, cand_id)
+                            AS rn
+              FROM scored)
+        WHERE rn <= {TOP_K}
+    ), votes AS (
+        SELECT probe_id, true_label, cand_label, COUNT(*) AS n_votes
+        FROM knn GROUP BY 1, 2, 3
+    )
+    SELECT probe_id, true_label,
+           cand_label AS predicted_label, n_votes,
+           CAST(cand_label = true_label AS BIGINT) AS correct
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                       ORDER BY n_votes DESC, cand_label)
+                        AS vr
+          FROM votes)
+    WHERE vr = 1
+    """,
+)
+def q_sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification: majority label among the TOP_K exact cosine
+    neighbors of each probe (ties broken by smaller label) — the standard
+    label-propagation / embedding-quality audit built ON TOP of the knn
+    primitive: it composes q_sim_knn's neighbor list with a grouped vote
+    and reports whether the prediction recovers the probe's own label.
+
+    Scale shape: inherits q_sim_knn's broadcast-probe scan (exact tier —
+    the LSH/IVF tiers swap in identically at 100 TB since only the
+    neighbor-list stage changes); the vote is a groupBy over probes x
+    TOP_K rows — negligible. Vote ordering is (count DESC, label ASC),
+    a total order in both engines, so the argmax is deterministic.
+    """
+    knn = q_sim_knn(spark, sf_dir)
+    probes = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_PROBES)
+        .select(F.col("vec_id").alias("probe_id"),
+                F.col("label").alias("true_label"))
+    )
+    votes = (
+        knn.groupBy("probe_id", "cand_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("n_votes"), F.asc("cand_label")
+    )
+    top = votes.withColumn("vr", F.row_number().over(w)).filter(
+        F.col("vr") == 1
+    )
+    return (
+        top.join(F.broadcast(probes), "probe_id")
+        .select(
+            "probe_id",
+            "true_label",
+            F.col("cand_label").alias("predicted_label"),
+            "n_votes",
+            (F.col("cand_label") == F.col("true_label"))
+            .cast("bigint")
+            .alias("correct"),
+        )
+    )
