@@ -302,3 +302,38 @@ def test_pipeline_e2e_no_global_sort(spark):
     assert globals_, "no Sort nodes parsed — plan shape changed?"
     assert "true" not in globals_, f"global sort appeared: {globals_}"
     assert len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", p, re.M)) <= 1
+
+
+def test_tpch_q19_extracts_equi_key_from_disjunction(spark):
+    """Q19's OR-of-ANDs must NOT degrade to a nested-loop join: the shared
+    p_partkey = l_partkey conjunct is extractable from every disjunct, so
+    the plan must be a hash join on partkey with the OR as a residual
+    filter — at 100 TB a BroadcastNestedLoopJoin over lineitem x part is
+    the difference between minutes and days."""
+    p = plan_of(QUERIES["q_tpch_q19"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+
+
+def test_tpch_q4_exists_becomes_semi_join(spark):
+    """Q4's correlated EXISTS with the interval predicate must decorrelate
+    to ONE semi join (no subquery re-execution per row) and the quarter
+    range must reach the orders scan."""
+    p = plan_of(QUERIES["q_tpch_q4"](spark, SF_DIR))
+    assert "LeftSemi" in p
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert any("o_orderdate" in ln for ln in pushed)
+
+
+def test_pca_gram_partial_aggregates_before_exchange(spark):
+    """The PCA Gram pass must collapse to O(d^2) cells per partition
+    BEFORE its exchange (map-side partials) — shuffling the exploded
+    (i, j, xi*xj) stream raw would move corpus x d^2 rows."""
+    import re
+
+    from iceberg_insert_spark.llm.similarity import q_emb_pca_project
+
+    p = plan_of(q_emb_pca_project(spark, SF_DIR))
+    # the projection plan itself is shuffle-free: one scan, no Exchange
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 0
