@@ -1363,3 +1363,79 @@ def q_docs_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pick_rank", F.row_number().over(w))
         .filter(F.col("pick_rank") <= STRATIFIED_QUOTA)
     )
+
+
+SPAN_TOKENS = 12
+
+
+@query(
+    "q_text_span_dedup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    spans AS (
+        SELECT doc_id, CAST(s - 1 AS BIGINT) AS span_no,
+               ARRAY_TO_STRING(t[(s - 1) * {SPAN_TOKENS} + 1 :
+                                 s * {SPAN_TOKENS}], ' ') AS span
+        FROM t, UNNEST(RANGE(1, CAST(CEIL(LEN(t) / CAST({SPAN_TOKENS}
+                                          AS DOUBLE)) AS BIGINT) + 1)) u(s)
+    ), ranked AS (
+        SELECT doc_id, span_no,
+               ROW_NUMBER() OVER (PARTITION BY span
+                                  ORDER BY doc_id, span_no) AS rn
+        FROM spans
+    )
+    SELECT doc_id, COUNT(*) AS n_spans,
+           COUNT(CASE WHEN rn = 1 THEN 1 END) AS kept_spans,
+           CAST(COUNT(CASE WHEN rn = 1 THEN 1 END) * 1000000 // COUNT(*)
+                AS BIGINT) AS retained_ppm
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def q_text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup (the line/paragraph-dedup of RefinedWeb/CCNet
+    pipelines, over disjoint {SPAN_TOKENS}-token spans since the fixture
+    has no newlines): a span kept by its FIRST occurrence in (doc_id,
+    span_no) order, every later copy dropped; per doc, the retained-span
+    fraction in ppm.
+
+    This is the granularity between document dedup (q_dedup_exact) and
+    n-gram near-dup: repeated boilerplate inside otherwise-unique documents
+    is removed span-by-span. One shuffle, keyed on span text (at 100 TB,
+    key on xxhash64(span) — 8-byte keys, same first-occurrence semantics);
+    the window is rank-1-per-span, which Spark evaluates without
+    materializing the full rank. Counts use COUNT(CASE) — BIGINT in both
+    engines, never HUGEINT.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    n_spans = F.ceil(F.size("t") / F.lit(float(SPAN_TOKENS))).cast("long")
+    spans = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_spans - 1)).alias(
+            "span_no"
+        ),
+        "t",
+    ).select(
+        "doc_id",
+        "span_no",
+        F.concat_ws(
+            " ",
+            F.slice(
+                "t",
+                (F.col("span_no") * SPAN_TOKENS + 1).cast("int"),
+                SPAN_TOKENS,
+            ),
+        ).alias("span"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("span").orderBy("doc_id", "span_no")
+    ranked = spans.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.count(F.when(F.col("rn") == 1, 1)).alias("kept_spans"),
+        F.expr(
+            "count(CASE WHEN rn = 1 THEN 1 END) * 1000000"
+            " div count(1)"
+        ).alias("retained_ppm"),
+    )

@@ -902,3 +902,78 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 2).alias("value"),
         "c_mktsegment",
     )
+
+
+@query(
+    "q_cdc_apply_changelog",
+    oracle="""
+    WITH base AS (
+        SELECT event_id AS k, event_type, ROUND(value, 2) AS value
+        FROM events WHERE event_id % 10 < 8
+    ), chg AS (
+        SELECT event_id - 5 AS k, event_id AS seq,
+               CASE WHEN event_id % 3 = 0 THEN 'D' ELSE 'U' END AS op,
+               ROUND(value, 2) AS value
+        FROM events WHERE event_id % 10 >= 8
+    ), latest AS (
+        SELECT k, op, value
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+                                           ORDER BY seq DESC) AS rn
+              FROM chg)
+        WHERE rn = 1
+    )
+    SELECT b.k, b.event_type, b.value, 'base' AS src
+    FROM base b LEFT JOIN latest l ON b.k = l.k
+    WHERE l.k IS NULL
+    UNION ALL
+    SELECT k, 'updated' AS event_type, value, 'cdc' AS src
+    FROM latest WHERE op = 'U'
+    """,
+)
+def q_cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply with DELETES (the Debezium-feed pattern,
+    completing q_upsert which only handles inserts/updates): collapse the
+    change stream to the LATEST operation per key (row_number over the
+    change sequence), then deletes remove base rows, updates replace them,
+    and update-ops for unseen keys insert.
+
+    Fixture mapping: events with event_id % 10 >= 8 play the change feed
+    against a base of the remaining events; each change targets key
+    event_id - 5 (so some hit base keys, some insert) and is a delete when
+    event_id % 3 == 0; event_id itself is the changelog sequence.
+
+    Scale shape: the changelog collapse is a rank-1 window on the key (one
+    shuffle of the — much smaller — change feed); the apply is one anti-
+    join on the key plus a union. With the Iceberg runtime this is exactly
+    `MERGE INTO ... WHEN MATCHED AND op='D' THEN DELETE` (gated like
+    q_upsert, warehouse_sink.iceberg_available); the DataFrame rewrite is
+    result-identical and engine-portable.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_id") % 10 < 8).select(
+        F.col("event_id").alias("k"),
+        "event_type",
+        F.round("value", 2).alias("value"),
+    )
+    chg = ev.filter(F.col("event_id") % 10 >= 8).select(
+        (F.col("event_id") - 5).alias("k"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_id") % 3 == 0, "D").otherwise("U").alias("op"),
+        F.round("value", 2).alias("value"),
+    )
+    w = Window.partitionBy("k").orderBy(F.desc("seq"))
+    latest = (
+        chg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("k", "op", "value")
+    )
+    survivors = base.join(latest, "k", "left_anti").select(
+        "k", "event_type", "value", F.lit("base").alias("src")
+    )
+    applied = latest.filter(F.col("op") == "U").select(
+        "k",
+        F.lit("updated").alias("event_type"),
+        "value",
+        F.lit("cdc").alias("src"),
+    )
+    return survivors.unionAll(applied)
