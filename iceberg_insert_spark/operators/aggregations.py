@@ -616,3 +616,46 @@ def q_events_hll_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
     ).select(F.lit("MONTH").alias("grain"), "approx_users")
     return per_day.unionByName(month)
+
+
+@query(
+    "q_events_bitmap_distinct",
+    oracle="""
+    SELECT STRFTIME(ts, '%Y-%m') AS month,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def q_events_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counting via Spark 4 bitmap aggregates —
+    the precise counterpart of q_events_hll_daily's approximate rollup:
+    per-day bitmaps of user_ids (one 4KB bitmap per 32768-id bucket) are
+    OR-merged into months, and the monthly distinct count is the sum of
+    per-bucket bit counts — bit-exact, oracled against COUNT(DISTINCT).
+
+    Why this matters at 100 TB: COUNT(DISTINCT) re-shuffles the raw id
+    stream for every grain you report; bitmap partials are tiny, mergeable
+    like HLL sketches (a day's bitmaps fold into months/quarters WITHOUT
+    rescanning the fact table), but with zero error. The bucket split
+    (id div 32768) keeps each bitmap bounded regardless of id range, and
+    distinct ids partition cleanly across buckets so per-bucket counts add
+    exactly. Three cheap stages: day+bucket construct (map-side partials),
+    month+bucket OR-merge, month sum.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "user_id",
+    )
+    daily = base.groupBy(
+        "month", "day", F.bitmap_bucket_number("user_id").alias("bucket")
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm")
+    )
+    monthly = daily.groupBy("month", "bucket").agg(
+        F.bitmap_or_agg("bm").alias("bm")
+    )
+    return monthly.groupBy("month").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_users")
+    )

@@ -977,3 +977,43 @@ def q_cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("cdc").alias("src"),
     )
     return survivors.unionAll(applied)
+
+
+@query(
+    "q_join_null_safe",
+    oracle="""
+    WITH a AS (
+        SELECT NULLIF(l_returnflag, 'N') AS rf, COUNT(*) AS n_lines
+        FROM lineitem GROUP BY 1
+    ), b AS (
+        SELECT NULLIF(l_returnflag, 'N') AS rf,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS revenue
+        FROM lineitem GROUP BY 1
+    )
+    SELECT a.rf, a.n_lines, b.revenue
+    FROM a JOIN b ON a.rf IS NOT DISTINCT FROM b.rf
+    """,
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the semantics every warehouse
+    reconciliation join over nullable dimensions needs (a plain equi-join
+    silently drops the NULL group; an OR-isnull rewrite breaks hash
+    planning).
+
+    Spark plans `<=>` as a hash join key (NullSafeEqual is a valid
+    equi-key), NOT a nested loop — same shuffle shape as `=`. The NULL
+    group is materialized via NULLIF on the returnflag aggregate.
+    """
+    from ..tables import exact_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rf = F.nullif(F.col("l_returnflag"), F.lit("N")).alias("rf")
+    a = li.groupBy(rf).agg(F.count(F.lit(1)).alias("n_lines"))
+    b = li.groupBy(rf).agg(
+        exact_sum(F.col("l_extendedprice"), 2).alias("revenue")
+    )
+    return a.join(b, a["rf"].eqNullSafe(b["rf"])).select(
+        a["rf"], "n_lines", "revenue"
+    )
