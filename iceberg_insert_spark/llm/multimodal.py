@@ -8,10 +8,12 @@ The image path is REAL as of round 3: payloads are valid PNGs (built by the
 pure-stdlib grayscale codec in ``llm/png_codec.py`` — chunk parse + zlib,
 no external libraries) and the decode step parses chunks, verifies CRCs,
 inflates IDAT, and de-filters scanlines to recover actual pixels. The
-``_fake_*`` stub branch now runs ONLY for payloads that are not decodable
-PNGs (foreign codecs — e.g. the video frame-sampler below, which would need
-pyav/ffmpeg); each output row carries a ``codec`` column naming the branch
-that produced it.
+video path is real too (round-3 wave 2): a self-describing PNGS container
+of length-prefixed PNG frames, parsed and per-frame decoded by the same
+codec — only true inter-frame codecs (H.264 etc., needing pyav/ffmpeg)
+remain out of reach. The ``_fake_*`` stub branch runs ONLY for payloads
+neither codec can handle; each output row carries a ``codec`` column
+naming the branch that produced it.
 
 The test payloads are derived from documents.text bytes (the driver ships no
 binary fixture): each document's UTF-8 bytes become the pixels of a
@@ -159,46 +161,114 @@ def q_mm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 FRAME_BYTES = 32
 FRAME_STRIDE = 4  # keep every 4th frame
 
+# "Video" container: a real, self-describing format the pure-stdlib codec
+# can round-trip — magic + a sequence of length-prefixed PNG frames. True
+# inter-frame codecs (H.264 etc.) need pyav/ffmpeg, absent here; this
+# container keeps the *pipeline* real: parse, seek, per-frame decode.
+CONTAINER_MAGIC = b"PNGS"
 
-def _fake_frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """STUB frame-sampler: chunk the payload into FRAME_BYTES 'frames' and
-    keep every FRAME_STRIDE-th one (a real implementation seeks keyframes
-    with pyav/ffmpeg — video codecs are out of pure-stdlib reach, unlike
-    the PNG path above). Emits one row per sampled frame — the
+
+def encode_frame_container(frames: list[bytes]) -> bytes:
+    """Pack PNG frames into the PNGS container (4-byte BE length prefix
+    per frame)."""
+    out = [CONTAINER_MAGIC]
+    for f in frames:
+        out.append(len(f).to_bytes(4, "big"))
+        out.append(f)
+    return b"".join(out)
+
+
+def decode_frame_container(data: bytes) -> list[bytes]:
+    """Split a PNGS container back into its frames; raises PngFormatError
+    on anything malformed (wrong magic, truncated frame)."""
+    if data[:4] != CONTAINER_MAGIC:
+        raise PngFormatError("not a PNGS container")
+    frames, off = [], 4
+    while off < len(data):
+        if off + 4 > len(data):
+            raise PngFormatError("truncated frame length")
+        n = int.from_bytes(data[off : off + 4], "big")
+        off += 4
+        if off + n > len(data):
+            raise PngFormatError("truncated frame body")
+        frames.append(data[off : off + n])
+        off += n
+    return frames
+
+
+def _encode_video(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched 'video' writer: text bytes -> FRAME_BYTES slices ->
+    one real PNG per slice -> PNGS container payload."""
+    for pdf in batches:
+        payloads = []
+        for t in pdf["text"]:
+            raw = t.encode("utf-8")
+            frames = [
+                _bytes_to_png(raw[i : i + FRAME_BYTES])
+                for i in range(0, max(len(raw), 1), FRAME_BYTES)
+            ]
+            payloads.append(encode_frame_container(frames))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Frame sampler: parse the PNGS container, keep every FRAME_STRIDE-th
+    frame, and REALLY decode each kept frame (chunk parse, CRC, inflate,
+    de-filter) for its dimensions + pixel checksum. Non-container payloads
+    fall back to a deterministic stub row (codec='stub') so the operator is
+    total over arbitrary binary. Emits one row per sampled frame — the
     row-explosion shape of video pipelines, where output >> input row count
     but payload bytes cross the Python boundary exactly once."""
     for pdf in batches:
-        out_doc, out_no, out_len, out_sum = [], [], [], []
+        rows = {
+            k: []
+            for k in (
+                "doc_id",
+                "frame_no",
+                "width",
+                "height",
+                "frame_checksum",
+                "codec",
+            )
+        }
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            frames = [
-                payload[i : i + FRAME_BYTES]
-                for i in range(0, len(payload), FRAME_BYTES)
-            ]
-            for no in range(0, len(frames), FRAME_STRIDE):
-                out_doc.append(doc_id)
-                out_no.append(no)
-                out_len.append(len(frames[no]))
-                out_sum.append(sum(frames[no]) % 997)
-        yield pd.DataFrame(
-            {
-                "doc_id": out_doc,
-                "frame_no": out_no,
-                "frame_len": out_len,
-                "frame_checksum": out_sum,
-            }
-        )
+            payload = bytes(payload)
+            try:
+                frames = decode_frame_container(payload)
+                for no in range(0, len(frames), FRAME_STRIDE):
+                    w, h, pixels = decode_png_gray8(frames[no])
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_no"].append(no)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["frame_checksum"].append(sum(pixels) % 997)
+                    rows["codec"].append("png")
+            except PngFormatError:
+                w, h, checksum = _fake_features(payload)
+                rows["doc_id"].append(doc_id)
+                rows["frame_no"].append(0)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["frame_checksum"].append(checksum)
+                rows["codec"].append("stub")
+        yield pd.DataFrame(rows)
 
 
 @query("q_mm_frames")
 def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling pipeline shape: binary payload -> mapInPandas chunk +
-    stride sample -> one row per kept frame. Rows-only check (sampler is a
-    stub; see _fake_frame_sample)."""
+    """Frame-sampling pipeline: text bytes -> PNGS container of real PNG
+    frames (mapInPandas encode) -> stride sample + per-frame REAL decode
+    (mapInPandas) -> one row per kept frame. Rows-only check; the container
+    round-trip and checksum parity are pinned in
+    tests/test_multimodal_golden.py."""
     d = load_table(spark, sf_dir, "documents")
-    with_payload = d.select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    video = d.select("doc_id", "text").mapInPandas(
+        _encode_video, schema="doc_id long, payload binary"
     )
-    return with_payload.repartition("doc_id").mapInPandas(
-        _fake_frame_sample,
-        schema="doc_id long, frame_no long, frame_len long, frame_checksum long",
+    return video.mapInPandas(
+        _frame_sample,
+        schema=(
+            "doc_id long, frame_no long, width long, height long, "
+            "frame_checksum long, codec string"
+        ),
     )

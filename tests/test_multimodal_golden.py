@@ -11,8 +11,11 @@ import pandas as pd
 from iceberg_insert_spark.llm.multimodal import (
     FRAME_BYTES,
     FRAME_STRIDE,
+    _encode_video,
     _fake_decode,
-    _fake_frame_sample,
+    _frame_sample,
+    decode_frame_container,
+    encode_frame_container,
 )
 
 # Known payloads with hand-computed features.
@@ -45,24 +48,51 @@ def test_fake_decode_golden():
     }
 
 
-def test_fake_frame_sample_golden():
-    # 100 bytes -> frames of 32: [0:32], [32:64], [64:96], [96:100];
-    # stride 4 keeps frame_no 0 only.
-    payload = bytes(range(100))
-    pdf = pd.DataFrame({"doc_id": [7], "payload": [payload]})
-    (out,) = list(_fake_frame_sample(iter([pdf])))
+def test_frame_container_roundtrip():
+    frames = [b"frame-one", b"", bytes(range(70))]
+    data = encode_frame_container(frames)
+    assert decode_frame_container(data) == frames
+    # malformed containers must raise, never mis-parse
+    from iceberg_insert_spark.llm.png_codec import PngFormatError
+
+    for bad in (b"JUNK" + data[4:], data[:-3], b""):
+        try:
+            decode_frame_container(bad)
+            assert False, "should have raised"
+        except PngFormatError:
+            pass
+
+
+def test_frame_sample_golden():
+    """100-byte text -> 4 PNG frames of <=32 raw bytes each; stride 4 keeps
+    frame 0 only, REALLY decoded: 32x1, checksum = sum of its raw bytes
+    (zero padding adds nothing)."""
+    text = bytes(range(100)).decode("latin-1")
+    # latin-1 range(100) is ascii-safe for utf-8? bytes 0..99 are ascii — yes
+    pdf = pd.DataFrame({"doc_id": [7], "text": [text]})
+    (vid,) = list(_encode_video(iter([pdf])))
+    (out,) = list(_frame_sample(iter([vid])))
     rows = list(out.itertuples(index=False))
-    assert [(r.doc_id, r.frame_no, r.frame_len) for r in rows] == [(7, 0, 32)]
+    assert [(r.doc_id, r.frame_no, r.width, r.height, r.codec)
+            for r in rows] == [(7, 0, 32, 1, "png")]
     assert rows[0].frame_checksum == sum(range(32)) % 997  # 496
 
-    # 5 frames (130 bytes) -> keeps frame 0 and frame 4 (the 2-byte tail)
-    payload2 = bytes([1] * 130)
-    pdf2 = pd.DataFrame({"doc_id": [8], "payload": [payload2]})
-    (out2,) = list(_fake_frame_sample(iter([pdf2])))
-    rows2 = [(r.frame_no, r.frame_len, r.frame_checksum)
+    # 130 one-bytes -> 5 frames -> keeps frame 0 and frame 4 (2-byte tail)
+    pdf2 = pd.DataFrame({"doc_id": [8], "text": ["\x01" * 130]})
+    (vid2,) = list(_encode_video(iter([pdf2])))
+    (out2,) = list(_frame_sample(iter([vid2])))
+    rows2 = [(r.frame_no, r.width, r.height, r.frame_checksum)
              for r in out2.itertuples(index=False)]
-    assert rows2 == [(0, FRAME_BYTES, FRAME_BYTES % 997), (4, 2, 2)]
+    assert rows2 == [(0, 32, 1, FRAME_BYTES % 997), (4, 32, 1, 2)]
     assert FRAME_STRIDE == 4  # golden rows above assume the stride constant
+
+
+def test_frame_sample_stub_branch():
+    """Non-container payloads must take the labeled stub fallback."""
+    pdf = pd.DataFrame({"doc_id": [9], "payload": [b"\x00\x01notvideo"]})
+    (out,) = list(_frame_sample(iter([pdf])))
+    rows = list(out.itertuples(index=False))
+    assert len(rows) == 1 and rows[0].codec == "stub"
 
 
 # ---- real PNG codec (r3): round-trip, filters, corruption, pipeline ----
