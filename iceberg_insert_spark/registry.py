@@ -47,6 +47,7 @@ _MODULES = [
     "iceberg_insert_spark.sources.json_ingest",
     "iceberg_insert_spark.sources.warehouse_sink",
     "iceberg_insert_spark.sources.schema_evolution",
+    "iceberg_insert_spark.sources.partition_evolution",
 ]
 
 _loaded = False
