@@ -495,3 +495,56 @@ def incremental_dedup_stream_available_now(
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+def observed_ingest_available_now(
+    spark: SparkSession,
+    src_glob: str,
+    schema: StructType,
+    dest_dir: str,
+    checkpoint_dir: str,
+) -> list[dict]:
+    """Ingest with OBSERVED METRICS (``df.observe``): per-micro-batch row
+    count, null-key count, and value sum ride along inside the streaming
+    query and surface in each batch's progress event — the production
+    observability hook (data-quality gates, freshness SLOs, volume alarms)
+    with ZERO extra jobs: the metrics are accumulator-style aggregates
+    computed by the same tasks that write the sink, not a second scan.
+
+    The reference has no observability at all (a stack trace print,
+    App.java:153-156, is its only signal). At 100 TB a separate metrics
+    scan doubles ingest cost — observe() is the Spark-native free ride.
+    Returns one dict per completed micro-batch.
+    """
+    import json
+
+    apply_runtime_confs(spark)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("mode", "DROPMALFORMED")
+        .json(src_glob)
+        .observe(
+            "ingest_metrics",
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("component_id").isNull(), 1)).alias(
+                "n_null_keys"
+            ),
+            F.sum(F.coalesce("score", F.lit(0.0))).alias("sum_score"),
+        )
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", dest_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = []
+    for p in q.recentProgress:
+        row = json.loads(p.json).get("observedMetrics", {}).get(
+            "ingest_metrics"
+        )
+        if row is not None:
+            out.append(row)
+    return out

@@ -359,3 +359,35 @@ def test_incremental_dedup_stream(spark, workdir):
     # store holds exactly one row per distinct fingerprint, never a dup fp
     store = spark.read.parquet(f"{workdir}/sig_store")
     assert store.count() == store.select("fp").distinct().count() == 12
+
+
+def test_observed_ingest_metrics(spark, workdir):
+    """observe() metrics must equal a batch aggregate over the same files,
+    with no second scan issued by the stream."""
+    fixture = write_fixture(f"{workdir}/landing", n_rows=80)
+    src = f"{fixture}/events/*/"
+    dest = f"{workdir}/obs_out"
+    from iceberg_insert_spark.streaming.file_stream import (
+        observed_ingest_available_now,
+    )
+
+    metrics = observed_ingest_available_now(
+        spark, src, EVENTS_JSON_SCHEMA, dest, f"{workdir}/obs_ckpt"
+    )
+    assert metrics, "no observed metrics surfaced"
+    total = sum(m["n_rows"] for m in metrics)
+    from pyspark.sql import functions as F
+
+    batch = (
+        spark.read.schema(EVENTS_JSON_SCHEMA)
+        .option("mode", "DROPMALFORMED")
+        .json(src)
+    )
+    assert total == batch.count()
+    got_sum = sum(m["sum_score"] for m in metrics)
+    want_sum = batch.agg(
+        F.sum(F.coalesce("score", F.lit(0.0)))
+    ).first()[0]
+    assert abs(got_sum - want_sum) < 1e-6
+    # and the sink actually landed every row
+    assert spark.read.parquet(dest).count() == total
