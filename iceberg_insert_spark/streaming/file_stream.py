@@ -548,3 +548,61 @@ def observed_ingest_available_now(
         if row is not None:
             out.append(row)
     return out
+
+
+def session_windows_available_now(
+    spark: SparkSession,
+    src_glob: str,
+    schema: StructType,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    query_name: str = "stream_sessions",
+) -> DataFrame:
+    """Streaming session windows: per-key sessions that close after ``gap``
+    of event-time silence, with a watermark bounding session state — the
+    streaming runtime path of the batch twin ``q_stream_session`` (whose
+    gaps-and-islands oracle pins the semantics).
+
+    State story at scale: session state is per (key, open session); the
+    watermark lets the store finalize and EVICT sessions whose gap has
+    conclusively passed, so state size tracks active keys, not stream
+    history. Append mode emits each session exactly once, on close.
+    """
+    apply_runtime_confs(spark)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("mode", "DROPMALFORMED")
+        .json(src_glob)
+    )
+    # watermarks require TIMESTAMP (not NTZ); cast in, cast back on output
+    stream = stream.withColumn(
+        "event_ts", F.col("event_ts").cast("timestamp")
+    )
+    sessions = (
+        stream.withWatermark("event_ts", "1 hour")
+        .groupBy(
+            F.col("component_id"),
+            F.session_window("event_ts", gap).alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.coalesce("score", F.lit(0.0))).alias("sum_score"),
+        )
+        .select(
+            "component_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+            "sum_score",
+        )
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

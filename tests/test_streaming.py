@@ -391,3 +391,45 @@ def test_observed_ingest_metrics(spark, workdir):
     assert abs(got_sum - want_sum) < 1e-6
     # and the sink actually landed every row
     assert spark.read.parquet(dest).count() == total
+
+
+def test_streaming_session_windows(spark, workdir):
+    """Streaming session windows must agree with the batch session_window
+    aggregate over the same files (emitted sessions are those the final
+    watermark closed — a subset in append mode; each must match its batch
+    twin row exactly)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_insert_spark.streaming.file_stream import (
+        session_windows_available_now,
+    )
+
+    fixture = write_fixture(f"{workdir}/landing", n_rows=90)
+    src = f"{fixture}/events/*/"
+    out = session_windows_available_now(
+        spark, src, EVENTS_JSON_SCHEMA, f"{workdir}/sess_ckpt",
+        query_name="t_sessions",
+    )
+    emitted = {
+        (r.component_id, r.session_start, r.session_end):
+            (r.n_events, round(r.sum_score, 6))
+        for r in out.collect()
+    }
+    assert emitted, "no sessions closed by the final watermark"
+    batch = (
+        spark.read.schema(EVENTS_JSON_SCHEMA)
+        .option("mode", "DROPMALFORMED")
+        .json(src)
+        .groupBy("component_id", F.session_window("event_ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.coalesce("score", F.lit(0.0))).alias("sum_score"),
+        )
+    )
+    want = {
+        (r.component_id, r["session_window"].start, r["session_window"].end):
+            (r.n_events, round(r.sum_score, 6))
+        for r in batch.collect()
+    }
+    for k, v in emitted.items():
+        assert want.get(k) == v, (k, v, want.get(k))
