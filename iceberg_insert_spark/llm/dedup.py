@@ -161,17 +161,14 @@ MINHASH_BANDS = 8  # 8 bands x 4 rows: P(candidate) ~ 1-(1-j^4)^8, steep at 0.5
 MINHASH_MAX_BUCKET = 1000  # hot-bucket cap; see skew guard below
 
 
-@query("q_dedup_near")
-def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs — the 100 TB-scale approximation of
-    q_dedup_ngram, entirely in JVM expressions (no ml.fit, no sparse vectors).
-
+def minhash_bands(d: DataFrame) -> DataFrame:
+    """(doc_id, sig, band, bucket) rows from seeded-deterministic MinHash:
     shingle -> K seeded xxhash64 min-aggregates (one pass, map-side partial
-    min) -> signature array -> band buckets (hash of each 4-slot slice) ->
-    self-join per (band, bucket) so only colliding docs ever shuffle ->
-    signature-overlap Jaccard estimate >= threshold. Rows-only check (LSH is
-    probabilistic; hashes seeded deterministically)."""
-    d = load_table(spark, sf_dir, "documents")
+    min) -> signature array -> band buckets (hash of each r-slot slice).
+
+    The hash family is FIXED (seed = slot index), never fitted — so the
+    same document always produces the same signature, which is what makes
+    a persisted signature store (q_dedup_near_incremental) possible."""
     sh = _shingles(d)
     sig = sh.groupBy("doc_id").agg(
         *[
@@ -183,7 +180,7 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.array(*[f"h{i}" for i in range(MINHASH_K)]).alias("sig")
     )
     r = MINHASH_K // MINHASH_BANDS
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
         "sig",
         F.explode(
@@ -198,6 +195,19 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "sig", "bk.band", "bk.bucket")
+
+
+@query("q_dedup_near")
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs — the 100 TB-scale approximation of
+    q_dedup_ngram, entirely in JVM expressions (no ml.fit, no sparse vectors).
+
+    minhash_bands -> self-join per (band, bucket) so only colliding docs
+    ever shuffle -> signature-overlap Jaccard estimate >= threshold.
+    Rows-only check (LSH is probabilistic; hashes seeded
+    deterministically)."""
+    d = load_table(spark, sf_dir, "documents")
+    bands = minhash_bands(d)
     # Hot-bucket guard: a degenerate bucket (boilerplate shingles, near-empty
     # docs) makes the self-join O(n^2) in that bucket. Cap membership — the
     # standard production LSH skew guard; dropped buckets cost recall on
@@ -728,3 +738,76 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             keep_id.cast("long").alias("keep_id"),
         )
     )
+
+
+def neardup_probe(batch_bands: DataFrame, store_bands: DataFrame) -> DataFrame:
+    """Probe a batch's MinHash band rows against a (persisted) signature
+    store's band rows: for every batch doc with at least one bucket
+    collision, the best-matching store doc by signature-overlap Jaccard.
+
+    Returns (doc_id, match_id, jaccard_est) — one row per batch doc with a
+    match >= NGRAM_JACCARD_THRESHOLD, ties broken by smaller match_id.
+    """
+    wb = Window.partitionBy("band", "bucket")
+    store_bands = (
+        store_bands.withColumn("_bn", F.count(F.lit(1)).over(wb))
+        .filter(F.col("_bn") <= MINHASH_MAX_BUCKET)
+        .drop("_bn")
+    )
+    b = batch_bands.select(
+        F.col("doc_id"),
+        F.col("sig").alias("sb"),
+        "band",
+        "bucket",
+    )
+    s = store_bands.select(
+        F.col("doc_id").alias("match_id"),
+        F.col("sig").alias("ss"),
+        "band",
+        "bucket",
+    )
+    est = (
+        F.aggregate(
+            F.zip_with("sb", "ss", lambda a, x: (a == x).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("double")
+        / MINHASH_K
+    )
+    cand = (
+        b.join(s, ["band", "bucket"])
+        .select("doc_id", "match_id", "sb", "ss")
+        .distinct()  # a pair can collide in several bands
+        .withColumn("jaccard_est", F.round(est, 6))
+        .filter(F.col("jaccard_est") >= NGRAM_JACCARD_THRESHOLD)
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("jaccard_est"), F.asc("match_id")
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "match_id", "jaccard_est")
+    )
+
+
+@query("q_dedup_near_incremental")
+def q_dedup_near_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup: probe a new batch against the corpus's
+    persisted MinHash signature store — the continuous version of
+    q_dedup_near, and the near-dup counterpart of q_dedup_incremental's
+    exact-fingerprint store.
+
+    Because the hash family is fixed (minhash_bands), the store rows
+    (band, bucket, sig, doc_id) computed when each corpus doc was ingested
+    remain valid forever: a new batch only computes ITS OWN signatures and
+    joins on (band, bucket) — O(|batch| x bands) probe rows against the
+    store's bucket partitions, nothing O(|corpus|). The same split as
+    q_dedup_incremental (corpus = doc_id % 5 < 4, batch = rest) keeps the
+    definition scale-free. Rows-only (LSH is probabilistic); cross-batch
+    recall on planted near-dups is property-tested
+    (tests/test_properties.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 5 < 4)
+    batch = d.filter(F.col("doc_id") % 5 == 4)
+    return neardup_probe(minhash_bands(batch), minhash_bands(corpus))

@@ -611,3 +611,30 @@ def test_compression_signal_separates_repetitive_text(spark, tmp_path):
     assert run1[0] < 100_000  # repetition collapses under deflate
     assert run1[1] > 400_000  # random text stays near incompressible
     assert run1[0] < run1[1]
+
+
+def test_incremental_neardup_finds_cross_batch_planted_pairs(spark):
+    """A batch doc that is a near-copy of a corpus doc must be flagged by
+    the signature-store probe with its corpus match; unrelated batch docs
+    must not be. Signatures are fixed-seeded, so the store rows computed
+    'at ingest time' equal ones recomputed later (store durability)."""
+    from iceberg_insert_spark.llm.dedup import minhash_bands, neardup_probe
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    corpus_rows = [(i, f"c{i}x c{i}y c{i}z unique corpus doc number {i} "
+                    + " ".join(f"w{i}{j}" for j in range(10)))
+                   for i in range(20)]
+    corpus_rows.append((99, base))
+    batch_rows = [
+        (200, base + " trailing"),          # near-dup of corpus doc 99
+        (201, "totally different words entirely unrelated content here "
+              "nothing shared with anything else at all ever"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    got = {r.doc_id: r.match_id
+           for r in neardup_probe(
+               minhash_bands(batch), minhash_bands(corpus)).collect()}
+    assert got.get(200) == 99
+    assert 201 not in got
