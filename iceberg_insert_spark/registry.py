@@ -59,13 +59,15 @@ _loaded = False
 # ADVICE, the ordering is now DERIVED from the recorded coverage data
 # (CORRECTNESS_r*.json committed at the repo root), so it cannot drift when
 # queries are added or renamed:
-#   group 0 — never driver-checked (new this round), oracled before
-#             rows-only (a hash check is strictly more information);
+#   group 0 — never driver-checked AND oracled (a first hash check is the
+#             most information per slot);
 #   group 1 — driver-checked but NOT fully green last time (red hash or a
-#             harness error): re-verify the fix next window;
-#   group 2 — green, oldest round first (staleness rotation).
+#             harness error): re-verifying a fix outranks first-checking a
+#             rows-only query, whose driver check is weak (row count only);
+#   group 2 — never driver-checked, rows-only;
+#   group 3 — green, oldest round first (staleness rotation).
 # Ties break by registration order. If no correctness files exist (fresh
-# clone), everything is group 0 and registration order is preserved.
+# clone), everything is group 0/2 and registration order is preserved.
 
 
 def _driver_history() -> dict[str, tuple[int, bool]]:
@@ -102,11 +104,11 @@ def _prioritized(d: dict) -> dict:
 
     def key(n: str):
         if n not in hist:
-            return (0, 0 if n in _ORACLES else 1, 0, reg_order[n])
+            return (0 if n in _ORACLES else 2, 0, reg_order[n])
         rnd, clean = hist[n]
         if not clean:
-            return (1, 0, rnd, reg_order[n])
-        return (2, 0, rnd, reg_order[n])
+            return (1, rnd, reg_order[n])
+        return (3, rnd, reg_order[n])
 
     return {n: d[n] for n in sorted(d, key=key)}
 
