@@ -659,3 +659,80 @@ def q_events_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return monthly.groupBy("month").agg(
         F.sum(F.bitmap_count("bm")).alias("n_users")
     )
+
+
+@query(
+    "q_events_anomaly_mad",
+    oracle="""
+    WITH cents AS (
+        SELECT event_type, event_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS v
+        FROM events
+    ), med AS (
+        SELECT event_type, QUANTILE_CONT(v, 0.5) AS med_v
+        FROM cents GROUP BY event_type
+    ), dev AS (
+        SELECT c.event_type, c.event_id, c.v, m.med_v,
+               ABS(c.v - m.med_v) AS adev
+        FROM cents c JOIN med m ON c.event_type = m.event_type
+    ), mad AS (
+        SELECT event_type, QUANTILE_CONT(adev, 0.5) AS mad_v
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           ROUND(d.med_v / 100.0, 6) AS median_value,
+           ROUND(m.mad_v / 100.0, 6) AS mad_value,
+           COUNT(*) AS n_events,
+           COUNT(CASE WHEN d.adev > 3 * m.mad_v THEN 1 END) AS n_outliers
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type, d.med_v, m.mad_v
+    """,
+)
+def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median + MAD (median
+    absolute deviation) and the count of events beyond 3 MADs — the
+    standard anomaly gate that, unlike mean/stddev z-scores, is not itself
+    dragged by the outliers it hunts.
+
+    Determinism: values quantize to integer cents FIRST, so both medians
+    interpolate between integers — the result is an exact x.0/x.5 double in
+    both engines (Spark percentile == DuckDB QUANTILE_CONT, linear
+    interpolation) and the 3-MAD threshold compare is exact.
+
+    Scale shape: two grouped exact percentiles (sort-per-group on the
+    low-cardinality event_type key) + one broadcast-sized stats join back.
+    At 100 TB swap approx_percentile into the same plan
+    (q_agg_percentile_approx pattern) — the MAD gate math is unchanged.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    med = cents.groupBy("event_type").agg(
+        F.percentile("v", F.lit(0.5)).alias("med_v")
+    )
+    dev = cents.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("v") - F.col("med_v"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad_v")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med_v", "mad_v")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(
+                F.when(F.col("adev") > 3 * F.col("mad_v"), 1)
+            ).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            F.round(F.col("med_v") / 100.0, 6).alias("median_value"),
+            F.round(F.col("mad_v") / 100.0, 6).alias("mad_value"),
+            "n_events",
+            "n_outliers",
+        )
+    )
