@@ -736,3 +736,47 @@ def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+@query(
+    "q_events_wau",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ), days AS (SELECT DISTINCT d FROM ud)
+    SELECT STRFTIME(days.d, '%Y-%m-%d') AS day,
+           COUNT(DISTINCT ud.user_id) AS wau
+    FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d
+    GROUP BY 1
+    """,
+)
+def q_events_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users per day (WAU — the DAU/WAU/MAU
+    engagement family): for each observed day, distinct users active in
+    [day-6, day].
+
+    Scale shape: a window COUNT(DISTINCT) doesn't exist, and the naive
+    days x users range join is O(days * activity). The scalable rewrite:
+    dedup to (user, day) once, EXPLODE each activity into its 7
+    contribution days (a constant x7 narrow map, no shuffle), semi-join
+    against the observed-day set (broadcast, |days| rows), then one
+    distinct-count shuffle keyed by day. Work is O(activity x window/day
+    granularity) regardless of user count — the standard engagement-metric
+    shape at fleet scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    days = ud.select("d").distinct().select(F.col("d").alias("day"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.expr("transform(sequence(0, 6), i -> date_add(d, i))")
+        ).alias("day"),
+    )
+    return (
+        contrib.join(F.broadcast(days), "day")
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
