@@ -811,3 +811,38 @@ def q_dedup_near_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.filter(F.col("doc_id") % 5 < 4)
     batch = d.filter(F.col("doc_id") % 5 == 4)
     return neardup_probe(minhash_bands(batch), minhash_bands(corpus))
+
+
+@query("q_dedup_representatives")
+def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative selection: within each near-dup cluster
+    (q_dedup_clusters), keep the doc most strongly connected to the rest —
+    max degree in the pair graph, ties to the smaller doc_id.
+
+    min-doc_id is the cheap canonical choice; degree-argmax is the better
+    one for training data (the highest-degree member is the 'centroid'
+    variant; low-degree members are the mutated/truncated copies). Cost on
+    top of CC is one degree aggregate over the pair graph (already tiny vs
+    the corpus) and a per-cluster argmax via max_by on the (degree,
+    -doc_id) pair — no window, one shuffle on cluster_id. Rows-only
+    (iterative CC upstream); invariants pinned in tests/test_properties.py.
+    """
+    pairs = q_dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    labels, _ = connected_components(pairs)
+    labels = labels.select(F.col("node").alias("doc_id"), "cluster_id")
+    degree = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    members = labels.join(degree, "doc_id")
+    # argmax by (degree, -doc_id): deterministic representative
+    reps = members.groupBy("cluster_id").agg(
+        F.max_by(
+            "doc_id", F.struct(F.col("degree"), (-F.col("doc_id")))
+        ).alias("rep_id"),
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.max("degree").alias("rep_degree"),
+    )
+    return reps.select("cluster_id", "rep_id", "cluster_size", "rep_degree")

@@ -638,3 +638,22 @@ def test_incremental_neardup_finds_cross_batch_planted_pairs(spark):
                minhash_bands(batch), minhash_bands(corpus)).collect()}
     assert got.get(200) == 99
     assert 201 not in got
+
+
+def test_cluster_representatives_invariants(spark):
+    """Every cluster elects exactly one representative; the rep is a member
+    of its own cluster and carries the cluster's max degree."""
+    from .conftest import SF_DIR
+    from iceberg_insert_spark.llm.dedup import (
+        q_dedup_clusters,
+        q_dedup_representatives,
+    )
+
+    labels = {r.doc_id: r.cluster_id
+              for r in q_dedup_clusters(spark, SF_DIR).collect()}
+    reps = q_dedup_representatives(spark, SF_DIR).collect()
+    assert len({r.cluster_id for r in reps}) == len(reps)
+    assert {r.cluster_id for r in reps} == set(labels.values())
+    for r in reps:
+        assert labels[r.rep_id] == r.cluster_id
+        assert r.cluster_size >= 2  # pair graph: singletons don't appear
