@@ -105,9 +105,15 @@ class PartitionEvolvingTable:
             out = out.withColumn(
                 f["name"], _derive(f["transform"], f["source"])
             )
+        names = [f["name"] for f in spec]
+        # co-locate each partition's rows before the write: one file per
+        # partition dir instead of (shuffle partitions x dirs) small files
+        # — the same small-files discipline as write.distribution-mode=hash
+        # on the Iceberg writer (and most of this operator's wall clock).
         (
-            out.write.mode("append")
-            .partitionBy([f["name"] for f in spec])
+            out.repartition(*names)
+            .write.mode("append")
+            .partitionBy(names)
             .parquet(os.path.join(self.path, f"_spec={v}"))
         )
 
@@ -173,13 +179,15 @@ class PartitionEvolvingTable:
 def q_part_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end partition-spec evolution round-trip, DuckDB-oracled.
 
-    Events before Jan 16 are written day-partitioned (spec v1); the spec
-    then evolves to (day, hour) — metadata-only — and the rest lands under
-    v2. The read names ONLY the source column ``ts``: the time range maps
-    onto ts_day under v1 and (ts_day, ts_hour) under v2 for directory
-    pruning (asserted in tests/test_partition_evolution.py), and the
-    unioned rows must be indistinguishable from querying the raw table —
-    which is exactly what the oracle does.
+    The classic evolution direction — the table started too coarse and
+    re-partitions finer as volume grows: events before Jan 16 were written
+    MONTH-partitioned (spec v1); the spec then evolves to DAY — metadata-
+    only, zero files rewritten — and later data lands under v2. The read
+    names ONLY the source column ``ts``: the time range maps onto ts_month
+    under v1 and ts_day under v2 for directory pruning (asserted in
+    tests/test_partition_evolution.py), and the unioned rows must be
+    indistinguishable from querying the raw table — which is exactly what
+    the oracle does.
     """
     import re
     import shutil
@@ -191,14 +199,9 @@ def q_part_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     split = F.lit("2024-01-16").cast("timestamp_ntz")
     tbl = PartitionEvolvingTable(path)
-    tbl.create([{"transform": "day", "source": "ts", "name": "ts_day"}])
+    tbl.create([{"transform": "month", "source": "ts", "name": "ts_month"}])
     tbl.append(ev.filter(F.col("ts") < split))
-    tbl.evolve_spec(
-        [
-            {"transform": "day", "source": "ts", "name": "ts_day"},
-            {"transform": "hour", "source": "ts", "name": "ts_hour"},
-        ]
-    )
+    tbl.evolve_spec([{"transform": "day", "source": "ts", "name": "ts_day"}])
     tbl.append(ev.filter(F.col("ts") >= split))
     return (
         tbl.read(

@@ -20,14 +20,9 @@ def _build(spark, tmp_path):
     ev = load_table(spark, SF_DIR, "events")
     split = F.lit("2024-01-16").cast("timestamp_ntz")
     tbl = PartitionEvolvingTable(str(tmp_path / "t"))
-    tbl.create([{"transform": "day", "source": "ts", "name": "ts_day"}])
+    tbl.create([{"transform": "month", "source": "ts", "name": "ts_month"}])
     tbl.append(ev.filter(F.col("ts") < split))
-    tbl.evolve_spec(
-        [
-            {"transform": "day", "source": "ts", "name": "ts_day"},
-            {"transform": "hour", "source": "ts", "name": "ts_hour"},
-        ]
-    )
+    tbl.evolve_spec([{"transform": "day", "source": "ts", "name": "ts_day"}])
     tbl.append(ev.filter(F.col("ts") >= split))
     return ev, tbl
 
@@ -47,8 +42,8 @@ def test_read_is_layout_invisible(spark, tmp_path):
 
 def test_time_range_prunes_both_layouts(spark, tmp_path):
     """A time-range read names only the SOURCE column; each spec version
-    must still get a partition-column filter (ts_day on v1, ts_day+ts_hour
-    on v2) so directory pruning happens per layout."""
+    must still get a partition-column filter (ts_month on v1, ts_day on
+    v2) so directory pruning happens per layout."""
     _, tbl = _build(spark, tmp_path)
     df = tbl.read(
         spark, time_range=("ts", "2024-01-10 00:00:00", "2024-01-12 00:00:00")
@@ -58,8 +53,8 @@ def test_time_range_prunes_both_layouts(spark, tmp_path):
         jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     part_lines = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
-    assert sum("ts_day" in ln for ln in part_lines) == 2
-    assert sum("ts_hour" in ln for ln in part_lines) == 1
+    assert sum("ts_month" in ln for ln in part_lines) == 1
+    assert sum("ts_day" in ln for ln in part_lines) == 1
     # and the pruned read returns exactly the range's rows
     ev = load_table(spark, SF_DIR, "events")
     lo = F.lit("2024-01-10").cast("timestamp_ntz")
