@@ -277,3 +277,66 @@ def q_text_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "low_info", (F.col("comp_ppm") < 400_000).cast("long")
     )
+
+
+def _curation_oracle() -> str:
+    # compose the three stage oracles verbatim — the composed query must be
+    # exactly the composition of the already-verified parts
+    from ..registry import _ORACLES
+
+    return f"""
+    WITH g AS ({_ORACLES["q_text_gopher_rules"]}),
+         s AS ({_ORACLES["q_text_span_dedup"]}),
+         m AS ({_ORACLES["q_docs_mixture_weights"]})
+    SELECT d.doc_id,
+           CAST(CASE WHEN g.passes = 1 AND s.retained_ppm >= 600000
+                THEN 1 ELSE 0 END AS BIGINT) AS keep,
+           g.passes, s.retained_ppm, m.weight_ppm
+    FROM documents d
+    JOIN g ON d.doc_id = g.doc_id
+    JOIN s ON d.doc_id = s.doc_id
+    JOIN m ON d.source = m.source
+    """
+
+
+@query("q_pipeline_curation", oracle=_curation_oracle())
+def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3 composed pipeline: the per-doc curation decision that joins
+    this module's stages in ONE Catalyst plan — Gopher rule gate x
+    span-dedup retention x source mixture weight -> (keep, weight).
+
+    keep = passes_gopher AND retained_span_fraction >= 60% (a doc that is
+    mostly cross-corpus duplicate spans is dropped even if well-formed);
+    weight_ppm is the source's uniform-target resampling weight. The
+    oracle is built by textual composition of the three stage oracles, so
+    the composed result is verified against exactly the parts already
+    proven — same methodology as q_pipeline_e2e.
+
+    Plan shape: the gopher signals are shuffle-free projections, span
+    retention adds its one span shuffle, the mixture weight is a
+    |sources|-row broadcast join — composing the stages adds joins on
+    doc_id (co-partitioned by the shuffle the span stage already did) and
+    nothing else.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    from .text import q_text_span_dedup
+
+    gopher = q_text_gopher_rules(spark, sf_dir).select("doc_id", "passes")
+    spans = q_text_span_dedup(spark, sf_dir).select("doc_id", "retained_ppm")
+    mix = q_docs_mixture_weights(spark, sf_dir).select("source", "weight_ppm")
+    keep = (
+        (F.col("passes") == 1) & (F.col("retained_ppm") >= 600_000)
+    ).cast("bigint")
+    return (
+        d.select("doc_id", "source")
+        .join(gopher, "doc_id")
+        .join(spans, "doc_id")
+        .join(F.broadcast(mix), "source")
+        .select(
+            "doc_id",
+            keep.alias("keep"),
+            "passes",
+            "retained_ppm",
+            "weight_ppm",
+        )
+    )
