@@ -827,7 +827,13 @@ def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     -doc_id) pair — no window, one shuffle on cluster_id. Rows-only
     (iterative CC upstream); invariants pinned in tests/test_properties.py.
     """
-    pairs = q_dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    # materialize the pair graph ONCE: both consumers below (CC and the
+    # degree aggregate) would otherwise re-evaluate the whole MinHash plan
+    pairs = (
+        q_dedup_near(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     labels, _ = connected_components(pairs)
     labels = labels.select(F.col("node").alias("doc_id"), "cluster_id")
     degree = (
