@@ -780,3 +780,84 @@ def q_events_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
         .agg(F.countDistinct("user_id").alias("wau"))
     )
+
+
+@query(
+    "q_customer_rfm",
+    oracle="""
+    WITH mx AS (SELECT MAX(o_orderdate) AS max_d FROM orders),
+    base AS (
+        SELECT o_custkey AS c_custkey,
+               CAST(DATE_DIFF('day', CAST(MAX(o_orderdate) AS DATE),
+                              CAST(max_d AS DATE)) AS BIGINT) AS recency_days,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS monetary_cents
+        FROM orders, mx
+        GROUP BY o_custkey, max_d
+    )
+    SELECT c_custkey, recency_days, frequency, monetary_cents,
+           CAST(NTILE(4) OVER (ORDER BY recency_days, c_custkey)
+                AS BIGINT) AS r_quartile,
+           CAST(NTILE(4) OVER (ORDER BY frequency DESC, c_custkey)
+                AS BIGINT) AS f_quartile,
+           CAST(NTILE(4) OVER (ORDER BY monetary_cents DESC, c_custkey)
+                AS BIGINT) AS m_quartile
+    FROM base
+    """,
+)
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer scoring (recency / frequency / monetary + quartile
+    segments) — the classic warehouse segmentation query.
+
+    Determinism: monetary accumulates in exact integer cents; every NTILE
+    ordering carries c_custkey as the tiebreak, so quartile boundaries are
+    a total order in both engines. Scale shape: one groupBy on custkey
+    (map-side partials); the three NTILEs run over the |customers|-row
+    aggregate — at 100 TB swap the global NTILE for fixed percentile
+    thresholds (approx_percentile) to avoid the single-partition window
+    sort, same output contract.
+    """
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("max_d"))
+    base = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey", "max_d")
+        .agg(
+            F.max("o_orderdate").alias("last_d"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("monetary_cents"),
+        )
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.datediff(
+                F.col("max_d").cast("date"), F.col("last_d").cast("date")
+            )
+            .cast("bigint")
+            .alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    return base.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(4)
+        .over(Window.orderBy("recency_days", "c_custkey"))
+        .cast("bigint")
+        .alias("r_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("c_custkey")))
+        .cast("bigint")
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary_cents"), F.asc("c_custkey")))
+        .cast("bigint")
+        .alias("m_quartile"),
+    )

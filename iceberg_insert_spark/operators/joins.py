@@ -1017,3 +1017,56 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, a["rf"].eqNullSafe(b["rf"])).select(
         a["rf"], "n_lines", "revenue"
     )
+
+
+BASKET_TOP_K = 25
+
+
+@query(
+    "q_basket_pairs",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS support
+        FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, support
+    FROM pairs
+    ORDER BY support DESC, part_a, part_b
+    LIMIT {BASKET_TOP_K}
+    """,
+)
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top-{BASKET_TOP_K} part pairs
+    bought together in one order (frequent-itemset support counting, the
+    association-mining primitive behind recommendations).
+
+    Scale shape: the self-join key is l_orderkey and baskets are small
+    (TPC-H ~7 lines/order), so per-key pair fan-out is bounded by
+    basket_size² — NOT a quadratic blowup like a shingle join; the pair
+    aggregate partial-combines map-side and the top-k plans as
+    TakeOrderedAndProject (no global sort). A pathological mega-basket
+    would need the same cap guard as the dedup tiers — TPC-H order shape
+    makes it unnecessary here. (support DESC, part_a, part_b) is a total
+    order, so the LIMIT boundary is deterministic cross-engine.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(
+        "l_orderkey", F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        "l_orderkey", F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.desc("support"), F.asc("part_a"), F.asc("part_b"))
+        .limit(BASKET_TOP_K)
+    )
