@@ -657,3 +657,64 @@ def test_cluster_representatives_invariants(spark):
     for r in reps:
         assert labels[r.rep_id] == r.cluster_id
         assert r.cluster_size >= 2  # pair graph: singletons don't appear
+
+
+from iceberg_insert_spark.llm.text import STOPWORDS  # noqa: E402
+
+_token = st.one_of(
+    st.sampled_from(list(STOPWORDS)),
+    st.text(alphabet="abcdefg", min_size=1, max_size=12),
+    st.text(alphabet="abc123_", min_size=1, max_size=6),
+)
+docs_strategy = st.lists(
+    st.lists(_token, min_size=1, max_size=80).map(" ".join),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(texts=docs_strategy)
+@settings(**SETTINGS)
+def test_gopher_rules_match_python_reference(spark, texts):
+    """q_text_gopher_rules' fixed-point signals over arbitrary token docs
+    must equal a direct python computation — the integer div math leaves no
+    room for float drift, so equality is exact."""
+    import re
+
+    from iceberg_insert_spark.llm.quality import (
+        GOPHER_MAX_MEAN_WLEN_MILLI,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_PPM,
+        GOPHER_MIN_MEAN_WLEN_MILLI,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_WORDS,
+        q_text_gopher_rules,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        df.coalesce(1).write.parquet(f"{tmp}/documents.parquet")
+        got = {
+            r.doc_id: (r.n_words, r.mean_wlen_milli, r.n_stop,
+                       r.alpha_ppm, r.passes)
+            for r in q_text_gopher_rules(spark, tmp).collect()
+        }
+    for i, t in enumerate(texts):
+        w = t.split(" ")
+        n = len(w)
+        mean_milli = sum(len(x) for x in w) * 1000 // n
+        n_stop = sum(x in STOPWORDS for x in w)
+        alpha_ppm = sum(bool(re.fullmatch("[a-z]+", x)) for x in w) * 1_000_000 // n
+        passes = int(
+            GOPHER_MIN_WORDS <= n <= GOPHER_MAX_WORDS
+            and GOPHER_MIN_MEAN_WLEN_MILLI <= mean_milli
+                <= GOPHER_MAX_MEAN_WLEN_MILLI
+            and n_stop >= GOPHER_MIN_STOPWORDS
+            and alpha_ppm >= GOPHER_MIN_ALPHA_PPM
+        )
+        assert got[i] == (n, mean_milli, n_stop, alpha_ppm, passes), (i, t)
