@@ -861,3 +861,77 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("m_quartile"),
     )
+
+
+@query(
+    "q_orders_cohort_ltv",
+    oracle="""
+    WITH first AS (
+        SELECT o_custkey,
+               MIN(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1)
+                   AS first_m
+        FROM orders GROUP BY o_custkey
+    ), facts AS (
+        SELECT f.first_m,
+               (YEAR(o.o_orderdate) * 12 + MONTH(o.o_orderdate) - 1)
+                   - f.first_m AS month_offset,
+               o.o_custkey,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+    ), grid AS (
+        SELECT CAST(first_m AS BIGINT) AS cohort_m,
+               CAST(month_offset AS BIGINT) AS month_offset,
+               COUNT(DISTINCT o_custkey) AS n_active,
+               CAST(SUM(cents) AS BIGINT) AS rev_cents
+        FROM facts GROUP BY 1, 2
+    )
+    SELECT cohort_m, month_offset, n_active,
+           CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
+           CAST(CAST(SUM(rev_cents) OVER (
+                    PARTITION BY cohort_m ORDER BY month_offset)
+                AS BIGINT) AS DOUBLE) / 100.0 AS cum_revenue
+    FROM grid
+    """,
+)
+def q_orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: customers grouped by first-order
+    month; per (cohort, months-since-first) the active-customer count,
+    revenue, and the cohort's cumulative revenue — the money-side
+    complement of q_events_retention's user-count triangle.
+
+    Month arithmetic is pure integers (year*12 + month), no calendar
+    intervals to diverge on; revenue is exact integer cents end-to-end and
+    only rendered as dollars at the edge. Scale shape: the first-order
+    aggregate shuffles on custkey, the fact join reuses that key, the
+    triangle is |cohorts| x |offsets| cells with map-side partials, and
+    the cumulative window runs over that tiny grid.
+    """
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    m = F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+    first = o.groupBy("o_custkey").agg(F.min(m).alias("first_m"))
+    facts = o.join(first, "o_custkey").select(
+        F.col("first_m").cast("bigint").alias("cohort_m"),
+        (m - F.col("first_m")).cast("bigint").alias("month_offset"),
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    grid = facts.groupBy("cohort_m", "month_offset").agg(
+        F.countDistinct("o_custkey").alias("n_active"),
+        F.sum("cents").alias("rev_cents"),
+    )
+    w = (
+        Window.partitionBy("cohort_m")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return grid.select(
+        "cohort_m",
+        "month_offset",
+        "n_active",
+        (F.col("rev_cents").cast("double") / 100.0).alias("revenue"),
+        (F.sum("rev_cents").over(w).cast("double") / 100.0).alias(
+            "cum_revenue"
+        ),
+    )
