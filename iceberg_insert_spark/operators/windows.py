@@ -379,3 +379,81 @@ def q_scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d.state_value",
         F.col("d.event_id").alias("state_event_id"),
     )
+
+
+@query(
+    "q_events_gapfill",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    ), span AS (
+        SELECT user_id, MIN(d) AS lo, MAX(d) AS hi FROM daily GROUP BY 1
+    ), grid AS (
+        SELECT user_id,
+               CAST(UNNEST(GENERATE_SERIES(lo, hi, INTERVAL 1 DAY)) AS DATE)
+                   AS d
+        FROM span
+    ), joined AS (
+        SELECT g.user_id, g.d, daily.cents
+        FROM grid g LEFT JOIN daily
+          ON daily.user_id = g.user_id AND daily.d = g.d
+    )
+    SELECT user_id, STRFTIME(d, '%Y-%m-%d') AS day,
+           CAST(LAST_VALUE(cents IGNORE NULLS) OVER (
+                    PARTITION BY user_id ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS filled_cents,
+           CAST(cents IS NULL AS BIGINT) AS is_gap
+    FROM joined
+    """,
+)
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + forward fill: each user's daily purchase
+    total, densified to EVERY day in the user's activity span with gaps
+    carrying the last observed value — the gap-filling primitive
+    (TimescaleDB ``locf`` / pandas ``resample().ffill()``) that Spark has
+    no native operator for.
+
+    Rewrite: per-user day grid via ``sequence(lo, hi)`` explode (bounded
+    by span length, no shuffle beyond the daily aggregate's), left join
+    the observed days on the already-co-partitioned (user, day) key, then
+    one ``last(ignorenulls)`` running window per user. The first grid day
+    is observed by construction, so the fill is total. Values are exact
+    integer cents; the window is partitioned by user — no skew beyond a
+    user's span length, no global sort.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = (
+        ev.select(
+            "user_id",
+            F.col("ts").cast("date").alias("d"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("user_id", "d")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d"),
+    )
+    joined = grid.join(daily, ["user_id", "d"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.last("cents", ignorenulls=True).over(w).alias("filled_cents"),
+        F.col("cents").isNull().cast("bigint").alias("is_gap"),
+    )
