@@ -233,24 +233,25 @@ def _frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         }
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             payload = bytes(payload)
+            # per-payload buffer: a frame failing to decode mid-container
+            # must not leave earlier frames' rows behind next to the stub
+            # fallback row — the fallback REPLACES the payload's output
+            buf: list[tuple[int, int, int, int, str]] = []
             try:
                 frames = decode_frame_container(payload)
                 for no in range(0, len(frames), FRAME_STRIDE):
                     w, h, pixels = decode_png_gray8(frames[no])
-                    rows["doc_id"].append(doc_id)
-                    rows["frame_no"].append(no)
-                    rows["width"].append(w)
-                    rows["height"].append(h)
-                    rows["frame_checksum"].append(sum(pixels) % 997)
-                    rows["codec"].append("png")
+                    buf.append((no, w, h, sum(pixels) % 997, "png"))
             except PngFormatError:
                 w, h, checksum = _fake_features(payload)
+                buf = [(0, w, h, checksum, "stub")]
+            for no, w, h, checksum, codec in buf:
                 rows["doc_id"].append(doc_id)
-                rows["frame_no"].append(0)
+                rows["frame_no"].append(no)
                 rows["width"].append(w)
                 rows["height"].append(h)
                 rows["frame_checksum"].append(checksum)
-                rows["codec"].append("stub")
+                rows["codec"].append(codec)
         yield pd.DataFrame(rows)
 
 
@@ -262,7 +263,10 @@ def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip and checksum parity are pinned in
     tests/test_multimodal_golden.py."""
     d = load_table(spark, sf_dir, "documents")
-    video = d.select("doc_id", "text").mapInPandas(
+    # repartition BEFORE the Python stages: decode parallelism must be
+    # independent of source file count — payload bytes dominate at scale
+    # (same rationale as q_mm_pipeline's repartition)
+    video = d.select("doc_id", "text").repartition("doc_id").mapInPandas(
         _encode_video, schema="doc_id long, payload binary"
     )
     return video.mapInPandas(

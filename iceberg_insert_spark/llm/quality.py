@@ -193,10 +193,10 @@ def q_text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM s
     )
     SELECT source, n_docs, src_tokens,
-           CAST(src_tokens * 1000000 // total_tokens AS BIGINT)
-               AS share_ppm,
-           CAST(total_tokens * 1000000 // (n_sources * src_tokens)
-                AS BIGINT) AS weight_ppm
+           CAST(CAST(src_tokens AS HUGEINT) * 1000000 // total_tokens
+                AS BIGINT) AS share_ppm,
+           CAST(CAST(total_tokens AS HUGEINT) * 1000000
+                // (n_sources * src_tokens) AS BIGINT) AS weight_ppm
     FROM s, tot
     """,
 )
@@ -233,13 +233,23 @@ def q_docs_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("src_tokens").over(w).alias("total_tokens"),
         F.count(F.lit(1)).over(w).alias("n_sources"),
     )
+    # ppm numerators widen to DECIMAL(38,0) BEFORE the x1e6 multiply: a
+    # ~2e13-token corpus (the 100 TB posture) would overflow BIGINT at
+    # token_count * 1_000_000 (> 2^63) — same widening rule as exact_sum's
+    # scale>=4 path; `div` on decimals is still exact integral division.
+    # The DuckDB twin widens via HUGEINT (an intermediate only — the final
+    # CAST keeps the output BIGINT, clear of the pandas-fetch type trap).
     return s.select(
         "source",
         "n_docs",
         "src_tokens",
-        F.expr("src_tokens * 1000000 div total_tokens").alias("share_ppm"),
         F.expr(
-            "total_tokens * 1000000 div (n_sources * src_tokens)"
+            "CAST(src_tokens AS DECIMAL(38,0)) * 1000000"
+            " div total_tokens"
+        ).alias("share_ppm"),
+        F.expr(
+            "CAST(total_tokens AS DECIMAL(38,0)) * 1000000"
+            " div (n_sources * src_tokens)"
         ).alias("weight_ppm"),
     )
 

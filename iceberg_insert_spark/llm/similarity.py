@@ -301,6 +301,35 @@ def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 PCA_COMPONENTS = 2
 
 
+def _pca_stat_frames(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The PCA stats pass as unexecuted frames: upper-triangle Gram cells
+    (i, j, sum xi*xj) and per-dim (sum, count). Split out so the
+    map-side-partials-before-exchange property is plan-testable
+    (tests/test_plans.py) — inside q_emb_pca_project both are eagerly
+    collected and their plans would be invisible to the caller."""
+    ex = e.select(
+        F.posexplode("embedding").alias("i", "xi"),
+        F.col("embedding").alias("v"),
+    )
+    pairs = (
+        ex.select("i", "xi", F.posexplode("v").alias("j", "xj"))
+        .filter(F.col("j") >= F.col("i"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("xi").cast("double") * F.col("xj")).alias("s"))
+    )
+    means = (
+        e.select(F.posexplode("embedding").alias("i", "xi"))
+        .groupBy("i")
+        .agg(
+            F.sum(F.col("xi").cast("double")).alias("m"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return pairs, means
+
+
+
+
 @query("q_emb_pca_project")
 def q_emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed exact PCA: project embeddings onto the top-2 principal
@@ -329,24 +358,7 @@ def q_emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     e = load_table(spark, sf_dir, "embeddings")
-    ex = e.select(
-        F.posexplode("embedding").alias("i", "xi"),
-        F.col("embedding").alias("v"),
-    )
-    pairs = (
-        ex.select("i", "xi", F.posexplode("v").alias("j", "xj"))
-        .filter(F.col("j") >= F.col("i"))
-        .groupBy("i", "j")
-        .agg(F.sum(F.col("xi").cast("double") * F.col("xj")).alias("s"))
-    )
-    means = (
-        e.select(F.posexplode("embedding").alias("i", "xi"))
-        .groupBy("i")
-        .agg(
-            F.sum(F.col("xi").cast("double")).alias("m"),
-            F.count(F.lit(1)).alias("n"),
-        )
-    )
+    pairs, means = _pca_stat_frames(e)
     mrows = means.collect()  # O(d) — bounded, documented
     d = len(mrows)
     n = mrows[0]["n"]

@@ -79,11 +79,15 @@ def _driver_history() -> dict[str, tuple[int, bool]]:
 
     hist: dict[str, tuple[int, bool]] = {}
     root = Path(__file__).resolve().parent.parent
-    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+    # sort by PARSED round number, not filename: lexicographic order breaks
+    # the moment round numbers outgrow the current zero-padding (r100 would
+    # sort before r20 and an older file would overwrite the latest verdict)
+    found: list[tuple[int, Path]] = []
+    for f in root.glob("CORRECTNESS_r*.json"):
         m = re.search(r"r(\d+)", f.name)
-        if not m:
-            continue
-        rnd = int(m.group(1))
+        if m:
+            found.append((int(m.group(1)), f))
+    for rnd, f in sorted(found):
         try:
             data = json.loads(f.read_text())
         except (OSError, ValueError):

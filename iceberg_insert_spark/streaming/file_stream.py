@@ -324,6 +324,11 @@ def compact_rollup(
     recovery = rollup_dir + ".pre_compact"
     if not os.path.exists(rollup_dir) and os.path.exists(recovery):
         os.rename(recovery, rollup_dir)  # crashed between the two renames
+    elif os.path.exists(recovery):
+        # crashed after the final rename but before cleanup: rollup_dir is
+        # the compacted copy, recovery is definitionally stale — drop it
+        # here too, or an early return below would leak it forever
+        shutil.rmtree(recovery, ignore_errors=True)
     before = [
         p
         for p in os.listdir(rollup_dir)
@@ -515,8 +520,19 @@ def observed_ingest_available_now(
     App.java:153-156, is its only signal). At 100 TB a separate metrics
     scan doubles ingest cost — observe() is the Spark-native free ride.
     Returns one dict per completed micro-batch.
+
+    Collection uses a StreamingQueryListener, NOT ``q.recentProgress``:
+    recentProgress is a ring buffer capped at
+    spark.sql.streaming.numRecentProgressUpdates (default 100), so a
+    backlog of >100 files would silently drop the earliest batches'
+    metrics from the result. The listener sees every progress event;
+    events are delivered asynchronously, so after termination we wait for
+    the listener to observe the query's terminated event before reading.
     """
     import json
+    import time
+
+    from pyspark.sql.streaming import StreamingQueryListener
 
     apply_runtime_confs(spark)
     stream = (
@@ -532,22 +548,49 @@ def observed_ingest_available_now(
             F.sum(F.coalesce("score", F.lit(0.0))).alias("sum_score"),
         )
     )
-    q = (
-        stream.writeStream.format("parquet")
-        .option("path", dest_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    out = []
-    for p in q.recentProgress:
-        row = json.loads(p.json).get("observedMetrics", {}).get(
-            "ingest_metrics"
+    class _Collector(StreamingQueryListener):
+        def __init__(self) -> None:
+            self.rows: list[dict] = []
+            self.terminated = False
+            self.query_id: str | None = None
+
+        def onQueryStarted(self, event) -> None:
+            pass
+
+        def onQueryProgress(self, event) -> None:
+            p = json.loads(event.progress.json)
+            if self.query_id is not None and p.get("id") != self.query_id:
+                return
+            row = p.get("observedMetrics", {}).get("ingest_metrics")
+            if row is not None:
+                self.rows.append(row)
+
+        def onQueryIdle(self, event) -> None:
+            pass
+
+        def onQueryTerminated(self, event) -> None:
+            if self.query_id is None or str(event.id) == self.query_id:
+                self.terminated = True
+
+    collector = _Collector()
+    spark.streams.addListener(collector)
+    try:
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", dest_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
         )
-        if row is not None:
-            out.append(row)
-    return out
+        collector.query_id = str(q.id)
+        q.awaitTermination()
+        # listener events are async — drain until the terminated event
+        deadline = time.time() + 30
+        while not collector.terminated and time.time() < deadline:
+            time.sleep(0.1)
+    finally:
+        spark.streams.removeListener(collector)
+    return collector.rows
 
 
 def session_windows_available_now(

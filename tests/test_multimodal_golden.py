@@ -234,3 +234,21 @@ def test_mm_pipeline_decodes_real_bytes(spark):
 
 
 IMG_WIDTH_EXPECTED = 32
+
+
+def test_frame_sample_mid_container_corruption_is_atomic():
+    """If a SAMPLED frame is corrupt, the payload's output must be exactly
+    one stub row — never partial png rows plus a stub."""
+    from iceberg_insert_spark.llm.multimodal import _bytes_to_png
+
+    f0 = _bytes_to_png(bytes(range(32)))
+    f4_corrupt = bytearray(_bytes_to_png(bytes(range(32, 64))))
+    f4_corrupt[20] ^= 0xFF  # CRC mismatch inside IHDR
+    frames = [f0, f0, f0, f0, bytes(f4_corrupt)]  # stride 4 samples 0 and 4
+    payload = encode_frame_container(frames)
+    pdf = pd.DataFrame({"doc_id": [3], "payload": [payload]})
+    (out,) = list(_frame_sample(iter([pdf])))
+    rows = list(out.itertuples(index=False))
+    assert len(rows) == 1
+    assert rows[0].codec == "stub"
+    assert rows[0].frame_no == 0

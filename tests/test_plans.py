@@ -329,11 +329,23 @@ def test_tpch_q4_exists_becomes_semi_join(spark):
 def test_pca_gram_partial_aggregates_before_exchange(spark):
     """The PCA Gram pass must collapse to O(d^2) cells per partition
     BEFORE its exchange (map-side partials) — shuffling the exploded
-    (i, j, xi*xj) stream raw would move corpus x d^2 rows."""
+    (i, j, xi*xj) stream raw would move corpus x d^2 rows. Asserted on the
+    STATS frames (exposed by _pca_stat_frames; inside the query they are
+    eagerly collected, so the returned projection plan cannot show them)."""
     import re
 
-    from iceberg_insert_spark.llm.similarity import q_emb_pca_project
+    from iceberg_insert_spark.llm.similarity import (
+        _pca_stat_frames,
+        q_emb_pca_project,
+    )
+    from iceberg_insert_spark.tables import load_table
 
+    pairs, means = _pca_stat_frames(load_table(spark, SF_DIR, "embeddings"))
+    for df in (pairs, means):
+        p = plan_of(df)
+        # partial HashAggregate below the one Exchange, final above it
+        assert len(re.findall(r"^\(\d+\) HashAggregate", p, re.M)) >= 2, p
+        assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1, p
+    # the per-row projection plan is shuffle-free: one scan, no Exchange
     p = plan_of(q_emb_pca_project(spark, SF_DIR))
-    # the projection plan itself is shuffle-free: one scan, no Exchange
     assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 0
