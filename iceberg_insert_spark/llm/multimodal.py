@@ -276,3 +276,105 @@ def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frame_checksum long, codec string"
         ),
     )
+
+
+AUDIO_RATE = 8000  # Hz, synthetic fixture rate
+
+
+def _bytes_to_wav(data: bytes) -> bytes:
+    """Pack bytes as 16-bit PCM mono WAV (each byte -> one centered
+    sample), via the stdlib ``wave`` writer — a REAL audio container, like
+    the PNG path: parseable by any audio tool, no external libs."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(AUDIO_RATE)
+        samples = data or b"\x00"
+        w.writeframes(
+            b"".join(struct.pack("<h", (b - 128) * 256) for b in samples)
+        )
+    return buf.getvalue()
+
+
+def _wav_features(payload: bytes) -> tuple[int, int, int, int]:
+    """(n_samples, sample_rate, duration_ms, rms_milli) from a real WAV
+    parse; raises on anything the stdlib reader rejects."""
+    import io
+    import struct
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            n, rate = w.getnframes(), w.getframerate()
+            if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                raise PngFormatError("unsupported WAV shape")
+            raw = w.readframes(n)
+    except (wave.Error, EOFError) as e:
+        raise PngFormatError(f"not a WAV: {e}") from e
+    samples = struct.unpack(f"<{n}h", raw)
+    sq = sum(s * s for s in samples)
+    rms_milli = int(((sq / n) ** 0.5) * 1000) if n else 0
+    return n, rate, n * 1000 // rate, rms_milli
+
+
+def _audio_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched audio feature extraction: REAL WAV parse (RIFF header,
+    PCM frames) for WAV payloads; labeled stub fallback otherwise."""
+    for pdf in batches:
+        rows = {k: [] for k in
+                ("doc_id", "n_samples", "sample_rate", "duration_ms",
+                 "rms_milli", "codec")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            payload = bytes(payload)
+            try:
+                n, rate, dur, rms = _wav_features(payload)
+                codec = "wav"
+            except PngFormatError:
+                w, h, checksum = _fake_features(payload)
+                n, rate, dur, rms, codec = len(payload), 0, 0, checksum, "stub"
+            rows["doc_id"].append(doc_id)
+            rows["n_samples"].append(n)
+            rows["sample_rate"].append(rate)
+            rows["duration_ms"].append(dur)
+            rows["rms_milli"].append(rms)
+            rows["codec"].append(codec)
+        yield pd.DataFrame(rows)
+
+
+@query("q_mm_audio")
+def q_mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio pipeline shape, REAL end-to-end: text bytes -> 16-bit PCM WAV
+    (stdlib ``wave`` writer, mapInPandas) -> WAV parse + sample features
+    (frame count, rate, duration, RMS loudness) — the audio member of the
+    multimodal triad (image=PNG, video=PNGS container, audio=WAV), with
+    the same contract: real container, real decode, labeled stub fallback
+    for foreign codecs (MP3/AAC need external libs). Rows-only; byte-exact
+    feature goldens in tests/test_multimodal_golden.py."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        _bytes_to_wav(t.encode("utf-8")) for t in pdf["text"]
+                    ],
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents")
+    audio = d.select("doc_id", "text").repartition("doc_id").mapInPandas(
+        encode, schema="doc_id long, payload binary"
+    )
+    return audio.mapInPandas(
+        _audio_features,
+        schema=(
+            "doc_id long, n_samples long, sample_rate long, "
+            "duration_ms long, rms_milli long, codec string"
+        ),
+    )

@@ -252,3 +252,29 @@ def test_frame_sample_mid_container_corruption_is_atomic():
     assert len(rows) == 1
     assert rows[0].codec == "stub"
     assert rows[0].frame_no == 0
+
+
+def test_wav_roundtrip_golden():
+    """Known bytes -> WAV -> parsed features, hand-checked: 4 bytes at
+    8 kHz; samples are (b-128)*256 so RMS is computable exactly."""
+    from iceberg_insert_spark.llm.multimodal import (
+        AUDIO_RATE,
+        _bytes_to_wav,
+        _wav_features,
+    )
+
+    data = bytes([128, 129, 127, 228])  # samples 0, 256, -256, 25600
+    wav = _bytes_to_wav(data)
+    n, rate, dur, rms = _wav_features(wav)
+    assert (n, rate) == (4, AUDIO_RATE)
+    assert dur == 4 * 1000 // AUDIO_RATE
+    expected_rms = int(((0 + 256**2 + 256**2 + 25600**2) / 4) ** 0.5 * 1000)
+    assert rms == expected_rms
+    # non-WAV payloads must take the labeled stub branch
+    from iceberg_insert_spark.llm.multimodal import _audio_features
+
+    pdf = pd.DataFrame({"doc_id": [1, 2], "payload": [wav, b"ID3mp3ish"]})
+    (out,) = list(_audio_features(iter([pdf])))
+    got = out.set_index("doc_id").to_dict("index")
+    assert got[1]["codec"] == "wav" and got[1]["rms_milli"] == expected_rms
+    assert got[2]["codec"] == "stub"
