@@ -1,0 +1,150 @@
+"""Distributed BPE tokenizer induction (SURVEY.md §2.5, round 3).
+
+Training a byte-pair-encoding vocabulary is the canonical *iterative*
+corpus job in an LLM data pipeline (the tokenizer itself is trained on the
+data before the model is). The scale-correct shape, used here:
+
+  1. Collapse the corpus to its WORD-FREQUENCY table first — one shuffle.
+     BPE statistics depend only on (distinct word, count), and the distinct
+     vocabulary is orders of magnitude smaller than the corpus (Heaps'
+     law), so every later round runs on the compressed table, never the
+     raw text. This is exactly how sequential BPE trainers work; the
+     distributed version keeps the word table as a DataFrame because at
+     100 TB the distinct-word table itself can be billions of rows.
+  2. Each merge round: explode adjacent symbol pairs weighted by word
+     frequency -> one groupBy(pair) sum -> argmax to the driver (a single
+     O(1) row, like connected_components' convergence signature) -> the
+     winning pair broadcast into an Arrow-batched rewrite of the symbol
+     arrays. Rounds are O(vocab) work each, independent of corpus size.
+
+Determinism: the argmax orders by (frequency DESC, pair ASC) — a total
+order, so the merge sequence is reproducible and equals the sequential
+reference implementation merge-for-merge (tests/test_bpe.py).
+
+Rows-only: iterative algorithms are not SQL-expressible; parity is pinned
+against a pure-python reference BPE instead — a stronger check than a
+rows-only count, the same strategy as connected_components' union-find
+oracle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+
+BPE_MERGES = 10
+END_OF_WORD = "</w>"
+
+
+def word_freq_table(d: DataFrame) -> DataFrame:
+    """(word, freq) over whitespace tokens — the compressed training set."""
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _initial_symbols(words: DataFrame) -> DataFrame:
+    """word -> array of single-character symbols + the end-of-word marker
+    (the standard BPE word boundary, so merges never cross words)."""
+    return words.select(
+        F.concat(
+            F.split(F.col("word"), ""),
+            F.array(F.lit(END_OF_WORD)),
+        ).alias("syms"),
+        "freq",
+    )
+
+
+def _pair_counts(syms: DataFrame) -> DataFrame:
+    """Frequency-weighted adjacent-pair counts: explode zip(s, s[1:]) and
+    sum word freqs — map-side partials collapse each partition to its
+    distinct pairs before the one exchange."""
+    pairs = F.expr(
+        "CASE WHEN size(syms) >= 2 THEN"
+        " zip_with(slice(syms, 1, size(syms) - 1),"
+        "          slice(syms, 2, size(syms) - 1),"
+        "          (a, b) -> struct(a AS l, b AS r))"
+        " ELSE CAST(array() AS array<struct<l: string, r: string>>) END"
+    )
+    return (
+        syms.select(F.explode(pairs).alias("p"), "freq")
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("freq").alias("n"))
+    )
+
+
+def _apply_merge(syms: DataFrame, left: str, right: str) -> DataFrame:
+    """Rewrite every symbol array, merging (left, right) occurrences
+    left-to-right — Arrow-batched; the pair is a broadcast closure."""
+
+    def rewrite(batches):
+        for pdf in batches:
+            out = []
+            for arr in pdf["syms"]:
+                arr = list(arr)
+                merged = []
+                i = 0
+                while i < len(arr):
+                    if (
+                        i + 1 < len(arr)
+                        and arr[i] == left
+                        and arr[i + 1] == right
+                    ):
+                        merged.append(left + right)
+                        i += 2
+                    else:
+                        merged.append(arr[i])
+                        i += 1
+                out.append(merged)
+            yield pd.DataFrame({"syms": out, "freq": pdf["freq"]})
+
+    return syms.mapInPandas(rewrite, schema="syms array<string>, freq long")
+
+
+def train_bpe(
+    words: DataFrame, n_merges: int = BPE_MERGES
+) -> list[tuple[int, str, str, int]]:
+    """Run ``n_merges`` BPE rounds over a (word, freq) table; returns
+    [(rank, left, right, pair_freq_at_merge_time)]. The driver holds ONE
+    row per round; the symbol table is checkpointed each round so the plan
+    doesn't grow with the iteration (the connected_components rationale).
+    """
+    syms = _initial_symbols(words).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        top = (
+            _pair_counts(syms)
+            .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        row = top[0]
+        merges.append((rank, row["l"], row["r"], row["n"]))
+        syms = _apply_merge(syms, row["l"], row["r"]).localCheckpoint(
+            eager=True
+        )
+    return merges
+
+
+@query("q_text_bpe_merges")
+def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first {BPE_MERGES} BPE merges learned from the corpus — the
+    tokenizer-induction operator. Output: merge rank, the merged pair, and
+    the pair's frequency when it won. Rows-only (iterative); the merge
+    sequence is pinned merge-for-merge against a sequential pure-python
+    BPE in tests/test_bpe.py."""
+    d = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(word_freq_table(d))
+    return spark.createDataFrame(
+        merges, "rank long, left string, right string, pair_freq long"
+    )

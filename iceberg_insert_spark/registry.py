@@ -43,6 +43,7 @@ _MODULES = [
     "iceberg_insert_spark.llm.similarity",
     "iceberg_insert_spark.llm.text",
     "iceberg_insert_spark.llm.quality",
+    "iceberg_insert_spark.llm.bpe",
     "iceberg_insert_spark.llm.multimodal",
     "iceberg_insert_spark.sources.json_ingest",
     "iceberg_insert_spark.sources.warehouse_sink",

@@ -1,0 +1,77 @@
+"""Distributed BPE == sequential reference BPE, merge-for-merge
+(llm/bpe.py). The reference implements textbook BPE over the same word-
+frequency table with the same (freq DESC, pair ASC) tie-break."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import duckdb
+
+from iceberg_insert_spark.llm.bpe import (
+    BPE_MERGES,
+    END_OF_WORD,
+    train_bpe,
+    word_freq_table,
+)
+from iceberg_insert_spark.tables import load_table
+
+from .conftest import SF_DIR
+
+
+def _reference_bpe(word_freqs: dict[str, int], n_merges: int):
+    vocab = {
+        tuple(list(w) + [END_OF_WORD]): f for w, f in word_freqs.items()
+    }
+    merges = []
+    for rank in range(n_merges):
+        pairs: Counter = Counter()
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        (left, right), n = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merges.append((rank, left, right, n))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_matches_sequential_reference(spark):
+    d = load_table(spark, SF_DIR, "documents")
+    got = train_bpe(word_freq_table(d), BPE_MERGES)
+    wf = {
+        r[0]: r[1]
+        for r in duckdb.sql(
+            f"""SELECT w, COUNT(*) FROM (
+                   SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w
+                   FROM '{SF_DIR}/documents.parquet') WHERE w != ''
+               GROUP BY w"""
+        ).fetchall()
+    }
+    want = _reference_bpe(wf, BPE_MERGES)
+    assert got == want
+
+
+def test_bpe_merges_are_deterministic(spark):
+    d = load_table(spark, SF_DIR, "documents")
+    a = train_bpe(word_freq_table(d), 4)
+    b = train_bpe(word_freq_table(d), 4)
+    assert a == b and len(a) == 4
