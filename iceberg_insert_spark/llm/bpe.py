@@ -148,3 +148,73 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank long, left string, right string, pair_freq long"
     )
+
+
+def apply_bpe(
+    d: DataFrame, merges: list[tuple[int, str, str, int]]
+) -> DataFrame:
+    """Tokenize documents with a learned merge table: per word, apply the
+    merges in rank order (textbook BPE encoding). The merge table is a
+    broadcast closure (tokenizers are KBs); per-batch memoization makes
+    the per-word cost amortize to O(1) for repeated words — which is most
+    of them, by the same Heaps-law argument the trainer exploits.
+
+    Returns (doc_id, n_words, n_bpe_tokens) — Arrow-batched, no shuffle.
+    """
+    ordered = [(left, right) for _, left, right, _ in sorted(merges)]
+
+    def encode(batches):
+        for pdf in batches:
+            memo: dict[str, int] = {}
+
+            def word_tokens(w: str) -> int:
+                got = memo.get(w)
+                if got is not None:
+                    return got
+                syms = list(w) + [END_OF_WORD]
+                for left, right in ordered:
+                    out, i = [], 0
+                    while i < len(syms):
+                        if (
+                            i + 1 < len(syms)
+                            and syms[i] == left
+                            and syms[i + 1] == right
+                        ):
+                            out.append(left + right)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    syms = out
+                memo[w] = len(syms)
+                return len(syms)
+
+            n_words, n_tokens = [], []
+            for text in pdf["text"]:
+                words = [w for w in text.split(" ") if w]
+                n_words.append(len(words))
+                n_tokens.append(sum(word_tokens(w) for w in words))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_words": n_words,
+                    "n_bpe_tokens": n_tokens,
+                }
+            )
+
+    return d.select("doc_id", "text").mapInPandas(
+        encode, schema="doc_id long, n_words long, n_bpe_tokens long"
+    )
+
+
+@query("q_text_bpe_encode")
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-apply BPE: learn {BPE_MERGES} merges from the corpus,
+    then tokenize every document with them — per doc, whitespace word
+    count vs BPE token count (the pipeline's real token accounting, used
+    for packing budgets and mixture math once a tokenizer exists).
+    Rows-only (iterative training upstream); the encode step is pinned
+    against a reference implementation in tests/test_bpe.py."""
+    d = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(word_freq_table(d))
+    return apply_bpe(d, merges)

