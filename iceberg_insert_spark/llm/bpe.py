@@ -136,6 +136,23 @@ def train_bpe(
     return merges
 
 
+# train_bpe is a deterministic pure function of the corpus, so the merge
+# table is memoized per (sf_dir, n_merges) — q_text_bpe_merges and
+# q_text_bpe_encode share one training run instead of re-iterating (same
+# rationale as tables.load_table's plan cache).
+_MERGE_CACHE: dict[tuple[str, int], list[tuple[int, str, str, int]]] = {}
+
+
+def _merges_for(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> list[tuple[int, str, str, int]]:
+    key = (sf_dir, n_merges)
+    if key not in _MERGE_CACHE:
+        d = load_table(spark, sf_dir, "documents")
+        _MERGE_CACHE[key] = train_bpe(word_freq_table(d), n_merges)
+    return _MERGE_CACHE[key]
+
+
 @query("q_text_bpe_merges")
 def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The first {BPE_MERGES} BPE merges learned from the corpus — the
@@ -143,8 +160,7 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair's frequency when it won. Rows-only (iterative); the merge
     sequence is pinned merge-for-merge against a sequential pure-python
     BPE in tests/test_bpe.py."""
-    d = load_table(spark, sf_dir, "documents")
-    merges = train_bpe(word_freq_table(d))
+    merges = _merges_for(spark, sf_dir)
     return spark.createDataFrame(
         merges, "rank long, left string, right string, pair_freq long"
     )
@@ -216,5 +232,4 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only (iterative training upstream); the encode step is pinned
     against a reference implementation in tests/test_bpe.py."""
     d = load_table(spark, sf_dir, "documents")
-    merges = train_bpe(word_freq_table(d))
-    return apply_bpe(d, merges)
+    return apply_bpe(d, _merges_for(spark, sf_dir))
