@@ -40,6 +40,22 @@ from ..tables import load_table
 BPE_MERGES = 10
 END_OF_WORD = "</w>"
 
+def _merge_pair(arr: list[str], left: str, right: str) -> list[str]:
+    """Left-to-right single-pass merge of adjacent (left, right) into one
+    symbol — THE merge semantics, shared by the trainer's rewrite and the
+    encoder so they cannot diverge."""
+    merged: list[str] = []
+    i = 0
+    while i < len(arr):
+        if i + 1 < len(arr) and arr[i] == left and arr[i + 1] == right:
+            merged.append(left + right)
+            i += 2
+        else:
+            merged.append(arr[i])
+            i += 1
+    return merged
+
+
 
 def word_freq_table(d: DataFrame) -> DataFrame:
     """(word, freq) over whitespace tokens — the compressed training set."""
@@ -87,23 +103,9 @@ def _apply_merge(syms: DataFrame, left: str, right: str) -> DataFrame:
 
     def rewrite(batches):
         for pdf in batches:
-            out = []
-            for arr in pdf["syms"]:
-                arr = list(arr)
-                merged = []
-                i = 0
-                while i < len(arr):
-                    if (
-                        i + 1 < len(arr)
-                        and arr[i] == left
-                        and arr[i + 1] == right
-                    ):
-                        merged.append(left + right)
-                        i += 2
-                    else:
-                        merged.append(arr[i])
-                        i += 1
-                out.append(merged)
+            out = [
+                _merge_pair(list(arr), left, right) for arr in pdf["syms"]
+            ]
             yield pd.DataFrame({"syms": out, "freq": pdf["freq"]})
 
     return syms.mapInPandas(rewrite, schema="syms array<string>, freq long")
@@ -155,7 +157,7 @@ def _merges_for(
 
 @query("q_text_bpe_merges")
 def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The first {BPE_MERGES} BPE merges learned from the corpus — the
+    """The first BPE_MERGES (10) BPE merges learned from the corpus — the
     tokenizer-induction operator. Output: merge rank, the merged pair, and
     the pair's frequency when it won. Rows-only (iterative); the merge
     sequence is pinned merge-for-merge against a sequential pure-python
@@ -189,19 +191,7 @@ def apply_bpe(
                     return got
                 syms = list(w) + [END_OF_WORD]
                 for left, right in ordered:
-                    out, i = [], 0
-                    while i < len(syms):
-                        if (
-                            i + 1 < len(syms)
-                            and syms[i] == left
-                            and syms[i + 1] == right
-                        ):
-                            out.append(left + right)
-                            i += 2
-                        else:
-                            out.append(syms[i])
-                            i += 1
-                    syms = out
+                    syms = _merge_pair(syms, left, right)
                 memo[w] = len(syms)
                 return len(syms)
 
@@ -225,7 +215,7 @@ def apply_bpe(
 
 @query("q_text_bpe_encode")
 def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train-then-apply BPE: learn {BPE_MERGES} merges from the corpus,
+    """Train-then-apply BPE: learn BPE_MERGES (10) merges from the corpus,
     then tokenize every document with them — per doc, whitespace word
     count vs BPE token count (the pipeline's real token accounting, used
     for packing budgets and mixture math once a tokenizer exists).

@@ -283,8 +283,9 @@ AUDIO_RATE = 8000  # Hz, synthetic fixture rate
 
 def _bytes_to_wav(data: bytes) -> bytes:
     """Pack bytes as 16-bit PCM mono WAV (each byte -> one centered
-    sample), via the stdlib ``wave`` writer — a REAL audio container, like
-    the PNG path: parseable by any audio tool, no external libs."""
+    sample; empty input -> a valid 0-frame file), via the stdlib ``wave``
+    writer — a REAL audio container, like the PNG path: parseable by any
+    audio tool, no external libs."""
     import io
     import struct
     import wave
@@ -294,9 +295,8 @@ def _bytes_to_wav(data: bytes) -> bytes:
         w.setnchannels(1)
         w.setsampwidth(2)
         w.setframerate(AUDIO_RATE)
-        samples = data or b"\x00"
         w.writeframes(
-            b"".join(struct.pack("<h", (b - 128) * 256) for b in samples)
+            b"".join(struct.pack("<h", (b - 128) * 256) for b in data)
         )
     return buf.getvalue()
 
@@ -311,12 +311,14 @@ def _wav_features(payload: bytes) -> tuple[int, int, int, int]:
     try:
         with wave.open(io.BytesIO(payload), "rb") as w:
             n, rate = w.getnframes(), w.getframerate()
-            if w.getsampwidth() != 2 or w.getnchannels() != 1:
+            if w.getsampwidth() != 2 or w.getnchannels() != 1 or rate <= 0:
                 raise PngFormatError("unsupported WAV shape")
             raw = w.readframes(n)
-    except (wave.Error, EOFError) as e:
+        # a truncated data chunk opens fine but yields short frames —
+        # that is a malformed payload, not a crash (stub fallback)
+        samples = struct.unpack(f"<{n}h", raw)
+    except (wave.Error, EOFError, struct.error) as e:
         raise PngFormatError(f"not a WAV: {e}") from e
-    samples = struct.unpack(f"<{n}h", raw)
     sq = sum(s * s for s in samples)
     rms_milli = int(((sq / n) ** 0.5) * 1000) if n else 0
     return n, rate, n * 1000 // rate, rms_milli

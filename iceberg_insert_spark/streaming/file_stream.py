@@ -549,28 +549,28 @@ def observed_ingest_available_now(
         )
     )
     class _Collector(StreamingQueryListener):
+        # Events are buffered WITH their query id and filtered at the end:
+        # the query id is only known after start(), so filtering at arrival
+        # would race (a foreign query's event in the addListener-to-start
+        # window would slip through a None filter).
         def __init__(self) -> None:
-            self.rows: list[dict] = []
-            self.terminated = False
-            self.query_id: str | None = None
+            self.rows: list[tuple[str, dict]] = []
+            self.terminated_ids: set[str] = set()
 
         def onQueryStarted(self, event) -> None:
             pass
 
         def onQueryProgress(self, event) -> None:
             p = json.loads(event.progress.json)
-            if self.query_id is not None and p.get("id") != self.query_id:
-                return
             row = p.get("observedMetrics", {}).get("ingest_metrics")
             if row is not None:
-                self.rows.append(row)
+                self.rows.append((str(p.get("id")), row))
 
         def onQueryIdle(self, event) -> None:
             pass
 
         def onQueryTerminated(self, event) -> None:
-            if self.query_id is None or str(event.id) == self.query_id:
-                self.terminated = True
+            self.terminated_ids.add(str(event.id))
 
     collector = _Collector()
     spark.streams.addListener(collector)
@@ -582,15 +582,23 @@ def observed_ingest_available_now(
             .trigger(availableNow=True)
             .start()
         )
-        collector.query_id = str(q.id)
+        qid = str(q.id)
         q.awaitTermination()
-        # listener events are async — drain until the terminated event
+        # listener events are async — drain until THIS query's terminated
+        # event (progress events are delivered before it on the bus)
         deadline = time.time() + 30
-        while not collector.terminated and time.time() < deadline:
+        while qid not in collector.terminated_ids and time.time() < deadline:
             time.sleep(0.1)
+        if qid not in collector.terminated_ids:
+            # a silent partial result would be indistinguishable from a
+            # correct one — fail loudly instead
+            raise TimeoutError(
+                "listener bus did not deliver the query's terminated event "
+                "within 30s; observed metrics would be incomplete"
+            )
     finally:
         spark.streams.removeListener(collector)
-    return collector.rows
+    return [row for rid, row in collector.rows if rid == qid]
 
 
 def session_windows_available_now(

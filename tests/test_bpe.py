@@ -108,7 +108,11 @@ def test_bpe_encode_matches_reference(spark):
     for doc_id, text in docs:
         words = [w for w in text.split(" ") if w]
         assert got[doc_id] == (len(words), sum(encode_word(w) for w in words))
-    # merges actually compress: every doc has fewer-or-equal tokens than
-    # character count and more-or-equal than word count
+    # bounds: at least one token per word, at most chars+1 per word
+    # (END_OF_WORD adds one symbol; merges only ever shrink)
+    char_bound = {
+        doc_id: sum(len(w) + 1 for w in text.split(" ") if w)
+        for doc_id, text in docs
+    }
     for doc_id, (nw, nt) in got.items():
-        assert nt >= nw
+        assert nw <= nt <= char_bound[doc_id]
