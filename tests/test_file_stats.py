@@ -40,3 +40,22 @@ def test_report_counts_are_exact(spark, tmp_path):
     # every row the predicate matches lives in a non-skipped file
     matching = df.filter((F.col("k") >= 2_000) & (F.col("k") <= 2_499)).count()
     assert r["rows_read"] >= matching
+
+
+def test_skipping_report_on_timestamp_column(spark, tmp_path):
+    """Footer min/max statistics work for temporal columns too: a
+    day-sorted events layout skips files for a narrow ts range."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from iceberg_insert_spark.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "ts")
+    p = str(tmp_path / "ev")
+    ev.repartitionByRange(6, "ts").sortWithinPartitions("ts").write.parquet(p)
+    lo = datetime.datetime(2024, 1, 14)
+    hi = datetime.datetime(2024, 1, 16)
+    r = file_skipping_report(p, "ts", lo, hi)
+    assert r["files_skipped"] >= 4  # 2 of ~30 days -> most of 6 ranges skip
+    assert r["rows_read"] < r["n_rows"]

@@ -81,3 +81,40 @@ def test_evolve_is_metadata_only(spark, tmp_path):
     assert [os.path.getmtime(f) for f in files_after] == mtimes_before
     # a spec version with no data contributes nothing and breaks nothing
     assert tbl.read(spark).count() == ev.count()
+
+
+def test_bucket_and_identity_transforms(spark, tmp_path):
+    """The non-temporal transforms (identity, bucket[N]) write and read
+    back layout-invisibly too — evolution isn't day/month-specific."""
+    ev = load_table(spark, SF_DIR, "events")
+    tbl = PartitionEvolvingTable(str(tmp_path / "t2"))
+    tbl.create(
+        [{"transform": "identity", "source": "event_type", "name": "et"}]
+    )
+    half = ev.filter(F.col("event_id") % 2 == 0)
+    rest = ev.filter(F.col("event_id") % 2 == 1)
+    tbl.append(half)
+    tbl.evolve_spec(
+        [{"transform": "bucket[8]", "source": "user_id", "name": "ub"}]
+    )
+    tbl.append(rest)
+    back = tbl.read(spark)
+    assert back.count() == ev.count()
+    assert sorted(back.columns) == sorted(ev.columns)
+    # bucket dirs: exactly pmod(user_id, 8) values 0..7
+    import glob as _g
+
+    dirs = {p.split("=")[-1] for p in
+            _g.glob(str(tmp_path / "t2" / "_spec=2" / "ub=*"))}
+    assert dirs <= {str(i) for i in range(8)}
+    assert len(dirs) > 1
+
+
+def test_unknown_transform_rejected_eagerly(tmp_path):
+    """A bad spec must fail at evolve time (metadata validation), not at
+    the first append."""
+    import pytest
+
+    tbl = PartitionEvolvingTable(str(tmp_path / "t3"))
+    with pytest.raises(ValueError, match="unknown transform"):
+        tbl.create([{"transform": "fortnight", "source": "ts", "name": "x"}])
