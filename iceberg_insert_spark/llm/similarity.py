@@ -478,3 +478,57 @@ def q_sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("correct"),
         )
     )
+
+
+KMEANS_K = 8
+
+
+@query("q_emb_kmeans")
+def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-class embedding clustering: seeded k-means over the embedding
+    column with a per-cluster quality audit — size, dominant true label,
+    and purity (dominant-label fraction, in ppm fixed point). This is the
+    corpus-structure probe (topic discovery, stratification input, IVF
+    cell sizing) that q_sim_knn_ivf uses internally, surfaced as its own
+    operator with label-agreement diagnostics.
+
+    Scale shape: training is spark.ml KMeans (broadcast centers, one pass
+    per iteration); the audit is one groupBy(cluster, label) with map-side
+    partials, then a per-cluster argmax via max_by over the k x |labels|
+    aggregate. Rows-only (iterative, seeded deterministic); invariants
+    pinned in tests/test_properties.py.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", array_to_vector("embedding").alias("features")
+    )
+    km = KMeans(
+        k=KMEANS_K,
+        seed=7,
+        maxIter=5,
+        initMode="random",
+        featuresCol="features",
+        predictionCol="cluster_id",
+    )
+    assigned = km.fit(emb).transform(emb).select("vec_id", "label", "cluster_id")
+    by_label = assigned.groupBy("cluster_id", "label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        by_label.groupBy("cluster_id")
+        .agg(
+            F.sum("n").alias("n_members"),
+            F.max_by("label", F.struct(F.col("n"), -F.col("label"))).alias(
+                "dominant_label"
+            ),
+            F.max("n").alias("n_dominant"),
+        )
+        .select(
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            "n_members",
+            F.col("dominant_label").cast("bigint").alias("dominant_label"),
+            F.expr("n_dominant * 1000000 div n_members").alias("purity_ppm"),
+        )
+    )

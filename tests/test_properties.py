@@ -718,3 +718,19 @@ def test_gopher_rules_match_python_reference(spark, texts):
             and alpha_ppm >= GOPHER_MIN_ALPHA_PPM
         )
         assert got[i] == (n, mean_milli, n_stop, alpha_ppm, passes), (i, t)
+
+
+def test_kmeans_audit_invariants(spark):
+    """q_emb_kmeans: clusters partition the corpus, purity is a valid
+    fraction, and the seeded run is reproducible."""
+    from .conftest import SF_DIR
+    from iceberg_insert_spark.llm.similarity import q_emb_kmeans
+    from iceberg_insert_spark.tables import load_table
+
+    rows = q_emb_kmeans(spark, SF_DIR).collect()
+    n_total = load_table(spark, SF_DIR, "embeddings").count()
+    assert sum(r.n_members for r in rows) == n_total
+    assert all(0 < r.purity_ppm <= 1_000_000 for r in rows)
+    assert len({r.cluster_id for r in rows}) == len(rows)
+    again = q_emb_kmeans(spark, SF_DIR).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
