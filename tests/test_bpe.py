@@ -116,3 +116,16 @@ def test_bpe_encode_matches_reference(spark):
     }
     for doc_id, (nw, nt) in got.items():
         assert nw <= nt <= char_bound[doc_id]
+
+
+def test_merge_pair_overlap_semantics():
+    """Left-to-right non-overlapping merge: 'aaa' under (a,a) gives
+    [aa, a], never [a, aa] or [aa, aa] — the convention both the trainer
+    and encoder must share (and the reference implements identically)."""
+    from iceberg_insert_spark.llm.bpe import _merge_pair
+
+    assert _merge_pair(["a", "a", "a"], "a", "a") == ["aa", "a"]
+    assert _merge_pair(["a", "a", "a", "a"], "a", "a") == ["aa", "aa"]
+    assert _merge_pair(["x", "a", "a", "y"], "a", "a") == ["x", "aa", "y"]
+    assert _merge_pair([], "a", "a") == []
+    assert _merge_pair(["a"], "a", "a") == ["a"]
