@@ -327,6 +327,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact, threshold 0.4), blocked.
 
+    VALIDATION TIER ONLY — total compute is O(n^2)/B however well blocked.
+    Do not call directly on a production corpus: use
+    ``dedup_embedding_pairs`` (below), which dispatches to the ANN tier
+    above ``EMB_EXACT_MAX_VECTORS`` vectors.
+
     Blocked all-pairs similarity: vectors hash into EMB_BLOCKS blocks, each
     of the B*(B+1)/2 block PAIRS becomes one applyInPandas group computing a
     single numpy float64 matmul. Replication is ~B/2 per vector (vs n for a
@@ -499,6 +504,44 @@ def q_dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.max("cos_sim"), 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
     )
+
+
+# Above this corpus size the exact tier's O(n^2)/B total compute is no
+# longer a validation convenience but an accidental cluster-melter; the
+# dispatcher flips to the LSH-bucketed ANN tier, whose work scales with
+# sum(bucket_size^2). 100k vectors ~ 5e9 dot products exact — roughly the
+# most a validation run should ever spend.
+EMB_EXACT_MAX_VECTORS = 100_000
+
+
+def dedup_embedding_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    n_vectors: int | None = None,
+    exact_max_vectors: int = EMB_EXACT_MAX_VECTORS,
+) -> DataFrame:
+    """Size-gated entry point for embedding near-dup pairs — THE function
+    callers should use; the tiers below it are implementation detail:
+
+      * n <= exact_max_vectors -> q_dedup_embedding (exact blocked
+        all-pairs; ground truth, O(n^2)/B total compute);
+      * n >  exact_max_vectors -> q_dedup_embedding_ann (hyperplane-LSH
+        buckets + in-bucket exact re-score; work ~ sum(bucket^2)).
+
+    Both tiers report exact re-scored cosines with the identical
+    ROUND(.,6) >= threshold cut, so the switch changes recall on the
+    far-below-threshold tail only — never precision. ``n_vectors`` lets a
+    caller that already knows the corpus size (a manifest count, a
+    catalog statistic) skip the count job; at 100 TB the count is a
+    metadata-only parquet-footer sum, not a scan.
+    """
+    if n_vectors is None:
+        n_vectors = (
+            load_table(spark, sf_dir, "embeddings").select("vec_id").count()
+        )
+    if n_vectors <= exact_max_vectors:
+        return q_dedup_embedding(spark, sf_dir)
+    return q_dedup_embedding_ann(spark, sf_dir)
 
 
 CC_MAX_ITERS = 10

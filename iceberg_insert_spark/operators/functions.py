@@ -385,7 +385,10 @@ def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     its JSON path operators over the raw string — same typed results.
     """
     ev = load_table(spark, sf_dir, "events")
-    v = F.parse_json("props")
+    # try_parse_json (not parse_json): an invalid-JSON props row must yield
+    # NULL extractions — matching the oracle's NULL-on-invalid semantics —
+    # instead of failing the whole query the is_valid flag exists to report.
+    v = F.try_parse_json("props")
     return ev.select(
         "event_id",
         F.variant_get(v, "$.k", "bigint").alias("k_val"),

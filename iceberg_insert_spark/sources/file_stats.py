@@ -84,8 +84,12 @@ def q_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     import re
     import shutil
 
+    # key the scratch dir by (sf basename, Spark applicationId): two
+    # concurrent runs — or distinct sf dirs sharing a basename — get
+    # disjoint paths instead of clobbering each other mid-query
     tag = re.sub(r"\W", "_", sf_dir.rstrip("/").split("/")[-1])
-    base = f"/tmp/iceberg_insert_spark/skipping/{tag}"
+    app = spark.sparkContext.applicationId
+    base = f"/tmp/iceberg_insert_spark/skipping/{app}/{tag}"
     shutil.rmtree(base, ignore_errors=True)
 
     o = load_table(spark, sf_dir, "orders").select(

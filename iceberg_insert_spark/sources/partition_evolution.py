@@ -86,7 +86,12 @@ class PartitionEvolvingTable:
 
     def evolve_spec(self, spec: list[dict]) -> int:
         """Metadata-only: register a new spec version; no data moves."""
-        v = self._versions()[-1] + 1
+        versions = self._versions()
+        if not versions:
+            raise ValueError(
+                f"table at {self.path!r} has no spec — call create() first"
+            )
+        v = versions[-1] + 1
         self._write_spec(v, spec)
         return v
 
@@ -98,7 +103,12 @@ class PartitionEvolvingTable:
 
     def append(self, df: DataFrame) -> None:
         """Write under the CURRENT spec's hive layout."""
-        v = self._versions()[-1]
+        versions = self._versions()
+        if not versions:
+            raise ValueError(
+                f"table at {self.path!r} has no spec — call create() first"
+            )
+        v = versions[-1]
         spec = self._spec(v)
         out = df
         for f in spec:
@@ -157,6 +167,11 @@ class PartitionEvolvingTable:
                     (F.col(src) >= lo_ts) & (F.col(src) < hi_ts)
                 )
             parts.append(df.drop(*[f["name"] for f in spec]))
+        if not parts:
+            raise ValueError(
+                f"table at {self.path!r} has no data files under any spec "
+                "version — append() before read()"
+            )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -192,8 +207,11 @@ def q_part_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     import re
     import shutil
 
+    # key the scratch dir by (sf basename, Spark applicationId): concurrent
+    # runs get disjoint paths instead of clobbering each other mid-query
     tag = re.sub(r"\W", "_", sf_dir.rstrip("/").split("/")[-1])
-    path = f"/tmp/iceberg_insert_spark/part_evolve/{tag}"
+    app = spark.sparkContext.applicationId
+    path = f"/tmp/iceberg_insert_spark/part_evolve/{app}/{tag}"
     shutil.rmtree(path, ignore_errors=True)
 
     ev = load_table(spark, sf_dir, "events")

@@ -198,8 +198,10 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     import re
     import shutil
 
+    # applicationId-keyed scratch dir: concurrent runs cannot clobber
     tag = re.sub(r"\W", "_", sf_dir.rstrip("/").split("/")[-1])
-    path = f"/tmp/iceberg_insert_spark/evolve/{tag}"
+    app = spark.sparkContext.applicationId
+    path = f"/tmp/iceberg_insert_spark/evolve/{app}/{tag}"
     shutil.rmtree(path, ignore_errors=True)
 
     o = load_table(spark, sf_dir, "orders")

@@ -469,11 +469,14 @@ def incremental_dedup_stream_available_now(
             .withColumn("batch_id", F.lit(batch_id))
             .localCheckpoint()  # pin: both writes must see ONE classification
         )
-        sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # per-write dynamic overwrite (NOT a session conf): replaces only
+        # this batch_id's partition on replay without mutating overwrite
+        # semantics for unrelated writes elsewhere in the session
         (
             classified.drop("fp")
             .coalesce(1)
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(out_dir)
         )
@@ -482,6 +485,7 @@ def incremental_dedup_stream_available_now(
             .select("fp", "doc_id", "batch_id")
             .coalesce(1)
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(store_dir)
         )

@@ -118,3 +118,25 @@ def test_unknown_transform_rejected_eagerly(tmp_path):
     tbl = PartitionEvolvingTable(str(tmp_path / "t3"))
     with pytest.raises(ValueError, match="unknown transform"):
         tbl.create([{"transform": "fortnight", "source": "ts", "name": "x"}])
+
+
+def test_empty_table_errors_are_descriptive(spark, tmp_path):
+    """A never-created table fails append/evolve with a clear message, and
+    a created-but-never-appended table fails read the same way — never a
+    bare IndexError (round-3 ADVICE)."""
+    import pytest
+
+    bare = PartitionEvolvingTable(str(tmp_path / "never_created"))
+    with pytest.raises(ValueError, match="no spec"):
+        bare.evolve_spec(
+            [{"transform": "identity", "source": "x", "name": "x"}]
+        )
+    with pytest.raises(ValueError, match="no spec"):
+        bare.append(spark.range(1))
+
+    created = PartitionEvolvingTable(str(tmp_path / "no_data"))
+    created.create(
+        [{"transform": "identity", "source": "id", "name": "id_p"}]
+    )
+    with pytest.raises(ValueError, match="no data files"):
+        created.read(spark)
