@@ -1,11 +1,17 @@
-"""Round-3 TPC-H query shapes (SURVEY.md §2.4b): Q4, Q12, Q16, Q19, Q22.
+"""TPC-H query shapes (SURVEY.md §2.4b): Q4, Q12, Q16, Q19, Q22 (round 3);
+Q7, Q8, Q15, Q21 (round 4).
 
 Together with Q1 (q_agg_groupby), Q3, Q5 (q_join_star), Q6 (q_filter_pred),
 Q10, Q13, Q14, Q17 (q_subq_scalar_corr) and Q18 these complete the classic
 optimizer-shape catalogue: EXISTS-with-interval decorrelation (Q4),
 conditional counting after a fact join (Q12), NOT-IN + grouped distinct
-count (Q16), OR-of-ANDs disjunctive join predicates (Q19), and scalar-
-subquery + anti-join (Q22).
+count (Q16), OR-of-ANDs disjunctive join predicates (Q19), scalar-
+subquery + anti-join (Q22), two-nation flow analysis with a disjunctive
+nation-pair predicate (Q7), grouped market-share ratio over an 8-table
+snowflake (Q8), view + scalar-max self-reference (Q15), and the
+multi-EXISTS/NOT-EXISTS self-join decorrelation stress test (Q21).
+The feasible set ends here: Q2/Q9/Q11/Q20 need partsupp (supplycost /
+availqty), which the fixture does not have.
 
 The driver fixture is TPC-H-ish, not TPC-H: columns the spec uses that the
 fixture lacks are substituted with the nearest available signal and the
@@ -307,4 +313,373 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             exact_sum(F.col("c_acctbal"), 2).alias("totacctbal"),
         )
+    )
+
+
+@query(
+    "q_tpch_q7",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           YEAR(l_shipdate) AS l_year,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                         AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): bilateral trade flow — revenue
+    shipped between two nations, in both directions, per year.
+
+    The planner shape is the disjunctive NATION-PAIR predicate over two
+    different dimension paths (supplier->nation vs customer->nation): each
+    disjunct pins one side, so neither nation filter alone can be pushed
+    to a scan — but filtering BOTH nation copies to the two-nation set
+    before the fact joins is valid (the residual OR then only picks the
+    direction), which is what the implementation does explicitly and the
+    spec's IN-pair formulation does implicitly.
+
+    Scale shape: nation copies broadcast into supplier/customer;
+    supplier x 2-nation prefilter broadcasts into the date-pruned
+    lineitem scan (fact rows drop ~92% before any shuffle at 25 nations);
+    the two remaining shuffles are the fact-fact orderkey join and the
+    custkey join — both unavoidable, both on AQE-coalesced exchanges.
+    Revenue is exact fixed-point (tables.exact_sum) at scale 4.
+    """
+    na, nb = "NATION_1", "NATION_2"
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    pair = [na, nb]
+    n1 = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(pair))
+        .select(
+            F.col("n_nationkey").alias("supp_nkey"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    n2 = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(pair))
+        .select(
+            F.col("n_nationkey").alias("cust_nkey"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("supp_nkey")
+    ).select("s_suppkey", "supp_nation")
+    c = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("cust_nkey")
+    ).select("c_custkey", "cust_nation")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == na) & (F.col("cust_nation") == nb))
+            | ((F.col("supp_nation") == nb) & (F.col("cust_nation") == na))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            exact_sum(rev, 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q8",
+    oracle="""
+    WITH flat AS (
+        SELECT YEAR(o_orderdate) AS o_year,
+               CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT) AS vol_cents,
+               n2.n_name AS supp_nation
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT o_year,
+           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                              THEN vol_cents ELSE 0 END) AS BIGINT)
+                AS DOUBLE) / 100.0 AS nation_revenue,
+           CAST(CAST(SUM(vol_cents) AS BIGINT) AS DOUBLE) / 100.0
+               AS total_revenue,
+           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                              THEN vol_cents ELSE 0 END) AS HUGEINT)
+                * 1000000
+                // CAST(SUM(vol_cents) AS HUGEINT) AS BIGINT)
+               AS mkt_share_ppm
+    FROM flat GROUP BY o_year
+    """,
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): one nation's share of the
+    revenue its suppliers earn inside a target region's market for one
+    part type, per order year — the widest snowflake in the suite
+    (lineitem + part + orders + customer + nation x2 + region + supplier).
+
+    Fixture deviation: p_type classes stand in for the spec's 150-value
+    type strings (same equality filter shape).
+
+    Scale shape: part (1/6 selectivity) broadcasts into the lineitem scan
+    FIRST — the only fact-sized reduction available before the orderkey
+    shuffle; the customer->nation->region path reduces customers to one
+    region (1/5) before the custkey shuffle; supplier/nation broadcast.
+    The share is grouped conditional aggregation over ONE pass — never a
+    self-join of two per-year aggregates. Determinism: volumes quantize
+    to exact cents per row; the ppm ratio is integral division of two
+    exact longs (widened before the 1e6 multiply — at 100 TB a year's
+    cents sum times 1e6 clears BIGINT, same widening rule as exact_sum's
+    scale>=4 path); the revenue outputs are the exact_sum spelling.
+    """
+    target = "NATION_3"
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        ).cast("bigint").alias("vol_cents"),
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                n1.join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+            ),
+            F.col("c_nationkey") == F.col("c_nkey"),
+        )
+        .select("c_custkey")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey")
+    ).select("s_suppkey", "supp_nation")
+    nation_cents = F.sum(
+        F.when(F.col("supp_nation") == target, F.col("vol_cents")).otherwise(
+            F.lit(0)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            (nation_cents.cast("double") / 100.0).alias("nation_revenue"),
+            (F.sum("vol_cents").cast("double") / 100.0).alias(
+                "total_revenue"
+            ),
+            F.expr(
+                "CAST(SUM(CASE WHEN supp_nation = 'NATION_3'"
+                "              THEN vol_cents ELSE 0 END)"
+                "     AS DECIMAL(38,0)) * 1000000 div SUM(vol_cents)"
+            ).alias("mkt_share_ppm"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q15",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS total_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(total_cents AS DOUBLE) / 100.0 AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_cents = (SELECT MAX(total_cents) FROM revenue)
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): the quarter's revenue-per-supplier
+    "view", then the supplier(s) achieving its maximum — the classic
+    aggregate-then-scalar-max self-reference.
+
+    Determinism: the spec acknowledges the tie hazard on max(revenue);
+    comparing EXACT integer cents makes membership at the max boundary
+    bit-stable (a float sum could rank two suppliers differently per
+    partition order), and ties — if the data had them — surface as
+    multiple rows identically in both engines.
+
+    Scale shape: one suppkey shuffle builds the per-supplier aggregate
+    (map-side partials over the date-pruned scan); the max is a 1-row
+    broadcast back onto that same aggregate — the view is NOT recomputed
+    (the spec's CREATE VIEW + two references would scan lineitem twice if
+    taken literally); supplier is a broadcast dimension.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    rev = li.groupBy("l_suppkey").agg(F.sum(cents).alias("total_cents"))
+    mx = rev.agg(F.max("total_cents").alias("max_cents"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_cents") == F.col("max_cents"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_cents").cast("double") / 100.0).alias(
+                "total_revenue"
+            ),
+        )
+    )
+
+
+@query(
+    "q_tpch_q21",
+    oracle="""
+    WITH late AS (
+        SELECT l_orderkey, l_suppkey
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM late l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+    """,
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): per supplier in
+    a region, how many finished-order lineitems it shipped late where it
+    was the ONLY late supplier on a multi-supplier order — the canonical
+    multi-EXISTS + NOT-EXISTS decorrelation stress test.
+
+    Fixture deviations: no l_commitdate/l_receiptdate — "late" is shipped
+    >60 days after the order date (the same derived-relation shape); the
+    spec's single-nation filter widens to a region (25 fixture nations
+    would leave ~4 suppliers).
+
+    Scale shape: both correlated subqueries decorrelate to orderkey-keyed
+    self-joins on lineitem — EXISTS becomes a LEFT SEMI join with the
+    suppkey-inequality residual, NOT EXISTS a LEFT ANTI join against the
+    late subset. All three legs (l1, l2, l3) shuffle on the SAME orderkey,
+    so the exchange is reused across the two joins rather than paid three
+    times; the status filter prunes orders before the fact join and the
+    region-filtered supplier set broadcasts. A naive per-row rewrite would
+    be two correlated O(n) probes per lineitem — the decorrelated plan is
+    two hash joins.
+    """
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    s_reg = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n.join(r, F.col("n_regionkey") == F.col("r_regionkey"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    l1 = late.join(
+        F.broadcast(s_reg), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    return (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3"))
+            & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
     )
