@@ -71,9 +71,10 @@ def _shingles(d: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "q_dedup_ngram",
-    oracle=f"""
+# The exact n-gram Jaccard pair graph in DuckDB SQL — q_dedup_ngram's
+# oracle, and (wrapped as a CTE) the graph the q_dedup_representatives
+# oracle runs its recursive-CTE connected components over.
+_NGRAM_PAIRS_ORACLE = f"""
     WITH sh AS (
         SELECT DISTINCT doc_id,
                UNNEST([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
@@ -100,8 +101,10 @@ def _shingles(d: DataFrame) -> DataFrame:
     JOIN cnt cb ON cb.doc_id = doc_b
     WHERE ROUND(CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common), 6)
           >= {NGRAM_JACCARD_THRESHOLD}
-    """,
-)
+"""
+
+
+@query("q_dedup_ngram", oracle=_NGRAM_PAIRS_ORACLE)
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (>= threshold).
 
@@ -856,24 +859,61 @@ def q_dedup_near_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_probe(minhash_bands(batch), minhash_bands(corpus))
 
 
-@query("q_dedup_representatives")
+@query(
+    "q_dedup_representatives",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({_NGRAM_PAIRS_ORACLE})
+    ),
+    und AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL
+        SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM und)
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
+    ),
+    labels AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
+    deg AS (SELECT u AS doc_id, COUNT(*) AS degree FROM und GROUP BY u),
+    members AS (
+        SELECT l.cluster_id, l.doc_id, d.degree,
+               ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                                  ORDER BY d.degree DESC, l.doc_id ASC) AS rk
+        FROM labels l JOIN deg d ON l.doc_id = d.doc_id
+    )
+    SELECT cluster_id,
+           MAX(CASE WHEN rk = 1 THEN doc_id END) AS rep_id,
+           COUNT(*) AS cluster_size,
+           CAST(MAX(degree) AS BIGINT) AS rep_degree
+    FROM members GROUP BY cluster_id
+    """,
+)
 def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster-representative selection: within each near-dup cluster
-    (q_dedup_clusters), keep the doc most strongly connected to the rest —
-    max degree in the pair graph, ties to the smaller doc_id.
+    """Cluster-representative selection: within each near-dup cluster,
+    keep the doc most strongly connected to the rest — max degree in the
+    pair graph, ties to the smaller doc_id.
 
     min-doc_id is the cheap canonical choice; degree-argmax is the better
     one for training data (the highest-degree member is the 'centroid'
     variant; low-degree members are the mutated/truncated copies). Cost on
     top of CC is one degree aggregate over the pair graph (already tiny vs
     the corpus) and a per-cluster argmax via max_by on the (degree,
-    -doc_id) pair — no window, one shuffle on cluster_id. Rows-only
-    (iterative CC upstream); invariants pinned in tests/test_properties.py.
+    -doc_id) pair — no window, one shuffle on cluster_id.
+
+    Pair graph: the EXACT n-gram tier (q_dedup_ngram) — which upgrades
+    this from a rows-only check to a full hash check: Spark's iterative
+    large-star/small-star CC is verified against a DuckDB RECURSIVE-CTE
+    transitive closure over the identical graph (the closure is O(n·c) in
+    SQL — viable precisely because the oracle runs at validation scale; at
+    100 TB the LSH graph (q_dedup_near) swaps in upstream, same downstream
+    plan). Invariants additionally pinned in tests/test_properties.py.
     """
     # materialize the pair graph ONCE: both consumers below (CC and the
-    # degree aggregate) would otherwise re-evaluate the whole MinHash plan
+    # degree aggregate) would otherwise re-evaluate the whole shingle plan
     pairs = (
-        q_dedup_near(spark, sf_dir)
+        q_dedup_ngram(spark, sf_dir)
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )

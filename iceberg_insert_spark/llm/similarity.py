@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load_table
+from ..tables import exact_sum, load_table
 from .vector import cosine
 
 N_PROBES = 10
@@ -328,6 +328,76 @@ def _pca_stat_frames(e: DataFrame) -> tuple[DataFrame, DataFrame]:
     return pairs, means
 
 
+
+
+EMB_DIM = 64
+
+
+@query(
+    "q_emb_gram_moments",
+    oracle=f"""
+    WITH v AS (
+        SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    cells AS (
+        SELECT i.i AS i, j.j AS j,
+               CAST(ROUND(v.e[i.i + 1] * v.e[j.j + 1] * 1000000) AS BIGINT)
+                   AS c,
+               CAST(ROUND(v.e[i.i + 1] * 1000000) AS BIGINT) AS xi
+        FROM v,
+             (SELECT UNNEST(RANGE({EMB_DIM})) AS i) i,
+             (SELECT UNNEST(RANGE({EMB_DIM})) AS j) j
+        WHERE j.j >= i.i
+    )
+    SELECT i, j,
+           CAST(SUM(c) AS DOUBLE) / 1000000.0 AS gram_sum,
+           CAST(SUM(xi) AS DOUBLE) / 1000000.0 AS sum_i,
+           COUNT(*) AS n_vecs
+    FROM cells GROUP BY i, j
+    """,
+)
+def q_emb_gram_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment (Gram) matrix + first moments of the embedding corpus
+    — the DISTRIBUTED half of PCA (q_emb_pca_project), exposed as its own
+    oracled query: (i, j, sum xi*xj, sum xi, n) for the upper triangle.
+    Covariance is then cov[i,j] = gram/n - (sum_i/n)(sum_j/n) — everything
+    the driver-side eigh consumes, now hash-checked cross-engine (the
+    eigendecomposition itself stays numpy-parity-tested in test_pca.py:
+    no SQL oracle can express eigh).
+
+    Scale shape: the double posexplode fans each vector to d(d+1)/2 cells,
+    but map-side partial aggregation collapses every input partition to
+    <= 2,080 cells (d=64) before the ONE exchange — shuffle volume is
+    O(d^2 * partitions), independent of row count, and the output is
+    O(d^2) rows however large the corpus. Determinism: per-cell products
+    quantize to micro-units per row and accumulate exactly
+    (tables.exact_sum, auto-widened at scale 6), so the sums are
+    partition-order-independent in both engines.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        F.posexplode("embedding").alias("i", "xi"),
+        F.col("embedding").alias("v"),
+    )
+    return (
+        ex.select("i", "xi", F.posexplode("v").alias("j", "xj"))
+        .filter(F.col("j") >= F.col("i"))
+        .select(
+            F.col("i").cast("bigint").alias("i"),
+            F.col("j").cast("bigint").alias("j"),
+            (F.col("xi").cast("double") * F.col("xj").cast("double")).alias(
+                "prod"
+            ),
+            F.col("xi").cast("double").alias("xid"),
+        )
+        .groupBy("i", "j")
+        .agg(
+            exact_sum(F.col("prod"), 6).alias("gram_sum"),
+            exact_sum(F.col("xid"), 6).alias("sum_i"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )
 
 
 @query("q_emb_pca_project")

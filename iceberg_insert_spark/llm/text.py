@@ -549,14 +549,25 @@ SHUFFLE_SEED = 20260813
 SHUFFLE_PARTITIONS = 32
 
 
-@query("q_docs_shuffle")
+@query(
+    "q_docs_shuffle",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+                    ORDER BY MD5(CAST(doc_id AS VARCHAR) || '#{SHUFFLE_SEED}'),
+                             doc_id)
+                AS BIGINT) AS shuffle_pos
+    FROM documents
+    """,
+)
 def q_docs_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle: order the corpus by a seeded hash of the
     document key — reproducible epoch shuffling for training-data export
     (same seed -> same permutation on any cluster size; new seed -> new
-    permutation). Rows-only check: the permutation is a function of Spark's
-    xxhash64, which no SQL oracle reproduces; the permutation/determinism
-    properties are pinned in tests/test_properties.py.
+    permutation). The key is md5(doc_id # seed) — engine-portable (identical
+    hex in Spark and DuckDB, unlike xxhash64, the r1-r3 key), which upgrades
+    this from a rows-only check to a full permutation hash check; the
+    permutation/determinism properties stay pinned in tests/test_properties.py.
 
     Scale shape: a range-partitioned sort on the hash key (balanced output
     partitions regardless of input skew — hash values are uniform), then
@@ -569,7 +580,11 @@ def q_docs_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
-    key = F.xxhash64(F.col("doc_id"), F.lit(SHUFFLE_SEED))
+    key = F.md5(
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit(f"#{SHUFFLE_SEED}")
+        )
+    )
     ordered = (
         d.select("doc_id", key.alias("shuffle_key"))
         .repartitionByRange(SHUFFLE_PARTITIONS, "shuffle_key", "doc_id")

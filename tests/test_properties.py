@@ -670,15 +670,19 @@ def test_incremental_neardup_finds_cross_batch_planted_pairs(spark):
 
 def test_cluster_representatives_invariants(spark):
     """Every cluster elects exactly one representative; the rep is a member
-    of its own cluster and carries the cluster's max degree."""
+    of its own cluster and carries the cluster's max degree. Labels are
+    recomputed over the SAME exact n-gram pair graph the query uses (since
+    r4 it runs on q_dedup_ngram, not the LSH graph, so it can be oracled)."""
     from .conftest import SF_DIR
     from iceberg_insert_spark.llm.dedup import (
-        q_dedup_clusters,
+        connected_components,
+        q_dedup_ngram,
         q_dedup_representatives,
     )
 
-    labels = {r.doc_id: r.cluster_id
-              for r in q_dedup_clusters(spark, SF_DIR).collect()}
+    pairs = q_dedup_ngram(spark, SF_DIR).select("doc_a", "doc_b")
+    lbl_df, _ = connected_components(pairs)
+    labels = {r.node: r.cluster_id for r in lbl_df.collect()}
     reps = q_dedup_representatives(spark, SF_DIR).collect()
     assert len({r.cluster_id for r in reps}) == len(reps)
     assert {r.cluster_id for r in reps} == set(labels.values())
