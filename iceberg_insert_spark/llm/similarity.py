@@ -260,9 +260,10 @@ def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     )
     SELECT label, CAST(dim AS BIGINT) AS dim,
-           ROUND(CAST(SUM(CAST(ROUND(CAST(val AS DOUBLE) * 1000000)
-                               AS BIGINT)) AS DOUBLE)
-                 / 1000000.0 / COUNT(*), 6) AS centroid
+           CAST(CAST((CAST(SUM(CAST(ROUND(CAST(val AS DOUBLE) * 1000000)
+                                    AS BIGINT)) AS HUGEINT)
+                      + 10000000 * COUNT(*)) // COUNT(*) AS BIGINT)
+                - 10000000 AS DOUBLE) / 1000000.0 AS centroid
     FROM expanded
     GROUP BY label, dim
     """,
@@ -272,6 +273,17 @@ def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitive): posexplode each vector to (label, dim, value) and average
     per cell in exact fixed-point (micro-units as LONG, the exact_sum
     pattern) so the mean is partition-order-independent in both engines.
+
+    The mean itself is INTEGRAL division of the micro-unit sum — not a
+    ROUND of the float quotient: sum/count lands exactly on 6-dp half
+    boundaries (count divides 10^6 often), where Spark's BigDecimal
+    HALF_UP and DuckDB's scaled-multiply rounding disagree (observed at
+    sf0.1: one cell off by 1e-6, a latent driver red). Floor-div of the
+    +10-unit-shifted numerator sidesteps rounding entirely and keeps
+    Spark `div` (trunc) == DuckDB `//` (floor) even for negative sums —
+    the shift makes the numerator positive (components are in [-1, 1]),
+    and the DECIMAL(38)/HUGEINT widening keeps the shifted sum exact at
+    any corpus size.
 
     Scale shape: the explode multiplies rows x dim, but map-side partial
     aggregation collapses each partition to at most labels x dim cells
@@ -284,16 +296,120 @@ def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ex.groupBy("label", (F.col("pos") + 1).cast("bigint").alias("dim"))
         .agg(
-            F.round(
-                F.sum(
-                    F.round(F.col("val").cast("double") * 1000000).cast(
-                        "bigint"
+            F.sum(
+                F.round(F.col("val").cast("double") * 1000000).cast("bigint")
+            ).alias("s_micro"),
+            F.count(F.lit(1)).alias("n_vec"),
+        )
+        .select(
+            "label",
+            "dim",
+            (
+                (
+                    F.expr(
+                        "(CAST(s_micro AS DECIMAL(38,0))"
+                        " + 10000000 * n_vec) div n_vec"
                     )
+                    - F.lit(10000000)
                 ).cast("double")
                 / 1000000.0
-                / F.count(F.lit(1)),
-                6,
-            ).alias("centroid")
+            ).alias("centroid"),
+        )
+    )
+
+
+OUTLIER_TOP_K = 10
+
+
+@query(
+    "q_emb_outliers",
+    oracle="""
+    WITH expanded AS (
+        SELECT label,
+               UNNEST(RANGE(1, LEN(embedding) + 1)) AS dim,
+               UNNEST(embedding) AS val
+        FROM embeddings
+    ), cent AS (
+        SELECT label, dim,
+               CAST(CAST((CAST(SUM(CAST(ROUND(CAST(val AS DOUBLE) * 1000000)
+                                        AS BIGINT)) AS HUGEINT)
+                          + 10000000 * COUNT(*)) // COUNT(*) AS BIGINT)
+                    - 10000000 AS DOUBLE) / 1000000.0 AS centroid
+        FROM expanded
+        GROUP BY label, dim
+    ), carr AS (
+        SELECT label, LIST(centroid ORDER BY dim) AS c
+        FROM cent GROUP BY label
+    ), v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), scored AS (
+        SELECT vec_id, v.label,
+               ROUND(list_dot_product(
+                   list_transform(RANGE(1, LEN(e) + 1), i -> e[i] - c[i]),
+                   list_transform(RANGE(1, LEN(e) + 1), i -> e[i] - c[i])
+               ), 6) AS sq_dist
+        FROM v JOIN carr ON v.label = carr.label
+    )
+    SELECT vec_id, label, sq_dist,
+           CAST(ROW_NUMBER() OVER (PARTITION BY label
+                                   ORDER BY sq_dist DESC, vec_id) <= 10
+                AS BIGINT) AS is_outlier
+    FROM scored
+    """,
+)
+def q_emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection vs label centroids: each vector's
+    squared Euclidean distance to its OWN label's centroid, flagging the
+    OUTLIER_TOP_K farthest per label — the mislabeled-example / embedding-
+    drift audit (a vector far from its class centroid is a labeling error
+    candidate or a distribution-shift signal).
+
+    Scale shape: centroids come from the q_emb_centroids partial-agg plan
+    (shuffle moves O(labels x dim) cells regardless of corpus size), are
+    collapsed to one array row per label, and BROADCAST back onto the
+    corpus — the per-vector distance is a JVM zip_with/aggregate over the
+    64-dim arrays, no Python, no second corpus shuffle; the per-label
+    top-k rank is a window over |label| partitions.
+
+    Determinism: centroid coordinates are exact integral-division
+    fixed-point means (identical doubles cross-engine — see
+    q_emb_centroids on why a ROUND here is a latent red); the distance
+    accumulates the
+    64 per-dim squares left-to-right in both engines (the proven
+    list_dot_product <-> F.aggregate parity of q_sim_knn); ranks order by
+    the ROUNDED distance with vec_id tiebreak.
+    """
+    cent = q_emb_centroids(spark, sf_dir)
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "centroid"))),
+            lambda s: s["centroid"],
+        ).alias("c")
+    )
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    diff = F.zip_with(
+        "embedding", "c", lambda a, b: a.cast("double") - b
+    )
+    sq_dist = F.round(
+        F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x), 6
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("sq_dist").desc(), F.col("vec_id")
+    )
+    return (
+        e.join(F.broadcast(carr), "label")
+        .select("vec_id", "label", sq_dist.alias("sq_dist"))
+        .select(
+            "vec_id",
+            "label",
+            "sq_dist",
+            (F.row_number().over(w) <= OUTLIER_TOP_K)
+            .cast("bigint")
+            .alias("is_outlier"),
         )
     )
 

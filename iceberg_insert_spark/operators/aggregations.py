@@ -782,6 +782,176 @@ def q_events_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PARETO_PARTITIONS = 16
+
+
+@query(
+    "q_lineitem_pareto",
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem GROUP BY l_partkey
+    ), tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM rev),
+    c AS (
+        SELECT l_partkey, cents,
+               CAST(SUM(cents) OVER (
+                        ORDER BY cents DESC, l_partkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+        FROM rev
+    )
+    SELECT l_partkey,
+           CAST(cents AS DOUBLE) / 100.0 AS revenue,
+           CAST(CAST(cum AS HUGEINT) * 1000000 // total AS BIGINT)
+               AS cum_share_ppm,
+           CASE WHEN CAST(CAST(cum AS HUGEINT) * 1000000 // total AS BIGINT)
+                     <= 700000 THEN 'A'
+                WHEN CAST(CAST(cum AS HUGEINT) * 1000000 // total AS BIGINT)
+                     <= 950000 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c, tot
+    """,
+)
+def q_lineitem_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC analysis: rank parts by revenue, attach each part's
+    CUMULATIVE revenue share, and classify A (top 70% of revenue),
+    B (to 95%), C (tail) — the inventory-analytics classic, and the
+    canonical global-cumulative-sum shape.
+
+    Scale shape: the naive spelling is one window over a global ORDER BY —
+    a single-partition sort of the whole aggregate. This implementation
+    uses the two-pass zipWithIndex pattern (q_docs_shuffle's): range-
+    repartition the per-part aggregate on the rank key, running-sum
+    WITHIN each sorted partition (parallel windows), then add per-
+    partition offsets from a PARETO_PARTITIONS-row driver table — the
+    global cumsum without a global sort. Determinism: revenue is exact
+    cents; the rank order (cents DESC, partkey) is total; the share is
+    integral ppm division (DECIMAL(38)-widened — a 100 TB revenue total
+    times 1e6 clears BIGINT); class boundaries compare exact integers.
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    rev = li.groupBy("l_partkey").agg(F.sum(cents).alias("cents"))
+    ordered = (
+        rev.repartitionByRange(
+            PARETO_PARTITIONS, F.desc("cents"), F.asc("l_partkey")
+        )
+        .sortWithinPartitions(F.desc("cents"), F.asc("l_partkey"))
+        .withColumn("_pid", F.spark_partition_id())
+        # pin partition contents: the offset job and the cumsum job must
+        # see the SAME range split (repartitionByRange samples boundaries)
+        .localCheckpoint(eager=True)
+    )
+    ptots = {
+        r["_pid"]: r["s"]
+        for r in ordered.groupBy("_pid").agg(F.sum("cents").alias("s")).collect()
+    }
+    total = sum(ptots.values())
+    offsets, acc = {}, 0
+    for pid in sorted(ptots):
+        offsets[pid] = acc
+        acc += ptots[pid]
+    offset_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()],
+            "_pid int, _off long",
+        )
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.desc("cents"), F.asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    share = F.expr(
+        f"CAST(CAST(cum AS DECIMAL(38,0)) * 1000000 div {total}L AS BIGINT)"
+    )
+    return (
+        ordered.join(offset_df, "_pid")
+        .select(
+            "l_partkey",
+            (F.col("cents").cast("double") / 100.0).alias("revenue"),
+            (F.sum("cents").over(w) + F.col("_off")).alias("cum"),
+        )
+        .select(
+            "l_partkey",
+            "revenue",
+            share.alias("cum_share_ppm"),
+            F.when(share <= 700000, "A")
+            .when(share <= 950000, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+
+
+@query(
+    "q_events_dau_mau",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ), days AS (SELECT DISTINCT d FROM ud),
+    dau AS (SELECT d, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY 1),
+    mau AS (
+        SELECT days.d, COUNT(DISTINCT ud.user_id) AS mau
+        FROM days JOIN ud ON ud.d BETWEEN days.d - 29 AND days.d
+        GROUP BY 1
+    )
+    SELECT STRFTIME(days.d, '%Y-%m-%d') AS day, dau.dau, mau.mau,
+           CAST(dau.dau * 1000000 // mau.mau AS BIGINT) AS stickiness_ppm
+    FROM days JOIN dau ON dau.d = days.d JOIN mau ON mau.d = days.d
+    """,
+)
+def q_events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU + trailing-30-day MAU + the DAU/MAU stickiness ratio per day —
+    the other two thirds of the DAU/WAU/MAU engagement family
+    (q_events_wau is the 7-day sibling).
+
+    Scale shape: same explode-contribution rewrite as WAU — dedup to
+    (user, day) once, explode each activity into its 30 contribution days
+    (constant x30 narrow map, no shuffle), semi-join the observed-day set
+    (broadcast), one distinct-count shuffle keyed by day; DAU reuses the
+    same (user, day) dedup with a plain per-day distinct count. Work is
+    O(activity x 30), independent of user count. Stickiness is ppm
+    integral division on positive longs (Spark `div` trunc == DuckDB `//`
+    floor for positive operands).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    days = ud.select("d").distinct().select(F.col("d").alias("day"))
+    dau = (
+        ud.groupBy(F.col("d").alias("day"))
+        .agg(F.countDistinct("user_id").alias("dau"))
+    )
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.expr("transform(sequence(0, 29), i -> date_add(d, i))")
+        ).alias("day"),
+    )
+    mau = (
+        contrib.join(F.broadcast(days), "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("mau"))
+    )
+    return (
+        dau.join(mau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "mau",
+            F.expr("dau * 1000000 div mau").alias("stickiness_ppm"),
+        )
+    )
+
+
 @query(
     "q_customer_rfm",
     oracle="""

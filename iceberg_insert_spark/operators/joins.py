@@ -472,6 +472,91 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_funnel3",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t1
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT v.user_id, v.t1,
+               MIN(CASE WHEN e.ts > v.t1 THEN e.ts END) AS t2
+        FROM v LEFT JOIN events e
+          ON e.user_id = v.user_id AND e.event_type = 'click'
+        GROUP BY v.user_id, v.t1
+    ), p AS (
+        SELECT c.user_id, c.t1, c.t2,
+               MIN(CASE WHEN e.ts > c.t2 THEN e.ts END) AS t3
+        FROM c LEFT JOIN events e
+          ON e.user_id = c.user_id AND e.event_type = 'purchase'
+        GROUP BY c.user_id, c.t1, c.t2
+    )
+    SELECT COUNT(*) AS n_view,
+           COUNT(t2) AS n_click,
+           COUNT(t3) AS n_purchase,
+           CAST(COUNT(t2) * 1000000 // COUNT(*) AS BIGINT)
+               AS click_conv_ppm,
+           CAST(COUNT(t3) * 1000000 // GREATEST(COUNT(t2), 1) AS BIGINT)
+               AS purchase_conv_ppm
+    FROM p
+    """,
+)
+def q_funnel3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-stage STRICTLY-ORDERED funnel (view -> first later click ->
+    first later purchase): per-stage user counts and stage-to-stage
+    conversion ppm — the multi-stage extension of q_funnel's two-stage
+    shape, and the standard product-analytics query.
+
+    Ordering matters: a click BEFORE the first view doesn't advance the
+    funnel (MIN over ts > prev_stage_ts), which is what distinguishes this
+    from three independent existence checks. Each stage is one shuffled
+    left join of the per-user frontier against the stage's event slice
+    (event-type filter pushed to the scan) + a user-keyed aggregate — the
+    frontier table only ever SHRINKS, so later stages join smaller left
+    sides; no window over the raw event stream, no per-user iteration.
+    Conversion ratios are integral ppm on positive counts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    c = (
+        v.join(clicks, "user_id", "left")
+        .groupBy("user_id", "t1")
+        .agg(
+            F.min(
+                F.when(F.col("cts") > F.col("t1"), F.col("cts"))
+            ).alias("t2")
+        )
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    p = (
+        c.join(purch, "user_id", "left")
+        .groupBy("user_id", "t1", "t2")
+        .agg(
+            F.min(
+                F.when(F.col("pts") > F.col("t2"), F.col("pts"))
+            ).alias("t3")
+        )
+    )
+    return p.agg(
+        F.count(F.lit(1)).alias("n_view"),
+        F.count("t2").alias("n_click"),
+        F.count("t3").alias("n_purchase"),
+        F.expr("COUNT(t2) * 1000000 div COUNT(*)").alias("click_conv_ppm"),
+        F.expr(
+            "COUNT(t3) * 1000000 div GREATEST(COUNT(t2), 1L)"
+        ).alias("purchase_conv_ppm"),
+    )
+
+
 BUCKETED_TABLE_BUCKETS = 8
 BUCKETED_TABLE_DIR = "/tmp/iceberg_insert_spark/bucketed"
 

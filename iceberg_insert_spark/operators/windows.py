@@ -457,3 +457,187 @@ def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("cents", ignorenulls=True).over(w).alias("filled_cents"),
         F.col("cents").isNull().cast("bigint").alias("is_gap"),
     )
+
+
+@query(
+    "q_events_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ), pairs AS (
+        SELECT event_type AS src, next_type AS dst
+        FROM seq WHERE next_type IS NOT NULL
+    ), n AS (SELECT src, COUNT(*) AS n_src FROM pairs GROUP BY src)
+    SELECT src, dst, COUNT(*) AS n_trans,
+           CAST(COUNT(*) * 1000000 // n_src AS BIGINT) AS prob_ppm
+    FROM pairs JOIN n USING (src)
+    GROUP BY src, dst, n_src
+    """,
+)
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    for each (src, dst) event-type pair, how often dst directly follows
+    src, and the row-normalized transition probability in ppm — the
+    behavioral-sequence analytics primitive (next-action prediction,
+    anomaly flows, UX-path audits).
+
+    Scale shape: ONE window (lead) over the per-user event order builds
+    the adjacency — the sort is per-user, no global order; the pair count
+    is a |types|^2-group aggregate with map-side partials, and the
+    row-normalizer joins back as a broadcast of the |types|-row marginal.
+    Determinism: (ts, event_id) is a total order (the repo-wide
+    duplicate-timestamp convention), and probabilities are integral ppm
+    on positive counts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(wseq).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+    counts = pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("n_trans")
+    )
+    marg = counts.groupBy("src").agg(F.sum("n_trans").alias("n_src"))
+    return (
+        counts.join(F.broadcast(marg), "src")
+        .select(
+            "src",
+            "dst",
+            "n_trans",
+            F.expr("n_trans * 1000000 div n_src").alias("prob_ppm"),
+        )
+    )
+
+
+@query(
+    "q_events_gapfill_interp",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    ), span AS (
+        SELECT user_id, MIN(d) AS lo, MAX(d) AS hi FROM daily GROUP BY 1
+    ), grid AS (
+        SELECT user_id,
+               CAST(UNNEST(GENERATE_SERIES(lo, hi, INTERVAL 1 DAY)) AS DATE)
+                   AS d
+        FROM span
+    ), joined AS (
+        SELECT g.user_id, g.d, daily.cents
+        FROM grid g LEFT JOIN daily
+          ON daily.user_id = g.user_id AND daily.d = g.d
+    ), bounded AS (
+        SELECT user_id, d, cents,
+               LAST_VALUE(cents IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS prev_c,
+               LAST_VALUE(CASE WHEN cents IS NOT NULL THEN d END
+                          IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS prev_d,
+               FIRST_VALUE(cents IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY d
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS next_c,
+               FIRST_VALUE(CASE WHEN cents IS NOT NULL THEN d END
+                           IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY d
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS next_d
+        FROM joined
+    )
+    SELECT user_id, STRFTIME(d, '%Y-%m-%d') AS day,
+           CAST(CASE WHEN cents IS NOT NULL THEN cents * 1000
+                ELSE (prev_c * DATE_DIFF('day', d, next_d)
+                      + next_c * DATE_DIFF('day', prev_d, d)) * 1000
+                     // DATE_DIFF('day', prev_d, next_d)
+                END AS BIGINT) AS interp_milli,
+           CAST(cents IS NULL AS BIGINT) AS is_gap
+    FROM bounded
+    """,
+)
+def q_events_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill — the ``interpolate()`` twin of
+    q_events_gapfill's locf: a gap day between two observations gets the
+    straight-line value between them, weighted by its position in the gap.
+
+    Same densify machinery (per-user day grid + left join); the fill adds
+    two more running windows (previous/next observed value AND day) over
+    the identical partition ordering — Spark computes all four in the one
+    per-user sort. The first and last grid days are observed by
+    construction, so both bounds always exist.
+
+    Determinism: interpolation in exact integer milli-cents via
+    prev*(span-offset) + next*offset — a sum of two NON-NEGATIVE products
+    — then one integral division by the positive span, so Spark's
+    truncating `div` and DuckDB's flooring `//` agree (they diverge on
+    negative operands, which this spelling makes unreachable for a
+    non-negative series — purchase amounts here; a signed series would
+    need an offset shift first); no float ever enters the fill.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = (
+        ev.select(
+            "user_id",
+            F.col("ts").cast("date").alias("d"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("user_id", "d")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d"),
+    )
+    joined = grid.join(daily, ["user_id", "d"], "left")
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_d = F.when(F.col("cents").isNotNull(), F.col("d"))
+    bounded = joined.select(
+        "user_id",
+        "d",
+        "cents",
+        F.last("cents", ignorenulls=True).over(wb).alias("prev_c"),
+        F.last(obs_d, ignorenulls=True).over(wb).alias("prev_d"),
+        F.first("cents", ignorenulls=True).over(wf).alias("next_c"),
+        F.first(obs_d, ignorenulls=True).over(wf).alias("next_d"),
+    )
+    interp = F.when(
+        F.col("cents").isNotNull(), F.col("cents") * 1000
+    ).otherwise(
+        F.expr(
+            "(prev_c * datediff(next_d, d) + next_c * datediff(d, prev_d))"
+            " * 1000 div datediff(next_d, prev_d)"
+        )
+    )
+    return bounded.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        interp.cast("bigint").alias("interp_milli"),
+        F.col("cents").isNull().cast("bigint").alias("is_gap"),
+    )
