@@ -40,6 +40,20 @@ from ..tables import load_table
 BPE_MERGES = 10
 END_OF_WORD = "</w>"
 
+# Training-sample bound: BPE statistics are learned from the TOP-N words by
+# frequency, not the unbounded distinct vocabulary. Real tokenizers train
+# on samples (GPT-2's BPE saw ~40 GB, not the web; SentencePiece defaults
+# to a 10M-sentence sample) because tail words contribute ~nothing to merge
+# counts while dominating vocabulary size at corpus scale (Heaps' law). The
+# cap makes every per-round quantity — the symbol table, the pair-count
+# shuffle, the rewrite — O(BPE_TRAIN_TOP_WORDS), EXPLICITLY independent of
+# corpus size: at 100 TB only the one word_freq_table shuffle sees the
+# corpus; the merge loop's driver round-trips run on a bounded table
+# whatever the input. Deterministic: ties at the cut order (freq DESC,
+# word ASC) — a total order, so the sample (and thus the merge sequence)
+# is a pure function of the corpus.
+BPE_TRAIN_TOP_WORDS = 50_000
+
 def _merge_pair(arr: list[str], left: str, right: str) -> list[str]:
     """Left-to-right single-pass merge of adjacent (left, right) into one
     symbol — THE merge semantics, shared by the trainer's rewrite and the
@@ -65,6 +79,16 @@ def word_freq_table(d: DataFrame) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+
+
+def bounded_word_sample(
+    words: DataFrame, top_n: int = BPE_TRAIN_TOP_WORDS
+) -> DataFrame:
+    """Deterministic top-N training sample of a (word, freq) table — see
+    BPE_TRAIN_TOP_WORDS. orderBy+limit plans as TakeOrderedAndProject
+    (per-partition top-N heaps, one O(top_n) merge), never a global sort
+    materialization."""
+    return words.orderBy(F.desc("freq"), F.asc("word")).limit(top_n)
 
 
 def _initial_symbols(words: DataFrame) -> DataFrame:
@@ -151,7 +175,9 @@ def _merges_for(
     key = (sf_dir, n_merges)
     if key not in _MERGE_CACHE:
         d = load_table(spark, sf_dir, "documents")
-        _MERGE_CACHE[key] = train_bpe(word_freq_table(d), n_merges)
+        _MERGE_CACHE[key] = train_bpe(
+            bounded_word_sample(word_freq_table(d)), n_merges
+        )
     return _MERGE_CACHE[key]
 
 

@@ -47,6 +47,36 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+def avro_available(spark: SparkSession) -> bool:
+    """True if the spark-avro module is on the classpath.
+
+    Avro is the one reference-pom format (pom.xml:152-157) not bundled in
+    Spark's default distribution — it ships as the external spark-avro
+    module. Same gate pattern as ``iceberg_available``: the format
+    round-trip test (tests/test_formats.py) runs when the jar is present
+    and records the environmental gap when it is not, so parity with the
+    reference's format surface is implemented-or-environmental, never
+    silently missing.
+
+    The probe is a real 1-row write, not a Class.forName: Spark 4's
+    distribution ships some avro CLASSES in the assembly while the data
+    source itself stays an external module, so a classpath check
+    false-positives — only DataSource resolution tells the truth."""
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="avro_probe_")
+    try:
+        spark.range(1).write.mode("overwrite").format("avro").save(
+            os.path.join(d, "probe")
+        )
+        return True
+    except Exception:
+        return False
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def append_partitioned(
     df: DataFrame,
     path: str,

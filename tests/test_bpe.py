@@ -129,3 +129,30 @@ def test_merge_pair_overlap_semantics():
     assert _merge_pair(["x", "a", "a", "y"], "a", "a") == ["x", "aa", "y"]
     assert _merge_pair([], "a", "a") == []
     assert _merge_pair(["a"], "a", "a") == ["a"]
+
+
+def test_bounded_word_sample_caps_and_preserves_merges(spark):
+    """The training-sample bound (BPE_TRAIN_TOP_WORDS): the sample is
+    exactly the deterministic top-N by (freq DESC, word ASC), its size is
+    capped regardless of corpus vocabulary, and merges trained on a capped
+    sample equal the sequential reference trained on the same top-N dict —
+    the invariant that makes merge-round cost corpus-size-independent."""
+    from iceberg_insert_spark.llm.bpe import bounded_word_sample
+
+    d = load_table(spark, SF_DIR, "documents")
+    wf_full = word_freq_table(d)
+    n_vocab = wf_full.count()
+    top_n = max(3, n_vocab // 10)  # force a real truncation
+    sample = bounded_word_sample(wf_full, top_n)
+    rows = [(r.word, r.freq) for r in sample.collect()]
+    assert len(rows) == top_n < n_vocab
+
+    expected = sorted(
+        ((r.word, r.freq) for r in wf_full.collect()),
+        key=lambda wv: (-wv[1], wv[0]),
+    )[:top_n]
+    assert sorted(rows, key=lambda wv: (-wv[1], wv[0])) == expected
+
+    got = train_bpe(sample, 5)
+    ref = _reference_bpe(dict(rows), 5)
+    assert got == ref

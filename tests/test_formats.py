@@ -88,3 +88,30 @@ def test_csv_malformed_quarantine(spark, tmp_path):
     )
     assert df.filter(F.col("_corrupt_record").isNull()).count() == 2
     assert df.filter(F.col("_corrupt_record").isNotNull()).count() == 1
+
+
+def test_avro_roundtrip_or_environmental_gate(spark, tmp_path):
+    """Avro is the last reference-pom format (pom.xml:152-157): round-trip
+    it when the external spark-avro jar is present; otherwise assert the
+    gate reports absence AND that the absence is real (a write attempt
+    fails with the missing-data-source error, not something else) — the
+    same implemented-or-environmental bookkeeping as the Iceberg gate."""
+    import pytest
+
+    from iceberg_insert_spark.sources.warehouse_sink import avro_available
+
+    src = _orders_sample(spark)
+    path = str(tmp_path / "orders_avro")
+    if avro_available(spark):
+        src.write.mode("overwrite").format("avro").save(path)
+        back = spark.read.format("avro").load(path)
+        # avro has no native NTZ micros in this writer; timestamps survive
+        # as-is through Spark's catalyst conversions, so full equality holds
+        assert back.schema == src.schema
+        assert _rows(back) == _rows(src)
+    else:
+        with pytest.raises(Exception) as ei:
+            src.write.mode("overwrite").format("avro").save(path)
+        msg = str(ei.value)
+        assert "AVRO" in msg.upper() or "avro" in msg, msg
+        pytest.skip("spark-avro jar absent (environmental; gate verified)")
