@@ -380,3 +380,64 @@ def q_mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "duration_ms long, rms_milli long, codec string"
         ),
     )
+
+
+BINARY_INGEST_FILES = 64
+
+
+@query("q_mm_binary_ingest")
+def q_mm_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-based multimodal ingestion through Spark's ``binaryFile``
+    source — the path a real image corpus arrives by (a bucket of .png/
+    .jpg objects), closing the loop the in-column queries (q_mm_pipeline)
+    start from: files -> (path, length, content) rows -> Arrow-batched
+    decode -> typed features.
+
+    Fixture: BINARY_INGEST_FILES real PNGs (stdlib codec) rendered from
+    the first documents into an applicationId-keyed scratch dir — a
+    BOUNDED driver write, documented as fixture setup only; at 100 TB the
+    files already exist and the query IS the read path: the binaryFile
+    source lists and splits like any file source, `pathGlobFilter` prunes
+    non-image objects at listing time, metadata columns (length, path)
+    filter without touching payload bytes, and decode parallelism comes
+    from the same repartition-on-key discipline as q_mm_pipeline.
+    Rows-only (paths/mtimes are environment-specific); feature parity
+    with the in-column twin is pinned in tests/test_multimodal_golden.py.
+    """
+    import os
+    import re as _re
+    import shutil
+
+    tag = _re.sub(r"\W", "_", sf_dir.rstrip("/").split("/")[-1])
+    app = spark.sparkContext.applicationId
+    d = f"/tmp/iceberg_insert_spark/binary_ingest/{app}/{tag}"
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(BINARY_INGEST_FILES)
+        .collect()  # bounded fixture write: BINARY_INGEST_FILES rows
+    )
+    for r in docs:
+        with open(os.path.join(d, f"doc_{r.doc_id}.png"), "wb") as fh:
+            fh.write(_bytes_to_png(r.text.encode("utf-8")))
+    (  # a non-matching object proves pathGlobFilter prunes at listing
+        open(os.path.join(d, "manifest.txt"), "w").close()
+    )
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(d)
+    )
+    payloads = files.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.png$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    return payloads.repartition("doc_id").mapInPandas(
+        _decode_features, schema=DECODED_SCHEMA
+    )

@@ -482,37 +482,86 @@ def q_emb_gram_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     eigendecomposition itself stays numpy-parity-tested in test_pca.py:
     no SQL oracle can express eigh).
 
-    Scale shape: the double posexplode fans each vector to d(d+1)/2 cells,
-    but map-side partial aggregation collapses every input partition to
-    <= 2,080 cells (d=64) before the ONE exchange — shuffle volume is
-    O(d^2 * partitions), independent of row count, and the output is
-    O(d^2) rows however large the corpus. Determinism: per-cell products
-    quantize to micro-units per row and accumulate exactly
-    (tables.exact_sum, auto-widened at scale 6), so the sums are
-    partition-order-independent in both engines.
+    Scale shape: one Arrow-batched ``mapInPandas`` pass emits PARTIAL
+    integer moment matrices — each batch collapses its rows to d(d+1)/2
+    cells via one vectorized numpy pass, so the exchange moves
+    O(d^2 * batches) rows regardless of corpus size, and the final
+    aggregate is over O(d^2) groups. (A pure-JVM double-posexplode
+    spelling is expressible but fans n*d^2 rows through the aggregate —
+    measured 10x slower at sf0.1; this is the q_dedup_embedding
+    numpy-over-HOF precedent.) Determinism: every per-row product is
+    quantized to micro-unit int64 BEFORE any summation — identical to
+    the oracle's per-row ROUND — and integer partial sums are
+    order-independent; the final sum widens to DECIMAL(38,0) so a
+    100 TB corpus cannot overflow the accumulator.
     """
-    e = load_table(spark, sf_dir, "embeddings")
-    ex = e.select(
-        F.posexplode("embedding").alias("i", "xi"),
-        F.col("embedding").alias("v"),
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select("embedding")
+
+    def round_half_away(a):
+        # numpy's round is half-to-EVEN; Spark/DuckDB ROUND is half away
+        # from zero — spell it out so an exact-.5 product cannot diverge
+        return np.sign(a) * np.floor(np.abs(a) + 0.5)
+
+    def gram_parts(batches):
+        cache = {}
+
+        def tri(d):
+            if "iu" not in cache:
+                cache["iu"] = np.triu_indices(d)
+            return cache["iu"]
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n, d = m.shape
+            ii, jj = tri(d)
+            g = np.zeros(len(ii), dtype=np.int64)
+            s = np.zeros(d, dtype=np.int64)
+            # slice the batch so the n x d x d product tensor stays ~MBs
+            step = max(1, 2_000_000 // (d * d))
+            for lo in range(0, n, step):
+                blk = m[lo : lo + step]
+                prod = blk[:, :, None] * blk[:, None, :]
+                g += (
+                    round_half_away(prod[:, ii, jj] * 1_000_000)
+                    .astype(np.int64)
+                    .sum(axis=0)
+                )
+                s += (
+                    round_half_away(blk * 1_000_000)
+                    .astype(np.int64)
+                    .sum(axis=0)
+                )
+            yield pd.DataFrame(
+                {
+                    "i": ii.astype(np.int64),
+                    "j": jj.astype(np.int64),
+                    "g_part": g,
+                    "s_part": s[ii],
+                    "n_part": np.int64(n),
+                }
+            )
+
+    parts = e.mapInPandas(
+        gram_parts,
+        schema="i long, j long, g_part long, s_part long, n_part long",
     )
-    return (
-        ex.select("i", "xi", F.posexplode("v").alias("j", "xj"))
-        .filter(F.col("j") >= F.col("i"))
-        .select(
-            F.col("i").cast("bigint").alias("i"),
-            F.col("j").cast("bigint").alias("j"),
-            (F.col("xi").cast("double") * F.col("xj").cast("double")).alias(
-                "prod"
-            ),
-            F.col("xi").cast("double").alias("xid"),
-        )
-        .groupBy("i", "j")
-        .agg(
-            exact_sum(F.col("prod"), 6).alias("gram_sum"),
-            exact_sum(F.col("xid"), 6).alias("sum_i"),
-            F.count(F.lit(1)).alias("n_vecs"),
-        )
+    # partials are exact int64; the final sum widens to DECIMAL(38,0)
+    # (exact_sum's scale>=4 rule) before the one double conversion
+    return parts.groupBy("i", "j").agg(
+        (
+            F.sum(F.col("g_part").cast("decimal(38,0)")).cast("double")
+            / 1_000_000.0
+        ).alias("gram_sum"),
+        (
+            F.sum(F.col("s_part").cast("decimal(38,0)")).cast("double")
+            / 1_000_000.0
+        ).alias("sum_i"),
+        F.sum("n_part").alias("n_vecs"),
     )
 
 

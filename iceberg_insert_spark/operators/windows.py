@@ -484,11 +484,13 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     behavioral-sequence analytics primitive (next-action prediction,
     anomaly flows, UX-path audits).
 
-    Scale shape: ONE window (lead) over the per-user event order builds
-    the adjacency — the sort is per-user, no global order; the pair count
-    is a |types|^2-group aggregate with map-side partials, and the
-    row-normalizer joins back as a broadcast of the |types|-row marginal.
-    Determinism: (ts, event_id) is a total order (the repo-wide
+    Scale shape: ONE pass over the events table — a per-user lead window
+    builds the adjacency (the sort is per-user, no global order), then a
+    |types|^2-group aggregate with map-side partials; the row-normalizer
+    is a second window over THAT |types|^2-row aggregate (partitioned by
+    src), so the event scan is never repeated — a join against a marginal
+    derived from the same counts would plan the whole scan+window subtree
+    twice. Determinism: (ts, event_id) is a total order (the repo-wide
     duplicate-timestamp convention), and probabilities are integral ppm
     on positive counts.
     """
@@ -504,15 +506,14 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = pairs.groupBy("src", "dst").agg(
         F.count(F.lit(1)).alias("n_trans")
     )
-    marg = counts.groupBy("src").agg(F.sum("n_trans").alias("n_src"))
-    return (
-        counts.join(F.broadcast(marg), "src")
-        .select(
-            "src",
-            "dst",
-            "n_trans",
-            F.expr("n_trans * 1000000 div n_src").alias("prob_ppm"),
-        )
+    return counts.select(
+        "src",
+        "dst",
+        "n_trans",
+        F.expr(
+            "n_trans * 1000000 div SUM(n_trans)"
+            " OVER (PARTITION BY src)"
+        ).alias("prob_ppm"),
     )
 
 

@@ -278,3 +278,26 @@ def test_wav_roundtrip_golden():
     got = out.set_index("doc_id").to_dict("index")
     assert got[1]["codec"] == "wav" and got[1]["rms_milli"] == expected_rms
     assert got[2]["codec"] == "stub"
+
+
+def test_binary_ingest_matches_in_column_pipeline(spark):
+    """binaryFile ingestion must reproduce the in-column pipeline's decoded
+    features exactly for the same documents (same PNG bytes through the
+    same codec — only the transport differs), prove the files are REAL
+    PNGs (codec column), and prune non-matching objects via
+    pathGlobFilter."""
+    from iceberg_insert_spark.llm.multimodal import (
+        BINARY_INGEST_FILES,
+        q_mm_binary_ingest,
+        q_mm_pipeline,
+    )
+    from .conftest import SF_DIR
+
+    got = {r.doc_id: (r.byte_len, r.width, r.height, r.checksum_mod, r.codec)
+           for r in q_mm_binary_ingest(spark, SF_DIR).collect()}
+    assert len(got) == BINARY_INGEST_FILES  # manifest.txt pruned
+    assert all(v[4] == "png" for v in got.values())
+    ref = {r.doc_id: (r.byte_len, r.width, r.height, r.checksum_mod, r.codec)
+           for r in q_mm_pipeline(spark, SF_DIR).collect()
+           if r.doc_id in got}
+    assert got == ref

@@ -349,3 +349,59 @@ def test_pca_gram_partial_aggregates_before_exchange(spark):
     # the per-row projection plan is shuffle-free: one scan, no Exchange
     p = plan_of(q_emb_pca_project(spark, SF_DIR))
     assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 0
+
+
+def test_tpch_q21_decorrelates_to_semi_and_anti(spark):
+    """Q21's EXISTS/NOT-EXISTS pair must decorrelate to hash semi/anti
+    joins on orderkey — a correlated per-row rewrite would be two O(n)
+    probes per lineitem; the region-filtered supplier set must broadcast."""
+    p = plan_of(QUERIES["q_tpch_q21"](spark, SF_DIR))
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+
+
+def test_pareto_cumsum_has_no_global_window(spark):
+    """The Pareto cumulative sum must run as per-partition windows over the
+    range split plus an offset join — never a single-partition global
+    window (the whole aggregate through one task at 100 TB)."""
+    p = plan_of(QUERIES["q_lineitem_pareto"](spark, SF_DIR))
+    assert "Window" in p
+    assert "Exchange SinglePartition" not in p, (
+        "global-sort window leaked into the Pareto cumsum:\n" + p
+    )
+
+
+def test_emb_outliers_broadcasts_centroids(spark):
+    """Outlier scoring must broadcast the |labels|-row centroid arrays onto
+    the corpus — re-shuffling the embedding table against a 10-row side
+    would be the 100 TB mistake; the per-label rank window partitions by
+    label (no single-partition exchange)."""
+    p = plan_of(QUERIES["q_emb_outliers"](spark, SF_DIR))
+    assert "BroadcastExchange" in p
+    assert "Exchange SinglePartition" not in p
+
+
+def test_events_transitions_single_event_scan(spark):
+    """The transition matrix must scan events ONCE: the normalizer is a
+    window over the |types|^2-row aggregate, never a join against a
+    marginal that re-plans the scan+window subtree a second time."""
+    p = plan_of(QUERIES["q_events_transitions"](spark, SF_DIR))
+    # formatted mode mentions each physical node twice (tree + detail)
+    assert p.count("Scan parquet") == 2, (
+        "events scanned more than once:\n" + p
+    )
+    assert "Exchange SinglePartition" not in p
+
+
+def test_tpch_q7_broadcasts_nation_filtered_supplier(spark):
+    """Q7 must prefilter both nation copies to the two-nation set and
+    broadcast the supplier side into the date-pruned lineitem scan before
+    any shuffle; the date range must push to the scan."""
+    p = plan_of(QUERIES["q_tpch_q7"](spark, SF_DIR))
+    assert "BroadcastExchange" in p
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert any("l_shipdate" in ln for ln in pushed), (
+        "ship-date range did not reach the lineitem scan"
+    )
