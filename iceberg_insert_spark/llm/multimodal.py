@@ -405,13 +405,10 @@ def q_mm_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the in-column twin is pinned in tests/test_multimodal_golden.py.
     """
     import os
-    import re as _re
-    import shutil
 
-    tag = _re.sub(r"\W", "_", sf_dir.rstrip("/").split("/")[-1])
-    app = spark.sparkContext.applicationId
-    d = f"/tmp/iceberg_insert_spark/binary_ingest/{app}/{tag}"
-    shutil.rmtree(d, ignore_errors=True)
+    from ..tables import scratch_dir
+
+    d = scratch_dir(spark, sf_dir, "binary_ingest")
     os.makedirs(d, exist_ok=True)
     docs = (
         load_table(spark, sf_dir, "documents")

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import exact_sum, load_table
+from ..tables import load_table
 from .vector import cosine
 
 N_PROBES = 10
@@ -250,9 +250,12 @@ def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_emb_centroids",
-    oracle="""
+# The exact fixed-point per-(label, dim) centroid mean in DuckDB SQL —
+# q_emb_centroids' oracle body, and (as a CTE) the centroid source of the
+# q_emb_outliers oracle, shared so the two can never silently disagree.
+# The +10-unit shift multiplies a HUGEINT-widened count so the invariant
+# holds at any corpus size (BIGINT would overflow near ~9.2e11 rows).
+_CENTROID_ORACLE = """
     WITH expanded AS (
         SELECT label,
                UNNEST(RANGE(1, LEN(embedding) + 1)) AS dim,
@@ -262,12 +265,15 @@ def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT label, CAST(dim AS BIGINT) AS dim,
            CAST(CAST((CAST(SUM(CAST(ROUND(CAST(val AS DOUBLE) * 1000000)
                                     AS BIGINT)) AS HUGEINT)
-                      + 10000000 * COUNT(*)) // COUNT(*) AS BIGINT)
+                      + 10000000 * CAST(COUNT(*) AS HUGEINT))
+                     // COUNT(*) AS BIGINT)
                 - 10000000 AS DOUBLE) / 1000000.0 AS centroid
     FROM expanded
     GROUP BY label, dim
-    """,
-)
+"""
+
+
+@query("q_emb_centroids", oracle=_CENTROID_ORACLE)
 def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids (the IVF-training / cluster-profiling
     primitive): posexplode each vector to (label, dim, value) and average
@@ -308,7 +314,8 @@ def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (
                     F.expr(
                         "(CAST(s_micro AS DECIMAL(38,0))"
-                        " + 10000000 * n_vec) div n_vec"
+                        " + 10000000 * CAST(n_vec AS DECIMAL(38,0)))"
+                        " div n_vec"
                     )
                     - F.lit(10000000)
                 ).cast("double")
@@ -323,20 +330,9 @@ OUTLIER_TOP_K = 10
 
 @query(
     "q_emb_outliers",
-    oracle="""
-    WITH expanded AS (
-        SELECT label,
-               UNNEST(RANGE(1, LEN(embedding) + 1)) AS dim,
-               UNNEST(embedding) AS val
-        FROM embeddings
-    ), cent AS (
-        SELECT label, dim,
-               CAST(CAST((CAST(SUM(CAST(ROUND(CAST(val AS DOUBLE) * 1000000)
-                                        AS BIGINT)) AS HUGEINT)
-                          + 10000000 * COUNT(*)) // COUNT(*) AS BIGINT)
-                    - 10000000 AS DOUBLE) / 1000000.0 AS centroid
-        FROM expanded
-        GROUP BY label, dim
+    oracle=f"""
+    WITH cent AS (
+        {_CENTROID_ORACLE}
     ), carr AS (
         SELECT label, LIST(centroid ORDER BY dim) AS c
         FROM cent GROUP BY label
@@ -354,8 +350,8 @@ OUTLIER_TOP_K = 10
     )
     SELECT vec_id, label, sq_dist,
            CAST(ROW_NUMBER() OVER (PARTITION BY label
-                                   ORDER BY sq_dist DESC, vec_id) <= 10
-                AS BIGINT) AS is_outlier
+                                   ORDER BY sq_dist DESC, vec_id)
+                <= {OUTLIER_TOP_K} AS BIGINT) AS is_outlier
     FROM scored
     """,
 )

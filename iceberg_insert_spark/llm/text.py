@@ -580,42 +580,24 @@ def q_docs_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
+    from ..tables import ranged_offsets
+
     key = F.md5(
         F.concat(
             F.col("doc_id").cast("string"), F.lit(f"#{SHUFFLE_SEED}")
         )
     )
-    ordered = (
-        d.select("doc_id", key.alias("shuffle_key"))
-        .repartitionByRange(SHUFFLE_PARTITIONS, "shuffle_key", "doc_id")
-        .sortWithinPartitions("shuffle_key", "doc_id")
-        .withColumn("_pid", F.spark_partition_id())
-        # pin partition contents: the offset job and the position job must
-        # see the SAME range split (repartitionByRange samples boundaries)
-        .localCheckpoint(eager=True)
-    )
-    counts = [
-        (r["_pid"], r["n"])
-        for r in ordered.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    ]
-    offsets, acc = {}, 0
-    for pid, n in sorted(counts):
-        offsets[pid] = acc
-        acc += n
-    offset_df = F.broadcast(
-        spark.createDataFrame(
-            [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
-        )
+    ordered, _ = ranged_offsets(
+        d.select("doc_id", key.alias("shuffle_key")),
+        SHUFFLE_PARTITIONS,
+        [F.col("shuffle_key"), F.col("doc_id")],
     )
     w = Window.partitionBy("_pid").orderBy("shuffle_key", "doc_id")
-    return (
-        ordered.join(offset_df, "_pid")
-        .select(
-            "doc_id",
-            (F.row_number().over(w) + F.col("_off")).cast("bigint").alias(
-                "shuffle_pos"
-            ),
-        )
+    return ordered.select(
+        "doc_id",
+        (F.row_number().over(w) + F.col("_off")).cast("bigint").alias(
+            "shuffle_pos"
+        ),
     )
 
 

@@ -833,35 +833,18 @@ def q_lineitem_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    from ..tables import ranged_offsets
+
     li = load_table(spark, sf_dir, "lineitem")
     cents = F.round(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
     ).cast("bigint")
     rev = li.groupBy("l_partkey").agg(F.sum(cents).alias("cents"))
-    ordered = (
-        rev.repartitionByRange(
-            PARETO_PARTITIONS, F.desc("cents"), F.asc("l_partkey")
-        )
-        .sortWithinPartitions(F.desc("cents"), F.asc("l_partkey"))
-        .withColumn("_pid", F.spark_partition_id())
-        # pin partition contents: the offset job and the cumsum job must
-        # see the SAME range split (repartitionByRange samples boundaries)
-        .localCheckpoint(eager=True)
-    )
-    ptots = {
-        r["_pid"]: r["s"]
-        for r in ordered.groupBy("_pid").agg(F.sum("cents").alias("s")).collect()
-    }
-    total = sum(ptots.values())
-    offsets, acc = {}, 0
-    for pid in sorted(ptots):
-        offsets[pid] = acc
-        acc += ptots[pid]
-    offset_df = F.broadcast(
-        spark.createDataFrame(
-            [(pid, off) for pid, off in offsets.items()],
-            "_pid int, _off long",
-        )
+    ordered, total = ranged_offsets(
+        rev,
+        PARETO_PARTITIONS,
+        [F.desc("cents"), F.asc("l_partkey")],
+        weight="cents",
     )
     w = (
         Window.partitionBy("_pid")
@@ -872,7 +855,7 @@ def q_lineitem_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(CAST(cum AS DECIMAL(38,0)) * 1000000 div {total}L AS BIGINT)"
     )
     return (
-        ordered.join(offset_df, "_pid")
+        ordered
         .select(
             "l_partkey",
             (F.col("cents").cast("double") / 100.0).alias("revenue"),

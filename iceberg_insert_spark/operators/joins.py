@@ -494,7 +494,7 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COUNT(*) AS n_view,
            COUNT(t2) AS n_click,
            COUNT(t3) AS n_purchase,
-           CAST(COUNT(t2) * 1000000 // COUNT(*) AS BIGINT)
+           CAST(COUNT(t2) * 1000000 // GREATEST(COUNT(*), 1) AS BIGINT)
                AS click_conv_ppm,
            CAST(COUNT(t3) * 1000000 // GREATEST(COUNT(t2), 1) AS BIGINT)
                AS purchase_conv_ppm
@@ -546,11 +546,15 @@ def q_funnel3(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("t3")
         )
     )
+    # both divisors GREATEST-guarded: an empty view slice would otherwise
+    # throw DIVIDE_BY_ZERO in Spark (ANSI) while DuckDB's // yields NULL
     return p.agg(
         F.count(F.lit(1)).alias("n_view"),
         F.count("t2").alias("n_click"),
         F.count("t3").alias("n_purchase"),
-        F.expr("COUNT(t2) * 1000000 div COUNT(*)").alias("click_conv_ppm"),
+        F.expr(
+            "COUNT(t2) * 1000000 div GREATEST(COUNT(*), 1L)"
+        ).alias("click_conv_ppm"),
         F.expr(
             "COUNT(t3) * 1000000 div GREATEST(COUNT(t2), 1L)"
         ).alias("purchase_conv_ppm"),

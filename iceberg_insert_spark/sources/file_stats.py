@@ -81,16 +81,9 @@ def q_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     repo's measurable stand-in for Iceberg manifest-level pruning, and the
     number that justifies sort-on-write/zorder at 100 TB.
     """
-    import re
-    import shutil
+    from ..tables import scratch_dir
 
-    # key the scratch dir by (sf basename, Spark applicationId): two
-    # concurrent runs — or distinct sf dirs sharing a basename — get
-    # disjoint paths instead of clobbering each other mid-query
-    tag = re.sub(r"\W", "_", sf_dir.rstrip("/").split("/")[-1])
-    app = spark.sparkContext.applicationId
-    base = f"/tmp/iceberg_insert_spark/skipping/{app}/{tag}"
-    shutil.rmtree(base, ignore_errors=True)
+    base = scratch_dir(spark, sf_dir, "skipping")
 
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"

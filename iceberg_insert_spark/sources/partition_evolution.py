@@ -204,15 +204,9 @@ def q_part_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     indistinguishable from querying the raw table — which is exactly what
     the oracle does.
     """
-    import re
-    import shutil
+    from ..tables import scratch_dir
 
-    # key the scratch dir by (sf basename, Spark applicationId): concurrent
-    # runs get disjoint paths instead of clobbering each other mid-query
-    tag = re.sub(r"\W", "_", sf_dir.rstrip("/").split("/")[-1])
-    app = spark.sparkContext.applicationId
-    path = f"/tmp/iceberg_insert_spark/part_evolve/{app}/{tag}"
-    shutil.rmtree(path, ignore_errors=True)
+    path = scratch_dir(spark, sf_dir, "part_evolve")
 
     ev = load_table(spark, sf_dir, "events")
     split = F.lit("2024-01-16").cast("timestamp_ntz")

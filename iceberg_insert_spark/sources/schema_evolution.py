@@ -195,14 +195,9 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     HALF_UP but DuckDB's rounds HALF_EVEN — floor of the identical IEEE
     product sidesteps the tie rule entirely and a BIGINT sum is
     partition-order-independent."""
-    import re
-    import shutil
+    from ..tables import scratch_dir
 
-    # applicationId-keyed scratch dir: concurrent runs cannot clobber
-    tag = re.sub(r"\W", "_", sf_dir.rstrip("/").split("/")[-1])
-    app = spark.sparkContext.applicationId
-    path = f"/tmp/iceberg_insert_spark/evolve/{app}/{tag}"
-    shutil.rmtree(path, ignore_errors=True)
+    path = scratch_dir(spark, sf_dir, "evolve")
 
     o = load_table(spark, sf_dir, "orders")
     tbl = EvolvingTable(path)

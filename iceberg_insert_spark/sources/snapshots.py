@@ -31,13 +31,12 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load_table
+from ..tables import exact_sum, load_table
 
 
 class SnapshotTable:
@@ -60,9 +59,7 @@ class SnapshotTable:
         with open(os.path.join(self._mdir, f"v{v}.json")) as fh:
             return json.load(fh)["files"]
 
-    def append(self, df: DataFrame) -> int:
-        """Write a new snapshot: data files under ``_snap=N/`` plus a
-        manifest listing every file visible at N (inherited + new)."""
+    def _commit(self, df: DataFrame, inherit: bool) -> int:
         os.makedirs(self._mdir, exist_ok=True)
         snaps = self.snapshots()
         v = (snaps[-1] + 1) if snaps else 1
@@ -73,10 +70,27 @@ class SnapshotTable:
             for f in os.listdir(d)
             if f.endswith(".parquet")
         )
-        inherited = self._manifest(snaps[-1]) if snaps else []
+        inherited = (
+            self._manifest(snaps[-1]) if (inherit and snaps) else []
+        )
         with open(os.path.join(self._mdir, f"v{v}.json"), "w") as fh:
             json.dump({"files": inherited + new_files}, fh)
         return v
+
+    def append(self, df: DataFrame) -> int:
+        """Write a new snapshot: data files under ``_snap=N/`` plus a
+        manifest listing every file visible at N (inherited + new)."""
+        return self._commit(df, inherit=True)
+
+    def overwrite(self, df: DataFrame) -> int:
+        """REPLACE the table contents in a new snapshot: the manifest
+        lists only the new files; prior files stay on disk, referenced
+        only by OLDER manifests — so time travel still reaches them until
+        ``expire`` reclaims them. This is the commit type (Iceberg
+        overwrite / rewrite-compaction) that makes snapshot expiry
+        actually delete data: an append-only history references every
+        file from every surviving manifest forever."""
+        return self._commit(df, inherit=False)
 
     def read(self, spark: SparkSession, as_of: int | None = None) -> DataFrame:
         """Read the table as of snapshot ``as_of`` (default: latest). The
@@ -136,12 +150,9 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     append even though its files are on disk when the read plans. The
     history/expire machinery is pinned in tests/test_snapshots.py.
     """
-    import re
+    from ..tables import scratch_dir
 
-    tag = re.sub(r"\W", "_", sf_dir.rstrip("/").split("/")[-1])
-    app = spark.sparkContext.applicationId
-    path = f"/tmp/iceberg_insert_spark/time_travel/{app}/{tag}"
-    shutil.rmtree(path, ignore_errors=True)
+    path = scratch_dir(spark, sf_dir, "time_travel")
 
     o = load_table(spark, sf_dir, "orders")
     tbl = SnapshotTable(path)
@@ -152,10 +163,6 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            (
-                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
-                .cast("double")
-                / 100.0
-            ).alias("sum_price"),
+            exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
         )
     )

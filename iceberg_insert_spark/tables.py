@@ -111,3 +111,66 @@ def exact_sum(col: F.Column, scale: int = 2) -> F.Column:
     if scale >= 4:
         quantized = quantized.cast("decimal(38,0)")
     return F.sum(quantized).cast("double") / float(factor)
+
+
+def scratch_dir(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Fresh scratch path for a query that materializes files mid-run,
+    keyed by (operator name, Spark applicationId, sf basename): two
+    concurrent runs — or distinct sf dirs sharing a basename — get
+    disjoint paths instead of clobbering each other's files (round-3
+    ADVICE). The previous run's leftovers at the SAME key are removed so
+    re-runs within one session stay idempotent."""
+    import re
+    import shutil
+
+    tag = re.sub(r"\W", "_", sf_dir.rstrip("/").split("/")[-1])
+    app = spark.sparkContext.applicationId
+    d = f"/tmp/iceberg_insert_spark/{name}/{app}/{tag}"
+    shutil.rmtree(d, ignore_errors=True)
+    return d
+
+
+def ranged_offsets(
+    df: DataFrame,
+    n_partitions: int,
+    sort_cols: list,
+    weight: str | None = None,
+) -> tuple[DataFrame, int]:
+    """Two-pass global-order offsets WITHOUT a global sort (the scalable
+    zipWithIndex pattern, shared by q_docs_shuffle's positions and
+    q_lineitem_pareto's cumulative sums): range-partition on the sort
+    key (balanced output partitions), sort within partitions, PIN the
+    split (localCheckpoint — repartitionByRange samples boundaries, so
+    the offset job and the consumer must see the same split), then join
+    each row to its partition's preceding-partitions offset computed
+    from an n_partitions-row driver aggregate.
+
+    ``weight=None`` offsets by row COUNT (global positions); a column
+    name offsets by its SUM (global cumulative sums). Returns
+    ``(df + [_pid, _off] columns, grand_total)``; the caller finishes
+    with a per-partition window (row_number / running sum) + ``_off`` —
+    parallel windows, no single-partition exchange anywhere.
+    """
+    spark = df.sparkSession
+    ordered = (
+        df.repartitionByRange(n_partitions, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    agg = F.count(F.lit(1)) if weight is None else F.sum(weight)
+    totals = {
+        r["_pid"]: r["_w"]
+        for r in ordered.groupBy("_pid").agg(agg.alias("_w")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    offset_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()],
+            "_pid int, _off long",
+        )
+    )
+    return ordered.join(offset_df, "_pid"), acc

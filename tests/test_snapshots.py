@@ -47,10 +47,12 @@ def test_historic_read_ignores_later_appends(spark, tmp_path):
 
 def test_expire_deletes_only_unreferenced_files(spark, tmp_path):
     """expireSnapshots semantics: dropping old snapshots must delete files
-    no surviving manifest references — and ONLY those, since later
-    manifests inherit earlier files."""
+    no surviving manifest references — and ONLY those. Appends inherit
+    every earlier file (nothing deletable); an OVERWRITE snapshot breaks
+    the inheritance chain, and expiring past it reclaims the replaced
+    files."""
     o, tbl = _build(spark, tmp_path)
-    # every v1 file is inherited by v2/v3 manifests -> nothing deletable
+    # appends only: every v1 file is inherited by v2/v3 -> nothing deletable
     assert tbl.expire(keep_from=2) == []
     assert tbl.snapshots() == [2, 3]
     assert tbl.read(spark, as_of=2).count() == o.filter(
@@ -58,12 +60,21 @@ def test_expire_deletes_only_unreferenced_files(spark, tmp_path):
     ).count()
     with pytest.raises(ValueError, match="does not exist"):
         tbl.read(spark, as_of=1)
-    # all data files still on disk (referenced by the surviving manifests)
-    n_files = sum(
-        len(fs)
-        for _, _, fs in os.walk(str(tmp_path / "t"))
-    )
-    assert n_files > 0
+
+    # overwrite (compaction shape): snapshot 4 references ONLY its own
+    # files, but time travel to 2/3 still sees the pre-overwrite data
+    v = tbl.overwrite(tbl.read(spark).limit(100))
+    assert v == 4
+    assert tbl.read(spark, as_of=4).count() == 100
+    assert tbl.read(spark, as_of=3).count() == o.count()
+
+    # expiring past the overwrite reclaims every replaced file
+    doomed = tbl.expire(keep_from=4)
+    assert doomed, "overwrite must make the old files expirable"
+    for f in doomed:
+        assert not os.path.exists(os.path.join(str(tmp_path / "t"), f))
+    assert tbl.snapshots() == [4]
+    assert tbl.read(spark, as_of=4).count() == 100
 
 
 def test_empty_table_read_is_descriptive(spark, tmp_path):
