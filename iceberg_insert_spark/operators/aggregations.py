@@ -936,6 +936,52 @@ def q_events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_events_cumulative_users",
+    oracle="""
+    WITH fs AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS first_d
+        FROM events GROUP BY user_id
+    ), daily AS (
+        SELECT first_d AS d, COUNT(*) AS new_users FROM fs GROUP BY first_d
+    )
+    SELECT STRFTIME(d, '%Y-%m-%d') AS day, new_users,
+           CAST(SUM(new_users) OVER (
+                    ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_users
+    FROM daily
+    """,
+)
+def q_events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-acquisition curve: per day, how many users were seen for the
+    FIRST time, and the running total of distinct users ever seen — the
+    growth-accounting companion of DAU/WAU/MAU (a running COUNT(DISTINCT)
+    window, which engines don't support, rewritten as first-seen flags).
+
+    Scale shape: the first-seen date is one user-keyed aggregate over the
+    corpus (map-side partials); everything after runs on the |days|-row
+    daily aggregate — the global cumsum window orders ~tens of rows, so
+    unlike q_lineitem_pareto no offset machinery is needed (the
+    single-partition window is over O(days), never O(corpus)).
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    fs = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_d")
+    )
+    daily = fs.groupBy(F.col("first_d").alias("d")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )
+
+
+@query(
     "q_customer_rfm",
     oracle="""
     WITH mx AS (SELECT MAX(o_orderdate) AS max_d FROM orders),

@@ -460,6 +460,77 @@ def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_orders_backlog",
+    oracle="""
+    WITH placed AS (
+        SELECT DATE_TRUNC('month', o_orderdate) AS m, COUNT(*) AS n
+        FROM orders GROUP BY 1
+    ), fulfilled AS (
+        SELECT DATE_TRUNC('month', mx) AS m, COUNT(*) AS n
+        FROM (SELECT o_orderkey, MAX(l_shipdate) AS mx
+              FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+              GROUP BY o_orderkey)
+        GROUP BY 1
+    ), months AS (
+        SELECT m FROM placed UNION SELECT m FROM fulfilled
+    )
+    SELECT STRFTIME(months.m, '%Y-%m') AS month,
+           CAST(COALESCE(p.n, 0) AS BIGINT) AS n_placed,
+           CAST(COALESCE(f.n, 0) AS BIGINT) AS n_fulfilled,
+           CAST(SUM(COALESCE(p.n, 0) - COALESCE(f.n, 0)) OVER (
+                    ORDER BY months.m
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS open_backlog
+    FROM months
+    LEFT JOIN placed p ON p.m = months.m
+    LEFT JOIN fulfilled f ON f.m = months.m
+    """,
+)
+def q_orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time: per month, orders placed, orders
+    fully fulfilled (every lineitem shipped), and the running count of
+    still-open orders — the interval-stabbing query ("how many intervals
+    cover time t") rewritten as +1/-1 event prefix sums, the shape that
+    replaces an O(orders x timepoints) range join.
+
+    Scale shape: fulfillment time is one orderkey-keyed max over the
+    fact join (map-side partials; the join is the unavoidable fact-fact
+    shuffle); both event streams then collapse to a |months|-row frame
+    where the full-outer month alignment and the cumulative window are
+    O(months) — the global window never sees the corpus, so no offset
+    machinery is needed. Counts are exact longs throughout.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    placed = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(F.count(F.lit(1)).alias("n_placed"))
+    fulfilled = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(F.max("l_shipdate").alias("mx"))
+        .groupBy(F.date_trunc("month", "mx").alias("m"))
+        .agg(F.count(F.lit(1)).alias("n_fulfilled"))
+    )
+    months = placed.join(fulfilled, "m", "full_outer").select(
+        "m",
+        F.coalesce("n_placed", F.lit(0)).alias("n_placed"),
+        F.coalesce("n_fulfilled", F.lit(0)).alias("n_fulfilled"),
+    )
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    return months.select(
+        F.date_format("m", "yyyy-MM").alias("month"),
+        "n_placed",
+        "n_fulfilled",
+        F.sum(F.col("n_placed") - F.col("n_fulfilled")).over(w).alias(
+            "open_backlog"
+        ),
+    )
+
+
+@query(
     "q_events_transitions",
     oracle="""
     WITH seq AS (
