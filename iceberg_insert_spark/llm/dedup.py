@@ -699,6 +699,88 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(F.col("node").alias("doc_id"), "cluster_id")
 
 
+PAGERANK_DAMPING = 0.85
+PAGERANK_ITERS = 10
+
+
+def pagerank(
+    pairs: DataFrame,
+    damping: float = PAGERANK_DAMPING,
+    iters: int = PAGERANK_ITERS,
+) -> DataFrame:
+    """Power-iteration PageRank over an UNDIRECTED pair graph — the
+    second graph-iterative primitive next to ``connected_components``,
+    with the same execution discipline: each round is join + aggregate
+    over the edge list only, ends in an eager ``localCheckpoint`` (the
+    round plan re-references its parent, so the logical plan would grow
+    exponentially otherwise), and the driver holds zero per-node state
+    (one count up front).
+
+    Undirected symmetrization means no dangling nodes (every node has
+    degree >= 1), so the classic (1-d)/n + d * sum(rank/deg) update needs
+    no dangling-mass correction and conserves total rank at 1.
+
+    Returns (node, rank). Scale: work per round is O(|edges|) shuffled on
+    node id; the pair graph holds near-duplicates only, orders of
+    magnitude smaller than the corpus.
+    """
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    edges = edges.repartition(CC_PARTITIONS, "u").localCheckpoint(eager=True)
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = edges.select("u").distinct()
+    n = nodes.count()  # driver O(1): one scalar
+    base = (1.0 - damping) / n
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iters):
+        contribs = (
+            edges.join(ranks, "u")
+            .join(deg, "u")
+            .select(
+                F.col("v").alias("u"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("u")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = (
+            nodes.join(contribs, "u", "left")
+            .select(
+                "u",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(F.col("u").alias("node"), "rank")
+
+
+@query("q_dedup_pagerank")
+def q_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the exact near-dup pair graph: a
+    graph-wide alternative to q_dedup_representatives' local degree
+    argmax for picking the canonical variant (the highest-PageRank member
+    is the version most "endorsed" by the cluster's similarity
+    structure, robust to hub-and-spoke shapes where raw degree ties).
+    Rows-only (iterative + float ranks); update-rule parity against a
+    pure-python power iteration and rank-conservation invariants are
+    pinned in tests/test_properties.py.
+    """
+    pairs = (
+        q_dedup_ngram(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    return pagerank(pairs).select(
+        F.col("node").alias("doc_id"), F.round("rank", 9).alias("rank")
+    )
+
+
 @query(
     "q_dedup_incremental",
     oracle="""

@@ -766,3 +766,43 @@ def test_kmeans_audit_invariants(spark):
     assert len({r.cluster_id for r in rows}) == len(rows)
     again = q_emb_kmeans(spark, SF_DIR).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_pagerank_matches_python_power_iteration(spark):
+    """Distributed PageRank must match a sequential power iteration with
+    the identical update rule on a planted graph (star + path + clique),
+    and conserve total rank at 1."""
+    import pytest as _pytest
+
+    from iceberg_insert_spark.llm.dedup import (
+        PAGERANK_DAMPING,
+        PAGERANK_ITERS,
+        pagerank,
+    )
+
+    # star 0-(1..4), path 5-6-7, clique 8-9-10 (undirected)
+    pairs = [(0, i) for i in range(1, 5)] + [(5, 6), (6, 7)] + [
+        (8, 9), (8, 10), (9, 10)
+    ]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r.node: r.rank for r in pagerank(df).collect()}
+
+    adj: dict[int, list[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    n = len(adj)
+    ranks = {u: 1.0 / n for u in adj}
+    for _ in range(PAGERANK_ITERS):
+        ranks = {
+            u: (1 - PAGERANK_DAMPING) / n
+            + PAGERANK_DAMPING
+            * sum(ranks[v] / len(adj[v]) for v in adj[u])
+            for u in adj
+        }
+    assert set(got) == set(ranks)
+    for u in ranks:
+        assert got[u] == _pytest.approx(ranks[u], rel=1e-9)
+    assert sum(got.values()) == _pytest.approx(1.0, rel=1e-9)
+    # the star hub must outrank every leaf
+    assert got[0] > got[1]
