@@ -723,16 +723,40 @@ def pagerank(
     Returns (node, rank). Scale: work per round is O(|edges|) shuffled on
     node id; the pair graph holds near-duplicates only, orders of
     magnitude smaller than the corpus.
+
+    Input hygiene mirrors ``connected_components``: pairs are
+    canonicalized (least/greatest), self-pairs dropped, and
+    deduplicated BEFORE symmetrization — otherwise a partially
+    pre-symmetrized or duplicated pair list silently computes
+    weighted-MULTIgraph PageRank (multiplicity-inflated degrees), and a
+    self-loop feeds a node's rank back to itself.
     """
-    edges = pairs.select(
-        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
-    ).unionByName(
-        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    canon = (
+        pairs.select(
+            F.least("doc_a", "doc_b").alias("a"),
+            F.greatest("doc_a", "doc_b").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
     )
+    edges = canon.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionByName(canon.select(F.col("b").alias("u"), F.col("a").alias("v")))
     edges = edges.repartition(CC_PARTITIONS, "u").localCheckpoint(eager=True)
-    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = edges.select("u").distinct()
+    # deg/nodes are consumed EVERY round: checkpoint once so the ten
+    # round plans don't each re-run two O(|edges|) aggregations
+    deg = (
+        edges.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = edges.select("u").distinct().localCheckpoint(eager=True)
     n = nodes.count()  # driver O(1): one scalar
+    if n == 0:
+        # empty graph: empty result, like connected_components
+        return nodes.select(
+            F.col("u").alias("node"), F.lit(0.0).alias("rank")
+        )
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iters):

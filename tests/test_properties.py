@@ -771,9 +771,8 @@ def test_kmeans_audit_invariants(spark):
 def test_pagerank_matches_python_power_iteration(spark):
     """Distributed PageRank must match a sequential power iteration with
     the identical update rule on a planted graph (star + path + clique),
-    and conserve total rank at 1."""
-    import pytest as _pytest
-
+    and conserve total rank at 1; empty and dirty inputs (duplicates,
+    reversed copies, self-pairs) are handled."""
     from iceberg_insert_spark.llm.dedup import (
         PAGERANK_DAMPING,
         PAGERANK_ITERS,
@@ -802,7 +801,19 @@ def test_pagerank_matches_python_power_iteration(spark):
         }
     assert set(got) == set(ranks)
     for u in ranks:
-        assert got[u] == _pytest.approx(ranks[u], rel=1e-9)
-    assert sum(got.values()) == _pytest.approx(1.0, rel=1e-9)
+        assert got[u] == pytest.approx(ranks[u], rel=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
     # the star hub must outrank every leaf
     assert got[0] > got[1]
+
+    # dirty input (duplicates + reversed copies + a self-pair) must give
+    # the SAME simple-graph ranks — hygiene happens inside pagerank()
+    dirty = pairs + [(b, a) for a, b in pairs[:4]] + pairs[:2] + [(0, 0)]
+    ddf = spark.createDataFrame(dirty, "doc_a long, doc_b long")
+    got_dirty = {r.node: r.rank for r in pagerank(ddf).collect()}
+    for u in got:
+        assert got_dirty[u] == pytest.approx(got[u], rel=1e-12)
+
+    # empty graph: empty result, not ZeroDivisionError
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert pagerank(empty).count() == 0
