@@ -1436,3 +1436,60 @@ def q_text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div count(1)"
         ).alias("retained_ppm"),
     )
+
+
+ZIPF_TOP_K = 50
+
+
+@query(
+    "q_text_zipf",
+    oracle=f"""
+    WITH w AS (
+        SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents
+    ), f AS (
+        SELECT word, COUNT(*) AS freq FROM w WHERE word <> ''
+        GROUP BY word
+        ORDER BY freq DESC, word
+        LIMIT {ZIPF_TOP_K}
+    )
+    SELECT word, freq,
+           CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS BIGINT)
+               AS rank,
+           CAST(freq * ROW_NUMBER() OVER (ORDER BY freq DESC, word)
+                AS BIGINT) AS zipf_product
+    FROM f
+    """,
+)
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency profile: the ZIPF_TOP_K most frequent words
+    with their rank and the rank x frequency product — the corpus-
+    statistics sanity check (natural text keeps the product roughly
+    constant; a flat or collapsed profile flags boilerplate floods,
+    deduplication failures, or synthetic-text contamination upstream of
+    tokenizer training).
+
+    Scale shape: one word-count shuffle with map-side partials (the same
+    aggregate BPE trains from), then orderBy+limit plans as
+    TakeOrderedAndProject — per-partition top-k heaps, no global sort —
+    and the rank window runs over the ZIPF_TOP_K-row result. Ties order
+    (freq DESC, word), a total order in both engines.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    f = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(ZIPF_TOP_K)
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("word"))
+    rank = F.row_number().over(w).cast("bigint")
+    return f.select(
+        "word",
+        "freq",
+        rank.alias("rank"),
+        (F.col("freq") * rank).alias("zipf_product"),
+    )

@@ -936,6 +936,89 @@ def q_events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_nation_revenue_yoy",
+    oracle="""
+    WITH r AS (
+        SELECT n_name AS nation, YEAR(o_orderdate) AS yr,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+    ), lagged AS (
+        SELECT nation, yr, cents,
+               LAG(cents) OVER (PARTITION BY nation ORDER BY yr) AS prev,
+               LAG(yr) OVER (PARTITION BY nation ORDER BY yr) AS prev_yr
+        FROM r
+    )
+    SELECT nation, yr,
+           CAST(cents AS DOUBLE) / 100.0 AS revenue,
+           CAST(CASE WHEN prev_yr = yr - 1 AND prev > 0
+                     THEN CAST(CAST(cents AS HUGEINT) * 1000000 // prev
+                               AS BIGINT) - 1000000
+                     END AS BIGINT) AS yoy_growth_ppm
+    FROM lagged
+    """,
+)
+def q_nation_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per customer nation — the
+    lag-on-aggregate growth-rate shape (NULL when the prior YEAR is
+    missing, not just the prior row: a gap year must not masquerade as
+    one year's growth).
+
+    Determinism: growth is computed as cents*1e6 div prev MINUS 1e6 —
+    algebraically floor((cents-prev)*1e6/prev), but spelled with a
+    POSITIVE numerator so Spark's truncating `div` equals DuckDB's
+    flooring `//` even when revenue shrank (a direct (cents-prev)
+    numerator goes negative exactly when growth is negative — the
+    operands-sign trap). The 1e6 multiply widens (HUGEINT/DECIMAL(38))
+    before the division. Scale shape: one custkey shuffle for the join,
+    nation broadcast, then the lag window runs over the
+    |nations x years|-row aggregate — O(hundreds), never the fact table.
+    """
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    r = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("nation", F.year("o_orderdate").cast("bigint").alias("yr"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("yr")
+    lagged = r.select(
+        "nation",
+        "yr",
+        "cents",
+        F.lag("cents").over(w).alias("prev"),
+        F.lag("yr").over(w).alias("prev_yr"),
+    )
+    return lagged.select(
+        "nation",
+        "yr",
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        F.when(
+            (F.col("prev_yr") == F.col("yr") - 1) & (F.col("prev") > 0),
+            F.expr(
+                "CAST(CAST(cents AS DECIMAL(38,0)) * 1000000 div prev"
+                " AS BIGINT) - 1000000"
+            ),
+        ).cast("bigint").alias("yoy_growth_ppm"),
+    )
+
+
+@query(
     "q_events_cumulative_users",
     oracle="""
     WITH fs AS (
