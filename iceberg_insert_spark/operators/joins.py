@@ -511,10 +511,14 @@ def q_funnel3(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnel (MIN over ts > prev_stage_ts), which is what distinguishes this
     from three independent existence checks. Each stage is one shuffled
     left join of the per-user frontier against the stage's event slice
-    (event-type filter pushed to the scan) + a user-keyed aggregate — the
-    frontier table only ever SHRINKS, so later stages join smaller left
-    sides; no window over the raw event stream, no per-user iteration.
-    Conversion ratios are integral ppm on positive counts.
+    (event-type filter pushed to the scan) + a user-keyed aggregate. The
+    frontier stays CONSTANT at the view-stage user set (left joins keep
+    non-converters, whose stage timestamps are simply NULL) — deliberately:
+    filtering to t2 IS NOT NULL before the purchase join would shrink the
+    left side but force re-materializing the frontier lineage for the
+    final n_view/n_click counts, and per-user frontier rows are already
+    ≪ the event stream. No window over the raw event stream, no per-user
+    iteration. Conversion ratios are integral ppm on positive counts.
     """
     ev = load_table(spark, sf_dir, "events")
     v = (

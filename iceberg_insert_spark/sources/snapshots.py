@@ -73,8 +73,15 @@ class SnapshotTable:
         inherited = (
             self._manifest(snaps[-1]) if (inherit and snaps) else []
         )
-        with open(os.path.join(self._mdir, f"v{v}.json"), "w") as fh:
+        # Atomic metadata swap (Iceberg's commit contract): a manifest must
+        # never be observable half-written, so write to a temp name and
+        # os.rename() into place — rename is atomic on POSIX, so readers see
+        # either no v{N}.json or a complete one.
+        final = os.path.join(self._mdir, f"v{v}.json")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as fh:
             json.dump({"files": inherited + new_files}, fh)
+        os.rename(tmp, final)
         return v
 
     def append(self, df: DataFrame) -> int:
@@ -121,12 +128,18 @@ class SnapshotTable:
         doomed = sorted(
             {f for v in drop for f in self._manifest(v)} - referenced
         )
+        # Remove the dropped manifests FIRST, then their now-unreferenced
+        # data files: a crash in between leaves orphaned data files (safe —
+        # a re-run of expire or any GC can reclaim them) rather than live
+        # manifests pointing at deleted files (a corrupt table where
+        # read(as_of=dropped) dies with a missing-file error instead of the
+        # clean "does not exist" error).
+        for v in drop:
+            os.remove(os.path.join(self._mdir, f"v{v}.json"))
         for f in doomed:
             p = os.path.join(self.path, f)
             if os.path.exists(p):
                 os.remove(p)
-        for v in drop:
-            os.remove(os.path.join(self._mdir, f"v{v}.json"))
         return doomed
 
 

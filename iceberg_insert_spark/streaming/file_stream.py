@@ -268,11 +268,10 @@ def continuous_daily_rollup_available_now(
             .agg(F.count(F.lit(1)).alias("n_events"))
             .withColumn("batch_id", F.lit(batch_id))
         )
-        sess = batch_df.sparkSession
-        sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         (
             delta.coalesce(1)
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(rollup_dir)
         )
