@@ -345,15 +345,46 @@ def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_sample")
+SAMPLE_HEX_LT = "199a"  # md5-prefix < 0x199a/0x10000 ~ 10.0%
+
+
+@query(
+    "q_sample",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_qty
+    FROM lineitem
+    WHERE SUBSTRING(MD5(CONCAT_WS('#', CAST(l_orderkey AS VARCHAR),
+                                  CAST(l_linenumber AS VARCHAR), '42')),
+                    1, 4) < '{SAMPLE_HEX_LT}'
+    """,
+)
 def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded Bernoulli sample + aggregate (rows-only: sampling is
-    engine-specific). At scale this is the standard cheap-stats /
-    data-exploration path — no shuffle, sampling happens inside the scan."""
+    """Deterministic ~10% hash sample + aggregate — the REPRODUCIBLE
+    sampling flavor (round-5 upgrade from a rows-only seeded
+    Bernoulli): the keep decision is a pure function of the row
+    key (md5 of (l_orderkey, l_linenumber, seed), first 4 hex chars
+    < 0x199a ~ 10%), so any engine — here Spark and the DuckDB twin —
+    selects the IDENTICAL rows, and re-runs are stable across cluster
+    sizes and partitionings, which seeded engine samplers are not.
+
+    At scale this is the standard cheap-stats / data-exploration path:
+    the filter is evaluated inside the scan stage (no shuffle), and the
+    same keyed-hash idiom powers the repo's train/test split
+    (q_docs_split) and shuffle (q_docs_shuffle)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.sample(fraction=0.1, seed=42).agg(
+    key = F.md5(
+        F.concat_ws(
+            "#",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+            F.lit("42"),
+        )
+    )
+    return li.filter(F.substring(key, 1, 4) < SAMPLE_HEX_LT).agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        exact_sum(F.col("l_quantity"), 2).alias("sum_qty"),
     )
 
 

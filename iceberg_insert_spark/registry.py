@@ -62,8 +62,12 @@ _loaded = False
 # ADVICE, the ordering is now DERIVED from the recorded coverage data
 # (CORRECTNESS_r*.json committed at the repo root), so it cannot drift when
 # queries are added or renamed:
-#   group 0 — never driver-checked AND oracled (a first hash check is the
-#             most information per slot);
+#   group 0 — never driver HASH-checked AND oracled (a first hash check is
+#             the most information per slot). This includes queries whose
+#             only driver rows are rows-only ("no_oracle") from BEFORE an
+#             oracle upgrade: the new oracle has never been exercised, so
+#             it outranks stale-green rotation (round-5 case: the five
+#             rows-only -> oracled upgrades);
 #   group 1 — driver-checked but NOT fully green last time (red hash or a
 #             harness error): re-verifying a fix outranks first-checking a
 #             rows-only query, whose driver check is weak (row count only);
@@ -73,8 +77,9 @@ _loaded = False
 # clone), everything is group 0/2 and registration order is preserved.
 
 
-def _driver_history() -> dict[str, tuple[int, bool]]:
-    """name -> (last round with a driver row, was that row fully clean)."""
+def _driver_history() -> dict[str, tuple[int, bool, bool]]:
+    """name -> (last round with a driver row, was that row fully clean,
+    was it a rows-only row — i.e. err == "no_oracle")."""
     import json
     import re
     from pathlib import Path
@@ -101,7 +106,7 @@ def _driver_history() -> dict[str, tuple[int, bool]]:
                 and row.get("rows_match") is not False
                 and row.get("schema_match") is not False
             )
-            hist[name] = (rnd, clean)
+            hist[name] = (rnd, clean, row.get("err") == "no_oracle")
     return hist
 
 
@@ -112,7 +117,10 @@ def _prioritized(d: dict) -> dict:
     def key(n: str):
         if n not in hist:
             return (0 if n in _ORACLES else 2, 0, reg_order[n])
-        rnd, clean = hist[n]
+        rnd, clean, rows_only = hist[n]
+        if n in _ORACLES and rows_only:
+            # oracle added since the last driver row: never hash-checked
+            return (0, rnd, reg_order[n])
         if not clean:
             return (1, rnd, reg_order[n])
         return (3, rnd, reg_order[n])

@@ -67,7 +67,60 @@ def file_skipping_report(
     }
 
 
-@query("q_skipping_report")
+# Fixed (non-applicationId-keyed) scratch root: the DuckDB oracle below is a
+# STATIC SQL string that must address the same files the query just wrote, so
+# the path cannot carry runtime identifiers. The driver and the local gates
+# always run query-then-oracle sequentially; two processes racing this one
+# query concurrently would clobber each other (same accepted trade as
+# SINK_DIR / BUCKETED_TABLE_DIR).
+SKIPPING_DIR = "/tmp/iceberg_insert_spark/skipping_oracle"
+
+
+def _skipping_oracle_block(layout: str) -> str:
+    """One layout's footer-scoring block — the EXACT pruning rule
+    file_skipping_report applies via pyarrow, re-derived by DuckDB from
+    the same parquet footers via parquet_metadata(): a file is skippable
+    iff every row group has min/max stats and [min, max] is disjoint from
+    the predicate range [lo, hi]."""
+    return f"""
+    SELECT '{layout}' AS layout,
+           COUNT(*) AS n_files,
+           CAST(SUM(CASE WHEN skippable THEN 1 ELSE 0 END) AS BIGINT)
+               AS files_skipped,
+           CAST(SUM(CASE WHEN NOT skippable THEN file_rows ELSE 0 END)
+                * 1000000 // GREATEST(SUM(file_rows), 1) AS BIGINT)
+               AS read_frac_ppm
+    FROM (
+        SELECT file_name,
+               SUM(row_group_num_rows) AS file_rows,
+               BOOL_AND(stats_min_value IS NOT NULL
+                        AND stats_max_value IS NOT NULL
+                        AND (CAST(stats_max_value AS BIGINT)
+                                 < (SELECT lo FROM pred)
+                             OR CAST(stats_min_value AS BIGINT)
+                                 > (SELECT hi FROM pred))) AS skippable
+        FROM parquet_metadata('{SKIPPING_DIR}/{layout}/*.parquet')
+        WHERE path_in_schema = 'o_custkey'
+        GROUP BY file_name
+    )
+    """
+
+
+@query(
+    "q_skipping_report",
+    oracle=f"""
+    WITH dom AS (
+        SELECT MIN(o_custkey) AS lo0, MAX(o_custkey) AS hi0 FROM orders
+    ), pred AS (
+        SELECT lo0 + GREATEST(hi0 - lo0, 1) * 7 // 16 AS lo,
+               lo0 + GREATEST(hi0 - lo0, 1) * 8 // 16 AS hi
+        FROM dom
+    )
+    {_skipping_oracle_block("unsorted")}
+    UNION ALL
+    {_skipping_oracle_block("sorted")}
+    """,
+)
 def q_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Layout-vs-skipping experiment, quantified from parquet footers: the
     SAME orders data written (a) unsorted and (b) range-sorted on
@@ -76,14 +129,20 @@ def q_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     skip most files (each file owns a disjoint key range); the unsorted
     layout skips none (every file's [min, max] spans the whole domain).
 
-    Rows-only by design (file layout is engine-specific), but the
-    asymmetry is asserted hard in tests/test_file_stats.py — this is the
-    repo's measurable stand-in for Iceberg manifest-level pruning, and the
-    number that justifies sort-on-write/zorder at 100 TB.
+    DuckDB-oracled (round-5 upgrade from rows-only): the oracle re-scores
+    the SAME footers through ``parquet_metadata()`` with the identical
+    disjointness rule and the identical integer predicate-bounds
+    arithmetic — so pyarrow's footer reading, the file layout the two
+    writes produced, and the pruning rule are all independently
+    confirmed. File-count/row asymmetry is additionally asserted in
+    tests/test_file_stats.py. This is the repo's measurable stand-in for
+    Iceberg manifest-level pruning, and the number that justifies
+    sort-on-write/zorder at 100 TB.
     """
-    from ..tables import scratch_dir
+    import shutil
 
-    base = scratch_dir(spark, sf_dir, "skipping")
+    base = SKIPPING_DIR
+    shutil.rmtree(base, ignore_errors=True)
 
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"

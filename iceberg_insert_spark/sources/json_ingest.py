@@ -121,19 +121,60 @@ def read_events_json(spark: SparkSession, base_dir: str) -> DataFrame:
     )
 
 
-@query("q_ingest_json_typed")
+@query(
+    "q_ingest_json_typed",
+    oracle=f"""
+    SELECT event_id, component_id,
+           STRFTIME(event_date, '%Y-%m-%d') AS event_date,
+           (CAST(split_part(event_time, ':', 1) AS BIGINT) * 3600
+            + CAST(split_part(event_time, ':', 2) AS BIGINT) * 60
+            + CAST(split_part(event_time, ':', 3) AS BIGINT)) * 1000000
+               AS event_time_us,
+           epoch_us(event_ts) AS event_ts_us,
+           CAST(amount AS VARCHAR) AS amount_str,
+           score, CAST(ratio AS DOUBLE) AS ratio_d, count, active,
+           geo.lat AS lat, geo.lon AS lon,
+           array_to_string(tags, ',') AS tags_csv,
+           attrs['k1'][1] AS attr_k1
+    FROM read_json('{FIXTURE_DIR}/events/*/batch0.json',
+         format='newline_delimited', ignore_errors=true,
+         columns={{event_id:'BIGINT', component_id:'VARCHAR',
+                  event_date:'DATE', event_time:'VARCHAR',
+                  event_ts:'TIMESTAMP', amount:'DECIMAL(10,2)',
+                  score:'DOUBLE', ratio:'FLOAT', count:'INTEGER',
+                  active:'BOOLEAN', geo:'STRUCT(lat DOUBLE, lon DOUBLE)',
+                  tags:'VARCHAR[]', attrs:'MAP(VARCHAR,VARCHAR)'}})
+    WHERE event_id IS NOT NULL
+    """,
+)
 def q_ingest_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end typed JSON ingest (rows-only check: the fixture is generated,
-    not a driver table). Malformed lines are dropped; missing fields null."""
+    """End-to-end typed JSON ingest, DuckDB-oracled (round-5 upgrade from
+    rows-only): both engines read the SAME deterministic JSON-lines
+    fixture — Spark via schema-projected DROPMALFORMED, DuckDB via
+    ``read_json(ignore_errors)`` — exercising the full type matrix
+    (decimal, float->double, date, timestamp, struct, array, map) plus the
+    three dirty-row behaviors the reference defines (App.java:219,223,
+    235-238): unknown fields ignored, missing fields null, malformed lines
+    dropped. DuckDB keeps malformed lines as all-NULL rows instead of
+    dropping them, hence the oracle's ``event_id IS NOT NULL`` (clean rows
+    always carry an id; a failed parse nulls every column).
+
+    Hash-stability spellings: dates/timestamps cross the driver hash as
+    string/epoch-micros (repo convention, q_events_dau_mau); decimals as
+    their canonical 2-dp string; floats are bit-identical because both
+    engines correctly-round the same JSON decimal literal.
+    """
     base = write_fixture()
     df = read_events_json(spark, base)
+    from ..tables import epoch_us
+
     # flatten nested values so the returned schema is stable and hashable
     return df.select(
         "event_id",
         "component_id",
-        "event_date",
+        F.date_format("event_date", "yyyy-MM-dd").alias("event_date"),
         "event_time_us",
-        "event_ts",
+        epoch_us("event_ts").alias("event_ts_us"),
         F.col("amount").cast("string").alias("amount_str"),
         "score",
         F.col("ratio").cast("double").alias("ratio_d"),

@@ -98,11 +98,26 @@ def append_partitioned(
     )
 
 
-@query("q_sink_partitioned")
+@query(
+    "q_sink_partitioned",
+    oracle="""
+    SELECT CAST(DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+               AS part_day,
+           COUNT(*) AS n_rows
+    FROM events GROUP BY 1
+    """,
+)
 def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ingestion-parity sink check (rows-only): write events day-partitioned,
-    read back, return per-partition row counts. Asserts row parity and the
-    partition layout the reference builds by hand (App.java:112-131)."""
+    """Ingestion-parity sink round trip, DuckDB-oracled (round-5 upgrade
+    from rows-only): write events day-partitioned, read the files back,
+    return per-partition row counts — which must equal the oracle's
+    counts computed DIRECTLY from the source table (the q_part_day twin).
+    The Spark side's part_day values come from the written hive partition
+    DIRECTORIES, so a green hash proves the partition layout the
+    reference builds by hand (App.java:112-131) landed every row in the
+    right day and lost/duplicated none — a stronger check than reading
+    our own files back in both engines, and independent of file layout.
+    """
     path = f"{SINK_DIR}/events_by_day"
     if os.path.exists(path):
         shutil.rmtree(path)

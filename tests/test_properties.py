@@ -768,14 +768,60 @@ def test_kmeans_audit_invariants(spark):
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
 
 
-def test_pagerank_matches_python_power_iteration(spark):
-    """Distributed PageRank must match a sequential power iteration with
-    the identical update rule on a planted graph (star + path + clique),
-    and conserve total rank at 1; empty and dirty inputs (duplicates,
-    reversed copies, self-pairs) are handled."""
+def _pagerank_python_reference(
+    pairs: list, iters: int, tol_nano: int = 0
+) -> tuple[dict, int]:
+    """Sequential fixed-point power iteration with pagerank()'s EXACT
+    integer update and stop rule — same nano-units, same floor divisions,
+    same L1-delta exit — so ranks AND stopping round must match
+    bit-for-bit."""
+    from fractions import Fraction
+
     from iceberg_insert_spark.llm.dedup import (
         PAGERANK_DAMPING,
+        PAGERANK_NANO,
+    )
+
+    num, den = (
+        Fraction(str(PAGERANK_DAMPING)).numerator,
+        Fraction(str(PAGERANK_DAMPING)).denominator,
+    )
+    adj: dict[int, set] = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n = len(adj)
+    base = (den - num) * PAGERANK_NANO // (den * n)
+    ranks = {u: PAGERANK_NANO // n for u in adj}
+    rounds = 0
+    for _ in range(iters):
+        new = {
+            u: base
+            + num
+            * sum(ranks[v] // len(adj[v]) for v in adj[u])
+            // den
+            for u in adj
+        }
+        rounds += 1
+        delta = sum(abs(new[u] - ranks[u]) for u in adj)
+        ranks = new
+        if delta <= tol_nano:
+            break
+    return ranks, rounds
+
+
+def test_pagerank_matches_python_power_iteration(spark):
+    """Distributed PageRank must match a sequential power iteration with
+    the identical integer update rule on a planted graph (star + path +
+    clique) — EXACT equality on nano-unit ranks, not approx — stop on the
+    same round, and conserve total rank up to bounded floor losses; empty
+    and dirty inputs (duplicates, reversed copies, self-pairs) are
+    handled."""
+    from iceberg_insert_spark.llm.dedup import (
         PAGERANK_ITERS,
+        PAGERANK_NANO,
         pagerank,
     )
 
@@ -784,36 +830,54 @@ def test_pagerank_matches_python_power_iteration(spark):
         (8, 9), (8, 10), (9, 10)
     ]
     df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
-    got = {r.node: r.rank for r in pagerank(df).collect()}
+    out, got_rounds = pagerank(df, return_rounds=True)
+    got = {r.node: r.rank_nano for r in out.collect()}
 
-    adj: dict[int, list[int]] = {}
-    for a, b in pairs:
-        adj.setdefault(a, []).append(b)
-        adj.setdefault(b, []).append(a)
-    n = len(adj)
-    ranks = {u: 1.0 / n for u in adj}
-    for _ in range(PAGERANK_ITERS):
-        ranks = {
-            u: (1 - PAGERANK_DAMPING) / n
-            + PAGERANK_DAMPING
-            * sum(ranks[v] / len(adj[v]) for v in adj[u])
-            for u in adj
-        }
+    ranks, ref_rounds = _pagerank_python_reference(pairs, PAGERANK_ITERS)
     assert set(got) == set(ranks)
-    for u in ranks:
-        assert got[u] == pytest.approx(ranks[u], rel=1e-9)
-    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+    assert got == ranks  # bit-exact integer parity
+    assert got_rounds == ref_rounds  # identical stop rule
+    # conservation: floors only LOSE mass, bounded per node per round by
+    # deg(u)+2 nano with geometric damping — generous envelope here
+    total = sum(got.values())
+    assert PAGERANK_NANO - 10_000 <= total <= PAGERANK_NANO
     # the star hub must outrank every leaf
     assert got[0] > got[1]
 
     # dirty input (duplicates + reversed copies + a self-pair) must give
-    # the SAME simple-graph ranks — hygiene happens inside pagerank()
+    # the SAME simple-graph ranks — hygiene happens inside pagerank();
+    # integer arithmetic makes this equality EXACT, not rel=1e-12
     dirty = pairs + [(b, a) for a, b in pairs[:4]] + pairs[:2] + [(0, 0)]
     ddf = spark.createDataFrame(dirty, "doc_a long, doc_b long")
-    got_dirty = {r.node: r.rank for r in pagerank(ddf).collect()}
-    for u in got:
-        assert got_dirty[u] == pytest.approx(got[u], rel=1e-12)
+    got_dirty = {r.node: r.rank_nano for r in pagerank(ddf).collect()}
+    assert got_dirty == got
 
     # empty graph: empty result, not ZeroDivisionError
     empty = spark.createDataFrame([], "doc_a long, doc_b long")
     assert pagerank(empty).count() == 0
+
+
+def test_pagerank_early_exit_on_regular_graph(spark):
+    """On a regular component (a clique — the typical near-dup cluster
+    shape) the uniform start vector is one integer round from exact
+    stationarity, so the L1-delta==0 exit fires long before
+    PAGERANK_ITERS — and returns the identical ranks the full run would
+    (stationary => every further round is an identity)."""
+    from iceberg_insert_spark.llm.dedup import PAGERANK_ITERS, pagerank
+
+    # two disjoint triangles: 3-regular-ish (every node degree 2)
+    pairs = [(0, 1), (0, 2), (1, 2), (10, 11), (10, 12), (11, 12)]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    out, rounds = pagerank(df, return_rounds=True)
+    got = {r.node: r.rank_nano for r in out.collect()}
+    assert rounds < PAGERANK_ITERS  # early exit actually fired
+    ref, ref_rounds = _pagerank_python_reference(pairs, PAGERANK_ITERS)
+    assert got == ref
+    assert rounds == ref_rounds
+    # full-run equivalence: the same ranks as iterating all rounds with
+    # no early exit (tol_nano=-1 can never trigger delta <= tol)
+    full = {
+        r.node: r.rank_nano
+        for r in pagerank(df, tol_nano=-1).collect()
+    }
+    assert full == got
