@@ -1,5 +1,6 @@
 """TPC-H query shapes (SURVEY.md §2.4b): Q4, Q12, Q16, Q19, Q22 (round 3);
-Q7, Q8, Q15, Q21 (round 4).
+Q7, Q8, Q15, Q21 (round 4); Q2, Q9, Q11, Q20 (round 5, via the derived
+partsupp view below).
 
 Together with Q1 (q_agg_groupby), Q3, Q5 (q_join_star), Q6 (q_filter_pred),
 Q10, Q13, Q14, Q17 (q_subq_scalar_corr) and Q18 these complete the classic
@@ -8,10 +9,14 @@ conditional counting after a fact join (Q12), NOT-IN + grouped distinct
 count (Q16), OR-of-ANDs disjunctive join predicates (Q19), scalar-
 subquery + anti-join (Q22), two-nation flow analysis with a disjunctive
 nation-pair predicate (Q7), grouped market-share ratio over an 8-table
-snowflake (Q8), view + scalar-max self-reference (Q15), and the
-multi-EXISTS/NOT-EXISTS self-join decorrelation stress test (Q21).
-The feasible set ends here: Q2/Q9/Q11/Q20 need partsupp (supplycost /
-availqty), which the fixture does not have.
+snowflake (Q8), view + scalar-max self-reference (Q15), the
+multi-EXISTS/NOT-EXISTS self-join decorrelation stress test (Q21),
+correlated-MIN decorrelation (Q2), the two-key fact-to-partsupp profit
+snowflake (Q9), aggregate-vs-global-scalar HAVING (Q11), and nested
+EXISTS-over-derived-aggregate decorrelation (Q20). With those four the
+classic suite's feasible shapes are ALL present — the fixture's missing
+partsupp is reconstructed as a deterministic derived view both engines
+compute identically (see the round-5 note below).
 
 The driver fixture is TPC-H-ish, not TPC-H: columns the spec uses that the
 fixture lacks are substituted with the nearest available signal and the
@@ -682,4 +687,442 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Derived partsupp (round 5): the fixture has no partsupp table, which
+# blocked Q2/Q9/Q11/Q20. Both engines DERIVE the identical table from the
+# parquet they both read — every column a pure integer function of
+# (p_partkey, ps_suppkey), so the view is deterministic, engine-portable,
+# and scale-free (TPC-H's own partsupp is generated this way: 4 suppliers
+# per part via modular arithmetic, dbgen PS_SUPS_PER_PART):
+#
+#   for i in 0..3:
+#     ps_suppkey      = (p_partkey*7 + i*13) mod S          (S = |supplier|)
+#     ps_availqty     = (p_partkey*31 + ps_suppkey*17) mod 9999 + 1
+#     ps_supplycost_c = (p_partkey*131 + ps_suppkey*29) mod 99900 + 100
+#
+# supplycost is carried in exact CENTS ($1.00-$999.99) so every money
+# aggregate stays in integer fixed point (the exact_sum discipline); the
+# i*13 stride is injective mod S for i<4 at every fixture scale (S never
+# divides 13/26/39), so each part gets exactly 4 DISTINCT suppliers.
+# ---------------------------------------------------------------------------
+
+PS_PER_PART = 4
+
+_PARTSUPP_SQL = """
+    ps0 AS (
+        SELECT p_partkey AS ps_partkey,
+               (p_partkey * 7 + i * 13) % (SELECT COUNT(*) FROM supplier)
+                   AS ps_suppkey
+        FROM part CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS i)
+    ),
+    partsupp AS (
+        SELECT ps_partkey, ps_suppkey,
+               CAST((ps_partkey * 31 + ps_suppkey * 17) % 9999 + 1
+                    AS INTEGER) AS ps_availqty,
+               (ps_partkey * 131 + ps_suppkey * 29) % 99900 + 100
+                   AS ps_supplycost_c
+        FROM ps0
+    )
+"""
+
+
+def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of _PARTSUPP_SQL. Plan shape: part-scan (key column
+    only) x 4-row explode + a broadcast 1-row supplier count — no shuffle;
+    at any scale this materializes lazily inside the consuming query and
+    Catalyst prunes/pushes through it like any view."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey")
+    s_count = (
+        load_table(spark, sf_dir, "supplier")
+        .agg(F.count(F.lit(1)).alias("_s"))
+    )
+    return (
+        p.crossJoin(F.broadcast(s_count))
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            "_s",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(PS_PER_PART - 1))
+            ).alias("_i"),
+        )
+        .select(
+            "ps_partkey",
+            F.pmod(
+                F.col("ps_partkey") * 7 + F.col("_i") * 13, F.col("_s")
+            ).alias("ps_suppkey"),
+        )
+        .withColumn(
+            "ps_availqty",
+            (
+                F.pmod(
+                    F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17,
+                    F.lit(9999),
+                )
+                + 1
+            ).cast("int"),
+        )
+        .withColumn(
+            "ps_supplycost_c",
+            F.pmod(
+                F.col("ps_partkey") * 131 + F.col("ps_suppkey") * 29,
+                F.lit(99900),
+            )
+            + 100,
+        )
+    )
+
+
+@query(
+    "q_tpch_q2",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    eu AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    cand AS (
+        SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name,
+               ps_supplycost_c
+        FROM part
+        JOIN partsupp ON ps_partkey = p_partkey
+        JOIN eu ON ps_suppkey = s_suppkey
+        WHERE p_type = 'ECONOMY'
+    ),
+    mn AS (
+        SELECT p_partkey, MIN(ps_supplycost_c) AS min_c
+        FROM cand GROUP BY 1
+    )
+    SELECT c.s_acctbal, c.s_name, c.n_name, c.p_partkey, c.p_brand,
+           CAST(c.ps_supplycost_c AS DOUBLE) / 100.0 AS ps_supplycost
+    FROM cand c JOIN mn ON c.p_partkey = mn.p_partkey
+    WHERE c.ps_supplycost_c = mn.min_c
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for every ECONOMY part,
+    the EUROPE-region supplier(s) offering it at the region-minimum
+    supply cost — the classic correlated-MIN-subquery decorrelation.
+
+    Fixture deviations: partsupp is the derived view (see module note);
+    p_mfgr/s_address/s_phone/s_comment don't exist, so the projection
+    keeps brand/name/acctbal/nation; the ORDER BY ... LIMIT 100 trim is
+    dropped (the driver hashes the full result). The spec's p_size +
+    p_type filter is reduced to p_type alone so the sf0.001 slice stays
+    non-empty.
+
+    Scale shape: the correlated MIN decorrelates to one groupBy over the
+    SAME joined intermediate the outer query needs — computed once (the
+    cand plan feeds both sides of a self-join keyed on p_partkey, which
+    AQE resolves as a broadcast at validation scale). supplier x nation
+    x region collapses to a broadcast dim (eu); partsupp never shuffles
+    more than its (part-pruned) 4 rows per part.
+    """
+    ps = derived_partsupp(spark, sf_dir)
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey", "p_brand")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    eu = (
+        s.join(
+            F.broadcast(
+                n.join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = (
+        ps.join(p, F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(eu), F.col("ps_suppkey") == F.col("s_suppkey")
+        )
+        .select(
+            "p_partkey", "p_brand", "s_name", "s_acctbal", "n_name",
+            "ps_supplycost_c",
+        )
+    )
+    mn = cand.groupBy(F.col("p_partkey").alias("_pk")).agg(
+        F.min("ps_supplycost_c").alias("min_c")
+    )
+    return (
+        cand.join(
+            mn,
+            (F.col("p_partkey") == F.col("_pk"))
+            & (F.col("ps_supplycost_c") == F.col("min_c")),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            (F.col("ps_supplycost_c").cast("double") / 100.0).alias(
+                "ps_supplycost"
+            ),
+        )
+    )
+
+
+@query(
+    "q_tpch_q9",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL}
+    SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                         AS BIGINT)
+                    - ps_supplycost_c * CAST(ROUND(l_quantity) AS BIGINT)
+                      * 100) AS DOUBLE) / 10000.0 AS sum_profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): profit by supplier nation and
+    order year over the 6-table snowflake, profit = revenue - supply cost,
+    parts filtered by name.
+
+    Fixture deviation: the derived partsupp lists 4 suppliers per part, so
+    the two-key (partkey, suppkey) join keeps only lineitems supplied
+    through a listed relationship — a filter the real table doesn't apply,
+    but the optimizer shape (two-key fact-to-partsupp join, the hard part
+    of Q9) is exactly the spec's.
+
+    Money: revenue quantized at 4 decimal digits (the exact_sum spelling),
+    cost exactly cents x integral quantity x 100 — the whole profit sum is
+    integer fixed point at scale 4, order-independent.
+
+    Scale shape: part (name-filtered) and the nation dim broadcast;
+    partsupp joins on the same l_partkey the part join already hashed;
+    orders joins on orderkey only for its year. One fact scan, partial
+    aggs to ~nations x years groups.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    ps = derived_partsupp(spark, sf_dir).select(
+        "ps_partkey", "ps_suppkey", "ps_supplycost_c"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    profit_e4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("bigint") - F.col("ps_supplycost_c") * F.round(
+        "l_quantity"
+    ).cast("bigint") * 100
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            ps,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(
+            (F.sum(profit_e4).cast("double") / 10000.0).alias("sum_profit")
+        )
+    )
+
+
+Q11_NATIONS = ["NATION_1", "NATION_2", "NATION_3", "NATION_4", "NATION_5"]
+
+
+@query(
+    "q_tpch_q11",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    natps AS (
+        SELECT ps_partkey, ps_supplycost_c * ps_availqty AS v_c
+        FROM partsupp
+        JOIN supplier ON ps_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name IN ({", ".join(f"'{x}'" for x in Q11_NATIONS)})
+    ),
+    tot AS (
+        SELECT SUM(v_c) AS t, COUNT(DISTINCT ps_partkey) AS np FROM natps
+    ),
+    grp AS (
+        SELECT ps_partkey, SUM(v_c) AS part_value_c FROM natps GROUP BY 1
+    )
+    SELECT ps_partkey,
+           CAST(part_value_c AS DOUBLE) / 100.0 AS part_value
+    FROM grp, tot
+    WHERE part_value_c * np > t
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): per-part stock
+    value (supplycost x availqty) held by a nation group, keeping parts
+    whose value exceeds a corpus-wide threshold — the
+    aggregate-vs-global-scalar HAVING pattern.
+
+    Fixture deviation: the spec's threshold FRACTION (0.0001/SF) assumes
+    partsupp row counts scale with SF; here the scale-free equivalent is
+    "above the MEAN part value", compared in exact integer cents with
+    the Q22 trick (v * n_parts > total) so no float division can flip a
+    boundary part.
+
+    Scale shape: supplier x nation collapses to a broadcast dim; ONE
+    shuffle on ps_partkey produces grp; the 1-row global total broadcasts
+    back (tiny-aggregate crossJoin). Value stays in exact cents end to
+    end.
+    """
+    ps = derived_partsupp(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(Q11_NATIONS)
+    )
+    natps = (
+        ps.join(
+            F.broadcast(
+                s.join(
+                    F.broadcast(n),
+                    F.col("s_nationkey") == F.col("n_nationkey"),
+                ).select("s_suppkey")
+            ),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "ps_partkey",
+            (
+                F.col("ps_supplycost_c")
+                * F.col("ps_availqty").cast("bigint")
+            ).alias("v_c"),
+        )
+    )
+    grp = natps.groupBy("ps_partkey").agg(
+        F.sum("v_c").alias("part_value_c")
+    )
+    tot = natps.agg(
+        F.sum("v_c").alias("t"),
+        F.count_distinct("ps_partkey").alias("np"),
+    )
+    return (
+        grp.crossJoin(F.broadcast(tot))
+        .filter(F.col("part_value_c") * F.col("np") > F.col("t"))
+        .select(
+            "ps_partkey",
+            (F.col("part_value_c").cast("double") / 100.0).alias(
+                "part_value"
+            ),
+        )
+    )
+
+
+@query(
+    "q_tpch_q20",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    sm AS (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+    ),
+    shipped AS (
+        SELECT l_partkey, l_suppkey,
+               SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS q
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT DISTINCT ps_suppkey
+        FROM partsupp
+        JOIN sm ON ps_partkey = p_partkey
+        JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        WHERE CAST(ps_availqty AS BIGINT) * 2 > q
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    JOIN cand ON s_suppkey = ps_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4',
+                     'NATION_5')
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers in a nation
+    group holding excess stock — availqty more than half the quantity
+    they actually shipped of some name-matched part in 1997. The nested
+    EXISTS-over-derived-aggregate decorrelation stress test the suite
+    still lacked (round-4 verdict #3).
+
+    Fixture deviations: derived partsupp; the spec's single-nation filter
+    widens to the Q11 nation group so the sf0.001 slice stays non-empty;
+    the half-quantity threshold is compared in exact integers
+    (availqty * 2 > q, quantities are integral).
+
+    Scale shape: both nested subqueries decorrelate to joins against
+    partsupp — sm broadcasts (name-filtered part keys), shipped is ONE
+    date-pruned fact aggregate on exactly the (partkey, suppkey) key the
+    partsupp probe needs, then DISTINCT + a broadcast nation-filtered
+    supplier join. No correlated re-scan of lineitem per supplier, which
+    is the trap Q20 sets.
+    """
+    ps = derived_partsupp(spark, sf_dir)
+    sm = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.round("l_quantity").cast("bigint")).alias("q"))
+    )
+    cand = (
+        ps.join(F.broadcast(sm), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            shipped,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .filter(F.col("ps_availqty").cast("bigint") * 2 > F.col("q"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(Q11_NATIONS)
+    )
+    return (
+        s.join(cand, F.col("s_suppkey") == F.col("ps_suppkey"))
+        .join(
+            F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .select("s_suppkey", "s_name")
     )

@@ -405,3 +405,33 @@ def test_tpch_q7_broadcasts_nation_filtered_supplier(spark):
     assert any("l_shipdate" in ln for ln in pushed), (
         "ship-date range did not reach the lineitem scan"
     )
+
+
+def test_tpch_q9_broadcasts_dims_one_fact_scan(spark):
+    """Q9's snowflake must broadcast every dimension side (name-filtered
+    part keys, supplier, nation) and scan lineitem ONCE — a shuffled dim
+    join or a second fact scan is the 100 TB regression. partsupp is a
+    derived view of part (4 rows per key), never a shuffle source bigger
+    than the fact."""
+    p = plan_of(QUERIES["q_tpch_q9"](spark, SF_DIR))
+    assert "BroadcastExchange" in p
+    assert p.count("lineitem.parquet") <= 1
+    assert "CartesianProduct" not in p
+
+
+def test_tpch_q2_no_cartesian(spark):
+    """Q2's correlated-MIN decorrelation must stay equi-keyed: the
+    min-cost self-join runs on p_partkey (broadcast or shuffled hash),
+    never as a cartesian re-scan per part."""
+    p = plan_of(QUERIES["q_tpch_q2"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p
+
+
+def test_tpch_q20_single_lineitem_scan(spark):
+    """Q20's trap is re-scanning lineitem per supplier (the correlated
+    spelling); the decorrelated plan aggregates the date-pruned fact once
+    and joins partsupp against the 1-aggregate result."""
+    p = plan_of(QUERIES["q_tpch_q20"](spark, SF_DIR))
+    assert p.count("lineitem.parquet") <= 1
+    assert "CartesianProduct" not in p
