@@ -1493,3 +1493,72 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank.alias("rank"),
         (F.col("freq") * rank).alias("zipf_product"),
     )
+
+
+# PII scrubbing (round 5) — a standard curation stage every LLM training
+# pipeline runs before tokenization. The fixture corpus contains no PII
+# (verified: zero digits anywhere), so the query INJECTS deterministic
+# synthetic PII first (an email + a phone derived from doc_id) and then
+# scrubs it — the injection is fixture setup, the scrub is the operator.
+PII_EMAIL_RE = "[a-z0-9.]+@[a-z]+\\.[a-z]+"
+PII_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+@query(
+    "q_docs_pii_scrub",
+    oracle=f"""
+    WITH injected AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or call 555-'
+                    || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(raw, '{PII_EMAIL_RE}')) AS BIGINT)
+               AS n_emails,
+           CAST(LEN(regexp_extract_all(raw, '{PII_PHONE_RE}')) AS BIGINT)
+               AS n_phones,
+           MD5(regexp_replace(regexp_replace(raw, '{PII_EMAIL_RE}',
+                                             '<EMAIL>', 'g'),
+                              '{PII_PHONE_RE}', '<PHONE>', 'g'))
+               AS scrubbed_md5
+    FROM injected
+    """,
+)
+def q_docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: find-and-mask emails and phone numbers, reporting
+    per-doc redaction counts and the md5 of the scrubbed text (the hash
+    proves BOTH engines produced byte-identical redacted output, not just
+    equal counts).
+
+    All JVM-side regexp expressions (regexp_count / regexp_replace) — the
+    patterns are chosen inside the common Java-regex/RE2 dialect subset so
+    the DuckDB twin matches byte-for-byte. Scale shape: a pure per-row map
+    over one scan, no shuffle, no Python; at 100 TB this pipelines inside
+    whole-stage codegen like any projection. Real deployments extend the
+    pattern set (SSNs, credit cards, addresses) and chain an NER model for
+    names — the regex tier here is the deterministic, oracle-checkable
+    core every pipeline runs first.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    injected = d.select("doc_id", raw.alias("raw"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("raw", PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return injected.select(
+        "doc_id",
+        F.regexp_count("raw", F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count("raw", F.lit(PII_PHONE_RE)).alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )

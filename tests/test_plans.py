@@ -435,3 +435,15 @@ def test_tpch_q20_single_lineitem_scan(spark):
     p = plan_of(QUERIES["q_tpch_q20"](spark, SF_DIR))
     assert p.count("lineitem.parquet") <= 1
     assert "CartesianProduct" not in p
+
+
+def test_iceberg_deletes_plan(spark):
+    """The MoR read must apply equality deletes as a BROADCAST anti-join
+    (delete keys are MBs at 100 TB, the fact is TBs) and reconstruct
+    positions with a window PARTITIONED by file — a global row_number
+    (single-partition exchange) would serialize the whole fact through
+    one task."""
+    p = plan_of(QUERIES["q_iceberg_deletes"](spark, SF_DIR))
+    assert "BroadcastExchange" in p
+    assert "LeftAnti" in p
+    assert "Exchange SinglePartition" not in p
