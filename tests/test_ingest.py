@@ -90,3 +90,25 @@ def test_compaction_preserves_rows_and_reduces_files(spark, tmp_path):
     assert per_part_before == sorted(
         map(tuple, after.groupBy("part_day").count().collect())
     )
+
+
+def test_csv_fixture_semantics(spark):
+    """The CSV reader must drop exactly the malformed-arity rows, unescape
+    RFC 4180 "" quotes, preserve embedded newlines inside quoted fields,
+    and null exactly the \\N-marked notes."""
+    from iceberg_insert_spark.registry import get_queries
+
+    from .conftest import SF_DIR
+
+    df = get_queries()["q_ingest_csv_typed"](spark, SF_DIR)
+    rows = {r.id: r for r in df.collect()}
+    # 200 generated - 4 malformed (i % 50 == 49)
+    assert len(rows) == 196
+    assert 49 not in rows and 199 not in rows
+    # "" unescaping (i=7: i%11==7 branch)
+    assert rows[7].name == 'the "best" part 2'
+    # embedded newline survives (i=22: i%17==5 and not an 11-residue)
+    assert "\n" in rows[22].name
+    # null marker -> real null (i=2: i%7==2); others non-null
+    assert rows[2].note is None
+    assert rows[3].note is not None
