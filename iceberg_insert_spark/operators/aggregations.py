@@ -1217,3 +1217,54 @@ def q_orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_revenue"
         ),
     )
+
+
+@query(
+    "q_agg_mode",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag, CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+               COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1, 2
+    ), r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                     ORDER BY cnt DESC, qty ASC) AS rk
+        FROM c
+    )
+    SELECT l_returnflag, qty AS modal_qty, cnt AS modal_count
+    FROM r WHERE rk = 1
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact MODE per group (most frequent l_quantity per return flag) —
+    the one classic aggregate the suite lacked. Neither engine's built-in
+    mode() specifies tie-breaking, so both sides spell the determinism
+    OUT: count per (group, value), then argmax by (count DESC, value ASC)
+    — Spark as max_by over a struct key (no window), DuckDB as the
+    ROW_NUMBER idiom.
+
+    Scale shape: two chained aggregations — (group, value) partial counts
+    combine map-side, then |groups| argmax rows; nothing is ever wider
+    than the distinct-value count, and there is no per-group sort.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    c = (
+        li.groupBy(
+            "l_returnflag",
+            F.round("l_quantity").cast("bigint").alias("qty"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    best = c.groupBy("l_returnflag").agg(
+        F.max_by(
+            F.struct("qty", "cnt"),
+            F.struct(F.col("cnt"), (-F.col("qty"))),
+        ).alias("_m")
+    )
+    return best.select(
+        "l_returnflag",
+        F.col("_m.qty").alias("modal_qty"),
+        F.col("_m.cnt").alias("modal_count"),
+    )
+
+

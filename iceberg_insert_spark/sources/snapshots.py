@@ -179,3 +179,67 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
         )
     )
+
+
+def _read_incremental(
+    tbl: SnapshotTable, spark: SparkSession, from_v: int, to_v: int
+) -> DataFrame:
+    """Iceberg INCREMENTAL APPEND SCAN (the CDC-read primitive behind
+    `incremental-from-snapshot` / changelog reads): the rows added after
+    snapshot ``from_v`` up to ``to_v`` are exactly the files in
+    manifest(to_v) minus manifest(from_v) — pure manifest arithmetic,
+    no data diffing, valid because append commits never rewrite files.
+    At 100 TB an incremental consumer (downstream ETL, streaming
+    backfill) reads only the delta files instead of rescanning the
+    table."""
+    snaps = tbl.snapshots()
+    for v in (from_v, to_v):
+        if v not in snaps:
+            raise ValueError(f"snapshot {v} does not exist (have {snaps})")
+    new_files = sorted(
+        set(tbl._manifest(to_v)) - set(tbl._manifest(from_v))
+    )
+    if not new_files:
+        return tbl.read(spark, as_of=to_v).limit(0)
+    return spark.read.parquet(
+        *[os.path.join(tbl.path, f) for f in new_files]
+    )
+
+
+@query(
+    "q_snapshot_incremental",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_price
+    FROM orders
+    WHERE o_orderkey % 3 >= 1
+    GROUP BY o_orderstatus
+    """,
+)
+def q_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental append scan, DuckDB-oracled end-to-end: orders land in
+    three append snapshots (keys %3 = 0, then 1, then 2); the query reads
+    the DELTA between snapshot 1 and snapshot 3 — which must equal the
+    oracle's reconstruction over keys %3 >= 1, proving the manifest
+    set-difference yields exactly the appended rows (and nothing from the
+    base snapshot). The q_time_travel sibling reads a historic VERSION;
+    this reads a version RANGE — together they cover Iceberg's two
+    metadata-driven read modes.
+    """
+    from ..tables import scratch_dir
+
+    path = scratch_dir(spark, sf_dir, "snap_incremental")
+    o = load_table(spark, sf_dir, "orders")
+    tbl = SnapshotTable(path)
+    for r in range(3):
+        tbl.append(o.filter(F.col("o_orderkey") % 3 == r))
+    return (
+        _read_incremental(tbl, spark, 1, 3)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
