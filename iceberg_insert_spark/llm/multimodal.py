@@ -406,18 +406,12 @@ def q_mm_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    from ..tables import scratch_dir
+    from ..tables import require_local_master, scratch_dir
 
     # The fixture is written with driver-local open(): executors on a real
     # cluster would not see the driver's filesystem, so make that failure
     # mode explicit instead of letting binaryFile return 0 rows.
-    master = spark.sparkContext.master
-    if not master.startswith("local"):
-        raise RuntimeError(
-            "q_mm_binary_ingest's PNG fixture is driver-local; on a real "
-            f"cluster (master={master!r}) point the binaryFile source at "
-            "shared storage instead of generating the fixture"
-        )
+    require_local_master(spark, "q_mm_binary_ingest's PNG fixture")
 
     d = scratch_dir(spark, sf_dir, "binary_ingest")
     os.makedirs(d, exist_ok=True)

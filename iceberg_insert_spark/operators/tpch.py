@@ -1066,8 +1066,7 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM supplier
     JOIN cand ON s_suppkey = ps_suppkey
     JOIN nation ON s_nationkey = n_nationkey
-    WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4',
-                     'NATION_5')
+    WHERE n_name IN ({", ".join(f"'{x}'" for x in Q11_NATIONS)})
     """,
 )
 def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:

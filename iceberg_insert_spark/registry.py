@@ -86,7 +86,7 @@ def _driver_history() -> dict[str, tuple[int, bool, bool]]:
     import re
     from pathlib import Path
 
-    hist: dict[str, tuple[int, bool]] = {}
+    hist: dict[str, tuple[int, bool, bool]] = {}
     root = Path(__file__).resolve().parent.parent
     # sort by PARSED round number, not filename: lexicographic order breaks
     # the moment round numbers outgrow the current zero-padding (r100 would

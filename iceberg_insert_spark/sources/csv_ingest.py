@@ -99,6 +99,9 @@ def q_ingest_csv_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hash-stability spellings follow q_ingest_json_typed: decimal as its
     canonical 2-dp string, date via date_format.
     """
+    from ..tables import require_local_master
+
+    require_local_master(spark, "q_ingest_csv_typed's CSV fixture")
     base = write_csv_fixture()
     df = (
         spark.read.schema(CSV_SCHEMA)

@@ -141,6 +141,11 @@ def q_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import shutil
 
+    from ..tables import require_local_master
+
+    # writes go through Spark, but the footer scoring reads them back with
+    # DRIVER-side pyarrow (and the oracle reads the same local path)
+    require_local_master(spark, "q_skipping_report's footer scoring")
     base = SKIPPING_DIR
     shutil.rmtree(base, ignore_errors=True)
 

@@ -164,9 +164,11 @@ def q_ingest_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     their canonical 2-dp string; floats are bit-identical because both
     engines correctly-round the same JSON decimal literal.
     """
+    from ..tables import epoch_us, require_local_master
+
+    require_local_master(spark, "q_ingest_json_typed's JSON fixture")
     base = write_fixture()
     df = read_events_json(spark, base)
-    from ..tables import epoch_us
 
     # flatten nested values so the returned schema is stable and hashable
     return df.select(

@@ -174,3 +174,19 @@ def ranged_offsets(
         )
     )
     return ordered.join(offset_df, "_pid"), acc
+
+
+def require_local_master(spark: SparkSession, what: str) -> None:
+    """Driver-local-fixture guard (round-5 review): several queries build
+    their input with driver-side ``open()`` or read results with
+    driver-side pyarrow — correct in local mode, where driver and
+    executors share a filesystem, but invisible to executors on a real
+    cluster. Fail loudly with the reason instead of surfacing as a
+    confusing executor FileNotFound or a silent 0-row read."""
+    master = spark.sparkContext.master
+    if not master.startswith("local"):
+        raise RuntimeError(
+            f"{what} uses a driver-local fixture or driver-side file read; "
+            f"on a real cluster (master={master!r}) point it at shared "
+            "storage instead of generating the fixture"
+        )

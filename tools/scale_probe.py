@@ -40,9 +40,13 @@ MUTATION = (
 )
 
 
+_UI_BASE: list = []  # resolved from the live context, NOT the config: Spark
+# silently rebinds to the next free port when UI_PORT is taken
+
+
 def rest(path: str):
     with urllib.request.urlopen(
-        f"http://localhost:{UI_PORT}/api/v1/{path}", timeout=10
+        f"{_UI_BASE[0]}/api/v1/{path}", timeout=10
     ) as r:
         return json.loads(r.read())
 
@@ -70,6 +74,7 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    _UI_BASE.append(spark.sparkContext.uiWebUrl)
     from iceberg_insert_spark.llm.dedup import (
         connected_components,
         pagerank,
