@@ -443,3 +443,90 @@ def q_mm_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.repartition("doc_id").mapInPandas(
         _decode_features, schema=DECODED_SCHEMA
     )
+
+
+THUMB_W = 8
+THUMB_H = 8
+
+RESIZED_SCHEMA = (
+    "doc_id long, src_w long, src_h long, thumb_w long, thumb_h long, "
+    "thumb_len long, thumb_checksum_mod long, codec string"
+)
+
+
+def resize_nearest(
+    w: int, h: int, pixels: bytes, out_w: int, out_h: int
+) -> bytes:
+    """Nearest-neighbor resample of a row-major gray8 pixel buffer — the
+    deterministic index formula src = floor(dst * src_dim / dst_dim), so
+    the result is reproducible everywhere (no kernel, no rounding mode
+    ambiguity, identity when dims match and dst divides src evenly)."""
+    return b"".join(
+        bytes(
+            pixels[(oy * h // out_h) * w + (ox * w // out_w)]
+            for ox in range(out_w)
+        )
+        for oy in range(out_h)
+    )
+
+
+def _resize_features(batches):
+    """Arrow-batched resize step: decode PNG -> nearest-neighbor 8x8
+    thumbnail -> re-encode PNG; emits source/thumb dims, the re-encoded
+    thumbnail's byte length and a pixel checksum. Stub branch (codec
+    column) for non-PNG payloads, like _decode_features."""
+    for pdf in batches:
+        rows = {k: [] for k in (
+            "doc_id", "src_w", "src_h", "thumb_w", "thumb_h",
+            "thumb_len", "thumb_checksum_mod", "codec")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            payload = bytes(payload)
+            try:
+                if not is_png(payload):
+                    raise PngFormatError("not a PNG")
+                w, h, pixels = decode_png_gray8(payload)
+                thumb = resize_nearest(w, h, pixels, THUMB_W, THUMB_H)
+                reenc = encode_png_gray8(THUMB_W, THUMB_H, thumb)
+                rows["doc_id"].append(doc_id)
+                rows["src_w"].append(w)
+                rows["src_h"].append(h)
+                rows["thumb_w"].append(THUMB_W)
+                rows["thumb_h"].append(THUMB_H)
+                rows["thumb_len"].append(len(reenc))
+                rows["thumb_checksum_mod"].append(sum(thumb) % 997)
+                rows["codec"].append("png")
+            except PngFormatError:
+                fw, fh, checksum = _fake_features(payload)
+                rows["doc_id"].append(doc_id)
+                rows["src_w"].append(fw)
+                rows["src_h"].append(fh)
+                rows["thumb_w"].append(THUMB_W)
+                rows["thumb_h"].append(THUMB_H)
+                rows["thumb_len"].append(0)
+                rows["thumb_checksum_mod"].append(checksum)
+                rows["codec"].append("stub")
+        yield pd.DataFrame(rows)
+
+
+@query("q_mm_resize")
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE — the remaining multimodal primitive from the brief's
+    decode / feature-extract / RESIZE / frame-sample list: real PNG decode
+    -> deterministic nearest-neighbor 8x8 thumbnail -> real PNG re-encode,
+    all inside one Arrow-batched mapInPandas (the thumbnailing pass every
+    vision-training pipeline runs before feature extraction).
+
+    Rows-only by nature (PNG byte lengths are compression-dependent), but
+    the resample math is pytest-pinned: identity on already-8x8 inputs,
+    hand-computed gradients, and checksum consistency with the decode
+    path (tests/test_multimodal_golden.py). Scale shape identical to
+    q_mm_pipeline: payloads repartitioned on the key, codec work streams
+    per Arrow batch, no driver materialization.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", "text").mapInPandas(
+        _encode_png, schema="doc_id long, payload binary"
+    )
+    return payloads.repartition("doc_id").mapInPandas(
+        _resize_features, schema=RESIZED_SCHEMA
+    )

@@ -301,3 +301,52 @@ def test_binary_ingest_matches_in_column_pipeline(spark):
            for r in q_mm_pipeline(spark, SF_DIR).collect()
            if r.doc_id in got}
     assert got == ref
+
+
+def test_resize_nearest_math():
+    """The nearest-neighbor resample must be exactly floor-index sampling:
+    identity when dims match, and a hand-computed stride-2 pick on a 16x16
+    gradient."""
+    from iceberg_insert_spark.llm.multimodal import resize_nearest
+
+    # identity: 8x8 -> 8x8
+    px = bytes(range(64))
+    assert resize_nearest(8, 8, px, 8, 8) == px
+    # 16x16 gradient (pixel = (row*16+col) % 251) -> 8x8 picks even rows/cols
+    src = bytes((r * 16 + c) % 251 for r in range(16) for c in range(16))
+    got = resize_nearest(16, 16, src, 8, 8)
+    want = bytes((2 * r * 16 + 2 * c) % 251 for r in range(8) for c in range(8))
+    assert got == want
+
+
+def test_resize_query_features(spark):
+    """q_mm_resize must decode every generated PNG (codec='png'), emit
+    fixed 8x8 thumbs whose checksum matches an independent python
+    recomputation from the document text for a sample of docs."""
+    from iceberg_insert_spark.llm.multimodal import (
+        IMG_WIDTH,
+        THUMB_H,
+        THUMB_W,
+        q_mm_resize,
+        resize_nearest,
+    )
+    from iceberg_insert_spark.tables import load_table
+    from .conftest import SF_DIR
+
+    rows = {r.doc_id: r for r in q_mm_resize(spark, SF_DIR).collect()}
+    assert all(r.codec == "png" for r in rows.values())
+    assert all(
+        r.thumb_w == THUMB_W and r.thumb_h == THUMB_H and r.thumb_len > 0
+        for r in rows.values()
+    )
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF_DIR, "documents").limit(5).collect()
+    }
+    for doc_id, text in docs.items():
+        data = text.encode("utf-8")
+        h = max(1, -(-len(data) // IMG_WIDTH))
+        pixels = data.ljust(IMG_WIDTH * h, b"\x00")
+        thumb = resize_nearest(IMG_WIDTH, h, pixels, THUMB_W, THUMB_H)
+        assert rows[doc_id].thumb_checksum_mod == sum(thumb) % 997
+        assert rows[doc_id].src_w == IMG_WIDTH and rows[doc_id].src_h == h
