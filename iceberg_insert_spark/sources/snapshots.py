@@ -59,7 +59,9 @@ class SnapshotTable:
         with open(os.path.join(self._mdir, f"v{v}.json")) as fh:
             return json.load(fh)["files"]
 
-    def _commit(self, df: DataFrame, inherit: bool) -> int:
+    def _commit(
+        self, df: DataFrame, inherit: bool, token: str | None = None
+    ) -> int:
         os.makedirs(self._mdir, exist_ok=True)
         snaps = self.snapshots()
         v = (snaps[-1] + 1) if snaps else 1
@@ -79,10 +81,30 @@ class SnapshotTable:
         # either no v{N}.json or a complete one.
         final = os.path.join(self._mdir, f"v{v}.json")
         tmp = final + ".tmp"
+        meta: dict = {"files": inherited + new_files}
+        if token is not None:
+            meta["token"] = token
         with open(tmp, "w") as fh:
-            json.dump({"files": inherited + new_files}, fh)
+            json.dump(meta, fh)
         os.rename(tmp, final)
         return v
+
+    def _token(self, v: int) -> str | None:
+        with open(os.path.join(self._mdir, f"v{v}.json")) as fh:
+            return json.load(fh).get("token")
+
+    def append_once(self, df: DataFrame, token: str) -> int:
+        """IDEMPOTENT append: commit a snapshot tagged with ``token``
+        unless one already carries it — Iceberg's commit-dedup idiom
+        (write.spark.commit-id / WAP id) that turns foreachBatch's
+        AT-LEAST-ONCE replay into exactly-once: a replayed micro-batch
+        finds its batch-id token already committed and becomes a no-op
+        instead of double-appending. Returns the (existing or new)
+        snapshot version."""
+        for v in self.snapshots():
+            if self._token(v) == token:
+                return v
+        return self._commit(df, inherit=True, token=token)
 
     def append(self, df: DataFrame) -> int:
         """Write a new snapshot: data files under ``_snap=N/`` plus a

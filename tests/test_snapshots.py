@@ -81,3 +81,63 @@ def test_empty_table_read_is_descriptive(spark, tmp_path):
     tbl = SnapshotTable(str(tmp_path / "never"))
     with pytest.raises(ValueError, match="no snapshots"):
         tbl.read(spark)
+
+
+def test_snapshot_ingest_exactly_once(spark, tmp_path):
+    """Streaming ingest into SnapshotTable: every micro-batch becomes a
+    time-travelable snapshot; append_once makes replayed batches no-ops
+    (exactly-once output); restarting the finished stream commits
+    nothing new."""
+    import json as _json
+
+    from iceberg_insert_spark.sources.json_ingest import (
+        EVENTS_JSON_SCHEMA,
+        write_fixture,
+    )
+    from iceberg_insert_spark.streaming.file_stream import (
+        snapshot_ingest_available_now,
+    )
+
+    base = write_fixture(str(tmp_path / "landing"), n_rows=120)
+    table_dir = str(tmp_path / "snap_table")
+    ckpt = str(tmp_path / "ckpt")
+    tbl = snapshot_ingest_available_now(
+        spark, f"{base}/events/*/", EVENTS_JSON_SCHEMA, table_dir, ckpt
+    )
+    snaps = tbl.snapshots()
+    assert len(snaps) >= 1
+    total = tbl.read(spark).count()
+    # 120 rows minus the ~2% malformed (i % 50 == 49 -> ids 49, 99)
+    assert total == 118
+    # each snapshot prefix is a consistent historic state
+    prev = 0
+    for v in snaps:
+        n = tbl.read(spark, as_of=v).count()
+        assert n >= prev
+        prev = n
+    assert prev == total
+
+    # replay: appending the same batch token again must be a no-op
+    first_token = tbl._token(snaps[0])
+    assert first_token is not None
+    ev = spark.read.schema(EVENTS_JSON_SCHEMA).json(f"{base}/events/*/")
+    v_again = tbl.append_once(ev, token=first_token)
+    assert v_again == snaps[0]
+    assert tbl.snapshots() == snaps
+    assert tbl.read(spark).count() == total
+
+    # restart the finished stream: checkpoint says no new input -> no
+    # new snapshots
+    tbl2 = snapshot_ingest_available_now(
+        spark, f"{base}/events/*/", EVENTS_JSON_SCHEMA, table_dir, ckpt
+    )
+    assert tbl2.snapshots() == snaps
+    assert tbl2.read(spark).count() == total
+
+    # manifests are valid JSON with tokens (atomic-rename contract)
+    import os
+
+    mdir = os.path.join(table_dir, "_manifests")
+    for f in os.listdir(mdir):
+        meta = _json.loads(open(os.path.join(mdir, f)).read())
+        assert meta["files"] and meta["token"].startswith("batch-")
