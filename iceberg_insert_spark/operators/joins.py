@@ -1194,3 +1194,103 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("support"), F.asc("part_a"), F.asc("part_b"))
         .limit(BASKET_TOP_K)
     )
+
+
+@query(
+    "q_basket_rules",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pc AS (SELECT l_partkey, COUNT(*) AS cnt FROM items GROUP BY 1),
+    nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM items),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS support
+        FROM items a JOIN items b USING (l_orderkey)
+        WHERE a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        ORDER BY support DESC, part_a, part_b
+        LIMIT {BASKET_TOP_K}
+    ),
+    rules AS (
+        SELECT part_a AS antecedent, part_b AS consequent, support
+        FROM pairs
+        UNION ALL
+        SELECT part_b, part_a, support FROM pairs
+    )
+    SELECT antecedent, consequent, support,
+           CAST(support * 1000000 // ac.cnt AS BIGINT) AS conf_ppm,
+           CAST(support * nb.n * 1000000 // (ac.cnt * cc.cnt) AS BIGINT)
+               AS lift_ppm
+    FROM rules
+    JOIN pc ac ON ac.l_partkey = antecedent
+    JOIN pc cc ON cc.l_partkey = consequent, nb
+    """,
+)
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association RULES over the top co-occurrence pairs: both directions
+    A->B and B->A scored with confidence = P(B|A) and lift =
+    P(A,B)/(P(A)P(B)) — the step after q_basket_pairs' support counting
+    that recommendation pipelines actually rank by (high-support pairs of
+    two independently-popular parts have lift ~1; a rule matters when
+    lift >> 1).
+
+    Determinism: ratios in integral ppm (support*1e6 div count — positive
+    operands, floor in both engines); the pair selection inherits
+    q_basket_pairs' total order, so the LIMIT boundary is stable.
+
+    Scale shape: the pair join is the same bounded basket self-join;
+    per-part counts are dimension-sized (broadcast), the basket total is
+    ONE broadcast row, and the rule scoring is 2*K rows of arithmetic —
+    everything after the support aggregate is driver-invisible and tiny.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    part_counts = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    n_baskets = items.agg(
+        F.count_distinct("l_orderkey").alias("n")
+    )
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.desc("support"), F.asc("part_a"), F.asc("part_b"))
+        .limit(BASKET_TOP_K)
+    )
+    rules = pairs.select(
+        F.col("part_a").alias("antecedent"),
+        F.col("part_b").alias("consequent"),
+        "support",
+    ).unionByName(
+        pairs.select(
+            F.col("part_b").alias("antecedent"),
+            F.col("part_a").alias("consequent"),
+            "support",
+        )
+    )
+    ac = part_counts.select(
+        F.col("l_partkey").alias("antecedent"), F.col("cnt").alias("acnt")
+    )
+    cc = part_counts.select(
+        F.col("l_partkey").alias("consequent"), F.col("cnt").alias("ccnt")
+    )
+    return (
+        rules.join(F.broadcast(ac), "antecedent")
+        .join(F.broadcast(cc), "consequent")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            "support",
+            F.expr("support * 1000000 div acnt").alias("conf_ppm"),
+            F.expr(
+                "support * n * 1000000 div (acnt * ccnt)"
+            ).alias("lift_ppm"),
+        )
+    )
