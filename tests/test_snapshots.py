@@ -141,3 +141,41 @@ def test_snapshot_ingest_exactly_once(spark, tmp_path):
     for f in os.listdir(mdir):
         meta = _json.loads(open(os.path.join(mdir, f)).read())
         assert meta["files"] and meta["token"].startswith("batch-")
+
+
+def test_expire_crash_window_leaves_table_consistent(spark, tmp_path):
+    """expire() removes dropped manifests BEFORE deleting unreferenced
+    data files (round-5 advice fix), so a crash in between leaves only
+    harmless ORPHANED data files — never a live manifest pointing at
+    deleted files. Simulate the crash state and prove every surviving
+    read works, the dropped snapshot fails with the clean error, and
+    cleanup is recoverable."""
+    import os
+
+    import pytest as _pytest
+
+    from iceberg_insert_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    df = spark.range(10).withColumnRenamed("id", "k")
+    tbl.append(df.filter("k < 5"))
+    tbl.overwrite(df.filter("k >= 5"))  # snap 1's files now unreferenced
+    tbl.append(df.filter("k < 2"))
+    assert tbl.snapshots() == [1, 2, 3]
+
+    # crash-window state: the dropped manifest is gone, its data files
+    # are NOT (expire removes manifests first)
+    os.remove(os.path.join(tbl._mdir, "v1.json"))
+    orphan_dir = os.path.join(tbl.path, "_snap=1")
+    assert os.path.isdir(orphan_dir)  # orphans on disk
+
+    # every surviving snapshot still reads fine
+    assert tbl.read(spark, as_of=2).count() == 5
+    assert tbl.read(spark, as_of=3).count() == 7
+    # the dropped snapshot raises the clean does-not-exist error, not a
+    # missing-file read failure
+    with _pytest.raises(ValueError, match="does not exist"):
+        tbl.read(spark, as_of=1)
+    # recovery: a later expire still works on the surviving history
+    assert tbl.expire(keep_from=2) == []
+    assert tbl.snapshots() == [2, 3]
