@@ -1244,9 +1244,16 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-part counts are dimension-sized (broadcast), the basket total is
     ONE broadcast row, and the rule scoring is 2*K rows of arithmetic —
     everything after the support aggregate is driver-invisible and tiny.
+    The distinct (order, part) item set feeds THREE consumers (pairs,
+    per-part counts, basket total), so it is materialized once
+    (localCheckpoint) instead of re-scanning the fact three times.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     part_counts = items.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("cnt")
     )
