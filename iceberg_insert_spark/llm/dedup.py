@@ -995,6 +995,11 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Nothing is O(|corpus|) except the (amortized, persisted) store itself.
     """
     d = load_table(spark, sf_dir, "documents")
+    # materialized once: the fingerprint table feeds THREE consumers
+    # (corpus store, batch probe, in-batch keeper) — without this the md5
+    # fingerprint pass over the corpus compiles three times (round-5 scan
+    # audit). Pinning it is also the production semantics: the signature
+    # store IS a persisted table, not a recomputed view.
     f = d.select(
         "doc_id",
         F.md5(
@@ -1002,7 +1007,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " ", F.array_sort(F.array_distinct(F.split("text", " ")))
             )
         ).alias("fp"),
-    )
+    ).localCheckpoint(eager=True)
     corpus = (
         f.filter(F.col("doc_id") % 5 < 4)
         .groupBy("fp")

@@ -571,7 +571,14 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.round(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
     ).cast("bigint")
-    rev = li.groupBy("l_suppkey").agg(F.sum(cents).alias("total_cents"))
+    # materialized once: the view feeds BOTH the scalar max and the final
+    # filter — without this, Spark recompiles the subtree per consumer and
+    # scans the fact twice (round-5 scan audit; no ReusedExchange under AQE)
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(cents).alias("total_cents"))
+        .localCheckpoint(eager=True)
+    )
     mx = rev.agg(F.max("total_cents").alias("max_cents"))
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
@@ -843,6 +850,11 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
+    # materialized once: cand feeds BOTH the per-part MIN and the final
+    # equality filter — without this, the whole part x partsupp x eu join
+    # subtree compiles twice (4 part scans / 4 supplier scans observed in
+    # the round-5 scan audit). cand is |econ parts| x |their EU
+    # suppliers| — dimension-sized, cheap to pin.
     cand = (
         ps.join(p, F.col("ps_partkey") == F.col("p_partkey"))
         .join(
@@ -852,6 +864,7 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey", "p_brand", "s_name", "s_acctbal", "n_name",
             "ps_supplycost_c",
         )
+        .localCheckpoint(eager=True)
     )
     mn = cand.groupBy(F.col("p_partkey").alias("_pk")).agg(
         F.min("ps_supplycost_c").alias("min_c")

@@ -447,3 +447,20 @@ def test_iceberg_deletes_plan(spark):
     assert "BroadcastExchange" in p
     assert "LeftAnti" in p
     assert "Exchange SinglePartition" not in p
+
+
+def test_multi_consumer_views_materialize_once(spark):
+    """Subtrees feeding multiple consumers (Q15's revenue view, Q2's cand,
+    incremental dedup's fingerprint store, basket rules' item set) must
+    not recompile per consumer — AQE plans them independently (no
+    ReusedExchange), so without materialization the fact gets scanned
+    2-4x (round-5 scan audit). After the eager checkpoint the compiled
+    plan references the fact at most once."""
+    for name, fact in [
+        ("q_tpch_q15", "lineitem.parquet"),
+        ("q_tpch_q2", "part.parquet"),
+        ("q_dedup_incremental", "documents.parquet"),
+        ("q_basket_rules", "lineitem.parquet"),
+    ]:
+        p = plan_of(QUERIES[name](spark, SF_DIR))
+        assert p.count(fact) <= 1, f"{name} re-scans {fact}:\n{p}"
