@@ -127,14 +127,24 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_pairs(d: DataFrame, max_df: int = NGRAM_MAX_DF) -> DataFrame:
     """Shingle-Jaccard pair computation over any (doc_id, text) frame —
     the body of q_dedup_ngram, split out so the hot-shingle guard is
-    property-testable on planted corpora (tests/test_properties.py)."""
-    sh = _shingles(d)
+    property-testable on planted corpora (tests/test_properties.py).
+
+    The shingle set feeds FOUR compiled consumers (per-doc counts twice —
+    both join denominators — and both sides of the self-join), and AQE
+    compiles each independently (no ReusedExchange), so without pinning,
+    the split+explode+distinct pass over the corpus runs four times
+    (round-5 scan audit: documents x4 in the plan). Both the raw shingle
+    set and its hot-filtered projection are eager-checkpointed: the
+    explode+distinct shuffle and the df-window shuffle each happen ONCE.
+    """
+    sh = _shingles(d).localCheckpoint(eager=True)
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     wdf = Window.partitionBy("shingle")
     shf = (
         sh.withColumn("df", F.count(F.lit(1)).over(wdf))
         .filter(F.col("df") <= max_df)
         .drop("df")
+        .localCheckpoint(eager=True)
     )
     a = shf.alias("a")
     b = shf.alias("b")

@@ -1060,8 +1060,16 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the raw token stream."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    # tf materialized once (the inverted index), df derived FROM it (one
+    # tf row per (doc, token) == one doc per row) — the round-5 scan audit
+    # showed AQE compiling the corpus explode once per consumer otherwise.
+    # N stays a separate column-pruned count-only scan.
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.agg(F.count(F.lit(1)).alias("_n"))
     scored = (
         tf.join(df, "token")
@@ -1142,13 +1150,22 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-value stats row."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # ONE corpus explode: tf is materialized (it is literally the inverted
+    # index a sparse-retrieval engine persists), and dl / df / stats all
+    # derive from it — sum(tf) per doc IS the doc length, one tf row per
+    # (doc, token) IS one doc per token. The previous spelling compiled
+    # the token stream once per consumer (3 corpus passes, round-5 audit).
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.avg(F.col("dl").cast("double")).alias("avgdl"),
     )
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
     )

@@ -765,9 +765,14 @@ def q_events_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape at fleet scale.
     """
     ev = load_table(spark, sf_dir, "events")
-    ud = ev.select(
-        F.col("ts").cast("date").alias("d"), "user_id"
-    ).distinct()
+    # the (user, day) dedup feeds multiple consumers (day grid, per-day
+    # count, contribution explode) — materialized once so the event scan
+    # + distinct shuffle don't compile per consumer (round-5 scan audit)
+    ud = (
+        ev.select(F.col("ts").cast("date").alias("d"), "user_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     days = ud.select("d").distinct().select(F.col("d").alias("day"))
     contrib = ud.select(
         "user_id",
@@ -905,9 +910,14 @@ def q_events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor for positive operands).
     """
     ev = load_table(spark, sf_dir, "events")
-    ud = ev.select(
-        F.col("ts").cast("date").alias("d"), "user_id"
-    ).distinct()
+    # the (user, day) dedup feeds multiple consumers (day grid, per-day
+    # count, contribution explode) — materialized once so the event scan
+    # + distinct shuffle don't compile per consumer (round-5 scan audit)
+    ud = (
+        ev.select(F.col("ts").cast("date").alias("d"), "user_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     days = ud.select("d").distinct().select(F.col("d").alias("day"))
     dau = (
         ud.groupBy(F.col("d").alias("day"))

@@ -1033,6 +1033,10 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * F.col("ps_availqty").cast("bigint")
             ).alias("v_c"),
         )
+        # materialized once: natps feeds BOTH the per-part sums and the
+        # global total — without this the partsupp x supplier x nation
+        # join compiles twice (round-5 scan audit: supplier x4)
+        .localCheckpoint(eager=True)
     )
     grp = natps.groupBy("ps_partkey").agg(
         F.sum("v_c").alias("part_value_c")

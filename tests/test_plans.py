@@ -456,11 +456,18 @@ def test_multi_consumer_views_materialize_once(spark):
     ReusedExchange), so without materialization the fact gets scanned
     2-4x (round-5 scan audit). After the eager checkpoint the compiled
     plan references the fact at most once."""
-    for name, fact in [
-        ("q_tpch_q15", "lineitem.parquet"),
-        ("q_tpch_q2", "part.parquet"),
-        ("q_dedup_incremental", "documents.parquet"),
-        ("q_basket_rules", "lineitem.parquet"),
+    for name, fact, cap in [
+        ("q_tpch_q15", "lineitem.parquet", 1),
+        ("q_tpch_q2", "part.parquet", 1),
+        ("q_tpch_q11", "supplier.parquet", 1),
+        ("q_dedup_incremental", "documents.parquet", 1),
+        ("q_basket_rules", "lineitem.parquet", 1),
+        ("q_dedup_ngram", "documents.parquet", 1),
+        ("q_text_bm25", "documents.parquet", 1),
+        # tfidf keeps a second column-pruned count-only scan for N
+        ("q_text_tfidf", "documents.parquet", 2),
+        ("q_events_dau_mau", "events.parquet", 1),
+        ("q_events_wau", "events.parquet", 1),
     ]:
         p = plan_of(QUERIES[name](spark, SF_DIR))
-        assert p.count(fact) <= 1, f"{name} re-scans {fact}:\n{p}"
+        assert p.count(fact) <= cap, f"{name} re-scans {fact}:\n{p}"
