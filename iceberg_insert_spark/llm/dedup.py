@@ -1192,3 +1192,138 @@ def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("degree").alias("rep_degree"),
     )
     return reps.select("cluster_id", "rep_id", "cluster_size", "rep_degree")
+
+
+# Calibration sweep: thresholds bracketing COSINE_DUP_THRESHOLD (0.4), and
+# the md5-prefix cut keeping ~50% of vectors (bounded sample at any SF).
+SWEEP_THRESHOLDS = (0.30, 0.35, 0.40, 0.45, 0.50)
+SWEEP_HEX_LT = "8000"
+
+
+@query(
+    "q_dedup_threshold_sweep",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)
+             ) AS qe
+      FROM embeddings
+      WHERE substring(md5(concat_ws('#', CAST(vec_id AS VARCHAR), '7')),
+                      1, 4) < '8000'
+    ), n AS (
+      SELECT vec_id, qe,
+             list_sum(list_transform(qe, x -> x * x)) AS nsq
+      FROM q
+    ), p AS (
+      SELECT ia, ib, na, nb, SUM(ax * bx) AS dot
+      FROM (
+        SELECT a.vec_id AS ia, b.vec_id AS ib, a.nsq AS na, b.nsq AS nb,
+               UNNEST(a.qe) AS ax, UNNEST(b.qe) AS bx
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+      )
+      GROUP BY ia, ib, na, nb
+    )
+    SELECT t.threshold,
+           COUNT(*) FILTER (
+             WHERE p.dot > 0
+               AND CAST(p.dot * p.dot AS DOUBLE)
+                   >= t.threshold * t.threshold
+                      * CAST(p.na * p.nb AS DOUBLE)
+           ) AS pairs_ge
+    FROM (VALUES (CAST(0.30 AS DOUBLE)), (CAST(0.35 AS DOUBLE)),
+                 (CAST(0.40 AS DOUBLE)), (CAST(0.45 AS DOUBLE)),
+                 (CAST(0.50 AS DOUBLE))) t(threshold)
+    CROSS JOIN p
+    GROUP BY t.threshold
+    """,
+)
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-calibration sweep for embedding near-dup — the round-5
+    parked item: before running the LSH tier over a full corpus you pick
+    the cosine cut from an EXACT pair-count curve on a bounded sample;
+    this emits that curve (threshold -> qualifying pairs) for cuts
+    bracketing COSINE_DUP_THRESHOLD.
+
+    Bit-stable across engines by construction — the repo's exact-integer
+    discipline applied to cosine: each float32 coordinate quantizes to a
+    milli-unit LONG via floor(x*1000 + 0.5) (identical IEEE ops both
+    sides; ROUND would differ — numpy rints half-to-even, DuckDB rounds
+    half-away). Integer dot and norms are order-independent exact sums;
+    dot <= 64*320^2 so dot^2 and na*nb stay under 2^53 and cast to
+    EXACT doubles; `sim >= t` is decided sign-aware as
+    dot > 0 AND dot^2 >= (t*t)*(na*nb) — every operand an exact integer
+    in a double, the compare a single deterministic IEEE evaluation, no
+    division, no sqrt, no rounding anywhere.
+
+    Scale shape: calibration is sample-based BY DESIGN (the md5-keyed
+    deterministic sample, q_sample's idiom — reproducible on any cluster
+    layout); the B^2 pair frame exists only over that bounded sample, as
+    a broadcast nested-loop of ~hundreds of rows, while the chosen
+    threshold is then applied at corpus scale by the LSH/ANN tier
+    (dedup_embedding_pairs dispatcher). The sweep itself aggregates to
+    |SWEEP_THRESHOLDS| rows before anything leaves the executors.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    key = F.md5(
+        F.concat_ws("#", F.col("vec_id").cast("string"), F.lit("7"))
+    )
+    n = (
+        e.filter(F.substring(key, 1, 4) < SWEEP_HEX_LT)
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(x.cast("double") * 1000.0 + 0.5).cast(
+                    "bigint"
+                ),
+            ).alias("qe"),
+        )
+        .withColumn(
+            "nsq",
+            F.aggregate(
+                F.transform(F.col("qe"), lambda x: x * x),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    # The sample reads back as ONE file partition; a broadcast NLJ
+    # parallelizes over the STREAMED side's partitions, so spread it
+    # first or the whole B^2 frame runs in a single task.
+    a, b = n.repartition(32).alias("a"), n.alias("b")
+    pairs = a.join(
+        F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id")
+    ).select(
+        F.aggregate(
+            F.zip_with(
+                F.col("a.qe"), F.col("b.qe"), lambda x, y: x * y
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("dot"),
+        (F.col("a.nsq") * F.col("b.nsq")).cast("double").alias("dend"),
+    )
+    thr = spark.range(1).select(
+        F.explode(
+            F.array([F.lit(t) for t in SWEEP_THRESHOLDS])
+        ).alias("threshold")
+    )
+    return (
+        pairs.crossJoin(F.broadcast(thr))
+        .groupBy("threshold")
+        .agg(
+            F.count(
+                F.when(
+                    (F.col("dot") > 0)
+                    & (
+                        (F.col("dot") * F.col("dot")).cast("double")
+                        >= F.col("threshold")
+                        * F.col("threshold")
+                        * F.col("dend")
+                    ),
+                    1,
+                )
+            ).alias("pairs_ge")
+        )
+    )

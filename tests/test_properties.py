@@ -881,3 +881,51 @@ def test_pagerank_early_exit_on_regular_graph(spark):
         for r in pagerank(df, tol_nano=-1).collect()
     }
     assert full == got
+
+
+def test_threshold_sweep_matches_numpy_brute_force(spark):
+    """q_dedup_threshold_sweep vs a float-free numpy reconstruction:
+    quantize identically, integer dot/norms, the same sign-aware
+    exact-double compare — counts must agree exactly, and the curve
+    must be non-increasing in the threshold."""
+    import numpy as np
+
+    from iceberg_insert_spark.llm.dedup import (
+        SWEEP_THRESHOLDS,
+        q_dedup_threshold_sweep,
+    )
+
+    from .conftest import SF_DIR
+
+    got = {
+        r.threshold: r.pairs_ge
+        for r in q_dedup_threshold_sweep(spark, SF_DIR).collect()
+    }
+    assert sorted(got) == sorted(SWEEP_THRESHOLDS)
+    counts = [got[t] for t in sorted(got)]
+    assert counts == sorted(counts, reverse=True)
+
+    import hashlib
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    kept = [
+        (r.vec_id, np.floor(np.asarray(r.embedding, dtype=np.float64) * 1000.0 + 0.5).astype(np.int64))
+        for r in rows
+        if hashlib.md5(f"{r.vec_id}#7".encode()).hexdigest()[:4] < "8000"
+    ]
+    want = dict.fromkeys(SWEEP_THRESHOLDS, 0)
+    # Each unordered pair once (the query's a.vec_id < b.vec_id is the
+    # same canonicalization; the predicate is symmetric in a/b).
+    for i in range(len(kept)):
+        for j in range(i + 1, len(kept)):
+            a, b = kept[i][1], kept[j][1]
+            dot = int(a @ b)
+            den = float(int(a @ a) * int(b @ b))
+            for t in SWEEP_THRESHOLDS:
+                if dot > 0 and float(dot * dot) >= t * t * den:
+                    want[t] += 1
+    assert got == want
