@@ -60,7 +60,11 @@ class SnapshotTable:
             return json.load(fh)["files"]
 
     def _commit(
-        self, df: DataFrame, inherit: bool, token: str | None = None
+        self,
+        df: DataFrame,
+        inherit: bool,
+        token: str | None = None,
+        op: str | None = None,
     ) -> int:
         os.makedirs(self._mdir, exist_ok=True)
         snaps = self.snapshots()
@@ -75,19 +79,39 @@ class SnapshotTable:
         inherited = (
             self._manifest(snaps[-1]) if (inherit and snaps) else []
         )
+        meta: dict = {
+            "files": inherited + new_files,
+            # Iceberg's snapshot `operation` summary field — the history /
+            # snapshots metadata tables read this, never the data files.
+            "op": op or ("append" if inherit else "overwrite"),
+        }
+        if token is not None:
+            meta["token"] = token
+        self._write_manifest(v, meta)
+        return v
+
+    def _write_manifest(self, v: int, meta: dict) -> None:
         # Atomic metadata swap (Iceberg's commit contract): a manifest must
         # never be observable half-written, so write to a temp name and
         # os.rename() into place — rename is atomic on POSIX, so readers see
         # either no v{N}.json or a complete one.
         final = os.path.join(self._mdir, f"v{v}.json")
         tmp = final + ".tmp"
-        meta: dict = {"files": inherited + new_files}
-        if token is not None:
-            meta["token"] = token
         with open(tmp, "w") as fh:
             json.dump(meta, fh)
         os.rename(tmp, final)
-        return v
+
+    def history(self) -> list[tuple[int, str]]:
+        """(snapshot_id, operation) per surviving snapshot, oldest first —
+        the metadata half of Iceberg's ``table.history`` / ``table.
+        snapshots`` metadata tables. Reads only manifest JSONs (KBs),
+        never data files. Manifests written before the ``op`` field
+        existed read back as 'append' (the only commit type then)."""
+        out = []
+        for v in self.snapshots():
+            with open(os.path.join(self._mdir, f"v{v}.json")) as fh:
+                out.append((v, json.load(fh).get("op", "append")))
+        return out
 
     def _token(self, v: int) -> str | None:
         with open(os.path.join(self._mdir, f"v{v}.json")) as fh:
@@ -120,6 +144,48 @@ class SnapshotTable:
         actually delete data: an append-only history references every
         file from every surviving manifest forever."""
         return self._commit(df, inherit=False)
+
+    def rollback(self, to: int) -> int:
+        """Iceberg ``rollback_to_snapshot``: commit a NEW snapshot whose
+        manifest is a copy of snapshot ``to``'s file list. History is
+        never rewritten — the bad snapshot(s) stay time-travelable (and
+        auditable) until ``expire`` reclaims them, and the rollback
+        itself appears in ``history()`` as its own operation. Pure
+        metadata: no data file is read, written, or moved, however large
+        the table."""
+        snaps = self.snapshots()
+        if to not in snaps:
+            raise ValueError(
+                f"snapshot {to} does not exist (have {snaps})"
+            )
+        v = snaps[-1] + 1
+        self._write_manifest(
+            v, {"files": self._manifest(to), "op": "rollback"}
+        )
+        return v
+
+    def compact(self, spark: SparkSession, target_files: int = 1) -> int:
+        """Bin-pack compaction (Iceberg's ``rewriteDataFiles``): rewrite
+        the files visible at the CURRENT snapshot into ``target_files``
+        coalesced files and commit them as a ``replace`` snapshot — the
+        rows are identical, only the physical layout changes. Historic
+        snapshots keep referencing the small pre-compaction files until
+        ``expire`` reclaims them, exactly Iceberg's contract.
+
+        This is THE 100 TB maintenance operation: streaming ingest
+        (append_once per micro-batch) accretes thousands of small files
+        whose per-file open/footer cost eventually dominates scan time;
+        compaction restores scan efficiency without blocking readers
+        (the replace commit is the same atomic manifest swap). At
+        cluster scale ``target_files`` comes from table-size /
+        target-file-size (Iceberg's 512 MB default); ``coalesce`` (no
+        shuffle) mirrors bin-packing — a sort-based rewrite would be
+        ``q_zorder``'s layout instead."""
+        return self._commit(
+            self.read(spark).coalesce(target_files),
+            inherit=False,
+            op="replace",
+        )
 
     def read(self, spark: SparkSession, as_of: int | None = None) -> DataFrame:
         """Read the table as of snapshot ``as_of`` (default: latest). The
@@ -264,4 +330,166 @@ def q_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
         )
+    )
+
+
+@query(
+    "q_snapshot_history",
+    oracle="""
+    SELECT CAST(1 AS BIGINT) AS snapshot_id, 'append' AS operation,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_price
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'append', COUNT(*),
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0
+    FROM orders WHERE o_orderkey % 3 < 2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'append', COUNT(*),
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0
+    FROM orders
+    UNION ALL
+    SELECT CAST(4 AS BIGINT), 'overwrite', COUNT(*),
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0
+    FROM orders WHERE o_orderkey % 5 = 0
+    """,
+)
+def q_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg ``table.history`` / ``table.snapshots`` metadata tables,
+    DuckDB-oracled end-to-end: orders land in three append snapshots
+    (keys %3 = 0, 1, 2) followed by one OVERWRITE (keys %5 = 0); the
+    query emits one row per surviving snapshot — id, operation (from
+    manifest metadata, never the data), and the summary counters
+    Iceberg keeps in each snapshot's `summary` map (total-records,
+    total line value) — which must equal the oracle's per-visibility-set
+    reconstruction. This was the round-5 parked item: per-FILE metadata
+    (file counts/sizes) depends on writer parallelism and can't be
+    oracled bit-stably, so the summary counters are spelled from the
+    DATA each snapshot's manifest makes visible — identical however
+    many part-files each commit wrote.
+
+    Scale shape: the history itself is manifest-JSON-only (metadata
+    planning, like Iceberg's — KBs per thousand files); the summary
+    aggregates are one manifest-pruned scan per snapshot, each a partial
+    agg to a single row before the union. In production Iceberg the
+    counters are maintained AT COMMIT TIME (the writer already knows
+    what it added) — the read-side spelling here is the verification
+    twin, not the maintenance path.
+    """
+    from functools import reduce
+
+    from ..tables import scratch_dir
+
+    path = scratch_dir(spark, sf_dir, "snapshot_history")
+    o = load_table(spark, sf_dir, "orders")
+    tbl = SnapshotTable(path)
+    for r in range(3):
+        tbl.append(o.filter(F.col("o_orderkey") % 3 == r))
+    tbl.overwrite(o.filter(F.col("o_orderkey") % 5 == 0))
+    # One summary row per snapshot: the loop is over the 4-entry manifest
+    # list (metadata), not data; each read plans exactly the files its
+    # manifest names.
+    parts = [
+        tbl.read(spark, as_of=v).agg(
+            F.lit(v).cast("bigint").alias("snapshot_id"),
+            F.lit(op).alias("operation"),
+            F.count(F.lit(1)).alias("n_rows"),
+            exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+        )
+        for v, op in tbl.history()
+    ]
+    return reduce(DataFrame.unionAll, parts)
+
+
+@query(
+    "q_snapshot_rollback",
+    oracle="""
+    SELECT 'rollback' AS operation, o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg ``rollback_to_snapshot``, DuckDB-oracled end-to-end:
+    orders land in three appends (all rows visible at v3), a BAD
+    overwrite (v4) drops to the %5 slice, and the rollback commits v5
+    pointing back at v3's file list — so the latest read must equal the
+    FULL orders aggregate again (the oracle), not the bad slice, and the
+    `operation` column (from manifest metadata via ``history()``) must
+    say 'rollback'. History is append-only: v4 stays time-travelable
+    for audit until expire (pinned in tests/test_snapshots.py).
+
+    Scale shape: the rollback commit reads and writes ZERO data files —
+    one manifest JSON copy + atomic rename, identical cost at 100 TB.
+    """
+    from ..tables import scratch_dir
+
+    path = scratch_dir(spark, sf_dir, "snapshot_rollback")
+    o = load_table(spark, sf_dir, "orders")
+    tbl = SnapshotTable(path)
+    for r in range(3):
+        tbl.append(o.filter(F.col("o_orderkey") % 3 == r))
+    tbl.overwrite(o.filter(F.col("o_orderkey") % 5 == 0))  # bad commit
+    tbl.rollback(to=3)
+    _, last_op = tbl.history()[-1]
+    return (
+        tbl.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.lit(last_op).alias("operation"),
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select("operation", "o_orderstatus", "n_orders", "sum_price")
+    )
+
+
+@query(
+    "q_snapshot_compact",
+    oracle="""
+    SELECT CAST(1 AS BIGINT) AS n_files, o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_snapshot_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin-pack compaction (Iceberg ``rewriteDataFiles``), DuckDB-oracled
+    end-to-end: three appends each written 4-way (12 small files visible
+    — the small-file accretion streaming ingest causes), then
+    ``compact`` rewrites them into ONE file as a `replace` snapshot. The
+    result must show BOTH invariants: `n_files` = 1 from the
+    post-compaction manifest (deterministic — coalesce(1) writes exactly
+    one file, however the appends were parallelized) and the per-status
+    aggregate equal to the full orders reconstruction (compaction
+    changes layout, never rows). Pre-compaction snapshots stay
+    time-travelable until expire (pinned in tests/test_snapshots.py).
+    """
+    from ..tables import scratch_dir
+
+    path = scratch_dir(spark, sf_dir, "snapshot_compact")
+    o = load_table(spark, sf_dir, "orders")
+    tbl = SnapshotTable(path)
+    for r in range(3):
+        tbl.append(o.filter(F.col("o_orderkey") % 3 == r).repartition(4))
+    v = tbl.compact(spark)
+    n_files = len(tbl._manifest(v))
+    return (
+        tbl.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.lit(n_files).cast("bigint").alias("n_files"),
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select("n_files", "o_orderstatus", "n_orders", "sum_price")
     )

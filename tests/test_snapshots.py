@@ -179,3 +179,73 @@ def test_expire_crash_window_leaves_table_consistent(spark, tmp_path):
     # recovery: a later expire still works on the surviving history
     assert tbl.expire(keep_from=2) == []
     assert tbl.snapshots() == [2, 3]
+
+
+def test_history_records_operations(spark, tmp_path):
+    """history() is the `table.history` metadata read: one (id, op) row
+    per surviving snapshot, from manifest JSON only; expire drops rows;
+    pre-`op` manifests read back as 'append'."""
+    import json
+
+    o, tbl = _build(spark, tmp_path)
+    tbl.overwrite(o.filter(F.col("o_orderkey") % 5 == 0))
+    assert tbl.history() == [
+        (1, "append"), (2, "append"), (3, "append"), (4, "overwrite"),
+    ]
+    tbl.expire(keep_from=3)
+    assert tbl.history() == [(3, "append"), (4, "overwrite")]
+    # Legacy manifest (written before the op field existed) -> 'append'.
+    m = os.path.join(str(tmp_path / "t"), "_manifests", "v3.json")
+    with open(m) as fh:
+        meta = json.load(fh)
+    del meta["op"]
+    with open(m, "w") as fh:
+        json.dump(meta, fh)
+    assert tbl.history()[0] == (3, "append")
+
+
+def test_rollback_restores_visibility_keeps_history(spark, tmp_path):
+    """rollback commits a NEW snapshot pointing at the old file list:
+    latest equals the rollback target row-for-row, the bad snapshot
+    stays time-travelable for audit, and expire can then reclaim it."""
+    o, tbl = _build(spark, tmp_path)
+    bad = tbl.overwrite(o.filter(F.col("o_orderkey") % 5 == 0))
+    v = tbl.rollback(to=3)
+    assert v == 5 and tbl.history()[-1] == (5, "rollback")
+    assert tbl.read(spark).count() == o.count()
+    # the bad snapshot is still auditable...
+    assert tbl.read(spark, as_of=bad).count() == o.filter(
+        F.col("o_orderkey") % 5 == 0
+    ).count()
+    # ...until expired; the rollback snapshot shares v3's files, so
+    # expiring everything before v5 must NOT delete what v5 references.
+    tbl.expire(keep_from=5)
+    assert tbl.read(spark).count() == o.count()
+    with pytest.raises(ValueError, match="does not exist"):
+        tbl.read(spark, as_of=bad)
+    # rolling back to an expired snapshot is a clean error
+    with pytest.raises(ValueError, match="does not exist"):
+        tbl.rollback(to=1)
+
+
+def test_compact_rewrites_layout_not_rows(spark, tmp_path):
+    """compact shrinks the visible file count without changing rows;
+    pre-compaction snapshots keep their small files until expire."""
+    o = load_table(spark, SF_DIR, "orders")
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    for r in range(3):
+        tbl.append(o.filter(F.col("o_orderkey") % 3 == r).repartition(4))
+    before = len(tbl._manifest(3))
+    assert before == 12
+    rows_before = tbl.read(spark).count()
+    v = tbl.compact(spark)
+    assert tbl.history()[-1] == (v, "replace")
+    assert len(tbl._manifest(v)) == 1
+    assert tbl.read(spark).count() == rows_before
+    # pre-compaction snapshot unchanged, still 12 files
+    assert len(tbl._manifest(3)) == before
+    assert tbl.read(spark, as_of=3).count() == rows_before
+    # expire reclaims the 12 small files, compacted read unaffected
+    deleted = tbl.expire(keep_from=v)
+    assert len(deleted) == 12
+    assert tbl.read(spark).count() == rows_before
