@@ -76,9 +76,12 @@ class SnapshotTable:
             for f in os.listdir(d)
             if f.endswith(".parquet")
         )
-        inherited = (
-            self._manifest(snaps[-1]) if (inherit and snaps) else []
-        )
+        # Inherit from the latest PUBLISHED snapshot, never a staged one:
+        # a main-branch append that inherited staged files would silently
+        # publish unaudited data (caught by
+        # test_wap_rejected_stage_is_expirable).
+        pubs = self._published() if inherit else []
+        inherited = self._manifest(pubs[-1]) if pubs else []
         meta: dict = {
             "files": inherited + new_files,
             # Iceberg's snapshot `operation` summary field — the history /
@@ -145,6 +148,84 @@ class SnapshotTable:
         file from every surviving manifest forever."""
         return self._commit(df, inherit=False)
 
+    def stage_append(self, df: DataFrame, wap_id: str) -> int:
+        """Write-audit-publish STAGE step (Iceberg's
+        ``spark.wap.id`` stage-only commit): the snapshot is written and
+        fully readable by its version — the audit query reads it
+        directly — but it is NOT on the main branch: ``read()`` (latest)
+        and ``latest_published()`` skip staged snapshots, so downstream
+        consumers never see unaudited data. The staged manifest inherits
+        from the latest PUBLISHED snapshot, exactly like a branch forked
+        from main."""
+        snaps = self._published()
+        base = self._manifest(snaps[-1]) if snaps else None
+        v = self._commit_files(df, base, op="stage", wap_id=wap_id)
+        return v
+
+    def publish(self, wap_id: str) -> int:
+        """Write-audit-publish PUBLISH step (Iceberg's
+        ``cherrypick_snapshot``): fast-forward main to the audited staged
+        snapshot by committing a manifest COPY without the staged flag —
+        pure metadata, zero data IO, same atomic swap. Idempotent on
+        ``wap_id`` (the commit-dedup idiom): re-publishing an already
+        published wap_id returns the existing publish commit."""
+        staged = pub = None
+        for v in self.snapshots():
+            with open(os.path.join(self._mdir, f"v{v}.json")) as fh:
+                m = json.load(fh)
+            if m.get("wap_id") == wap_id:
+                if m.get("op") == "stage":
+                    staged = v
+                else:
+                    pub = v
+        if pub is not None:
+            return pub
+        if staged is None:
+            raise ValueError(
+                f"no staged snapshot carries wap_id {wap_id!r}"
+            )
+        v = self.snapshots()[-1] + 1
+        self._write_manifest(
+            v,
+            {
+                "files": self._manifest(staged),
+                "op": "publish",
+                "wap_id": wap_id,
+            },
+        )
+        return v
+
+    def _published(self) -> list[int]:
+        """Main-branch snapshots: everything not op='stage'."""
+        return [v for v, op in self.history() if op != "stage"]
+
+    def _commit_files(
+        self,
+        df: DataFrame,
+        base: list[str] | None,
+        op: str,
+        wap_id: str,
+    ) -> int:
+        os.makedirs(self._mdir, exist_ok=True)
+        snaps = self.snapshots()
+        v = (snaps[-1] + 1) if snaps else 1
+        d = os.path.join(self.path, f"_snap={v}")
+        df.write.mode("error").parquet(d)
+        new_files = sorted(
+            os.path.join(f"_snap={v}", f)
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+        self._write_manifest(
+            v,
+            {
+                "files": (base or []) + new_files,
+                "op": op,
+                "wap_id": wap_id,
+            },
+        )
+        return v
+
     def rollback(self, to: int) -> int:
         """Iceberg ``rollback_to_snapshot``: commit a NEW snapshot whose
         manifest is a copy of snapshot ``to``'s file list. History is
@@ -195,7 +276,19 @@ class SnapshotTable:
             raise ValueError(
                 f"table at {self.path!r} has no snapshots — append() first"
             )
-        v = snaps[-1] if as_of is None else as_of
+        # "latest" means latest PUBLISHED: staged (write-audit-publish)
+        # snapshots are readable by explicit version — that IS the audit
+        # read — but never the default downstream consumers get.
+        if as_of is None:
+            pubs = self._published()
+            if not pubs:
+                raise ValueError(
+                    f"table at {self.path!r} has only staged snapshots — "
+                    "publish() one or read(as_of=version)"
+                )
+            v = pubs[-1]
+        else:
+            v = as_of
         if v not in snaps:
             raise ValueError(
                 f"snapshot {v} does not exist (have {snaps}) — expired or "
@@ -493,3 +586,65 @@ def q_snapshot_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_files", "o_orderstatus", "n_orders", "sum_price")
     )
+
+
+@query(
+    "q_snapshot_wap",
+    oracle="""
+    SELECT 'pre_publish' AS phase, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_price
+    FROM orders WHERE o_orderkey % 3 < 2
+    UNION ALL
+    SELECT 'staged_audit', COUNT(*),
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0
+    FROM orders
+    UNION ALL
+    SELECT 'post_publish', COUNT(*),
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0
+    FROM orders
+    """,
+)
+def q_snapshot_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish (Iceberg's spark.wap.id + cherrypick),
+    DuckDB-oracled end-to-end: main holds two appends (keys %3 < 2); the
+    %3 = 2 batch is STAGED — the 'pre_publish' row proves the main read
+    still excludes it while its files sit on disk; the 'staged_audit'
+    row is the audit query reading the staged snapshot by version (it
+    inherits main, so it sees ALL orders); after publish() fast-forwards
+    main, 'post_publish' sees the same full set. The oracle reconstructs
+    each phase's visibility from the same parquet. Publish is a pure
+    metadata cherry-pick (manifest copy), idempotent on wap_id — the
+    isolation/idempotence/expiry corners are pinned in
+    tests/test_snapshots.py.
+
+    Scale shape: this is THE production pattern for gated ingestion at
+    100 TB — the expensive data write happens once into the staged
+    branch, audits run against it with full parallelism, and the
+    go-live decision costs one atomic manifest rename, never a rewrite.
+    """
+    from ..tables import scratch_dir
+
+    path = scratch_dir(spark, sf_dir, "snapshot_wap")
+    o = load_table(spark, sf_dir, "orders")
+    tbl = SnapshotTable(path)
+    for r in range(2):
+        tbl.append(o.filter(F.col("o_orderkey") % 3 == r))
+    staged = tbl.stage_append(
+        o.filter(F.col("o_orderkey") % 3 == 2), wap_id="w1"
+    )
+
+    def phase_agg(df: DataFrame, phase: str) -> DataFrame:
+        return df.agg(
+            F.lit(phase).alias("phase"),
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+        )
+
+    pre = phase_agg(tbl.read(spark), "pre_publish")
+    audit = phase_agg(tbl.read(spark, as_of=staged), "staged_audit")
+    tbl.publish("w1")
+    post = phase_agg(tbl.read(spark), "post_publish")
+    return pre.unionAll(audit).unionAll(post)

@@ -478,3 +478,16 @@ def test_multi_consumer_views_materialize_once(spark):
     ]:
         p = plan_of(QUERIES[name](spark, SF_DIR))
         assert p.count(fact) <= cap, f"{name} re-scans {fact}:\n{p}"
+
+
+def test_threshold_sweep_parallel_bounded_pairs(spark):
+    """The calibration sweep's B^2 frame must be a broadcast NLJ over
+    the bounded sample with the STREAMED side spread across partitions
+    (a single-file read otherwise runs the whole frame in one task),
+    and the threshold explode joined as a broadcast — no shuffle of the
+    pair frame."""
+    p = plan_of(QUERIES["q_dedup_threshold_sweep"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+    # streamed-side spread: the round-robin repartition exchange
+    assert "RoundRobinPartitioning" in p

@@ -249,3 +249,52 @@ def test_compact_rewrites_layout_not_rows(spark, tmp_path):
     deleted = tbl.expire(keep_from=v)
     assert len(deleted) == 12
     assert tbl.read(spark).count() == rows_before
+
+
+def test_wap_stage_isolation_publish_idempotent(spark, tmp_path):
+    """Staged snapshots are invisible to main reads until publish;
+    publish is a metadata-only cherry-pick, idempotent on wap_id;
+    unpublished staged work is expirable."""
+    o = load_table(spark, SF_DIR, "orders")
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.append(o.filter(F.col("o_orderkey") % 3 == 0))
+    main_rows = tbl.read(spark).count()
+    v_staged = tbl.stage_append(
+        o.filter(F.col("o_orderkey") % 3 == 1), wap_id="w1"
+    )
+    # isolation: main unchanged; audit read sees base + staged batch
+    assert tbl.read(spark).count() == main_rows
+    staged_rows = tbl.read(spark, as_of=v_staged).count()
+    assert staged_rows == o.filter(F.col("o_orderkey") % 3 < 2).count()
+    assert tbl.history()[-1] == (v_staged, "stage")
+    # publish fast-forwards main; idempotent on wap_id
+    v_pub = tbl.publish("w1")
+    assert tbl.read(spark).count() == staged_rows
+    assert tbl.publish("w1") == v_pub
+    assert tbl.history()[-1] == (v_pub, "publish")
+    with pytest.raises(ValueError, match="no staged"):
+        tbl.publish("nope")
+
+
+def test_wap_rejected_stage_is_expirable(spark, tmp_path):
+    """The audit-failed path: a staged snapshot that is never published
+    is reclaimed by expire without touching main's files."""
+    o = load_table(spark, SF_DIR, "orders")
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.append(o.filter(F.col("o_orderkey") % 3 == 0))
+    tbl.stage_append(o.filter(F.col("o_orderkey") % 3 == 1), wap_id="bad")
+    main_rows = tbl.read(spark).count()
+    v_fix = tbl.append(o.filter(F.col("o_orderkey") % 3 == 2))
+    deleted = tbl.expire(keep_from=v_fix)
+    assert deleted  # the staged batch's files are gone
+    assert tbl.read(spark).count() == main_rows + o.filter(
+        F.col("o_orderkey") % 3 == 2
+    ).count()
+
+
+def test_all_staged_table_read_is_descriptive(spark, tmp_path):
+    o = load_table(spark, SF_DIR, "orders")
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.stage_append(o.limit(5), wap_id="w1")
+    with pytest.raises(ValueError, match="only staged"):
+        tbl.read(spark)
