@@ -1195,22 +1195,26 @@ def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Calibration sweep: thresholds bracketing COSINE_DUP_THRESHOLD (0.4), and
-# the md5-prefix cut keeping ~50% of vectors (bounded sample at any SF).
+# the sample size — the SMALLEST-N vectors by md5 key, so the pair frame is
+# N^2-bounded at ANY corpus size (a fixed md5-prefix cut would keep a
+# constant FRACTION and grow quadratically with SF; code-review catch).
 SWEEP_THRESHOLDS = (0.30, 0.35, 0.40, 0.45, 0.50)
-SWEEP_HEX_LT = "8000"
+SWEEP_SAMPLE_N = 500
 
 
 @query(
     "q_dedup_threshold_sweep",
-    oracle="""
+    oracle=f"""
     WITH q AS (
       SELECT vec_id,
              list_transform(embedding,
                x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)
              ) AS qe
-      FROM embeddings
-      WHERE substring(md5(concat_ws('#', CAST(vec_id AS VARCHAR), '7')),
-                      1, 4) < '8000'
+      FROM (
+        SELECT vec_id, embedding FROM embeddings
+        ORDER BY md5(concat_ws('#', CAST(vec_id AS VARCHAR), '7')), vec_id
+        LIMIT {SWEEP_SAMPLE_N}
+      )
     ), n AS (
       SELECT vec_id, qe,
              list_sum(list_transform(qe, x -> x * x)) AS nsq
@@ -1250,26 +1254,34 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     milli-unit LONG via floor(x*1000 + 0.5) (identical IEEE ops both
     sides; ROUND would differ — numpy rints half-to-even, DuckDB rounds
     half-away). Integer dot and norms are order-independent exact sums;
-    dot <= 64*320^2 so dot^2 and na*nb stay under 2^53 and cast to
-    EXACT doubles; `sim >= t` is decided sign-aware as
+    `sim >= t` is decided sign-aware as
     dot > 0 AND dot^2 >= (t*t)*(na*nb) — every operand an exact integer
     in a double, the compare a single deterministic IEEE evaluation, no
-    division, no sqrt, no rounding anywhere.
+    division, no sqrt, no rounding anywhere. Exactness bound: the
+    fixture's |x| <= ~0.53 quantizes to |q| <= ~530, so dot <= 64*530^2
+    ~ 1.8e7 and dot^2, na*nb <= ~3.3e14 — comfortably under 2^53 (the
+    doubles are exact integers). The spelling stays exact while
+    max|x| <= ~1.2 at d=64/scale-1000 (64*1200^2 squared hits 2^53);
+    wider-range embeddings must drop the quantization scale.
 
-    Scale shape: calibration is sample-based BY DESIGN (the md5-keyed
-    deterministic sample, q_sample's idiom — reproducible on any cluster
-    layout); the B^2 pair frame exists only over that bounded sample, as
-    a broadcast nested-loop of ~hundreds of rows, while the chosen
-    threshold is then applied at corpus scale by the LSH/ANN tier
-    (dedup_embedding_pairs dispatcher). The sweep itself aggregates to
-    |SWEEP_THRESHOLDS| rows before anything leaves the executors.
+    Scale shape: calibration is sample-based BY DESIGN, and the sample
+    is SIZE-bounded, not fraction-bounded: the smallest-SWEEP_SAMPLE_N
+    vectors by md5 key (deterministic on any cluster layout, planned as
+    TakeOrderedAndProject — no global sort). The B^2 pair frame
+    therefore never exceeds N^2 pairs at ANY corpus size, as a
+    broadcast nested-loop, while the chosen threshold is applied at
+    corpus scale by the LSH/ANN tier (dedup_embedding_pairs
+    dispatcher). The sweep aggregates to |SWEEP_THRESHOLDS| rows before
+    anything leaves the executors.
     """
     e = load_table(spark, sf_dir, "embeddings")
     key = F.md5(
         F.concat_ws("#", F.col("vec_id").cast("string"), F.lit("7"))
     )
     n = (
-        e.filter(F.substring(key, 1, 4) < SWEEP_HEX_LT)
+        e.select("vec_id", "embedding", key.alias("_k"))
+        .orderBy("_k", "vec_id")
+        .limit(SWEEP_SAMPLE_N)
         .select(
             "vec_id",
             F.transform(

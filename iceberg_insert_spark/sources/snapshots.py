@@ -65,6 +65,7 @@ class SnapshotTable:
         inherit: bool,
         token: str | None = None,
         op: str | None = None,
+        wap_id: str | None = None,
     ) -> int:
         os.makedirs(self._mdir, exist_ok=True)
         snaps = self.snapshots()
@@ -80,16 +81,21 @@ class SnapshotTable:
         # a main-branch append that inherited staged files would silently
         # publish unaudited data (caught by
         # test_wap_rejected_stage_is_expirable).
-        pubs = self._published() if inherit else []
-        inherited = self._manifest(pubs[-1]) if pubs else []
+        base = self._latest_published() if inherit else None
+        inherited = self._manifest(base) if base is not None else []
         meta: dict = {
             "files": inherited + new_files,
+            # This commit's OWN files (Iceberg's added-data-files summary):
+            # publish() applies exactly these onto wherever main is THEN.
+            "new_files": new_files,
             # Iceberg's snapshot `operation` summary field — the history /
             # snapshots metadata tables read this, never the data files.
             "op": op or ("append" if inherit else "overwrite"),
         }
         if token is not None:
             meta["token"] = token
+        if wap_id is not None:
+            meta["wap_id"] = wap_id
         self._write_manifest(v, meta)
         return v
 
@@ -108,12 +114,30 @@ class SnapshotTable:
         """(snapshot_id, operation) per surviving snapshot, oldest first —
         the metadata half of Iceberg's ``table.history`` / ``table.
         snapshots`` metadata tables. Reads only manifest JSONs (KBs),
-        never data files. Manifests written before the ``op`` field
-        existed read back as 'append' (the only commit type then)."""
+        never data files.
+
+        Manifests written before the ``op`` field existed have their
+        operation INFERRED from the file list (sound, because it is the
+        operation's defining property): a manifest referencing any file
+        from an earlier ``_snap=K/`` dir inherited it — append; one
+        referencing only its own dir at v>1 replaced the table —
+        overwrite. (At v=1, or after an append onto an empty table, the
+        two operations are literally the same commit, so 'append' is
+        correct.)"""
         out = []
         for v in self.snapshots():
             with open(os.path.join(self._mdir, f"v{v}.json")) as fh:
-                out.append((v, json.load(fh).get("op", "append")))
+                meta = json.load(fh)
+            op = meta.get("op")
+            if op is None:
+                own = f"_snap={v}/"
+                foreign = any(
+                    not f.startswith(own) for f in meta["files"]
+                )
+                op = (
+                    "append" if (foreign or v == 1) else "overwrite"
+                )
+            out.append((v, op))
         return out
 
     def _token(self, v: int) -> str | None:
@@ -149,33 +173,35 @@ class SnapshotTable:
         return self._commit(df, inherit=False)
 
     def stage_append(self, df: DataFrame, wap_id: str) -> int:
-        """Write-audit-publish STAGE step (Iceberg's
-        ``spark.wap.id`` stage-only commit): the snapshot is written and
-        fully readable by its version — the audit query reads it
-        directly — but it is NOT on the main branch: ``read()`` (latest)
-        and ``latest_published()`` skip staged snapshots, so downstream
-        consumers never see unaudited data. The staged manifest inherits
-        from the latest PUBLISHED snapshot, exactly like a branch forked
-        from main."""
-        snaps = self._published()
-        base = self._manifest(snaps[-1]) if snaps else None
-        v = self._commit_files(df, base, op="stage", wap_id=wap_id)
-        return v
+        """Write-audit-publish STAGE step (Iceberg's ``spark.wap.id``
+        stage-only commit): the snapshot is written and fully readable
+        by its version — the audit query reads it directly — but it is
+        NOT on the main branch: ``read()`` (latest) skips staged
+        snapshots, so downstream consumers never see unaudited data.
+        The staged manifest inherits from the latest PUBLISHED snapshot,
+        exactly like a branch forked from main."""
+        return self._commit(df, inherit=True, op="stage", wap_id=wap_id)
 
     def publish(self, wap_id: str) -> int:
         """Write-audit-publish PUBLISH step (Iceberg's
-        ``cherrypick_snapshot``): fast-forward main to the audited staged
-        snapshot by committing a manifest COPY without the staged flag —
-        pure metadata, zero data IO, same atomic swap. Idempotent on
-        ``wap_id`` (the commit-dedup idiom): re-publishing an already
-        published wap_id returns the existing publish commit."""
+        ``cherrypick_snapshot``): apply the audited staged snapshot's
+        OWN data files onto wherever main is NOW — pure metadata, zero
+        data IO, the same atomic swap. Cherry-picking (not copying the
+        staged manifest frozen at stage time) means main-branch commits
+        landing between stage and publish survive: stage(B) → append(C)
+        → publish yields A+C+B, not A+B. (If main was OVERWRITTEN in
+        between, the staged rows are applied onto the new contents —
+        Iceberg's append-cherry-pick semantics; stage a fresh batch if
+        the overwrite invalidated the audit.) Idempotent on ``wap_id``
+        (the commit-dedup idiom): re-publishing an already published
+        wap_id returns the existing publish commit."""
         staged = pub = None
         for v in self.snapshots():
             with open(os.path.join(self._mdir, f"v{v}.json")) as fh:
                 m = json.load(fh)
             if m.get("wap_id") == wap_id:
                 if m.get("op") == "stage":
-                    staged = v
+                    staged = (v, m)
                 else:
                     pub = v
         if pub is not None:
@@ -184,47 +210,31 @@ class SnapshotTable:
             raise ValueError(
                 f"no staged snapshot carries wap_id {wap_id!r}"
             )
+        sv, smeta = staged
+        base = self._latest_published()
+        inherited = self._manifest(base) if base is not None else []
         v = self.snapshots()[-1] + 1
         self._write_manifest(
             v,
             {
-                "files": self._manifest(staged),
+                "files": inherited + smeta["new_files"],
+                "new_files": smeta["new_files"],
                 "op": "publish",
                 "wap_id": wap_id,
             },
         )
         return v
 
-    def _published(self) -> list[int]:
-        """Main-branch snapshots: everything not op='stage'."""
-        return [v for v, op in self.history() if op != "stage"]
-
-    def _commit_files(
-        self,
-        df: DataFrame,
-        base: list[str] | None,
-        op: str,
-        wap_id: str,
-    ) -> int:
-        os.makedirs(self._mdir, exist_ok=True)
-        snaps = self.snapshots()
-        v = (snaps[-1] + 1) if snaps else 1
-        d = os.path.join(self.path, f"_snap={v}")
-        df.write.mode("error").parquet(d)
-        new_files = sorted(
-            os.path.join(f"_snap={v}", f)
-            for f in os.listdir(d)
-            if f.endswith(".parquet")
-        )
-        self._write_manifest(
-            v,
-            {
-                "files": (base or []) + new_files,
-                "op": op,
-                "wap_id": wap_id,
-            },
-        )
-        return v
+    def _latest_published(self) -> int | None:
+        """Newest main-branch (non-staged) snapshot, or None. Walks
+        manifests newest-first and stops at the first non-stage op, so
+        the no-WAP common case costs ONE manifest read — commits and
+        reads stay O(1) in table history length."""
+        for v in reversed(self.snapshots()):
+            with open(os.path.join(self._mdir, f"v{v}.json")) as fh:
+                if json.load(fh).get("op", "append") != "stage":
+                    return v
+        return None
 
     def rollback(self, to: int) -> int:
         """Iceberg ``rollback_to_snapshot``: commit a NEW snapshot whose
@@ -238,6 +248,13 @@ class SnapshotTable:
         if to not in snaps:
             raise ValueError(
                 f"snapshot {to} does not exist (have {snaps})"
+            )
+        if dict(self.history()).get(to) == "stage":
+            # rolling back TO a staged snapshot would put unaudited data
+            # on main — the audit gate publish() exists to enforce.
+            raise ValueError(
+                f"snapshot {to} is staged (write-audit-publish); "
+                "publish() its wap_id instead of rolling back to it"
             )
         v = snaps[-1] + 1
         self._write_manifest(
@@ -280,13 +297,13 @@ class SnapshotTable:
         # snapshots are readable by explicit version — that IS the audit
         # read — but never the default downstream consumers get.
         if as_of is None:
-            pubs = self._published()
-            if not pubs:
+            latest = self._latest_published()
+            if latest is None:
                 raise ValueError(
                     f"table at {self.path!r} has only staged snapshots — "
                     "publish() one or read(as_of=version)"
                 )
-            v = pubs[-1]
+            v = latest
         else:
             v = as_of
         if v not in snaps:

@@ -912,10 +912,23 @@ def test_threshold_sweep_matches_numpy_brute_force(spark):
         .select("vec_id", "embedding")
         .collect()
     )
+    from iceberg_insert_spark.llm.dedup import SWEEP_SAMPLE_N
+
+    ranked = sorted(
+        rows,
+        key=lambda r: (
+            hashlib.md5(f"{r.vec_id}#7".encode()).hexdigest(),
+            r.vec_id,
+        ),
+    )[:SWEEP_SAMPLE_N]
     kept = [
-        (r.vec_id, np.floor(np.asarray(r.embedding, dtype=np.float64) * 1000.0 + 0.5).astype(np.int64))
-        for r in rows
-        if hashlib.md5(f"{r.vec_id}#7".encode()).hexdigest()[:4] < "8000"
+        (
+            r.vec_id,
+            np.floor(
+                np.asarray(r.embedding, dtype=np.float64) * 1000.0 + 0.5
+            ).astype(np.int64),
+        )
+        for r in ranked
     ]
     want = dict.fromkeys(SWEEP_THRESHOLDS, 0)
     # Each unordered pair once (the query's a.vec_id < b.vec_id is the

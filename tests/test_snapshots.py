@@ -184,7 +184,8 @@ def test_expire_crash_window_leaves_table_consistent(spark, tmp_path):
 def test_history_records_operations(spark, tmp_path):
     """history() is the `table.history` metadata read: one (id, op) row
     per surviving snapshot, from manifest JSON only; expire drops rows;
-    pre-`op` manifests read back as 'append'."""
+    pre-`op` manifests get their operation inferred from the file
+    list."""
     import json
 
     o, tbl = _build(spark, tmp_path)
@@ -194,14 +195,17 @@ def test_history_records_operations(spark, tmp_path):
     ]
     tbl.expire(keep_from=3)
     assert tbl.history() == [(3, "append"), (4, "overwrite")]
-    # Legacy manifest (written before the op field existed) -> 'append'.
-    m = os.path.join(str(tmp_path / "t"), "_manifests", "v3.json")
-    with open(m) as fh:
-        meta = json.load(fh)
-    del meta["op"]
-    with open(m, "w") as fh:
-        json.dump(meta, fh)
-    assert tbl.history()[0] == (3, "append")
+    # Legacy manifests (written before the op field existed) have their
+    # operation inferred from the file list: v3 (append) references
+    # earlier _snap dirs; v4 (overwrite) references only its own.
+    for v in (3, 4):
+        m = os.path.join(str(tmp_path / "t"), "_manifests", f"v{v}.json")
+        with open(m) as fh:
+            meta = json.load(fh)
+        del meta["op"]
+        with open(m, "w") as fh:
+            json.dump(meta, fh)
+    assert tbl.history() == [(3, "append"), (4, "overwrite")]
 
 
 def test_rollback_restores_visibility_keeps_history(spark, tmp_path):
@@ -298,3 +302,23 @@ def test_all_staged_table_read_is_descriptive(spark, tmp_path):
     tbl.stage_append(o.limit(5), wap_id="w1")
     with pytest.raises(ValueError, match="only staged"):
         tbl.read(spark)
+
+
+def test_publish_cherry_picks_onto_moved_main(spark, tmp_path):
+    """Main-branch commits landing between stage and publish must
+    survive the publish: publish applies the staged snapshot's OWN
+    files onto main as it is NOW (Iceberg cherrypick), never a frozen
+    manifest copy — and a staged snapshot must not be a rollback
+    target (that would bypass the audit gate)."""
+    o = load_table(spark, SF_DIR, "orders")
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.append(o.filter(F.col("o_orderkey") % 3 == 0))           # A
+    v_staged = tbl.stage_append(
+        o.filter(F.col("o_orderkey") % 3 == 1), wap_id="w1"       # B
+    )
+    tbl.append(o.filter(F.col("o_orderkey") % 3 == 2))           # C
+    with pytest.raises(ValueError, match="staged"):
+        tbl.rollback(to=v_staged)
+    tbl.publish("w1")
+    # A + C + B — C did not vanish, B landed once
+    assert tbl.read(spark).count() == o.count()
