@@ -322,3 +322,152 @@ def test_publish_cherry_picks_onto_moved_main(spark, tmp_path):
     tbl.publish("w1")
     # A + C + B — C did not vanish, B landed once
     assert tbl.read(spark).count() == o.count()
+
+
+def test_stats_pruning_correct_and_conservative(spark, tmp_path):
+    """plan_files prunes exactly the stats-disjoint files; pruned reads
+    return the same rows as unpruned filtered reads; files without
+    stats are conservatively kept; expire trims the sidecar."""
+    o = load_table(spark, SF_DIR, "orders")
+    mx = o.agg(F.max("o_orderkey")).collect()[0][0]
+    b1, b2 = mx // 3, 2 * mx // 3
+    tbl = SnapshotTable(str(tmp_path / "t"), stats_cols=["o_orderkey"])
+    k = F.col("o_orderkey")
+    tbl.append(o.filter(k <= b1).coalesce(1))
+    tbl.append(o.filter((k > b1) & (k <= b2)).coalesce(1))
+    tbl.append(o.filter(k > b2).coalesce(1))
+
+    where = ("o_orderkey", b1 + 1, b2)
+    kept, total = tbl.plan_files(where=where)
+    assert total == 3 and len(kept) == 1
+    want = o.filter((k > b1) & (k <= b2)).count()
+    assert tbl.read(spark, where=where).count() == want
+    # a predicate spanning two tertiles keeps two files
+    kept2, _ = tbl.plan_files(where=("o_orderkey", b1 + 1, mx))
+    assert len(kept2) == 2
+    # no-stats table: nothing pruned, same rows
+    tbl2 = SnapshotTable(str(tmp_path / "u"))  # no stats_cols
+    tbl2.append(o.filter(k <= b1).coalesce(1))
+    tbl2.append(o.filter(k > b1).coalesce(1))
+    kept3, total3 = tbl2.plan_files(where=("o_orderkey", 1, 1))
+    assert (len(kept3), total3) == (2, 2)
+    # stats survive commit types that add no files (rollback), and
+    # expire trims sidecar entries for reclaimed files
+    tbl.overwrite(o.filter(k <= b1).coalesce(1))
+    v = tbl.snapshots()[-1]
+    deleted = tbl.expire(keep_from=v)
+    assert deleted
+    stats = tbl._load_stats()
+    assert set(stats) == set(tbl._manifest(v))
+    # all-pruned predicate: empty result, schema intact
+    out = tbl.read(spark, where=("o_orderkey", mx + 10, mx + 20))
+    assert out.count() == 0 and "o_totalprice" in out.columns
+
+
+def test_lifecycle_model_randomized(spark, tmp_path):
+    """Model-based check of the WHOLE snapshot lifecycle: a seeded
+    random sequence of append / overwrite / stage / publish / rollback
+    / compact / expire runs against both the real SnapshotTable and a
+    pure-Python visibility model (sets of row ids per snapshot). After
+    every operation, latest-published visibility and history ops must
+    match the model; at the end, every surviving snapshot's rows match.
+    Catches cross-operation interactions no single-op test covers
+    (e.g. the stage-inherit and frozen-publish bugs found this round)."""
+    import random
+
+    rng = random.Random(20260814)
+    tbl = SnapshotTable(str(tmp_path / "t"))
+
+    def batch(ids):
+        return spark.createDataFrame(
+            [(int(i),) for i in ids], "rid long"
+        ).coalesce(1)
+
+    # model state
+    vis: dict[int, frozenset] = {}  # snapshot -> visible row ids
+    ops: dict[int, str] = {}
+    staged: dict[str, tuple[int, frozenset]] = {}  # wap -> (v, own rows)
+    published: list[int] = []
+    next_id = 0
+    wap_n = 0
+
+    def fresh(n):
+        nonlocal next_id
+        ids = frozenset(range(next_id, next_id + n))
+        next_id += n
+        return ids
+
+    for step in range(28):
+        choices = ["append", "overwrite", "stage"]
+        if staged:
+            choices.append("publish")
+        if len(published) >= 2:
+            choices += ["rollback", "expire"]
+        if published:
+            choices.append("compact")
+        op = rng.choice(choices)
+        if op == "append":
+            ids = fresh(rng.randint(1, 4))
+            v = tbl.append(batch(ids))
+            base = vis[published[-1]] if published else frozenset()
+            vis[v] = base | ids
+            ops[v] = "append"
+            published.append(v)
+        elif op == "overwrite":
+            ids = fresh(rng.randint(1, 4))
+            v = tbl.overwrite(batch(ids))
+            vis[v] = ids
+            ops[v] = "overwrite"
+            published.append(v)
+        elif op == "stage":
+            wap_n += 1
+            wap = f"w{wap_n}"
+            ids = fresh(rng.randint(1, 4))
+            v = tbl.stage_append(batch(ids), wap_id=wap)
+            base = vis[published[-1]] if published else frozenset()
+            vis[v] = base | ids
+            ops[v] = "stage"
+            staged[wap] = (v, ids)
+        elif op == "publish":
+            wap = rng.choice(sorted(staged))
+            sv, own = staged.pop(wap)
+            v = tbl.publish(wap)
+            base = vis[published[-1]] if published else frozenset()
+            vis[v] = base | own
+            ops[v] = "publish"
+            published.append(v)
+        elif op == "rollback":
+            to = rng.choice(published)
+            v = tbl.rollback(to=to)
+            vis[v] = vis[to]
+            ops[v] = "rollback"
+            published.append(v)
+        elif op == "compact":
+            v = tbl.compact(spark)
+            vis[v] = vis[published[-1]]
+            ops[v] = "replace"
+            published.append(v)
+        else:  # expire
+            keep = rng.choice(published[1:-1] or published)
+            try:
+                tbl.expire(keep_from=keep)
+            except ValueError:
+                continue  # would delete every snapshot — model skips too
+            for v in [v for v in vis if v < keep]:
+                del vis[v]
+                ops.pop(v, None)
+            published = [v for v in published if v >= keep]
+            staged = {
+                w: (sv, own) for w, (sv, own) in staged.items() if sv >= keep
+            }
+        # invariants after every op
+        assert tbl.history() == sorted(ops.items()), f"step {step} ({op})"
+        if published:
+            got = {
+                r.rid for r in tbl.read(spark).collect()
+            }
+            assert got == set(vis[published[-1]]), f"step {step} ({op})"
+    # final: every surviving snapshot matches the model
+    for v in tbl.snapshots():
+        got = {r.rid for r in tbl.read(spark, as_of=v).collect()}
+        assert got == set(vis[v]), f"snapshot {v}"
