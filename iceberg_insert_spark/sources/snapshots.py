@@ -601,14 +601,21 @@ def q_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
                / 100.0
     FROM orders WHERE o_orderkey % 5 = 0
+    UNION ALL
+    SELECT CAST(5 AS BIGINT), 'rollback', COUNT(*),
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0
+    FROM orders
     """,
 )
 def q_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg ``table.history`` / ``table.snapshots`` metadata tables,
     DuckDB-oracled end-to-end: orders land in three append snapshots
-    (keys %3 = 0, 1, 2) followed by one OVERWRITE (keys %5 = 0); the
-    query emits one row per surviving snapshot — id, operation (from
-    manifest metadata, never the data), and the summary counters
+    (keys %3 = 0, 1, 2), then an OVERWRITE (keys %5 = 0), then a
+    ROLLBACK to snapshot 3 (undoing the overwrite — full visibility
+    again, metadata-only); the query emits one row per surviving
+    snapshot — id, operation (from manifest metadata, never the data),
+    and the summary counters
     Iceberg keeps in each snapshot's `summary` map (total-records,
     total line value) — which must equal the oracle's per-visibility-set
     reconstruction. This was the round-5 parked item: per-FILE metadata
@@ -635,7 +642,8 @@ def q_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in range(3):
         tbl.append(o.filter(F.col("o_orderkey") % 3 == r))
     tbl.overwrite(o.filter(F.col("o_orderkey") % 5 == 0))
-    # One summary row per snapshot: the loop is over the 4-entry manifest
+    tbl.rollback(to=3)
+    # One summary row per snapshot: the loop is over the 5-entry manifest
     # list (metadata), not data; each read plans exactly the files its
     # manifest names.
     parts = [
