@@ -71,40 +71,73 @@ class SnapshotTable:
         except FileNotFoundError:
             return {}
 
+    @staticmethod
+    def _stat_value(v):
+        """Footer stat -> JSON-storable value whose ORDERING matches the
+        column's. int/float/str store as-is; date/timestamp as ISO
+        strings (lexicographic == chronological, so pruning compares
+        correctly against ISO-string bounds in ``where``); anything
+        else (binary, nested) -> None = don't record, pruning keeps the
+        file conservatively."""
+        import datetime
+
+        if isinstance(v, bool):
+            return None
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat()
+        if isinstance(v, (int, float, str)):
+            return v
+        return None
+
     def _record_stats(self, new_files: list[str]) -> None:
         """Footer-read [min, max] per stats column for freshly written
         files, merged into the sidecar with the same atomic-rename
         contract as manifests. Files are immutable, so an entry never
         changes once written; a column without usable footer stats is
-        simply absent (pruning treats absence as 'must read')."""
+        simply absent (pruning treats absence as 'must read').
+
+        Columns are located by ``path_in_schema`` on the parquet LEAF
+        columns — an Arrow top-level field index is a different index
+        space once nested columns exist (review catch: a struct before
+        the stats column would have recorded the wrong leaf's range and
+        made pruning drop matching rows)."""
         import pyarrow.parquet as pq
 
         stats = self._load_stats()
         for rel in new_files:
             md = pq.ParquetFile(os.path.join(self.path, rel)).metadata
+            if md.num_row_groups == 0:
+                continue
+            rg0 = md.row_group(0)
+            leaf = {
+                rg0.column(i).path_in_schema: i
+                for i in range(rg0.num_columns)
+            }
             ent = {}
             for c in self.stats_cols:
-                idx = md.schema.to_arrow_schema().get_field_index(c)
-                if idx < 0:
+                idx = leaf.get(c)
+                if idx is None:
                     continue
                 mins: list = []
                 maxs: list = []
-                ok = md.num_row_groups > 0
+                ok = True
                 for rg in range(md.num_row_groups):
                     st = md.row_group(rg).column(idx).statistics
                     if st is None or not st.has_min_max:
                         ok = False
                         break
-                    mins.append(st.min)
-                    maxs.append(st.max)
+                    lo = self._stat_value(st.min)
+                    hi = self._stat_value(st.max)
+                    if lo is None or hi is None:
+                        ok = False
+                        break
+                    mins.append(lo)
+                    maxs.append(hi)
                 if ok:
                     ent[c] = [min(mins), max(maxs)]
             if ent:
                 stats[rel] = ent
-        tmp = self._stats_path() + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(stats, fh)
-        os.rename(tmp, self._stats_path())
+        self._atomic_json(self._stats_path(), stats)
 
     def plan_files(
         self, where: tuple | None = None, as_of: int | None = None
@@ -189,23 +222,32 @@ class SnapshotTable:
             meta["token"] = token
         if wap_id is not None:
             meta["wap_id"] = wap_id
-        # Stats before manifest: a crash in between leaves orphan stats
-        # entries (harmless), never a manifest whose files lack stats.
+        # Manifest BEFORE stats (review catch): pruning treats a missing
+        # stats entry as 'must read', so a crash after the manifest
+        # commit leaves a valid, conservatively-readable snapshot —
+        # while a stats failure BEFORE the manifest would strand the
+        # _snap=N data dir and brick every subsequent commit on
+        # mode('error') path-exists.
+        self._write_manifest(v, meta)
         if self.stats_cols and new_files:
             self._record_stats(new_files)
-        self._write_manifest(v, meta)
         return v
 
-    def _write_manifest(self, v: int, meta: dict) -> None:
-        # Atomic metadata swap (Iceberg's commit contract): a manifest must
-        # never be observable half-written, so write to a temp name and
-        # os.rename() into place — rename is atomic on POSIX, so readers see
-        # either no v{N}.json or a complete one.
-        final = os.path.join(self._mdir, f"v{v}.json")
-        tmp = final + ".tmp"
+    @staticmethod
+    def _atomic_json(path: str, obj) -> None:
+        """Atomic metadata swap (Iceberg's commit contract): metadata must
+        never be observable half-written, so write to a temp name and
+        os.rename() into place — rename is atomic on POSIX, so readers see
+        either no file or a complete one. The ONE spelling of this
+        contract; manifests, the stats sidecar, and expire's sidecar trim
+        all go through it."""
+        tmp = path + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump(meta, fh)
-        os.rename(tmp, final)
+            json.dump(obj, fh)
+        os.rename(tmp, path)
+
+    def _write_manifest(self, v: int, meta: dict) -> None:
+        self._atomic_json(os.path.join(self._mdir, f"v{v}.json"), meta)
 
     def history(self) -> list[tuple[int, str]]:
         """(snapshot_id, operation) per surviving snapshot, oldest first —
@@ -387,6 +429,7 @@ class SnapshotTable:
         spark: SparkSession,
         as_of: int | None = None,
         where: tuple | None = None,
+        plan: list[str] | None = None,
     ) -> DataFrame:
         """Read the table as of snapshot ``as_of`` (default: latest). The
         file list comes from the manifest, never a directory walk.
@@ -395,7 +438,13 @@ class SnapshotTable:
         (``plan_files`` prunes stats-disjoint files), then applies the
         predicate as a residual filter on the surviving files — the
         result is identical to an unpruned filtered read; only the IO
-        changes. Exactly an engine consuming Iceberg manifests."""
+        changes. Exactly an engine consuming Iceberg manifests.
+        Date/timestamp stats are stored as ISO strings, so bounds for
+        those columns are ISO strings too (lexicographic ==
+        chronological; the residual filter still compares natively).
+        A caller that already ran ``plan_files`` (e.g. to report the
+        counters) passes the kept list via ``plan`` so the metadata
+        pass isn't paid twice."""
         snaps = self.snapshots()
         if not snaps:
             raise ValueError(
@@ -422,10 +471,17 @@ class SnapshotTable:
         if where is None:
             rels = self._manifest(v)
         else:
-            rels, _ = self.plan_files(where=where, as_of=v)
+            rels = (
+                list(plan)
+                if plan is not None
+                else self.plan_files(where=where, as_of=v)[0]
+            )
             if not rels:
-                # every file pruned: an empty frame with the table schema
-                rels = self._manifest(v)
+                # every file pruned: an empty frame with the table
+                # schema, recovered from ONE file — handing Spark the
+                # whole manifest here would pay full planning IO on
+                # exactly the path pruning proved needs none.
+                rels = self._manifest(v)[:1]
                 df = spark.read.parquet(
                     *[os.path.join(self.path, f) for f in rels]
                 )
@@ -469,10 +525,7 @@ class SnapshotTable:
             stats = self._load_stats()
             trimmed = {k: s for k, s in stats.items() if k not in set(doomed)}
             if len(trimmed) != len(stats):
-                tmp = self._stats_path() + ".tmp"
-                with open(tmp, "w") as fh:
-                    json.dump(trimmed, fh)
-                os.rename(tmp, self._stats_path())
+                self._atomic_json(self._stats_path(), trimmed)
         return doomed
 
 
@@ -860,7 +913,7 @@ def q_snapshot_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl.append(o.filter(k > b2).coalesce(1))
     where = ("o_orderkey", b1 + 1, b2)
     kept, total = tbl.plan_files(where=where)
-    return tbl.read(spark, where=where).agg(
+    return tbl.read(spark, where=where, plan=kept).agg(
         F.lit(total).cast("bigint").alias("n_files_total"),
         F.lit(len(kept)).cast("bigint").alias("n_files_scanned"),
         F.count(F.lit(1)).alias("n_orders"),

@@ -471,3 +471,53 @@ def test_lifecycle_model_randomized(spark, tmp_path):
     for v in tbl.snapshots():
         got = {r.rid for r in tbl.read(spark, as_of=v).collect()}
         assert got == set(vis[v]), f"snapshot {v}"
+
+
+def test_stats_pruning_date_and_nested_columns(spark, tmp_path):
+    """Review-catch coverage: (a) date stats store as ISO strings and
+    prune correctly with ISO bounds (lexicographic == chronological);
+    (b) a nested column AHEAD of the stats column must not shift the
+    footer column index (leaf lookup is by path_in_schema) — the bug
+    shape was recording the wrong leaf's range and silently dropping
+    rows; (c) binary-ish/unsupported stats types are skipped, not
+    crashed on, and the commit survives."""
+    o = load_table(spark, SF_DIR, "orders")
+    # (a) timestamp column stats: stored as ISO strings, pruned with
+    # ISO-string bounds (lexicographic == chronological; the fixture's
+    # o_orderdate is a TIMESTAMP spanning 1995..2001)
+    t1 = SnapshotTable(str(tmp_path / "d"), stats_cols=["o_orderdate"])
+    t1.append(o.filter(F.col("o_orderdate") < "1998-01-01").coalesce(1))
+    t1.append(o.filter(F.col("o_orderdate") >= "1998-01-01").coalesce(1))
+    where = ("o_orderdate", "1999-06-01", "2002-12-31")
+    kept, total = t1.plan_files(where=where)
+    assert (len(kept), total) == (1, 2)
+    want = o.filter(
+        (F.col("o_orderdate") >= "1999-06-01")
+        & (F.col("o_orderdate") <= "2002-12-31")
+    ).count()
+    assert want > 0
+    assert t1.read(spark, where=where).count() == want
+    # (b) nested struct BEFORE the stats column
+    df = spark.sql(
+        "SELECT named_struct('a', id * 10, 'b', id * 100) AS meta, "
+        "id AS k FROM range(100)"
+    )
+    t2 = SnapshotTable(str(tmp_path / "n"), stats_cols=["k"])
+    t2.append(df.filter("k < 50").coalesce(1))
+    t2.append(df.filter("k >= 50").coalesce(1))
+    # k-range [0, 49] lives only in file 1; the broken index space would
+    # have recorded meta.b's range ([0, 4900]) for k and pruned nothing
+    # (or, with other layouts, the wrong file)
+    kept2, total2 = t2.plan_files(where=("k", 60, 70))
+    assert (len(kept2), total2) == (1, 2)
+    assert {r.k for r in t2.read(spark, where=("k", 60, 70)).collect()} == set(
+        range(60, 71)
+    )
+    # (c) unsupported stats type (binary): commit fine, no stats entry
+    dfb = spark.sql("SELECT CAST('ab' AS BINARY) AS raw, id AS k FROM range(5)")
+    t3 = SnapshotTable(str(tmp_path / "b"), stats_cols=["raw"])
+    t3.append(dfb.coalesce(1))
+    assert t3.read(spark).count() == 5
+    assert t3._load_stats() == {} or all(
+        "raw" not in e for e in t3._load_stats().values()
+    )
