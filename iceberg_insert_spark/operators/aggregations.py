@@ -1278,3 +1278,108 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@query(
+    "q_quality_constraints",
+    oracle="""
+    WITH dirty AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 101 = 0 THEN -o_custkey
+                    ELSE o_custkey END AS o_custkey,
+               CASE WHEN o_orderkey % 103 = 0 THEN -o_totalprice
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey % 109 = 0
+    )
+    SELECT 'pk_unique' AS constraint_name,
+           (SELECT COUNT(*) FROM (
+               SELECT o_orderkey FROM dirty
+               GROUP BY 1 HAVING COUNT(*) > 1)) AS n_violations
+    UNION ALL
+    SELECT 'status_not_null',
+           (SELECT COUNT(*) FROM dirty WHERE o_orderstatus IS NULL)
+    UNION ALL
+    SELECT 'custkey_fk',
+           (SELECT COUNT(*) FROM dirty
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+    UNION ALL
+    SELECT 'totalprice_positive',
+           (SELECT COUNT(*) FROM dirty WHERE o_totalprice <= 0)
+    """,
+)
+def q_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-validation gate (the dbt-test / Deequ shape): one row
+    per declared constraint with its violation count over a batch —
+    primary-key uniqueness, NOT NULL, foreign-key membership, and a
+    value-range rule. The clean fixture would make every count 0 (a
+    vacuous check), so the batch under test is the orders table with
+    DETERMINISTIC planted violations — keys %97 null their status,
+    %101 negate the customer FK, %103 negate the price, %109 duplicate
+    the PK row — reconstructed identically in the oracle, so each
+    check's count is exact and nonzero.
+
+    Scale shape: the dirty batch feeds four consumers, so it is
+    materialized once (localCheckpoint, the scan-audit discipline);
+    uniqueness is one groupBy on the key, NOT-NULL/range are scan
+    aggregates, and the FK check is a BROADCAST anti-join (the customer
+    key set is dimension-sized; at 100 TB a huge dimension would flip
+    to a shuffled anti-join, same plan shape). Each check collapses to
+    one row executor-side; the gate ships |constraints| rows, never
+    violating rows — those stay queryable by re-running the predicate.
+    """
+    from functools import reduce
+
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    dirty = (
+        o.select(
+            "o_orderkey",
+            F.when(k % 97 == 0, F.lit(None))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            F.when(k % 101 == 0, -F.col("o_custkey"))
+            .otherwise(F.col("o_custkey"))
+            .alias("o_custkey"),
+            F.when(k % 103 == 0, -F.col("o_totalprice"))
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            o.filter(k % 109 == 0).select(
+                "o_orderkey", "o_orderstatus", "o_custkey", "o_totalprice"
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    pk = (
+        dirty.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(
+            F.lit("pk_unique").alias("constraint_name"),
+            F.count(F.lit(1)).alias("n_violations"),
+        )
+    )
+    nn = dirty.filter(F.col("o_orderstatus").isNull()).agg(
+        F.lit("status_not_null").alias("constraint_name"),
+        F.count(F.lit(1)).alias("n_violations"),
+    )
+    fk = dirty.join(
+        F.broadcast(cust),
+        dirty["o_custkey"] == cust["c_custkey"],
+        "left_anti",
+    ).agg(
+        F.lit("custkey_fk").alias("constraint_name"),
+        F.count(F.lit(1)).alias("n_violations"),
+    )
+    rng = dirty.filter(F.col("o_totalprice") <= 0).agg(
+        F.lit("totalprice_positive").alias("constraint_name"),
+        F.count(F.lit(1)).alias("n_violations"),
+    )
+    return reduce(DataFrame.unionAll, [pk, nn, fk, rng])

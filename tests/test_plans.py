@@ -491,3 +491,15 @@ def test_threshold_sweep_parallel_bounded_pairs(spark):
     assert "CartesianProduct" not in p
     # streamed-side spread: the round-robin repartition exchange
     assert "RoundRobinPartitioning" in p
+
+
+def test_quality_constraints_broadcast_fk_check(spark):
+    """The FK membership check must be a BROADCAST anti-join (the
+    customer key set is dimension-sized) — a shuffled anti-join would
+    exchange the full batch per constraint — and the dirty batch must
+    not recompile per check (it is checkpointed once)."""
+    p = plan_of(QUERIES["q_quality_constraints"](spark, SF_DIR))
+    assert "LeftAnti" in p
+    anti = p[p.index("LeftAnti"):][:400]
+    assert "Broadcast" in anti or "BroadcastExchange" in p
+    assert p.count("orders.parquet") == 0  # all consumers read the checkpoint
