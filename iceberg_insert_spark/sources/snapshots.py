@@ -39,6 +39,13 @@ from ..registry import query
 from ..tables import exact_sum, load_table
 
 
+class CommitConflict(RuntimeError):
+    """A replace-type commit found the table advanced past the snapshot
+    it planned against (Iceberg's optimistic-concurrency validation
+    failure). The operation made no commit; re-run it against the
+    current state."""
+
+
 class SnapshotTable:
     """Append-only parquet table with Iceberg-style snapshot manifests.
 
@@ -185,6 +192,30 @@ class SnapshotTable:
         with open(os.path.join(self._mdir, f"v{v}.json")) as fh:
             return json.load(fh)["files"]
 
+    def _claim_version(self) -> int:
+        """Atomically claim the next snapshot version via O_EXCL claim
+        files — the optimistic-concurrency half of Iceberg's commit
+        protocol. Two writers racing the same table each get a DISTINCT
+        version (the loser's open(..., 'x') fails and it probes the
+        next one), so concurrent data writes can never interleave into
+        one _snap=N dir. A writer that crashes after claiming burns its
+        version (a numbering gap, exactly like Iceberg's lost attempt
+        ids) — readers never see it because no manifest exists."""
+        os.makedirs(self._mdir, exist_ok=True)
+        snaps = self.snapshots()
+        v = (snaps[-1] + 1) if snaps else 1
+        for _ in range(1000):
+            try:
+                fd = os.open(
+                    os.path.join(self._mdir, f"claim-v{v}"),
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                )
+                os.close(fd)
+                return v
+            except FileExistsError:
+                v += 1
+        raise RuntimeError("could not claim a snapshot version")
+
     def _commit(
         self,
         df: DataFrame,
@@ -192,12 +223,25 @@ class SnapshotTable:
         token: str | None = None,
         op: str | None = None,
         wap_id: str | None = None,
+        expected_base: int | None = None,
     ) -> int:
-        os.makedirs(self._mdir, exist_ok=True)
-        snaps = self.snapshots()
-        v = (snaps[-1] + 1) if snaps else 1
+        v = self._claim_version()
         d = os.path.join(self.path, f"_snap={v}")
         df.write.mode("error").parquet(d)
+        # Replace-type commits (compaction) planned their output from a
+        # specific base snapshot; if main moved while the rewrite ran, a
+        # blind replace would DROP the concurrent commit's rows (lost
+        # update). Iceberg's validation rule: abort, caller re-plans.
+        # Checked AFTER the data write, immediately before the manifest
+        # swap — the narrowest window this single-node twin can offer.
+        if (
+            expected_base is not None
+            and self._latest_published() != expected_base
+        ):
+            raise CommitConflict(
+                f"table advanced past snapshot {expected_base} during the "
+                "rewrite; re-run the operation against the current state"
+            )
         new_files = sorted(
             os.path.join(f"_snap={v}", f)
             for f in os.listdir(d)
@@ -229,9 +273,20 @@ class SnapshotTable:
         # _snap=N data dir and brick every subsequent commit on
         # mode('error') path-exists.
         self._write_manifest(v, meta)
+        self._release_claim(v)
         if self.stats_cols and new_files:
             self._record_stats(new_files)
         return v
+
+    def _release_claim(self, v: int) -> None:
+        """Claim-file hygiene after the manifest lands: the manifest
+        itself now reserves the version (snapshots() sees it), so the
+        claim marker is redundant. Unreleased claims (crashed writers)
+        just burn their version number."""
+        try:
+            os.remove(os.path.join(self._mdir, f"claim-v{v}"))
+        except FileNotFoundError:
+            pass
 
     @staticmethod
     def _atomic_json(path: str, obj) -> None:
@@ -350,9 +405,11 @@ class SnapshotTable:
                 f"no staged snapshot carries wap_id {wap_id!r}"
             )
         sv, smeta = staged
+        v = self._claim_version()
+        # base resolved AFTER the claim: a concurrent commit landing
+        # before ours is rebased under the cherry-pick.
         base = self._latest_published()
         inherited = self._manifest(base) if base is not None else []
-        v = self.snapshots()[-1] + 1
         self._write_manifest(
             v,
             {
@@ -362,6 +419,7 @@ class SnapshotTable:
                 "wap_id": wap_id,
             },
         )
+        self._release_claim(v)
         return v
 
     def _latest_published(self) -> int | None:
@@ -395,10 +453,11 @@ class SnapshotTable:
                 f"snapshot {to} is staged (write-audit-publish); "
                 "publish() its wap_id instead of rolling back to it"
             )
-        v = snaps[-1] + 1
+        v = self._claim_version()
         self._write_manifest(
             v, {"files": self._manifest(to), "op": "rollback"}
         )
+        self._release_claim(v)
         return v
 
     def compact(self, spark: SparkSession, target_files: int = 1) -> int:
@@ -418,10 +477,20 @@ class SnapshotTable:
         target-file-size (Iceberg's 512 MB default); ``coalesce`` (no
         shuffle) mirrors bin-packing — a sort-based rewrite would be
         ``q_zorder``'s layout instead."""
+        # Pin the base snapshot the rewrite planned against: if another
+        # writer commits while the (long) rewrite runs, a blind replace
+        # would silently DROP their rows. _commit validates the base is
+        # still current right before the manifest swap and raises
+        # CommitConflict otherwise — Iceberg's rewriteDataFiles
+        # validation; the caller re-runs compaction on the new state.
+        base = self._latest_published()
+        if base is None:
+            raise ValueError("nothing published to compact")
         return self._commit(
-            self.read(spark).coalesce(target_files),
+            self.read(spark, as_of=base).coalesce(target_files),
             inherit=False,
             op="replace",
+            expected_base=base,
         )
 
     def read(

@@ -521,3 +521,50 @@ def test_stats_pruning_date_and_nested_columns(spark, tmp_path):
     assert t3._load_stats() == {} or all(
         "raw" not in e for e in t3._load_stats().values()
     )
+
+
+def test_optimistic_concurrency_claims_and_conflicts(spark, tmp_path):
+    """Iceberg-style optimistic commits: (a) a claim file left by a
+    racing/crashed writer makes the next commit skip that version (a
+    burned number, never corrupted data); (b) compact validates its
+    base is still current right before the manifest swap and raises
+    CommitConflict if a concurrent append landed mid-rewrite — the
+    lost-update window a blind replace would hide; the failed attempt
+    commits nothing and a re-run succeeds."""
+    import os as _os
+
+    from iceberg_insert_spark.sources.snapshots import CommitConflict
+
+    o = load_table(spark, SF_DIR, "orders")
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.append(o.filter(F.col("o_orderkey") % 3 == 0))
+    # (a) simulate a racing writer holding the claim for v2
+    _os.makedirs(tbl._mdir, exist_ok=True)
+    open(_os.path.join(tbl._mdir, "claim-v2"), "x").close()
+    v = tbl.append(o.filter(F.col("o_orderkey") % 3 == 1))
+    assert v == 3  # v2 burned, not reused
+    assert tbl.snapshots() == [1, 3]
+    assert tbl.read(spark).count() == o.filter(
+        F.col("o_orderkey") % 3 < 2
+    ).count()
+
+    # (b) compact vs concurrent append: patch read() to append midway,
+    # reproducing a commit landing while the rewrite runs
+    orig_read = SnapshotTable.read
+    def racing_read(self, spark_, as_of=None, **kw):
+        df = orig_read(self, spark_, as_of=as_of, **kw)
+        # concurrent writer lands AFTER the rewrite planned its input
+        tbl.append(o.filter(F.col("o_orderkey") % 3 == 2))
+        return df
+    SnapshotTable.read = racing_read
+    try:
+        with pytest.raises(CommitConflict, match="advanced past"):
+            tbl.compact(spark)
+    finally:
+        SnapshotTable.read = orig_read
+    # nothing replaced: the concurrent append's rows are all present
+    assert tbl.read(spark).count() == o.count()
+    # re-running compaction on the settled state succeeds
+    v2 = tbl.compact(spark)
+    assert tbl.history()[-1] == (v2, "replace")
+    assert tbl.read(spark).count() == o.count()
