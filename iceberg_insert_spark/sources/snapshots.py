@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -192,29 +193,65 @@ class SnapshotTable:
         with open(os.path.join(self._mdir, f"v{v}.json")) as fh:
             return json.load(fh)["files"]
 
-    def _claim_version(self) -> int:
-        """Atomically claim the next snapshot version via O_EXCL claim
-        files — the optimistic-concurrency half of Iceberg's commit
-        protocol. Two writers racing the same table each get a DISTINCT
-        version (the loser's open(..., 'x') fails and it probes the
-        next one), so concurrent data writes can never interleave into
-        one _snap=N dir. A writer that crashes after claiming burns its
-        version (a numbering gap, exactly like Iceberg's lost attempt
-        ids) — readers never see it because no manifest exists."""
+    COMMIT_LOCK_STALE_SEC = 60.0
+
+    @contextmanager
+    def _commit_lock(self):
+        """Short metadata critical section (Iceberg's metastore CAS /
+        lock): version assignment, rebase, and the manifest swap happen
+        under it, so concurrent commits land in version order and every
+        append's manifest includes everything committed before it — the
+        expensive data write stays OUTSIDE and fully parallel. O_EXCL
+        lock file; a lock older than COMMIT_LOCK_STALE_SEC is broken as
+        crashed-holder debris (commits hold it for milliseconds)."""
+        import time
+
         os.makedirs(self._mdir, exist_ok=True)
-        snaps = self.snapshots()
-        v = (snaps[-1] + 1) if snaps else 1
-        for _ in range(1000):
+        lock = os.path.join(self._mdir, "commit.lock")
+        deadline = time.monotonic() + self.COMMIT_LOCK_STALE_SEC + 5
+        while True:
             try:
-                fd = os.open(
-                    os.path.join(self._mdir, f"claim-v{v}"),
-                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-                )
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 os.close(fd)
-                return v
+                break
             except FileExistsError:
-                v += 1
-        raise RuntimeError("could not claim a snapshot version")
+                try:
+                    if (
+                        time.time() - os.path.getmtime(lock)
+                        > self.COMMIT_LOCK_STALE_SEC
+                    ):
+                        os.remove(lock)
+                        continue
+                except FileNotFoundError:
+                    continue
+                if time.monotonic() > deadline:
+                    raise RuntimeError(
+                        f"commit lock at {lock} held too long"
+                    )
+                time.sleep(0.01)
+        try:
+            yield
+        finally:
+            try:
+                os.remove(lock)
+            except FileNotFoundError:
+                pass
+
+    def _next_version(self) -> int:
+        """Next unused version number: above every committed manifest
+        AND every _snap=N data dir — an orphaned dir (a writer that
+        crashed between the dir rename and its manifest) burns its
+        number, exactly like Iceberg's lost attempt ids, instead of
+        colliding with the next commit."""
+        vs = set(self.snapshots())
+        if os.path.isdir(self.path):
+            for name in os.listdir(self.path):
+                if name.startswith("_snap="):
+                    try:
+                        vs.add(int(name.split("=", 1)[1]))
+                    except ValueError:
+                        pass
+        return (max(vs) + 1) if vs else 1
 
     def _commit(
         self,
@@ -225,23 +262,56 @@ class SnapshotTable:
         wap_id: str | None = None,
         expected_base: int | None = None,
     ) -> int:
-        v = self._claim_version()
-        d = os.path.join(self.path, f"_snap={v}")
-        df.write.mode("error").parquet(d)
-        # Replace-type commits (compaction) planned their output from a
-        # specific base snapshot; if main moved while the rewrite ran, a
-        # blind replace would DROP the concurrent commit's rows (lost
-        # update). Iceberg's validation rule: abort, caller re-plans.
-        # Checked AFTER the data write, immediately before the manifest
-        # swap — the narrowest window this single-node twin can offer.
-        if (
-            expected_base is not None
-            and self._latest_published() != expected_base
-        ):
-            raise CommitConflict(
-                f"table advanced past snapshot {expected_base} during the "
-                "rewrite; re-run the operation against the current state"
-            )
+        """Optimistic-concurrency commit, Iceberg's shape: the data
+        files are written in PARALLEL into a private staging dir (the
+        long part — minutes at scale, zero coordination), then the
+        metadata commit — version assignment, staging rename, rebase
+        against whatever landed meanwhile, conflict validation, and the
+        atomic manifest swap — happens inside a millisecond critical
+        section. Concurrent appends therefore MERGE (each manifest is
+        built after every earlier commit is visible) instead of the
+        stale-base lost-update a lock-free manifest write allows."""
+        import shutil
+        import tempfile
+
+        os.makedirs(self.path, exist_ok=True)
+        staging = tempfile.mkdtemp(prefix="_staging-", dir=self.path)
+        try:
+            sdir = os.path.join(staging, "d")
+            df.write.mode("error").parquet(sdir)
+            with self._commit_lock():
+                # Replace-type commits (compaction) planned their output
+                # from a specific base; if main moved while the rewrite
+                # ran, a blind replace would DROP the concurrent
+                # commit's rows. Iceberg's validation: abort, caller
+                # re-plans against the new state.
+                if (
+                    expected_base is not None
+                    and self._latest_published() != expected_base
+                ):
+                    raise CommitConflict(
+                        f"table advanced past snapshot {expected_base} "
+                        "during the rewrite; re-run the operation "
+                        "against the current state"
+                    )
+                v = self._next_version()
+                d = os.path.join(self.path, f"_snap={v}")
+                os.rename(sdir, d)
+                return self._finish_commit(
+                    v, d, inherit, token, op, wap_id
+                )
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+
+    def _finish_commit(
+        self,
+        v: int,
+        d: str,
+        inherit: bool,
+        token: str | None,
+        op: str | None,
+        wap_id: str | None,
+    ) -> int:
         new_files = sorted(
             os.path.join(f"_snap={v}", f)
             for f in os.listdir(d)
@@ -268,25 +338,13 @@ class SnapshotTable:
             meta["wap_id"] = wap_id
         # Manifest BEFORE stats (review catch): pruning treats a missing
         # stats entry as 'must read', so a crash after the manifest
-        # commit leaves a valid, conservatively-readable snapshot —
-        # while a stats failure BEFORE the manifest would strand the
-        # _snap=N data dir and brick every subsequent commit on
-        # mode('error') path-exists.
+        # commit leaves a valid, conservatively-readable snapshot; an
+        # orphaned _snap=N dir from a crash before the manifest burns
+        # its number via _next_version instead of bricking commits.
         self._write_manifest(v, meta)
-        self._release_claim(v)
         if self.stats_cols and new_files:
             self._record_stats(new_files)
         return v
-
-    def _release_claim(self, v: int) -> None:
-        """Claim-file hygiene after the manifest lands: the manifest
-        itself now reserves the version (snapshots() sees it), so the
-        claim marker is redundant. Unreleased claims (crashed writers)
-        just burn their version number."""
-        try:
-            os.remove(os.path.join(self._mdir, f"claim-v{v}"))
-        except FileNotFoundError:
-            pass
 
     @staticmethod
     def _atomic_json(path: str, obj) -> None:
@@ -405,21 +463,23 @@ class SnapshotTable:
                 f"no staged snapshot carries wap_id {wap_id!r}"
             )
         sv, smeta = staged
-        v = self._claim_version()
-        # base resolved AFTER the claim: a concurrent commit landing
-        # before ours is rebased under the cherry-pick.
-        base = self._latest_published()
-        inherited = self._manifest(base) if base is not None else []
-        self._write_manifest(
-            v,
-            {
-                "files": inherited + smeta["new_files"],
-                "new_files": smeta["new_files"],
-                "op": "publish",
-                "wap_id": wap_id,
-            },
-        )
-        self._release_claim(v)
+        with self._commit_lock():
+            # base resolved INSIDE the critical section: a concurrent
+            # commit landing before ours is rebased under the
+            # cherry-pick, and none can land between our rebase and
+            # our manifest swap.
+            base = self._latest_published()
+            inherited = self._manifest(base) if base is not None else []
+            v = self._next_version()
+            self._write_manifest(
+                v,
+                {
+                    "files": inherited + smeta["new_files"],
+                    "new_files": smeta["new_files"],
+                    "op": "publish",
+                    "wap_id": wap_id,
+                },
+            )
         return v
 
     def _latest_published(self) -> int | None:
@@ -453,11 +513,11 @@ class SnapshotTable:
                 f"snapshot {to} is staged (write-audit-publish); "
                 "publish() its wap_id instead of rolling back to it"
             )
-        v = self._claim_version()
-        self._write_manifest(
-            v, {"files": self._manifest(to), "op": "rollback"}
-        )
-        self._release_claim(v)
+        with self._commit_lock():
+            v = self._next_version()
+            self._write_manifest(
+                v, {"files": self._manifest(to), "op": "rollback"}
+            )
         return v
 
     def compact(self, spark: SparkSession, target_files: int = 1) -> int:

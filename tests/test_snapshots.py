@@ -524,13 +524,14 @@ def test_stats_pruning_date_and_nested_columns(spark, tmp_path):
 
 
 def test_optimistic_concurrency_claims_and_conflicts(spark, tmp_path):
-    """Iceberg-style optimistic commits: (a) a claim file left by a
-    racing/crashed writer makes the next commit skip that version (a
-    burned number, never corrupted data); (b) compact validates its
-    base is still current right before the manifest swap and raises
-    CommitConflict if a concurrent append landed mid-rewrite — the
-    lost-update window a blind replace would hide; the failed attempt
-    commits nothing and a re-run succeeds."""
+    """Iceberg-style optimistic commits: (a) an orphaned _snap=N dir
+    (a writer that crashed between the staging rename and its
+    manifest) burns that version — the next commit skips it instead of
+    colliding; (b) compact validates its base is still current inside
+    the commit critical section and raises CommitConflict if a
+    concurrent append landed mid-rewrite — the lost-update window a
+    blind replace would hide; the failed attempt commits nothing and a
+    re-run succeeds."""
     import os as _os
 
     from iceberg_insert_spark.sources.snapshots import CommitConflict
@@ -538,9 +539,8 @@ def test_optimistic_concurrency_claims_and_conflicts(spark, tmp_path):
     o = load_table(spark, SF_DIR, "orders")
     tbl = SnapshotTable(str(tmp_path / "t"))
     tbl.append(o.filter(F.col("o_orderkey") % 3 == 0))
-    # (a) simulate a racing writer holding the claim for v2
-    _os.makedirs(tbl._mdir, exist_ok=True)
-    open(_os.path.join(tbl._mdir, "claim-v2"), "x").close()
+    # (a) crashed-writer debris: data dir for v2 exists, no manifest
+    _os.makedirs(_os.path.join(tbl.path, "_snap=2"))
     v = tbl.append(o.filter(F.col("o_orderkey") % 3 == 1))
     assert v == 3  # v2 burned, not reused
     assert tbl.snapshots() == [1, 3]
@@ -568,3 +568,39 @@ def test_optimistic_concurrency_claims_and_conflicts(spark, tmp_path):
     v2 = tbl.compact(spark)
     assert tbl.history()[-1] == (v2, "replace")
     assert tbl.read(spark).count() == o.count()
+
+
+def test_concurrent_appends_merge_not_lose(spark, tmp_path):
+    """Four writers appending concurrently (shared session, one table):
+    every append lands as its own snapshot with no interleaved files,
+    and — the guarantee that matters — the FINAL visible state contains
+    ALL rows. Version assignment + rebase + manifest swap happen inside
+    the commit critical section, so a later commit's manifest always
+    includes every earlier one: concurrent appends MERGE; the stale-base
+    spelling (claim version early, build manifest lock-free) loses
+    whichever append lands its manifest last."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    o = load_table(spark, SF_DIR, "orders")
+    tbl = SnapshotTable(str(tmp_path / "t"))
+
+    def writer(r):
+        return tbl.append(o.filter(F.col("o_orderkey") % 4 == r))
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        versions = list(ex.map(writer, range(4)))
+    assert sorted(versions) == [1, 2, 3, 4]
+    # every snapshot's OWN files live in its own _snap dir (no mixing)
+    import json as _json
+
+    for v in tbl.snapshots():
+        with open(os.path.join(tbl._mdir, f"v{v}.json")) as fh:
+            meta = _json.load(fh)
+        assert all(
+            f.startswith(f"_snap={v}/") for f in meta["new_files"]
+        )
+    # no append lost: latest visibility is the union of all four
+    assert tbl.read(spark).count() == o.count()
+    assert {r.o_orderkey for r in tbl.read(spark).collect()} == {
+        r.o_orderkey for r in o.collect()
+    }
