@@ -280,6 +280,14 @@ class SnapshotTable:
             sdir = os.path.join(staging, "d")
             df.write.mode("error").parquet(sdir)
             with self._commit_lock():
+                # Token dedup DECIDED under the lock: two replays racing
+                # the same batch token both pass append_once's advisory
+                # probe, but only the first commits — the second finds
+                # the token here and becomes the no-op.
+                if token is not None:
+                    dup = self._token_index().get(token)
+                    if dup is not None and dup in self.snapshots():
+                        return dup
                 # Replace-type commits (compaction) planned their output
                 # from a specific base; if main moved while the rewrite
                 # ran, a blind replace would DROP the concurrent
@@ -342,6 +350,10 @@ class SnapshotTable:
         # orphaned _snap=N dir from a crash before the manifest burns
         # its number via _next_version instead of bricking commits.
         self._write_manifest(v, meta)
+        if token is not None:
+            idx = self._token_index()
+            idx[token] = v
+            self._atomic_json(self._tokens_path(), idx)
         if self.stats_cols and new_files:
             self._record_stats(new_files)
         return v
@@ -396,6 +408,29 @@ class SnapshotTable:
         with open(os.path.join(self._mdir, f"v{v}.json")) as fh:
             return json.load(fh).get("token")
 
+    def _tokens_path(self) -> str:
+        return os.path.join(self._mdir, "tokens.json")
+
+    def _token_index(self) -> dict:
+        """token -> snapshot version, maintained at commit time under
+        the lock — so append_once's dedup probe is ONE small JSON read
+        per micro-batch instead of opening every manifest (O(N) per
+        batch, O(N^2) across a streaming ingest's life). Falls back to
+        a manifest scan once for tables written before the index
+        existed, then repairs the index."""
+        try:
+            with open(self._tokens_path()) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            idx = {}
+            for v in self.snapshots():
+                t = self._token(v)
+                if t is not None:
+                    idx[t] = v
+            if idx:
+                self._atomic_json(self._tokens_path(), idx)
+            return idx
+
     def append_once(self, df: DataFrame, token: str) -> int:
         """IDEMPOTENT append: commit a snapshot tagged with ``token``
         unless one already carries it — Iceberg's commit-dedup idiom
@@ -403,10 +438,13 @@ class SnapshotTable:
         AT-LEAST-ONCE replay into exactly-once: a replayed micro-batch
         finds its batch-id token already committed and becomes a no-op
         instead of double-appending. Returns the (existing or new)
-        snapshot version."""
-        for v in self.snapshots():
-            if self._token(v) == token:
-                return v
+        snapshot version. The probe reads the token index (one small
+        JSON), not the manifest history; the index is re-checked inside
+        the commit critical section (via the manifest write path), so a
+        racing duplicate loses there, not at this advisory check."""
+        v = self._token_index().get(token)
+        if v is not None and v in self.snapshots():
+            return v
         return self._commit(df, inherit=True, token=token)
 
     def append(self, df: DataFrame) -> int:
@@ -655,6 +693,14 @@ class SnapshotTable:
             trimmed = {k: s for k, s in stats.items() if k not in set(doomed)}
             if len(trimmed) != len(stats):
                 self._atomic_json(self._stats_path(), trimmed)
+        # Token-index hygiene: entries for expired snapshots are already
+        # ignored (append_once checks membership in snapshots()), but
+        # trimming keeps the index bounded by the LIVE history.
+        if drop:
+            idx = self._token_index()
+            live = {t: v for t, v in idx.items() if v >= keep_from}
+            if len(live) != len(idx):
+                self._atomic_json(self._tokens_path(), live)
         return doomed
 
 

@@ -138,7 +138,12 @@ def test_snapshot_ingest_exactly_once(spark, tmp_path):
     import os
 
     mdir = os.path.join(table_dir, "_manifests")
-    for f in os.listdir(mdir):
+    manifests = [
+        f for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".json")
+    ]
+    assert manifests
+    for f in manifests:
         meta = _json.loads(open(os.path.join(mdir, f)).read())
         assert meta["files"] and meta["token"].startswith("batch-")
 
@@ -604,3 +609,35 @@ def test_concurrent_appends_merge_not_lose(spark, tmp_path):
     assert {r.o_orderkey for r in tbl.read(spark).collect()} == {
         r.o_orderkey for r in o.collect()
     }
+
+
+def test_token_index_fast_path_and_repair(spark, tmp_path):
+    """append_once's dedup probe reads the token index (one JSON), not
+    all manifests; a legacy table without the index gets it rebuilt by
+    scan-once; expire trims entries for dropped snapshots and a
+    re-sent expired token re-commits (the data is gone — replaying it
+    is correct)."""
+    import json as _json
+
+    o = load_table(spark, SF_DIR, "orders")
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    v1 = tbl.append_once(o.filter(F.col("o_orderkey") % 3 == 0), "b-0")
+    v2 = tbl.append_once(o.filter(F.col("o_orderkey") % 3 == 1), "b-1")
+    assert tbl._token_index() == {"b-0": v1, "b-1": v2}
+    # replay: no-op through the index
+    assert tbl.append_once(o.limit(5), "b-0") == v1
+    assert tbl.snapshots() == [v1, v2]
+    # legacy table: delete the index; probe falls back to a scan and
+    # repairs it
+    os.remove(tbl._tokens_path())
+    assert tbl.append_once(o.limit(5), "b-1") == v2
+    assert _json.load(open(tbl._tokens_path())) == {
+        "b-0": v1, "b-1": v2,
+    }
+    # expire drops v1; its token entry is trimmed, and re-sending the
+    # expired token commits fresh data instead of pointing at nothing
+    tbl.overwrite(o.filter(F.col("o_orderkey") % 7 == 0))
+    tbl.expire(keep_from=3)
+    assert "b-0" not in tbl._token_index()
+    v4 = tbl.append_once(o.filter(F.col("o_orderkey") % 3 == 0), "b-0")
+    assert v4 == 4 and tbl._token_index()["b-0"] == 4
