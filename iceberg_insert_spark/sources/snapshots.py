@@ -201,39 +201,70 @@ class SnapshotTable:
         lock): version assignment, rebase, and the manifest swap happen
         under it, so concurrent commits land in version order and every
         append's manifest includes everything committed before it — the
-        expensive data write stays OUTSIDE and fully parallel. O_EXCL
-        lock file; a lock older than COMMIT_LOCK_STALE_SEC is broken as
-        crashed-holder debris (commits hold it for milliseconds)."""
+        expensive data write (and the footer-stat recording) stays
+        OUTSIDE and fully parallel, keeping hold times in milliseconds.
+
+        Liveness protocol (review catches, all three):
+          * the lock file carries its holder's identity, and release
+            removes it only if STILL OURS — a breaker may have renamed
+            our stale file away and a new holder's lock may sit at the
+            path;
+          * a stale lock (older than COMMIT_LOCK_STALE_SEC — crashed
+            holder debris; live holders finish in ms) is broken by an
+            atomic RENAME to a waiter-unique name, so exactly one of N
+            simultaneous breakers wins; an unconditional remove lets
+            the slow breaker delete the lock the fast one just
+            re-acquired and admits two holders;
+          * the waiter's patience resets whenever the lock CHANGES
+            HANDS (observed mtime moves) — the timeout means 'one
+            holder stuck too long', not 'queue too long', so healthy
+            contention never aborts a commit whose data files are
+            already written."""
+        import threading
         import time
 
         os.makedirs(self._mdir, exist_ok=True)
         lock = os.path.join(self._mdir, "commit.lock")
+        me = f"{os.getpid()}-{threading.get_ident()}-{id(object())}"
+        last_mtime: float | None = None
         deadline = time.monotonic() + self.COMMIT_LOCK_STALE_SEC + 5
         while True:
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, me.encode())
                 os.close(fd)
                 break
             except FileExistsError:
                 try:
-                    if (
-                        time.time() - os.path.getmtime(lock)
-                        > self.COMMIT_LOCK_STALE_SEC
-                    ):
-                        os.remove(lock)
-                        continue
+                    mt = os.path.getmtime(lock)
                 except FileNotFoundError:
+                    continue
+                if last_mtime is None or mt != last_mtime:
+                    last_mtime = mt
+                    deadline = (
+                        time.monotonic() + self.COMMIT_LOCK_STALE_SEC + 5
+                    )
+                if time.time() - mt > self.COMMIT_LOCK_STALE_SEC:
+                    try:
+                        os.rename(lock, f"{lock}.stale-{me}")
+                        os.remove(f"{lock}.stale-{me}")
+                    except FileNotFoundError:
+                        pass  # another breaker won the rename
                     continue
                 if time.monotonic() > deadline:
                     raise RuntimeError(
-                        f"commit lock at {lock} held too long"
+                        f"commit lock at {lock} held too long by one "
+                        "holder"
                     )
                 time.sleep(0.01)
         try:
             yield
         finally:
             try:
-                os.remove(lock)
+                with open(lock) as fh:
+                    mine = fh.read() == me
+                if mine:
+                    os.remove(lock)
             except FileNotFoundError:
                 pass
 
@@ -305,9 +336,19 @@ class SnapshotTable:
                 v = self._next_version()
                 d = os.path.join(self.path, f"_snap={v}")
                 os.rename(sdir, d)
-                return self._finish_commit(
+                new_files = self._finish_commit(
                     v, d, inherit, token, op, wap_id
                 )
+            # Footer-stat recording OUTSIDE the lock (review catch:
+            # thousands of footer reads inside it would overrun the
+            # stale threshold and get a live holder's lock broken).
+            # The sidecar merge is last-writer-wins, so two concurrent
+            # recorders can drop each other's NEW entries — which only
+            # means conservative 'must read' for those files, never a
+            # wrong prune.
+            if self.stats_cols and new_files:
+                self._record_stats(new_files)
+            return v
         finally:
             shutil.rmtree(staging, ignore_errors=True)
 
@@ -319,7 +360,7 @@ class SnapshotTable:
         token: str | None,
         op: str | None,
         wap_id: str | None,
-    ) -> int:
+    ) -> list[str]:
         new_files = sorted(
             os.path.join(f"_snap={v}", f)
             for f in os.listdir(d)
@@ -344,29 +385,37 @@ class SnapshotTable:
             meta["token"] = token
         if wap_id is not None:
             meta["wap_id"] = wap_id
-        # Manifest BEFORE stats (review catch): pruning treats a missing
-        # stats entry as 'must read', so a crash after the manifest
-        # commit leaves a valid, conservatively-readable snapshot; an
-        # orphaned _snap=N dir from a crash before the manifest burns
-        # its number via _next_version instead of bricking commits.
-        self._write_manifest(v, meta)
+        # Token-index entry BEFORE the manifest (review catch): a crash
+        # between the two leaves a DANGLING index entry — harmless, the
+        # dedup probe checks membership in snapshots() — while the
+        # reverse order leaves a committed manifest whose token is
+        # missing from the index, so a stream-restart replay
+        # double-appends. Both writes happen under the commit lock.
         if token is not None:
             idx = self._token_index()
             idx[token] = v
             self._atomic_json(self._tokens_path(), idx)
-        if self.stats_cols and new_files:
-            self._record_stats(new_files)
-        return v
+        # An orphaned _snap=N dir from a crash before this manifest
+        # write burns its number via _next_version instead of bricking
+        # commits; a missing stats entry (stats are recorded after the
+        # lock) only ever means conservative 'must read'.
+        self._write_manifest(v, meta)
+        return new_files
 
     @staticmethod
     def _atomic_json(path: str, obj) -> None:
         """Atomic metadata swap (Iceberg's commit contract): metadata must
         never be observable half-written, so write to a temp name and
         os.rename() into place — rename is atomic on POSIX, so readers see
-        either no file or a complete one. The ONE spelling of this
-        contract; manifests, the stats sidecar, and expire's sidecar trim
-        all go through it."""
-        tmp = path + ".tmp"
+        either no file or a complete one. The temp name is
+        writer-unique (review catch: a shared '.tmp' lets two writers
+        interleave bytes in one temp file and rename corrupt JSON into
+        place). The ONE spelling of this contract; manifests, the
+        token index, the stats sidecar, and expire's trims all go
+        through it."""
+        import threading
+
+        tmp = f"{path}.tmp-{os.getpid()}-{threading.get_ident()}"
         with open(tmp, "w") as fh:
             json.dump(obj, fh)
         os.rename(tmp, path)
@@ -415,9 +464,12 @@ class SnapshotTable:
         """token -> snapshot version, maintained at commit time under
         the lock — so append_once's dedup probe is ONE small JSON read
         per micro-batch instead of opening every manifest (O(N) per
-        batch, O(N^2) across a streaming ingest's life). Falls back to
-        a manifest scan once for tables written before the index
-        existed, then repairs the index."""
+        batch, O(N^2) across a streaming ingest's life). Tables written
+        before the index existed fall back to a manifest scan; the scan
+        result is NOT persisted here (review catch: this runs outside
+        the lock on the probe path, and an unlocked write could clobber
+        a concurrent commit's fresh entry) — the first tokened commit
+        persists it from inside the critical section."""
         try:
             with open(self._tokens_path()) as fh:
                 return json.load(fh)
@@ -427,8 +479,6 @@ class SnapshotTable:
                 t = self._token(v)
                 if t is not None:
                     idx[t] = v
-            if idx:
-                self._atomic_json(self._tokens_path(), idx)
             return idx
 
     def append_once(self, df: DataFrame, token: str) -> int:
@@ -484,25 +534,33 @@ class SnapshotTable:
         Iceberg's append-cherry-pick semantics; stage a fresh batch if
         the overwrite invalidated the audit.) Idempotent on ``wap_id``
         (the commit-dedup idiom): re-publishing an already published
-        wap_id returns the existing publish commit."""
-        staged = pub = None
-        for v in self.snapshots():
-            with open(os.path.join(self._mdir, f"v{v}.json")) as fh:
-                m = json.load(fh)
-            if m.get("wap_id") == wap_id:
-                if m.get("op") == "stage":
-                    staged = (v, m)
-                else:
-                    pub = v
-        if pub is not None:
-            return pub
-        if staged is None:
-            raise ValueError(
-                f"no staged snapshot carries wap_id {wap_id!r}"
-            )
-        sv, smeta = staged
+        wap_id returns the existing publish commit — the
+        already-published check runs INSIDE the critical section
+        (review catch: resolved outside it, two concurrent publishes
+        of one wap_id both pass and the second lists every staged file
+        twice, doubling its rows on read). Publishes are rare and the
+        scan is manifest-JSON-only, so the in-lock cost is bounded by
+        history length in KBs."""
         with self._commit_lock():
-            # base resolved INSIDE the critical section: a concurrent
+            staged = pub = None
+            for v in self.snapshots():
+                with open(
+                    os.path.join(self._mdir, f"v{v}.json")
+                ) as fh:
+                    m = json.load(fh)
+                if m.get("wap_id") == wap_id:
+                    if m.get("op") == "stage":
+                        staged = (v, m)
+                    else:
+                        pub = v
+            if pub is not None:
+                return pub
+            if staged is None:
+                raise ValueError(
+                    f"no staged snapshot carries wap_id {wap_id!r}"
+                )
+            sv, smeta = staged
+            # base resolved inside the critical section: a concurrent
             # commit landing before ours is rebased under the
             # cherry-pick, and none can land between our rebase and
             # our manifest swap.
@@ -518,7 +576,7 @@ class SnapshotTable:
                     "wap_id": wap_id,
                 },
             )
-        return v
+            return v
 
     def _latest_published(self) -> int | None:
         """Newest main-branch (non-staged) snapshot, or None. Walks
@@ -663,44 +721,53 @@ class SnapshotTable:
 
     def expire(self, keep_from: int) -> list[str]:
         """Drop snapshots older than ``keep_from`` and delete data files no
-        surviving manifest references. Returns the deleted files."""
-        snaps = self.snapshots()
-        keep = [v for v in snaps if v >= keep_from]
-        drop = [v for v in snaps if v < keep_from]
-        if not keep:
-            raise ValueError("expire would delete every snapshot")
-        referenced = {f for v in keep for f in self._manifest(v)}
-        doomed = sorted(
-            {f for v in drop for f in self._manifest(v)} - referenced
-        )
-        # Remove the dropped manifests FIRST, then their now-unreferenced
-        # data files: a crash in between leaves orphaned data files (safe —
-        # a re-run of expire or any GC can reclaim them) rather than live
-        # manifests pointing at deleted files (a corrupt table where
-        # read(as_of=dropped) dies with a missing-file error instead of the
-        # clean "does not exist" error).
-        for v in drop:
-            os.remove(os.path.join(self._mdir, f"v{v}.json"))
+        surviving manifest references. Returns the deleted files.
+
+        The METADATA half (reachability computation, manifest removal,
+        token-index trim) runs under the commit lock — otherwise a
+        concurrent rollback could commit a manifest referencing files
+        expire is deciding to delete, or a concurrent tokened commit's
+        index entry could be clobbered by the trim's read-modify-write
+        (review catch). The (possibly long) data-file deletion happens
+        OUTSIDE the lock: once no surviving manifest references a file
+        it can never be re-referenced (rollback copies file lists from
+        surviving manifests only), and a crash mid-delete leaves only
+        harmless orphans a re-run reclaims — never a live manifest
+        pointing at deleted files."""
+        with self._commit_lock():
+            snaps = self.snapshots()
+            keep = [v for v in snaps if v >= keep_from]
+            drop = [v for v in snaps if v < keep_from]
+            if not keep:
+                raise ValueError("expire would delete every snapshot")
+            referenced = {f for v in keep for f in self._manifest(v)}
+            doomed = sorted(
+                {f for v in drop for f in self._manifest(v)} - referenced
+            )
+            for v in drop:
+                os.remove(os.path.join(self._mdir, f"v{v}.json"))
+            # Token-index hygiene: entries for expired snapshots are
+            # already ignored (append_once checks membership in
+            # snapshots()), but trimming keeps the index bounded by
+            # the LIVE history.
+            if drop:
+                idx = self._token_index()
+                live = {t: v for t, v in idx.items() if v >= keep_from}
+                if len(live) != len(idx):
+                    self._atomic_json(self._tokens_path(), live)
         for f in doomed:
             p = os.path.join(self.path, f)
             if os.path.exists(p):
                 os.remove(p)
-        # Sidecar hygiene: drop stats entries for the deleted files (a
-        # stale entry is harmless — pruning looks up by current manifest
-        # — but there is no reason to keep metadata for reclaimed data).
+        # Stats-sidecar hygiene outside the lock: a stale entry is
+        # harmless (pruning looks up by current manifest) and a lost
+        # concurrent entry is only ever conservative, same as
+        # _record_stats' own merge.
         if doomed:
             stats = self._load_stats()
             trimmed = {k: s for k, s in stats.items() if k not in set(doomed)}
             if len(trimmed) != len(stats):
                 self._atomic_json(self._stats_path(), trimmed)
-        # Token-index hygiene: entries for expired snapshots are already
-        # ignored (append_once checks membership in snapshots()), but
-        # trimming keeps the index bounded by the LIVE history.
-        if drop:
-            idx = self._token_index()
-            live = {t: v for t, v in idx.items() if v >= keep_from}
-            if len(live) != len(idx):
-                self._atomic_json(self._tokens_path(), live)
         return doomed
 
 

@@ -627,17 +627,22 @@ def test_token_index_fast_path_and_repair(spark, tmp_path):
     # replay: no-op through the index
     assert tbl.append_once(o.limit(5), "b-0") == v1
     assert tbl.snapshots() == [v1, v2]
-    # legacy table: delete the index; probe falls back to a scan and
-    # repairs it
+    # legacy table: delete the index; the probe falls back to a
+    # read-only manifest scan (no unlocked write — that could clobber
+    # a concurrent commit's fresh entry), and the NEXT tokened commit
+    # rebuilds the full index from inside the critical section
     os.remove(tbl._tokens_path())
     assert tbl.append_once(o.limit(5), "b-1") == v2
+    assert not os.path.exists(tbl._tokens_path())
+    v3 = tbl.append_once(o.limit(7), "b-2")
     assert _json.load(open(tbl._tokens_path())) == {
-        "b-0": v1, "b-1": v2,
+        "b-0": v1, "b-1": v2, "b-2": v3,
     }
-    # expire drops v1; its token entry is trimmed, and re-sending the
-    # expired token commits fresh data instead of pointing at nothing
-    tbl.overwrite(o.filter(F.col("o_orderkey") % 7 == 0))
-    tbl.expire(keep_from=3)
+    # expire drops v1/v2; their token entries are trimmed, and
+    # re-sending an expired token commits fresh data instead of
+    # pointing at nothing
+    v_ow = tbl.overwrite(o.filter(F.col("o_orderkey") % 7 == 0))
+    tbl.expire(keep_from=v_ow)
     assert "b-0" not in tbl._token_index()
-    v4 = tbl.append_once(o.filter(F.col("o_orderkey") % 3 == 0), "b-0")
-    assert v4 == 4 and tbl._token_index()["b-0"] == 4
+    v5 = tbl.append_once(o.filter(F.col("o_orderkey") % 3 == 0), "b-0")
+    assert v5 == v_ow + 1 and tbl._token_index()["b-0"] == v5
