@@ -646,3 +646,35 @@ def test_token_index_fast_path_and_repair(spark, tmp_path):
     assert "b-0" not in tbl._token_index()
     v5 = tbl.append_once(o.filter(F.col("o_orderkey") % 3 == 0), "b-0")
     assert v5 == v_ow + 1 and tbl._token_index()["b-0"] == v5
+
+
+def test_concurrent_replayed_tokens_commit_exactly_once(spark, tmp_path):
+    """Exactly-once under race: 8 workers all trying the SAME 4 batch
+    tokens concurrently (the at-least-once replay storm a crashed
+    stream driver produces). Every token must land exactly one
+    snapshot — the advisory probe can pass in many workers at once,
+    but the in-lock token decision admits one committer per token —
+    and the final row count is the union of the 4 batches, nothing
+    doubled."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    o = load_table(spark, SF_DIR, "orders")
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    batches = {f"b-{r}": o.filter(F.col("o_orderkey") % 4 == r)
+               for r in range(4)}
+
+    def replay(i):
+        tok = f"b-{i % 4}"
+        return tok, tbl.append_once(batches[tok], tok)
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(replay, range(8)))
+    # each token maps to exactly ONE version, across all replays
+    by_tok: dict = {}
+    for tok, v in results:
+        by_tok.setdefault(tok, set()).add(v)
+    assert all(len(vs) == 1 for vs in by_tok.values()), by_tok
+    assert len(tbl.snapshots()) == 4
+    assert tbl.read(spark).count() == o.count()
+    idx = tbl._token_index()
+    assert sorted(idx) == ["b-0", "b-1", "b-2", "b-3"]
