@@ -649,6 +649,31 @@ class SnapshotTable:
             expected_base=base,
         )
 
+    def compact_with_retry(
+        self,
+        spark: SparkSession,
+        target_files: int = 1,
+        max_attempts: int = 3,
+    ) -> int:
+        """``compact`` with Iceberg's standard conflict handling: on
+        ``CommitConflict`` (a commit landed during the rewrite),
+        re-plan against the NEW current state and try again — each
+        retry re-reads the advanced table, so no concurrent commit is
+        ever lost; the rewrite work is re-done, which is the price of
+        optimistic concurrency. Gives up after ``max_attempts`` under
+        sustained write pressure (run maintenance in a quieter window,
+        or partition the compaction)."""
+        last: CommitConflict | None = None
+        for _ in range(max_attempts):
+            try:
+                return self.compact(spark, target_files)
+            except CommitConflict as exc:
+                last = exc
+        raise CommitConflict(
+            f"compaction lost {max_attempts} optimistic races; "
+            f"last: {last}"
+        )
+
     def read(
         self,
         spark: SparkSession,

@@ -678,3 +678,52 @@ def test_concurrent_replayed_tokens_commit_exactly_once(spark, tmp_path):
     assert tbl.read(spark).count() == o.count()
     idx = tbl._token_index()
     assert sorted(idx) == ["b-0", "b-1", "b-2", "b-3"]
+
+
+def test_compact_with_retry_replans_after_conflict(spark, tmp_path):
+    """compact_with_retry re-plans against the advanced table after a
+    CommitConflict: the first attempt races a concurrent append and
+    aborts; the retry's rewrite INCLUDES the appended rows, so the
+    compacted table is complete. Sustained pressure exhausts
+    max_attempts and surfaces the conflict."""
+    from iceberg_insert_spark.sources.snapshots import CommitConflict
+
+    o = load_table(spark, SF_DIR, "orders")
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.append(o.filter(F.col("o_orderkey") % 3 == 0).repartition(4))
+
+    fired = {"n": 0}
+    orig_read = SnapshotTable.read
+
+    def racing_read(self, spark_, as_of=None, **kw):
+        df = orig_read(self, spark_, as_of=as_of, **kw)
+        if fired["n"] == 0:  # only the FIRST rewrite races an append
+            fired["n"] += 1
+            tbl.append(o.filter(F.col("o_orderkey") % 3 == 1))
+        return df
+
+    SnapshotTable.read = racing_read
+    try:
+        v = tbl.compact_with_retry(spark)
+    finally:
+        SnapshotTable.read = orig_read
+    assert tbl.history()[-1] == (v, "replace")
+    assert len(tbl._manifest(v)) == 1
+    # the retry re-planned: the concurrent append's rows are IN the
+    # compacted file, not dropped
+    assert tbl.read(spark).count() == o.filter(
+        F.col("o_orderkey") % 3 < 2
+    ).count()
+
+    # sustained pressure: every attempt races -> gives up loudly
+    def always_racing_read(self, spark_, as_of=None, **kw):
+        df = orig_read(self, spark_, as_of=as_of, **kw)
+        tbl.append(o.limit(1))
+        return df
+
+    SnapshotTable.read = always_racing_read
+    try:
+        with pytest.raises(CommitConflict, match="optimistic races"):
+            tbl.compact_with_retry(spark, max_attempts=2)
+    finally:
+        SnapshotTable.read = orig_read
