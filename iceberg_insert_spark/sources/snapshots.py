@@ -83,8 +83,9 @@ class SnapshotTable:
     def _stat_value(v):
         """Footer stat -> JSON-storable value whose ORDERING matches the
         column's. int/float/str store as-is; date/timestamp as ISO
-        strings (lexicographic == chronological, so pruning compares
-        correctly against ISO-string bounds in ``where``); anything
+        strings (``_norm_bound`` parses ISO-shaped strings back to
+        datetimes at prune time, so bounds of EITHER granularity —
+        date-only or full datetime — compare chronologically); anything
         else (binary, nested) -> None = don't record, pruning keeps the
         file conservatively."""
         import datetime
@@ -147,6 +148,48 @@ class SnapshotTable:
                 stats[rel] = ent
         self._atomic_json(self._stats_path(), stats)
 
+    _ISO_RE = None  # compiled lazily; matches ISO date / datetime strings
+
+    @classmethod
+    def _norm_bound(cls, v):
+        """Normalize one side of a pruning compare. Date/timestamp stats
+        are stored as ISO strings, and callers may pass bounds at a
+        DIFFERENT granularity ('1999-06-01' vs '1999-06-01T00:00:00') —
+        lexicographic order is only chronological for SAME-granularity
+        strings (round-5 advice: a date-only hi bound sorts below the
+        same instant's datetime form, so a file whose min is exactly
+        midnight of the bound got wrongly pruned while the residual
+        filter matches its rows). Any string shaped like an ISO
+        date/datetime is parsed to a real datetime (date -> midnight),
+        so mixed granularities compare chronologically; everything else
+        passes through unchanged."""
+        import datetime
+        import re
+
+        if cls._ISO_RE is None:
+            cls._ISO_RE = re.compile(
+                r"^\d{4}-\d{2}-\d{2}([T ]\d{2}:\d{2}:\d{2}(\.\d+)?)?$"
+            )
+        if isinstance(v, str) and cls._ISO_RE.match(v):
+            try:
+                return datetime.datetime.fromisoformat(v)
+            except ValueError:
+                return v
+        return v
+
+    @classmethod
+    def _provably_disjoint(cls, stat_lo, stat_hi, lo, hi) -> bool:
+        """True only when the file range [stat_lo, stat_hi] provably
+        misses [lo, hi] under normalized (granularity-safe) ordering;
+        any normalization or type mismatch -> False (conservatively
+        keep the file — pruning must never drop a matching row)."""
+        a, b = cls._norm_bound(stat_lo), cls._norm_bound(stat_hi)
+        x, y = cls._norm_bound(lo), cls._norm_bound(hi)
+        try:
+            return bool(b < x or a > y)
+        except TypeError:
+            return False
+
     def plan_files(
         self, where: tuple | None = None, as_of: int | None = None
     ) -> tuple[list[str], int]:
@@ -176,7 +219,7 @@ class SnapshotTable:
             f
             for f in files
             if (s := stats.get(f, {}).get(col)) is None
-            or not (s[1] < lo or s[0] > hi)
+            or not self._provably_disjoint(s[0], s[1], lo, hi)
         ]
         return kept, len(files)
 
@@ -189,9 +232,12 @@ class SnapshotTable:
             if f.startswith("v") and f.endswith(".json")
         )
 
-    def _manifest(self, v: int) -> list[str]:
+    def _meta(self, v: int) -> dict:
         with open(os.path.join(self._mdir, f"v{v}.json")) as fh:
-            return json.load(fh)["files"]
+            return json.load(fh)
+
+    def _manifest(self, v: int) -> list[str]:
+        return self._meta(v)["files"]
 
     COMMIT_LOCK_STALE_SEC = 60.0
 
@@ -237,6 +283,8 @@ class SnapshotTable:
             except FileExistsError:
                 try:
                     mt = os.path.getmtime(lock)
+                    with open(lock) as fh:
+                        owner = fh.read()
                 except FileNotFoundError:
                     continue
                 if last_mtime is None or mt != last_mtime:
@@ -245,11 +293,42 @@ class SnapshotTable:
                         time.monotonic() + self.COMMIT_LOCK_STALE_SEC + 5
                     )
                 if time.time() - mt > self.COMMIT_LOCK_STALE_SEC:
+                    # Break the stale lock by atomic rename, then VERIFY
+                    # we displaced the holder we observed as stale
+                    # (round-5 advice TOCTOU: between our mtime read and
+                    # the rename, the lock can change hands — heartbeats
+                    # make a live holder's mtime fresh, but a freshly
+                    # re-acquired lock could carry an old-looking mtime
+                    # for an instant). If the renamed file's owner is
+                    # NOT the stale owner we read, restore it.
+                    stale = f"{lock}.stale-{me}"
                     try:
-                        os.rename(lock, f"{lock}.stale-{me}")
-                        os.remove(f"{lock}.stale-{me}")
+                        os.rename(lock, stale)
                     except FileNotFoundError:
-                        pass  # another breaker won the rename
+                        continue  # another breaker won the rename
+                    try:
+                        with open(stale) as fh:
+                            displaced = fh.read()
+                    except FileNotFoundError:
+                        continue
+                    if displaced != owner and not os.path.exists(lock):
+                        # wrong victim and the path is still free:
+                        # best-effort restore (rename is atomic; if a
+                        # new lock appeared meanwhile this raises on
+                        # some platforms or overwrites on POSIX — the
+                        # exists() probe plus the heartbeat make that
+                        # window vanishingly small, and the displaced
+                        # holder's release check degrades safely to a
+                        # no-op).
+                        try:
+                            os.rename(stale, lock)
+                        except OSError:
+                            pass
+                        continue
+                    try:
+                        os.remove(stale)
+                    except FileNotFoundError:
+                        pass
                     continue
                 if time.monotonic() > deadline:
                     raise RuntimeError(
@@ -257,9 +336,29 @@ class SnapshotTable:
                         "holder"
                     )
                 time.sleep(0.01)
+        # Heartbeat (round-5 advice): publish/expire do O(history)
+        # manifest reads INSIDE the lock; on slow storage that can
+        # exceed COMMIT_LOCK_STALE_SEC and get a LIVE holder's lock
+        # broken — the exact lost-update the lock prevents. A daemon
+        # thread refreshes the lock mtime while held, so waiters always
+        # see a live holder as fresh; only a crashed/frozen holder goes
+        # stale.
+        stop = threading.Event()
+
+        def _beat() -> None:
+            while not stop.wait(self.COMMIT_LOCK_STALE_SEC / 4):
+                try:
+                    os.utime(lock)
+                except OSError:
+                    return  # lock broken/removed; nothing to refresh
+
+        hb = threading.Thread(target=_beat, daemon=True)
+        hb.start()
         try:
             yield
         finally:
+            stop.set()
+            hb.join(timeout=1.0)
             try:
                 with open(lock) as fh:
                     mine = fh.read() == me
@@ -307,6 +406,7 @@ class SnapshotTable:
 
         os.makedirs(self.path, exist_ok=True)
         staging = tempfile.mkdtemp(prefix="_staging-", dir=self.path)
+        schema_json = df.schema.jsonValue()
         try:
             sdir = os.path.join(staging, "d")
             df.write.mode("error").parquet(sdir)
@@ -337,7 +437,7 @@ class SnapshotTable:
                 d = os.path.join(self.path, f"_snap={v}")
                 os.rename(sdir, d)
                 new_files = self._finish_commit(
-                    v, d, inherit, token, op, wap_id
+                    v, d, inherit, token, op, wap_id, schema_json
                 )
             # Footer-stat recording OUTSIDE the lock (review catch:
             # thousands of footer reads inside it would overrun the
@@ -360,6 +460,7 @@ class SnapshotTable:
         token: str | None,
         op: str | None,
         wap_id: str | None,
+        schema_json: dict | None = None,
     ) -> list[str]:
         new_files = sorted(
             os.path.join(f"_snap={v}", f)
@@ -385,6 +486,11 @@ class SnapshotTable:
             meta["token"] = token
         if wap_id is not None:
             meta["wap_id"] = wap_id
+        if schema_json is not None:
+            # Iceberg records a schema-id per snapshot; the schema the
+            # commit wrote is THE snapshot's read schema (time travel
+            # resolves it, and zero-file snapshots stay readable).
+            meta["schema"] = schema_json
         # Token-index entry BEFORE the manifest (review catch): a crash
         # between the two leaves a DANGLING index entry — harmless, the
         # dedup probe checks membership in snapshots() — while the
@@ -567,15 +673,15 @@ class SnapshotTable:
             base = self._latest_published()
             inherited = self._manifest(base) if base is not None else []
             v = self._next_version()
-            self._write_manifest(
-                v,
-                {
-                    "files": inherited + smeta["new_files"],
-                    "new_files": smeta["new_files"],
-                    "op": "publish",
-                    "wap_id": wap_id,
-                },
-            )
+            pmeta = {
+                "files": inherited + smeta["new_files"],
+                "new_files": smeta["new_files"],
+                "op": "publish",
+                "wap_id": wap_id,
+            }
+            if "schema" in smeta:
+                pmeta["schema"] = smeta["schema"]
+            self._write_manifest(v, pmeta)
             return v
 
     def _latest_published(self) -> int | None:
@@ -596,24 +702,34 @@ class SnapshotTable:
         auditable) until ``expire`` reclaims them, and the rollback
         itself appears in ``history()`` as its own operation. Pure
         metadata: no data file is read, written, or moved, however large
-        the table."""
-        snaps = self.snapshots()
-        if to not in snaps:
-            raise ValueError(
-                f"snapshot {to} does not exist (have {snaps})"
-            )
-        if dict(self.history()).get(to) == "stage":
-            # rolling back TO a staged snapshot would put unaudited data
-            # on main — the audit gate publish() exists to enforce.
-            raise ValueError(
-                f"snapshot {to} is staged (write-audit-publish); "
-                "publish() its wap_id instead of rolling back to it"
-            )
+        the table.
+
+        Validation (existence + staged-op guard) runs INSIDE the commit
+        lock (round-5 advice): checked outside it, a concurrent expire
+        can drop snapshot ``to`` between the check and the manifest
+        copy, turning the clean error into a raw FileNotFoundError —
+        and the rollback must validate against the state it actually
+        commits over."""
         with self._commit_lock():
+            snaps = self.snapshots()
+            if to not in snaps:
+                raise ValueError(
+                    f"snapshot {to} does not exist (have {snaps})"
+                )
+            if dict(self.history()).get(to) == "stage":
+                # rolling back TO a staged snapshot would put unaudited
+                # data on main — the audit gate publish() exists to
+                # enforce.
+                raise ValueError(
+                    f"snapshot {to} is staged (write-audit-publish); "
+                    "publish() its wap_id instead of rolling back to it"
+                )
             v = self._next_version()
-            self._write_manifest(
-                v, {"files": self._manifest(to), "op": "rollback"}
-            )
+            tmeta = self._meta(to)
+            rmeta = {"files": tmeta["files"], "op": "rollback"}
+            if "schema" in tmeta:
+                rmeta["schema"] = tmeta["schema"]
+            self._write_manifest(v, rmeta)
         return v
 
     def compact(self, spark: SparkSession, target_files: int = 1) -> int:
@@ -720,6 +836,8 @@ class SnapshotTable:
             )
         if where is None:
             rels = self._manifest(v)
+            if not rels:
+                return self._empty_frame(spark, v)
         else:
             rels = (
                 list(plan)
@@ -728,10 +846,12 @@ class SnapshotTable:
             )
             if not rels:
                 # every file pruned: an empty frame with the table
-                # schema, recovered from ONE file — handing Spark the
-                # whole manifest here would pay full planning IO on
-                # exactly the path pruning proved needs none.
+                # schema, recovered from metadata or ONE file — handing
+                # Spark the whole manifest here would pay full planning
+                # IO on exactly the path pruning proved needs none.
                 rels = self._manifest(v)[:1]
+                if not rels:
+                    return self._empty_frame(spark, v)
                 df = spark.read.parquet(
                     *[os.path.join(self.path, f) for f in rels]
                 )
@@ -743,6 +863,24 @@ class SnapshotTable:
             col, lo, hi = where
             df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
         return df
+
+    def _empty_frame(self, spark: SparkSession, v: int) -> DataFrame:
+        """Typed empty frame for a snapshot whose manifest lists zero
+        data files (e.g. an overwrite from an empty input) — round-5
+        advice: spark.read.parquet() with no paths dies with an opaque
+        error. Manifests record the commit's schema, so the empty read
+        resolves from metadata; pre-schema manifests get a clean
+        error instead."""
+        from pyspark.sql import types as T
+
+        sj = self._meta(v).get("schema")
+        if sj is not None:
+            return spark.createDataFrame([], T.StructType.fromJson(sj))
+        raise ValueError(
+            f"snapshot {v} at {self.path!r} lists no data files and "
+            "records no schema (written by a pre-schema version); "
+            "cannot produce a typed empty frame"
+        )
 
     def expire(self, keep_from: int) -> list[str]:
         """Drop snapshots older than ``keep_from`` and delete data files no

@@ -727,3 +727,107 @@ def test_compact_with_retry_replans_after_conflict(spark, tmp_path):
             tbl.compact_with_retry(spark, max_attempts=2)
     finally:
         SnapshotTable.read = orig_read
+
+
+def test_pruning_mixed_granularity_timestamp_bounds(spark, tmp_path):
+    """Round-5 advice (medium): a date-only bound string sorts BELOW the
+    same instant's datetime form ('1998-06-01' < '1998-06-01T00:00:00'),
+    so lexicographic pruning dropped a file whose min timestamp is
+    exactly midnight of the hi bound — rows the residual filter (which
+    casts the date string to that midnight, inclusive <=) would match.
+    plan_files now parses ISO-shaped strings to datetimes before the
+    disjointness compare, so mixed granularities are chronological."""
+    o = load_table(spark, SF_DIR, "orders")
+    t = SnapshotTable(str(tmp_path / "g"), stats_cols=["o_orderdate"])
+    t.append(o.filter(F.col("o_orderdate") < "1998-06-01").coalesce(1))
+    t.append(o.filter(F.col("o_orderdate") >= "1998-06-01").coalesce(1))
+    # hi bound is date-only; the second file's min stat is the full
+    # datetime midnight form of the same day
+    where = ("o_orderdate", "1995-01-01", "1998-06-01")
+    want = o.filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") <= "1998-06-01")
+    ).count()
+    boundary = o.filter(F.col("o_orderdate") == "1998-06-01").count()
+    assert boundary > 0, "fixture must have rows exactly on the bound"
+    kept, total = t.plan_files(where=where)
+    assert total == 2 and len(kept) == 2  # second file NOT pruned
+    assert t.read(spark, where=where).count() == want
+    # the normalized compare still prunes what is truly disjoint
+    kept2, _ = t.plan_files(where=("o_orderdate", "2005-01-01", "2009-01-01"))
+    assert kept2 == []
+    # unit corners: mixed granularity overlap kept; type mismatch kept;
+    # plain ints still prune
+    pd = SnapshotTable._provably_disjoint
+    assert pd("1998-06-01T00:00:00", "1998-12-01T00:00:00",
+              "1995-01-01", "1998-06-01") is False
+    assert pd(1, 2, "a", "b") is False
+    assert pd(1, 2, 5, 9) is True
+    assert pd("2001-01-01", "2002-01-01",
+              "1999-01-01", "2000-12-31T23:59:59") is True
+
+
+def test_rollback_validates_inside_lock(spark, tmp_path):
+    """Round-5 advice: rollback's existence/staged checks run inside the
+    commit critical section, so a snapshot expired (or never committed)
+    surfaces as the clean ValueError, never a raw FileNotFoundError."""
+    o, tbl = _build(spark, tmp_path)
+    with pytest.raises(ValueError, match="does not exist"):
+        tbl.rollback(to=99)
+    # simulate the expire race: the manifest vanishes before rollback
+    os.remove(os.path.join(tbl._mdir, "v1.json"))
+    with pytest.raises(ValueError, match="does not exist"):
+        tbl.rollback(to=1)
+
+
+def test_zero_file_snapshot_reads_as_typed_empty(spark, tmp_path):
+    """Round-5 advice: an overwrite whose input wrote no part files
+    leaves a zero-file manifest; read() must return a typed empty frame
+    (schema recorded in the manifest at commit), not an opaque Spark
+    error from a path-less parquet read."""
+    o = load_table(spark, SF_DIR, "orders")
+    tbl = SnapshotTable(str(tmp_path / "z"), stats_cols=["o_orderkey"])
+    tbl.append(o)
+    v = tbl.overwrite(o.filter(F.lit(False)).repartition(1))
+    got = tbl.read(spark, as_of=v)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == o.columns
+    # pruned-read path over the same snapshot
+    assert tbl.read(spark, as_of=v, where=("o_orderkey", 0, 10)).count() == 0
+    # prior snapshot still reads fine
+    assert tbl.read(spark, as_of=1).count() == o.count()
+
+
+def test_commit_lock_heartbeat_protects_long_holder(spark, tmp_path):
+    """Round-5 advice: a LIVE holder doing long in-lock work must not
+    get its lock broken by a waiter's staleness probe — the heartbeat
+    thread refreshes the lock mtime while held. With a 0.5 s stale
+    threshold and a 2 s hold, a heartbeat-less implementation admits
+    the waiter mid-hold (overlapping critical sections)."""
+    import threading
+    import time
+
+    tbl = SnapshotTable(str(tmp_path / "hb"))
+    tbl.COMMIT_LOCK_STALE_SEC = 0.5
+    os.makedirs(tbl._mdir, exist_ok=True)
+    events = []
+
+    def holder():
+        with tbl._commit_lock():
+            events.append(("A-in", time.monotonic()))
+            time.sleep(2.0)  # 4x the stale threshold
+            events.append(("A-out", time.monotonic()))
+
+    def waiter():
+        time.sleep(0.2)
+        with tbl._commit_lock():
+            events.append(("B-in", time.monotonic()))
+            events.append(("B-out", time.monotonic()))
+
+    ts = [threading.Thread(target=holder), threading.Thread(target=waiter)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=30)
+    order = [e[0] for e in sorted(events, key=lambda e: e[1])]
+    assert order == ["A-in", "A-out", "B-in", "B-out"]
