@@ -239,6 +239,14 @@ class SnapshotTable:
     def _manifest(self, v: int) -> list[str]:
         return self._meta(v)["files"]
 
+    def _all_paths(self, v: int) -> list[str]:
+        """Every file a snapshot references: data files plus equality-
+        delete files — the reachability set expire() must respect."""
+        m = self._meta(v)
+        return list(m["files"]) + [
+            d["path"] for d in m.get("delete_files", [])
+        ]
+
     COMMIT_LOCK_STALE_SEC = 60.0
 
     @contextmanager
@@ -391,6 +399,8 @@ class SnapshotTable:
         op: str | None = None,
         wap_id: str | None = None,
         expected_base: int | None = None,
+        deletes_df: DataFrame | None = None,
+        delete_key: str | None = None,
     ) -> int:
         """Optimistic-concurrency commit, Iceberg's shape: the data
         files are written in PARALLEL into a private staging dir (the
@@ -410,6 +420,13 @@ class SnapshotTable:
         try:
             sdir = os.path.join(staging, "d")
             df.write.mode("error").parquet(sdir)
+            deldir = None
+            if deletes_df is not None:
+                # Equality-delete keys are dimension-sized (keys only);
+                # written alongside the data files in the SAME staging
+                # dir so both land — or neither lands — in one commit.
+                deldir = os.path.join(staging, "del")
+                deletes_df.write.mode("error").parquet(deldir)
             with self._commit_lock():
                 # Token dedup DECIDED under the lock: two replays racing
                 # the same batch token both pass append_once's advisory
@@ -436,8 +453,11 @@ class SnapshotTable:
                 v = self._next_version()
                 d = os.path.join(self.path, f"_snap={v}")
                 os.rename(sdir, d)
+                if deldir is not None:
+                    os.rename(deldir, os.path.join(d, "_deletes"))
                 new_files = self._finish_commit(
-                    v, d, inherit, token, op, wap_id, schema_json
+                    v, d, inherit, token, op, wap_id, schema_json,
+                    delete_key,
                 )
             # Footer-stat recording OUTSIDE the lock (review catch:
             # thousands of footer reads inside it would overrun the
@@ -461,6 +481,7 @@ class SnapshotTable:
         op: str | None,
         wap_id: str | None,
         schema_json: dict | None = None,
+        delete_key: str | None = None,
     ) -> list[str]:
         new_files = sorted(
             os.path.join(f"_snap={v}", f)
@@ -472,7 +493,8 @@ class SnapshotTable:
         # publish unaudited data (caught by
         # test_wap_rejected_stage_is_expirable).
         base = self._latest_published() if inherit else None
-        inherited = self._manifest(base) if base is not None else []
+        base_meta = self._meta(base) if base is not None else {}
+        inherited = base_meta.get("files", [])
         meta: dict = {
             "files": inherited + new_files,
             # This commit's OWN files (Iceberg's added-data-files summary):
@@ -482,6 +504,30 @@ class SnapshotTable:
             # snapshots metadata tables read this, never the data files.
             "op": op or ("append" if inherit else "overwrite"),
         }
+        # Iceberg v2 delete files: each entry records its path, equality
+        # key, and the sequence number it was committed at — a delete
+        # applies only to data files with a LOWER sequence (data seq ==
+        # the _snap=K dir), so a merge's own re-inserts survive its own
+        # deletes. Appends inherit the base's delete files (older data
+        # still needs them); overwrite/replace drop them (compaction
+        # folds deletes back into data).
+        ddir = os.path.join(d, "_deletes")
+        new_dels = []
+        if os.path.isdir(ddir):
+            new_dels = [
+                {
+                    "path": os.path.join(f"_snap={v}", "_deletes", f),
+                    "key": delete_key,
+                    "seq": v,
+                }
+                for f in sorted(os.listdir(ddir))
+                if f.endswith(".parquet")
+            ]
+        all_dels = (
+            base_meta.get("delete_files", []) if inherit else []
+        ) + new_dels
+        if all_dels:
+            meta["delete_files"] = all_dels
         if token is not None:
             meta["token"] = token
         if wap_id is not None:
@@ -618,6 +664,102 @@ class SnapshotTable:
         file from every surviving manifest forever."""
         return self._commit(df, inherit=False)
 
+    def merge(
+        self,
+        spark: SparkSession,
+        changelog: DataFrame,
+        key: str,
+        op_col: str = "_op",
+    ) -> int:
+        """MERGE INTO as ONE atomic snapshot — Iceberg v2's CDC write
+        path (round-5 verdict item #2). The changelog carries an op
+        column with 'I' (insert), 'U' (update), 'D' (delete) rows;
+        applying it writes
+
+          * an EQUALITY-DELETE file of the U∪D keys (dimension-sized —
+            keys only, never rewritten data), and
+          * data files of the I∪U rows (the new row images),
+
+        committed together in a single manifest swap: a reader sees the
+        whole changelog applied or none of it. Reads are merge-on-read
+        (``_read_mor``): data rows anti-joined against the broadcast
+        delete keys, sequence-scoped so the merge's own re-inserts
+        survive its own deletes. ``compact`` folds the deletes back
+        into data files (the replace commit drops ``delete_files``).
+
+        100 TB shape: the write is O(|changelog|) — no read-modify-write
+        of the fact table (copy-on-write MERGE rewrites every touched
+        file; equality deletes defer that cost to reads, which pay one
+        broadcast anti-join until compaction). This is exactly the
+        write-amplification trade Iceberg v2 made for CDC; the
+        reference can only blind-append (App.java:147-149).
+        """
+        if key not in changelog.columns:
+            raise ValueError(f"changelog has no key column {key!r}")
+        if op_col not in changelog.columns:
+            raise ValueError(f"changelog has no op column {op_col!r}")
+        dels = (
+            changelog.filter(F.col(op_col).isin("U", "D"))
+            .select(key)
+            .distinct()
+        )
+        upserts = changelog.filter(F.col(op_col).isin("I", "U")).drop(
+            op_col
+        )
+        return self._commit(
+            upserts,
+            inherit=True,
+            op="merge",
+            deletes_df=dels,
+            delete_key=key,
+        )
+
+    def _read_mor(
+        self, spark: SparkSession, rels: list[str], dels: list[dict]
+    ) -> DataFrame:
+        """Merge-on-read scan: union the data files (tagged with their
+        commit sequence, known from the ``_snap=K/`` path — a literal
+        per file group, no data inspection), anti-join against the
+        broadcast union of equality-delete keys with the sequence
+        visibility rule ``data_seq < delete_seq``. One broadcast hash
+        anti-join over the whole scan — the plan an Iceberg Spark
+        reader produces for an equality-delete MoR scan."""
+        from functools import reduce
+
+        keys = {d["key"] for d in dels}
+        if len(keys) != 1:
+            raise ValueError(
+                f"mixed equality-delete keys {sorted(keys)}; "
+                "one merge key per table is supported"
+            )
+        key = keys.pop()
+        by_seq: dict[int, list[str]] = {}
+        for r in rels:
+            seq = int(r.split("=", 1)[1].split(os.sep, 1)[0])
+            by_seq.setdefault(seq, []).append(r)
+        parts = [
+            spark.read.parquet(
+                *[os.path.join(self.path, f) for f in fs]
+            ).withColumn("_seq", F.lit(s).cast("long"))
+            for s, fs in sorted(by_seq.items())
+        ]
+        data = reduce(lambda a, b: a.unionByName(b), parts)
+        dparts = [
+            spark.read.parquet(os.path.join(self.path, d["path"]))
+            .select(
+                F.col(d["key"]).alias("_dkey"),
+                F.lit(d["seq"]).cast("long").alias("_dseq"),
+            )
+            for d in dels
+        ]
+        delkeys = reduce(DataFrame.unionAll, dparts)
+        return data.join(
+            F.broadcast(delkeys),
+            on=(data[key] == delkeys["_dkey"])
+            & (F.col("_seq") < F.col("_dseq")),
+            how="left_anti",
+        ).drop("_seq")
+
     def stage_append(self, df: DataFrame, wap_id: str) -> int:
         """Write-audit-publish STAGE step (Iceberg's ``spark.wap.id``
         stage-only commit): the snapshot is written and fully readable
@@ -727,8 +869,9 @@ class SnapshotTable:
             v = self._next_version()
             tmeta = self._meta(to)
             rmeta = {"files": tmeta["files"], "op": "rollback"}
-            if "schema" in tmeta:
-                rmeta["schema"] = tmeta["schema"]
+            for carry in ("schema", "delete_files"):
+                if carry in tmeta:
+                    rmeta[carry] = tmeta[carry]
             self._write_manifest(v, rmeta)
         return v
 
@@ -856,9 +999,13 @@ class SnapshotTable:
                     *[os.path.join(self.path, f) for f in rels]
                 )
                 return df.limit(0)
-        df = spark.read.parquet(
-            *[os.path.join(self.path, f) for f in rels]
-        )
+        dels = self._meta(v).get("delete_files") or []
+        if dels:
+            df = self._read_mor(spark, rels, dels)
+        else:
+            df = spark.read.parquet(
+                *[os.path.join(self.path, f) for f in rels]
+            )
         if where is not None:
             col, lo, hi = where
             df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
@@ -903,9 +1050,12 @@ class SnapshotTable:
             drop = [v for v in snaps if v < keep_from]
             if not keep:
                 raise ValueError("expire would delete every snapshot")
-            referenced = {f for v in keep for f in self._manifest(v)}
+            referenced = {
+                f for v in keep for f in self._all_paths(v)
+            }
             doomed = sorted(
-                {f for v in drop for f in self._manifest(v)} - referenced
+                {f for v in drop for f in self._all_paths(v)}
+                - referenced
             )
             for v in drop:
                 os.remove(os.path.join(self._mdir, f"v{v}.json"))
@@ -987,6 +1137,17 @@ def _read_incremental(
     for v in (from_v, to_v):
         if v not in snaps:
             raise ValueError(f"snapshot {v} does not exist (have {snaps})")
+    if tbl._meta(to_v).get("delete_files") != tbl._meta(from_v).get(
+        "delete_files"
+    ):
+        # a merge commit in the range means the delta is not purely
+        # appended files — an append-scan would silently miss the
+        # deletes (Iceberg's incremental append scan raises on
+        # overwrite/delete snapshots for the same reason).
+        raise ValueError(
+            "incremental append scan crosses a merge (delete-file) "
+            "commit; read full snapshots instead"
+        )
     new_files = sorted(
         set(tbl._manifest(to_v)) - set(tbl._manifest(from_v))
     )
@@ -1323,4 +1484,81 @@ def q_snapshot_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(len(kept)).cast("bigint").alias("n_files_scanned"),
         F.count(F.lit(1)).alias("n_orders"),
         exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
+    "q_snapshot_merge",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 3 < 2
+    ),
+    merged AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM base
+        WHERE o_orderkey % 7 NOT IN (1, 3)
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice * 2 FROM base
+        WHERE o_orderkey % 7 = 1
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 3 = 2
+    )
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_price
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO as one atomic snapshot (Iceberg v2's CDC write path),
+    DuckDB-oracled end-to-end: base = orders keys with %3 < 2; a CDC
+    changelog then DELETEs base keys with %7 == 3, UPDATEs base keys
+    with %7 == 1 to doubled totalprice, and INSERTs the held-out
+    %3 == 2 keys — applied by ``SnapshotTable.merge`` as ONE commit
+    writing an equality-delete file (U∪D keys) plus data files (I∪U
+    row images). The latest read is merge-on-read (broadcast anti-join
+    with the seq-visibility rule: deletes apply only to older data, so
+    the merge's own re-inserts survive), and must equal the oracle's
+    full rebuild of the same changelog. The doubled price is exact IEEE
+    in both engines. Multi-merge chains, compaction folding the delete
+    files, and expire reclaiming them are pinned in
+    tests/test_snapshots.py.
+
+    100 TB shape: the merge writes O(|changelog|) bytes — no
+    copy-on-write rewrite of touched data files; readers pay one
+    broadcast hash anti-join (delete keys are dimension-sized) until
+    ``compact`` folds the deletes back into data. The reference can
+    only blind-append (App.java:147-149).
+    """
+    from ..tables import scratch_dir
+
+    path = scratch_dir(spark, sf_dir, "snapshot_merge")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    tbl = SnapshotTable(path)
+    base = o.filter(k % 3 < 2)
+    tbl.append(base)
+    changelog = (
+        base.filter(k % 7 == 3)
+        .withColumn("_op", F.lit("D"))
+        .unionByName(
+            base.filter(k % 7 == 1)
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+            .withColumn("_op", F.lit("U"))
+        )
+        .unionByName(
+            o.filter(k % 3 == 2).withColumn("_op", F.lit("I"))
+        )
+    )
+    tbl.merge(spark, changelog, key="o_orderkey")
+    return (
+        tbl.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+        )
     )

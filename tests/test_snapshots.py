@@ -831,3 +831,72 @@ def test_commit_lock_heartbeat_protects_long_holder(spark, tmp_path):
         t.join(timeout=30)
     order = [e[0] for e in sorted(events, key=lambda e: e[1])]
     assert order == ["A-in", "A-out", "B-in", "B-out"]
+
+
+def test_merge_applies_changelog_atomically(spark, tmp_path):
+    """MERGE INTO as one snapshot: equality-delete keys + new row
+    images commit together; reads are merge-on-read with the sequence
+    rule (deletes apply only to OLDER data, so the merge's own
+    re-inserts survive). Chained merges re-update rows a prior merge
+    wrote; compaction folds the delete files away with identical rows;
+    expire then reclaims the folded delete files."""
+    df = spark.range(10).selectExpr("id AS k", "CAST(id * 10 AS DOUBLE) AS v")
+    tbl = SnapshotTable(str(tmp_path / "m"))
+    tbl.append(df)  # v1: k=0..9, v=10k
+
+    def chg(rows):
+        return spark.createDataFrame(rows, "k long, v double, _op string")
+
+    # merge 1: delete k=0, update k=1 -> v=111, insert k=100
+    v2 = tbl.merge(spark, chg([(0, 0.0, "D"), (1, 111.0, "U"),
+                               (100, 1.0, "I")]), key="k")
+    state2 = {r.k: r.v for r in tbl.read(spark).collect()}
+    assert 0 not in state2 and state2[1] == 111.0 and state2[100] == 1.0
+    assert len(state2) == 10  # 10 - 1 deleted + 1 inserted
+    # merge 2 re-updates the row merge 1 wrote, and deletes the insert
+    tbl.merge(spark, chg([(1, 222.0, "U"), (100, 0.0, "D")]), key="k")
+    state3 = {r.k: r.v for r in tbl.read(spark).collect()}
+    assert state3[1] == 222.0 and 100 not in state3
+    assert len(state3) == 9
+    # time travel: the merge-1 state is stable under later merges
+    assert {r.k: r.v for r in tbl.read(spark, as_of=v2).collect()} == state2
+    # history records the operation
+    assert [op for _, op in tbl.history()] == ["append", "merge", "merge"]
+    # incremental append scan across a merge must refuse, not lie
+    from iceberg_insert_spark.sources.snapshots import _read_incremental
+    with pytest.raises(ValueError, match="merge"):
+        _read_incremental(tbl, spark, 1, 3)
+    # compact folds deletes: rows identical, delete_files gone
+    vc = tbl.compact(spark)
+    assert {r.k: r.v for r in tbl.read(spark).collect()} == state3
+    assert "delete_files" not in tbl._meta(vc)
+    # expire reclaims the pre-compaction delete files
+    del_files = [d["path"] for d in tbl._meta(vc - 1)["delete_files"]]
+    assert all(os.path.exists(os.path.join(tbl.path, p)) for p in del_files)
+    doomed = tbl.expire(keep_from=vc)
+    assert set(del_files) <= set(doomed)
+    assert not any(os.path.exists(os.path.join(tbl.path, p))
+                   for p in del_files)
+    assert {r.k: r.v for r in tbl.read(spark).collect()} == state3
+
+
+def test_merge_rollback_carries_delete_files(spark, tmp_path):
+    """Rolling back TO a merge snapshot must restore its merge-on-read
+    view (delete files carried in the rollback manifest), and a pruned
+    read over a merge snapshot still applies the deletes."""
+    df = spark.range(100).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    tbl = SnapshotTable(str(tmp_path / "mr"), stats_cols=["k"])
+    tbl.append(df.coalesce(1))
+    chg = spark.createDataFrame(
+        [(int(k), 0.0, "D") for k in range(0, 100, 10)],
+        "k long, v double, _op string",
+    )
+    vm = tbl.merge(spark, chg, key="k")
+    assert tbl.read(spark).count() == 90
+    # pruned read: predicate range [0, 30] with deletes applied
+    got = {r.k for r in tbl.read(spark, where=("k", 0, 30)).collect()}
+    assert got == set(range(0, 31)) - {0, 10, 20, 30}
+    tbl.overwrite(df.filter("k < 5"))
+    assert tbl.read(spark).count() == 5
+    tbl.rollback(to=vm)
+    assert tbl.read(spark).count() == 90
