@@ -415,6 +415,28 @@ class SnapshotTable:
         import tempfile
 
         os.makedirs(self.path, exist_ok=True)
+        # Schema authority (Iceberg's model): the TABLE owns the schema;
+        # append-type commits project their frame onto the current
+        # published schema (missing columns -> typed NULL, widened
+        # columns -> exact upcast) and never change it — only evolve()
+        # DDL and replace-type commits do. The projection target is
+        # captured BEFORE the (long) data write; the commit critical
+        # section validates the schema didn't evolve meanwhile and
+        # raises CommitConflict if it did — optimistic concurrency,
+        # same as the compaction base check.
+        expected_schema_v: int | None = None
+        if inherit:
+            base0 = self._latest_published()
+            if base0 is not None:
+                bmeta0 = self._meta(base0)
+                tj = bmeta0.get("schema")
+                if tj is not None:
+                    from pyspark.sql import types as T
+
+                    df = self._project_onto(
+                        df, T.StructType.fromJson(tj)
+                    )
+                    expected_schema_v = bmeta0.get("schema_v", 1)
         staging = tempfile.mkdtemp(prefix="_staging-", dir=self.path)
         schema_json = df.schema.jsonValue()
         try:
@@ -450,6 +472,19 @@ class SnapshotTable:
                         "during the rewrite; re-run the operation "
                         "against the current state"
                     )
+                if expected_schema_v is not None:
+                    curb = self._latest_published()
+                    cur_sv = (
+                        self._meta(curb).get("schema_v", 1)
+                        if curb is not None
+                        else None
+                    )
+                    if cur_sv != expected_schema_v:
+                        raise CommitConflict(
+                            "table schema evolved during the write; "
+                            "re-run the append against the current "
+                            "schema"
+                        )
                 v = self._next_version()
                 d = os.path.join(self.path, f"_snap={v}")
                 os.rename(sdir, d)
@@ -536,7 +571,16 @@ class SnapshotTable:
             # Iceberg records a schema-id per snapshot; the schema the
             # commit wrote is THE snapshot's read schema (time travel
             # resolves it, and zero-file snapshots stay readable).
+            # ``schema_v`` = the snapshot at which this schema took
+            # effect: files from seq >= schema_v are exactly-schema
+            # (appends project onto it before writing), so a read whose
+            # files all post-date the last evolve skips per-group
+            # schema resolution entirely.
             meta["schema"] = schema_json
+            if inherit and "schema" in base_meta:
+                meta["schema_v"] = base_meta.get("schema_v", 1)
+            else:
+                meta["schema_v"] = v
         # Token-index entry BEFORE the manifest (review catch): a crash
         # between the two leaves a DANGLING index entry — harmless, the
         # dedup probe checks membership in snapshots() — while the
@@ -664,6 +708,118 @@ class SnapshotTable:
         file from every surviving manifest forever."""
         return self._commit(df, inherit=False)
 
+    @staticmethod
+    def _project_onto(df: DataFrame, target) -> DataFrame:
+        """Project a frame onto the table schema: identical schemas pass
+        through untouched; missing columns become typed NULLs, type
+        differences cast (appends of pre-widening frames upcast
+        exactly); columns the table doesn't know are an error — data
+        can't enter the table outside its schema (add_column first)."""
+        have = {f.name: f.dataType for f in df.schema.fields}
+        want = [(f.name, f.dataType) for f in target.fields]
+        if [(f.name, f.dataType) for f in df.schema.fields] == want:
+            return df
+        extra = [c for c in df.columns if c not in {n for n, _ in want}]
+        if extra:
+            raise ValueError(
+                f"append frame has columns {extra} absent from the "
+                "table schema; evolve the table first (add_column)"
+            )
+        return df.select(
+            *[
+                F.col(n).cast(t).alias(n)
+                if n in have
+                else F.lit(None).cast(t).alias(n)
+                for n, t in want
+            ]
+        )
+
+    def _evolve(self, mutate) -> int:
+        """Shared DDL commit: metadata-only, same atomic manifest swap.
+        The new snapshot copies the current file list (and delete
+        files) and records the mutated schema with ``schema_v`` = its
+        own version — from here on, files older than schema_v resolve
+        at read time (missing -> NULL, widened -> upcast), exactly
+        Iceberg's schema-id-per-snapshot resolution. Old files are
+        NEVER rewritten."""
+        from pyspark.sql import types as T
+
+        with self._commit_lock():
+            base = self._latest_published()
+            if base is None:
+                raise ValueError("nothing published to evolve")
+            meta = self._meta(base)
+            sj = meta.get("schema")
+            if sj is None:
+                raise ValueError(
+                    "table predates schema-tracking manifests; "
+                    "re-commit (append/overwrite) once to record a "
+                    "schema before evolving"
+                )
+            new_schema = mutate(T.StructType.fromJson(sj))
+            v = self._next_version()
+            emeta = {
+                "files": meta["files"],
+                "op": "evolve",
+                "schema": new_schema.jsonValue(),
+                "schema_v": v,
+            }
+            if "delete_files" in meta:
+                emeta["delete_files"] = meta["delete_files"]
+            self._write_manifest(v, emeta)
+        return v
+
+    def add_column(self, name: str, dtype) -> int:
+        """Metadata-only ADD COLUMN (Iceberg ALTER TABLE): commits an
+        ``evolve`` snapshot; pre-evolution files read as typed NULL for
+        the new column. Time travel to snapshots before the evolve
+        still returns the OLD schema — the schema lives in the
+        snapshot's manifest."""
+        from pyspark.sql import types as T
+
+        def mutate(schema: T.StructType) -> T.StructType:
+            if name in schema.fieldNames():
+                raise ValueError(f"column {name} already exists")
+            return T.StructType(
+                schema.fields + [T.StructField(name, dtype, True)]
+            )
+
+        return self._evolve(mutate)
+
+    def widen_column(self, name: str, dtype) -> int:
+        """Metadata-only type promotion; only Iceberg's value-exact
+        widenings pass (int->long, float->double) — every old value is
+        exactly representable in the new type, so the read-time upcast
+        is lossless."""
+        from pyspark.sql import types as T
+
+        from .schema_evolution import _WIDENINGS, _type_name
+
+        def mutate(schema: T.StructType) -> T.StructType:
+            if name not in schema.fieldNames():
+                raise ValueError(f"no such column: {name}")
+            old = schema[name].dataType
+            if _type_name(dtype) not in _WIDENINGS.get(
+                _type_name(old), set()
+            ):
+                raise ValueError(
+                    f"illegal promotion {_type_name(old)} -> "
+                    f"{_type_name(dtype)} (Iceberg allows int->long, "
+                    "float->double only)"
+                )
+            return T.StructType(
+                [
+                    T.StructField(
+                        f.name,
+                        dtype if f.name == name else f.dataType,
+                        f.nullable,
+                    )
+                    for f in schema.fields
+                ]
+            )
+
+        return self._evolve(mutate)
+
     def merge(
         self,
         spark: SparkSession,
@@ -714,51 +870,79 @@ class SnapshotTable:
             delete_key=key,
         )
 
-    def _read_mor(
-        self, spark: SparkSession, rels: list[str], dels: list[dict]
+    def _read_files(
+        self, spark: SparkSession, v: int, rels: list[str]
     ) -> DataFrame:
-        """Merge-on-read scan: union the data files (tagged with their
-        commit sequence, known from the ``_snap=K/`` path — a literal
-        per file group, no data inspection), anti-join against the
-        broadcast union of equality-delete keys with the sequence
-        visibility rule ``data_seq < delete_seq``. One broadcast hash
-        anti-join over the whole scan — the plan an Iceberg Spark
-        reader produces for an equality-delete MoR scan."""
+        """Scan a snapshot's (possibly pruned) file list. Fast path: one
+        multi-path parquet scan. Two metadata conditions force a
+        per-commit-group scan instead (files group by their ``_snap=K``
+        sequence — a path literal, no data inspection):
+
+          * SCHEMA RESOLUTION — files older than the schema's effective
+            version (``schema_v``) are projected onto the snapshot's
+            schema (missing -> typed NULL, widened -> exact upcast),
+            Iceberg's read-time schema-id resolution; the projections
+            are row expressions fused into each scan stage and
+            unionByName is a metadata concat — no extra shuffle;
+          * MERGE-ON-READ — equality-delete files anti-join (broadcast)
+            against the data with the sequence visibility rule
+            ``data_seq < delete_seq`` — the plan an Iceberg Spark
+            reader produces for an equality-delete MoR scan."""
         from functools import reduce
 
-        keys = {d["key"] for d in dels}
-        if len(keys) != 1:
-            raise ValueError(
-                f"mixed equality-delete keys {sorted(keys)}; "
-                "one merge key per table is supported"
-            )
-        key = keys.pop()
+        meta = self._meta(v)
+        dels = meta.get("delete_files") or []
+        sj = meta.get("schema")
+        schema_v = meta.get("schema_v", 1)
         by_seq: dict[int, list[str]] = {}
         for r in rels:
             seq = int(r.split("=", 1)[1].split(os.sep, 1)[0])
             by_seq.setdefault(seq, []).append(r)
-        parts = [
-            spark.read.parquet(
-                *[os.path.join(self.path, f) for f in fs]
-            ).withColumn("_seq", F.lit(s).cast("long"))
-            for s, fs in sorted(by_seq.items())
-        ]
-        data = reduce(lambda a, b: a.unionByName(b), parts)
-        dparts = [
-            spark.read.parquet(os.path.join(self.path, d["path"]))
-            .select(
-                F.col(d["key"]).alias("_dkey"),
-                F.lit(d["seq"]).cast("long").alias("_dseq"),
+        needs_resolve = sj is not None and any(
+            s < schema_v for s in by_seq
+        )
+        if not dels and not needs_resolve:
+            return spark.read.parquet(
+                *[os.path.join(self.path, f) for f in rels]
             )
-            for d in dels
-        ]
-        delkeys = reduce(DataFrame.unionAll, dparts)
-        return data.join(
-            F.broadcast(delkeys),
-            on=(data[key] == delkeys["_dkey"])
-            & (F.col("_seq") < F.col("_dseq")),
-            how="left_anti",
-        ).drop("_seq")
+        target = None
+        if needs_resolve:
+            from pyspark.sql import types as T
+
+            target = T.StructType.fromJson(sj)
+        parts = []
+        for s, fs in sorted(by_seq.items()):
+            df = spark.read.parquet(
+                *[os.path.join(self.path, f) for f in fs]
+            )
+            if target is not None:
+                df = self._project_onto(df, target)
+            parts.append(df.withColumn("_seq", F.lit(s).cast("long")))
+        data = reduce(lambda a, b: a.unionByName(b), parts)
+        if dels:
+            keys = {d["key"] for d in dels}
+            if len(keys) != 1:
+                raise ValueError(
+                    f"mixed equality-delete keys {sorted(keys)}; "
+                    "one merge key per table is supported"
+                )
+            key = keys.pop()
+            dparts = [
+                spark.read.parquet(os.path.join(self.path, d["path"]))
+                .select(
+                    F.col(d["key"]).alias("_dkey"),
+                    F.lit(d["seq"]).cast("long").alias("_dseq"),
+                )
+                for d in dels
+            ]
+            delkeys = reduce(DataFrame.unionAll, dparts)
+            data = data.join(
+                F.broadcast(delkeys),
+                on=(data[key] == delkeys["_dkey"])
+                & (F.col("_seq") < F.col("_dseq")),
+                how="left_anti",
+            )
+        return data.drop("_seq")
 
     def stage_append(self, df: DataFrame, wap_id: str) -> int:
         """Write-audit-publish STAGE step (Iceberg's ``spark.wap.id``
@@ -821,8 +1005,9 @@ class SnapshotTable:
                 "op": "publish",
                 "wap_id": wap_id,
             }
-            if "schema" in smeta:
-                pmeta["schema"] = smeta["schema"]
+            for carry in ("schema", "schema_v"):
+                if carry in smeta:
+                    pmeta[carry] = smeta[carry]
             self._write_manifest(v, pmeta)
             return v
 
@@ -869,7 +1054,7 @@ class SnapshotTable:
             v = self._next_version()
             tmeta = self._meta(to)
             rmeta = {"files": tmeta["files"], "op": "rollback"}
-            for carry in ("schema", "delete_files"):
+            for carry in ("schema", "schema_v", "delete_files"):
                 if carry in tmeta:
                     rmeta[carry] = tmeta[carry]
             self._write_manifest(v, rmeta)
@@ -989,9 +1174,14 @@ class SnapshotTable:
             )
             if not rels:
                 # every file pruned: an empty frame with the table
-                # schema, recovered from metadata or ONE file — handing
+                # schema, recovered from metadata (manifests record the
+                # snapshot schema — also right across schema evolution,
+                # where an arbitrary file's footer could be stale) or,
+                # for pre-schema manifests, from ONE file — handing
                 # Spark the whole manifest here would pay full planning
                 # IO on exactly the path pruning proved needs none.
+                if self._meta(v).get("schema") is not None:
+                    return self._empty_frame(spark, v)
                 rels = self._manifest(v)[:1]
                 if not rels:
                     return self._empty_frame(spark, v)
@@ -999,13 +1189,7 @@ class SnapshotTable:
                     *[os.path.join(self.path, f) for f in rels]
                 )
                 return df.limit(0)
-        dels = self._meta(v).get("delete_files") or []
-        if dels:
-            df = self._read_mor(spark, rels, dels)
-        else:
-            df = spark.read.parquet(
-                *[os.path.join(self.path, f) for f in rels]
-            )
+        df = self._read_files(spark, v, rels)
         if where is not None:
             col, lo, hi = where
             df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
@@ -1560,5 +1744,88 @@ def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "q_snapshot_schema_evolution",
+    oracle="""
+    WITH v1 AS (
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS o_totalprice,
+               CAST(NULL AS VARCHAR) AS o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 0
+    ), v2 AS (
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 1
+    ), unioned AS (
+        SELECT * FROM v1 UNION ALL SELECT * FROM v2
+    )
+    SELECT COALESCE(o_orderpriority, '<pre-evolution>') AS priority,
+           COUNT(*) AS n_orders,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+               AS sum_price_cents
+    FROM unioned
+    GROUP BY 1
+    """,
+)
+def q_snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-AWARE schema evolution (round-5 verdict item #3),
+    DuckDB-oracled end-to-end: snapshot 1 appends half of orders under
+    (o_orderkey INT, o_totalprice FLOAT); the table then evolves — widen
+    o_orderkey -> BIGINT, o_totalprice -> DOUBLE, add o_orderpriority
+    STRING — via ``evolve`` commits whose manifests version the SCHEMA
+    with the snapshot (Iceberg's schema-id-per-snapshot), and the other
+    half appends under the new schema. The latest read resolves
+    snapshot-1 files at scan time (exact float->double upcast, NULL
+    priority) and must equal the oracle's REAL-round-trip
+    reconstruction; money stays exact via floor-cents (the same
+    half-step tie rationale as q_schema_evolution, the sink-side
+    sibling this upgrades: EvolvingTable versions schemas in a sidecar,
+    this folds them into the SNAPSHOT manifests, so time travel crosses
+    schema changes — ``read(as_of=1)`` returns snapshot 1's own INT/
+    FLOAT schema, pinned in tests/test_snapshots.py).
+
+    Scale shape: evolution is metadata-only (no file rewrites ever);
+    the resolution casts are row expressions fused into each scan
+    stage, unionByName is a metadata concat — the read plan is the same
+    N parallel parquet scans it would be without evolution.
+    """
+    from pyspark.sql import types as T
+
+    from ..tables import scratch_dir
+
+    path = scratch_dir(spark, sf_dir, "snap_schema_evolution")
+    o = load_table(spark, sf_dir, "orders")
+    tbl = SnapshotTable(path)
+    tbl.append(
+        o.filter(F.col("o_orderkey") % 2 == 0).select(
+            F.col("o_orderkey").cast("int").alias("o_orderkey"),
+            F.col("o_totalprice").cast("float").alias("o_totalprice"),
+        )
+    )
+    tbl.widen_column("o_orderkey", T.LongType())
+    tbl.widen_column("o_totalprice", T.DoubleType())
+    tbl.add_column("o_orderpriority", T.StringType())
+    tbl.append(
+        o.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+    )
+    return (
+        tbl.read(spark)
+        .groupBy(
+            F.coalesce("o_orderpriority", F.lit("<pre-evolution>")).alias(
+                "priority"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+            F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_price_cents"),
         )
     )

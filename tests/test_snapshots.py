@@ -402,6 +402,7 @@ def test_lifecycle_model_randomized(spark, tmp_path):
         next_id += n
         return ids
 
+    evolve_n = 0
     for step in range(28):
         choices = ["append", "overwrite", "stage"]
         if staged:
@@ -409,7 +410,7 @@ def test_lifecycle_model_randomized(spark, tmp_path):
         if len(published) >= 2:
             choices += ["rollback", "expire"]
         if published:
-            choices.append("compact")
+            choices += ["compact", "evolve"]
         op = rng.choice(choices)
         if op == "append":
             ids = fresh(rng.randint(1, 4))
@@ -451,6 +452,16 @@ def test_lifecycle_model_randomized(spark, tmp_path):
             v = tbl.compact(spark)
             vis[v] = vis[published[-1]]
             ops[v] = "replace"
+            published.append(v)
+        elif op == "evolve":
+            # schema evolution mid-lifecycle: rows unchanged, appends
+            # after it keep working (auto-projected), history records it
+            from pyspark.sql import types as T
+
+            evolve_n += 1
+            v = tbl.add_column(f"tag{evolve_n}", T.StringType())
+            vis[v] = vis[published[-1]]
+            ops[v] = "evolve"
             published.append(v)
         else:  # expire
             keep = rng.choice(published[1:-1] or published)
@@ -900,3 +911,81 @@ def test_merge_rollback_carries_delete_files(spark, tmp_path):
     assert tbl.read(spark).count() == 5
     tbl.rollback(to=vm)
     assert tbl.read(spark).count() == 90
+
+
+def test_schema_evolution_is_snapshot_aware(spark, tmp_path):
+    """Schema lives in the snapshot manifest: time travel to a
+    pre-evolution snapshot returns THAT snapshot's schema; the latest
+    read resolves old files onto the evolved schema (missing -> NULL,
+    widened -> exact upcast); appends are auto-projected onto the
+    current table schema; illegal promotions and unknown append
+    columns are refused."""
+    from pyspark.sql import types as T
+
+    df1 = spark.range(5).selectExpr(
+        "CAST(id AS INT) AS k", "CAST(id * 1.5 AS FLOAT) AS v"
+    )
+    tbl = SnapshotTable(str(tmp_path / "se"))
+    v1 = tbl.append(df1)
+    tbl.widen_column("k", T.LongType())
+    tbl.widen_column("v", T.DoubleType())
+    tbl.add_column("tag", T.StringType())
+    df2 = spark.createDataFrame(
+        [(10, 2.5, "new")], "k long, v double, tag string"
+    )
+    tbl.append(df2)
+    # time travel: snapshot 1 keeps its own INT/FLOAT schema
+    old = tbl.read(spark, as_of=v1)
+    assert [(f.name, f.dataType.simpleString()) for f in old.schema.fields] \
+        == [("k", "int"), ("v", "float")]
+    # latest: evolved schema, old rows resolved (exact upcast + NULL tag)
+    cur = tbl.read(spark)
+    assert [(f.name, f.dataType.simpleString()) for f in cur.schema.fields] \
+        == [("k", "bigint"), ("v", "double"), ("tag", "string")]
+    rows = {r.k: (r.v, r.tag) for r in cur.collect()}
+    assert rows[10] == (2.5, "new")
+    assert rows[3] == (float(spark.sql(
+        "SELECT CAST(CAST(3 * 1.5 AS FLOAT) AS DOUBLE)").first()[0]), None)
+    assert len(rows) == 6
+    # append with the PRE-widening frame still lands (auto-projection)
+    tbl.append(spark.createDataFrame([(20, 1.0)], "k int, v float"))
+    assert tbl.read(spark).count() == 7
+    # guards
+    with pytest.raises(ValueError, match="illegal promotion"):
+        tbl.widen_column("tag", T.LongType())
+    with pytest.raises(ValueError, match="already exists"):
+        tbl.add_column("tag", T.StringType())
+    with pytest.raises(ValueError, match="absent from the table schema"):
+        tbl.append(spark.createDataFrame([(1, 1.0, "x", "y")],
+                   "k long, v double, tag string, rogue string"))
+    # history records the evolve commits
+    assert [op for _, op in tbl.history()] == [
+        "append", "evolve", "evolve", "evolve", "append", "append",
+    ]
+
+
+def test_schema_evolution_composes_with_merge_and_compact(spark, tmp_path):
+    """Evolve + merge + compact interplay: a merge after an evolve
+    anti-joins resolved old files; compaction folds both the deletes
+    and the resolution into plainly-readable files with the evolved
+    schema."""
+    from pyspark.sql import types as T
+
+    tbl = SnapshotTable(str(tmp_path / "sm"))
+    tbl.append(spark.range(10).selectExpr("CAST(id AS INT) AS k"))
+    tbl.widen_column("k", T.LongType())
+    tbl.add_column("v", T.DoubleType())
+    chg = spark.createDataFrame(
+        [(0, 0.0, "D"), (1, 11.0, "U"), (50, 5.0, "I")],
+        "k long, v double, _op string",
+    )
+    tbl.merge(spark, chg, key="k")
+    state = {r.k: r.v for r in tbl.read(spark).collect()}
+    assert 0 not in state and state[1] == 11.0 and state[50] == 5.0
+    assert state[2] is None and len(state) == 10
+    vc = tbl.compact(spark)
+    assert {r.k: r.v for r in tbl.read(spark).collect()} == state
+    meta = tbl._meta(vc)
+    assert "delete_files" not in meta
+    # compacted snapshot reads on the fast path (single scan group)
+    assert meta["schema_v"] == vc
