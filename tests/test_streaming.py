@@ -433,3 +433,68 @@ def test_streaming_session_windows(spark, workdir):
     }
     for k, v in emitted.items():
         assert want.get(k) == v, (k, v, want.get(k))
+
+
+def test_snapshot_table_as_streaming_source(spark, tmp_path_factory):
+    """SnapshotTable as a streaming source: one micro-batch per new
+    snapshot from a durable checkpoint — restart resumes with no
+    re-delivery; a crash between process and checkpoint replays the
+    batch, and the downstream append_once token makes the replay a
+    no-op (exactly-once end to end); non-append snapshots are skipped
+    only on request; merge commits always refuse."""
+    from pyspark.sql import functions as F
+
+    from iceberg_insert_spark.sources.snapshots import SnapshotTable
+    from iceberg_insert_spark.streaming.file_stream import (
+        snapshot_stream_available_now,
+    )
+
+    base = tmp_path_factory.mktemp("snapstream")
+    src = SnapshotTable(str(base / "src"))
+    sink = SnapshotTable(str(base / "sink"))
+    ckpt = str(base / "ckpt.json")
+    seen: list[tuple[int, int]] = []
+
+    def process(batch, v):
+        seen.append((v, batch.count()))
+        sink.append_once(batch, token=f"snap-{v}")
+
+    def rows(lo, hi):
+        return spark.range(lo, hi).withColumnRenamed("id", "k")
+
+    src.append(rows(0, 10))
+    src.append(rows(10, 15))
+    got = snapshot_stream_available_now(spark, src, ckpt, process)
+    assert got == [1, 2]
+    assert seen == [(1, 10), (2, 5)]
+    assert sink.read(spark).count() == 15
+    # restart with nothing new: no batches, no re-delivery
+    assert snapshot_stream_available_now(spark, src, ckpt, process) == []
+    assert seen == [(1, 10), (2, 5)]
+    # new commits resume from the checkpoint
+    src.append(rows(15, 18))
+    assert snapshot_stream_available_now(spark, src, ckpt, process) == [3]
+    assert sink.read(spark).count() == 18
+    # crash between process and checkpoint: rewind the checkpoint to
+    # simulate; the batch is REDELIVERED (at-least-once) but the sink's
+    # token dedup keeps it exactly-once
+    with open(ckpt, "w") as fh:
+        json.dump({"last_snapshot": 2}, fh)
+    assert snapshot_stream_available_now(spark, src, ckpt, process) == [3]
+    assert seen[-2:] == [(3, 3), (3, 3)]  # delivered twice...
+    assert sink.read(spark).count() == 18  # ...committed once
+    # non-append snapshots: clean error by default, skipped on request
+    src.overwrite(rows(0, 4))
+    with pytest.raises(ValueError, match="overwrite"):
+        snapshot_stream_available_now(spark, src, ckpt, process)
+    assert snapshot_stream_available_now(
+        spark, src, ckpt, process, skip_non_append=True
+    ) == []
+    # appends after the skipped overwrite flow again
+    src.append(rows(100, 102))
+    assert snapshot_stream_available_now(spark, src, ckpt, process) == [5]
+    # merge commits always refuse: the delta is a changelog
+    chg = spark.createDataFrame([(0, "D")], "k long, _op string")
+    src.merge(spark, chg, key="k")
+    with pytest.raises(ValueError, match="changelog"):
+        snapshot_stream_available_now(spark, src, ckpt, process)
