@@ -1060,7 +1060,12 @@ class SnapshotTable:
             self._write_manifest(v, rmeta)
         return v
 
-    def compact(self, spark: SparkSession, target_files: int = 1) -> int:
+    def compact(
+        self,
+        spark: SparkSession,
+        target_files: int = 1,
+        sort_by: list[str] | None = None,
+    ) -> int:
         """Bin-pack compaction (Iceberg's ``rewriteDataFiles``): rewrite
         the files visible at the CURRENT snapshot into ``target_files``
         coalesced files and commit them as a ``replace`` snapshot — the
@@ -1075,8 +1080,18 @@ class SnapshotTable:
         (the replace commit is the same atomic manifest swap). At
         cluster scale ``target_files`` comes from table-size /
         target-file-size (Iceberg's 512 MB default); ``coalesce`` (no
-        shuffle) mirrors bin-packing — a sort-based rewrite would be
-        ``q_zorder``'s layout instead."""
+        shuffle) mirrors bin-packing.
+
+        ``sort_by`` switches to a SORT-based rewrite (Iceberg's
+        ``rewriteDataFiles(strategy => 'sort')``): range-partition on
+        the sort keys + sort within partitions, so the output files
+        cover DISJOINT key ranges — which is what makes the manifest
+        [min, max] stats actually prune (randomly laid-out files all
+        span the full range and nothing is ever disjoint from a
+        predicate). One shuffle over the table, paid once at
+        maintenance time, bought back on every subsequent range-
+        predicated read — at 100 TB this turns a day-range query from
+        a full scan into a few files."""
         # Pin the base snapshot the rewrite planned against: if another
         # writer commits while the (long) rewrite runs, a blind replace
         # would silently DROP their rows. _commit validates the base is
@@ -1086,8 +1101,15 @@ class SnapshotTable:
         base = self._latest_published()
         if base is None:
             raise ValueError("nothing published to compact")
+        df = self.read(spark, as_of=base)
+        if sort_by:
+            df = df.repartitionByRange(
+                target_files, *sort_by
+            ).sortWithinPartitions(*sort_by)
+        else:
+            df = df.coalesce(target_files)
         return self._commit(
-            self.read(spark, as_of=base).coalesce(target_files),
+            df,
             inherit=False,
             op="replace",
             expected_base=base,
@@ -1098,6 +1120,7 @@ class SnapshotTable:
         spark: SparkSession,
         target_files: int = 1,
         max_attempts: int = 3,
+        sort_by: list[str] | None = None,
     ) -> int:
         """``compact`` with Iceberg's standard conflict handling: on
         ``CommitConflict`` (a commit landed during the rewrite),
@@ -1110,7 +1133,7 @@ class SnapshotTable:
         last: CommitConflict | None = None
         for _ in range(max_attempts):
             try:
-                return self.compact(spark, target_files)
+                return self.compact(spark, target_files, sort_by=sort_by)
             except CommitConflict as exc:
                 last = exc
         raise CommitConflict(
@@ -1194,6 +1217,109 @@ class SnapshotTable:
             col, lo, hi = where
             df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
         return df
+
+    @staticmethod
+    def _tree_newest_mtime(path: str) -> float:
+        newest = os.path.getmtime(path)
+        for root, dirs, files in os.walk(path):
+            for n in dirs + files:
+                try:
+                    newest = max(
+                        newest, os.path.getmtime(os.path.join(root, n))
+                    )
+                except FileNotFoundError:
+                    pass
+        return newest
+
+    def remove_orphan_files(
+        self, grace_sec: float = 3600.0, now: float | None = None
+    ) -> list[str]:
+        """Iceberg's ``remove_orphan_files`` maintenance action (round-5
+        verdict item #5): crashed writers leave debris no manifest
+        references — ``_staging-*`` dirs (died before the commit
+        rename), ``_snap=N`` dirs whose manifest never landed (died
+        between rename and manifest write; their number is burned by
+        ``_next_version``), stale metadata temps and broken-lock
+        leftovers. None of it is reclaimed by ``expire`` (which only
+        walks files referenced by expired manifests), so aborted-commit
+        data otherwise accumulates forever.
+
+        Sweeps everything under the table root that is referenced by NO
+        live manifest AND older than ``grace_sec``: the grace window is
+        the safety contract (Iceberg's ``older_than``) — an IN-FLIGHT
+        commit's staging dir or freshly renamed ``_snap`` dir is always
+        newer than the cutoff, so it survives; only debris old enough
+        that its writer must be dead is removed. The reachability scan
+        runs under the commit lock (a consistent manifest view); the
+        deletions happen outside it — an unreferenced file can never
+        become referenced (commits only add their own new files), and a
+        crash mid-delete just leaves orphans for the next run, same as
+        ``expire``. Returns the removed paths (table-relative)."""
+        import shutil
+        import time
+
+        if now is None:
+            now = time.time()
+        cutoff = now - grace_sec
+        if not os.path.isdir(self.path):
+            return []
+        doomed_files: list[str] = []
+        doomed_dirs: list[str] = []
+        with self._commit_lock():
+            referenced = {
+                p for v in self.snapshots() for p in self._all_paths(v)
+            }
+            for name in sorted(os.listdir(self.path)):
+                full = os.path.join(self.path, name)
+                if name == "_manifests":
+                    continue
+                if name.startswith("_staging-") and os.path.isdir(full):
+                    if self._tree_newest_mtime(full) < cutoff:
+                        doomed_dirs.append(full)
+                    continue
+                if name.startswith("_snap=") and os.path.isdir(full):
+                    has_ref = any(
+                        r == name or r.startswith(name + os.sep)
+                        for r in referenced
+                    )
+                    if not has_ref:
+                        # whole dir orphaned (manifest never landed, or
+                        # everything it held was expired around it)
+                        if self._tree_newest_mtime(full) < cutoff:
+                            doomed_dirs.append(full)
+                        continue
+                    for root, _dirs, files in os.walk(full):
+                        for f in files:
+                            p = os.path.join(root, f)
+                            rel = os.path.relpath(p, self.path)
+                            if (
+                                rel not in referenced
+                                and f.endswith(".parquet")
+                                and os.path.getmtime(p) < cutoff
+                            ):
+                                doomed_files.append(p)
+            # metadata debris: atomic-rename temps and broken-lock
+            # leftovers from crashed writers (never the live lock we
+            # hold, never manifests/sidecars)
+            for f in sorted(os.listdir(self._mdir)):
+                if ".tmp-" in f or f.startswith("commit.lock.stale-"):
+                    p = os.path.join(self._mdir, f)
+                    try:
+                        if os.path.getmtime(p) < cutoff:
+                            doomed_files.append(p)
+                    except FileNotFoundError:
+                        pass
+        removed: list[str] = []
+        for d in doomed_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+            removed.append(os.path.relpath(d, self.path))
+        for p in doomed_files:
+            try:
+                os.remove(p)
+                removed.append(os.path.relpath(p, self.path))
+            except FileNotFoundError:
+                pass
+        return sorted(removed)
 
     def _empty_frame(self, spark: SparkSession, v: int) -> DataFrame:
         """Typed empty frame for a snapshot whose manifest lists zero
@@ -1828,4 +1954,62 @@ def q_snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("sum_price_cents"),
         )
+    )
+
+
+@query(
+    "q_snapshot_compact_sorted",
+    oracle="""
+    SELECT TRUE AS pruning_improved,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_price
+    FROM orders
+    WHERE o_orderkey >= 5 * (SELECT MAX(o_orderkey) FROM orders) // 6 + 1
+    """,
+)
+def q_snapshot_compact_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SORT-based compaction feeding the stats pruner (round-5 verdict
+    item #6), DuckDB-oracled end-to-end: three appends each written
+    2-way ROUND-ROBIN, so every one of the 6 files spans the whole
+    o_orderkey range and the [min, max] manifest stats can prune
+    NOTHING for a range predicate (kept == 6). ``compact(sort_by=
+    ['o_orderkey'], target_files=3)`` re-clusters the rows into 3
+    range-disjoint files; re-planning the same top-sixth predicate must
+    then scan strictly FEWER files (`pruning_improved`, asserted as a
+    value so the oracle pins it) while the pruned read returns rows
+    identical to the oracle's plain WHERE — pruning only ever removes
+    provably-disjoint files and the predicate re-applies as a residual
+    filter. Exact per-file counts after a range rewrite depend on
+    repartitionByRange's boundary sampling, so the query pins the
+    strict IMPROVEMENT (the invariant that matters) and the pytest pins
+    the pre-compaction kept==total.
+
+    Scale shape: the sorted rewrite is ONE range shuffle at maintenance
+    time; every later range-predicated read plans from manifest+sidecar
+    JSON and opens only the files whose range intersects — the
+    clustering investment Iceberg's sort-strategy rewriteDataFiles
+    makes for exactly this reason.
+    """
+    from ..tables import require_local_master, scratch_dir
+
+    require_local_master(spark, "q_snapshot_compact_sorted (footer stats)")
+    path = scratch_dir(spark, sf_dir, "snapshot_compact_sorted")
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderkey")).collect()[0][0]  # one scalar
+    lo = 5 * mx // 6 + 1
+    tbl = SnapshotTable(path, stats_cols=["o_orderkey"])
+    k = F.col("o_orderkey")
+    for r in range(3):
+        # round-robin split: every file spans the full key range
+        tbl.append(o.filter(k % 3 == r).repartition(2))
+    where = ("o_orderkey", lo, mx)
+    kept_before, total_before = tbl.plan_files(where=where)
+    tbl.compact(spark, target_files=3, sort_by=["o_orderkey"])
+    kept_after, total_after = tbl.plan_files(where=where)
+    improved = len(kept_after) < len(kept_before)
+    return tbl.read(spark, where=where, plan=kept_after).agg(
+        F.lit(improved).alias("pruning_improved"),
+        F.count(F.lit(1)).alias("n_orders"),
+        exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
     )

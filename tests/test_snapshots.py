@@ -989,3 +989,97 @@ def test_schema_evolution_composes_with_merge_and_compact(spark, tmp_path):
     assert "delete_files" not in meta
     # compacted snapshot reads on the fast path (single scan group)
     assert meta["schema_v"] == vc
+
+
+def test_remove_orphan_files_crash_injection(spark, tmp_path):
+    """remove_orphan_files: debris from writers that crashed (a) before
+    the commit rename (_staging-*), (b) between rename and manifest
+    (_snap=N with no manifest), plus metadata temps and broken-lock
+    leftovers, is detected and removed once older than the grace
+    cutoff — while an in-flight commit's fresh staging dir inside the
+    grace window and every manifest-referenced file survive, and the
+    table reads identically afterwards."""
+    import time
+
+    o, tbl = _build(spark, tmp_path)
+    before = tbl.read(spark).count()
+    old = time.time() - 7200
+
+    def age(path):
+        os.utime(path, (old, old))
+        for root, dirs, files in os.walk(path):
+            for n in dirs + files:
+                os.utime(os.path.join(root, n), (old, old))
+
+    # (a) crashed pre-rename: old staging dir with a data file
+    crashed = os.path.join(tbl.path, "_staging-crashed", "d")
+    os.makedirs(crashed)
+    open(os.path.join(crashed, "part-0.parquet"), "w").write("x")
+    age(os.path.join(tbl.path, "_staging-crashed"))
+    # (b) crashed post-rename: _snap dir that never got its manifest
+    orphan_snap = os.path.join(tbl.path, "_snap=99")
+    os.makedirs(orphan_snap)
+    open(os.path.join(orphan_snap, "part-0.parquet"), "w").write("x")
+    age(orphan_snap)
+    # metadata debris
+    open(os.path.join(tbl._mdir, "stats.json.tmp-123-456"), "w").write("{}")
+    open(os.path.join(tbl._mdir, "commit.lock.stale-99-1"), "w").write("z")
+    age(os.path.join(tbl._mdir, "stats.json.tmp-123-456"))
+    age(os.path.join(tbl._mdir, "commit.lock.stale-99-1"))
+    # an IN-FLIGHT commit: fresh staging dir inside the grace window
+    live = os.path.join(tbl.path, "_staging-live", "d")
+    os.makedirs(live)
+    open(os.path.join(live, "part-0.parquet"), "w").write("y")
+    # age every referenced data file too: old age alone must not doom
+    for name in os.listdir(tbl.path):
+        if name.startswith("_snap=") and name != "_snap=99":
+            age(os.path.join(tbl.path, name))
+
+    removed = tbl.remove_orphan_files(grace_sec=3600)
+    assert "_staging-crashed" in removed
+    assert "_snap=99" in removed
+    assert any("stats.json.tmp-" in r for r in removed)
+    assert any("commit.lock.stale-" in r for r in removed)
+    assert not os.path.exists(orphan_snap)
+    assert not os.path.exists(os.path.join(tbl.path, "_staging-crashed"))
+    # survivors: the in-flight staging dir and all referenced data
+    assert os.path.exists(live)
+    assert tbl.read(spark).count() == before
+    for v in tbl.snapshots():
+        for p in tbl._all_paths(v):
+            assert os.path.exists(os.path.join(tbl.path, p)), p
+    # a second run finds nothing
+    assert tbl.remove_orphan_files(grace_sec=3600) == []
+    # grace=0 reclaims the now-"old" in-flight dir (operator's choice)
+    removed2 = tbl.remove_orphan_files(grace_sec=-1)
+    assert "_staging-live" in removed2
+
+
+def test_sorted_compaction_improves_pruning(spark, tmp_path):
+    """compact(sort_by=...) re-clusters data so the manifest [min,max]
+    stats become disjoint: pre-compaction round-robin files prune
+    NOTHING (kept == total), the sorted rewrite prunes the same range
+    predicate to a strict subset, and the read stays row-identical."""
+    o = load_table(spark, SF_DIR, "orders")
+    tbl = SnapshotTable(str(tmp_path / "cs"), stats_cols=["o_orderkey"])
+    for r in range(3):
+        tbl.append(o.filter(F.col("o_orderkey") % 3 == r).repartition(2))
+    mx = o.agg(F.max("o_orderkey")).collect()[0][0]
+    where = ("o_orderkey", 5 * mx // 6 + 1, mx)
+    kept0, total0 = tbl.plan_files(where=where)
+    assert total0 == 6 and len(kept0) == 6  # random layout: no pruning
+    want = {r.o_orderkey
+            for r in tbl.read(spark, where=where, plan=kept0).collect()}
+    tbl.compact(spark, target_files=3, sort_by=["o_orderkey"])
+    kept1, total1 = tbl.plan_files(where=where)
+    assert total1 == 3 and len(kept1) < 3  # disjoint ranges now prune
+    got = {r.o_orderkey
+           for r in tbl.read(spark, where=where, plan=kept1).collect()}
+    assert got == want and want
+    # unsorted compaction on the same inputs would NOT have pruned:
+    tbl2 = SnapshotTable(str(tmp_path / "cu"), stats_cols=["o_orderkey"])
+    for r in range(3):
+        tbl2.append(o.filter(F.col("o_orderkey") % 3 == r).repartition(2))
+    tbl2.compact(spark, target_files=3)
+    kept2, total2 = tbl2.plan_files(where=where)
+    assert total2 == 3 and len(kept2) == 3
