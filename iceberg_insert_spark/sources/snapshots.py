@@ -301,14 +301,38 @@ class SnapshotTable:
                         time.monotonic() + self.COMMIT_LOCK_STALE_SEC + 5
                     )
                 if time.time() - mt > self.COMMIT_LOCK_STALE_SEC:
-                    # Break the stale lock by atomic rename, then VERIFY
-                    # we displaced the holder we observed as stale
-                    # (round-5 advice TOCTOU: between our mtime read and
-                    # the rename, the lock can change hands — heartbeats
-                    # make a live holder's mtime fresh, but a freshly
-                    # re-acquired lock could carry an old-looking mtime
-                    # for an instant). If the renamed file's owner is
-                    # NOT the stale owner we read, restore it.
+                    # Break the stale lock — but the mtime/owner reads
+                    # above are not atomic with the rename (review
+                    # TOCTOU: the lock can change hands in between, and
+                    # a displaced LIVE holder means two concurrent
+                    # critical sections). Defense in depth:
+                    #   1. CONFIRM staleness across a second read after
+                    #      a beat: same owner, still stale — a handoff
+                    #      in the window shows a changed owner or a
+                    #      fresh mtime and aborts the break;
+                    #   2. rename (atomic: one of N breakers wins);
+                    #   3. judge the DISPLACED file by its own content
+                    #      AND mtime — a wrong victim (fresh heartbeat
+                    #      or different owner) is restored if the path
+                    #      is still free.
+                    # A live holder heartbeats at STALE/4, so it can
+                    # only be mis-displaced if its process froze for
+                    # the full staleness window AND woke inside this
+                    # microsecond race — and then the restore puts its
+                    # lock back.
+                    time.sleep(0.05)
+                    try:
+                        mt2 = os.path.getmtime(lock)
+                        with open(lock) as fh:
+                            owner2 = fh.read()
+                    except FileNotFoundError:
+                        continue
+                    if (
+                        owner2 != owner
+                        or time.time() - mt2
+                        <= self.COMMIT_LOCK_STALE_SEC
+                    ):
+                        continue  # changed hands / fresh: not stale
                     stale = f"{lock}.stale-{me}"
                     try:
                         os.rename(lock, stale)
@@ -317,17 +341,20 @@ class SnapshotTable:
                     try:
                         with open(stale) as fh:
                             displaced = fh.read()
+                        smt = os.path.getmtime(stale)
                     except FileNotFoundError:
                         continue
-                    if displaced != owner and not os.path.exists(lock):
-                        # wrong victim and the path is still free:
-                        # best-effort restore (rename is atomic; if a
-                        # new lock appeared meanwhile this raises on
-                        # some platforms or overwrites on POSIX — the
-                        # exists() probe plus the heartbeat make that
-                        # window vanishingly small, and the displaced
-                        # holder's release check degrades safely to a
-                        # no-op).
+                    wrong_victim = (
+                        displaced != owner2
+                        or time.time() - smt
+                        <= self.COMMIT_LOCK_STALE_SEC
+                    )
+                    if wrong_victim and not os.path.exists(lock):
+                        # best-effort restore (rename is atomic; the
+                        # exists() probe plus the double confirmation
+                        # make a lost restore vanishingly rare, and the
+                        # displaced holder's release check degrades
+                        # safely to a no-op).
                         try:
                             os.rename(stale, lock)
                         except OSError:
@@ -358,7 +385,11 @@ class SnapshotTable:
                 try:
                     os.utime(lock)
                 except OSError:
-                    return  # lock broken/removed; nothing to refresh
+                    # transient (mid-break restore window, slow NFS):
+                    # keep beating — a permanent exit would freeze the
+                    # mtime of a live long holder and invite exactly
+                    # the stale-break this thread exists to prevent
+                    continue
 
         hb = threading.Thread(target=_beat, daemon=True)
         hb.start()
@@ -424,19 +455,16 @@ class SnapshotTable:
         # section validates the schema didn't evolve meanwhile and
         # raises CommitConflict if it did — optimistic concurrency,
         # same as the compaction base check.
-        expected_schema_v: int | None = None
         if inherit:
             base0 = self._latest_published()
             if base0 is not None:
-                bmeta0 = self._meta(base0)
-                tj = bmeta0.get("schema")
+                tj = self._meta(base0).get("schema")
                 if tj is not None:
                     from pyspark.sql import types as T
 
                     df = self._project_onto(
                         df, T.StructType.fromJson(tj)
                     )
-                    expected_schema_v = bmeta0.get("schema_v", 1)
         staging = tempfile.mkdtemp(prefix="_staging-", dir=self.path)
         schema_json = df.schema.jsonValue()
         try:
@@ -472,18 +500,31 @@ class SnapshotTable:
                         "during the rewrite; re-run the operation "
                         "against the current state"
                     )
-                if expected_schema_v is not None:
+                if inherit:
+                    # Schema conflict validation (review catches): the
+                    # projection target was captured BEFORE the (long)
+                    # data write — if the table schema is DIFFERENT by
+                    # commit time (a concurrent evolve, or a first
+                    # commit with another shape racing ours onto an
+                    # empty table), our already-written files would
+                    # silently diverge from the table schema on the
+                    # fast read path. Abort; the caller's retry
+                    # projects onto the current schema. Identical
+                    # schemas (the common concurrent-append race) pass.
                     curb = self._latest_published()
-                    cur_sv = (
-                        self._meta(curb).get("schema_v", 1)
+                    cur_schema = (
+                        self._meta(curb).get("schema")
                         if curb is not None
                         else None
                     )
-                    if cur_sv != expected_schema_v:
+                    if cur_schema is not None and not (
+                        self._schema_names_types(schema_json)
+                        == self._schema_names_types(cur_schema)
+                    ):
                         raise CommitConflict(
-                            "table schema evolved during the write; "
-                            "re-run the append against the current "
-                            "schema"
+                            "table schema changed during the write "
+                            "(concurrent evolve or create); re-run "
+                            "the append against the current schema"
                         )
                 v = self._next_version()
                 d = os.path.join(self.path, f"_snap={v}")
@@ -709,6 +750,15 @@ class SnapshotTable:
         return self._commit(df, inherit=False)
 
     @staticmethod
+    def _schema_names_types(schema_json: dict) -> list[tuple]:
+        """(name, type) pairs of a schema-JSON — the schema identity the
+        conflict check compares; nullability and field metadata are
+        layout-irrelevant and excluded."""
+        return [
+            (f["name"], f["type"]) for f in schema_json["fields"]
+        ]
+
+    @staticmethod
     def _project_onto(df: DataFrame, target) -> DataFrame:
         """Project a frame onto the table schema: identical schemas pass
         through untouched; missing columns become typed NULLs, type
@@ -854,6 +904,21 @@ class SnapshotTable:
             raise ValueError(f"changelog has no key column {key!r}")
         if op_col not in changelog.columns:
             raise ValueError(f"changelog has no op column {op_col!r}")
+        # Unknown op codes (lowercase 'd', 'DELETE', NULL, typos) must
+        # fail loudly, not silently drop changelog rows (review catch).
+        # NULL-safe: isin() yields NULL for NULL ops, which ~ would
+        # filter away.
+        bad = changelog.filter(
+            ~F.coalesce(
+                F.col(op_col).isin("I", "U", "D"), F.lit(False)
+            )
+        ).limit(1)
+        bad_row = bad.collect()
+        if bad_row:
+            raise ValueError(
+                f"changelog op column {op_col!r} contains "
+                f"{bad_row[0][op_col]!r}; expected 'I', 'U', or 'D'"
+            )
         dels = (
             changelog.filter(F.col(op_col).isin("U", "D"))
             .select(key)
@@ -917,7 +982,12 @@ class SnapshotTable:
             )
             if target is not None:
                 df = self._project_onto(df, target)
-            parts.append(df.withColumn("_seq", F.lit(s).cast("long")))
+            if "__iis_seq" in df.columns:
+                raise ValueError(
+                    "data files contain the reserved internal column "
+                    "'__iis_seq'"
+                )
+            parts.append(df.withColumn("__iis_seq", F.lit(s).cast("long")))
         data = reduce(lambda a, b: a.unionByName(b), parts)
         if dels:
             keys = {d["key"] for d in dels}
@@ -930,19 +1000,19 @@ class SnapshotTable:
             dparts = [
                 spark.read.parquet(os.path.join(self.path, d["path"]))
                 .select(
-                    F.col(d["key"]).alias("_dkey"),
-                    F.lit(d["seq"]).cast("long").alias("_dseq"),
+                    F.col(d["key"]).alias("__iis_dkey"),
+                    F.lit(d["seq"]).cast("long").alias("__iis_dseq"),
                 )
                 for d in dels
             ]
             delkeys = reduce(DataFrame.unionAll, dparts)
             data = data.join(
                 F.broadcast(delkeys),
-                on=(data[key] == delkeys["_dkey"])
-                & (F.col("_seq") < F.col("_dseq")),
+                on=(data[key] == delkeys["__iis_dkey"])
+                & (F.col("__iis_seq") < F.col("__iis_dseq")),
                 how="left_anti",
             )
-        return data.drop("_seq")
+        return data.drop("__iis_seq")
 
     def stage_append(self, df: DataFrame, wap_id: str) -> int:
         """Write-audit-publish STAGE step (Iceberg's ``spark.wap.id``
@@ -997,7 +1067,8 @@ class SnapshotTable:
             # cherry-pick, and none can land between our rebase and
             # our manifest swap.
             base = self._latest_published()
-            inherited = self._manifest(base) if base is not None else []
+            base_meta = self._meta(base) if base is not None else {}
+            inherited = base_meta.get("files", [])
             v = self._next_version()
             pmeta = {
                 "files": inherited + smeta["new_files"],
@@ -1005,8 +1076,19 @@ class SnapshotTable:
                 "op": "publish",
                 "wap_id": wap_id,
             }
-            for carry in ("schema", "schema_v"):
-                if carry in smeta:
+            # The publish applies the staged files onto CURRENT main, so
+            # main's metadata wins (review catches, both shipped-bug
+            # grade): (a) main's delete_files must carry — dropping them
+            # would resurrect merge-deleted rows the moment a WAP
+            # publish lands; (b) main's schema/schema_v must carry, not
+            # the staged snapshot's — an evolve between stage and
+            # publish would otherwise be silently reverted, and the
+            # staged files (seq < schema_v) resolve onto the evolved
+            # schema at read time like any other pre-evolution files.
+            for carry in ("schema", "schema_v", "delete_files"):
+                if carry in base_meta:
+                    pmeta[carry] = base_meta[carry]
+                elif carry in smeta and carry != "delete_files":
                     pmeta[carry] = smeta[carry]
             self._write_manifest(v, pmeta)
             return v
@@ -1447,17 +1529,23 @@ def _read_incremental(
     for v in (from_v, to_v):
         if v not in snaps:
             raise ValueError(f"snapshot {v} does not exist (have {snaps})")
-    if tbl._meta(to_v).get("delete_files") != tbl._meta(from_v).get(
-        "delete_files"
-    ):
-        # a merge commit in the range means the delta is not purely
-        # appended files — an append-scan would silently miss the
-        # deletes (Iceberg's incremental append scan raises on
-        # overwrite/delete snapshots for the same reason).
-        raise ValueError(
-            "incremental append scan crosses a merge (delete-file) "
-            "commit; read full snapshots instead"
-        )
+    # The manifest set-difference equals "the appended rows" ONLY if
+    # every commit in the range is append-shaped. Guard by OPERATION,
+    # not by comparing delete_files (review catch: a compact after a
+    # merge folds the delete files away and the lists compare equal
+    # while the delta is the whole rewritten table): merge deltas are
+    # changelogs, overwrite/replace/rollback rewrite visibility, evolve
+    # changes the schema mid-range (a raw multi-path read would mix
+    # shapes). Iceberg's incremental append scan refuses the same ops.
+    ops = dict(tbl.history())  # legacy-manifest ops inferred there
+    for w in snaps:
+        if from_v < w <= to_v:
+            op = ops.get(w, "append")
+            if op not in ("append", "publish", "stage"):
+                raise ValueError(
+                    f"incremental append scan crosses a {op!r} commit "
+                    f"(snapshot {w}); read full snapshots instead"
+                )
     new_files = sorted(
         set(tbl._manifest(to_v)) - set(tbl._manifest(from_v))
     )

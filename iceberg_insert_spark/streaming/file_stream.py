@@ -792,8 +792,9 @@ def snapshot_stream_available_now(
         # checkpoint AFTER the batch is durably handled: crash between
         # process() and this write replays the batch (at-least-once);
         # the downstream append_once token makes the replay a no-op.
-        tmp = f"{checkpoint_path}.tmp-{os.getpid()}"
-        with open(tmp, "w") as fh:
-            _json.dump({"last_snapshot": v}, fh)
-        os.rename(tmp, checkpoint_path)
+        # One spelling of the atomic-swap contract (writer-unique temp
+        # name), shared with the manifest machinery.
+        from ..sources.snapshots import SnapshotTable
+
+        SnapshotTable._atomic_json(checkpoint_path, {"last_snapshot": v})
     return processed

@@ -1083,3 +1083,73 @@ def test_sorted_compaction_improves_pruning(spark, tmp_path):
     tbl2.compact(spark, target_files=3)
     kept2, total2 = tbl2.plan_files(where=where)
     assert total2 == 3 and len(kept2) == 3
+
+
+def test_publish_after_merge_keeps_deletes(spark, tmp_path):
+    """Review catch (shipped-bug grade): publish() must carry CURRENT
+    main's delete_files into the published manifest — dropping them
+    would resurrect merge-deleted rows the moment a WAP publish
+    lands."""
+    tbl = SnapshotTable(str(tmp_path / "pd"))
+    tbl.append(spark.range(10).selectExpr("id AS k"))
+    chg = spark.createDataFrame([(3, "D"), (7, "D")], "k long, _op string")
+    tbl.merge(spark, chg, key="k")
+    assert tbl.read(spark).count() == 8
+    tbl.stage_append(spark.range(100, 103).selectExpr("id AS k"), "w1")
+    tbl.publish("w1")
+    got = {r.k for r in tbl.read(spark).collect()}
+    assert got == (set(range(10)) - {3, 7}) | {100, 101, 102}
+
+
+def test_publish_after_evolve_uses_current_schema(spark, tmp_path):
+    """Review catch (shipped-bug grade): publish() must record CURRENT
+    main's schema/schema_v, not the staged snapshot's — an evolve
+    between stage and publish was silently reverted otherwise. The
+    staged files (older than schema_v) resolve onto the evolved schema
+    like any other pre-evolution files."""
+    from pyspark.sql import types as T
+
+    tbl = SnapshotTable(str(tmp_path / "pe"))
+    tbl.append(spark.range(5).selectExpr("id AS k"))
+    tbl.stage_append(spark.range(100, 102).selectExpr("id AS k"), "w1")
+    tbl.add_column("tag", T.StringType())
+    tbl.append(spark.createDataFrame([(200, "x")], "k long, tag string"))
+    tbl.publish("w1")
+    cur = tbl.read(spark)
+    assert [f.name for f in cur.schema.fields] == ["k", "tag"]
+    rows = {r.k: r.tag for r in cur.collect()}
+    assert rows[200] == "x" and rows[100] is None and len(rows) == 8
+    # the NEXT append still projects onto the evolved schema
+    tbl.append(spark.range(300, 301).selectExpr("id AS k"))
+    assert {r.k for r in tbl.read(spark).collect()} >= {300}
+
+
+def test_incremental_guard_not_evaded_by_compaction(spark, tmp_path):
+    """Review catch: the incremental append-scan guard is op-based — a
+    compact after a merge folds the delete files away, but the range
+    still contains non-append commits and must refuse (the set-diff
+    delta would be the whole rewritten table)."""
+    from iceberg_insert_spark.sources.snapshots import _read_incremental
+
+    tbl = SnapshotTable(str(tmp_path / "ig"))
+    tbl.append(spark.range(10).selectExpr("id AS k"))
+    chg = spark.createDataFrame([(0, "D")], "k long, _op string")
+    tbl.merge(spark, chg, key="k")
+    tbl.compact(spark)
+    with pytest.raises(ValueError, match="crosses a"):
+        _read_incremental(tbl, spark, 1, 3)
+    # a pure-append range after the compaction is fine again
+    tbl.append(spark.range(50, 53).selectExpr("id AS k"))
+    assert _read_incremental(tbl, spark, 3, 4).count() == 3
+
+
+def test_merge_rejects_unknown_op_codes(spark, tmp_path):
+    """Review catch: unknown changelog op codes (lowercase, words,
+    NULL) must fail loudly instead of silently dropping rows."""
+    tbl = SnapshotTable(str(tmp_path / "mo"))
+    tbl.append(spark.range(5).selectExpr("id AS k"))
+    for bad in ["d", "DELETE", None]:
+        chg = spark.createDataFrame([(0, bad)], "k long, _op string")
+        with pytest.raises(ValueError, match="expected 'I', 'U', or 'D'"):
+            tbl.merge(spark, chg, key="k")
+    assert tbl.read(spark).count() == 5  # nothing committed
