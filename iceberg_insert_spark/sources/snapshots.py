@@ -61,10 +61,23 @@ class SnapshotTable:
     append, overwrite, rollback, publish, compact — shares them without
     propagation logic."""
 
-    def __init__(self, path: str, stats_cols: list[str] | None = None):
+    def __init__(
+        self,
+        path: str,
+        stats_cols: list[str] | None = None,
+        partition_by: list[str] | None = None,
+    ):
         self.path = path
         self._mdir = os.path.join(path, "_manifests")
         self.stats_cols = list(stats_cols or [])
+        # Partition spec (identity transforms): every commit splits its
+        # data files by these columns, the manifest records each file's
+        # partition tuple, and ``overwrite_partitions`` replaces data
+        # at partition granularity in one snapshot. The partition
+        # columns STAY in the data files (the hive-style dirs are on
+        # shadow copies), so a manifest-listed file is self-contained
+        # for any reader.
+        self.partition_by = list(partition_by or [])
 
     # -- per-file column statistics (the manifest-metadata half of
     #    Iceberg's scan planning) -------------------------------------
@@ -191,14 +204,21 @@ class SnapshotTable:
             return False
 
     def plan_files(
-        self, where: tuple | None = None, as_of: int | None = None
+        self,
+        where: tuple | None = None,
+        as_of: int | None = None,
+        partitions: dict | None = None,
     ) -> tuple[list[str], int]:
         """Metadata-only scan planning: the manifest's file list, pruned
-        by the sidecar stats against ``where = (column, lo, hi)``. A
-        file survives unless its recorded [min, max] is provably
-        disjoint from [lo, hi]; files without stats are conservatively
-        kept. Returns (files to scan, total files in the snapshot) —
-        no data file is opened."""
+        by (a) PARTITION values — ``partitions = {col: value}`` keeps
+        only files whose manifest-recorded partition tuple matches
+        (Iceberg's partition pruning: decided from the manifest alone,
+        no footer ever read) — and (b) the sidecar [min, max] stats
+        against ``where = (column, lo, hi)``: a file survives unless
+        its recorded range is provably disjoint; files without
+        stats/partition records are conservatively kept. Returns
+        (files to scan, total files in the snapshot) — no data file is
+        opened."""
         snaps = self.snapshots()
         if as_of is None:
             as_of = self._latest_published()
@@ -211,8 +231,27 @@ class SnapshotTable:
                 f"snapshot {as_of} does not exist (have {snaps})"
             )
         files = self._manifest(as_of)
+        total = len(files)
+        if partitions:
+            meta = self._meta(as_of)
+            fparts = meta.get("file_partitions", {})
+            pby = meta.get("partition_by", [])
+            for c in partitions:
+                if c not in pby:
+                    raise ValueError(
+                        f"{c!r} is not a partition column (have {pby})"
+                    )
+            files = [
+                f
+                for f in files
+                if f not in fparts  # conservative keep
+                or all(
+                    fparts[f][pby.index(c)] == str(val)
+                    for c, val in partitions.items()
+                )
+            ]
         if where is None:
-            return files, len(files)
+            return files, total
         col, lo, hi = where
         stats = self._load_stats()
         kept = [
@@ -221,7 +260,7 @@ class SnapshotTable:
             if (s := stats.get(f, {}).get(col)) is None
             or not self._provably_disjoint(s[0], s[1], lo, hi)
         ]
-        return kept, len(files)
+        return kept, total
 
     def snapshots(self) -> list[int]:
         if not os.path.isdir(self._mdir):
@@ -432,6 +471,7 @@ class SnapshotTable:
         expected_base: int | None = None,
         deletes_df: DataFrame | None = None,
         delete_key: str | None = None,
+        replace_partitions: set | None = None,
     ) -> int:
         """Optimistic-concurrency commit, Iceberg's shape: the data
         files are written in PARALLEL into a private staging dir (the
@@ -469,7 +509,21 @@ class SnapshotTable:
         schema_json = df.schema.jsonValue()
         try:
             sdir = os.path.join(staging, "d")
-            df.write.mode("error").parquet(sdir)
+            if self.partition_by:
+                # split by SHADOW copies of the partition columns, so
+                # the hive-style dirs carry the values while the real
+                # columns stay inside the files — every manifest-listed
+                # file is self-contained, no basePath inference needed.
+                pdf = df
+                for c in self.partition_by:
+                    pdf = pdf.withColumn(
+                        f"__part_{c}", F.col(c).cast("string")
+                    )
+                pdf.write.mode("error").partitionBy(
+                    *[f"__part_{c}" for c in self.partition_by]
+                ).parquet(sdir)
+            else:
+                df.write.mode("error").parquet(sdir)
             deldir = None
             if deletes_df is not None:
                 # Equality-delete keys are dimension-sized (keys only);
@@ -533,7 +587,7 @@ class SnapshotTable:
                     os.rename(deldir, os.path.join(d, "_deletes"))
                 new_files = self._finish_commit(
                     v, d, inherit, token, op, wap_id, schema_json,
-                    delete_key,
+                    delete_key, replace_partitions,
                 )
             # Footer-stat recording OUTSIDE the lock (review catch:
             # thousands of footer reads inside it would overrun the
@@ -558,12 +612,34 @@ class SnapshotTable:
         wap_id: str | None,
         schema_json: dict | None = None,
         delete_key: str | None = None,
+        replace_partitions: set | None = None,
     ) -> list[str]:
-        new_files = sorted(
-            os.path.join(f"_snap={v}", f)
-            for f in os.listdir(d)
-            if f.endswith(".parquet")
-        )
+        new_files = []
+        for root, dirs, files in os.walk(d):
+            dirs[:] = [x for x in dirs if x != "_deletes"]
+            for f in files:
+                if f.endswith(".parquet"):
+                    new_files.append(
+                        os.path.relpath(
+                            os.path.join(root, f), self.path
+                        )
+                    )
+        new_files.sort()
+        # partition tuple per new file, parsed from the shadow-column
+        # hive path segments (__part_<col>=<value>)
+        new_parts: dict[str, list[str]] = {}
+        if self.partition_by:
+            from urllib.parse import unquote
+
+            for rel in new_files:
+                seg = {}
+                for part in rel.split(os.sep):
+                    if part.startswith("__part_") and "=" in part:
+                        k, val = part.split("=", 1)
+                        seg[k[len("__part_"):]] = unquote(val)
+                new_parts[rel] = [
+                    seg.get(c, "") for c in self.partition_by
+                ]
         # Inherit from the latest PUBLISHED snapshot, never a staged one:
         # a main-branch append that inherited staged files would silently
         # publish unaudited data (caught by
@@ -571,6 +647,26 @@ class SnapshotTable:
         base = self._latest_published() if inherit else None
         base_meta = self._meta(base) if base is not None else {}
         inherited = base_meta.get("files", [])
+        base_parts = base_meta.get("file_partitions", {})
+        if replace_partitions is not None:
+            # DYNAMIC PARTITION OVERWRITE (Iceberg's replacePartitions /
+            # partitionOverwriteMode=dynamic as ONE snapshot): inherit
+            # only the base files whose partition tuple is NOT replaced
+            # by this commit's data. Files without a recorded partition
+            # cannot be safely replaced-around — refuse rather than
+            # guess.
+            missing = [f for f in inherited if f not in base_parts]
+            if missing:
+                raise ValueError(
+                    "dynamic partition overwrite needs a partition "
+                    f"tuple for every base file; missing for {missing[:3]}"
+                    " (table written before partition_by?)"
+                )
+            inherited = [
+                f
+                for f in inherited
+                if tuple(base_parts[f]) not in replace_partitions
+            ]
         meta: dict = {
             "files": inherited + new_files,
             # This commit's OWN files (Iceberg's added-data-files summary):
@@ -580,6 +676,14 @@ class SnapshotTable:
             # snapshots metadata tables read this, never the data files.
             "op": op or ("append" if inherit else "overwrite"),
         }
+        if new_parts or (inherit and base_parts):
+            kept_parts = {
+                f: base_parts[f] for f in inherited if f in base_parts
+            }
+            meta["file_partitions"] = {**kept_parts, **new_parts}
+            meta["partition_by"] = self.partition_by or base_meta.get(
+                "partition_by", []
+            )
         # Iceberg v2 delete files: each entry records its path, equality
         # key, and the sequence number it was committed at — a delete
         # applies only to data files with a LOWER sequence (data seq ==
@@ -749,6 +853,38 @@ class SnapshotTable:
         file from every surviving manifest forever."""
         return self._commit(df, inherit=False)
 
+    def overwrite_partitions(self, df: DataFrame) -> int:
+        """DYNAMIC PARTITION OVERWRITE as one atomic snapshot
+        (Iceberg's ``replacePartitions`` / Spark's
+        ``partitionOverwriteMode=dynamic``, snapshot-versioned): replace
+        exactly the partitions PRESENT in ``df`` — the daily-reload /
+        backfill shape — leaving every other partition's files
+        inherited untouched (file identity preserved: no rewrite, no
+        copy). The replaced partitions' old files stay referenced by
+        older manifests (time-travelable) until ``expire``.
+
+        The touched-partition set is a ``distinct().collect()`` over
+        the partition columns — bounded by the number of partitions in
+        the batch (exactly what Iceberg's writer reports into the
+        commit), never by rows. Partition values compare by their
+        string form; use simple scalar partition columns."""
+        if not self.partition_by:
+            raise ValueError(
+                "overwrite_partitions needs partition_by on the table"
+            )
+        touched = {
+            tuple(str(r[c]) for c in self.partition_by)
+            for r in df.select(*self.partition_by).distinct().collect()
+        }
+        if not touched:
+            raise ValueError("empty batch: no partitions to overwrite")
+        return self._commit(
+            df,
+            inherit=True,
+            op="dynamic_overwrite",
+            replace_partitions=touched,
+        )
+
     @staticmethod
     def _schema_names_types(schema_json: dict) -> list[tuple]:
         """(name, type) pairs of a schema-JSON — the schema identity the
@@ -814,8 +950,9 @@ class SnapshotTable:
                 "schema": new_schema.jsonValue(),
                 "schema_v": v,
             }
-            if "delete_files" in meta:
-                emeta["delete_files"] = meta["delete_files"]
+            for carry in ("delete_files", "file_partitions", "partition_by"):
+                if carry in meta:
+                    emeta[carry] = meta[carry]
             self._write_manifest(v, emeta)
         return v
 
@@ -1090,6 +1227,16 @@ class SnapshotTable:
                     pmeta[carry] = base_meta[carry]
                 elif carry in smeta and carry != "delete_files":
                     pmeta[carry] = smeta[carry]
+            sparts = smeta.get("file_partitions", {})
+            bparts = base_meta.get("file_partitions", {})
+            if bparts or sparts:
+                pmeta["file_partitions"] = {
+                    **{f: p for f, p in bparts.items() if f in set(inherited)},
+                    **{f: sparts[f] for f in smeta["new_files"] if f in sparts},
+                }
+                pmeta["partition_by"] = base_meta.get(
+                    "partition_by"
+                ) or smeta.get("partition_by", [])
             self._write_manifest(v, pmeta)
             return v
 
@@ -1136,7 +1283,13 @@ class SnapshotTable:
             v = self._next_version()
             tmeta = self._meta(to)
             rmeta = {"files": tmeta["files"], "op": "rollback"}
-            for carry in ("schema", "schema_v", "delete_files"):
+            for carry in (
+                "schema",
+                "schema_v",
+                "delete_files",
+                "file_partitions",
+                "partition_by",
+            ):
                 if carry in tmeta:
                     rmeta[carry] = tmeta[carry]
             self._write_manifest(v, rmeta)
@@ -1229,6 +1382,7 @@ class SnapshotTable:
         as_of: int | None = None,
         where: tuple | None = None,
         plan: list[str] | None = None,
+        partitions: dict | None = None,
     ) -> DataFrame:
         """Read the table as of snapshot ``as_of`` (default: latest). The
         file list comes from the manifest, never a directory walk.
@@ -1267,7 +1421,7 @@ class SnapshotTable:
                 f"snapshot {v} does not exist (have {snaps}) — expired or "
                 "never committed"
             )
-        if where is None:
+        if where is None and partitions is None:
             rels = self._manifest(v)
             if not rels:
                 return self._empty_frame(spark, v)
@@ -1275,7 +1429,9 @@ class SnapshotTable:
             rels = (
                 list(plan)
                 if plan is not None
-                else self.plan_files(where=where, as_of=v)[0]
+                else self.plan_files(
+                    where=where, as_of=v, partitions=partitions
+                )[0]
             )
             if not rels:
                 # every file pruned: an empty frame with the table
@@ -1295,6 +1451,13 @@ class SnapshotTable:
                 )
                 return df.limit(0)
         df = self._read_files(spark, v, rels)
+        if partitions:
+            # residual partition filter: pruning only removed files
+            # whose recorded tuple mismatches; conservatively-kept
+            # files re-filter here, so the result is identical to an
+            # unpruned filtered read.
+            for c, val in partitions.items():
+                df = df.filter(F.col(c).cast("string") == str(val))
         if where is not None:
             col, lo, hi = where
             df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
@@ -2100,4 +2263,74 @@ def q_snapshot_compact_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(improved).alias("pruning_improved"),
         F.count(F.lit(1)).alias("n_orders"),
         exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
+    "q_snapshot_overwrite_partitions",
+    oracle="""
+    WITH final AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderstatus <> 'F'
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice * 2
+        FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT TRUE AS partition_pruned, o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_price
+    FROM final GROUP BY o_orderstatus
+    """,
+)
+def q_snapshot_overwrite_partitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DYNAMIC PARTITION OVERWRITE as one atomic snapshot (Iceberg's
+    ``replacePartitions`` — the daily-reload/backfill shape),
+    DuckDB-oracled end-to-end: the table is partitioned by
+    o_orderstatus; snapshot 1 loads all orders (files split per
+    partition, tuples recorded in the manifest); a corrected 'F' batch
+    (doubled totalprice) then replaces EXACTLY the 'F' partition —
+    ``overwrite_partitions`` inherits every other partition's files
+    untouched (no rewrite, no copy) and swaps in the new 'F' files in
+    one manifest commit. The latest read must equal the oracle's
+    rebuild (non-F unchanged + F doubled; doubling is exact IEEE both
+    engines). `partition_pruned` additionally pins MANIFEST partition
+    pruning: planning a single-partition read keeps strictly fewer
+    files than the snapshot total without opening any data file. File
+    identity of untouched partitions, time travel to the pre-reload
+    state, and expiry of the replaced files are pinned in
+    tests/test_snapshots.py.
+
+    100 TB shape: the reload writes O(|batch|) and commits metadata —
+    the other 10,000 partitions are inherited by reference; a
+    partition-predicated read plans from the manifest's partition
+    tuples alone. This is the bread-and-butter warehouse operation
+    (idempotent daily re-load) the reference's blind append
+    (App.java:147-149) turns into duplicate data.
+    """
+    from ..tables import scratch_dir
+
+    path = scratch_dir(spark, sf_dir, "snapshot_dyn_overwrite")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tbl = SnapshotTable(path, partition_by=["o_orderstatus"])
+    tbl.append(o)
+    reload_f = o.filter(F.col("o_orderstatus") == "F").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    tbl.overwrite_partitions(reload_f)
+    kept, total = tbl.plan_files(partitions={"o_orderstatus": "O"})
+    pruned = len(kept) < total
+    return (
+        tbl.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.lit(pruned).alias("partition_pruned"),
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select("partition_pruned", "o_orderstatus", "n_orders", "sum_price")
     )

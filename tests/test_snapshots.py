@@ -1153,3 +1153,103 @@ def test_merge_rejects_unknown_op_codes(spark, tmp_path):
         with pytest.raises(ValueError, match="expected 'I', 'U', or 'D'"):
             tbl.merge(spark, chg, key="k")
     assert tbl.read(spark).count() == 5  # nothing committed
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """overwrite_partitions replaces exactly the partitions present in
+    the batch: untouched partitions keep their FILE IDENTITY (inherited
+    by reference, no rewrite); the replaced partition's old files stay
+    time-travelable until expire; manifest partition pruning plans
+    single-partition reads without opening data; guards fire for
+    unpartitioned tables and unknown partition columns."""
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3], float(i)) for i in range(30)],
+        "k long, cat string, v double",
+    )
+    tbl = SnapshotTable(str(tmp_path / "dp"), partition_by=["cat"])
+    v1 = tbl.append(df)
+    m1 = tbl._meta(v1)
+    assert set(map(tuple, m1["file_partitions"].values())) == {
+        ("a",), ("b",), ("c",)
+    }
+    # reload partition 'b' with corrected values
+    fixed = df.filter("cat = 'b'").withColumn("v", F.col("v") + 1000)
+    v2 = tbl.overwrite_partitions(fixed)
+    # untouched partitions: identical file lists (inherited by reference)
+    def files_of(meta, val):
+        return sorted(
+            f for f, p in meta["file_partitions"].items() if p == [val]
+        )
+    m2 = tbl._meta(v2)
+    for cat in ("a", "c"):
+        assert files_of(m2, cat) == files_of(m1, cat)
+    assert files_of(m2, "b") and files_of(m2, "b") != files_of(m1, "b")
+    # data: only 'b' changed
+    rows = {r.k: r.v for r in tbl.read(spark).collect()}
+    for i in range(30):
+        assert rows[i] == (float(i) + 1000 if i % 3 == 1 else float(i))
+    # history op + time travel to the pre-reload state
+    assert dict(tbl.history())[v2] == "dynamic_overwrite"
+    old = {r.k: r.v for r in tbl.read(spark, as_of=v1).collect()}
+    assert old[1] == 1.0
+    # partition-pruned read: correct rows, strictly fewer files planned
+    kept, total = tbl.plan_files(partitions={"cat": "a"})
+    assert 0 < len(kept) < total
+    got = {r.k for r in tbl.read(spark, partitions={"cat": "a"}).collect()}
+    assert got == {i for i in range(30) if i % 3 == 0}
+    # partitions + where compose
+    narrow = tbl.read(spark, partitions={"cat": "a"}, where=("k", 0, 10))
+    assert {r.k for r in narrow.collect()} == {0, 3, 6, 9}
+    # expire past the reload reclaims ONLY the replaced 'b' files
+    doomed = tbl.expire(keep_from=v2)
+    assert set(doomed) == set(files_of(m1, "b"))
+    assert {r.k: r.v for r in tbl.read(spark).collect()} == rows
+    # guards
+    with pytest.raises(ValueError, match="not a partition column"):
+        tbl.plan_files(partitions={"nope": 1})
+    plain = SnapshotTable(str(tmp_path / "plain"))
+    plain.append(df)
+    with pytest.raises(ValueError, match="partition_by"):
+        plain.overwrite_partitions(df)
+
+
+def test_partitioned_table_full_lifecycle(spark, tmp_path):
+    """Partitioned snapshots compose with the rest of the lifecycle:
+    appends accumulate per-partition files, rollback/evolve carry the
+    partition metadata, compact folds a partitioned table, and the
+    streaming source tails partitioned appends."""
+    from pyspark.sql import types as T
+
+    from iceberg_insert_spark.streaming.file_stream import (
+        snapshot_stream_available_now,
+    )
+
+    def batch(lo, hi):
+        return spark.createDataFrame(
+            [(i, ["x", "y"][i % 2]) for i in range(lo, hi)],
+            "k long, cat string",
+        )
+
+    tbl = SnapshotTable(str(tmp_path / "pl"), partition_by=["cat"])
+    tbl.append(batch(0, 10))
+    tbl.append(batch(10, 16))
+    assert tbl.read(spark).count() == 16
+    ve = tbl.add_column("tag", T.StringType())
+    assert tbl._meta(ve)["partition_by"] == ["cat"]
+    vr = tbl.rollback(to=1)
+    assert tbl._meta(vr)["partition_by"] == ["cat"]
+    assert tbl.read(spark).count() == 10
+    vc = tbl.compact(spark)
+    assert tbl.read(spark).count() == 10
+    # compaction of a partitioned table keeps the partition mapping
+    assert tbl._meta(vc).get("file_partitions")
+    kept, total = tbl.plan_files(partitions={"cat": "x"})
+    assert 0 < len(kept) < total
+    # streaming source over partitioned appends
+    seen = []
+    ckpt = str(tmp_path / "ck.json")
+    snapshot_stream_available_now(
+        spark, tbl, ckpt, lambda b, v: seen.append((v, b.count())),
+        skip_non_append=True,
+    )
+    assert [n for _, n in seen] == [10, 6]
