@@ -2334,3 +2334,153 @@ def q_snapshot_overwrite_partitions(
         )
         .select("partition_pruned", "o_orderstatus", "n_orders", "sum_price")
     )
+
+
+def read_changelog(
+    tbl: SnapshotTable, spark: SparkSession, from_v: int, to_v: int
+) -> DataFrame:
+    """CDC CHANGELOG READ (Iceberg's ``create_changelog_view``) — the
+    inverse of ``merge``: the row-level changes between two snapshots as
+    '(row image, _change_type)' rows, where an update appears as its
+    DELETE (old image) + INSERT (new image) pair, exactly Iceberg's
+    changelog semantics.
+
+    Pure manifest arithmetic plus two bounded scans:
+
+      * INSERTS = the range's new data files, read through ``to_v``'s
+        merge-on-read machinery restricted to those files — so a row
+        appended AND deleted inside the range is correctly suppressed
+        (its data seq < the delete's seq), while a merge's own
+        re-inserts survive (seq equality);
+      * DELETES = the range's delete-file keys (broadcast) joined
+        against the ``from_v`` state for the OLD images — a key that
+        never existed at ``from_v`` (added and removed inside the
+        range) produces no delete row.
+
+    The range must contain only append/publish/merge commits
+    (overwrite/rollback/replace rewrite visibility wholesale and evolve
+    changes the schema mid-range — both refuse, like the incremental
+    append scan). At 100 TB a downstream consumer pays O(delta files) +
+    one broadcast join against the old state's matching keys — never a
+    diff of two full table scans.
+    """
+    snaps = tbl.snapshots()
+    for v in (from_v, to_v):
+        if v not in snaps:
+            raise ValueError(f"snapshot {v} does not exist (have {snaps})")
+    ops = dict(tbl.history())
+    for w in snaps:
+        if from_v < w <= to_v:
+            op = ops.get(w, "append")
+            if op not in ("append", "publish", "merge", "stage"):
+                raise ValueError(
+                    f"changelog read crosses a {op!r} commit "
+                    f"(snapshot {w}); read full snapshots instead"
+                )
+    ct = F.lit("insert").alias("_change_type")
+    new_files = sorted(
+        set(tbl._manifest(to_v)) - set(tbl._manifest(from_v))
+    )
+    if new_files:
+        ins = tbl._read_files(spark, to_v, new_files).select(
+            "*", ct
+        )
+    else:
+        ins = tbl.read(spark, as_of=to_v).select("*", ct).limit(0)
+    range_dels = [
+        d
+        for d in tbl._meta(to_v).get("delete_files", [])
+        if from_v < d["seq"] <= to_v
+    ]
+    if not range_dels:
+        return ins
+    keys = {d["key"] for d in range_dels}
+    if len(keys) != 1:
+        raise ValueError(f"mixed equality-delete keys {sorted(keys)}")
+    key = keys.pop()
+    from functools import reduce
+
+    delkeys = reduce(
+        DataFrame.unionAll,
+        [
+            spark.read.parquet(os.path.join(tbl.path, d["path"])).select(
+                key
+            )
+            for d in range_dels
+        ],
+    ).distinct()
+    old = tbl.read(spark, as_of=from_v)
+    del_rows = old.join(F.broadcast(delkeys), key, "left_semi").select(
+        "*", F.lit("delete").alias("_change_type")
+    )
+    return ins.unionByName(del_rows)
+
+
+@query(
+    "q_snapshot_changelog",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 3 < 2
+    ),
+    changes AS (
+        SELECT 'delete' AS change_type, o_orderstatus, o_totalprice
+        FROM base WHERE o_orderkey % 7 IN (1, 3)
+        UNION ALL
+        SELECT 'insert', o_orderstatus, o_totalprice * 2
+        FROM base WHERE o_orderkey % 7 = 1
+        UNION ALL
+        SELECT 'insert', o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 3 = 2
+    )
+    SELECT change_type, o_orderstatus, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_price
+    FROM changes GROUP BY change_type, o_orderstatus
+    """,
+)
+def q_snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog READ over a merge commit (Iceberg's
+    ``create_changelog_view``), DuckDB-oracled end-to-end: the same
+    base + changelog as q_snapshot_merge (base = keys %3 < 2; DELETE
+    %7==3, UPDATE %7==1 to doubled price, INSERT %3==2), then
+    ``read_changelog(1, 2)`` must emit exactly the update's
+    delete(old image)+insert(new image) pair, the delete's old image,
+    and the inserts — which the oracle reconstructs directly from the
+    changelog definition. Proves the merge write path and the changelog
+    read path are inverses on the manifest metadata alone. Intra-range
+    add-then-delete suppression is pinned in tests/test_snapshots.py.
+    """
+    from ..tables import scratch_dir
+
+    path = scratch_dir(spark, sf_dir, "snapshot_changelog")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    tbl = SnapshotTable(path)
+    base = o.filter(k % 3 < 2)
+    tbl.append(base)
+    changelog = (
+        base.filter(k % 7 == 3)
+        .withColumn("_op", F.lit("D"))
+        .unionByName(
+            base.filter(k % 7 == 1)
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+            .withColumn("_op", F.lit("U"))
+        )
+        .unionByName(
+            o.filter(k % 3 == 2).withColumn("_op", F.lit("I"))
+        )
+    )
+    tbl.merge(spark, changelog, key="o_orderkey")
+    return (
+        read_changelog(tbl, spark, 1, 2)
+        .groupBy(
+            F.col("_change_type").alias("change_type"), "o_orderstatus"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+        )
+    )

@@ -1253,3 +1253,38 @@ def test_partitioned_table_full_lifecycle(spark, tmp_path):
         skip_non_append=True,
     )
     assert [n for _, n in seen] == [10, 6]
+
+
+def test_changelog_read_edge_cases(spark, tmp_path):
+    """read_changelog corner semantics: an update is a delete+insert
+    pair; a row appended AND deleted inside the range is suppressed on
+    BOTH sides (no insert — its data seq < the delete's seq; no delete
+    — it never existed at from_v); a pure-append range emits inserts
+    only; non-append-shaped commits in range refuse."""
+    from iceberg_insert_spark.sources.snapshots import read_changelog
+
+    tbl = SnapshotTable(str(tmp_path / "cl"))
+    tbl.append(spark.createDataFrame(
+        [(i, float(i)) for i in range(5)], "k long, v double"))
+    # v2 adds k=100; v3 merge deletes k=100 AND updates k=1
+    tbl.append(spark.createDataFrame([(100, 1.0)], "k long, v double"))
+    chg = spark.createDataFrame(
+        [(100, 0.0, "D"), (1, 11.0, "U")], "k long, v double, _op string")
+    tbl.merge(spark, chg, key="k")
+    out = read_changelog(tbl, spark, 1, 3).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r._change_type, []).append((r.k, r.v))
+    # k=100: add+delete inside range -> fully suppressed
+    assert all(k != 100 for k, _ in by.get("insert", []))
+    assert all(k != 100 for k, _ in by.get("delete", []))
+    # update k=1: delete(old) + insert(new)
+    assert (1, 1.0) in by["delete"] and (1, 11.0) in by["insert"]
+    assert len(by["delete"]) == 1 and len(by["insert"]) == 1
+    # pure-append range: inserts only
+    out2 = read_changelog(tbl, spark, 1, 2).collect()
+    assert [(r.k, r._change_type) for r in out2] == [(100, "insert")]
+    # compact in range refuses
+    tbl.compact(spark)
+    with pytest.raises(ValueError, match="crosses a"):
+        read_changelog(tbl, spark, 1, 4)
