@@ -161,6 +161,19 @@ class SnapshotTable:
                 stats[rel] = ent
         self._atomic_json(self._stats_path(), stats)
 
+    @staticmethod
+    def _part_str(val) -> str:
+        """Canonical string form of a partition VALUE, matching the
+        hive-path encoding the manifest tuples are parsed from (review
+        catch: Python ``str(True)`` is 'True' but Spark's string cast
+        writes 'true'; NULL lands in the hive default bucket) — every
+        compare against a recorded tuple must go through this."""
+        if val is None:
+            return "__HIVE_DEFAULT_PARTITION__"
+        if isinstance(val, bool):
+            return "true" if val else "false"
+        return str(val)
+
     _ISO_RE = None  # compiled lazily; matches ISO date / datetime strings
 
     @classmethod
@@ -246,7 +259,7 @@ class SnapshotTable:
                 for f in files
                 if f not in fparts  # conservative keep
                 or all(
-                    fparts[f][pby.index(c)] == str(val)
+                    fparts[f][pby.index(c)] == self._part_str(val)
                     for c, val in partitions.items()
                 )
             ]
@@ -514,6 +527,14 @@ class SnapshotTable:
                 # the hive-style dirs carry the values while the real
                 # columns stay inside the files — every manifest-listed
                 # file is self-contained, no basePath inference needed.
+                clash = [
+                    c for c in df.columns if c.startswith("__part_")
+                ]
+                if clash:
+                    raise ValueError(
+                        f"columns {clash} use the reserved '__part_' "
+                        "prefix of the partition shadow columns"
+                    )
                 pdf = df
                 for c in self.partition_by:
                     pdf = pdf.withColumn(
@@ -648,13 +669,29 @@ class SnapshotTable:
         base_meta = self._meta(base) if base is not None else {}
         inherited = base_meta.get("files", [])
         base_parts = base_meta.get("file_partitions", {})
+        # Partition-spec consistency (review catch): a handle opened
+        # with a DIFFERENT partition_by would record its own spec and
+        # reinterpret the inherited files' tuples under the wrong
+        # column names — mis-pruning reads silently. Refuse the commit.
+        if inherit and base_meta.get("partition_by") is not None:
+            if list(base_meta["partition_by"]) != self.partition_by:
+                raise ValueError(
+                    f"table is partitioned by "
+                    f"{base_meta['partition_by']} but this handle "
+                    f"declares {self.partition_by}; open the table "
+                    "with the matching partition_by"
+                )
         if replace_partitions is not None:
             # DYNAMIC PARTITION OVERWRITE (Iceberg's replacePartitions /
             # partitionOverwriteMode=dynamic as ONE snapshot): inherit
             # only the base files whose partition tuple is NOT replaced
-            # by this commit's data. Files without a recorded partition
-            # cannot be safely replaced-around — refuse rather than
-            # guess.
+            # by this commit's data. The replaced set is derived from
+            # the WRITTEN files' partition paths (review catch: same
+            # hive encoding as the manifest tuples — booleans/NULLs
+            # compare exactly, and the input frame runs once). Files
+            # without a recorded partition cannot be safely
+            # replaced-around — refuse rather than guess.
+            replaced = {tuple(p) for p in new_parts.values()}
             missing = [f for f in inherited if f not in base_parts]
             if missing:
                 raise ValueError(
@@ -665,7 +702,7 @@ class SnapshotTable:
             inherited = [
                 f
                 for f in inherited
-                if tuple(base_parts[f]) not in replace_partitions
+                if tuple(base_parts[f]) not in replaced
             ]
         meta: dict = {
             "files": inherited + new_files,
@@ -863,26 +900,40 @@ class SnapshotTable:
         copy). The replaced partitions' old files stay referenced by
         older manifests (time-travelable) until ``expire``.
 
-        The touched-partition set is a ``distinct().collect()`` over
-        the partition columns — bounded by the number of partitions in
-        the batch (exactly what Iceberg's writer reports into the
-        commit), never by rows. Partition values compare by their
-        string form; use simple scalar partition columns."""
+        The touched-partition set is derived from the WRITTEN files'
+        partition paths inside the commit (review catch) — the same
+        hive encoding the manifest tuples use, so booleans, NULLs, and
+        any other value compare exactly, and the input frame is
+        computed exactly once. Bounded by the number of partitions in
+        the batch, never by rows. Note hive's convention: NULL and
+        empty-string partition values both land in the
+        ``__HIVE_DEFAULT_PARTITION__`` bucket. Use simple scalar
+        partition columns."""
         if not self.partition_by:
             raise ValueError(
                 "overwrite_partitions needs partition_by on the table"
             )
-        touched = {
-            tuple(str(r[c]) for c in self.partition_by)
-            for r in df.select(*self.partition_by).distinct().collect()
-        }
-        if not touched:
-            raise ValueError("empty batch: no partitions to overwrite")
+        # cheap metadata pre-flight (review catch): refuse BEFORE the
+        # expensive data write if the base has files without partition
+        # tuples — _finish_commit re-validates authoritatively under
+        # the lock.
+        base = self._latest_published()
+        if base is not None:
+            bmeta = self._meta(base)
+            bparts = bmeta.get("file_partitions", {})
+            missing = [f for f in bmeta["files"] if f not in bparts]
+            if missing:
+                raise ValueError(
+                    "dynamic partition overwrite needs a partition "
+                    "tuple for every base file; missing for "
+                    f"{missing[:3]} (table written before "
+                    "partition_by?)"
+                )
         return self._commit(
             df,
             inherit=True,
             op="dynamic_overwrite",
-            replace_partitions=touched,
+            replace_partitions="auto",
         )
 
     @staticmethod
@@ -1230,8 +1281,9 @@ class SnapshotTable:
             sparts = smeta.get("file_partitions", {})
             bparts = base_meta.get("file_partitions", {})
             if bparts or sparts:
+                inh = set(inherited)
                 pmeta["file_partitions"] = {
-                    **{f: p for f, p in bparts.items() if f in set(inherited)},
+                    **{f: p for f, p in bparts.items() if f in inh},
                     **{f: sparts[f] for f in smeta["new_files"] if f in sparts},
                 }
                 pmeta["partition_by"] = base_meta.get(
@@ -1455,9 +1507,15 @@ class SnapshotTable:
             # residual partition filter: pruning only removed files
             # whose recorded tuple mismatches; conservatively-kept
             # files re-filter here, so the result is identical to an
-            # unpruned filtered read.
+            # unpruned filtered read. NULL filters need isNull (no
+            # string form compares equal to NULL).
             for c, val in partitions.items():
-                df = df.filter(F.col(c).cast("string") == str(val))
+                if val is None:
+                    df = df.filter(F.col(c).isNull())
+                else:
+                    df = df.filter(
+                        F.col(c).cast("string") == self._part_str(val)
+                    )
         if where is not None:
             col, lo, hi = where
             df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
@@ -1677,6 +1735,43 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _validate_range(
+    tbl: SnapshotTable,
+    from_v: int,
+    to_v: int,
+    allowed: tuple,
+    what: str,
+) -> None:
+    """Shared guard for the two CDC readers (review catch: duplicated
+    guards diverge): both snapshots must exist, the range must be
+    forward (swapped bounds would silently read as 'no changes'), and
+    every commit inside it must be one of ``allowed`` — manifest
+    set-difference math is only meaningful over append-shaped history
+    (overwrite/replace/rollback rewrite visibility wholesale; evolve
+    changes the schema mid-range; merge deltas are changelogs, which
+    only ``read_changelog`` understands). Legacy-manifest ops are
+    inferred by ``history()``."""
+    snaps = tbl.snapshots()
+    for v in (from_v, to_v):
+        if v not in snaps:
+            raise ValueError(
+                f"snapshot {v} does not exist (have {snaps})"
+            )
+    if from_v >= to_v:
+        raise ValueError(
+            f"{what} needs from_v < to_v (got {from_v} >= {to_v})"
+        )
+    ops = dict(tbl.history())
+    for w in snaps:
+        if from_v < w <= to_v:
+            op = ops.get(w, "append")
+            if op not in allowed:
+                raise ValueError(
+                    f"{what} crosses a {op!r} commit (snapshot {w}); "
+                    "read full snapshots instead"
+                )
+
+
 def _read_incremental(
     tbl: SnapshotTable, spark: SparkSession, from_v: int, to_v: int
 ) -> DataFrame:
@@ -1688,27 +1783,10 @@ def _read_incremental(
     At 100 TB an incremental consumer (downstream ETL, streaming
     backfill) reads only the delta files instead of rescanning the
     table."""
-    snaps = tbl.snapshots()
-    for v in (from_v, to_v):
-        if v not in snaps:
-            raise ValueError(f"snapshot {v} does not exist (have {snaps})")
-    # The manifest set-difference equals "the appended rows" ONLY if
-    # every commit in the range is append-shaped. Guard by OPERATION,
-    # not by comparing delete_files (review catch: a compact after a
-    # merge folds the delete files away and the lists compare equal
-    # while the delta is the whole rewritten table): merge deltas are
-    # changelogs, overwrite/replace/rollback rewrite visibility, evolve
-    # changes the schema mid-range (a raw multi-path read would mix
-    # shapes). Iceberg's incremental append scan refuses the same ops.
-    ops = dict(tbl.history())  # legacy-manifest ops inferred there
-    for w in snaps:
-        if from_v < w <= to_v:
-            op = ops.get(w, "append")
-            if op not in ("append", "publish", "stage"):
-                raise ValueError(
-                    f"incremental append scan crosses a {op!r} commit "
-                    f"(snapshot {w}); read full snapshots instead"
-                )
+    _validate_range(
+        tbl, from_v, to_v, allowed=("append", "publish", "stage"),
+        what="incremental append scan",
+    )
     new_files = sorted(
         set(tbl._manifest(to_v)) - set(tbl._manifest(from_v))
     )
@@ -2364,19 +2442,11 @@ def read_changelog(
     one broadcast join against the old state's matching keys — never a
     diff of two full table scans.
     """
-    snaps = tbl.snapshots()
-    for v in (from_v, to_v):
-        if v not in snaps:
-            raise ValueError(f"snapshot {v} does not exist (have {snaps})")
-    ops = dict(tbl.history())
-    for w in snaps:
-        if from_v < w <= to_v:
-            op = ops.get(w, "append")
-            if op not in ("append", "publish", "merge", "stage"):
-                raise ValueError(
-                    f"changelog read crosses a {op!r} commit "
-                    f"(snapshot {w}); read full snapshots instead"
-                )
+    _validate_range(
+        tbl, from_v, to_v,
+        allowed=("append", "publish", "merge", "stage"),
+        what="changelog read",
+    )
     ct = F.lit("insert").alias("_change_type")
     new_files = sorted(
         set(tbl._manifest(to_v)) - set(tbl._manifest(from_v))

@@ -1288,3 +1288,70 @@ def test_changelog_read_edge_cases(spark, tmp_path):
     tbl.compact(spark)
     with pytest.raises(ValueError, match="crosses a"):
         read_changelog(tbl, spark, 1, 4)
+
+
+def test_partition_value_encoding_booleans_and_nulls(spark, tmp_path):
+    """Review catch: partition-value compares must use the hive-path
+    encoding (Spark casts True -> 'true'; NULL lands in the hive
+    default bucket) — Python str() forms never match and silently
+    produced empty reads / duplicated dynamic overwrites."""
+    df = spark.createDataFrame(
+        [(1, True), (2, False), (3, None), (4, True)],
+        "k long, flag boolean",
+    )
+    tbl = SnapshotTable(str(tmp_path / "pb"), partition_by=["flag"])
+    tbl.append(df)
+    # boolean filters return the right rows (not silently empty)
+    assert {r.k for r in tbl.read(spark, partitions={"flag": True}).collect()} \
+        == {1, 4}
+    assert {r.k for r in tbl.read(spark, partitions={"flag": False}).collect()} \
+        == {2}
+    assert {r.k for r in tbl.read(spark, partitions={"flag": None}).collect()} \
+        == {3}
+    kept, total = tbl.plan_files(partitions={"flag": True})
+    assert 0 < len(kept) < total
+    # dynamic overwrite of the True partition replaces it exactly once
+    tbl.overwrite_partitions(
+        spark.createDataFrame([(10, True)], "k long, flag boolean")
+    )
+    got = {r.k for r in tbl.read(spark).collect()}
+    assert got == {2, 3, 10}  # no duplicated old True rows
+
+
+def test_partition_spec_mismatch_and_reserved_prefix(spark, tmp_path):
+    """Review catches: a handle with a different partition_by must not
+    commit (it would reinterpret the inherited tuples under the wrong
+    columns), and user columns with the reserved __part_ prefix are
+    refused instead of silently overwritten."""
+    df = spark.createDataFrame([(1, "a", "b")], "k long, c1 string, c2 string")
+    tbl = SnapshotTable(str(tmp_path / "ps"), partition_by=["c1"])
+    tbl.append(df)
+    wrong = SnapshotTable(str(tmp_path / "ps"), partition_by=["c2"])
+    with pytest.raises(ValueError, match="partitioned by"):
+        wrong.append(df)
+    none = SnapshotTable(str(tmp_path / "ps"))
+    with pytest.raises(ValueError, match="partitioned by"):
+        none.append(df)
+    bad = spark.createDataFrame([(1, "a", "x")],
+                                "k long, c1 string, __part_c1 string")
+    t2 = SnapshotTable(str(tmp_path / "rp"), partition_by=["c1"])
+    with pytest.raises(ValueError, match="reserved '__part_'"):
+        t2.append(bad)
+
+
+def test_cdc_readers_reject_swapped_bounds(spark, tmp_path):
+    """Review catch: swapped/equal bounds silently read as 'no changes'
+    — both CDC readers must refuse instead."""
+    from iceberg_insert_spark.sources.snapshots import (
+        _read_incremental,
+        read_changelog,
+    )
+
+    tbl = SnapshotTable(str(tmp_path / "sb"))
+    tbl.append(spark.range(3).selectExpr("id AS k"))
+    tbl.append(spark.range(3, 6).selectExpr("id AS k"))
+    for fn in (_read_incremental, read_changelog):
+        with pytest.raises(ValueError, match="from_v < to_v"):
+            fn(tbl, spark, 2, 1)
+        with pytest.raises(ValueError, match="from_v < to_v"):
+            fn(tbl, spark, 2, 2)
