@@ -503,3 +503,43 @@ def test_quality_constraints_broadcast_fk_check(spark):
     anti = p[p.index("LeftAnti"):][:400]
     assert "Broadcast" in anti or "BroadcastExchange" in p
     assert p.count("orders.parquet") == 0  # all consumers read the checkpoint
+
+
+def test_snapshot_mor_read_broadcasts_delete_keys(spark, tmp_path):
+    """The merge-on-read scan must be ONE broadcast hash anti-join of
+    the (dimension-sized) delete keys against the data — never a
+    sort-merge join or a cartesian: at 100 TB the delete keys are MBs
+    while the fact is TBs, and this plan touches the fact once with
+    zero added fact shuffles."""
+    from pyspark.sql import functions as F
+
+    from iceberg_insert_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "morplan"))
+    tbl.append(spark.range(100).selectExpr("id AS k"))
+    chg = spark.createDataFrame([(int(i), "D") for i in range(0, 100, 7)],
+                                "k long, _op string")
+    tbl.merge(spark, chg, key="k")
+    p = plan_of(tbl.read(spark))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_partition_pruned_read_plans_fewer_files(spark, tmp_path):
+    """Manifest partition pruning is DRIVER-side metadata: the scan the
+    cluster sees contains only the matching partition's files (no data
+    IO decides this), and the residual filter stays in the scan
+    stage."""
+    from iceberg_insert_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "ppplan"), partition_by=["cat"])
+    tbl.append(spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3]) for i in range(30)],
+        "k long, cat string"))
+    kept, total = tbl.plan_files(partitions={"cat": "a"})
+    assert 0 < len(kept) < total
+    p = plan_of(tbl.read(spark, partitions={"cat": "a"}))
+    # exactly one scan over the pruned file list; no join/shuffle at all
+    assert "Exchange" not in p
+    assert "Scan parquet" in p
