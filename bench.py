@@ -76,6 +76,13 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    # Concurrent-load annotation (round-5 verdict #8): this box swings
+    # 2-4x with neighbor load, so cross-round deltas are only
+    # interpretable next to the load the run saw.
+    try:
+        out["load_avg_1m"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
     if failures:
         out["failures"] = failures
 
