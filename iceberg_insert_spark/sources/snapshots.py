@@ -135,7 +135,11 @@ class SnapshotTable:
                 rg0.column(i).path_in_schema: i
                 for i in range(rg0.num_columns)
             }
-            ent = {}
+            # record count under a reserved key (no column can be
+            # named '::rows') — the `.files` metadata table reads it
+            # without re-opening footers, like Iceberg's manifest
+            # record_count
+            ent = {"::rows": md.num_rows}
             for c in self.stats_cols:
                 idx = leaf.get(c)
                 if idx is None:
@@ -274,6 +278,36 @@ class SnapshotTable:
             or not self._provably_disjoint(s[0], s[1], lo, hi)
         ]
         return kept, total
+
+    def files_info(self, as_of: int | None = None) -> list[dict]:
+        """Iceberg's ``.files`` METADATA TABLE: one dict per data file
+        of the snapshot — path, commit sequence (from the ``_snap=K``
+        path), record count and per-column [min, max] (from the stats
+        sidecar, captured at commit from the parquet footers). Pure
+        metadata: no data file is opened at query time; a file written
+        without stats recording reports ``n_records=None``. This is
+        the operator a table administrator runs to see layout health
+        (file sizes/counts per snapshot) before deciding to compact."""
+        v = as_of if as_of is not None else self._latest_published()
+        if v is None:
+            raise ValueError(
+                f"table at {self.path!r} has no published snapshots"
+            )
+        stats = self._load_stats()
+        out = []
+        for rel in self._manifest(v):
+            ent = stats.get(rel, {})
+            out.append(
+                {
+                    "path": rel,
+                    "seq": int(rel.split("=", 1)[1].split(os.sep, 1)[0]),
+                    "n_records": ent.get("::rows"),
+                    "stats": {
+                        c: ent[c] for c in ent if c != "::rows"
+                    },
+                }
+            )
+        return out
 
     def snapshots(self) -> list[int]:
         if not os.path.isdir(self._mdir):
@@ -2553,4 +2587,64 @@ def q_snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
             exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
         )
+    )
+
+
+@query(
+    "q_snapshot_files",
+    oracle="""
+    SELECT CAST(1 AS BIGINT) AS snapshot_seq, COUNT(*) AS n_records,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), COUNT(*),
+           CAST(MIN(o_orderkey) AS BIGINT), CAST(MAX(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey % 3 = 1
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), COUNT(*),
+           CAST(MIN(o_orderkey) AS BIGINT), CAST(MAX(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey % 3 = 2
+    """,
+)
+def q_snapshot_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg ``.files`` metadata table, DuckDB-oracled end-to-end:
+    three appends (keys %3 = 0/1/2, each ONE file) with stats recording
+    on o_orderkey; ``files_info`` must report, per file, the commit
+    sequence, the record count, and the [min, max] key range — all from
+    the stats sidecar captured at commit time (parquet footers read
+    once by the writer, like Iceberg manifests carrying record_count
+    and column bounds), with ZERO data IO at query time. The oracle
+    recomputes each slice's count and key range from the data, so a
+    wrong footer capture, a mis-keyed sidecar entry, or a seq-parse bug
+    all hash-mismatch. Completes the metadata-table family:
+    q_snapshot_history (snapshots), this (.files), plan_files
+    (scan planning).
+
+    Scale shape: the admin query every compaction decision starts from
+    — file counts/sizes per snapshot — costs one JSON sidecar read
+    however large the table; the 100 TB failure mode (listing a
+    million files or opening their footers per inspection) never
+    happens because the writer recorded the numbers once.
+    """
+    from ..tables import require_local_master, scratch_dir
+
+    require_local_master(spark, "q_snapshot_files (footer stats)")
+    path = scratch_dir(spark, sf_dir, "snapshot_files")
+    o = load_table(spark, sf_dir, "orders")
+    tbl = SnapshotTable(path, stats_cols=["o_orderkey"])
+    for r in range(3):
+        tbl.append(o.filter(F.col("o_orderkey") % 3 == r).coalesce(1))
+    rows = [
+        (
+            fi["seq"],
+            fi["n_records"],
+            fi["stats"]["o_orderkey"][0],
+            fi["stats"]["o_orderkey"][1],
+        )
+        for fi in sorted(tbl.files_info(), key=lambda d: d["path"])
+    ]
+    return spark.createDataFrame(
+        rows,
+        "snapshot_seq long, n_records long, min_key long, max_key long",
     )

@@ -1355,3 +1355,47 @@ def test_cdc_readers_reject_swapped_bounds(spark, tmp_path):
             fn(tbl, spark, 2, 1)
         with pytest.raises(ValueError, match="from_v < to_v"):
             fn(tbl, spark, 2, 2)
+
+
+def test_concurrent_merges_compose(spark, tmp_path):
+    """Four writers merging concurrently (disjoint key slices of one
+    changelog, shared session): every merge lands as its own snapshot,
+    the rebase inside the commit critical section makes each manifest
+    include every earlier merge's data AND delete files, and the final
+    merge-on-read state equals applying all four changelogs — no lost
+    deletes, no lost upserts, no resurrected rows."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    base = spark.range(100).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    tbl = SnapshotTable(str(tmp_path / "cm"))
+    tbl.append(base)
+
+    def changelog(r):
+        # slice r: delete keys k%4==r with k<40, update keys k%4==r
+        # with 40<=k<80 to v+1000, insert key 1000+r
+        rows = (
+            [(k, 0.0, "D") for k in range(r, 40, 4)]
+            + [(k, float(k) + 1000, "U") for k in range(40 + r, 80, 4)]
+            + [(1000 + r, float(r), "I")]
+        )
+        return spark.createDataFrame(rows, "k long, v double, _op string")
+
+    def writer(r):
+        return tbl.merge(spark, changelog(r), key="k")
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        versions = list(ex.map(writer, range(4)))
+    assert sorted(versions) == [2, 3, 4, 5]
+    got = {r.k: r.v for r in tbl.read(spark).collect()}
+    want = {k: float(k) for k in range(100) if k >= 40}
+    for k in range(40, 80):
+        want[k] = float(k) + 1000
+    for r in range(4):
+        want[1000 + r] = float(r)
+    assert got == want
+    # every merge snapshot carries ALL earlier delete files (rebase)
+    for i, v in enumerate(sorted(versions)):
+        assert len(tbl._meta(v).get("delete_files", [])) >= i + 1
+    # compaction folds the whole pile; rows unchanged
+    tbl.compact(spark)
+    assert {r.k: r.v for r in tbl.read(spark).collect()} == want
