@@ -1436,6 +1436,39 @@ class SnapshotTable:
             expected_base=base,
         )
 
+    def compact_zorder(
+        self,
+        spark: SparkSession,
+        dim_a: str,
+        dim_b: str,
+        target_files: int = 8,
+    ) -> int:
+        """Z-ORDER compaction (Delta ``OPTIMIZE ZORDER BY`` / Iceberg's
+        z-order sort rewrite): rewrite the current snapshot through
+        ``zorder_layout`` — range-normalized Morton interleave of the
+        two dimensions, range-partitioned and sorted by the z-value —
+        so the per-file [min, max] stats stay NARROW ON BOTH columns
+        simultaneously and range predicates on EITHER dimension prune
+        files. A linear ``compact(sort_by=[a])`` clusters only its
+        leading column; z-order is the multi-dimensional clustering a
+        table queried on two independent axes needs at 100 TB. Same
+        replace-commit and optimistic base validation as ``compact``;
+        the measured pruning table lives in
+        operators/partitions.zorder_layout's docstring."""
+        from ..operators.partitions import zorder_layout
+
+        base = self._latest_published()
+        if base is None:
+            raise ValueError("nothing published to compact")
+        return self._commit(
+            zorder_layout(
+                self.read(spark, as_of=base), dim_a, dim_b, target_files
+            ),
+            inherit=False,
+            op="replace",
+            expected_base=base,
+        )
+
     def compact_with_retry(
         self,
         spark: SparkSession,

@@ -1399,3 +1399,31 @@ def test_concurrent_merges_compose(spark, tmp_path):
     # compaction folds the whole pile; rows unchanged
     tbl.compact(spark)
     assert {r.k: r.v for r in tbl.read(spark).collect()} == want
+
+
+def test_zorder_compaction_prunes_both_dimensions(spark, tmp_path):
+    """compact_zorder clusters on BOTH dimensions: after z-compacting a
+    round-robin-laid table with stats on two independent columns, range
+    predicates on EITHER column prune files (a linear sort would only
+    serve its leading column), and the rows are identical."""
+    o = load_table(spark, SF_DIR, "orders")
+    tbl = SnapshotTable(
+        str(tmp_path / "zc"), stats_cols=["o_custkey", "o_orderkey"]
+    )
+    tbl.append(o.repartition(8))  # 8 files, each spanning both ranges
+    mx_k = o.agg(F.max("o_orderkey")).collect()[0][0]
+    mx_c = o.agg(F.max("o_custkey")).collect()[0][0]
+    where_k = ("o_orderkey", 1, mx_k // 8)
+    where_c = ("o_custkey", 1, mx_c // 8)
+    kept_k0, tot0 = tbl.plan_files(where=where_k)
+    kept_c0, _ = tbl.plan_files(where=where_c)
+    assert len(kept_k0) == tot0 == 8 and len(kept_c0) == 8  # no pruning
+    want_k = tbl.read(spark, where=where_k).count()
+    want_c = tbl.read(spark, where=where_c).count()
+    tbl.compact_zorder(spark, "o_custkey", "o_orderkey", target_files=8)
+    kept_k1, tot1 = tbl.plan_files(where=where_k)
+    kept_c1, _ = tbl.plan_files(where=where_c)
+    assert tot1 == 8
+    assert len(kept_k1) < 8 and len(kept_c1) < 8  # BOTH dims prune
+    assert tbl.read(spark, where=where_k, plan=kept_k1).count() == want_k
+    assert tbl.read(spark, where=where_c, plan=kept_c1).count() == want_c
