@@ -254,16 +254,28 @@ class SnapshotTable:
             fparts = meta.get("file_partitions", {})
             pby = meta.get("partition_by", [])
             for c in partitions:
-                if c not in pby:
+                # valid if in the CURRENT spec or recorded by any file
+                # (an old spec after partition evolution) — a column no
+                # spec ever had is a caller error
+                if c not in pby and not any(
+                    c in p for p in fparts.values()
+                ):
                     raise ValueError(
                         f"{c!r} is not a partition column (have {pby})"
                     )
+            # a file is pruned only when it PROVABLY mismatches: its
+            # record has the column and the value differs. Files
+            # without a record, or written under a spec lacking the
+            # column (partition evolution), are conservatively kept —
+            # the residual filter re-applies the predicate, exactly
+            # Iceberg's cross-spec scan behavior.
             files = [
                 f
                 for f in files
-                if f not in fparts  # conservative keep
-                or all(
-                    fparts[f][pby.index(c)] == self._part_str(val)
+                if f not in fparts
+                or not any(
+                    c in fparts[f]
+                    and fparts[f][c] != self._part_str(val)
                     for c, val in partitions.items()
                 )
             ]
@@ -680,9 +692,13 @@ class SnapshotTable:
                         )
                     )
         new_files.sort()
-        # partition tuple per new file, parsed from the shadow-column
-        # hive path segments (__part_<col>=<value>)
-        new_parts: dict[str, list[str]] = {}
+        # partition record per new file, parsed from the shadow-column
+        # hive path segments (__part_<col>=<value>). Stored as a
+        # {column: value} DICT — each file carries its OWN spec
+        # (Iceberg's spec-id-per-file), so partition-spec evolution
+        # never rewrites old files: they keep their old-spec record and
+        # reads treat them conservatively.
+        new_parts: dict[str, dict[str, str]] = {}
         if self.partition_by:
             from urllib.parse import unquote
 
@@ -692,9 +708,9 @@ class SnapshotTable:
                     if part.startswith("__part_") and "=" in part:
                         k, val = part.split("=", 1)
                         seg[k[len("__part_"):]] = unquote(val)
-                new_parts[rel] = [
-                    seg.get(c, "") for c in self.partition_by
-                ]
+                new_parts[rel] = {
+                    c: seg.get(c, "") for c in self.partition_by
+                }
         # Inherit from the latest PUBLISHED snapshot, never a staged one:
         # a main-branch append that inherited staged files would silently
         # publish unaudited data (caught by
@@ -718,25 +734,37 @@ class SnapshotTable:
         if replace_partitions is not None:
             # DYNAMIC PARTITION OVERWRITE (Iceberg's replacePartitions /
             # partitionOverwriteMode=dynamic as ONE snapshot): inherit
-            # only the base files whose partition tuple is NOT replaced
-            # by this commit's data. The replaced set is derived from
-            # the WRITTEN files' partition paths (review catch: same
-            # hive encoding as the manifest tuples — booleans/NULLs
-            # compare exactly, and the input frame runs once). Files
-            # without a recorded partition cannot be safely
-            # replaced-around — refuse rather than guess.
-            replaced = {tuple(p) for p in new_parts.values()}
-            missing = [f for f in inherited if f not in base_parts]
-            if missing:
+            # only the base files whose partition record is NOT
+            # replaced by this commit's data. The replaced set is
+            # derived from the WRITTEN files' partition paths (review
+            # catch: same hive encoding as the manifest records —
+            # booleans/NULLs compare exactly, and the input frame runs
+            # once). Base files without a record, or written under a
+            # DIFFERENT spec (partition evolution), could logically
+            # overlap a replaced partition — refuse rather than
+            # silently duplicate; compact first to rewrite them under
+            # the current spec.
+            replaced = {
+                frozenset(p.items()) for p in new_parts.values()
+            }
+            spec = set(self.partition_by)
+            bad = [
+                f
+                for f in inherited
+                if f not in base_parts
+                or set(base_parts[f]) != spec
+            ]
+            if bad:
                 raise ValueError(
-                    "dynamic partition overwrite needs a partition "
-                    f"tuple for every base file; missing for {missing[:3]}"
-                    " (table written before partition_by?)"
+                    "dynamic partition overwrite needs every base file "
+                    "recorded under the CURRENT partition spec "
+                    f"{sorted(spec)}; offending: {bad[:3]} — compact to "
+                    "rewrite pre-spec files first"
                 )
             inherited = [
                 f
                 for f in inherited
-                if tuple(base_parts[f]) not in replaced
+                if frozenset(base_parts[f].items()) not in replaced
             ]
         meta: dict = {
             "files": inherited + new_files,
@@ -1039,6 +1067,41 @@ class SnapshotTable:
                 if carry in meta:
                     emeta[carry] = meta[carry]
             self._write_manifest(v, emeta)
+        return v
+
+    def evolve_partitioning(self, partition_by: list[str]) -> int:
+        """PARTITION-SPEC EVOLUTION (Iceberg ALTER TABLE ... ADD/DROP
+        PARTITION FIELD): a metadata-only commit that changes the spec
+        for FUTURE writes — old files are never rewritten; they keep
+        their own per-file partition record (spec-id-per-file) and
+        reads treat them conservatively (kept by partition pruning,
+        re-filtered by the residual). ``overwrite_partitions`` refuses
+        while pre-evolution files remain (they could logically overlap
+        a replaced partition) until a compact rewrites them under the
+        current spec. Updates this handle's spec; other handles get
+        the spec-mismatch refusal on their next commit and must
+        reopen."""
+        with self._commit_lock():
+            base = self._latest_published()
+            if base is None:
+                raise ValueError("nothing published to evolve")
+            meta = self._meta(base)
+            v = self._next_version()
+            emeta = {
+                "files": meta["files"],
+                "op": "evolve_spec",
+                "partition_by": list(partition_by),
+            }
+            for carry in (
+                "schema",
+                "schema_v",
+                "delete_files",
+                "file_partitions",
+            ):
+                if carry in meta:
+                    emeta[carry] = meta[carry]
+            self._write_manifest(v, emeta)
+        self.partition_by = list(partition_by)
         return v
 
     def add_column(self, name: str, dtype) -> int:

@@ -1169,8 +1169,8 @@ def test_dynamic_partition_overwrite(spark, tmp_path):
     tbl = SnapshotTable(str(tmp_path / "dp"), partition_by=["cat"])
     v1 = tbl.append(df)
     m1 = tbl._meta(v1)
-    assert set(map(tuple, m1["file_partitions"].values())) == {
-        ("a",), ("b",), ("c",)
+    assert {p["cat"] for p in m1["file_partitions"].values()} == {
+        "a", "b", "c"
     }
     # reload partition 'b' with corrected values
     fixed = df.filter("cat = 'b'").withColumn("v", F.col("v") + 1000)
@@ -1178,7 +1178,8 @@ def test_dynamic_partition_overwrite(spark, tmp_path):
     # untouched partitions: identical file lists (inherited by reference)
     def files_of(meta, val):
         return sorted(
-            f for f, p in meta["file_partitions"].items() if p == [val]
+            f for f, p in meta["file_partitions"].items()
+            if p == {"cat": val}
         )
     m2 = tbl._meta(v2)
     for cat in ("a", "c"):
@@ -1427,3 +1428,52 @@ def test_zorder_compaction_prunes_both_dimensions(spark, tmp_path):
     assert len(kept_k1) < 8 and len(kept_c1) < 8  # BOTH dims prune
     assert tbl.read(spark, where=where_k, plan=kept_k1).count() == want_k
     assert tbl.read(spark, where=where_c, plan=kept_c1).count() == want_c
+
+
+def test_partition_spec_evolution(spark, tmp_path):
+    """Iceberg partition evolution: changing the spec is metadata-only —
+    old files keep their own per-file record and are conservatively
+    kept (+ residually filtered) by pruning on either the old or the
+    new column; new appends lay out under the new spec and prune on
+    it; dynamic overwrite refuses while pre-evolution files remain and
+    works again after a compact rewrites them under the current spec."""
+    df = spark.createDataFrame(
+        [(i, ["a", "b"][i % 2], ["x", "y", "z"][i % 3]) for i in range(30)],
+        "k long, cat string, region string",
+    )
+    tbl = SnapshotTable(str(tmp_path / "pse"), partition_by=["cat"])
+    tbl.append(df.filter("k < 12"))
+    tbl.evolve_partitioning(["region"])
+    tbl.append(df.filter("k >= 12"))
+    assert tbl.read(spark).count() == 30
+    # prune on the NEW column: old-spec files conservatively kept,
+    # new-spec non-matching files pruned, result exact via residual
+    kept, total = tbl.plan_files(partitions={"region": "x"})
+    assert len(kept) < total
+    got = {r.k for r in tbl.read(spark, partitions={"region": "x"}).collect()}
+    assert got == {i for i in range(30) if i % 3 == 0}
+    # prune on the OLD column still answers correctly
+    got2 = {r.k for r in tbl.read(spark, partitions={"cat": "a"}).collect()}
+    assert got2 == {i for i in range(30) if i % 2 == 0}
+    # history records the spec change; stale handles refuse
+    assert "evolve_spec" in [op for _, op in tbl.history()]
+    stale = SnapshotTable(str(tmp_path / "pse"), partition_by=["cat"])
+    with pytest.raises(ValueError, match="partitioned by"):
+        stale.append(df.filter("k < 2"))
+    # dynamic overwrite refuses across mixed specs...
+    with pytest.raises(ValueError, match="compact"):
+        tbl.overwrite_partitions(
+            df.filter("region = 'x'").withColumn("k", F.col("k") + 100)
+        )
+    # ...and works after compaction rewrites under the current spec
+    tbl.compact(spark, target_files=3)
+    tbl.overwrite_partitions(
+        df.filter("region = 'x'").select(
+            (F.col("k") + 100).alias("k"), "cat", "region"
+        )
+    )
+    got3 = {r.k for r in tbl.read(spark).collect()}
+    want = {i for i in range(30) if i % 3 != 0} | {
+        i + 100 for i in range(30) if i % 3 == 0
+    }
+    assert got3 == want
