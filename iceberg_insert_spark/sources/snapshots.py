@@ -305,6 +305,11 @@ class SnapshotTable:
             raise ValueError(
                 f"table at {self.path!r} has no published snapshots"
             )
+        snaps = self.snapshots()
+        if v not in snaps:
+            raise ValueError(
+                f"snapshot {v} does not exist (have {snaps})"
+            )
         stats = self._load_stats()
         out = []
         for rel in self._manifest(v):
@@ -312,7 +317,7 @@ class SnapshotTable:
             out.append(
                 {
                     "path": rel,
-                    "seq": int(rel.split("=", 1)[1].split(os.sep, 1)[0]),
+                    "seq": self._seq_of(rel),
                     "n_records": ent.get("::rows"),
                     "stats": {
                         c: ent[c] for c in ent if c != "::rows"
@@ -320,6 +325,13 @@ class SnapshotTable:
                 }
             )
         return out
+
+    @staticmethod
+    def _seq_of(rel: str) -> int:
+        """Commit sequence of a data file — the ``_snap=K`` path
+        component; one spelling shared by the MoR reader and the
+        ``.files`` metadata table."""
+        return int(rel.split("=", 1)[1].split(os.sep, 1)[0])
 
     def snapshots(self) -> list[int]:
         if not os.path.isdir(self._mdir):
@@ -708,9 +720,14 @@ class SnapshotTable:
                     if part.startswith("__part_") and "=" in part:
                         k, val = part.split("=", 1)
                         seg[k[len("__part_"):]] = unquote(val)
-                new_parts[rel] = {
-                    c: seg.get(c, "") for c in self.partition_by
-                }
+                # record what the PATH says, not a re-index by the
+                # handle's current spec (review catch: a concurrent
+                # evolve_partitioning mutating self.partition_by
+                # mid-append would fabricate empty-string values for
+                # columns the file was never partitioned by, and
+                # pruning would wrongly drop it) — absent columns mean
+                # conservative keep.
+                new_parts[rel] = seg
         # Inherit from the latest PUBLISHED snapshot, never a staged one:
         # a main-branch append that inherited staged files would silently
         # publish unaudited data (caught by
@@ -719,18 +736,26 @@ class SnapshotTable:
         base_meta = self._meta(base) if base is not None else {}
         inherited = base_meta.get("files", [])
         base_parts = base_meta.get("file_partitions", {})
-        # Partition-spec consistency (review catch): a handle opened
+        # Partition-spec consistency (review catches): a handle opened
         # with a DIFFERENT partition_by would record its own spec and
-        # reinterpret the inherited files' tuples under the wrong
-        # column names — mis-pruning reads silently. Refuse the commit.
-        if inherit and base_meta.get("partition_by") is not None:
-            if list(base_meta["partition_by"]) != self.partition_by:
-                raise ValueError(
-                    f"table is partitioned by "
-                    f"{base_meta['partition_by']} but this handle "
-                    f"declares {self.partition_by}; open the table "
-                    "with the matching partition_by"
-                )
+        # reinterpret the inherited files' records under the wrong
+        # column names — mis-pruning reads silently. Refuse EVERY
+        # commit type against the latest published spec: a replace-type
+        # commit (compact/overwrite) from a stale handle would
+        # otherwise silently revert a partition-spec evolution. Spec
+        # changes go through evolve_partitioning only.
+        pub = base if inherit else self._latest_published()
+        pub_spec = (
+            self._meta(pub).get("partition_by")
+            if pub is not None
+            else None
+        )
+        if pub_spec is not None and list(pub_spec) != self.partition_by:
+            raise ValueError(
+                f"table is partitioned by {pub_spec} but this handle "
+                f"declares {self.partition_by}; open the table with "
+                "the matching partition_by (or evolve_partitioning)"
+            )
         if replace_partitions is not None:
             # DYNAMIC PARTITION OVERWRITE (Iceberg's replacePartitions /
             # partitionOverwriteMode=dynamic as ONE snapshot): inherit
@@ -983,13 +1008,18 @@ class SnapshotTable:
         if base is not None:
             bmeta = self._meta(base)
             bparts = bmeta.get("file_partitions", {})
-            missing = [f for f in bmeta["files"] if f not in bparts]
-            if missing:
+            spec = set(self.partition_by)
+            bad = [
+                f
+                for f in bmeta["files"]
+                if f not in bparts or set(bparts[f]) != spec
+            ]
+            if bad:
                 raise ValueError(
-                    "dynamic partition overwrite needs a partition "
-                    "tuple for every base file; missing for "
-                    f"{missing[:3]} (table written before "
-                    "partition_by?)"
+                    "dynamic partition overwrite needs every base "
+                    "file recorded under the CURRENT partition spec "
+                    f"{sorted(spec)}; offending: {bad[:3]} — compact "
+                    "to rewrite pre-spec files first"
                 )
         return self._commit(
             df,
@@ -1246,8 +1276,7 @@ class SnapshotTable:
         schema_v = meta.get("schema_v", 1)
         by_seq: dict[int, list[str]] = {}
         for r in rels:
-            seq = int(r.split("=", 1)[1].split(os.sep, 1)[0])
-            by_seq.setdefault(seq, []).append(r)
+            by_seq.setdefault(self._seq_of(r), []).append(r)
         needs_resolve = sj is not None and any(
             s < schema_v for s in by_seq
         )

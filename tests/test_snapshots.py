@@ -1477,3 +1477,26 @@ def test_partition_spec_evolution(spark, tmp_path):
         i + 100 for i in range(30) if i % 3 == 0
     }
     assert got3 == want
+
+
+def test_stale_handle_cannot_revert_spec_via_replace(spark, tmp_path):
+    """Review catch: replace-type commits (compact/overwrite) from a
+    handle opened with the OLD spec must refuse after a partition-spec
+    evolution — a silent replace would revert the evolution wholesale."""
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y")], "k long, cat string, region string"
+    )
+    tbl = SnapshotTable(str(tmp_path / "sr"), partition_by=["cat"])
+    tbl.append(df)
+    stale = SnapshotTable(str(tmp_path / "sr"), partition_by=["cat"])
+    tbl.evolve_partitioning(["region"])
+    with pytest.raises(ValueError, match="partitioned by"):
+        stale.compact(spark)
+    with pytest.raises(ValueError, match="partitioned by"):
+        stale.overwrite(df)
+    # the evolved handle compacts fine
+    tbl.compact(spark)
+    assert tbl.read(spark).count() == 2
+    # files_info validates the snapshot exists
+    with pytest.raises(ValueError, match="does not exist"):
+        tbl.files_info(as_of=99)
