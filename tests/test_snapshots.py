@@ -1500,3 +1500,102 @@ def test_stale_handle_cannot_revert_spec_via_replace(spark, tmp_path):
     # files_info validates the snapshot exists
     with pytest.raises(ValueError, match="does not exist"):
         tbl.files_info(as_of=99)
+
+
+def test_cdc_lifecycle_model_randomized(spark, tmp_path):
+    """Model-based check of the CDC surface: a seeded random sequence
+    of append / merge (delete+update+insert) / compact / rollback /
+    expire runs against both the real SnapshotTable and a pure-Python
+    {rid: value} model. After every operation the latest merge-on-read
+    state must equal the model exactly (keys AND values — updates are
+    value changes, so a lost delete file, a seq-visibility slip, or a
+    resurrected row all surface); at the end every surviving snapshot
+    matches. Complements test_lifecycle_model_randomized, which models
+    visibility sets over the append/WAP surface."""
+    import random
+
+    rng = random.Random(20260814)
+    tbl = SnapshotTable(str(tmp_path / "cdc"))
+    vis: dict[int, dict[int, float]] = {}
+    published: list[int] = []
+    next_id = 0
+
+    def df_of(mapping):
+        return spark.createDataFrame(
+            [(k, v) for k, v in sorted(mapping.items())],
+            "rid long, val double",
+        ).coalesce(1)
+
+    def fresh(n):
+        nonlocal next_id
+        ids = list(range(next_id, next_id + n))
+        next_id += n
+        return ids
+
+    # seed state
+    ids = fresh(6)
+    v = tbl.append(df_of({i: float(i) for i in ids}))
+    vis[v] = {i: float(i) for i in ids}
+    published.append(v)
+
+    for step in range(22):
+        cur = vis[published[-1]]
+        choices = ["append", "merge", "compact"]
+        if len(published) >= 2:
+            choices += ["rollback", "expire"]
+        op = rng.choice(choices)
+        if op == "append":
+            ids = fresh(rng.randint(1, 3))
+            batch = {i: float(i) for i in ids}
+            v = tbl.append(df_of(batch))
+            vis[v] = {**cur, **batch}
+            published.append(v)
+        elif op == "merge":
+            keys = sorted(cur)
+            dels = rng.sample(keys, min(len(keys), rng.randint(0, 2)))
+            upds = rng.sample(
+                [k for k in keys if k not in dels],
+                min(len(keys) - len(dels), rng.randint(0, 2)),
+            )
+            ins = fresh(rng.randint(0, 2))
+            rows = (
+                [(k, 0.0, "D") for k in dels]
+                + [(k, cur[k] + 100.0, "U") for k in upds]
+                + [(k, float(k), "I") for k in ins]
+            )
+            if not rows:
+                continue
+            chg = spark.createDataFrame(
+                rows, "rid long, val double, _op string"
+            )
+            v = tbl.merge(spark, chg, key="rid")
+            state = {k: x for k, x in cur.items() if k not in dels}
+            for k in upds:
+                state[k] = cur[k] + 100.0
+            for k in ins:
+                state[k] = float(k)
+            vis[v] = state
+            published.append(v)
+        elif op == "compact":
+            v = tbl.compact(spark)
+            vis[v] = dict(cur)
+            published.append(v)
+        elif op == "rollback":
+            to = rng.choice(published)
+            v = tbl.rollback(to=to)
+            vis[v] = dict(vis[to])
+            published.append(v)
+        else:  # expire
+            keep = rng.choice(published[1:-1] or published)
+            try:
+                tbl.expire(keep_from=keep)
+            except ValueError:
+                continue
+            for w in [w for w in vis if w < keep]:
+                del vis[w]
+            published = [w for w in published if w >= keep]
+        got = {r.rid: r.val for r in tbl.read(spark).collect()}
+        assert got == vis[published[-1]], f"step {step} ({op})"
+    for v in tbl.snapshots():
+        got = {r.rid: r.val for r in tbl.read(spark, as_of=v).collect()}
+        assert got == vis[v], f"snapshot {v}"
