@@ -32,6 +32,7 @@ from __future__ import annotations
 import json
 import os
 from contextlib import contextmanager
+from time import time as time_time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -886,7 +887,32 @@ class SnapshotTable:
         os.rename(tmp, path)
 
     def _write_manifest(self, v: int, meta: dict) -> None:
+        # commit wall-clock (Iceberg's snapshot timestamp-ms): the
+        # TIMESTAMP AS OF resolution key. Recorded for every commit
+        # type at the single manifest-write choke point.
+        meta.setdefault("ts", time_time())
         self._atomic_json(os.path.join(self._mdir, f"v{v}.json"), meta)
+
+    def resolve_as_of_ts(self, ts: float) -> int:
+        """TIMESTAMP AS OF resolution (Iceberg's
+        ``snapshot_id_as_of_time``): the newest PUBLISHED snapshot
+        whose commit timestamp is <= ``ts``. Metadata-only (manifest
+        JSONs); raises if ``ts`` predates the table. Pre-timestamp
+        manifests (written before this field existed) are treated as
+        older than any timestamp."""
+        best = None
+        for v, op in self.history():
+            if op == "stage":
+                continue  # staged snapshots are not on main
+            mts = self._meta(v).get("ts", float("-inf"))
+            if mts <= ts:
+                best = v  # history is version-ascending; ts ascends too
+        if best is None:
+            raise ValueError(
+                f"no snapshot at or before timestamp {ts} "
+                f"(earliest commit is later)"
+            )
+        return best
 
     def history(self) -> list[tuple[int, str]]:
         """(snapshot_id, operation) per surviving snapshot, oldest first —
@@ -1594,6 +1620,7 @@ class SnapshotTable:
         where: tuple | None = None,
         plan: list[str] | None = None,
         partitions: dict | None = None,
+        as_of_ts: float | None = None,
     ) -> DataFrame:
         """Read the table as of snapshot ``as_of`` (default: latest). The
         file list comes from the manifest, never a directory walk.
@@ -1609,6 +1636,13 @@ class SnapshotTable:
         A caller that already ran ``plan_files`` (e.g. to report the
         counters) passes the kept list via ``plan`` so the metadata
         pass isn't paid twice."""
+        if as_of_ts is not None:
+            # TIMESTAMP AS OF: resolve to the newest published snapshot
+            # committed at or before the timestamp, then proceed as a
+            # VERSION AS OF read.
+            if as_of is not None:
+                raise ValueError("pass as_of OR as_of_ts, not both")
+            as_of = self.resolve_as_of_ts(as_of_ts)
         snaps = self.snapshots()
         if not snaps:
             raise ValueError(
@@ -1782,6 +1816,24 @@ class SnapshotTable:
             except FileNotFoundError:
                 pass
         return sorted(removed)
+
+    def expire_older_than(self, ts: float) -> list[str]:
+        """Iceberg ``expire_snapshots(older_than=ts)``: drop snapshots
+        committed before ``ts`` (always keeping at least the latest
+        published one — a table never loses its current state). The
+        cutoff->keep_from mapping is advisory metadata; ``expire``
+        itself re-validates under the commit lock."""
+        latest = self._latest_published()
+        keep = [
+            v
+            for v in self.snapshots()
+            if self._meta(v).get("ts", float("-inf")) >= ts
+        ]
+        if latest is not None:
+            keep.append(latest)
+        if not keep:
+            raise ValueError("expire_older_than would delete every snapshot")
+        return self.expire(keep_from=min(keep))
 
     def _empty_frame(self, spark: SparkSession, v: int) -> DataFrame:
         """Typed empty frame for a snapshot whose manifest lists zero

@@ -1599,3 +1599,39 @@ def test_cdc_lifecycle_model_randomized(spark, tmp_path):
     for v in tbl.snapshots():
         got = {r.rid: r.val for r in tbl.read(spark, as_of=v).collect()}
         assert got == vis[v], f"snapshot {v}"
+
+
+def test_timestamp_as_of_reads_and_expiry(spark, tmp_path):
+    """TIMESTAMP AS OF: every commit records its wall-clock in the
+    manifest; read(as_of_ts=t) resolves the newest published snapshot
+    committed at or before t (staged snapshots invisible), errors
+    before the first commit, and expire_older_than drops by timestamp
+    while always keeping the latest state."""
+    import time
+
+    o = load_table(spark, SF_DIR, "orders")
+    tbl = SnapshotTable(str(tmp_path / "ts"))
+    vs, stamps = [], []
+    for r in range(3):
+        vs.append(tbl.append(o.filter(F.col("o_orderkey") % 3 == r)))
+        stamps.append(tbl._meta(vs[-1])["ts"])
+        time.sleep(0.02)
+    # between commit 1 and 2 -> snapshot 1; at/after the last -> latest
+    mid = (stamps[0] + stamps[1]) / 2
+    assert tbl.resolve_as_of_ts(mid) == vs[0]
+    assert tbl.resolve_as_of_ts(stamps[1]) == vs[1]
+    n0 = o.filter(F.col("o_orderkey") % 3 == 0).count()
+    assert tbl.read(spark, as_of_ts=mid).count() == n0
+    assert tbl.read(spark, as_of_ts=time.time()).count() == o.count()
+    with pytest.raises(ValueError, match="no snapshot at or before"):
+        tbl.resolve_as_of_ts(stamps[0] - 1000)
+    with pytest.raises(ValueError, match="not both"):
+        tbl.read(spark, as_of=1, as_of_ts=mid)
+    # staged snapshots never resolve from timestamps
+    sv = tbl.stage_append(o.limit(5), wap_id="wts")
+    assert tbl.resolve_as_of_ts(time.time()) == vs[-1] != sv
+    # timestamp-based expiry keeps the latest even with a future cutoff
+    doomed = tbl.expire_older_than(stamps[2])
+    assert tbl.resolve_as_of_ts(time.time()) == vs[-1]
+    assert vs[0] not in tbl.snapshots()
+    del doomed
