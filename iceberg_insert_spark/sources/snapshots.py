@@ -1817,6 +1817,113 @@ class SnapshotTable:
                 pass
         return sorted(removed)
 
+    # -- named refs (Iceberg TAGS): immutable pins for reproducible
+    #    dataset versions ---------------------------------------------
+
+    def _refs_path(self) -> str:
+        return os.path.join(self._mdir, "refs.json")
+
+    def _refs(self) -> dict:
+        try:
+            with open(self._refs_path()) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return {}
+
+    def tag(self, name: str, snapshot: int | None = None) -> int:
+        """Create an Iceberg TAG: a named immutable ref pinning a
+        snapshot (default: latest published). ``expire`` RETAINS tagged
+        snapshots and their files regardless of the age cutoff —
+        exactly what a training run needs to stay reproducible: tag the
+        corpus snapshot it read, and routine retention can't pull the
+        data out from under it. Tag moves/deletes go through
+        ``untag`` + re-``tag`` (tags are immutable, like Iceberg's)."""
+        with self._commit_lock():
+            if snapshot is None:
+                snapshot = self._latest_published()
+                if snapshot is None:
+                    raise ValueError("nothing published to tag")
+            snaps = self.snapshots()
+            if snapshot not in snaps:
+                raise ValueError(
+                    f"snapshot {snapshot} does not exist (have {snaps})"
+                )
+            refs = self._refs()
+            if name in refs:
+                raise ValueError(
+                    f"tag {name!r} already exists (pinned to "
+                    f"{refs[name]}); untag() it first"
+                )
+            refs[name] = snapshot
+            self._atomic_json(self._refs_path(), refs)
+        return snapshot
+
+    def untag(self, name: str) -> None:
+        with self._commit_lock():
+            refs = self._refs()
+            if name not in refs:
+                raise ValueError(f"no such tag: {name!r}")
+            del refs[name]
+            self._atomic_json(self._refs_path(), refs)
+
+    def tags(self) -> dict:
+        """name -> snapshot id, like Iceberg's ``table.refs`` metadata
+        table (tags only; the WAP staging surface covers the audit-
+        branch use case)."""
+        return dict(self._refs())
+
+    def read_tag(self, spark: SparkSession, name: str) -> DataFrame:
+        """Read the snapshot a tag pins — ``VERSION AS OF`` resolved by
+        name."""
+        refs = self._refs()
+        if name not in refs:
+            raise ValueError(
+                f"no such tag: {name!r} (have {sorted(refs)})"
+            )
+        return self.read(spark, as_of=refs[name])
+
+    def verify(self) -> dict:
+        """Table FSCK (admin maintenance): cross-check the metadata
+        against the filesystem and each sidecar against the live
+        history. Returns a report dict — all-empty means healthy:
+
+          * ``missing_files`` — paths a LIVE manifest references that
+            do not exist on disk (the one inconsistency the commit
+            protocol promises never to create; presence means external
+            deletion or a restore from partial backup);
+          * ``dangling_tokens`` — exactly-once tokens pointing at
+            expired snapshots (harmless — append_once re-checks
+            membership — but bounded hygiene);
+          * ``dangling_refs`` — tags pinning snapshots that no longer
+            exist (possible only via external manifest deletion; tags
+            block expire);
+          * ``orphan_stats`` — stats-sidecar entries for files no live
+            manifest references (crash-window leftovers expire's trim
+            missed; conservative, never wrong reads).
+
+        Metadata-only: O(live files) existence probes, no data IO."""
+        snaps = self.snapshots()
+        live_paths = {p for v in snaps for p in self._all_paths(v)}
+        report: dict[str, list] = {
+            "missing_files": [],
+            "dangling_tokens": [],
+            "dangling_refs": [],
+            "orphan_stats": [],
+        }
+        for p in sorted(live_paths):
+            if not os.path.exists(os.path.join(self.path, p)):
+                report["missing_files"].append(p)
+        for t, v in sorted(self._token_index().items()):
+            if v not in snaps:
+                report["dangling_tokens"].append(t)
+        for n, v in sorted(self._refs().items()):
+            if v not in snaps:
+                report["dangling_refs"].append(n)
+        for f in sorted(self._load_stats()):
+            if f not in live_paths:
+                report["orphan_stats"].append(f)
+        return report
+
     def expire_older_than(self, ts: float) -> list[str]:
         """Iceberg ``expire_snapshots(older_than=ts)``: drop snapshots
         committed before ``ts`` (always keeping at least the latest
@@ -1870,8 +1977,13 @@ class SnapshotTable:
         pointing at deleted files."""
         with self._commit_lock():
             snaps = self.snapshots()
-            keep = [v for v in snaps if v >= keep_from]
-            drop = [v for v in snaps if v < keep_from]
+            tagged = set(self._refs().values())
+            keep = [
+                v for v in snaps if v >= keep_from or v in tagged
+            ]
+            drop = [
+                v for v in snaps if v < keep_from and v not in tagged
+            ]
             if not keep:
                 raise ValueError("expire would delete every snapshot")
             referenced = {
@@ -1889,7 +2001,11 @@ class SnapshotTable:
             # the LIVE history.
             if drop:
                 idx = self._token_index()
-                live = {t: v for t, v in idx.items() if v >= keep_from}
+                live = {
+                    t: v
+                    for t, v in idx.items()
+                    if v >= keep_from or v in tagged
+                }
                 if len(live) != len(idx):
                     self._atomic_json(self._tokens_path(), live)
         for f in doomed:

@@ -942,3 +942,52 @@ def test_threshold_sweep_matches_numpy_brute_force(spark):
                 if dot > 0 and float(dot * dot) >= t * t * den:
                     want[t] += 1
     assert got == want
+
+
+def test_pruning_disjointness_never_drops_overlap():
+    """Property (hypothesis): the stats-pruning disjointness test is
+    SOUND across mixed date/datetime string granularities — whenever
+    the real time intervals overlap, _provably_disjoint must be False
+    (pruning a file whose range overlaps the predicate loses rows; the
+    reverse direction only costs IO)."""
+    import datetime
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from iceberg_insert_spark.sources.snapshots import SnapshotTable
+
+    base = datetime.datetime(1995, 1, 1)
+
+    def render(dt, as_date):
+        return dt.date().isoformat() if as_date else dt.isoformat()
+
+    minutes = st.integers(min_value=0, max_value=60 * 24 * 400)
+    bools = st.booleans()
+
+    @settings(max_examples=300, deadline=None)
+    @given(minutes, minutes, minutes, minutes, bools, bools, bools, bools)
+    def check(a, b, x, y, fa, fb, fx, fy):
+        lo_s, hi_s = sorted(
+            (base + datetime.timedelta(minutes=a),
+             base + datetime.timedelta(minutes=b))
+        )
+        lo_q, hi_q = sorted(
+            (base + datetime.timedelta(minutes=x),
+             base + datetime.timedelta(minutes=y))
+        )
+        stat = (render(lo_s, fa), render(hi_s, fb))
+        bound = (render(lo_q, fx), render(hi_q, fy))
+        # REAL intervals under the normalization contract: a date-only
+        # string means that day's midnight instant
+        def real(s):
+            return datetime.datetime.fromisoformat(s)
+        overlap = not (
+            real(stat[1]) < real(bound[0]) or real(stat[0]) > real(bound[1])
+        )
+        pruned = SnapshotTable._provably_disjoint(
+            stat[0], stat[1], bound[0], bound[1]
+        )
+        assert not (overlap and pruned)
+
+    check()

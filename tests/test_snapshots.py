@@ -1635,3 +1635,72 @@ def test_timestamp_as_of_reads_and_expiry(spark, tmp_path):
     assert tbl.resolve_as_of_ts(time.time()) == vs[-1]
     assert vs[0] not in tbl.snapshots()
     del doomed
+
+
+def test_tags_pin_snapshots_through_expiry(spark, tmp_path):
+    """Iceberg TAGS: a named immutable ref retains its snapshot (and
+    files, and exactly-once token) through expire regardless of the
+    age cutoff — the reproducible-training-corpus pin; untag releases
+    it and the next expire reclaims."""
+    o = load_table(spark, SF_DIR, "orders")
+    tbl = SnapshotTable(str(tmp_path / "tg"))
+    v1 = tbl.append_once(o.filter(F.col("o_orderkey") % 3 == 0),
+                         token="b-0")
+    tbl.overwrite(o.filter(F.col("o_orderkey") % 3 == 1))
+    tbl.overwrite(o.filter(F.col("o_orderkey") % 3 == 2))
+    tbl.tag("corpus-v1", v1)
+    assert tbl.tags() == {"corpus-v1": v1}
+    n1 = o.filter(F.col("o_orderkey") % 3 == 0).count()
+    # expire everything below the latest: the tagged snapshot survives
+    tbl.expire(keep_from=3)
+    assert v1 in tbl.snapshots() and 2 not in tbl.snapshots()
+    assert tbl.read_tag(spark, "corpus-v1").count() == n1
+    # its exactly-once token survived the trim too
+    assert tbl.append_once(o.limit(1), token="b-0") == v1
+    # guards
+    with pytest.raises(ValueError, match="already exists"):
+        tbl.tag("corpus-v1")
+    with pytest.raises(ValueError, match="does not exist"):
+        tbl.tag("nope", 99)
+    with pytest.raises(ValueError, match="no such tag"):
+        tbl.read_tag(spark, "ghost")
+    # untag -> reclaimable
+    tbl.untag("corpus-v1")
+    tbl.expire(keep_from=3)
+    assert v1 not in tbl.snapshots()
+    with pytest.raises(ValueError, match="no such tag"):
+        tbl.untag("corpus-v1")
+
+
+def test_verify_fsck_reports_each_inconsistency(spark, tmp_path):
+    """verify() is the admin fsck: healthy tables report all-empty;
+    each injected inconsistency (externally deleted data file, token
+    to an expired snapshot, tag to a removed manifest, stats entry for
+    an unreferenced file) lands in exactly its own bucket."""
+    import json as _json
+
+    o = load_table(spark, SF_DIR, "orders")
+    tbl = SnapshotTable(str(tmp_path / "fs"), stats_cols=["o_orderkey"])
+    tbl.append_once(o.filter(F.col("o_orderkey") % 2 == 0), token="t1")
+    tbl.append(o.filter(F.col("o_orderkey") % 2 == 1))
+    assert tbl.verify() == {
+        "missing_files": [], "dangling_tokens": [],
+        "dangling_refs": [], "orphan_stats": [],
+    }
+    # inject: delete a live data file externally
+    victim = tbl._manifest(2)[0]
+    os.remove(os.path.join(tbl.path, victim))
+    # inject: token to a nonexistent snapshot
+    idx = tbl._token_index(); idx["ghost"] = 99
+    tbl._atomic_json(tbl._tokens_path(), idx)
+    # inject: ref to a removed snapshot
+    tbl._atomic_json(tbl._refs_path(), {"old": 98})
+    # inject: stats entry for an unreferenced file
+    st = tbl._load_stats(); st["_snap=9/ghost.parquet"] = {"::rows": 1}
+    tbl._atomic_json(tbl._stats_path(), st)
+    rep = tbl.verify()
+    assert rep["missing_files"] == [victim]
+    assert rep["dangling_tokens"] == ["ghost"]
+    assert rep["dangling_refs"] == ["old"]
+    assert rep["orphan_stats"] == ["_snap=9/ghost.parquet"]
+    del _json
