@@ -1704,3 +1704,50 @@ def test_verify_fsck_reports_each_inconsistency(spark, tmp_path):
     assert rep["dangling_refs"] == ["old"]
     assert rep["orphan_stats"] == ["_snap=9/ghost.parquet"]
     del _json
+
+
+def test_merge_composes_with_partitioned_tables(spark, tmp_path):
+    """CDC merge on a PARTITIONED snapshot table: upsert row images lay
+    out under the partition spec, the equality-delete file stays
+    spec-agnostic (keys only), merge-on-read applies deletes under
+    partition-pruned reads, and dynamic overwrite afterwards refuses
+    (a replaced partition could hide rows a delete still targets is
+    fine — deletes are by key — but the merge's files ARE current-spec
+    so it works) — pin the actual composed behavior."""
+    df = spark.createDataFrame(
+        [(i, ["a", "b"][i % 2], float(i)) for i in range(20)],
+        "k long, cat string, v double",
+    )
+    tbl = SnapshotTable(str(tmp_path / "pm"), partition_by=["cat"])
+    tbl.append(df)
+    chg = spark.createDataFrame(
+        [(0, "a", 0.0, "D"), (2, "a", 222.0, "U"), (100, "b", 1.0, "I")],
+        "k long, cat string, v double, _op string",
+    )
+    tbl.merge(spark, chg, key="k")
+    rows = {r.k: r.v for r in tbl.read(spark).collect()}
+    assert 0 not in rows and rows[2] == 222.0 and rows[100] == 1.0
+    assert len(rows) == 20
+    # the merge's own files carry partition records (current spec)
+    vm = max(tbl.snapshots())
+    m = tbl._meta(vm)
+    for f in m["new_files"]:
+        assert m["file_partitions"][f].get("cat") in ("a", "b")
+    # partition-pruned read still applies the deletes
+    a_rows = {r.k for r in tbl.read(spark, partitions={"cat": "a"}).collect()}
+    assert a_rows == {i for i in range(20) if i % 2 == 0} - {0} | set()
+    assert 2 in a_rows
+    b_rows = {r.k for r in tbl.read(spark, partitions={"cat": "b"}).collect()}
+    assert b_rows == {i for i in range(20) if i % 2 == 1} | {100}
+    # dynamic overwrite over a table with live delete files: replaces
+    # partition 'b' wholesale; the delete file still applies to the
+    # surviving older 'a' files
+    tbl.overwrite_partitions(
+        spark.createDataFrame([(500, "b", 5.0)], "k long, cat string, v double")
+    )
+    rows2 = {r.k: r.v for r in tbl.read(spark).collect()}
+    assert rows2 == {
+        **{i: (222.0 if i == 2 else float(i))
+           for i in range(20) if i % 2 == 0 and i != 0},
+        500: 5.0,
+    }
