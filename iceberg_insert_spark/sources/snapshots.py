@@ -544,6 +544,7 @@ class SnapshotTable:
         deletes_df: DataFrame | None = None,
         delete_key: str | None = None,
         replace_partitions: set | None = None,
+        branch: str | None = None,
     ) -> int:
         """Optimistic-concurrency commit, Iceberg's shape: the data
         files are written in PARALLEL into a private staging dir (the
@@ -568,7 +569,11 @@ class SnapshotTable:
         # raises CommitConflict if it did — optimistic concurrency,
         # same as the compaction base check.
         if inherit:
-            base0 = self._latest_published()
+            base0 = (
+                self._branch_head(branch)
+                if branch is not None
+                else self._latest_published()
+            )
             if base0 is not None:
                 tj = self._meta(base0).get("schema")
                 if tj is not None:
@@ -645,7 +650,15 @@ class SnapshotTable:
                     # fast read path. Abort; the caller's retry
                     # projects onto the current schema. Identical
                     # schemas (the common concurrent-append race) pass.
-                    curb = self._latest_published()
+                    # Branch commits validate against the BRANCH head
+                    # (their inherit base), not main — and re-resolve it
+                    # under the lock so a concurrent branch commit or a
+                    # drop_branch mid-write is caught here.
+                    curb = (
+                        self._branch_head(branch)
+                        if branch is not None
+                        else self._latest_published()
+                    )
                     cur_schema = (
                         self._meta(curb).get("schema")
                         if curb is not None
@@ -667,7 +680,7 @@ class SnapshotTable:
                     os.rename(deldir, os.path.join(d, "_deletes"))
                 new_files = self._finish_commit(
                     v, d, inherit, token, op, wap_id, schema_json,
-                    delete_key, replace_partitions,
+                    delete_key, replace_partitions, branch,
                 )
             # Footer-stat recording OUTSIDE the lock (review catch:
             # thousands of footer reads inside it would overrun the
@@ -693,6 +706,7 @@ class SnapshotTable:
         schema_json: dict | None = None,
         delete_key: str | None = None,
         replace_partitions: set | None = None,
+        branch: str | None = None,
     ) -> list[str]:
         new_files = []
         for root, dirs, files in os.walk(d):
@@ -732,8 +746,12 @@ class SnapshotTable:
         # Inherit from the latest PUBLISHED snapshot, never a staged one:
         # a main-branch append that inherited staged files would silently
         # publish unaudited data (caught by
-        # test_wap_rejected_stage_is_expirable).
-        base = self._latest_published() if inherit else None
+        # test_wap_rejected_stage_is_expirable). Branch commits inherit
+        # from the BRANCH head instead (re-read under the lock).
+        if branch is not None:
+            base = self._branch_head(branch)
+        else:
+            base = self._latest_published() if inherit else None
         base_meta = self._meta(base) if base is not None else {}
         inherited = base_meta.get("files", [])
         base_parts = base_meta.get("file_partitions", {})
@@ -837,6 +855,12 @@ class SnapshotTable:
             meta["token"] = token
         if wap_id is not None:
             meta["wap_id"] = wap_id
+        if branch is not None:
+            # Iceberg's branch ref: the snapshot lives in the shared
+            # version space but is OFF main — op "branch-append" keeps
+            # every op-filtering consumer (_latest_published, streaming,
+            # time-travel-by-timestamp) naturally blind to it.
+            meta["branch"] = branch
         if schema_json is not None:
             # Iceberg records a schema-id per snapshot; the schema the
             # commit wrote is THE snapshot's read schema (time travel
@@ -866,6 +890,18 @@ class SnapshotTable:
         # commits; a missing stats entry (stats are recorded after the
         # lock) only ever means conservative 'must read'.
         self._write_manifest(v, meta)
+        if branch is not None:
+            # Advance the branch ref to this commit — still inside the
+            # commit critical section, so ref and manifest move
+            # together (a crash between the two leaves an unreferenced
+            # branch snapshot, which expire/orphan cleanup reclaims —
+            # never a ref pointing at a missing manifest).
+            refs = self._refs()
+            entry = refs.get(branch)
+            if not isinstance(entry, dict) or entry.get("type") != "branch":
+                raise ValueError(f"no such branch: {branch!r}")
+            refs[branch] = {**entry, "snapshot": v}
+            self._atomic_json(self._refs_path(), refs)
         return new_files
 
     @staticmethod
@@ -902,8 +938,8 @@ class SnapshotTable:
         older than any timestamp."""
         best = None
         for v, op in self.history():
-            if op == "stage":
-                continue  # staged snapshots are not on main
+            if op in ("stage", "branch-append"):
+                continue  # staged/branch snapshots are not on main
             mts = self._meta(v).get("ts", float("-inf"))
             if mts <= ts:
                 best = v  # history is version-ascending; ts ascends too
@@ -1445,13 +1481,16 @@ class SnapshotTable:
             return v
 
     def _latest_published(self) -> int | None:
-        """Newest main-branch (non-staged) snapshot, or None. Walks
-        manifests newest-first and stops at the first non-stage op, so
-        the no-WAP common case costs ONE manifest read — commits and
-        reads stay O(1) in table history length."""
+        """Newest main-branch (non-staged, non-branch) snapshot, or
+        None. Walks manifests newest-first and stops at the first
+        on-main op, so the common case costs ONE manifest read —
+        commits and reads stay O(1) in table history length."""
         for v in reversed(self.snapshots()):
             with open(os.path.join(self._mdir, f"v{v}.json")) as fh:
-                if json.load(fh).get("op", "append") != "stage":
+                if json.load(fh).get("op", "append") not in (
+                    "stage",
+                    "branch-append",
+                ):
                     return v
         return None
 
@@ -1476,13 +1515,20 @@ class SnapshotTable:
                 raise ValueError(
                     f"snapshot {to} does not exist (have {snaps})"
                 )
-            if dict(self.history()).get(to) == "stage":
-                # rolling back TO a staged snapshot would put unaudited
-                # data on main — the audit gate publish() exists to
-                # enforce.
+            off_main = dict(self.history()).get(to)
+            if off_main in ("stage", "branch-append"):
+                # rolling back TO an off-main snapshot would put
+                # unaudited/unmerged data on main — the gates
+                # (publish / fast_forward) exist to enforce that step.
+                what = (
+                    "staged (write-audit-publish)"
+                    if off_main == "stage"
+                    else "a branch commit"
+                )
                 raise ValueError(
-                    f"snapshot {to} is staged (write-audit-publish); "
-                    "publish() its wap_id instead of rolling back to it"
+                    f"snapshot {to} is {what}, not on main; "
+                    "publish()/fast_forward() it instead of rolling "
+                    "back to it"
                 )
             v = self._next_version()
             tmeta = self._meta(to)
@@ -1863,24 +1909,153 @@ class SnapshotTable:
             refs = self._refs()
             if name not in refs:
                 raise ValueError(f"no such tag: {name!r}")
+            if isinstance(refs[name], dict):
+                raise ValueError(
+                    f"{name!r} is a branch, not a tag; use drop_branch()"
+                )
             del refs[name]
             self._atomic_json(self._refs_path(), refs)
 
     def tags(self) -> dict:
         """name -> snapshot id, like Iceberg's ``table.refs`` metadata
-        table (tags only; the WAP staging surface covers the audit-
-        branch use case)."""
-        return dict(self._refs())
+        table (tag entries only; branches() lists the mutable refs)."""
+        return {
+            n: v for n, v in self._refs().items() if not isinstance(v, dict)
+        }
 
     def read_tag(self, spark: SparkSession, name: str) -> DataFrame:
         """Read the snapshot a tag pins — ``VERSION AS OF`` resolved by
         name."""
-        refs = self._refs()
+        refs = self.tags()
         if name not in refs:
             raise ValueError(
                 f"no such tag: {name!r} (have {sorted(refs)})"
             )
         return self.read(spark, as_of=refs[name])
+
+    # ------------------------------------------------------------------
+    # Branches (Iceberg named MUTABLE refs): an isolated line of append
+    # commits forked from main, invisible to main readers, merged back
+    # with fast_forward. Generalizes the WAP single-snapshot stage to a
+    # multi-commit audit/backfill branch. Branch snapshots share the
+    # table's version space (like Iceberg snapshot ids) and carry
+    # op="branch-append", which keeps every op-filtering consumer —
+    # _latest_published, TIMESTAMP AS OF, the streaming source, the CDC
+    # readers — naturally blind to them.
+    # ------------------------------------------------------------------
+
+    def _branch_head(self, name: str) -> int:
+        entry = self._refs().get(name)
+        if not isinstance(entry, dict) or entry.get("type") != "branch":
+            raise ValueError(f"no such branch: {name!r}")
+        return entry["snapshot"]
+
+    def create_branch(self, name: str, snapshot: int | None = None) -> int:
+        """Fork a branch at ``snapshot`` (default: latest published).
+        Records the fork point; fast_forward validates main has not
+        advanced past it before merging the branch back."""
+        with self._commit_lock():
+            if snapshot is None:
+                snapshot = self._latest_published()
+                if snapshot is None:
+                    raise ValueError("nothing published to branch from")
+            snaps = self.snapshots()
+            if snapshot not in snaps:
+                raise ValueError(
+                    f"snapshot {snapshot} does not exist (have {snaps})"
+                )
+            refs = self._refs()
+            if name in refs:
+                raise ValueError(
+                    f"ref {name!r} already exists ({refs[name]})"
+                )
+            refs[name] = {
+                "type": "branch",
+                "snapshot": snapshot,
+                "forked_from": snapshot,
+            }
+            self._atomic_json(self._refs_path(), refs)
+        return snapshot
+
+    def drop_branch(self, name: str) -> None:
+        """Delete the branch ref. Its snapshots stay in history until
+        ``expire`` reclaims them (they are no longer ref-pinned)."""
+        with self._commit_lock():
+            refs = self._refs()
+            entry = refs.get(name)
+            if not isinstance(entry, dict) or entry.get("type") != "branch":
+                raise ValueError(f"no such branch: {name!r}")
+            del refs[name]
+            self._atomic_json(self._refs_path(), refs)
+
+    def branches(self) -> dict:
+        """name -> {snapshot, forked_from}, the mutable half of
+        Iceberg's ``table.refs`` metadata table."""
+        return {
+            n: dict(e)
+            for n, e in self._refs().items()
+            if isinstance(e, dict) and e.get("type") == "branch"
+        }
+
+    def append_to_branch(self, df: DataFrame, name: str) -> int:
+        """Append a snapshot to branch ``name`` (Iceberg's
+        ``toBranch(name).append()``): inherits from the branch head,
+        projects onto the branch schema, advances the branch ref —
+        all without touching what main readers see. The data write
+        runs with full parallelism outside the commit lock, exactly
+        like a main append."""
+        return self._commit(df, inherit=True, op="branch-append", branch=name)
+
+    def read_branch(self, spark: SparkSession, name: str) -> DataFrame:
+        """Read the branch head — ``VERSION AS OF`` resolved by ref."""
+        return self.read(spark, as_of=self._branch_head(name))
+
+    def fast_forward(self, name: str) -> int:
+        """Iceberg's ``fast_forward('main', branch)``: publish the
+        branch head onto main as ONE metadata-only commit. Requires
+        main to still sit at the branch's fork point — if main advanced
+        (diverged), raises CommitConflict and the caller re-branches or
+        cherry-picks; silently replaying branch files onto a moved main
+        is exactly the lost-update optimistic concurrency exists to
+        prevent. After the merge the branch is reset even with main, so
+        the branch handle can keep committing and fast-forwarding in
+        rounds (the continuous-backfill pattern). No data IO: the new
+        main manifest is a copy of the branch head's."""
+        with self._commit_lock():
+            refs = self._refs()
+            entry = refs.get(name)
+            if not isinstance(entry, dict) or entry.get("type") != "branch":
+                raise ValueError(f"no such branch: {name!r}")
+            head, fork = entry["snapshot"], entry["forked_from"]
+            main = self._latest_published()
+            if head == fork:
+                return main  # no branch commits since fork: no-op
+            if main != fork:
+                raise CommitConflict(
+                    f"main advanced to {main} past branch {name!r}'s "
+                    f"fork point {fork}; re-create the branch from the "
+                    "current state and re-apply its commits"
+                )
+            hm = self._meta(head)
+            v = self._next_version()
+            meta = {
+                k: val
+                for k, val in hm.items()
+                if k not in ("branch", "ts", "token", "wap_id", "op")
+            }
+            main_files = (
+                set(self._meta(main).get("files", []))
+                if main is not None
+                else set()
+            )
+            # added-files summary relative to MAIN (what the streaming
+            # source delivers for this commit).
+            meta["new_files"] = sorted(set(hm["files"]) - main_files)
+            meta["op"] = "fast_forward"
+            self._write_manifest(v, meta)
+            refs[name] = {**entry, "snapshot": v, "forked_from": v}
+            self._atomic_json(self._refs_path(), refs)
+            return v
 
     def verify(self) -> dict:
         """Table FSCK (admin maintenance): cross-check the metadata
@@ -1917,6 +2092,8 @@ class SnapshotTable:
             if v not in snaps:
                 report["dangling_tokens"].append(t)
         for n, v in sorted(self._refs().items()):
+            if isinstance(v, dict):
+                v = v["snapshot"]
             if v not in snaps:
                 report["dangling_refs"].append(n)
         for f in sorted(self._load_stats()):
@@ -1977,7 +2154,14 @@ class SnapshotTable:
         pointing at deleted files."""
         with self._commit_lock():
             snaps = self.snapshots()
-            tagged = set(self._refs().values())
+            # ref-pinned snapshots survive the cutoff: tag pins (int
+            # entries) and branch HEADS (dict entries — the head's
+            # manifest keeps the whole branch state reachable; interior
+            # branch snapshots expire like any other history).
+            tagged = {
+                e["snapshot"] if isinstance(e, dict) else e
+                for e in self._refs().values()
+            }
             keep = [
                 v for v in snaps if v >= keep_from or v in tagged
             ]
@@ -2110,8 +2294,15 @@ def _read_incremental(
     At 100 TB an incremental consumer (downstream ETL, streaming
     backfill) reads only the delta files instead of rescanning the
     table."""
+    # branch-append snapshots are off-main (their files never enter a
+    # main manifest, so the set-difference is untouched); fast_forward
+    # is append-shaped by its own precondition (main cannot have moved
+    # between the fork and the merge, so earlier main manifests are
+    # subsets of the merged one).
     _validate_range(
-        tbl, from_v, to_v, allowed=("append", "publish", "stage"),
+        tbl, from_v, to_v,
+        allowed=("append", "publish", "stage", "branch-append",
+                 "fast_forward"),
         what="incremental append scan",
     )
     new_files = sorted(
@@ -2771,7 +2962,8 @@ def read_changelog(
     """
     _validate_range(
         tbl, from_v, to_v,
-        allowed=("append", "publish", "merge", "stage"),
+        allowed=("append", "publish", "merge", "stage", "branch-append",
+                 "fast_forward"),
         what="changelog read",
     )
     ct = F.lit("insert").alias("_change_type")
@@ -2941,3 +3133,78 @@ def q_snapshot_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "snapshot_seq long, n_records long, min_key long, max_key long",
     )
+
+
+@query(
+    "q_snapshot_branch",
+    oracle="""
+    WITH pre AS (
+        SELECT 'main_during_branch' AS phase,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS sum_price
+        FROM orders WHERE o_orderkey % 4 = 0
+    ),
+    brh AS (
+        SELECT 'branch_head' AS phase,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS sum_price
+        FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)
+    ),
+    post AS (
+        SELECT 'main_after_ff' AS phase,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS sum_price
+        FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)
+    )
+    SELECT * FROM pre
+    UNION ALL SELECT * FROM brh
+    UNION ALL SELECT * FROM post
+    """,
+)
+def q_snapshot_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg BRANCHES (named mutable refs + fast-forward merge),
+    DuckDB-oracled end-to-end: main holds the %4 == 0 orders; a branch
+    forked from it takes TWO further appends (%4 == 1, then %4 == 2) —
+    the 'main_during_branch' row proves main still reads only its own
+    batch while both branch commits sit on disk; 'branch_head' is the
+    branch read (fork base + both appends); after ``fast_forward``
+    merges the branch back as one metadata-only commit,
+    'main_after_ff' must equal the branch head. The oracle reconstructs
+    each phase's visibility from the same parquet, so a leak of branch
+    files into main, a lost branch commit, or a wrong fast-forward
+    manifest all hash-mismatch. Divergence refusal, ref retention
+    through expire, and streaming-source invisibility are pinned in
+    tests/test_snapshots.py.
+
+    Scale shape: the multi-commit generalization of WAP — a backfill
+    or re-audit pipeline writes N expensive batches into the branch
+    with full parallelism, validation reads the branch head, and
+    go-live is one atomic manifest copy; main readers never see a
+    half-merged state, and a concurrent main commit is a detected
+    conflict, not a lost update.
+    """
+    from ..tables import scratch_dir
+
+    path = scratch_dir(spark, sf_dir, "snapshot_branch")
+    o = load_table(spark, sf_dir, "orders")
+    tbl = SnapshotTable(path)
+    tbl.append(o.filter(F.col("o_orderkey") % 4 == 0))
+    tbl.create_branch("backfill")
+    tbl.append_to_branch(o.filter(F.col("o_orderkey") % 4 == 1), "backfill")
+    tbl.append_to_branch(o.filter(F.col("o_orderkey") % 4 == 2), "backfill")
+
+    def phase_agg(df: DataFrame, phase: str) -> DataFrame:
+        return df.agg(
+            F.lit(phase).alias("phase"),
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+        )
+
+    pre = phase_agg(tbl.read(spark), "main_during_branch")
+    head = phase_agg(tbl.read_branch(spark, "backfill"), "branch_head")
+    tbl.fast_forward("backfill")
+    post = phase_agg(tbl.read(spark), "main_after_ff")
+    return pre.unionAll(head).unionAll(post)

@@ -758,7 +758,11 @@ def snapshot_stream_available_now(
         last = 0
 
     processed: list[int] = []
-    staged_ops = {"stage"}
+    # off-main snapshots (WAP stage, branch commits) are invisible,
+    # exactly like read(); the branch's content reaches the stream via
+    # its fast_forward commit, which carries the branch-added files as
+    # its new_files summary.
+    staged_ops = {"stage", "branch-append"}
     for v, op in table.history():
         if v <= last or op in staged_ops:
             continue
@@ -768,7 +772,7 @@ def snapshot_stream_available_now(
                 "its delta is a changelog, not an append batch — "
                 "consume full snapshots instead"
             )
-        if op in ("append", "publish"):
+        if op in ("append", "publish", "fast_forward"):
             new_files = table._meta(v).get("new_files")
             if new_files is None:
                 # pre-summary manifest: delta via manifest arithmetic

@@ -1751,3 +1751,125 @@ def test_merge_composes_with_partitioned_tables(spark, tmp_path):
            for i in range(20) if i % 2 == 0 and i != 0},
         500: 5.0,
     }
+
+
+def test_branch_lifecycle_isolation_and_fast_forward(spark, tmp_path):
+    """Branch commits are invisible to main (read, latest-published,
+    TIMESTAMP AS OF), readable at the branch head, and fast_forward
+    merges them back as ONE metadata-only main commit; afterwards the
+    branch is reset even with main and can keep committing."""
+    o = load_table(spark, SF_DIR, "orders")
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.append(o.filter(F.col("o_orderkey") % 4 == 0))
+    n0 = tbl.read(spark).count()
+    tbl.create_branch("b")
+    tbl.append_to_branch(o.filter(F.col("o_orderkey") % 4 == 1), "b")
+    tbl.append_to_branch(o.filter(F.col("o_orderkey") % 4 == 2), "b")
+    n1 = o.filter(F.col("o_orderkey") % 4 == 1).count()
+    n2 = o.filter(F.col("o_orderkey") % 4 == 2).count()
+    # isolation: main is untouched while the branch holds 2 commits
+    assert tbl.read(spark).count() == n0
+    assert tbl._latest_published() == 1
+    assert tbl.read_branch(spark, "b").count() == n0 + n1 + n2
+    assert [op for _, op in tbl.history()] == [
+        "append", "branch-append", "branch-append",
+    ]
+    # fast-forward: one metadata commit, main == branch head
+    v = tbl.fast_forward("b")
+    assert tbl.read(spark).count() == n0 + n1 + n2
+    assert dict(tbl.history())[v] == "fast_forward"
+    # branch reset even with main: immediate re-ff is a no-op
+    assert tbl.fast_forward("b") == v
+    # and the branch keeps working for the next round
+    tbl.append_to_branch(o.filter(F.col("o_orderkey") % 4 == 3), "b")
+    assert tbl.read(spark).count() == n0 + n1 + n2
+    v2 = tbl.fast_forward("b")
+    assert v2 > v and tbl.read(spark).count() == o.count()
+
+
+def test_branch_divergence_refused(spark, tmp_path):
+    """A main commit landing after the fork makes fast_forward a
+    CommitConflict — never a silent replay onto moved main."""
+    from iceberg_insert_spark.sources.snapshots import CommitConflict
+
+    o = load_table(spark, SF_DIR, "orders")
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.append(o.filter(F.col("o_orderkey") % 4 == 0))
+    tbl.create_branch("b")
+    tbl.append_to_branch(o.filter(F.col("o_orderkey") % 4 == 1), "b")
+    tbl.append(o.filter(F.col("o_orderkey") % 4 == 2))  # main moves
+    with pytest.raises(CommitConflict, match="fork point"):
+        tbl.fast_forward("b")
+
+
+def test_branch_ref_surface_guards(spark, tmp_path):
+    """Tags and branches share the ref namespace but not the verbs;
+    rollback refuses off-main targets; drop_branch releases retention."""
+    o = load_table(spark, SF_DIR, "orders")
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.append(o.filter(F.col("o_orderkey") % 4 == 0))
+    tbl.create_branch("b")
+    bv = tbl.append_to_branch(o.filter(F.col("o_orderkey") % 4 == 1), "b")
+    with pytest.raises(ValueError, match="already exists"):
+        tbl.tag("b")
+    with pytest.raises(ValueError, match="already exists"):
+        tbl.create_branch("b")
+    with pytest.raises(ValueError, match="use drop_branch"):
+        tbl.untag("b")
+    with pytest.raises(ValueError, match="no such branch"):
+        tbl.drop_branch("nope")
+    with pytest.raises(ValueError, match="branch commit"):
+        tbl.rollback(bv)
+    assert tbl.branches() == {
+        "b": {"type": "branch", "snapshot": bv, "forked_from": 1}
+    }
+    assert tbl.tags() == {}
+    # expire keeps the branch HEAD even past the cutoff...
+    tbl.append(o.filter(F.col("o_orderkey") % 4 == 2))
+    tbl.expire(keep_from=3)
+    assert bv in tbl.snapshots()
+    assert tbl.read_branch(spark, "b").count() > 0
+    assert tbl.verify()["dangling_refs"] == []
+    # ...and drop_branch releases it for the next expire
+    tbl.drop_branch("b")
+    tbl.expire(keep_from=3)
+    assert bv not in tbl.snapshots()
+
+
+def test_branch_invisible_to_streaming_until_fast_forward(spark, tmp_path):
+    """The snapshot streaming source skips branch commits, then
+    delivers the fast_forward as one batch of exactly the
+    branch-added files."""
+    from iceberg_insert_spark.streaming.file_stream import (
+        snapshot_stream_available_now,
+    )
+
+    o = load_table(spark, SF_DIR, "orders")
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.append(o.filter(F.col("o_orderkey") % 4 == 0))
+    tbl.create_branch("b")
+    tbl.append_to_branch(o.filter(F.col("o_orderkey") % 4 == 1), "b")
+    ckpt = str(tmp_path / "ckpt.json")
+    seen: list[tuple[int, int]] = []
+    snapshot_stream_available_now(
+        spark, tbl, ckpt, lambda df, v: seen.append((v, df.count()))
+    )
+    assert [v for v, _ in seen] == [1]  # branch commit not delivered
+    ffv = tbl.fast_forward("b")
+    snapshot_stream_available_now(
+        spark, tbl, ckpt, lambda df, v: seen.append((v, df.count()))
+    )
+    n1 = o.filter(F.col("o_orderkey") % 4 == 1).count()
+    assert seen[1] == (ffv, n1)  # exactly the branch-added rows
+
+
+def test_branch_schema_follows_branch_head(spark, tmp_path):
+    """Branch appends project onto the BRANCH head's schema (their
+    inherit base), independent of main's."""
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.append(spark.createDataFrame([(1, "a")], "k long, s string"))
+    tbl.create_branch("b")
+    tbl.append_to_branch(spark.createDataFrame([(2,)], "k long"), "b")
+    head = tbl.read_branch(spark, "b")
+    assert head.count() == 2
+    assert [r.s for r in head.filter(F.col("k") == 2).collect()] == [None]
