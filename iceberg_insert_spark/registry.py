@@ -52,6 +52,7 @@ _MODULES = [
     "iceberg_insert_spark.sources.partition_evolution",
     "iceberg_insert_spark.sources.snapshots",
     "iceberg_insert_spark.sources.row_deletes",
+    "iceberg_insert_spark.sources.incremental_mv",
     "iceberg_insert_spark.sources.file_stats",
 ]
 

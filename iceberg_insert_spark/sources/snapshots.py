@@ -1029,15 +1029,17 @@ class SnapshotTable:
         manifest listing every file visible at N (inherited + new)."""
         return self._commit(df, inherit=True)
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame, token: str | None = None) -> int:
         """REPLACE the table contents in a new snapshot: the manifest
         lists only the new files; prior files stay on disk, referenced
         only by OLDER manifests — so time travel still reaches them until
         ``expire`` reclaims them. This is the commit type (Iceberg
         overwrite / rewrite-compaction) that makes snapshot expiry
         actually delete data: an append-only history references every
-        file from every surviving manifest forever."""
-        return self._commit(df, inherit=False)
+        file from every surviving manifest forever. ``token`` makes the
+        replace idempotent (append_once's contract), so a replayed full
+        rebuild commits once."""
+        return self._commit(df, inherit=False, token=token)
 
     def overwrite_partitions(self, df: DataFrame) -> int:
         """DYNAMIC PARTITION OVERWRITE as one atomic snapshot
@@ -1253,6 +1255,7 @@ class SnapshotTable:
         changelog: DataFrame,
         key: str,
         op_col: str = "_op",
+        token: str | None = None,
     ) -> int:
         """MERGE INTO as ONE atomic snapshot — Iceberg v2's CDC write
         path (round-5 verdict item #2). The changelog carries an op
@@ -1304,12 +1307,16 @@ class SnapshotTable:
         upserts = changelog.filter(F.col(op_col).isin("I", "U")).drop(
             op_col
         )
+        # Optional idempotency token (same contract as append_once): a
+        # replayed merge of the same changelog batch becomes a no-op —
+        # the primitive incremental view maintenance builds on.
         return self._commit(
             upserts,
             inherit=True,
             op="merge",
             deletes_df=dels,
             delete_key=key,
+            token=token,
         )
 
     def _read_files(

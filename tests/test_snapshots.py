@@ -1873,3 +1873,71 @@ def test_branch_schema_follows_branch_head(spark, tmp_path):
     head = tbl.read_branch(spark, "b")
     assert head.count() == 2
     assert [r.s for r in head.filter(F.col("k") == 2).collect()] == [None]
+
+
+def test_incremental_mv_multi_round_equals_full_recompute(spark, tmp_path):
+    """Several rounds of append/merge on the source, one incremental
+    refresh each — after every round the MV must equal a full
+    recompute, a replayed refresh must be a no-op commit, and a group
+    whose rows all disappear must drop out of the MV ('D' path)."""
+    from iceberg_insert_spark.sources.incremental_mv import (
+        refresh_agg_mv,
+        refreshed_through,
+    )
+    from iceberg_insert_spark.sources.snapshots import SnapshotTable
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "k long, g string, v double")
+
+    src = SnapshotTable(str(tmp_path / "src"))
+    mv = SnapshotTable(str(tmp_path / "mv"))
+
+    def check():
+        got = {
+            (r.g, r.n_rows, r.sum_cents)
+            for r in mv.read(spark).collect()
+        }
+        want = {
+            (r.g, r.n_rows, r.sum_cents)
+            for r in src.read(spark)
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.round(F.col("v") * 100).cast("long")).alias(
+                    "sum_cents"
+                ),
+            )
+            .collect()
+        }
+        assert got == want
+
+    src.append(mk([(1, "a", 1.50), (2, "a", 2.25), (3, "b", 10.0)]))
+    assert refresh_agg_mv(spark, src, mv, "g", "v") == 1
+    check()
+
+    # round 2: append a new group + more of an existing one
+    src.append(mk([(4, "c", 5.00), (5, "a", 0.25)]))
+    # round 3: update k=1 (value change) and delete ALL of group b
+    src.merge(
+        spark,
+        mk([(1, "a", 9.75), (3, "b", 0.0)]).withColumn(
+            "_op", F.when(F.col("k") == 1, "U").otherwise("D")
+        ),
+        key="k",
+    )
+    assert refresh_agg_mv(spark, src, mv, "g", "v") == 3
+    check()
+    assert mv.read(spark).filter(F.col("g") == "b").count() == 0  # D path
+    assert refreshed_through(mv) == 3
+
+    # replayed refresh: no new source commit -> no MV commit
+    before = mv.snapshots()
+    assert refresh_agg_mv(spark, src, mv, "g", "v") == 3
+    assert mv.snapshots() == before
+
+    # crash-replay of the SAME range: the merge token dedups it
+    tok = "mv-refresh-to-3"
+    assert mv._token_index()[tok] in before
+    src.append(mk([(6, "c", 1.00)]))
+    assert refresh_agg_mv(spark, src, mv, "g", "v") == 4
+    check()
