@@ -392,9 +392,11 @@ def test_lifecycle_model_randomized(spark, tmp_path):
     vis: dict[int, frozenset] = {}  # snapshot -> visible row ids
     ops: dict[int, str] = {}
     staged: dict[str, tuple[int, frozenset]] = {}  # wap -> (v, own rows)
+    branches: dict[str, dict] = {}  # name -> {head, fork}
     published: list[int] = []
     next_id = 0
     wap_n = 0
+    branch_n = 0
 
     def fresh(n):
         nonlocal next_id
@@ -410,7 +412,9 @@ def test_lifecycle_model_randomized(spark, tmp_path):
         if len(published) >= 2:
             choices += ["rollback", "expire"]
         if published:
-            choices += ["compact", "evolve"]
+            choices += ["compact", "evolve", "create_branch"]
+        if branches:
+            choices += ["branch_append", "fast_forward", "drop_branch"]
         op = rng.choice(choices)
         if op == "append":
             ids = fresh(rng.randint(1, 4))
@@ -463,18 +467,59 @@ def test_lifecycle_model_randomized(spark, tmp_path):
             vis[v] = vis[published[-1]]
             ops[v] = "evolve"
             published.append(v)
+        elif op == "create_branch":
+            branch_n += 1
+            name = f"b{branch_n}"
+            fork = published[-1]
+            tbl.create_branch(name)
+            branches[name] = {"head": fork, "fork": fork}
+        elif op == "branch_append":
+            name = rng.choice(sorted(branches))
+            b = branches[name]
+            ids = fresh(rng.randint(1, 4))
+            v = tbl.append_to_branch(batch(ids), name)
+            vis[v] = vis[b["head"]] | ids
+            ops[v] = "branch-append"
+            b["head"] = v
+        elif op == "fast_forward":
+            from iceberg_insert_spark.sources.snapshots import (
+                CommitConflict,
+            )
+
+            name = rng.choice(sorted(branches))
+            b = branches[name]
+            if b["head"] == b["fork"]:
+                assert tbl.fast_forward(name) == published[-1]
+            elif published[-1] != b["fork"]:
+                with pytest.raises(CommitConflict):
+                    tbl.fast_forward(name)
+            else:
+                v = tbl.fast_forward(name)
+                vis[v] = vis[b["head"]]
+                ops[v] = "fast_forward"
+                published.append(v)
+                b["head"] = b["fork"] = v
+        elif op == "drop_branch":
+            name = rng.choice(sorted(branches))
+            tbl.drop_branch(name)
+            del branches[name]
         else:  # expire
             keep = rng.choice(published[1:-1] or published)
+            pinned = {b["head"] for b in branches.values()}
             try:
                 tbl.expire(keep_from=keep)
             except ValueError:
                 continue  # would delete every snapshot — model skips too
-            for v in [v for v in vis if v < keep]:
+            for v in [v for v in vis if v < keep and v not in pinned]:
                 del vis[v]
                 ops.pop(v, None)
-            published = [v for v in published if v >= keep]
+            published = [
+                v for v in published if v >= keep or v in pinned
+            ]
             staged = {
-                w: (sv, own) for w, (sv, own) in staged.items() if sv >= keep
+                w: (sv, own)
+                for w, (sv, own) in staged.items()
+                if sv >= keep or sv in pinned
             }
         # invariants after every op
         assert tbl.history() == sorted(ops.items()), f"step {step} ({op})"
@@ -1941,3 +1986,33 @@ def test_incremental_mv_multi_round_equals_full_recompute(spark, tmp_path):
     src.append(mk([(6, "c", 1.00)]))
     assert refresh_agg_mv(spark, src, mv, "g", "v") == 4
     check()
+
+
+def test_incremental_mv_recovers_from_replace_commits(spark, tmp_path):
+    """A source compaction (replace commit) breaks changelog semantics
+    mid-range: the incremental refresh must refuse loudly, and
+    full_rebuild_agg_mv re-bootstraps the MV so incremental refreshes
+    resume from the rebuilt point."""
+    from iceberg_insert_spark.sources.incremental_mv import (
+        full_rebuild_agg_mv,
+        refresh_agg_mv,
+    )
+    from iceberg_insert_spark.sources.snapshots import SnapshotTable
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "k long, g string, v double")
+
+    src = SnapshotTable(str(tmp_path / "src"))
+    mv = SnapshotTable(str(tmp_path / "mv"))
+    src.append(mk([(1, "a", 1.0), (2, "b", 2.0)]))
+    refresh_agg_mv(spark, src, mv, "g", "v")
+    src.append(mk([(3, "a", 3.0)]))
+    src.compact(spark)  # replace commit: changelog range now invalid
+    with pytest.raises(ValueError, match="replace"):
+        refresh_agg_mv(spark, src, mv, "g", "v")
+    full_rebuild_agg_mv(spark, src, mv, "g", "v")
+    # incremental service resumes after the rebuild checkpoint
+    src.append(mk([(4, "c", 4.0)]))
+    refresh_agg_mv(spark, src, mv, "g", "v")
+    got = {(r.g, r.n_rows, r.sum_cents) for r in mv.read(spark).collect()}
+    assert got == {("a", 2, 400), ("b", 1, 200), ("c", 1, 400)}
