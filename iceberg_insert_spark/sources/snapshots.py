@@ -327,6 +327,43 @@ class SnapshotTable:
             )
         return out
 
+    def partitions_info(self, as_of: int | None = None) -> list[dict]:
+        """Iceberg's ``.partitions`` METADATA TABLE: one dict per live
+        partition of the snapshot — the partition record, its file
+        count, and its record count (summed from the stats sidecar's
+        per-file footer counts). Pure metadata like ``files_info``: no
+        data file is opened, so the 100 TB answer to 'how big is each
+        partition / is the layout skewed?' costs one manifest + one
+        sidecar read. A file written without stats recording makes its
+        partition's ``n_records`` None (unknown) rather than silently
+        undercounting; files without a partition record (pre-spec, or
+        an unpartitioned table) group under the empty record."""
+        v = as_of if as_of is not None else self._latest_published()
+        if v is None:
+            raise ValueError(
+                f"table at {self.path!r} has no published snapshots"
+            )
+        fparts = self._meta(v).get("file_partitions", {})
+        agg: dict = {}
+        for fi in self.files_info(v):
+            key = frozenset(fparts.get(fi["path"], {}).items())
+            e = agg.setdefault(
+                key,
+                {
+                    "partition": dict(sorted(key)),
+                    "n_files": 0,
+                    "n_records": 0,
+                },
+            )
+            e["n_files"] += 1
+            n = fi["n_records"]
+            e["n_records"] = (
+                None
+                if n is None or e["n_records"] is None
+                else e["n_records"] + n
+            )
+        return sorted(agg.values(), key=lambda d: sorted(d["partition"].items()))
+
     @staticmethod
     def _seq_of(rel: str) -> int:
         """Commit sequence of a data file — the ``_snap=K`` path
@@ -545,6 +582,7 @@ class SnapshotTable:
         delete_key: str | None = None,
         replace_partitions: set | None = None,
         branch: str | None = None,
+        drop_files: set | None = None,
     ) -> int:
         """Optimistic-concurrency commit, Iceberg's shape: the data
         files are written in PARALLEL into a private staging dir (the
@@ -680,7 +718,7 @@ class SnapshotTable:
                     os.rename(deldir, os.path.join(d, "_deletes"))
                 new_files = self._finish_commit(
                     v, d, inherit, token, op, wap_id, schema_json,
-                    delete_key, replace_partitions, branch,
+                    delete_key, replace_partitions, branch, drop_files,
                 )
             # Footer-stat recording OUTSIDE the lock (review catch:
             # thousands of footer reads inside it would overrun the
@@ -707,6 +745,7 @@ class SnapshotTable:
         delete_key: str | None = None,
         replace_partitions: set | None = None,
         branch: str | None = None,
+        drop_files: set | None = None,
     ) -> list[str]:
         new_files = []
         for root, dirs, files in os.walk(d):
@@ -754,6 +793,19 @@ class SnapshotTable:
             base = self._latest_published() if inherit else None
         base_meta = self._meta(base) if base is not None else {}
         inherited = base_meta.get("files", [])
+        if drop_files:
+            # Copy-on-write row-level DELETE/UPDATE: the rewritten
+            # source files leave the manifest (their replacement rows
+            # are this commit's new_files); every untouched base file
+            # is carried forward verbatim — no data IO for them.
+            unknown = drop_files - set(inherited)
+            if unknown:
+                raise CommitConflict(
+                    "files planned for rewrite are no longer in the "
+                    f"base manifest (concurrent replace?): "
+                    f"{sorted(unknown)[:3]}"
+                )
+            inherited = [f for f in inherited if f not in drop_files]
         base_parts = base_meta.get("file_partitions", {})
         # Partition-spec consistency (review catches): a handle opened
         # with a DIFFERENT partition_by would record its own spec and
@@ -1102,17 +1154,23 @@ class SnapshotTable:
         ]
 
     @staticmethod
-    def _project_onto(df: DataFrame, target) -> DataFrame:
+    def _project_onto(df: DataFrame, target, passthrough=()) -> DataFrame:
         """Project a frame onto the table schema: identical schemas pass
         through untouched; missing columns become typed NULLs, type
         differences cast (appends of pre-widening frames upcast
         exactly); columns the table doesn't know are an error — data
-        can't enter the table outside its schema (add_column first)."""
+        can't enter the table outside its schema (add_column first).
+        ``passthrough`` names engine-internal columns (e.g. the CoW
+        planner's file-path tag) carried alongside the projection."""
         have = {f.name: f.dataType for f in df.schema.fields}
         want = [(f.name, f.dataType) for f in target.fields]
         if [(f.name, f.dataType) for f in df.schema.fields] == want:
             return df
-        extra = [c for c in df.columns if c not in {n for n, _ in want}]
+        extra = [
+            c
+            for c in df.columns
+            if c not in {n for n, _ in want} and c not in passthrough
+        ]
         if extra:
             raise ValueError(
                 f"append frame has columns {extra} absent from the "
@@ -1124,7 +1182,8 @@ class SnapshotTable:
                 if n in have
                 else F.lit(None).cast(t).alias(n)
                 for n, t in want
-            ]
+            ],
+            *[F.col(c) for c in passthrough if c in df.columns],
         )
 
     def _evolve(self, mutate) -> int:
@@ -1319,8 +1378,176 @@ class SnapshotTable:
             token=token,
         )
 
+    def _rel_of_uri(self, uri: str) -> str:
+        """Map a scan-reported file URI (``F.input_file_name()``) back
+        to its manifest-relative path."""
+        from urllib.parse import unquote, urlparse
+
+        p = urlparse(uri).path or uri
+        p = unquote(p)
+        root = os.path.abspath(self.path) + os.sep
+        if not p.startswith(root):
+            raise ValueError(
+                f"scanned file {uri!r} is outside the table at "
+                f"{self.path!r}"
+            )
+        return p[len(root):]
+
+    def _rewrite_where(
+        self,
+        spark: SparkSession,
+        condition: str,
+        transform,
+        op: str,
+        stats_hint: tuple | None,
+    ) -> int:
+        """Copy-on-write row-level mutation (Iceberg's
+        ``RewriteStrategy=copy-on-write`` DELETE/UPDATE plan):
+
+          1. PLAN — ``plan_files(stats_hint)`` prunes to the files whose
+             [min, max] stats can overlap the predicate (metadata only),
+             then ONE scan of those candidates narrows to the files that
+             actually CONTAIN a matching row (``input_file_name()`` of
+             the post-MoR matches — a row already masked by an equality
+             delete can't re-match). The collect is file *names* only,
+             bounded by the file count, never row data.
+          2. REWRITE — the touched files are re-read (MoR + schema
+             resolution applied, so the rewrite folds any pending
+             equality deletes for those files) and ``transform`` maps
+             them to their replacement rows, written as new data files.
+          3. COMMIT — one snapshot whose manifest = (base - touched) +
+             new files, validated against ``expected_base`` so a
+             concurrent commit aborts the swap instead of being
+             silently dropped.
+
+        Untouched files are never opened; at 100 TB a well-clustered
+        predicate (see ``compact(sort_by=...)``) turns a DELETE into a
+        rewrite of a handful of files. The op name is excluded from
+        ``_validate_range``'s allow-list, so CDC/changelog/incremental
+        consumers refuse to stream across the rewrite rather than
+        replaying it as inserts."""
+        base = self._latest_published()
+        if base is None:
+            raise ValueError(
+                f"table at {self.path!r} has no published snapshots"
+            )
+        candidates, _ = self.plan_files(where=stats_hint, as_of=base)
+        if not candidates:
+            return base
+        matched = (
+            F.coalesce(F.expr(condition).cast("boolean"), F.lit(False))
+        )
+        cand_df = self._read_files(
+            spark, base, candidates, file_col="__iis_file"
+        )
+        touched_uris = [
+            r[0]
+            for r in cand_df.filter(matched)
+            .select("__iis_file")
+            .distinct()
+            .collect()
+        ]
+        if not touched_uris:
+            return base
+        touched = {self._rel_of_uri(u) for u in touched_uris}
+        rewritten = transform(
+            self._read_files(spark, base, sorted(touched)), matched
+        )
+        return self._commit(
+            rewritten,
+            inherit=True,
+            op=op,
+            expected_base=base,
+            drop_files=touched,
+        )
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        condition: str,
+        stats_hint: tuple | None = None,
+    ) -> int:
+        """``DELETE FROM t WHERE condition`` as ONE copy-on-write
+        snapshot: rows where the SQL ``condition`` evaluates to TRUE
+        are removed (NULL keeps the row, SQL semantics); only files
+        that contain a matching row are rewritten, everything else is
+        carried in the manifest untouched. ``stats_hint`` =
+        ``(column, lo, hi)`` feeds the manifest [min, max] pruner so
+        the planning scan itself skips provably-disjoint files.
+        Returns the new snapshot (or the current one if nothing
+        matched — a no-op DELETE commits nothing, like Iceberg)."""
+        return self._rewrite_where(
+            spark,
+            condition,
+            lambda df, matched: df.filter(~matched),
+            "delete",
+            stats_hint,
+        )
+
+    def update_where(
+        self,
+        spark: SparkSession,
+        condition: str,
+        set_exprs: dict,
+        stats_hint: tuple | None = None,
+    ) -> int:
+        """``UPDATE t SET col = expr, ... WHERE condition`` as ONE
+        copy-on-write snapshot. ``set_exprs`` maps column name -> SQL
+        expression (evaluated against the OLD row image, all
+        assignments simultaneous like SQL UPDATE); non-matching rows in
+        touched files are rewritten byte-identical, and each assigned
+        expression is cast back to the column's existing type so the
+        table schema never drifts through an UPDATE."""
+        base = self._latest_published()
+        if base is None:
+            raise ValueError(
+                f"table at {self.path!r} has no published snapshots"
+            )
+        sj = self._meta(base).get("schema")
+        types = {}
+        if sj is not None:
+            from pyspark.sql import types as T
+
+            types = {
+                f.name: f.dataType
+                for f in T.StructType.fromJson(sj).fields
+            }
+
+        def apply_set(df: DataFrame, matched) -> DataFrame:
+            missing = [c for c in set_exprs if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"UPDATE assigns unknown columns {missing} "
+                    f"(have {df.columns})"
+                )
+            # all assignments read the OLD images: build every new
+            # value before any column is replaced
+            news = {
+                c: F.when(matched, F.expr(e)).otherwise(F.col(c))
+                for c, e in set_exprs.items()
+            }
+            return df.select(
+                *[
+                    (
+                        news[c].cast(types[c]).alias(c)
+                        if c in news and c in types
+                        else news[c].alias(c) if c in news
+                        else F.col(c)
+                    )
+                    for c in df.columns
+                ]
+            )
+
+        return self._rewrite_where(
+            spark, condition, apply_set, "update", stats_hint
+        )
+
     def _read_files(
-        self, spark: SparkSession, v: int, rels: list[str]
+        self,
+        spark: SparkSession,
+        v: int,
+        rels: list[str],
+        file_col: str | None = None,
     ) -> DataFrame:
         """Scan a snapshot's (possibly pruned) file list. Fast path: one
         multi-path parquet scan. Two metadata conditions force a
@@ -1349,9 +1576,29 @@ class SnapshotTable:
         needs_resolve = sj is not None and any(
             s < schema_v for s in by_seq
         )
+        if file_col is not None:
+            # the CoW planner's per-row file attribution: captured at
+            # the SCAN (``_metadata.file_path`` is only resolvable
+            # there) so it survives the MoR join and schema-resolution
+            # unions that break input_file_name()
+            def tag(df: DataFrame) -> DataFrame:
+                if file_col in df.columns:
+                    raise ValueError(
+                        f"data files contain the reserved internal "
+                        f"column {file_col!r}"
+                    )
+                return df.select(
+                    "*", F.col("_metadata.file_path").alias(file_col)
+                )
+        else:
+            def tag(df: DataFrame) -> DataFrame:
+                return df
+
         if not dels and not needs_resolve:
-            return spark.read.parquet(
-                *[os.path.join(self.path, f) for f in rels]
+            return tag(
+                spark.read.parquet(
+                    *[os.path.join(self.path, f) for f in rels]
+                )
             )
         target = None
         if needs_resolve:
@@ -1360,11 +1607,17 @@ class SnapshotTable:
             target = T.StructType.fromJson(sj)
         parts = []
         for s, fs in sorted(by_seq.items()):
-            df = spark.read.parquet(
-                *[os.path.join(self.path, f) for f in fs]
+            df = tag(
+                spark.read.parquet(
+                    *[os.path.join(self.path, f) for f in fs]
+                )
             )
             if target is not None:
-                df = self._project_onto(df, target)
+                df = self._project_onto(
+                    df,
+                    target,
+                    passthrough=(file_col,) if file_col else (),
+                )
             if "__iis_seq" in df.columns:
                 raise ValueError(
                     "data files contain the reserved internal column "
@@ -3215,3 +3468,218 @@ def q_snapshot_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl.fast_forward("backfill")
     post = phase_agg(tbl.read(spark), "main_after_ff")
     return pre.unionAll(head).unionAll(post)
+
+
+@query(
+    "q_snapshot_tag",
+    oracle="""
+    WITH pinned AS (
+        SELECT 'tagged_v1' AS phase,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS sum_price
+        FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    head AS (
+        SELECT 'latest' AS phase,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS sum_price
+        FROM orders
+    )
+    SELECT * FROM pinned
+    UNION ALL SELECT * FROM head
+    """,
+)
+def q_snapshot_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg TAGS (named immutable refs) with retention, DuckDB-oracled
+    end-to-end: snapshot 1 holds the %3 == 0 orders and is tagged
+    ``corpus-v1``; two more appends advance the table; ``expire`` is then
+    asked to keep only the latest snapshot — which would reclaim
+    snapshot 1's manifest and files were it not tag-pinned. The
+    'tagged_v1' row reads THROUGH the tag AFTER that expire, so a
+    dropped pin, an expire that ignores refs, or a tag resolving to the
+    wrong snapshot all hash-mismatch against the oracle's
+    reconstruction of the first batch; 'latest' pins the live head.
+    Tag CRUD edge cases (duplicate names, untag-then-reclaim, missing
+    snapshot) are covered in tests/test_snapshots.py.
+
+    Scale shape: a training run tags the corpus snapshot it read;
+    routine retention (expire) can then run on any schedule without
+    pulling data out from under the run — reproducibility becomes a
+    metadata pin, not a data copy. The expire decision reads one
+    refs.json + the manifest list; no data IO scales with table size.
+    """
+    from ..tables import scratch_dir
+
+    path = scratch_dir(spark, sf_dir, "snapshot_tag")
+    o = load_table(spark, sf_dir, "orders")
+    tbl = SnapshotTable(path)
+    v1 = tbl.append(o.filter(F.col("o_orderkey") % 3 == 0))
+    tbl.tag("corpus-v1", v1)
+    tbl.append(o.filter(F.col("o_orderkey") % 3 == 1))
+    v3 = tbl.append(o.filter(F.col("o_orderkey") % 3 == 2))
+    tbl.expire(keep_from=v3)  # v1 survives only via the tag pin
+
+    def phase_agg(df: DataFrame, phase: str) -> DataFrame:
+        return df.agg(
+            F.lit(phase).alias("phase"),
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+        )
+
+    pinned = phase_agg(tbl.read_tag(spark, "corpus-v1"), "tagged_v1")
+    head = phase_agg(tbl.read(spark), "latest")
+    return pinned.unionAll(head)
+
+
+@query(
+    "q_snapshot_delete_where",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                AS DOUBLE) / 100.0 AS sum_price
+    FROM orders
+    WHERE NOT (o_orderkey BETWEEN 1000 AND 4000
+               AND o_orderstatus = 'F')
+    GROUP BY o_orderstatus
+    """,
+)
+def q_snapshot_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level ``DELETE FROM ... WHERE`` as one copy-on-write
+    snapshot, DuckDB-oracled end-to-end: the table is laid out in three
+    files covering DISJOINT o_orderkey ranges (the sorted-compaction
+    layout), so the delete's ``stats_hint`` range [1000, 4000] prunes
+    the higher-range files from the planning scan entirely — they are
+    carried into the new manifest without being opened, which
+    tests/test_snapshots.py pins by path identity. The oracle rebuilds
+    the post-delete state with ``WHERE NOT (...)`` over the same
+    parquet, so a lost row, a row deleted twice, a NULL-condition row
+    wrongly dropped, or a kept file leaking deleted rows all
+    hash-mismatch.
+
+    Scale shape: DELETE cost is O(files containing matches), not
+    O(table) — the manifest stats bound the planning scan and
+    ``input_file_name()`` narrows to truly-touched files, so a
+    retention sweep over a date-clustered 100 TB table rewrites only
+    the expiring date range's files.
+    """
+    from ..tables import require_local_master, scratch_dir
+
+    require_local_master(spark, "q_snapshot_delete_where (footer stats)")
+    path = scratch_dir(spark, sf_dir, "snapshot_delete_where")
+    o = load_table(spark, sf_dir, "orders")
+    tbl = SnapshotTable(path, stats_cols=["o_orderkey"])
+    tbl.append(o.filter(F.col("o_orderkey") < 5000).coalesce(1))
+    tbl.append(
+        o.filter(
+            (F.col("o_orderkey") >= 5000) & (F.col("o_orderkey") < 10000)
+        ).coalesce(1)
+    )
+    tbl.append(o.filter(F.col("o_orderkey") >= 10000).coalesce(1))
+    tbl.delete_where(
+        spark,
+        "o_orderkey BETWEEN 1000 AND 4000 AND o_orderstatus = 'F'",
+        stats_hint=("o_orderkey", 1000, 4000),
+    )
+    return (
+        tbl.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "q_snapshot_update_where",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 7 = 0
+                THEN 'R:' || o_orderpriority
+                ELSE o_orderpriority END AS o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                AS DOUBLE) / 100.0 AS sum_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_snapshot_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level ``UPDATE ... SET ... WHERE`` as one copy-on-write
+    snapshot: every seventh order is re-prioritized (the SET expression
+    reads the OLD row image), all other rows in touched files are
+    rewritten byte-identical, and the oracle recomputes the same
+    mutation with a CASE over the raw parquet — so a row updated twice,
+    a non-matching row mutated, or a dropped row all hash-mismatch. The
+    per-status money sum proves the untouched columns survive the
+    rewrite exactly.
+
+    Scale shape: same CoW plan as DELETE — plan from manifest stats,
+    narrow by input_file_name, rewrite only touched files; a
+    backfill-style UPDATE over a clustered predicate is O(matching
+    files), and readers see the whole UPDATE or none of it (one
+    manifest swap).
+    """
+    from ..tables import scratch_dir
+
+    path = scratch_dir(spark, sf_dir, "snapshot_update_where")
+    o = load_table(spark, sf_dir, "orders")
+    tbl = SnapshotTable(path)
+    tbl.append(o)
+    tbl.update_where(
+        spark,
+        "o_orderkey % 7 = 0",
+        {"o_orderpriority": "concat('R:', o_orderpriority)"},
+    )
+    return (
+        tbl.read(spark)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "q_snapshot_partitions",
+    oracle="""
+    SELECT o_orderstatus,
+           3 AS n_files,
+           COUNT(*) AS n_records
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_snapshot_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg's ``.partitions`` metadata table, DuckDB-oracled: a
+    table partitioned by o_orderstatus takes three appends (each a
+    single writer task, so each lays down exactly ONE file per status —
+    the deterministic n_files=3 the oracle pins), and the metadata-side
+    per-partition record counts must equal a full groupBy scan of the
+    same rows. The counts come from manifest partition records + the
+    stats sidecar's footer counts — no data file is opened at query
+    time, which is the operator's point: partition-size / skew triage
+    on a 100 TB table from two metadata reads. A missed file, a file
+    recorded under the wrong partition, or a stale sidecar count all
+    hash-mismatch.
+    """
+    from ..tables import require_local_master, scratch_dir
+
+    require_local_master(spark, "q_snapshot_partitions (footer stats)")
+    path = scratch_dir(spark, sf_dir, "snapshot_partitions")
+    o = load_table(spark, sf_dir, "orders")
+    tbl = SnapshotTable(
+        path, partition_by=["o_orderstatus"], stats_cols=["o_orderkey"]
+    )
+    for r in range(3):
+        tbl.append(o.filter(F.col("o_orderkey") % 3 == r).coalesce(1))
+    rows = [
+        (p["partition"]["o_orderstatus"], p["n_files"], p["n_records"])
+        for p in tbl.partitions_info()
+    ]
+    return spark.createDataFrame(
+        rows, "o_orderstatus string, n_files int, n_records long"
+    )

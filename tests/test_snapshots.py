@@ -412,7 +412,7 @@ def test_lifecycle_model_randomized(spark, tmp_path):
         if len(published) >= 2:
             choices += ["rollback", "expire"]
         if published:
-            choices += ["compact", "evolve", "create_branch"]
+            choices += ["compact", "evolve", "create_branch", "delete"]
         if branches:
             choices += ["branch_append", "fast_forward", "drop_branch"]
         op = rng.choice(choices)
@@ -467,6 +467,17 @@ def test_lifecycle_model_randomized(spark, tmp_path):
             vis[v] = vis[published[-1]]
             ops[v] = "evolve"
             published.append(v)
+        elif op == "delete":
+            k, r = rng.choice([(2, 0), (3, 1), (5, 2)])
+            head = published[-1]
+            matching = frozenset(i for i in vis[head] if i % k == r)
+            v = tbl.delete_where(spark, f"rid % {k} = {r}")
+            if matching:
+                vis[v] = vis[head] - matching
+                ops[v] = "delete"
+                published.append(v)
+            else:
+                assert v == head  # no-op DELETE commits nothing
         elif op == "create_branch":
             branch_n += 1
             name = f"b{branch_n}"
@@ -2016,3 +2027,189 @@ def test_incremental_mv_recovers_from_replace_commits(spark, tmp_path):
     refresh_agg_mv(spark, src, mv, "g", "v")
     got = {(r.g, r.n_rows, r.sum_cents) for r in mv.read(spark).collect()}
     assert got == {("a", 2, 400), ("b", 1, 200), ("c", 1, 400)}
+
+
+# -- copy-on-write DELETE / UPDATE ------------------------------------
+
+
+def test_delete_where_rewrites_only_touched_files(spark, tmp_path):
+    """The CoW plan's whole point: files the stats pruner proves
+    disjoint from the predicate are carried into the new manifest BY
+    PATH — never opened, never rewritten — while touched files leave
+    the manifest. Time travel still sees the pre-delete state."""
+    tbl = SnapshotTable(str(tmp_path / "t"), stats_cols=["rid"])
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, i % 2 == 0) for i in range(lo, hi)], "rid long, keep boolean"
+    ).coalesce(1)
+    tbl.append(mk(0, 100))
+    tbl.append(mk(100, 200))
+    v_pre = tbl.append(mk(200, 300))
+    pre_manifest = tbl._manifest(v_pre)
+    low_files = {f for f in pre_manifest if f.startswith("_snap=1")}
+    hi_files = {f for f in pre_manifest if f.startswith("_snap=3")}
+    v = tbl.delete_where(
+        spark, "rid BETWEEN 120 AND 180", stats_hint=("rid", 120, 180)
+    )
+    post = set(tbl._manifest(v))
+    # untouched files carried verbatim; touched file replaced
+    assert low_files <= post and hi_files <= post
+    assert not any(f.startswith("_snap=2") for f in post)
+    got = {r.rid for r in tbl.read(spark).collect()}
+    assert got == set(range(0, 120)) | set(range(181, 300))
+    # historic snapshot unaffected
+    assert tbl.read(spark, as_of=v_pre).count() == 300
+
+
+def test_delete_where_null_condition_keeps_row(spark, tmp_path):
+    """SQL DELETE semantics: a NULL predicate does NOT delete."""
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.append(
+        spark.createDataFrame(
+            [(1, 10), (2, None), (3, 30)], "rid long, v int"
+        )
+    )
+    tbl.delete_where(spark, "v > 15")
+    assert {r.rid for r in tbl.read(spark).collect()} == {1, 2}
+
+
+def test_delete_where_no_match_is_a_noop(spark, tmp_path):
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    v1 = tbl.append(spark.createDataFrame([(1,), (2,)], "rid long"))
+    assert tbl.delete_where(spark, "rid > 99") == v1
+    assert tbl.snapshots() == [v1]  # no empty rewrite committed
+
+
+def test_delete_where_on_mor_table_folds_deletes(spark, tmp_path):
+    """delete_where on a table with live equality deletes: the rewrite
+    reads MoR (masked rows stay dead), and the rewritten file no longer
+    needs the delete files while untouched old files still do."""
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    mk = lambda rows: spark.createDataFrame(rows, "k long, v string")
+    tbl.append(mk([(1, "a"), (2, "b"), (3, "c")]))
+    ch = spark.createDataFrame(
+        [(2, "b2", "U"), (3, None, "D")], "k long, v string, _op string"
+    )
+    tbl.merge(spark, ch, key="k")  # state: 1->a, 2->b2
+    tbl.delete_where(spark, "v = 'a'")
+    got = {(r.k, r.v) for r in tbl.read(spark).collect()}
+    assert got == {(2, "b2")}
+
+
+def test_update_where_reads_old_images_simultaneously(spark, tmp_path):
+    """SET a = b, b = a must swap (all assignments read the OLD row),
+    and non-matching rows survive byte-identical."""
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.append(
+        spark.createDataFrame(
+            [(1, 10, 20), (2, 30, 40)], "rid long, a int, b int"
+        )
+    )
+    tbl.update_where(spark, "rid = 1", {"a": "b", "b": "a"})
+    got = {(r.rid, r.a, r.b) for r in tbl.read(spark).collect()}
+    assert got == {(1, 20, 10), (2, 30, 40)}
+
+
+def test_update_where_casts_back_to_column_type(spark, tmp_path):
+    """An assignment whose expression widens (int arithmetic -> bigint)
+    is cast back to the column's schema type: UPDATE never drifts the
+    table schema."""
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.append(spark.createDataFrame([(1, 10)], "rid long, v int"))
+    before = tbl.read(spark).schema
+    tbl.update_where(spark, "rid = 1", {"v": "v + CAST(1 AS BIGINT)"})
+    after = tbl.read(spark)
+    assert after.schema == before
+    assert after.collect()[0].v == 11
+
+
+def test_update_where_unknown_column_fails(spark, tmp_path):
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.append(spark.createDataFrame([(1,)], "rid long"))
+    with pytest.raises(ValueError, match="unknown columns"):
+        tbl.update_where(spark, "rid = 1", {"nope": "1"})
+
+
+def test_rewrite_conflicts_with_concurrent_commit(spark, tmp_path):
+    """A commit landing between the rewrite's planning and its manifest
+    swap must abort the rewrite (expected_base validation) — a blind
+    swap would silently drop the concurrent commit's rows."""
+    from iceberg_insert_spark.sources.snapshots import CommitConflict
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.append(spark.createDataFrame([(1,), (2,)], "rid long"))
+
+    def racing_transform(df, matched):
+        tbl.append(spark.createDataFrame([(99,)], "rid long"))
+        return df.filter(~matched)
+
+    with pytest.raises(CommitConflict):
+        tbl._rewrite_where(spark, "rid = 1", racing_transform, "delete", None)
+    # the concurrent append survived; nothing was deleted
+    assert {r.rid for r in tbl.read(spark).collect()} == {1, 2, 99}
+
+
+def test_delete_update_refuse_changelog_streaming(spark, tmp_path):
+    """CoW rewrites change visibility wholesale: the CDC/changelog
+    reader must refuse to stream across them instead of replaying the
+    rewrite as fresh inserts."""
+    from iceberg_insert_spark.sources.snapshots import read_changelog
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    v1 = tbl.append(spark.createDataFrame([(1,), (2,)], "rid long"))
+    tbl.delete_where(spark, "rid = 1")
+    v3 = tbl.append(spark.createDataFrame([(3,)], "rid long"))
+    with pytest.raises(ValueError, match="delete"):
+        read_changelog(tbl, spark, v1, v3)
+
+
+def test_delete_where_partitioned_table(spark, tmp_path):
+    """CoW delete on a partitioned table: rewritten rows re-partition
+    under the same spec; partition records survive for kept files and
+    partition-pruned reads stay correct afterwards."""
+    tbl = SnapshotTable(str(tmp_path / "t"), partition_by=["grp"])
+    tbl.append(
+        spark.createDataFrame(
+            [(i, "a" if i < 50 else "b") for i in range(100)],
+            "rid long, grp string",
+        )
+    )
+    tbl.delete_where(spark, "grp = 'a' AND rid < 10")
+    assert tbl.read(spark).count() == 90
+    a_files, _ = tbl.plan_files(partitions={"grp": "a"})
+    da = tbl._read_files(spark, tbl._latest_published(), a_files)
+    assert {r.rid for r in da.filter("grp = 'a'").collect()} == set(
+        range(10, 50)
+    )
+
+
+def test_partitions_info_metadata_only(spark, tmp_path):
+    """.partitions aggregates manifest partition records + sidecar
+    footer counts; unpartitioned files group under the empty record and
+    a file written without stats makes its partition's count None
+    (unknown) instead of silently undercounting."""
+    tbl = SnapshotTable(
+        str(tmp_path / "t"), partition_by=["g"], stats_cols=["rid"]
+    )
+    tbl.append(
+        spark.createDataFrame(
+            [(i, "a" if i < 30 else "b") for i in range(100)],
+            "rid long, g string",
+        ).coalesce(1)
+    )
+    got = {
+        (p["partition"]["g"], p["n_files"], p["n_records"])
+        for p in tbl.partitions_info()
+    }
+    assert got == {("a", 1, 30), ("b", 1, 70)}
+    # no-stats table: counts unknown, never wrong
+    t2 = SnapshotTable(str(tmp_path / "u"), partition_by=["g"])
+    t2.append(
+        spark.createDataFrame([(1, "a")], "rid long, g string").coalesce(1)
+    )
+    [p] = t2.partitions_info()
+    assert p["n_files"] == 1 and p["n_records"] is None
+    # unpartitioned: one row under the empty record
+    t3 = SnapshotTable(str(tmp_path / "v"), stats_cols=["rid"])
+    t3.append(spark.createDataFrame([(1,), (2,)], "rid long").coalesce(1))
+    [p3] = t3.partitions_info()
+    assert p3["partition"] == {} and p3["n_records"] == 2
