@@ -1378,6 +1378,105 @@ class SnapshotTable:
             token=token,
         )
 
+    def add_files(
+        self,
+        spark: SparkSession,
+        paths: list[str],
+        partitions: dict | None = None,
+        token: str | None = None,
+    ) -> int:
+        """Iceberg ``add_files`` / ``migrate``: register EXISTING
+        parquet files into the table as one append snapshot WITHOUT
+        reading or rewriting their rows — adoption of a pre-existing
+        warehouse is a metadata commit, not a data copy. Files are
+        hard-linked into the table's ``_snap=K`` layout (copy only
+        across filesystems), so the import is O(files) syscalls and
+        zero data IO; row visibility, time travel, expire reachability
+        and streaming (the snapshot records op='append', like Iceberg's
+        add_files summary) all behave as if the rows were appended.
+
+        The files' footer schema must MATCH the table schema
+        (names+types) — an import can't be projected at write time
+        because nothing is rewritten; mismatches are a clean error
+        (evolve the table or rewrite the data first). For a partitioned
+        table, ``partitions`` gives the partition record applied to
+        every file of this call (import one source partition per call,
+        Iceberg's usage); the record must cover the current spec.
+        ``token`` gives the same idempotent-replay contract as
+        ``append_once``."""
+        import shutil
+        import tempfile
+
+        if not paths:
+            raise ValueError("add_files needs at least one path")
+        for p in paths:
+            if not os.path.isfile(p):
+                raise ValueError(f"no such data file: {p!r}")
+        file_schema = spark.read.parquet(*paths).schema.jsonValue()
+        if self.partition_by:
+            if partitions is None or set(partitions) != set(
+                self.partition_by
+            ):
+                raise ValueError(
+                    "table is partitioned by "
+                    f"{self.partition_by}; add_files needs a "
+                    "partitions record covering exactly that spec"
+                )
+        elif partitions:
+            raise ValueError("partitions given for an unpartitioned table")
+        os.makedirs(self.path, exist_ok=True)
+        staging = tempfile.mkdtemp(prefix="_staging-", dir=self.path)
+        try:
+            sdir = os.path.join(staging, "d")
+            if partitions:
+                # hive-style shadow segments, same spelling the writer
+                # produces — _finish_commit parses the records from
+                # these path segments
+                from urllib.parse import quote
+
+                sdir = os.path.join(
+                    sdir,
+                    *[
+                        f"__part_{c}={quote(str(partitions[c]), safe='')}"
+                        for c in self.partition_by
+                    ],
+                )
+            os.makedirs(sdir)
+            for i, src in enumerate(sorted(paths)):
+                dst = os.path.join(sdir, f"import-{i:05d}.parquet")
+                try:
+                    os.link(src, dst)  # zero-copy adoption
+                except OSError:
+                    shutil.copy2(src, dst)  # cross-device fallback
+            with self._commit_lock():
+                if token is not None:
+                    dup = self._token_index().get(token)
+                    if dup is not None and dup in self.snapshots():
+                        return dup
+                base = self._latest_published()
+                if base is not None:
+                    tj = self._meta(base).get("schema")
+                    if tj is not None and self._schema_names_types(
+                        tj
+                    ) != self._schema_names_types(file_schema):
+                        raise ValueError(
+                            "imported files' schema does not match the "
+                            "table schema; add_files cannot project "
+                            "(nothing is rewritten) — evolve the table "
+                            "or rewrite the data first"
+                        )
+                v = self._next_version()
+                d = os.path.join(self.path, f"_snap={v}")
+                os.rename(os.path.join(staging, "d"), d)
+                new_files = self._finish_commit(
+                    v, d, True, token, "append", None, file_schema
+                )
+            if self.stats_cols and new_files:
+                self._record_stats(new_files)
+            return v
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+
     def _rel_of_uri(self, uri: str) -> str:
         """Map a scan-reported file URI (``F.input_file_name()``) back
         to its manifest-relative path."""
@@ -3682,4 +3781,46 @@ def q_snapshot_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return spark.createDataFrame(
         rows, "o_orderstatus string, n_files int, n_records long"
+    )
+
+
+@query(
+    "q_snapshot_add_files",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                AS DOUBLE) / 100.0 AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_snapshot_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg ``add_files`` / ``migrate`` — adopting an EXISTING
+    parquet warehouse into the snapshot table as a metadata commit,
+    DuckDB-oracled: the raw ``orders.parquet`` driver file is
+    registered without reading or rewriting a row (hard-link into the
+    table layout; tests pin inode identity), and the snapshot read
+    must reproduce the source exactly — a dropped file, a double
+    registration, or a schema mix-up all hash-mismatch against the
+    oracle's direct scan of the same parquet.
+
+    Scale shape: migrating a 100 TB hive warehouse into the table
+    format costs O(files) metadata operations and ZERO data movement —
+    the operation every adoption story starts with; after import the
+    files participate in time travel, expire reachability, CoW
+    deletes, and streaming like natively-written data.
+    """
+    from ..tables import scratch_dir
+
+    path = scratch_dir(spark, sf_dir, "snapshot_add_files")
+    tbl = SnapshotTable(path)
+    tbl.add_files(spark, [os.path.join(sf_dir, "orders.parquet")])
+    return (
+        tbl.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+        )
     )

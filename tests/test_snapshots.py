@@ -2213,3 +2213,142 @@ def test_partitions_info_metadata_only(spark, tmp_path):
     t3.append(spark.createDataFrame([(1,), (2,)], "rid long").coalesce(1))
     [p3] = t3.partitions_info()
     assert p3["partition"] == {} and p3["n_records"] == 2
+
+
+def test_cow_delete_lifecycle_composition(spark, tmp_path):
+    """delete_where composed with the rest of the lifecycle: a tag
+    pins the pre-delete snapshot through the delete AND a subsequent
+    expire; the reclaimed pre-rewrite files disappear from disk; fsck
+    stays clean throughout."""
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    v1 = tbl.append(
+        spark.createDataFrame([(i,) for i in range(100)], "rid long")
+    )
+    tbl.tag("pre-delete", v1)
+    v2 = tbl.delete_where(spark, "rid < 50")
+    assert tbl.read(spark).count() == 50
+    # tag still reads the full pre-delete state
+    assert tbl.read_tag(spark, "pre-delete").count() == 100
+    assert all(not v for v in tbl.verify().values())  # fsck clean
+    # expire everything before the delete: the tag pin keeps v1 alive
+    tbl.expire(keep_from=v2)
+    assert tbl.read_tag(spark, "pre-delete").count() == 100
+    # untag -> the next expire reclaims the pre-delete files
+    tbl.untag("pre-delete")
+    deleted = tbl.expire(keep_from=v2)
+    assert deleted  # v1's files are gone once unpinned
+    assert tbl.read(spark).count() == 50
+    assert all(not v for v in tbl.verify().values())  # fsck still clean
+
+
+def test_snapshot_stream_refuses_then_skips_cow_delete(spark, tmp_path):
+    """The streaming snapshot source treats a CoW delete commit like
+    any replace: clean refusal by default (its delta is not an append
+    batch), explicit skip with skip_non_append=True."""
+    from iceberg_insert_spark.streaming.file_stream import (
+        snapshot_stream_available_now,
+    )
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.append(spark.createDataFrame([(1,), (2,)], "rid long"))
+    tbl.delete_where(spark, "rid = 1")
+    tbl.append(spark.createDataFrame([(3,)], "rid long"))
+    ckpt = str(tmp_path / "ckpt")
+    got: list[int] = []
+
+    def sink(batch, v):
+        got.extend(r.rid for r in batch.collect())
+
+    with pytest.raises(ValueError, match="delete"):
+        snapshot_stream_available_now(spark, tbl, ckpt, sink)
+    got.clear()
+    snapshot_stream_available_now(
+        spark, tbl, str(tmp_path / "ckpt2"), sink, skip_non_append=True
+    )
+    assert sorted(got) == [1, 2, 3]  # appends delivered, delete skipped
+
+
+# -- add_files (zero-copy import) -------------------------------------
+
+
+def test_add_files_is_zero_copy_and_composes(spark, tmp_path):
+    """Import registers existing parquet via hard link (same inode, no
+    data copied) and the imported rows then participate in the normal
+    lifecycle: append on top, CoW delete, time travel."""
+    src = str(tmp_path / "ext.parquet")
+    spark.createDataFrame(
+        [(i,) for i in range(50)], "rid long"
+    ).coalesce(1).write.parquet(str(tmp_path / "extdir"))
+    part = [
+        f
+        for f in os.listdir(tmp_path / "extdir")
+        if f.endswith(".parquet")
+    ][0]
+    os.rename(str(tmp_path / "extdir" / part), src)
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    v1 = tbl.add_files(spark, [src])
+    assert tbl.read(spark).count() == 50
+    assert tbl.history() == [(v1, "append")]
+    # zero-copy: the registered file is the SAME inode
+    [rel] = tbl._manifest(v1)
+    assert os.stat(src).st_ino == os.stat(
+        os.path.join(tbl.path, rel)
+    ).st_ino
+    # composes with the rest of the lifecycle
+    tbl.append(spark.createDataFrame([(99,)], "rid long"))
+    tbl.delete_where(spark, "rid < 10")
+    assert tbl.read(spark).count() == 41
+    assert tbl.read(spark, as_of=v1).count() == 50
+
+
+def test_add_files_schema_mismatch_refused(spark, tmp_path):
+    spark.createDataFrame([(1, "x")], "a long, b string").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "ext"))
+    ext = [
+        os.path.join(tmp_path / "ext", f)
+        for f in os.listdir(tmp_path / "ext")
+        if f.endswith(".parquet")
+    ]
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.append(spark.createDataFrame([(1,)], "rid long"))
+    with pytest.raises(ValueError, match="cannot project"):
+        tbl.add_files(spark, ext)
+
+
+def test_add_files_partitioned_and_idempotent(spark, tmp_path):
+    """Partitioned import takes one partition record per call (hive
+    usage); the token makes replays no-ops; missing/extra record is a
+    clean error."""
+    spark.createDataFrame([(1,), (2,)], "rid long").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "ext"))
+    ext = [
+        os.path.join(tmp_path / "ext", f)
+        for f in os.listdir(tmp_path / "ext")
+        if f.endswith(".parquet")
+    ]
+    tbl = SnapshotTable(str(tmp_path / "t"), partition_by=["g"])
+    with pytest.raises(ValueError, match="partitions record"):
+        tbl.add_files(spark, ext)
+    # note: imported files don't contain the partition column — a
+    # partitioned import requires the data to carry the spec columns,
+    # so build a conforming file instead
+    spark.createDataFrame(
+        [(1, "a"), (2, "a")], "rid long, g string"
+    ).coalesce(1).write.parquet(str(tmp_path / "ext2"))
+    ext2 = [
+        os.path.join(tmp_path / "ext2", f)
+        for f in os.listdir(tmp_path / "ext2")
+        if f.endswith(".parquet")
+    ]
+    v = tbl.add_files(spark, ext2, partitions={"g": "a"}, token="imp-a")
+    assert tbl.add_files(
+        spark, ext2, partitions={"g": "a"}, token="imp-a"
+    ) == v  # replay no-op
+    assert tbl.read(spark).count() == 2
+    files, _ = tbl.plan_files(partitions={"g": "a"})
+    assert len(files) == 1
+    files_b, _ = tbl.plan_files(partitions={"g": "b"})
+    assert files_b == []
