@@ -343,6 +343,10 @@ class SnapshotTable:
             raise ValueError(
                 f"table at {self.path!r} has no published snapshots"
             )
+        if v not in self.snapshots():
+            raise ValueError(
+                f"snapshot {v} does not exist (have {self.snapshots()})"
+            )
         fparts = self._meta(v).get("file_partitions", {})
         agg: dict = {}
         for fi in self.files_info(v):
@@ -1409,9 +1413,48 @@ class SnapshotTable:
 
         if not paths:
             raise ValueError("add_files needs at least one path")
+        if len(set(paths)) != len(paths):
+            dups = sorted({p for p in paths if paths.count(p) > 1})
+            raise ValueError(
+                f"duplicate paths in add_files call: {dups[:3]} — each "
+                "file registers its rows once"
+            )
         for p in paths:
             if not os.path.isfile(p):
                 raise ValueError(f"no such data file: {p!r}")
+        # Tokened replay resolves BEFORE the duplicate-inode guard
+        # (the replayed files ARE live — that is the point); advisory
+        # probe here, authoritative re-check under the lock. A
+        # concurrent same-token race that slips past both probes ends
+        # at the inode guard with a clean error, never doubled rows.
+        if token is not None:
+            dup = self._token_index().get(token)
+            if dup is not None and dup in self.snapshots():
+                return dup
+        # Iceberg's check_duplicate_files: a file already LIVE in the
+        # table (same inode — imports are links) must not register its
+        # rows twice. O(live files) stat probes, metadata-scale.
+        cur = self._latest_published()
+        if cur is not None:
+            live_inodes = {}
+            for rel in self._manifest(cur):
+                try:
+                    live_inodes[
+                        os.stat(os.path.join(self.path, rel)).st_ino
+                    ] = rel
+                except FileNotFoundError:
+                    pass
+            clash = [
+                (p, live_inodes[os.stat(p).st_ino])
+                for p in paths
+                if os.stat(p).st_ino in live_inodes
+            ]
+            if clash:
+                raise ValueError(
+                    f"file(s) already registered in the table: "
+                    f"{clash[:3]} — re-importing would double their "
+                    "rows (use a token for idempotent replays)"
+                )
         file_schema = spark.read.parquet(*paths).schema.jsonValue()
         if self.partition_by:
             if partitions is None or set(partitions) != set(
@@ -1421,6 +1464,33 @@ class SnapshotTable:
                     "table is partitioned by "
                     f"{self.partition_by}; add_files needs a "
                     "partitions record covering exactly that spec"
+                )
+            # The record becomes PROOF for partition pruning (a pruned
+            # file never reaches the residual filter), so a wrong
+            # record silently drops rows on pruned reads — validate the
+            # files actually hold exactly the declared tuple, like
+            # Iceberg's add_files source-partition check.
+            want = {
+                c: self._part_str(v) for c, v in partitions.items()
+            }
+            got = (
+                spark.read.parquet(*paths)
+                .select(*self.partition_by)
+                .distinct()
+                .collect()
+            )
+            actual = {
+                tuple(
+                    self._part_str(r[c]) for c in self.partition_by
+                )
+                for r in got
+            }
+            declared = tuple(want[c] for c in self.partition_by)
+            if actual != {declared}:
+                raise ValueError(
+                    f"declared partition record {partitions} does not "
+                    f"match the files' values {sorted(actual)[:3]}; a "
+                    "wrong record corrupts partition-pruned reads"
                 )
         elif partitions:
             raise ValueError("partitions given for an unpartitioned table")
@@ -1434,10 +1504,14 @@ class SnapshotTable:
                 # these path segments
                 from urllib.parse import quote
 
+                # canonical value spelling via _part_str (NOT Python
+                # str(): 'True' vs the 'true' every comparison path
+                # uses would make pruning silently drop the file)
                 sdir = os.path.join(
                     sdir,
                     *[
-                        f"__part_{c}={quote(str(partitions[c]), safe='')}"
+                        f"__part_{c}="
+                        f"{quote(self._part_str(partitions[c]), safe='')}"
                         for c in self.partition_by
                     ],
                 )
@@ -1597,6 +1671,11 @@ class SnapshotTable:
         touched files are rewritten byte-identical, and each assigned
         expression is cast back to the column's existing type so the
         table schema never drifts through an UPDATE."""
+        if not set_exprs:
+            raise ValueError(
+                "UPDATE with no assignments — refusing a full rewrite "
+                "that changes nothing"
+            )
         base = self._latest_published()
         if base is None:
             raise ValueError(
@@ -1611,6 +1690,15 @@ class SnapshotTable:
                 f.name: f.dataType
                 for f in T.StructType.fromJson(sj).fields
             }
+            # validate EAGERLY: a typo'd column in a no-match UPDATE
+            # would otherwise return a clean snapshot id (the planner
+            # short-circuits before the transform ever runs)
+            missing = [c for c in set_exprs if c not in types]
+            if missing:
+                raise ValueError(
+                    f"UPDATE assigns unknown columns {missing} "
+                    f"(have {sorted(types)})"
+                )
 
         def apply_set(df: DataFrame, matched) -> DataFrame:
             missing = [c for c in set_exprs if c not in df.columns]

@@ -2352,3 +2352,86 @@ def test_add_files_partitioned_and_idempotent(spark, tmp_path):
     assert len(files) == 1
     files_b, _ = tbl.plan_files(partitions={"g": "b"})
     assert files_b == []
+
+
+def test_add_files_boolean_partition_uses_canonical_encoding(
+    spark, tmp_path
+):
+    """Review catch: the import's partition record must use the same
+    canonical value spelling (_part_str) as every comparison path —
+    str(True)='True' vs the writer's 'true' would make a pruned read
+    silently drop the imported file's rows."""
+    spark.createDataFrame(
+        [(1, True), (2, True)], "rid long, flag boolean"
+    ).coalesce(1).write.parquet(str(tmp_path / "ext"))
+    ext = [
+        os.path.join(tmp_path / "ext", f)
+        for f in os.listdir(tmp_path / "ext")
+        if f.endswith(".parquet")
+    ]
+    tbl = SnapshotTable(str(tmp_path / "t"), partition_by=["flag"])
+    tbl.add_files(spark, ext, partitions={"flag": True})
+    files, total = tbl.plan_files(partitions={"flag": True})
+    assert len(files) == 1 and total == 1
+    # and a native append into the same partition agrees on encoding
+    tbl.append(
+        spark.createDataFrame([(3, True)], "rid long, flag boolean")
+    )
+    files2, _ = tbl.plan_files(partitions={"flag": True})
+    assert len(files2) == 2
+
+
+def test_add_files_wrong_partition_record_refused(spark, tmp_path):
+    """Review catch: the record is PROOF for pruning; files whose rows
+    disagree with the declared record must be refused at import."""
+    spark.createDataFrame(
+        [(1, "b")], "rid long, g string"
+    ).coalesce(1).write.parquet(str(tmp_path / "ext"))
+    ext = [
+        os.path.join(tmp_path / "ext", f)
+        for f in os.listdir(tmp_path / "ext")
+        if f.endswith(".parquet")
+    ]
+    tbl = SnapshotTable(str(tmp_path / "t"), partition_by=["g"])
+    with pytest.raises(ValueError, match="does not match the files"):
+        tbl.add_files(spark, ext, partitions={"g": "a"})
+
+
+def test_add_files_duplicate_guards(spark, tmp_path):
+    """Review catch (Iceberg's check_duplicate_files): the same file
+    twice in one call, or re-importing an already-live file, would
+    silently double rows — both refuse."""
+    spark.createDataFrame([(1,)], "rid long").coalesce(1).write.parquet(
+        str(tmp_path / "ext")
+    )
+    [ext] = [
+        os.path.join(tmp_path / "ext", f)
+        for f in os.listdir(tmp_path / "ext")
+        if f.endswith(".parquet")
+    ]
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="duplicate paths"):
+        tbl.add_files(spark, [ext, ext])
+    tbl.add_files(spark, [ext])
+    with pytest.raises(ValueError, match="already registered"):
+        tbl.add_files(spark, [ext])
+
+
+def test_update_where_validates_eagerly(spark, tmp_path):
+    """Review catches: a typo'd column must error even when the
+    condition matches no rows (the planner short-circuits before the
+    transform runs), and an empty assignment dict must not trigger a
+    full no-change rewrite."""
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.append(spark.createDataFrame([(1,)], "rid long"))
+    with pytest.raises(ValueError, match="unknown columns"):
+        tbl.update_where(spark, "rid = 999", {"typo_col": "1"})
+    with pytest.raises(ValueError, match="no assignments"):
+        tbl.update_where(spark, "rid = 1", {})
+
+
+def test_partitions_info_bad_snapshot_is_clean_error(spark, tmp_path):
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.append(spark.createDataFrame([(1,)], "rid long"))
+    with pytest.raises(ValueError, match="does not exist"):
+        tbl.partitions_info(as_of=99)
