@@ -3912,3 +3912,115 @@ def q_snapshot_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
         )
     )
+
+
+@query(
+    "q_snapshot_fsck",
+    oracle="""
+    SELECT phase, bucket, CAST(n AS BIGINT) AS n
+    FROM (VALUES
+        ('healthy', 'missing_files', 0),
+        ('healthy', 'dangling_tokens', 0),
+        ('healthy', 'dangling_refs', 0),
+        ('healthy', 'orphan_stats', 0),
+        ('injected', 'missing_files', 1),
+        ('injected', 'dangling_tokens', 1),
+        ('injected', 'dangling_refs', 1),
+        ('injected', 'orphan_stats', 1)
+    ) AS t(phase, bucket, n)
+    """,
+)
+def q_snapshot_fsck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table FSCK (``verify()``) with DETERMINISTIC planted
+    inconsistencies, the q_quality_constraints pattern: a freshly built
+    two-commit table must report every bucket EMPTY ('healthy' rows),
+    then exactly one inconsistency of each class is injected — a live
+    data file deleted externally, an exactly-once token pointing at a
+    snapshot that no longer exists, a tag pinning a removed snapshot,
+    and a stats-sidecar entry for an unreferenced file — and each must
+    land in exactly its own bucket ('injected' rows). A miscount, a
+    miss, or cross-bucket bleed hash-mismatches the constant oracle;
+    the per-bucket payload details are pinned in
+    tests/test_snapshots.py.
+
+    Scale shape: fsck is O(live files) existence probes + three sidecar
+    reads — no data IO — so a 100 TB table audits in metadata time;
+    it is the routine health gate before trusting expire/compact
+    automation on a table restored from backup or shared with external
+    writers.
+    """
+    from ..tables import require_local_master, scratch_dir
+
+    require_local_master(spark, "q_snapshot_fsck (footer stats)")
+    path = scratch_dir(spark, sf_dir, "snapshot_fsck")
+    o = load_table(spark, sf_dir, "orders")
+    tbl = SnapshotTable(path, stats_cols=["o_orderkey"])
+    tbl.append_once(o.filter(F.col("o_orderkey") % 2 == 0), token="t1")
+    tbl.append(o.filter(F.col("o_orderkey") % 2 == 1))
+
+    def report(phase: str):
+        return [
+            (phase, bucket, len(items))
+            for bucket, items in sorted(tbl.verify().items())
+        ]
+
+    rows = report("healthy")
+    os.remove(os.path.join(tbl.path, tbl._manifest(2)[0]))
+    idx = tbl._token_index()
+    idx["ghost"] = 99
+    tbl._atomic_json(tbl._tokens_path(), idx)
+    tbl._atomic_json(tbl._refs_path(), {"old": 98})
+    st = tbl._load_stats()
+    st["_snap=9/ghost.parquet"] = {"::rows": 1}
+    tbl._atomic_json(tbl._stats_path(), st)
+    rows += report("injected")
+    return spark.createDataFrame(
+        rows, "phase string, bucket string, n long"
+    )
+
+
+@query(
+    "q_snapshot_stream",
+    oracle="""
+    SELECT CAST(o_orderkey % 3 + 1 AS BIGINT) AS snapshot,
+           COUNT(*) AS n_rows
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_snapshot_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot table as a STREAMING SOURCE, DuckDB-oracled: three
+    appends (the %3 classes of orders) must arrive as exactly three
+    micro-batches — one per snapshot, each carrying exactly that
+    commit's delta — and a RESTART of the loop against the same durable
+    checkpoint must deliver NOTHING more. The returned rows are the
+    consumed (snapshot, n_rows) pairs across BOTH runs, so a missed
+    snapshot, a wrong delta (full-table re-read instead of new files),
+    a split/merged batch, or any post-restart re-delivery all
+    hash-mismatch against the oracle's per-class counts. Crash-replay
+    at-least-once + downstream token dedup are pinned in
+    tests/test_streaming.py.
+
+    Scale shape: each micro-batch plans from the commit's ``new_files``
+    summary — one manifest read, scan bounded by the delta — so a
+    downstream training-data consumer tails a 100 TB table at the cost
+    of its increments, never re-scanning history; the checkpoint is one
+    atomic-rename JSON.
+    """
+    from ..tables import scratch_dir
+    from ..streaming.file_stream import snapshot_stream_available_now
+
+    base = scratch_dir(spark, sf_dir, "snapshot_stream")
+    o = load_table(spark, sf_dir, "orders")
+    tbl = SnapshotTable(f"{base}/t")
+    for r in range(3):
+        tbl.append(o.filter(F.col("o_orderkey") % 3 == r))
+    got: list[tuple[int, int]] = []
+
+    def sink(batch: DataFrame, v: int) -> None:
+        got.append((v, batch.count()))
+
+    ckpt = f"{base}/ckpt"
+    snapshot_stream_available_now(spark, tbl, ckpt, sink)
+    snapshot_stream_available_now(spark, tbl, ckpt, sink)  # restart: no-op
+    return spark.createDataFrame(got, "snapshot long, n_rows long")
