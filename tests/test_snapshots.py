@@ -1596,7 +1596,8 @@ def test_cdc_lifecycle_model_randomized(spark, tmp_path):
 
     for step in range(22):
         cur = vis[published[-1]]
-        choices = ["append", "merge", "compact"]
+        choices = ["append", "merge", "compact", "delete_where",
+                   "update_where"]
         if len(published) >= 2:
             choices += ["rollback", "expire"]
         op = rng.choice(choices)
@@ -1636,6 +1637,32 @@ def test_cdc_lifecycle_model_randomized(spark, tmp_path):
             v = tbl.compact(spark)
             vis[v] = dict(cur)
             published.append(v)
+        elif op == "delete_where":
+            # CoW delete over whatever state exists — including live
+            # equality deletes from earlier merges (the planning scan
+            # must be MoR-aware) and post-rollback states
+            k, r = rng.choice([(2, 0), (3, 1), (5, 2)])
+            matching = {i for i in cur if i % k == r}
+            v = tbl.delete_where(spark, f"rid % {k} = {r}")
+            if matching:
+                vis[v] = {i: x for i, x in cur.items() if i not in matching}
+                published.append(v)
+            else:
+                assert v == published[-1]  # no-op commits nothing
+        elif op == "update_where":
+            k, r = rng.choice([(2, 1), (3, 0), (4, 2)])
+            matching = {i for i in cur if i % k == r}
+            v = tbl.update_where(
+                spark, f"rid % {k} = {r}", {"val": "val + 1000.0"}
+            )
+            if matching:
+                vis[v] = {
+                    i: (x + 1000.0 if i in matching else x)
+                    for i, x in cur.items()
+                }
+                published.append(v)
+            else:
+                assert v == published[-1]
         elif op == "rollback":
             to = rng.choice(published)
             v = tbl.rollback(to=to)
