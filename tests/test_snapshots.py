@@ -2462,3 +2462,55 @@ def test_partitions_info_bad_snapshot_is_clean_error(spark, tmp_path):
     tbl.append(spark.createDataFrame([(1,)], "rid long"))
     with pytest.raises(ValueError, match="does not exist"):
         tbl.partitions_info(as_of=99)
+
+
+def test_rewrite_write_failure_leaves_no_partial_state(spark, tmp_path):
+    """A rewrite whose data write fails mid-commit (executor error
+    during the staged write) must leave the table exactly as it was:
+    no new snapshot, no manifest change, no staging debris a reader
+    could trip on, fsck clean."""
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    v1 = tbl.append(
+        spark.createDataFrame([(1,), (2,)], "rid long")
+    )
+    with pytest.raises(Exception):
+        # assert_true throws per-row at EXECUTION time, i.e. inside
+        # the staged parquet write — the commit's long phase
+        tbl._rewrite_where(
+            spark,
+            "rid >= 1",
+            lambda df, m: df.filter(F.expr("assert_true(rid < 0) IS NULL")),
+            "delete",
+            None,
+        )
+    assert tbl.snapshots() == [v1]
+    assert {r.rid for r in tbl.read(spark).collect()} == {1, 2}
+    assert all(not v for v in tbl.verify().values())
+    leftovers = [
+        f for f in os.listdir(tbl.path) if f.startswith("_staging-")
+    ]
+    assert leftovers == []
+
+
+def test_concurrent_cow_rewrites_conflict_cleanly(spark, tmp_path):
+    """Two CoW rewrites racing: the one whose base moved first aborts
+    with CommitConflict (no silent lost update); a re-run against the
+    new state then applies BOTH mutations."""
+    from iceberg_insert_spark.sources.snapshots import CommitConflict
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.append(
+        spark.createDataFrame([(i,) for i in range(10)], "rid long")
+    )
+
+    def racing(df, matched):
+        tbl.delete_where(spark, "rid = 9")  # rival lands mid-rewrite
+        return df.filter(~matched)
+
+    with pytest.raises(CommitConflict):
+        tbl._rewrite_where(spark, "rid < 3", racing, "delete", None)
+    # rival's delete survived; ours aborted cleanly
+    assert {r.rid for r in tbl.read(spark).collect()} == set(range(9))
+    # retry against the new state applies both
+    tbl.delete_where(spark, "rid < 3")
+    assert {r.rid for r in tbl.read(spark).collect()} == {3, 4, 5, 6, 7, 8}
