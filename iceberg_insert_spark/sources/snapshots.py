@@ -4024,3 +4024,78 @@ def q_snapshot_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot_stream_available_now(spark, tbl, ckpt, sink)
     snapshot_stream_available_now(spark, tbl, ckpt, sink)  # restart: no-op
     return spark.createDataFrame(got, "snapshot long, n_rows long")
+
+
+@query(
+    "q_snapshot_changelog_stream",
+    oracle="""
+    SELECT 1 AS snapshot, 'insert' AS change_type,
+           COUNT(*) AS n_rows
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT 2, 'delete', COUNT(*)
+    FROM orders WHERE o_orderkey % 9 IN (0, 3)
+    UNION ALL
+    SELECT 2, 'insert', COUNT(*)
+    FROM orders WHERE o_orderkey % 9 = 3
+    UNION ALL
+    SELECT 3, 'insert', COUNT(*)
+    FROM orders WHERE o_orderkey % 3 = 1
+    """,
+)
+def q_snapshot_changelog_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CDC STREAMING READ, DuckDB-oracled: an append, a MERGE (delete
+    the %9==0 keys, double-price the %9==3 keys), and a second append
+    must arrive as exactly three CHANGELOG micro-batches — the
+    bootstrap as pure inserts, the merge as its delete old-images
+    (U∪D keys) plus insert new-images (U rows), the append as inserts
+    — and a checkpoint RESTART delivers nothing more. The returned
+    rows are per-(batch, change_type) counts across BOTH runs, so a
+    dropped delete, an update not split into its delete+insert pair,
+    a full-table re-read, or post-restart re-delivery all
+    hash-mismatch against the oracle's modulo-class reconstruction.
+    This is the subscription primitive the append-only stream
+    (q_snapshot_stream) correctly refuses to serve for merge commits.
+
+    Scale shape: each batch reads the commit's own delta files plus a
+    broadcast of its delete keys joined to the prior state — a CDC
+    consumer (replica, index, incremental MV) tails a 100 TB table at
+    the cost of its changes.
+    """
+    from ..streaming.file_stream import changelog_stream_available_now
+    from ..tables import scratch_dir
+
+    base = scratch_dir(spark, sf_dir, "snapshot_changelog_stream")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tbl = SnapshotTable(f"{base}/t")
+    tbl.append(o.filter(F.col("o_orderkey") % 3 == 0))
+    chg = (
+        o.filter(F.col("o_orderkey") % 9 == 0)
+        .withColumn("_op", F.lit("D"))
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 9 == 3)
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+            .withColumn("_op", F.lit("U"))
+        )
+    )
+    tbl.merge(spark, chg, key="o_orderkey")
+    tbl.append(o.filter(F.col("o_orderkey") % 3 == 1))
+
+    got: list[tuple[int, str, int]] = []
+
+    def sink(batch: DataFrame, v: int) -> None:
+        for r in (
+            batch.groupBy("_change_type").count().collect()
+        ):
+            got.append((v, r["_change_type"], r["count"]))
+
+    ckpt = f"{base}/ckpt"
+    changelog_stream_available_now(spark, tbl, ckpt, sink)
+    changelog_stream_available_now(spark, tbl, ckpt, sink)  # restart
+    return spark.createDataFrame(
+        got, "snapshot long, change_type string, n_rows long"
+    )

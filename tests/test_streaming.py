@@ -498,3 +498,80 @@ def test_snapshot_table_as_streaming_source(spark, tmp_path_factory):
     src.merge(spark, chg, key="k")
     with pytest.raises(ValueError, match="changelog"):
         snapshot_stream_available_now(spark, src, ckpt, process)
+
+
+def test_changelog_stream_replica_crash_and_cow(spark, tmp_path):
+    """CDC streaming read: a replica applying every changelog batch
+    (deletes before inserts) must converge to the source state; a crash
+    mid-stream redelivers the unacknowledged batch (at-least-once); a
+    CoW delete commit refuses by default and skips under skip_replace."""
+    import pytest
+
+    from iceberg_insert_spark.sources.snapshots import SnapshotTable
+    from iceberg_insert_spark.streaming.file_stream import (
+        changelog_stream_available_now,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "k long, v string")
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.append(mk([(1, "a"), (2, "b"), (3, "c")]))
+    ch = spark.createDataFrame(
+        [(2, "b2", "U"), (3, None, "D"), (4, "d", "I")],
+        "k long, v string, _op string",
+    )
+    tbl.merge(spark, ch, key="k")
+    tbl.append(mk([(5, "e")]))
+
+    replica: dict = {}
+
+    def apply(batch, v):
+        rows = batch.collect()
+        for r in rows:
+            if r["_change_type"] == "delete":
+                replica.pop(r.k, None)
+        for r in rows:
+            if r["_change_type"] == "insert":
+                replica[r.k] = r.v
+
+    ckpt = str(tmp_path / "ckpt")
+    done = changelog_stream_available_now(spark, tbl, ckpt, apply)
+    assert done == [1, 2, 3]
+    src = {r.k: r.v for r in tbl.read(spark).collect()}
+    assert replica == src == {1: "a", 2: "b2", 4: "d", 5: "e"}
+
+    # crash mid-stream: batch 2's failure must NOT advance past batch 1
+    tbl2 = SnapshotTable(str(tmp_path / "t2"))
+    tbl2.append(mk([(1, "a")]))
+    tbl2.append(mk([(2, "b")]))
+    seen: list[int] = []
+
+    def crashy(batch, v):
+        if v == 2:
+            raise RuntimeError("sink crashed")
+        seen.append(v)
+
+    ck2 = str(tmp_path / "ck2")
+    with pytest.raises(RuntimeError):
+        changelog_stream_available_now(spark, tbl2, ck2, crashy)
+    assert seen == [1]
+    got: list[int] = []
+    changelog_stream_available_now(
+        spark, tbl2, ck2, lambda b, v: got.append((v, b.count()))
+    )
+    assert got == [(2, 1)]  # batch 2 redelivered exactly once, batch 1 not
+
+    # CoW delete: refuse by default, skip with skip_replace
+    tbl2.delete_where(spark, "k = 1")
+    tbl2.append(mk([(9, "z")]))
+    with pytest.raises(ValueError, match="delete"):
+        changelog_stream_available_now(
+            spark, tbl2, ck2, lambda b, v: None
+        )
+    after: list[int] = []
+    changelog_stream_available_now(
+        spark, tbl2, ck2,
+        lambda b, v: after.append(v), skip_replace=True,
+    )
+    assert after == [4]  # the post-delete append, relative to post-CoW state
