@@ -705,6 +705,25 @@ def snapshot_ingest_available_now(
     return tbl
 
 
+def _load_stream_checkpoint(checkpoint_path: str) -> int:
+    """Durable last-processed-snapshot cursor shared by both snapshot
+    stream readers — ONE spelling so the two can never disagree on the
+    format (the 'duplicated guards diverge' hazard)."""
+    import json as _json
+
+    try:
+        with open(checkpoint_path) as fh:
+            return _json.load(fh)["last_snapshot"]
+    except FileNotFoundError:
+        return 0
+
+
+def _save_stream_checkpoint(checkpoint_path: str, v: int) -> None:
+    from ..sources.snapshots import SnapshotTable
+
+    SnapshotTable._atomic_json(checkpoint_path, {"last_snapshot": v})
+
+
 def snapshot_stream_available_now(
     spark: SparkSession,
     table: "object",
@@ -747,15 +766,10 @@ def snapshot_stream_available_now(
     never a rescan. A continuous deployment wraps this in a trigger
     loop; availableNow keeps the local twin deterministic.
     """
-    import json as _json
     import os
 
     apply_runtime_confs(spark)
-    try:
-        with open(checkpoint_path) as fh:
-            last = _json.load(fh)["last_snapshot"]
-    except FileNotFoundError:
-        last = 0
+    last = _load_stream_checkpoint(checkpoint_path)
 
     processed: list[int] = []
     # off-main snapshots (WAP stage, branch commits) are invisible,
@@ -796,11 +810,7 @@ def snapshot_stream_available_now(
         # checkpoint AFTER the batch is durably handled: crash between
         # process() and this write replays the batch (at-least-once);
         # the downstream append_once token makes the replay a no-op.
-        # One spelling of the atomic-swap contract (writer-unique temp
-        # name), shared with the manifest machinery.
-        from ..sources.snapshots import SnapshotTable
-
-        SnapshotTable._atomic_json(checkpoint_path, {"last_snapshot": v})
+        _save_stream_checkpoint(checkpoint_path, v)
     return processed
 
 
@@ -810,6 +820,7 @@ def changelog_stream_available_now(
     checkpoint_path: str,
     process,
     skip_replace: bool = False,
+    on_skip=None,
 ) -> list[int]:
     """CDC STREAMING READ — Iceberg's streaming changelog: one
     CHANGELOG micro-batch per new main-branch snapshot, each batch the
@@ -823,8 +834,13 @@ def changelog_stream_available_now(
     Per published snapshot newer than the durable checkpoint, in
     version order:
 
-      * the FIRST main snapshot a fresh subscriber sees bootstraps as
-        a full-insert batch (``read(as_of=v)`` + 'insert');
+      * a FRESH subscriber bootstraps from the first SURVIVING main
+        snapshot as a full-insert batch (``read(as_of=v)`` + 'insert'),
+        whatever op produced it — on a maintained table the oldest
+        survivor is usually a compaction; an EXISTING consumer whose
+        checkpointed snapshot has been expired gets a clean
+        rebuild-required error instead (a re-bootstrap would re-insert
+        applied rows and lose the expired range's deletes);
       * ``append``/``publish``/``merge``/``fast_forward`` commits emit
         ``read_changelog(prev_main, v)`` — O(that commit's delta
         files) + one broadcast join to the prior state for delete old
@@ -833,8 +849,9 @@ def changelog_stream_available_now(
         ``delete``/``update`` commits rewrite visibility wholesale —
         their row-level delta is not derivable from manifests alone; a
         clean error by default, or skipped under ``skip_replace``
-        (Iceberg's streaming-skip-overwrite-snapshots; the consumer
-        must re-sync its derived state);
+        (Iceberg's streaming-skip-overwrite-snapshots) with each
+        skipped ``(snapshot, op)`` reported through ``on_skip`` so the
+        consumer KNOWS its derived state needs a re-sync;
       * staged (WAP) and branch snapshots are invisible, like read().
 
     The checkpoint advances ONLY after ``process(batch_df, v)``
@@ -847,45 +864,59 @@ def changelog_stream_available_now(
     state — a CDC consumer tails the table at the cost of its changes;
     the full-rescan alternative is exactly what this amortizes away.
     """
-    import json as _json
-
-    from ..sources.snapshots import SnapshotTable, read_changelog
-    from pyspark.sql import functions as F
+    from ..sources.snapshots import read_changelog
 
     apply_runtime_confs(spark)
-    try:
-        with open(checkpoint_path) as fh:
-            last = _json.load(fh)["last_snapshot"]
-    except FileNotFoundError:
-        last = 0
+    last = _load_stream_checkpoint(checkpoint_path)
 
     processed: list[int] = []
     staged_ops = {"stage", "branch-append"}
+    history = [
+        (v, op) for v, op in table.history() if op not in staged_ops
+    ]
+    # An EXISTING consumer whose checkpointed snapshot was expired is
+    # NOT a fresh subscriber (review catch): re-bootstrapping would
+    # re-deliver every applied row as 'insert' and never deliver the
+    # expired range's deletes — the replica silently diverges. The
+    # delta past an expired cursor is underivable; the consumer must
+    # rebuild.
+    if last > 0 and not any(v <= last for v, _ in history):
+        raise ValueError(
+            f"checkpointed snapshot {last} predates all surviving "
+            "history (expired); the delta is not derivable — rebuild "
+            "the derived state and start a fresh checkpoint"
+        )
     prev = None  # newest on-main snapshot at or below the cursor
-    for v, op in table.history():
-        if op in staged_ops:
-            continue
+    for v, op in history:
         if v <= last:
             prev = v
             continue
-        if op in ("append", "publish", "merge", "fast_forward"):
-            if prev is None:
-                batch = table.read(spark, as_of=v).select(
-                    "*", F.lit("insert").alias("_change_type")
-                )
-            else:
-                batch = read_changelog(table, spark, prev, v)
+        if prev is None:
+            # fresh subscriber: bootstrap from the FIRST surviving
+            # snapshot's full state, whatever op produced it (review
+            # catch: on a maintained table the oldest survivor is
+            # usually a compaction/replace — a full-insert read is
+            # still exactly its state)
+            batch = table.read(spark, as_of=v).select(
+                "*", F.lit("insert").alias("_change_type")
+            )
             process(batch, v)
             processed.append(v)
-        elif not skip_replace:
+        elif op in ("append", "publish", "merge", "fast_forward"):
+            batch = read_changelog(table, spark, prev, v)
+            process(batch, v)
+            processed.append(v)
+        elif skip_replace:
+            if on_skip is not None:
+                on_skip(v, op)
+        else:
             raise ValueError(
                 f"snapshot {v} is a {op!r} commit — its row-level "
                 "delta is not derivable as a changelog; pass "
                 "skip_replace=True to skip it (downstream consumers "
-                "must re-sync their derived state)"
+                "must re-sync their derived state; wire on_skip to "
+                "be told when)"
             )
         prev = v
-        SnapshotTable._atomic_json(
-            checkpoint_path, {"last_snapshot": v}
-        )
+        _save_stream_checkpoint(checkpoint_path, v)
     return processed

@@ -562,7 +562,8 @@ def test_changelog_stream_replica_crash_and_cow(spark, tmp_path):
     )
     assert got == [(2, 1)]  # batch 2 redelivered exactly once, batch 1 not
 
-    # CoW delete: refuse by default, skip with skip_replace
+    # CoW delete: refuse by default; skip with skip_replace reports
+    # the skipped commit through on_skip so the consumer KNOWS
     tbl2.delete_where(spark, "k = 1")
     tbl2.append(mk([(9, "z")]))
     with pytest.raises(ValueError, match="delete"):
@@ -570,8 +571,54 @@ def test_changelog_stream_replica_crash_and_cow(spark, tmp_path):
             spark, tbl2, ck2, lambda b, v: None
         )
     after: list[int] = []
+    skipped: list[tuple] = []
     changelog_stream_available_now(
         spark, tbl2, ck2,
         lambda b, v: after.append(v), skip_replace=True,
+        on_skip=lambda v, op: skipped.append((v, op)),
     )
     assert after == [4]  # the post-delete append, relative to post-CoW state
+    assert skipped == [(3, "delete")]  # the re-sync signal
+
+
+def test_changelog_stream_bootstrap_and_expired_checkpoint(
+    spark, tmp_path
+):
+    """A fresh subscriber on a MAINTAINED table (oldest survivor is a
+    compaction) bootstraps from its full state; an existing consumer
+    whose checkpointed snapshot was expired gets a rebuild-required
+    error, never a silent re-bootstrap."""
+    import pytest
+
+    from iceberg_insert_spark.sources.snapshots import SnapshotTable
+    from iceberg_insert_spark.streaming.file_stream import (
+        changelog_stream_available_now,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "k long, v string")
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.append(mk([(1, "a")]))
+    ck_old = str(tmp_path / "ck_old")
+    changelog_stream_available_now(
+        spark, tbl, ck_old, lambda b, v: None
+    )  # existing consumer checkpointed at snapshot 1
+    tbl.append(mk([(2, "b")]))
+    v3 = tbl.compact(spark)  # replace commit
+    tbl.expire(keep_from=v3)  # snapshots 1-2 gone; survivor is the compact
+    tbl.append(mk([(3, "c")]))
+
+    # fresh subscriber: full-insert bootstrap from the compact state
+    got: list[tuple] = []
+    changelog_stream_available_now(
+        spark, tbl, str(tmp_path / "ck_new"),
+        lambda b, v: got.append((v, b.count())),
+    )
+    assert got == [(v3, 2), (v3 + 1, 1)]
+
+    # expired checkpoint: clean rebuild-required error
+    with pytest.raises(ValueError, match="rebuild"):
+        changelog_stream_available_now(
+            spark, tbl, ck_old, lambda b, v: None
+        )
