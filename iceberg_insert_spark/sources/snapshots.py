@@ -1573,6 +1573,7 @@ class SnapshotTable:
         transform,
         op: str,
         stats_hint: tuple | None,
+        partitions: dict | None = None,
     ) -> int:
         """Copy-on-write row-level mutation (Iceberg's
         ``RewriteStrategy=copy-on-write`` DELETE/UPDATE plan):
@@ -1604,12 +1605,23 @@ class SnapshotTable:
             raise ValueError(
                 f"table at {self.path!r} has no published snapshots"
             )
-        candidates, _ = self.plan_files(where=stats_hint, as_of=base)
+        candidates, _ = self.plan_files(
+            where=stats_hint, as_of=base, partitions=partitions
+        )
         if not candidates:
             return base
         matched = (
             F.coalesce(F.expr(condition).cast("boolean"), F.lit(False))
         )
+        if partitions:
+            # partition pruning is manifest PROOF for the SKIPPED
+            # files, but conservative-kept candidates (no record / old
+            # spec) still contain other partitions' rows — fold the
+            # partition equality into the match predicate itself
+            # (null-safe, typed Columns, no SQL splicing) so pruning
+            # and matching can never disagree.
+            for c, val in partitions.items():
+                matched = matched & F.col(c).eqNullSafe(F.lit(val))
         cand_df = self._read_files(
             spark, base, candidates, file_col="__iis_file"
         )
@@ -1639,6 +1651,7 @@ class SnapshotTable:
         spark: SparkSession,
         condition: str,
         stats_hint: tuple | None = None,
+        partitions: dict | None = None,
     ) -> int:
         """``DELETE FROM t WHERE condition`` as ONE copy-on-write
         snapshot: rows where the SQL ``condition`` evaluates to TRUE
@@ -1646,15 +1659,23 @@ class SnapshotTable:
         that contain a matching row are rewritten, everything else is
         carried in the manifest untouched. ``stats_hint`` =
         ``(column, lo, hi)`` feeds the manifest [min, max] pruner so
-        the planning scan itself skips provably-disjoint files.
-        Returns the new snapshot (or the current one if nothing
-        matched — a no-op DELETE commits nothing, like Iceberg)."""
+        the planning scan itself skips provably-disjoint files;
+        ``partitions`` = ``{col: value}`` additionally scopes the
+        delete to one partition (the retention-sweep shape: drop one
+        day) — the planning scan prunes to that partition's files from
+        the manifest records alone, and the partition equality is
+        folded null-safely into the match predicate so
+        conservative-kept cross-spec files can never lose other
+        partitions' rows. Returns the new snapshot (or the current one
+        if nothing matched — a no-op DELETE commits nothing, like
+        Iceberg)."""
         return self._rewrite_where(
             spark,
             condition,
             lambda df, matched: df.filter(~matched),
             "delete",
             stats_hint,
+            partitions,
         )
 
     def update_where(
@@ -1663,6 +1684,7 @@ class SnapshotTable:
         condition: str,
         set_exprs: dict,
         stats_hint: tuple | None = None,
+        partitions: dict | None = None,
     ) -> int:
         """``UPDATE t SET col = expr, ... WHERE condition`` as ONE
         copy-on-write snapshot. ``set_exprs`` maps column name -> SQL
@@ -1726,7 +1748,7 @@ class SnapshotTable:
             )
 
         return self._rewrite_where(
-            spark, condition, apply_set, "update", stats_hint
+            spark, condition, apply_set, "update", stats_hint, partitions
         )
 
     def _read_files(

@@ -2514,3 +2514,49 @@ def test_concurrent_cow_rewrites_conflict_cleanly(spark, tmp_path):
     # retry against the new state applies both
     tbl.delete_where(spark, "rid < 3")
     assert {r.rid for r in tbl.read(spark).collect()} == {3, 4, 5, 6, 7, 8}
+
+
+def test_delete_where_partition_scoped_prunes_and_protects(
+    spark, tmp_path
+):
+    """Partition-scoped CoW delete (the retention sweep): the planning
+    scan prunes to the target partition's files from manifest records
+    alone — other partitions' files are carried by path identity — and
+    after a spec evolution, conservative-kept old-spec files lose ONLY
+    the target partition's matching rows (the folded null-safe
+    partition equality protects the rest)."""
+    tbl = SnapshotTable(str(tmp_path / "t"), partition_by=["day"])
+    mk = lambda day, lo, hi: spark.createDataFrame(
+        [(i, day) for i in range(lo, hi)], "rid long, day string"
+    ).coalesce(1)
+    tbl.append(mk("d1", 0, 50))
+    v2 = tbl.append(mk("d2", 50, 100))
+    d2_files = {
+        f
+        for f in tbl._manifest(v2)
+        if f not in set(tbl._manifest(v2 - 1))
+    }
+    v = tbl.delete_where(
+        spark, "rid < 10", partitions={"day": "d1"}
+    )
+    post = set(tbl._manifest(v))
+    assert d2_files <= post  # d2's file carried by path, never opened
+    got = {r.rid for r in tbl.read(spark).collect()}
+    assert got == set(range(10, 100))
+    # spec evolution -> pre-spec files have no 'grp' record and are
+    # conservative-kept candidates for a grp-scoped delete; the folded
+    # equality must protect their rows
+    tbl2 = SnapshotTable(str(tmp_path / "u"))
+    tbl2.append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "rid long, grp string"
+        )
+    )
+    tbl2.evolve_partitioning(["grp"])
+    t2 = SnapshotTable(str(tmp_path / "u"), partition_by=["grp"])
+    t2.append(
+        spark.createDataFrame([(3, "a")], "rid long, grp string")
+    )
+    t2.delete_where(spark, "rid >= 0", partitions={"grp": "a"})
+    got2 = {(r.rid, r.grp) for r in t2.read(spark).collect()}
+    assert got2 == {(2, "b")}  # both 'a' rows deleted, 'b' protected
