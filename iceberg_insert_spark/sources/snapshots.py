@@ -576,7 +576,7 @@ class SnapshotTable:
 
     def _commit(
         self,
-        df: DataFrame,
+        df: DataFrame | None,
         inherit: bool,
         token: str | None = None,
         op: str | None = None,
@@ -587,6 +587,7 @@ class SnapshotTable:
         replace_partitions: set | None = None,
         branch: str | None = None,
         drop_files: set | None = None,
+        delete_kind: str = "eq",
     ) -> int:
         """Optimistic-concurrency commit, Iceberg's shape: the data
         files are written in PARALLEL into a private staging dir (the
@@ -610,13 +611,14 @@ class SnapshotTable:
         # section validates the schema didn't evolve meanwhile and
         # raises CommitConflict if it did — optimistic concurrency,
         # same as the compaction base check.
+        base0 = None
         if inherit:
             base0 = (
                 self._branch_head(branch)
                 if branch is not None
                 else self._latest_published()
             )
-            if base0 is not None:
+            if df is not None and base0 is not None:
                 tj = self._meta(base0).get("schema")
                 if tj is not None:
                     from pyspark.sql import types as T
@@ -625,10 +627,21 @@ class SnapshotTable:
                         df, T.StructType.fromJson(tj)
                     )
         staging = tempfile.mkdtemp(prefix="_staging-", dir=self.path)
-        schema_json = df.schema.jsonValue()
+        if df is not None:
+            schema_json = df.schema.jsonValue()
+        else:
+            # metadata+delete-file-only commit (MoR positional DELETE):
+            # no data is written, the schema carries over from the base
+            schema_json = (
+                self._meta(base0).get("schema")
+                if base0 is not None
+                else None
+            )
         try:
             sdir = os.path.join(staging, "d")
-            if self.partition_by:
+            if df is None:
+                pass  # no data files this commit
+            elif self.partition_by:
                 # split by SHADOW copies of the partition columns, so
                 # the hive-style dirs carry the values while the real
                 # columns stay inside the files — every manifest-listed
@@ -706,9 +719,13 @@ class SnapshotTable:
                         if curb is not None
                         else None
                     )
-                    if cur_schema is not None and not (
-                        self._schema_names_types(schema_json)
-                        == self._schema_names_types(cur_schema)
+                    if (
+                        cur_schema is not None
+                        and schema_json is not None
+                        and not (
+                            self._schema_names_types(schema_json)
+                            == self._schema_names_types(cur_schema)
+                        )
                     ):
                         raise CommitConflict(
                             "table schema changed during the write "
@@ -717,12 +734,16 @@ class SnapshotTable:
                         )
                 v = self._next_version()
                 d = os.path.join(self.path, f"_snap={v}")
-                os.rename(sdir, d)
+                if df is None:
+                    os.makedirs(d)
+                else:
+                    os.rename(sdir, d)
                 if deldir is not None:
                     os.rename(deldir, os.path.join(d, "_deletes"))
                 new_files = self._finish_commit(
                     v, d, inherit, token, op, wap_id, schema_json,
                     delete_key, replace_partitions, branch, drop_files,
+                    delete_kind,
                 )
             # Footer-stat recording OUTSIDE the lock (review catch:
             # thousands of footer reads inside it would overrun the
@@ -750,6 +771,7 @@ class SnapshotTable:
         replace_partitions: set | None = None,
         branch: str | None = None,
         drop_files: set | None = None,
+        delete_kind: str = "eq",
     ) -> list[str]:
         new_files = []
         for root, dirs, files in os.walk(d):
@@ -894,11 +916,23 @@ class SnapshotTable:
         new_dels = []
         if os.path.isdir(ddir):
             new_dels = [
-                {
-                    "path": os.path.join(f"_snap={v}", "_deletes", f),
-                    "key": delete_key,
-                    "seq": v,
-                }
+                (
+                    {
+                        "path": os.path.join(
+                            f"_snap={v}", "_deletes", f
+                        ),
+                        "kind": "pos",
+                        "seq": v,
+                    }
+                    if delete_kind == "pos"
+                    else {
+                        "path": os.path.join(
+                            f"_snap={v}", "_deletes", f
+                        ),
+                        "key": delete_key,
+                        "seq": v,
+                    }
+                )
                 for f in sorted(os.listdir(ddir))
                 if f.endswith(".parquet")
             ]
@@ -1646,12 +1680,65 @@ class SnapshotTable:
             drop_files=touched,
         )
 
+    def _delete_where_mor(
+        self,
+        spark: SparkSession,
+        condition: str,
+        stats_hint: tuple | None,
+        partitions: dict | None,
+    ) -> int:
+        """MERGE-ON-READ positional DELETE (Iceberg v2's position
+        delete files): instead of rewriting touched files (CoW), write
+        a delete file of exact (data file, row position) entries and
+        commit it as pure metadata + one match-sized file — write cost
+        O(matches), zero data rewritten. Reads pay a broadcast
+        anti-join on (file, pos) until ``compact`` folds the deletes.
+        Like Iceberg's position deletes, entries reference data files
+        by their absolute scan path — relocating the table directory
+        invalidates them (compact first).
+        """
+        base = self._latest_published()
+        if base is None:
+            raise ValueError(
+                f"table at {self.path!r} has no published snapshots"
+            )
+        candidates, _ = self.plan_files(
+            where=stats_hint, as_of=base, partitions=partitions
+        )
+        if not candidates:
+            return base
+        matched = (
+            F.coalesce(F.expr(condition).cast("boolean"), F.lit(False))
+        )
+        if partitions:
+            for c, val in partitions.items():
+                matched = matched & F.col(c).eqNullSafe(F.lit(val))
+        scan = self._read_files(
+            spark,
+            base,
+            candidates,
+            file_col="__iis_dfile",
+            pos_col="__iis_dpos",
+        )
+        hits = scan.filter(matched).select("__iis_dfile", "__iis_dpos")
+        if not hits.limit(1).collect():  # bounded no-match probe
+            return base
+        return self._commit(
+            None,
+            inherit=True,
+            op="delete",
+            expected_base=base,
+            deletes_df=hits,
+            delete_kind="pos",
+        )
+
     def delete_where(
         self,
         spark: SparkSession,
         condition: str,
         stats_hint: tuple | None = None,
         partitions: dict | None = None,
+        strategy: str = "cow",
     ) -> int:
         """``DELETE FROM t WHERE condition`` as ONE copy-on-write
         snapshot: rows where the SQL ``condition`` evaluates to TRUE
@@ -1668,7 +1755,24 @@ class SnapshotTable:
         conservative-kept cross-spec files can never lose other
         partitions' rows. Returns the new snapshot (or the current one
         if nothing matched — a no-op DELETE commits nothing, like
-        Iceberg)."""
+        Iceberg).
+
+        ``strategy`` picks Iceberg v2's delete trade: ``"cow"``
+        (default) rewrites the touched files — write amplification
+        once, reads stay clean; ``"mor"`` writes a POSITION-delete
+        file of exact (data file, row) entries — O(matches) write,
+        zero rewrite, reads pay a broadcast anti-join until
+        ``compact`` folds it. Equality deletes (the third kind) come
+        from ``merge``'s CDC path; all three compose on one table."""
+        if strategy == "mor":
+            return self._delete_where_mor(
+                spark, condition, stats_hint, partitions
+            )
+        if strategy != "cow":
+            raise ValueError(
+                f"unknown DELETE strategy {strategy!r}; use 'cow' "
+                "(rewrite touched files) or 'mor' (position deletes)"
+            )
         return self._rewrite_where(
             spark,
             condition,
@@ -1757,6 +1861,7 @@ class SnapshotTable:
         v: int,
         rels: list[str],
         file_col: str | None = None,
+        pos_col: str | None = None,
     ) -> DataFrame:
         """Scan a snapshot's (possibly pruned) file list. Fast path: one
         multi-path parquet scan. Two metadata conditions force a
@@ -1785,23 +1890,51 @@ class SnapshotTable:
         needs_resolve = sj is not None and any(
             s < schema_v for s in by_seq
         )
-        if file_col is not None:
-            # the CoW planner's per-row file attribution: captured at
-            # the SCAN (``_metadata.file_path`` is only resolvable
-            # there) so it survives the MoR join and schema-resolution
-            # unions that break input_file_name()
-            def tag(df: DataFrame) -> DataFrame:
-                if file_col in df.columns:
-                    raise ValueError(
-                        f"data files contain the reserved internal "
-                        f"column {file_col!r}"
-                    )
-                return df.select(
-                    "*", F.col("_metadata.file_path").alias(file_col)
-                )
-        else:
-            def tag(df: DataFrame) -> DataFrame:
+        eq_dels = [d for d in dels if d.get("kind", "eq") != "pos"]
+        pos_dels = [d for d in dels if d.get("kind") == "pos"]
+        # Per-row attribution captured at the SCAN (``_metadata`` is
+        # only resolvable there) so it survives the MoR joins and
+        # schema-resolution unions that break input_file_name():
+        #   * ``file_col`` / ``pos_col`` — the CoW/MoR delete planner's
+        #     (file, position) of each row;
+        #   * positional deletes need the same pair internally to
+        #     anti-join against the delete files' (file, pos) entries.
+        want_cols: list[tuple[str, str]] = []
+        if file_col is not None or pos_dels:
+            want_cols.append(
+                (file_col or "__iis_fp", "_metadata.file_path")
+            )
+        if pos_col is not None or pos_dels:
+            want_cols.append(
+                (pos_col or "__iis_rp", "_metadata.row_index")
+            )
+
+        def tag(df: DataFrame) -> DataFrame:
+            if not want_cols:
                 return df
+            clash = [n for n, _ in want_cols if n in df.columns]
+            if clash:
+                raise ValueError(
+                    f"data files contain the reserved internal "
+                    f"column(s) {clash}"
+                )
+            return df.select(
+                "*", *[F.col(src).alias(n) for n, src in want_cols]
+            )
+
+        internal = [n for n, _ in want_cols]
+        # names used for the positional anti-join (the requested
+        # file_col/pos_col double as them when present)
+        fp_name = file_col or "__iis_fp"
+        rp_name = pos_col or "__iis_rp"
+
+        def strip(df: DataFrame) -> DataFrame:
+            # drop ONLY the internally-added columns the caller did
+            # not ask for
+            for n in internal:
+                if n not in (file_col, pos_col):
+                    df = df.drop(n)
+            return df
 
         if not dels and not needs_resolve:
             return tag(
@@ -1823,9 +1956,7 @@ class SnapshotTable:
             )
             if target is not None:
                 df = self._project_onto(
-                    df,
-                    target,
-                    passthrough=(file_col,) if file_col else (),
+                    df, target, passthrough=tuple(internal)
                 )
             if "__iis_seq" in df.columns:
                 raise ValueError(
@@ -1834,8 +1965,8 @@ class SnapshotTable:
                 )
             parts.append(df.withColumn("__iis_seq", F.lit(s).cast("long")))
         data = reduce(lambda a, b: a.unionByName(b), parts)
-        if dels:
-            keys = {d["key"] for d in dels}
+        if eq_dels:
+            keys = {d["key"] for d in eq_dels}
             if len(keys) != 1:
                 raise ValueError(
                     f"mixed equality-delete keys {sorted(keys)}; "
@@ -1848,7 +1979,7 @@ class SnapshotTable:
                     F.col(d["key"]).alias("__iis_dkey"),
                     F.lit(d["seq"]).cast("long").alias("__iis_dseq"),
                 )
-                for d in dels
+                for d in eq_dels
             ]
             delkeys = reduce(DataFrame.unionAll, dparts)
             data = data.join(
@@ -1857,7 +1988,24 @@ class SnapshotTable:
                 & (F.col("__iis_seq") < F.col("__iis_dseq")),
                 how="left_anti",
             )
-        return data.drop("__iis_seq")
+        if pos_dels:
+            # POSITION deletes (Iceberg v2's second delete-file kind):
+            # each entry names (data file, row position) exactly, so
+            # the anti-join needs no sequence rule — a delete file can
+            # only reference files that existed when it was written.
+            # Delete files are match-sized (two columns), broadcast.
+            pparts = [
+                spark.read.parquet(os.path.join(self.path, d["path"]))
+                for d in pos_dels
+            ]
+            delpos = reduce(DataFrame.unionAll, pparts)
+            data = data.join(
+                F.broadcast(delpos),
+                on=(data[fp_name] == delpos["__iis_dfile"])
+                & (data[rp_name] == delpos["__iis_dpos"]),
+                how="left_anti",
+            )
+        return strip(data.drop("__iis_seq"))
 
     def stage_append(self, df: DataFrame, wap_id: str) -> int:
         """Write-audit-publish STAGE step (Iceberg's ``spark.wap.id``
@@ -4120,4 +4268,57 @@ def q_snapshot_changelog_stream(
     changelog_stream_available_now(spark, tbl, ckpt, sink)  # restart
     return spark.createDataFrame(
         got, "snapshot long, change_type string, n_rows long"
+    )
+
+
+@query(
+    "q_snapshot_delete_mor",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                AS DOUBLE) / 100.0 AS sum_price
+    FROM orders
+    WHERE NOT (o_orderkey % 10 IN (3, 7) AND o_orderstatus <> 'O')
+    GROUP BY o_orderstatus
+    """,
+)
+def q_snapshot_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read positional DELETE (Iceberg v2 position-delete
+    files), DuckDB-oracled end-to-end: the same ``DELETE WHERE``
+    semantics as the CoW path, but the commit writes ONLY a
+    (data file, row position) delete file — zero data rewritten (the
+    manifest's data files are identical before and after, pinned by
+    path in tests/test_snapshots.py) — and the read's broadcast
+    (file, pos) anti-join must reproduce exactly the oracle's
+    ``WHERE NOT (...)`` over the same parquet. A position off by one,
+    a row deleted from the wrong file, or an anti-join key mismatch
+    all hash-mismatch.
+
+    Scale shape: write cost is O(matching rows) — two columns per hit
+    — regardless of file sizes; the read-side anti-join is
+    delete-file-sized and broadcast until ``compact`` folds it. This
+    is the delete trade CDC-heavy tables take between compactions;
+    CoW (q_snapshot_delete_where) is the read-optimized alternative,
+    and both compose with merge()'s equality deletes on one table.
+    """
+    from ..tables import scratch_dir
+
+    path = scratch_dir(spark, sf_dir, "snapshot_delete_mor")
+    o = load_table(spark, sf_dir, "orders")
+    tbl = SnapshotTable(path)
+    for r in range(2):
+        tbl.append(o.filter(F.col("o_orderkey") % 2 == r))
+    tbl.delete_where(
+        spark,
+        "o_orderkey % 10 IN (3, 7) AND o_orderstatus <> 'O'",
+        strategy="mor",
+    )
+    return (
+        tbl.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+        )
     )

@@ -1597,7 +1597,7 @@ def test_cdc_lifecycle_model_randomized(spark, tmp_path):
     for step in range(22):
         cur = vis[published[-1]]
         choices = ["append", "merge", "compact", "delete_where",
-                   "update_where"]
+                   "update_where", "delete_mor"]
         if len(published) >= 2:
             choices += ["rollback", "expire"]
         op = rng.choice(choices)
@@ -1649,6 +1649,22 @@ def test_cdc_lifecycle_model_randomized(spark, tmp_path):
                 published.append(v)
             else:
                 assert v == published[-1]  # no-op commits nothing
+        elif op == "delete_mor":
+            # positional-delete variant: same visibility semantics as
+            # the CoW delete, zero data files rewritten — the model
+            # can't tell them apart, which is exactly the contract
+            k, r = rng.choice([(2, 1), (3, 2), (4, 0)])
+            matching = {i for i in cur if i % k == r}
+            v = tbl.delete_where(
+                spark, f"rid % {k} = {r}", strategy="mor"
+            )
+            if matching:
+                vis[v] = {
+                    i: x for i, x in cur.items() if i not in matching
+                }
+                published.append(v)
+            else:
+                assert v == published[-1]
         elif op == "update_where":
             k, r = rng.choice([(2, 1), (3, 0), (4, 2)])
             matching = {i for i in cur if i % k == r}
@@ -2560,3 +2576,89 @@ def test_delete_where_partition_scoped_prunes_and_protects(
     t2.delete_where(spark, "rid >= 0", partitions={"grp": "a"})
     got2 = {(r.rid, r.grp) for r in t2.read(spark).collect()}
     assert got2 == {(2, "b")}  # both 'a' rows deleted, 'b' protected
+
+
+# -- merge-on-read positional DELETE ----------------------------------
+
+
+def test_delete_where_mor_writes_no_data_files(spark, tmp_path):
+    """strategy='mor' deletes by POSITION-delete file: every data file
+    of the base manifest survives by path identity (zero rewrite), the
+    read applies the (file, pos) anti-join, time travel still sees the
+    pre-delete state, and fsck stays clean (the delete file is
+    reachable metadata)."""
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    v1 = tbl.append(
+        spark.createDataFrame([(i,) for i in range(100)], "rid long")
+    )
+    pre_files = set(tbl._manifest(v1))
+    v2 = tbl.delete_where(spark, "rid % 10 = 3", strategy="mor")
+    assert set(tbl._manifest(v2)) == pre_files  # zero data files touched
+    dels = tbl._meta(v2)["delete_files"]
+    assert all(d["kind"] == "pos" for d in dels)
+    got = {r.rid for r in tbl.read(spark).collect()}
+    assert got == {i for i in range(100) if i % 10 != 3}
+    assert tbl.read(spark, as_of=v1).count() == 100
+    assert all(not v for v in tbl.verify().values())
+
+
+def test_delete_where_mor_composes_with_equality_and_compact(
+    spark, tmp_path
+):
+    """All three Iceberg v2 delete kinds on ONE table: equality deletes
+    (merge), positional deletes (mor), and a CoW rewrite — reads agree
+    with the model at every step, and compact folds everything back
+    into plain data files."""
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    mk = lambda rows: spark.createDataFrame(rows, "k long, v string")
+    tbl.append(mk([(1, "a"), (2, "b"), (3, "c"), (4, "d")]))
+    ch = spark.createDataFrame(
+        [(2, "b2", "U"), (3, None, "D")], "k long, v string, _op string"
+    )
+    tbl.merge(spark, ch, key="k")  # eq deletes: {1:a, 2:b2, 4:d}
+    tbl.delete_where(spark, "v = 'd'", strategy="mor")  # {1:a, 2:b2}
+    got = {(r.k, r.v) for r in tbl.read(spark).collect()}
+    assert got == {(1, "a"), (2, "b2")}
+    # MoR delete of a MERGE-WRITTEN row (data file from the merge)
+    tbl.delete_where(spark, "k = 2", strategy="mor")
+    assert {(r.k, r.v) for r in tbl.read(spark).collect()} == {(1, "a")}
+    # compact folds eq + pos deletes into plain files
+    vc = tbl.compact(spark)
+    assert "delete_files" not in tbl._meta(vc)
+    assert {(r.k, r.v) for r in tbl.read(spark).collect()} == {(1, "a")}
+    # CoW delete afterwards still works on the folded table
+    tbl.delete_where(spark, "k = 1")
+    assert tbl.read(spark).count() == 0
+
+
+def test_delete_where_mor_noop_and_guards(spark, tmp_path):
+    """No-match MoR delete commits nothing; CDC/changelog refuse
+    across a positional-delete commit exactly like a CoW one; the
+    append-only stream refuses/skips it."""
+    from iceberg_insert_spark.sources.snapshots import read_changelog
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    v1 = tbl.append(spark.createDataFrame([(1,), (2,)], "rid long"))
+    assert tbl.delete_where(spark, "rid > 99", strategy="mor") == v1
+    assert tbl.snapshots() == [v1]
+    tbl.delete_where(spark, "rid = 1", strategy="mor")
+    v3 = tbl.append(spark.createDataFrame([(3,)], "rid long"))
+    with pytest.raises(ValueError, match="delete"):
+        read_changelog(tbl, spark, v1, v3)
+
+
+def test_delete_where_mor_rollback_restores(spark, tmp_path):
+    """Rollback to the pre-delete snapshot drops the delete file from
+    the live manifest: the rows come back, and expire afterwards can
+    reclaim the unreferenced delete file."""
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    v1 = tbl.append(
+        spark.createDataFrame([(i,) for i in range(10)], "rid long")
+    )
+    tbl.delete_where(spark, "rid < 5", strategy="mor")
+    assert tbl.read(spark).count() == 5
+    v3 = tbl.rollback(to=v1)
+    assert tbl.read(spark).count() == 10
+    deleted = tbl.expire(keep_from=v3)
+    assert any("_deletes" in p for p in deleted)  # delete file reclaimed
+    assert tbl.read(spark).count() == 10
