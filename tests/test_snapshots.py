@@ -2662,3 +2662,23 @@ def test_delete_where_mor_rollback_restores(spark, tmp_path):
     deleted = tbl.expire(keep_from=v3)
     assert any("_deletes" in p for p in deleted)  # delete file reclaimed
     assert tbl.read(spark).count() == 10
+
+
+def test_cow_rewrite_over_live_positional_deletes(spark, tmp_path):
+    """CoW delete on a table with LIVE positional deletes: the rewrite
+    folds the pos deletes for touched files (reads are MoR), untouched
+    files keep their entries applying, and no masked row resurrects."""
+    tbl = SnapshotTable(str(tmp_path / "t"), stats_cols=["rid"])
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i,) for i in range(lo, hi)], "rid long"
+    ).coalesce(1)
+    tbl.append(mk(0, 50))
+    tbl.append(mk(50, 100))
+    # pos-delete rows in BOTH files
+    tbl.delete_where(spark, "rid IN (5, 55)", strategy="mor")
+    # CoW delete touching only the low file
+    tbl.delete_where(spark, "rid < 10", stats_hint=("rid", 0, 9))
+    got = {r.rid for r in tbl.read(spark).collect()}
+    assert got == (set(range(10, 100)) - {55})
+    # the untouched high file still carries its pos delete (55 dead),
+    # and 5 did not resurrect through the rewrite
