@@ -1732,6 +1732,88 @@ class SnapshotTable:
             delete_kind="pos",
         )
 
+    def _update_where_mor(
+        self,
+        spark: SparkSession,
+        condition: str,
+        set_exprs: dict,
+        stats_hint: tuple | None,
+        partitions: dict | None,
+    ) -> int:
+        """MERGE-ON-READ UPDATE (Iceberg v2's MoR update plan): ONE
+        commit carrying a position-delete file of the matching rows'
+        (data file, row position) old images PLUS data files of their
+        updated images — write cost O(matches), no untouched row
+        rewritten. The new images live in this commit's own files,
+        which the position entries (naming only pre-existing files)
+        can never kill. Reads apply the anti-join; ``compact`` folds.
+        """
+        base = self._latest_published()
+        if base is None:
+            raise ValueError(
+                f"table at {self.path!r} has no published snapshots"
+            )
+        candidates, _ = self.plan_files(
+            where=stats_hint, as_of=base, partitions=partitions
+        )
+        if not candidates:
+            return base
+        matched = (
+            F.coalesce(F.expr(condition).cast("boolean"), F.lit(False))
+        )
+        if partitions:
+            for c, val in partitions.items():
+                matched = matched & F.col(c).eqNullSafe(F.lit(val))
+        scan = self._read_files(
+            spark,
+            base,
+            candidates,
+            file_col="__iis_dfile",
+            pos_col="__iis_dpos",
+        )
+        hit_rows = scan.filter(matched)
+        if not hit_rows.limit(1).collect():
+            return base
+        # checkpoint-free single source: Spark recomputes hit_rows for
+        # both outputs; the scan is candidate-bounded either way
+        dels = hit_rows.select("__iis_dfile", "__iis_dpos")
+        data_cols = [
+            c
+            for c in scan.columns
+            if c not in ("__iis_dfile", "__iis_dpos")
+        ]
+        sj = self._meta(base).get("schema")
+        types = {}
+        if sj is not None:
+            from pyspark.sql import types as T
+
+            types = {
+                f.name: f.dataType
+                for f in T.StructType.fromJson(sj).fields
+            }
+        news = {
+            c: F.expr(e) for c, e in set_exprs.items()
+        }
+        new_images = hit_rows.select(
+            *[
+                (
+                    news[c].cast(types[c]).alias(c)
+                    if c in news and c in types
+                    else news[c].alias(c) if c in news
+                    else F.col(c)
+                )
+                for c in data_cols
+            ]
+        )
+        return self._commit(
+            new_images,
+            inherit=True,
+            op="update",
+            expected_base=base,
+            deletes_df=dels,
+            delete_kind="pos",
+        )
+
     def delete_where(
         self,
         spark: SparkSession,
@@ -1789,14 +1871,23 @@ class SnapshotTable:
         set_exprs: dict,
         stats_hint: tuple | None = None,
         partitions: dict | None = None,
+        strategy: str = "cow",
     ) -> int:
         """``UPDATE t SET col = expr, ... WHERE condition`` as ONE
-        copy-on-write snapshot. ``set_exprs`` maps column name -> SQL
-        expression (evaluated against the OLD row image, all
-        assignments simultaneous like SQL UPDATE); non-matching rows in
-        touched files are rewritten byte-identical, and each assigned
-        expression is cast back to the column's existing type so the
-        table schema never drifts through an UPDATE."""
+        snapshot. ``set_exprs`` maps column name -> SQL expression
+        (evaluated against the OLD row image, all assignments
+        simultaneous like SQL UPDATE); each assigned expression is
+        cast back to the column's existing type so the table schema
+        never drifts through an UPDATE. ``strategy="cow"`` (default)
+        rewrites touched files with non-matching rows byte-identical;
+        ``strategy="mor"`` writes a position-delete of the old images
+        plus data files of the new images — O(matches) write, reads
+        pay the anti-join until ``compact``."""
+        if strategy not in ("cow", "mor"):
+            raise ValueError(
+                f"unknown UPDATE strategy {strategy!r}; use 'cow' or "
+                "'mor'"
+            )
         if not set_exprs:
             raise ValueError(
                 "UPDATE with no assignments — refusing a full rewrite "
@@ -1825,6 +1916,10 @@ class SnapshotTable:
                     f"UPDATE assigns unknown columns {missing} "
                     f"(have {sorted(types)})"
                 )
+        if strategy == "mor":
+            return self._update_where_mor(
+                spark, condition, set_exprs, stats_hint, partitions
+            )
 
         def apply_set(df: DataFrame, matched) -> DataFrame:
             missing = [c for c in set_exprs if c not in df.columns]

@@ -1667,9 +1667,13 @@ def test_cdc_lifecycle_model_randomized(spark, tmp_path):
                 assert v == published[-1]
         elif op == "update_where":
             k, r = rng.choice([(2, 1), (3, 0), (4, 2)])
+            strat = rng.choice(["cow", "mor"])
             matching = {i for i in cur if i % k == r}
             v = tbl.update_where(
-                spark, f"rid % {k} = {r}", {"val": "val + 1000.0"}
+                spark,
+                f"rid % {k} = {r}",
+                {"val": "val + 1000.0"},
+                strategy=strat,
             )
             if matching:
                 vis[v] = {
@@ -2682,3 +2686,44 @@ def test_cow_rewrite_over_live_positional_deletes(spark, tmp_path):
     assert got == (set(range(10, 100)) - {55})
     # the untouched high file still carries its pos delete (55 dead),
     # and 5 did not resurrect through the rewrite
+
+
+def test_update_where_mor_old_images_die_new_survive(spark, tmp_path):
+    """MoR UPDATE: one commit = position-delete of the old images +
+    data files of the new — no untouched row rewritten (base data
+    files survive by path), the new images are not killed by the
+    commit's own position entries, and a/b swap still reads old
+    images simultaneously."""
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    v1 = tbl.append(
+        spark.createDataFrame(
+            [(1, 10, 20), (2, 30, 40), (3, 50, 60)],
+            "rid long, a int, b int",
+        )
+    )
+    pre_files = set(tbl._manifest(v1))
+    v2 = tbl.update_where(
+        spark, "rid <= 2", {"a": "b", "b": "a"}, strategy="mor"
+    )
+    assert pre_files <= set(tbl._manifest(v2))  # base files untouched
+    assert tbl._meta(v2)["delete_files"][0]["kind"] == "pos"
+    got = {(r.rid, r.a, r.b) for r in tbl.read(spark).collect()}
+    assert got == {(1, 20, 10), (2, 40, 30), (3, 50, 60)}
+    # time travel: pre-update state intact
+    assert {
+        (r.rid, r.a, r.b)
+        for r in tbl.read(spark, as_of=v1).collect()
+    } == {(1, 10, 20), (2, 30, 40), (3, 50, 60)}
+    # compact folds; values preserved
+    tbl.compact(spark)
+    assert {
+        (r.rid, r.a, r.b) for r in tbl.read(spark).collect()
+    } == got
+    # eager validation + no-match no-op hold for the mor path too
+    with pytest.raises(ValueError, match="unknown columns"):
+        tbl.update_where(spark, "rid = 99", {"nope": "1"}, strategy="mor")
+    cur = tbl._latest_published()
+    assert (
+        tbl.update_where(spark, "rid = 99", {"a": "1"}, strategy="mor")
+        == cur
+    )
