@@ -4417,3 +4417,54 @@ def q_snapshot_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
         )
     )
+
+
+@query(
+    "q_snapshot_update_mor",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 11 = 0
+                THEN 'M:' || o_orderpriority
+                ELSE o_orderpriority END AS o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                AS DOUBLE) / 100.0 AS sum_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_snapshot_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE, DuckDB-oracled: the same simultaneous
+    old-image UPDATE semantics as q_snapshot_update_where, through the
+    POSITION-DELETE + new-image-files physical path — one commit whose
+    position entries kill exactly the old copies while its own data
+    files carry the updated rows (a double-visible row, a lost old
+    image, or a new image killed by its own commit's entries all
+    hash-mismatch the CASE rebuild). Zero untouched rows rewritten
+    (path identity pinned in tests/test_snapshots.py).
+
+    Scale shape: write cost O(matching rows) both sides (two columns
+    per position entry + the new images), the CDC-friendly half of the
+    UPDATE trade; reads pay the broadcast (file, pos) anti-join until
+    ``compact`` folds it.
+    """
+    from ..tables import scratch_dir
+
+    path = scratch_dir(spark, sf_dir, "snapshot_update_mor")
+    o = load_table(spark, sf_dir, "orders")
+    tbl = SnapshotTable(path)
+    for r in range(2):
+        tbl.append(o.filter(F.col("o_orderkey") % 2 == r))
+    tbl.update_where(
+        spark,
+        "o_orderkey % 11 = 0",
+        {"o_orderpriority": "concat('M:', o_orderpriority)"},
+        strategy="mor",
+    )
+    return (
+        tbl.read(spark)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
