@@ -4468,3 +4468,54 @@ def q_snapshot_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
         )
     )
+
+
+@query(
+    "q_snapshot_refs",
+    oracle="""
+    SELECT name, type, CAST(snapshot AS BIGINT) AS snapshot
+    FROM (VALUES
+        ('corpus-v1', 'tag', 1),
+        ('corpus-v2', 'tag', 2),
+        ('main', 'branch', 3),
+        ('backfill', 'branch', 3)
+    ) AS t(name, type, snapshot)
+    """,
+)
+def q_snapshot_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg's ``.refs`` METADATA TABLE: every named ref — the
+    implicit ``main`` branch at the current head, explicit branches at
+    their heads, tags at their pins — from one metadata read, no data
+    IO. Deterministic construction (append → tag v1 → append → tag v2
+    → append → branch at head) makes the expected rows exact constants:
+    a tag drifting with the head, a branch forked at the wrong
+    snapshot, or a ref lost through the commit path all hash-mismatch.
+    Ref lifecycle edges (expire retention, untag reclaim, fast-forward)
+    are pinned in tests/test_snapshots.py.
+
+    Scale shape: the operator an administrator runs to audit what
+    retention must preserve — one refs.json + one manifest-list read
+    regardless of table size.
+    """
+    from ..tables import scratch_dir
+
+    path = scratch_dir(spark, sf_dir, "snapshot_refs")
+    o = load_table(spark, sf_dir, "orders")
+    tbl = SnapshotTable(path)
+    v1 = tbl.append(o.filter(F.col("o_orderkey") % 3 == 0))
+    tbl.tag("corpus-v1", v1)
+    v2 = tbl.append(o.filter(F.col("o_orderkey") % 3 == 1))
+    tbl.tag("corpus-v2", v2)
+    tbl.append(o.filter(F.col("o_orderkey") % 3 == 2))
+    tbl.create_branch("backfill")
+    rows = [("main", "branch", tbl._latest_published())]
+    rows += [
+        (n, "tag", s) for n, s in sorted(tbl.tags().items())
+    ]
+    rows += [
+        (n, "branch", b["snapshot"])
+        for n, b in sorted(tbl.branches().items())
+    ]
+    return spark.createDataFrame(
+        rows, "name string, type string, snapshot long"
+    )
