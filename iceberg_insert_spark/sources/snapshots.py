@@ -280,17 +280,38 @@ class SnapshotTable:
                     for c, val in partitions.items()
                 )
             ]
-        if where is None:
+        conds = self._norm_where(where)
+        if not conds:
             return files, total
-        col, lo, hi = where
         stats = self._load_stats()
-        kept = [
-            f
-            for f in files
-            if (s := stats.get(f, {}).get(col)) is None
-            or not self._provably_disjoint(s[0], s[1], lo, hi)
-        ]
-        return kept, total
+        # CONJUNCTION of range predicates: a file is pruned when it is
+        # provably disjoint on ANY dimension — the compound pruning a
+        # z-order layout (compact_zorder) exists to unlock, where
+        # neither dimension alone isolates the target region but their
+        # intersection does.
+        for col, lo, hi in conds:
+            files = [
+                f
+                for f in files
+                if (s := stats.get(f, {}).get(col)) is None
+                or not self._provably_disjoint(s[0], s[1], lo, hi)
+            ]
+        return files, total
+
+    @staticmethod
+    def _norm_where(where) -> list[tuple]:
+        """Normalize the range-predicate argument: None -> [], one
+        ``(column, lo, hi)`` tuple -> [it], a list of such tuples ->
+        itself (a CONJUNCTION — all must hold)."""
+        if where is None:
+            return []
+        if (
+            isinstance(where, tuple)
+            and len(where) == 3
+            and isinstance(where[0], str)
+        ):
+            return [where]
+        return [tuple(w) for w in where]
 
     def files_info(self, as_of: int | None = None) -> list[dict]:
         """Iceberg's ``.files`` METADATA TABLE: one dict per data file
@@ -2467,8 +2488,7 @@ class SnapshotTable:
                     df = df.filter(
                         F.col(c).cast("string") == self._part_str(val)
                     )
-        if where is not None:
-            col, lo, hi = where
+        for col, lo, hi in self._norm_where(where):
             df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
         return df
 

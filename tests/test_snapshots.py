@@ -2727,3 +2727,40 @@ def test_update_where_mor_old_images_die_new_survive(spark, tmp_path):
         tbl.update_where(spark, "rid = 99", {"a": "1"}, strategy="mor")
         == cur
     )
+
+
+def test_compound_range_pruning_on_zorder_layout(spark, tmp_path):
+    """Multi-dimensional stats pruning: a LIST of range predicates is a
+    conjunction — a file pruned on ANY dimension is skipped — so on a
+    z-ordered layout the compound prune is at least as tight as either
+    single-dimension prune, and the residual-filtered read over the
+    pruned plan equals the unpruned filtered read exactly."""
+    o = load_table(spark, SF_DIR, "orders")
+    tbl = SnapshotTable(
+        str(tmp_path / "zc2"), stats_cols=["o_custkey", "o_orderkey"]
+    )
+    tbl.append(o.repartition(8))
+    tbl.compact_zorder(spark, "o_custkey", "o_orderkey", target_files=8)
+    mx_k = o.agg(F.max("o_orderkey")).collect()[0][0]
+    mx_c = o.agg(F.max("o_custkey")).collect()[0][0]
+    where_k = ("o_orderkey", 1, mx_k // 8)
+    where_c = ("o_custkey", 1, mx_c // 8)
+    both = [where_k, where_c]
+    kept_k, _ = tbl.plan_files(where=where_k)
+    kept_c, _ = tbl.plan_files(where=where_c)
+    kept_b, _ = tbl.plan_files(where=both)
+    assert set(kept_b) <= set(kept_k) and set(kept_b) <= set(kept_c)
+    want = (
+        tbl.read(spark)
+        .filter(
+            (F.col("o_orderkey").between(1, mx_k // 8))
+            & (F.col("o_custkey").between(1, mx_c // 8))
+        )
+        .count()
+    )
+    got = tbl.read(spark, where=both, plan=kept_b).count()
+    assert got == want
+    # single-tuple form still accepted everywhere (back-compat)
+    assert tbl.read(spark, where=where_k).count() == tbl.read(
+        spark, where=[where_k]
+    ).count()
