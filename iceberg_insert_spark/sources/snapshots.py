@@ -67,10 +67,19 @@ class SnapshotTable:
         path: str,
         stats_cols: list[str] | None = None,
         partition_by: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
     ):
         self.path = path
         self._mdir = os.path.join(path, "_manifests")
         self.stats_cols = list(stats_cols or [])
+        # Per-file Bloom-filter indexes (Iceberg's puffin-blob /
+        # parquet-bloom idea): a membership sketch per (file, column)
+        # recorded at commit, so a POINT lookup prunes files the key is
+        # provably absent from — the case [min, max] ranges can't help
+        # with (a hash-scattered key column spans the full domain in
+        # every file). False positives only ever KEEP a file (the
+        # residual filter still applies), never drop a matching row.
+        self.bloom_cols = list(bloom_cols or [])
         # Partition spec (identity transforms): every commit splits its
         # data files by these columns, the manifest records each file's
         # partition tuple, and ``overwrite_partitions`` replaces data
@@ -111,6 +120,89 @@ class SnapshotTable:
         if isinstance(v, (int, float, str)):
             return v
         return None
+
+    # -- per-file Bloom indexes (point-lookup pruning) ----------------
+
+    BLOOM_BITS_PER_KEY = 16  # fp ~= 0.24%  with k=4 at this load
+    BLOOM_K = 4
+    BLOOM_MAX_BITS = 1 << 20  # 128 KiB/file cap; past it fp just rises
+
+    @staticmethod
+    def _bloom_key(v) -> bytes | None:
+        """Canonical byte encoding of one column value for bloom
+        hashing. MUST be identical between recording (values as pyarrow
+        converts them to Python) and probing (the caller's literal) —
+        the type tag prevents cross-type collisions like 1 vs '1'.
+        Returns None for anything without a stable canonical form
+        (NULL, binary, nested, Decimal): an un-encodable value at
+        RECORD time voids the whole file's bloom, at PROBE time skips
+        bloom pruning — both conservative."""
+        import datetime
+
+        if isinstance(v, bool):
+            return b"b:1" if v else b"b:0"
+        if isinstance(v, int):
+            return b"i:%d" % v
+        if isinstance(v, float):
+            return ("f:" + repr(float(v))).encode()
+        if isinstance(v, str):
+            return b"s:" + v.encode("utf-8")
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return ("t:" + v.isoformat()).encode()
+        return None
+
+    @staticmethod
+    def _bloom_hashes(key: bytes, m: int, k: int) -> list[int]:
+        """k bit positions via Kirsch-Mitzenmacher double hashing over
+        one blake2b digest — deterministic across processes (no seed,
+        unlike Python's str hash)."""
+        import hashlib
+
+        d = hashlib.blake2b(key, digest_size=16).digest()
+        h1 = int.from_bytes(d[:8], "big")
+        h2 = int.from_bytes(d[8:], "big") | 1
+        return [(h1 + i * h2) % m for i in range(k)]
+
+    @classmethod
+    def _bloom_build(cls, values) -> dict | None:
+        """Bloom entry for one file's distinct column values, sized to
+        the observed NDV (next power of two >= BITS_PER_KEY * ndv,
+        capped). None when any value lacks a canonical encoding — a
+        PARTIAL bloom would produce false negatives, the one failure
+        mode a bloom must never have."""
+        keys = []
+        for v in values:
+            k = cls._bloom_key(v)
+            if k is None:
+                return None
+            keys.append(k)
+        m = 256
+        target = min(
+            cls.BLOOM_MAX_BITS,
+            max(256, cls.BLOOM_BITS_PER_KEY * max(1, len(keys))),
+        )
+        while m < target:
+            m *= 2
+        bits = bytearray(m // 8)
+        for k in keys:
+            for pos in cls._bloom_hashes(k, m, cls.BLOOM_K):
+                bits[pos >> 3] |= 1 << (pos & 7)
+        return {"m": m, "k": cls.BLOOM_K, "hex": bytes(bits).hex()}
+
+    @classmethod
+    def _bloom_maybe_contains(cls, ent: dict | None, key: bytes) -> bool:
+        """Membership probe: True = maybe present (keep the file),
+        False = PROVABLY absent (prune). A missing/malformed entry is
+        'maybe' — pruning must stay sound for stats-less files."""
+        if not ent or "hex" not in ent or "m" not in ent:
+            return True
+        bits = bytes.fromhex(ent["hex"])
+        return all(
+            bits[pos >> 3] & (1 << (pos & 7))
+            for pos in cls._bloom_hashes(
+                key, ent["m"], ent.get("k", cls.BLOOM_K)
+            )
+        )
 
     def _record_stats(self, new_files: list[str]) -> None:
         """Footer-read [min, max] per stats column for freshly written
@@ -162,9 +254,34 @@ class SnapshotTable:
                     maxs.append(hi)
                 if ok:
                     ent[c] = [min(mins), max(maxs)]
+            for c in self.bloom_cols:
+                bloom = self._bloom_for_file(rel, c)
+                if bloom is not None:
+                    ent["::bloom::" + c] = bloom
             if ent:
                 stats[rel] = ent
         self._atomic_json(self._stats_path(), stats)
+
+    def _bloom_for_file(self, rel: str, col: str) -> dict | None:
+        """Build the bloom entry for one freshly written file: a
+        column-pruned Arrow read of JUST that column, deduped
+        Arrow-side to NDV before any Python objects exist. This is the
+        one stats kind that costs a data read (footers don't carry
+        distinct values) — it runs once per immutable file, at commit,
+        OUTSIDE the commit lock, exactly where Iceberg writers compute
+        puffin blobs. Returns None (no bloom, conservative keeps) for
+        a missing column or un-encodable values."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        try:
+            t = pq.read_table(
+                os.path.join(self.path, rel), columns=[col]
+            )
+        except Exception:
+            return None
+        vals = pc.unique(t.column(0)).to_pylist()
+        return self._bloom_build(v for v in vals if v is not None)
 
     @staticmethod
     def _part_str(val) -> str:
@@ -226,6 +343,7 @@ class SnapshotTable:
         where: tuple | None = None,
         as_of: int | None = None,
         partitions: dict | None = None,
+        eq: tuple | None = None,
     ) -> tuple[list[str], int]:
         """Metadata-only scan planning: the manifest's file list, pruned
         by (a) PARTITION values — ``partitions = {col: value}`` keeps
@@ -281,7 +399,14 @@ class SnapshotTable:
                 )
             ]
         conds = self._norm_where(where)
-        if not conds:
+        eqs = self._norm_eq(eq)
+        # an equality predicate is also a degenerate range [v, v]: the
+        # [min, max] stats and the bloom prune INDEPENDENTLY (ranges
+        # win on clustered layouts, blooms on hash-scattered ones);
+        # _provably_disjoint's TypeError guard keeps un-comparable
+        # values conservative
+        conds += [(c, v, v) for c, v in eqs]
+        if not conds and not eqs:
             return files, total
         stats = self._load_stats()
         # CONJUNCTION of range predicates: a file is pruned when it is
@@ -296,7 +421,33 @@ class SnapshotTable:
                 if (s := stats.get(f, {}).get(col)) is None
                 or not self._provably_disjoint(s[0], s[1], lo, hi)
             ]
+        for col, val in eqs:
+            key = self._bloom_key(val)
+            if key is None:
+                continue  # no canonical form -> no bloom pruning
+            files = [
+                f
+                for f in files
+                if self._bloom_maybe_contains(
+                    stats.get(f, {}).get("::bloom::" + col), key
+                )
+            ]
         return files, total
+
+    @staticmethod
+    def _norm_eq(eq) -> list[tuple]:
+        """Normalize the equality-predicate argument: None -> [], one
+        ``(column, value)`` pair -> [it], a list of pairs -> itself
+        (a CONJUNCTION — all must hold)."""
+        if eq is None:
+            return []
+        if (
+            isinstance(eq, tuple)
+            and len(eq) == 2
+            and isinstance(eq[0], str)
+        ):
+            return [eq]
+        return [tuple(e) for e in eq]
 
     @staticmethod
     def _norm_where(where) -> list[tuple]:
@@ -342,7 +493,9 @@ class SnapshotTable:
                     "seq": self._seq_of(rel),
                     "n_records": ent.get("::rows"),
                     "stats": {
-                        c: ent[c] for c in ent if c != "::rows"
+                        c: ent[c]
+                        for c in ent
+                        if not c.startswith("::")
                     },
                 }
             )
@@ -773,7 +926,7 @@ class SnapshotTable:
             # recorders can drop each other's NEW entries — which only
             # means conservative 'must read' for those files, never a
             # wrong prune.
-            if self.stats_cols and new_files:
+            if (self.stats_cols or self.bloom_cols) and new_files:
                 self._record_stats(new_files)
             return v
         finally:
@@ -1600,7 +1753,7 @@ class SnapshotTable:
                 new_files = self._finish_commit(
                     v, d, True, token, "append", None, file_schema
                 )
-            if self.stats_cols and new_files:
+            if (self.stats_cols or self.bloom_cols) and new_files:
                 self._record_stats(new_files)
             return v
         finally:
@@ -2400,6 +2553,7 @@ class SnapshotTable:
         plan: list[str] | None = None,
         partitions: dict | None = None,
         as_of_ts: float | None = None,
+        eq: tuple | None = None,
     ) -> DataFrame:
         """Read the table as of snapshot ``as_of`` (default: latest). The
         file list comes from the manifest, never a directory walk.
@@ -2445,7 +2599,7 @@ class SnapshotTable:
                 f"snapshot {v} does not exist (have {snaps}) — expired or "
                 "never committed"
             )
-        if where is None and partitions is None:
+        if where is None and partitions is None and eq is None:
             rels = self._manifest(v)
             if not rels:
                 return self._empty_frame(spark, v)
@@ -2454,7 +2608,7 @@ class SnapshotTable:
                 list(plan)
                 if plan is not None
                 else self.plan_files(
-                    where=where, as_of=v, partitions=partitions
+                    where=where, as_of=v, partitions=partitions, eq=eq
                 )[0]
             )
             if not rels:
@@ -2490,6 +2644,16 @@ class SnapshotTable:
                     )
         for col, lo, hi in self._norm_where(where):
             df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+        for col, val in self._norm_eq(eq):
+            # residual equality filter — bloom pruning only removed
+            # files the key is provably absent from; false positives
+            # and bloom-less files re-filter here, so the result is
+            # identical to an unpruned filtered read
+            df = (
+                df.filter(F.col(col).isNull())
+                if val is None
+                else df.filter(F.col(col) == F.lit(val))
+            )
         return df
 
     @staticmethod
@@ -3369,6 +3533,74 @@ def q_snapshot_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     where = ("o_orderkey", b1 + 1, b2)
     kept, total = tbl.plan_files(where=where)
     return tbl.read(spark, where=where, plan=kept).agg(
+        F.lit(total).cast("bigint").alias("n_files_total"),
+        F.lit(len(kept)).cast("bigint").alias("n_files_scanned"),
+        F.count(F.lit(1)).alias("n_orders"),
+        exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
+    "q_snapshot_bloom_read",
+    oracle="""
+    WITH ck AS (
+        SELECT o_custkey AS v FROM orders
+        GROUP BY o_custkey ORDER BY COUNT(*), o_custkey LIMIT 1
+    )
+    SELECT CAST(6 AS BIGINT) AS n_files_total,
+           CAST(COUNT(DISTINCT o_orderkey % 6) AS BIGINT)
+               AS n_files_scanned,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_price
+    FROM orders WHERE o_custkey = (SELECT v FROM ck)
+    """,
+)
+def q_snapshot_bloom_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file Bloom-index point-lookup pruning (Iceberg's
+    puffin-blob / parquet-bloom idea), DuckDB-oracled end-to-end:
+    orders land in six appends split by ``o_orderkey % 6`` — a
+    HASH-SCATTERED layout where every file's [min, max] range on any
+    column spans the whole domain, so range-stats pruning keeps all 6
+    files and the bloom is the ONLY pruner with leverage. Each commit
+    records a per-file bloom over ``o_custkey``; a point lookup for
+    the fewest-orders customer (smallest-custkey tie-break — a
+    deterministic, genuinely-sparse probe key) must (a) prune to
+    exactly the residue-class files that customer's orders actually
+    occupy — the oracle computes that same count as
+    ``COUNT(DISTINCT o_orderkey % 6)``, so a bloom FALSE NEGATIVE
+    (dropped rows) or an unexpected false positive (extra file) both
+    hash-mismatch — and (b) return the same aggregate as the oracle's
+    plain WHERE over the full table, because pruning only removes
+    provably-absent files and the equality is re-applied as a residual
+    filter.
+
+    Scale shape: this is the lookup class range stats can't serve —
+    point reads on a high-cardinality non-clustered key (find one
+    document id / customer across a month of time-partitioned
+    appends). The bloom costs one column-pruned Arrow read per
+    freshly-written immutable file at commit (outside the commit
+    lock), sized 16 bits per distinct key; planning stays
+    metadata-only (manifest + sidecar), and at 100 TB the cluster
+    sees only the handful of files whose bloom admits the key.
+    """
+    from ..tables import require_local_master, scratch_dir
+
+    require_local_master(spark, "q_snapshot_bloom_read (bloom index)")
+    path = scratch_dir(spark, sf_dir, "snapshot_bloom")
+    o = load_table(spark, sf_dir, "orders")
+    ck = (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("n", "o_custkey")
+        .limit(1)
+        .collect()
+    )[0][0]  # one scalar: the probe key
+    tbl = SnapshotTable(path, bloom_cols=["o_custkey"])
+    for r in range(6):
+        tbl.append(o.filter(F.col("o_orderkey") % 6 == r).coalesce(1))
+    kept, total = tbl.plan_files(eq=("o_custkey", ck))
+    return tbl.read(spark, eq=("o_custkey", ck), plan=kept).agg(
         F.lit(total).cast("bigint").alias("n_files_total"),
         F.lit(len(kept)).cast("bigint").alias("n_files_scanned"),
         F.count(F.lit(1)).alias("n_orders"),

@@ -2764,3 +2764,97 @@ def test_compound_range_pruning_on_zorder_layout(spark, tmp_path):
     assert tbl.read(spark, where=where_k).count() == tbl.read(
         spark, where=[where_k]
     ).count()
+
+
+# -- per-file Bloom indexes (point-lookup pruning) --------------------
+
+
+def test_bloom_index_prunes_and_never_drops_rows(spark, tmp_path):
+    """Hash-scattered layout: every file's o_custkey range spans the
+    domain (range stats useless), yet a point probe for each of 20
+    customers must (a) keep every file that truly holds the key — zero
+    false negatives, the read equals the unpruned filtered read — and
+    (b) prune at least one file for some sparse key."""
+    o = load_table(spark, SF_DIR, "orders")
+    tbl = SnapshotTable(
+        str(tmp_path / "t"), bloom_cols=["o_custkey"]
+    )
+    for r in range(6):
+        tbl.append(o.filter(F.col("o_orderkey") % 6 == r).coalesce(1))
+    truth = {
+        row[0]: row[1]
+        for row in o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .limit(20)
+        .collect()
+    }
+    pruned_somewhere = False
+    for ck, n in truth.items():
+        kept, total = tbl.plan_files(eq=("o_custkey", ck))
+        assert total == 6
+        got = tbl.read(spark, eq=("o_custkey", ck), plan=kept).count()
+        assert got == n, f"bloom dropped rows for custkey {ck}"
+        pruned_somewhere |= len(kept) < total
+    assert pruned_somewhere, "bloom never pruned a single file"
+
+
+def test_bloom_absent_key_prunes_everything(spark, tmp_path):
+    o = load_table(spark, SF_DIR, "orders")
+    tbl = SnapshotTable(str(tmp_path / "t"), bloom_cols=["o_custkey"])
+    tbl.append(o.coalesce(1))
+    # a key provably outside the domain: bloom prunes all files with
+    # overwhelming probability; the read is correct either way
+    kept, total = tbl.plan_files(eq=("o_custkey", -987654321))
+    assert tbl.read(spark, eq=("o_custkey", -987654321)).count() == 0
+    assert len(kept) == 0
+
+
+def test_bloom_conservative_without_index(spark, tmp_path):
+    """No bloom_cols at write time -> probes keep every file; string
+    and un-encodable probe values never prune blindly."""
+    o = load_table(spark, SF_DIR, "orders")
+    plain = SnapshotTable(str(tmp_path / "p"))
+    plain.append(o.coalesce(1))
+    plain.append(o.limit(10).coalesce(1))
+    probe = SnapshotTable(str(tmp_path / "p"), bloom_cols=["o_custkey"])
+    kept, total = probe.plan_files(eq=("o_custkey", 1))
+    assert len(kept) == total == 2  # stats-less files must be kept
+    # un-encodable probe value (no canonical bytes) -> no pruning
+    import decimal
+
+    kept2, _ = probe.plan_files(eq=("o_custkey", decimal.Decimal(1)))
+    assert len(kept2) == 2
+
+
+def test_bloom_string_column_and_composition(spark, tmp_path):
+    """Blooms work on string keys, compose with range stats as a
+    conjunction, and files_info hides the sketch bytes."""
+    o = load_table(spark, SF_DIR, "orders")
+    tbl = SnapshotTable(
+        str(tmp_path / "t"),
+        stats_cols=["o_orderkey"],
+        bloom_cols=["o_orderpriority"],
+    )
+    mx = o.agg(F.max("o_orderkey")).collect()[0][0]
+    k = F.col("o_orderkey")
+    tbl.append(o.filter(k <= mx // 2).coalesce(1))
+    tbl.append(o.filter(k > mx // 2).coalesce(1))
+    pri = o.select("o_orderpriority").first()[0]
+    kept, total = tbl.plan_files(
+        where=("o_orderkey", 0, mx // 2), eq=("o_orderpriority", pri)
+    )
+    assert total == 2 and len(kept) == 1  # range cut it; bloom kept pri
+    want = o.filter(
+        (k <= mx // 2) & (F.col("o_orderpriority") == pri)
+    ).count()
+    got = tbl.read(
+        spark,
+        where=("o_orderkey", 0, mx // 2),
+        eq=("o_orderpriority", pri),
+    ).count()
+    assert got == want
+    # a priority string that exists nowhere prunes both files
+    kept2, _ = tbl.plan_files(eq=("o_orderpriority", "9-NOSUCH"))
+    assert kept2 == []
+    for fi in tbl.files_info():
+        assert all(not c.startswith("::") for c in fi["stats"])
