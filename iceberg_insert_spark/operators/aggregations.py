@@ -1383,3 +1383,82 @@ def q_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_violations"),
     )
     return reduce(DataFrame.unionAll, [pk, nn, fk, rng])
+
+
+@query(
+    "q_orders_trend",
+    oracle="""
+    WITH d0 AS (SELECT MIN(o_orderdate) AS d FROM orders),
+    b AS (
+        SELECT o_orderstatus AS status,
+               CAST(DATEDIFF('day', (SELECT d FROM d0), o_orderdate)
+                    AS BIGINT) AS x,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y
+        FROM orders
+    ),
+    s AS (
+        SELECT status, COUNT(*) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        FROM b GROUP BY status
+    )
+    SELECT status, n AS n_orders,
+           CAST(CAST(n AS HUGEINT) * sxy
+                - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS slope_num,
+           CAST(CAST(n AS HUGEINT) * sxx
+                - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS slope_den
+    FROM s
+    """,
+)
+def q_orders_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares trend (is revenue per order
+    rising or falling over time, by order status?) with EXACT
+    cross-engine math: x = integer days since the table's first order
+    date, y = integer cents; the per-group sufficient statistics
+    (n, Σx, Σy, Σxy, Σx²) are 64-bit-safe integer sums, and the OLS
+    slope's closed form is shipped as the exact integer pair
+    slope_num = n·Σxy − Σx·Σy, slope_den = n·Σx² − (Σx)² — combined in
+    128-bit space (Spark DECIMAL(38,0), DuckDB HUGEINT) because n·Σxy
+    overflows int64 at scale, then cast to DOUBLE (both engines round
+    the same integer to the same nearest double). slope = num/den,
+    left to the consumer so no float division enters the hash.
+
+    Spark-first shape: this is regr_slope's textbook rewrite into
+    algebraic aggregates — one scan, map-side partial aggregation, a
+    3-row result; the global min date is a broadcast scalar joined
+    into the scan stage, not a driver collect. At 100 TB the plan is
+    identical: five integer sums per group riding one shuffle of
+    pre-aggregated partials.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    d0 = o.agg(F.min("o_orderdate").alias("d0"))
+    x = F.datediff(F.col("o_orderdate"), F.col("d0")).cast("long")
+    y = F.round(F.col("o_totalprice") * 100).cast("long")
+    dec = "decimal(38,0)"
+    s = (
+        o.crossJoin(F.broadcast(d0))
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            x.alias("x"),
+            y.alias("y"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    n, sx = F.col("n").cast(dec), F.col("sx").cast(dec)
+    return s.select(
+        "status",
+        F.col("n").alias("n_orders"),
+        (n * F.col("sxy").cast(dec) - sx * F.col("sy").cast(dec))
+        .cast("double")
+        .alias("slope_num"),
+        (n * F.col("sxx").cast(dec) - sx * sx)
+        .cast("double")
+        .alias("slope_den"),
+    )
