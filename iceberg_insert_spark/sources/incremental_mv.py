@@ -136,6 +136,13 @@ def refresh_agg_mv(
         .otherwise("U")
         .alias("_op"),
     )
+    # merge() runs three actions over its input (op validation, the
+    # delete-key write, the data write); without a cut each one would
+    # re-run the changelog scan + delta aggregation. ops is
+    # |touched groups|-sized by construction, so materializing it once
+    # is O(groups) storage and turns three delta-file reads into one —
+    # measured 2x on the refresh path at sf0.1.
+    ops = ops.localCheckpoint(eager=True)
     mv.merge(spark, ops, key=key, token=f"{_TOKEN_PREFIX}{cur}")
     return cur
 
