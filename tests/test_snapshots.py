@@ -2858,3 +2858,37 @@ def test_bloom_string_column_and_composition(spark, tmp_path):
     assert kept2 == []
     for fi in tbl.files_info():
         assert all(not c.startswith("::") for c in fi["stats"])
+
+
+# -- metadata-only COUNT(*) -------------------------------------------
+
+
+def test_count_rows_metadata_deletes_and_compact(spark, tmp_path):
+    """count_rows answers from sidecar ::rows when clean, refuses the
+    fast path over live MoR deletes (per-file counts would overcount),
+    and compaction restores it."""
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tbl = SnapshotTable(str(tmp_path / "t"), stats_cols=["o_orderkey"])
+    for r in range(2):
+        tbl.append(o.filter(F.col("o_orderkey") % 2 == r).coalesce(1))
+    want = o.count()
+    n, n_meta = tbl.count_rows(spark)
+    assert (n, n_meta) == (want, 2)  # pure metadata
+    # a merge leaves live equality deletes -> full-read fallback
+    chg = (
+        o.filter(F.col("o_orderkey") % 5 == 0)
+        .withColumn("_op", F.lit("D"))
+    )
+    tbl.merge(spark, chg, key="o_orderkey")
+    want2 = want - o.filter(F.col("o_orderkey") % 5 == 0).count()
+    n2, n_meta2 = tbl.count_rows(spark)
+    assert (n2, n_meta2) == (want2, 0)  # exact, but not from metadata
+    # compact folds the deletes; the fast path returns
+    tbl.compact(spark)
+    n3, n_meta3 = tbl.count_rows(spark)
+    assert n3 == want2 and n_meta3 >= 1
+    # historic snapshot (pre-merge) still counts from metadata
+    n4, n_meta4 = tbl.count_rows(spark, as_of=2)
+    assert (n4, n_meta4) == (want, 2)
