@@ -1447,8 +1447,17 @@ def q_orders_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum("x").alias("sx"),
             F.sum("y").alias("sy"),
-            F.sum(F.col("x") * F.col("y")).alias("sxy"),
-            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            # per-row products fit int64 easily (x<=~2.5k days,
+            # y<=~6e7 cents) but their SUM overflows int64 near SF
+            # ~700 — and Spark's non-ANSI long sum WRAPS silently
+            # while DuckDB widens to HUGEINT (review catch). Summing
+            # into decimal(38,0) keeps both engines exact at any SF.
+            F.sum(
+                (F.col("x") * F.col("y")).cast("decimal(38,0)")
+            ).alias("sxy"),
+            F.sum(
+                (F.col("x") * F.col("x")).cast("decimal(38,0)")
+            ).alias("sxx"),
         )
     )
     n, sx = F.col("n").cast(dec), F.col("sx").cast(dec)

@@ -102,6 +102,21 @@ class SnapshotTable:
         except FileNotFoundError:
             return {}
 
+    def _bloom_sidecar_path(self) -> str:
+        # Blooms live in their OWN sidecar (Iceberg's puffin-file
+        # separation): they are KiB-to-MiB per file where ranges are
+        # bytes, and only equality probes ever need them — range,
+        # partition, count and files_info paths must not pay their
+        # JSON parse (review catch).
+        return os.path.join(self._mdir, "blooms.json")
+
+    def _load_blooms(self) -> dict:
+        try:
+            with open(self._bloom_sidecar_path()) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return {}
+
     @staticmethod
     def _stat_value(v):
         """Footer stat -> JSON-storable value whose ORDERING matches the
@@ -125,18 +140,28 @@ class SnapshotTable:
 
     BLOOM_BITS_PER_KEY = 16  # fp ~= 0.24%  with k=4 at this load
     BLOOM_K = 4
-    BLOOM_MAX_BITS = 1 << 20  # 128 KiB/file cap; past it fp just rises
+    # Per-file size cap: past ~500k distinct keys the fp rate rises
+    # above the 16-bits/key design point (still CORRECT — a false
+    # positive only keeps a file the residual filter then empties —
+    # just less pruning). 1 MiB/file at the cap.
+    BLOOM_MAX_BITS = 1 << 23
 
     @staticmethod
     def _bloom_key(v) -> bytes | None:
         """Canonical byte encoding of one column value for bloom
-        hashing. MUST be identical between recording (values as pyarrow
-        converts them to Python) and probing (the caller's literal) —
-        the type tag prevents cross-type collisions like 1 vs '1'.
-        Returns None for anything without a stable canonical form
-        (NULL, binary, nested, Decimal): an un-encodable value at
-        RECORD time voids the whole file's bloom, at PROBE time skips
-        bloom pruning — both conservative."""
+        hashing, leading with a one-char TYPE TAG. The encoding MUST
+        be identical between recording (values as pyarrow converts
+        them to Python) and probing (the caller's literal); the tag is
+        also checked separately at probe time, because Spark's
+        residual equality COERCES across types (a string probe against
+        a date column still matches rows) while byte equality does not
+        — a cross-type probe must disable bloom pruning, never
+        false-negative it (review catch). tz-aware datetimes normalize
+        to naive UTC so an aware probe matches naive-recorded
+        instants. Returns None for anything without a stable canonical
+        form (NULL, binary, nested, Decimal): un-encodable at RECORD
+        time voids the file's bloom, at PROBE time skips bloom pruning
+        — both conservative."""
         import datetime
 
         if isinstance(v, bool):
@@ -147,7 +172,24 @@ class SnapshotTable:
             return ("f:" + repr(float(v))).encode()
         if isinstance(v, str):
             return b"s:" + v.encode("utf-8")
-        if isinstance(v, (datetime.datetime, datetime.date)):
+        if isinstance(v, datetime.datetime):
+            if v.tzinfo is not None:
+                v = v.astimezone(datetime.timezone.utc).replace(
+                    tzinfo=None
+                )
+            # midnight instants encode as the bare date (both ways:
+            # date columns record bare dates, timestamp columns record
+            # midnights — a date-vs-midnight probe must agree, like
+            # Spark's date/timestamp coercion does)
+            if (v.hour, v.minute, v.second, v.microsecond) == (
+                0,
+                0,
+                0,
+                0,
+            ):
+                return ("t:" + v.date().isoformat()).encode()
+            return ("t:" + v.isoformat()).encode()
+        if isinstance(v, datetime.date):
             return ("t:" + v.isoformat()).encode()
         return None
 
@@ -167,15 +209,25 @@ class SnapshotTable:
     def _bloom_build(cls, values) -> dict | None:
         """Bloom entry for one file's distinct column values, sized to
         the observed NDV (next power of two >= BITS_PER_KEY * ndv,
-        capped). None when any value lacks a canonical encoding — a
-        PARTIAL bloom would produce false negatives, the one failure
-        mode a bloom must never have."""
+        capped). None when any value lacks a canonical encoding, or
+        when the values mix type tags — a PARTIAL bloom would produce
+        false negatives, the one failure mode a bloom must never
+        have. Records the (single) tag so probes of a DIFFERENT type
+        class fall back to conservative keeps."""
         keys = []
+        tag = None
         for v in values:
             k = cls._bloom_key(v)
             if k is None:
                 return None
+            t = k[:1].decode()
+            if tag is None:
+                tag = t
+            elif t != tag:
+                return None
             keys.append(k)
+        if tag is None:
+            tag = ""  # empty column: any-typed probe may prune
         m = 256
         target = min(
             cls.BLOOM_MAX_BITS,
@@ -187,22 +239,38 @@ class SnapshotTable:
         for k in keys:
             for pos in cls._bloom_hashes(k, m, cls.BLOOM_K):
                 bits[pos >> 3] |= 1 << (pos & 7)
-        return {"m": m, "k": cls.BLOOM_K, "hex": bytes(bits).hex()}
+        return {
+            "m": m,
+            "k": cls.BLOOM_K,
+            "t": tag,
+            "hex": bytes(bits).hex(),
+        }
 
     @classmethod
     def _bloom_maybe_contains(cls, ent: dict | None, key: bytes) -> bool:
         """Membership probe: True = maybe present (keep the file),
-        False = PROVABLY absent (prune). A missing/malformed entry is
-        'maybe' — pruning must stay sound for stats-less files."""
+        False = PROVABLY absent (prune). Conservative everywhere it
+        can be: a missing/malformed entry is 'maybe', and a probe
+        whose TYPE TAG differs from the recorded values' tag is
+        'maybe' — byte equality can't speak for Spark's coercing
+        equality across types, so it must not prune (review catch:
+        a string probe on a date column hit every row through the
+        residual filter yet pruned every file through the bloom)."""
         if not ent or "hex" not in ent or "m" not in ent:
             return True
-        bits = bytes.fromhex(ent["hex"])
-        return all(
-            bits[pos >> 3] & (1 << (pos & 7))
-            for pos in cls._bloom_hashes(
-                key, ent["m"], ent.get("k", cls.BLOOM_K)
+        tag = ent.get("t")
+        if tag and tag != key[:1].decode():
+            return True
+        try:
+            bits = bytes.fromhex(ent["hex"])
+            return all(
+                bits[pos >> 3] & (1 << (pos & 7))
+                for pos in cls._bloom_hashes(
+                    key, ent["m"], ent.get("k", cls.BLOOM_K)
+                )
             )
-        )
+        except (ValueError, IndexError):
+            return True  # corrupt sidecar entry -> conservative keep
 
     def _record_stats(self, new_files: list[str]) -> None:
         """Footer-read [min, max] per stats column for freshly written
@@ -254,13 +322,20 @@ class SnapshotTable:
                     maxs.append(hi)
                 if ok:
                     ent[c] = [min(mins), max(maxs)]
-            for c in self.bloom_cols:
-                bloom = self._bloom_for_file(rel, c)
-                if bloom is not None:
-                    ent["::bloom::" + c] = bloom
             if ent:
                 stats[rel] = ent
         self._atomic_json(self._stats_path(), stats)
+        if self.bloom_cols:
+            blooms = self._load_blooms()
+            for rel in new_files:
+                bent = {}
+                for c in self.bloom_cols:
+                    bloom = self._bloom_for_file(rel, c)
+                    if bloom is not None:
+                        bent[c] = bloom
+                if bent:
+                    blooms[rel] = bent
+            self._atomic_json(self._bloom_sidecar_path(), blooms)
 
     def _bloom_for_file(self, rel: str, col: str) -> dict | None:
         """Build the bloom entry for one freshly written file: a
@@ -338,6 +413,26 @@ class SnapshotTable:
         except TypeError:
             return False
 
+    def _resolve_snapshot(self, as_of: int | None) -> int:
+        """Shared snapshot resolution for the metadata read paths
+        (plan_files / files_info / partitions_info / count_rows):
+        default to the latest PUBLISHED snapshot, validate an explicit
+        version exists. (``read`` keeps its own copy — its staged-read
+        and timestamp semantics carry different error text.)"""
+        if as_of is None:
+            v = self._latest_published()
+            if v is None:
+                raise ValueError(
+                    f"table at {self.path!r} has no published snapshots"
+                )
+            return v
+        snaps = self.snapshots()
+        if as_of not in snaps:
+            raise ValueError(
+                f"snapshot {as_of} does not exist (have {snaps})"
+            )
+        return as_of
+
     def plan_files(
         self,
         where: tuple | None = None,
@@ -355,17 +450,7 @@ class SnapshotTable:
         stats/partition records are conservatively kept. Returns
         (files to scan, total files in the snapshot) — no data file is
         opened."""
-        snaps = self.snapshots()
-        if as_of is None:
-            as_of = self._latest_published()
-            if as_of is None:
-                raise ValueError(
-                    f"table at {self.path!r} has no published snapshots"
-                )
-        if as_of not in snaps:
-            raise ValueError(
-                f"snapshot {as_of} does not exist (have {snaps})"
-            )
+        as_of = self._resolve_snapshot(as_of)
         files = self._manifest(as_of)
         total = len(files)
         if partitions:
@@ -421,17 +506,19 @@ class SnapshotTable:
                 if (s := stats.get(f, {}).get(col)) is None
                 or not self._provably_disjoint(s[0], s[1], lo, hi)
             ]
-        for col, val in eqs:
-            key = self._bloom_key(val)
-            if key is None:
-                continue  # no canonical form -> no bloom pruning
-            files = [
-                f
-                for f in files
-                if self._bloom_maybe_contains(
-                    stats.get(f, {}).get("::bloom::" + col), key
-                )
-            ]
+        if eqs:
+            blooms = self._load_blooms()  # lazy: eq probes only
+            for col, val in eqs:
+                key = self._bloom_key(val)
+                if key is None:
+                    continue  # no canonical form -> no bloom pruning
+                files = [
+                    f
+                    for f in files
+                    if self._bloom_maybe_contains(
+                        blooms.get(f, {}).get(col), key
+                    )
+                ]
         return files, total
 
     @staticmethod
@@ -473,16 +560,7 @@ class SnapshotTable:
         without stats recording reports ``n_records=None``. This is
         the operator a table administrator runs to see layout health
         (file sizes/counts per snapshot) before deciding to compact."""
-        v = as_of if as_of is not None else self._latest_published()
-        if v is None:
-            raise ValueError(
-                f"table at {self.path!r} has no published snapshots"
-            )
-        snaps = self.snapshots()
-        if v not in snaps:
-            raise ValueError(
-                f"snapshot {v} does not exist (have {snaps})"
-            )
+        v = self._resolve_snapshot(as_of)
         stats = self._load_stats()
         out = []
         for rel in self._manifest(v):
@@ -522,16 +600,7 @@ class SnapshotTable:
         100 TB shape: a maintained table answers COUNT(*) from one
         manifest + one sidecar read — zero data IO, zero cluster work —
         where a plain parquet count schedules a task per file."""
-        v = as_of if as_of is not None else self._latest_published()
-        if v is None:
-            raise ValueError(
-                f"table at {self.path!r} has no published snapshots"
-            )
-        snaps = self.snapshots()
-        if v not in snaps:
-            raise ValueError(
-                f"snapshot {v} does not exist (have {snaps})"
-            )
+        v = self._resolve_snapshot(as_of)
         if self._meta(v).get("delete_files"):
             return self.read(spark, as_of=v).count(), 0
         stats = self._load_stats()
@@ -562,15 +631,7 @@ class SnapshotTable:
         partition's ``n_records`` None (unknown) rather than silently
         undercounting; files without a partition record (pre-spec, or
         an unpartitioned table) group under the empty record."""
-        v = as_of if as_of is not None else self._latest_published()
-        if v is None:
-            raise ValueError(
-                f"table at {self.path!r} has no published snapshots"
-            )
-        if v not in self.snapshots():
-            raise ValueError(
-                f"snapshot {v} does not exist (have {self.snapshots()})"
-            )
+        v = self._resolve_snapshot(as_of)
         fparts = self._meta(v).get("file_partitions", {})
         agg: dict = {}
         for fi in self.files_info(v):
@@ -1858,11 +1919,7 @@ class SnapshotTable:
         ``_validate_range``'s allow-list, so CDC/changelog/incremental
         consumers refuse to stream across the rewrite rather than
         replaying it as inserts."""
-        base = self._latest_published()
-        if base is None:
-            raise ValueError(
-                f"table at {self.path!r} has no published snapshots"
-            )
+        base = self._resolve_snapshot(None)
         candidates, _ = self.plan_files(
             where=stats_hint, as_of=base, partitions=partitions
         )
@@ -1921,11 +1978,7 @@ class SnapshotTable:
         by their absolute scan path — relocating the table directory
         invalidates them (compact first).
         """
-        base = self._latest_published()
-        if base is None:
-            raise ValueError(
-                f"table at {self.path!r} has no published snapshots"
-            )
+        base = self._resolve_snapshot(None)
         candidates, _ = self.plan_files(
             where=stats_hint, as_of=base, partitions=partitions
         )
@@ -1972,11 +2025,7 @@ class SnapshotTable:
         which the position entries (naming only pre-existing files)
         can never kill. Reads apply the anti-join; ``compact`` folds.
         """
-        base = self._latest_published()
-        if base is None:
-            raise ValueError(
-                f"table at {self.path!r} has no published snapshots"
-            )
+        base = self._resolve_snapshot(None)
         candidates, _ = self.plan_files(
             where=stats_hint, as_of=base, partitions=partitions
         )
@@ -2117,11 +2166,7 @@ class SnapshotTable:
                 "UPDATE with no assignments — refusing a full rewrite "
                 "that changes nothing"
             )
-        base = self._latest_published()
-        if base is None:
-            raise ValueError(
-                f"table at {self.path!r} has no published snapshots"
-            )
+        base = self._resolve_snapshot(None)
         sj = self._meta(base).get("schema")
         types = {}
         if sj is not None:
@@ -3147,10 +3192,15 @@ class SnapshotTable:
         # concurrent entry is only ever conservative, same as
         # _record_stats' own merge.
         if doomed:
+            gone = set(doomed)
             stats = self._load_stats()
-            trimmed = {k: s for k, s in stats.items() if k not in set(doomed)}
+            trimmed = {k: s for k, s in stats.items() if k not in gone}
             if len(trimmed) != len(stats):
                 self._atomic_json(self._stats_path(), trimmed)
+            blooms = self._load_blooms()
+            btrim = {k: b for k, b in blooms.items() if k not in gone}
+            if len(btrim) != len(blooms):
+                self._atomic_json(self._bloom_sidecar_path(), btrim)
         return doomed
 
 
@@ -3704,7 +3754,11 @@ def q_snapshot_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanned = [
         r for r in rels if stats.get(r, {}).get("::rows") is None
     ]
-    assert len(scanned) == 1, scanned
+    if len(scanned) != 1:  # not assert: must survive python -O
+        raise RuntimeError(
+            f"expected exactly the plain-handle file to lack ::rows, "
+            f"got {scanned}"
+        )
     # report the fallback volume the scanned file actually held, so
     # the oracle cross-checks WHICH file lacked metadata
     n_scanned_rows = n - sum(

@@ -2892,3 +2892,39 @@ def test_count_rows_metadata_deletes_and_compact(spark, tmp_path):
     # historic snapshot (pre-merge) still counts from metadata
     n4, n_meta4 = tbl.count_rows(spark, as_of=2)
     assert (n4, n_meta4) == (want, 2)
+
+
+def test_bloom_cross_type_probe_is_conservative(spark, tmp_path):
+    """Spark's residual equality COERCES (a string probe matches date
+    rows); byte-level bloom membership cannot — so a probe whose type
+    class differs from the recorded values must disable bloom pruning
+    entirely, and a same-instant date/datetime probe must agree."""
+    import datetime
+
+    o = load_table(spark, SF_DIR, "orders")
+    tbl = SnapshotTable(
+        str(tmp_path / "t"), bloom_cols=["o_orderdate"]
+    )
+    for r in range(3):
+        tbl.append(o.filter(F.col("o_orderkey") % 3 == r).coalesce(1))
+    some = o.select("o_orderdate").first()[0]  # midnight datetime
+    want = o.filter(F.col("o_orderdate") == some).count()
+    # exact-typed probe: correct rows, possibly pruned files
+    got = tbl.read(spark, eq=("o_orderdate", some)).count()
+    assert got == want
+    # STRING probe (caller writes the ISO date): the residual filter
+    # coerces and matches, so the bloom must keep every file
+    iso = some.date().isoformat()
+    kept, total = tbl.plan_files(eq=("o_orderdate", iso))
+    assert len(kept) == total == 3
+    assert tbl.read(spark, eq=("o_orderdate", iso)).count() == want
+    # date-object probe of a recorded midnight instant: same canonical
+    # key (midnight normalizes to the bare date), so pruning works AND
+    # no row is lost
+    kept_d, _ = tbl.plan_files(eq=("o_orderdate", some.date()))
+    kept_t, _ = tbl.plan_files(eq=("o_orderdate", some))
+    assert set(kept_d) == set(kept_t)
+    # tz-aware probe of the same instant agrees with the naive one
+    aware = some.replace(tzinfo=datetime.timezone.utc)
+    kept_a, _ = tbl.plan_files(eq=("o_orderdate", aware))
+    assert set(kept_a) == set(kept_t)
