@@ -307,21 +307,36 @@ class SnapshotTable:
                     continue
                 mins: list = []
                 maxs: list = []
+                nulls = 0
                 ok = True
+                nulls_ok = True
                 for rg in range(md.num_row_groups):
                     st = md.row_group(rg).column(idx).statistics
-                    if st is None or not st.has_min_max:
-                        ok = False
+                    if st is None:
+                        ok = nulls_ok = False
                         break
+                    # NULL count rides the same footer read (Iceberg's
+                    # null_value_counts): recorded independently of
+                    # min/max because an ALL-NULL row group has a
+                    # null_count but no bounds
+                    if st.null_count is None:
+                        nulls_ok = False
+                    else:
+                        nulls += st.null_count
+                    if not st.has_min_max:
+                        ok = False
+                        continue
                     lo = self._stat_value(st.min)
                     hi = self._stat_value(st.max)
                     if lo is None or hi is None:
                         ok = False
-                        break
+                        continue
                     mins.append(lo)
                     maxs.append(hi)
-                if ok:
+                if ok and mins:
                     ent[c] = [min(mins), max(maxs)]
+                if nulls_ok:
+                    ent["::nulls::" + c] = nulls
             if ent:
                 stats[rel] = ent
         self._atomic_json(self._stats_path(), stats)
@@ -507,11 +522,25 @@ class SnapshotTable:
                 or not self._provably_disjoint(s[0], s[1], lo, hi)
             ]
         if eqs:
-            blooms = self._load_blooms()  # lazy: eq probes only
+            blooms = None
             for col, val in eqs:
+                if val is None:
+                    # IS NULL probe (Iceberg's null_value_counts
+                    # pruning): a file whose recorded null count is
+                    # ZERO provably holds no matching row; files
+                    # without a recorded count keep conservatively
+                    files = [
+                        f
+                        for f in files
+                        if stats.get(f, {}).get("::nulls::" + col)
+                        != 0
+                    ]
+                    continue
                 key = self._bloom_key(val)
                 if key is None:
                     continue  # no canonical form -> no bloom pruning
+                if blooms is None:
+                    blooms = self._load_blooms()  # lazy: eq probes only
                 files = [
                     f
                     for f in files
@@ -3704,6 +3733,63 @@ def q_snapshot_bloom_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(total).cast("bigint").alias("n_files_total"),
         F.lit(len(kept)).cast("bigint").alias("n_files_scanned"),
         F.count(F.lit(1)).alias("n_orders"),
+        exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
+    "q_snapshot_null_scan",
+    oracle="""
+    SELECT CAST(5 AS BIGINT) AS n_files_total,
+           CAST(1 AS BIGINT) AS n_files_scanned,
+           COUNT(*) AS n_null_rows,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_price
+    FROM orders WHERE o_orderkey % 5 = 0
+    """,
+)
+def q_snapshot_null_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-count pruning (Iceberg's ``null_value_counts`` manifest
+    stats), DuckDB-oracled end-to-end: orders gain a ``note`` column
+    that is NULL exactly on the %5 == 0 keys, and land in five appends
+    split by ``o_orderkey % 5`` — so ONE file holds every NULL and the
+    other four provably hold none. Each commit records per-file null
+    counts from the parquet footers (the same footer read as the
+    [min,max] stats — zero extra IO, and recorded even for the
+    all-NULL file that HAS no bounds). An ``IS NULL`` read
+    (``eq=(col, None)``) must prune to exactly the one file whose
+    recorded null count is nonzero and return the same rows as the
+    oracle's %5 == 0 filter — a file pruned with a wrong count, or a
+    kept file miscounted, hash-mismatches on either the file counter
+    or the aggregate.
+
+    Scale shape: IS NULL / IS NOT NULL quality-gate scans (find the
+    rows missing an embedding, a language tag, a parse) are routine
+    over training corpora; with per-file null counts they plan from
+    the sidecar to only the files that can contain offenders — on a
+    mostly-clean 100 TB table that is a handful of files, not a full
+    scan.
+    """
+    from ..tables import require_local_master, scratch_dir
+
+    require_local_master(spark, "q_snapshot_null_scan (footer stats)")
+    path = scratch_dir(spark, sf_dir, "snapshot_nulls")
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    src = o.withColumn(
+        "note",
+        F.when(k % 5 == 0, F.lit(None).cast("string")).otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
+    tbl = SnapshotTable(path, stats_cols=["note"])
+    for r in range(5):
+        tbl.append(src.filter(k % 5 == r).coalesce(1))
+    kept, total = tbl.plan_files(eq=("note", None))
+    return tbl.read(spark, eq=("note", None), plan=kept).agg(
+        F.lit(total).cast("bigint").alias("n_files_total"),
+        F.lit(len(kept)).cast("bigint").alias("n_files_scanned"),
+        F.count(F.lit(1)).alias("n_null_rows"),
         exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
     )
 

@@ -2928,3 +2928,37 @@ def test_bloom_cross_type_probe_is_conservative(spark, tmp_path):
     aware = some.replace(tzinfo=datetime.timezone.utc)
     kept_a, _ = tbl.plan_files(eq=("o_orderdate", aware))
     assert set(kept_a) == set(kept_t)
+
+
+def test_null_count_pruning_conservative_and_exact(spark, tmp_path):
+    """IS NULL probes prune only files with a RECORDED zero null
+    count; stats-less files keep; all-NULL files (no [min,max]) still
+    record their null count from the footer."""
+    o = load_table(spark, SF_DIR, "orders")
+    k = F.col("o_orderkey")
+    src = o.withColumn(
+        "note",
+        F.when(k % 3 == 0, F.lit(None).cast("string")).otherwise(
+            F.lit("x")
+        ),
+    )
+    tbl = SnapshotTable(str(tmp_path / "t"), stats_cols=["note"])
+    for r in range(3):
+        tbl.append(src.filter(k % 3 == r).coalesce(1))
+    # one stats-less file via a plain handle: must be kept by IS NULL
+    plain = SnapshotTable(str(tmp_path / "t"))
+    plain.append(src.filter(k % 3 == 1).limit(7).coalesce(1))
+    kept, total = tbl.plan_files(eq=("note", None))
+    assert total == 4
+    # file 0 (all nulls, no min/max recorded) + the stats-less file
+    assert len(kept) == 2
+    want = src.filter(F.col("note").isNull()).count()
+    assert tbl.read(spark, eq=("note", None)).count() == want
+    # the all-NULL file recorded no bounds but did record its count
+    stats = tbl._load_stats()
+    ents = [e for e in stats.values() if "::nulls::note" in e]
+    assert len(ents) == 3
+    assert sum(e["::nulls::note"] for e in ents) == want
+    assert any(
+        e["::nulls::note"] > 0 and "note" not in e for e in ents
+    )
