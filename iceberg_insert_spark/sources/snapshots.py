@@ -454,6 +454,7 @@ class SnapshotTable:
         as_of: int | None = None,
         partitions: dict | None = None,
         eq: tuple | None = None,
+        not_null: list[str] | None = None,
     ) -> tuple[list[str], int]:
         """Metadata-only scan planning: the manifest's file list, pruned
         by (a) PARTITION values — ``partitions = {col: value}`` keeps
@@ -506,9 +507,21 @@ class SnapshotTable:
         # _provably_disjoint's TypeError guard keeps un-comparable
         # values conservative
         conds += [(c, v, v) for c, v in eqs]
-        if not conds and not eqs:
+        if not conds and not eqs and not not_null:
             return files, total
         stats = self._load_stats()
+        for col in not_null or []:
+            # IS NOT NULL probe: a file whose recorded null count
+            # equals its recorded row count is provably all-NULL in
+            # the column — prune it; anything unrecorded keeps
+            files = [
+                f
+                for f in files
+                if (e := stats.get(f, {})).get("::nulls::" + col)
+                is None
+                or e.get("::rows") is None
+                or e["::nulls::" + col] < e["::rows"]
+            ]
         # CONJUNCTION of range predicates: a file is pruned when it is
         # provably disjoint on ANY dimension — the compound pruning a
         # z-order layout (compact_zorder) exists to unlock, where
@@ -2678,6 +2691,7 @@ class SnapshotTable:
         partitions: dict | None = None,
         as_of_ts: float | None = None,
         eq: tuple | None = None,
+        not_null: list[str] | None = None,
     ) -> DataFrame:
         """Read the table as of snapshot ``as_of`` (default: latest). The
         file list comes from the manifest, never a directory walk.
@@ -2723,7 +2737,12 @@ class SnapshotTable:
                 f"snapshot {v} does not exist (have {snaps}) — expired or "
                 "never committed"
             )
-        if where is None and partitions is None and eq is None:
+        if (
+            where is None
+            and partitions is None
+            and eq is None
+            and not_null is None
+        ):
             rels = self._manifest(v)
             if not rels:
                 return self._empty_frame(spark, v)
@@ -2732,7 +2751,11 @@ class SnapshotTable:
                 list(plan)
                 if plan is not None
                 else self.plan_files(
-                    where=where, as_of=v, partitions=partitions, eq=eq
+                    where=where,
+                    as_of=v,
+                    partitions=partitions,
+                    eq=eq,
+                    not_null=not_null,
                 )[0]
             )
             if not rels:
@@ -2778,6 +2801,8 @@ class SnapshotTable:
                 if val is None
                 else df.filter(F.col(col) == F.lit(val))
             )
+        for col in not_null or []:
+            df = df.filter(F.col(col).isNotNull())
         return df
 
     @staticmethod

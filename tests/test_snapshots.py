@@ -2962,3 +2962,33 @@ def test_null_count_pruning_conservative_and_exact(spark, tmp_path):
     assert any(
         e["::nulls::note"] > 0 and "note" not in e for e in ents
     )
+
+
+def test_not_null_pruning_drops_all_null_files(spark, tmp_path):
+    """IS NOT NULL probes prune files recorded as entirely NULL in the
+    column and keep everything else (including stats-less files); the
+    read equals the unpruned isNotNull filter."""
+    o = load_table(spark, SF_DIR, "orders")
+    k = F.col("o_orderkey")
+    src = o.withColumn(
+        "note",
+        F.when(k % 3 == 0, F.lit(None).cast("string")).otherwise(
+            F.lit("x")
+        ),
+    )
+    tbl = SnapshotTable(str(tmp_path / "t"), stats_cols=["note"])
+    for r in range(3):
+        tbl.append(src.filter(k % 3 == r).coalesce(1))
+    kept, total = tbl.plan_files(not_null=["note"])
+    assert total == 3 and len(kept) == 2  # the all-NULL file pruned
+    want = src.filter(F.col("note").isNotNull()).count()
+    got = tbl.read(spark, not_null=["note"], plan=kept).count()
+    assert got == want
+    # stats-less file keeps conservatively
+    plain = SnapshotTable(str(tmp_path / "t"))
+    plain.append(
+        src.filter(k % 3 == 0).limit(5).coalesce(1)
+    )  # more all-NULL rows, but unrecorded
+    kept2, total2 = tbl.plan_files(not_null=["note"])
+    assert total2 == 4 and len(kept2) == 3
+    assert tbl.read(spark, not_null=["note"]).count() == want
