@@ -991,3 +991,82 @@ def test_pruning_disjointness_never_drops_overlap():
         assert not (overlap and pruned)
 
     check()
+
+
+def test_bloom_membership_never_false_negative():
+    """Property (hypothesis): for ANY recorded value set, probing a
+    member through the bloom always answers 'maybe present' — false
+    negatives are the one failure mode pruning must never have (a
+    pruned file with a matching row silently loses it). Exercises
+    every canonical type class plus the cross-type tag guard and the
+    date/midnight-datetime agreement."""
+    import datetime
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from iceberg_insert_spark.sources.snapshots import SnapshotTable
+
+    scalar = st.one_of(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        st.text(max_size=24),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        st.booleans(),
+        st.dates(
+            min_value=datetime.date(1990, 1, 1),
+            max_value=datetime.date(2030, 1, 1),
+        ),
+        st.datetimes(
+            min_value=datetime.datetime(1990, 1, 1),
+            max_value=datetime.datetime(2030, 1, 1),
+        ),
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.data())
+    def check(data):
+        # homogeneous value set (one type class, like a parquet column)
+        v0 = data.draw(scalar)
+        peers = data.draw(
+            st.lists(
+                st.from_type(type(v0))
+                if not isinstance(v0, bool)
+                else st.booleans(),
+                max_size=30,
+            )
+        )
+        values = [v0] + [
+            p
+            for p in peers
+            if isinstance(p, type(v0))
+            and not (isinstance(p, float) and p != p)
+        ]
+        ent = SnapshotTable._bloom_build(values)
+        if ent is None:
+            return  # un-encodable (e.g. inf repr) -> conservative
+        for v in values:
+            key = SnapshotTable._bloom_key(v)
+            if key is None:
+                continue
+            assert SnapshotTable._bloom_maybe_contains(ent, key), (
+                f"false negative for {v!r}"
+            )
+        # a midnight datetime probe of a recorded date (and vice
+        # versa) must also be 'maybe' — they coerce-match in Spark
+        if isinstance(v0, datetime.date) and not isinstance(
+            v0, datetime.datetime
+        ):
+            mid = datetime.datetime(v0.year, v0.month, v0.day)
+            assert SnapshotTable._bloom_maybe_contains(
+                ent, SnapshotTable._bloom_key(mid)
+            )
+        # cross-type probes never prune through the tag guard
+        other = data.draw(scalar)
+        if type(other) is not type(v0):
+            k2 = SnapshotTable._bloom_key(other)
+            if k2 is not None and k2[:1] != SnapshotTable._bloom_key(
+                v0
+            )[:1]:
+                assert SnapshotTable._bloom_maybe_contains(ent, k2)
+
+    check()
