@@ -3117,7 +3117,8 @@ class SnapshotTable:
           * ``dangling_refs`` — tags pinning snapshots that no longer
             exist (possible only via external manifest deletion; tags
             block expire);
-          * ``orphan_stats`` — stats-sidecar entries for files no live
+          * ``orphan_stats`` / ``orphan_blooms`` — sidecar entries
+            (range/null stats, bloom sketches) for files no live
             manifest references (crash-window leftovers expire's trim
             missed; conservative, never wrong reads).
 
@@ -3129,6 +3130,7 @@ class SnapshotTable:
             "dangling_tokens": [],
             "dangling_refs": [],
             "orphan_stats": [],
+            "orphan_blooms": [],
         }
         for p in sorted(live_paths):
             if not os.path.exists(os.path.join(self.path, p)):
@@ -3144,6 +3146,9 @@ class SnapshotTable:
         for f in sorted(self._load_stats()):
             if f not in live_paths:
                 report["orphan_stats"].append(f)
+        for f in sorted(self._load_blooms()):
+            if f not in live_paths:
+                report["orphan_blooms"].append(f)
         return report
 
     def expire_older_than(self, ts: float) -> list[str]:
@@ -4714,10 +4719,12 @@ def q_snapshot_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         ('healthy', 'dangling_tokens', 0),
         ('healthy', 'dangling_refs', 0),
         ('healthy', 'orphan_stats', 0),
+        ('healthy', 'orphan_blooms', 0),
         ('injected', 'missing_files', 1),
         ('injected', 'dangling_tokens', 1),
         ('injected', 'dangling_refs', 1),
-        ('injected', 'orphan_stats', 1)
+        ('injected', 'orphan_stats', 1),
+        ('injected', 'orphan_blooms', 1)
     ) AS t(phase, bucket, n)
     """,
 )
@@ -4728,8 +4735,9 @@ def q_snapshot_fsck(spark: SparkSession, sf_dir: str) -> DataFrame:
     then exactly one inconsistency of each class is injected — a live
     data file deleted externally, an exactly-once token pointing at a
     snapshot that no longer exists, a tag pinning a removed snapshot,
-    and a stats-sidecar entry for an unreferenced file — and each must
-    land in exactly its own bucket ('injected' rows). A miscount, a
+    and a stats-sidecar entry plus a bloom-sidecar entry for
+    unreferenced files — and each must land in exactly its own bucket
+    ('injected' rows). A miscount, a
     miss, or cross-bucket bleed hash-mismatches the constant oracle;
     the per-bucket payload details are pinned in
     tests/test_snapshots.py.
@@ -4764,6 +4772,10 @@ def q_snapshot_fsck(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = tbl._load_stats()
     st["_snap=9/ghost.parquet"] = {"::rows": 1}
     tbl._atomic_json(tbl._stats_path(), st)
+    tbl._atomic_json(
+        tbl._bloom_sidecar_path(),
+        {"_snap=9/ghost.parquet": {"o_orderkey": {"m": 256, "k": 4}}},
+    )
     rows += report("injected")
     return spark.createDataFrame(
         rows, "phase string, bucket string, n long"

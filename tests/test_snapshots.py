@@ -1789,6 +1789,7 @@ def test_verify_fsck_reports_each_inconsistency(spark, tmp_path):
     assert tbl.verify() == {
         "missing_files": [], "dangling_tokens": [],
         "dangling_refs": [], "orphan_stats": [],
+        "orphan_blooms": [],
     }
     # inject: delete a live data file externally
     victim = tbl._manifest(2)[0]
@@ -1801,11 +1802,17 @@ def test_verify_fsck_reports_each_inconsistency(spark, tmp_path):
     # inject: stats entry for an unreferenced file
     st = tbl._load_stats(); st["_snap=9/ghost.parquet"] = {"::rows": 1}
     tbl._atomic_json(tbl._stats_path(), st)
+    # inject: bloom entry for an unreferenced file
+    tbl._atomic_json(
+        tbl._bloom_sidecar_path(),
+        {"_snap=8/ghost.parquet": {"o_orderkey": {"m": 256, "k": 4}}},
+    )
     rep = tbl.verify()
     assert rep["missing_files"] == [victim]
     assert rep["dangling_tokens"] == ["ghost"]
     assert rep["dangling_refs"] == ["old"]
     assert rep["orphan_stats"] == ["_snap=9/ghost.parquet"]
+    assert rep["orphan_blooms"] == ["_snap=8/ghost.parquet"]
     del _json
 
 
