@@ -381,7 +381,14 @@ def test_lifecycle_model_randomized(spark, tmp_path):
     import random
 
     rng = random.Random(20260814)
-    tbl = SnapshotTable(str(tmp_path / "t"))
+    # stats + blooms on: every commit type records sidecar entries, so
+    # the eq-probe invariant below exercises bloom/null pruning across
+    # the whole op mix (and expire's sidecar trims)
+    tbl = SnapshotTable(
+        str(tmp_path / "t"),
+        stats_cols=["rid"],
+        bloom_cols=["rid"],
+    )
 
     def batch(ids):
         return spark.createDataFrame(
@@ -539,6 +546,21 @@ def test_lifecycle_model_randomized(spark, tmp_path):
                 r.rid for r in tbl.read(spark).collect()
             }
             assert got == set(vis[published[-1]]), f"step {step} ({op})"
+        # eq-probe invariant (every 5th step, bounded cost): a bloom-
+        # pruned point read must equal the model's membership answer
+        # for both a visible rid and a provably-absent one
+        if published and step % 5 == 4:
+            cur = vis[published[-1]]
+            probes = [next_id + 10**6]  # absent forever
+            if cur:
+                probes.append(rng.choice(sorted(cur)))
+            for p in probes:
+                hit = {
+                    r.rid
+                    for r in tbl.read(spark, eq=("rid", p)).collect()
+                }
+                want_hit = {p} if p in cur else set()
+                assert hit == want_hit, f"step {step} eq-probe {p}"
     # final: every surviving snapshot matches the model
     for v in tbl.snapshots():
         got = {r.rid for r in tbl.read(spark, as_of=v).collect()}
