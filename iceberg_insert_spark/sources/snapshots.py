@@ -5057,3 +5057,81 @@ def q_snapshot_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "name string, type string, snapshot long"
     )
+
+
+@query(
+    "q_snapshot_expire",
+    oracle="""
+    WITH final AS (
+        SELECT * FROM orders
+        WHERE o_orderkey % 3 < 2 AND o_orderkey % 5 <> 0
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_price,
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0)
+               AS tagged_rows,
+           CAST(2 AS BIGINT) AS n_live_snapshots,
+           CAST(1 AS BIGINT) AS n_expired_snapshots,
+           CAST(0 AS BIGINT) AS n_leftover_files
+    FROM final
+    GROUP BY o_orderstatus
+    """,
+)
+def q_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg ``expire_snapshots`` as a driver-checked query (the
+    maintenance twin the reference cannot express — App.java:147-149
+    only ever appends; history grows forever). Deterministic lifecycle:
+    append %3 = 0 (v1, TAGGED 'audit'), append %3 = 1 (v2), CoW DELETE
+    of the %5 = 0 keys (v3), then ``expire(keep_from=v3)``. The oracle
+    pins every consequence at once:
+
+      * the final read equals the %3 < 2 minus %5 = 0 aggregate
+        (expire never changes visible data);
+      * ``tagged_rows`` — a time-travel read AT THE TAG after expiry —
+        equals the %3 = 0 count: the ref-pinned snapshot survived the
+        cutoff (Iceberg's retention rule), while untagged v2 did not
+        (``n_live_snapshots`` = 2, ``n_expired_snapshots`` = 1);
+      * ``n_leftover_files`` = 0: every file the expiry returned as
+        unreferenced is physically gone — metadata AND storage
+        reclaimed, none of it still referenced by v1/v3 (a file the
+        delete carried forward must NOT be deleted; one it rewrote
+        must be).
+
+    Scale shape: reachability is manifest-set arithmetic under the
+    commit lock (KBs of JSON); the storage reclaim runs OUTSIDE the
+    lock, O(|doomed files|) with no data reads — the same split
+    Iceberg's expire action uses so a 100 TB table's expiry never
+    blocks writers on file deletion.
+    """
+    from ..tables import scratch_dir
+
+    path = scratch_dir(spark, sf_dir, "snapshot_expire")
+    o = load_table(spark, sf_dir, "orders")
+    tbl = SnapshotTable(path)
+    v1 = tbl.append(o.filter(F.col("o_orderkey") % 3 == 0))
+    tbl.tag("audit", v1)
+    tbl.append(o.filter(F.col("o_orderkey") % 3 == 1))
+    v3 = tbl.delete_where(spark, "o_orderkey % 5 = 0")
+    before = set(tbl.snapshots())
+    doomed = tbl.expire(keep_from=v3)
+    live = tbl.snapshots()
+    leftover = sum(
+        1 for f in doomed if os.path.exists(os.path.join(tbl.path, f))
+    )
+    tagged_n = tbl.read(spark, as_of=tbl.tags()["audit"]).count()
+    scalars = spark.createDataFrame(
+        [(tagged_n, len(live), len(before) - len(live), leftover)],
+        "tagged_rows long, n_live_snapshots long, "
+        "n_expired_snapshots long, n_leftover_files long",
+    )
+    return (
+        tbl.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+        )
+        .crossJoin(F.broadcast(scalars))
+    )
