@@ -47,6 +47,7 @@ _MODULES = [
     "iceberg_insert_spark.llm.multimodal",
     "iceberg_insert_spark.sources.json_ingest",
     "iceberg_insert_spark.sources.csv_ingest",
+    "iceberg_insert_spark.sources.orc_ingest",
     "iceberg_insert_spark.sources.warehouse_sink",
     "iceberg_insert_spark.sources.schema_evolution",
     "iceberg_insert_spark.sources.partition_evolution",

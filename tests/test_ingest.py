@@ -112,3 +112,30 @@ def test_csv_fixture_semantics(spark):
     # null marker -> real null (i=2: i%7==2); others non-null
     assert rows[2].note is None
     assert rows[3].note is not None
+
+
+def test_orc_roundtrip_pushdown_and_fidelity(spark):
+    """The ORC read-back must (a) push the status filter into the ORC
+    scan (PushedFilters non-empty — stripe-stat skipping at scale) and
+    (b) reproduce the parquet source bit-exactly, nulls and timestamp
+    values included."""
+    from iceberg_insert_spark.tables import load_table, scratch_dir
+
+    from .conftest import SF_DIR
+
+    orc_path = scratch_dir(spark, SF_DIR, "ingest_orc_test")
+    src = load_table(spark, SF_DIR, "orders")
+    src.write.option("compression", "zlib").orc(orc_path)
+    back = spark.read.orc(orc_path).filter(F.col("o_orderstatus") == "F")
+    p = back._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pushed = next(ln for ln in p.splitlines() if "PushedFilters" in ln)
+    assert "o_orderstatus" in pushed, pushed
+    # full-table fidelity: the round trip loses/changes nothing
+    assert (
+        spark.read.orc(orc_path).exceptAll(src).count() == 0
+        and src.exceptAll(spark.read.orc(orc_path)).count() == 0
+    )
