@@ -1,0 +1,155 @@
+"""Graph analytics beyond the dedup suite's connected components and
+PageRank (llm/dedup.py): triangle counting with the degree-ordered
+algorithm — the third classic distributed-graph primitive a curation
+pipeline reaches for (community density, spam-farm detection, clustering
+coefficients over near-dup graphs).
+
+The graph is derived DETERMINISTICALLY from orders with modular
+arithmetic (node ids ``o_orderkey % N`` and ``(o_orderkey div 7) % N``),
+so the identical edge set is expressible in the DuckDB oracle — which
+counts triangles the naive way (3-way self-join with a < b < c) while
+the Spark side runs the scalable degree-ordered plan. Agreement proves
+the ordering trick loses/duplicates nothing.
+
+Scale design (Schank's forward algorithm, the shape GraphX/Trino use):
+orient every undirected edge from its LOWER-(degree, id)-ranked endpoint
+to the higher one. Every triangle then has exactly ONE pivot node with
+two out-edges, so it is counted exactly once — and, crucially, the
+out-degree of any node is bounded by O(sqrt(|E|)) regardless of how
+skewed the raw degree distribution is, which caps the 2-path blowup the
+naive self-join suffers on hub nodes (a celebrity node with degree 10^6
+would otherwise generate 10^12 wedge candidates on one executor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+
+_N = 3000  # modular node-space size: ~15k edges / ~3k nodes at sf0.01
+
+
+@query(
+    "q_graph_triangles",
+    oracle=f"""
+    WITH e AS (
+        SELECT DISTINCT
+            LEAST(o_orderkey % {_N}, (o_orderkey // 7) % {_N}) AS a,
+            GREATEST(o_orderkey % {_N}, (o_orderkey // 7) % {_N}) AS b
+        FROM orders
+        WHERE o_orderkey % {_N} <> (o_orderkey // 7) % {_N}
+    ),
+    deg AS (
+        SELECT n, COUNT(*) AS d
+        FROM (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+        GROUP BY n
+    ),
+    tri AS (
+        SELECT COUNT(*) AS t
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+           (SELECT COUNT(*) FROM e) AS n_edges,
+           (SELECT CAST(t AS BIGINT) FROM tri) AS n_triangles,
+           ROUND(3.0 * (SELECT t FROM tri)
+                 / (SELECT CAST(SUM(d * (d - 1) / 2) AS DOUBLE) FROM deg),
+                 6) AS clustering
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count + global clustering coefficient
+    (3*triangles / wedges) via the degree-ordered forward algorithm;
+    the oracle recounts with the naive a<b<c 3-way self-join.
+
+    Plan: edges dedup (one shuffle on the canonical pair), degree
+    aggregation (shuffle on node), rank join (broadcast — the degree
+    table is |V|-sized), wedge self-join shuffled on the pivot, closure
+    join shuffled on the wedge pair. Every triangle counted exactly
+    once from its pivot; no distinct-after-blowup anywhere.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    u = (F.col("o_orderkey") % _N).cast("long")
+    v = (F.expr("o_orderkey div 7") % _N).cast("long")
+    e = (
+        o.filter(u != v)
+        .select(F.least(u, v).alias("a"), F.greatest(u, v).alias("b"))
+        .distinct()
+    )
+    return triangle_stats(e)
+
+
+def triangle_stats(e: DataFrame) -> DataFrame:
+    """Degree-ordered triangle statistics over an undirected edge frame
+    with columns ``(a, b)`` (any orientation, self-loops and duplicates
+    tolerated — canonicalized here). Returns one row:
+    ``(n_nodes, n_edges, n_triangles, clustering)``. Reusable over any
+    graph the pipeline builds — e.g. the near-dup pair graph."""
+    e = (
+        e.filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    # Undirected degree per node, then a total order (degree, id): the
+    # orientation key. localCheckpoint pins the edge set — degrees and
+    # the two orientation joins must see the identical frame.
+    e = e.localCheckpoint(eager=True)
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # rank = position in the (d, n) total order; dense ids via window
+    # over the |V|-sized degree table (small: one node-space-sized sort).
+    from pyspark.sql import Window
+
+    rank = deg.withColumn(
+        "r", F.row_number().over(Window.orderBy("d", "n"))
+    ).select("n", "d", "r")
+    ra = rank.select(F.col("n").alias("a"), F.col("r").alias("ra"))
+    rb = rank.select(F.col("n").alias("b"), F.col("r").alias("rb"))
+    # Orient each edge low-rank -> high-rank (broadcast: rank is |V| rows)
+    de = (
+        e.join(F.broadcast(ra), "a")
+        .join(F.broadcast(rb), "b")
+        .select(
+            F.least("ra", "rb").alias("u"),
+            F.greatest("ra", "rb").alias("v"),
+        )
+    )
+    # Wedges from each pivot's out-neighborhood (out-degree bounded by
+    # O(sqrt(E)) after orientation), closed against the edge set.
+    x = de.alias("x")
+    y = de.alias("y")
+    wedges = (
+        x.join(y, F.col("x.u") == F.col("y.u"))
+        .filter(F.col("x.v") < F.col("y.v"))
+        .select(F.col("x.v").alias("u"), F.col("y.v").alias("v"))
+    )
+    tri = wedges.join(de, ["u", "v"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    counts = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    nodes = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("_wedges"),
+    )
+    return (
+        nodes.crossJoin(F.broadcast(counts))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            F.round(
+                3.0 * F.col("n_triangles") / F.col("_wedges"), 6
+            ).alias("clustering"),
+        )
+    )

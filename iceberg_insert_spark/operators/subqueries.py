@@ -137,3 +137,40 @@ def q_subq_scalar_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.5*AVG an exact double, so the comparison is engine-stable.
     """
     return _scoped_sql(spark, sf_dir, _SCALAR_CORR_SQL, "lineitem", "part")
+
+
+_LATERAL_SQL = """
+    SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+    FROM {customer} c,
+    LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM {orders} o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2
+    ) t
+    WHERE c.c_custkey % 10 = 7
+"""
+
+
+@query(
+    "q_join_lateral",
+    oracle=_LATERAL_SQL.format(customer="customer", orders="orders"),
+)
+def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join with per-row ORDER BY + LIMIT — the
+    "top-N related rows for each outer row" shape SQL:2003 lateral
+    derived tables exist for. The same text runs on DuckDB; ties break
+    on o_orderkey so the top-2 set is deterministic.
+
+    Scale shape (verified with .explain): Catalyst decorrelates the
+    per-row LIMIT into WindowGroupLimit — a map-side PARTIAL top-2 per
+    custkey before the shuffle, then a final top-2 after — so the
+    orders table is never nested-loop re-scanned per customer (the
+    naive lateral execution), and the outer %10 predicate is
+    transitively pushed into the orders scan. The customer side
+    broadcasts. At 100 TB this is the identical plan a hand-written
+    rank-then-filter would get, with the partial group-limit cutting
+    shuffle volume to <= 2 rows per key.
+    """
+    return _scoped_sql(spark, sf_dir, _LATERAL_SQL, "customer", "orders")
