@@ -2461,47 +2461,100 @@ class SnapshotTable:
                     f"no staged snapshot carries wap_id {wap_id!r}"
                 )
             sv, smeta = staged
-            # base resolved inside the critical section: a concurrent
-            # commit landing before ours is rebased under the
-            # cherry-pick, and none can land between our rebase and
-            # our manifest swap.
-            base = self._latest_published()
-            base_meta = self._meta(base) if base is not None else {}
-            inherited = base_meta.get("files", [])
-            v = self._next_version()
-            pmeta = {
-                "files": inherited + smeta["new_files"],
-                "new_files": smeta["new_files"],
-                "op": "publish",
-                "wap_id": wap_id,
+            return self._apply_onto_main(
+                smeta, op="publish", extra={"wap_id": wap_id}
+            )
+
+    def cherrypick(self, snapshot: int) -> int:
+        """Iceberg's ``cherrypick_snapshot`` for BRANCH commits: apply
+        the given snapshot's OWN added files onto wherever main is NOW —
+        pure metadata, zero data IO, same rebase semantics as WAP
+        ``publish`` (which is this operation keyed by wap_id instead of
+        snapshot id). The hotfix-branch flow: branch, commit the fix,
+        audit the branch read, cherry-pick the fix onto main without
+        replaying the whole branch.
+
+        Only ADDITIVE sources can be cherry-picked (append /
+        branch-append / stage): an overwrite or delete expresses "the
+        table IS this now" relative to ITS base — rebasing that onto a
+        moved main silently resurrects or destroys other commits' rows,
+        so Iceberg refuses, and so does this. Idempotent on the source
+        snapshot id: re-picking returns the existing pick commit (the
+        retry-safe shape — a client that times out and retries cannot
+        double the rows)."""
+        with self._commit_lock():
+            try:
+                smeta = self._meta(snapshot)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"snapshot {snapshot} does not exist — expired or "
+                    "never committed"
+                ) from None
+            if smeta.get("op", "append") not in (
+                "append",
+                "branch-append",
+                "stage",
+            ):
+                raise ValueError(
+                    f"snapshot {snapshot} is op="
+                    f"{smeta.get('op')!r}; only additive snapshots "
+                    "(append/branch-append/stage) can be cherry-picked"
+                )
+            for v in self.snapshots():
+                m = self._meta(v)
+                if (
+                    m.get("op") == "cherry-pick"
+                    and m.get("source_snapshot") == snapshot
+                ):
+                    return v
+            return self._apply_onto_main(
+                smeta,
+                op="cherry-pick",
+                extra={"source_snapshot": snapshot},
+            )
+
+    def _apply_onto_main(self, smeta: dict, op: str, extra: dict) -> int:
+        """Shared publish/cherrypick tail — MUST run inside the commit
+        lock: rebase ``smeta``'s new_files onto the CURRENT main head
+        and commit. A concurrent commit landing before ours is rebased
+        under; none can land between our rebase and our manifest swap."""
+        base = self._latest_published()
+        base_meta = self._meta(base) if base is not None else {}
+        inherited = base_meta.get("files", [])
+        v = self._next_version()
+        pmeta = {
+            "files": inherited + smeta["new_files"],
+            "new_files": smeta["new_files"],
+            "op": op,
+            **extra,
+        }
+        # The pick applies the source files onto CURRENT main, so
+        # main's metadata wins (review catches, both shipped-bug
+        # grade): (a) main's delete_files must carry — dropping them
+        # would resurrect merge-deleted rows the moment a publish or
+        # cherry-pick lands; (b) main's schema/schema_v must carry, not
+        # the source snapshot's — an evolve between stage/branch-commit
+        # and pick would otherwise be silently reverted, and the
+        # source files (seq < schema_v) resolve onto the evolved
+        # schema at read time like any other pre-evolution files.
+        for carry in ("schema", "schema_v", "delete_files"):
+            if carry in base_meta:
+                pmeta[carry] = base_meta[carry]
+            elif carry in smeta and carry != "delete_files":
+                pmeta[carry] = smeta[carry]
+        sparts = smeta.get("file_partitions", {})
+        bparts = base_meta.get("file_partitions", {})
+        if bparts or sparts:
+            inh = set(inherited)
+            pmeta["file_partitions"] = {
+                **{f: p for f, p in bparts.items() if f in inh},
+                **{f: sparts[f] for f in smeta["new_files"] if f in sparts},
             }
-            # The publish applies the staged files onto CURRENT main, so
-            # main's metadata wins (review catches, both shipped-bug
-            # grade): (a) main's delete_files must carry — dropping them
-            # would resurrect merge-deleted rows the moment a WAP
-            # publish lands; (b) main's schema/schema_v must carry, not
-            # the staged snapshot's — an evolve between stage and
-            # publish would otherwise be silently reverted, and the
-            # staged files (seq < schema_v) resolve onto the evolved
-            # schema at read time like any other pre-evolution files.
-            for carry in ("schema", "schema_v", "delete_files"):
-                if carry in base_meta:
-                    pmeta[carry] = base_meta[carry]
-                elif carry in smeta and carry != "delete_files":
-                    pmeta[carry] = smeta[carry]
-            sparts = smeta.get("file_partitions", {})
-            bparts = base_meta.get("file_partitions", {})
-            if bparts or sparts:
-                inh = set(inherited)
-                pmeta["file_partitions"] = {
-                    **{f: p for f, p in bparts.items() if f in inh},
-                    **{f: sparts[f] for f in smeta["new_files"] if f in sparts},
-                }
-                pmeta["partition_by"] = base_meta.get(
-                    "partition_by"
-                ) or smeta.get("partition_by", [])
-            self._write_manifest(v, pmeta)
-            return v
+            pmeta["partition_by"] = base_meta.get(
+                "partition_by"
+            ) or smeta.get("partition_by", [])
+        self._write_manifest(v, pmeta)
+        return v
 
     def _latest_published(self) -> int | None:
         """Newest main-branch (non-staged, non-branch) snapshot, or
@@ -5125,6 +5178,68 @@ def q_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(tagged_n, len(live), len(before) - len(live), leftover)],
         "tagged_rows long, n_live_snapshots long, "
         "n_expired_snapshots long, n_leftover_files long",
+    )
+    return (
+        tbl.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+        )
+        .crossJoin(F.broadcast(scalars))
+    )
+
+
+@query(
+    "q_snapshot_cherrypick",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_price,
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 < 2)
+               AS branch_rows,
+           'cherry-pick' AS head_op,
+           CAST(1 AS BIGINT) AS idempotent
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_snapshot_cherrypick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch-to-main ``cherrypick_snapshot``, DuckDB-oracled end to
+    end — the hotfix flow the reference's blind append can't express:
+    main lands %3 = 0, a 'hotfix' branch forks and commits %3 = 1
+    OFF-main, main advances independently with %3 = 2, then the branch
+    commit is cherry-picked onto main. The oracle pins the rebase
+    semantics: main must now hold ALL of orders (the pick applied the
+    branch's files onto the MOVED head, not its fork point),
+    ``branch_rows`` proves the branch itself is untouched (%3 < 2 —
+    picks don't fast-forward the source ref), ``head_op`` comes from
+    the history metadata, and ``idempotent`` re-picks the same source
+    and must land on the SAME commit (retry safety).
+
+    Scale shape: the pick is one manifest rebase under the commit lock
+    — zero data IO at any table size; the idempotency scan is
+    manifest-JSON-only, bounded by history length in KBs.
+    """
+    from ..tables import scratch_dir
+
+    path = scratch_dir(spark, sf_dir, "snapshot_cherrypick")
+    o = load_table(spark, sf_dir, "orders")
+    tbl = SnapshotTable(path)
+    tbl.append(o.filter(F.col("o_orderkey") % 3 == 0))
+    tbl.create_branch("hotfix")
+    bv = tbl.append_to_branch(
+        o.filter(F.col("o_orderkey") % 3 == 1), "hotfix"
+    )
+    tbl.append(o.filter(F.col("o_orderkey") % 3 == 2))
+    pick = tbl.cherrypick(bv)
+    idem = 1 if tbl.cherrypick(bv) == pick else 0
+    head_op = tbl.history()[-1][1]
+    branch_n = tbl.read_branch(spark, "hotfix").count()
+    scalars = spark.createDataFrame(
+        [(branch_n, head_op, idem)],
+        "branch_rows long, head_op string, idempotent long",
     )
     return (
         tbl.read(spark)

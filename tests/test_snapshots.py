@@ -3021,3 +3021,48 @@ def test_not_null_pruning_drops_all_null_files(spark, tmp_path):
     kept2, total2 = tbl.plan_files(not_null=["note"])
     assert total2 == 4 and len(kept2) == 3
     assert tbl.read(spark, not_null=["note"]).count() == want
+
+
+def test_cherrypick_rejects_non_additive_and_missing(spark, tmp_path):
+    o, tbl = _build(spark, tmp_path)
+    ow = tbl.overwrite(o.filter(F.col("o_orderkey") % 5 == 0))
+    with pytest.raises(ValueError, match="additive"):
+        tbl.cherrypick(ow)
+    with pytest.raises(ValueError, match="does not exist"):
+        tbl.cherrypick(999)
+
+
+def test_cherrypick_carries_main_deletes(spark, tmp_path):
+    """A cherry-pick onto a main with live MoR delete files must carry
+    them — dropping them would resurrect the deleted rows."""
+    o = load_table(spark, SF_DIR, "orders")
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.append(o.filter(F.col("o_orderkey") % 3 == 0))
+    tbl.create_branch("fix")
+    bv = tbl.append_to_branch(o.filter(F.col("o_orderkey") % 3 == 1), "fix")
+    tbl.delete_where(spark, "o_orderkey % 6 = 0", strategy="mor")
+    tbl.cherrypick(bv)
+    got = {r.o_orderkey for r in tbl.read(spark).select("o_orderkey").collect()}
+    want = {
+        r.o_orderkey
+        for r in o.filter(
+            (F.col("o_orderkey") % 3 < 2) & (F.col("o_orderkey") % 6 != 0)
+        ).select("o_orderkey").collect()
+    }
+    assert got == want
+
+
+def test_cherrypick_idempotent_and_branch_untouched(spark, tmp_path):
+    o = load_table(spark, SF_DIR, "orders")
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.append(o.filter(F.col("o_orderkey") % 3 == 0))
+    tbl.create_branch("fix")
+    bv = tbl.append_to_branch(o.filter(F.col("o_orderkey") % 3 == 1), "fix")
+    head_before = tbl._branch_head("fix")
+    p1 = tbl.cherrypick(bv)
+    p2 = tbl.cherrypick(bv)
+    assert p1 == p2
+    assert tbl._branch_head("fix") == head_before
+    assert tbl.read(spark).count() == o.filter(
+        F.col("o_orderkey") % 3 < 2
+    ).count()
