@@ -1579,3 +1579,159 @@ def q_docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("raw", F.lit(PII_PHONE_RE)).alias("n_phones"),
         F.md5(scrubbed).alias("scrubbed_md5"),
     )
+
+
+# Weighted (Poisson) sampling: inclusion probability proportional to doc
+# length, capped at 1. W_CAP is the weight at which a document is always
+# kept; the u16 hash grid gives pi a 1/65536 resolution. Chosen so the
+# keep rule and pi are EXACT integer arithmetic in both engines.
+WSAMPLE_CAP = 400
+
+
+@query(
+    "q_docs_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars,
+           LEAST(1000000, n_chars * 2500) AS pi_ppm
+    FROM documents
+    WHERE CAST(CONCAT('0x',
+               SUBSTR(md5(CAST(doc_id AS VARCHAR) || '#wsample'), 1, 4))
+               AS BIGINT) * {WSAMPLE_CAP}
+          < n_chars * 65536
+    """,
+)
+def q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED sampling (Poisson/Bernoulli with inclusion
+    probability pi_i = min(1, n_chars / WSAMPLE_CAP)) — the
+    quality/length-weighted subsampling step of training-data curation,
+    completing the repo's sampling family (uniform q_sample, stratified
+    q_docs_stratified, split q_docs_split_hash) with the
+    unequal-probability flavor.
+
+    The keep decision is exact integer math on a keyed md5 uniform:
+    u16 in [0, 65535] from the first 4 hex chars, kept iff
+    u16 * W_CAP < w_i * 65536  (one cross-multiplication, no float ever
+    enters), so both engines select the IDENTICAL rows and reruns are
+    stable across cluster sizes. The shipped pi_ppm column is what a
+    Horvitz-Thompson estimator downstream divides by (sum over the sample
+    of x_i/pi_i unbiasedly estimates the corpus total) — also exact
+    integer ppm, since WSAMPLE_CAP divides 10^6 * n_chars evenly.
+
+    Scale shape: a row-local filter + projection inside the scan's
+    whole-stage codegen — zero shuffles, zero driver state; at 100 TB the
+    sample streams out at scan speed, and membership never reshuffles
+    when new documents arrive (hash of the key, not of the rowset).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    u16 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#wsample"))),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return d.filter(u16 * WSAMPLE_CAP < F.col("n_chars") * 65536).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.least(F.lit(1000000).cast("long"), F.col("n_chars") * 2500).alias(
+            "pi_ppm"
+        ),
+    )
+
+
+@query(
+    "q_text_fuzzy_join",
+    oracle="""
+    WITH tok AS (
+        SELECT token, COUNT(*) AS tf
+        FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)
+        GROUP BY token
+    )
+    SELECT a.token AS token_a, b.token AS token_b,
+           a.tf AS tf_a, b.tf AS tf_b,
+           levenshtein(a.token, b.token) AS dist
+    FROM tok a JOIN tok b
+      ON a.token < b.token
+     AND levenshtein(a.token, b.token) <= 2
+    """,
+)
+def q_text_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-join of the corpus vocabulary: all token pairs within
+    edit distance 2, found by SYMMETRIC-DELETE blocking (SymSpell): each
+    token emits its identity plus every 1- and 2-character-deletion
+    variant as candidate keys; only pairs sharing a key are verified with
+    the exact levenshtein — the typo-mining / spelling-normalization
+    primitive of text curation.
+
+    Correctness rests on the symmetric-delete guarantee: if
+    lev(a, b) <= d then deleting at most d chars from each side reaches a
+    common string, so every true pair shares at least one blocking key
+    and the verified result equals the oracle's exhaustive O(V^2) cross
+    join exactly.
+
+    Scale shape: candidate generation is O(V * L^2) rows (L = token
+    length, key arrays deduped with array_union) shuffled on the blocking
+    key — replacing the quadratic all-pairs compare that is infeasible at
+    a 100 TB corpus's vocabulary; the expensive levenshtein runs only on
+    co-bucketed candidates, and the hot short-key buckets are bounded by
+    the alphabet, not the corpus. All JVM expressions (transform /
+    flatten / array_union inside codegen), no Python.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n = F.length("token")
+    del1 = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat(
+            F.substr(F.col("token"), F.lit(1), i - 1),
+            F.substr(F.col("token"), i + 1, n),
+        ),
+    )
+    # 2-deletions: delete positions i < j of the original token ==
+    # delete i from the 1-deletion at j; generating from the original
+    # keeps the expression flat: for each j, for each i < j.
+    del2 = F.flatten(
+        F.transform(
+            F.sequence(F.lit(2), F.greatest(n, F.lit(2))),
+            lambda j: F.transform(
+                F.sequence(F.lit(1), j - 1),
+                lambda i: F.concat(
+                    F.substr(F.col("token"), F.lit(1), i - 1),
+                    F.substr(F.col("token"), i + 1, j - i - 1),
+                    F.substr(F.col("token"), j + 1, n),
+                ),
+            ),
+        )
+    )
+    keys = F.array_union(
+        F.array(F.col("token")),
+        F.array_union(del1, F.when(n >= 2, del2).otherwise(F.array())),
+    )
+    k = tok.select("token", "tf", F.explode(keys).alias("bkey"))
+    a = k.select(
+        F.col("token").alias("token_a"),
+        F.col("tf").alias("tf_a"),
+        "bkey",
+    )
+    b = k.select(
+        F.col("token").alias("token_b"),
+        F.col("tf").alias("tf_b"),
+        "bkey",
+    )
+    cand = (
+        a.join(b, ["bkey"])
+        .filter(F.col("token_a") < F.col("token_b"))
+        .drop("bkey")
+        .distinct()
+    )
+    dist = F.levenshtein("token_a", "token_b")
+    return cand.filter(dist <= 2).withColumn(
+        "dist", dist.cast("bigint")
+    )

@@ -1,0 +1,106 @@
+"""Targeted semantics for the sampling + fuzzy-join text operators.
+
+The oracle gate (test_oracle.py) proves engine parity on the fixture; these
+tests pin the ALGORITHMIC claims: the symmetric-delete blocking loses no
+pair the exhaustive compare finds (on a crafted vocabulary with every edit
+class), and the weighted sample's keep rule is the documented exact integer
+function of (key, weight).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from iceberg_insert_spark.llm.text import WSAMPLE_CAP
+from iceberg_insert_spark.registry import get_queries
+
+from .conftest import SF_DIR
+
+QUERIES = get_queries()
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_join_complete_vs_bruteforce(spark, tmp_path):
+    """Crafted vocabulary exercising every edit class within distance 2 —
+    substitution, insertion, deletion, double-substitution, transposition
+    (= 2 substitutions for levenshtein), length-1/2 tokens, repeated
+    characters — plus pairs at distance 3+ that must NOT appear. The
+    blocked result must equal the exhaustive O(V^2) compare exactly."""
+    words = [
+        "cat", "cut", "cart", "at", "a", "ab", "ba", "scan", "scans",
+        "aaaa", "aaab", "abba", "join", "jion", "windmill", "table",
+    ]
+    docs = spark.createDataFrame(
+        [(i, w, "en", "src", len(w)) for i, w in enumerate(words)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "sf")
+    docs.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    got = {
+        (r.token_a, r.token_b, r.dist)
+        for r in QUERIES["q_text_fuzzy_join"](spark, sf).collect()
+    }
+    want = {
+        (a, b, _lev(a, b))
+        for a in words
+        for b in words
+        if a < b and _lev(a, b) <= 2
+    }
+    assert got == want
+    # sanity: the crafted set really exercises distances 1 and 2
+    assert {d for (_, _, d) in want} == {1, 2}
+
+
+def test_weighted_sample_rule_exact_and_cap(spark):
+    """Re-derive the keep decision per doc in Python (md5 + one integer
+    cross-multiplication) and demand the query selected exactly that set;
+    docs at/above the weight cap are always kept and carry pi_ppm == 1e6."""
+    out = QUERIES["q_docs_weighted_sample"](spark, SF_DIR).collect()
+    docs = {
+        r.doc_id: r.n_chars
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+
+    def kept(doc_id: int, w: int) -> bool:
+        u16 = int(
+            hashlib.md5(f"{doc_id}#wsample".encode()).hexdigest()[:4], 16
+        )
+        return u16 * WSAMPLE_CAP < w * 65536
+
+    want = {d for d, w in docs.items() if kept(d, w)}
+    assert {r.doc_id for r in out} == want
+    assert any(w >= WSAMPLE_CAP for w in docs.values())
+    for r in out:
+        assert r.pi_ppm == min(10**6, r.n_chars * 2500)
+        if r.n_chars >= WSAMPLE_CAP:
+            assert r.pi_ppm == 10**6
+    # every at-or-above-cap doc is in the sample (pi == 1)
+    assert all(d in want for d, w in docs.items() if w >= WSAMPLE_CAP)
+
+
+def test_fuzzy_join_plan_is_blocked_not_crossjoin(spark):
+    """The physical plan must join on the blocking key — no cartesian
+    product anywhere (the O(V^2) shape the operator exists to avoid)."""
+    plan = (
+        QUERIES["q_text_fuzzy_join"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
