@@ -55,6 +55,7 @@ _MODULES = [
     "iceberg_insert_spark.sources.snapshots",
     "iceberg_insert_spark.sources.row_deletes",
     "iceberg_insert_spark.sources.incremental_mv",
+    "iceberg_insert_spark.sources.catalog",
     "iceberg_insert_spark.sources.file_stats",
 ]
 

@@ -1,0 +1,157 @@
+"""LocalCatalog semantics: namespace rules, create/load/list, metadata-only
+rename, drop with and without purge, properties, and lock contention."""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_insert_spark.sources.catalog import LocalCatalog
+
+from .conftest import SF_DIR
+
+
+def _orders(spark):
+    return spark.read.parquet(f"{SF_DIR}/orders.parquet")
+
+
+def test_namespace_rules(tmp_path):
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("db")
+    with pytest.raises(ValueError, match="already exists"):
+        cat.create_namespace("db")
+    with pytest.raises(ValueError, match="does not exist"):
+        cat.create_table("nope.t")
+    with pytest.raises(ValueError, match="invalid namespace"):
+        cat.create_namespace("bad name")
+    assert cat.list_namespaces() == ["db"]
+    cat.drop_namespace("db")
+    assert cat.list_namespaces() == []
+    with pytest.raises(ValueError, match="does not exist"):
+        cat.drop_namespace("db")
+
+
+def test_create_load_list_and_kwargs_roundtrip(spark, tmp_path):
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("db")
+    t = cat.create_table("db.orders", stats_cols=["o_orderkey"])
+    o = _orders(spark)
+    t.append(o.limit(100))
+    # load_table reconstructs the SAME table configuration
+    t2 = cat.load_table("db.orders")
+    assert t2.path == t.path
+    assert t2.stats_cols == ["o_orderkey"]
+    assert t2.read(spark).count() == 100
+    assert cat.list_tables() == ["db.orders"]
+    assert cat.list_tables("db") == ["db.orders"]
+    assert cat.list_tables("other") == []
+    assert cat.table_exists("db.orders")
+    with pytest.raises(ValueError, match="already exists"):
+        cat.create_table("db.orders")
+    with pytest.raises(ValueError, match="must be"):
+        cat.create_table("flat_name")
+
+
+def test_rename_is_metadata_only(spark, tmp_path):
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("raw")
+    cat.create_namespace("curated")
+    t = cat.create_table("raw.t")
+    o = _orders(spark)
+    t.append(o.filter(F.col("o_orderkey") % 2 == 0))
+    v2 = t.append(o.filter(F.col("o_orderkey") % 2 == 1))
+    loc_before = cat._entry("raw.t")["location"]
+    cat.rename_table("raw.t", "curated.t")
+    assert not cat.table_exists("raw.t")
+    ent = cat._entry("curated.t")
+    # the pointer moved; the data location and full history did not
+    assert ent["location"] == loc_before
+    t2 = cat.load_table("curated.t")
+    assert t2.snapshots()[-1] == v2
+    assert t2.read(spark).count() == o.count()
+    # time travel across the rename still works
+    assert t2.read(spark, as_of=t2.snapshots()[0]).count() == o.filter(
+        F.col("o_orderkey") % 2 == 0
+    ).count()
+    with pytest.raises(ValueError, match="does not exist"):
+        cat.rename_table("raw.t", "curated.other")
+    cat.create_table("raw.t")  # old identifier is free again
+    with pytest.raises(ValueError, match="already exists"):
+        cat.rename_table("raw.t", "curated.t")
+
+
+def test_drop_with_and_without_purge(spark, tmp_path):
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("db")
+    t = cat.create_table("db.keep_data")
+    t.append(_orders(spark).limit(10))
+    loc = cat._entry("db.keep_data")["location"]
+    cat.drop_table("db.keep_data")
+    assert not cat.table_exists("db.keep_data")
+    assert os.path.isdir(loc)  # external-table drop keeps the files
+    assert SnapshotTableLike(loc, spark).count() == 10
+
+    t2 = cat.create_table("db.purge_me")
+    t2.append(_orders(spark).limit(10))
+    loc2 = cat._entry("db.purge_me")["location"]
+    cat.drop_table("db.purge_me", purge=True)
+    assert not os.path.exists(loc2)
+    with pytest.raises(ValueError, match="does not exist"):
+        cat.drop_table("db.purge_me")
+    # a namespace holding tables refuses to drop
+    cat.create_table("db.t")
+    with pytest.raises(ValueError, match="not empty"):
+        cat.drop_namespace("db")
+
+
+def SnapshotTableLike(loc, spark):
+    from iceberg_insert_spark.sources.snapshots import SnapshotTable
+
+    return SnapshotTable(loc).read(spark)
+
+
+def test_properties_update_remove(tmp_path):
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("db")
+    cat.create_table("db.t", properties={"owner": "etl"})
+    assert cat.properties("db.t") == {"owner": "etl"}
+    got = cat.update_properties(
+        "db.t", updates={"retention": "7d"}, removes=["owner"]
+    )
+    assert got == {"retention": "7d"}
+    assert cat.properties("db.t") == {"retention": "7d"}
+
+
+def test_concurrent_creates_one_winner(tmp_path):
+    """8 threads race to create the same identifier: exactly one wins,
+    the rest get the clean already-exists error — the registry CAS."""
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("db")
+
+    def attempt(i):
+        try:
+            LocalCatalog(str(tmp_path)).create_table("db.raced")
+            return "won"
+        except ValueError as e:
+            assert "already exists" in str(e)
+            return "lost"
+
+    with ThreadPoolExecutor(8) as ex:
+        results = list(ex.map(attempt, range(8)))
+    assert results.count("won") == 1
+    assert cat.list_tables() == ["db.raced"]
+
+
+def test_concurrent_distinct_creates_all_land(tmp_path):
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("db")
+
+    def create(i):
+        LocalCatalog(str(tmp_path)).create_table(f"db.t{i}")
+
+    with ThreadPoolExecutor(8) as ex:
+        list(ex.map(create, range(8)))
+    assert cat.list_tables() == [f"db.t{i}" for i in range(8)]
