@@ -1735,3 +1735,64 @@ def q_text_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(dist <= 2).withColumn(
         "dist", dist.cast("bigint")
     )
+
+
+# Phrase searched by q_text_phrase_search — two adjacent tokens, distinct
+# by construction so occurrences can never overlap.
+PHRASE = ("key", "agg")
+
+
+@query(
+    "q_text_phrase_search",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+    ), hits AS (
+        SELECT doc_id,
+               list_filter(range(1, len(toks)),
+                           i -> toks[i] = '{PHRASE[0]}'
+                            AND toks[i + 1] = '{PHRASE[1]}') AS ps
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(len(ps) AS BIGINT) AS n_hits,
+           CAST(ps[1] - 1 AS BIGINT) AS first_pos
+    FROM hits WHERE len(ps) > 0
+    """,
+)
+def q_text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search — the inverted-index probe: tokenize with
+    positions (posexplode), select each phrase term's posting list, and
+    join on (doc, adjacent position); per matching doc ship the hit count
+    and the first occurrence's 0-based token position. The oracle is an
+    independent serial implementation (DuckDB list lambda over the token
+    array), not the same join transcribed.
+
+    Scale shape: at 100 TB the (token, doc_id, pos) frame is the posting
+    -list table you materialize ONCE into a partitioned/bucketed
+    SnapshotTable keyed by token, so a phrase probe reads only its terms'
+    buckets; the k-way positional join is driven by the rarest term and
+    each equality+adjacency join is a hash join on (doc_id) with the
+    position offset as residual — never a cartesian. Term selectivity
+    filters push into the scan here (PushedFilters on the generated
+    column after materialization).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+    t1 = tok.filter(F.col("token") == PHRASE[0]).select(
+        "doc_id", F.col("pos").alias("p1")
+    )
+    t2 = tok.filter(F.col("token") == PHRASE[1]).select(
+        F.col("doc_id").alias("doc_id2"), F.col("pos").alias("p2")
+    )
+    hits = t1.join(
+        t2,
+        (F.col("doc_id") == F.col("doc_id2"))
+        & (F.col("p2") == F.col("p1") + 1),
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.min("p1").cast("bigint").alias("first_pos"),
+    )

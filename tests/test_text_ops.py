@@ -104,3 +104,44 @@ def test_fuzzy_join_plan_is_blocked_not_crossjoin(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_phrase_search_edges_vs_python(spark, tmp_path):
+    """Crafted corpus: phrase at token 0, at the very end, repeated
+    back-to-back occurrences, terms present but never adjacent, reversed
+    order, and a doc with no terms at all — counts and first positions
+    must match a serial Python scan."""
+    from iceberg_insert_spark.llm.text import PHRASE
+
+    a, b = PHRASE
+    texts = [
+        f"{a} {b} tail words here",            # at start
+        f"lead words {a} {b}",                 # at end
+        f"{a} {b} {a} {b} {a} {b}",            # back-to-back repeats
+        f"{a} x {b} {a} y {b}",                # present, never adjacent
+        f"{b} {a} {b} {a}",                    # reversed pairs; one fwd hit inside
+        "nothing relevant at all",
+        f"{a}",                                # lone first term
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "sf")
+    docs.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    got = {
+        r.doc_id: (r.n_hits, r.first_pos)
+        for r in QUERIES["q_text_phrase_search"](spark, sf).collect()
+    }
+    want = {}
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        ps = [
+            j
+            for j in range(len(toks) - 1)
+            if toks[j] == a and toks[j + 1] == b
+        ]
+        if ps:
+            want[i] = (len(ps), ps[0])
+    assert got == want
+    assert want == {0: (1, 0), 1: (1, 2), 2: (3, 0), 4: (1, 1)}
