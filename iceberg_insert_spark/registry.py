@@ -56,6 +56,7 @@ _MODULES = [
     "iceberg_insert_spark.sources.row_deletes",
     "iceberg_insert_spark.sources.incremental_mv",
     "iceberg_insert_spark.sources.catalog",
+    "iceberg_insert_spark.sources.result_cache",
     "iceberg_insert_spark.sources.file_stats",
 ]
 

@@ -2961,6 +2961,86 @@ class SnapshotTable:
                 pass
         return sorted(removed)
 
+    def maintain(
+        self,
+        spark: SparkSession,
+        max_live_files: int = 8,
+        target_files: int = 1,
+        sort_by: list[str] | None = None,
+        keep_last: int | None = None,
+        expire_older_than_sec: float | None = None,
+        orphan_grace_sec: float = 3600.0,
+        now: float | None = None,
+    ) -> dict:
+        """One-call maintenance policy runner — the scheduled-job
+        composition of the table's maintenance actions (what an Iceberg
+        deployment wires into Airflow: rewriteDataFiles +
+        expire_snapshots + remove_orphan_files), with a report of what
+        each action did. Conditional and ordered deliberately:
+
+        * **compact first**, and only when the live snapshot holds more
+          than ``max_live_files`` data files — compaction is the
+          expensive data-IO step, the threshold keeps steady-state runs
+          metadata-only, and compacting BEFORE expiry makes the small
+          pre-compaction files reclaimable in the same pass once the
+          retention window moves past the replace commit;
+        * **expire second** (``keep_last`` newest snapshots, or
+          ``expire_older_than_sec`` of history; both honor tag/branch
+          pins via ``expire``'s own rules);
+        * **orphan sweep last**, inside the same wall-clock ``now`` so
+          test and replay runs are deterministic.
+
+        Idempotent by construction: a second run under the same policy
+        finds nothing over-threshold, nothing expirable, nothing
+        orphaned, and reports all no-ops. Every step inherits its
+        action's own concurrency contract (compact's expected_base
+        validation, expire/orphan reachability under the commit lock).
+        """
+        import time as _time
+
+        if now is None:
+            now = _time.time()
+        latest = self._latest_published()
+        if latest is None:
+            raise ValueError("nothing published to maintain")
+        files_before = len(self._manifest(latest))
+        report: dict = {
+            "files_before": files_before,
+            "compacted_to": None,
+            "expired_snapshots": [],
+            "reclaimed_files": [],
+            "orphans_removed": [],
+        }
+        if files_before > max_live_files:
+            report["compacted_to"] = self.compact(
+                spark, target_files=target_files, sort_by=sort_by
+            )
+        before = set(self.snapshots())
+        if keep_last is not None and expire_older_than_sec is not None:
+            raise ValueError(
+                "pass keep_last OR expire_older_than_sec, not both"
+            )
+        if keep_last is not None:
+            if keep_last < 1:
+                raise ValueError("keep_last must be >= 1")
+            snaps = self.snapshots()
+            if len(snaps) > keep_last:
+                report["reclaimed_files"] = self.expire(
+                    keep_from=snaps[-keep_last]
+                )
+        elif expire_older_than_sec is not None:
+            report["reclaimed_files"] = self.expire_older_than(
+                now - expire_older_than_sec
+            )
+        report["expired_snapshots"] = sorted(before - set(self.snapshots()))
+        report["orphans_removed"] = self.remove_orphan_files(
+            orphan_grace_sec, now=now
+        )
+        report["files_after"] = len(
+            self._manifest(self._latest_published())
+        )
+        return report
+
     # -- named refs (Iceberg TAGS): immutable pins for reproducible
     #    dataset versions ---------------------------------------------
 
