@@ -1584,15 +1584,18 @@ def q_docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Weighted (Poisson) sampling: inclusion probability proportional to doc
 # length, capped at 1. W_CAP is the weight at which a document is always
 # kept; the u16 hash grid gives pi a 1/65536 resolution. Chosen so the
-# keep rule and pi are EXACT integer arithmetic in both engines.
+# keep rule and pi are EXACT integer arithmetic in both engines
+# (W_CAP must divide 10^6 so pi_ppm is an integer).
 WSAMPLE_CAP = 400
+WSAMPLE_PPM_MULT = 10**6 // WSAMPLE_CAP
+assert WSAMPLE_PPM_MULT * WSAMPLE_CAP == 10**6
 
 
 @query(
     "q_docs_weighted_sample",
     oracle=f"""
     SELECT doc_id, lang, n_chars,
-           LEAST(1000000, n_chars * 2500) AS pi_ppm
+           LEAST(1000000, n_chars * {WSAMPLE_PPM_MULT}) AS pi_ppm
     FROM documents
     WHERE CAST(CONCAT('0x',
                SUBSTR(md5(CAST(doc_id AS VARCHAR) || '#wsample'), 1, 4))
@@ -1636,9 +1639,10 @@ def q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         "n_chars",
-        F.least(F.lit(1000000).cast("long"), F.col("n_chars") * 2500).alias(
-            "pi_ppm"
-        ),
+        F.least(
+            F.lit(1000000).cast("long"),
+            F.col("n_chars") * WSAMPLE_PPM_MULT,
+        ).alias("pi_ppm"),
     )
 
 

@@ -83,14 +83,20 @@ class LocalCatalog:
     def _lock(self):
         """O_EXCL metadata lock, held for one registry read-modify-write
         (microseconds). Stale debris (crashed holder) is broken by an
-        atomic rename so exactly one of N waiters wins the break."""
+        atomic rename so exactly one of N waiters wins the break; the
+        lock file carries its holder's token and release removes it
+        only if STILL OURS (review catch, the same rule _commit_lock
+        documents: after a stale break our path may hold a NEW holder's
+        lock, and an unconditional remove would admit a third writer
+        mid-critical-section)."""
+        token = f"{os.getpid()}-{threading.get_ident()}-{time.time_ns()}"
         deadline = time.monotonic() + self.LOCK_STALE_SEC + 5
         while True:
             try:
                 fd = os.open(
                     self._lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
                 )
-                os.write(fd, f"{os.getpid()}".encode())
+                os.write(fd, token.encode())
                 os.close(fd)
                 break
             except FileExistsError:
@@ -117,7 +123,10 @@ class LocalCatalog:
             yield
         finally:
             try:
-                os.remove(self._lock_path)
+                with open(self._lock_path) as fh:
+                    still_ours = fh.read() == token
+                if still_ours:
+                    os.remove(self._lock_path)
             except FileNotFoundError:
                 pass
 
@@ -217,10 +226,10 @@ class LocalCatalog:
 
     def drop_table(self, ident: str, purge: bool = False) -> None:
         with self._lock():
-            ent = self._read()["tables"].get(ident)
+            reg = self._read()
+            ent = reg["tables"].get(ident)
             if ent is None:
                 raise ValueError(f"table {ident!r} does not exist")
-            reg = self._read()
             reg["tables"].pop(ident)
             self._write(reg)
         # data IO stays outside the metadata critical section
@@ -288,13 +297,18 @@ def q_catalog_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.create_namespace("curated")
     o = load_table(spark, sf_dir, "orders")
 
-    t0 = cat.create_table("raw.orders_mod0")
+    # stats_cols makes every append record per-file ::rows footer
+    # counts, so the listing's count_rows below is answered from
+    # manifest metadata — without it the claim would full-scan
+    # (review catch)
+    kw = {"stats_cols": ["o_orderkey"]}
+    t0 = cat.create_table("raw.orders_mod0", **kw)
     t0.append(o.filter(F.col("o_orderkey") % 3 == 0))
-    t1 = cat.create_table("raw.orders_big")
+    t1 = cat.create_table("raw.orders_big", **kw)
     t1.append(o.filter(F.col("o_orderkey") % 3 != 0))
-    t2 = cat.create_table("curated.orders_all")
+    t2 = cat.create_table("curated.orders_all", **kw)
     t2.append(o)
-    tmp = cat.create_table("raw.scratch_tmp")
+    tmp = cat.create_table("raw.scratch_tmp", **kw)
     tmp.append(o.limit(10))
 
     cat.rename_table("raw.orders_big", "curated.orders_rest")

@@ -88,12 +88,19 @@ class SnapshotResultCache:
             if "@v" in e and ".tmp-" not in e
         )
 
-    def sweep(self, keep_versions: int = 1) -> list[str]:
+    def sweep(
+        self, keep_versions: int = 1, tmp_grace_sec: float = 3600.0
+    ) -> list[str]:
         """Space reclaim (correctness never needs it): per tag, keep the
         entries for the ``keep_versions`` newest cached versions and
         remove the rest — old entries are still CORRECT (their snapshots
         are immutable) but typically unreachable once dashboards move to
-        the live view."""
+        the live view. Also reclaims crashed-writer ``.tmp-*`` dirs
+        (died between the parquet write and the publish rename) older
+        than ``tmp_grace_sec`` — the grace window keeps an IN-FLIGHT
+        computer's temp alive, same contract as remove_orphan_files."""
+        import time
+
         by_tag: dict[str, list[tuple[int, str]]] = {}
         for e in self.entries():
             tag, _, v = e.rpartition("@v")
@@ -106,6 +113,17 @@ class SnapshotResultCache:
                     os.path.join(self.cache_dir, e), ignore_errors=True
                 )
                 removed.append(e)
+        cutoff = time.time() - tmp_grace_sec
+        for e in os.listdir(self.cache_dir):
+            if ".tmp-" not in e:
+                continue
+            p = os.path.join(self.cache_dir, e)
+            try:
+                if os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+                    removed.append(e)
+            except FileNotFoundError:
+                pass
         return sorted(removed)
 
 

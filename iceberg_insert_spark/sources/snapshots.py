@@ -2521,6 +2521,21 @@ class SnapshotTable:
         base = self._latest_published()
         base_meta = self._meta(base) if base is not None else {}
         inherited = base_meta.get("files", [])
+        # Already-applied guard (review catch, silent-duplication
+        # grade): a pick whose files are ALREADY on main — a main-
+        # ancestor append, or a staged snapshot someone published —
+        # would list those files twice in the new manifest and every
+        # read would double-count their rows. publish()'s wap_id scan
+        # catches the publish-retry case before reaching here; this
+        # catches everything else, exactly as Iceberg refuses to
+        # cherry-pick an already-published snapshot.
+        dup = set(smeta["new_files"]) & set(inherited)
+        if dup:
+            raise ValueError(
+                f"cannot {op}: {len(dup)} of the snapshot's files are "
+                "already present on main (main-ancestor or already "
+                "applied) — applying again would duplicate their rows"
+            )
         v = self._next_version()
         pmeta = {
             "files": inherited + smeta["new_files"],
@@ -2998,6 +3013,15 @@ class SnapshotTable:
         """
         import time as _time
 
+        # policy validation BEFORE any action commits (review catch:
+        # validated after compact(), a rejected call had already
+        # rewritten the table's data files)
+        if keep_last is not None and expire_older_than_sec is not None:
+            raise ValueError(
+                "pass keep_last OR expire_older_than_sec, not both"
+            )
+        if keep_last is not None and keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
         if now is None:
             now = _time.time()
         latest = self._latest_published()
@@ -3016,17 +3040,23 @@ class SnapshotTable:
                 spark, target_files=target_files, sort_by=sort_by
             )
         before = set(self.snapshots())
-        if keep_last is not None and expire_older_than_sec is not None:
-            raise ValueError(
-                "pass keep_last OR expire_older_than_sec, not both"
-            )
         if keep_last is not None:
-            if keep_last < 1:
-                raise ValueError("keep_last must be >= 1")
-            snaps = self.snapshots()
-            if len(snaps) > keep_last:
+            # keep_last counts PUBLISHED main snapshots (review catch,
+            # data-loss grade: self.snapshots() includes staged/branch
+            # snapshots, so a fresh stage() or branch commit at the
+            # newest version would push keep_from PAST the live main
+            # head and expire it — permanent loss of the main state).
+            # keep_from = the keep_last-th newest published snapshot;
+            # expire's own rules keep everything >= it plus ref pins.
+            published = [
+                v
+                for v in self.snapshots()
+                if self._meta(v).get("op", "append")
+                not in ("stage", "branch-append")
+            ]
+            if len(published) > keep_last:
                 report["reclaimed_files"] = self.expire(
-                    keep_from=snaps[-keep_last]
+                    keep_from=published[-keep_last]
                 )
         elif expire_older_than_sec is not None:
             report["reclaimed_files"] = self.expire_older_than(

@@ -134,3 +134,90 @@ def test_result_cache_empty_result_and_tag_rules(spark, tmp_path):
     ]
     with pytest.raises(ValueError, match="plain name"):
         cache.get_or_compute(spark, "../evil", none_match)
+
+
+def test_maintain_keep_last_ignores_staged_and_branch_heads(spark, tmp_path):
+    """Review regression (data-loss grade): keep_last counts PUBLISHED
+    snapshots — a staged WAP commit or branch append at the newest
+    version must not push the retention point past the live main head."""
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    o = _orders(spark)
+    tbl.append(o.filter(F.col("o_orderkey") % 2 == 0))
+    v_main = tbl.append(o.filter(F.col("o_orderkey") % 2 == 1))
+    main_count = tbl.read(spark).count()
+    tbl.stage_append(o.limit(5), wap_id="audit-1")
+    tbl.create_branch("b")
+    tbl.append_to_branch(o.limit(3), "b")
+
+    rep = tbl.maintain(spark, keep_last=1, orphan_grace_sec=3600)
+    # the main head survives and still reads in full
+    assert v_main in tbl.snapshots()
+    assert tbl.read(spark).count() == main_count
+    assert tbl._latest_published() == v_main
+    assert v_main not in rep["expired_snapshots"]
+
+
+def test_maintain_invalid_policy_commits_nothing(spark, tmp_path):
+    """Review regression: policy validation runs BEFORE compaction, so a
+    rejected call must not have rewritten the table."""
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    o = _orders(spark)
+    for m in range(3):
+        tbl.append(o.filter(F.col("o_orderkey") % 3 == m).repartition(4))
+    snaps = tbl.snapshots()
+    with pytest.raises(ValueError, match="not both"):
+        tbl.maintain(
+            spark, max_live_files=2, keep_last=1, expire_older_than_sec=60
+        )
+    assert tbl.snapshots() == snaps  # no replace snapshot landed
+
+
+def test_cherrypick_refuses_already_applied(spark, tmp_path):
+    """Review regression (silent-duplication grade): picking a snapshot
+    whose files are already on main must refuse, not double the rows."""
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    o = _orders(spark)
+    v1 = tbl.append(o.filter(F.col("o_orderkey") % 2 == 0))
+    with pytest.raises(ValueError, match="already present"):
+        tbl.cherrypick(v1)  # a main-ancestor append
+    sv = tbl.stage_append(o.filter(F.col("o_orderkey") % 2 == 1), "w1")
+    tbl.publish("w1")
+    with pytest.raises(ValueError, match="already present"):
+        tbl.cherrypick(sv)  # staged snapshot already published
+    assert tbl.read(spark).count() == o.count()  # never doubled
+
+
+def test_catalog_lock_release_only_if_still_ours(tmp_path):
+    """Review regression: after a stale break hands the path to a new
+    holder, the old holder's release must NOT remove the new lock."""
+    from iceberg_insert_spark.sources.catalog import LocalCatalog
+
+    cat = LocalCatalog(str(tmp_path))
+    with cat._lock():
+        # simulate: a breaker renamed our 'stale' lock away and a new
+        # holder acquired a fresh lock at the same path
+        os.remove(cat._lock_path)
+        with open(cat._lock_path, "w") as fh:
+            fh.write("someone-else")
+    # the new holder's lock survives our release
+    with open(cat._lock_path) as fh:
+        assert fh.read() == "someone-else"
+    os.remove(cat._lock_path)
+
+
+def test_result_cache_sweep_reclaims_crashed_tmp(spark, tmp_path):
+    """Review regression: crashed-writer .tmp-* dirs older than the
+    grace window are reclaimed; fresh in-flight temps survive."""
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.append(_orders(spark).limit(10))
+    cache = SnapshotResultCache(tbl, str(tmp_path / "cache"))
+    dead = os.path.join(cache.cache_dir, "n@v1.tmp-999-1")
+    fresh = os.path.join(cache.cache_dir, "n@v1.tmp-999-2")
+    os.makedirs(dead)
+    os.makedirs(fresh)
+    old = time.time() - 7200
+    os.utime(dead, (old, old))
+    removed = cache.sweep()
+    assert "n@v1.tmp-999-1" in removed
+    assert not os.path.exists(dead)
+    assert os.path.exists(fresh)

@@ -13,7 +13,7 @@ import hashlib
 
 from pyspark.sql import functions as F
 
-from iceberg_insert_spark.llm.text import WSAMPLE_CAP
+from iceberg_insert_spark.llm.text import WSAMPLE_CAP, WSAMPLE_PPM_MULT
 from iceberg_insert_spark.registry import get_queries
 
 from .conftest import SF_DIR
@@ -86,7 +86,7 @@ def test_weighted_sample_rule_exact_and_cap(spark):
     assert {r.doc_id for r in out} == want
     assert any(w >= WSAMPLE_CAP for w in docs.values())
     for r in out:
-        assert r.pi_ppm == min(10**6, r.n_chars * 2500)
+        assert r.pi_ppm == min(10**6, r.n_chars * WSAMPLE_PPM_MULT)
         if r.n_chars >= WSAMPLE_CAP:
             assert r.pi_ppm == 10**6
     # every at-or-above-cap doc is in the sample (pi == 1)
