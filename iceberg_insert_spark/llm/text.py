@@ -1646,6 +1646,41 @@ def q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def symdelete_keys(col: str) -> F.Column:
+    """Symmetric-delete (SymSpell) blocking keys for edit distance <= 2:
+    the token itself plus every 1- and 2-character-deletion variant,
+    deduped with array_union — all inside whole-stage codegen. The
+    guarantee (property-tested): lev(a, b) <= 2 implies the key sets of
+    a and b intersect, so blocked-then-verify equals exhaustive."""
+    n = F.length(col)
+    del1 = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat(
+            F.substr(F.col(col), F.lit(1), i - 1),
+            F.substr(F.col(col), i + 1, n),
+        ),
+    )
+    # 2-deletions: delete positions i < j of the original token;
+    # generating both from the original keeps the expression flat.
+    del2 = F.flatten(
+        F.transform(
+            F.sequence(F.lit(2), F.greatest(n, F.lit(2))),
+            lambda j: F.transform(
+                F.sequence(F.lit(1), j - 1),
+                lambda i: F.concat(
+                    F.substr(F.col(col), F.lit(1), i - 1),
+                    F.substr(F.col(col), i + 1, j - i - 1),
+                    F.substr(F.col(col), j + 1, n),
+                ),
+            ),
+        )
+    )
+    return F.array_union(
+        F.array(F.col(col)),
+        F.array_union(del1, F.when(n >= 2, del2).otherwise(F.array())),
+    )
+
+
 @query(
     "q_text_fuzzy_join",
     oracle="""
@@ -1690,35 +1725,9 @@ def q_text_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    n = F.length("token")
-    del1 = F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.concat(
-            F.substr(F.col("token"), F.lit(1), i - 1),
-            F.substr(F.col("token"), i + 1, n),
-        ),
+    k = tok.select(
+        "token", "tf", F.explode(symdelete_keys("token")).alias("bkey")
     )
-    # 2-deletions: delete positions i < j of the original token ==
-    # delete i from the 1-deletion at j; generating from the original
-    # keeps the expression flat: for each j, for each i < j.
-    del2 = F.flatten(
-        F.transform(
-            F.sequence(F.lit(2), F.greatest(n, F.lit(2))),
-            lambda j: F.transform(
-                F.sequence(F.lit(1), j - 1),
-                lambda i: F.concat(
-                    F.substr(F.col("token"), F.lit(1), i - 1),
-                    F.substr(F.col("token"), i + 1, j - i - 1),
-                    F.substr(F.col("token"), j + 1, n),
-                ),
-            ),
-        )
-    )
-    keys = F.array_union(
-        F.array(F.col("token")),
-        F.array_union(del1, F.when(n >= 2, del2).otherwise(F.array())),
-    )
-    k = tok.select("token", "tf", F.explode(keys).alias("bkey"))
     a = k.select(
         F.col("token").alias("token_a"),
         F.col("tf").alias("tf_a"),

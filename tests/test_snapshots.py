@@ -399,7 +399,10 @@ def test_lifecycle_model_randomized(spark, tmp_path):
     vis: dict[int, frozenset] = {}  # snapshot -> visible row ids
     ops: dict[int, str] = {}
     staged: dict[str, tuple[int, frozenset]] = {}  # wap -> (v, own rows)
-    branches: dict[str, dict] = {}  # name -> {head, fork}
+    branches: dict[str, dict] = {}  # name -> {head, fork, appends}
+    own_rows: dict[int, frozenset] = {}  # branch-append snap -> its rows
+    picked: set[int] = set()  # cherry-picked sources
+    absorbed: set[int] = set()  # branch appends fast-forwarded into main
     published: list[int] = []
     next_id = 0
     wap_n = 0
@@ -420,8 +423,14 @@ def test_lifecycle_model_randomized(spark, tmp_path):
             choices += ["rollback", "expire"]
         if published:
             choices += ["compact", "evolve", "create_branch", "delete"]
+            choices.append("maintain")
         if branches:
             choices += ["branch_append", "fast_forward", "drop_branch"]
+        if published and any(
+            v in vis and v not in picked and v not in absorbed
+            for v in own_rows
+        ):
+            choices.append("cherrypick")
         op = rng.choice(choices)
         if op == "append":
             ids = fresh(rng.randint(1, 4))
@@ -490,7 +499,7 @@ def test_lifecycle_model_randomized(spark, tmp_path):
             name = f"b{branch_n}"
             fork = published[-1]
             tbl.create_branch(name)
-            branches[name] = {"head": fork, "fork": fork}
+            branches[name] = {"head": fork, "fork": fork, "appends": []}
         elif op == "branch_append":
             name = rng.choice(sorted(branches))
             b = branches[name]
@@ -498,7 +507,55 @@ def test_lifecycle_model_randomized(spark, tmp_path):
             v = tbl.append_to_branch(batch(ids), name)
             vis[v] = vis[b["head"]] | ids
             ops[v] = "branch-append"
+            own_rows[v] = ids
             b["head"] = v
+            b["appends"].append(v)
+        elif op == "cherrypick":
+            cands = [
+                v
+                for v in sorted(own_rows)
+                if v in vis and v not in picked and v not in absorbed
+            ]
+            src = rng.choice(cands)
+            v = tbl.cherrypick(src)
+            vis[v] = vis[published[-1]] | own_rows[src]
+            ops[v] = "cherry-pick"
+            published.append(v)
+            picked.add(src)
+            # retry safety: re-picking the same source lands on the
+            # SAME commit and adds no history
+            assert tbl.cherrypick(src) == v
+        elif op == "maintain":
+            # the policy runner: forced compaction (replace) + keep_last
+            # retention over PUBLISHED snapshots, honoring branch pins
+            keep_n = rng.randint(1, 2)
+            rep = tbl.maintain(
+                spark,
+                max_live_files=0,
+                keep_last=keep_n,
+                orphan_grace_sec=3600,
+            )
+            cv = rep["compacted_to"]
+            assert cv is not None
+            vis[cv] = vis[published[-1]]
+            ops[cv] = "replace"
+            published.append(cv)
+            if len(published) > keep_n:
+                keep = published[-keep_n]
+                pinned = {b["head"] for b in branches.values()}
+                for dv in [
+                    dv for dv in vis if dv < keep and dv not in pinned
+                ]:
+                    del vis[dv]
+                    ops.pop(dv, None)
+                published = [
+                    v for v in published if v >= keep or v in pinned
+                ]
+                staged = {
+                    w: (sv, so)
+                    for w, (sv, so) in staged.items()
+                    if sv >= keep or sv in pinned
+                }
         elif op == "fast_forward":
             from iceberg_insert_spark.sources.snapshots import (
                 CommitConflict,
@@ -516,7 +573,12 @@ def test_lifecycle_model_randomized(spark, tmp_path):
                 vis[v] = vis[b["head"]]
                 ops[v] = "fast_forward"
                 published.append(v)
+                # the branch's own commits are now main-ancestors: a
+                # later cherry-pick of them must refuse (files already
+                # on main) — keep them out of the pick candidate pool
+                absorbed.update(b["appends"])
                 b["head"] = b["fork"] = v
+                b["appends"] = []
         elif op == "drop_branch":
             name = rng.choice(sorted(branches))
             tbl.drop_branch(name)

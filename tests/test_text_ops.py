@@ -145,3 +145,50 @@ def test_phrase_search_edges_vs_python(spark, tmp_path):
             want[i] = (len(ps), ps[0])
     assert got == want
     assert want == {0: (1, 0), 1: (1, 2), 2: (3, 0), 4: (1, 1)}
+
+
+def _symdelete_py(w: str) -> set:
+    """Python mirror of text.symdelete_keys: identity + 1- and 2-char
+    deletions."""
+    keys = {w}
+    for i in range(len(w)):
+        keys.add(w[:i] + w[i + 1:])
+    for j in range(1, len(w)):
+        for i in range(j):
+            keys.add(w[:i] + w[i + 1:j] + w[j + 1:])
+    return keys
+
+
+def test_symdelete_guarantee_property():
+    """The SymSpell completeness guarantee, property-tested in pure
+    Python: for ANY pair within levenshtein distance 2, the deletion-key
+    sets intersect (so the blocked join can never lose a true pair)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words = st.text(alphabet="abc", min_size=1, max_size=7)
+
+    @given(a=words, b=words)
+    @settings(max_examples=500, deadline=None)
+    def check(a, b):
+        if _lev(a, b) <= 2:
+            assert _symdelete_py(a) & _symdelete_py(b), (a, b)
+
+    check()
+
+
+def test_symdelete_spark_expression_matches_python(spark):
+    """Expression parity: the JVM-side symdelete_keys column must emit
+    exactly the Python mirror's key set for a vocab covering length-1,
+    repeated-char, and longer tokens."""
+    from iceberg_insert_spark.llm.text import symdelete_keys
+
+    words = ["a", "ab", "aab", "abba", "query", "windmill", "zz"]
+    df = spark.createDataFrame([(w,) for w in words], "token string")
+    got = {
+        r.token: set(r.keys)
+        for r in df.select(
+            "token", symdelete_keys("token").alias("keys")
+        ).collect()
+    }
+    assert got == {w: _symdelete_py(w) for w in words}
