@@ -709,19 +709,31 @@ def _load_stream_checkpoint(checkpoint_path: str) -> int:
     """Durable last-processed-snapshot cursor shared by both snapshot
     stream readers — ONE spelling so the two can never disagree on the
     format (the 'duplicated guards diverge' hazard)."""
+    return _load_stream_checkpoint_full(checkpoint_path)["last_snapshot"]
+
+
+def _load_stream_checkpoint_full(checkpoint_path: str) -> dict:
+    """Full checkpoint record: ``last_snapshot`` (fully processed
+    through) plus, mid-rate-limited-snapshot, ``next_snapshot`` /
+    ``next_pos`` (files of next_snapshot already handled). Readers that
+    predate the rate limit see only last_snapshot and stay correct."""
     import json as _json
 
     try:
         with open(checkpoint_path) as fh:
-            return _json.load(fh)["last_snapshot"]
+            ck = _json.load(fh)
+            ck.setdefault("last_snapshot", 0)
+            return ck
     except FileNotFoundError:
-        return 0
+        return {"last_snapshot": 0}
 
 
-def _save_stream_checkpoint(checkpoint_path: str, v: int) -> None:
+def _save_stream_checkpoint(checkpoint_path: str, v: int, **extra) -> None:
     from ..sources.snapshots import SnapshotTable
 
-    SnapshotTable._atomic_json(checkpoint_path, {"last_snapshot": v})
+    SnapshotTable._atomic_json(
+        checkpoint_path, {"last_snapshot": v, **extra}
+    )
 
 
 def snapshot_stream_available_now(
@@ -730,6 +742,7 @@ def snapshot_stream_available_now(
     checkpoint_path: str,
     process,
     skip_non_append: bool = False,
+    max_files_per_batch: int | None = None,
 ) -> list[int]:
     """SnapshotTable as a STREAMING SOURCE (round-5 verdict item #4) —
     Iceberg's streaming read: one micro-batch per new snapshot, with a
@@ -760,6 +773,17 @@ def snapshot_stream_available_now(
     batch-token idiom as ``snapshot_ingest_available_now``. Returns
     the snapshot ids processed this invocation.
 
+    ``max_files_per_batch`` (Iceberg's ``max-files-per-micro-batch``
+    rate limit): a snapshot whose commit added more files than the cap
+    is split into multiple micro-batches of at most that many files, so
+    one huge backfill commit cannot blow up the consumer's batch size.
+    In this mode ``process(batch_df, snapshot_id, first_file_index)``
+    takes a third argument identifying the sub-batch (the downstream
+    exactly-once token becomes ``f"snap-{{v}}-{{off}}"``), and the
+    checkpoint records sub-snapshot progress (``next_snapshot`` /
+    ``next_pos``) so a crash mid-snapshot resumes at the failed chunk
+    without re-delivering completed ones.
+
     100 TB shape: planning is manifest-JSON-only per snapshot; each
     batch scans exactly the files one commit added — a downstream
     training-data consumer tails the table at the cost of the deltas,
@@ -768,8 +792,13 @@ def snapshot_stream_available_now(
     """
     import os
 
+    if max_files_per_batch is not None and max_files_per_batch < 1:
+        raise ValueError("max_files_per_batch must be >= 1")
     apply_runtime_confs(spark)
-    last = _load_stream_checkpoint(checkpoint_path)
+    ck = _load_stream_checkpoint_full(checkpoint_path)
+    last = ck["last_snapshot"]
+    resume_snap = ck.get("next_snapshot")
+    resume_pos = ck.get("next_pos", 0)
 
     processed: list[int] = []
     # off-main snapshots (WAP stage, branch commits) are invisible,
@@ -795,10 +824,31 @@ def snapshot_stream_available_now(
                 prev = set(table._manifest(base)) if base is not None else set()
                 new_files = sorted(set(table._manifest(v)) - prev)
             if new_files:
-                batch = spark.read.parquet(
-                    *[os.path.join(table.path, f) for f in new_files]
-                )
-                process(batch, v)
+                if max_files_per_batch is None:
+                    batch = spark.read.parquet(
+                        *[os.path.join(table.path, f) for f in new_files]
+                    )
+                    process(batch, v)
+                else:
+                    start = resume_pos if v == resume_snap else 0
+                    for off in range(
+                        start, len(new_files), max_files_per_batch
+                    ):
+                        sub = new_files[off : off + max_files_per_batch]
+                        batch = spark.read.parquet(
+                            *[os.path.join(table.path, f) for f in sub]
+                        )
+                        process(batch, v, off)
+                        nxt = off + len(sub)
+                        if nxt < len(new_files):
+                            # sub-snapshot progress: crash after this
+                            # write resumes at the NEXT chunk
+                            _save_stream_checkpoint(
+                                checkpoint_path,
+                                last,
+                                next_snapshot=v,
+                                next_pos=nxt,
+                            )
                 processed.append(v)
         elif not skip_non_append:
             raise ValueError(

@@ -622,3 +622,72 @@ def test_changelog_stream_bootstrap_and_expired_checkpoint(
         changelog_stream_available_now(
             spark, tbl, ck_old, lambda b, v: None
         )
+
+
+def test_snapshot_stream_rate_limited_splits_and_resumes(
+    spark, tmp_path_factory
+):
+    """max_files_per_batch (Iceberg's max-files-per-micro-batch): a
+    commit that added many files splits into capped sub-batches; a crash
+    mid-snapshot resumes at the failed chunk without re-delivering
+    completed ones; downstream exactly-once uses (snapshot, offset)
+    tokens; full drain equals the table."""
+    from pyspark.sql import functions as F
+
+    from iceberg_insert_spark.sources.snapshots import SnapshotTable
+    from iceberg_insert_spark.streaming.file_stream import (
+        snapshot_stream_available_now,
+    )
+
+    base = tmp_path_factory.mktemp("ratelimit")
+    src = SnapshotTable(str(base / "src"))
+    sink = SnapshotTable(str(base / "sink"))
+    ckpt = str(base / "ckpt.json")
+
+    # one commit, 6 data files; a second small commit after it
+    src.append(spark.range(0, 60).withColumnRenamed("id", "k").repartition(6))
+    src.append(spark.range(60, 70).withColumnRenamed("id", "k").coalesce(1))
+    n_files_v1 = len(src._manifest(1))
+    assert n_files_v1 == 6
+
+    seen: list[tuple[int, int, int]] = []
+    boom = {"at": 4}  # crash before the chunk starting at file index 4
+
+    def process(batch, v, off):
+        if v == 1 and off == boom["at"]:
+            raise RuntimeError("consumer crash")
+        seen.append((v, off, batch.count()))
+        sink.append_once(batch, token=f"snap-{v}-{off}")
+
+    with pytest.raises(RuntimeError, match="consumer crash"):
+        snapshot_stream_available_now(
+            spark, src, ckpt, process, max_files_per_batch=2
+        )
+    # chunks [0,2) and [2,4) landed; crash at [4,6)
+    assert [(v, o) for v, o, _ in seen] == [(1, 0), (1, 2)]
+
+    boom["at"] = -1  # recover
+    got = snapshot_stream_available_now(
+        spark, src, ckpt, process, max_files_per_batch=2
+    )
+    assert got == [1, 2]
+    # resume started at chunk 4 — chunks 0 and 2 were NOT re-delivered
+    assert [(v, o) for v, o, _ in seen] == [(1, 0), (1, 2), (1, 4), (2, 0)]
+    assert sink.read(spark).count() == 70
+    assert {r.k for r in sink.read(spark).collect()} == set(range(70))
+    # drained: nothing more, and the sub-snapshot cursor is cleared
+    assert (
+        snapshot_stream_available_now(
+            spark, src, ckpt, process, max_files_per_batch=2
+        )
+        == []
+    )
+    import json
+
+    with open(ckpt) as fh:
+        ck = json.load(fh)
+    assert ck == {"last_snapshot": 2}
+    with pytest.raises(ValueError, match=">= 1"):
+        snapshot_stream_available_now(
+            spark, src, ckpt, process, max_files_per_batch=0
+        )
