@@ -5360,3 +5360,89 @@ def q_snapshot_cherrypick(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(scalars))
     )
+
+
+@query(
+    "q_snapshot_maintain",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_price,
+           CAST(6 AS BIGINT) AS files_before,
+           CAST(1 AS BIGINT) AS files_after,
+           CAST(6 AS BIGINT) AS n_expired,
+           CAST(6 AS BIGINT) AS n_reclaimed,
+           CAST(1 AS BIGINT) AS n_orphans,
+           CAST(1 AS BIGINT) AS second_run_noop
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_snapshot_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance policy runner, DuckDB-oracled end to end: six
+    single-file appends accrete a fragmented table plus planted
+    crashed-writer debris; ONE ``maintain()`` call compacts 6 files to
+    1, expires all six pre-compaction snapshots (reclaiming their six
+    small files — the replace is the sole survivor), and sweeps the
+    debris; the oracled aggregation over the maintained table must
+    equal DuckDB over the source rows (maintenance changed LAYOUT,
+    never content), with the report's exact action counts riding along
+    as oracled constants — including that an immediate second run under
+    the same policy is a complete no-op.
+
+    Scale shape: this is the nightly table-service job — the compaction
+    is the only data IO and runs once per threshold crossing; retention
+    and the orphan sweep are manifest-metadata reachability plus
+    unlink, never scans.
+    """
+    import os as _os
+    import time as _time
+
+    from ..tables import scratch_dir
+
+    path = scratch_dir(spark, sf_dir, "snapshot_maintain")
+    o = load_table(spark, sf_dir, "orders")
+    tbl = SnapshotTable(_os.path.join(path, "t"))
+    for m in range(6):
+        tbl.append(o.filter(F.col("o_orderkey") % 6 == m).coalesce(1))
+    debris = _os.path.join(path, "t", "_staging-crashed")
+    _os.makedirs(debris)
+    old = _time.time() - 7200
+    _os.utime(debris, (old, old))
+
+    rep = tbl.maintain(
+        spark, max_live_files=3, keep_last=1, orphan_grace_sec=3600
+    )
+    rep2 = tbl.maintain(
+        spark, max_live_files=3, keep_last=1, orphan_grace_sec=3600
+    )
+    noop = int(
+        rep2["compacted_to"] is None
+        and not rep2["expired_snapshots"]
+        and not rep2["reclaimed_files"]
+        and not rep2["orphans_removed"]
+    )
+    scalars = spark.createDataFrame(
+        [
+            (
+                rep["files_before"],
+                rep["files_after"],
+                len(rep["expired_snapshots"]),
+                len(rep["reclaimed_files"]),
+                len(rep["orphans_removed"]),
+                noop,
+            )
+        ],
+        "files_before long, files_after long, n_expired long, "
+        "n_reclaimed long, n_orphans long, second_run_noop long",
+    )
+    return (
+        tbl.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+        )
+        .crossJoin(F.broadcast(scalars))
+    )
