@@ -715,8 +715,10 @@ def _load_stream_checkpoint(checkpoint_path: str) -> int:
 def _load_stream_checkpoint_full(checkpoint_path: str) -> dict:
     """Full checkpoint record: ``last_snapshot`` (fully processed
     through) plus, mid-rate-limited-snapshot, ``next_snapshot`` /
-    ``next_pos`` (files of next_snapshot already handled). Readers that
-    predate the rate limit see only last_snapshot and stay correct."""
+    ``next_pos`` (files of next_snapshot already handled). A pending
+    sub-snapshot cursor is honored only by the rate-limited mode; the
+    full-batch path REFUSES to resume over one (its snap-{v} token
+    would re-deliver the already-sunk chunks under a new identity)."""
     import json as _json
 
     try:
@@ -799,8 +801,21 @@ def snapshot_stream_available_now(
     last = ck["last_snapshot"]
     resume_snap = ck.get("next_snapshot")
     resume_pos = ck.get("next_pos", 0)
+    if resume_snap is not None and max_files_per_batch is None:
+        # A pending sub-snapshot cursor means earlier chunks of
+        # resume_snap were already delivered under snap-{v}-{off}
+        # tokens; re-reading the whole snapshot as one batch here would
+        # deliver files 0..next_pos a second time under the DIFFERENT
+        # snap-{v} token, defeating the downstream dedup (review catch).
+        raise ValueError(
+            f"checkpoint holds a sub-snapshot cursor (snapshot "
+            f"{resume_snap} at file {resume_pos}) written by a "
+            "rate-limited run; pass max_files_per_batch to finish that "
+            "snapshot before switching modes"
+        )
 
     processed: list[int] = []
+    done = last  # newest fully-processed snapshot, advanced per commit
     # off-main snapshots (WAP stage, branch commits) are invisible,
     # exactly like read(); the branch's content reaches the stream via
     # its fast_forward commit, which carries the branch-added files as
@@ -842,10 +857,16 @@ def snapshot_stream_available_now(
                         nxt = off + len(sub)
                         if nxt < len(new_files):
                             # sub-snapshot progress: crash after this
-                            # write resumes at the NEXT chunk
+                            # write resumes at the NEXT chunk. `done`
+                            # is the newest FULLY-processed snapshot of
+                            # THIS run (review catch: the run-start
+                            # value would rewind the durable cursor
+                            # past snapshots this run already
+                            # completed, re-delivering them on
+                            # restart).
                             _save_stream_checkpoint(
                                 checkpoint_path,
-                                last,
+                                done,
                                 next_snapshot=v,
                                 next_pos=nxt,
                             )
@@ -861,6 +882,7 @@ def snapshot_stream_available_now(
         # process() and this write replays the batch (at-least-once);
         # the downstream append_once token makes the replay a no-op.
         _save_stream_checkpoint(checkpoint_path, v)
+        done = v
     return processed
 
 

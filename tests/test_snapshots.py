@@ -414,6 +414,22 @@ def test_lifecycle_model_randomized(spark, tmp_path):
         next_id += n
         return ids
 
+    def trim_model(keep):
+        """Model mirror of expire(keep_from=keep) — ONE spelling shared
+        by the maintain and expire arms (review catch: two copies of
+        the retention-trim logic silently diverge)."""
+        nonlocal published, staged
+        pinned = {b["head"] for b in branches.values()}
+        for dv in [dv for dv in vis if dv < keep and dv not in pinned]:
+            del vis[dv]
+            ops.pop(dv, None)
+        published[:] = [v for v in published if v >= keep or v in pinned]
+        staged = {
+            w: (sv, so)
+            for w, (sv, so) in staged.items()
+            if sv >= keep or sv in pinned
+        }
+
     evolve_n = 0
     for step in range(28):
         choices = ["append", "overwrite", "stage"]
@@ -423,7 +439,10 @@ def test_lifecycle_model_randomized(spark, tmp_path):
             choices += ["rollback", "expire"]
         if published:
             choices += ["compact", "evolve", "create_branch", "delete"]
-            choices.append("maintain")
+            if vis[published[-1]]:
+                # maintain's forced compaction needs a non-empty head
+                # (files_before > 0); an all-rows delete can empty it
+                choices.append("maintain")
         if branches:
             choices += ["branch_append", "fast_forward", "drop_branch"]
         if published and any(
@@ -541,21 +560,7 @@ def test_lifecycle_model_randomized(spark, tmp_path):
             ops[cv] = "replace"
             published.append(cv)
             if len(published) > keep_n:
-                keep = published[-keep_n]
-                pinned = {b["head"] for b in branches.values()}
-                for dv in [
-                    dv for dv in vis if dv < keep and dv not in pinned
-                ]:
-                    del vis[dv]
-                    ops.pop(dv, None)
-                published = [
-                    v for v in published if v >= keep or v in pinned
-                ]
-                staged = {
-                    w: (sv, so)
-                    for w, (sv, so) in staged.items()
-                    if sv >= keep or sv in pinned
-                }
+                trim_model(published[-keep_n])
         elif op == "fast_forward":
             from iceberg_insert_spark.sources.snapshots import (
                 CommitConflict,
@@ -585,22 +590,11 @@ def test_lifecycle_model_randomized(spark, tmp_path):
             del branches[name]
         else:  # expire
             keep = rng.choice(published[1:-1] or published)
-            pinned = {b["head"] for b in branches.values()}
             try:
                 tbl.expire(keep_from=keep)
             except ValueError:
                 continue  # would delete every snapshot — model skips too
-            for v in [v for v in vis if v < keep and v not in pinned]:
-                del vis[v]
-                ops.pop(v, None)
-            published = [
-                v for v in published if v >= keep or v in pinned
-            ]
-            staged = {
-                w: (sv, own)
-                for w, (sv, own) in staged.items()
-                if sv >= keep or sv in pinned
-            }
+            trim_model(keep)
         # invariants after every op
         assert tbl.history() == sorted(ops.items()), f"step {step} ({op})"
         if published:

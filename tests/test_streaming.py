@@ -691,3 +691,61 @@ def test_snapshot_stream_rate_limited_splits_and_resumes(
         snapshot_stream_available_now(
             spark, src, ckpt, process, max_files_per_batch=0
         )
+
+
+def test_snapshot_stream_rate_limit_no_rewind_and_mode_guard(
+    spark, tmp_path_factory
+):
+    """Review regressions: (a) a mid-snapshot sub-batch checkpoint must
+    NOT rewind last_snapshot past snapshots completed earlier in the
+    SAME run (restart would re-deliver them); (b) resuming over a
+    pending sub-snapshot cursor WITHOUT max_files_per_batch refuses —
+    the full-batch snap-{v} token would re-deliver already-sunk
+    chunks under a new identity."""
+    from iceberg_insert_spark.sources.snapshots import SnapshotTable
+    from iceberg_insert_spark.streaming.file_stream import (
+        snapshot_stream_available_now,
+    )
+
+    base = tmp_path_factory.mktemp("norewind")
+    src = SnapshotTable(str(base / "src"))
+    ckpt = str(base / "ckpt.json")
+    # snapshot 1: one file; snapshot 2: four files
+    src.append(spark.range(0, 5).withColumnRenamed("id", "k").coalesce(1))
+    src.append(
+        spark.range(5, 45).withColumnRenamed("id", "k").repartition(4)
+    )
+
+    seen = []
+    boom = {"at": (2, 2)}
+
+    def process(batch, v, off):
+        if (v, off) == boom["at"]:
+            raise RuntimeError("crash")
+        seen.append((v, off))
+
+    with pytest.raises(RuntimeError):
+        snapshot_stream_available_now(
+            spark, src, ckpt, process, max_files_per_batch=2
+        )
+    assert seen == [(1, 0), (2, 0)]
+    import json
+
+    with open(ckpt) as fh:
+        ck = json.load(fh)
+    # snapshot 1 stays fully processed in the durable cursor
+    assert ck == {"last_snapshot": 1, "next_snapshot": 2, "next_pos": 2}
+
+    # (b) full-batch mode refuses to resume over the pending cursor
+    with pytest.raises(ValueError, match="sub-snapshot cursor"):
+        snapshot_stream_available_now(
+            spark, src, ckpt, lambda b, v: None
+        )
+
+    boom["at"] = (-1, -1)
+    got = snapshot_stream_available_now(
+        spark, src, ckpt, process, max_files_per_batch=2
+    )
+    # snapshot 1 NOT re-delivered; snapshot 2 resumed at its failed chunk
+    assert got == [2]
+    assert seen == [(1, 0), (2, 0), (2, 2)]
