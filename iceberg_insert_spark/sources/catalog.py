@@ -236,6 +236,59 @@ class LocalCatalog:
         if purge:
             shutil.rmtree(ent["location"], ignore_errors=True)
 
+    def verify(self) -> dict:
+        """Catalog fsck — registry-vs-filesystem consistency, the
+        namespace-level sibling of SnapshotTable.verify():
+
+        * ``missing_locations`` — registered tables whose location dir
+          is gone (manual deletion under the catalog's feet);
+        * ``unregistered_dirs`` — default-layout table dirs under a
+          registered namespace that NO entry points to (dropped without
+          purge, or debris from a crashed create) — reclaim candidates;
+        * ``shared_locations`` — two identifiers pointing at one
+          location (possible via explicit ``location=``; a purge drop
+          of one would destroy the other's data);
+        * ``stale_lock`` — a lock file older than LOCK_STALE_SEC
+          (crashed mutator debris; the next mutation breaks it).
+
+        Read-only: reports, never repairs — repair is a human decision,
+        same contract as table fsck."""
+        import time
+
+        reg = self._read()
+        by_loc: dict[str, list[str]] = {}
+        missing = []
+        for ident, ent in sorted(reg["tables"].items()):
+            by_loc.setdefault(ent["location"], []).append(ident)
+            if not os.path.isdir(ent["location"]):
+                missing.append(ident)
+        registered_locs = set(by_loc)
+        unregistered = []
+        for ns in reg["namespaces"]:
+            nsdir = os.path.join(self.root, ns)
+            if not os.path.isdir(nsdir):
+                continue
+            for d in sorted(os.listdir(nsdir)):
+                p = os.path.join(nsdir, d)
+                if os.path.isdir(p) and p not in registered_locs:
+                    unregistered.append(f"{ns}/{d}")
+        stale = False
+        try:
+            stale = (
+                time.time() - os.path.getmtime(self._lock_path)
+                > self.LOCK_STALE_SEC
+            )
+        except FileNotFoundError:
+            pass
+        return {
+            "missing_locations": missing,
+            "unregistered_dirs": unregistered,
+            "shared_locations": sorted(
+                tuple(v) for v in by_loc.values() if len(v) > 1
+            ),
+            "stale_lock": stale,
+        }
+
     def properties(self, ident: str) -> dict:
         return dict(self._entry(ident).get("properties", {}))
 

@@ -192,3 +192,100 @@ def compact_partitioned(
         "files_before": files_before,
         "files_after": files_after,
     }
+
+
+_SINK_ROUNDTRIP_ORACLE = """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_price,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+           STRFTIME(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S') AS first_ts,
+           STRFTIME(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS last_ts,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities
+    FROM orders
+    WHERE o_custkey % 10 <> 0
+    GROUP BY o_orderstatus
+    """
+
+
+def _roundtrip_agg(back: DataFrame) -> DataFrame:
+    from ..tables import exact_sum
+
+    return (
+        back.filter(F.col("o_custkey") % 10 != 0)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+            F.sum("o_orderkey").alias("sum_keys"),
+            F.date_format(
+                F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss"
+            ).alias("first_ts"),
+            F.date_format(
+                F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss"
+            ).alias("last_ts"),
+            F.count_distinct("o_orderpriority").alias("n_priorities"),
+        )
+    )
+
+
+@query("q_sink_csv_roundtrip", oracle=_SINK_ROUNDTRIP_ORACLE)
+def q_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet → CSV sink → schema'd read-back fidelity, DuckDB-oracled
+    transitively (the oracle recomputes from the parquet source, so a
+    row lost to quoting, a double reformatted lossily, a shifted
+    timestamp, or a null/empty-string confusion all hash-mismatch).
+    Every exercised type survives the TEXT hop: BIGINT, DOUBLE (Spark
+    writes shortest-round-trip representations and parses them back to
+    the identical bit pattern), STRING, TIMESTAMP_NTZ via an explicit
+    timestampNTZFormat, exactly the landing-zone export a warehouse
+    hands to CSV-only consumers.
+
+    Scale shape: the writer shuffles nothing (one file per input
+    partition); the read-back is a splittable text scan with the schema
+    supplied (no inference pass over 100 TB) and the filter applied
+    after the hop so it runs against the CSV reader.
+    """
+    from ..tables import scratch_dir
+
+    path = scratch_dir(spark, sf_dir, "sink_csv")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    o = load_table(spark, sf_dir, "orders")
+    (
+        o.write.option("header", "true")
+        .option("timestampNTZFormat", fmt)
+        .csv(path)
+    )
+    back = (
+        spark.read.schema(o.schema)
+        .option("header", "true")
+        .option("timestampNTZFormat", fmt)
+        .csv(path)
+    )
+    return _roundtrip_agg(back)
+
+
+@query("q_sink_jsonl_roundtrip", oracle=_SINK_ROUNDTRIP_ORACLE)
+def q_sink_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet → JSON-lines sink → schema'd read-back fidelity — the
+    interchange sibling of q_sink_csv_roundtrip (one JSON object per
+    line, the format every downstream tool reads); same transitive
+    oracle, same type battery, completing the sink matrix
+    (parquet partitioned / ORC / CSV / JSONL).
+
+    Scale shape: identical to the CSV sink — shuffle-free write,
+    splittable schema'd read-back, filter evaluated post-hop.
+    """
+    from ..tables import scratch_dir
+
+    path = scratch_dir(spark, sf_dir, "sink_jsonl")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    o = load_table(spark, sf_dir, "orders")
+    o.write.option("timestampNTZFormat", fmt).json(path)
+    back = (
+        spark.read.schema(o.schema)
+        .option("timestampNTZFormat", fmt)
+        .json(path)
+    )
+    return _roundtrip_agg(back)

@@ -155,3 +155,78 @@ def test_concurrent_distinct_creates_all_land(tmp_path):
     with ThreadPoolExecutor(8) as ex:
         list(ex.map(create, range(8)))
     assert cat.list_tables() == [f"db.t{i}" for i in range(8)]
+
+
+def test_catalog_verify_reports_each_bucket(spark, tmp_path):
+    import shutil
+    import time
+
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("db")
+    t = cat.create_table("db.healthy")
+    t.append(_orders(spark).limit(5))
+    assert cat.verify() == {
+        "missing_locations": [],
+        "unregistered_dirs": [],
+        "shared_locations": [],
+        "stale_lock": False,
+    }
+    # missing location
+    gone = cat.create_table("db.gone")
+    gone.append(_orders(spark).limit(5))
+    shutil.rmtree(cat._entry("db.gone")["location"])
+    # unregistered dir (drop without purge leaves the data)
+    keep = cat.create_table("db.kept_data")
+    keep.append(_orders(spark).limit(5))
+    cat.drop_table("db.kept_data")
+    # shared location via explicit location=
+    shared_loc = str(tmp_path / "db" / "healthy")
+    cat.create_table("db.alias", location=shared_loc)
+    # stale lock debris
+    with open(cat._lock_path, "w") as fh:
+        fh.write("dead-holder")
+    old = time.time() - 60
+    os.utime(cat._lock_path, (old, old))
+
+    rep = cat.verify()
+    assert rep["missing_locations"] == ["db.gone"]
+    assert rep["unregistered_dirs"] == ["db/kept_data"]
+    assert rep["shared_locations"] == [("db.alias", "db.healthy")]
+    assert rep["stale_lock"] is True
+    os.remove(cat._lock_path)
+
+
+def test_sink_roundtrips_survive_adversarial_strings(spark, tmp_path):
+    """Strings with delimiters, quotes, embedded newlines, unicode, and
+    null-vs-empty must survive BOTH text sinks byte-exact. CSV needs
+    multiLine for embedded newlines on read-back; JSONL escapes them."""
+    rows = [
+        (1, 'comma, inside'),
+        (2, 'quote " inside'),
+        (3, "new\nline"),
+        (4, "tab\tand unicode ünïcødé ∑"),
+        (5, ""),
+        (6, None),
+        (7, 'both, "and" \n all'),
+    ]
+    df = spark.createDataFrame(rows, "k long, s string")
+    for fmt in ("csv", "json"):
+        path = str(tmp_path / f"sink_{fmt}")
+        if fmt == "csv":
+            df.write.option("header", "true").csv(path)
+            back = (
+                spark.read.schema(df.schema)
+                .option("header", "true")
+                .option("multiLine", "true")
+                .csv(path)
+            )
+        else:
+            df.write.json(path)
+            back = spark.read.schema(df.schema).json(path)
+        got = {r.k: r.s for r in back.collect()}
+        want = dict(rows)
+        # CSV cannot distinguish null from empty string by default
+        # (both write as nothing); JSONL preserves the distinction
+        if fmt == "csv":
+            want = {k: (None if v == "" else v) for k, v in want.items()}
+        assert got == want, fmt
