@@ -150,7 +150,9 @@ class LocalCatalog:
             reg = self._read()
             if ns not in reg["namespaces"]:
                 raise ValueError(f"namespace {ns!r} does not exist")
-            held = [t for t in reg["tables"] if t.split(".")[0] == ns]
+            held = [t for t in reg["tables"] if t.split(".")[0] == ns] + [
+                v for v in reg.get("views", {}) if v.split(".")[0] == ns
+            ]
             if held:
                 raise ValueError(
                     f"namespace {ns!r} is not empty: {sorted(held)}"
@@ -174,6 +176,11 @@ class LocalCatalog:
                 raise ValueError(f"namespace {ns!r} does not exist")
             if ident in reg["tables"]:
                 raise ValueError(f"table {ident!r} already exists")
+            if ident in reg.get("views", {}):
+                raise ValueError(
+                    f"{ident!r} is a view; views and tables share the "
+                    "identifier space"
+                )
             loc = location or os.path.join(self.root, ns, tbl)
             reg["tables"][ident] = {
                 "location": loc,
@@ -217,8 +224,8 @@ class LocalCatalog:
             reg = self._read()
             if src not in reg["tables"]:
                 raise ValueError(f"table {src!r} does not exist")
-            if dst in reg["tables"]:
-                raise ValueError(f"table {dst!r} already exists")
+            if dst in reg["tables"] or dst in reg.get("views", {}):
+                raise ValueError(f"{dst!r} already exists")
             if dns not in reg["namespaces"]:
                 raise ValueError(f"namespace {dns!r} does not exist")
             reg["tables"][dst] = reg["tables"].pop(src)
@@ -235,6 +242,108 @@ class LocalCatalog:
         # data IO stays outside the metadata critical section
         if purge:
             shutil.rmtree(ent["location"], ignore_errors=True)
+
+    # -- views (Iceberg view spec: named, VERSIONED SQL) ---------------
+
+    _VIEW_REF_RE = re.compile(r"\{\{\s*([A-Za-z_][\w.]*)\s*\}\}")
+
+    def create_view(
+        self, ident: str, sql: str, replace: bool = False
+    ) -> int:
+        """Named SQL view over catalog tables — Iceberg's view spec:
+        the definition is VERSIONED (create-or-replace appends a new
+        version, old definitions stay readable by version number, the
+        spec's version history), resolved lazily at read time against
+        the tables' CURRENT state. Table references are explicit
+        ``{{namespace.table}}`` placeholders, so dependencies are
+        machine-readable (``view_dependencies``) without a SQL parser.
+        Returns the new version number (1-based)."""
+        ns, _ = _split_ident(ident)
+        refs = self._VIEW_REF_RE.findall(sql)
+        if not refs:
+            raise ValueError(
+                "view SQL references no {{namespace.table}} placeholder"
+            )
+        for r in refs:
+            _split_ident(r)
+        with self._lock():
+            reg = self._read()
+            if ns not in reg["namespaces"]:
+                raise ValueError(f"namespace {ns!r} does not exist")
+            if ident in reg["tables"]:
+                raise ValueError(
+                    f"{ident!r} is a table; views and tables share the "
+                    "identifier space"
+                )
+            views = reg.setdefault("views", {})
+            if ident in views and not replace:
+                raise ValueError(
+                    f"view {ident!r} already exists (pass replace=True)"
+                )
+            ent = views.setdefault(ident, {"versions": []})
+            ent["versions"].append({"sql": sql, "created_ts": time.time()})
+            self._write(reg)
+            return len(ent["versions"])
+
+    def _view_entry(self, ident: str) -> dict:
+        ent = self._read().get("views", {}).get(ident)
+        if ent is None:
+            raise ValueError(f"view {ident!r} does not exist")
+        return ent
+
+    def list_views(self, ns: str | None = None) -> list[str]:
+        views = self._read().get("views", {})
+        if ns is None:
+            return sorted(views)
+        return sorted(v for v in views if v.split(".")[0] == ns)
+
+    def view_versions(self, ident: str) -> int:
+        return len(self._view_entry(ident)["versions"])
+
+    def view_dependencies(
+        self, ident: str, version: int | None = None
+    ) -> list[str]:
+        vs = self._view_entry(ident)["versions"]
+        sql = vs[(version or len(vs)) - 1]["sql"]
+        return sorted(set(self._VIEW_REF_RE.findall(sql)))
+
+    def drop_view(self, ident: str) -> None:
+        with self._lock():
+            reg = self._read()
+            if ident not in reg.get("views", {}):
+                raise ValueError(f"view {ident!r} does not exist")
+            del reg["views"][ident]
+            self._write(reg)
+
+    def read_view(
+        self,
+        spark: SparkSession,
+        ident: str,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Evaluate a view definition (latest, or a pinned ``version``)
+        against the referenced tables' CURRENT snapshots: each
+        ``{{namespace.table}}`` placeholder resolves through
+        ``load_table().read()`` into a session-scoped temp view with a
+        collision-proof name, then the SQL runs as one Catalyst plan —
+        pruning/pushdown flow through the view exactly as if the query
+        were written inline (a view is metadata, never a
+        materialization)."""
+        vs = self._view_entry(ident)["versions"]
+        if version is not None and not (1 <= version <= len(vs)):
+            raise ValueError(
+                f"view {ident!r} has versions 1..{len(vs)}, "
+                f"not {version}"
+            )
+        sql = vs[(version or len(vs)) - 1]["sql"]
+
+        def sub(m: re.Match) -> str:
+            ref = m.group(1)
+            tmp = "__cat_" + ref.replace(".", "__")
+            self.load_table(ref).read(spark).createOrReplaceTempView(tmp)
+            return tmp
+
+        return spark.sql(self._VIEW_REF_RE.sub(sub, sql))
 
     def verify(self) -> dict:
         """Catalog fsck — registry-vs-filesystem consistency, the
@@ -380,3 +489,71 @@ def q_catalog_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "ident string, record_count long, n_snapshots long"
     )
     return listing.withColumn("renamed_sum_price", F.lit(sum_price))
+
+
+@query(
+    "q_catalog_view",
+    oracle="""
+    WITH v2 AS (
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS sum_price
+        FROM orders
+        WHERE o_totalprice > 1000
+        GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, n_orders, sum_price,
+           CAST(2 AS BIGINT) AS n_versions,
+           (SELECT COUNT(*) FROM orders) AS v1_rows
+    FROM v2
+    """,
+)
+def q_catalog_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned catalog VIEWS, DuckDB-oracled: a view unions two
+    catalog tables (disjoint orders splits); create-or-replace appends
+    version 2 adding a price filter + aggregation. The latest read must
+    equal DuckDB's same SQL over orders (proving placeholder resolution
+    and the union), ``v1_rows`` re-reads VERSION 1 through its pin
+    (the view spec's version history — old definitions stay readable),
+    and ``n_versions`` rides along from the metadata.
+
+    Scale shape: a view is pure metadata — the SQL inlines into one
+    Catalyst plan at read time, so filters and column pruning push
+    through the view into the table scans exactly as if written
+    inline; version history is registry JSON, zero data."""
+    root = scratch_dir(spark, sf_dir, "catalog_view")
+    cat = LocalCatalog(root)
+    cat.create_namespace("raw")
+    o = load_table(spark, sf_dir, "orders")
+    kw = {"stats_cols": ["o_orderkey"]}
+    cat.create_table("raw.even", **kw).append(
+        o.filter(F.col("o_orderkey") % 2 == 0)
+    )
+    cat.create_table("raw.odd", **kw).append(
+        o.filter(F.col("o_orderkey") % 2 == 1)
+    )
+    union_sql = (
+        "SELECT * FROM {{raw.even}} UNION ALL SELECT * FROM {{raw.odd}}"
+    )
+    cat.create_view("raw.all_orders", union_sql)
+    cat.create_view(
+        "raw.all_orders",
+        """
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS sum_price
+        FROM (SELECT * FROM {{raw.even}}
+              UNION ALL SELECT * FROM {{raw.odd}})
+        WHERE o_totalprice > 1000
+        GROUP BY o_orderstatus
+        """,
+        replace=True,
+    )
+    v1_rows = cat.read_view(spark, "raw.all_orders", version=1).count()
+    scalars = spark.createDataFrame(
+        [(cat.view_versions("raw.all_orders"), v1_rows)],
+        "n_versions long, v1_rows long",
+    )
+    return cat.read_view(spark, "raw.all_orders").crossJoin(
+        F.broadcast(scalars)
+    )

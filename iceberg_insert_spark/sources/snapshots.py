@@ -1287,6 +1287,18 @@ class SnapshotTable:
             # (appends project onto it before writing), so a read whose
             # files all post-date the last evolve skips per-group
             # schema resolution entirely.
+            # Prefer the BASE's schema JSON whenever names+types are
+            # unchanged: the commit's frame went through select()-style
+            # projections that strip StructField metadata (the v3
+            # initial_default lives there), and recording the stripped
+            # copy would make later reads resolve pre-evolution files
+            # — and later omitting appends — without the default.
+            if (
+                "schema" in base_meta
+                and self._schema_names_types(base_meta["schema"])
+                == self._schema_names_types(schema_json)
+            ):
+                schema_json = base_meta["schema"]
             meta["schema"] = schema_json
             if inherit and "schema" in base_meta:
                 meta["schema_v"] = base_meta.get("schema_v", 1)
@@ -1541,12 +1553,20 @@ class SnapshotTable:
                 f"append frame has columns {extra} absent from the "
                 "table schema; evolve the table first (add_column)"
             )
+        def fill(fld) -> F.Column:
+            # Iceberg v3 initial-default: a column added WITH a default
+            # fills that value for rows/files that predate it (and for
+            # appends that omit it — the write-default role); without
+            # one, the classic typed NULL.
+            dv = (fld.metadata or {}).get("initial_default")
+            return F.lit(dv).cast(fld.dataType)
+
         return df.select(
             *[
-                F.col(n).cast(t).alias(n)
-                if n in have
-                else F.lit(None).cast(t).alias(n)
-                for n, t in want
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in have
+                else fill(f).alias(f.name)
+                for f in target.fields
             ],
             *[F.col(c) for c in passthrough if c in df.columns],
         )
@@ -1622,19 +1642,33 @@ class SnapshotTable:
         self.partition_by = list(partition_by)
         return v
 
-    def add_column(self, name: str, dtype) -> int:
+    def add_column(self, name: str, dtype, default=None) -> int:
         """Metadata-only ADD COLUMN (Iceberg ALTER TABLE): commits an
         ``evolve`` snapshot; pre-evolution files read as typed NULL for
-        the new column. Time travel to snapshots before the evolve
+        the new column — or as ``default`` (Iceberg v3's
+        initial-default: the value is recorded in the schema metadata
+        once at add time, pre-evolution rows resolve to it with zero
+        rewrites, and appends that omit the column fill it too, the
+        write-default role). Time travel to snapshots before the evolve
         still returns the OLD schema — the schema lives in the
         snapshot's manifest."""
         from pyspark.sql import types as T
 
+        if default is not None and not isinstance(
+            default, (int, float, str, bool)
+        ):
+            raise ValueError(
+                "default must be a JSON-scalar (int/float/str/bool) — "
+                "it is recorded in the schema metadata"
+            )
+
         def mutate(schema: T.StructType) -> T.StructType:
             if name in schema.fieldNames():
                 raise ValueError(f"column {name} already exists")
+            md = {"initial_default": default} if default is not None else {}
             return T.StructType(
-                schema.fields + [T.StructField(name, dtype, True)]
+                schema.fields
+                + [T.StructField(name, dtype, True, metadata=md)]
             )
 
         return self._evolve(mutate)

@@ -230,3 +230,64 @@ def test_sink_roundtrips_survive_adversarial_strings(spark, tmp_path):
         if fmt == "csv":
             want = {k: (None if v == "" else v) for k, v in want.items()}
         assert got == want, fmt
+
+
+def test_views_versioned_create_replace_pin_drop(spark, tmp_path):
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("db")
+    t = cat.create_table("db.t")
+    o = _orders(spark)
+    t.append(o.limit(100))
+    v = cat.create_view(
+        "db.top", "SELECT o_orderkey FROM {{db.t}} WHERE o_orderkey < 50"
+    )
+    assert v == 1
+    n1 = cat.read_view(spark, "db.top").count()
+    assert n1 == o.limit(100).filter(F.col("o_orderkey") < 50).count()
+    with pytest.raises(ValueError, match="already exists"):
+        cat.create_view("db.top", "SELECT 1 FROM {{db.t}}")
+    v2 = cat.create_view(
+        "db.top",
+        "SELECT o_orderkey FROM {{db.t}} WHERE o_orderkey < 10",
+        replace=True,
+    )
+    assert v2 == 2 and cat.view_versions("db.top") == 2
+    assert cat.read_view(spark, "db.top").count() == o.limit(100).filter(
+        F.col("o_orderkey") < 10
+    ).count()
+    # the pinned old definition stays readable
+    assert cat.read_view(spark, "db.top", version=1).count() == n1
+    with pytest.raises(ValueError, match="versions 1..2"):
+        cat.read_view(spark, "db.top", version=3)
+    # views resolve against the tables' CURRENT state
+    t.append(o.limit(100))
+    assert (
+        cat.read_view(spark, "db.top", version=1).count() == 2 * n1
+    )
+    assert cat.view_dependencies("db.top") == ["db.t"]
+    assert cat.list_views() == ["db.top"]
+    cat.drop_view("db.top")
+    with pytest.raises(ValueError, match="does not exist"):
+        cat.read_view(spark, "db.top")
+
+
+def test_views_share_identifier_space_and_block_namespace_drop(
+    spark, tmp_path
+):
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("db")
+    cat.create_namespace("other")
+    cat.create_table("db.t")
+    with pytest.raises(ValueError, match="is a table"):
+        cat.create_view("db.t", "SELECT 1 FROM {{db.t}}")
+    cat.create_view("db.v", "SELECT 1 AS one FROM {{db.t}}")
+    with pytest.raises(ValueError, match="is a view"):
+        cat.create_table("db.v")
+    with pytest.raises(ValueError, match="already exists"):
+        cat.rename_table("db.t", "db.v")
+    with pytest.raises(ValueError, match="not empty"):
+        cat.drop_namespace("db")
+    with pytest.raises(ValueError, match="no .* placeholder"):
+        cat.create_view("db.w", "SELECT 1")
+    with pytest.raises(ValueError, match="must be"):
+        cat.create_view("db.w", "SELECT 1 FROM {{bad..ref}}")

@@ -3122,3 +3122,60 @@ def test_cherrypick_idempotent_and_branch_untouched(spark, tmp_path):
     assert tbl.read(spark).count() == o.filter(
         F.col("o_orderkey") % 3 < 2
     ).count()
+
+
+def test_add_column_with_default_fills_old_and_omitting_writers(
+    spark, tmp_path
+):
+    """Iceberg v3 initial-default: pre-evolution rows resolve to the
+    default with zero rewrites; appends omitting the column fill it
+    (write-default role); explicit values — including explicit NULL —
+    are never overridden; time travel before the evolve shows the old
+    schema; compaction materializes the default and preserves it."""
+    from pyspark.sql import types as T
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    v1 = tbl.append(o.filter(F.col("o_orderkey") % 3 == 0))
+    tbl.add_column("region", T.StringType(), default="unassigned")
+
+    got = tbl.read(spark)
+    assert got.filter(F.col("region") == "unassigned").count() == got.count()
+    # omitting writer fills the default
+    tbl.append(o.filter(F.col("o_orderkey") % 3 == 1))
+    # explicit writer keeps its values, explicit NULL stays NULL
+    exp = o.filter(F.col("o_orderkey") % 3 == 2).withColumn(
+        "region",
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("emea")),
+    )
+    tbl.append(exp)
+    r = tbl.read(spark)
+    assert r.count() == o.count()
+    assert (
+        r.filter(F.col("region") == "unassigned").count()
+        == o.filter(F.col("o_orderkey") % 3 < 2).count()
+    )
+    assert (
+        r.filter(F.col("region").isNull()).count()
+        == o.filter(
+            (F.col("o_orderkey") % 3 == 2) & (F.col("o_orderkey") % 2 == 1)
+        ).count()
+    )
+    # time travel: pre-evolve snapshot has the OLD schema
+    assert "region" not in tbl.read(spark, as_of=v1).columns
+    # compaction materializes the default; values identical after
+    before = sorted(
+        map(tuple, r.select("o_orderkey", "region").collect())
+    )
+    tbl.compact(spark)
+    after = sorted(
+        map(
+            tuple,
+            tbl.read(spark).select("o_orderkey", "region").collect(),
+        )
+    )
+    assert before == after
+    with pytest.raises(ValueError, match="JSON-scalar"):
+        tbl.add_column("bad", T.ArrayType(T.LongType()), default=[1])
