@@ -345,6 +345,86 @@ class LocalCatalog:
 
         return spark.sql(self._VIEW_REF_RE.sub(sub, sql))
 
+    # -- materialized views (Iceberg MV spec: view + storage table +
+    #    freshness lineage) ---------------------------------------------
+
+    def create_materialized_view(
+        self, ident: str, sql: str, replace: bool = False
+    ) -> int:
+        """Materialized view — the Iceberg MV spec shape: a VIEW
+        definition plus a STORAGE TABLE plus recorded freshness lineage.
+        The definition is created like any view (versioned, placeholder
+        references); the storage table lives under the catalog's
+        default layout as ``<ns>.<name>__storage``. Nothing is computed
+        here — call :meth:`refresh_materialized`."""
+        v = self.create_view(ident, sql, replace=replace)
+        ns, name = _split_ident(ident)
+        storage = f"{ns}.{name}__storage"
+        with self._lock():
+            reg = self._read()
+            ent = reg["views"][ident]
+            ent["materialized"] = True
+            ent.setdefault("storage", storage)
+            ent.pop("freshness", None)  # a new definition is stale
+            self._write(reg)
+        if not self.table_exists(storage):
+            self.create_table(storage)
+        return v
+
+    def _dep_versions(self, ident: str) -> dict:
+        """Current latest-published snapshot per dependency table."""
+        out = {}
+        for dep in self.view_dependencies(ident):
+            t = self.load_table(dep)
+            out[dep] = t._latest_published() or 0
+        return out
+
+    def is_stale(self, ident: str) -> bool:
+        """True when any dependency table has committed past the
+        snapshot recorded at the last refresh (or never refreshed).
+        Metadata-only: one manifest-dir listing per dependency."""
+        ent = self._view_entry(ident)
+        if not ent.get("materialized"):
+            raise ValueError(f"{ident!r} is not materialized")
+        fresh = ent.get("freshness")
+        if fresh is None or fresh.get("version") != len(ent["versions"]):
+            return True
+        return fresh["deps"] != self._dep_versions(ident)
+
+    def refresh_materialized(self, spark: SparkSession, ident: str) -> dict:
+        """Recompute the definition and overwrite the storage table as
+        ONE snapshot, recording the dependency snapshot versions the
+        result was computed FROM (the spec's lineage record). The
+        dependency versions are captured BEFORE the compute: a source
+        commit racing the refresh leaves the MV marked stale rather
+        than silently-fresh-but-wrong."""
+        deps = self._dep_versions(ident)
+        df = self.read_view(spark, ident)
+        storage = self._view_entry(ident)["storage"]
+        self.load_table(storage).overwrite(df)
+        with self._lock():
+            reg = self._read()
+            ent = reg["views"][ident]
+            ent["freshness"] = {
+                "deps": deps,
+                "version": len(ent["versions"]),
+                "refreshed_ts": time.time(),
+            }
+            self._write(reg)
+        return deps
+
+    def read_materialized(
+        self, spark: SparkSession, ident: str
+    ) -> tuple[DataFrame, bool]:
+        """Read path of the Iceberg MV spec: serve the STORAGE TABLE
+        when the lineage is current, otherwise FALL BACK to evaluating
+        the view SQL live (correct but unmaterialized — never a stale
+        answer). Returns ``(df, served_from_storage)``."""
+        if self.is_stale(ident):
+            return self.read_view(spark, ident), False
+        storage = self._view_entry(ident)["storage"]
+        return self.load_table(storage).read(spark), True
+
     def verify(self) -> dict:
         """Catalog fsck — registry-vs-filesystem consistency, the
         namespace-level sibling of SnapshotTable.verify():
@@ -557,3 +637,66 @@ def q_catalog_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat.read_view(spark, "raw.all_orders").crossJoin(
         F.broadcast(scalars)
     )
+
+
+@query(
+    "q_catalog_mv",
+    oracle="""
+    WITH agg AS (
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS sum_price
+        FROM orders
+        GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, n_orders, sum_price,
+           CAST(1 AS BIGINT) AS first_from_storage,
+           CAST(0 AS BIGINT) AS stale_from_storage,
+           CAST(1 AS BIGINT) AS refreshed_from_storage
+    FROM agg
+    """,
+)
+def q_catalog_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized view lifecycle (the Iceberg MV spec), DuckDB-oracled:
+    an MV aggregates a catalog table; after refresh it serves from its
+    STORAGE TABLE (flag 1); the source then advances, the lineage check
+    flags staleness and the read FALLS BACK to live SQL — which must
+    already equal the oracle over ALL of orders (never a stale answer,
+    flag 0); a second refresh re-materializes and storage serves again
+    (flag 1), still hash-equal to the oracle.
+
+    Scale shape: freshness is a metadata compare (one manifest listing
+    per dependency, zero data IO); a fresh read costs the
+    aggregate-sized storage table, never the source scan; the fallback
+    costs exactly what the inline query would — the spec's guarantee
+    that correctness never waits on a refresh schedule.
+    """
+    root = scratch_dir(spark, sf_dir, "catalog_mv")
+    cat = LocalCatalog(root)
+    cat.create_namespace("gold")
+    o = load_table(spark, sf_dir, "orders")
+    src = cat.create_table("gold.orders", stats_cols=["o_orderkey"])
+    src.append(o.filter(F.col("o_orderkey") % 4 != 3))
+    cat.create_materialized_view(
+        "gold.by_status",
+        """
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS sum_price
+        FROM {{gold.orders}}
+        GROUP BY o_orderstatus
+        """,
+    )
+    cat.refresh_materialized(spark, "gold.by_status")
+    _, hit1 = cat.read_materialized(spark, "gold.by_status")
+    src.append(o.filter(F.col("o_orderkey") % 4 == 3))
+    stale_df, hit2 = cat.read_materialized(spark, "gold.by_status")
+    stale_df.count()  # the fallback runs live over the FULL source
+    cat.refresh_materialized(spark, "gold.by_status")
+    final, hit3 = cat.read_materialized(spark, "gold.by_status")
+    scalars = spark.createDataFrame(
+        [(int(hit1), int(hit2), int(hit3))],
+        "first_from_storage long, stale_from_storage long, "
+        "refreshed_from_storage long",
+    )
+    return final.crossJoin(F.broadcast(scalars))

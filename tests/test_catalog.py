@@ -291,3 +291,47 @@ def test_views_share_identifier_space_and_block_namespace_drop(
         cat.create_view("db.w", "SELECT 1")
     with pytest.raises(ValueError, match="must be"):
         cat.create_view("db.w", "SELECT 1 FROM {{bad..ref}}")
+
+
+def test_materialized_view_lifecycle(spark, tmp_path):
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("db")
+    t = cat.create_table("db.src")
+    o = _orders(spark)
+    t.append(o.limit(100))
+    cat.create_materialized_view(
+        "db.mv",
+        "SELECT COUNT(*) AS n FROM {{db.src}}",
+    )
+    # never refreshed -> stale -> falls back to live SQL
+    assert cat.is_stale("db.mv")
+    df, from_storage = cat.read_materialized(spark, "db.mv")
+    assert not from_storage and df.collect()[0]["n"] == 100
+    cat.refresh_materialized(spark, "db.mv")
+    assert not cat.is_stale("db.mv")
+    df, from_storage = cat.read_materialized(spark, "db.mv")
+    assert from_storage and df.collect()[0]["n"] == 100
+    # source advances -> stale -> live fallback sees the new rows
+    t.append(o.limit(50))
+    assert cat.is_stale("db.mv")
+    df, from_storage = cat.read_materialized(spark, "db.mv")
+    assert not from_storage and df.collect()[0]["n"] == 150
+    # re-refresh serves current data from storage
+    cat.refresh_materialized(spark, "db.mv")
+    df, from_storage = cat.read_materialized(spark, "db.mv")
+    assert from_storage and df.collect()[0]["n"] == 150
+    # replacing the DEFINITION invalidates freshness
+    cat.create_materialized_view(
+        "db.mv",
+        "SELECT COUNT(*) AS n FROM {{db.src}} WHERE o_orderkey < 10",
+        replace=True,
+    )
+    assert cat.is_stale("db.mv")
+    df, from_storage = cat.read_materialized(spark, "db.mv")
+    assert not from_storage
+    # plain views refuse the MV-only APIs
+    cat.create_view("db.plain", "SELECT 1 AS one FROM {{db.src}}")
+    with pytest.raises(ValueError, match="not materialized"):
+        cat.is_stale("db.plain")
+    # the storage table is a first-class catalog table
+    assert "db.mv__storage" in cat.list_tables("db")
