@@ -543,3 +543,37 @@ def test_partition_pruned_read_plans_fewer_files(spark, tmp_path):
     # exactly one scan over the pruned file list; no join/shuffle at all
     assert "Exchange" not in p
     assert "Scan parquet" in p
+
+
+def test_view_read_pushes_filters_into_table_scans(spark, tmp_path):
+    """A catalog view is metadata: a filter written OVER the view must
+    reach the underlying parquet scan's PushedFilters, and the
+    projection must prune ReadSchema — exactly as if the SQL were
+    inlined (at 100 TB the view abstraction may cost zero I/O)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_insert_spark.sources.catalog import LocalCatalog
+
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("db")
+    t = cat.create_table("db.orders")
+    t.append(
+        spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+        )
+    )
+    cat.create_view(
+        "db.v",
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM {{db.orders}}",
+    )
+    df = (
+        cat.read_view(spark, "db.v")
+        .filter(F.col("o_orderkey") < 100)
+        .select("o_orderkey", "o_totalprice")
+    )
+    p = plan_of(df)
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert pushed and "LessThan(o_orderkey,100)" in pushed[0]
+    read = next(ln for ln in p.splitlines() if "ReadSchema" in ln)
+    assert "o_totalprice" in read
+    assert "o_orderpriority" not in read and "o_orderstatus" not in read
