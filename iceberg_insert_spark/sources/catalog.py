@@ -300,20 +300,42 @@ class LocalCatalog:
     def view_versions(self, ident: str) -> int:
         return len(self._view_entry(ident)["versions"])
 
+    def _view_sql(self, ident: str, version: int | None) -> str:
+        """Resolve a definition version with validation — ONE spelling
+        shared by read_view and view_dependencies (review catch: the
+        unvalidated copy raised IndexError / silently served the wrong
+        version for 0 and negatives)."""
+        vs = self._view_entry(ident)["versions"]
+        if version is not None and not (1 <= version <= len(vs)):
+            raise ValueError(
+                f"view {ident!r} has versions 1..{len(vs)}, "
+                f"not {version}"
+            )
+        return vs[(len(vs) if version is None else version) - 1]["sql"]
+
     def view_dependencies(
         self, ident: str, version: int | None = None
     ) -> list[str]:
-        vs = self._view_entry(ident)["versions"]
-        sql = vs[(version or len(vs)) - 1]["sql"]
-        return sorted(set(self._VIEW_REF_RE.findall(sql)))
+        return sorted(
+            set(self._VIEW_REF_RE.findall(self._view_sql(ident, version)))
+        )
 
     def drop_view(self, ident: str) -> None:
+        """Drop a view; a MATERIALIZED view's storage table (engine-
+        managed derived data, never user data — adoption is refused at
+        create) is dropped WITH purge alongside it (review catch: left
+        behind, it blocked namespace drops and leaked the
+        materialization forever)."""
         with self._lock():
             reg = self._read()
-            if ident not in reg.get("views", {}):
+            ent = reg.get("views", {}).get(ident)
+            if ent is None:
                 raise ValueError(f"view {ident!r} does not exist")
             del reg["views"][ident]
             self._write(reg)
+        storage = ent.get("storage")
+        if storage is not None and self.table_exists(storage):
+            self.drop_table(storage, purge=True)
 
     def read_view(
         self,
@@ -329,17 +351,18 @@ class LocalCatalog:
         pruning/pushdown flow through the view exactly as if the query
         were written inline (a view is metadata, never a
         materialization)."""
-        vs = self._view_entry(ident)["versions"]
-        if version is not None and not (1 <= version <= len(vs)):
-            raise ValueError(
-                f"view {ident!r} has versions 1..{len(vs)}, "
-                f"not {version}"
-            )
-        sql = vs[(version or len(vs)) - 1]["sql"]
+        import hashlib
+
+        sql = self._view_sql(ident, version)
 
         def sub(m: re.Match) -> str:
             ref = m.group(1)
-            tmp = "__cat_" + ref.replace(".", "__")
+            # md5 suffix makes the name INJECTIVE (review catch:
+            # '.'->'__' alone maps raw.x__y and raw__x.y to one name,
+            # silently reading the wrong table) and collision-proof
+            # against user temp views
+            h = hashlib.md5(ref.encode()).hexdigest()[:8]
+            tmp = f"__cat_{ref.replace('.', '__')}_{h}"
             self.load_table(ref).read(spark).createOrReplaceTempView(tmp)
             return tmp
 
@@ -357,9 +380,19 @@ class LocalCatalog:
         references); the storage table lives under the catalog's
         default layout as ``<ns>.<name>__storage``. Nothing is computed
         here — call :meth:`refresh_materialized`."""
-        v = self.create_view(ident, sql, replace=replace)
         ns, name = _split_ident(ident)
         storage = f"{ns}.{name}__storage"
+        # refuse to adopt a table the MV machinery did not create
+        # (review catch: refresh would otherwise OVERWRITE a user's
+        # table that happens to carry the storage name)
+        prior = self._read().get("views", {}).get(ident, {})
+        if self.table_exists(storage) and prior.get("storage") != storage:
+            raise ValueError(
+                f"table {storage!r} already exists and is not this "
+                "view's storage — refusing to adopt (refresh would "
+                "overwrite it)"
+            )
+        v = self.create_view(ident, sql, replace=replace)
         with self._lock():
             reg = self._read()
             ent = reg["views"][ident]
@@ -398,16 +431,20 @@ class LocalCatalog:
         dependency versions are captured BEFORE the compute: a source
         commit racing the refresh leaves the MV marked stale rather
         than silently-fresh-but-wrong."""
+        ent0 = self._view_entry(ident)
+        # definition version captured WITH deps before the compute
+        # (review catch: read after it, a concurrent replace makes
+        # old-SQL storage report as fresh for the NEW definition)
+        defn_v = len(ent0["versions"])
         deps = self._dep_versions(ident)
-        df = self.read_view(spark, ident)
-        storage = self._view_entry(ident)["storage"]
-        self.load_table(storage).overwrite(df)
+        df = self.read_view(spark, ident, version=defn_v)
+        self.load_table(ent0["storage"]).overwrite(df)
         with self._lock():
             reg = self._read()
             ent = reg["views"][ident]
             ent["freshness"] = {
                 "deps": deps,
-                "version": len(ent["versions"]),
+                "version": defn_v,
                 "refreshed_ts": time.time(),
             }
             self._write(reg)

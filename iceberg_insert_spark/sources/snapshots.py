@@ -1287,18 +1287,26 @@ class SnapshotTable:
             # (appends project onto it before writing), so a read whose
             # files all post-date the last evolve skips per-group
             # schema resolution entirely.
-            # Prefer the BASE's schema JSON whenever names+types are
+            # Prefer the PRIOR schema JSON whenever names+types are
             # unchanged: the commit's frame went through select()-style
             # projections that strip StructField metadata (the v3
             # initial_default lives there), and recording the stripped
             # copy would make later reads resolve pre-evolution files
             # — and later omitting appends — without the default.
+            # Replace-type commits (inherit=False: overwrite/compact)
+            # have no inherit base but still follow the table's schema
+            # lineage — compare against the latest published (review
+            # catch: compaction otherwise stripped the write-default).
+            prior = base_meta
+            if "schema" not in prior:
+                lp = self._latest_published()
+                prior = self._meta(lp) if lp is not None else {}
             if (
-                "schema" in base_meta
-                and self._schema_names_types(base_meta["schema"])
+                "schema" in prior
+                and self._schema_names_types(prior["schema"])
                 == self._schema_names_types(schema_json)
             ):
-                schema_json = base_meta["schema"]
+                schema_json = prior["schema"]
             meta["schema"] = schema_json
             if inherit and "schema" in base_meta:
                 meta["schema_v"] = base_meta.get("schema_v", 1)
@@ -1654,13 +1662,40 @@ class SnapshotTable:
         snapshot's manifest."""
         from pyspark.sql import types as T
 
-        if default is not None and not isinstance(
-            default, (int, float, str, bool)
-        ):
-            raise ValueError(
-                "default must be a JSON-scalar (int/float/str/bool) — "
-                "it is recorded in the schema metadata"
-            )
+        if default is not None:
+            if not isinstance(default, (int, float, str, bool)):
+                raise ValueError(
+                    "default must be a JSON-scalar (int/float/str/bool) "
+                    "— it is recorded in the schema metadata"
+                )
+            # Python-side type compatibility (review catch: an
+            # incompatible default would silently cast to NULL at read
+            # time — a declared default that never fires)
+            tn = dtype.typeName()
+            ok = {
+                "long": lambda d: isinstance(d, int)
+                and not isinstance(d, bool),
+                "integer": lambda d: isinstance(d, int)
+                and not isinstance(d, bool),
+                "short": lambda d: isinstance(d, int)
+                and not isinstance(d, bool),
+                "double": lambda d: isinstance(d, (int, float))
+                and not isinstance(d, bool),
+                "float": lambda d: isinstance(d, (int, float))
+                and not isinstance(d, bool),
+                "string": lambda d: isinstance(d, str),
+                "boolean": lambda d: isinstance(d, bool),
+            }.get(tn)
+            if ok is None:
+                raise ValueError(
+                    f"defaults are supported for scalar column types, "
+                    f"not {tn}"
+                )
+            if not ok(default):
+                raise ValueError(
+                    f"default {default!r} is not a {tn} value — it "
+                    "would silently read back as NULL"
+                )
 
         def mutate(schema: T.StructType) -> T.StructType:
             if name in schema.fieldNames():
@@ -1700,6 +1735,10 @@ class SnapshotTable:
                         f.name,
                         dtype if f.name == name else f.dataType,
                         f.nullable,
+                        # metadata carries (review catch: rebuilding
+                        # without it erased initial_default for every
+                        # OTHER column on any widen)
+                        metadata=f.metadata,
                     )
                     for f in schema.fields
                 ]

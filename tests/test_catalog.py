@@ -335,3 +335,73 @@ def test_materialized_view_lifecycle(spark, tmp_path):
         cat.is_stale("db.plain")
     # the storage table is a first-class catalog table
     assert "db.mv__storage" in cat.list_tables("db")
+
+
+def test_review_fixes_views_mv_defaults(spark, tmp_path):
+    """Review regressions: injective temp-view names, MV storage
+    adoption refusal, version-validated dependencies, drop_view purges
+    MV storage, refresh pins the definition version it computed."""
+    from pyspark.sql import types as T
+
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("raw")
+    cat.create_namespace("raw__x")
+    o = _orders(spark)
+    # identifiers that collide under a naive '.'->'__' mapping
+    a = cat.create_table("raw.x__y")
+    a.append(o.limit(10))
+    b = cat.create_table("raw__x.y")
+    b.append(o.limit(20))
+    cat.create_view(
+        "raw.both",
+        "SELECT (SELECT COUNT(*) FROM {{raw.x__y}}) AS na, "
+        "(SELECT COUNT(*) FROM {{raw__x.y}}) AS nb FROM {{raw.x__y}} "
+        "LIMIT 1",
+    )
+    r = cat.read_view(spark, "raw.both").collect()[0]
+    assert (r.na, r.nb) == (10, 20)
+    # version validation is shared by deps and read
+    with pytest.raises(ValueError, match="versions 1..1"):
+        cat.view_dependencies("raw.both", version=0)
+    # MV refuses to adopt a user table carrying the storage name
+    cat.create_table("raw.sales__storage").append(o.limit(5))
+    with pytest.raises(ValueError, match="refusing to adopt"):
+        cat.create_materialized_view(
+            "raw.sales", "SELECT COUNT(*) AS n FROM {{raw.x__y}}"
+        )
+    # drop_view purges an MV's storage table
+    cat.create_materialized_view(
+        "raw.mv", "SELECT COUNT(*) AS n FROM {{raw.x__y}}"
+    )
+    cat.refresh_materialized(spark, "raw.mv")
+    loc = cat._entry("raw.mv__storage")["location"]
+    cat.drop_view("raw.mv")
+    assert not cat.table_exists("raw.mv__storage")
+    assert not os.path.exists(loc)
+
+
+def test_default_validation_and_widen_preserves_metadata(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from iceberg_insert_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    df = spark.createDataFrame([(1, 1.5)], "k int, x float")
+    tbl.append(df)
+    with pytest.raises(ValueError, match="not a long value"):
+        tbl.add_column("n", T.LongType(), default="oops")
+    with pytest.raises(ValueError, match="not a boolean"):
+        tbl.add_column("f", T.BooleanType(), default=1)
+    with pytest.raises(ValueError, match="scalar column types"):
+        tbl.add_column("arr", T.ArrayType(T.LongType()), default="x")
+    tbl.add_column("region", T.StringType(), default="eu")
+    # widen of ANOTHER column must not erase the default metadata
+    tbl.widen_column("x", T.DoubleType())
+    tbl.append(spark.createDataFrame([(2, 2.5)], "k int, x float"))
+    got = {r.k: r.region for r in tbl.read(spark).collect()}
+    assert got == {1: "eu", 2: "eu"}
+    # compaction (replace commit) keeps the write-default too
+    tbl.compact(spark)
+    tbl.append(spark.createDataFrame([(3, 3.5)], "k int, x double"))
+    got = {r.k: r.region for r in tbl.read(spark).collect()}
+    assert got == {1: "eu", 2: "eu", 3: "eu"}
