@@ -245,7 +245,12 @@ class LocalCatalog:
 
     # -- views (Iceberg view spec: named, VERSIONED SQL) ---------------
 
-    _VIEW_REF_RE = re.compile(r"\{\{\s*([A-Za-z_][\w.]*)\s*\}\}")
+    # single capture group (the identifier) — an optional ``@N`` pin is
+    # tolerated but not captured, so dependency discovery and create
+    # validation see the table name behind a pinned reference too
+    _VIEW_REF_RE = re.compile(
+        r"\{\{\s*([A-Za-z_][\w.]*)\s*(?:@\s*\d+\s*)?\}\}"
+    )
 
     def create_view(
         self, ident: str, sql: str, replace: bool = False
@@ -337,6 +342,76 @@ class LocalCatalog:
         if storage is not None and self.table_exists(storage):
             self.drop_table(storage, purge=True)
 
+    # ``{{ns.ident}}`` or ``{{ns.table@N}}`` — the optional pin is
+    # Iceberg's VERSION AS OF, spoken through the catalog
+    _SQL_REF_RE = re.compile(
+        r"\{\{\s*([A-Za-z_][\w.]*)\s*(?:@\s*(\d+)\s*)?\}\}"
+    )
+
+    def sql(
+        self,
+        spark: SparkSession,
+        sql: str,
+        _resolving: frozenset = frozenset(),
+    ) -> DataFrame:
+        """THE SQL FRONT-END over the catalog: run one Spark SQL
+        statement in which every ``{{namespace.ident}}`` placeholder
+        resolves to a catalog object — a TABLE's current snapshot, a
+        TABLE pinned to a snapshot via ``{{ns.table@N}}`` (Iceberg's
+        ``VERSION AS OF`` spoken through the catalog), a VIEW
+        (recursively — views may reference views), or a MATERIALIZED
+        view (storage when fresh, live SQL otherwise — never stale).
+        Each resolution lands as a session temp view with an injective
+        md5-suffixed name, then the statement runs as ONE Catalyst
+        plan: filter/column pushdown, partition/stats pruning, and
+        broadcast decisions flow through views into the physical table
+        scans exactly as if the query were written inline.
+
+        This is what a reference user actually types: SQL against the
+        catalog namespace, not Python builder calls — the missing half
+        of the JDBC-catalog surface (App.java loads the catalog only
+        to append; it has no query path at all)."""
+        import hashlib
+
+        reg = self._read()
+        views = reg.get("views", {})
+
+        def sub(m: re.Match) -> str:
+            ref, pin = m.group(1), m.group(2)
+            key = f"{ref}@{pin}" if pin else ref
+            # md5 suffix makes the name INJECTIVE (review catch:
+            # '.'->'__' alone maps raw.x__y and raw__x.y to one name,
+            # silently reading the wrong table) and collision-proof
+            # against user temp views; the pin participates so
+            # {{t}} and {{t@3}} coexist in one statement
+            h = hashlib.md5(key.encode()).hexdigest()[:8]
+            tmp = f"__cat_{ref.replace('.', '__')}_{h}"
+            if ref in views:
+                if pin is not None:
+                    raise ValueError(
+                        f"{ref!r} is a view; snapshot pins "
+                        "({{ns.table@N}}) apply to tables"
+                    )
+                if ref in _resolving:
+                    raise ValueError(
+                        f"circular view reference through {ref!r}"
+                    )
+                if views[ref].get("materialized"):
+                    df, _hit = self.read_materialized(spark, ref)
+                else:
+                    df = self.sql(
+                        spark,
+                        self._view_sql(ref, None),
+                        _resolving | {ref},
+                    )
+            else:
+                t = self.load_table(ref)
+                df = t.read(spark, as_of=int(pin) if pin else None)
+            df.createOrReplaceTempView(tmp)
+            return tmp
+
+        return spark.sql(self._SQL_REF_RE.sub(sub, sql))
+
     def read_view(
         self,
         spark: SparkSession,
@@ -344,29 +419,16 @@ class LocalCatalog:
         version: int | None = None,
     ) -> DataFrame:
         """Evaluate a view definition (latest, or a pinned ``version``)
-        against the referenced tables' CURRENT snapshots: each
-        ``{{namespace.table}}`` placeholder resolves through
-        ``load_table().read()`` into a session-scoped temp view with a
-        collision-proof name, then the SQL runs as one Catalyst plan —
-        pruning/pushdown flow through the view exactly as if the query
-        were written inline (a view is metadata, never a
-        materialization)."""
-        import hashlib
-
-        sql = self._view_sql(ident, version)
-
-        def sub(m: re.Match) -> str:
-            ref = m.group(1)
-            # md5 suffix makes the name INJECTIVE (review catch:
-            # '.'->'__' alone maps raw.x__y and raw__x.y to one name,
-            # silently reading the wrong table) and collision-proof
-            # against user temp views
-            h = hashlib.md5(ref.encode()).hexdigest()[:8]
-            tmp = f"__cat_{ref.replace('.', '__')}_{h}"
-            self.load_table(ref).read(spark).createOrReplaceTempView(tmp)
-            return tmp
-
-        return spark.sql(self._VIEW_REF_RE.sub(sub, sql))
+        against the referenced objects' CURRENT state — delegation to
+        :meth:`sql` with this view on the cycle-guard stack, so views
+        may reference views and the whole stack inlines into one
+        Catalyst plan (a view is metadata, never a materialization)."""
+        self._view_entry(ident)  # exists + clean error contract
+        return self.sql(
+            spark,
+            self._view_sql(ident, version),
+            _resolving=frozenset({ident}),
+        )
 
     # -- materialized views (Iceberg MV spec: view + storage table +
     #    freshness lineage) ---------------------------------------------
@@ -405,11 +467,29 @@ class LocalCatalog:
         return v
 
     def _dep_versions(self, ident: str) -> dict:
-        """Current latest-published snapshot per dependency table."""
-        out = {}
-        for dep in self.view_dependencies(ident):
-            t = self.load_table(dep)
-            out[dep] = t._latest_published() or 0
+        """Current latest-published snapshot per dependency TABLE —
+        view dependencies are walked transitively down to the tables
+        they read (an MV over a view is fresh exactly when the
+        underlying tables haven't moved; the view definition version
+        rides along so a view replace also invalidates)."""
+        views = self._read().get("views", {})
+        out: dict = {}
+        seen = set()
+        frontier = list(self.view_dependencies(ident))
+        while frontier:
+            dep = frontier.pop()
+            if dep in seen:
+                continue
+            seen.add(dep)
+            if dep in views:
+                out[f"{dep}::defn"] = len(views[dep]["versions"])
+                frontier.extend(
+                    self._VIEW_REF_RE.findall(
+                        views[dep]["versions"][-1]["sql"]
+                    )
+                )
+            else:
+                out[dep] = self.load_table(dep)._latest_published() or 0
         return out
 
     def is_stale(self, ident: str) -> bool:
@@ -737,3 +817,73 @@ def q_catalog_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "refreshed_from_storage long",
     )
     return final.crossJoin(F.broadcast(scalars))
+
+
+@query(
+    "q_catalog_sql",
+    oracle="""
+    WITH ord AS (SELECT * FROM orders WHERE o_orderkey % 4 = 0),
+         pinned AS (
+             SELECT COUNT(*) AS pinned_rows
+             FROM orders WHERE o_orderkey % 8 = 0
+         )
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS cents,
+           (SELECT pinned_rows FROM pinned) AS pinned_rows
+    FROM ord o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def q_catalog_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The catalog's SQL FRONT-END (``LocalCatalog.sql``), DuckDB-
+    oracled: one SQL statement joins a catalog VIEW (which itself
+    references a catalog table — view resolution recurses) with a
+    second catalog table, while a scalar subquery reads the first
+    table PINNED to its initial snapshot via ``{{an.ord@v1}}`` —
+    Iceberg's VERSION AS OF spoken through the catalog, proving time
+    travel composes with live reads of the SAME table inside one
+    statement. The pinned count sees only batch 1 (keys %8==0) while
+    the join sees the current state (%4==0); both must equal the
+    oracle's plain reconstruction.
+
+    Scale shape: every placeholder resolves to metadata (manifest file
+    lists) before the statement plans, then Catalyst sees ONE tree —
+    the view inlines, the join's filters push into the parquet scans,
+    and the dimension side broadcasts exactly as an inline query
+    would. This is the surface a reference user actually migrates to:
+    SQL over the catalog namespace, not Python builder calls
+    (reference parity: App.java:51-63 loads a JDBC catalog but can
+    only append to it; it has no query path at all).
+    """
+    root = scratch_dir(spark, sf_dir, "catalog_sql")
+    cat = LocalCatalog(root)
+    cat.create_namespace("an")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("o_orderkey")
+    ord_t = cat.create_table("an.ord", stats_cols=["o_orderkey"])
+    v1 = ord_t.append(o.filter(k % 8 == 0))
+    ord_t.append(o.filter((k % 4 == 0) & (k % 8 != 0)))
+    cat.create_table("an.cust").append(c)
+    cat.create_view(
+        "an.enriched",
+        """
+        SELECT o.o_custkey, o.o_totalprice
+        FROM {{an.ord}} o
+        """,
+    )
+    return cat.sql(
+        spark,
+        f"""
+        SELECT c.c_mktsegment AS segment,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents,
+               (SELECT COUNT(*) FROM {{{{an.ord@{v1}}}}}) AS pinned_rows
+        FROM {{{{an.enriched}}}} o
+        JOIN {{{{an.cust}}}} c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+        """,
+    )

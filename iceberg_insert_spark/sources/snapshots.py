@@ -510,30 +510,76 @@ class SnapshotTable:
         if not conds and not eqs and not not_null:
             return files, total
         stats = self._load_stats()
+        # Column-name era mapping (RENAME/DROP COLUMN support): the
+        # stats/bloom sidecars key entries by the name the column had
+        # WHEN THE FILE WAS WRITTEN. A predicate on the current name
+        # must consult the file-era name — and a file written before
+        # the field existed (iis_added_v guard) must never consult a
+        # same-named predecessor's stats (the wrong-prune hazard field
+        # IDs prevent in Iceberg proper); for such files every row
+        # holds the field's initial-default, so the predicate is
+        # decided EXACTLY from the default instead.
+        smeta = self._meta(as_of)
+        sjson = smeta.get("schema")
+        f_eras = smeta.get("file_schema_v", {})
+        fmd = (
+            {f["name"]: f.get("metadata") or {} for f in sjson["fields"]}
+            if sjson
+            else {}
+        )
+        era_cache: dict[str, int] = {}
+
+        def stat_key(col: str, f: str):
+            """(sidecar key for `col` on file `f`, initial_default) —
+            key None = the field postdates the file."""
+            if sjson is None or col not in fmd:
+                return col, None  # no schema tracking: names are fixed
+            if f not in era_cache:
+                era_cache[f] = int(f_eras.get(f, self._seq_of(f)))
+            return (
+                self._era_name(fmd[col], col, era_cache[f]),
+                fmd[col].get("initial_default"),
+            )
+
         for col in not_null or []:
             # IS NOT NULL probe: a file whose recorded null count
             # equals its recorded row count is provably all-NULL in
-            # the column — prune it; anything unrecorded keeps
-            files = [
-                f
-                for f in files
-                if (e := stats.get(f, {})).get("::nulls::" + col)
-                is None
-                or e.get("::rows") is None
-                or e["::nulls::" + col] < e["::rows"]
-            ]
+            # the column — prune it; anything unrecorded keeps. A file
+            # predating the field is all-default: prune iff the
+            # default is NULL.
+            def _keep_nn(f: str) -> bool:
+                n, dv = stat_key(col, f)
+                if n is None:
+                    return dv is not None
+                e = stats.get(f, {})
+                return (
+                    e.get("::nulls::" + n) is None
+                    or e.get("::rows") is None
+                    or e["::nulls::" + n] < e["::rows"]
+                )
+
+            files = [f for f in files if _keep_nn(f)]
         # CONJUNCTION of range predicates: a file is pruned when it is
         # provably disjoint on ANY dimension — the compound pruning a
         # z-order layout (compact_zorder) exists to unlock, where
         # neither dimension alone isolates the target region but their
         # intersection does.
         for col, lo, hi in conds:
-            files = [
-                f
-                for f in files
-                if (s := stats.get(f, {}).get(col)) is None
-                or not self._provably_disjoint(s[0], s[1], lo, hi)
-            ]
+
+            def _keep_rng(f: str) -> bool:
+                n, dv = stat_key(col, f)
+                if n is None:
+                    # every row holds the default: NULL never matches
+                    # a range; a literal default matches iff in-range
+                    return dv is not None and not self._provably_disjoint(
+                        dv, dv, lo, hi
+                    )
+                s = stats.get(f, {}).get(n)
+                return s is None or not self._provably_disjoint(
+                    s[0], s[1], lo, hi
+                )
+
+            files = [f for f in files if _keep_rng(f)]
         if eqs:
             blooms = None
             for col, val in eqs:
@@ -542,25 +588,31 @@ class SnapshotTable:
                     # pruning): a file whose recorded null count is
                     # ZERO provably holds no matching row; files
                     # without a recorded count keep conservatively
-                    files = [
-                        f
-                        for f in files
-                        if stats.get(f, {}).get("::nulls::" + col)
-                        != 0
-                    ]
+                    def _keep_isnull(f: str) -> bool:
+                        n, dv = stat_key(col, f)
+                        if n is None:
+                            return dv is None  # all-default file
+                        return (
+                            stats.get(f, {}).get("::nulls::" + n) != 0
+                        )
+
+                    files = [f for f in files if _keep_isnull(f)]
                     continue
                 key = self._bloom_key(val)
                 if key is None:
                     continue  # no canonical form -> no bloom pruning
                 if blooms is None:
                     blooms = self._load_blooms()  # lazy: eq probes only
-                files = [
-                    f
-                    for f in files
-                    if self._bloom_maybe_contains(
-                        blooms.get(f, {}).get(col), key
+
+                def _keep_bloom(f: str) -> bool:
+                    n, dv = stat_key(col, f)
+                    if n is None:
+                        return dv == val  # all-default file
+                    return self._bloom_maybe_contains(
+                        blooms.get(f, {}).get(n), key
                     )
-                ]
+
+                files = [f for f in files if _keep_bloom(f)]
         return files, total
 
     @staticmethod
@@ -1232,6 +1284,18 @@ class SnapshotTable:
             meta["partition_by"] = self.partition_by or base_meta.get(
                 "partition_by", []
             )
+        # Schema-era overrides (files cherry-picked/published after a
+        # main-side evolve) follow their files: carried while the file
+        # is inherited, gone when a replace/rewrite drops the file.
+        # This commit's OWN files never need one — they are written at
+        # this commit's era.
+        base_eras = base_meta.get("file_schema_v", {})
+        if inherit and base_eras:
+            kept_eras = {
+                f: base_eras[f] for f in inherited if f in base_eras
+            }
+            if kept_eras:
+                meta["file_schema_v"] = kept_eras
         # Iceberg v2 delete files: each entry records its path, equality
         # key, and the sequence number it was committed at — a delete
         # applies only to data files with a LOWER sequence (data seq ==
@@ -1579,6 +1643,66 @@ class SnapshotTable:
             *[F.col(c) for c in passthrough if c in df.columns],
         )
 
+    @staticmethod
+    def _field_hist(md: dict | None, name: str) -> list[list]:
+        """A field's name history ``[[effective_from_version, name],
+        ...]`` (last entry = current name). Fields that were never
+        renamed have no recorded history: they are synthesized as
+        ``[[added_v, name]]`` with ``added_v`` defaulting to 1 (a field
+        present since the first recorded schema). This history is the
+        local stand-in for Iceberg's field IDs: it answers both "what
+        was this field called at era E" and "did this field exist at
+        era E"."""
+        md = md or {}
+        hist = md.get("iis_names")
+        if hist:
+            return [list(h) for h in hist]
+        return [[md.get("iis_added_v", 1), name]]
+
+    @classmethod
+    def _era_name(cls, md: dict | None, name: str, era: int) -> str | None:
+        """The name a CURRENT-schema field had at schema era ``era`` —
+        or None if the field did not exist yet (files from era E can
+        never feed a field added after E, even under a reused name)."""
+        hist = cls._field_hist(md, name)
+        if era < hist[0][0]:
+            return None
+        out = hist[0][1]
+        for hv, hn in hist:
+            if hv <= era:
+                out = hn
+        return out
+
+    def _resolve_onto(
+        self, df: DataFrame, target, era: int, passthrough=()
+    ) -> DataFrame:
+        """READ-TIME schema resolution for a pre-evolution file group
+        (Iceberg's field-ID resolution, driven by the name history):
+        for each field of the snapshot's schema, select the column
+        under the name the field had at the group's era (renamed ->
+        old name, widened -> exact upcast), or fill the v3
+        initial-default / typed NULL when the field postdates the
+        group. File columns OUTSIDE the current schema (dropped
+        fields, other fields' pre-rename names) are ignored — never an
+        error, exactly as an Iceberg reader skips unknown field IDs.
+        All of this is row expressions fused into the scan stage; the
+        surrounding unionByName is a metadata concat."""
+        have = set(df.columns)
+        cols = []
+        for f in target.fields:
+            md = dict(f.metadata or {})
+            name_at = self._era_name(md, f.name, era)
+            if name_at is not None and name_at in have:
+                cols.append(
+                    F.col(name_at).cast(f.dataType).alias(f.name)
+                )
+            else:
+                dv = md.get("initial_default")
+                cols.append(F.lit(dv).cast(f.dataType).alias(f.name))
+        return df.select(
+            *cols, *[F.col(c) for c in passthrough if c in df.columns]
+        )
+
     def _evolve(self, mutate) -> int:
         """Shared DDL commit: metadata-only, same atomic manifest swap.
         The new snapshot copies the current file list (and delete
@@ -1601,15 +1725,20 @@ class SnapshotTable:
                     "re-commit (append/overwrite) once to record a "
                     "schema before evolving"
                 )
-            new_schema = mutate(T.StructType.fromJson(sj))
             v = self._next_version()
+            new_schema = mutate(T.StructType.fromJson(sj), v, meta)
             emeta = {
                 "files": meta["files"],
                 "op": "evolve",
                 "schema": new_schema.jsonValue(),
                 "schema_v": v,
             }
-            for carry in ("delete_files", "file_partitions", "partition_by"):
+            for carry in (
+                "delete_files",
+                "file_partitions",
+                "partition_by",
+                "file_schema_v",
+            ):
                 if carry in meta:
                     emeta[carry] = meta[carry]
             self._write_manifest(v, emeta)
@@ -1643,6 +1772,7 @@ class SnapshotTable:
                 "schema_v",
                 "delete_files",
                 "file_partitions",
+                "file_schema_v",
             ):
                 if carry in meta:
                     emeta[carry] = meta[carry]
@@ -1697,10 +1827,18 @@ class SnapshotTable:
                     "would silently read back as NULL"
                 )
 
-        def mutate(schema: T.StructType) -> T.StructType:
+        def mutate(schema: T.StructType, v: int, _meta) -> T.StructType:
             if name in schema.fieldNames():
                 raise ValueError(f"column {name} already exists")
-            md = {"initial_default": default} if default is not None else {}
+            # ``iis_added_v`` = the evolve's own snapshot version: the
+            # era guard for read resolution and stats pruning — a file
+            # whose schema era predates it can NEVER feed this column,
+            # even if the file carries a same-named column from a
+            # dropped/renamed predecessor (the name-collision hazard
+            # field IDs exist to prevent in Iceberg proper).
+            md: dict = {"iis_added_v": v}
+            if default is not None:
+                md["initial_default"] = default
             return T.StructType(
                 schema.fields
                 + [T.StructField(name, dtype, True, metadata=md)]
@@ -1717,7 +1855,7 @@ class SnapshotTable:
 
         from .schema_evolution import _WIDENINGS, _type_name
 
-        def mutate(schema: T.StructType) -> T.StructType:
+        def mutate(schema: T.StructType, _v: int, _meta) -> T.StructType:
             if name not in schema.fieldNames():
                 raise ValueError(f"no such column: {name}")
             old = schema[name].dataType
@@ -1745,6 +1883,123 @@ class SnapshotTable:
             )
 
         return self._evolve(mutate)
+
+    def _guard_column_ddl(self, name: str, meta: dict, verb: str) -> None:
+        """Shared refusals for RENAME/DROP COLUMN. Iceberg proper
+        resolves partition specs and equality-delete keys by field ID,
+        so renames are free; this local twin's specs and delete files
+        reference columns by NAME, so mutating a referenced name would
+        silently break partition pruning or the MoR anti-join — refuse
+        honestly instead, with compact (which folds delete files and
+        rewrites old-spec files) as the documented unblock."""
+        pby = meta.get("partition_by") or self.partition_by or []
+        if name in pby:
+            raise ValueError(
+                f"cannot {verb} {name!r}: it is a partition column "
+                f"({pby}); evolve_partitioning away from it first"
+            )
+        if any(
+            name in p for p in meta.get("file_partitions", {}).values()
+        ):
+            raise ValueError(
+                f"cannot {verb} {name!r}: live files carry partition "
+                "records under that name (an old spec); compact to "
+                "rewrite them under the current spec first"
+            )
+        live_keys = {
+            d["key"]
+            for d in meta.get("delete_files", [])
+            if d.get("kind", "eq") != "pos"
+        }
+        if name in live_keys:
+            raise ValueError(
+                f"cannot {verb} {name!r}: live equality-delete files "
+                "use it as their merge key; compact to fold them first"
+            )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Metadata-only RENAME COLUMN (Iceberg ``ALTER TABLE ...
+        RENAME COLUMN``): commits an ``evolve`` snapshot whose schema
+        carries the field under its new name plus a NAME HISTORY
+        (``iis_names`` = [[effective_from_version, name], ...]) in the
+        field metadata — the local stand-in for Iceberg's field IDs.
+        Old data files are NEVER rewritten: read-time resolution maps
+        each file's schema era to the name the field had then, so
+        pre-rename files read under the new name with their data
+        intact, and time travel to a pre-rename snapshot still shows
+        the old name (the schema lives in the snapshot's manifest).
+
+        A later ``add_column`` may REUSE the old name: era guards keep
+        the old files' column feeding the renamed field only — the
+        re-added column reads as NULL/default for rows that predate it,
+        never resurrecting the old data under the new field."""
+        if new.startswith("__iis_") or new.startswith("__part_"):
+            raise ValueError(f"{new!r} uses a reserved column prefix")
+
+        from pyspark.sql import types as T
+
+        def mutate(schema: T.StructType, v: int, meta) -> T.StructType:
+            if old not in schema.fieldNames():
+                raise ValueError(f"no such column: {old}")
+            if new in schema.fieldNames():
+                raise ValueError(f"column {new} already exists")
+            self._guard_column_ddl(old, meta, "rename")
+            out = []
+            for f in schema.fields:
+                if f.name != old:
+                    out.append(f)
+                    continue
+                md = dict(f.metadata or {})
+                hist = md.get("iis_names") or [
+                    [md.get("iis_added_v", 1), old]
+                ]
+                md["iis_names"] = [list(h) for h in hist] + [[v, new]]
+                out.append(
+                    T.StructField(new, f.dataType, f.nullable, metadata=md)
+                )
+            return T.StructType(out)
+
+        v = self._evolve(mutate)
+        # keep the handle's stats/bloom column configs pointing at the
+        # renamed field so FUTURE commits keep recording its stats
+        # (sidecar entries for old files stay keyed by the old name;
+        # plan_files consults them through the same era mapping)
+        self.stats_cols = [
+            new if c == old else c for c in self.stats_cols
+        ]
+        self.bloom_cols = [
+            new if c == old else c for c in self.bloom_cols
+        ]
+        return v
+
+    def drop_column(self, name: str) -> int:
+        """Metadata-only DROP COLUMN (Iceberg ``ALTER TABLE ... DROP
+        COLUMN``): the field leaves the schema; data files are NEVER
+        rewritten — read resolution simply stops selecting the column
+        (file columns outside the current schema are ignored, exactly
+        how an Iceberg reader skips field IDs the schema no longer
+        has). Time travel to pre-drop snapshots still reads it. A
+        later ``add_column`` with the same name is a NEW field
+        (``iis_added_v`` guard): old rows resolve to its default/NULL,
+        never the dropped column's bytes."""
+        from pyspark.sql import types as T
+
+        def mutate(schema: T.StructType, _v: int, meta) -> T.StructType:
+            if name not in schema.fieldNames():
+                raise ValueError(f"no such column: {name}")
+            if len(schema.fields) == 1:
+                raise ValueError(
+                    "cannot drop the only column of the table"
+                )
+            self._guard_column_ddl(name, meta, "drop")
+            return T.StructType(
+                [f for f in schema.fields if f.name != name]
+            )
+
+        v = self._evolve(mutate)
+        self.stats_cols = [c for c in self.stats_cols if c != name]
+        self.bloom_cols = [c for c in self.bloom_cols if c != name]
+        return v
 
     def merge(
         self,
@@ -2363,11 +2618,20 @@ class SnapshotTable:
         dels = meta.get("delete_files") or []
         sj = meta.get("schema")
         schema_v = meta.get("schema_v", 1)
-        by_seq: dict[int, list[str]] = {}
+        # Schema ERA per file: normally the commit sequence from the
+        # ``_snap=K`` path, but cherry-picked/published files carry a
+        # ``file_schema_v`` override — they were WRITTEN under their
+        # source branch's schema, yet land at a sequence NEWER than
+        # main evolves that happened in between, so the path alone
+        # would mis-resolve them. Grouping key is (seq, era): seq
+        # drives MoR delete visibility, era drives resolution.
+        eras = meta.get("file_schema_v", {})
+        by_seq: dict[tuple[int, int], list[str]] = {}
         for r in rels:
-            by_seq.setdefault(self._seq_of(r), []).append(r)
+            s = self._seq_of(r)
+            by_seq.setdefault((s, int(eras.get(r, s))), []).append(r)
         needs_resolve = sj is not None and any(
-            s < schema_v for s in by_seq
+            e < schema_v for _, e in by_seq
         )
         eq_dels = [d for d in dels if d.get("kind", "eq") != "pos"]
         pos_dels = [d for d in dels if d.get("kind") == "pos"]
@@ -2427,15 +2691,15 @@ class SnapshotTable:
 
             target = T.StructType.fromJson(sj)
         parts = []
-        for s, fs in sorted(by_seq.items()):
+        for (s, e), fs in sorted(by_seq.items()):
             df = tag(
                 spark.read.parquet(
                     *[os.path.join(self.path, f) for f in fs]
                 )
             )
             if target is not None:
-                df = self._project_onto(
-                    df, target, passthrough=tuple(internal)
+                df = self._resolve_onto(
+                    df, target, e, passthrough=tuple(internal)
                 )
             if "__iis_seq" in df.columns:
                 raise ValueError(
@@ -2630,6 +2894,25 @@ class SnapshotTable:
                 pmeta[carry] = base_meta[carry]
             elif carry in smeta and carry != "delete_files":
                 pmeta[carry] = smeta[carry]
+        # Schema-era override for the picked files: they were WRITTEN
+        # under the SOURCE snapshot's schema (smeta's schema_v), but
+        # land at a sequence NEWER than any main-side evolve between
+        # fork and pick — without the override, read resolution would
+        # take their ``_snap=K`` path as the era and mis-resolve them
+        # against the evolved schema (a pre-rename column would
+        # silently read NULL). Inherited files keep the base's
+        # overrides; the source's own inherited overrides are
+        # irrelevant (only its new_files move).
+        eras = {
+            f: e
+            for f, e in base_meta.get("file_schema_v", {}).items()
+            if f in set(inherited)
+        }
+        src_era = smeta.get("schema_v")
+        if src_era is not None and src_era != pmeta.get("schema_v"):
+            eras.update({f: src_era for f in smeta["new_files"]})
+        if eras:
+            pmeta["file_schema_v"] = eras
         sparts = smeta.get("file_partitions", {})
         bparts = base_meta.get("file_partitions", {})
         if bparts or sparts:
@@ -2703,6 +2986,7 @@ class SnapshotTable:
                 "delete_files",
                 "file_partitions",
                 "partition_by",
+                "file_schema_v",
             ):
                 if carry in tmeta:
                     rmeta[carry] = tmeta[carry]
@@ -4277,6 +4561,94 @@ def q_snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             F.min("o_orderkey").cast("bigint").alias("min_key"),
             F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_price_cents"),
+        )
+    )
+
+
+@query(
+    "q_snapshot_rename_column",
+    oracle="""
+    WITH s1 AS (
+        SELECT o_orderkey, o_totalprice AS price, 'legacy' AS flag
+        FROM orders WHERE o_orderkey % 3 = 0
+    ), s2 AS (
+        SELECT o_orderkey, o_totalprice AS price, 'legacy' AS flag
+        FROM orders WHERE o_orderkey % 3 = 1
+    ), s3 AS (
+        SELECT o_orderkey, o_totalprice AS price, 'new' AS flag
+        FROM orders WHERE o_orderkey % 3 = 2
+    ), unioned AS (
+        SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        UNION ALL SELECT * FROM s3
+    )
+    SELECT flag,
+           COUNT(*) AS n_orders,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(SUM(CAST(FLOOR(price * 100.0) AS BIGINT)) AS BIGINT)
+               AS sum_price_cents
+    FROM unioned
+    GROUP BY 1
+    """,
+)
+def q_snapshot_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only RENAME/DROP COLUMN (Iceberg ``ALTER TABLE ...
+    RENAME COLUMN`` / ``DROP COLUMN``), DuckDB-oracled end-to-end:
+    snapshot 1 appends a third of orders under (o_orderkey,
+    o_totalprice, o_orderstatus); the table then renames o_totalprice ->
+    price and DROPS o_orderstatus — both pure ``evolve`` commits, zero
+    file rewrites — and the second third appends under the new
+    two-column schema. A later ``add_column(flag, default='legacy')``
+    (Iceberg v3 initial-default) precedes the final third, which
+    writes flag='new' explicitly. The latest read must resolve THREE
+    schema eras in one scan — pre-rename files read their physical
+    ``o_totalprice`` bytes under the name ``price`` via the field
+    NAME HISTORY (the local twin of Iceberg's field-ID resolution),
+    the dropped ``o_orderstatus`` stops resolving without touching its
+    bytes, and pre-add rows fill the flag default — and equal the
+    oracle's plain reconstruction. Time travel still returns each
+    era's OWN schema, and a re-added name can never resurrect dropped
+    bytes (era guards; pinned in tests/test_column_ddl.py).
+
+    Scale shape: every DDL here is one manifest write, however many
+    petabytes the files hold; resolution is row expressions fused into
+    each era's scan stage, and stats/bloom pruning keeps working on
+    pre-rename files by consulting the file-era column name.
+    """
+    from pyspark.sql import types as T
+
+    from ..tables import scratch_dir
+
+    path = scratch_dir(spark, sf_dir, "snap_rename_column")
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    tbl = SnapshotTable(path)
+    tbl.append(o.filter(k % 3 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    ))
+    tbl.rename_column("o_totalprice", "price")
+    tbl.drop_column("o_orderstatus")
+    tbl.append(
+        o.filter(k % 3 == 1).select(
+            "o_orderkey", F.col("o_totalprice").alias("price")
+        )
+    )
+    tbl.add_column("flag", T.StringType(), default="legacy")
+    tbl.append(
+        o.filter(k % 3 == 2).select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("price"),
+            F.lit("new").alias("flag"),
+        )
+    )
+    return (
+        tbl.read(spark)
+        .groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+            F.sum(F.floor(F.col("price") * 100.0).cast("bigint"))
             .cast("bigint")
             .alias("sum_price_cents"),
         )

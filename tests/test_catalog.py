@@ -405,3 +405,66 @@ def test_default_validation_and_widen_preserves_metadata(spark, tmp_path):
     tbl.append(spark.createDataFrame([(3, 3.5)], "k int, x double"))
     got = {r.k: r.region for r in tbl.read(spark).collect()}
     assert got == {1: "eu", 2: "eu", 3: "eu"}
+
+
+def test_sql_front_end_tables_views_and_pins(spark, tmp_path):
+    """cat.sql(): {{ns.table}} reads the current snapshot, {{ns.view}}
+    inlines recursively (view-on-view), {{ns.table@N}} pins a
+    snapshot — all inside ONE statement."""
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("db")
+    t = cat.create_table("db.t")
+    v1 = t.append(spark.createDataFrame([(1, 10), (2, 20)], "k int, x int"))
+    t.append(spark.createDataFrame([(3, 30)], "k int, x int"))
+    cat.create_view("db.doubled", "SELECT k, x * 2 AS x2 FROM {{db.t}}")
+    # view-on-view: filters through two inline layers
+    cat.create_view(
+        "db.big", "SELECT k, x2 FROM {{db.doubled}} WHERE x2 >= 40"
+    )
+    out = cat.sql(
+        spark,
+        f"""
+        SELECT (SELECT COUNT(*) FROM {{{{db.t@{v1}}}}}) AS pinned,
+               (SELECT COUNT(*) FROM {{{{db.t}}}}) AS current,
+               SUM(x2) AS s FROM {{{{db.big}}}}
+        """,
+    ).collect()[0]
+    assert (out.pinned, out.current, out.s) == (2, 3, 100)
+
+
+def test_sql_front_end_refusals(spark, tmp_path):
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("db")
+    cat.create_table("db.t").append(
+        spark.createDataFrame([(1,)], "k int")
+    )
+    cat.create_view("db.v", "SELECT * FROM {{db.t}}")
+    with pytest.raises(ValueError, match="apply to tables"):
+        cat.sql(spark, "SELECT * FROM {{db.v@1}}")
+    with pytest.raises(ValueError, match="does not exist"):
+        cat.sql(spark, "SELECT * FROM {{db.ghost}}")
+    # a view cycle (created by replacing with a self-reference) refuses
+    cat.create_view("db.v", "SELECT * FROM {{db.v}}", replace=True)
+    with pytest.raises(ValueError, match="circular"):
+        cat.sql(spark, "SELECT * FROM {{db.v}}")
+
+
+def test_sql_front_end_materialized_and_deps(spark, tmp_path):
+    """An MV resolves inside sql() (fresh -> storage); MV-over-view
+    freshness walks to the underlying tables."""
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("db")
+    t = cat.create_table("db.t")
+    t.append(spark.createDataFrame([(1, 5), (2, 6)], "k int, x int"))
+    cat.create_view("db.v", "SELECT k, x + 1 AS x1 FROM {{db.t}}")
+    cat.create_materialized_view(
+        "db.mv", "SELECT SUM(x1) AS s FROM {{db.v}}"
+    )
+    cat.refresh_materialized(spark, "db.mv")
+    assert not cat.is_stale("db.mv")
+    assert cat.sql(spark, "SELECT s FROM {{db.mv}}").collect()[0].s == 13
+    # a commit to the UNDERLYING table (behind the view) flags staleness
+    t.append(spark.createDataFrame([(3, 7)], "k int, x int"))
+    assert cat.is_stale("db.mv")
+    # ... and sql() serves the live fallback, never the stale storage
+    assert cat.sql(spark, "SELECT s FROM {{db.mv}}").collect()[0].s == 21
