@@ -153,3 +153,117 @@ def triangle_stats(e: DataFrame) -> DataFrame:
             ).alias("clustering"),
         )
     )
+
+
+_HUB = 64  # max pivot degree: hub neighbors carry no link signal
+
+
+@query(
+    "q_graph_common_neighbors",
+    oracle=f"""
+    WITH e AS (
+        SELECT DISTINCT
+            LEAST(o_orderkey % {_N}, (o_orderkey // 7) % {_N}) AS a,
+            GREATEST(o_orderkey % {_N}, (o_orderkey // 7) % {_N}) AS b
+        FROM orders
+        WHERE o_orderkey % {_N} <> (o_orderkey // 7) % {_N}
+    ),
+    adj AS (
+        SELECT a AS n, b AS m FROM e
+        UNION ALL SELECT b AS n, a AS m FROM e
+    ),
+    deg AS (SELECT n, COUNT(*) AS d FROM adj GROUP BY n),
+    cn AS (
+        SELECT a1.m AS u, a2.m AS w, COUNT(*) AS cn
+        FROM adj a1
+        JOIN adj a2 ON a2.n = a1.n AND a1.m < a2.m
+        JOIN deg dx ON dx.n = a1.n
+        WHERE dx.d <= {_HUB}
+        GROUP BY 1, 2
+    ),
+    nonedge AS (
+        SELECT cn.u, cn.w, cn.cn
+        FROM cn LEFT JOIN e ON e.a = cn.u AND e.b = cn.w
+        WHERE e.a IS NULL
+    )
+    SELECT ne.u, ne.w, ne.cn,
+           (1000000 * ne.cn) // (du.d + dw.d - ne.cn) AS jaccard_ppm
+    FROM nonedge ne
+    JOIN deg du ON du.n = ne.u
+    JOIN deg dw ON dw.n = ne.w
+    ORDER BY jaccard_ppm DESC, ne.cn DESC, ne.u, ne.w
+    LIMIT 100
+    """,
+)
+def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINK PREDICTION by hub-capped common neighbors + Jaccard: for
+    every non-adjacent pair (u, w) sharing at least one neighbor of
+    degree <= 64, count the shared low-degree neighbors and score
+    ``jaccard_ppm = 1e6 * cn / (deg(u) + deg(w) - cn)`` in EXACT
+    integer arithmetic (floor division — bit-identical cross-engine,
+    the suite's fixed-point discipline), returning the top 100 by
+    (score, cn, u, w) — a total order, so the limit is deterministic.
+
+    The HUB CAP is the semantics, not a shortcut: a neighbor shared
+    through a celebrity node carries no link signal (every pair shares
+    it), and it is exactly what makes the plan scale — wedge fan-out is
+    bounded by HUB^2 per pivot instead of deg^2, the same reason
+    Adamic-Adar downweights high-degree neighbors. The oracle recounts
+    the identical definition naively.
+
+    Plan shape: adjacency + degrees (one shuffle each), pivot-capped
+    wedge self-join shuffled on the pivot (bounded fan-out), group-by
+    on the candidate pair, LEFT ANTI against the edge set to keep
+    non-edges only, two BROADCAST degree joins (|V|-sized), and a
+    TakeOrderedAndProject top-k — no global sort of the pair space.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    uu = (F.col("o_orderkey") % _N).cast("long")
+    vv = (F.expr("o_orderkey div 7") % _N).cast("long")
+    e = (
+        o.filter(uu != vv)
+        .select(F.least(uu, vv).alias("a"), F.greatest(uu, vv).alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    adj = e.select(F.col("a").alias("n"), F.col("b").alias("m")).unionAll(
+        e.select(F.col("b").alias("n"), F.col("a").alias("m"))
+    )
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    low = deg.filter(F.col("d") <= _HUB).select("n")
+    a1 = adj.join(F.broadcast(low), "n").alias("a1")
+    a2 = adj.alias("a2")
+    cn = (
+        a1.join(
+            a2,
+            (F.col("a2.n") == F.col("a1.n"))
+            & (F.col("a1.m") < F.col("a2.m")),
+        )
+        .groupBy(
+            F.col("a1.m").alias("u"), F.col("a2.m").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    nonedge = cn.join(
+        e,
+        (F.col("a") == F.col("u")) & (F.col("b") == F.col("w")),
+        "left_anti",
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dw = deg.select(F.col("n").alias("w"), F.col("d").alias("dw"))
+    return (
+        nonedge.join(F.broadcast(du), "u")
+        .join(F.broadcast(dw), "w")
+        .select(
+            "u",
+            "w",
+            "cn",
+            F.expr("(1000000 * cn) div (du + dw - cn)").alias(
+                "jaccard_ppm"
+            ),
+        )
+        .orderBy(
+            F.desc("jaccard_ppm"), F.desc("cn"), F.asc("u"), F.asc("w")
+        )
+        .limit(100)
+    )

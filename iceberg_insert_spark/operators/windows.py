@@ -713,3 +713,71 @@ def q_events_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         interp.cast("bigint").alias("interp_milli"),
         F.col("cents").isNull().cast("bigint").alias("is_gap"),
     )
+
+
+@query(
+    "q_ts_ewma",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS cnt
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT a.event_type,
+           STRFTIME(a.d, '%Y-%m-%d') AS day,
+           a.cnt AS cnt,
+           SUM(b.cnt * POWER(0.5, DATE_DIFF('day', b.d, a.d))) AS ewma,
+           COUNT(*) AS n_terms
+    FROM daily a
+    JOIN daily b
+      ON b.event_type = a.event_type
+     AND DATE_DIFF('day', b.d, a.d) BETWEEN 0 AND 29
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average over each event type's
+    DAILY count series, alpha = 1/2, trailing 30 CALENDAR days —
+    absent days contribute no term but still decay the weights
+    (calendar-distance decay, the honest semantics across gaps). The
+    match is EXACT, not rounded: every term is cnt * 2^-k with k <= 29,
+    a dyadic rational whose running sums stay below 2^53 in units of
+    2^-29, so IEEE addition is exact in ANY order and Spark and DuckDB
+    produce bit-identical doubles — the same fixed-point discipline as
+    the rest of the suite, applied to floating point.
+
+    Rewrite: Spark has no weighted window frame, so the EWMA is a bounded
+    RANGE SELF-JOIN over the daily AGGREGATE (types x days rows — KBs
+    at any corpus size, never the raw events): anchor day joins its
+    trailing 29 days per type, weight = pow(0.5, datediff), one
+    group-by back to the anchor. Scale shape: the raw-events scan
+    aggregates down FIRST (partial map-side combine), the self-join
+    fans out <= 30x on the tiny aggregate, and everything after the
+    daily rollup fits in one executor regardless of input size.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    dd = F.datediff(F.col("a.d"), F.col("b.d"))
+    return (
+        a.join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (dd >= 0)
+            & (dd <= 29),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("event_type"),
+            F.date_format("a.d", "yyyy-MM-dd").alias("day"),
+            F.col("a.cnt").alias("cnt"),
+        )
+        .agg(
+            F.sum(
+                F.col("b.cnt") * F.pow(F.lit(0.5), dd.cast("double"))
+            ).alias("ewma"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+    )

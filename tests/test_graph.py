@@ -36,3 +36,89 @@ def test_skewed_hub(spark):
     edges = [(0, i) for i in range(1, 30)] + [(5, 6), (17, 18)]
     r = _stats(spark, edges)
     assert r.n_triangles == 2
+
+
+def test_common_neighbors_matches_bruteforce(spark):
+    """q_graph_common_neighbors vs a pure-Python recount of the same
+    definition (hub-capped pivots, non-edges only, exact ppm floor)."""
+    from collections import defaultdict
+
+    from iceberg_insert_spark.operators.graph import (
+        _HUB,
+        _N,
+        q_graph_common_neighbors,
+    )
+    from .conftest import SF_DIR
+
+    keys = [
+        r.o_orderkey
+        for r in spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select("o_orderkey")
+        .collect()
+    ]
+    edges = set()
+    for k in keys:
+        u, v = k % _N, (k // 7) % _N
+        if u != v:
+            edges.add((min(u, v), max(u, v)))
+    nbrs = defaultdict(set)
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    cn = defaultdict(int)
+    for x, ns in nbrs.items():
+        if len(ns) > _HUB:
+            continue
+        ns = sorted(ns)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                cn[(ns[i], ns[j])] += 1
+    scored = []
+    for (u, w), c in cn.items():
+        if (u, w) in edges:
+            continue
+        ppm = (1000000 * c) // (len(nbrs[u]) + len(nbrs[w]) - c)
+        scored.append((-ppm, -c, u, w))
+    scored.sort()
+    want = [(u, w, -nc, -nppm) for nppm, nc, u, w in scored[:100]]
+    got = [
+        (r.u, r.w, r.cn, r.jaccard_ppm)
+        for r in q_graph_common_neighbors(spark, SF_DIR).collect()
+    ]
+    assert got == want
+
+
+def test_ewma_is_bit_exact(spark):
+    """q_ts_ewma's dyadic-exactness claim: the Spark double equals a
+    pure-Python Fraction recomputation EXACTLY (==, no tolerance)."""
+    from collections import defaultdict
+    from fractions import Fraction
+
+    from iceberg_insert_spark.operators.windows import q_ts_ewma
+    from .conftest import SF_DIR
+
+    daily = defaultdict(int)
+    for r in (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .selectExpr("event_type", "CAST(ts AS DATE) AS d")
+        .collect()
+    ):
+        daily[(r.event_type, r.d)] += 1
+    rows = q_ts_ewma(spark, SF_DIR).collect()
+    assert rows
+    by_type = defaultdict(dict)
+    for (et, d), c in daily.items():
+        by_type[et][d] = c
+    for r in rows:
+        import datetime
+
+        t = datetime.date.fromisoformat(r.day)
+        series = by_type[r.event_type]
+        exact = sum(
+            Fraction(c, 2 ** (t - d).days)
+            for d, c in series.items()
+            if 0 <= (t - d).days <= 29
+        )
+        n_terms = sum(1 for d in series if 0 <= (t - d).days <= 29)
+        assert r.n_terms == n_terms
+        assert Fraction(r.ewma) == exact, (r.event_type, r.day)
