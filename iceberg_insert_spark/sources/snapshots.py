@@ -2071,6 +2071,182 @@ class SnapshotTable:
             token=token,
         )
 
+    def merge_into(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key: str,
+        matched: list[tuple] = (),
+        not_matched: tuple | None = None,
+        token: str | None = None,
+    ) -> int:
+        """Full MERGE INTO clause semantics (Spark SQL / Iceberg
+        ``MERGE INTO t USING s ON ... WHEN ...``): the engine DERIVES
+        the changelog from a source frame and conditional clauses, then
+        commits it through :meth:`merge` as ONE atomic snapshot
+        (equality-deletes + new data files in a single manifest swap).
+
+        * ``matched``: ordered WHEN MATCHED clauses, FIRST-MATCH-WINS
+          exactly like SQL — each is ``("delete", cond)`` or
+          ``("update", cond, {col: sql_expr})``; ``cond`` is a SQL
+          string over ``s.*`` (source) and ``t.*`` (target row), or
+          None for always. UPDATE assignments follow SET semantics:
+          unassigned columns keep the TARGET's value.
+        * ``not_matched``: ``("insert", cond)`` (cond over ``s.*`` or
+          None) — source rows matching no target key insert their
+          column values, with table columns the source lacks filled by
+          the schema's write-default/NULL. Matched rows hit by NO
+          clause, and target rows never matched, survive untouched.
+        * CARDINALITY: a target key matched by MORE THAN ONE source row
+          is refused (Spark's MERGE_CARDINALITY_VIOLATION) — applying
+          an ambiguous update would nondeterministically pick an image.
+
+        Isolation: the target state is read once (snapshot-consistent,
+        merge-on-read resolved), the changelog derives from it, and the
+        commit applies onto the latest base — the same
+        read-derive-commit contract as q_upsert's CDC apply; racing
+        writers serialize at the commit lock.
+
+        100 TB shape: two joins against the target — the clause join
+        (source-sized probe; Catalyst broadcasts the CDC batch against
+        the fact scan) and a column-pruned LEFT ANTI on the key for
+        inserts — then everything downstream is O(|changelog|); no
+        target file is rewritten (the v2 delete-file trade)."""
+        matched = list(matched or [])
+        for cl in matched:
+            if not cl or cl[0] not in ("delete", "update"):
+                raise ValueError(
+                    f"matched clause must be ('delete', cond) or "
+                    f"('update', cond, assignments); got {cl!r}"
+                )
+            if cl[0] == "update" and (
+                len(cl) < 3 or not isinstance(cl[2], dict) or not cl[2]
+            ):
+                raise ValueError(
+                    "update clause needs a non-empty {column: sql_expr} "
+                    "assignment dict"
+                )
+        if not_matched is not None and (
+            not_matched[0] != "insert" or len(not_matched) > 2
+        ):
+            raise ValueError(
+                f"not_matched must be ('insert', cond); got {not_matched!r}"
+            )
+        if not matched and not_matched is None:
+            raise ValueError("merge_into needs at least one clause")
+        if key not in source.columns:
+            raise ValueError(f"source has no key column {key!r}")
+        base = self._latest_published()
+        if base is None:
+            raise ValueError(
+                "merge_into needs a published table (append first)"
+            )
+        sj = self._meta(base).get("schema")
+        if sj is None:
+            raise ValueError(
+                "table predates schema-tracking manifests; re-commit "
+                "once to record a schema before merge_into"
+            )
+        from pyspark.sql import types as T
+
+        tschema = T.StructType.fromJson(sj)
+        tcols = [f.name for f in tschema.fields]
+        for cl in matched:
+            if cl[0] == "update":
+                unknown = sorted(set(cl[2]) - set(tcols))
+                if unknown:
+                    raise ValueError(
+                        f"update assigns unknown column(s) {unknown}"
+                    )
+        tgt = self.read(spark)
+        s = source.alias("s")
+        t = tgt.alias("t")
+        on = F.col(f"s.{key}") == F.col(f"t.{key}")
+        m = s.join(t, on, "inner")
+        # Cardinality violation: >1 SOURCE rows per matched key.
+        dup = (
+            source.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("__iis_c"))
+            .filter(F.col("__iis_c") > 1)
+            .join(tgt.select(key).distinct(), key)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"MERGE cardinality violation: source has multiple rows "
+                f"for matched key {dup[0][key]!r}"
+            )
+        # First-match-wins clause routing, exactly SQL's evaluation
+        # order: one chained CASE tags each matched pair with the index
+        # of the first clause whose condition holds (NULL = no clause
+        # -> the target row survives untouched).
+        route = None
+        for i, cl in enumerate(matched):
+            cond = F.expr(cl[1]) if cl[1] else F.lit(True)
+            route = (
+                F.when(cond, F.lit(i))
+                if route is None
+                else route.when(cond, F.lit(i))
+            )
+        parts: list[DataFrame] = []
+        if matched:
+            routed = m.withColumn("__iis_clause", route)
+            for i, cl in enumerate(matched):
+                hit = routed.filter(F.col("__iis_clause") == i)
+                if cl[0] == "delete":
+                    parts.append(
+                        hit.select(
+                            *[
+                                F.col(f"t.{c}").alias(c)
+                                if c == key
+                                else F.lit(None)
+                                .cast(tschema[c].dataType)
+                                .alias(c)
+                                for c in tcols
+                            ],
+                            F.lit("D").alias("_op"),
+                        )
+                    )
+                else:
+                    assigns = cl[2]
+                    parts.append(
+                        hit.select(
+                            *[
+                                F.expr(assigns[c]).cast(
+                                    tschema[c].dataType
+                                ).alias(c)
+                                if c in assigns
+                                else F.col(f"t.{c}").alias(c)
+                                for c in tcols
+                            ],
+                            F.lit("U").alias("_op"),
+                        )
+                    )
+        if not_matched is not None:
+            ins = source.alias("s").join(
+                tgt.select(key), key, "left_anti"
+            )
+            cond = (
+                F.expr(not_matched[1])
+                if len(not_matched) > 1 and not_matched[1]
+                else F.lit(True)
+            )
+            ins = ins.filter(cond)
+            # project onto the table schema: source columns by name,
+            # absent columns via the write-default/NULL fill
+            ins = self._project_onto(
+                ins.select(
+                    *[c for c in ins.columns if c in set(tcols)]
+                ),
+                tschema,
+            )
+            parts.append(ins.withColumn("_op", F.lit("I")))
+        from functools import reduce
+
+        changelog = reduce(DataFrame.unionByName, parts)
+        return self.merge(spark, changelog, key, token=token)
+
     def add_files(
         self,
         spark: SparkSession,
@@ -4404,6 +4580,99 @@ def q_snapshot_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n).cast("bigint").alias("n_rows"),
         F.lit(n_meta).cast("bigint").alias("n_files_metadata"),
         F.lit(n_scanned_rows).cast("bigint").alias("n_rows_scanned"),
+    )
+
+
+@query(
+    "q_snapshot_merge_into",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    s AS (
+        SELECT o_orderkey, o_totalprice
+        FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    merged AS (
+        SELECT t.o_orderkey, t.o_orderstatus,
+               CASE WHEN s.o_orderkey IS NOT NULL
+                         AND t.o_orderstatus <> 'F'
+                    THEN s.o_totalprice + 1
+                    ELSE t.o_totalprice END AS o_totalprice
+        FROM t LEFT JOIN s ON s.o_orderkey = t.o_orderkey
+        WHERE NOT (s.o_orderkey IS NOT NULL AND t.o_orderstatus = 'F')
+        UNION ALL
+        SELECT s.o_orderkey, NULL AS o_orderstatus, s.o_totalprice
+        FROM s LEFT JOIN t ON t.o_orderkey = s.o_orderkey
+        WHERE t.o_orderkey IS NULL AND s.o_totalprice > 50000
+    )
+    SELECT COALESCE(o_orderstatus, '<inserted>') AS status,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM merged GROUP BY 1
+    """,
+)
+def q_snapshot_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MERGE INTO clause semantics (Spark SQL / Iceberg
+    ``WHEN MATCHED [AND cond] THEN DELETE / UPDATE SET ... WHEN NOT
+    MATCHED [AND cond] THEN INSERT``), DuckDB-oracled: target = even
+    order keys; source = keys %3==0. Clauses, first-match-wins exactly
+    like SQL: matched rows with status 'F' are DELETED; remaining
+    matched rows UPDATE o_totalprice to the source value + 1 while the
+    UNASSIGNED status column keeps the TARGET's value (SET semantics);
+    unmatched source rows INSERT only when their price clears 50000,
+    with the status column they don't carry filled NULL. The engine
+    derives the I/U/D changelog from two joins and commits it through
+    ``merge`` as ONE snapshot (equality-deletes + data files in a
+    single manifest swap); the oracle reconstructs the final state
+    with plain LEFT JOIN algebra. Ambiguous merges (a target key hit
+    by two source rows) are refused — Spark's
+    MERGE_CARDINALITY_VIOLATION — pinned in tests/test_snapshots.py.
+
+    Scale shape: the clause join probes the target with the
+    CDC-batch-sized source (broadcast), the insert anti-join reads a
+    column-pruned key scan, and the commit is O(|changelog|) — no
+    target file rewritten, the Iceberg v2 delete-file trade.
+    """
+    from ..tables import scratch_dir
+
+    path = scratch_dir(spark, sf_dir, "snap_merge_into")
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    tbl = SnapshotTable(path)
+    tbl.append(
+        o.filter(k % 2 == 0).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+    )
+    src = o.filter(k % 3 == 0).select("o_orderkey", "o_totalprice")
+    tbl.merge_into(
+        spark,
+        src,
+        key="o_orderkey",
+        matched=[
+            ("delete", "t.o_orderstatus = 'F'"),
+            ("update", None, {"o_totalprice": "s.o_totalprice + 1"}),
+        ],
+        not_matched=("insert", "s.o_totalprice > 50000"),
+    )
+    return (
+        tbl.read(spark)
+        .groupBy(
+            F.coalesce("o_orderstatus", F.lit("<inserted>")).alias(
+                "status"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("cents"),
+        )
     )
 
 

@@ -577,3 +577,65 @@ def test_view_read_pushes_filters_into_table_scans(spark, tmp_path):
     read = next(ln for ln in p.splitlines() if "ReadSchema" in ln)
     assert "o_totalprice" in read
     assert "o_orderpriority" not in read and "o_orderstatus" not in read
+
+
+def test_catalog_sql_pushes_filters_through_nested_views(spark, tmp_path):
+    """cat.sql(): a WHERE written in the outer statement must reach the
+    parquet scan through TWO inlined view layers, and the projection
+    must prune ReadSchema — the whole statement is one Catalyst tree
+    (at 100 TB the SQL front-end costs nothing over inline plans)."""
+    from iceberg_insert_spark.sources.catalog import LocalCatalog
+
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("db")
+    t = cat.create_table("db.orders")
+    t.append(
+        spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+        )
+    )
+    cat.create_view(
+        "db.base",
+        "SELECT o_orderkey, o_orderstatus, o_totalprice "
+        "FROM {{db.orders}}",
+    )
+    cat.create_view(
+        "db.pair",
+        "SELECT o_orderkey, o_totalprice FROM {{db.base}}",
+    )
+    df = cat.sql(
+        spark,
+        "SELECT o_orderkey, o_totalprice FROM {{db.pair}} "
+        "WHERE o_orderkey < 100",
+    )
+    p = plan_of(df)
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert pushed and "LessThan(o_orderkey,100)" in pushed[0]
+    read = next(ln for ln in p.splitlines() if "ReadSchema" in ln)
+    assert "o_totalprice" in read
+    assert "o_orderpriority" not in read and "o_orderstatus" not in read
+
+
+def test_era_resolution_keeps_single_stage_scans(spark, tmp_path):
+    """Rename resolution is row expressions fused into each era's scan:
+    the read plan of a 2-era table must contain NO Exchange (shuffle) —
+    the union of projected scans is a metadata concat."""
+    from pyspark.sql import functions as F
+
+    from iceberg_insert_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "era"))
+    t.append(
+        spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+            "o_orderkey", "o_totalprice"
+        )
+    )
+    t.rename_column("o_totalprice", "price")
+    t.append(
+        spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+            "o_orderkey", F.col("o_totalprice").alias("price")
+        )
+    )
+    p = plan_of(t.read(spark))
+    assert "Exchange" not in p
+    assert "Union" in p

@@ -3179,3 +3179,141 @@ def test_add_column_with_default_fills_old_and_omitting_writers(
     assert before == after
     with pytest.raises(ValueError, match="JSON-scalar"):
         tbl.add_column("bad", T.ArrayType(T.LongType()), default=[1])
+
+
+# -- merge_into: full MERGE clause semantics ---------------------------
+
+
+def _mi_table(spark, tmp_path):
+    from iceberg_insert_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "mi"))
+    t.append(
+        spark.createDataFrame(
+            [(1, "F", 10.0), (2, "O", 20.0), (3, "O", 30.0), (4, "P", 40.0)],
+            "k int, st string, amt double",
+        ).coalesce(1)
+    )
+    return t
+
+
+def test_merge_into_clause_matrix(spark, tmp_path):
+    """delete-before-update first-match-wins; SET keeps unassigned
+    target columns; insert condition filters; untouched rows survive."""
+    t = _mi_table(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(1, 100.0), (2, 200.0), (5, 500.0), (6, 1.0)],
+        "k int, amt double",
+    )
+    t.merge_into(
+        spark,
+        src,
+        key="k",
+        matched=[
+            ("delete", "t.st = 'F'"),
+            ("update", None, {"amt": "s.amt + t.amt"}),
+        ],
+        not_matched=("insert", "s.amt > 100"),
+    )
+    got = sorted(
+        (r.k, r.st, r.amt) for r in t.read(spark).collect()
+    )
+    assert got == [
+        (2, "O", 220.0),
+        (3, "O", 30.0),
+        (4, "P", 40.0),
+        (5, None, 500.0),
+    ]
+
+
+def test_merge_into_first_match_wins_order(spark, tmp_path):
+    """The same rows under reversed clause order: a catch-all UPDATE
+    first shadows the DELETE — clause order is semantics."""
+    t = _mi_table(spark, tmp_path)
+    src = spark.createDataFrame([(1, 99.0)], "k int, amt double")
+    t.merge_into(
+        spark,
+        src,
+        key="k",
+        matched=[
+            ("update", None, {"amt": "s.amt"}),
+            ("delete", "t.st = 'F'"),
+        ],
+    )
+    got = sorted((r.k, r.amt) for r in t.read(spark).collect())
+    assert (1, 99.0) in got  # updated, NOT deleted
+
+
+def test_merge_into_cardinality_violation(spark, tmp_path):
+    t = _mi_table(spark, tmp_path)
+    dup = spark.createDataFrame(
+        [(2, 1.0), (2, 2.0)], "k int, amt double"
+    )
+    with pytest.raises(ValueError, match="cardinality"):
+        t.merge_into(
+            spark,
+            dup,
+            key="k",
+            matched=[("update", None, {"amt": "s.amt"})],
+        )
+    # unmatched duplicate keys are NOT a violation (both insert paths
+    # are unambiguous per SQL — they become two inserted rows)
+    dup9 = spark.createDataFrame(
+        [(9, 1.0), (9, 2.0)], "k int, amt double"
+    )
+    t.merge_into(
+        spark,
+        dup9,
+        key="k",
+        matched=[("update", None, {"amt": "s.amt"})],
+        not_matched=("insert", None),
+    )
+    assert (
+        t.read(spark).filter(F.col("k") == 9).count() == 2
+    )
+
+
+def test_merge_into_refusals(spark, tmp_path):
+    from iceberg_insert_spark.sources.snapshots import SnapshotTable
+
+    t = _mi_table(spark, tmp_path)
+    src = spark.createDataFrame([(1, 1.0)], "k int, amt double")
+    with pytest.raises(ValueError, match="at least one clause"):
+        t.merge_into(spark, src, key="k")
+    with pytest.raises(ValueError, match="matched clause must be"):
+        t.merge_into(spark, src, key="k", matched=[("upsert", None)])
+    with pytest.raises(ValueError, match="assignment dict"):
+        t.merge_into(spark, src, key="k", matched=[("update", None)])
+    with pytest.raises(ValueError, match="unknown column"):
+        t.merge_into(
+            spark, src, key="k",
+            matched=[("update", None, {"ghost": "1"})],
+        )
+    with pytest.raises(ValueError, match="no key column"):
+        t.merge_into(
+            spark,
+            spark.createDataFrame([(1,)], "z int"),
+            key="k",
+            matched=[("delete", None)],
+        )
+    empty = SnapshotTable(str(tmp_path / "empty"))
+    with pytest.raises(ValueError, match="published"):
+        empty.merge_into(
+            spark, src, key="k", matched=[("delete", None)]
+        )
+
+
+def test_merge_into_composes_with_compact_and_time_travel(spark, tmp_path):
+    t = _mi_table(spark, tmp_path)
+    v0 = t._latest_published()
+    src = spark.createDataFrame([(2, 5.0)], "k int, amt double")
+    t.merge_into(
+        spark, src, key="k",
+        matched=[("update", None, {"amt": "s.amt"})],
+    )
+    t.compact(spark)
+    got = sorted((r.k, r.amt) for r in t.read(spark).collect())
+    assert (2, 5.0) in got and len(got) == 4
+    # pre-merge snapshot still shows the old value
+    old = t.read(spark, as_of=v0).filter(F.col("k") == 2).collect()
+    assert old[0].amt == 20.0
