@@ -397,7 +397,21 @@ class LocalCatalog:
                         f"circular view reference through {ref!r}"
                     )
                 if views[ref].get("materialized"):
-                    df, _hit = self.read_materialized(spark, ref)
+                    # inline the read_materialized logic so the cycle
+                    # guard PROPAGATES through the stale fallback
+                    # (review catch: restarting the stack there makes a
+                    # view/MV cycle loop longer than it needs to before
+                    # the guard fires)
+                    if self.is_stale(ref):
+                        df = self.sql(
+                            spark,
+                            self._view_sql(ref, None),
+                            _resolving | {ref},
+                        )
+                    else:
+                        df = self.load_table(
+                            views[ref]["storage"]
+                        ).read(spark)
                 else:
                     df = self.sql(
                         spark,

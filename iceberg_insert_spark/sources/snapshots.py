@@ -501,12 +501,17 @@ class SnapshotTable:
             ]
         conds = self._norm_where(where)
         eqs = self._norm_eq(eq)
-        # an equality predicate is also a degenerate range [v, v]: the
-        # [min, max] stats and the bloom prune INDEPENDENTLY (ranges
-        # win on clustered layouts, blooms on hash-scattered ones);
-        # _provably_disjoint's TypeError guard keeps un-comparable
-        # values conservative
-        conds += [(c, v, v) for c, v in eqs]
+        # a NON-NULL equality predicate is also a degenerate range
+        # [v, v]: the [min, max] stats and the bloom prune
+        # INDEPENDENTLY (ranges win on clustered layouts, blooms on
+        # hash-scattered ones); _provably_disjoint's TypeError guard
+        # keeps un-comparable values conservative. IS NULL probes
+        # (val None) must NOT enter the range path (review catch: the
+        # era-predating branch decides ranges from the default, and a
+        # (col, None, None) range would prune exactly the all-NULL
+        # files an IS NULL probe matches) — they have their own
+        # null-count branch below.
+        conds += [(c, v, v) for c, v in eqs if v is not None]
         if not conds and not eqs and not not_null:
             return files, total
         stats = self._load_stats()
@@ -607,7 +612,18 @@ class SnapshotTable:
                 def _keep_bloom(f: str) -> bool:
                     n, dv = stat_key(col, f)
                     if n is None:
-                        return dv == val  # all-default file
+                        # all-default file: NULL default never equals a
+                        # non-null probe; otherwise decide via the
+                        # degenerate range so un-comparable types stay
+                        # CONSERVATIVE (review catch: raw == would
+                        # false-negative a cross-type probe, the exact
+                        # hazard _bloom_key's type tag exists to
+                        # prevent)
+                        if dv is None:
+                            return False
+                        return not self._provably_disjoint(
+                            dv, dv, val, val
+                        )
                     return self._bloom_maybe_contains(
                         blooms.get(f, {}).get(n), key
                     )
@@ -2158,25 +2174,49 @@ class SnapshotTable:
                     raise ValueError(
                         f"update assigns unknown column(s) {unknown}"
                     )
+                if key in cl[2]:
+                    # review catch (silent corruption): merge() derives
+                    # its equality-delete keys from the changelog's NEW
+                    # key values, so a key rewrite would delete an
+                    # UNRELATED row holding the new value and leave the
+                    # original untouched. Iceberg/Delta refuse this
+                    # too; model it as delete + insert instead.
+                    raise ValueError(
+                        f"update may not assign the merge key {key!r}; "
+                        "express a key change as delete + insert"
+                    )
         tgt = self.read(spark)
         s = source.alias("s")
         t = tgt.alias("t")
         on = F.col(f"s.{key}") == F.col(f"t.{key}")
         m = s.join(t, on, "inner")
-        # Cardinality violation: >1 SOURCE rows per matched key.
-        dup = (
-            source.groupBy(key)
-            .agg(F.count(F.lit(1)).alias("__iis_c"))
-            .filter(F.col("__iis_c") > 1)
-            .join(tgt.select(key).distinct(), key)
-            .limit(1)
-            .collect()
-        )
-        if dup:
-            raise ValueError(
-                f"MERGE cardinality violation: source has multiple rows "
-                f"for matched key {dup[0][key]!r}"
+        # Cardinality violation: >1 SOURCE rows per MATCHED key — only
+        # when a matched clause exists (review catch: Spark raises only
+        # when an update/delete would apply to a multiply-matched row;
+        # insert-only merges with duplicate source keys are valid and
+        # insert both rows). Cost shape: one aggregate over the
+        # batch-sized SOURCE, its (usually empty) duplicate-key set
+        # BROADCAST against the column-pruned target key scan — never
+        # an aggregate over the table (review catch: a .distinct() on
+        # the target keys was a full-table shuffle).
+        if matched:
+            dupkeys = (
+                source.groupBy(key)
+                .agg(F.count(F.lit(1)).alias("__iis_c"))
+                .filter(F.col("__iis_c") > 1)
+                .select(key)
             )
+            dup = (
+                tgt.select(key)
+                .join(F.broadcast(dupkeys), key)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"MERGE cardinality violation: source has multiple "
+                    f"rows for matched key {dup[0][key]!r}"
+                )
         # First-match-wins clause routing, exactly SQL's evaluation
         # order: one chained CASE tags each matched pair with the index
         # of the first clause whose condition holds (NULL = no clause

@@ -273,3 +273,37 @@ def test_compact_rewrites_under_current_names(spark, tdir):
     kept, total = t.plan_files(where=("a_id", 2, 2))
     assert total == 1 and len(kept) == 1
     assert sorted(r.a_id for r in t.read(spark).collect()) == [1, 2]
+
+
+def test_is_null_probe_keeps_era_predating_files(spark, tdir):
+    """Review regression: an IS NULL probe matches EVERY row of a file
+    that predates a no-default column — the degenerate-range path must
+    not prune it."""
+    t = SnapshotTable(tdir, stats_cols=["a"])
+    t.append(_df(spark, [(1,)], "a int"))
+    t.add_column("note", T.StringType())  # no default -> all NULL
+    kept, total = t.plan_files(eq=("note", None))
+    assert total == 1 and len(kept) == 1
+    rows = t.read(spark, eq=("note", None)).collect()
+    assert [(r.a, r.note) for r in rows] == [(1, None)]
+    # and with a NON-null default the same probe provably prunes
+    t2 = SnapshotTable(tdir + "_d", stats_cols=["a"])
+    t2.append(_df(spark, [(1,)], "a int"))
+    t2.add_column("flag", T.StringType(), default="x")
+    kept, total = t2.plan_files(eq=("flag", None))
+    assert total == 1 and len(kept) == 0
+
+
+def test_cross_type_probe_on_era_default_keeps_conservatively(spark, tdir):
+    """Review regression: a string probe against an int default must
+    keep the file (the residual filter coerces), never false-negative
+    via raw Python equality."""
+    t = SnapshotTable(tdir, stats_cols=["a"], bloom_cols=["a"])
+    t.append(_df(spark, [(1,)], "a int"))
+    t.add_column("cnt", T.IntegerType(), default=5)
+    kept, _ = t.plan_files(eq=("cnt", "5"))  # cross-type probe
+    assert len(kept) == 1  # conservative keep
+    kept, _ = t.plan_files(eq=("cnt", 5))
+    assert len(kept) == 1  # matching default keeps
+    kept, _ = t.plan_files(eq=("cnt", 7))
+    assert len(kept) == 0  # provably different default prunes

@@ -3317,3 +3317,29 @@ def test_merge_into_composes_with_compact_and_time_travel(spark, tmp_path):
     # pre-merge snapshot still shows the old value
     old = t.read(spark, as_of=v0).filter(F.col("k") == 2).collect()
     assert old[0].amt == 20.0
+
+
+def test_merge_into_refuses_key_assignment(spark, tmp_path):
+    """Review regression: assigning the merge key would equality-delete
+    an UNRELATED row holding the new key value — refused."""
+    t = _mi_table(spark, tmp_path)
+    src = spark.createDataFrame([(1, 9.0)], "k int, amt double")
+    with pytest.raises(ValueError, match="may not assign the merge key"):
+        t.merge_into(
+            spark, src, key="k",
+            matched=[("update", None, {"k": "t.k + 1", "amt": "s.amt"})],
+        )
+
+
+def test_merge_into_insert_only_allows_matched_duplicates(spark, tmp_path):
+    """Review regression: insert-only merges never touch matched rows,
+    so duplicate source keys that match the target are NOT a
+    cardinality violation (Spark raises only for update/delete)."""
+    t = _mi_table(spark, tmp_path)
+    dup = spark.createDataFrame(
+        [(2, 1.0), (2, 2.0), (8, 8.0)], "k int, amt double"
+    )
+    t.merge_into(spark, dup, key="k", not_matched=("insert", None))
+    got = sorted((r.k, r.amt) for r in t.read(spark).collect())
+    # matched key 2 untouched; unmatched 8 inserted once
+    assert (2, 20.0) in got and (8, 8.0) in got and len(got) == 5
