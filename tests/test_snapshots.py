@@ -3343,3 +3343,162 @@ def test_merge_into_insert_only_allows_matched_duplicates(spark, tmp_path):
     got = sorted((r.k, r.amt) for r in t.read(spark).collect())
     # matched key 2 untouched; unmatched 8 inserted once
     assert (2, 20.0) in got and (8, 8.0) in got and len(got) == 5
+
+
+@pytest.mark.parametrize("seed", [20260815, 424243])
+def test_cdc_lifecycle_model_with_renames(spark, tmp_path, seed):
+    """The CDC model extended with random RENAME COLUMN ops on the
+    value column: a seeded sequence of append / merge / compact /
+    CoW+MoR delete / update / rollback / expire interleaved with
+    metadata-only renames must match the pure-Python {rid: value}
+    model after every step — under the CURRENT name — and every
+    surviving snapshot must replay under the name it had THEN (the
+    schema lives in the manifest). This drives the era-resolution
+    machinery through live equality deletes, rollbacks across renames,
+    and compactions that re-era the files."""
+    import random
+
+    rng = random.Random(seed)
+    tbl = SnapshotTable(str(tmp_path / "cdcr"))
+    vis: dict[int, dict[int, float]] = {}
+    names: dict[int, str] = {}
+    published: list[int] = []
+    next_id = 0
+    val_col = "val"
+    n_renames = 0
+
+    def df_of(mapping):
+        return spark.createDataFrame(
+            [(k, v) for k, v in sorted(mapping.items())],
+            f"rid long, {val_col} double",
+        ).coalesce(1)
+
+    def fresh(n):
+        nonlocal next_id
+        ids = list(range(next_id, next_id + n))
+        next_id += n
+        return ids
+
+    ids = fresh(6)
+    v = tbl.append(df_of({i: float(i) for i in ids}))
+    vis[v] = {i: float(i) for i in ids}
+    names[v] = val_col
+    published.append(v)
+
+    for step in range(22):
+        cur = vis[published[-1]]
+        choices = [
+            "append", "merge", "compact", "rename",
+            "delete_where", "update_where", "delete_mor",
+        ]
+        if len(published) >= 2:
+            choices += ["rollback", "expire"]
+        op = rng.choice(choices)
+        if op == "rename":
+            n_renames += 1
+            new = f"val_r{n_renames}"
+            v = tbl.rename_column(val_col, new)
+            val_col = new
+            vis[v] = dict(cur)
+            names[v] = val_col
+            published.append(v)
+        elif op == "append":
+            ids = fresh(rng.randint(1, 3))
+            batch = {i: float(i) for i in ids}
+            v = tbl.append(df_of(batch))
+            vis[v] = {**cur, **batch}
+            names[v] = val_col
+            published.append(v)
+        elif op == "merge":
+            keys = sorted(cur)
+            dels = rng.sample(keys, min(len(keys), rng.randint(0, 2)))
+            upds = rng.sample(
+                [k for k in keys if k not in dels],
+                min(len(keys) - len(dels), rng.randint(0, 2)),
+            )
+            ins = fresh(rng.randint(0, 2))
+            rows = (
+                [(k, 0.0, "D") for k in dels]
+                + [(k, cur[k] + 100.0, "U") for k in upds]
+                + [(k, float(k), "I") for k in ins]
+            )
+            if not rows:
+                continue
+            chg = spark.createDataFrame(
+                rows, f"rid long, {val_col} double, _op string"
+            )
+            v = tbl.merge(spark, chg, key="rid")
+            state = {k: x for k, x in cur.items() if k not in dels}
+            for k in upds:
+                state[k] = cur[k] + 100.0
+            for k in ins:
+                state[k] = float(k)
+            vis[v] = state
+            names[v] = val_col
+            published.append(v)
+        elif op == "compact":
+            v = tbl.compact(spark)
+            vis[v] = dict(cur)
+            names[v] = val_col
+            published.append(v)
+        elif op in ("delete_where", "delete_mor"):
+            k, r = rng.choice([(2, 0), (3, 1), (4, 2)])
+            strat = "mor" if op == "delete_mor" else "cow"
+            matching = {i for i in cur if i % k == r}
+            v = tbl.delete_where(
+                spark, f"rid % {k} = {r}", strategy=strat
+            )
+            if matching:
+                vis[v] = {
+                    i: x for i, x in cur.items() if i not in matching
+                }
+                names[v] = val_col
+                published.append(v)
+            else:
+                assert v == published[-1]
+        elif op == "update_where":
+            k, r = rng.choice([(2, 1), (3, 0), (4, 1)])
+            strat = rng.choice(["cow", "mor"])
+            matching = {i for i in cur if i % k == r}
+            v = tbl.update_where(
+                spark,
+                f"rid % {k} = {r}",
+                {val_col: f"{val_col} + 1000.0"},
+                strategy=strat,
+            )
+            if matching:
+                vis[v] = {
+                    i: (x + 1000.0 if i in matching else x)
+                    for i, x in cur.items()
+                }
+                names[v] = val_col
+                published.append(v)
+            else:
+                assert v == published[-1]
+        elif op == "rollback":
+            to = rng.choice(published)
+            v = tbl.rollback(to=to)
+            vis[v] = dict(vis[to])
+            # rollback restores snapshot `to`'s SCHEMA too
+            names[v] = names[to]
+            val_col = names[to]
+            published.append(v)
+        else:  # expire
+            keep = rng.choice(published[1:-1] or published)
+            try:
+                tbl.expire(keep_from=keep)
+            except ValueError:
+                continue
+            for w in [w for w in vis if w < keep]:
+                del vis[w]
+            published = [w for w in published if w >= keep]
+        got = {
+            r["rid"]: r[val_col] for r in tbl.read(spark).collect()
+        }
+        assert got == vis[published[-1]], f"step {step} ({op})"
+    assert n_renames >= 1  # the seed must actually exercise renames
+    for v in tbl.snapshots():
+        df = tbl.read(spark, as_of=v)
+        assert names[v] in df.columns, f"snapshot {v} schema"
+        got = {r["rid"]: r[names[v]] for r in df.collect()}
+        assert got == vis[v], f"snapshot {v}"
