@@ -68,10 +68,25 @@ class SnapshotTable:
         stats_cols: list[str] | None = None,
         partition_by: list[str] | None = None,
         bloom_cols: list[str] | None = None,
+        write_distribution: str = "none",
     ):
         self.path = path
         self._mdir = os.path.join(path, "_manifests")
         self.stats_cols = list(stats_cols or [])
+        # Iceberg's ``write.distribution-mode`` for partitioned writes:
+        # 'none' writes straight from the input partitioning (every
+        # task emits a file for every partition value it holds — the
+        # small-file explosion), 'hash' repartitions by the partition
+        # columns first (ONE file per partition value per commit),
+        # 'range' range-partitions (one file per value, plus the rows
+        # arrive clustered for the footer [min,max] stats). The shuffle
+        # is the price of a sane file count at scale.
+        if write_distribution not in ("none", "hash", "range"):
+            raise ValueError(
+                "write_distribution must be 'none', 'hash', or "
+                f"'range'; got {write_distribution!r}"
+            )
+        self.write_distribution = write_distribution
         # Per-file Bloom-filter indexes (Iceberg's puffin-blob /
         # parquet-bloom idea): a membership sketch per (file, column)
         # recorded at commit, so a POINT lookup prunes files the key is
@@ -1054,6 +1069,18 @@ class SnapshotTable:
                     pdf = pdf.withColumn(
                         f"__part_{c}", F.col(c).cast("string")
                     )
+                shadows = [
+                    F.col(f"__part_{c}") for c in self.partition_by
+                ]
+                if self.write_distribution == "hash":
+                    # co-locate each partition value on one task: ONE
+                    # file per value per commit instead of one per
+                    # (task, value) pair
+                    pdf = pdf.repartition(*shadows)
+                elif self.write_distribution == "range":
+                    # same file count, but rows arrive clustered so
+                    # the recorded [min, max] stats start disjoint
+                    pdf = pdf.repartitionByRange(*shadows)
                 pdf.write.mode("error").partitionBy(
                     *[f"__part_{c}" for c in self.partition_by]
                 ).parquet(sdir)
@@ -6197,6 +6224,90 @@ def q_snapshot_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+        )
+        .crossJoin(F.broadcast(scalars))
+    )
+
+
+@query(
+    "q_snapshot_write_distribution",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents,
+           CAST(1 AS BIGINT) AS one_file_per_partition,
+           CAST(1 AS BIGINT) AS none_mode_wrote_more
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_snapshot_write_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg's ``write.distribution-mode`` — the small-files control
+    for partitioned writes, DuckDB-oracled: the SAME 8-task input
+    commits into two tables partitioned by o_orderstatus, one with
+    ``write_distribution='none'`` (every task emits a file per status
+    it holds — at least 8 files, the small-file explosion pattern) and
+    one with ``'hash'`` (a pre-write shuffle co-locates each status on
+    one task — EXACTLY one file per status). The read back from the
+    hash table must equal the oracle over all of orders (distribution
+    changes layout, never content), and the two layout claims ride
+    along as oracled constants.
+
+    100 TB shape: mode 'none' on a 1000-task streaming write into a
+    1000-partition table can emit 10^6 files PER COMMIT — the
+    metadata-death pattern; 'hash' pays ONE shuffle to write exactly
+    |partitions| files, and 'range' additionally clusters rows so the
+    footer [min, max] stats start disjoint (the sorted-compaction
+    layout at write time, no rewrite needed). This is why Iceberg
+    defaults distribution-mode to hash for partitioned tables.
+    """
+    from ..tables import scratch_dir
+
+    path = scratch_dir(spark, sf_dir, "snap_write_dist")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition(8)
+    )
+    none_t = SnapshotTable(
+        os.path.join(path, "none"),
+        partition_by=["o_orderstatus"],
+        write_distribution="none",
+    )
+    none_t.append(o)
+    hash_t = SnapshotTable(
+        os.path.join(path, "hash"),
+        partition_by=["o_orderstatus"],
+        write_distribution="hash",
+    )
+    hash_t.append(o)
+    n_status = (
+        o.select("o_orderstatus").distinct().count()
+    )  # one scalar
+    none_files = len(none_t._manifest(none_t._latest_published()))
+    hash_files = len(hash_t._manifest(hash_t._latest_published()))
+    scalars = spark.createDataFrame(
+        [
+            (
+                int(hash_files == n_status),
+                int(none_files > hash_files),
+            )
+        ],
+        "one_file_per_partition long, none_mode_wrote_more long",
+    )
+    return (
+        hash_t.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("cents"),
         )
         .crossJoin(F.broadcast(scalars))
     )

@@ -3502,3 +3502,38 @@ def test_cdc_lifecycle_model_with_renames(spark, tmp_path, seed):
         assert names[v] in df.columns, f"snapshot {v} schema"
         got = {r["rid"]: r[names[v]] for r in df.collect()}
         assert got == vis[v], f"snapshot {v}"
+
+
+def test_write_distribution_modes(spark, tmp_path):
+    """'hash'/'range' repartition before a partitioned write: exactly
+    one file per partition value per commit; 'none' writes one per
+    (task, value). Content identical in all modes; 'range' rows arrive
+    clustered. Invalid modes refused."""
+    src = spark.createDataFrame(
+        [(i, ["A", "B", "C"][i % 3], float(i)) for i in range(300)],
+        "k int, p string, v double",
+    ).repartition(6)
+    tables = {}
+    for mode in ("none", "hash", "range"):
+        t = SnapshotTable(
+            str(tmp_path / mode),
+            partition_by=["p"],
+            write_distribution=mode,
+        )
+        t.append(src)
+        tables[mode] = t
+    n = {
+        m: len(t._manifest(t._latest_published()))
+        for m, t in tables.items()
+    }
+    assert n["hash"] == 3 and n["range"] == 3
+    assert n["none"] >= 6  # every task holds every value here
+    want = sorted((i, float(i)) for i in range(300))
+    for t in tables.values():
+        got = sorted((r.k, r.v) for r in t.read(spark).collect())
+        assert got == want
+    # partition pruning unaffected
+    kept, total = tables["hash"].plan_files(partitions={"p": "B"})
+    assert (len(kept), total) == (1, 3)
+    with pytest.raises(ValueError, match="write_distribution"):
+        SnapshotTable(str(tmp_path / "bad"), write_distribution="zorder")
