@@ -31,17 +31,45 @@ from ..tables import load_table
 
 _N = 3000  # modular node-space size: ~15k edges / ~3k nodes at sf0.01
 
-
-@query(
-    "q_graph_triangles",
-    oracle=f"""
-    WITH e AS (
+# The ONE edge derivation every graph query and its oracle share — a
+# change here re-synchronizes all Spark sides and SQL oracles at once.
+_EDGES_SQL = f"""e AS (
         SELECT DISTINCT
             LEAST(o_orderkey % {_N}, (o_orderkey // 7) % {_N}) AS a,
             GREATEST(o_orderkey % {_N}, (o_orderkey // 7) % {_N}) AS b
         FROM orders
         WHERE o_orderkey % {_N} <> (o_orderkey // 7) % {_N}
-    ),
+    )"""
+_ADJ_SQL = """adj AS (
+        SELECT a AS n, b AS m FROM e
+        UNION ALL SELECT b AS n, a AS m FROM e
+    )"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic modular edge set (canonical a < b, deduped)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    u = (F.col("o_orderkey") % _N).cast("long")
+    v = (F.expr("o_orderkey div 7") % _N).cast("long")
+    return (
+        o.filter(u != v)
+        .select(F.least(u, v).alias("a"), F.greatest(u, v).alias("b"))
+        .distinct()
+    )
+
+
+def _adjacency(e: DataFrame) -> DataFrame:
+    """Both directions of an undirected canonical edge frame."""
+    return e.select(F.col("a").alias("n"), F.col("b").alias("m")).unionAll(
+        e.select(F.col("b").alias("n"), F.col("a").alias("m"))
+    )
+
+
+
+@query(
+    "q_graph_triangles",
+    oracle=f"""
+    WITH {_EDGES_SQL},
     deg AS (
         SELECT n, COUNT(*) AS d
         FROM (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
@@ -72,15 +100,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     join shuffled on the wedge pair. Every triangle counted exactly
     once from its pivot; no distinct-after-blowup anywhere.
     """
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
-    u = (F.col("o_orderkey") % _N).cast("long")
-    v = (F.expr("o_orderkey div 7") % _N).cast("long")
-    e = (
-        o.filter(u != v)
-        .select(F.least(u, v).alias("a"), F.greatest(u, v).alias("b"))
-        .distinct()
-    )
-    return triangle_stats(e)
+    return triangle_stats(_edges(spark, sf_dir))
 
 
 def triangle_stats(e: DataFrame) -> DataFrame:
@@ -161,17 +181,8 @@ _HUB = 64  # max pivot degree: hub neighbors carry no link signal
 @query(
     "q_graph_common_neighbors",
     oracle=f"""
-    WITH e AS (
-        SELECT DISTINCT
-            LEAST(o_orderkey % {_N}, (o_orderkey // 7) % {_N}) AS a,
-            GREATEST(o_orderkey % {_N}, (o_orderkey // 7) % {_N}) AS b
-        FROM orders
-        WHERE o_orderkey % {_N} <> (o_orderkey // 7) % {_N}
-    ),
-    adj AS (
-        SELECT a AS n, b AS m FROM e
-        UNION ALL SELECT b AS n, a AS m FROM e
-    ),
+    WITH {_EDGES_SQL},
+    {_ADJ_SQL},
     deg AS (SELECT n, COUNT(*) AS d FROM adj GROUP BY n),
     cn AS (
         SELECT a1.m AS u, a2.m AS w, COUNT(*) AS cn
@@ -217,18 +228,8 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-edges only, two BROADCAST degree joins (|V|-sized), and a
     TakeOrderedAndProject top-k — no global sort of the pair space.
     """
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
-    uu = (F.col("o_orderkey") % _N).cast("long")
-    vv = (F.expr("o_orderkey div 7") % _N).cast("long")
-    e = (
-        o.filter(uu != vv)
-        .select(F.least(uu, vv).alias("a"), F.greatest(uu, vv).alias("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    adj = e.select(F.col("a").alias("n"), F.col("b").alias("m")).unionAll(
-        e.select(F.col("b").alias("n"), F.col("a").alias("m"))
-    )
+    e = _edges(spark, sf_dir).localCheckpoint(eager=True)
+    adj = _adjacency(e)
     deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
     low = deg.filter(F.col("d") <= _HUB).select("n")
     a1 = adj.join(F.broadcast(low), "n").alias("a1")
@@ -272,17 +273,8 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_graph_bfs_depth",
     oracle=f"""
-    WITH RECURSIVE e AS (
-        SELECT DISTINCT
-            LEAST(o_orderkey % {_N}, (o_orderkey // 7) % {_N}) AS a,
-            GREATEST(o_orderkey % {_N}, (o_orderkey // 7) % {_N}) AS b
-        FROM orders
-        WHERE o_orderkey % {_N} <> (o_orderkey // 7) % {_N}
-    ),
-    adj AS (
-        SELECT a AS n, b AS m FROM e
-        UNION ALL SELECT b AS n, a AS m FROM e
-    ),
+    WITH RECURSIVE {_EDGES_SQL},
+    {_ADJ_SQL},
     walk(n, depth) AS (
         SELECT n, 0 FROM (SELECT DISTINCT n FROM adj) s
         WHERE n % 100 = 0
@@ -321,14 +313,7 @@ def q_graph_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~1.1 s per live round, round cost CONSTANT in input size because
     every round touches only the aggregate-sized adjacency.
     """
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
-    uu = (F.col("o_orderkey") % _N).cast("long")
-    vv = (F.expr("o_orderkey div 7") % _N).cast("long")
-    e = (
-        o.filter(uu != vv)
-        .select(F.least(uu, vv).alias("a"), F.greatest(uu, vv).alias("b"))
-        .distinct()
-    )
+    e = _edges(spark, sf_dir)
     # The node space is manifest-bounded (modular ids), so the frontier
     # and visited frames are KB-sized however large the input: coalesce
     # them to ONE partition before each checkpoint — 32-partition
@@ -336,12 +321,7 @@ def q_graph_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the round cost (measured: 26.6 s -> ~8 s at sf0.1). On a graph
     # whose frontier outgrows one executor, drop the coalesce; the
     # loop body is partition-count-agnostic.
-    adj = (
-        e.select(F.col("a").alias("n"), F.col("b").alias("m"))
-        .unionAll(e.select(F.col("b").alias("n"), F.col("a").alias("m")))
-        .coalesce(4)
-        .localCheckpoint(eager=True)
-    )
+    adj = _adjacency(e).coalesce(4).localCheckpoint(eager=True)
     frontier = (
         adj.select("n")
         .distinct()

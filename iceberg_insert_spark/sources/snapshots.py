@@ -68,7 +68,7 @@ class SnapshotTable:
         stats_cols: list[str] | None = None,
         partition_by: list[str] | None = None,
         bloom_cols: list[str] | None = None,
-        write_distribution: str = "none",
+        write_distribution: str | None = None,
     ):
         self.path = path
         self._mdir = os.path.join(path, "_manifests")
@@ -78,13 +78,22 @@ class SnapshotTable:
         # task emits a file for every partition value it holds — the
         # small-file explosion), 'hash' repartitions by the partition
         # columns first (ONE file per partition value per commit),
-        # 'range' range-partitions (one file per value, plus the rows
-        # arrive clustered for the footer [min,max] stats). The shuffle
-        # is the price of a sane file count at scale.
-        if write_distribution not in ("none", "hash", "range"):
+        # 'range' range-partitions by (partition columns, stats_cols)
+        # and sorts within partitions — files per value scale with the
+        # data and their stats_cols [min, max] footers start DISJOINT
+        # (the sorted-compaction layout at write time). The shuffle is
+        # the price of a sane file count at scale.
+        #
+        # Like Iceberg's table property, the mode PERSISTS in the
+        # manifests: None (the default) inherits whatever the table
+        # recorded; an explicit value overrides and is recorded for
+        # future handles (review catch: a handle-local-only mode
+        # silently reverted to the small-file behavior the moment
+        # another process opened the table).
+        if write_distribution not in (None, "none", "hash", "range"):
             raise ValueError(
-                "write_distribution must be 'none', 'hash', or "
-                f"'range'; got {write_distribution!r}"
+                "write_distribution must be None (inherit), 'none', "
+                f"'hash', or 'range'; got {write_distribution!r}"
             )
         self.write_distribution = write_distribution
         # Per-file Bloom-filter indexes (Iceberg's puffin-blob /
@@ -1072,15 +1081,45 @@ class SnapshotTable:
                 shadows = [
                     F.col(f"__part_{c}") for c in self.partition_by
                 ]
-                if self.write_distribution == "hash":
+                # effective mode: explicit handle value, else the mode
+                # the table recorded (Iceberg's table property) — the
+                # replace path (inherit=False) looks at the latest
+                # published manifest, since compaction must not revert
+                # the table's layout policy
+                mode = self.write_distribution
+                if mode is None:
+                    b = (
+                        base0
+                        if base0 is not None
+                        else self._latest_published()
+                    )
+                    mode = (
+                        self._meta(b).get("write_distribution", "none")
+                        if b is not None
+                        else "none"
+                    )
+                if mode == "hash":
                     # co-locate each partition value on one task: ONE
                     # file per value per commit instead of one per
                     # (task, value) pair
                     pdf = pdf.repartition(*shadows)
-                elif self.write_distribution == "range":
-                    # same file count, but rows arrive clustered so
-                    # the recorded [min, max] stats start disjoint
-                    pdf = pdf.repartitionByRange(*shadows)
+                elif mode == "range":
+                    # Iceberg's range mode distributes by partition
+                    # key PLUS the sort dimension (stats_cols here):
+                    # files per value scale with data volume and each
+                    # file's stats_cols footer range is DISJOINT — the
+                    # sorted-compaction layout at write time, no
+                    # rewrite needed (review catch: ranging over the
+                    # shadow columns alone was observably identical to
+                    # hash)
+                    order = shadows + [
+                        F.col(c)
+                        for c in self.stats_cols
+                        if c in df.columns
+                    ]
+                    pdf = pdf.repartitionByRange(
+                        *order
+                    ).sortWithinPartitions(*order)
                 pdf.write.mode("error").partitionBy(
                     *[f"__part_{c}" for c in self.partition_by]
                 ).parquet(sdir)
@@ -1327,6 +1366,16 @@ class SnapshotTable:
             meta["partition_by"] = self.partition_by or base_meta.get(
                 "partition_by", []
             )
+        # write.distribution-mode persists like an Iceberg table
+        # property: an explicit handle value records itself; a default
+        # handle carries the latest published manifest's mode forward
+        # (replace commits included — compaction must not revert the
+        # layout policy)
+        wd = self.write_distribution
+        if wd is None and pub is not None:
+            wd = self._meta(pub).get("write_distribution")
+        if wd and wd != "none":
+            meta["write_distribution"] = wd
         # Schema-era overrides (files cherry-picked/published after a
         # main-side evolve) follow their files: carried while the file
         # is inherited, gone when a replace/rewrite drops the file.
@@ -1781,6 +1830,7 @@ class SnapshotTable:
                 "file_partitions",
                 "partition_by",
                 "file_schema_v",
+                "write_distribution",
             ):
                 if carry in meta:
                     emeta[carry] = meta[carry]
@@ -1816,6 +1866,7 @@ class SnapshotTable:
                 "delete_files",
                 "file_partitions",
                 "file_schema_v",
+                "write_distribution",
             ):
                 if carry in meta:
                     emeta[carry] = meta[carry]
@@ -3132,7 +3183,12 @@ class SnapshotTable:
         # and pick would otherwise be silently reverted, and the
         # source files (seq < schema_v) resolve onto the evolved
         # schema at read time like any other pre-evolution files.
-        for carry in ("schema", "schema_v", "delete_files"):
+        for carry in (
+            "schema",
+            "schema_v",
+            "delete_files",
+            "write_distribution",
+        ):
             if carry in base_meta:
                 pmeta[carry] = base_meta[carry]
             elif carry in smeta and carry != "delete_files":
@@ -3230,6 +3286,7 @@ class SnapshotTable:
                 "file_partitions",
                 "partition_by",
                 "file_schema_v",
+                "write_distribution",
             ):
                 if carry in tmeta:
                     rmeta[carry] = tmeta[carry]

@@ -3505,10 +3505,10 @@ def test_cdc_lifecycle_model_with_renames(spark, tmp_path, seed):
 
 
 def test_write_distribution_modes(spark, tmp_path):
-    """'hash'/'range' repartition before a partitioned write: exactly
-    one file per partition value per commit; 'none' writes one per
-    (task, value). Content identical in all modes; 'range' rows arrive
-    clustered. Invalid modes refused."""
+    """'hash' writes exactly one file per partition value per commit;
+    'none' writes one per (task, value); 'range' clusters rows by
+    (partition, stats_cols) so per-file stats ranges are DISJOINT.
+    Content identical in all modes. Invalid modes refused."""
     src = spark.createDataFrame(
         [(i, ["A", "B", "C"][i % 3], float(i)) for i in range(300)],
         "k int, p string, v double",
@@ -3518,6 +3518,7 @@ def test_write_distribution_modes(spark, tmp_path):
         t = SnapshotTable(
             str(tmp_path / mode),
             partition_by=["p"],
+            stats_cols=["k"],
             write_distribution=mode,
         )
         t.append(src)
@@ -3526,14 +3527,39 @@ def test_write_distribution_modes(spark, tmp_path):
         m: len(t._manifest(t._latest_published()))
         for m, t in tables.items()
     }
-    assert n["hash"] == 3 and n["range"] == 3
+    assert n["hash"] == 3
     assert n["none"] >= 6  # every task holds every value here
     want = sorted((i, float(i)) for i in range(300))
     for t in tables.values():
         got = sorted((r.k, r.v) for r in t.read(spark).collect())
         assert got == want
+    # range mode: within each partition value, the files' k-ranges are
+    # pairwise disjoint (the write-time clustered layout)
+    byp: dict = {}
+    for fi in tables["range"].files_info():
+        p = next(
+            seg.split("=", 1)[1]
+            for seg in fi["path"].split("/")
+            if seg.startswith("__part_p=")
+        )
+        byp.setdefault(p, []).append(tuple(fi["stats"]["k"]))
+    for spans in byp.values():
+        spans = sorted(spans)
+        for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+            assert hi1 < lo2, spans
     # partition pruning unaffected
     kept, total = tables["hash"].plan_files(partitions={"p": "B"})
     assert (len(kept), total) == (1, 3)
+    # the mode PERSISTS: a default handle re-opening the hash table
+    # keeps one-file-per-value (Iceberg table-property semantics)
+    reopened = SnapshotTable(
+        str(tmp_path / "hash"), partition_by=["p"], stats_cols=["k"]
+    )
+    reopened.append(src)
+    assert len(reopened._manifest(reopened._latest_published())) == 6
+    # ... and compaction carries the recorded mode forward
+    reopened.compact(spark)
+    meta = reopened._meta(reopened._latest_published())
+    assert meta.get("write_distribution") == "hash"
     with pytest.raises(ValueError, match="write_distribution"):
         SnapshotTable(str(tmp_path / "bad"), write_distribution="zorder")
