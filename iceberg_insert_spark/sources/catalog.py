@@ -426,6 +426,51 @@ class LocalCatalog:
 
         return spark.sql(self._SQL_REF_RE.sub(sub, sql))
 
+    # INSERT INTO {{ns.table}} <select...>  — the write half of sql()
+    _INSERT_RE = re.compile(
+        r"^\s*INSERT\s+INTO\s+\{\{\s*([A-Za-z_][\w.]*)\s*\}\}\s+(.+)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def sql_insert(self, spark: SparkSession, sql: str) -> int:
+        """``INSERT INTO {{ns.table}} SELECT ...`` — the write half of
+        the SQL front-end: the SELECT evaluates through :meth:`sql`
+        (so it may read tables, pins, views, MVs), and the result
+        commits through ``SnapshotTable.append`` — ONE atomic snapshot
+        with the table's schema projection, write-distribution, and
+        optimistic-concurrency rules all applying exactly as a Python
+        ``append`` would. Returns the new snapshot version."""
+        m = self._INSERT_RE.match(sql)
+        if not m:
+            raise ValueError(
+                "expected 'INSERT INTO {{namespace.table}} SELECT ...'"
+            )
+        ident, select = m.group(1), m.group(2)
+        if ident in self._read().get("views", {}):
+            raise ValueError(f"cannot INSERT INTO view {ident!r}")
+        tbl = self.load_table(ident)
+        return tbl.append(self.sql(spark, select))
+
+    def create_table_as(
+        self,
+        spark: SparkSession,
+        ident: str,
+        sql: str,
+        **table_kwargs,
+    ) -> SnapshotTable:
+        """CTAS — ``CREATE TABLE ns.t AS SELECT ...``: create the table
+        in the registry, evaluate the SELECT through the front-end, and
+        commit the result as the table's first snapshot. On a failed
+        compute the empty table is dropped again so a CTAS is
+        all-or-nothing at the catalog level."""
+        tbl = self.create_table(ident, **table_kwargs)
+        try:
+            tbl.append(self.sql(spark, sql))
+        except Exception:
+            self.drop_table(ident, purge=True)
+            raise
+        return tbl
+
     def read_view(
         self,
         spark: SparkSession,
@@ -899,5 +944,67 @@ def q_catalog_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM {{{{an.enriched}}}} o
         JOIN {{{{an.cust}}}} c ON o.o_custkey = c.c_custkey
         GROUP BY 1
+        """,
+    )
+
+
+@query(
+    "q_catalog_ctas",
+    oracle="""
+    WITH first_batch AS (
+        SELECT o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 0
+    ), second_batch AS (
+        SELECT o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 1
+    ), unioned AS (
+        SELECT * FROM first_batch UNION ALL SELECT * FROM second_batch
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM unioned GROUP BY 1
+    """,
+)
+def q_catalog_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front-end's WRITE half, DuckDB-oracled: CREATE TABLE AS
+    SELECT seeds a catalog table from a front-end SELECT (placeholder
+    resolution, one Catalyst plan), then ``INSERT INTO {{ns.table}}
+    SELECT ...`` appends the second half as ONE atomic snapshot through
+    the table's own commit rules (schema projection, distribution mode,
+    optimistic concurrency — identical to a Python append). The final
+    aggregate must equal the oracle over all of orders, and the insert
+    is time-travelable: snapshot 1 holds exactly the CTAS half.
+
+    This closes the loop on "a reference user speaks SQL": read
+    (q_catalog_sql), define (views/MVs), and now write — all against
+    the catalog namespace (reference parity: App.java can only append
+    pre-built files to one hard-coded table)."""
+    root = scratch_dir(spark, sf_dir, "catalog_ctas")
+    cat = LocalCatalog(root)
+    cat.create_namespace("an")
+    src = cat.create_table("an.src")
+    src.append(load_table(spark, sf_dir, "orders"))
+    cat.create_table_as(
+        spark,
+        "an.slim",
+        "SELECT o_orderstatus, o_totalprice FROM {{an.src}} "
+        "WHERE o_orderkey % 2 = 0",
+    )
+    cat.sql_insert(
+        spark,
+        "INSERT INTO {{an.slim}} "
+        "SELECT o_orderstatus, o_totalprice FROM {{an.src}} "
+        "WHERE o_orderkey % 2 = 1",
+    )
+    return cat.sql(
+        spark,
+        """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM {{an.slim}} GROUP BY o_orderstatus
         """,
     )

@@ -468,3 +468,36 @@ def test_sql_front_end_materialized_and_deps(spark, tmp_path):
     assert cat.is_stale("db.mv")
     # ... and sql() serves the live fallback, never the stale storage
     assert cat.sql(spark, "SELECT s FROM {{db.mv}}").collect()[0].s == 21
+
+
+def test_sql_insert_and_ctas(spark, tmp_path):
+    """The write half of the SQL front-end: INSERT INTO appends one
+    atomic snapshot through the table's own commit rules; CTAS creates
+    and populates all-or-nothing."""
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("db")
+    t = cat.create_table("db.t")
+    t.append(spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, v double"))
+    cat.create_view("db.big", "SELECT k, v FROM {{db.t}} WHERE v >= 20")
+    # CTAS from a view
+    t2 = cat.create_table_as(
+        spark, "db.derived", "SELECT k, v * 2 AS v2 FROM {{db.big}}"
+    )
+    assert [(r.k, r.v2) for r in t2.read(spark).collect()] == [(2, 40.0)]
+    # INSERT INTO reading the source table and a pin
+    v = cat.sql_insert(
+        spark,
+        "INSERT INTO {{db.derived}} SELECT k, v AS v2 FROM {{db.t}} "
+        "WHERE k = 1",
+    )
+    got = sorted((r.k, r.v2) for r in t2.read(spark).collect())
+    assert got == [(1, 10.0), (2, 40.0)] and v == 2
+    # refusals: inserting into a view; malformed statement; failed CTAS
+    # leaves no table behind
+    with pytest.raises(ValueError, match="INSERT INTO view"):
+        cat.sql_insert(spark, "INSERT INTO {{db.big}} SELECT 1 AS k")
+    with pytest.raises(ValueError, match="expected"):
+        cat.sql_insert(spark, "UPSERT {{db.t}}")
+    with pytest.raises(Exception):
+        cat.create_table_as(spark, "db.broken", "SELECT * FROM {{db.ghost}}")
+    assert not cat.table_exists("db.broken")
