@@ -69,6 +69,7 @@ class SnapshotTable:
         partition_by: list[str] | None = None,
         bloom_cols: list[str] | None = None,
         write_distribution: str | None = None,
+        row_lineage: bool | None = None,
     ):
         self.path = path
         self._mdir = os.path.join(path, "_manifests")
@@ -96,6 +97,13 @@ class SnapshotTable:
                 f"'hash', or 'range'; got {write_distribution!r}"
             )
         self.write_distribution = write_distribution
+        # Iceberg v3 ROW LINEAGE: every row carries a STABLE ``_row_id``
+        # (assigned once, surviving compaction and CoW rewrites via
+        # materialization) and ``_last_updated_seq`` (the commit
+        # sequence that last modified it). None = inherit the table's
+        # recorded setting; persisted in manifests like a table
+        # property. See read(lineage=True) and _read_files.
+        self.row_lineage = row_lineage
         # Per-file Bloom-filter indexes (Iceberg's puffin-blob /
         # parquet-bloom idea): a membership sketch per (file, column)
         # recorded at commit, so a POINT lookup prunes files the key is
@@ -112,6 +120,25 @@ class SnapshotTable:
         # shadow copies), so a manifest-listed file is self-contained
         # for any reader.
         self.partition_by = list(partition_by or [])
+
+    # physical hidden columns that carry MATERIALIZED row lineage
+    # through rewrites (Iceberg v3: row ids are virtual — first_row_id
+    # + position — until a rewrite moves the row, then they must be
+    # written down); reserved __iis_ prefix keeps user data out
+    _LIN_ROWID = "__iis_row_id"
+    _LIN_LASTSEQ = "__iis_last_seq"
+
+    def _lineage_on(self) -> bool:
+        """Effective row-lineage setting: the handle's explicit value,
+        else whatever the latest published manifest recorded."""
+        if self.row_lineage is not None:
+            return self.row_lineage
+        lp = self._latest_published()
+        return (
+            bool(self._meta(lp).get("row_lineage"))
+            if lp is not None
+            else False
+        )
 
     # -- per-file column statistics (the manifest-metadata half of
     #    Iceberg's scan planning) -------------------------------------
@@ -1030,6 +1057,25 @@ class SnapshotTable:
         # section validates the schema didn't evolve meanwhile and
         # raises CommitConflict if it did — optimistic concurrency,
         # same as the compaction base check.
+        # Materialized row-lineage columns ride through commits as
+        # physical passthrough data, NEVER as schema: the engine's own
+        # rewrites (compact, CoW delete/update) carry them; a user
+        # frame may only carry them when lineage is ON (an explicit
+        # id-preserving import), else the reserved prefix refuses.
+        lin_cols = (
+            [
+                c
+                for c in df.columns
+                if c in (self._LIN_ROWID, self._LIN_LASTSEQ)
+            ]
+            if df is not None
+            else []
+        )
+        if lin_cols and not self._lineage_on():
+            raise ValueError(
+                f"columns {lin_cols} use the reserved row-lineage "
+                "names; enable row_lineage or rename them"
+            )
         base0 = None
         if inherit:
             base0 = (
@@ -1043,11 +1089,15 @@ class SnapshotTable:
                     from pyspark.sql import types as T
 
                     df = self._project_onto(
-                        df, T.StructType.fromJson(tj)
+                        df,
+                        T.StructType.fromJson(tj),
+                        passthrough=tuple(lin_cols),
                     )
         staging = tempfile.mkdtemp(prefix="_staging-", dir=self.path)
         if df is not None:
-            schema_json = df.schema.jsonValue()
+            schema_json = (
+                df.drop(*lin_cols) if lin_cols else df
+            ).schema.jsonValue()
         else:
             # metadata+delete-file-only commit (MoR positional DELETE):
             # no data is written, the schema carries over from the base
@@ -1376,6 +1426,11 @@ class SnapshotTable:
             wd = self._meta(pub).get("write_distribution")
         if wd and wd != "none":
             meta["write_distribution"] = wd
+        rl = self.row_lineage
+        if rl is None and pub is not None:
+            rl = self._meta(pub).get("row_lineage")
+        if rl:
+            meta["row_lineage"] = True
         # Schema-era overrides (files cherry-picked/published after a
         # main-side evolve) follow their files: carried while the file
         # is inherited, gone when a replace/rewrite drops the file.
@@ -1831,6 +1886,7 @@ class SnapshotTable:
                 "partition_by",
                 "file_schema_v",
                 "write_distribution",
+                "row_lineage",
             ):
                 if carry in meta:
                     emeta[carry] = meta[carry]
@@ -1867,6 +1923,7 @@ class SnapshotTable:
                 "file_partitions",
                 "file_schema_v",
                 "write_distribution",
+                "row_lineage",
             ):
                 if carry in meta:
                     emeta[carry] = meta[carry]
@@ -2614,9 +2671,33 @@ class SnapshotTable:
         if not touched_uris:
             return base
         touched = {self._rel_of_uri(u) for u in touched_uris}
-        rewritten = transform(
-            self._read_files(spark, base, sorted(touched)), matched
+        lineage = self._lineage_on()
+        src = self._read_files(
+            spark,
+            base,
+            sorted(touched),
+            lineage_cols=(
+                (self._LIN_ROWID, self._LIN_LASTSEQ)
+                if lineage
+                else None
+            ),
         )
+        if lineage and op == "update":
+            # evaluate the match over the OLD images, before transform
+            # rewrites the values: updated rows NULL their materialized
+            # last-seq so it falls back to this commit's sequence at
+            # read time (the version isn't assigned yet); untouched
+            # rows in the rewritten files KEEP theirs — Iceberg v3's
+            # lineage rule for copy-on-write UPDATE.
+            src = src.withColumn("__iis_upd", matched)
+        rewritten = transform(src, matched)
+        if lineage and op == "update":
+            rewritten = rewritten.withColumn(
+                self._LIN_LASTSEQ,
+                F.when(
+                    F.col("__iis_upd"), F.lit(None).cast("long")
+                ).otherwise(F.col(self._LIN_LASTSEQ)),
+            ).drop("__iis_upd")
         return self._commit(
             rewritten,
             inherit=True,
@@ -2890,6 +2971,7 @@ class SnapshotTable:
         rels: list[str],
         file_col: str | None = None,
         pos_col: str | None = None,
+        lineage_cols: tuple[str, str] | None = None,
     ) -> DataFrame:
         """Scan a snapshot's (possibly pruned) file list. Fast path: one
         multi-path parquet scan. Two metadata conditions force a
@@ -2936,12 +3018,20 @@ class SnapshotTable:
         #     (file, position) of each row;
         #   * positional deletes need the same pair internally to
         #     anti-join against the delete files' (file, pos) entries.
+        # ROW LINEAGE (Iceberg v3): a lineage table's scan must split
+        # per commit group even on the fast path — the virtual id is
+        # seq-dependent (seq * 2^40 + row position) and rewritten files
+        # carry MATERIALIZED physical columns that plain reads must
+        # hide and lineage reads must prefer over the virtual form.
+        lineage_table = bool(meta.get("row_lineage")) or (
+            self.row_lineage is True
+        )
         want_cols: list[tuple[str, str]] = []
         if file_col is not None or pos_dels:
             want_cols.append(
                 (file_col or "__iis_fp", "_metadata.file_path")
             )
-        if pos_col is not None or pos_dels:
+        if pos_col is not None or pos_dels or lineage_cols:
             want_cols.append(
                 (pos_col or "__iis_rp", "_metadata.row_index")
             )
@@ -2973,7 +3063,7 @@ class SnapshotTable:
                     df = df.drop(n)
             return df
 
-        if not dels and not needs_resolve:
+        if not dels and not needs_resolve and not lineage_table:
             return tag(
                 spark.read.parquet(
                     *[os.path.join(self.path, f) for f in rels]
@@ -2984,6 +3074,7 @@ class SnapshotTable:
             from pyspark.sql import types as T
 
             target = T.StructType.fromJson(sj)
+        lin_phys = (self._LIN_ROWID, self._LIN_LASTSEQ)
         parts = []
         for (s, e), fs in sorted(by_seq.items()):
             df = tag(
@@ -2993,8 +3084,32 @@ class SnapshotTable:
             )
             if target is not None:
                 df = self._resolve_onto(
-                    df, target, e, passthrough=tuple(internal)
+                    df,
+                    target,
+                    e,
+                    passthrough=tuple(internal) + lin_phys,
                 )
+            if lineage_cols is not None:
+                rid_out, seq_out = lineage_cols
+                rid = F.lit(s).cast("long") * F.lit(
+                    1 << 40
+                ).cast("long") + F.col(rp_name).cast("long")
+                if self._LIN_ROWID in df.columns:
+                    rid = F.coalesce(F.col(self._LIN_ROWID), rid)
+                lseq = F.lit(s).cast("long")
+                if self._LIN_LASTSEQ in df.columns:
+                    lseq = F.coalesce(
+                        F.col(self._LIN_LASTSEQ), F.lit(s).cast("long")
+                    )
+                df = df.withColumn(rid_out, rid).withColumn(
+                    seq_out, lseq
+                )
+            # physical lineage columns never leave the scan under
+            # their own names: plain reads HIDE them, lineage reads
+            # have folded them into the output columns above
+            for c in lin_phys:
+                if c in df.columns and c not in (lineage_cols or ()):
+                    df = df.drop(c)
             if "__iis_seq" in df.columns:
                 raise ValueError(
                     "data files contain the reserved internal column "
@@ -3188,6 +3303,7 @@ class SnapshotTable:
             "schema_v",
             "delete_files",
             "write_distribution",
+            "row_lineage",
         ):
             if carry in base_meta:
                 pmeta[carry] = base_meta[carry]
@@ -3287,6 +3403,7 @@ class SnapshotTable:
                 "partition_by",
                 "file_schema_v",
                 "write_distribution",
+                "row_lineage",
             ):
                 if carry in tmeta:
                     rmeta[carry] = tmeta[carry]
@@ -3334,7 +3451,20 @@ class SnapshotTable:
         base = self._latest_published()
         if base is None:
             raise ValueError("nothing published to compact")
-        df = self.read(spark, as_of=base)
+        rels = self._manifest(base)
+        if self._lineage_on() and rels:
+            # MATERIALIZE row lineage into the rewritten files: a
+            # compaction is layout-only, so every row keeps its id AND
+            # its last-updated sequence (Iceberg v3's rewrite rule —
+            # without this, moving a row would mint it a new identity)
+            df = self._read_files(
+                spark,
+                base,
+                rels,
+                lineage_cols=(self._LIN_ROWID, self._LIN_LASTSEQ),
+            )
+        else:
+            df = self.read(spark, as_of=base)
         if sort_by:
             df = df.repartitionByRange(
                 target_files, *sort_by
@@ -3372,10 +3502,20 @@ class SnapshotTable:
         base = self._latest_published()
         if base is None:
             raise ValueError("nothing published to compact")
+        rels = self._manifest(base)
+        if self._lineage_on() and rels:
+            # lineage rides through the z-order rewrite as materialized
+            # passthrough columns, same rule as linear compact
+            df = self._read_files(
+                spark,
+                base,
+                rels,
+                lineage_cols=(self._LIN_ROWID, self._LIN_LASTSEQ),
+            )
+        else:
+            df = self.read(spark, as_of=base)
         return self._commit(
-            zorder_layout(
-                self.read(spark, as_of=base), dim_a, dim_b, target_files
-            ),
+            zorder_layout(df, dim_a, dim_b, target_files),
             inherit=False,
             op="replace",
             expected_base=base,
@@ -3417,6 +3557,7 @@ class SnapshotTable:
         as_of_ts: float | None = None,
         eq: tuple | None = None,
         not_null: list[str] | None = None,
+        lineage: bool = False,
     ) -> DataFrame:
         """Read the table as of snapshot ``as_of`` (default: latest). The
         file list comes from the manifest, never a directory walk.
@@ -3462,6 +3603,13 @@ class SnapshotTable:
                 f"snapshot {v} does not exist (have {snaps}) — expired or "
                 "never committed"
             )
+        def _lin_empty(df0: DataFrame) -> DataFrame:
+            if not lineage:
+                return df0
+            return df0.withColumn(
+                "_row_id", F.lit(None).cast("long")
+            ).withColumn("_last_updated_seq", F.lit(None).cast("long"))
+
         if (
             where is None
             and partitions is None
@@ -3470,7 +3618,7 @@ class SnapshotTable:
         ):
             rels = self._manifest(v)
             if not rels:
-                return self._empty_frame(spark, v)
+                return _lin_empty(self._empty_frame(spark, v))
         else:
             rels = (
                 list(plan)
@@ -3492,15 +3640,22 @@ class SnapshotTable:
                 # Spark the whole manifest here would pay full planning
                 # IO on exactly the path pruning proved needs none.
                 if self._meta(v).get("schema") is not None:
-                    return self._empty_frame(spark, v)
+                    return _lin_empty(self._empty_frame(spark, v))
                 rels = self._manifest(v)[:1]
                 if not rels:
-                    return self._empty_frame(spark, v)
+                    return _lin_empty(self._empty_frame(spark, v))
                 df = spark.read.parquet(
                     *[os.path.join(self.path, f) for f in rels]
                 )
                 return df.limit(0)
-        df = self._read_files(spark, v, rels)
+        df = self._read_files(
+            spark,
+            v,
+            rels,
+            lineage_cols=(
+                ("_row_id", "_last_updated_seq") if lineage else None
+            ),
+        )
         if partitions:
             # residual partition filter: pruning only removed files
             # whose recorded tuple mismatches; conservatively-kept
@@ -6367,4 +6522,85 @@ def q_snapshot_write_distribution(
             .alias("cents"),
         )
         .crossJoin(F.broadcast(scalars))
+    )
+
+
+@query(
+    "q_snapshot_row_lineage",
+    oracle="""
+    WITH b1 AS (
+        SELECT o_orderkey,
+               1099511627776 + ROW_NUMBER() OVER (ORDER BY o_orderkey)
+                   - 1 AS rid
+        FROM orders WHERE o_orderkey % 2 = 0
+    ), b2 AS (
+        SELECT o_orderkey,
+               2199023255552 + ROW_NUMBER() OVER (ORDER BY o_orderkey)
+                   - 1 AS rid
+        FROM orders WHERE o_orderkey % 2 = 1
+    ), ids AS (
+        SELECT * FROM b1 UNION ALL SELECT * FROM b2
+    )
+    SELECT CAST(o_orderkey % 7 = 3 AS BIGINT) AS updated,
+           COUNT(*) AS n_rows,
+           CAST(SUM(rid) AS BIGINT) AS id_checksum,
+           CAST(CASE WHEN o_orderkey % 7 = 3 THEN 3 ELSE 1 END
+                AS BIGINT) AS min_seq,
+           CAST(CASE WHEN o_orderkey % 7 = 3 THEN 3 ELSE 2 END
+                AS BIGINT) AS max_seq
+    FROM ids
+    GROUP BY 1, 4, 5
+    """,
+)
+def q_snapshot_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 ROW LINEAGE, DuckDB-oracled end-to-end: two sorted
+    single-file appends mint deterministic row ids (seq * 2^40 +
+    position — the oracle recomputes them with ROW_NUMBER), a
+    copy-on-write UPDATE bumps ``_last_updated_seq`` to its own commit
+    sequence for EXACTLY the matched rows while every identity
+    survives the rewrite, and a full compaction then moves every row
+    into one file — after which the id checksum and per-group
+    min/max sequences must still equal the oracle's reconstruction,
+    proving the materialization carried both lineage columns through
+    two physical rewrites byte-exactly.
+
+    100 TB shape: lineage is metadata + row expressions — untouched
+    files pay a per-scan projection (seq literal + row position),
+    rewritten files pay two extra int64 columns; no global id
+    authority, no shuffle, no id-assignment coordination between
+    concurrent writers (the commit sequence IS the namespace).
+    """
+    from ..tables import scratch_dir
+
+    path = scratch_dir(spark, sf_dir, "snap_row_lineage")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    tbl = SnapshotTable(path, row_lineage=True)
+    tbl.append(
+        o.filter(k % 2 == 0)
+        .repartition(1)
+        .sortWithinPartitions("o_orderkey")
+    )
+    tbl.append(
+        o.filter(k % 2 == 1)
+        .repartition(1)
+        .sortWithinPartitions("o_orderkey")
+    )
+    tbl.update_where(
+        spark, "o_orderkey % 7 = 3", {"o_totalprice": "o_totalprice + 1"}
+    )
+    tbl.compact(spark)
+    return (
+        tbl.read(spark, lineage=True)
+        .groupBy(
+            (k % 7 == 3).cast("long").alias("updated"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("_row_id").cast("bigint").alias("id_checksum"),
+            F.min("_last_updated_seq").cast("bigint").alias("min_seq"),
+            F.max("_last_updated_seq").cast("bigint").alias("max_seq"),
+        )
     )
