@@ -1339,3 +1339,123 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pairs_ge")
         )
     )
+
+
+# --- Semantic dedup (SemDeDup) -------------------------------------------
+
+# Tighter than COSINE_DUP_THRESHOLD (0.4, a *pair-report* cut): semantic
+# dedup DELETES rows, so it only fires on near-identical embeddings.
+SEMANTIC_DUP_THRESHOLD = 0.90
+SEMANTIC_K = 8
+SEMANTIC_SEED = 7
+# A cluster larger than this is kept whole (no in-cluster dedup) instead of
+# melting one task with an O(c^2) matmul — the same hot-bucket guard as
+# ANN_BUCKET_CAP, and conservative in the right direction for a DELETE
+# operator (false keeps, never false drops). Production path for a genuinely
+# hot cluster is re-clustering it with a larger k, not a bigger task.
+SEMANTIC_CLUSTER_CAP = 20_000
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    k: int = SEMANTIC_K,
+    threshold: float = SEMANTIC_DUP_THRESHOLD,
+    cluster_cap: int = SEMANTIC_CLUSTER_CAP,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means cluster the embedding space,
+    then drop near-identical rows WITHIN each cluster, keeping one
+    representative per semantic-duplicate group.
+
+    The clustering is what makes this the 100 TB shape: all-pairs cosine is
+    O(n^2), but k-means with k ~ n / target_cluster_size confines the
+    quadratic term to cluster blocks that each fit one task (SemDeDup runs
+    k=50k over LAION for exactly this reason). Assignment is one
+    broadcast-centers pass (spark.ml); the in-cluster pass is one
+    applyInPandas numpy matmul per cluster + a cluster-local union-find —
+    no shuffle wider than the groupBy(cluster).
+
+    Input: (vec_id bigint, embedding array<float>). Output: one row per
+    input vector — (vec_id, cluster_id, rep_id, keep) where rep_id is the
+    smallest vec_id of the row's semantic-duplicate group (itself for
+    singletons) and keep = (vec_id == rep_id).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = emb.select(
+        "vec_id", "embedding", array_to_vector("embedding").alias("features")
+    )
+    km = KMeans(
+        k=k,
+        seed=SEMANTIC_SEED,
+        maxIter=5,
+        initMode="random",
+        featuresCol="features",
+        predictionCol="cluster_id",
+    )
+    assigned = (
+        km.fit(feats)
+        .transform(feats)
+        .select("vec_id", "embedding", F.col("cluster_id").cast("bigint"))
+    )
+
+    out_schema = "vec_id bigint, cluster_id bigint, rep_id bigint, keep bigint"
+
+    def cluster_pass(pdf: pd.DataFrame) -> pd.DataFrame:
+        cid = int(pdf["cluster_id"].iat[0])
+        ids = pdf["vec_id"].to_numpy()
+        n = len(ids)
+        if n > cluster_cap or n < 2:
+            return pd.DataFrame(
+                {"vec_id": ids, "cluster_id": cid, "rep_id": ids,
+                 "keep": np.ones(n, dtype=np.int64)}
+            )
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.vstack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0.0] = 1.0
+        sims = (m @ m.T) / np.outer(norms, norms)
+        ii, jj = np.triu_indices(n, k=1)
+        hit = sims[ii, jj] >= threshold
+        # Cluster-local union-find; path-halving keeps it near-linear.
+        parent = np.arange(n)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(ii[hit], jj[hit]):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                # Union toward the smaller index == smaller vec_id (sorted),
+                # so the root IS the group's min-id representative.
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        roots = np.array([find(int(i)) for i in range(n)])
+        reps = ids[roots]
+        return pd.DataFrame(
+            {"vec_id": ids, "cluster_id": cid, "rep_id": reps,
+             "keep": (reps == ids).astype(np.int64)}
+        )
+
+    return assigned.groupBy("cluster_id").applyInPandas(cluster_pass, out_schema)
+
+
+@query("q_dedup_semantic")
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup verdict for the embeddings corpus (SemDeDup): k-means
+    clusters, in-cluster cosine >= 0.90 groups, min-id representative kept.
+
+    Rows-only by design (k-means is seeded-iterative — no SQL oracle can
+    replay it); the row count is exactly |embeddings| regardless of how the
+    clustering falls out, and the keep/group semantics are pinned by
+    planted-duplicate pytest (tests/test_properties.py) on the
+    ``semantic_dedup`` core.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return semantic_dedup(emb)

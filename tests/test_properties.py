@@ -1070,3 +1070,32 @@ def test_bloom_membership_never_false_negative():
                 assert SnapshotTable._bloom_maybe_contains(ent, k2)
 
     check()
+
+
+def test_semantic_dedup_planted_groups(spark):
+    """SemDeDup verdict semantics on planted near-identical pairs: every
+    vector gets exactly one verdict row; each planted (base, dup) pair
+    (cosine ~0.99, far above the 0.90 cut) collapses to ONE kept
+    representative — the min vec_id — with the dup pointing at it; random
+    base vectors (pairwise cosine ~N(0, 1/8), never near 0.90) all survive
+    as their own singletons; and the hot-cluster cap degrades to keep-all,
+    never to a drop."""
+    from iceberg_insert_spark.llm.dedup import semantic_dedup
+    from iceberg_insert_spark.tables import load_table
+
+    sf = _write_embeddings_with_dups()
+    rows = {r.vec_id: r for r in QUERIES["q_dedup_semantic"](spark, sf).collect()}
+    n_base, n_dup = 120, 30
+    assert len(rows) == n_base + n_dup
+    for i in range(n_dup):
+        base, dup = rows[i], rows[n_base + i]
+        assert base.keep == 1 and base.rep_id == i, (i, base)
+        assert dup.keep == 0 and dup.rep_id == i, (i, dup)
+        assert base.cluster_id == dup.cluster_id
+    for i in range(n_dup, n_base):
+        assert rows[i].keep == 1 and rows[i].rep_id == i, (i, rows[i])
+    capped = semantic_dedup(
+        load_table(spark, sf, "embeddings").select("vec_id", "embedding"),
+        cluster_cap=1,
+    ).collect()
+    assert all(r.keep == 1 and r.rep_id == r.vec_id for r in capped)
