@@ -471,6 +471,22 @@ class LocalCatalog:
             raise
         return tbl
 
+    def replace_table_as(self, spark: SparkSession, ident: str, sql: str) -> int:
+        """RTAS — ``REPLACE TABLE ns.t AS SELECT ...``: the table keeps its
+        IDENTITY (location, snapshot history, refs) and its contents —
+        including the SCHEMA, which a replace-type commit adopts from the
+        result frame — are swapped in ONE atomic snapshot. Readers see the
+        old head or the new one, never partial state; time travel still
+        reaches every pre-replace snapshot until ``expire``; a failed
+        compute dies in the staging write, leaving the head untouched —
+        this history-preserving atomicity is exactly what separates RTAS
+        from DROP+CTAS (which severs history and races readers).
+        Returns the new snapshot version."""
+        if ident in self._read().get("views", {}):
+            raise ValueError(f"cannot REPLACE view {ident!r} as a table")
+        tbl = self.load_table(ident)  # exists-check + clean error contract
+        return tbl.overwrite(self.sql(spark, sql))
+
     def read_view(
         self,
         spark: SparkSession,
@@ -1006,5 +1022,65 @@ def q_catalog_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
                     AS BIGINT) AS cents
         FROM {{an.slim}} GROUP BY o_orderstatus
+        """,
+    )
+
+
+@query(
+    "q_catalog_rtas",
+    oracle="""
+    WITH new_shape AS (
+        SELECT o_custkey % 10 AS bucket,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ), old_shape AS (
+        SELECT o_orderstatus AS status, COUNT(*) AS n
+        FROM orders GROUP BY 1
+    )
+    SELECT bucket, cents,
+           (SELECT COUNT(*) FROM old_shape) AS pre_replace_rows
+    FROM new_shape
+    """,
+)
+def q_catalog_rtas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPLACE TABLE AS SELECT, DuckDB-oracled: a CTAS seeds ``an.rep``
+    with one shape (per-status counts), then RTAS atomically swaps in a
+    DIFFERENT schema (per-custkey-bucket cents) as ONE replace snapshot on
+    the SAME table — history preserved, so the result pins the pre-replace
+    snapshot through the front-end (``{{an.rep@v1}}``) and proves time
+    travel crosses the replace while the live read serves the new shape.
+    The reference can only blind-append to a fixed table (App.java:147-149);
+    this is the full table-lifecycle verb a warehouse user expects.
+
+    Scale shape: the RTAS compute and write are ordinary distributed jobs;
+    the swap itself is the millisecond manifest commit. Old files remain
+    for time travel until ``expire`` — storage, not read-path, cost.
+    """
+    root = scratch_dir(spark, sf_dir, "catalog_rtas")
+    cat = LocalCatalog(root)
+    cat.create_namespace("an")
+    src = cat.create_table("an.src")
+    src.append(load_table(spark, sf_dir, "orders"))
+    rep = cat.create_table_as(
+        spark,
+        "an.rep",
+        "SELECT o_orderstatus AS status, COUNT(*) AS n "
+        "FROM {{an.src}} GROUP BY o_orderstatus",
+    )
+    v1 = rep.snapshots()[-1]
+    cat.replace_table_as(
+        spark,
+        "an.rep",
+        "SELECT o_custkey % 10 AS bucket, "
+        "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+        "AS cents FROM {{an.src}} GROUP BY o_custkey % 10",
+    )
+    return cat.sql(
+        spark,
+        f"""
+        SELECT r.bucket, r.cents,
+               (SELECT COUNT(*) FROM {{{{an.rep@{v1}}}}}) AS pre_replace_rows
+        FROM {{{{an.rep}}}} r
         """,
     )

@@ -501,3 +501,37 @@ def test_sql_insert_and_ctas(spark, tmp_path):
     with pytest.raises(Exception):
         cat.create_table_as(spark, "db.broken", "SELECT * FROM {{db.ghost}}")
     assert not cat.table_exists("db.broken")
+
+
+def test_rtas_atomic_replace(spark, tmp_path):
+    """RTAS: same table identity, new schema + contents in ONE snapshot;
+    history crosses the replace (pre-replace pin readable, old schema);
+    a failed RTAS compute leaves the head untouched; views refused;
+    missing tables get the clean error."""
+    cat = LocalCatalog(str(tmp_path / "cat"))
+    cat.create_namespace("db")
+    t = cat.create_table("db.t")
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string"))
+    v1 = t.snapshots()[-1]
+    v2 = cat.replace_table_as(
+        spark, "db.t", "SELECT k * 10 AS k10 FROM {{db.t}}"
+    )
+    live = cat.load_table("db.t").read(spark)
+    assert live.columns == ["k10"]
+    assert sorted(r.k10 for r in live.collect()) == [10, 20]
+    old = cat.load_table("db.t").read(spark, as_of=v1)
+    assert old.columns == ["k", "s"]
+    assert sorted((r.k, r.s) for r in old.collect()) == [(1, "a"), (2, "b")]
+    # failed compute: head stays at v2
+    with pytest.raises(Exception):
+        cat.replace_table_as(spark, "db.t", "SELECT * FROM {{db.ghost}}")
+    assert cat.load_table("db.t").snapshots()[-1] == v2
+    assert sorted(
+        r.k10 for r in cat.load_table("db.t").read(spark).collect()
+    ) == [10, 20]
+    # refusals
+    cat.create_view("db.v", "SELECT k10 FROM {{db.t}}")
+    with pytest.raises(ValueError, match="REPLACE view"):
+        cat.replace_table_as(spark, "db.v", "SELECT 1 AS x")
+    with pytest.raises(ValueError, match="does not exist"):
+        cat.replace_table_as(spark, "db.missing", "SELECT 1 AS x")
