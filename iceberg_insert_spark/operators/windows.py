@@ -781,3 +781,128 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_terms"),
         )
     )
+
+
+@query(
+    "q_ts_autocorr",
+    oracle="""
+    WITH bounds AS (
+        SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+        FROM events
+    ), daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS x
+        FROM events GROUP BY 1, 2
+    ), spine AS (
+        SELECT t.event_type,
+               CAST(UNNEST(GENERATE_SERIES(b.lo, b.hi, INTERVAL 1 DAY))
+                    AS DATE) AS d
+        FROM (SELECT DISTINCT event_type FROM daily) t CROSS JOIN bounds b
+    ), filled AS (
+        SELECT s.event_type, s.d, COALESCE(daily.x, 0) AS x
+        FROM spine s LEFT JOIN daily
+          ON daily.event_type = s.event_type AND daily.d = s.d
+    ), c AS (
+        SELECT f.event_type, f.d - b.lo AS t,
+               st.n * f.x - st.s AS c
+        FROM filled f
+        CROSS JOIN bounds b
+        JOIN (SELECT event_type, SUM(x) AS s, COUNT(*) AS n
+              FROM filled GROUP BY 1) st
+          ON st.event_type = f.event_type
+    ), den AS (
+        SELECT event_type, CAST(SUM(c * c) AS BIGINT) AS acf_den
+        FROM c GROUP BY 1
+    ), num AS (
+        SELECT a.event_type, l.lag,
+               CAST(SUM(a.c * b.c) AS BIGINT) AS acf_num
+        FROM c a
+        CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, 7)) AS lag) l
+        JOIN c b ON b.event_type = a.event_type AND b.t = a.t + l.lag
+        GROUP BY 1, 2
+    )
+    SELECT n.event_type, CAST(n.lag AS BIGINT) AS lag,
+           n.acf_num, d.acf_den,
+           ROUND(CAST(n.acf_num AS DOUBLE) / CAST(d.acf_den AS DOUBLE), 6)
+               AS acf_r
+    FROM num n JOIN den d ON d.event_type = n.event_type
+    WHERE d.acf_den > 0
+    """,
+)
+def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 sample autocorrelation of each event type's DAILY count
+    series, gap-filled to the global calendar — the seasonality probe
+    (weekly periodicity shows as a lag-7 peak) behind forecasting and
+    anomaly baselines.
+
+    Exactness: the ACF ratio's numerator and denominator are computed as
+    EXACT integers by clearing the mean's denominator — with S = sum(x),
+    n = days, the centered series is c_t = n*x_t - S (an integer), and
+    r_k = sum(c_t * c_{t+k}) / sum(c_t^2) holds because the n^2 factor
+    cancels. Both engines aggregate identical BIGINTs (order-immune), the
+    reported ratio is one IEEE division of exact integers, and the raw
+    num/den BIGINT columns ride along so downstream math can stay exact.
+
+    Scale shape: the raw scan collapses to |types| x |days| rows FIRST
+    (map-side combine); the spine, stats join, and the 7-lag self-join all
+    run on that KB-sized frame — same two-tier shape as q_ts_ewma. The
+    lag join is an equi-join on (type, t + lag); no window over raw rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    types = daily.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    filled = (
+        spine.join(daily, ["event_type", "d"], "left")
+        .select(
+            "event_type", "d", F.coalesce("x", F.lit(0)).alias("x")
+        )
+    )
+    stats = filled.groupBy("event_type").agg(
+        F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    c = (
+        filled.crossJoin(F.broadcast(bounds))
+        .join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            F.datediff("d", "lo").cast("bigint").alias("t"),
+            (F.col("n") * F.col("x") - F.col("s")).alias("c"),
+        )
+    )
+    den = c.groupBy("event_type").agg(
+        F.sum(F.col("c") * F.col("c")).alias("acf_den")
+    )
+    lags = spark.range(1, 8).select(F.col("id").alias("lag"))
+    a, b = c.alias("a"), c.alias("b")
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.t") == F.col("a.t") + F.col("lag")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"), "lag")
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("acf_num"))
+    )
+    return (
+        num.join(den, "event_type")
+        .filter(F.col("acf_den") > 0)
+        .select(
+            "event_type",
+            "lag",
+            "acf_num",
+            "acf_den",
+            F.round(
+                F.col("acf_num").cast("double")
+                / F.col("acf_den").cast("double"),
+                6,
+            ).alias("acf_r"),
+        )
+    )
