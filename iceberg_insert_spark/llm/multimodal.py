@@ -530,3 +530,84 @@ def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.repartition("doc_id").mapInPandas(
         _resize_features, schema=RESIZED_SCHEMA
     )
+
+
+# --- Perceptual hash (aHash) image dedup ----------------------------------
+
+PHASH_SIDE = 8  # 8x8 thumbnail -> 64-bit hash
+
+
+def ahash64(w: int, h: int, pixels: bytes) -> int:
+    """Average-hash: nearest-neighbor the gray8 buffer to 8x8, threshold
+    each cell against the integer-floor mean (strict >, so a flat image
+    hashes to 0), pack row-major into a SIGNED 64-bit int (bit i = cell i;
+    two's-complement wrap keeps it in Spark's LongType like simhash).
+    All-integer, so the hash is bit-reproducible on any platform."""
+    thumb = resize_nearest(w, h, pixels, PHASH_SIDE, PHASH_SIDE)
+    mean = sum(thumb) // len(thumb)
+    v = 0
+    for i, p in enumerate(thumb):
+        if p > mean:
+            v |= 1 << i
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def _phash_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched hash step: decode PNG -> aHash64; stub branch hashes
+    the _fake_features checksum so non-decodable payloads still group
+    deterministically (and never collide with real hashes thanks to the
+    codec column riding along)."""
+    for pdf in batches:
+        rows = {"doc_id": [], "phash": [], "codec": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            payload = bytes(payload)
+            try:
+                if not is_png(payload):
+                    raise PngFormatError("not a PNG")
+                w, h, pixels = decode_png_gray8(payload)
+                ph, codec = ahash64(w, h, pixels), "png"
+            except PngFormatError:
+                ph, codec = _fake_features(payload)[2], "stub"
+            rows["doc_id"].append(doc_id)
+            rows["phash"].append(ph)
+            rows["codec"].append(codec)
+        yield pd.DataFrame(rows)
+
+
+@query("q_mm_phash")
+def q_mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup: real PNG decode -> deterministic 8x8
+    aHash -> exact-hash duplicate groups with a min-id representative —
+    the image-side twin of q_dedup_exact, and the standard first pass of
+    every vision-corpus dedup stack (aHash collisions ARE the
+    near-identical images: resized/re-encoded copies hash equal because
+    the thumbnail threshold pattern survives those edits).
+
+    Scale shape: one Arrow-batched mapInPandas per payload (streamed, no
+    driver materialization), then a groupBy(phash) whose group count is
+    ~n distinct images — the dedup join is a plain hash join ON the hash.
+    Banding the 64 bits (q_dedup_simhash's probe) is the documented
+    extension for Hamming-distance near-dups. Rows-only (PNG decode is
+    not SQL-expressible); the hash math and dedup semantics are
+    pytest-pinned on golden images (tests/test_multimodal_golden.py).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", "text").mapInPandas(
+        _encode_png, schema="doc_id long, payload binary"
+    )
+    hashed = payloads.repartition("doc_id").mapInPandas(
+        _phash_features, schema="doc_id long, phash long, codec string"
+    )
+    groups = hashed.groupBy("phash").agg(
+        F.min("doc_id").alias("rep_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return hashed.join(groups, "phash").select(
+        "doc_id",
+        "phash",
+        "rep_id",
+        "group_size",
+        (F.col("doc_id") == F.col("rep_id")).cast("bigint").alias("keep"),
+    )

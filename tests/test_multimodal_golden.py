@@ -350,3 +350,56 @@ def test_resize_query_features(spark):
         thumb = resize_nearest(IMG_WIDTH, h, pixels, THUMB_W, THUMB_H)
         assert rows[doc_id].thumb_checksum_mod == sum(thumb) % 997
         assert rows[doc_id].src_w == IMG_WIDTH and rows[doc_id].src_h == h
+
+
+def test_phash_golden_and_dedup(spark):
+    """aHash64: identical images hash equal; a sub-threshold single-pixel
+    perturbation (doesn't flip any 8x8 cell across the mean) hashes equal;
+    the inverted image hashes to (~h with flat-tie cells differing) — at
+    minimum, NOT equal; flat images hash 0. The Spark op groups equal
+    hashes under the min-id representative."""
+    from iceberg_insert_spark.llm.multimodal import (
+        ahash64,
+        q_mm_phash,
+        _phash_features,
+    )
+    from iceberg_insert_spark.llm.png_codec import encode_png_gray8
+    from .conftest import SF_DIR
+
+    side = 16
+    grad = bytes((x * 16) % 256 for y in range(side) for x in range(side))
+    h_grad = ahash64(side, side, grad)
+    assert h_grad == ahash64(side, side, grad)
+    # sub-threshold perturbation: +1 on a pixel far above the mean
+    pert = bytearray(grad)
+    assert pert[15] == 240
+    pert[15] = 241
+    assert ahash64(side, side, bytes(pert)) == h_grad
+    inv = bytes(255 - p for p in grad)
+    assert ahash64(side, side, inv) != h_grad
+    flat = bytes([128]) * side * side
+    assert ahash64(side, side, flat) == 0
+    # Spark dedup semantics on planted duplicate payloads
+    png_a = encode_png_gray8(side, side, grad)
+    png_b = encode_png_gray8(side, side, bytes(pert))  # same hash as a
+    png_c = encode_png_gray8(side, side, inv)
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "payload": [png_a, png_b, png_c]}
+    )
+    out = (
+        spark.createDataFrame(pdf)
+        .mapInPandas(_phash_features, "doc_id long, phash long, codec string")
+        .collect()
+    )
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].phash == by_id[2].phash == h_grad
+    assert by_id[3].phash != h_grad
+    assert all(r.codec == "png" for r in out)
+    # end-to-end op: one verdict row per document, reps are group minima
+    rows = q_mm_phash(spark, SF_DIR).collect()
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids))
+    for r in rows:
+        assert r.rep_id <= r.doc_id
+        assert r.keep == (1 if r.rep_id == r.doc_id else 0)
+        assert r.group_size >= 1
