@@ -1471,3 +1471,52 @@ def q_orders_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("slope_den"),
     )
+
+
+@query(
+    "q_events_ohlc",
+    oracle="""
+    SELECT event_type, STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           ARG_MIN(ROUND(value, 2),
+                   printf('%020d#%012d', epoch_us(ts), event_id)) AS open,
+           ROUND(MAX(value), 2) AS high,
+           ROUND(MIN(value), 2) AS low,
+           ARG_MAX(ROUND(value, 2),
+                   printf('%020d#%012d', epoch_us(ts), event_id)) AS close,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS volume
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars: per (event_type, day) open/high/low/close of ``value``
+    plus count and exact volume — the candlestick / downsampling aggregate
+    every metrics store (and TimescaleDB's ``ohlc``) ships.
+
+    Open/close are argmin/argmax by time; both engines leave argmin ties
+    unspecified, so the ordering key is the zero-padded (epoch_us,
+    event_id) composite — a TOTAL order (event_id is unique), engine- and
+    partition-stable (the q_agg_minmax_by lesson). Volume uses exact
+    fixed-point accumulation (tables.exact_sum). Single-pass grouped
+    aggregate: partial agg map-side, one shuffle on the group key — the
+    shape that turns a 100 TB raw stream into MB-sized bars.
+    """
+    from ..tables import epoch_us
+
+    ev = load_table(spark, sf_dir, "events")
+    key = F.format_string(
+        "%020d#%012d", epoch_us("ts"), F.col("event_id")
+    )
+    v2 = F.round(F.col("value"), 2)
+    return ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.min_by(v2, key).alias("open"),
+        F.round(F.max("value"), 2).alias("high"),
+        F.round(F.min("value"), 2).alias("low"),
+        F.max_by(v2, key).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum(F.col("value")).alias("volume"),
+    )

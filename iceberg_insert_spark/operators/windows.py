@@ -906,3 +906,67 @@ def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("acf_r"),
         )
     )
+
+
+@query(
+    "q_events_pattern",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, ts, event_type,
+               LEAD(event_type, 1) OVER w AS t1,
+               LEAD(event_type, 2) OVER w AS t2,
+               LEAD(ts, 2) OVER w AS ts2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           COUNT(*) AS n_matches,
+           CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_match_us,
+           CAST(SUM(epoch_us(ts2) - epoch_us(ts)) AS BIGINT) AS total_span_us
+    FROM s
+    WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def q_events_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern detection (MATCH_RECOGNIZE ``PATTERN (A B C)`` /
+    CEP): per user, find every view -> click -> purchase run of three
+    CONSECUTIVE events in time order, with overlap allowed (AFTER MATCH
+    SKIP TO NEXT ROW) — the complex-event-processing primitive Spark has
+    no MATCH_RECOGNIZE clause for, expressed as a lead-chain: a fixed
+    k-step pattern is k-1 LEADs over one per-user sort, evaluated in a
+    single window stage (one shuffle on user_id — no self-joins, no
+    per-user iteration). Ordering is total ((ts, event_id); event_id
+    unique), so matches are engine- and partition-stable.
+
+    A variable-length pattern (A B+ C) becomes the same sort plus a
+    gaps-and-islands pass (q_scd2_intervals' machinery) — documented
+    extension, not needed for the fixed-k case.
+    """
+    from ..tables import epoch_us
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.lead("ts", 2).over(w).alias("ts2"),
+    )
+    return (
+        s.filter(
+            (F.col("event_type") == "view")
+            & (F.col("t1") == "click")
+            & (F.col("t2") == "purchase")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min(epoch_us("ts")).cast("bigint").alias("first_match_us"),
+            F.sum(epoch_us("ts2") - epoch_us("ts"))
+            .cast("bigint")
+            .alias("total_span_us"),
+        )
+    )
