@@ -70,6 +70,7 @@ class SnapshotTable:
         bloom_cols: list[str] | None = None,
         write_distribution: str | None = None,
         row_lineage: bool | None = None,
+        constraints: dict[str, str] | None = None,
     ):
         self.path = path
         self._mdir = os.path.join(path, "_manifests")
@@ -104,6 +105,29 @@ class SnapshotTable:
         # recorded setting; persisted in manifests like a table
         # property. See read(lineage=True) and _read_files.
         self.row_lineage = row_lineage
+        # Write-time CHECK constraints (Delta's table-constraint model,
+        # grafted onto the snapshot commit): {name: boolean SQL expr}.
+        # Every commit that introduces USER VALUES (append / overwrite /
+        # merge / update / stage / dynamic_overwrite) evaluates the
+        # exprs INSIDE the write projection via raise_error — one pass,
+        # no second validation scan — and a violating row fails the
+        # write in staging, so the table head never moves (standard SQL
+        # CHECK semantics: only an expr that is FALSE violates; NULL
+        # passes). Engine rewrites that cannot change values (replace/
+        # compaction, publish, delete survivor rewrites) skip the guard.
+        # None = inherit the table's recorded constraints; an explicit
+        # dict records itself in the manifest like a table property
+        # ({} clears). At 100 TB the guard is row-local inside
+        # whole-stage codegen — the cost is an expression, not a scan.
+        if constraints is not None:
+            for cname, cexpr in constraints.items():
+                if not cname or not isinstance(cexpr, str) or not cexpr:
+                    raise ValueError(
+                        "constraints must map non-empty names to "
+                        f"non-empty SQL boolean exprs; got {cname!r}: "
+                        f"{cexpr!r}"
+                    )
+        self.constraints = constraints
         # Per-file Bloom-filter indexes (Iceberg's puffin-blob /
         # parquet-bloom idea): a membership sketch per (file, column)
         # recorded at commit, so a POINT lookup prunes files the key is
@@ -341,6 +365,11 @@ class SnapshotTable:
         for rel in new_files:
             md = pq.ParquetFile(os.path.join(self.path, rel)).metadata
             if md.num_row_groups == 0:
+                # An EMPTY part file still gets a sidecar entry: its row
+                # count (0) is a fact, and min_max/count_rows need it to
+                # distinguish "provably empty" from "stats never
+                # recorded" (only the latter forces a data read).
+                stats[rel] = {"::rows": 0}
                 continue
             rg0 = md.row_group(0)
             leaf = {
@@ -781,6 +810,70 @@ class SnapshotTable:
             ).count()
         return total, n_meta
 
+    def min_max(
+        self, spark: SparkSession, col: str, as_of: int | None = None
+    ) -> tuple:
+        """Iceberg's MIN/MAX pushdown: answer ``SELECT MIN(col), MAX(col)``
+        from the manifest/sidecar footer stats — zero data IO on a
+        maintained table (the 100 TB shape: one JSON read instead of a
+        task per file). Returns ``(lo, hi, from_metadata)``.
+
+        Exactness guards (each forces the real MoR read, never a wrong
+        answer): live delete files (the extremal row may be deleted), a
+        rename history on the column (sidecars key by write-time names),
+        per-file schema-era overrides or files missing usable stats
+        (pre-stats writes, era defaults, imported files). Files that are
+        EMPTY or provably all-NULL contribute nothing and stay on the
+        fast path, matching MIN/MAX's null-ignoring semantics. Footer
+        min/max for float columns containing NaN are writer-dependent —
+        keep NaN out of stats columns (the same caveat as range pruning).
+        """
+        v = self._resolve_snapshot(as_of)
+        meta = self._meta(v)
+        files = self._manifest(v)
+
+        def slow():
+            r = (
+                self.read(spark, as_of=v)
+                .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+                .collect()[0]
+            )
+            return r["lo"], r["hi"], False
+
+        if not files:
+            return None, None, True
+        fmd = None
+        for f in (meta.get("schema") or {}).get("fields", []):
+            if f.get("name") == col:
+                fmd = f.get("metadata") or {}
+                break
+        ddl_touched = fmd is None or (
+            "iis_names" in fmd or "iis_added_v" in fmd
+        )
+        if (
+            meta.get("delete_files")
+            or ddl_touched
+            or meta.get("file_schema_v")
+        ):
+            return slow()
+        stats = self._load_stats()
+        los: list = []
+        his: list = []
+        for rel in files:
+            ent = stats.get(rel, {})
+            b = ent.get(col)
+            if b is None:
+                nrows = ent.get("::rows")
+                nulls = ent.get("::nulls::" + col)
+                if nrows == 0 or (nulls is not None and nulls == nrows):
+                    continue  # empty / all-NULL file: nothing to contribute
+                return slow()
+            los.append(b[0])
+            his.append(b[1])
+        if not los:
+            return None, None, True
+        return min(los), max(his), True
+
     def partitions_info(self, as_of: int | None = None) -> list[dict]:
         """Iceberg's ``.partitions`` METADATA TABLE: one dict per live
         partition of the snapshot — the partition record, its file
@@ -1004,6 +1097,30 @@ class SnapshotTable:
             except FileNotFoundError:
                 pass
 
+    @staticmethod
+    def _guard_constraints(df: DataFrame, cons: dict) -> DataFrame:
+        """Fold CHECK constraints into the frame as raise_error guards:
+        a row whose expr evaluates FALSE (NULL passes — SQL CHECK
+        semantics) raises with the constraint name, its expression, and
+        the offending row as JSON, failing the write job before any
+        commit. Row-local, stays in whole-stage codegen; deterministic
+        names order for reproducible first-failure messages."""
+        out = df
+        for cname in sorted(cons):
+            cexpr = cons[cname]
+            row_json = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+            msg = F.concat(
+                F.lit(
+                    f"CHECK constraint '{cname}' ({cexpr}) violated by row: "
+                ),
+                row_json,
+            )
+            out = out.filter(
+                F.when(F.expr(cexpr) == False, F.raise_error(msg))  # noqa: E712
+                .otherwise(F.lit(True))
+            )
+        return out
+
     def _next_version(self) -> int:
         """Next unused version number: above every committed manifest
         AND every _snap=N data dir — an orphaned dir (a writer that
@@ -1093,6 +1210,26 @@ class SnapshotTable:
                         T.StructType.fromJson(tj),
                         passthrough=tuple(lin_cols),
                     )
+        # CHECK-constraint guard: folded into the write projection so a
+        # violating batch dies in staging (head untouched, staging swept
+        # by the finally) with zero extra passes over the data. Only
+        # commits that can introduce new user values are guarded.
+        eff_op = op or ("append" if inherit else "overwrite")
+        if df is not None and eff_op not in ("replace", "publish", "delete"):
+            cons = self.constraints
+            if cons is None:
+                lp = (
+                    base0
+                    if inherit and base0 is not None
+                    else self._latest_published()
+                )
+                cons = (
+                    self._meta(lp).get("constraints")
+                    if lp is not None
+                    else None
+                )
+            if cons:
+                df = self._guard_constraints(df, cons)
         staging = tempfile.mkdtemp(prefix="_staging-", dir=self.path)
         if df is not None:
             schema_json = (
@@ -1431,6 +1568,14 @@ class SnapshotTable:
             rl = self._meta(pub).get("row_lineage")
         if rl:
             meta["row_lineage"] = True
+        # CHECK constraints persist like a table property: an explicit
+        # handle dict records itself ({} clears), a default handle
+        # carries the latest published manifest's constraints forward.
+        cs = self.constraints
+        if cs is None and pub is not None:
+            cs = self._meta(pub).get("constraints")
+        if cs:
+            meta["constraints"] = dict(cs)
         # Schema-era overrides (files cherry-picked/published after a
         # main-side evolve) follow their files: carried while the file
         # is inherited, gone when a replace/rewrite drops the file.
@@ -1887,6 +2032,7 @@ class SnapshotTable:
                 "file_schema_v",
                 "write_distribution",
                 "row_lineage",
+                "constraints",
             ):
                 if carry in meta:
                     emeta[carry] = meta[carry]
@@ -1924,6 +2070,7 @@ class SnapshotTable:
                 "file_schema_v",
                 "write_distribution",
                 "row_lineage",
+                "constraints",
             ):
                 if carry in meta:
                     emeta[carry] = meta[carry]
@@ -3304,6 +3451,7 @@ class SnapshotTable:
             "delete_files",
             "write_distribution",
             "row_lineage",
+            "constraints",
         ):
             if carry in base_meta:
                 pmeta[carry] = base_meta[carry]
@@ -3404,6 +3552,7 @@ class SnapshotTable:
                 "file_schema_v",
                 "write_distribution",
                 "row_lineage",
+                "constraints",
             ):
                 if carry in tmeta:
                     rmeta[carry] = tmeta[carry]
@@ -6603,4 +6752,108 @@ def q_snapshot_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("_last_updated_seq").cast("bigint").alias("min_seq"),
             F.max("_last_updated_seq").cast("bigint").alias("max_seq"),
         )
+    )
+
+
+@query(
+    "q_snapshot_check_constraint",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents,
+           CAST(1 AS BIGINT) AS refused_batches
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_snapshot_check_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-time CHECK constraints, DuckDB-oracled end-to-end: a table
+    declaring ``o_totalprice > 0`` takes a clean half of orders, REFUSES a
+    batch with planted negative prices (the violating write dies in
+    staging — the head never moves, proven by the final content), then
+    takes the clean second half. The final aggregate must equal the
+    oracle over ALL of orders — i.e. the refusal dropped the whole dirty
+    batch and nothing else — with the refusal count riding as a constant.
+
+    This is Delta's table-constraint model on the snapshot commit (the
+    quality gate q_quality_constraints runs as a QUERY, enforced at the
+    WRITE): the guard folds into the write projection as a row-local
+    raise_error — one pass, whole-stage codegen, no validation scan —
+    so at 100 TB it costs an expression per row, not a job.
+    """
+    from ..tables import scratch_dir
+
+    path = scratch_dir(spark, sf_dir, "snap_check_constraint")
+    o = load_table(spark, sf_dir, "orders")
+    tbl = SnapshotTable(path, constraints={"positive_price": "o_totalprice > 0"})
+    tbl.append(o.filter(F.col("o_orderkey") % 2 == 0))
+    dirty = o.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, -F.col("o_totalprice")
+        ).otherwise(F.col("o_totalprice")),
+    )
+    refused = 0
+    try:
+        tbl.append(dirty)
+    except Exception:
+        refused = 1
+    tbl.append(o.filter(F.col("o_orderkey") % 2 == 1))
+    return (
+        tbl.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("cents"),
+        )
+        .withColumn("refused_batches", F.lit(refused).cast("bigint"))
+    )
+
+
+@query(
+    "q_snapshot_minmax",
+    oracle="""
+    SELECT ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price,
+           CAST(1 AS BIGINT) AS price_from_meta,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key,
+           CAST(0 AS BIGINT) AS key_from_meta
+    FROM orders
+    """,
+)
+def q_snapshot_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX pushdown from manifest footer stats, DuckDB-oracled:
+    orders land in three appends on a table maintaining o_totalprice
+    stats; MIN/MAX(o_totalprice) is then answered from ONE sidecar read
+    (zero data IO — `from_meta` rides as an oracled constant proving the
+    fast path actually fired), while the un-maintained o_orderkey column
+    falls back to the real scan and is exact anyway. The metadata answer
+    must equal DuckDB's MIN/MAX over the raw data — footer bounds are
+    exact extrema, not estimates.
+
+    Completes the metadata-answerable aggregate family with count_rows
+    (COUNT(*)): at 100 TB both are one JSON read on a maintained table.
+    The guards (delete files, renames, era defaults, missing stats) all
+    fall back to the MoR read — never a wrong answer.
+    """
+    from ..tables import scratch_dir
+
+    path = scratch_dir(spark, sf_dir, "snap_minmax")
+    o = load_table(spark, sf_dir, "orders")
+    tbl = SnapshotTable(path, stats_cols=["o_totalprice"])
+    for r in range(3):
+        tbl.append(o.filter(F.col("o_orderkey") % 3 == r))
+    plo, phi, pmeta = tbl.min_max(spark, "o_totalprice")
+    klo, khi, kmeta = tbl.min_max(spark, "o_orderkey")
+    return spark.range(1).select(
+        F.lit(round(plo, 2)).alias("min_price"),
+        F.lit(round(phi, 2)).alias("max_price"),
+        F.lit(int(pmeta)).cast("bigint").alias("price_from_meta"),
+        F.lit(klo).cast("bigint").alias("min_key"),
+        F.lit(khi).cast("bigint").alias("max_key"),
+        F.lit(int(kmeta)).cast("bigint").alias("key_from_meta"),
     )

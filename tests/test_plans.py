@@ -639,3 +639,26 @@ def test_era_resolution_keeps_single_stage_scans(spark, tmp_path):
     p = plan_of(t.read(spark))
     assert "Exchange" not in p
     assert "Union" in p
+
+
+def test_events_pattern_single_window_exchange(spark):
+    """The lead-chain pattern match is ONE user_id shuffle for the window
+    plus the final partial-aggregated groupBy on the SAME key — Catalyst
+    must reuse the window's partitioning, so exactly one Exchange."""
+    import re
+
+    p = plan_of(QUERIES["q_events_pattern"](spark, SF_DIR))
+    exchanges = re.findall(r"^\(\d+\) Exchange", p, re.M)
+    assert len(exchanges) == 1, exchanges
+
+
+def test_events_ohlc_partial_aggregation(spark):
+    """OHLC bars: partial hash aggregate before the single group-key
+    exchange (map-side combine turns the raw stream into bars before
+    any shuffle bytes move)."""
+    import re
+
+    p = plan_of(QUERIES["q_events_ohlc"](spark, SF_DIR))
+    exchanges = re.findall(r"^\(\d+\) Exchange", p, re.M)
+    assert len(exchanges) == 1, exchanges
+    assert "partial" in p.lower()

@@ -3563,3 +3563,75 @@ def test_write_distribution_modes(spark, tmp_path):
     assert meta.get("write_distribution") == "hash"
     with pytest.raises(ValueError, match="write_distribution"):
         SnapshotTable(str(tmp_path / "bad"), write_distribution="zorder")
+
+
+def test_check_constraints_enforced_at_write(spark, tmp_path):
+    """Write-time CHECK constraints: a violating batch fails in staging
+    (head untouched, staging swept), NULL passes (SQL CHECK semantics),
+    the property persists across handles, {} clears it, engine rewrites
+    (compact) skip the guard, and a CoW UPDATE that would introduce a
+    violation is refused."""
+    t = SnapshotTable(
+        str(tmp_path / "t"),
+        constraints={"positive_v": "v > 0", "k_known": "k IN (1, 2, 3)"},
+    )
+    clean = spark.createDataFrame([(1, 10.0), (2, None)], "k int, v double")
+    v1 = t.append(clean)  # NULL v passes: CHECK is violated only on FALSE
+    with pytest.raises(Exception, match="CHECK constraint"):
+        t.append(spark.createDataFrame([(3, -1.0)], "k int, v double"))
+    with pytest.raises(Exception, match="CHECK constraint"):
+        t.append(spark.createDataFrame([(9, 1.0)], "k int, v double"))
+    assert t.snapshots()[-1] == v1
+    assert not [
+        p for p in os.listdir(str(tmp_path / "t")) if p.startswith("_staging")
+    ]
+    # persists: a default reopened handle still enforces + compact is exempt
+    re = SnapshotTable(str(tmp_path / "t"))
+    with pytest.raises(Exception, match="CHECK constraint"):
+        re.append(spark.createDataFrame([(1, -5.0)], "k int, v double"))
+    re.compact(spark)
+    assert re._meta(re._latest_published()).get("constraints") == {
+        "positive_v": "v > 0",
+        "k_known": "k IN (1, 2, 3)",
+    }
+    # CoW update introducing a violation is refused, head unchanged
+    head = re.snapshots()[-1]
+    with pytest.raises(Exception, match="CHECK constraint"):
+        re.update_where(spark, "k = 1", {"v": "-v"})
+    assert re.snapshots()[-1] == head
+    # explicit {} clears the property; dirty appends then commit
+    cleared = SnapshotTable(str(tmp_path / "t"), constraints={})
+    cleared.append(spark.createDataFrame([(7, -1.0)], "k int, v double"))
+    assert "constraints" not in cleared._meta(cleared._latest_published())
+    # constructor validation
+    with pytest.raises(ValueError, match="constraints"):
+        SnapshotTable(str(tmp_path / "bad"), constraints={"x": ""})
+
+
+def test_min_max_guards_fall_back_exactly(spark, tmp_path):
+    """min_max: metadata answer equals the scan answer on the fast path;
+    delete files, renames, and all-NULL/missing-stats files route to the
+    exact fallback (or contribute nothing, for provably-all-NULL)."""
+    t = SnapshotTable(str(tmp_path / "t"), stats_cols=["v"])
+    t.append(spark.createDataFrame([(1, 5.0), (2, 9.0)], "k int, v double"))
+    t.append(spark.createDataFrame([(3, 1.0), (4, 7.0)], "k int, v double"))
+    assert t.min_max(spark, "v") == (1.0, 9.0, True)
+    # all-NULL file stays on the fast path and contributes nothing
+    t.append(
+        spark.createDataFrame(
+            [(5, None)], "k int, v double"
+        )
+    )
+    assert t.min_max(spark, "v") == (1.0, 9.0, True)
+    # un-maintained column: exact via fallback
+    assert t.min_max(spark, "k") == (1, 5, False)
+    # a live MoR delete removes the max row: fallback, exact
+    t.delete_where(spark, "k = 2", strategy="mor")
+    lo, hi, meta = t.min_max(spark, "v")
+    assert (lo, hi, meta) == (1.0, 7.0, False)
+    t.compact(spark)
+    assert t.min_max(spark, "v") == (1.0, 7.0, True)
+    # rename forces the fallback (sidecars key by write-time names)
+    t.rename_column("v", "val")
+    lo, hi, meta = t.min_max(spark, "val")
+    assert (lo, hi, meta) == (1.0, 7.0, False)
