@@ -1349,11 +1349,14 @@ SEMANTIC_DUP_THRESHOLD = 0.90
 SEMANTIC_K = 8
 SEMANTIC_SEED = 7
 # A cluster larger than this is kept whole (no in-cluster dedup) instead of
-# melting one task with an O(c^2) matmul — the same hot-bucket guard as
-# ANN_BUCKET_CAP, and conservative in the right direction for a DELETE
-# operator (false keeps, never false drops). Production path for a genuinely
-# hot cluster is re-clustering it with a larger k, not a bigger task.
-SEMANTIC_CLUSTER_CAP = 20_000
+# melting one task with an O(c^2) matmul — the same hot-bucket guard (and
+# the same VALUE) as ANN_BUCKET_CAP: at 2000 the full sims matrix plus its
+# outer-norms and triu temporaries peak near 100 MB per task; at 20k they
+# peak near 10 GB (review catch). Conservative in the right direction for
+# a DELETE operator (false keeps, never false drops). Production path for
+# a genuinely hot cluster is re-clustering it with a larger k, not a
+# bigger task.
+SEMANTIC_CLUSTER_CAP = 2_000
 
 
 def semantic_dedup(

@@ -557,8 +557,9 @@ def ahash64(w: int, h: int, pixels: bytes) -> int:
 def _phash_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Arrow-batched hash step: decode PNG -> aHash64; stub branch hashes
     the _fake_features checksum so non-decodable payloads still group
-    deterministically (and never collide with real hashes thanks to the
-    codec column riding along)."""
+    deterministically. Stub values (0..996) share the real hashes'
+    numeric domain — consumers must group on (codec, phash), as
+    q_mm_phash does."""
     for pdf in batches:
         rows = {"doc_id": [], "phash": [], "codec": []}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
@@ -597,14 +598,26 @@ def q_mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = d.select("doc_id", "text").mapInPandas(
         _encode_png, schema="doc_id long, payload binary"
     )
+    return phash_verdicts(payloads)
+
+
+def phash_verdicts(payloads: DataFrame) -> DataFrame:
+    """Perceptual-hash dedup verdicts over a (doc_id, payload) frame —
+    the core q_mm_phash wraps, callable on any binary-column source.
+
+    Groups on (codec, phash), not the hash alone: stub checksums (0..996)
+    live in the same numeric domain as real aHash values (a flat PNG
+    hashes to 0), so a mixed corpus would otherwise merge a real image
+    with an undecodable payload into one "duplicate" group (review
+    catch — a silent false drop)."""
     hashed = payloads.repartition("doc_id").mapInPandas(
         _phash_features, schema="doc_id long, phash long, codec string"
     )
-    groups = hashed.groupBy("phash").agg(
+    groups = hashed.groupBy("codec", "phash").agg(
         F.min("doc_id").alias("rep_id"),
         F.count(F.lit(1)).alias("group_size"),
     )
-    return hashed.join(groups, "phash").select(
+    return hashed.join(groups, ["codec", "phash"]).select(
         "doc_id",
         "phash",
         "rep_id",

@@ -838,9 +838,12 @@ def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACT integers by clearing the mean's denominator — with S = sum(x),
     n = days, the centered series is c_t = n*x_t - S (an integer), and
     r_k = sum(c_t * c_{t+k}) / sum(c_t^2) holds because the n^2 factor
-    cancels. Both engines aggregate identical BIGINTs (order-immune), the
-    reported ratio is one IEEE division of exact integers, and the raw
-    num/den BIGINT columns ride along so downstream math can stay exact.
+    cancels. Both engines aggregate exact WIDE integers (Spark
+    DECIMAL(38,0), DuckDB HUGEINT — order-immune; a raw BIGINT sum would
+    wrap/diverge past 2^63 at production volumes), the reported ratio is
+    one IEEE division of exact integers, and the raw num/den BIGINT
+    columns ride along so downstream math can stay exact (the final
+    BIGINT cast fails loudly in BOTH engines past 2^63, never silently).
 
     Scale shape: the raw scan collapses to |types| x |days| rows FIRST
     (map-side combine); the spine, stats join, and the 7-lag self-join all
@@ -876,8 +879,17 @@ def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") * F.col("x") - F.col("s")).alias("c"),
         )
     )
+    # Accumulate c*c / c_t*c_{t+k} in DECIMAL(38,0), not BIGINT: at
+    # production volumes (years of days x 1e6-scale daily deviations)
+    # sum(c^2) passes 2^63, where a BIGINT sum wraps or raises while
+    # DuckDB's HUGEINT keeps going — the engines would diverge exactly
+    # when exactness matters (review catch; the exact_sum lesson). The
+    # final BIGINT cast fails LOUDLY in both engines past 2^63.
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
     den = c.groupBy("event_type").agg(
-        F.sum(F.col("c") * F.col("c")).alias("acf_den")
+        F.sum(dec(F.col("c")) * dec(F.col("c")))
+        .cast("bigint")
+        .alias("acf_den")
     )
     lags = spark.range(1, 8).select(F.col("id").alias("lag"))
     a, b = c.alias("a"), c.alias("b")
@@ -889,7 +901,11 @@ def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("b.t") == F.col("a.t") + F.col("lag")),
         )
         .groupBy(F.col("a.event_type").alias("event_type"), "lag")
-        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("acf_num"))
+        .agg(
+            F.sum(dec(F.col("a.c")) * dec(F.col("b.c")))
+            .cast("bigint")
+            .alias("acf_num")
+        )
     )
     return (
         num.join(den, "event_type")

@@ -481,10 +481,14 @@ class LocalCatalog:
         compute dies in the staging write, leaving the head untouched —
         this history-preserving atomicity is exactly what separates RTAS
         from DROP+CTAS (which severs history and races readers).
-        Returns the new snapshot version."""
+        CHECK constraints are CLEARED by the replace (Delta's CREATE OR
+        REPLACE semantics — the old schema's constraints cannot be
+        presumed meaningful against an arbitrary new shape; re-declare
+        them on a post-RTAS handle). Returns the new snapshot version."""
         if ident in self._read().get("views", {}):
             raise ValueError(f"cannot REPLACE view {ident!r} as a table")
         tbl = self.load_table(ident)  # exists-check + clean error contract
+        tbl.constraints = {}  # explicit clear, recorded by the commit
         return tbl.overwrite(self.sql(spark, sql))
 
     def read_view(

@@ -872,7 +872,35 @@ class SnapshotTable:
             his.append(b[1])
         if not los:
             return None, None, True
-        return min(los), max(his), True
+        lo, hi = min(los), max(his)
+        # Sidecars store date/timestamp stats as ISO STRINGS (ordering-
+        # compatible, JSON-storable); the scan path returns native
+        # date/datetime objects. Normalize the fast path to the column's
+        # type so the same call returns the same TYPE whichever path
+        # answered (review catch).
+        ftype = next(
+            (
+                f.get("type")
+                for f in (meta.get("schema") or {}).get("fields", [])
+                if f.get("name") == col
+            ),
+            None,
+        )
+        if isinstance(ftype, str) and isinstance(lo, str):
+            import datetime
+
+            if ftype == "date":
+                def _d(s):
+                    try:
+                        return datetime.date.fromisoformat(s)
+                    except ValueError:
+                        return datetime.datetime.fromisoformat(s).date()
+
+                lo, hi = _d(lo), _d(hi)
+            elif ftype.startswith("timestamp"):
+                lo = datetime.datetime.fromisoformat(lo)
+                hi = datetime.datetime.fromisoformat(hi)
+        return lo, hi, True
 
     def partitions_info(self, as_of: int | None = None) -> list[dict]:
         """Iceberg's ``.partitions`` METADATA TABLE: one dict per live
@@ -1105,20 +1133,40 @@ class SnapshotTable:
         the offending row as JSON, failing the write job before any
         commit. Row-local, stays in whole-stage codegen; deterministic
         names order for reproducible first-failure messages."""
-        out = df
-        for cname in sorted(cons):
-            cexpr = cons[cname]
-            row_json = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
-            msg = F.concat(
-                F.lit(
-                    f"CHECK constraint '{cname}' ({cexpr}) violated by row: "
-                ),
-                row_json,
-            )
-            out = out.filter(
-                F.when(F.expr(cexpr) == False, F.raise_error(msg))  # noqa: E712
-                .otherwise(F.lit(True))
-            )
+        # The whole build runs under one except: a constraint referencing
+        # a column the incoming frame does not have (e.g. a direct
+        # overwrite with a new shape on a constrained table) should fail
+        # with THIS clean error — at plan-build time, before any write —
+        # not an unresolved-column crash (review catch).
+        try:
+            out = df
+            for cname in sorted(cons):
+                cexpr = cons[cname]
+                row_json = F.to_json(
+                    F.struct(*[F.col(c) for c in df.columns])
+                )
+                msg = F.concat(
+                    F.lit(
+                        f"CHECK constraint '{cname}' ({cexpr}) "
+                        "violated by row: "
+                    ),
+                    row_json,
+                )
+                out = out.filter(
+                    F.when(
+                        F.expr(cexpr) == False,  # noqa: E712
+                        F.raise_error(msg),
+                    ).otherwise(F.lit(True))
+                )
+            out.schema  # force analysis for lazy back-ends
+        except Exception as ex:
+            raise ValueError(
+                "CHECK constraints "
+                f"{sorted(cons)} cannot be evaluated against the incoming "
+                "frame's schema — drop or re-declare them (RTAS clears "
+                f"constraints; a handle with constraints={{}} clears them "
+                f"explicitly): {str(ex)[:200]}"
+            ) from ex
         return out
 
     def _next_version(self) -> int:

@@ -535,3 +535,27 @@ def test_rtas_atomic_replace(spark, tmp_path):
         cat.replace_table_as(spark, "db.v", "SELECT 1 AS x")
     with pytest.raises(ValueError, match="does not exist"):
         cat.replace_table_as(spark, "db.missing", "SELECT 1 AS x")
+
+
+def test_rtas_clears_check_constraints(spark, tmp_path):
+    """RTAS on a constrained table succeeds with a new shape and CLEARS
+    the constraints (CREATE OR REPLACE semantics); a direct overwrite
+    with an incompatible shape on a still-constrained table gets the
+    clean CHECK error, not an unresolved-column crash."""
+    from iceberg_insert_spark.sources.snapshots import SnapshotTable
+
+    cat = LocalCatalog(str(tmp_path / "cat"))
+    cat.create_namespace("db")
+    loc = str(tmp_path / "cat" / "db" / "t")
+    cat.create_table("db.t", location=loc)
+    t = SnapshotTable(loc, constraints={"pos": "v > 0"})
+    t.append(spark.createDataFrame([(1, 2.0)], "k int, v double"))
+    # direct overwrite with a shape missing `v`: clean refusal
+    with pytest.raises(ValueError, match="CHECK constraints"):
+        t.overwrite(spark.createDataFrame([(5,)], "k2 int"))
+    # RTAS swaps the shape and clears the property
+    cat.replace_table_as(spark, "db.t", "SELECT k * 2 AS k2 FROM {{db.t}}")
+    re = cat.load_table("db.t")
+    assert "constraints" not in re._meta(re._latest_published())
+    assert [r.k2 for r in re.read(spark).collect()] == [2]
+    re.append(spark.createDataFrame([(-1,)], "k2 int"))  # no guard now

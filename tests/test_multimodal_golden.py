@@ -395,6 +395,20 @@ def test_phash_golden_and_dedup(spark):
     assert by_id[1].phash == by_id[2].phash == h_grad
     assert by_id[3].phash != h_grad
     assert all(r.codec == "png" for r in out)
+    # mixed-codec collision (review catch): a flat PNG hashes to 0 and a
+    # non-decodable payload whose 64-byte checksum is 0 mod 997 stubs to
+    # 0 — same numeric hash, but they must NEVER share a dedup group
+    from iceberg_insert_spark.llm.multimodal import phash_verdicts
+
+    flat_png = encode_png_gray8(side, side, flat)
+    zero_stub = b"\x00" * 10  # not a PNG; checksum 0
+    mixed = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "payload": [flat_png, zero_stub]})
+    )
+    v = {r.doc_id: r for r in phash_verdicts(mixed).collect()}
+    assert v[1].phash == 0 and v[2].phash == 0
+    assert v[1].keep == 1 and v[2].keep == 1
+    assert v[1].group_size == 1 and v[2].group_size == 1
     # end-to-end op: one verdict row per document, reps are group minima
     rows = q_mm_phash(spark, SF_DIR).collect()
     ids = [r.doc_id for r in rows]

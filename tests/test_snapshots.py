@@ -3635,3 +3635,39 @@ def test_min_max_guards_fall_back_exactly(spark, tmp_path):
     t.rename_column("v", "val")
     lo, hi, meta = t.min_max(spark, "val")
     assert (lo, hi, meta) == (1.0, 7.0, False)
+
+
+def test_min_max_date_stats_return_native_types(spark, tmp_path):
+    """Date/timestamp stats are stored as ISO strings in the sidecar;
+    min_max must hand back NATIVE date/datetime objects on the fast path
+    so both paths return the same type (review catch)."""
+    import datetime
+
+    t = SnapshotTable(str(tmp_path / "t"), stats_cols=["d", "ts"])
+    t.append(
+        spark.createDataFrame(
+            [
+                (datetime.date(2024, 1, 3), datetime.datetime(2024, 1, 3, 8)),
+                (datetime.date(2024, 2, 1), datetime.datetime(2024, 2, 1, 9)),
+            ],
+            "d date, ts timestamp_ntz",
+        )
+    )
+    lo, hi, meta = t.min_max(spark, "d")
+    assert meta is True
+    assert (lo, hi) == (datetime.date(2024, 1, 3), datetime.date(2024, 2, 1))
+    slo, shi, smeta = (
+        t.read(spark).agg(F.min("d"), F.max("d")).collect()[0][0],
+        t.read(spark).agg(F.min("d"), F.max("d")).collect()[0][1],
+        False,
+    )
+    assert type(lo) is type(slo) and type(hi) is type(shi)
+    tlo, thi, tmeta = t.min_max(spark, "ts")
+    assert tmeta is True
+    assert isinstance(tlo, datetime.datetime) and isinstance(
+        thi, datetime.datetime
+    )
+    assert (tlo, thi) == (
+        datetime.datetime(2024, 1, 3, 8),
+        datetime.datetime(2024, 2, 1, 9),
+    )
