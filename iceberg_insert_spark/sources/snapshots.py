@@ -2126,6 +2126,107 @@ class SnapshotTable:
         self.partition_by = list(partition_by)
         return v
 
+    def add_constraint(
+        self,
+        spark: SparkSession,
+        name: str,
+        expr: str,
+        validate: bool = True,
+    ) -> int:
+        """ALTER TABLE ADD CONSTRAINT (Delta's shape): record a CHECK
+        constraint as a metadata-only commit. With ``validate=True`` (the
+        default, Delta's semantics) the CURRENT table contents are
+        scanned ONCE first and the add is refused if any live row
+        violates — otherwise existing data would silently claim a
+        guarantee it does not meet. The scan runs OUTSIDE the commit
+        lock (it is O(table)); the lock only covers the manifest write,
+        and a concurrent violating append is caught by ITS OWN guard
+        (it inherits the new constraints from the manifest it rebases
+        onto, or commits first and fails our validation — either order
+        is safe)."""
+        if not name or not isinstance(expr, str) or not expr:
+            raise ValueError("constraint needs a name and a SQL expr")
+        if validate:
+            bad = (
+                self.read(spark)
+                .filter(F.expr(expr) == False)  # noqa: E712
+                .limit(1)
+                .count()
+            )
+            if bad:
+                raise ValueError(
+                    f"cannot add CHECK constraint {name!r} ({expr}): "
+                    "existing rows violate it"
+                )
+        with self._commit_lock():
+            base = self._latest_published()
+            if base is None:
+                raise ValueError("nothing published to constrain")
+            meta = self._meta(base)
+            cons = dict(meta.get("constraints") or {})
+            if name in cons:
+                raise ValueError(f"constraint {name!r} already exists")
+            cons[name] = expr
+            v = self._next_version()
+            emeta = {
+                "files": meta["files"],
+                "op": "alter_constraints",
+                "constraints": cons,
+            }
+            for carry in (
+                "schema",
+                "schema_v",
+                "delete_files",
+                "file_partitions",
+                "partition_by",
+                "file_schema_v",
+                "write_distribution",
+                "row_lineage",
+            ):
+                if carry in meta:
+                    emeta[carry] = meta[carry]
+            self._write_manifest(v, emeta)
+        if self.constraints is not None:
+            self.constraints = cons
+        return v
+
+    def drop_constraint(self, name: str) -> int:
+        """ALTER TABLE DROP CONSTRAINT: metadata-only removal. Unknown
+        names are refused (a typo'd drop silently succeeding would leave
+        the caller believing enforcement stopped)."""
+        with self._commit_lock():
+            base = self._latest_published()
+            if base is None:
+                raise ValueError("nothing published")
+            meta = self._meta(base)
+            cons = dict(meta.get("constraints") or {})
+            if name not in cons:
+                raise ValueError(f"constraint {name!r} does not exist")
+            del cons[name]
+            v = self._next_version()
+            emeta = {
+                "files": meta["files"],
+                "op": "alter_constraints",
+            }
+            if cons:
+                emeta["constraints"] = cons
+            for carry in (
+                "schema",
+                "schema_v",
+                "delete_files",
+                "file_partitions",
+                "partition_by",
+                "file_schema_v",
+                "write_distribution",
+                "row_lineage",
+            ):
+                if carry in meta:
+                    emeta[carry] = meta[carry]
+            self._write_manifest(v, emeta)
+        if self.constraints is not None:
+            self.constraints = cons
+        return v
+
     def add_column(self, name: str, dtype, default=None) -> int:
         """Metadata-only ADD COLUMN (Iceberg ALTER TABLE): commits an
         ``evolve`` snapshot; pre-evolution files read as typed NULL for

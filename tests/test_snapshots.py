@@ -3671,3 +3671,184 @@ def test_min_max_date_stats_return_native_types(spark, tmp_path):
         datetime.datetime(2024, 1, 3, 8),
         datetime.datetime(2024, 2, 1, 9),
     )
+
+
+def test_constraint_ddl_add_validate_drop(spark, tmp_path):
+    """ALTER TABLE ADD/DROP CONSTRAINT: validated add refuses when live
+    rows violate; a clean add enforces on the NEXT append from a fresh
+    default handle (metadata inheritance); drop stops enforcement;
+    unknown-name drop and duplicate add are refused; validate=False
+    records without scanning."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, 5.0), (2, -3.0)], "k int, v double"))
+    with pytest.raises(ValueError, match="existing rows violate"):
+        t.add_constraint(spark, "pos", "v > 0")
+    t.delete_where(spark, "v < 0")
+    t.add_constraint(spark, "pos", "v > 0")
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_constraint(spark, "pos", "v > 0")
+    fresh = SnapshotTable(str(tmp_path / "t"))
+    with pytest.raises(Exception, match="CHECK constraint"):
+        fresh.append(spark.createDataFrame([(3, -1.0)], "k int, v double"))
+    fresh.append(spark.createDataFrame([(3, 1.0)], "k int, v double"))
+    assert fresh.drop_constraint("pos") > 0
+    with pytest.raises(ValueError, match="does not exist"):
+        fresh.drop_constraint("pos")
+    fresh.append(spark.createDataFrame([(4, -9.0)], "k int, v double"))
+    assert fresh.read(spark).count() == 3
+    # validate=False records even over violating data (documented escape)
+    t2 = SnapshotTable(str(tmp_path / "t2"))
+    t2.append(spark.createDataFrame([(1, -1.0)], "k int, v double"))
+    t2.add_constraint(spark, "pos", "v > 0", validate=False)
+    with pytest.raises(Exception, match="CHECK constraint"):
+        t2.append(spark.createDataFrame([(2, -2.0)], "k int, v double"))
+
+
+def test_cdc_lifecycle_model_with_constraints(spark, tmp_path):
+    """Lifecycle model with LIVE CHECK constraints: random append / merge
+    / CoW+MoR update / compact / rollback interleaved with ADD/DROP
+    CONSTRAINT ('val < limit'). The model predicts from its own state
+    whether each write violates an active constraint — a violating write
+    must REFUSE and leave the head byte-identical; rollback restores the
+    TARGET snapshot's constraint set (constraints are manifest state,
+    not a side channel); invalid adds (existing rows violate) refuse."""
+    import random
+
+    rng = random.Random(20260815)
+    tbl = SnapshotTable(str(tmp_path / "cons"))
+    vis: dict[int, dict[int, float]] = {}
+    cons_at: dict[int, dict[str, float]] = {}
+    published: list[int] = []
+    next_id = 0
+    next_cname = 0
+
+    def df_of(mapping):
+        return spark.createDataFrame(
+            [(k, v) for k, v in sorted(mapping.items())],
+            "rid long, val double",
+        ).coalesce(1)
+
+    def fresh(n):
+        nonlocal next_id
+        ids = list(range(next_id, next_id + n))
+        next_id += n
+        return ids
+
+    def violates(state, cons):
+        return any(v >= lim for v in state.values() for lim in cons.values())
+
+    ids = fresh(5)
+    v = tbl.append(df_of({i: float(i) for i in ids}))
+    vis[v] = {i: float(i) for i in ids}
+    cons_at[v] = {}
+    published.append(v)
+
+    for step in range(26):
+        cur = vis[published[-1]]
+        cons = cons_at[published[-1]]
+        choices = ["append", "merge", "update_where", "compact",
+                   "add_constraint"]
+        if cons:
+            choices.append("drop_constraint")
+        if len(published) >= 2:
+            choices.append("rollback")
+        op = rng.choice(choices)
+        if op == "append":
+            ids = fresh(rng.randint(1, 2))
+            bump = rng.choice([0.0, 10_000.0])  # sometimes deliberately huge
+            batch = {i: float(i) + bump for i in ids}
+            if violates(batch, cons):
+                with pytest.raises(Exception, match="CHECK constraint"):
+                    tbl.append(df_of(batch))
+                assert tbl.snapshots()[-1] == published[-1]
+            else:
+                v = tbl.append(df_of(batch))
+                vis[v] = {**cur, **batch}
+                cons_at[v] = dict(cons)
+                published.append(v)
+        elif op == "merge":
+            keys = sorted(cur)
+            upds = rng.sample(keys, min(len(keys), rng.randint(0, 2)))
+            ins = fresh(rng.randint(0, 1))
+            rows = (
+                [(k, cur[k] + 100.0, "U") for k in upds]
+                + [(k, float(k), "I") for k in ins]
+            )
+            if not rows:
+                continue
+            chg = spark.createDataFrame(
+                rows, "rid long, val double, _op string"
+            )
+            new_vals = {k: cur[k] + 100.0 for k in upds}
+            new_vals.update({k: float(k) for k in ins})
+            if violates(new_vals, cons):
+                with pytest.raises(Exception, match="CHECK constraint"):
+                    tbl.merge(spark, chg, key="rid")
+                assert tbl.snapshots()[-1] == published[-1]
+            else:
+                v = tbl.merge(spark, chg, key="rid")
+                state = dict(cur)
+                state.update(new_vals)
+                vis[v] = state
+                cons_at[v] = dict(cons)
+                published.append(v)
+        elif op == "update_where":
+            k, r = rng.choice([(2, 1), (3, 0)])
+            strat = rng.choice(["cow", "mor"])
+            matching = {i for i in cur if i % k == r}
+            if not matching:
+                continue
+            new_vals = {i: cur[i] + 1000.0 for i in matching}
+            if violates(new_vals, cons):
+                with pytest.raises(Exception, match="CHECK constraint"):
+                    tbl.update_where(
+                        spark, f"rid % {k} = {r}",
+                        {"val": "val + 1000.0"}, strategy=strat,
+                    )
+                assert tbl.snapshots()[-1] == published[-1]
+            else:
+                v = tbl.update_where(
+                    spark, f"rid % {k} = {r}",
+                    {"val": "val + 1000.0"}, strategy=strat,
+                )
+                vis[v] = {**cur, **new_vals}
+                cons_at[v] = dict(cons)
+                published.append(v)
+        elif op == "compact":
+            v = tbl.compact(spark)
+            vis[v] = dict(cur)
+            cons_at[v] = dict(cons)
+            published.append(v)
+        elif op == "add_constraint":
+            if not cur:
+                continue
+            name = f"c{next_cname}"
+            next_cname += 1
+            if rng.random() < 0.3:
+                # invalid add: limit below an existing value -> refused
+                lim = min(cur.values())
+                with pytest.raises(ValueError, match="existing rows"):
+                    tbl.add_constraint(spark, name, f"val < {lim}")
+                assert tbl.snapshots()[-1] == published[-1]
+            else:
+                lim = max(cur.values()) + rng.choice([150.0, 2000.0])
+                v = tbl.add_constraint(spark, name, f"val < {lim}")
+                vis[v] = dict(cur)
+                cons_at[v] = {**cons, name: lim}
+                published.append(v)
+        elif op == "drop_constraint":
+            name = rng.choice(sorted(cons))
+            v = tbl.drop_constraint(name)
+            vis[v] = dict(cur)
+            cons_at[v] = {k: x for k, x in cons.items() if k != name}
+            published.append(v)
+        else:  # rollback
+            to = rng.choice(published)
+            v = tbl.rollback(to=to)
+            vis[v] = dict(vis[to])
+            cons_at[v] = dict(cons_at[to])
+            published.append(v)
+        got = {r.rid: r.val for r in tbl.read(spark).collect()}
+        assert got == vis[published[-1]], f"step {step} ({op})"
+        live = tbl._meta(published[-1]).get("constraints") or {}
+        assert set(live) == set(cons_at[published[-1]]), f"step {step} ({op})"
