@@ -1427,3 +1427,97 @@ def q_join_bloom_prefilter(spark, sf_dir: str):
         F.count(F.lit(1)).alias("n_lines"),
         F.countDistinct("o_orderkey").cast("bigint").alias("n_orders"),
     )
+
+
+@query(
+    "q_join_asof_nearest",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           nb.event_id AS nb_event_id, nb.event_type AS nb_event_type,
+           nb.dist_us
+    FROM events p
+    LEFT JOIN LATERAL (
+        SELECT e.event_id, e.event_type,
+               CAST(ABS(epoch_us(CAST(e.ts AS TIMESTAMP))
+                        - epoch_us(CAST(p.ts AS TIMESTAMP))) AS BIGINT)
+                   AS dist_us
+        FROM events e
+        WHERE e.user_id = p.user_id AND e.event_type <> 'purchase'
+        ORDER BY ABS(epoch_us(CAST(e.ts AS TIMESTAMP))
+                     - epoch_us(CAST(p.ts AS TIMESTAMP))) ASC,
+                 e.ts ASC,
+                 CASE WHEN e.ts <= p.ts THEN -e.event_id
+                      ELSE e.event_id END ASC
+        LIMIT 1
+    ) nb ON true
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join: each purchase pairs with its closest-in-time
+    non-purchase event of the same user, in EITHER direction — the
+    'nearest' ASOF variant (pandas merge_asof direction='nearest';
+    q_join_asof is the classic 'backward'). Tie at equal distance goes
+    to the earlier (backward) candidate; equal-timestamp candidates
+    count as backward at distance 0.
+
+    Same scalable shape as q_join_asof — union + ONE user_id window
+    partitioning (no pair blow-up): base rows sort BEFORE probes at
+    equal ts (is_probe ASC), so ``last over rows(-inf, -1)`` is the
+    backward candidate INCLUDING ties-at-zero and ``first over
+    rows(+1, +inf)`` the forward one; the winner is a row-local
+    comparison of the two distances. Tie orders are total in both
+    engines (backward: max event_id; forward: min — the oracle's CASE
+    key mirrors the two frames' traversal directions).
+    """
+    from ..tables import epoch_us
+
+    ev = load_table(spark, sf_dir, "events")
+    cols = ["user_id", "ts", "event_id", "event_type"]
+    base = ev.filter(F.col("event_type") != "purchase").select(
+        *cols, F.lit(0).alias("is_probe")
+    )
+    probe = ev.filter(F.col("event_type") == "purchase").select(
+        *cols, F.lit(1).alias("is_probe")
+    )
+    u = base.unionByName(probe)
+    order = [F.asc("ts"), F.asc("is_probe"), F.asc("event_id")]
+    wback = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wfwd = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    cand = F.when(
+        F.col("is_probe") == 0,
+        F.struct(
+            F.col("event_id").alias("cid"),
+            F.col("event_type").alias("ctype"),
+            epoch_us("ts").alias("cus"),
+        ),
+    )
+    u = (
+        u.withColumn("back", F.last(cand, ignorenulls=True).over(wback))
+        .withColumn("fwd", F.first(cand, ignorenulls=True).over(wfwd))
+        .filter(F.col("is_probe") == 1)
+        .withColumn("pus", epoch_us("ts"))
+    )
+    bdist = F.col("pus") - F.col("back.cus")
+    fdist = F.col("fwd.cus") - F.col("pus")
+    nearest = (
+        F.when(F.col("back").isNull(), F.col("fwd"))
+        .when(F.col("fwd").isNull(), F.col("back"))
+        .when(bdist <= fdist, F.col("back"))
+        .otherwise(F.col("fwd"))
+    )
+    return u.select(
+        "event_id",
+        "user_id",
+        nearest["cid"].alias("nb_event_id"),
+        nearest["ctype"].alias("nb_event_type"),
+        F.abs(nearest["cus"] - F.col("pus")).cast("bigint").alias("dist_us"),
+    )

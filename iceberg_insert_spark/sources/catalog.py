@@ -249,7 +249,7 @@ class LocalCatalog:
     # tolerated but not captured, so dependency discovery and create
     # validation see the table name behind a pinned reference too
     _VIEW_REF_RE = re.compile(
-        r"\{\{\s*([A-Za-z_][\w.]*)\s*(?:@\s*\d+\s*)?\}\}"
+        r"\{\{\s*([A-Za-z_][\w.]*)\s*(?:@\s*(?:\d+|ts:[^}\s]+)\s*)?\}\}"
     )
 
     def create_view(
@@ -345,7 +345,8 @@ class LocalCatalog:
     # ``{{ns.ident}}`` or ``{{ns.table@N}}`` — the optional pin is
     # Iceberg's VERSION AS OF, spoken through the catalog
     _SQL_REF_RE = re.compile(
-        r"\{\{\s*([A-Za-z_][\w.]*)\s*(?:@\s*(\d+)\s*)?\}\}"
+        r"\{\{\s*([A-Za-z_][\w.]*)\s*"
+        r"(?:@\s*(?:(\d+)|ts:\s*([^}\s]+))\s*)?\}\}"
     )
 
     def sql(
@@ -358,7 +359,9 @@ class LocalCatalog:
         statement in which every ``{{namespace.ident}}`` placeholder
         resolves to a catalog object — a TABLE's current snapshot, a
         TABLE pinned to a snapshot via ``{{ns.table@N}}`` (Iceberg's
-        ``VERSION AS OF`` spoken through the catalog), a VIEW
+        ``VERSION AS OF`` spoken through the catalog) or to an instant
+        via ``{{ns.table@ts:<epoch-seconds|ISO-8601>}}`` (``TIMESTAMP
+        AS OF``; naive ISO reads as UTC), a VIEW
         (recursively — views may reference views), or a MATERIALIZED
         view (storage when fresh, live SQL otherwise — never stale).
         Each resolution lands as a session temp view with an injective
@@ -377,8 +380,8 @@ class LocalCatalog:
         views = reg.get("views", {})
 
         def sub(m: re.Match) -> str:
-            ref, pin = m.group(1), m.group(2)
-            key = f"{ref}@{pin}" if pin else ref
+            ref, pin, tspin = m.group(1), m.group(2), m.group(3)
+            key = f"{ref}@{pin or ''}~{tspin or ''}"
             # md5 suffix makes the name INJECTIVE (review catch:
             # '.'->'__' alone maps raw.x__y and raw__x.y to one name,
             # silently reading the wrong table) and collision-proof
@@ -387,10 +390,11 @@ class LocalCatalog:
             h = hashlib.md5(key.encode()).hexdigest()[:8]
             tmp = f"__cat_{ref.replace('.', '__')}_{h}"
             if ref in views:
-                if pin is not None:
+                if pin is not None or tspin is not None:
                     raise ValueError(
                         f"{ref!r} is a view; snapshot pins "
-                        "({{ns.table@N}}) apply to tables"
+                        "({{ns.table@N}} / {{ns.table@ts:...}}) apply "
+                        "to tables"
                     )
                 if ref in _resolving:
                     raise ValueError(
@@ -420,7 +424,25 @@ class LocalCatalog:
                     )
             else:
                 t = self.load_table(ref)
-                df = t.read(spark, as_of=int(pin) if pin else None)
+                as_of = int(pin) if pin else None
+                if tspin is not None:
+                    # TIMESTAMP AS OF through the front-end: epoch
+                    # seconds, or a naive ISO instant read as UTC (a
+                    # wall-clock pin must not drift with the driver's
+                    # local timezone)
+                    import datetime
+
+                    try:
+                        ts = float(tspin)
+                    except ValueError:
+                        dt = datetime.datetime.fromisoformat(tspin)
+                        if dt.tzinfo is None:
+                            dt = dt.replace(
+                                tzinfo=datetime.timezone.utc
+                            )
+                        ts = dt.timestamp()
+                    as_of = t.resolve_as_of_ts(ts)
+                df = t.read(spark, as_of=as_of)
             df.createOrReplaceTempView(tmp)
             return tmp
 

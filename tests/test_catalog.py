@@ -559,3 +559,46 @@ def test_rtas_clears_check_constraints(spark, tmp_path):
     assert "constraints" not in re._meta(re._latest_published())
     assert [r.k2 for r in re.read(spark).collect()] == [2]
     re.append(spark.createDataFrame([(-1,)], "k2 int"))  # no guard now
+
+
+def test_sql_front_end_timestamp_pins(spark, tmp_path):
+    """{{ns.t@ts:...}}: TIMESTAMP AS OF through the front-end — epoch
+    seconds and ISO-8601 (naive = UTC) both resolve to the newest
+    snapshot at-or-before the instant; a ts pin on a view is refused;
+    an instant before the first commit errors cleanly."""
+    import datetime
+    import time
+
+    cat = LocalCatalog(str(tmp_path / "cat"))
+    cat.create_namespace("db")
+    t = cat.create_table("db.t")
+    t.append(spark.createDataFrame([(1,)], "k int"))
+    ts1 = t._meta(t.snapshots()[-1])["ts"]
+    time.sleep(0.02)
+    t.append(spark.createDataFrame([(2,)], "k int"))
+    mid = (ts1 + t._meta(t.snapshots()[-1])["ts"]) / 2
+    n = cat.sql(
+        spark, f"SELECT COUNT(*) AS n FROM {{{{db.t@ts:{mid}}}}}"
+    ).collect()[0].n
+    assert n == 1
+    iso = (
+        datetime.datetime.fromtimestamp(mid, tz=datetime.timezone.utc)
+        .replace(tzinfo=None)
+        .isoformat()
+    )
+    n = cat.sql(
+        spark, f"SELECT COUNT(*) AS n FROM {{{{db.t@ts:{iso}}}}}"
+    ).collect()[0].n
+    assert n == 1
+    n = cat.sql(
+        spark, f"SELECT COUNT(*) AS n FROM {{{{db.t@ts:{time.time()}}}}}"
+    ).collect()[0].n
+    assert n == 2
+    cat.create_view("db.v", "SELECT k FROM {{db.t}}")
+    with pytest.raises(ValueError, match="apply"):
+        cat.sql(spark, f"SELECT * FROM {{{{db.v@ts:{mid}}}}}")
+    with pytest.raises(ValueError, match="no snapshot at or before"):
+        cat.sql(
+            spark,
+            f"SELECT * FROM {{{{db.t@ts:{ts1 - 1000}}}}}",
+        )
