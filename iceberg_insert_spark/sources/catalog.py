@@ -473,6 +473,131 @@ class LocalCatalog:
         tbl = self.load_table(ident)
         return tbl.append(self.sql(spark, select))
 
+    _OVERWRITE_RE = re.compile(
+        r"^\s*INSERT\s+OVERWRITE\s+\{\{\s*([A-Za-z_][\w.]*)\s*\}\}\s+(.+)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _DELETE_RE = re.compile(
+        r"^\s*DELETE\s+FROM\s+\{\{\s*([A-Za-z_][\w.]*)\s*\}\}\s+"
+        r"WHERE\s+(.+)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _UPDATE_RE = re.compile(
+        r"^\s*UPDATE\s+\{\{\s*([A-Za-z_][\w.]*)\s*\}\}\s+"
+        r"SET\s+(.+?)\s+WHERE\s+(.+)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    @staticmethod
+    def _split_assignments(raw: str) -> dict[str, str]:
+        """Parse ``col = expr, col2 = expr2`` with a paren/quote-aware
+        top-level comma split (an expr may contain commas inside
+        function calls or string literals)."""
+        parts: list[str] = []
+        depth, buf, quote = 0, [], None
+        for ch in raw:
+            if quote:
+                buf.append(ch)
+                if ch == quote:
+                    quote = None
+                continue
+            if ch in ("'", '"'):
+                quote = ch
+                buf.append(ch)
+            elif ch in "([":
+                depth += 1
+                buf.append(ch)
+            elif ch in ")]":
+                depth -= 1
+                buf.append(ch)
+            elif ch == "," and depth == 0:
+                parts.append("".join(buf))
+                buf = []
+            else:
+                buf.append(ch)
+        if buf:
+            parts.append("".join(buf))
+        out: dict[str, str] = {}
+        for p in parts:
+            col, eq, expr = p.partition("=")
+            col, expr = col.strip(), expr.strip()
+            if not eq or not _IDENT_RE.match(col) or not expr:
+                raise ValueError(
+                    f"malformed SET assignment {p.strip()!r}; expected "
+                    "'column = expression'"
+                )
+            if col in out:
+                raise ValueError(f"column {col!r} assigned twice")
+            out[col] = expr
+        return out
+
+    def sql_delete(self, spark: SparkSession, sql: str) -> int:
+        """``DELETE FROM {{ns.table}} WHERE <predicate>`` — routed to
+        ``SnapshotTable.delete_where`` (copy-on-write): one atomic
+        snapshot, no-op when nothing matches, views refused. The
+        predicate is Spark SQL, evaluated by the table's own planner
+        (partition/stats pruning decide which files rewrite)."""
+        m = self._DELETE_RE.match(sql)
+        if not m:
+            raise ValueError(
+                "expected 'DELETE FROM {{namespace.table}} WHERE ...'"
+            )
+        ident, pred = m.group(1), m.group(2)
+        if ident in self._read().get("views", {}):
+            raise ValueError(f"cannot DELETE FROM view {ident!r}")
+        return self.load_table(ident).delete_where(spark, pred)
+
+    def sql_update(self, spark: SparkSession, sql: str) -> int:
+        """``UPDATE {{ns.table}} SET col = expr[, ...] WHERE <pred>`` —
+        routed to ``SnapshotTable.update_where`` (copy-on-write): SET
+        expressions see the OLD row (standard SQL UPDATE), unmatched
+        rows carry unchanged, one atomic snapshot, views refused."""
+        m = self._UPDATE_RE.match(sql)
+        if not m:
+            raise ValueError(
+                "expected 'UPDATE {{namespace.table}} SET col = expr "
+                "WHERE ...'"
+            )
+        ident, assigns, pred = m.group(1), m.group(2), m.group(3)
+        if ident in self._read().get("views", {}):
+            raise ValueError(f"cannot UPDATE view {ident!r}")
+        return self.load_table(ident).update_where(
+            spark, pred, self._split_assignments(assigns)
+        )
+
+    def sql_overwrite(self, spark: SparkSession, sql: str) -> int:
+        """``INSERT OVERWRITE {{ns.table}} SELECT ...`` — the SELECT
+        evaluates through :meth:`sql` and commits via
+        ``SnapshotTable.overwrite``: a REPLACE snapshot (new schema
+        adopted, history preserved, old files time-travelable until
+        expire). Views refused."""
+        m = self._OVERWRITE_RE.match(sql)
+        if not m:
+            raise ValueError(
+                "expected 'INSERT OVERWRITE {{namespace.table}} "
+                "SELECT ...'"
+            )
+        ident, select = m.group(1), m.group(2)
+        if ident in self._read().get("views", {}):
+            raise ValueError(f"cannot INSERT OVERWRITE view {ident!r}")
+        return self.load_table(ident).overwrite(self.sql(spark, select))
+
+    def execute(self, spark: SparkSession, sql: str):
+        """One entry point for any front-end statement: dispatches
+        INSERT INTO / INSERT OVERWRITE / DELETE / UPDATE to their write
+        paths (returning the new snapshot version) and everything else
+        to :meth:`sql` (returning a DataFrame) — what a SQL console
+        wired to this catalog would call per statement."""
+        if self._INSERT_RE.match(sql):
+            return self.sql_insert(spark, sql)
+        if self._OVERWRITE_RE.match(sql):
+            return self.sql_overwrite(spark, sql)
+        if self._DELETE_RE.match(sql):
+            return self.sql_delete(spark, sql)
+        if self._UPDATE_RE.match(sql):
+            return self.sql_update(spark, sql)
+        return self.sql(spark, sql)
+
     def create_table_as(
         self,
         spark: SparkSession,
@@ -1108,5 +1233,70 @@ def q_catalog_rtas(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT r.bucket, r.cents,
                (SELECT COUNT(*) FROM {{{{an.rep@{v1}}}}}) AS pre_replace_rows
         FROM {{{{an.rep}}}} r
+        """,
+    )
+
+
+@query(
+    "q_catalog_dml",
+    oracle="""
+    WITH seeded AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ), deleted AS (
+        SELECT * FROM seeded WHERE o_orderkey % 5 <> 0
+    ), updated AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderstatus = 'P'
+                    THEN ROUND(o_totalprice + 10.0, 2)
+                    ELSE o_totalprice END AS o_totalprice
+        FROM deleted
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM updated
+    GROUP BY o_orderstatus
+    """,
+)
+def q_catalog_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front-end's DML verbs, DuckDB-oracled end-to-end: a
+    seeded table takes a ``DELETE FROM ... WHERE`` (CoW, one snapshot),
+    then an ``UPDATE ... SET ... WHERE`` (old-row semantics), each
+    spoken as a SQL string through ``execute()`` — the console
+    dispatcher that routes writes to the table's own commit machinery
+    and reads to one Catalyst plan. The final aggregate must equal the
+    oracle's replay of the same statements over raw orders.
+
+    With INSERT INTO (q_catalog_ctas), INSERT OVERWRITE, and RTAS this
+    completes the write-side SQL surface a warehouse user expects —
+    the reference's catalog can only blind-append (App.java:147-149).
+    """
+    root = scratch_dir(spark, sf_dir, "catalog_dml")
+    cat = LocalCatalog(root)
+    cat.create_namespace("an")
+    src = cat.create_table("an.src")
+    src.append(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+    )
+    cat.create_table_as(
+        spark, "an.t", "SELECT * FROM {{an.src}}"
+    )
+    cat.execute(spark, "DELETE FROM {{an.t}} WHERE o_orderkey % 5 = 0")
+    cat.execute(
+        spark,
+        "UPDATE {{an.t}} SET o_totalprice = round(o_totalprice + 10.0, 2) "
+        "WHERE o_orderstatus = 'P'",
+    )
+    return cat.execute(
+        spark,
+        """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM {{an.t}} GROUP BY o_orderstatus
         """,
     )

@@ -602,3 +602,55 @@ def test_sql_front_end_timestamp_pins(spark, tmp_path):
             spark,
             f"SELECT * FROM {{{{db.t@ts:{ts1 - 1000}}}}}",
         )
+
+
+def test_sql_dml_verbs_and_refusals(spark, tmp_path):
+    """DELETE/UPDATE/INSERT OVERWRITE through the front-end: routed to
+    the table's own commit machinery; paren/quote-aware SET parsing;
+    views refused; malformed statements get the grammar error; execute()
+    dispatches reads vs writes."""
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("db")
+    t = cat.create_table("db.t")
+    t.append(
+        spark.createDataFrame(
+            [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "a,b")],
+            "k int, v double, s string",
+        )
+    )
+    cat.execute(spark, "DELETE FROM {{db.t}} WHERE k = 2")
+    # SET exprs with top-level-comma hazards: function args + a quoted
+    # comma in a literal comparison
+    cat.execute(
+        spark,
+        "UPDATE {{db.t}} SET v = round(v + 0.5, 1), "
+        "s = CASE WHEN s = 'a,b' THEN 'both' ELSE s END WHERE k >= 1",
+    )
+    got = sorted(
+        (r.k, r.v, r.s)
+        for r in cat.sql(spark, "SELECT * FROM {{db.t}}").collect()
+    )
+    assert got == [(1, 10.5, "a"), (3, 30.5, "both")]
+    v = cat.execute(
+        spark, "INSERT OVERWRITE {{db.t}} SELECT k * 100 AS k2 FROM {{db.t}}"
+    )
+    assert isinstance(v, int)
+    assert sorted(
+        r.k2 for r in cat.sql(spark, "SELECT * FROM {{db.t}}").collect()
+    ) == [100, 300]
+    cat.create_view("db.w", "SELECT k2 FROM {{db.t}}")
+    for stmt, msg in [
+        ("DELETE FROM {{db.w}} WHERE k2 = 1", "view"),
+        ("UPDATE {{db.w}} SET k2 = 1 WHERE k2 = 1", "view"),
+        ("INSERT OVERWRITE {{db.w}} SELECT 1 AS x", "view"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            cat.execute(spark, stmt)
+    with pytest.raises(ValueError, match="expected"):
+        cat.sql_delete(spark, "DELETE FROM {{db.t}}")  # no WHERE
+    with pytest.raises(ValueError, match="malformed SET"):
+        cat.sql_update(spark, "UPDATE {{db.t}} SET v WHERE k = 1")
+    with pytest.raises(ValueError, match="assigned twice"):
+        cat.sql_update(
+            spark, "UPDATE {{db.t}} SET k2 = 1, k2 = 2 WHERE k2 = 1"
+        )
