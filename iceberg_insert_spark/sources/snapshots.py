@@ -4535,6 +4535,82 @@ class SnapshotTable:
                 self._atomic_json(self._bloom_sidecar_path(), btrim)
         return doomed
 
+    def forget(self, spark: SparkSession, predicate: str) -> dict:
+        """GDPR erasure ('right to be forgotten'): physically remove
+        every row matching ``predicate`` from the table AND its history,
+        then PROVE it. A plain delete cannot do this on a snapshot
+        table — a CoW/MoR delete hides rows from the head while every
+        older snapshot still serves them and the bytes stay on disk
+        until expire. The composition, each step an existing primitive:
+
+          0. ``compact`` first iff live delete files exist — an earlier
+             MoR delete leaves matching BYTES inside data files that a
+             CoW rewrite would never touch (they have no live matches);
+             folding makes every surviving byte live;
+          1. ``delete_where(predicate)`` (CoW) — the head stops matching;
+          2. ``expire(keep_from=head)`` — every older snapshot drops and
+             its exclusive files are DELETED;
+          3. verification — every surviving data file is re-read RAW
+             (not through MoR masking) and asserted to contain zero
+             matching rows; the report carries the residual count.
+
+        Refuses while tags, branches, or staged (WAP) snapshots exist:
+        each would keep serving the rows past the erasure (releasing
+        them is an explicit human decision, same contract as fsck).
+        Time travel before the erasure point is destroyed BY DESIGN —
+        that is what erasure means. At 100 TB the cost is one compact
+        (iff MoR state), one CoW rewrite of matching files only, and
+        one verification scan."""
+        if self._refs():
+            raise ValueError(
+                "forget refused: tags/branches pin history "
+                f"({sorted(self._refs())}) — release them first"
+            )
+        staged = [
+            v
+            for v in self.snapshots()
+            if self._meta(v).get("op") in ("stage",)
+        ]
+        if staged:
+            raise ValueError(
+                f"forget refused: staged (WAP) snapshots {staged} may "
+                "hold matching rows — publish or expire them first"
+            )
+        head = self._latest_published()
+        if head is None:
+            raise ValueError("nothing published to forget from")
+        if self._meta(head).get("delete_files"):
+            self.compact(spark)
+        n_matched = (
+            self.read(spark)
+            .filter(F.expr(predicate))
+            .count()
+        )
+        v = self.delete_where(spark, predicate)
+        reclaimed = self.expire(keep_from=v)
+        survivors = self._manifest(v)
+        residual = 0
+        if survivors:
+            residual = (
+                spark.read.parquet(
+                    *[os.path.join(self.path, f) for f in survivors]
+                )
+                .filter(F.expr(predicate))
+                .count()
+            )
+        if residual:
+            raise RuntimeError(
+                f"forget verification FAILED: {residual} matching rows "
+                "remain in surviving files — do not report erasure"
+            )
+        return {
+            "matched": n_matched,
+            "files_reclaimed": len(reclaimed),
+            "surviving_files": len(survivors),
+            "residual_matches": residual,
+            "snapshot": v,
+        }
+
 
 @query(
     "q_time_travel",
@@ -7005,4 +7081,64 @@ def q_snapshot_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(klo).cast("bigint").alias("min_key"),
         F.lit(khi).cast("bigint").alias("max_key"),
         F.lit(int(kmeta)).cast("bigint").alias("key_from_meta"),
+    )
+
+
+@query(
+    "q_snapshot_forget",
+    oracle="""
+    WITH kept AS (
+        SELECT * FROM orders WHERE o_orderkey % 10 <> 7
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents,
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 7)
+               AS n_forgotten,
+           CAST(0 AS BIGINT) AS residual,
+           CAST(1 AS BIGINT) AS n_snapshots
+    FROM kept
+    GROUP BY o_orderstatus
+    """,
+)
+def q_snapshot_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR erasure, DuckDB-oracled end-to-end: orders land in three
+    snapshots, one key slice is FORGOTTEN (compact-if-MoR -> CoW delete
+    -> history expire -> raw-byte verification), and the result carries
+    the erasure report as oracled constants — matched count, zero
+    residual matches in surviving bytes, and the single surviving
+    snapshot (time travel to the pre-erasure world destroyed BY DESIGN).
+    The final aggregate must equal the oracle over orders-minus-slice.
+
+    This is the operation privacy law demands of a lakehouse and the
+    one the reference's append-only usage can never express: deletion
+    that is provable at the BYTE level, not visibility masking.
+    """
+    from ..tables import scratch_dir
+
+    path = scratch_dir(spark, sf_dir, "snap_forget")
+    o = load_table(spark, sf_dir, "orders")
+    tbl = SnapshotTable(path)
+    for r in range(3):
+        tbl.append(o.filter(F.col("o_orderkey") % 3 == r))
+    rep = tbl.forget(spark, "o_orderkey % 10 = 7")
+    return (
+        tbl.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("cents"),
+        )
+        .withColumn(
+            "n_forgotten", F.lit(rep["matched"]).cast("bigint")
+        )
+        .withColumn(
+            "residual", F.lit(rep["residual_matches"]).cast("bigint")
+        )
+        .withColumn(
+            "n_snapshots", F.lit(len(tbl.snapshots())).cast("bigint")
+        )
     )

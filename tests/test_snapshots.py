@@ -3704,7 +3704,8 @@ def test_constraint_ddl_add_validate_drop(spark, tmp_path):
         t2.append(spark.createDataFrame([(2, -2.0)], "k int, v double"))
 
 
-def test_cdc_lifecycle_model_with_constraints(spark, tmp_path):
+@pytest.mark.parametrize("seed", [20260815, 424243])
+def test_cdc_lifecycle_model_with_constraints(spark, tmp_path, seed):
     """Lifecycle model with LIVE CHECK constraints: random append / merge
     / CoW+MoR update / compact / rollback interleaved with ADD/DROP
     CONSTRAINT ('val < limit'). The model predicts from its own state
@@ -3714,7 +3715,7 @@ def test_cdc_lifecycle_model_with_constraints(spark, tmp_path):
     not a side channel); invalid adds (existing rows violate) refuse."""
     import random
 
-    rng = random.Random(20260815)
+    rng = random.Random(seed)
     tbl = SnapshotTable(str(tmp_path / "cons"))
     vis: dict[int, dict[int, float]] = {}
     cons_at: dict[int, dict[str, float]] = {}
@@ -3852,3 +3853,44 @@ def test_cdc_lifecycle_model_with_constraints(spark, tmp_path):
         assert got == vis[published[-1]], f"step {step} ({op})"
         live = tbl._meta(published[-1]).get("constraints") or {}
         assert set(live) == set(cons_at[published[-1]]), f"step {step} ({op})"
+
+
+def test_forget_erases_bytes_and_history(spark, tmp_path):
+    """GDPR forget(): matching rows vanish from the HEAD, from TIME
+    TRAVEL (older snapshots dropped), and from the raw surviving BYTES —
+    including rows an earlier MoR delete had merely hidden inside data
+    files; refusals while tags or staged snapshots pin history."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    rows = [(i, f"u{i % 3}") for i in range(12)]
+    t.append(spark.createDataFrame(rows[:6], "rid int, owner string"))
+    t.append(spark.createDataFrame(rows[6:], "rid int, owner string"))
+    # hide one matching row via MoR first: its bytes stay in the file
+    t.delete_where(spark, "rid = 0", strategy="mor")
+    # tag blocks erasure
+    t.tag("pin", t.snapshots()[0])
+    with pytest.raises(ValueError, match="tags/branches"):
+        t.forget(spark, "owner = 'u0'")
+    t.untag("pin")
+    sv = t.stage_append(
+        spark.createDataFrame([(99, "u0")], "rid int, owner string"),
+        wap_id="w1",
+    )
+    with pytest.raises(ValueError, match="staged"):
+        t.forget(spark, "owner = 'u0'")
+    # clear the staged snapshot: move the head forward and expire it
+    t.rollback(to=t._latest_published())
+    t.expire(keep_from=t._latest_published())
+    rep = t.forget(spark, "owner = 'u0'")
+    # u0 owners: rid 0,3,6,9 -> matched counts only VISIBLE rows (rid 0
+    # was MoR-hidden, then folded away by the compact step)
+    assert rep["matched"] == 3 and rep["residual_matches"] == 0
+    got = sorted(r.rid for r in t.read(spark).collect())
+    assert got == [1, 2, 4, 5, 7, 8, 10, 11]
+    # single surviving snapshot: no time travel to the pre-forget world
+    assert len(t.snapshots()) == 1
+    # raw bytes: no surviving file contains an erased owner
+    files = t._manifest(t.snapshots()[-1])
+    raw = spark.read.parquet(
+        *[f"{tmp_path}/t/{f}" for f in files]
+    )
+    assert raw.filter(F.col("owner") == "u0").count() == 0
