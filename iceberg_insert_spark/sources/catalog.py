@@ -182,12 +182,20 @@ class LocalCatalog:
                     "identifier space"
                 )
             loc = location or os.path.join(self.root, ns, tbl)
+            # `constraints` is deliberately NOT replayed through the
+            # registry: it persists in the table's own manifests, and a
+            # registry copy would make every load_table() handle
+            # re-assert the CREATION-TIME set on each commit — silently
+            # reverting later add_constraint/drop_constraint DDL
+            # (review catch). The creating handle below still receives
+            # it to seed the first commit.
             reg["tables"][ident] = {
                 "location": loc,
                 "properties": dict(properties or {}),
                 "table_kwargs": {
                     k: list(v) if isinstance(v, (list, tuple)) else v
                     for k, v in table_kwargs.items()
+                    if k != "constraints"
                 },
                 "created_ts": time.time(),
             }
@@ -249,7 +257,7 @@ class LocalCatalog:
     # tolerated but not captured, so dependency discovery and create
     # validation see the table name behind a pinned reference too
     _VIEW_REF_RE = re.compile(
-        r"\{\{\s*([A-Za-z_][\w.]*)\s*(?:@\s*(?:\d+|ts:[^}\s]+)\s*)?\}\}"
+        r"\{\{\s*([A-Za-z_][\w.]*)\s*(?:@\s*(?:\d+|ts:[^}]+?)\s*)?\}\}"
     )
 
     def create_view(
@@ -344,9 +352,12 @@ class LocalCatalog:
 
     # ``{{ns.ident}}`` or ``{{ns.table@N}}`` — the optional pin is
     # Iceberg's VERSION AS OF, spoken through the catalog
+    # the ts capture admits spaces ([^}]+?): datetime.fromisoformat
+    # accepts 'YYYY-MM-DD HH:MM:SS', and an unmatched placeholder would
+    # otherwise surface as a baffling Catalyst error on literal '{{'
     _SQL_REF_RE = re.compile(
         r"\{\{\s*([A-Za-z_][\w.]*)\s*"
-        r"(?:@\s*(?:(\d+)|ts:\s*([^}\s]+))\s*)?\}\}"
+        r"(?:@\s*(?:(\d+)|ts:\s*([^}]+?))\s*)?\}\}"
     )
 
     def sql(
@@ -484,9 +495,40 @@ class LocalCatalog:
     )
     _UPDATE_RE = re.compile(
         r"^\s*UPDATE\s+\{\{\s*([A-Za-z_][\w.]*)\s*\}\}\s+"
-        r"SET\s+(.+?)\s+WHERE\s+(.+)$",
+        r"SET\s+(.+)$",
         re.IGNORECASE | re.DOTALL,
     )
+
+    @staticmethod
+    def _split_on_where(raw: str) -> tuple[str, str]:
+        """Split ``<assignments> WHERE <predicate>`` on the FIRST
+        top-level WHERE keyword — quote- and paren-aware, because a SET
+        expression may contain the word inside a string literal or a
+        parenthesized subexpression (review catch: a regex split cut
+        \"SET note = 'as where is' WHERE k = 1\" mid-literal)."""
+        depth, quote = 0, None
+        i, n = 0, len(raw)
+        while i < n:
+            ch = raw[i]
+            if quote:
+                if ch == quote:
+                    quote = None
+            elif ch in ("'", '"'):
+                quote = ch
+            elif ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            elif depth == 0 and raw[i : i + 5].upper() == "WHERE":
+                before_ok = i == 0 or raw[i - 1].isspace()
+                after = raw[i + 5 : i + 6]
+                if before_ok and (after == "" or after.isspace()):
+                    return raw[:i].strip(), raw[i + 5 :].strip()
+            i += 1
+        raise ValueError(
+            "expected 'UPDATE {{namespace.table}} SET col = expr "
+            "WHERE ...'"
+        )
 
     @staticmethod
     def _split_assignments(raw: str) -> dict[str, str]:
@@ -558,7 +600,13 @@ class LocalCatalog:
                 "expected 'UPDATE {{namespace.table}} SET col = expr "
                 "WHERE ...'"
             )
-        ident, assigns, pred = m.group(1), m.group(2), m.group(3)
+        ident, rest = m.group(1), m.group(2)
+        assigns, pred = self._split_on_where(rest)
+        if not assigns or not pred:
+            raise ValueError(
+                "expected 'UPDATE {{namespace.table}} SET col = expr "
+                "WHERE ...'"
+            )
         if ident in self._read().get("views", {}):
             raise ValueError(f"cannot UPDATE view {ident!r}")
         return self.load_table(ident).update_where(
@@ -588,13 +636,21 @@ class LocalCatalog:
         paths (returning the new snapshot version) and everything else
         to :meth:`sql` (returning a DataFrame) — what a SQL console
         wired to this catalog would call per statement."""
-        if self._INSERT_RE.match(sql):
+        # Dispatch on the LEADING KEYWORD, not on full-grammar regex
+        # matches (review catch): a near-miss like 'DELETE FROM {{t}}'
+        # without WHERE must get the verb's clean grammar error, not
+        # fall through to sql() and die in Spark as an unsupported
+        # DELETE on a temp view.
+        head = sql.split(None, 2)
+        verb = head[0].upper() if head else ""
+        if verb == "INSERT":
+            word2 = head[1].upper() if len(head) > 1 else ""
+            if word2 == "OVERWRITE":
+                return self.sql_overwrite(spark, sql)
             return self.sql_insert(spark, sql)
-        if self._OVERWRITE_RE.match(sql):
-            return self.sql_overwrite(spark, sql)
-        if self._DELETE_RE.match(sql):
+        if verb == "DELETE":
             return self.sql_delete(spark, sql)
-        if self._UPDATE_RE.match(sql):
+        if verb == "UPDATE":
             return self.sql_update(spark, sql)
         return self.sql(spark, sql)
 

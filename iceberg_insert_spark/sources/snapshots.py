@@ -116,8 +116,13 @@ class SnapshotTable:
         # passes). Engine rewrites that cannot change values (replace/
         # compaction, publish, delete survivor rewrites) skip the guard.
         # None = inherit the table's recorded constraints; an explicit
-        # dict records itself in the manifest like a table property
-        # ({} clears). At 100 TB the guard is row-local inside
+        # dict RE-ASSERTS that exact set on every commit ({} clears) —
+        # use it to seed a new table or deliberately reset, and default
+        # handles + the DDL (add_constraint/drop_constraint) for
+        # evolving tables: a long-lived explicit handle would revert
+        # DDL other writers committed meanwhile (review catch — the
+        # catalog strips `constraints` from registry kwargs for exactly
+        # this reason). At 100 TB the guard is row-local inside
         # whole-stage codegen — the cost is an expression, not a scan.
         if constraints is not None:
             for cname, cexpr in constraints.items():
@@ -149,6 +154,12 @@ class SnapshotTable:
     # through rewrites (Iceberg v3: row ids are virtual — first_row_id
     # + position — until a rewrite moves the row, then they must be
     # written down); reserved __iis_ prefix keeps user data out
+    # Pure TABLE PROPERTIES every metadata-only commit must carry
+    # forward (one list, five consumers — review catch: five hand-copied
+    # tuples meant the next property had to be added in five places or
+    # silently drop on the first ALTER/evolve/rollback that forgot it).
+    _PROP_CARRY = ("write_distribution", "row_lineage", "constraints")
+
     _LIN_ROWID = "__iis_row_id"
     _LIN_LASTSEQ = "__iis_last_seq"
 
@@ -2078,9 +2089,7 @@ class SnapshotTable:
                 "file_partitions",
                 "partition_by",
                 "file_schema_v",
-                "write_distribution",
-                "row_lineage",
-                "constraints",
+                *SnapshotTable._PROP_CARRY,
             ):
                 if carry in meta:
                     emeta[carry] = meta[carry]
@@ -2116,9 +2125,7 @@ class SnapshotTable:
                 "delete_files",
                 "file_partitions",
                 "file_schema_v",
-                "write_distribution",
-                "row_lineage",
-                "constraints",
+                *SnapshotTable._PROP_CARRY,
             ):
                 if carry in meta:
                     emeta[carry] = meta[carry]
@@ -2146,7 +2153,9 @@ class SnapshotTable:
         is safe)."""
         if not name or not isinstance(expr, str) or not expr:
             raise ValueError("constraint needs a name and a SQL expr")
+        scanned_base = None
         if validate:
+            scanned_base = self._latest_published()
             bad = (
                 self.read(spark)
                 .filter(F.expr(expr) == False)  # noqa: E712
@@ -2162,6 +2171,18 @@ class SnapshotTable:
             base = self._latest_published()
             if base is None:
                 raise ValueError("nothing published to constrain")
+            # Optimistic validation (review catch — the TOCTOU third
+            # order): the O(table) scan ran OUTSIDE the lock against
+            # scanned_base; a write landing between scan and lock was
+            # NOT guarded by this constraint and may violate it, so the
+            # scan is stale. Abort with the house conflict, caller
+            # retries against the current state (the expected_base
+            # pattern of compact_with_retry).
+            if validate and base != scanned_base:
+                raise CommitConflict(
+                    "table advanced during constraint validation; "
+                    "re-run add_constraint against the current state"
+                )
             meta = self._meta(base)
             cons = dict(meta.get("constraints") or {})
             if name in cons:
@@ -2180,8 +2201,9 @@ class SnapshotTable:
                 "file_partitions",
                 "partition_by",
                 "file_schema_v",
-                "write_distribution",
-                "row_lineage",
+                # property carry MINUS constraints (set explicitly above)
+                *(k for k in SnapshotTable._PROP_CARRY
+                  if k != "constraints"),
             ):
                 if carry in meta:
                     emeta[carry] = meta[carry]
@@ -2217,8 +2239,9 @@ class SnapshotTable:
                 "file_partitions",
                 "partition_by",
                 "file_schema_v",
-                "write_distribution",
-                "row_lineage",
+                # property carry MINUS constraints (set explicitly above)
+                *(k for k in SnapshotTable._PROP_CARRY
+                  if k != "constraints"),
             ):
                 if carry in meta:
                     emeta[carry] = meta[carry]
@@ -3598,9 +3621,7 @@ class SnapshotTable:
             "schema",
             "schema_v",
             "delete_files",
-            "write_distribution",
-            "row_lineage",
-            "constraints",
+            *SnapshotTable._PROP_CARRY,
         ):
             if carry in base_meta:
                 pmeta[carry] = base_meta[carry]
@@ -3699,9 +3720,7 @@ class SnapshotTable:
                 "file_partitions",
                 "partition_by",
                 "file_schema_v",
-                "write_distribution",
-                "row_lineage",
-                "constraints",
+                *SnapshotTable._PROP_CARRY,
             ):
                 if carry in tmeta:
                     rmeta[carry] = tmeta[carry]
@@ -4550,9 +4569,14 @@ class SnapshotTable:
           1. ``delete_where(predicate)`` (CoW) — the head stops matching;
           2. ``expire(keep_from=head)`` — every older snapshot drops and
              its exclusive files are DELETED;
-          3. verification — every surviving data file is re-read RAW
-             (not through MoR masking) and asserted to contain zero
-             matching rows; the report carries the residual count.
+          3. verification — every surviving data file is re-read and
+             asserted to contain zero matching rows. The read is
+             UNMASKED by construction (zero delete files survive a CoW
+             delete — runtime-checked) yet era-RESOLVED, so files
+             predating a rename/add-column verify under the current
+             names instead of crashing or vacuously passing; a
+             concurrent commit/tag landing mid-compose voids the claim
+             and raises instead of reporting stale success.
 
         Refuses while tags, branches, or staged (WAP) snapshots exist:
         each would keep serving the rows past the erasure (releasing
@@ -4588,16 +4612,32 @@ class SnapshotTable:
         )
         v = self.delete_where(spark, predicate)
         reclaimed = self.expire(keep_from=v)
-        survivors = self._manifest(v)
-        residual = 0
-        if survivors:
-            residual = (
-                spark.read.parquet(
-                    *[os.path.join(self.path, f) for f in survivors]
-                )
-                .filter(F.expr(predicate))
-                .count()
+        # Single-maintainer contract, enforced not assumed (review
+        # catch): forget is a multi-commit composition; if ANY commit,
+        # tag, or stage landed meanwhile, the erasure claim is void —
+        # fail loudly instead of reporting a stale verification.
+        if self._latest_published() != v or self._refs():
+            raise RuntimeError(
+                "table advanced (or grew refs) during forget — erasure "
+                "NOT verified; re-run forget against the current state"
             )
+        vmeta = self._meta(v)
+        if vmeta.get("delete_files"):
+            raise RuntimeError(
+                "surviving snapshot carries delete files — a concurrent "
+                "MoR write raced forget; re-run"
+            )
+        survivors = vmeta["files"]
+        # Era-safe verification (review catch): survivors may predate a
+        # rename/add-column, where a raw parquet read either crashes on
+        # the unresolved current-name column or reads it as NULL and
+        # proves nothing. With zero delete files, read(as_of=v) applies
+        # NO masking — it is exactly the surviving bytes, resolved onto
+        # the current schema, so the predicate evaluates old-era files
+        # correctly.
+        residual = (
+            self.read(spark, as_of=v).filter(F.expr(predicate)).count()
+        )
         if residual:
             raise RuntimeError(
                 f"forget verification FAILED: {residual} matching rows "

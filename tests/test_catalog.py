@@ -654,3 +654,69 @@ def test_sql_dml_verbs_and_refusals(spark, tmp_path):
         cat.sql_update(
             spark, "UPDATE {{db.t}} SET k2 = 1, k2 = 2 WHERE k2 = 1"
         )
+
+
+def test_catalog_handles_do_not_revert_constraint_ddl(spark, tmp_path):
+    """A table created THROUGH the catalog with constraints must honor
+    later add_constraint from any handle: the registry does not replay
+    creation-time constraints (they live in manifests), so a fresh
+    load_table enforces the evolved set instead of silently reverting
+    it (review catch)."""
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("db")
+    t = cat.create_table("db.t", constraints={"pos": "v > 0"})
+    t.append(spark.createDataFrame([(1, 5.0)], "k int, v double"))
+    cat.load_table("db.t").add_constraint(spark, "cap", "v < 100")
+    with pytest.raises(Exception, match="CHECK constraint"):
+        cat.sql_insert(
+            spark, "INSERT INTO {{db.t}} SELECT 2 AS k, 500.0 AS v"
+        )
+    live = cat.load_table("db.t")
+    assert set(
+        live._meta(live._latest_published()).get("constraints", {})
+    ) == {"pos", "cap"}
+    # the creation-time constraint still enforces too
+    with pytest.raises(Exception, match="CHECK constraint"):
+        cat.sql_insert(
+            spark, "INSERT INTO {{db.t}} SELECT 3 AS k, -1.0 AS v"
+        )
+
+
+def test_sql_dml_quoted_where_and_near_miss_grammar(spark, tmp_path):
+    """Review catches: a SET expression containing 'where' inside a
+    string literal must not split the statement mid-literal, and
+    near-miss DML through execute() gets the verb's grammar error, not
+    a Spark temp-view crash; ts pins accept space-separated ISO."""
+    import time
+
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("db")
+    t = cat.create_table("db.t")
+    t.append(spark.createDataFrame([(1, "x")], "k int, note string"))
+    cat.execute(
+        spark,
+        "UPDATE {{db.t}} SET note = 'as where is' WHERE k = 1",
+    )
+    assert [
+        r.note for r in cat.sql(spark, "SELECT note FROM {{db.t}}").collect()
+    ] == ["as where is"]
+    with pytest.raises(ValueError, match="expected 'DELETE"):
+        cat.execute(spark, "DELETE FROM {{db.t}}")
+    with pytest.raises(ValueError, match="expected 'UPDATE"):
+        cat.execute(spark, "UPDATE {{db.t}} SET note = 'x'")
+    with pytest.raises(ValueError, match="expected 'INSERT OVERWRITE"):
+        cat.execute(spark, "INSERT OVERWRITE {{db.t}}")
+    # space-separated ISO ts pin resolves instead of leaking '{{'
+    import datetime
+
+    iso = (
+        datetime.datetime.fromtimestamp(
+            time.time() + 1, tz=datetime.timezone.utc
+        )
+        .replace(tzinfo=None)
+        .isoformat(sep=" ", timespec="seconds")
+    )
+    n = cat.sql(
+        spark, f"SELECT COUNT(*) AS n FROM {{{{db.t@ts:{iso}}}}}"
+    ).collect()[0].n
+    assert n == 1

@@ -3894,3 +3894,24 @@ def test_forget_erases_bytes_and_history(spark, tmp_path):
         *[f"{tmp_path}/t/{f}" for f in files]
     )
     assert raw.filter(F.col("owner") == "u0").count() == 0
+
+
+def test_forget_verifies_across_schema_eras(spark, tmp_path):
+    """forget() on a table whose surviving files PREDATE a rename: the
+    verification must evaluate the predicate on the old-era files under
+    the CURRENT name (era resolution), not crash or vacuously pass
+    (review catch)."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, "u0"), (2, "u1"), (3, "u0")], "rid int, owner string"
+        )
+    )
+    t.rename_column("owner", "cust")
+    t.append(
+        spark.createDataFrame([(4, "u0"), (5, "u2")], "rid int, cust string")
+    )
+    rep = t.forget(spark, "cust = 'u0'")
+    assert rep["matched"] == 3 and rep["residual_matches"] == 0
+    got = sorted((r.rid, r.cust) for r in t.read(spark).collect())
+    assert got == [(2, "u1"), (5, "u2")]
