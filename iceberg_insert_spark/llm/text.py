@@ -6,7 +6,7 @@ so they stay inside whole-stage codegen and scale linearly with data volume.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -1808,4 +1808,133 @@ def q_text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_hits"),
         F.min("p1").cast("bigint").alias("first_pos"),
+    )
+
+
+# Temperature-sampling scale constant: per-language keep probability
+# p_l = min(1, TSAMPLE_C / sqrt(n_l)) — the T=2 temperature flattening
+# (p_l * n_l ∝ sqrt(n_l): low-resource languages keep a larger share,
+# the multilingual-corpus rebalancing recipe). 5/sqrt(64..218) spans
+# ~0.34..0.63 on the driver corpus, so every language is genuinely
+# subsampled and genuinely differently.
+TSAMPLE_C = 5
+
+
+@query(
+    "q_docs_temperature_sample",
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1
+    ), u AS (
+        SELECT d.lang, c.n_docs,
+               CAST(CONCAT('0x',
+                    SUBSTR(md5(CAST(d.doc_id AS VARCHAR) || '#tsample'),
+                           1, 4)) AS BIGINT) AS u16
+        FROM documents d JOIN counts c ON c.lang = d.lang
+    )
+    SELECT lang, n_docs,
+           CAST(COUNT(*) FILTER (
+               WHERE u16 * u16 * n_docs
+                     < {TSAMPLE_C * TSAMPLE_C} * 4294967296
+           ) AS BIGINT) AS n_kept
+    FROM u
+    GROUP BY lang, n_docs
+    """,
+)
+def q_docs_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-BALANCED language resampling (T=2): keep each doc of
+    language l with p_l = min(1, C / sqrt(n_l)), so the sampled corpus'
+    language mass goes from n_l to ~C*sqrt(n_l) — the standard
+    multilingual rebalancing (p_l ∝ (n_l/N)^(1/T) per-doc) that keeps
+    low-resource languages from drowning. Completes the sampling family
+    (uniform / stratified / split / weighted) with the
+    distribution-reshaping flavor.
+
+    The sqrt NEVER enters either engine: squaring the keep inequality
+    (u16/65536 < C/sqrt(n_l)  <=>  u16^2 * n_l < C^2 * 65536^2) makes
+    the decision one exact BIGINT cross-multiplication on the keyed md5
+    uniform — both engines select IDENTICAL rows, stable across reruns
+    and cluster sizes (the q_docs_weighted_sample construction;
+    u16^2 * n_l tops out ~4e15, far under 2^63).
+
+    Scale shape: one groupBy for the language counts (KB-sized),
+    broadcast back onto the scan, then a row-local integer filter in
+    whole-stage codegen — no second shuffle; membership is a pure hash
+    of (doc_id, salt), so arrivals never reshuffle the existing sample.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    u16 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.col("doc_id").cast("string"), F.lit("#tsample"))
+            ),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    rhs = F.lit(TSAMPLE_C * TSAMPLE_C * 4294967296).cast("bigint")
+    kept_flag = (u16 * u16 * F.col("n_docs") < rhs).cast("bigint")
+    return (
+        d.join(F.broadcast(counts), "lang")
+        .groupBy("lang", "n_docs")
+        .agg(F.sum(kept_flag).cast("bigint").alias("n_kept"))
+    )
+
+
+@query(
+    "q_text_ppl_buckets",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+    ), g AS (
+        SELECT doc_id,
+               UNNEST(t[1 : LEN(t) - 1]) AS w1,
+               UNNEST(t[2 : LEN(t)]) AS w2
+        FROM toks WHERE LEN(t) >= 2
+    ), c2 AS (
+        SELECT w1, w2, COUNT(*) AS c12 FROM g GROUP BY w1, w2
+    ), c1 AS (
+        SELECT w1, COUNT(*) AS c1 FROM g GROUP BY w1
+    ), scored AS (
+        SELECT g.doc_id,
+               ROUND(CAST(SUM(CAST(ROUND(LN(CAST(c2.c12 AS DOUBLE) / c1.c1)
+                                         * 1000000) AS BIGINT)) AS DOUBLE)
+                     / 1000000.0 / COUNT(*), 6) AS avg_logprob
+        FROM g
+        JOIN c2 ON g.w1 = c2.w1 AND g.w2 = c2.w2
+        JOIN c1 ON g.w1 = c1.w1
+        GROUP BY g.doc_id
+    )
+    SELECT doc_id, avg_logprob,
+           CAST(NTILE(3) OVER (ORDER BY avg_logprob DESC, doc_id)
+                AS BIGINT) AS bucket
+    FROM scored
+    """,
+)
+def q_text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: rank every document by its
+    bigram-LM score and split the corpus into HEAD (bucket 1, most
+    corpus-typical = lowest perplexity), MIDDLE, TAIL — the filter CCNet
+    applies with a KenLM before keeping head+middle for training.
+    Composes q_text_bigram_lm's exact-integer score (micro-unit long
+    accumulation, engine-identical) with one ranked window; the
+    (avg_logprob DESC, doc_id) order is total, so bucket edges are
+    engine-stable even at score ties.
+
+    Scale note: NTILE is a global sort (range exchange). At 100 TB the
+    same cut comes from approx_percentile edges + a row-local CASE —
+    documented swap, same downstream semantics; the exact global rank
+    is the validation tier.
+    """
+    scored = q_text_bigram_lm(spark, sf_dir).select(
+        "doc_id", "avg_logprob"
+    )
+    w = Window.orderBy(F.desc("avg_logprob"), F.asc("doc_id"))
+    return scored.select(
+        "doc_id",
+        "avg_logprob",
+        F.ntile(3).over(w).cast("bigint").alias("bucket"),
     )
