@@ -986,3 +986,109 @@ def q_events_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_span_us"),
         )
     )
+
+
+@query(
+    "q_ts_cusum",
+    oracle="""
+    WITH bounds AS (
+        SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+        FROM events
+    ), daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS x
+        FROM events GROUP BY 1, 2
+    ), spine AS (
+        SELECT t.event_type,
+               CAST(UNNEST(GENERATE_SERIES(b.lo, b.hi, INTERVAL 1 DAY))
+                    AS DATE) AS d
+        FROM (SELECT DISTINCT event_type FROM daily) t CROSS JOIN bounds b
+    ), filled AS (
+        SELECT s.event_type, s.d, COALESCE(daily.x, 0) AS x
+        FROM spine s LEFT JOIN daily
+          ON daily.event_type = s.event_type AND daily.d = s.d
+    ), c AS (
+        SELECT f.event_type, f.d,
+               st.n * f.x - st.s AS cdev, st.n AS n
+        FROM filled f
+        JOIN (SELECT event_type, SUM(x) AS s, COUNT(*) AS n
+              FROM filled GROUP BY 1) st
+          ON st.event_type = f.event_type
+    ), r AS (
+        SELECT event_type, d, n,
+               CAST(SUM(cdev) OVER w AS BIGINT) AS run
+        FROM c
+        WINDOW w AS (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, STRFTIME(d, '%Y-%m-%d') AS day,
+           run - LEAST(CAST(0 AS BIGINT),
+                       CAST(MIN(run) OVER w AS BIGINT)) AS cusum,
+           CAST(run - LEAST(CAST(0 AS BIGINT),
+                            CAST(MIN(run) OVER w AS BIGINT))
+                > 3 * n AS BIGINT) AS burst
+    FROM r
+    WINDOW w AS (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM burst/change-point detection over each event type's daily
+    count series — the classic one-sided cumulative-sum chart
+    s_t = max(0, s_{t-1} + (x_t - mean)).
+
+    The max(0, ...) RECURRENCE is not an associative aggregate, but its
+    closed form is: s_t = R_t - min(0, min_{j<=t} R_j) with R the plain
+    running sum of deviations — so the whole detector is TWO stacked
+    window functions over one sort, no recursion, no UDF, and both
+    engines compute it identically. Deviations use the same
+    denominator-clearing trick as q_ts_autocorr (c_t = n*x_t - S is an
+    exact BIGINT; every comparison scales by n), so the chart is
+    bit-exact cross-engine. Burst fires when the chart exceeds 3 units
+    of daily count (3*n in scaled units).
+
+    Scale shape: the raw scan collapses to |types| x |days| rows first;
+    both windows share one (event_type) partitioning — a single
+    KB-sized sort at any corpus size.
+    """
+    from ..tables import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    spine = (
+        daily.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("event_type", F.explode(F.sequence("lo", "hi")).alias("d"))
+    )
+    filled = spine.join(daily, ["event_type", "d"], "left").select(
+        "event_type", "d", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    stats = filled.groupBy("event_type").agg(
+        F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    c = filled.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "d",
+        "n",
+        (F.col("n") * F.col("x") - F.col("s")).alias("cdev"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = c.withColumn("run", F.sum("cdev").over(w).cast("bigint"))
+    cusum = F.col("run") - F.least(
+        F.lit(0).cast("bigint"), F.min("run").over(w).cast("bigint")
+    )
+    return r.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        cusum.alias("cusum"),
+        (cusum > 3 * F.col("n")).cast("bigint").alias("burst"),
+    )

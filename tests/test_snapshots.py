@@ -3915,3 +3915,36 @@ def test_forget_verifies_across_schema_eras(spark, tmp_path):
     assert rep["matched"] == 3 and rep["residual_matches"] == 0
     got = sorted((r.rid, r.cust) for r in t.read(spark).collect())
     assert got == [(2, "u1"), (5, "u2")]
+
+
+def test_add_constraint_detects_scan_lock_race(spark, tmp_path):
+    """The TOCTOU third order, deterministically interleaved: a write
+    that lands BETWEEN add_constraint's validation scan and its commit
+    lock must abort the add with CommitConflict — otherwise the table
+    would publish a CHECK guarantee its live rows violate."""
+    from iceberg_insert_spark.sources.snapshots import CommitConflict
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, 5.0)], "k int, v double"))
+    racer = SnapshotTable(str(tmp_path / "t"))
+    real_read = t.read
+    fired = {"done": False}
+
+    def read_then_race(*args, **kwargs):
+        df = real_read(*args, **kwargs)
+        if not fired["done"]:
+            fired["done"] = True
+            # violating batch lands after the scan captured its base
+            racer.append(
+                spark.createDataFrame([(2, -7.0)], "k int, v double")
+            )
+        return df
+
+    t.read = read_then_race
+    with pytest.raises(CommitConflict, match="advanced during"):
+        t.add_constraint(spark, "pos", "v > 0")
+    live = SnapshotTable(str(tmp_path / "t"))
+    assert "constraints" not in live._meta(live._latest_published())
+    # the retry against the current state correctly refuses outright
+    with pytest.raises(ValueError, match="existing rows violate"):
+        live.add_constraint(spark, "pos", "v > 0")
