@@ -1520,3 +1520,134 @@ def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         exact_sum(F.col("value")).alias("volume"),
     )
+
+
+PSI_BINS = 10
+PSI_SPLIT_DAY = "2024-01-16"  # driver events span 2024-01-01..30
+
+
+@query(
+    "q_quality_drift",
+    oracle=f"""
+    WITH cents AS (
+        SELECT event_type,
+               CAST(ts AS DATE) < DATE '{PSI_SPLIT_DAY}' AS first_half,
+               CAST(ROUND(value * 100) AS BIGINT) AS vc
+        FROM events
+    ), bounds AS (
+        SELECT MIN(vc) AS lo, MAX(vc) AS hi FROM cents
+    ), binned AS (
+        SELECT c.event_type, c.first_half,
+               LEAST({PSI_BINS - 1},
+                     (c.vc - b.lo) * {PSI_BINS} // (b.hi - b.lo + 1))
+                   AS bin
+        FROM cents c CROSS JOIN bounds b
+    ), spine AS (
+        SELECT t.event_type, g.bin
+        FROM (SELECT DISTINCT event_type FROM binned) t
+        CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, {PSI_BINS - 1}))
+                    AS bin) g
+    ), counts AS (
+        SELECT s.event_type, s.bin,
+               COUNT(*) FILTER (WHERE b.first_half) AS c1,
+               COUNT(*) FILTER (WHERE NOT b.first_half) AS c2
+        FROM spine s
+        LEFT JOIN binned b
+          ON b.event_type = s.event_type AND b.bin = s.bin
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT event_type, SUM(c1) AS n1, SUM(c2) AS n2
+        FROM counts GROUP BY 1
+    ), terms AS (
+        SELECT c.event_type,
+               CAST(ROUND((
+                   (CAST(c.c1 + 1 AS DOUBLE) / (t.n1 + {PSI_BINS})
+                    - CAST(c.c2 + 1 AS DOUBLE) / (t.n2 + {PSI_BINS}))
+                   * LN((CAST(c.c1 + 1 AS DOUBLE) / (t.n1 + {PSI_BINS}))
+                        / (CAST(c.c2 + 1 AS DOUBLE)
+                           / (t.n2 + {PSI_BINS})))
+               ) * 1000000) AS BIGINT) AS term_micro
+        FROM counts c JOIN tot t ON t.event_type = c.event_type
+    )
+    SELECT event_type,
+           CAST(SUM(term_micro) AS BIGINT) AS psi_micro,
+           CAST(SUM(term_micro) > 100000 AS BIGINT) AS drifted
+    FROM terms
+    GROUP BY event_type
+    """,
+)
+def q_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-drift monitor: Population Stability Index of each event
+    type's VALUE distribution, first half of the window vs second —
+    the standard production-ML drift gate (PSI > 0.1 = investigate).
+
+    Exactness across engines: binning is pure integer math on CENTS
+    (value is a 2dp double, so cents are exact; equal-width bins via
+    one integer cross-multiplication — no float edge can disagree);
+    Laplace(+1) smoothing keeps empty bins finite; each PSI term is
+    (p-q)*ln(p/q) on IEEE doubles built from identical exact integers,
+    rounded to micro-units per term and SUMMED AS BIGINT (the bigram-LM
+    pattern: transcendental per-term, exact accumulation — the sum
+    cannot drift with partition order). The full-bin spine (types x
+    bins) makes one-sided-empty bins contribute, not vanish.
+
+    Scale shape: one scan collapses to |types| x 2 x bins counts
+    (map-side combine); everything after is KB-sized. The split
+    predicate and bin edges push into the scan stage.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_type",
+        (F.to_date("ts") < F.lit(PSI_SPLIT_DAY).cast("date")).alias(
+            "first_half"
+        ),
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    bounds = cents.agg(
+        F.min("vc").alias("lo"), F.max("vc").alias("hi")
+    )
+    # `div`, not `/`: Spark's `/` on longs is DOUBLE division, whose
+    # rounding could in principle disagree with DuckDB's integer `//`
+    # at a bin edge — integer division on both sides can't.
+    binned = cents.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        "first_half",
+        F.least(
+            F.lit(PSI_BINS - 1).cast("bigint"),
+            F.expr(f"((vc - lo) * {PSI_BINS}) div (hi - lo + 1)"),
+        ).cast("bigint").alias("bin"),
+    )
+    spine = (
+        binned.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.range(PSI_BINS).select(F.col("id").alias("bin"))
+            )
+        )
+    )
+    counts = (
+        spine.join(binned, ["event_type", "bin"], "left")
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count(F.when(F.col("first_half") == True, 1)).alias("c1"),  # noqa: E712
+            F.count(F.when(F.col("first_half") == False, 1)).alias("c2"),  # noqa: E712
+        )
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    j = counts.join(F.broadcast(tot), "event_type")
+    p = (F.col("c1") + 1).cast("double") / (F.col("n1") + PSI_BINS)
+    q = (F.col("c2") + 1).cast("double") / (F.col("n2") + PSI_BINS)
+    term = F.round(((p - q) * F.log(p / q)) * 1000000).cast("bigint")
+    return (
+        j.select("event_type", term.alias("term_micro"))
+        .groupBy("event_type")
+        .agg(F.sum("term_micro").cast("bigint").alias("psi_micro"))
+        .select(
+            "event_type",
+            "psi_micro",
+            (F.col("psi_micro") > 100000).cast("bigint").alias("drifted"),
+        )
+    )
