@@ -1092,3 +1092,95 @@ def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         cusum.alias("cusum"),
         (cusum > 3 * F.col("n")).cast("bigint").alias("burst"),
     )
+
+
+@query(
+    "q_ts_seasonality",
+    oracle="""
+    WITH bounds AS (
+        SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+        FROM events
+    ), daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS x
+        FROM events GROUP BY 1, 2
+    ), spine AS (
+        SELECT t.event_type,
+               CAST(UNNEST(GENERATE_SERIES(b.lo, b.hi, INTERVAL 1 DAY))
+                    AS DATE) AS d
+        FROM (SELECT DISTINCT event_type FROM daily) t CROSS JOIN bounds b
+    ), filled AS (
+        SELECT s.event_type, s.d, COALESCE(daily.x, 0) AS x,
+               CAST(ISODOW(s.d) AS BIGINT) AS dow
+        FROM spine s LEFT JOIN daily
+          ON daily.event_type = s.event_type AND daily.d = s.d
+    ), tot AS (
+        SELECT event_type, SUM(x) AS s, COUNT(*) AS n
+        FROM filled GROUP BY 1
+    )
+    SELECT f.event_type, f.dow,
+           CAST(COUNT(*) AS BIGINT) AS days_n,
+           CAST(SUM(f.x) AS BIGINT) AS sum_x,
+           CAST(SUM(f.x) * t.n * 1000000
+                // (COUNT(*) * t.s) AS BIGINT) AS idx_ppm
+    FROM filled f JOIN tot t ON t.event_type = f.event_type
+    GROUP BY f.event_type, f.dow, t.n, t.s
+    """,
+)
+def q_ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonality indices: for each (event type, ISO weekday),
+    the mean daily count relative to the type's overall mean, in exact
+    ppm — idx 1,000,000 = flat; the multiplicative seasonal factors a
+    forecaster divides out. Completes the exact time-series toolkit
+    (EWMA, lag-k ACF, CUSUM, seasonal indices) on the gap-filled
+    calendar (zero days count — a weekday that never fires is signal).
+
+    Exactness: idx = (sum_w / days_w) / (S / n) clears all denominators
+    into ONE integer expression sum_w * n * 1e6 div (days_w * S) —
+    integer division on both engines (Spark `div`, DuckDB `//`,
+    non-negative operands so floor == trunc). Weekday parity: Spark
+    weekday()+1 == DuckDB ISODOW (Monday=1..7) — the cross-engine trap
+    with dayofweek (Sunday=1 vs Sunday=0) never enters.
+
+    Scale shape: identical two-tier plan to the other ts operators —
+    the scan collapses to |types| x |days| first.
+    """
+    from ..tables import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    spine = (
+        daily.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("event_type", F.explode(F.sequence("lo", "hi")).alias("d"))
+    )
+    filled = spine.join(daily, ["event_type", "d"], "left").select(
+        "event_type",
+        (F.weekday("d") + 1).cast("bigint").alias("dow"),
+        F.coalesce("x", F.lit(0)).alias("x"),
+    )
+    tot = filled.groupBy("event_type").agg(
+        F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        filled.groupBy("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("days_n"),
+            F.sum("x").cast("bigint").alias("sum_x"),
+        )
+        .join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "dow",
+            F.col("days_n").cast("bigint"),
+            "sum_x",
+            F.expr("sum_x * n * 1000000 div (days_n * s)")
+            .cast("bigint")
+            .alias("idx_ppm"),
+        )
+    )

@@ -1099,3 +1099,48 @@ def test_semantic_dedup_planted_groups(spark):
         cluster_cap=1,
     ).collect()
     assert all(r.keep == 1 and r.rep_id == r.vec_id for r in capped)
+
+
+_EXPR_ATOMS = st.sampled_from(
+    [
+        "v + 1",
+        "round(v, 2)",
+        "coalesce(v, 0)",
+        "'a,b'",
+        "'as where is'",
+        '"x, where"',
+        "greatest(v, least(1, 2))",
+        "CASE WHEN s = 'x,y' THEN 1 ELSE 2 END",
+        "(v + 1) * (v - 2)",
+        "substr(s, 1, 3)",
+    ]
+)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b2", "c_3", "val", "note"]),
+            _EXPR_ATOMS,
+        ),
+        min_size=1,
+        max_size=5,
+        unique_by=lambda t: t[0],
+    ),
+    _EXPR_ATOMS,
+)
+@settings(max_examples=200, deadline=None)
+def test_sql_update_parser_roundtrip(assigns, pred_atom):
+    """Property: for any SET list built from expressions containing
+    quoted commas, quoted WHERE keywords, and nested parens, the
+    front-end's quote/paren-aware parsing recovers exactly the
+    assignments and the predicate — no mid-literal splits ever."""
+    from iceberg_insert_spark.sources.catalog import LocalCatalog
+
+    set_clause = ", ".join(f"{c} = {e}" for c, e in assigns)
+    pred = f"k > 0 AND s <> {pred_atom}" if "'" in pred_atom else "k > 0"
+    rest = f"{set_clause} WHERE {pred}"
+    got_assigns, got_pred = LocalCatalog._split_on_where(rest)
+    assert got_pred == pred
+    parsed = LocalCatalog._split_assignments(got_assigns)
+    assert parsed == {c: e for c, e in assigns}
