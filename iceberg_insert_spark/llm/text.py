@@ -1259,9 +1259,10 @@ def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_text_bigram_lm",
-    oracle="""
+# Bigram-LM scoring CTEs, shared by BOTH oracles that need the score
+# (q_text_bigram_lm, q_text_ppl_buckets) so a scoring change can never
+# update one and silently diverge the other (review catch).
+_BIGRAM_SCORE_CTES = """
     WITH toks AS (
         SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
     ), g AS (
@@ -1273,16 +1274,25 @@ def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT w1, w2, COUNT(*) AS c12 FROM g GROUP BY w1, w2
     ), c1 AS (
         SELECT w1, COUNT(*) AS c1 FROM g GROUP BY w1
+    ), scored AS (
+        SELECT g.doc_id,
+               COUNT(*) AS n_bigrams,
+               ROUND(CAST(SUM(CAST(ROUND(LN(CAST(c2.c12 AS DOUBLE) / c1.c1)
+                                         * 1000000) AS BIGINT)) AS DOUBLE)
+                     / 1000000.0 / COUNT(*), 6) AS avg_logprob
+        FROM g
+        JOIN c2 ON g.w1 = c2.w1 AND g.w2 = c2.w2
+        JOIN c1 ON g.w1 = c1.w1
+        GROUP BY g.doc_id
     )
-    SELECT g.doc_id,
-           COUNT(*) AS n_bigrams,
-           ROUND(CAST(SUM(CAST(ROUND(LN(CAST(c2.c12 AS DOUBLE) / c1.c1)
-                                     * 1000000) AS BIGINT)) AS DOUBLE)
-                 / 1000000.0 / COUNT(*), 6) AS avg_logprob
-    FROM g
-    JOIN c2 ON g.w1 = c2.w1 AND g.w2 = c2.w2
-    JOIN c1 ON g.w1 = c1.w1
-    GROUP BY g.doc_id
+"""
+
+
+@query(
+    "q_text_bigram_lm",
+    oracle=_BIGRAM_SCORE_CTES
+    + """
+    SELECT doc_id, n_bigrams, avg_logprob FROM scored
     """,
 )
 def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1886,28 +1896,8 @@ def q_docs_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_text_ppl_buckets",
-    oracle="""
-    WITH toks AS (
-        SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
-    ), g AS (
-        SELECT doc_id,
-               UNNEST(t[1 : LEN(t) - 1]) AS w1,
-               UNNEST(t[2 : LEN(t)]) AS w2
-        FROM toks WHERE LEN(t) >= 2
-    ), c2 AS (
-        SELECT w1, w2, COUNT(*) AS c12 FROM g GROUP BY w1, w2
-    ), c1 AS (
-        SELECT w1, COUNT(*) AS c1 FROM g GROUP BY w1
-    ), scored AS (
-        SELECT g.doc_id,
-               ROUND(CAST(SUM(CAST(ROUND(LN(CAST(c2.c12 AS DOUBLE) / c1.c1)
-                                         * 1000000) AS BIGINT)) AS DOUBLE)
-                     / 1000000.0 / COUNT(*), 6) AS avg_logprob
-        FROM g
-        JOIN c2 ON g.w1 = c2.w1 AND g.w2 = c2.w2
-        JOIN c1 ON g.w1 = c1.w1
-        GROUP BY g.doc_id
-    )
+    oracle=_BIGRAM_SCORE_CTES
+    + """
     SELECT doc_id, avg_logprob,
            CAST(NTILE(3) OVER (ORDER BY avg_logprob DESC, doc_id)
                 AS BIGINT) AS bucket

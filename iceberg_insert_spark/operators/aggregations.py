@@ -1617,8 +1617,11 @@ def q_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"((vc - lo) * {PSI_BINS}) div (hi - lo + 1)"),
         ).cast("bigint").alias("bin"),
     )
+    # distinct types come from cents, BEFORE the bounds crossJoin — the
+    # spine branch must not drag a second full-table MIN/MAX subtree
+    # along (review catch)
     spine = (
-        binned.select("event_type")
+        cents.select("event_type")
         .distinct()
         .crossJoin(
             F.broadcast(

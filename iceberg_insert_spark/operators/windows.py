@@ -783,6 +783,32 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _daily_gapfilled(ev: DataFrame):
+    """Shared first tier of the exact time-series operators (ACF /
+    CUSUM / seasonality): collapse the raw event scan to gap-filled
+    (event_type, d, x) daily counts over the GLOBAL calendar — zero
+    days are real observations for all three. Returns (filled, bounds);
+    one definition so a spine fix can never land in only one query."""
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"),
+        F.max(F.to_date("ts")).alias("hi"),
+    )
+    spine = (
+        daily.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("event_type", F.explode(F.sequence("lo", "hi")).alias("d"))
+    )
+    filled = spine.join(daily, ["event_type", "d"], "left").select(
+        "event_type", "d", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    return filled, bounds
+
+
 @query(
     "q_ts_autocorr",
     oracle="""
@@ -851,22 +877,7 @@ def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag join is an equi-join on (type, t + lag); no window over raw rows.
     """
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.to_date("ts").alias("d")
-    ).agg(F.count(F.lit(1)).alias("x"))
-    bounds = ev.agg(
-        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
-    )
-    types = daily.select("event_type").distinct()
-    spine = types.crossJoin(F.broadcast(bounds)).select(
-        "event_type", F.explode(F.sequence("lo", "hi")).alias("d")
-    )
-    filled = (
-        spine.join(daily, ["event_type", "d"], "left")
-        .select(
-            "event_type", "d", F.coalesce("x", F.lit(0)).alias("x")
-        )
-    )
+    filled, bounds = _daily_gapfilled(ev)
     stats = filled.groupBy("event_type").agg(
         F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")
     )
@@ -1050,24 +1061,8 @@ def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     both windows share one (event_type) partitioning — a single
     KB-sized sort at any corpus size.
     """
-    from ..tables import load_table as _lt
-
-    ev = _lt(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.to_date("ts").alias("d")
-    ).agg(F.count(F.lit(1)).alias("x"))
-    bounds = ev.agg(
-        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
-    )
-    spine = (
-        daily.select("event_type")
-        .distinct()
-        .crossJoin(F.broadcast(bounds))
-        .select("event_type", F.explode(F.sequence("lo", "hi")).alias("d"))
-    )
-    filled = spine.join(daily, ["event_type", "d"], "left").select(
-        "event_type", "d", F.coalesce("x", F.lit(0)).alias("x")
-    )
+    ev = load_table(spark, sf_dir, "events")
+    filled, _bounds = _daily_gapfilled(ev)
     stats = filled.groupBy("event_type").agg(
         F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")
     )
@@ -1144,25 +1139,12 @@ def q_ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical two-tier plan to the other ts operators —
     the scan collapses to |types| x |days| first.
     """
-    from ..tables import load_table as _lt
-
-    ev = _lt(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.to_date("ts").alias("d")
-    ).agg(F.count(F.lit(1)).alias("x"))
-    bounds = ev.agg(
-        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
-    )
-    spine = (
-        daily.select("event_type")
-        .distinct()
-        .crossJoin(F.broadcast(bounds))
-        .select("event_type", F.explode(F.sequence("lo", "hi")).alias("d"))
-    )
-    filled = spine.join(daily, ["event_type", "d"], "left").select(
+    ev = load_table(spark, sf_dir, "events")
+    gf, _bounds = _daily_gapfilled(ev)
+    filled = gf.select(
         "event_type",
         (F.weekday("d") + 1).cast("bigint").alias("dow"),
-        F.coalesce("x", F.lit(0)).alias("x"),
+        "x",
     )
     tot = filled.groupBy("event_type").agg(
         F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")
