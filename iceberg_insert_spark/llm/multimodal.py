@@ -624,3 +624,86 @@ def phash_verdicts(payloads: DataFrame) -> DataFrame:
         "group_size",
         (F.col("doc_id") == F.col("rep_id")).cast("bigint").alias("keep"),
     )
+
+
+PHASH_BAND_BITS = 16  # 4 bands of 16 bits over the 64-bit hash
+PHASH_HAMMING_MAX = 4
+
+
+@query("q_mm_phash_hamming")
+def q_mm_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate images: pairs of PNG payloads whose aHash64 differ
+    in at most PHASH_HAMMING_MAX of 64 bits — the Hamming tier above
+    q_mm_phash's exact-hash groups, catching re-encoded / lightly edited
+    copies whose threshold pattern shifted in a few cells.
+
+    The scale shape is q_dedup_simhash's band probe applied to the image
+    hash: split the 64 bits into 4 disjoint 16-bit bands. By pigeonhole,
+    a pair at Hamming distance <= 3 leaves at least one band UNTOUCHED
+    and is always a candidate; at exactly 4 it is found unless each band
+    absorbed exactly one flip (the one documented miss, pinned in the
+    pytest). Candidates come from 4 equi-joins on (band, 16-bit key) —
+    never an all-pairs compare — and each is re-scored with an EXACT
+    popcount (row-local). Work scales with band-bucket collision mass.
+    Rows-only (PNG decode is not SQL-expressible); the recall bound and
+    pair semantics are pytest-pinned on crafted hashes.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", "text").mapInPandas(
+        _encode_png, schema="doc_id long, payload binary"
+    )
+    hashed = payloads.repartition("doc_id").mapInPandas(
+        _phash_features, schema="doc_id long, phash long, codec string"
+    ).filter(F.col("codec") == "png")
+    return phash_near_pairs(hashed)
+
+
+def phash_near_pairs(hashed: DataFrame) -> DataFrame:
+    """Banded Hamming join over a (doc_id, phash) frame: candidates from
+    4 x 16-bit band equi-joins, exact popcount re-score, pairs kept at
+    distance <= PHASH_HAMMING_MAX (exact-equal pairs excluded — those
+    are q_mm_phash's groups)."""
+    n_bands = 64 // PHASH_BAND_BITS
+    bands = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftrightunsigned(
+                        F.col("phash"), i * PHASH_BAND_BITS
+                    )
+                    .bitwiseAND(F.lit((1 << PHASH_BAND_BITS) - 1))
+                    .alias("key"),
+                )
+                for i in range(n_bands)
+            ]
+        )
+    ).alias("b")
+    sig = hashed.select("doc_id", "phash", bands).select(
+        "doc_id", "phash", F.col("b.band").alias("band"),
+        F.col("b.key").alias("key"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.phash").alias("ha"),
+            F.col("b.phash").alias("hb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    dist = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        dist.cast("bigint").alias("hamming"),
+    ).filter(
+        (F.col("hamming") > 0) & (F.col("hamming") <= PHASH_HAMMING_MAX)
+    )

@@ -417,3 +417,37 @@ def test_phash_golden_and_dedup(spark):
         assert r.rep_id <= r.doc_id
         assert r.keep == (1 if r.rep_id == r.doc_id else 0)
         assert r.group_size >= 1
+
+
+def test_phash_hamming_band_recall(spark):
+    """Banded Hamming join on crafted hashes: distance <= 3 always found
+    (pigeonhole over 4 x 16-bit bands), distance 4 found when any band
+    holds >= 2 flips, the one-flip-per-band distance-4 case is the
+    documented miss, distance > 4 and exact-equal pairs are excluded,
+    and reported distances are exact popcounts."""
+    from iceberg_insert_spark.llm.multimodal import phash_near_pairs
+
+    base = 0x123456789ABCDEF0
+    rows = [
+        (1, base),
+        (2, base ^ 0b111),                      # d=3, one band
+        (3, base ^ (1 | (1 << 20) | (1 << 40) | (1 << 60))),  # d=4, all bands
+        (4, base ^ (0xF << 8)),                 # d=4, one band
+        (5, base ^ 0x1F),                       # d=5: excluded
+        (6, base),                              # d=0 vs doc 1: excluded
+    ]
+    df = spark.createDataFrame(
+        [(i, h - (1 << 64) if h >= 1 << 63 else h) for i, h in rows],
+        "doc_id long, phash long",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in phash_near_pairs(df).collect()
+    }
+    assert got[(1, 2)] == 3 and got[(1, 4)] == 4
+    assert got[(2, 6)] == 3 and got[(4, 6)] == 4
+    assert (1, 3) not in got  # the documented one-flip-per-band miss
+    assert (1, 5) not in got and (1, 6) not in got
+    # popcount re-score kills band-collision candidates past the cut:
+    # docs 2 and 4 share band 3 (untouched in both) but sit at d=7
+    assert (2, 4) not in got

@@ -662,3 +662,15 @@ def test_events_ohlc_partial_aggregation(spark):
     exchanges = re.findall(r"^\(\d+\) Exchange", p, re.M)
     assert len(exchanges) == 1, exchanges
     assert "partial" in p.lower()
+
+
+def test_ts_cusum_single_sort_two_windows(spark):
+    """CUSUM = running sum + running min over the SAME (event_type, d)
+    sort: Catalyst must fuse both window functions into one partitioning
+    — one Exchange for the window stage plus the two tiny aggregates'
+    exchanges, and exactly one Sort."""
+    import re
+
+    p = plan_of(QUERIES["q_ts_cusum"](spark, SF_DIR))
+    sorts = re.findall(r"^\(\d+\) Sort", p, re.M)
+    assert len(sorts) == 1, sorts
