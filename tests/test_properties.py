@@ -1144,3 +1144,39 @@ def test_sql_update_parser_roundtrip(assigns, pred_atom):
     assert got_pred == pred
     parsed = LocalCatalog._split_assignments(got_assigns)
     assert parsed == {c: e for c, e in assigns}
+
+
+def test_mmr_suppresses_duplicates(spark):
+    """MMR semantics on a planted corpus: vector 0 and its EXACT
+    duplicate 1 both out-rank everything on relevance; at lam = 0.4 the
+    duplicate's score is 0.4*1 - 0.6*1 = -0.2 — strictly below every
+    near-orthogonal filler's ~0 — so MMR must never pick both, while a
+    plain relevance top-k WOULD take them 1-2. (At high lam MMR
+    CORRECTLY prefers the relevant duplicate over irrelevant fillers —
+    the tradeoff is the point, so the test pins the diversity-dominant
+    regime.)"""
+    import numpy as np
+
+    from iceberg_insert_spark.llm.similarity import mmr_select
+
+    rng = np.random.RandomState(3)
+    q = np.array([1.0] + [0.0] * 15)
+    best = q * 5.0
+    rows = [
+        (0, best.tolist()),
+        (1, best.tolist()),  # exact duplicate of the top hit
+    ]
+    for i in range(2, 12):
+        v = rng.standard_normal(16) * 0.1
+        v[i % 16] += 2.0  # mostly-orthogonal fillers
+        rows.append((i, v.tolist()))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    picked = mmr_select(emb, q.tolist(), k=4, lam=0.4)
+    ids = [pid for pid, _ in picked]
+    assert len(ids) == 4 and len(set(ids)) == 4
+    assert ids[0] == 0  # best relevance, tie vs 1 broken by vec_id
+    assert 1 not in ids  # the duplicate is suppressed
+    scores = [s for _, s in picked]
+    assert scores[0] == max(scores)
