@@ -855,13 +855,10 @@ def q_emb_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in crows:
         cent[r.pos] = r.m
     picked = mmr_select(emb, cent)
-    return (
-        SparkSession.getActiveSession()
-        .createDataFrame(
-            [
-                (rank + 1, pid, round(score, 6))
-                for rank, (pid, score) in enumerate(picked)
-            ],
-            "rank long, vec_id long, mmr_score double",
-        )
+    return spark.createDataFrame(
+        [
+            (rank + 1, pid, round(score, 6))
+            for rank, (pid, score) in enumerate(picked)
+        ],
+        "rank long, vec_id long, mmr_score double",
     )
