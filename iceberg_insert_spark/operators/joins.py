@@ -1521,3 +1521,103 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         nearest["ctype"].alias("nb_event_type"),
         F.abs(nearest["cus"] - F.col("pus")).cast("bigint").alias("dist_us"),
     )
+
+
+ATTRIB_WINDOW_US = 24 * 3600 * 1_000_000  # 24h lookback
+
+
+@query(
+    "q_events_attribution",
+    oracle=f"""
+    WITH purch AS (
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase'
+    ), credited AS (
+        SELECT p.event_id, p.value,
+               COALESCE(lt.event_type, 'organic') AS channel
+        FROM purch p
+        LEFT JOIN LATERAL (
+            SELECT e.event_type
+            FROM events e
+            WHERE e.user_id = p.user_id
+              AND e.event_type IN ('view', 'click')
+              AND e.ts < p.ts
+              AND epoch_us(CAST(p.ts AS TIMESTAMP))
+                  - epoch_us(CAST(e.ts AS TIMESTAMP)) <= {ATTRIB_WINDOW_US}
+            ORDER BY e.ts DESC, e.event_id DESC
+            LIMIT 1
+        ) lt ON true
+    )
+    SELECT channel,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM credited
+    GROUP BY channel
+    """,
+)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH attribution:every purchase credits the latest view/click
+    by the same user within a 24h lookback (else 'organic') — the
+    marketing-analytics credit assignment every events warehouse runs.
+
+    Shape: the q_join_asof union-window rewrite with a FILTERED base
+    (only touchpoint types enter the stream) and a window-bounded
+    accept: one user_id shuffle, one sort, no per-purchase probe join.
+    The 24h bound is checked AFTER the window picks the latest prior
+    touchpoint — correct because last-touch wants the newest one only
+    (an older in-window touchpoint must NOT be credited when the newest
+    prior one is stale; the LATERAL oracle encodes the same rule).
+    Sums are exact cents.
+    """
+    from ..tables import epoch_us
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", "ts", "event_id",
+        F.col("event_type").alias("touch"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(0).alias("is_probe"),
+    )
+    probe = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id",
+        F.lit(None).cast("string").alias("touch"),
+        "value",
+        F.lit(1).alias("is_probe"),
+    )
+    u = base.unionByName(probe)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.desc("is_probe"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_touch = F.last(
+        F.when(
+            F.col("is_probe") == 0,
+            F.struct(
+                F.col("touch").alias("t"),
+                epoch_us("ts").alias("tus"),
+            ),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    credited = (
+        u.withColumn("lt", last_touch)
+        .filter(F.col("is_probe") == 1)
+        .select(
+            "value",
+            F.when(
+                F.col("lt").isNotNull()
+                & (
+                    epoch_us("ts") - F.col("lt.tus")
+                    <= ATTRIB_WINDOW_US
+                ),
+                F.col("lt.t"),
+            )
+            .otherwise(F.lit("organic"))
+            .alias("channel"),
+        )
+    )
+    return credited.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+    )

@@ -4554,6 +4554,108 @@ class SnapshotTable:
                 self._atomic_json(self._bloom_sidecar_path(), btrim)
         return doomed
 
+    def clone_to(self, target_path: str) -> "SnapshotTable":
+        """SHALLOW CLONE (Delta's ``CREATE TABLE ... SHALLOW CLONE``):
+        a NEW independent table whose first snapshot references the
+        source's live data bytes with ZERO copy — hardlinks on one
+        filesystem, the local twin of manifest-level file sharing. The
+        clone reads identically to the source's head at clone time and
+        diverges independently afterwards: commits on either side never
+        touch the other (data files are immutable; a hardlink shares
+        bytes, not manifests), and either side's ``expire`` only
+        unlinks ITS name (the inode lives while any table references
+        it — exactly the ref-counting semantics shallow clones need).
+
+        Refused on tables whose read semantics travel OUTSIDE the data
+        bytes: live delete files (MoR state is seq-addressed against
+        source paths), row lineage (ids derive from source commit
+        seqs), and column-DDL history (era resolution maps names by
+        source-local versions) — ``compact`` folds the first;
+        DDL-history tables don't clone in v1, loudly. Stats/bloom
+        sidecar entries are re-keyed to the clone's paths, so pruning
+        works immediately with zero footer re-reads."""
+        head = self._latest_published()
+        if head is None:
+            raise ValueError("nothing published to clone")
+        meta = self._meta(head)
+        if meta.get("delete_files"):
+            raise ValueError(
+                "clone refused: live delete files — compact first"
+            )
+        if meta.get("row_lineage") or self.row_lineage:
+            raise ValueError(
+                "clone refused: row-lineage ids derive from source "
+                "commit sequences and cannot survive re-homing"
+            )
+        if meta.get("file_schema_v") or any(
+            k in (f.get("metadata") or {})
+            for f in (meta.get("schema") or {}).get("fields", [])
+            for k in ("iis_names", "iis_added_v", "iis_default")
+        ):
+            raise ValueError(
+                "clone refused: column-DDL history is table-local "
+                "(era resolution would mis-map on the clone)"
+            )
+        tgt = SnapshotTable(
+            target_path,
+            stats_cols=list(self.stats_cols),
+            bloom_cols=list(self.bloom_cols),
+            partition_by=list(
+                meta.get("partition_by", self.partition_by)
+            ),
+        )
+        os.makedirs(os.path.join(target_path, "_snap=1"), exist_ok=True)
+        os.makedirs(tgt._mdir, exist_ok=True)
+        src_stats = self._load_stats()
+        src_blooms = self._load_blooms()
+        new_files, fparts = [], {}
+        tstats, tblooms = {}, {}
+        old_parts = meta.get("file_partitions", {})
+        for i, rel in enumerate(meta["files"]):
+            dst_rel = os.path.join(
+                "_snap=1", f"clone-{i:05d}.parquet"
+            )
+            src_abs = os.path.join(self.path, rel)
+            dst_abs = os.path.join(target_path, dst_rel)
+            try:
+                os.link(src_abs, dst_abs)  # zero-copy
+            except OSError:
+                import shutil as _sh
+
+                _sh.copy2(src_abs, dst_abs)  # cross-device fallback
+            new_files.append(dst_rel)
+            if rel in old_parts:
+                fparts[dst_rel] = old_parts[rel]
+            if rel in src_stats:
+                tstats[dst_rel] = src_stats[rel]
+            if rel in src_blooms:
+                tblooms[dst_rel] = src_blooms[rel]
+        tmeta = {
+            "files": new_files,
+            "new_files": new_files,
+            "op": "clone",
+            "ts": time_time(),
+        }
+        if meta.get("schema") is not None:
+            tmeta["schema"] = meta["schema"]
+            tmeta["schema_v"] = 1
+        if fparts:
+            tmeta["file_partitions"] = fparts
+            tmeta["partition_by"] = meta.get(
+                "partition_by", self.partition_by
+            )
+        for carry in SnapshotTable._PROP_CARRY:
+            if carry in meta and carry not in (
+                "row_lineage",  # refused above
+            ):
+                tmeta[carry] = meta[carry]
+        tgt._write_manifest(1, tmeta)
+        if tstats:
+            tgt._atomic_json(tgt._stats_path(), tstats)
+        if tblooms:
+            tgt._atomic_json(tgt._bloom_sidecar_path(), tblooms)
+        return tgt
+
     def forget(self, spark: SparkSession, predicate: str) -> dict:
         """GDPR erasure ('right to be forgotten'): physically remove
         every row matching ``predicate`` from the table AND its history,
@@ -7181,4 +7283,57 @@ def q_snapshot_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "n_snapshots", F.lit(len(tbl.snapshots())).cast("bigint")
         )
+    )
+
+
+@query(
+    "q_snapshot_clone",
+    oracle="""
+    WITH src_final AS (
+        SELECT * FROM orders WHERE o_orderkey % 4 <> 1
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS clone_n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS clone_cents,
+           (SELECT COUNT(*) FROM src_final) AS src_n
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_snapshot_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE, DuckDB-oracled end-to-end: orders land in a source
+    table (two appends), `clone_to` re-homes the live files with zero
+    byte copy, and the two tables then DIVERGE — a CoW delete hits only
+    the source. The result aggregates the CLONE (must equal the oracle
+    over ALL of orders — the clone froze the pre-delete state) with the
+    source's post-delete count riding as an oracled constant proving
+    independence. Zero-copy and inode-survival claims are pytest-pinned
+    (test_shallow_clone_zero_copy_and_divergence).
+
+    At 100 TB this is the dev/test-environment verb: a writable copy of
+    a petabyte table in O(files) metadata + hardlink operations, no data
+    IO — and expire's unlink semantics give the shared bytes exactly the
+    ref-counted lifetime manifest-sharing clones need.
+    """
+    from ..tables import scratch_dir
+
+    base = scratch_dir(spark, sf_dir, "snap_clone")
+    o = load_table(spark, sf_dir, "orders")
+    src = SnapshotTable(f"{base}/src")
+    src.append(o.filter(F.col("o_orderkey") % 2 == 0))
+    src.append(o.filter(F.col("o_orderkey") % 2 == 1))
+    clone = src.clone_to(f"{base}/clone")
+    src.delete_where(spark, "o_orderkey % 4 = 1")
+    src_n = src.read(spark).count()
+    return (
+        clone.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("clone_n"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("clone_cents"),
+        )
+        .withColumn("src_n", F.lit(src_n).cast("bigint"))
     )

@@ -3948,3 +3948,53 @@ def test_add_constraint_detects_scan_lock_race(spark, tmp_path):
     # the retry against the current state correctly refuses outright
     with pytest.raises(ValueError, match="existing rows violate"):
         live.add_constraint(spark, "pos", "v > 0")
+
+
+def test_shallow_clone_zero_copy_and_divergence(spark, tmp_path):
+    """clone_to(): the clone reads identically to the source head with
+    ZERO byte copy (hardlinked inodes), diverges independently in both
+    directions, keeps pruning alive via re-keyed sidecars, survives
+    source expiry of shared files (inode refcount), and refuses on MoR
+    state / lineage / DDL history."""
+    src = SnapshotTable(str(tmp_path / "src"), stats_cols=["v"])
+    src.append(spark.createDataFrame([(1, 5.0), (2, 9.0)], "k int, v double"))
+    src.append(spark.createDataFrame([(3, 1.0)], "k int, v double"))
+    clone = src.clone_to(str(tmp_path / "clone"))
+    assert sorted(
+        (r.k, r.v) for r in clone.read(spark).collect()
+    ) == [(1, 5.0), (2, 9.0), (3, 1.0)]
+    # zero-copy: every non-empty cloned file shares its inode
+    linked = 0
+    for rel in clone._manifest(1):
+        st = os.stat(str(tmp_path / "clone" / rel))
+        if st.st_size > 0:
+            assert st.st_nlink >= 2, rel
+            linked += 1
+    assert linked > 0
+    # stats sidecar re-keyed: min_max answers from metadata immediately
+    assert clone.min_max(spark, "v") == (1.0, 9.0, True)
+    # divergence: each side's commits invisible to the other
+    clone.append(spark.createDataFrame([(9, 9.9)], "k int, v double"))
+    src.delete_where(spark, "k = 1")
+    assert src.read(spark).count() == 2
+    assert clone.read(spark).count() == 4
+    # source expire after a full overwrite: shared inodes survive for
+    # the clone even though the source unlinked its names
+    src.overwrite(spark.createDataFrame([(7, 7.0)], "k int, v double"))
+    src.expire(keep_from=src.snapshots()[-1])
+    assert clone.read(spark).count() == 4
+    # refusals
+    m = SnapshotTable(str(tmp_path / "m"))
+    m.append(spark.createDataFrame([(1, 2.0)], "k int, v double"))
+    m.delete_where(spark, "k = 1", strategy="mor")
+    with pytest.raises(ValueError, match="delete files"):
+        m.clone_to(str(tmp_path / "m2"))
+    lin = SnapshotTable(str(tmp_path / "lin"), row_lineage=True)
+    lin.append(spark.createDataFrame([(1, 2.0)], "k int, v double"))
+    with pytest.raises(ValueError, match="lineage"):
+        lin.clone_to(str(tmp_path / "lin2"))
+    ddl = SnapshotTable(str(tmp_path / "ddl"))
+    ddl.append(spark.createDataFrame([(1, 2.0)], "k int, v double"))
+    ddl.rename_column("v", "val")
+    with pytest.raises(ValueError, match="DDL history"):
+        ddl.clone_to(str(tmp_path / "ddl2"))
