@@ -594,11 +594,17 @@ def q_mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     not SQL-expressible); the hash math and dedup semantics are
     pytest-pinned on golden images (tests/test_multimodal_golden.py).
     """
+    return phash_verdicts(_corpus_payloads(spark, sf_dir))
+
+
+def _corpus_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents corpus as a (doc_id, payload) PNG frame — one
+    builder shared by every image-hash query (review catch: two copies
+    of the encode pipeline drifted a refactor away from diverging)."""
     d = load_table(spark, sf_dir, "documents")
-    payloads = d.select("doc_id", "text").mapInPandas(
+    return d.select("doc_id", "text").mapInPandas(
         _encode_png, schema="doc_id long, payload binary"
     )
-    return phash_verdicts(payloads)
 
 
 def phash_verdicts(payloads: DataFrame) -> DataFrame:
@@ -648,13 +654,15 @@ def q_mm_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only (PNG decode is not SQL-expressible); the recall bound and
     pair semantics are pytest-pinned on crafted hashes.
     """
-    d = load_table(spark, sf_dir, "documents")
-    payloads = d.select("doc_id", "text").mapInPandas(
-        _encode_png, schema="doc_id long, payload binary"
+    hashed = (
+        _corpus_payloads(spark, sf_dir)
+        .repartition("doc_id")
+        .mapInPandas(
+            _phash_features,
+            schema="doc_id long, phash long, codec string",
+        )
+        .filter(F.col("codec") == "png")
     )
-    hashed = payloads.repartition("doc_id").mapInPandas(
-        _phash_features, schema="doc_id long, phash long, codec string"
-    ).filter(F.col("codec") == "png")
     return phash_near_pairs(hashed)
 
 
@@ -694,16 +702,21 @@ def phash_near_pairs(hashed: DataFrame) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.phash").alias("ha"),
-            F.col("b.phash").alias("hb"),
+            F.bit_count(
+                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+            )
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        # popcount filter BEFORE the dedup exchange (review catch):
+        # exact-duplicate pairs collide in all 4 bands and dominate the
+        # candidate volume; the distance is identical for every copy of
+        # a pair, so filtering first is semantically identical and
+        # strictly shrinks the shuffle
+        .filter(
+            (F.col("hamming") > 0)
+            & (F.col("hamming") <= PHASH_HAMMING_MAX)
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    dist = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return cand.select(
-        "doc_a",
-        "doc_b",
-        dist.cast("bigint").alias("hamming"),
-    ).filter(
-        (F.col("hamming") > 0) & (F.col("hamming") <= PHASH_HAMMING_MAX)
-    )
+    return cand

@@ -800,8 +800,19 @@ def mmr_select(
     import numpy as np
 
     q = F.array(*[F.lit(float(x)) for x in query_vec])
+    # zero-norm guard (review catch): cosine of a zero vector is NaN,
+    # and NaN sorts ABOVE every double under desc — zero vectors
+    # (padding rows, failed encodes) would crowd out the shortlist.
+    nrm2 = F.aggregate(
+        F.zip_with(
+            "embedding", "embedding", lambda a, b: a.cast("double") * b
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     rows = (
-        emb.select(
+        emb.filter(nrm2 > 0.0)
+        .select(
             "vec_id", "embedding", cosine("embedding", q).alias("rel")
         )
         .orderBy(F.desc("rel"), F.asc("vec_id"))
@@ -813,18 +824,20 @@ def mmr_select(
     ids = np.array([r.vec_id for r in rows])
     rel = np.array([r.rel for r in rows], dtype=np.float64)
     m = np.vstack([r.embedding for r in rows]).astype(np.float64)
-    norms = np.linalg.norm(m, axis=1)
-    norms[norms == 0.0] = 1.0
-    unit = m / norms[:, None]
+    unit = m / np.linalg.norm(m, axis=1)[:, None]
     picked: list[tuple] = []
     alive = np.ones(len(ids), dtype=bool)
-    max_sel = np.zeros(len(ids))
+    # true running max — NOT clamped at zero (review catch: a candidate
+    # anti-similar to everything selected earns a diversity BONUS under
+    # the real formula, and negative cosines are routine)
+    max_sel = np.full(len(ids), -np.inf)
     for rnd in range(min(k, len(ids))):
-        score = lam * rel - (0.0 if rnd == 0 else (1.0 - lam)) * max_sel
+        if rnd == 0:
+            score = lam * rel
+        else:
+            score = lam * rel - (1.0 - lam) * max_sel
         score = np.where(alive, score, -np.inf)
-        # argmax with vec_id tiebreak: ids are rel-sorted, so the first
-        # maximal index already carries the smallest vec_id among ties
-        # of equal rel; for cross-rel score ties, lexsort explicitly.
+        # argmax with an explicit vec_id tiebreak across equal scores
         best = int(np.lexsort((ids, -score))[0])
         picked.append((int(ids[best]), float(score[best])))
         alive[best] = False

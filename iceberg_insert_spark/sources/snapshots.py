@@ -4569,67 +4569,89 @@ class SnapshotTable:
         Refused on tables whose read semantics travel OUTSIDE the data
         bytes: live delete files (MoR state is seq-addressed against
         source paths), row lineage (ids derive from source commit
-        seqs), and column-DDL history (era resolution maps names by
-        source-local versions) — ``compact`` folds the first;
-        DDL-history tables don't clone in v1, loudly. Stats/bloom
-        sidecar entries are re-keyed to the clone's paths, so pruning
-        works immediately with zero footer re-reads."""
-        head = self._latest_published()
-        if head is None:
-            raise ValueError("nothing published to clone")
-        meta = self._meta(head)
-        if meta.get("delete_files"):
+        seqs), and LIVE PRE-EVOLUTION FILES — any file whose commit seq
+        predates the head's ``schema_v`` needs era resolution the clone
+        (everything re-homed at seq 1) cannot reproduce; that single
+        invariant covers rename/drop/widen/add uniformly (review catch:
+        a marker-based check missed drop/widen — a dropped column
+        resurrected and a widened clone crashed on read). ``compact``
+        unblocks both refusal classes by rewriting every live file at
+        the current era. The clone's schema starts a FRESH DDL history
+        (iis era markers stripped; ``initial_default`` kept — it is the
+        write-default for future appends). Stats/bloom sidecar entries
+        are re-keyed to the clone's paths, so pruning works immediately
+        with zero footer re-reads. Target must be empty (cloning onto
+        an existing table would silently corrupt it); the source
+        metadata read + link loop runs under the source commit lock so
+        a racing overwrite+expire cannot delete files mid-clone."""
+        if os.path.isdir(target_path) and os.listdir(target_path):
             raise ValueError(
-                "clone refused: live delete files — compact first"
+                f"clone target {target_path!r} is not empty"
             )
-        if meta.get("row_lineage") or self.row_lineage:
+        if self.row_lineage:
             raise ValueError(
                 "clone refused: row-lineage ids derive from source "
                 "commit sequences and cannot survive re-homing"
             )
-        if meta.get("file_schema_v") or any(
-            k in (f.get("metadata") or {})
-            for f in (meta.get("schema") or {}).get("fields", [])
-            for k in ("iis_names", "iis_added_v", "iis_default")
-        ):
-            raise ValueError(
-                "clone refused: column-DDL history is table-local "
-                "(era resolution would mis-map on the clone)"
+        with self._commit_lock():
+            head = self._latest_published()
+            if head is None:
+                raise ValueError("nothing published to clone")
+            meta = self._meta(head)
+            if meta.get("delete_files"):
+                raise ValueError(
+                    "clone refused: live delete files — compact first"
+                )
+            if meta.get("row_lineage"):
+                raise ValueError(
+                    "clone refused: row-lineage ids derive from source "
+                    "commit sequences and cannot survive re-homing"
+                )
+            sv = meta.get("schema_v") or 1
+            if meta.get("file_schema_v") or any(
+                self._seq_of(rel) < sv for rel in meta["files"]
+            ):
+                raise ValueError(
+                    "clone refused: live pre-evolution files need era "
+                    "resolution the re-homed clone cannot reproduce — "
+                    "compact first"
+                )
+            tgt = SnapshotTable(
+                target_path,
+                stats_cols=list(self.stats_cols),
+                bloom_cols=list(self.bloom_cols),
+                partition_by=list(
+                    meta.get("partition_by", self.partition_by)
+                ),
             )
-        tgt = SnapshotTable(
-            target_path,
-            stats_cols=list(self.stats_cols),
-            bloom_cols=list(self.bloom_cols),
-            partition_by=list(
-                meta.get("partition_by", self.partition_by)
-            ),
-        )
-        os.makedirs(os.path.join(target_path, "_snap=1"), exist_ok=True)
-        os.makedirs(tgt._mdir, exist_ok=True)
-        src_stats = self._load_stats()
-        src_blooms = self._load_blooms()
-        new_files, fparts = [], {}
-        tstats, tblooms = {}, {}
-        old_parts = meta.get("file_partitions", {})
-        for i, rel in enumerate(meta["files"]):
-            dst_rel = os.path.join(
-                "_snap=1", f"clone-{i:05d}.parquet"
+            os.makedirs(
+                os.path.join(target_path, "_snap=1"), exist_ok=True
             )
-            src_abs = os.path.join(self.path, rel)
-            dst_abs = os.path.join(target_path, dst_rel)
-            try:
-                os.link(src_abs, dst_abs)  # zero-copy
-            except OSError:
-                import shutil as _sh
+            os.makedirs(tgt._mdir, exist_ok=True)
+            src_stats = self._load_stats()
+            src_blooms = self._load_blooms()
+            new_files, fparts = [], {}
+            tstats, tblooms = {}, {}
+            old_parts = meta.get("file_partitions", {})
+            for i, rel in enumerate(meta["files"]):
+                dst_rel = os.path.join(
+                    "_snap=1", f"clone-{i:05d}.parquet"
+                )
+                src_abs = os.path.join(self.path, rel)
+                dst_abs = os.path.join(target_path, dst_rel)
+                try:
+                    os.link(src_abs, dst_abs)  # zero-copy
+                except OSError:
+                    import shutil as _sh
 
-                _sh.copy2(src_abs, dst_abs)  # cross-device fallback
-            new_files.append(dst_rel)
-            if rel in old_parts:
-                fparts[dst_rel] = old_parts[rel]
-            if rel in src_stats:
-                tstats[dst_rel] = src_stats[rel]
-            if rel in src_blooms:
-                tblooms[dst_rel] = src_blooms[rel]
+                    _sh.copy2(src_abs, dst_abs)  # cross-device fallback
+                new_files.append(dst_rel)
+                if rel in old_parts:
+                    fparts[dst_rel] = old_parts[rel]
+                if rel in src_stats:
+                    tstats[dst_rel] = src_stats[rel]
+                if rel in src_blooms:
+                    tblooms[dst_rel] = src_blooms[rel]
         tmeta = {
             "files": new_files,
             "new_files": new_files,
@@ -4637,13 +4659,25 @@ class SnapshotTable:
             "ts": time_time(),
         }
         if meta.get("schema") is not None:
-            tmeta["schema"] = meta["schema"]
+            # fresh DDL history: era markers are source-local; the
+            # write-default (initial_default) stays
+            sj = json.loads(json.dumps(meta["schema"]))
+            for f in sj.get("fields", []):
+                md = f.get("metadata") or {}
+                md.pop("iis_names", None)
+                md.pop("iis_added_v", None)
+                f["metadata"] = md
+            tmeta["schema"] = sj
             tmeta["schema_v"] = 1
-        if fparts:
-            tmeta["file_partitions"] = fparts
+        # the spec carries whenever the head records one — even when no
+        # live file has a partition record yet (review catch: a spec
+        # evolved-but-not-yet-written-under was silently dropped)
+        if meta.get("partition_by") or self.partition_by:
             tmeta["partition_by"] = meta.get(
                 "partition_by", self.partition_by
             )
+        if fparts:
+            tmeta["file_partitions"] = fparts
         for carry in SnapshotTable._PROP_CARRY:
             if carry in meta and carry not in (
                 "row_lineage",  # refused above

@@ -3996,5 +3996,32 @@ def test_shallow_clone_zero_copy_and_divergence(spark, tmp_path):
     ddl = SnapshotTable(str(tmp_path / "ddl"))
     ddl.append(spark.createDataFrame([(1, 2.0)], "k int, v double"))
     ddl.rename_column("v", "val")
-    with pytest.raises(ValueError, match="DDL history"):
+    with pytest.raises(ValueError, match="pre-evolution"):
         ddl.clone_to(str(tmp_path / "ddl2"))
+    # compact rewrites every live file at the current era and unblocks;
+    # the clone starts a FRESH DDL history under the current names
+    ddl.compact(spark)
+    dclone = ddl.clone_to(str(tmp_path / "ddl2"))
+    assert [(r.k, r.val) for r in dclone.read(spark).collect()] == [(1, 2.0)]
+    dmeta = dclone._meta(1)
+    assert all(
+        "iis_names" not in (f.get("metadata") or {})
+        for f in dmeta["schema"]["fields"]
+    )
+    # widen + drop histories refuse too (the marker-less evolutions the
+    # review caught), and compact unblocks them identically
+    wd = SnapshotTable(str(tmp_path / "wd"))
+    wd.append(spark.createDataFrame([(1, 2.0)], "k int, v double"))
+    from pyspark.sql import types as T
+
+    wd.widen_column("k", T.LongType())
+    with pytest.raises(ValueError, match="pre-evolution"):
+        wd.clone_to(str(tmp_path / "wd2"))
+    wd.drop_column("v")
+    wd.compact(spark)
+    wclone = wd.clone_to(str(tmp_path / "wd2"))
+    assert wclone.read(spark).columns == ["k"]  # no resurrection
+    assert [r.k for r in wclone.read(spark).collect()] == [1]
+    # cloning onto a non-empty target is refused, not silently merged
+    with pytest.raises(ValueError, match="not empty"):
+        src.clone_to(str(tmp_path / "clone"))
