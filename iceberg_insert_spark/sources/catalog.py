@@ -239,6 +239,28 @@ class LocalCatalog:
             reg["tables"][dst] = reg["tables"].pop(src)
             self._write(reg)
 
+    def clone_table(self, src: str, dst: str) -> SnapshotTable:
+        """``CREATE TABLE dst SHALLOW CLONE src`` at the catalog level:
+        registers ``dst`` (same refusal surface as create_table — the
+        registry entry reserves the identifier before any data work,
+        and a failed clone unregisters it again, CTAS's all-or-nothing
+        contract) and re-homes the source's live files zero-copy via
+        :meth:`SnapshotTable.clone_to`. The clone's registry entry
+        carries the source's table_kwargs (stats/bloom/partition spec
+        behave identically on the clone)."""
+        ent = self._entry(src)
+        dst_tbl = self.create_table(
+            dst, **ent.get("table_kwargs", {})
+        )
+        try:
+            # create_table pre-made the location dir; clone_to needs it
+            # empty
+            os.rmdir(dst_tbl.path)
+            return self.load_table(src).clone_to(dst_tbl.path)
+        except Exception:
+            self.drop_table(dst, purge=True)
+            raise
+
     def drop_table(self, ident: str, purge: bool = False) -> None:
         with self._lock():
             reg = self._read()

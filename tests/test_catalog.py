@@ -720,3 +720,31 @@ def test_sql_dml_quoted_where_and_near_miss_grammar(spark, tmp_path):
         spark, f"SELECT COUNT(*) AS n FROM {{{{db.t@ts:{iso}}}}}"
     ).collect()[0].n
     assert n == 1
+
+
+def test_catalog_shallow_clone(spark, tmp_path):
+    """clone_table: registers the clone under catalog rules (identifier
+    reserved first, all-or-nothing on failure), re-homes files zero-copy,
+    and the two tables diverge independently through catalog handles."""
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("db")
+    t = cat.create_table("db.src", stats_cols=["v"])
+    t.append(spark.createDataFrame([(1, 5.0), (2, 9.0)], "k int, v double"))
+    c = cat.clone_table("db.src", "db.copy")
+    assert sorted(r.k for r in c.read(spark).collect()) == [1, 2]
+    # registry entry exists and carries kwargs (stats work on the clone)
+    assert cat.load_table("db.copy").min_max(spark, "v") == (5.0, 9.0, True)
+    cat.load_table("db.copy").append(
+        spark.createDataFrame([(3, 1.0)], "k int, v double")
+    )
+    assert cat.load_table("db.src").read(spark).count() == 2
+    assert cat.load_table("db.copy").read(spark).count() == 3
+    # refusals: existing identifier; failed clone leaves no entry behind
+    with pytest.raises(ValueError, match="already exists"):
+        cat.clone_table("db.src", "db.copy")
+    m = cat.create_table("db.mor")
+    m.append(spark.createDataFrame([(1, 1.0)], "k int, v double"))
+    m.delete_where(spark, "k = 1", strategy="mor")
+    with pytest.raises(ValueError, match="delete files"):
+        cat.clone_table("db.mor", "db.mor2")
+    assert not cat.table_exists("db.mor2")
