@@ -9,7 +9,7 @@ differ in the last ulp (SURVEY.md §7 hard-part d).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -1653,4 +1653,80 @@ def q_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "psi_micro",
             (F.col("psi_micro") > 100000).cast("bigint").alias("drifted"),
         )
+    )
+
+
+@query(
+    "q_orders_gini",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderpriority,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY ROUND(o_totalprice * 100), o_orderkey
+               ) AS i
+        FROM orders
+    ), agg AS (
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               SUM(CAST(cents AS HUGEINT)) AS s,
+               SUM(CAST(i AS HUGEINT) * cents) AS six
+        FROM ranked GROUP BY 1
+    )
+    SELECT o_orderpriority,
+           CAST(n AS BIGINT) AS n_orders,
+           CAST(s AS BIGINT) AS cents,
+           ROUND(CAST(2 * six - (n + 1) * s AS DOUBLE)
+                 / CAST(n * s AS DOUBLE), 6) AS gini
+    FROM agg
+    """,
+)
+def q_orders_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration index of order value per priority class — the
+    inequality / revenue-concentration metric (0 = perfectly even,
+    -> 1 = one order carries everything), computed by the rank formula
+    G = (2 * sum(i * x_i) - (n + 1) * S) / (n * S) over the
+    (cents, orderkey)-sorted series.
+
+    Exactness: values are exact CENTS, the rank is a ROW_NUMBER over a
+    TOTAL order (the unique orderkey breaks value ties identically in
+    both engines — with ties the rank formula is order-sensitive, so
+    the total order is semantics, not hygiene), and both accumulators
+    are wide integers (Spark DECIMAL(38,0), DuckDB HUGEINT — sum(i*x)
+    passes 2^63 at warehouse scale; the autocorr lesson). The reported
+    ratio is one correctly-rounded double division of exact integers.
+
+    Scale shape: one window over the group key (single shuffle + sort),
+    then a partial-aggregated groupBy on the SAME key — Catalyst reuses
+    the window's partitioning, no second exchange.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.round(F.col("o_totalprice") * 100), F.col("o_orderkey")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    ranked = o.select(
+        "o_orderpriority",
+        cents.alias("cents"),
+        F.row_number().over(w).cast("bigint").alias("i"),
+    )
+    agg = ranked.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("cents"))).alias("s"),
+        F.sum(dec(F.col("i")) * dec(F.col("cents"))).alias("six"),
+    )
+    num = (
+        F.lit(2).cast("decimal(38,0)") * F.col("six")
+        - (F.col("n") + 1).cast("decimal(38,0)") * F.col("s")
+    )
+    den = F.col("n").cast("decimal(38,0)") * F.col("s")
+    return agg.select(
+        "o_orderpriority",
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.col("s").cast("bigint").alias("cents"),
+        F.round(
+            num.cast("double") / den.cast("double"), 6
+        ).alias("gini"),
     )

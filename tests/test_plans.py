@@ -674,3 +674,14 @@ def test_ts_cusum_single_sort_two_windows(spark):
     p = plan_of(QUERIES["q_ts_cusum"](spark, SF_DIR))
     sorts = re.findall(r"^\(\d+\) Sort", p, re.M)
     assert len(sorts) == 1, sorts
+
+
+def test_orders_gini_single_exchange(spark):
+    """The Gini rank formula is one window + a groupBy on the SAME key:
+    Catalyst must reuse the window's hash partitioning — exactly one
+    Exchange in the plan."""
+    import re
+
+    p = plan_of(QUERIES["q_orders_gini"](spark, SF_DIR))
+    exchanges = re.findall(r"^\(\d+\) Exchange", p, re.M)
+    assert len(exchanges) == 1, exchanges
