@@ -1928,3 +1928,126 @@ def q_text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_logprob",
         F.ntile(3).over(w).cast("bigint").alias("bucket"),
     )
+
+
+@query(
+    "q_text_distinct_ngrams",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS t FROM documents
+    ), uni AS (
+        SELECT lang, UNNEST(t) AS w FROM toks
+    ), bi AS (
+        SELECT lang,
+               UNNEST(t[1 : LEN(t) - 1]) || ' ' || UNNEST(t[2 : LEN(t)])
+                   AS g
+        FROM toks WHERE LEN(t) >= 2
+    ), u AS (
+        SELECT lang, COUNT(*) AS n1, COUNT(DISTINCT w) AS d1 FROM uni
+        GROUP BY 1
+    ), b AS (
+        SELECT lang, COUNT(*) AS n2, COUNT(DISTINCT g) AS d2 FROM bi
+        GROUP BY 1
+    )
+    SELECT u.lang, u.n1, u.d1,
+           CAST(u.d1 * 1000000 // u.n1 AS BIGINT) AS distinct1_ppm,
+           b.n2, b.d2,
+           CAST(b.d2 * 1000000 // b.n2 AS BIGINT) AS distinct2_ppm
+    FROM u JOIN b ON b.lang = u.lang
+    """,
+)
+def q_text_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n diversity (distinct-1/distinct-2: unique n-grams over
+    total n-grams, in exact ppm) per language — the standard
+    text-diversity / degeneration metric (low distinct-n = repetitive,
+    template-heavy, or model-looped text) reported alongside the Gopher
+    and repetition gates.
+
+    Exact integers end to end (counts + one integer division per ppm,
+    `div`/`//` on both engines). Scale shape: two map-side-combined
+    token/bigram aggregates; COUNT(DISTINCT) shuffles on (lang, gram) —
+    the gram-keyed partial-dedup shape, never a driver set.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("lang", F.split("text", " ").alias("t"))
+    uni = toks.select("lang", F.explode("t").alias("w"))
+    bi = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "lang",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("t"), 1, F.size("t") - 1),
+                    F.slice(F.col("t"), 2, F.size("t") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("g"),
+        )
+    )
+    u = uni.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.countDistinct("w").alias("d1"),
+    )
+    b = bi.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n2"),
+        F.countDistinct("g").alias("d2"),
+    )
+    return u.join(b, "lang").select(
+        "lang",
+        "n1",
+        "d1",
+        F.expr("d1 * 1000000 div n1").cast("bigint").alias("distinct1_ppm"),
+        "n2",
+        "d2",
+        F.expr("d2 * 1000000 div n2").cast("bigint").alias("distinct2_ppm"),
+    )
+
+
+@query(
+    "q_docs_entropy",
+    oracle="""
+    WITH c AS (
+        SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2
+    ), tot AS (
+        SELECT source, SUM(n) AS s FROM c GROUP BY 1
+    ), terms AS (
+        SELECT c.source,
+               CAST(ROUND(-(CAST(c.n AS DOUBLE) / t.s)
+                          * LN(CAST(c.n AS DOUBLE) / t.s)
+                          * 1000000) AS BIGINT) AS term_micro
+        FROM c JOIN tot t ON t.source = c.source
+    )
+    SELECT source,
+           CAST(SUM(term_micro) AS BIGINT) AS entropy_micro_nats,
+           COUNT(*) AS n_langs
+    FROM terms
+    GROUP BY source
+    """,
+)
+def q_docs_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each SOURCE's language distribution (in
+    micro-nats) — the mixture-health metric: a source whose entropy
+    collapses is feeding a single language (or a crawler got stuck),
+    one whose entropy spikes changed composition. Pairs with
+    q_quality_drift as the monitoring duo (drift = across time,
+    entropy = across mixture).
+
+    Exactness: the usual recipe — p·ln(p) on IEEE doubles built from
+    identical exact integer ratios, rounded per TERM to micro-units and
+    summed as BIGINT (partition-order-immune; the bigram-LM pattern).
+    One |sources| x |langs| aggregate after a map-side-combined scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.groupBy("source").agg(F.sum("n").alias("s"))
+    p = F.col("n").cast("double") / F.col("s")
+    term = F.round(-p * F.log(p) * 1000000).cast("bigint")
+    return (
+        c.join(F.broadcast(tot), "source")
+        .select("source", term.alias("term_micro"))
+        .groupBy("source")
+        .agg(
+            F.sum("term_micro").cast("bigint").alias("entropy_micro_nats"),
+            F.count(F.lit(1)).alias("n_langs"),
+        )
+    )
