@@ -249,12 +249,28 @@ class LocalCatalog:
         carries the source's table_kwargs (stats/bloom/partition spec
         behave identically on the clone)."""
         ent = self._entry(src)
+        dns, dtbl = _split_ident(dst)
+        if self.table_exists(dst):  # clean error; create_table re-checks
+            raise ValueError(f"table {dst!r} already exists")
+        loc = os.path.join(self.root, dns, dtbl)
+        # Refuse a non-empty destination BEFORE registering (review
+        # catch, reproduced live): a prior non-purge drop contractually
+        # PRESERVES its data files at the default location; without
+        # this guard the failure-cleanup purge below would destroy
+        # them. With the guard, anything at the location afterwards is
+        # the clone's own debris and the purge is safe.
+        if os.path.isdir(loc) and os.listdir(loc):
+            raise ValueError(
+                f"clone destination location {loc!r} is not empty "
+                "(a non-purge drop preserves data there) — pick "
+                "another identifier or clear it explicitly"
+            )
         dst_tbl = self.create_table(
             dst, **ent.get("table_kwargs", {})
         )
         try:
-            # create_table pre-made the location dir; clone_to needs it
-            # empty
+            # create_table pre-made the (empty, per the guard) dir;
+            # clone_to wants to create it itself
             os.rmdir(dst_tbl.path)
             return self.load_table(src).clone_to(dst_tbl.path)
         except Exception:

@@ -748,3 +748,25 @@ def test_catalog_shallow_clone(spark, tmp_path):
     with pytest.raises(ValueError, match="delete files"):
         cat.clone_table("db.mor", "db.mor2")
     assert not cat.table_exists("db.mor2")
+
+
+def test_clone_table_never_destroys_preserved_data(spark, tmp_path):
+    """Review catch (reproduced live pre-fix): a non-purge drop preserves
+    its data files at the default location; a later clone_table onto the
+    same identifier must REFUSE cleanly — and must not purge the
+    preserved tree in its failure cleanup."""
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("db")
+    src = cat.create_table("db.src")
+    src.append(spark.createDataFrame([(1,)], "k int"))
+    old = cat.create_table("db.keep")
+    old.append(spark.createDataFrame([(42,)], "k int"))
+    old_loc = old.path
+    cat.drop_table("db.keep", purge=False)  # contract: files preserved
+    with pytest.raises(ValueError, match="not empty"):
+        cat.clone_table("db.src", "db.keep")
+    # the preserved table's bytes are intact and the identifier is free
+    assert not cat.table_exists("db.keep")
+    from iceberg_insert_spark.sources.snapshots import SnapshotTable
+
+    assert [r.k for r in SnapshotTable(old_loc).read(spark).collect()] == [42]
