@@ -749,3 +749,43 @@ def test_snapshot_stream_rate_limit_no_rewind_and_mode_guard(
     # snapshot 1 NOT re-delivered; snapshot 2 resumed at its failed chunk
     assert got == [2]
     assert seen == [(1, 0), (2, 0), (2, 2)]
+
+
+def test_snapshot_stream_into_constrained_table(spark, tmp_path):
+    """Three-subsystem composition: the snapshot STREAM tails a source
+    table and sinks via append_once into a CHECK-constrained downstream
+    table. A violating source snapshot fails ITS batch (downstream head
+    and checkpoint both unmoved — the stream is resumable), a
+    drop_constraint unblocks, and the resumed drain delivers the failed
+    batch plus the rest EXACTLY ONCE (token replay proven a no-op)."""
+    import pytest
+
+    from iceberg_insert_spark.sources.snapshots import SnapshotTable
+    from iceberg_insert_spark.streaming.file_stream import (
+        snapshot_stream_available_now,
+    )
+
+    src = SnapshotTable(str(tmp_path / "src"))
+    dst = SnapshotTable(
+        str(tmp_path / "dst"), constraints={"pos": "v > 0"}
+    )
+    ck = str(tmp_path / "ck.json")
+    src.append(spark.createDataFrame([(1, 5.0)], "k int, v double"))
+    src.append(spark.createDataFrame([(2, -1.0)], "k int, v double"))
+    src.append(spark.createDataFrame([(3, 7.0)], "k int, v double"))
+
+    def sink(batch, v):
+        dst.append_once(batch, token=f"snap-{v}")
+
+    with pytest.raises(Exception, match="CHECK constraint"):
+        snapshot_stream_available_now(spark, src, ck, sink)
+    # batch 1 landed, the violating batch 2 did not, checkpoint stopped
+    # BEFORE it — the failed snapshot re-delivers after the fix
+    assert sorted(r.k for r in dst.read(spark).collect()) == [1]
+    dst.drop_constraint("pos")
+    done = snapshot_stream_available_now(spark, src, ck, sink)
+    assert done == [2, 3]
+    assert sorted(r.k for r in dst.read(spark).collect()) == [1, 2, 3]
+    # replaying the whole drain is a no-op end to end (exactly-once)
+    assert snapshot_stream_available_now(spark, src, ck, sink) == []
+    assert dst.read(spark).count() == 3
