@@ -7371,3 +7371,61 @@ def q_snapshot_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("src_n", F.lit(src_n).cast("bigint"))
     )
+
+
+@query(
+    "q_snapshot_skew_report",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY 1
+    ), t AS (SELECT SUM(n) AS s FROM c)
+    SELECT c.o_orderstatus,
+           CAST(1 AS BIGINT) AS n_files,
+           c.n AS n_records,
+           CAST(c.n * 1000000 // t.s AS BIGINT) AS share_ppm,
+           CAST(c.n * (SELECT COUNT(*) FROM c) * 1000000 // t.s
+                AS BIGINT) AS skew_ppm
+    FROM c CROSS JOIN t
+    """,
+)
+def q_snapshot_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-skew report from PURE METADATA: per live partition of a
+    partitioned snapshot table — file count, footer record count, mass
+    share, and a skew index (share x |partitions|, ppm: 1,000,000 =
+    perfectly even; the number that decides salting and distribution
+    mode). One manifest + one sidecar read, zero data IO at any table
+    size (`.partitions` metadata-table economics) — yet every count is
+    EXACT, so the whole report is DuckDB-oracled against the raw data.
+    The `n_files = 1` per value is itself an oracled claim: the table
+    writes under distribution mode 'hash', and a skew report is exactly
+    the tool that would catch 'none' mode's per-task file explosion.
+    """
+    from ..tables import scratch_dir
+
+    path = scratch_dir(spark, sf_dir, "snap_skew")
+    o = load_table(spark, sf_dir, "orders")
+    tbl = SnapshotTable(
+        path,
+        partition_by=["o_orderstatus"],
+        write_distribution="hash",
+        stats_cols=["o_orderkey"],
+    )
+    tbl.append(o)
+    parts = tbl.partitions_info()
+    total = sum(p["n_records"] for p in parts)
+    k = len(parts)
+    rows = [
+        (
+            p["partition"]["o_orderstatus"],
+            p["n_files"],
+            p["n_records"],
+            p["n_records"] * 1_000_000 // total,
+            p["n_records"] * k * 1_000_000 // total,
+        )
+        for p in parts
+    ]
+    return spark.createDataFrame(
+        rows,
+        "o_orderstatus string, n_files long, n_records long, "
+        "share_ppm long, skew_ppm long",
+    )
