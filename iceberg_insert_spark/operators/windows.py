@@ -868,8 +868,11 @@ def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38,0), DuckDB HUGEINT — order-immune; a raw BIGINT sum would
     wrap/diverge past 2^63 at production volumes), the reported ratio is
     one IEEE division of exact integers, and the raw num/den BIGINT
-    columns ride along so downstream math can stay exact (the final
-    BIGINT cast fails loudly in BOTH engines past 2^63, never silently).
+    columns ride along so downstream math can stay exact. The final
+    BIGINT cast is GUARDED: Spark's default non-ANSI decimal->bigint
+    overflow is a silent NULL (DuckDB raises), so the cast runs under an
+    explicit raise_error null-check — overflow past 2^63 fails loudly in
+    both engines instead of diverging silently (advisor catch, r6).
 
     Scale shape: the raw scan collapses to |types| x |days| rows FIRST
     (map-side combine); the spine, stats join, and the 7-lag self-join all
@@ -894,13 +897,31 @@ def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # production volumes (years of days x 1e6-scale daily deviations)
     # sum(c^2) passes 2^63, where a BIGINT sum wraps or raises while
     # DuckDB's HUGEINT keeps going — the engines would diverge exactly
-    # when exactness matters (review catch; the exact_sum lesson). The
-    # final BIGINT cast fails LOUDLY in both engines past 2^63.
+    # when exactness matters (review catch; the exact_sum lesson).
     dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+
+    def loud_bigint(col, name):
+        # Non-ANSI Spark turns decimal->bigint overflow into a silent
+        # NULL while DuckDB's HUGEINT->BIGINT raises — guard the cast so
+        # overflow past 2^63 FAILS in both engines (advisor catch, r6).
+        # try_cast yields NULL-on-overflow under EITHER ansi setting, so
+        # the guard (and its message) is deterministic across configs.
+        b = col.try_cast("bigint")
+        return (
+            F.when(
+                col.isNotNull() & b.isNull(),
+                F.raise_error(
+                    F.lit(f"{name} overflows BIGINT (exceeds 2^63)")
+                ).cast("bigint"),
+            )
+            .otherwise(b)
+            .alias(name)
+        )
+
     den = c.groupBy("event_type").agg(
-        F.sum(dec(F.col("c")) * dec(F.col("c")))
-        .cast("bigint")
-        .alias("acf_den")
+        loud_bigint(
+            F.sum(dec(F.col("c")) * dec(F.col("c"))), "acf_den"
+        )
     )
     lags = spark.range(1, 8).select(F.col("id").alias("lag"))
     a, b = c.alias("a"), c.alias("b")
@@ -913,9 +934,9 @@ def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("a.event_type").alias("event_type"), "lag")
         .agg(
-            F.sum(dec(F.col("a.c")) * dec(F.col("b.c")))
-            .cast("bigint")
-            .alias("acf_num")
+            loud_bigint(
+                F.sum(dec(F.col("a.c")) * dec(F.col("b.c"))), "acf_num"
+            )
         )
     )
     return (

@@ -543,13 +543,23 @@ class LocalCatalog:
         top-level WHERE keyword — quote- and paren-aware, because a SET
         expression may contain the word inside a string literal or a
         parenthesized subexpression (review catch: a regex split cut
-        \"SET note = 'as where is' WHERE k = 1\" mid-literal)."""
+        \"SET note = 'as where is' WHERE k = 1\" mid-literal). Inside a
+        literal, a backslash escapes the next character and a doubled
+        quote is an escaped quote (Spark SQL's two escape spellings) —
+        without these, ``'it\\'s where'`` closes at ``\\'`` and the
+        split lands INSIDE the literal (advisor catch, r6)."""
         depth, quote = 0, None
         i, n = 0, len(raw)
         while i < n:
             ch = raw[i]
             if quote:
+                if ch == "\\":
+                    i += 2  # escaped char: consume both, stay quoted
+                    continue
                 if ch == quote:
+                    if raw[i + 1 : i + 2] == quote:
+                        i += 2  # doubled quote: escaped, stay quoted
+                        continue
                     quote = None
             elif ch in ("'", '"'):
                 quote = ch
@@ -572,16 +582,28 @@ class LocalCatalog:
     def _split_assignments(raw: str) -> dict[str, str]:
         """Parse ``col = expr, col2 = expr2`` with a paren/quote-aware
         top-level comma split (an expr may contain commas inside
-        function calls or string literals)."""
+        function calls or string literals). Backslash escapes and
+        doubled quotes inside literals are honored, same as
+        :meth:`_split_on_where` (advisor catch, r6)."""
         parts: list[str] = []
         depth, buf, quote = 0, [], None
-        for ch in raw:
+        i, n = 0, len(raw)
+        while i < n:
+            ch = raw[i]
             if quote:
+                if ch == "\\" and i + 1 < n:
+                    buf.append(ch)
+                    buf.append(raw[i + 1])
+                    i += 2  # escaped char: stay quoted
+                    continue
                 buf.append(ch)
                 if ch == quote:
+                    if raw[i + 1 : i + 2] == quote:
+                        buf.append(quote)
+                        i += 2  # doubled quote: escaped, stay quoted
+                        continue
                     quote = None
-                continue
-            if ch in ("'", '"'):
+            elif ch in ("'", '"'):
                 quote = ch
                 buf.append(ch)
             elif ch in "([":
@@ -595,6 +617,7 @@ class LocalCatalog:
                 buf = []
             else:
                 buf.append(ch)
+            i += 1
         if buf:
             parts.append("".join(buf))
         out: dict[str, str] = {}

@@ -838,6 +838,16 @@ class SnapshotTable:
         fast path, matching MIN/MAX's null-ignoring semantics. Footer
         min/max for float columns containing NaN are writer-dependent —
         keep NaN out of stats columns (the same caveat as range pruning).
+
+        STRING/BINARY columns always take the real read: parquet writers
+        may TRUNCATE long string/binary footer statistics (the stored max
+        is an incremented prefix >= the real max — a valid bound, not a
+        data value), and pyarrow < 17 exposes no
+        is_min_value_exact/is_max_value_exact flags to tell. Truncated
+        bounds stay perfectly safe for range PRUNING (conservative by
+        construction) but would make this method return a synthetic
+        value; only exact-by-construction stat types answer from
+        metadata (advisor catch, r6).
         """
         v = self._resolve_snapshot(as_of)
         meta = self._meta(v)
@@ -861,10 +871,23 @@ class SnapshotTable:
         ddl_touched = fmd is None or (
             "iis_names" in fmd or "iis_added_v" in fmd
         )
+        ftype0 = next(
+            (
+                f.get("type")
+                for f in (meta.get("schema") or {}).get("fields", [])
+                if f.get("name") == col
+            ),
+            None,
+        )
+        maybe_truncated = not isinstance(ftype0, str) or ftype0 in (
+            "string",
+            "binary",
+        )
         if (
             meta.get("delete_files")
             or ddl_touched
             or meta.get("file_schema_v")
+            or maybe_truncated
         ):
             return slow()
         stats = self._load_stats()
@@ -889,14 +912,7 @@ class SnapshotTable:
         # date/datetime objects. Normalize the fast path to the column's
         # type so the same call returns the same TYPE whichever path
         # answered (review catch).
-        ftype = next(
-            (
-                f.get("type")
-                for f in (meta.get("schema") or {}).get("fields", [])
-                if f.get("name") == col
-            ),
-            None,
-        )
+        ftype = ftype0
         if isinstance(ftype, str) and isinstance(lo, str):
             import datetime
 
@@ -2766,7 +2782,11 @@ class SnapshotTable:
         every file of this call (import one source partition per call,
         Iceberg's usage); the record must cover the current spec.
         ``token`` gives the same idempotent-replay contract as
-        ``append_once``."""
+        ``append_once``. On a table with CHECK constraints the imported
+        rows are VALIDATED in one guarded scan before the commit — an
+        import is a commit that introduces user values, so it gets the
+        same write-time guarantee as append (the one data read this
+        otherwise-metadata-only operation ever performs)."""
         import shutil
         import tempfile
 
@@ -2815,6 +2835,23 @@ class SnapshotTable:
                     "rows (use a token for idempotent replays)"
                 )
         file_schema = spark.read.parquet(*paths).schema.jsonValue()
+        # CHECK constraints guard EVERY commit that introduces user
+        # values — add_files bypasses _commit (nothing is rewritten), so
+        # it validates the imported rows itself: one guarded pass over
+        # the files, raising on the first violating row BEFORE anything
+        # is linked or committed (advisor catch, r6: an import silently
+        # adopted violating rows). Optimistic like add_constraint's
+        # scan: validated outside the lock against the current effective
+        # set; the lock body re-resolves the set and raises
+        # CommitConflict if a concurrent DDL changed it mid-import.
+        cons0 = self.constraints
+        if cons0 is None and cur is not None:
+            cons0 = self._meta(cur).get("constraints")
+        cons0 = dict(cons0) if cons0 else {}
+        if cons0:
+            self._guard_constraints(
+                spark.read.parquet(*paths), cons0
+            ).count()
         if self.partition_by:
             if partitions is None or set(partitions) != set(
                 self.partition_by
@@ -2887,6 +2924,15 @@ class SnapshotTable:
                     if dup is not None and dup in self.snapshots():
                         return dup
                 base = self._latest_published()
+                cons1 = self.constraints
+                if cons1 is None and base is not None:
+                    cons1 = self._meta(base).get("constraints")
+                if (dict(cons1) if cons1 else {}) != cons0:
+                    raise CommitConflict(
+                        "table constraints changed while add_files was "
+                        "validating the imported rows — retry the import "
+                        "so the scan covers the current constraint set"
+                    )
                 if base is not None:
                     tj = self._meta(base).get("schema")
                     if tj is not None and self._schema_names_types(
@@ -4741,12 +4787,31 @@ class SnapshotTable:
             raise ValueError("nothing published to forget from")
         if self._meta(head).get("delete_files"):
             self.compact(spark)
-        n_matched = (
-            self.read(spark)
-            .filter(F.expr(predicate))
-            .count()
-        )
+        before = set(self.snapshots())
         v = self.delete_where(spark, predicate)
+        # 'matched' is derived FROM THE DELETE ITSELF — rows in the
+        # delete's base minus rows in its result — never from a separate
+        # pre-count (advisor catch, r6: a matching append landing
+        # between a pre-count and the delete was erased-and-verified but
+        # NOT counted, under-stating a compliance figure). The delete's
+        # base is v's immediate published predecessor; both counts read
+        # pinned snapshots, so the figure is exact whatever lands
+        # concurrently (and anything landing after v voids the claim
+        # below anyway). A no-op delete (v already existed) matched 0.
+        if v in before:
+            n_matched = 0
+        else:
+            base_v = max(
+                s
+                for s in self.snapshots()
+                if s < v
+                and self._meta(s).get("op", "append")
+                not in ("stage", "branch-append")
+            )
+            n_matched = (
+                self.read(spark, as_of=base_v).count()
+                - self.read(spark, as_of=v).count()
+            )
         reclaimed = self.expire(keep_from=v)
         # Single-maintainer contract, enforced not assumed (review
         # catch): forget is a multi-commit composition; if ANY commit,

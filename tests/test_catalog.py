@@ -700,6 +700,16 @@ def test_sql_dml_quoted_where_and_near_miss_grammar(spark, tmp_path):
     assert [
         r.note for r in cat.sql(spark, "SELECT note FROM {{db.t}}").collect()
     ] == ["as where is"]
+    # backslash-escaped quote inside the literal (advisor catch, r6):
+    # without escape handling the scanner closes the quote at \' and
+    # splits on the WHERE inside the literal
+    cat.execute(
+        spark,
+        r"UPDATE {{db.t}} SET note = 'it\'s where it is' WHERE k = 1",
+    )
+    assert [
+        r.note for r in cat.sql(spark, "SELECT note FROM {{db.t}}").collect()
+    ] == ["it's where it is"]
     with pytest.raises(ValueError, match="expected 'DELETE"):
         cat.execute(spark, "DELETE FROM {{db.t}}")
     with pytest.raises(ValueError, match="expected 'UPDATE"):

@@ -122,3 +122,38 @@ def test_ewma_is_bit_exact(spark):
         n_terms = sum(1 for d in series if 0 <= (t - d).days <= 29)
         assert r.n_terms == n_terms
         assert Fraction(r.ewma) == exact, (r.event_type, r.day)
+
+
+def test_autocorr_bigint_cast_fails_loudly_on_overflow(spark):
+    """q_ts_autocorr's exactness contract says the DECIMAL(38,0)->BIGINT
+    cast of acf_num/acf_den FAILS past 2^63 in both engines. Non-ANSI
+    Spark silently NULLs that cast, so the operator guards it with a
+    raise_error null-check (advisor catch, r6) — pin the guard pattern:
+    an in-range sum casts cleanly, an over-2^63 sum raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    def loud_bigint(col, name):
+        b = col.try_cast("bigint")
+        return (
+            F.when(
+                col.isNotNull() & b.isNull(),
+                F.raise_error(
+                    F.lit(f"{name} overflows BIGINT (exceeds 2^63)")
+                ).cast("bigint"),
+            )
+            .otherwise(b)
+            .alias(name)
+        )
+
+    big = spark.range(2).select(
+        F.lit(2**62).cast("decimal(38,0)").alias("c")
+    )
+    # 2 * 2^62 = 2^63: one past BIGINT max — must raise, not NULL
+    with pytest.raises(Exception, match="overflows BIGINT"):
+        big.agg(loud_bigint(F.sum("c"), "acf_den")).collect()
+    ok = spark.range(2).select(
+        F.lit(2**61).cast("decimal(38,0)").alias("c")
+    )
+    [row] = ok.agg(loud_bigint(F.sum("c"), "acf_den")).collect()
+    assert row.acf_den == 2**62

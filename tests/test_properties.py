@@ -1113,6 +1113,12 @@ _EXPR_ATOMS = st.sampled_from(
         "CASE WHEN s = 'x,y' THEN 1 ELSE 2 END",
         "(v + 1) * (v - 2)",
         "substr(s, 1, 3)",
+        # escape spellings inside literals (advisor catch, r6): a
+        # backslash-escaped quote and a doubled quote must NOT close
+        # the literal early and expose the WHERE/comma inside it
+        r"'it\'s, where it is'",
+        "'don''t, where x'",
+        r'"she said \"where, now\""',
     ]
 )
 

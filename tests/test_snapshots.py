@@ -2434,6 +2434,44 @@ def test_add_files_is_zero_copy_and_composes(spark, tmp_path):
     assert tbl.read(spark, as_of=v1).count() == 50
 
 
+def test_add_files_validates_check_constraints(spark, tmp_path):
+    """add_files commits user values without going through _commit, so
+    it must run the CHECK-constraint guard itself: a violating import is
+    refused BEFORE any commit (head untouched), a clean one lands, and
+    an unconstrained table imports with zero extra scans (advisor
+    catch, r6: imports silently adopted violating rows)."""
+
+    def _ext(name, rows):
+        d = tmp_path / name
+        spark.createDataFrame(rows, "k long, v double").coalesce(
+            1
+        ).write.parquet(str(d))
+        return [
+            os.path.join(d, f)
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        ]
+
+    tbl = SnapshotTable(
+        str(tmp_path / "t"), constraints={"pos": "v > 0"}
+    )
+    tbl.append(spark.createDataFrame([(1, 5.0)], "k long, v double"))
+    head = tbl.snapshots()[-1]
+    bad = _ext("bad", [(2, -1.0), (3, 2.0)])
+    with pytest.raises(Exception, match="CHECK constraint 'pos'"):
+        tbl.add_files(spark, bad)
+    assert tbl.snapshots()[-1] == head  # head untouched
+    assert tbl.read(spark).count() == 1
+    good = _ext("good", [(4, 1.0), (5, 2.0)])
+    tbl.add_files(spark, good)
+    assert tbl.read(spark).count() == 3
+    # constraints inherited from the MANIFEST guard a default handle too
+    again = SnapshotTable(str(tmp_path / "t"))
+    bad2 = _ext("bad2", [(6, -9.0)])
+    with pytest.raises(Exception, match="CHECK constraint 'pos'"):
+        again.add_files(spark, bad2)
+
+
 def test_add_files_schema_mismatch_refused(spark, tmp_path):
     spark.createDataFrame([(1, "x")], "a long, b string").coalesce(
         1
@@ -3635,6 +3673,27 @@ def test_min_max_guards_fall_back_exactly(spark, tmp_path):
     t.rename_column("v", "val")
     lo, hi, meta = t.min_max(spark, "val")
     assert (lo, hi, meta) == (1.0, 7.0, False)
+
+
+def test_min_max_string_stats_take_exact_path(spark, tmp_path):
+    """String/binary footer stats may be writer-TRUNCATED (the stored
+    bound is a prefix/incremented-prefix, not a data value) and pyarrow
+    < 17 exposes no exactness flags — min_max must answer string columns
+    via the real read, never from the sidecar (advisor catch, r6). The
+    answer stays exact either way; only from_metadata flips."""
+    t = SnapshotTable(str(tmp_path / "t"), stats_cols=["s", "v"])
+    long_lo = "a" * 300 + "end"
+    long_hi = "z" * 300 + "end"
+    t.append(
+        spark.createDataFrame(
+            [(long_lo, 1.0), (long_hi, 2.0)], "s string, v double"
+        )
+    )
+    lo, hi, from_meta = t.min_max(spark, "s")
+    assert from_meta is False  # forced exact path
+    assert (lo, hi) == (long_lo, long_hi)  # real data values, not bounds
+    # numeric sibling still answers from metadata on the same table
+    assert t.min_max(spark, "v") == (1.0, 2.0, True)
 
 
 def test_min_max_date_stats_return_native_types(spark, tmp_path):
