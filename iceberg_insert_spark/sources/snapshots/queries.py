@@ -1,0 +1,1544 @@
+"""Lifecycle/metadata/read queries over SnapshotTable (SURVEY.md §2.4c).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ...registry import query
+from ...tables import exact_sum, load_table
+from .core import SnapshotTable
+from .incremental import _read_incremental
+
+
+@query(
+    "q_time_travel",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_price
+    FROM orders
+    WHERE o_orderkey % 3 < 2
+    GROUP BY o_orderstatus
+    """,
+)
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel, DuckDB-oracled end-to-end: orders land in
+    three append snapshots (keys %3 = 0, then 1, then 2); the query reads
+    VERSION AS OF snapshot 2 and aggregates — so the result must equal the
+    oracle's reconstruction over keys %3 < 2, and must NOT see the third
+    append even though its files are on disk when the read plans. The
+    history/expire machinery is pinned in tests/test_snapshots.py.
+    """
+    from ...tables import scratch_dir
+
+    path = scratch_dir(spark, sf_dir, "time_travel")
+
+    o = load_table(spark, sf_dir, "orders")
+    tbl = SnapshotTable(path)
+    for r in range(3):
+        tbl.append(o.filter(F.col("o_orderkey") % 3 == r))
+    return (
+        tbl.read(spark, as_of=2)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "q_snapshot_incremental",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_price
+    FROM orders
+    WHERE o_orderkey % 3 >= 1
+    GROUP BY o_orderstatus
+    """,
+)
+def q_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental append scan, DuckDB-oracled end-to-end: orders land in
+    three append snapshots (keys %3 = 0, then 1, then 2); the query reads
+    the DELTA between snapshot 1 and snapshot 3 — which must equal the
+    oracle's reconstruction over keys %3 >= 1, proving the manifest
+    set-difference yields exactly the appended rows (and nothing from the
+    base snapshot). The q_time_travel sibling reads a historic VERSION;
+    this reads a version RANGE — together they cover Iceberg's two
+    metadata-driven read modes.
+    """
+    from ...tables import scratch_dir
+
+    path = scratch_dir(spark, sf_dir, "snap_incremental")
+    o = load_table(spark, sf_dir, "orders")
+    tbl = SnapshotTable(path)
+    for r in range(3):
+        tbl.append(o.filter(F.col("o_orderkey") % 3 == r))
+    return (
+        _read_incremental(tbl, spark, 1, 3)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "q_snapshot_history",
+    oracle="""
+    SELECT CAST(1 AS BIGINT) AS snapshot_id, 'append' AS operation,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_price
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'append', COUNT(*),
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0
+    FROM orders WHERE o_orderkey % 3 < 2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'append', COUNT(*),
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0
+    FROM orders
+    UNION ALL
+    SELECT CAST(4 AS BIGINT), 'overwrite', COUNT(*),
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0
+    FROM orders WHERE o_orderkey % 5 = 0
+    UNION ALL
+    SELECT CAST(5 AS BIGINT), 'rollback', COUNT(*),
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0
+    FROM orders
+    """,
+)
+def q_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg ``table.history`` / ``table.snapshots`` metadata tables,
+    DuckDB-oracled end-to-end: orders land in three append snapshots
+    (keys %3 = 0, 1, 2), then an OVERWRITE (keys %5 = 0), then a
+    ROLLBACK to snapshot 3 (undoing the overwrite — full visibility
+    again, metadata-only); the query emits one row per surviving
+    snapshot — id, operation (from manifest metadata, never the data),
+    and the summary counters
+    Iceberg keeps in each snapshot's `summary` map (total-records,
+    total line value) — which must equal the oracle's per-visibility-set
+    reconstruction. This was the round-5 parked item: per-FILE metadata
+    (file counts/sizes) depends on writer parallelism and can't be
+    oracled bit-stably, so the summary counters are spelled from the
+    DATA each snapshot's manifest makes visible — identical however
+    many part-files each commit wrote.
+
+    Scale shape: the history itself is manifest-JSON-only (metadata
+    planning, like Iceberg's — KBs per thousand files); the summary
+    aggregates are one manifest-pruned scan per snapshot, each a partial
+    agg to a single row before the union. In production Iceberg the
+    counters are maintained AT COMMIT TIME (the writer already knows
+    what it added) — the read-side spelling here is the verification
+    twin, not the maintenance path.
+    """
+    from functools import reduce
+
+    from ...tables import scratch_dir
+
+    path = scratch_dir(spark, sf_dir, "snapshot_history")
+    o = load_table(spark, sf_dir, "orders")
+    tbl = SnapshotTable(path)
+    for r in range(3):
+        tbl.append(o.filter(F.col("o_orderkey") % 3 == r))
+    tbl.overwrite(o.filter(F.col("o_orderkey") % 5 == 0))
+    tbl.rollback(to=3)
+    # One summary row per snapshot: the loop is over the 5-entry manifest
+    # list (metadata), not data; each read plans exactly the files its
+    # manifest names.
+    parts = [
+        tbl.read(spark, as_of=v).agg(
+            F.lit(v).cast("bigint").alias("snapshot_id"),
+            F.lit(op).alias("operation"),
+            F.count(F.lit(1)).alias("n_rows"),
+            exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+        )
+        for v, op in tbl.history()
+    ]
+    return reduce(DataFrame.unionAll, parts)
+
+
+@query(
+    "q_snapshot_rollback",
+    oracle="""
+    SELECT 'rollback' AS operation, o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg ``rollback_to_snapshot``, DuckDB-oracled end-to-end:
+    orders land in three appends (all rows visible at v3), a BAD
+    overwrite (v4) drops to the %5 slice, and the rollback commits v5
+    pointing back at v3's file list — so the latest read must equal the
+    FULL orders aggregate again (the oracle), not the bad slice, and the
+    `operation` column (from manifest metadata via ``history()``) must
+    say 'rollback'. History is append-only: v4 stays time-travelable
+    for audit until expire (pinned in tests/test_snapshots.py).
+
+    Scale shape: the rollback commit reads and writes ZERO data files —
+    one manifest JSON copy + atomic rename, identical cost at 100 TB.
+    """
+    from ...tables import scratch_dir
+
+    path = scratch_dir(spark, sf_dir, "snapshot_rollback")
+    o = load_table(spark, sf_dir, "orders")
+    tbl = SnapshotTable(path)
+    for r in range(3):
+        tbl.append(o.filter(F.col("o_orderkey") % 3 == r))
+    tbl.overwrite(o.filter(F.col("o_orderkey") % 5 == 0))  # bad commit
+    tbl.rollback(to=3)
+    _, last_op = tbl.history()[-1]
+    return (
+        tbl.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.lit(last_op).alias("operation"),
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select("operation", "o_orderstatus", "n_orders", "sum_price")
+    )
+
+
+@query(
+    "q_snapshot_compact",
+    oracle="""
+    SELECT CAST(1 AS BIGINT) AS n_files, o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_snapshot_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin-pack compaction (Iceberg ``rewriteDataFiles``), DuckDB-oracled
+    end-to-end: three appends each written 4-way (12 small files visible
+    — the small-file accretion streaming ingest causes), then
+    ``compact`` rewrites them into ONE file as a `replace` snapshot. The
+    result must show BOTH invariants: `n_files` = 1 from the
+    post-compaction manifest (deterministic — coalesce(1) writes exactly
+    one file, however the appends were parallelized) and the per-status
+    aggregate equal to the full orders reconstruction (compaction
+    changes layout, never rows). Pre-compaction snapshots stay
+    time-travelable until expire (pinned in tests/test_snapshots.py).
+    """
+    from ...tables import scratch_dir
+
+    path = scratch_dir(spark, sf_dir, "snapshot_compact")
+    o = load_table(spark, sf_dir, "orders")
+    tbl = SnapshotTable(path)
+    for r in range(3):
+        tbl.append(o.filter(F.col("o_orderkey") % 3 == r).repartition(4))
+    v = tbl.compact(spark)
+    n_files = len(tbl._manifest(v))
+    return (
+        tbl.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.lit(n_files).cast("bigint").alias("n_files"),
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select("n_files", "o_orderstatus", "n_orders", "sum_price")
+    )
+
+
+@query(
+    "q_snapshot_wap",
+    oracle="""
+    SELECT 'pre_publish' AS phase, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_price
+    FROM orders WHERE o_orderkey % 3 < 2
+    UNION ALL
+    SELECT 'staged_audit', COUNT(*),
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0
+    FROM orders
+    UNION ALL
+    SELECT 'post_publish', COUNT(*),
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0
+    FROM orders
+    """,
+)
+def q_snapshot_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish (Iceberg's spark.wap.id + cherrypick),
+    DuckDB-oracled end-to-end: main holds two appends (keys %3 < 2); the
+    %3 = 2 batch is STAGED — the 'pre_publish' row proves the main read
+    still excludes it while its files sit on disk; the 'staged_audit'
+    row is the audit query reading the staged snapshot by version (it
+    inherits main, so it sees ALL orders); after publish() fast-forwards
+    main, 'post_publish' sees the same full set. The oracle reconstructs
+    each phase's visibility from the same parquet. Publish is a pure
+    metadata cherry-pick (manifest copy), idempotent on wap_id — the
+    isolation/idempotence/expiry corners are pinned in
+    tests/test_snapshots.py.
+
+    Scale shape: this is THE production pattern for gated ingestion at
+    100 TB — the expensive data write happens once into the staged
+    branch, audits run against it with full parallelism, and the
+    go-live decision costs one atomic manifest rename, never a rewrite.
+    """
+    from ...tables import scratch_dir
+
+    path = scratch_dir(spark, sf_dir, "snapshot_wap")
+    o = load_table(spark, sf_dir, "orders")
+    tbl = SnapshotTable(path)
+    for r in range(2):
+        tbl.append(o.filter(F.col("o_orderkey") % 3 == r))
+    staged = tbl.stage_append(
+        o.filter(F.col("o_orderkey") % 3 == 2), wap_id="w1"
+    )
+
+    def phase_agg(df: DataFrame, phase: str) -> DataFrame:
+        return df.agg(
+            F.lit(phase).alias("phase"),
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+        )
+
+    pre = phase_agg(tbl.read(spark), "pre_publish")
+    audit = phase_agg(tbl.read(spark, as_of=staged), "staged_audit")
+    tbl.publish("w1")
+    post = phase_agg(tbl.read(spark), "post_publish")
+    return pre.unionAll(audit).unionAll(post)
+
+
+@query(
+    "q_snapshot_pruned_read",
+    oracle="""
+    SELECT CAST(3 AS BIGINT) AS n_files_total,
+           CAST(1 AS BIGINT) AS n_files_scanned,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_price
+    FROM orders
+    WHERE o_orderkey >  (SELECT MAX(o_orderkey) FROM orders) // 3
+      AND o_orderkey <= 2 * (SELECT MAX(o_orderkey) FROM orders) // 3
+    """,
+)
+def q_snapshot_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats scan planning (Iceberg's metadata file pruning),
+    DuckDB-oracled end-to-end: orders land in three appends covering
+    disjoint o_orderkey tertiles, each written as ONE file with per-file
+    [min, max] stats recorded at commit (footer-read, metadata-only);
+    a read predicated on the middle tertile must (a) prune to exactly 1
+    of the 3 files BEFORE touching data — `n_files_scanned` comes from
+    `plan_files`, which opens no data file — and (b) return the same
+    rows as the oracle's plain WHERE over the full table, because
+    pruning only ever removes provably-disjoint files and the predicate
+    is re-applied as a residual filter on the survivors.
+
+    Tertile boundaries are integer-division of MAX(o_orderkey), computed
+    identically here (Python //) and in the oracle (DuckDB //) — both
+    floor positive operands — so the file layout and the predicate are
+    the same deterministic function of the data at every SF.
+
+    Scale shape: this is the core Iceberg read-path win — planning cost
+    is manifest + sidecar JSON (KBs), pruning happens on the driver
+    against stats, and the cluster only ever sees the surviving file
+    list. At 100 TB with time-partitioned appends, a day-range query
+    opens a day's files, not the table.
+    """
+    from ...tables import require_local_master, scratch_dir
+
+    require_local_master(spark, "q_snapshot_pruned_read (footer stats)")
+    path = scratch_dir(spark, sf_dir, "snapshot_pruned")
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderkey")).collect()[0][0]  # one scalar
+    b1, b2 = mx // 3, 2 * mx // 3
+    tbl = SnapshotTable(path, stats_cols=["o_orderkey"])
+    k = F.col("o_orderkey")
+    tbl.append(o.filter(k <= b1).coalesce(1))
+    tbl.append(o.filter((k > b1) & (k <= b2)).coalesce(1))
+    tbl.append(o.filter(k > b2).coalesce(1))
+    where = ("o_orderkey", b1 + 1, b2)
+    kept, total = tbl.plan_files(where=where)
+    return tbl.read(spark, where=where, plan=kept).agg(
+        F.lit(total).cast("bigint").alias("n_files_total"),
+        F.lit(len(kept)).cast("bigint").alias("n_files_scanned"),
+        F.count(F.lit(1)).alias("n_orders"),
+        exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
+    "q_snapshot_bloom_read",
+    oracle="""
+    WITH ck AS (
+        SELECT o_custkey AS v FROM orders
+        GROUP BY o_custkey ORDER BY COUNT(*), o_custkey LIMIT 1
+    )
+    SELECT CAST(6 AS BIGINT) AS n_files_total,
+           CAST(COUNT(DISTINCT o_orderkey % 6) AS BIGINT)
+               AS n_files_scanned,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_price
+    FROM orders WHERE o_custkey = (SELECT v FROM ck)
+    """,
+)
+def q_snapshot_bloom_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file Bloom-index point-lookup pruning (Iceberg's
+    puffin-blob / parquet-bloom idea), DuckDB-oracled end-to-end:
+    orders land in six appends split by ``o_orderkey % 6`` — a
+    HASH-SCATTERED layout where every file's [min, max] range on any
+    column spans the whole domain, so range-stats pruning keeps all 6
+    files and the bloom is the ONLY pruner with leverage. Each commit
+    records a per-file bloom over ``o_custkey``; a point lookup for
+    the fewest-orders customer (smallest-custkey tie-break — a
+    deterministic, genuinely-sparse probe key) must (a) prune to
+    exactly the residue-class files that customer's orders actually
+    occupy — the oracle computes that same count as
+    ``COUNT(DISTINCT o_orderkey % 6)``, so a bloom FALSE NEGATIVE
+    (dropped rows) or an unexpected false positive (extra file) both
+    hash-mismatch — and (b) return the same aggregate as the oracle's
+    plain WHERE over the full table, because pruning only removes
+    provably-absent files and the equality is re-applied as a residual
+    filter.
+
+    Scale shape: this is the lookup class range stats can't serve —
+    point reads on a high-cardinality non-clustered key (find one
+    document id / customer across a month of time-partitioned
+    appends). The bloom costs one column-pruned Arrow read per
+    freshly-written immutable file at commit (outside the commit
+    lock), sized 16 bits per distinct key; planning stays
+    metadata-only (manifest + sidecar), and at 100 TB the cluster
+    sees only the handful of files whose bloom admits the key.
+    """
+    from ...tables import require_local_master, scratch_dir
+
+    require_local_master(spark, "q_snapshot_bloom_read (bloom index)")
+    path = scratch_dir(spark, sf_dir, "snapshot_bloom")
+    o = load_table(spark, sf_dir, "orders")
+    ck = (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("n", "o_custkey")
+        .limit(1)
+        .collect()
+    )[0][0]  # one scalar: the probe key
+    tbl = SnapshotTable(path, bloom_cols=["o_custkey"])
+    for r in range(6):
+        tbl.append(o.filter(F.col("o_orderkey") % 6 == r).coalesce(1))
+    kept, total = tbl.plan_files(eq=("o_custkey", ck))
+    return tbl.read(spark, eq=("o_custkey", ck), plan=kept).agg(
+        F.lit(total).cast("bigint").alias("n_files_total"),
+        F.lit(len(kept)).cast("bigint").alias("n_files_scanned"),
+        F.count(F.lit(1)).alias("n_orders"),
+        exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
+    "q_snapshot_null_scan",
+    oracle="""
+    SELECT CAST(5 AS BIGINT) AS n_files_total,
+           CAST(1 AS BIGINT) AS n_files_scanned,
+           COUNT(*) AS n_null_rows,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_price
+    FROM orders WHERE o_orderkey % 5 = 0
+    """,
+)
+def q_snapshot_null_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-count pruning (Iceberg's ``null_value_counts`` manifest
+    stats), DuckDB-oracled end-to-end: orders gain a ``note`` column
+    that is NULL exactly on the %5 == 0 keys, and land in five appends
+    split by ``o_orderkey % 5`` — so ONE file holds every NULL and the
+    other four provably hold none. Each commit records per-file null
+    counts from the parquet footers (the same footer read as the
+    [min,max] stats — zero extra IO, and recorded even for the
+    all-NULL file that HAS no bounds). An ``IS NULL`` read
+    (``eq=(col, None)``) must prune to exactly the one file whose
+    recorded null count is nonzero and return the same rows as the
+    oracle's %5 == 0 filter — a file pruned with a wrong count, or a
+    kept file miscounted, hash-mismatches on either the file counter
+    or the aggregate.
+
+    Scale shape: IS NULL / IS NOT NULL quality-gate scans (find the
+    rows missing an embedding, a language tag, a parse) are routine
+    over training corpora; with per-file null counts they plan from
+    the sidecar to only the files that can contain offenders — on a
+    mostly-clean 100 TB table that is a handful of files, not a full
+    scan.
+    """
+    from ...tables import require_local_master, scratch_dir
+
+    require_local_master(spark, "q_snapshot_null_scan (footer stats)")
+    path = scratch_dir(spark, sf_dir, "snapshot_nulls")
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    src = o.withColumn(
+        "note",
+        F.when(k % 5 == 0, F.lit(None).cast("string")).otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
+    tbl = SnapshotTable(path, stats_cols=["note"])
+    for r in range(5):
+        tbl.append(src.filter(k % 5 == r).coalesce(1))
+    kept, total = tbl.plan_files(eq=("note", None))
+    return tbl.read(spark, eq=("note", None), plan=kept).agg(
+        F.lit(total).cast("bigint").alias("n_files_total"),
+        F.lit(len(kept)).cast("bigint").alias("n_files_scanned"),
+        F.count(F.lit(1)).alias("n_null_rows"),
+        exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
+    "q_snapshot_count",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(3 AS BIGINT) AS n_files_metadata,
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey % 4 = 3)
+               AS n_rows_scanned
+    FROM orders
+    """,
+)
+def q_snapshot_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only COUNT(*) (Iceberg's count pushdown from manifest
+    record counts), DuckDB-oracled end-to-end: orders land in four
+    appends — three through a stats-recording handle (per-file
+    ``::rows`` captured from parquet footers at commit) and one
+    through a PLAIN handle with no stats configured. ``count_rows``
+    must answer the three recorded files from the sidecar alone and
+    fall back to one Spark count over exactly the stats-less file;
+    the oracle pins the split: total row count, 3 files answered from
+    metadata, and the scanned remainder equal to the %4==3 residue
+    class by construction. A wrong sidecar count, a double-counted
+    file, or a fallback over the wrong file set all hash-mismatch.
+    The delete-file guard (live MoR state forces the full read) and
+    compaction re-enabling the fast path are pinned in
+    tests/test_snapshots.py.
+
+    Scale shape: COUNT(*) on a maintained 100 TB table is one manifest
+    + one sidecar JSON read on the driver — zero cluster tasks — while
+    the oracle's full-scan COUNT is what a plain parquet reader pays.
+    """
+    from ...tables import require_local_master, scratch_dir
+
+    require_local_master(spark, "q_snapshot_count (footer stats)")
+    path = scratch_dir(spark, sf_dir, "snapshot_count")
+    o = load_table(spark, sf_dir, "orders")
+    tbl = SnapshotTable(path, stats_cols=["o_orderkey"])
+    for r in range(3):
+        tbl.append(o.filter(F.col("o_orderkey") % 4 == r).coalesce(1))
+    plain = SnapshotTable(path)  # no stats_cols: no ::rows recorded
+    plain.append(o.filter(F.col("o_orderkey") % 4 == 3).coalesce(1))
+    n, n_meta = tbl.count_rows(spark)
+    stats = tbl._load_stats()
+    rels = tbl._manifest(tbl._latest_published())
+    scanned = [
+        r for r in rels if stats.get(r, {}).get("::rows") is None
+    ]
+    if len(scanned) != 1:  # not assert: must survive python -O
+        raise RuntimeError(
+            f"expected exactly the plain-handle file to lack ::rows, "
+            f"got {scanned}"
+        )
+    # report the fallback volume the scanned file actually held, so
+    # the oracle cross-checks WHICH file lacked metadata
+    n_scanned_rows = n - sum(
+        stats[r]["::rows"] for r in rels if r not in scanned
+    )
+    return spark.range(1).select(
+        F.lit(n).cast("bigint").alias("n_rows"),
+        F.lit(n_meta).cast("bigint").alias("n_files_metadata"),
+        F.lit(n_scanned_rows).cast("bigint").alias("n_rows_scanned"),
+    )
+
+
+@query(
+    "q_snapshot_schema_evolution",
+    oracle="""
+    WITH v1 AS (
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS o_totalprice,
+               CAST(NULL AS VARCHAR) AS o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 0
+    ), v2 AS (
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 1
+    ), unioned AS (
+        SELECT * FROM v1 UNION ALL SELECT * FROM v2
+    )
+    SELECT COALESCE(o_orderpriority, '<pre-evolution>') AS priority,
+           COUNT(*) AS n_orders,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+               AS sum_price_cents
+    FROM unioned
+    GROUP BY 1
+    """,
+)
+def q_snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-AWARE schema evolution (round-5 verdict item #3),
+    DuckDB-oracled end-to-end: snapshot 1 appends half of orders under
+    (o_orderkey INT, o_totalprice FLOAT); the table then evolves — widen
+    o_orderkey -> BIGINT, o_totalprice -> DOUBLE, add o_orderpriority
+    STRING — via ``evolve`` commits whose manifests version the SCHEMA
+    with the snapshot (Iceberg's schema-id-per-snapshot), and the other
+    half appends under the new schema. The latest read resolves
+    snapshot-1 files at scan time (exact float->double upcast, NULL
+    priority) and must equal the oracle's REAL-round-trip
+    reconstruction; money stays exact via floor-cents (the same
+    half-step tie rationale as q_schema_evolution, the sink-side
+    sibling this upgrades: EvolvingTable versions schemas in a sidecar,
+    this folds them into the SNAPSHOT manifests, so time travel crosses
+    schema changes — ``read(as_of=1)`` returns snapshot 1's own INT/
+    FLOAT schema, pinned in tests/test_snapshots.py).
+
+    Scale shape: evolution is metadata-only (no file rewrites ever);
+    the resolution casts are row expressions fused into each scan
+    stage, unionByName is a metadata concat — the read plan is the same
+    N parallel parquet scans it would be without evolution.
+    """
+    from pyspark.sql import types as T
+
+    from ...tables import scratch_dir
+
+    path = scratch_dir(spark, sf_dir, "snap_schema_evolution")
+    o = load_table(spark, sf_dir, "orders")
+    tbl = SnapshotTable(path)
+    tbl.append(
+        o.filter(F.col("o_orderkey") % 2 == 0).select(
+            F.col("o_orderkey").cast("int").alias("o_orderkey"),
+            F.col("o_totalprice").cast("float").alias("o_totalprice"),
+        )
+    )
+    tbl.widen_column("o_orderkey", T.LongType())
+    tbl.widen_column("o_totalprice", T.DoubleType())
+    tbl.add_column("o_orderpriority", T.StringType())
+    tbl.append(
+        o.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+    )
+    return (
+        tbl.read(spark)
+        .groupBy(
+            F.coalesce("o_orderpriority", F.lit("<pre-evolution>")).alias(
+                "priority"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+            F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_price_cents"),
+        )
+    )
+
+
+@query(
+    "q_snapshot_rename_column",
+    oracle="""
+    WITH s1 AS (
+        SELECT o_orderkey, o_totalprice AS price, 'legacy' AS flag
+        FROM orders WHERE o_orderkey % 3 = 0
+    ), s2 AS (
+        SELECT o_orderkey, o_totalprice AS price, 'legacy' AS flag
+        FROM orders WHERE o_orderkey % 3 = 1
+    ), s3 AS (
+        SELECT o_orderkey, o_totalprice AS price, 'new' AS flag
+        FROM orders WHERE o_orderkey % 3 = 2
+    ), unioned AS (
+        SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        UNION ALL SELECT * FROM s3
+    )
+    SELECT flag,
+           COUNT(*) AS n_orders,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(SUM(CAST(FLOOR(price * 100.0) AS BIGINT)) AS BIGINT)
+               AS sum_price_cents
+    FROM unioned
+    GROUP BY 1
+    """,
+)
+def q_snapshot_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only RENAME/DROP COLUMN (Iceberg ``ALTER TABLE ...
+    RENAME COLUMN`` / ``DROP COLUMN``), DuckDB-oracled end-to-end:
+    snapshot 1 appends a third of orders under (o_orderkey,
+    o_totalprice, o_orderstatus); the table then renames o_totalprice ->
+    price and DROPS o_orderstatus — both pure ``evolve`` commits, zero
+    file rewrites — and the second third appends under the new
+    two-column schema. A later ``add_column(flag, default='legacy')``
+    (Iceberg v3 initial-default) precedes the final third, which
+    writes flag='new' explicitly. The latest read must resolve THREE
+    schema eras in one scan — pre-rename files read their physical
+    ``o_totalprice`` bytes under the name ``price`` via the field
+    NAME HISTORY (the local twin of Iceberg's field-ID resolution),
+    the dropped ``o_orderstatus`` stops resolving without touching its
+    bytes, and pre-add rows fill the flag default — and equal the
+    oracle's plain reconstruction. Time travel still returns each
+    era's OWN schema, and a re-added name can never resurrect dropped
+    bytes (era guards; pinned in tests/test_column_ddl.py).
+
+    Scale shape: every DDL here is one manifest write, however many
+    petabytes the files hold; resolution is row expressions fused into
+    each era's scan stage, and stats/bloom pruning keeps working on
+    pre-rename files by consulting the file-era column name.
+    """
+    from pyspark.sql import types as T
+
+    from ...tables import scratch_dir
+
+    path = scratch_dir(spark, sf_dir, "snap_rename_column")
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    tbl = SnapshotTable(path)
+    tbl.append(o.filter(k % 3 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    ))
+    tbl.rename_column("o_totalprice", "price")
+    tbl.drop_column("o_orderstatus")
+    tbl.append(
+        o.filter(k % 3 == 1).select(
+            "o_orderkey", F.col("o_totalprice").alias("price")
+        )
+    )
+    tbl.add_column("flag", T.StringType(), default="legacy")
+    tbl.append(
+        o.filter(k % 3 == 2).select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("price"),
+            F.lit("new").alias("flag"),
+        )
+    )
+    return (
+        tbl.read(spark)
+        .groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+            F.sum(F.floor(F.col("price") * 100.0).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_price_cents"),
+        )
+    )
+
+
+@query(
+    "q_snapshot_compact_sorted",
+    oracle="""
+    SELECT TRUE AS pruning_improved,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_price
+    FROM orders
+    WHERE o_orderkey >= 5 * (SELECT MAX(o_orderkey) FROM orders) // 6 + 1
+    """,
+)
+def q_snapshot_compact_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SORT-based compaction feeding the stats pruner (round-5 verdict
+    item #6), DuckDB-oracled end-to-end: three appends each written
+    2-way ROUND-ROBIN, so every one of the 6 files spans the whole
+    o_orderkey range and the [min, max] manifest stats can prune
+    NOTHING for a range predicate (kept == 6). ``compact(sort_by=
+    ['o_orderkey'], target_files=3)`` re-clusters the rows into 3
+    range-disjoint files; re-planning the same top-sixth predicate must
+    then scan strictly FEWER files (`pruning_improved`, asserted as a
+    value so the oracle pins it) while the pruned read returns rows
+    identical to the oracle's plain WHERE — pruning only ever removes
+    provably-disjoint files and the predicate re-applies as a residual
+    filter. Exact per-file counts after a range rewrite depend on
+    repartitionByRange's boundary sampling, so the query pins the
+    strict IMPROVEMENT (the invariant that matters) and the pytest pins
+    the pre-compaction kept==total.
+
+    Scale shape: the sorted rewrite is ONE range shuffle at maintenance
+    time; every later range-predicated read plans from manifest+sidecar
+    JSON and opens only the files whose range intersects — the
+    clustering investment Iceberg's sort-strategy rewriteDataFiles
+    makes for exactly this reason.
+    """
+    from ...tables import require_local_master, scratch_dir
+
+    require_local_master(spark, "q_snapshot_compact_sorted (footer stats)")
+    path = scratch_dir(spark, sf_dir, "snapshot_compact_sorted")
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderkey")).collect()[0][0]  # one scalar
+    lo = 5 * mx // 6 + 1
+    tbl = SnapshotTable(path, stats_cols=["o_orderkey"])
+    k = F.col("o_orderkey")
+    for r in range(3):
+        # round-robin split: every file spans the full key range
+        tbl.append(o.filter(k % 3 == r).repartition(2))
+    where = ("o_orderkey", lo, mx)
+    kept_before, total_before = tbl.plan_files(where=where)
+    tbl.compact(spark, target_files=3, sort_by=["o_orderkey"])
+    kept_after, total_after = tbl.plan_files(where=where)
+    improved = len(kept_after) < len(kept_before)
+    return tbl.read(spark, where=where, plan=kept_after).agg(
+        F.lit(improved).alias("pruning_improved"),
+        F.count(F.lit(1)).alias("n_orders"),
+        exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
+    "q_snapshot_files",
+    oracle="""
+    SELECT CAST(1 AS BIGINT) AS snapshot_seq, COUNT(*) AS n_records,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), COUNT(*),
+           CAST(MIN(o_orderkey) AS BIGINT), CAST(MAX(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey % 3 = 1
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), COUNT(*),
+           CAST(MIN(o_orderkey) AS BIGINT), CAST(MAX(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey % 3 = 2
+    """,
+)
+def q_snapshot_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg ``.files`` metadata table, DuckDB-oracled end-to-end:
+    three appends (keys %3 = 0/1/2, each ONE file) with stats recording
+    on o_orderkey; ``files_info`` must report, per file, the commit
+    sequence, the record count, and the [min, max] key range — all from
+    the stats sidecar captured at commit time (parquet footers read
+    once by the writer, like Iceberg manifests carrying record_count
+    and column bounds), with ZERO data IO at query time. The oracle
+    recomputes each slice's count and key range from the data, so a
+    wrong footer capture, a mis-keyed sidecar entry, or a seq-parse bug
+    all hash-mismatch. Completes the metadata-table family:
+    q_snapshot_history (snapshots), this (.files), plan_files
+    (scan planning).
+
+    Scale shape: the admin query every compaction decision starts from
+    — file counts/sizes per snapshot — costs one JSON sidecar read
+    however large the table; the 100 TB failure mode (listing a
+    million files or opening their footers per inspection) never
+    happens because the writer recorded the numbers once.
+    """
+    from ...tables import require_local_master, scratch_dir
+
+    require_local_master(spark, "q_snapshot_files (footer stats)")
+    path = scratch_dir(spark, sf_dir, "snapshot_files")
+    o = load_table(spark, sf_dir, "orders")
+    tbl = SnapshotTable(path, stats_cols=["o_orderkey"])
+    for r in range(3):
+        tbl.append(o.filter(F.col("o_orderkey") % 3 == r).coalesce(1))
+    rows = [
+        (
+            fi["seq"],
+            fi["n_records"],
+            fi["stats"]["o_orderkey"][0],
+            fi["stats"]["o_orderkey"][1],
+        )
+        for fi in sorted(tbl.files_info(), key=lambda d: d["path"])
+    ]
+    return spark.createDataFrame(
+        rows,
+        "snapshot_seq long, n_records long, min_key long, max_key long",
+    )
+
+
+@query(
+    "q_snapshot_branch",
+    oracle="""
+    WITH pre AS (
+        SELECT 'main_during_branch' AS phase,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS sum_price
+        FROM orders WHERE o_orderkey % 4 = 0
+    ),
+    brh AS (
+        SELECT 'branch_head' AS phase,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS sum_price
+        FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)
+    ),
+    post AS (
+        SELECT 'main_after_ff' AS phase,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS sum_price
+        FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)
+    )
+    SELECT * FROM pre
+    UNION ALL SELECT * FROM brh
+    UNION ALL SELECT * FROM post
+    """,
+)
+def q_snapshot_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg BRANCHES (named mutable refs + fast-forward merge),
+    DuckDB-oracled end-to-end: main holds the %4 == 0 orders; a branch
+    forked from it takes TWO further appends (%4 == 1, then %4 == 2) —
+    the 'main_during_branch' row proves main still reads only its own
+    batch while both branch commits sit on disk; 'branch_head' is the
+    branch read (fork base + both appends); after ``fast_forward``
+    merges the branch back as one metadata-only commit,
+    'main_after_ff' must equal the branch head. The oracle reconstructs
+    each phase's visibility from the same parquet, so a leak of branch
+    files into main, a lost branch commit, or a wrong fast-forward
+    manifest all hash-mismatch. Divergence refusal, ref retention
+    through expire, and streaming-source invisibility are pinned in
+    tests/test_snapshots.py.
+
+    Scale shape: the multi-commit generalization of WAP — a backfill
+    or re-audit pipeline writes N expensive batches into the branch
+    with full parallelism, validation reads the branch head, and
+    go-live is one atomic manifest copy; main readers never see a
+    half-merged state, and a concurrent main commit is a detected
+    conflict, not a lost update.
+    """
+    from ...tables import scratch_dir
+
+    path = scratch_dir(spark, sf_dir, "snapshot_branch")
+    o = load_table(spark, sf_dir, "orders")
+    tbl = SnapshotTable(path)
+    tbl.append(o.filter(F.col("o_orderkey") % 4 == 0))
+    tbl.create_branch("backfill")
+    tbl.append_to_branch(o.filter(F.col("o_orderkey") % 4 == 1), "backfill")
+    tbl.append_to_branch(o.filter(F.col("o_orderkey") % 4 == 2), "backfill")
+
+    def phase_agg(df: DataFrame, phase: str) -> DataFrame:
+        return df.agg(
+            F.lit(phase).alias("phase"),
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+        )
+
+    pre = phase_agg(tbl.read(spark), "main_during_branch")
+    head = phase_agg(tbl.read_branch(spark, "backfill"), "branch_head")
+    tbl.fast_forward("backfill")
+    post = phase_agg(tbl.read(spark), "main_after_ff")
+    return pre.unionAll(head).unionAll(post)
+
+
+@query(
+    "q_snapshot_tag",
+    oracle="""
+    WITH pinned AS (
+        SELECT 'tagged_v1' AS phase,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS sum_price
+        FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    head AS (
+        SELECT 'latest' AS phase,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS sum_price
+        FROM orders
+    )
+    SELECT * FROM pinned
+    UNION ALL SELECT * FROM head
+    """,
+)
+def q_snapshot_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg TAGS (named immutable refs) with retention, DuckDB-oracled
+    end-to-end: snapshot 1 holds the %3 == 0 orders and is tagged
+    ``corpus-v1``; two more appends advance the table; ``expire`` is then
+    asked to keep only the latest snapshot — which would reclaim
+    snapshot 1's manifest and files were it not tag-pinned. The
+    'tagged_v1' row reads THROUGH the tag AFTER that expire, so a
+    dropped pin, an expire that ignores refs, or a tag resolving to the
+    wrong snapshot all hash-mismatch against the oracle's
+    reconstruction of the first batch; 'latest' pins the live head.
+    Tag CRUD edge cases (duplicate names, untag-then-reclaim, missing
+    snapshot) are covered in tests/test_snapshots.py.
+
+    Scale shape: a training run tags the corpus snapshot it read;
+    routine retention (expire) can then run on any schedule without
+    pulling data out from under the run — reproducibility becomes a
+    metadata pin, not a data copy. The expire decision reads one
+    refs.json + the manifest list; no data IO scales with table size.
+    """
+    from ...tables import scratch_dir
+
+    path = scratch_dir(spark, sf_dir, "snapshot_tag")
+    o = load_table(spark, sf_dir, "orders")
+    tbl = SnapshotTable(path)
+    v1 = tbl.append(o.filter(F.col("o_orderkey") % 3 == 0))
+    tbl.tag("corpus-v1", v1)
+    tbl.append(o.filter(F.col("o_orderkey") % 3 == 1))
+    v3 = tbl.append(o.filter(F.col("o_orderkey") % 3 == 2))
+    tbl.expire(keep_from=v3)  # v1 survives only via the tag pin
+
+    def phase_agg(df: DataFrame, phase: str) -> DataFrame:
+        return df.agg(
+            F.lit(phase).alias("phase"),
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+        )
+
+    pinned = phase_agg(tbl.read_tag(spark, "corpus-v1"), "tagged_v1")
+    head = phase_agg(tbl.read(spark), "latest")
+    return pinned.unionAll(head)
+
+
+@query(
+    "q_snapshot_partitions",
+    oracle="""
+    SELECT o_orderstatus,
+           3 AS n_files,
+           COUNT(*) AS n_records
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_snapshot_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg's ``.partitions`` metadata table, DuckDB-oracled: a
+    table partitioned by o_orderstatus takes three appends (each a
+    single writer task, so each lays down exactly ONE file per status —
+    the deterministic n_files=3 the oracle pins), and the metadata-side
+    per-partition record counts must equal a full groupBy scan of the
+    same rows. The counts come from manifest partition records + the
+    stats sidecar's footer counts — no data file is opened at query
+    time, which is the operator's point: partition-size / skew triage
+    on a 100 TB table from two metadata reads. A missed file, a file
+    recorded under the wrong partition, or a stale sidecar count all
+    hash-mismatch.
+    """
+    from ...tables import require_local_master, scratch_dir
+
+    require_local_master(spark, "q_snapshot_partitions (footer stats)")
+    path = scratch_dir(spark, sf_dir, "snapshot_partitions")
+    o = load_table(spark, sf_dir, "orders")
+    tbl = SnapshotTable(
+        path, partition_by=["o_orderstatus"], stats_cols=["o_orderkey"]
+    )
+    for r in range(3):
+        tbl.append(o.filter(F.col("o_orderkey") % 3 == r).coalesce(1))
+    rows = [
+        (p["partition"]["o_orderstatus"], p["n_files"], p["n_records"])
+        for p in tbl.partitions_info()
+    ]
+    return spark.createDataFrame(
+        rows, "o_orderstatus string, n_files int, n_records long"
+    )
+
+
+@query(
+    "q_snapshot_fsck",
+    oracle="""
+    SELECT phase, bucket, CAST(n AS BIGINT) AS n
+    FROM (VALUES
+        ('healthy', 'missing_files', 0),
+        ('healthy', 'dangling_tokens', 0),
+        ('healthy', 'dangling_refs', 0),
+        ('healthy', 'orphan_stats', 0),
+        ('healthy', 'orphan_blooms', 0),
+        ('injected', 'missing_files', 1),
+        ('injected', 'dangling_tokens', 1),
+        ('injected', 'dangling_refs', 1),
+        ('injected', 'orphan_stats', 1),
+        ('injected', 'orphan_blooms', 1)
+    ) AS t(phase, bucket, n)
+    """,
+)
+def q_snapshot_fsck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table FSCK (``verify()``) with DETERMINISTIC planted
+    inconsistencies, the q_quality_constraints pattern: a freshly built
+    two-commit table must report every bucket EMPTY ('healthy' rows),
+    then exactly one inconsistency of each class is injected — a live
+    data file deleted externally, an exactly-once token pointing at a
+    snapshot that no longer exists, a tag pinning a removed snapshot,
+    and a stats-sidecar entry plus a bloom-sidecar entry for
+    unreferenced files — and each must land in exactly its own bucket
+    ('injected' rows). A miscount, a
+    miss, or cross-bucket bleed hash-mismatches the constant oracle;
+    the per-bucket payload details are pinned in
+    tests/test_snapshots.py.
+
+    Scale shape: fsck is O(live files) existence probes + three sidecar
+    reads — no data IO — so a 100 TB table audits in metadata time;
+    it is the routine health gate before trusting expire/compact
+    automation on a table restored from backup or shared with external
+    writers.
+    """
+    from ...tables import require_local_master, scratch_dir
+
+    require_local_master(spark, "q_snapshot_fsck (footer stats)")
+    path = scratch_dir(spark, sf_dir, "snapshot_fsck")
+    o = load_table(spark, sf_dir, "orders")
+    tbl = SnapshotTable(path, stats_cols=["o_orderkey"])
+    tbl.append_once(o.filter(F.col("o_orderkey") % 2 == 0), token="t1")
+    tbl.append(o.filter(F.col("o_orderkey") % 2 == 1))
+
+    def report(phase: str):
+        return [
+            (phase, bucket, len(items))
+            for bucket, items in sorted(tbl.verify().items())
+        ]
+
+    rows = report("healthy")
+    os.remove(os.path.join(tbl.path, tbl._manifest(2)[0]))
+    idx = tbl._token_index()
+    idx["ghost"] = 99
+    tbl._atomic_json(tbl._tokens_path(), idx)
+    tbl._atomic_json(tbl._refs_path(), {"old": 98})
+    st = tbl._load_stats()
+    st["_snap=9/ghost.parquet"] = {"::rows": 1}
+    tbl._atomic_json(tbl._stats_path(), st)
+    tbl._atomic_json(
+        tbl._bloom_sidecar_path(),
+        {"_snap=9/ghost.parquet": {"o_orderkey": {"m": 256, "k": 4}}},
+    )
+    rows += report("injected")
+    return spark.createDataFrame(
+        rows, "phase string, bucket string, n long"
+    )
+
+
+@query(
+    "q_snapshot_refs",
+    oracle="""
+    SELECT name, type, CAST(snapshot AS BIGINT) AS snapshot
+    FROM (VALUES
+        ('corpus-v1', 'tag', 1),
+        ('corpus-v2', 'tag', 2),
+        ('main', 'branch', 3),
+        ('backfill', 'branch', 3)
+    ) AS t(name, type, snapshot)
+    """,
+)
+def q_snapshot_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg's ``.refs`` METADATA TABLE: every named ref — the
+    implicit ``main`` branch at the current head, explicit branches at
+    their heads, tags at their pins — from one metadata read, no data
+    IO. Deterministic construction (append → tag v1 → append → tag v2
+    → append → branch at head) makes the expected rows exact constants:
+    a tag drifting with the head, a branch forked at the wrong
+    snapshot, or a ref lost through the commit path all hash-mismatch.
+    Ref lifecycle edges (expire retention, untag reclaim, fast-forward)
+    are pinned in tests/test_snapshots.py.
+
+    Scale shape: the operator an administrator runs to audit what
+    retention must preserve — one refs.json + one manifest-list read
+    regardless of table size.
+    """
+    from ...tables import scratch_dir
+
+    path = scratch_dir(spark, sf_dir, "snapshot_refs")
+    o = load_table(spark, sf_dir, "orders")
+    tbl = SnapshotTable(path)
+    v1 = tbl.append(o.filter(F.col("o_orderkey") % 3 == 0))
+    tbl.tag("corpus-v1", v1)
+    v2 = tbl.append(o.filter(F.col("o_orderkey") % 3 == 1))
+    tbl.tag("corpus-v2", v2)
+    tbl.append(o.filter(F.col("o_orderkey") % 3 == 2))
+    tbl.create_branch("backfill")
+    rows = [("main", "branch", tbl._latest_published())]
+    rows += [
+        (n, "tag", s) for n, s in sorted(tbl.tags().items())
+    ]
+    rows += [
+        (n, "branch", b["snapshot"])
+        for n, b in sorted(tbl.branches().items())
+    ]
+    return spark.createDataFrame(
+        rows, "name string, type string, snapshot long"
+    )
+
+
+@query(
+    "q_snapshot_expire",
+    oracle="""
+    WITH final AS (
+        SELECT * FROM orders
+        WHERE o_orderkey % 3 < 2 AND o_orderkey % 5 <> 0
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_price,
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0)
+               AS tagged_rows,
+           CAST(2 AS BIGINT) AS n_live_snapshots,
+           CAST(1 AS BIGINT) AS n_expired_snapshots,
+           CAST(0 AS BIGINT) AS n_leftover_files
+    FROM final
+    GROUP BY o_orderstatus
+    """,
+)
+def q_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg ``expire_snapshots`` as a driver-checked query (the
+    maintenance twin the reference cannot express — App.java:147-149
+    only ever appends; history grows forever). Deterministic lifecycle:
+    append %3 = 0 (v1, TAGGED 'audit'), append %3 = 1 (v2), CoW DELETE
+    of the %5 = 0 keys (v3), then ``expire(keep_from=v3)``. The oracle
+    pins every consequence at once:
+
+      * the final read equals the %3 < 2 minus %5 = 0 aggregate
+        (expire never changes visible data);
+      * ``tagged_rows`` — a time-travel read AT THE TAG after expiry —
+        equals the %3 = 0 count: the ref-pinned snapshot survived the
+        cutoff (Iceberg's retention rule), while untagged v2 did not
+        (``n_live_snapshots`` = 2, ``n_expired_snapshots`` = 1);
+      * ``n_leftover_files`` = 0: every file the expiry returned as
+        unreferenced is physically gone — metadata AND storage
+        reclaimed, none of it still referenced by v1/v3 (a file the
+        delete carried forward must NOT be deleted; one it rewrote
+        must be).
+
+    Scale shape: reachability is manifest-set arithmetic under the
+    commit lock (KBs of JSON); the storage reclaim runs OUTSIDE the
+    lock, O(|doomed files|) with no data reads — the same split
+    Iceberg's expire action uses so a 100 TB table's expiry never
+    blocks writers on file deletion.
+    """
+    from ...tables import scratch_dir
+
+    path = scratch_dir(spark, sf_dir, "snapshot_expire")
+    o = load_table(spark, sf_dir, "orders")
+    tbl = SnapshotTable(path)
+    v1 = tbl.append(o.filter(F.col("o_orderkey") % 3 == 0))
+    tbl.tag("audit", v1)
+    tbl.append(o.filter(F.col("o_orderkey") % 3 == 1))
+    v3 = tbl.delete_where(spark, "o_orderkey % 5 = 0")
+    before = set(tbl.snapshots())
+    doomed = tbl.expire(keep_from=v3)
+    live = tbl.snapshots()
+    leftover = sum(
+        1 for f in doomed if os.path.exists(os.path.join(tbl.path, f))
+    )
+    tagged_n = tbl.read(spark, as_of=tbl.tags()["audit"]).count()
+    scalars = spark.createDataFrame(
+        [(tagged_n, len(live), len(before) - len(live), leftover)],
+        "tagged_rows long, n_live_snapshots long, "
+        "n_expired_snapshots long, n_leftover_files long",
+    )
+    return (
+        tbl.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+        )
+        .crossJoin(F.broadcast(scalars))
+    )
+
+
+@query(
+    "q_snapshot_cherrypick",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_price,
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 < 2)
+               AS branch_rows,
+           'cherry-pick' AS head_op,
+           CAST(1 AS BIGINT) AS idempotent
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_snapshot_cherrypick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch-to-main ``cherrypick_snapshot``, DuckDB-oracled end to
+    end — the hotfix flow the reference's blind append can't express:
+    main lands %3 = 0, a 'hotfix' branch forks and commits %3 = 1
+    OFF-main, main advances independently with %3 = 2, then the branch
+    commit is cherry-picked onto main. The oracle pins the rebase
+    semantics: main must now hold ALL of orders (the pick applied the
+    branch's files onto the MOVED head, not its fork point),
+    ``branch_rows`` proves the branch itself is untouched (%3 < 2 —
+    picks don't fast-forward the source ref), ``head_op`` comes from
+    the history metadata, and ``idempotent`` re-picks the same source
+    and must land on the SAME commit (retry safety).
+
+    Scale shape: the pick is one manifest rebase under the commit lock
+    — zero data IO at any table size; the idempotency scan is
+    manifest-JSON-only, bounded by history length in KBs.
+    """
+    from ...tables import scratch_dir
+
+    path = scratch_dir(spark, sf_dir, "snapshot_cherrypick")
+    o = load_table(spark, sf_dir, "orders")
+    tbl = SnapshotTable(path)
+    tbl.append(o.filter(F.col("o_orderkey") % 3 == 0))
+    tbl.create_branch("hotfix")
+    bv = tbl.append_to_branch(
+        o.filter(F.col("o_orderkey") % 3 == 1), "hotfix"
+    )
+    tbl.append(o.filter(F.col("o_orderkey") % 3 == 2))
+    pick = tbl.cherrypick(bv)
+    idem = 1 if tbl.cherrypick(bv) == pick else 0
+    head_op = tbl.history()[-1][1]
+    branch_n = tbl.read_branch(spark, "hotfix").count()
+    scalars = spark.createDataFrame(
+        [(branch_n, head_op, idem)],
+        "branch_rows long, head_op string, idempotent long",
+    )
+    return (
+        tbl.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+        )
+        .crossJoin(F.broadcast(scalars))
+    )
+
+
+@query(
+    "q_snapshot_maintain",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_price,
+           CAST(6 AS BIGINT) AS files_before,
+           CAST(1 AS BIGINT) AS files_after,
+           CAST(6 AS BIGINT) AS n_expired,
+           CAST(6 AS BIGINT) AS n_reclaimed,
+           CAST(1 AS BIGINT) AS n_orphans,
+           CAST(1 AS BIGINT) AS second_run_noop
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_snapshot_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance policy runner, DuckDB-oracled end to end: six
+    single-file appends accrete a fragmented table plus planted
+    crashed-writer debris; ONE ``maintain()`` call compacts 6 files to
+    1, expires all six pre-compaction snapshots (reclaiming their six
+    small files — the replace is the sole survivor), and sweeps the
+    debris; the oracled aggregation over the maintained table must
+    equal DuckDB over the source rows (maintenance changed LAYOUT,
+    never content), with the report's exact action counts riding along
+    as oracled constants — including that an immediate second run under
+    the same policy is a complete no-op.
+
+    Scale shape: this is the nightly table-service job — the compaction
+    is the only data IO and runs once per threshold crossing; retention
+    and the orphan sweep are manifest-metadata reachability plus
+    unlink, never scans.
+    """
+    import os as _os
+    import time as _time
+
+    from ...tables import scratch_dir
+
+    path = scratch_dir(spark, sf_dir, "snapshot_maintain")
+    o = load_table(spark, sf_dir, "orders")
+    tbl = SnapshotTable(_os.path.join(path, "t"))
+    for m in range(6):
+        tbl.append(o.filter(F.col("o_orderkey") % 6 == m).coalesce(1))
+    debris = _os.path.join(path, "t", "_staging-crashed")
+    _os.makedirs(debris)
+    old = _time.time() - 7200
+    _os.utime(debris, (old, old))
+
+    rep = tbl.maintain(
+        spark, max_live_files=3, keep_last=1, orphan_grace_sec=3600
+    )
+    rep2 = tbl.maintain(
+        spark, max_live_files=3, keep_last=1, orphan_grace_sec=3600
+    )
+    noop = int(
+        rep2["compacted_to"] is None
+        and not rep2["expired_snapshots"]
+        and not rep2["reclaimed_files"]
+        and not rep2["orphans_removed"]
+    )
+    scalars = spark.createDataFrame(
+        [
+            (
+                rep["files_before"],
+                rep["files_after"],
+                len(rep["expired_snapshots"]),
+                len(rep["reclaimed_files"]),
+                len(rep["orphans_removed"]),
+                noop,
+            )
+        ],
+        "files_before long, files_after long, n_expired long, "
+        "n_reclaimed long, n_orphans long, second_run_noop long",
+    )
+    return (
+        tbl.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+        )
+        .crossJoin(F.broadcast(scalars))
+    )
+
+
+@query(
+    "q_snapshot_minmax",
+    oracle="""
+    SELECT ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price,
+           CAST(1 AS BIGINT) AS price_from_meta,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key,
+           CAST(0 AS BIGINT) AS key_from_meta
+    FROM orders
+    """,
+)
+def q_snapshot_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX pushdown from manifest footer stats, DuckDB-oracled:
+    orders land in three appends on a table maintaining o_totalprice
+    stats; MIN/MAX(o_totalprice) is then answered from ONE sidecar read
+    (zero data IO — `from_meta` rides as an oracled constant proving the
+    fast path actually fired), while the un-maintained o_orderkey column
+    falls back to the real scan and is exact anyway. The metadata answer
+    must equal DuckDB's MIN/MAX over the raw data — footer bounds are
+    exact extrema, not estimates.
+
+    Completes the metadata-answerable aggregate family with count_rows
+    (COUNT(*)): at 100 TB both are one JSON read on a maintained table.
+    The guards (delete files, renames, era defaults, missing stats) all
+    fall back to the MoR read — never a wrong answer.
+    """
+    from ...tables import scratch_dir
+
+    path = scratch_dir(spark, sf_dir, "snap_minmax")
+    o = load_table(spark, sf_dir, "orders")
+    tbl = SnapshotTable(path, stats_cols=["o_totalprice"])
+    for r in range(3):
+        tbl.append(o.filter(F.col("o_orderkey") % 3 == r))
+    plo, phi, pmeta = tbl.min_max(spark, "o_totalprice")
+    klo, khi, kmeta = tbl.min_max(spark, "o_orderkey")
+    return spark.range(1).select(
+        F.lit(round(plo, 2)).alias("min_price"),
+        F.lit(round(phi, 2)).alias("max_price"),
+        F.lit(int(pmeta)).cast("bigint").alias("price_from_meta"),
+        F.lit(klo).cast("bigint").alias("min_key"),
+        F.lit(khi).cast("bigint").alias("max_key"),
+        F.lit(int(kmeta)).cast("bigint").alias("key_from_meta"),
+    )
+
+
+@query(
+    "q_snapshot_clone",
+    oracle="""
+    WITH src_final AS (
+        SELECT * FROM orders WHERE o_orderkey % 4 <> 1
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS clone_n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS clone_cents,
+           (SELECT COUNT(*) FROM src_final) AS src_n
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_snapshot_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE, DuckDB-oracled end-to-end: orders land in a source
+    table (two appends), `clone_to` re-homes the live files with zero
+    byte copy, and the two tables then DIVERGE — a CoW delete hits only
+    the source. The result aggregates the CLONE (must equal the oracle
+    over ALL of orders — the clone froze the pre-delete state) with the
+    source's post-delete count riding as an oracled constant proving
+    independence. Zero-copy and inode-survival claims are pytest-pinned
+    (test_shallow_clone_zero_copy_and_divergence).
+
+    At 100 TB this is the dev/test-environment verb: a writable copy of
+    a petabyte table in O(files) metadata + hardlink operations, no data
+    IO — and expire's unlink semantics give the shared bytes exactly the
+    ref-counted lifetime manifest-sharing clones need.
+    """
+    from ...tables import scratch_dir
+
+    base = scratch_dir(spark, sf_dir, "snap_clone")
+    o = load_table(spark, sf_dir, "orders")
+    src = SnapshotTable(f"{base}/src")
+    src.append(o.filter(F.col("o_orderkey") % 2 == 0))
+    src.append(o.filter(F.col("o_orderkey") % 2 == 1))
+    clone = src.clone_to(f"{base}/clone")
+    src.delete_where(spark, "o_orderkey % 4 = 1")
+    src_n = src.read(spark).count()
+    return (
+        clone.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("clone_n"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("clone_cents"),
+        )
+        .withColumn("src_n", F.lit(src_n).cast("bigint"))
+    )
+
+
+@query(
+    "q_snapshot_skew_report",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY 1
+    ), t AS (SELECT SUM(n) AS s FROM c)
+    SELECT c.o_orderstatus,
+           CAST(1 AS BIGINT) AS n_files,
+           c.n AS n_records,
+           CAST(c.n * 1000000 // t.s AS BIGINT) AS share_ppm,
+           CAST(c.n * (SELECT COUNT(*) FROM c) * 1000000 // t.s
+                AS BIGINT) AS skew_ppm
+    FROM c CROSS JOIN t
+    """,
+)
+def q_snapshot_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-skew report from PURE METADATA: per live partition of a
+    partitioned snapshot table — file count, footer record count, mass
+    share, and a skew index (share x |partitions|, ppm: 1,000,000 =
+    perfectly even; the number that decides salting and distribution
+    mode). One manifest + one sidecar read, zero data IO at any table
+    size (`.partitions` metadata-table economics) — yet every count is
+    EXACT, so the whole report is DuckDB-oracled against the raw data.
+    The `n_files = 1` per value is itself an oracled claim: the table
+    writes under distribution mode 'hash', and a skew report is exactly
+    the tool that would catch 'none' mode's per-task file explosion.
+    """
+    from ...tables import scratch_dir
+
+    path = scratch_dir(spark, sf_dir, "snap_skew")
+    o = load_table(spark, sf_dir, "orders")
+    tbl = SnapshotTable(
+        path,
+        partition_by=["o_orderstatus"],
+        write_distribution="hash",
+        stats_cols=["o_orderkey"],
+    )
+    tbl.append(o)
+    parts = tbl.partitions_info()
+    total = sum(p["n_records"] for p in parts)
+    k = len(parts)
+    rows = [
+        (
+            p["partition"]["o_orderstatus"],
+            p["n_files"],
+            p["n_records"],
+            p["n_records"] * 1_000_000 // total,
+            p["n_records"] * k * 1_000_000 // total,
+        )
+        for p in parts
+    ]
+    return spark.createDataFrame(
+        rows,
+        "o_orderstatus string, n_files long, n_records long, "
+        "share_ppm long, skew_ppm long",
+    )

@@ -1,0 +1,1105 @@
+"""Scan planning, per-file statistics/Bloom sidecars, and the read path.
+
+Split out of the original sources/snapshots.py (r7): methods are
+verbatim; the class is assembled in .core with an unchanged public
+API.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+
+class SnapshotStatsMixin:
+
+    # -- per-file column statistics (the manifest-metadata half of
+    #    Iceberg's scan planning) -------------------------------------
+
+    def _stats_path(self) -> str:
+        return os.path.join(self._mdir, "stats.json")
+
+    def _load_stats(self) -> dict:
+        try:
+            with open(self._stats_path()) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return {}
+
+    def _bloom_sidecar_path(self) -> str:
+        # Blooms live in their OWN sidecar (Iceberg's puffin-file
+        # separation): they are KiB-to-MiB per file where ranges are
+        # bytes, and only equality probes ever need them — range,
+        # partition, count and files_info paths must not pay their
+        # JSON parse (review catch).
+        return os.path.join(self._mdir, "blooms.json")
+
+    def _load_blooms(self) -> dict:
+        try:
+            with open(self._bloom_sidecar_path()) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return {}
+
+    @staticmethod
+    def _stat_value(v):
+        """Footer stat -> JSON-storable value whose ORDERING matches the
+        column's. int/float/str store as-is; date/timestamp as ISO
+        strings (``_norm_bound`` parses ISO-shaped strings back to
+        datetimes at prune time, so bounds of EITHER granularity —
+        date-only or full datetime — compare chronologically); anything
+        else (binary, nested) -> None = don't record, pruning keeps the
+        file conservatively."""
+        import datetime
+
+        if isinstance(v, bool):
+            return None
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat()
+        if isinstance(v, (int, float, str)):
+            return v
+        return None
+
+    # -- per-file Bloom indexes (point-lookup pruning) ----------------
+
+    BLOOM_BITS_PER_KEY = 16  # fp ~= 0.24%  with k=4 at this load
+    BLOOM_K = 4
+    # Per-file size cap: past ~500k distinct keys the fp rate rises
+    # above the 16-bits/key design point (still CORRECT — a false
+    # positive only keeps a file the residual filter then empties —
+    # just less pruning). 1 MiB/file at the cap.
+    BLOOM_MAX_BITS = 1 << 23
+
+    @staticmethod
+    def _bloom_key(v) -> bytes | None:
+        """Canonical byte encoding of one column value for bloom
+        hashing, leading with a one-char TYPE TAG. The encoding MUST
+        be identical between recording (values as pyarrow converts
+        them to Python) and probing (the caller's literal); the tag is
+        also checked separately at probe time, because Spark's
+        residual equality COERCES across types (a string probe against
+        a date column still matches rows) while byte equality does not
+        — a cross-type probe must disable bloom pruning, never
+        false-negative it (review catch). tz-aware datetimes normalize
+        to naive UTC so an aware probe matches naive-recorded
+        instants. Returns None for anything without a stable canonical
+        form (NULL, binary, nested, Decimal): un-encodable at RECORD
+        time voids the file's bloom, at PROBE time skips bloom pruning
+        — both conservative."""
+        import datetime
+
+        if isinstance(v, bool):
+            return b"b:1" if v else b"b:0"
+        if isinstance(v, int):
+            return b"i:%d" % v
+        if isinstance(v, float):
+            return ("f:" + repr(float(v))).encode()
+        if isinstance(v, str):
+            return b"s:" + v.encode("utf-8")
+        if isinstance(v, datetime.datetime):
+            if v.tzinfo is not None:
+                v = v.astimezone(datetime.timezone.utc).replace(
+                    tzinfo=None
+                )
+            # midnight instants encode as the bare date (both ways:
+            # date columns record bare dates, timestamp columns record
+            # midnights — a date-vs-midnight probe must agree, like
+            # Spark's date/timestamp coercion does)
+            if (v.hour, v.minute, v.second, v.microsecond) == (
+                0,
+                0,
+                0,
+                0,
+            ):
+                return ("t:" + v.date().isoformat()).encode()
+            return ("t:" + v.isoformat()).encode()
+        if isinstance(v, datetime.date):
+            return ("t:" + v.isoformat()).encode()
+        return None
+
+    @staticmethod
+    def _bloom_hashes(key: bytes, m: int, k: int) -> list[int]:
+        """k bit positions via Kirsch-Mitzenmacher double hashing over
+        one blake2b digest — deterministic across processes (no seed,
+        unlike Python's str hash)."""
+        import hashlib
+
+        d = hashlib.blake2b(key, digest_size=16).digest()
+        h1 = int.from_bytes(d[:8], "big")
+        h2 = int.from_bytes(d[8:], "big") | 1
+        return [(h1 + i * h2) % m for i in range(k)]
+
+    @classmethod
+    def _bloom_build(cls, values) -> dict | None:
+        """Bloom entry for one file's distinct column values, sized to
+        the observed NDV (next power of two >= BITS_PER_KEY * ndv,
+        capped). None when any value lacks a canonical encoding, or
+        when the values mix type tags — a PARTIAL bloom would produce
+        false negatives, the one failure mode a bloom must never
+        have. Records the (single) tag so probes of a DIFFERENT type
+        class fall back to conservative keeps."""
+        keys = []
+        tag = None
+        for v in values:
+            k = cls._bloom_key(v)
+            if k is None:
+                return None
+            t = k[:1].decode()
+            if tag is None:
+                tag = t
+            elif t != tag:
+                return None
+            keys.append(k)
+        if tag is None:
+            tag = ""  # empty column: any-typed probe may prune
+        m = 256
+        target = min(
+            cls.BLOOM_MAX_BITS,
+            max(256, cls.BLOOM_BITS_PER_KEY * max(1, len(keys))),
+        )
+        while m < target:
+            m *= 2
+        bits = bytearray(m // 8)
+        for k in keys:
+            for pos in cls._bloom_hashes(k, m, cls.BLOOM_K):
+                bits[pos >> 3] |= 1 << (pos & 7)
+        return {
+            "m": m,
+            "k": cls.BLOOM_K,
+            "t": tag,
+            "hex": bytes(bits).hex(),
+        }
+
+    @classmethod
+    def _bloom_maybe_contains(cls, ent: dict | None, key: bytes) -> bool:
+        """Membership probe: True = maybe present (keep the file),
+        False = PROVABLY absent (prune). Conservative everywhere it
+        can be: a missing/malformed entry is 'maybe', and a probe
+        whose TYPE TAG differs from the recorded values' tag is
+        'maybe' — byte equality can't speak for Spark's coercing
+        equality across types, so it must not prune (review catch:
+        a string probe on a date column hit every row through the
+        residual filter yet pruned every file through the bloom)."""
+        if not ent or "hex" not in ent or "m" not in ent:
+            return True
+        tag = ent.get("t")
+        if tag and tag != key[:1].decode():
+            return True
+        try:
+            bits = bytes.fromhex(ent["hex"])
+            return all(
+                bits[pos >> 3] & (1 << (pos & 7))
+                for pos in cls._bloom_hashes(
+                    key, ent["m"], ent.get("k", cls.BLOOM_K)
+                )
+            )
+        except (ValueError, IndexError):
+            return True  # corrupt sidecar entry -> conservative keep
+
+    def _record_stats(self, new_files: list[str]) -> None:
+        """Footer-read [min, max] per stats column for freshly written
+        files, merged into the sidecar with the same atomic-rename
+        contract as manifests. Files are immutable, so an entry never
+        changes once written; a column without usable footer stats is
+        simply absent (pruning treats absence as 'must read').
+
+        Columns are located by ``path_in_schema`` on the parquet LEAF
+        columns — an Arrow top-level field index is a different index
+        space once nested columns exist (review catch: a struct before
+        the stats column would have recorded the wrong leaf's range and
+        made pruning drop matching rows)."""
+        import pyarrow.parquet as pq
+
+        stats = self._load_stats()
+        for rel in new_files:
+            md = pq.ParquetFile(os.path.join(self.path, rel)).metadata
+            if md.num_row_groups == 0:
+                # An EMPTY part file still gets a sidecar entry: its row
+                # count (0) is a fact, and min_max/count_rows need it to
+                # distinguish "provably empty" from "stats never
+                # recorded" (only the latter forces a data read).
+                stats[rel] = {"::rows": 0}
+                continue
+            rg0 = md.row_group(0)
+            leaf = {
+                rg0.column(i).path_in_schema: i
+                for i in range(rg0.num_columns)
+            }
+            # record count under a reserved key (no column can be
+            # named '::rows') — the `.files` metadata table reads it
+            # without re-opening footers, like Iceberg's manifest
+            # record_count
+            ent = {"::rows": md.num_rows}
+            for c in self.stats_cols:
+                idx = leaf.get(c)
+                if idx is None:
+                    continue
+                mins: list = []
+                maxs: list = []
+                nulls = 0
+                ok = True
+                nulls_ok = True
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is None:
+                        ok = nulls_ok = False
+                        break
+                    # NULL count rides the same footer read (Iceberg's
+                    # null_value_counts): recorded independently of
+                    # min/max because an ALL-NULL row group has a
+                    # null_count but no bounds
+                    if st.null_count is None:
+                        nulls_ok = False
+                    else:
+                        nulls += st.null_count
+                    if not st.has_min_max:
+                        ok = False
+                        continue
+                    lo = self._stat_value(st.min)
+                    hi = self._stat_value(st.max)
+                    if lo is None or hi is None:
+                        ok = False
+                        continue
+                    mins.append(lo)
+                    maxs.append(hi)
+                if ok and mins:
+                    ent[c] = [min(mins), max(maxs)]
+                if nulls_ok:
+                    ent["::nulls::" + c] = nulls
+            if ent:
+                stats[rel] = ent
+        self._atomic_json(self._stats_path(), stats)
+        if self.bloom_cols:
+            blooms = self._load_blooms()
+            for rel in new_files:
+                bent = {}
+                for c in self.bloom_cols:
+                    bloom = self._bloom_for_file(rel, c)
+                    if bloom is not None:
+                        bent[c] = bloom
+                if bent:
+                    blooms[rel] = bent
+            self._atomic_json(self._bloom_sidecar_path(), blooms)
+
+    def _bloom_for_file(self, rel: str, col: str) -> dict | None:
+        """Build the bloom entry for one freshly written file: a
+        column-pruned Arrow read of JUST that column, deduped
+        Arrow-side to NDV before any Python objects exist. This is the
+        one stats kind that costs a data read (footers don't carry
+        distinct values) — it runs once per immutable file, at commit,
+        OUTSIDE the commit lock, exactly where Iceberg writers compute
+        puffin blobs. Returns None (no bloom, conservative keeps) for
+        a missing column or un-encodable values."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        try:
+            t = pq.read_table(
+                os.path.join(self.path, rel), columns=[col]
+            )
+        except Exception:
+            return None
+        vals = pc.unique(t.column(0)).to_pylist()
+        return self._bloom_build(v for v in vals if v is not None)
+
+    _ISO_RE = None  # compiled lazily; matches ISO date / datetime strings
+
+    @classmethod
+    def _norm_bound(cls, v):
+        """Normalize one side of a pruning compare. Date/timestamp stats
+        are stored as ISO strings, and callers may pass bounds at a
+        DIFFERENT granularity ('1999-06-01' vs '1999-06-01T00:00:00') —
+        lexicographic order is only chronological for SAME-granularity
+        strings (round-5 advice: a date-only hi bound sorts below the
+        same instant's datetime form, so a file whose min is exactly
+        midnight of the bound got wrongly pruned while the residual
+        filter matches its rows). Any string shaped like an ISO
+        date/datetime is parsed to a real datetime (date -> midnight),
+        so mixed granularities compare chronologically; everything else
+        passes through unchanged."""
+        import datetime
+        import re
+
+        if cls._ISO_RE is None:
+            cls._ISO_RE = re.compile(
+                r"^\d{4}-\d{2}-\d{2}([T ]\d{2}:\d{2}:\d{2}(\.\d+)?)?$"
+            )
+        if isinstance(v, str) and cls._ISO_RE.match(v):
+            try:
+                return datetime.datetime.fromisoformat(v)
+            except ValueError:
+                return v
+        return v
+
+    @classmethod
+    def _provably_disjoint(cls, stat_lo, stat_hi, lo, hi) -> bool:
+        """True only when the file range [stat_lo, stat_hi] provably
+        misses [lo, hi] under normalized (granularity-safe) ordering;
+        any normalization or type mismatch -> False (conservatively
+        keep the file — pruning must never drop a matching row)."""
+        a, b = cls._norm_bound(stat_lo), cls._norm_bound(stat_hi)
+        x, y = cls._norm_bound(lo), cls._norm_bound(hi)
+        try:
+            return bool(b < x or a > y)
+        except TypeError:
+            return False
+
+    def plan_files(
+        self,
+        where: tuple | None = None,
+        as_of: int | None = None,
+        partitions: dict | None = None,
+        eq: tuple | None = None,
+        not_null: list[str] | None = None,
+    ) -> tuple[list[str], int]:
+        """Metadata-only scan planning: the manifest's file list, pruned
+        by (a) PARTITION values — ``partitions = {col: value}`` keeps
+        only files whose manifest-recorded partition tuple matches
+        (Iceberg's partition pruning: decided from the manifest alone,
+        no footer ever read) — and (b) the sidecar [min, max] stats
+        against ``where = (column, lo, hi)``: a file survives unless
+        its recorded range is provably disjoint; files without
+        stats/partition records are conservatively kept. Returns
+        (files to scan, total files in the snapshot) — no data file is
+        opened."""
+        as_of = self._resolve_snapshot(as_of)
+        files = self._manifest(as_of)
+        total = len(files)
+        if partitions:
+            meta = self._meta(as_of)
+            fparts = meta.get("file_partitions", {})
+            pby = meta.get("partition_by", [])
+            for c in partitions:
+                # valid if in the CURRENT spec or recorded by any file
+                # (an old spec after partition evolution) — a column no
+                # spec ever had is a caller error
+                if c not in pby and not any(
+                    c in p for p in fparts.values()
+                ):
+                    raise ValueError(
+                        f"{c!r} is not a partition column (have {pby})"
+                    )
+            # a file is pruned only when it PROVABLY mismatches: its
+            # record has the column and the value differs. Files
+            # without a record, or written under a spec lacking the
+            # column (partition evolution), are conservatively kept —
+            # the residual filter re-applies the predicate, exactly
+            # Iceberg's cross-spec scan behavior.
+            files = [
+                f
+                for f in files
+                if f not in fparts
+                or not any(
+                    c in fparts[f]
+                    and fparts[f][c] != self._part_str(val)
+                    for c, val in partitions.items()
+                )
+            ]
+        conds = self._norm_where(where)
+        eqs = self._norm_eq(eq)
+        # a NON-NULL equality predicate is also a degenerate range
+        # [v, v]: the [min, max] stats and the bloom prune
+        # INDEPENDENTLY (ranges win on clustered layouts, blooms on
+        # hash-scattered ones); _provably_disjoint's TypeError guard
+        # keeps un-comparable values conservative. IS NULL probes
+        # (val None) must NOT enter the range path (review catch: the
+        # era-predating branch decides ranges from the default, and a
+        # (col, None, None) range would prune exactly the all-NULL
+        # files an IS NULL probe matches) — they have their own
+        # null-count branch below.
+        conds += [(c, v, v) for c, v in eqs if v is not None]
+        if not conds and not eqs and not not_null:
+            return files, total
+        stats = self._load_stats()
+        # Column-name era mapping (RENAME/DROP COLUMN support): the
+        # stats/bloom sidecars key entries by the name the column had
+        # WHEN THE FILE WAS WRITTEN. A predicate on the current name
+        # must consult the file-era name — and a file written before
+        # the field existed (iis_added_v guard) must never consult a
+        # same-named predecessor's stats (the wrong-prune hazard field
+        # IDs prevent in Iceberg proper); for such files every row
+        # holds the field's initial-default, so the predicate is
+        # decided EXACTLY from the default instead.
+        smeta = self._meta(as_of)
+        sjson = smeta.get("schema")
+        f_eras = smeta.get("file_schema_v", {})
+        fmd = (
+            {f["name"]: f.get("metadata") or {} for f in sjson["fields"]}
+            if sjson
+            else {}
+        )
+        era_cache: dict[str, int] = {}
+
+        def stat_key(col: str, f: str):
+            """(sidecar key for `col` on file `f`, initial_default) —
+            key None = the field postdates the file."""
+            if sjson is None or col not in fmd:
+                return col, None  # no schema tracking: names are fixed
+            if f not in era_cache:
+                era_cache[f] = int(f_eras.get(f, self._seq_of(f)))
+            return (
+                self._era_name(fmd[col], col, era_cache[f]),
+                fmd[col].get("initial_default"),
+            )
+
+        for col in not_null or []:
+            # IS NOT NULL probe: a file whose recorded null count
+            # equals its recorded row count is provably all-NULL in
+            # the column — prune it; anything unrecorded keeps. A file
+            # predating the field is all-default: prune iff the
+            # default is NULL.
+            def _keep_nn(f: str) -> bool:
+                n, dv = stat_key(col, f)
+                if n is None:
+                    return dv is not None
+                e = stats.get(f, {})
+                return (
+                    e.get("::nulls::" + n) is None
+                    or e.get("::rows") is None
+                    or e["::nulls::" + n] < e["::rows"]
+                )
+
+            files = [f for f in files if _keep_nn(f)]
+        # CONJUNCTION of range predicates: a file is pruned when it is
+        # provably disjoint on ANY dimension — the compound pruning a
+        # z-order layout (compact_zorder) exists to unlock, where
+        # neither dimension alone isolates the target region but their
+        # intersection does.
+        for col, lo, hi in conds:
+
+            def _keep_rng(f: str) -> bool:
+                n, dv = stat_key(col, f)
+                if n is None:
+                    # every row holds the default: NULL never matches
+                    # a range; a literal default matches iff in-range
+                    return dv is not None and not self._provably_disjoint(
+                        dv, dv, lo, hi
+                    )
+                s = stats.get(f, {}).get(n)
+                return s is None or not self._provably_disjoint(
+                    s[0], s[1], lo, hi
+                )
+
+            files = [f for f in files if _keep_rng(f)]
+        if eqs:
+            blooms = None
+            for col, val in eqs:
+                if val is None:
+                    # IS NULL probe (Iceberg's null_value_counts
+                    # pruning): a file whose recorded null count is
+                    # ZERO provably holds no matching row; files
+                    # without a recorded count keep conservatively
+                    def _keep_isnull(f: str) -> bool:
+                        n, dv = stat_key(col, f)
+                        if n is None:
+                            return dv is None  # all-default file
+                        return (
+                            stats.get(f, {}).get("::nulls::" + n) != 0
+                        )
+
+                    files = [f for f in files if _keep_isnull(f)]
+                    continue
+                key = self._bloom_key(val)
+                if key is None:
+                    continue  # no canonical form -> no bloom pruning
+                if blooms is None:
+                    blooms = self._load_blooms()  # lazy: eq probes only
+
+                def _keep_bloom(f: str) -> bool:
+                    n, dv = stat_key(col, f)
+                    if n is None:
+                        # all-default file: NULL default never equals a
+                        # non-null probe; otherwise decide via the
+                        # degenerate range so un-comparable types stay
+                        # CONSERVATIVE (review catch: raw == would
+                        # false-negative a cross-type probe, the exact
+                        # hazard _bloom_key's type tag exists to
+                        # prevent)
+                        if dv is None:
+                            return False
+                        return not self._provably_disjoint(
+                            dv, dv, val, val
+                        )
+                    return self._bloom_maybe_contains(
+                        blooms.get(f, {}).get(n), key
+                    )
+
+                files = [f for f in files if _keep_bloom(f)]
+        return files, total
+
+    @staticmethod
+    def _norm_eq(eq) -> list[tuple]:
+        """Normalize the equality-predicate argument: None -> [], one
+        ``(column, value)`` pair -> [it], a list of pairs -> itself
+        (a CONJUNCTION — all must hold)."""
+        if eq is None:
+            return []
+        if (
+            isinstance(eq, tuple)
+            and len(eq) == 2
+            and isinstance(eq[0], str)
+        ):
+            return [eq]
+        return [tuple(e) for e in eq]
+
+    @staticmethod
+    def _norm_where(where) -> list[tuple]:
+        """Normalize the range-predicate argument: None -> [], one
+        ``(column, lo, hi)`` tuple -> [it], a list of such tuples ->
+        itself (a CONJUNCTION — all must hold)."""
+        if where is None:
+            return []
+        if (
+            isinstance(where, tuple)
+            and len(where) == 3
+            and isinstance(where[0], str)
+        ):
+            return [where]
+        return [tuple(w) for w in where]
+
+    def files_info(self, as_of: int | None = None) -> list[dict]:
+        """Iceberg's ``.files`` METADATA TABLE: one dict per data file
+        of the snapshot — path, commit sequence (from the ``_snap=K``
+        path), record count and per-column [min, max] (from the stats
+        sidecar, captured at commit from the parquet footers). Pure
+        metadata: no data file is opened at query time; a file written
+        without stats recording reports ``n_records=None``. This is
+        the operator a table administrator runs to see layout health
+        (file sizes/counts per snapshot) before deciding to compact."""
+        v = self._resolve_snapshot(as_of)
+        stats = self._load_stats()
+        out = []
+        for rel in self._manifest(v):
+            ent = stats.get(rel, {})
+            out.append(
+                {
+                    "path": rel,
+                    "seq": self._seq_of(rel),
+                    "n_records": ent.get("::rows"),
+                    "stats": {
+                        c: ent[c]
+                        for c in ent
+                        if not c.startswith("::")
+                    },
+                }
+            )
+        return out
+
+    def count_rows(
+        self, spark: SparkSession, as_of: int | None = None
+    ) -> tuple[int, int]:
+        """Iceberg's ``count(*)`` pushdown: answer a bare row count
+        from manifest metadata instead of scanning data. Returns
+        ``(row_count, n_files_answered_from_metadata)``. Per-file
+        record counts were captured into the stats sidecar at commit
+        (``::rows``, from parquet footers); files without a recorded
+        count — written before stats were configured, or imported —
+        fall back to ONE multi-path Spark count over just those files,
+        so the answer is always exact.
+
+        Correctness guard: live DELETE files (equality or positional
+        merge-on-read state) make per-file data counts overcounts, so
+        their presence forces the full MoR read path — the same rule
+        Iceberg's scan applies before serving count(*) from manifests.
+        ``compact`` folds the deletes and re-enables the fast path.
+
+        100 TB shape: a maintained table answers COUNT(*) from one
+        manifest + one sidecar read — zero data IO, zero cluster work —
+        where a plain parquet count schedules a task per file."""
+        v = self._resolve_snapshot(as_of)
+        if self._meta(v).get("delete_files"):
+            return self.read(spark, as_of=v).count(), 0
+        stats = self._load_stats()
+        total = 0
+        unknown: list[str] = []
+        n_meta = 0
+        for rel in self._manifest(v):
+            n = stats.get(rel, {}).get("::rows")
+            if n is None:
+                unknown.append(rel)
+            else:
+                total += n
+                n_meta += 1
+        if unknown:
+            total += spark.read.parquet(
+                *[os.path.join(self.path, r) for r in unknown]
+            ).count()
+        return total, n_meta
+
+    def min_max(
+        self, spark: SparkSession, col: str, as_of: int | None = None
+    ) -> tuple:
+        """Iceberg's MIN/MAX pushdown: answer ``SELECT MIN(col), MAX(col)``
+        from the manifest/sidecar footer stats — zero data IO on a
+        maintained table (the 100 TB shape: one JSON read instead of a
+        task per file). Returns ``(lo, hi, from_metadata)``.
+
+        Exactness guards (each forces the real MoR read, never a wrong
+        answer): live delete files (the extremal row may be deleted), a
+        rename history on the column (sidecars key by write-time names),
+        per-file schema-era overrides or files missing usable stats
+        (pre-stats writes, era defaults, imported files). Files that are
+        EMPTY or provably all-NULL contribute nothing and stay on the
+        fast path, matching MIN/MAX's null-ignoring semantics. Footer
+        min/max for float columns containing NaN are writer-dependent —
+        keep NaN out of stats columns (the same caveat as range pruning).
+
+        STRING/BINARY columns always take the real read: parquet writers
+        may TRUNCATE long string/binary footer statistics (the stored max
+        is an incremented prefix >= the real max — a valid bound, not a
+        data value), and pyarrow < 17 exposes no
+        is_min_value_exact/is_max_value_exact flags to tell. Truncated
+        bounds stay perfectly safe for range PRUNING (conservative by
+        construction) but would make this method return a synthetic
+        value; only exact-by-construction stat types answer from
+        metadata (advisor catch, r6).
+        """
+        v = self._resolve_snapshot(as_of)
+        meta = self._meta(v)
+        files = self._manifest(v)
+
+        def slow():
+            r = (
+                self.read(spark, as_of=v)
+                .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+                .collect()[0]
+            )
+            return r["lo"], r["hi"], False
+
+        if not files:
+            return None, None, True
+        fmd = None
+        for f in (meta.get("schema") or {}).get("fields", []):
+            if f.get("name") == col:
+                fmd = f.get("metadata") or {}
+                break
+        ddl_touched = fmd is None or (
+            "iis_names" in fmd or "iis_added_v" in fmd
+        )
+        ftype0 = next(
+            (
+                f.get("type")
+                for f in (meta.get("schema") or {}).get("fields", [])
+                if f.get("name") == col
+            ),
+            None,
+        )
+        maybe_truncated = not isinstance(ftype0, str) or ftype0 in (
+            "string",
+            "binary",
+        )
+        if (
+            meta.get("delete_files")
+            or ddl_touched
+            or meta.get("file_schema_v")
+            or maybe_truncated
+        ):
+            return slow()
+        stats = self._load_stats()
+        los: list = []
+        his: list = []
+        for rel in files:
+            ent = stats.get(rel, {})
+            b = ent.get(col)
+            if b is None:
+                nrows = ent.get("::rows")
+                nulls = ent.get("::nulls::" + col)
+                if nrows == 0 or (nulls is not None and nulls == nrows):
+                    continue  # empty / all-NULL file: nothing to contribute
+                return slow()
+            los.append(b[0])
+            his.append(b[1])
+        if not los:
+            return None, None, True
+        lo, hi = min(los), max(his)
+        # Sidecars store date/timestamp stats as ISO STRINGS (ordering-
+        # compatible, JSON-storable); the scan path returns native
+        # date/datetime objects. Normalize the fast path to the column's
+        # type so the same call returns the same TYPE whichever path
+        # answered (review catch).
+        ftype = ftype0
+        if isinstance(ftype, str) and isinstance(lo, str):
+            import datetime
+
+            if ftype == "date":
+                def _d(s):
+                    try:
+                        return datetime.date.fromisoformat(s)
+                    except ValueError:
+                        return datetime.datetime.fromisoformat(s).date()
+
+                lo, hi = _d(lo), _d(hi)
+            elif ftype.startswith("timestamp"):
+                lo = datetime.datetime.fromisoformat(lo)
+                hi = datetime.datetime.fromisoformat(hi)
+        return lo, hi, True
+
+    def partitions_info(self, as_of: int | None = None) -> list[dict]:
+        """Iceberg's ``.partitions`` METADATA TABLE: one dict per live
+        partition of the snapshot — the partition record, its file
+        count, and its record count (summed from the stats sidecar's
+        per-file footer counts). Pure metadata like ``files_info``: no
+        data file is opened, so the 100 TB answer to 'how big is each
+        partition / is the layout skewed?' costs one manifest + one
+        sidecar read. A file written without stats recording makes its
+        partition's ``n_records`` None (unknown) rather than silently
+        undercounting; files without a partition record (pre-spec, or
+        an unpartitioned table) group under the empty record."""
+        v = self._resolve_snapshot(as_of)
+        fparts = self._meta(v).get("file_partitions", {})
+        agg: dict = {}
+        for fi in self.files_info(v):
+            key = frozenset(fparts.get(fi["path"], {}).items())
+            e = agg.setdefault(
+                key,
+                {
+                    "partition": dict(sorted(key)),
+                    "n_files": 0,
+                    "n_records": 0,
+                },
+            )
+            e["n_files"] += 1
+            n = fi["n_records"]
+            e["n_records"] = (
+                None
+                if n is None or e["n_records"] is None
+                else e["n_records"] + n
+            )
+        return sorted(agg.values(), key=lambda d: sorted(d["partition"].items()))
+
+    def _read_files(
+        self,
+        spark: SparkSession,
+        v: int,
+        rels: list[str],
+        file_col: str | None = None,
+        pos_col: str | None = None,
+        lineage_cols: tuple[str, str] | None = None,
+    ) -> DataFrame:
+        """Scan a snapshot's (possibly pruned) file list. Fast path: one
+        multi-path parquet scan. Two metadata conditions force a
+        per-commit-group scan instead (files group by their ``_snap=K``
+        sequence — a path literal, no data inspection):
+
+          * SCHEMA RESOLUTION — files older than the schema's effective
+            version (``schema_v``) are projected onto the snapshot's
+            schema (missing -> typed NULL, widened -> exact upcast),
+            Iceberg's read-time schema-id resolution; the projections
+            are row expressions fused into each scan stage and
+            unionByName is a metadata concat — no extra shuffle;
+          * MERGE-ON-READ — equality-delete files anti-join (broadcast)
+            against the data with the sequence visibility rule
+            ``data_seq < delete_seq`` — the plan an Iceberg Spark
+            reader produces for an equality-delete MoR scan."""
+        from functools import reduce
+
+        meta = self._meta(v)
+        dels = meta.get("delete_files") or []
+        sj = meta.get("schema")
+        schema_v = meta.get("schema_v", 1)
+        # Schema ERA per file: normally the commit sequence from the
+        # ``_snap=K`` path, but cherry-picked/published files carry a
+        # ``file_schema_v`` override — they were WRITTEN under their
+        # source branch's schema, yet land at a sequence NEWER than
+        # main evolves that happened in between, so the path alone
+        # would mis-resolve them. Grouping key is (seq, era): seq
+        # drives MoR delete visibility, era drives resolution.
+        eras = meta.get("file_schema_v", {})
+        by_seq: dict[tuple[int, int], list[str]] = {}
+        for r in rels:
+            s = self._seq_of(r)
+            by_seq.setdefault((s, int(eras.get(r, s))), []).append(r)
+        needs_resolve = sj is not None and any(
+            e < schema_v for _, e in by_seq
+        )
+        eq_dels = [d for d in dels if d.get("kind", "eq") != "pos"]
+        pos_dels = [d for d in dels if d.get("kind") == "pos"]
+        # Per-row attribution captured at the SCAN (``_metadata`` is
+        # only resolvable there) so it survives the MoR joins and
+        # schema-resolution unions that break input_file_name():
+        #   * ``file_col`` / ``pos_col`` — the CoW/MoR delete planner's
+        #     (file, position) of each row;
+        #   * positional deletes need the same pair internally to
+        #     anti-join against the delete files' (file, pos) entries.
+        # ROW LINEAGE (Iceberg v3): a lineage table's scan must split
+        # per commit group even on the fast path — the virtual id is
+        # seq-dependent (seq * 2^40 + row position) and rewritten files
+        # carry MATERIALIZED physical columns that plain reads must
+        # hide and lineage reads must prefer over the virtual form.
+        lineage_table = bool(meta.get("row_lineage")) or (
+            self.row_lineage is True
+        )
+        want_cols: list[tuple[str, str]] = []
+        if file_col is not None or pos_dels:
+            want_cols.append(
+                (file_col or "__iis_fp", "_metadata.file_path")
+            )
+        if pos_col is not None or pos_dels or lineage_cols:
+            want_cols.append(
+                (pos_col or "__iis_rp", "_metadata.row_index")
+            )
+
+        def tag(df: DataFrame) -> DataFrame:
+            if not want_cols:
+                return df
+            clash = [n for n, _ in want_cols if n in df.columns]
+            if clash:
+                raise ValueError(
+                    f"data files contain the reserved internal "
+                    f"column(s) {clash}"
+                )
+            return df.select(
+                "*", *[F.col(src).alias(n) for n, src in want_cols]
+            )
+
+        internal = [n for n, _ in want_cols]
+        # names used for the positional anti-join (the requested
+        # file_col/pos_col double as them when present)
+        fp_name = file_col or "__iis_fp"
+        rp_name = pos_col or "__iis_rp"
+
+        def strip(df: DataFrame) -> DataFrame:
+            # drop ONLY the internally-added columns the caller did
+            # not ask for
+            for n in internal:
+                if n not in (file_col, pos_col):
+                    df = df.drop(n)
+            return df
+
+        if not dels and not needs_resolve and not lineage_table:
+            return tag(
+                spark.read.parquet(
+                    *[os.path.join(self.path, f) for f in rels]
+                )
+            )
+        target = None
+        if needs_resolve:
+            from pyspark.sql import types as T
+
+            target = T.StructType.fromJson(sj)
+        lin_phys = (self._LIN_ROWID, self._LIN_LASTSEQ)
+        parts = []
+        for (s, e), fs in sorted(by_seq.items()):
+            df = tag(
+                spark.read.parquet(
+                    *[os.path.join(self.path, f) for f in fs]
+                )
+            )
+            if target is not None:
+                df = self._resolve_onto(
+                    df,
+                    target,
+                    e,
+                    passthrough=tuple(internal) + lin_phys,
+                )
+            if lineage_cols is not None:
+                rid_out, seq_out = lineage_cols
+                rid = F.lit(s).cast("long") * F.lit(
+                    1 << 40
+                ).cast("long") + F.col(rp_name).cast("long")
+                if self._LIN_ROWID in df.columns:
+                    rid = F.coalesce(F.col(self._LIN_ROWID), rid)
+                lseq = F.lit(s).cast("long")
+                if self._LIN_LASTSEQ in df.columns:
+                    lseq = F.coalesce(
+                        F.col(self._LIN_LASTSEQ), F.lit(s).cast("long")
+                    )
+                df = df.withColumn(rid_out, rid).withColumn(
+                    seq_out, lseq
+                )
+            # physical lineage columns never leave the scan under
+            # their own names: plain reads HIDE them, lineage reads
+            # have folded them into the output columns above
+            for c in lin_phys:
+                if c in df.columns and c not in (lineage_cols or ()):
+                    df = df.drop(c)
+            if "__iis_seq" in df.columns:
+                raise ValueError(
+                    "data files contain the reserved internal column "
+                    "'__iis_seq'"
+                )
+            parts.append(df.withColumn("__iis_seq", F.lit(s).cast("long")))
+        data = reduce(lambda a, b: a.unionByName(b), parts)
+        if eq_dels:
+            keys = {d["key"] for d in eq_dels}
+            if len(keys) != 1:
+                raise ValueError(
+                    f"mixed equality-delete keys {sorted(keys)}; "
+                    "one merge key per table is supported"
+                )
+            key = keys.pop()
+            dparts = [
+                spark.read.parquet(os.path.join(self.path, d["path"]))
+                .select(
+                    F.col(d["key"]).alias("__iis_dkey"),
+                    F.lit(d["seq"]).cast("long").alias("__iis_dseq"),
+                )
+                for d in eq_dels
+            ]
+            delkeys = reduce(DataFrame.unionAll, dparts)
+            data = data.join(
+                F.broadcast(delkeys),
+                on=(data[key] == delkeys["__iis_dkey"])
+                & (F.col("__iis_seq") < F.col("__iis_dseq")),
+                how="left_anti",
+            )
+        if pos_dels:
+            # POSITION deletes (Iceberg v2's second delete-file kind):
+            # each entry names (data file, row position) exactly, so
+            # the anti-join needs no sequence rule — a delete file can
+            # only reference files that existed when it was written.
+            # Delete files are match-sized (two columns), broadcast.
+            pparts = [
+                spark.read.parquet(os.path.join(self.path, d["path"]))
+                for d in pos_dels
+            ]
+            delpos = reduce(DataFrame.unionAll, pparts)
+            data = data.join(
+                F.broadcast(delpos),
+                on=(data[fp_name] == delpos["__iis_dfile"])
+                & (data[rp_name] == delpos["__iis_dpos"]),
+                how="left_anti",
+            )
+        return strip(data.drop("__iis_seq"))
+
+    def read(
+        self,
+        spark: SparkSession,
+        as_of: int | None = None,
+        where: tuple | None = None,
+        plan: list[str] | None = None,
+        partitions: dict | None = None,
+        as_of_ts: float | None = None,
+        eq: tuple | None = None,
+        not_null: list[str] | None = None,
+        lineage: bool = False,
+    ) -> DataFrame:
+        """Read the table as of snapshot ``as_of`` (default: latest). The
+        file list comes from the manifest, never a directory walk.
+
+        ``where = (column, lo, hi)`` plans the scan from metadata first
+        (``plan_files`` prunes stats-disjoint files), then applies the
+        predicate as a residual filter on the surviving files — the
+        result is identical to an unpruned filtered read; only the IO
+        changes. Exactly an engine consuming Iceberg manifests.
+        Date/timestamp stats are stored as ISO strings, so bounds for
+        those columns are ISO strings too (lexicographic ==
+        chronological; the residual filter still compares natively).
+        A caller that already ran ``plan_files`` (e.g. to report the
+        counters) passes the kept list via ``plan`` so the metadata
+        pass isn't paid twice."""
+        if as_of_ts is not None:
+            # TIMESTAMP AS OF: resolve to the newest published snapshot
+            # committed at or before the timestamp, then proceed as a
+            # VERSION AS OF read.
+            if as_of is not None:
+                raise ValueError("pass as_of OR as_of_ts, not both")
+            as_of = self.resolve_as_of_ts(as_of_ts)
+        snaps = self.snapshots()
+        if not snaps:
+            raise ValueError(
+                f"table at {self.path!r} has no snapshots — append() first"
+            )
+        # "latest" means latest PUBLISHED: staged (write-audit-publish)
+        # snapshots are readable by explicit version — that IS the audit
+        # read — but never the default downstream consumers get.
+        if as_of is None:
+            latest = self._latest_published()
+            if latest is None:
+                raise ValueError(
+                    f"table at {self.path!r} has only staged snapshots — "
+                    "publish() one or read(as_of=version)"
+                )
+            v = latest
+        else:
+            v = as_of
+        if v not in snaps:
+            raise ValueError(
+                f"snapshot {v} does not exist (have {snaps}) — expired or "
+                "never committed"
+            )
+        def _lin_empty(df0: DataFrame) -> DataFrame:
+            if not lineage:
+                return df0
+            return df0.withColumn(
+                "_row_id", F.lit(None).cast("long")
+            ).withColumn("_last_updated_seq", F.lit(None).cast("long"))
+
+        if (
+            where is None
+            and partitions is None
+            and eq is None
+            and not_null is None
+        ):
+            rels = self._manifest(v)
+            if not rels:
+                return _lin_empty(self._empty_frame(spark, v))
+        else:
+            rels = (
+                list(plan)
+                if plan is not None
+                else self.plan_files(
+                    where=where,
+                    as_of=v,
+                    partitions=partitions,
+                    eq=eq,
+                    not_null=not_null,
+                )[0]
+            )
+            if not rels:
+                # every file pruned: an empty frame with the table
+                # schema, recovered from metadata (manifests record the
+                # snapshot schema — also right across schema evolution,
+                # where an arbitrary file's footer could be stale) or,
+                # for pre-schema manifests, from ONE file — handing
+                # Spark the whole manifest here would pay full planning
+                # IO on exactly the path pruning proved needs none.
+                if self._meta(v).get("schema") is not None:
+                    return _lin_empty(self._empty_frame(spark, v))
+                rels = self._manifest(v)[:1]
+                if not rels:
+                    return _lin_empty(self._empty_frame(spark, v))
+                df = spark.read.parquet(
+                    *[os.path.join(self.path, f) for f in rels]
+                )
+                return df.limit(0)
+        df = self._read_files(
+            spark,
+            v,
+            rels,
+            lineage_cols=(
+                ("_row_id", "_last_updated_seq") if lineage else None
+            ),
+        )
+        if partitions:
+            # residual partition filter: pruning only removed files
+            # whose recorded tuple mismatches; conservatively-kept
+            # files re-filter here, so the result is identical to an
+            # unpruned filtered read. NULL filters need isNull (no
+            # string form compares equal to NULL).
+            for c, val in partitions.items():
+                if val is None:
+                    df = df.filter(F.col(c).isNull())
+                else:
+                    df = df.filter(
+                        F.col(c).cast("string") == self._part_str(val)
+                    )
+        for col, lo, hi in self._norm_where(where):
+            df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+        for col, val in self._norm_eq(eq):
+            # residual equality filter — bloom pruning only removed
+            # files the key is provably absent from; false positives
+            # and bloom-less files re-filter here, so the result is
+            # identical to an unpruned filtered read
+            df = (
+                df.filter(F.col(col).isNull())
+                if val is None
+                else df.filter(F.col(col) == F.lit(val))
+            )
+        for col in not_null or []:
+            df = df.filter(F.col(col).isNotNull())
+        return df
