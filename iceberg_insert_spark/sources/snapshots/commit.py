@@ -698,29 +698,44 @@ class SnapshotCommitMixin:
         # still needs them); overwrite/replace drop them (compaction
         # folds deletes back into data).
         ddir = os.path.join(d, "_deletes")
+
+        def _dv_covers(relpath: str) -> list[str]:
+            # A DV entry records WHICH data files it covers (Iceberg's
+            # manifest-level DV reference): the newest-DV-per-file pick
+            # then resolves from the manifest alone, and superseded DV
+            # files are never opened at scan time — plan cost stays
+            # O(live files) however many delete commits stack up. One
+            # single-column pyarrow read of a touched-files-sized
+            # parquet, at commit time only.
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(
+                os.path.join(self.path, relpath),
+                columns=["__iis_dfile"],
+            )
+            return sorted(set(t.column("__iis_dfile").to_pylist()))
+
         new_dels = []
         if os.path.isdir(ddir):
-            new_dels = [
-                (
-                    {
-                        "path": os.path.join(
-                            f"_snap={v}", "_deletes", f
-                        ),
-                        "kind": "pos",
+            for f in sorted(os.listdir(ddir)):
+                if not f.endswith(".parquet"):
+                    continue
+                rel = os.path.join(f"_snap={v}", "_deletes", f)
+                if delete_kind == "dv":
+                    ent = {
+                        "path": rel,
+                        "kind": "dv",
                         "seq": v,
+                        "files": _dv_covers(rel),
                     }
-                    if delete_kind == "pos"
-                    else {
-                        "path": os.path.join(
-                            f"_snap={v}", "_deletes", f
-                        ),
-                        "key": delete_key,
-                        "seq": v,
-                    }
-                )
-                for f in sorted(os.listdir(ddir))
-                if f.endswith(".parquet")
-            ]
+                elif delete_kind == "pos":
+                    # positional row-lists (v2): addressed purely by
+                    # path+kind+seq
+                    ent = {"path": rel, "kind": "pos", "seq": v}
+                else:
+                    # equality deletes also carry their merge key
+                    ent = {"path": rel, "key": delete_key, "seq": v}
+                new_dels.append(ent)
         all_dels = (
             base_meta.get("delete_files", []) if inherit else []
         ) + new_dels

@@ -401,7 +401,7 @@ class SnapshotDdlMixin:
         live_keys = {
             d["key"]
             for d in meta.get("delete_files", [])
-            if d.get("kind", "eq") != "pos"
+            if d.get("kind", "eq") not in ("pos", "dv")
         }
         if name in live_keys:
             raise ValueError(

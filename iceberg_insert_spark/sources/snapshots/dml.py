@@ -601,6 +601,19 @@ class SnapshotDmlMixin:
             drop_files=touched,
         )
 
+    def _prior_dvs(self, base: int) -> dict[str, bytes]:
+        """Newest live deletion vector per data file at snapshot
+        ``base`` (Iceberg v3's one-live-DV-per-file rule), as
+        {scan path: blob} — the write-side fold input. Metadata-scale
+        via the shared coverage-aware resolver."""
+        return self._live_dvs(
+            [
+                d
+                for d in self._meta(base).get("delete_files", [])
+                if d.get("kind") == "dv"
+            ]
+        )
+
     def _delete_where_mor(
         self,
         spark: SparkSession,
@@ -608,15 +621,21 @@ class SnapshotDmlMixin:
         stats_hint: tuple | None,
         partitions: dict | None,
     ) -> int:
-        """MERGE-ON-READ positional DELETE (Iceberg v2's position
-        delete files): instead of rewriting touched files (CoW), write
-        a delete file of exact (data file, row position) entries and
-        commit it as pure metadata + one match-sized file — write cost
-        O(matches), zero data rewritten. Reads pay a broadcast
-        anti-join on (file, pos) until ``compact`` folds the deletes.
-        Like Iceberg's position deletes, entries reference data files
-        by their absolute scan path — relocating the table directory
-        invalidates them (compact first).
+        """MERGE-ON-READ DELETE via DELETION VECTORS (Iceberg v3):
+        instead of rewriting touched files (CoW), record the matching
+        rows' positions as ONE compressed bitmap per touched data file
+        and commit it as pure metadata + a touched-file-sized delete
+        file — write cost O(matches), zero data rewritten. A new delete
+        against an already-MoR'd file UNIONS that file's current DV and
+        supersedes it, so the read-side delete state stays bounded by
+        LIVE FILES, never by delete-commit history (the v2 row-list
+        representation this replaced carried every commit's (file, pos)
+        frame through the scan's anti-join — the MoR read's scale limit
+        on a hot 100 TB table). Reads fold each file's bitmap as a
+        row-local Arrow-batched filter until ``compact`` folds the
+        deletes into data. Like Iceberg's DVs, entries reference data
+        files by their absolute scan path — relocating the table
+        directory invalidates them (compact first).
         """
         base = self._resolve_snapshot(None)
         candidates, _ = self.plan_files(
@@ -640,13 +659,15 @@ class SnapshotDmlMixin:
         hits = scan.filter(matched).select("__iis_dfile", "__iis_dpos")
         if not hits.limit(1).collect():  # bounded no-match probe
             return base
+        from .dv import build_dv_frame
+
         return self._commit(
             None,
             inherit=True,
             op="delete",
             expected_base=base,
-            deletes_df=hits,
-            delete_kind="pos",
+            deletes_df=build_dv_frame(hits, self._prior_dvs(base)),
+            delete_kind="dv",
         )
 
     def _update_where_mor(
@@ -657,13 +678,14 @@ class SnapshotDmlMixin:
         stats_hint: tuple | None,
         partitions: dict | None,
     ) -> int:
-        """MERGE-ON-READ UPDATE (Iceberg v2's MoR update plan): ONE
-        commit carrying a position-delete file of the matching rows'
-        (data file, row position) old images PLUS data files of their
-        updated images — write cost O(matches), no untouched row
-        rewritten. The new images live in this commit's own files,
-        which the position entries (naming only pre-existing files)
-        can never kill. Reads apply the anti-join; ``compact`` folds.
+        """MERGE-ON-READ UPDATE (Iceberg v3's MoR update plan): ONE
+        commit carrying a DELETION VECTOR of the matching rows' old
+        images (one bitmap per touched data file, superseding that
+        file's prior DV) PLUS data files of their updated images —
+        write cost O(matches), no untouched row rewritten. The new
+        images live in this commit's own files, which the DVs (naming
+        only pre-existing files) can never kill. Reads fold the
+        bitmaps row-locally; ``compact`` folds them into data.
         """
         base = self._resolve_snapshot(None)
         candidates, _ = self.plan_files(
@@ -718,13 +740,15 @@ class SnapshotDmlMixin:
                 for c in data_cols
             ]
         )
+        from .dv import build_dv_frame
+
         return self._commit(
             new_images,
             inherit=True,
             op="update",
             expected_base=base,
-            deletes_df=dels,
-            delete_kind="pos",
+            deletes_df=build_dv_frame(dels, self._prior_dvs(base)),
+            delete_kind="dv",
         )
 
     def delete_where(

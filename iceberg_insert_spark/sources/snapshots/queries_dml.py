@@ -704,6 +704,66 @@ def q_snapshot_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_snapshot_delete_dv",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                AS DOUBLE) / 100.0 AS sum_price
+    FROM orders
+    WHERE NOT (o_orderkey % 10 = 3)
+      AND NOT (o_orderkey % 10 IN (4, 7) AND o_orderstatus <> 'O')
+    GROUP BY o_orderstatus
+    """,
+)
+def q_snapshot_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION VECTORS (Iceberg v3) under STACKED MoR deletes,
+    DuckDB-oracled: two successive ``strategy='mor'`` deletes hit
+    OVERLAPPING data files, so the second commit must UNION each
+    touched file's prior bitmap and supersede it (v3's
+    one-live-DV-per-file rule) — the read then folds exactly ONE
+    bitmap per file, newest wins. The final state must equal the
+    oracle's ``WHERE NOT c1 AND NOT c2`` over the same parquet: a
+    union that drops the first delete's bits, a newest-pick that
+    grabs the stale DV, or an off-by-one in the bitmap codec all
+    resurrect or over-kill rows and hash-mismatch.
+
+    Scale shape vs the v2 row-lists (q_snapshot_delete_mor's
+    historical representation): read-side delete state is O(live
+    files) — one compressed bitmap each — not O(delete commits), and
+    the fold is a row-local Arrow-batched filter, not a broadcast
+    anti-join whose build side grows with every delete. On a hot
+    100 TB table taking continuous CDC deletes between compactions,
+    that bound is the difference between a stable MoR read and one
+    that degrades with churn. Cites Iceberg v3 spec (deletion
+    vectors; puffin storage) re-expressed on the local snapshot twin.
+    """
+    from ...tables import scratch_dir
+
+    path = scratch_dir(spark, sf_dir, "snapshot_delete_dv")
+    o = load_table(spark, sf_dir, "orders")
+    tbl = SnapshotTable(path)
+    for r in range(2):
+        tbl.append(o.filter(F.col("o_orderkey") % 2 == r))
+    # first delete: touches both files (keys mod 10 = 3 live in both)
+    tbl.delete_where(spark, "o_orderkey % 10 = 3", strategy="mor")
+    # second delete: overlaps the same files — must fold the prior DVs
+    tbl.delete_where(
+        spark,
+        "o_orderkey % 10 IN (4, 7) AND o_orderstatus <> 'O'",
+        strategy="mor",
+    )
+    return (
+        tbl.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@query(
     "q_snapshot_write_distribution",
     oracle="""
     SELECT o_orderstatus,

@@ -771,6 +771,42 @@ class SnapshotStatsMixin:
             )
         return sorted(agg.values(), key=lambda d: sorted(d["partition"].items()))
 
+    def _live_dvs(self, dv_dels: list[dict]) -> dict[str, bytes]:
+        """Newest live deletion-vector blob per data file, resolved in
+        two metadata-scale steps (Iceberg's manifest-level DV
+        reference): (1) each DV entry's recorded coverage list decides
+        the per-file winner from the MANIFEST alone; (2) only the
+        winning delete files are opened — superseded DV parquet is
+        never read, so plan cost stays O(live files) however many
+        delete commits have stacked since the last compaction. Entries
+        without a coverage list (none are written today) are opened
+        and compete by seq — conservative, never wrong."""
+        import pyarrow.parquet as pq
+
+        best: dict[str, int] = {}
+        for d in dv_dels:
+            for f in d.get("files", ()):
+                if d["seq"] > best.get(f, -1):
+                    best[f] = d["seq"]
+        need = [
+            d
+            for d in dv_dels
+            if "files" not in d
+            or any(best.get(f) == d["seq"] for f in d["files"])
+        ]
+        out: dict[str, bytes] = {}
+        seqs: dict[str, int] = {}
+        for d in need:
+            t = pq.read_table(os.path.join(self.path, d["path"]))
+            for f, blob in zip(
+                t.column("__iis_dfile").to_pylist(),
+                t.column("__iis_dv").to_pylist(),
+            ):
+                if d["seq"] > seqs.get(f, -1):
+                    out[f] = blob
+                    seqs[f] = d["seq"]
+        return out
+
     def _read_files(
         self,
         spark: SparkSession,
@@ -816,8 +852,11 @@ class SnapshotStatsMixin:
         needs_resolve = sj is not None and any(
             e < schema_v for _, e in by_seq
         )
-        eq_dels = [d for d in dels if d.get("kind", "eq") != "pos"]
+        eq_dels = [
+            d for d in dels if d.get("kind", "eq") not in ("pos", "dv")
+        ]
         pos_dels = [d for d in dels if d.get("kind") == "pos"]
+        dv_dels = [d for d in dels if d.get("kind") == "dv"]
         # Per-row attribution captured at the SCAN (``_metadata`` is
         # only resolvable there) so it survives the MoR joins and
         # schema-resolution unions that break input_file_name():
@@ -834,11 +873,11 @@ class SnapshotStatsMixin:
             self.row_lineage is True
         )
         want_cols: list[tuple[str, str]] = []
-        if file_col is not None or pos_dels:
+        if file_col is not None or pos_dels or dv_dels:
             want_cols.append(
                 (file_col or "__iis_fp", "_metadata.file_path")
             )
-        if pos_col is not None or pos_dels or lineage_cols:
+        if pos_col is not None or pos_dels or dv_dels or lineage_cols:
             want_cols.append(
                 (pos_col or "__iis_rp", "_metadata.row_index")
             )
@@ -963,6 +1002,43 @@ class SnapshotStatsMixin:
                 on=(data[fp_name] == delpos["__iis_dfile"])
                 & (data[rp_name] == delpos["__iis_dpos"]),
                 how="left_anti",
+            )
+        if dv_dels:
+            # DELETION VECTORS (Iceberg v3): one compressed bitmap per
+            # data file, NEWEST superseding (the writer unions the
+            # prior DV, so the max-seq entry is each file's complete
+            # delete state). The fold is a ROW-LOCAL Arrow-batched
+            # filter — position-in-bitmap — not a join: no delete-side
+            # frame rides the exchange, no broadcast grows with delete
+            # history, and files without a DV pay nothing. This is the
+            # v3 answer to the v2 row-list scale limit: read-side state
+            # is O(live files), not O(delete commits), exactly how an
+            # Iceberg v3 scan applies puffin DVs per task.
+            from .dv import dv_bits
+
+            dvmap = self._live_dvs(dv_dels)
+
+            @F.pandas_udf("boolean")
+            def _dv_keep(fp, rp):
+                import numpy as np
+                import pandas as pd
+
+                out = np.ones(len(fp), dtype=bool)
+                for f in fp.unique():
+                    blob = dvmap.get(f)
+                    if blob is None:
+                        continue  # file has no DV: every row survives
+                    bits = dv_bits(blob)
+                    m = (fp.values == f)
+                    posv = rp.values[m].astype("int64")
+                    dead = np.zeros(posv.size, dtype=bool)
+                    inr = posv < bits.size
+                    dead[inr] = bits[posv[inr]].astype(bool)
+                    out[m] = ~dead
+                return pd.Series(out)
+
+            data = data.filter(
+                _dv_keep(F.col(fp_name), F.col(rp_name))
             )
         return strip(data.drop("__iis_seq"))
 

@@ -2709,11 +2709,11 @@ def test_delete_where_partition_scoped_prunes_and_protects(
 
 
 def test_delete_where_mor_writes_no_data_files(spark, tmp_path):
-    """strategy='mor' deletes by POSITION-delete file: every data file
-    of the base manifest survives by path identity (zero rewrite), the
-    read applies the (file, pos) anti-join, time travel still sees the
-    pre-delete state, and fsck stays clean (the delete file is
-    reachable metadata)."""
+    """strategy='mor' deletes by DELETION VECTOR (Iceberg v3): every
+    data file of the base manifest survives by path identity (zero
+    rewrite), the read folds each touched file's bitmap row-locally,
+    time travel still sees the pre-delete state, and fsck stays clean
+    (the delete file is reachable metadata)."""
     tbl = SnapshotTable(str(tmp_path / "t"))
     v1 = tbl.append(
         spark.createDataFrame([(i,) for i in range(100)], "rid long")
@@ -2722,7 +2722,7 @@ def test_delete_where_mor_writes_no_data_files(spark, tmp_path):
     v2 = tbl.delete_where(spark, "rid % 10 = 3", strategy="mor")
     assert set(tbl._manifest(v2)) == pre_files  # zero data files touched
     dels = tbl._meta(v2)["delete_files"]
-    assert all(d["kind"] == "pos" for d in dels)
+    assert all(d["kind"] == "dv" for d in dels)
     got = {r.rid for r in tbl.read(spark).collect()}
     assert got == {i for i in range(100) if i % 10 != 3}
     assert tbl.read(spark, as_of=v1).count() == 100
@@ -2829,7 +2829,7 @@ def test_update_where_mor_old_images_die_new_survive(spark, tmp_path):
         spark, "rid <= 2", {"a": "b", "b": "a"}, strategy="mor"
     )
     assert pre_files <= set(tbl._manifest(v2))  # base files untouched
-    assert tbl._meta(v2)["delete_files"][0]["kind"] == "pos"
+    assert tbl._meta(v2)["delete_files"][0]["kind"] == "dv"
     got = {(r.rid, r.a, r.b) for r in tbl.read(spark).collect()}
     assert got == {(1, 20, 10), (2, 40, 30), (3, 50, 60)}
     # time travel: pre-update state intact
@@ -4084,3 +4084,125 @@ def test_shallow_clone_zero_copy_and_divergence(spark, tmp_path):
     # cloning onto a non-empty target is refused, not silently merged
     with pytest.raises(ValueError, match="not empty"):
         src.clone_to(str(tmp_path / "clone"))
+
+
+def test_deletion_vector_codec_roundtrip():
+    """DV wire form: encode/decode/union/cardinality are exact for
+    sparse, dense, singleton, and high-position bitmaps; negative and
+    empty inputs refuse."""
+    import numpy as np
+
+    from iceberg_insert_spark.sources.snapshots.dv import (
+        dv_cardinality,
+        dv_encode,
+        dv_positions,
+        dv_union,
+    )
+
+    for pos in (
+        [0],
+        [7],
+        [0, 1, 2, 3],
+        [5, 100000],
+        list(range(0, 50000, 7)),
+        [999999],
+    ):
+        blob = dv_encode(pos)
+        assert dv_positions(blob).tolist() == sorted(set(pos))
+        assert dv_cardinality(blob) == len(set(pos))
+    # union across different lengths, overlapping and disjoint
+    a, b = dv_encode([1, 5, 9]), dv_encode([5, 20000])
+    assert dv_positions(dv_union(a, b)).tolist() == [1, 5, 9, 20000]
+    assert dv_positions(dv_union(b, a)).tolist() == [1, 5, 9, 20000]
+    # duplicates collapse; encode is deterministic
+    assert dv_encode([3, 3, 1]) == dv_encode([1, 3])
+    with pytest.raises(ValueError):
+        dv_encode([])
+    with pytest.raises(ValueError):
+        dv_encode([-1, 3])
+    # compression: a dense 1M-bit vector stays KB-scale
+    dense = dv_encode(np.arange(0, 1_000_000, 2))
+    assert len(dense) < 20_000
+
+
+def test_deletion_vectors_supersede_per_file(spark, tmp_path):
+    """Iceberg v3's one-live-DV-per-file rule: stacked MoR deletes
+    against the same data files leave the NEWEST DV per file carrying
+    the UNION of all deletes — read-side delete state is bounded by
+    live files, not delete commits — and reads agree with the model
+    at every step (including time travel to each intermediate)."""
+    import pyarrow.parquet as pq
+
+    from iceberg_insert_spark.sources.snapshots.dv import (
+        dv_cardinality,
+    )
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    v1 = tbl.append(
+        spark.createDataFrame(
+            [(i,) for i in range(100)], "rid long"
+        ).coalesce(1)  # ONE data file: positions are file-local
+    )
+    v2 = tbl.delete_where(spark, "rid % 10 = 3", strategy="mor")
+    v3 = tbl.delete_where(spark, "rid % 10 = 7", strategy="mor")
+    v4 = tbl.delete_where(spark, "rid < 5", strategy="mor")
+    alive = {r.rid for r in tbl.read(spark).collect()}
+    assert alive == {
+        i for i in range(100) if i % 10 not in (3, 7) and i >= 5
+    }
+    # time travel sees each intermediate delete state
+    assert tbl.read(spark, as_of=v1).count() == 100
+    assert {r.rid for r in tbl.read(spark, as_of=v2).collect()} == {
+        i for i in range(100) if i % 10 != 3
+    }
+    assert {r.rid for r in tbl.read(spark, as_of=v3).collect()} == {
+        i for i in range(100) if i % 10 not in (3, 7)
+    }
+    # the NEWEST DV for the (single) data file carries the full union:
+    # folding at write means a reader needs exactly one bitmap per file
+    dels = tbl._meta(v4)["delete_files"]
+    assert [d["kind"] for d in dels] == ["dv"] * 3
+    newest = max(dels, key=lambda d: d["seq"])
+    t = pq.read_table(os.path.join(tbl.path, newest["path"]))
+    assert t.num_rows == 1  # one data file touched -> one DV row
+    [blob] = t.column("__iis_dv").to_pylist()
+    [card] = t.column("__iis_dcard").to_pylist()
+    expect_dead = {
+        i for i in range(100) if i % 10 in (3, 7) or i < 5
+    }
+    assert card == len(expect_dead) == dv_cardinality(blob)
+    # compact folds everything into plain data, as before
+    vc = tbl.compact(spark)
+    assert "delete_files" not in tbl._meta(vc)
+    assert {r.rid for r in tbl.read(spark).collect()} == alive
+
+
+def test_deletion_vectors_scope_per_file(spark, tmp_path):
+    """A DV names exactly its own data file: deletes against one file
+    never bleed into rows at the same POSITIONS of another file, and
+    a MoR update's new-image files (written by the same commit) are
+    untouched by that commit's DVs."""
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.append(
+        spark.createDataFrame(
+            [(i, "a") for i in range(10)], "k long, g string"
+        )
+    )
+    tbl.append(
+        spark.createDataFrame(
+            [(i, "b") for i in range(10)], "k long, g string"
+        )
+    )
+    # kill positions 0-4 of the 'a' file only
+    tbl.delete_where(spark, "g = 'a' AND k < 5", strategy="mor")
+    got = {(r.k, r.g) for r in tbl.read(spark).collect()}
+    assert got == {(i, "a") for i in range(5, 10)} | {
+        (i, "b") for i in range(10)
+    }
+    # MoR update: old images die, new images (same commit) survive
+    tbl.update_where(
+        spark, "g = 'b' AND k = 0", {"g": "'B'"}, strategy="mor"
+    )
+    got = {(r.k, r.g) for r in tbl.read(spark).collect()}
+    assert (0, "B") in got and (0, "b") not in got
+    assert (0, "a") not in got  # earlier delete still applies
