@@ -502,7 +502,9 @@ class SnapshotCommitMixin:
             # recorders can drop each other's NEW entries — which only
             # means conservative 'must read' for those files, never a
             # wrong prune.
-            if (self.stats_cols or self.bloom_cols) and new_files:
+            if (
+                self.stats_cols or self.bloom_cols or self.ndv_cols
+            ) and new_files:
                 self._record_stats(new_files)
             return v
         finally:

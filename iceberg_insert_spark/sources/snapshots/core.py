@@ -71,6 +71,7 @@ class SnapshotTable(
         write_distribution: str | None = None,
         row_lineage: bool | None = None,
         constraints: dict[str, str] | None = None,
+        ndv_cols: list[str] | None = None,
     ):
         self.path = path
         self._mdir = os.path.join(path, "_manifests")
@@ -141,6 +142,14 @@ class SnapshotTable(
         # every file). False positives only ever KEEP a file (the
         # residual filter still applies), never drop a matching row.
         self.bloom_cols = list(bloom_cols or [])
+        # Per-file NDV sketches (Iceberg's puffin theta-sketch idea,
+        # here HyperLogLog): a distinct-count sketch per (file, column)
+        # recorded at commit and MERGED at read — the missing input for
+        # cost decisions ([min,max] and null counts say nothing about
+        # cardinality; broadcast-vs-shuffle planning needs NDV). Same
+        # cost profile as bloom_cols: one column-pruned Arrow read per
+        # new immutable file, at commit, outside the lock.
+        self.ndv_cols = list(ndv_cols or [])
         # Partition spec (identity transforms): every commit splits its
         # data files by these columns, the manifest records each file's
         # partition tuple, and ``overwrite_partitions`` replaces data

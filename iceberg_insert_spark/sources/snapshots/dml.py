@@ -480,7 +480,9 @@ class SnapshotDmlMixin:
                 new_files = self._finish_commit(
                     v, d, True, token, "append", None, file_schema
                 )
-            if (self.stats_cols or self.bloom_cols) and new_files:
+            if (
+                self.stats_cols or self.bloom_cols or self.ndv_cols
+            ) and new_files:
                 self._record_stats(new_files)
             return v
         finally:

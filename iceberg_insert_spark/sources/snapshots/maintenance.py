@@ -616,10 +616,11 @@ class SnapshotMaintenanceMixin:
           * ``dangling_refs`` — tags pinning snapshots that no longer
             exist (possible only via external manifest deletion; tags
             block expire);
-          * ``orphan_stats`` / ``orphan_blooms`` — sidecar entries
-            (range/null stats, bloom sketches) for files no live
-            manifest references (crash-window leftovers expire's trim
-            missed; conservative, never wrong reads).
+          * ``orphan_stats`` / ``orphan_blooms`` / ``orphan_ndv`` —
+            sidecar entries (range/null stats, bloom sketches, NDV
+            sketches) for files no live manifest references
+            (crash-window leftovers expire's trim missed;
+            conservative, never wrong reads).
 
         Metadata-only: O(live files) existence probes, no data IO."""
         snaps = self.snapshots()
@@ -630,6 +631,7 @@ class SnapshotMaintenanceMixin:
             "dangling_refs": [],
             "orphan_stats": [],
             "orphan_blooms": [],
+            "orphan_ndv": [],
         }
         for p in sorted(live_paths):
             if not os.path.exists(os.path.join(self.path, p)):
@@ -648,6 +650,9 @@ class SnapshotMaintenanceMixin:
         for f in sorted(self._load_blooms()):
             if f not in live_paths:
                 report["orphan_blooms"].append(f)
+        for f in sorted(self._load_ndvs()):
+            if f not in live_paths:
+                report["orphan_ndv"].append(f)
         return report
 
     def expire_older_than(self, ts: float) -> list[str]:
@@ -741,6 +746,10 @@ class SnapshotMaintenanceMixin:
             btrim = {k: b for k, b in blooms.items() if k not in gone}
             if len(btrim) != len(blooms):
                 self._atomic_json(self._bloom_sidecar_path(), btrim)
+            ndvs = self._load_ndvs()
+            ntrim = {k: n for k, n in ndvs.items() if k not in gone}
+            if len(ntrim) != len(ndvs):
+                self._atomic_json(self._ndv_sidecar_path(), ntrim)
         return doomed
 
     def clone_to(self, target_path: str) -> "SnapshotTable":
@@ -809,6 +818,7 @@ class SnapshotMaintenanceMixin:
                 target_path,
                 stats_cols=list(self.stats_cols),
                 bloom_cols=list(self.bloom_cols),
+                ndv_cols=list(self.ndv_cols),
                 partition_by=list(
                     meta.get("partition_by", self.partition_by)
                 ),
@@ -819,8 +829,9 @@ class SnapshotMaintenanceMixin:
             os.makedirs(tgt._mdir, exist_ok=True)
             src_stats = self._load_stats()
             src_blooms = self._load_blooms()
+            src_ndvs = self._load_ndvs()
             new_files, fparts = [], {}
-            tstats, tblooms = {}, {}
+            tstats, tblooms, tndvs = {}, {}, {}
             old_parts = meta.get("file_partitions", {})
             for i, rel in enumerate(meta["files"]):
                 dst_rel = os.path.join(
@@ -841,6 +852,8 @@ class SnapshotMaintenanceMixin:
                     tstats[dst_rel] = src_stats[rel]
                 if rel in src_blooms:
                     tblooms[dst_rel] = src_blooms[rel]
+                if rel in src_ndvs:
+                    tndvs[dst_rel] = src_ndvs[rel]
         tmeta = {
             "files": new_files,
             "new_files": new_files,
@@ -877,6 +890,8 @@ class SnapshotMaintenanceMixin:
             tgt._atomic_json(tgt._stats_path(), tstats)
         if tblooms:
             tgt._atomic_json(tgt._bloom_sidecar_path(), tblooms)
+        if tndvs:
+            tgt._atomic_json(tgt._ndv_sidecar_path(), tndvs)
         return tgt
 
     def forget(self, spark: SparkSession, predicate: str) -> dict:

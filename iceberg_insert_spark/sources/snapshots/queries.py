@@ -1434,6 +1434,68 @@ def q_snapshot_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_snapshot_ndv",
+    oracle="""
+    SELECT 'o_custkey' AS col,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_ndv,
+           CAST(1 AS BIGINT) AS from_meta,
+           CAST(1 AS BIGINT) AS within_5pct
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus' AS col,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS exact_ndv,
+           CAST(1 AS BIGINT) AS from_meta,
+           CAST(1 AS BIGINT) AS within_5pct
+    FROM orders
+    ORDER BY col
+    """,
+)
+def q_snapshot_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file NDV sketches (Iceberg's puffin theta-sketch slot, here
+    HyperLogLog p=12), DuckDB-oracled against the EXACT truth: orders
+    land in three appends on a table maintaining sketches for
+    o_custkey (high cardinality) and o_orderstatus (3 values); ndv()
+    answers by REGISTER-MERGING the per-file sketches — zero data IO —
+    and the query returns, per column, the exact COUNT(DISTINCT) (the
+    oracled value), the fast-path flag, and the oracled CLAIM that the
+    metadata estimate lands within 5% of exact (HLL at p=12 carries
+    ~1.6% standard error; the sketch is hash-deterministic, so the
+    bound is a fixed property of this data, not a flaky tolerance —
+    and the low-cardinality column's linear-counting range is exact).
+
+    Why it matters at 100 TB: NDV is the missing input for
+    broadcast-vs-shuffle join planning — [min,max] and null counts say
+    nothing about cardinality; a cost-based planner reads the merged
+    sketch from metadata instead of scanning petabytes for a
+    COUNT(DISTINCT). Guards mirror min_max: delete files, renames,
+    eras, or a missing sketch force the exact read, never a wrong
+    answer (pinned in tests/test_snapshots.py with merge-on-compact).
+    """
+    from ...tables import scratch_dir
+
+    path = scratch_dir(spark, sf_dir, "snap_ndv")
+    o = load_table(spark, sf_dir, "orders")
+    tbl = SnapshotTable(path, ndv_cols=["o_custkey", "o_orderstatus"])
+    for r in range(3):
+        tbl.append(o.filter(F.col("o_orderkey") % 3 == r))
+    rows = []
+    for col in ("o_custkey", "o_orderstatus"):
+        est, from_meta = tbl.ndv(spark, col)
+        exact = o.agg(F.countDistinct(col)).collect()[0][0]
+        rows.append(
+            (
+                col,
+                int(exact),
+                int(from_meta),
+                int(abs(est - exact) <= 0.05 * exact),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "col string, exact_ndv long, from_meta long, within_5pct long"
+    ).orderBy("col")
+
+
+@query(
     "q_snapshot_clone",
     oracle="""
     WITH src_final AS (

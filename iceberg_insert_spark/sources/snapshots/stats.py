@@ -45,6 +45,116 @@ class SnapshotStatsMixin:
         except FileNotFoundError:
             return {}
 
+    def _ndv_sidecar_path(self) -> str:
+        # NDV sketches get their own sidecar for the same reason blooms
+        # do: ~5.5 KB per (file, column) where ranges are bytes, and
+        # only ndv() ever reads them.
+        return os.path.join(self._mdir, "ndv.json")
+
+    def _load_ndvs(self) -> dict:
+        try:
+            with open(self._ndv_sidecar_path()) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return {}
+
+    def _ndv_for_file(self, rel: str, col: str) -> str | None:
+        """Build the HyperLogLog sketch for one freshly written file:
+        a column-pruned Arrow read of JUST that column, deduped
+        Arrow-side, hashed through the same canonical encoding the
+        Bloom sidecar uses. Runs once per immutable file at commit,
+        outside the lock — exactly where Iceberg writers compute
+        puffin theta sketches. Returns None (no sketch, ndv() falls
+        back to the exact scan) for a missing column or un-encodable
+        values."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from .hll import hll_add_key, hll_empty, hll_encode
+
+        try:
+            t = pq.read_table(
+                os.path.join(self.path, rel), columns=[col]
+            )
+        except Exception:
+            return None
+        regs = hll_empty()
+        for v in pc.unique(t.column(0)).to_pylist():
+            if v is None:
+                continue  # NDV counts distinct VALUES, NULL excluded
+            key = self._bloom_key(v)
+            if key is None:
+                return None  # un-encodable: conservative, no sketch
+            hll_add_key(regs, key)
+        return hll_encode(regs)
+
+    def ndv(
+        self, spark: SparkSession, col: str, as_of: int | None = None
+    ) -> tuple:
+        """Iceberg's puffin NDV read: estimate ``COUNT(DISTINCT col)``
+        by MERGING the live files' HyperLogLog sketches — zero data IO
+        on a maintained table, the input a cost-based planner needs
+        for broadcast-vs-shuffle decisions at 100 TB (ranges and null
+        counts say nothing about cardinality). Returns
+        ``(ndv, from_metadata)``: a register-max merge of per-file
+        sketches (~1.6% standard error at p=12) when every live file
+        has one, else the EXACT distinct scan (from_metadata=False).
+
+        Exactness guards mirror ``min_max``: live delete files (the
+        sketch still counts deleted rows), a rename history or schema
+        eras (sidecars key by write-time names), or any live file
+        missing a sketch all force the exact read — the estimate is
+        only ever served when it covers exactly the live bytes.
+        Empty / all-NULL files contribute an empty sketch and stay on
+        the fast path (NDV ignores NULLs)."""
+        from .hll import hll_decode, hll_empty, hll_estimate, hll_merge
+
+        v = self._resolve_snapshot(as_of)
+        meta = self._meta(v)
+        files = self._manifest(v)
+
+        def slow():
+            n = (
+                self.read(spark, as_of=v)
+                .agg(F.countDistinct(col).alias("n"))
+                .collect()[0]["n"]
+            )
+            return int(n), False
+
+        if not files:
+            return 0, True
+        fmd = None
+        for f in (meta.get("schema") or {}).get("fields", []):
+            if f.get("name") == col:
+                fmd = f.get("metadata") or {}
+                break
+        ddl_touched = fmd is None or (
+            "iis_names" in fmd or "iis_added_v" in fmd
+        )
+        if (
+            meta.get("delete_files")
+            or ddl_touched
+            or meta.get("file_schema_v")
+        ):
+            return slow()
+        ndvs = self._load_ndvs()
+        stats = self._load_stats()
+        merged = bytes(hll_empty())
+        for rel in files:
+            ent = ndvs.get(rel, {})
+            sk = ent.get(col)
+            if sk is None:
+                sent = stats.get(rel, {})
+                nrows = sent.get("::rows")
+                nulls = sent.get("::nulls::" + col)
+                if nrows == 0 or (
+                    nulls is not None and nulls == nrows
+                ):
+                    continue  # provably contributes no values
+                return slow()
+            merged = hll_merge(merged, hll_decode(sk))
+        return hll_estimate(merged), True
+
     @staticmethod
     def _stat_value(v):
         """Footer stat -> JSON-storable value whose ORDERING matches the
@@ -284,6 +394,17 @@ class SnapshotStatsMixin:
                 if bent:
                     blooms[rel] = bent
             self._atomic_json(self._bloom_sidecar_path(), blooms)
+        if self.ndv_cols:
+            ndvs = self._load_ndvs()
+            for rel in new_files:
+                nent = {}
+                for c in self.ndv_cols:
+                    sk = self._ndv_for_file(rel, c)
+                    if sk is not None:
+                        nent[c] = sk
+                if nent:
+                    ndvs[rel] = nent
+            self._atomic_json(self._ndv_sidecar_path(), ndvs)
 
     def _bloom_for_file(self, rel: str, col: str) -> dict | None:
         """Build the bloom entry for one freshly written file: a

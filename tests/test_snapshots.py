@@ -1867,7 +1867,7 @@ def test_verify_fsck_reports_each_inconsistency(spark, tmp_path):
     assert tbl.verify() == {
         "missing_files": [], "dangling_tokens": [],
         "dangling_refs": [], "orphan_stats": [],
-        "orphan_blooms": [],
+        "orphan_blooms": [], "orphan_ndv": [],
     }
     # inject: delete a live data file externally
     victim = tbl._manifest(2)[0]
@@ -4206,3 +4206,91 @@ def test_deletion_vectors_scope_per_file(spark, tmp_path):
     got = {(r.k, r.g) for r in tbl.read(spark).collect()}
     assert (0, "B") in got and (0, "b") not in got
     assert (0, "a") not in got  # earlier delete still applies
+
+
+def test_hll_codec_accuracy_and_merge():
+    """HLL codec: small cardinalities are exact (linear counting),
+    large ones land within the p=12 error envelope, merge is the
+    lossless union (merge-of-parts == sketch-of-whole, register-wise),
+    and the wire form round-trips."""
+    from iceberg_insert_spark.sources.snapshots.hll import (
+        hll_add_key,
+        hll_decode,
+        hll_empty,
+        hll_encode,
+        hll_estimate,
+        hll_merge,
+    )
+
+    def sketch(keys):
+        regs = hll_empty()
+        for k in keys:
+            hll_add_key(regs, k)
+        return bytes(regs)
+
+    small = sketch([b"i:%d" % i for i in range(3)])
+    assert hll_estimate(small) == 3
+    mid = sketch([b"i:%d" % i for i in range(1000)])
+    assert abs(hll_estimate(mid) - 1000) <= 50  # 5%
+    big = sketch([b"s:user-%d" % i for i in range(50000)])
+    assert abs(hll_estimate(big) - 50000) <= 2500
+    # merge == sketch of the union, exactly (register max is lossless)
+    a = sketch([b"i:%d" % i for i in range(0, 30000, 2)])
+    b = sketch([b"i:%d" % i for i in range(0, 30000, 3)])
+    u = sketch(
+        sorted(
+            {b"i:%d" % i for i in range(0, 30000, 2)}
+            | {b"i:%d" % i for i in range(0, 30000, 3)}
+        )
+    )
+    assert hll_merge(a, b) == u
+    assert hll_decode(hll_encode(a)) == a
+    # duplicates never move the estimate
+    assert sketch([b"i:7"] * 1000) == sketch([b"i:7"])
+
+
+def test_ndv_metadata_estimate_and_guards(spark, tmp_path):
+    """ndv(): metadata-merged estimate within 5% of exact on the fast
+    path (exact for low cardinality); un-sketched columns, live delete
+    files, and renames all fall back to the exact scan; empty/all-NULL
+    files stay on the fast path; compaction re-records sketches for
+    the rewritten files and the estimate survives (merge-on-compact)."""
+    tbl = SnapshotTable(
+        str(tmp_path / "t"), ndv_cols=["k", "g"]
+    )
+    rows = [(i, f"g{i % 7}", float(i)) for i in range(5000)]
+    half = len(rows) // 2
+    tbl.append(
+        spark.createDataFrame(rows[:half], "k long, g string, v double")
+    )
+    tbl.append(
+        spark.createDataFrame(rows[half:], "k long, g string, v double")
+    )
+    est, meta = tbl.ndv(spark, "g")
+    assert meta is True and est == 7  # linear-counting range: exact
+    est, meta = tbl.ndv(spark, "k")
+    assert meta is True
+    assert abs(est - 5000) <= 250
+    # un-sketched column: exact via fallback
+    assert tbl.ndv(spark, "v") == (5000, False)
+    # all-NULL file contributes nothing, stays on the fast path
+    tbl.append(
+        spark.createDataFrame(
+            [(None, None, 1.0)], "k long, g string, v double"
+        )
+    )
+    est, meta = tbl.ndv(spark, "g")
+    assert meta is True and est == 7
+    # a live DV delete forces the exact path (sketch counts dead rows)
+    tbl.delete_where(spark, "k < 2500", strategy="mor")
+    est, meta = tbl.ndv(spark, "k")
+    assert (est, meta) == (2500, False)
+    # compact folds the delete AND re-records sketches: fast path again
+    tbl.compact(spark)
+    est, meta = tbl.ndv(spark, "k")
+    assert meta is True
+    assert abs(est - 2500) <= 125
+    # rename: sidecars key by write-time names -> exact fallback
+    tbl.rename_column("k", "kid")
+    est, meta = tbl.ndv(spark, "kid")
+    assert (est, meta) == (2500, False)
