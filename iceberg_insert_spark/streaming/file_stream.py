@@ -992,3 +992,61 @@ def changelog_stream_available_now(
         prev = v
         _save_stream_checkpoint(checkpoint_path, v)
     return processed
+
+
+def snapshot_stream_tail(
+    spark: SparkSession,
+    table: "object",
+    checkpoint_path: str,
+    process,
+    n_triggers: int,
+    interval_s: float = 0.0,
+    stop_on_error: bool = False,
+    **kwargs,
+) -> dict:
+    """The CONTINUOUS-TRIGGER posture over the snapshot stream — what a
+    real tailing consumer runs for days: a ProcessingTime-style loop
+    where each trigger drains every snapshot committed since the last
+    one (``snapshot_stream_available_now``), sleeps the trigger
+    interval, and fires again while writers keep appending
+    concurrently. AvailableNow covers the per-batch semantics; this
+    covers the long-running shape — an idle trigger costs one history
+    listing and touches nothing, a failed trigger leaves the durable
+    checkpoint at the last fully-handled snapshot so the NEXT trigger
+    redelivers only the unacknowledged batch (at-least-once; the
+    downstream ``append_once`` token idiom makes the redelivery a
+    no-op, exactly-once end to end).
+
+    Returns ``{"triggers": per-trigger snapshot-id lists, "errors":
+    [(trigger_index, repr(exc)), ...], "processed": flat id list}``.
+    With ``stop_on_error=False`` (the deployment posture) a failing
+    trigger is recorded and the loop keeps firing — the recovery path
+    IS the next trigger; ``stop_on_error=True`` re-raises for tests
+    that want the crash surfaced. Extra kwargs pass through
+    (``skip_non_append``, ``max_files_per_batch``).
+
+    100 TB shape: each trigger plans from manifest JSON only and scans
+    exactly the new commits' files; the loop adds no state beyond the
+    same one checkpoint file — a crashed PROCESS resumes by just
+    restarting the loop against the same checkpoint path.
+    """
+    import time as _time
+
+    if n_triggers < 1:
+        raise ValueError("n_triggers must be >= 1")
+    out: dict = {"triggers": [], "errors": [], "processed": []}
+    for i in range(n_triggers):
+        try:
+            got = snapshot_stream_available_now(
+                spark, table, checkpoint_path, process, **kwargs
+            )
+        except Exception as ex:  # noqa: BLE001 — recorded, next trigger retries
+            if stop_on_error:
+                raise
+            out["errors"].append((i, repr(ex)))
+            got = []
+        out["triggers"].append(got)
+        out["processed"].extend(got)
+        if interval_s and i + 1 < n_triggers:
+            _time.sleep(interval_s)
+    return out

@@ -789,3 +789,98 @@ def test_snapshot_stream_into_constrained_table(spark, tmp_path):
     # replaying the whole drain is a no-op end to end (exactly-once)
     assert snapshot_stream_available_now(spark, src, ck, sink) == []
     assert dst.read(spark).count() == 3
+
+
+def test_snapshot_stream_continuous_soak_with_concurrent_writer(
+    spark, tmp_path
+):
+    """CONTINUOUS-TRIGGER soak (the posture a real tailing consumer
+    runs, r6 verdict item): a writer THREAD keeps appending while a
+    ProcessingTime-style trigger loop drains the table; a crash is
+    injected mid-trigger at the worst-case window (AFTER the
+    downstream exactly-once commit, BEFORE the checkpoint advance);
+    the loop keeps firing, the redelivered batch is a proven no-op via
+    its append_once token, and at the end every source row is
+    downstream EXACTLY once with one token per source snapshot.
+    Post-soak triggers against the drained table process nothing."""
+    import threading
+    import time
+
+    from iceberg_insert_spark.sources.snapshots import SnapshotTable
+    from iceberg_insert_spark.streaming.file_stream import (
+        snapshot_stream_tail,
+    )
+
+    src = SnapshotTable(str(tmp_path / "src"))
+    sink = SnapshotTable(str(tmp_path / "sink"))
+    ckpt = str(tmp_path / "ckpt.json")
+
+    N_COMMITS, ROWS_PER = 12, 50
+    writer_err: list = []
+
+    def writer():
+        try:
+            for i in range(N_COMMITS):
+                src.append(
+                    spark.range(
+                        i * ROWS_PER, (i + 1) * ROWS_PER
+                    ).withColumnRenamed("id", "k")
+                )
+                time.sleep(0.15)
+        except Exception as ex:  # surfaced by the main thread
+            writer_err.append(ex)
+
+    crash_once = {"armed": True}
+    delivered: list[int] = []
+
+    def process(batch, v):
+        # downstream exactly-once commit FIRST...
+        sink.append_once(batch, token=f"snap-{v}")
+        delivered.append(v)
+        # ...then the injected crash: checkpoint has NOT advanced, so
+        # the next trigger must redeliver v and the token must absorb it
+        if v == 5 and crash_once["armed"]:
+            crash_once["armed"] = False
+            raise RuntimeError("injected crash after commit, before ckpt")
+
+    t = threading.Thread(target=writer)
+    t.start()
+    try:
+        report = snapshot_stream_tail(
+            spark, src, ckpt, process, n_triggers=30, interval_s=0.12
+        )
+    finally:
+        t.join()
+    assert not writer_err, writer_err
+    # the injected crash was recorded, the loop kept firing
+    assert len(report["errors"]) == 1 and "injected" in report["errors"][0][1]
+    # drain anything the last trigger raced past
+    tail = snapshot_stream_tail(
+        spark, src, ckpt, process, n_triggers=2
+    )
+    assert not tail["errors"]
+    # snapshot 5 was DELIVERED twice (at-least-once) ...
+    assert delivered.count(5) == 2
+    # ... but exactly-once downstream: every row once, no dupes
+    got = sorted(r.k for r in sink.read(spark).collect())
+    assert got == list(range(N_COMMITS * ROWS_PER))
+    # every source snapshot processed exactly once in ledger terms:
+    # one exactly-once token per snapshot, each bound to one commit
+    tokens = sink._token_index()
+    assert set(tokens) == {
+        f"snap-{v}" for v in src.snapshots()
+    }
+    # replay posture: further triggers on the drained table are no-ops
+    idle = snapshot_stream_tail(spark, src, ckpt, process, n_triggers=3)
+    assert idle["processed"] == [] and not idle["errors"]
+    assert sink.read(spark).count() == N_COMMITS * ROWS_PER
+    # full union of per-trigger batches == the snapshot ids, in order
+    all_ids = report["processed"] + tail["processed"]
+    assert all_ids == sorted(src.snapshots())
+    # checkpoint stays O(1) across the whole soak: one bounded JSON
+    # cursor, never a growing offset log to compact (the structured-
+    # streaming checkpoint-compaction failure mode does not exist here)
+    with open(ckpt) as fh:
+        ck = json.load(fh)
+    assert set(ck) <= {"last_snapshot", "next_snapshot", "next_pos"}
+    assert os.path.getsize(ckpt) < 1024
