@@ -71,6 +71,9 @@ def train_langid(
             for txt, lab in zip(pdf[text_col], pdf[label_col]):
                 if lab is None:
                     continue
+                # per-doc marker under the empty gram (no real trigram
+                # has length 0): doc counts ride the SAME counting pass
+                agg[(lab, "")] += 1
                 for g in _grams(txt):
                     agg[(lab, g)] += 1
             if agg:
@@ -81,31 +84,39 @@ def train_langid(
                     {"lab": labs, "gram": grams, "c": counts}
                 )
 
+    # ONE distributed pass, persisted across the three bounded
+    # consumers below (review catch: unpersisted, the full Arrow
+    # counting pass re-ran per action — 2-3x the advertised cost)
     counts = (
         df.select(text_col, label_col)
         .mapInPandas(_count, "lab string, gram string, c long")
         .groupBy("lab", "gram")
         .agg(F.sum("c").alias("c"))
+        .persist()
     )
-    # global top-K vocabulary, total order (count desc, gram asc)
-    vocab_rows = (
-        counts.groupBy("gram")
-        .agg(F.sum("c").alias("tc"))
-        .orderBy(F.desc("tc"), F.asc("gram"))
-        .limit(LANGID_VOCAB)
-        .collect()
-    )
-    vocab = {r["gram"] for r in vocab_rows}
-    if not vocab:
-        raise ValueError("empty training corpus")
-    in_vocab = counts.filter(F.col("gram").isin(list(vocab))).collect()
-    doc_counts = {
-        r[label_col]: r["n"]
-        for r in df.filter(F.col(label_col).isNotNull())
-        .groupBy(label_col)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    try:
+        # global top-K vocabulary, total order (count desc, gram asc);
+        # the "" doc markers are bookkeeping, never vocabulary
+        vocab_rows = (
+            counts.filter(F.col("gram") != "")
+            .groupBy("gram")
+            .agg(F.sum("c").alias("tc"))
+            .orderBy(F.desc("tc"), F.asc("gram"))
+            .limit(LANGID_VOCAB)
+            .collect()
+        )
+        vocab = {r["gram"] for r in vocab_rows}
+        if not vocab:
+            raise ValueError("empty training corpus")
+        in_vocab = counts.filter(
+            F.col("gram").isin(list(vocab))
+        ).collect()
+        doc_counts = {
+            r["lab"]: r["c"]
+            for r in counts.filter(F.col("gram") == "").collect()
+        }
+    finally:
+        counts.unpersist()
     n_docs = sum(doc_counts.values())
     by_lab: dict[str, dict[str, int]] = {}
     for r in in_vocab:

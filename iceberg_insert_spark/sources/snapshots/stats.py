@@ -58,30 +58,22 @@ class SnapshotStatsMixin:
         except FileNotFoundError:
             return {}
 
-    def _ndv_for_file(self, rel: str, col: str) -> str | None:
-        """Build the HyperLogLog sketch for one freshly written file:
-        a column-pruned Arrow read of JUST that column, deduped
-        Arrow-side, hashed through the same canonical encoding the
-        Bloom sidecar uses. Runs once per immutable file at commit,
-        outside the lock — exactly where Iceberg writers compute
-        puffin theta sketches. Returns None (no sketch, ndv() falls
-        back to the exact scan) for a missing column or un-encodable
-        values."""
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
-
+    def _ndv_for_file(
+        self, rel: str, col: str, values: list | None = None
+    ) -> str | None:
+        """HyperLogLog sketch for one freshly written file (see
+        _unique_nonnull for the read contract), hashed through the
+        same canonical encoding the Bloom sidecar uses. Returns None
+        (no sketch, ndv() falls back to the exact scan) for a missing
+        column or un-encodable values."""
         from .hll import hll_add_key, hll_empty, hll_encode
 
-        try:
-            t = pq.read_table(
-                os.path.join(self.path, rel), columns=[col]
-            )
-        except Exception:
+        if values is None:
+            values = self._unique_nonnull(rel, col)
+        if values is None:
             return None
         regs = hll_empty()
-        for v in pc.unique(t.column(0)).to_pylist():
-            if v is None:
-                continue  # NDV counts distinct VALUES, NULL excluded
+        for v in values:
             key = self._bloom_key(v)
             if key is None:
                 return None  # un-encodable: conservative, no sketch
@@ -383,38 +375,47 @@ class SnapshotStatsMixin:
             if ent:
                 stats[rel] = ent
         self._atomic_json(self._stats_path(), stats)
-        if self.bloom_cols:
-            blooms = self._load_blooms()
+        if self.bloom_cols or self.ndv_cols:
+            # one column read per (file, column) feeds BOTH value-level
+            # sketches — a column in bloom_cols AND ndv_cols must not
+            # pay the Arrow read twice (review catch)
+            blooms = self._load_blooms() if self.bloom_cols else None
+            ndvs = self._load_ndvs() if self.ndv_cols else None
             for rel in new_files:
-                bent = {}
-                for c in self.bloom_cols:
-                    bloom = self._bloom_for_file(rel, c)
-                    if bloom is not None:
-                        bent[c] = bloom
+                bent: dict = {}
+                nent: dict = {}
+                for c in sorted(set(self.bloom_cols) | set(self.ndv_cols)):
+                    vals = self._unique_nonnull(rel, c)
+                    if vals is None:
+                        continue
+                    if c in self.bloom_cols:
+                        bloom = self._bloom_for_file(rel, c, values=vals)
+                        if bloom is not None:
+                            bent[c] = bloom
+                    if c in self.ndv_cols:
+                        sk = self._ndv_for_file(rel, c, values=vals)
+                        if sk is not None:
+                            nent[c] = sk
                 if bent:
                     blooms[rel] = bent
-            self._atomic_json(self._bloom_sidecar_path(), blooms)
-        if self.ndv_cols:
-            ndvs = self._load_ndvs()
-            for rel in new_files:
-                nent = {}
-                for c in self.ndv_cols:
-                    sk = self._ndv_for_file(rel, c)
-                    if sk is not None:
-                        nent[c] = sk
                 if nent:
                     ndvs[rel] = nent
-            self._atomic_json(self._ndv_sidecar_path(), ndvs)
+            if blooms is not None:
+                self._atomic_json(self._bloom_sidecar_path(), blooms)
+            if ndvs is not None:
+                self._atomic_json(self._ndv_sidecar_path(), ndvs)
 
-    def _bloom_for_file(self, rel: str, col: str) -> dict | None:
-        """Build the bloom entry for one freshly written file: a
-        column-pruned Arrow read of JUST that column, deduped
-        Arrow-side to NDV before any Python objects exist. This is the
-        one stats kind that costs a data read (footers don't carry
-        distinct values) — it runs once per immutable file, at commit,
-        OUTSIDE the commit lock, exactly where Iceberg writers compute
-        puffin blobs. Returns None (no bloom, conservative keeps) for
-        a missing column or un-encodable values."""
+    def _unique_nonnull(self, rel: str, col: str) -> list | None:
+        """Distinct non-NULL values of one column of one file: a
+        column-pruned Arrow read deduped Arrow-side before any Python
+        objects exist. The ONE data read value-level sketches cost
+        (footers don't carry distinct values) — shared by the bloom
+        and the NDV builders so a column listed in both reads once
+        (review catch: two near-verbatim copies each paid the read).
+        Runs once per immutable file, at commit, OUTSIDE the commit
+        lock, exactly where Iceberg writers compute puffin blobs.
+        None = unreadable/missing column (both sketches skip,
+        conservative)."""
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
@@ -424,8 +425,24 @@ class SnapshotStatsMixin:
             )
         except Exception:
             return None
-        vals = pc.unique(t.column(0)).to_pylist()
-        return self._bloom_build(v for v in vals if v is not None)
+        return [
+            v
+            for v in pc.unique(t.column(0)).to_pylist()
+            if v is not None
+        ]
+
+    def _bloom_for_file(
+        self, rel: str, col: str, values: list | None = None
+    ) -> dict | None:
+        """Bloom entry for one freshly written file (see
+        _unique_nonnull for the read contract). Returns None for a
+        missing column or un-encodable values — no bloom, conservative
+        keeps."""
+        if values is None:
+            values = self._unique_nonnull(rel, col)
+        if values is None:
+            return None
+        return self._bloom_build(values)
 
     _ISO_RE = None  # compiled lazily; matches ISO date / datetime strings
 
@@ -1135,7 +1152,7 @@ class SnapshotStatsMixin:
             # v3 answer to the v2 row-list scale limit: read-side state
             # is O(live files), not O(delete commits), exactly how an
             # Iceberg v3 scan applies puffin DVs per task.
-            from .dv import dv_bits
+            from .dv import dv_contains, dv_packed
 
             dvmap = self._live_dvs(dv_dels)
 
@@ -1144,18 +1161,24 @@ class SnapshotStatsMixin:
                 import numpy as np
                 import pandas as pd
 
+                # blobs ship compressed in the closure; each worker
+                # decodes a file's DV ONCE and memoizes the packed form
+                # across its batches (review catch: per-batch decode
+                # re-inflated the same bitmap for every Arrow batch)
+                cache = _dv_keep.__dict__.setdefault("_dv_cache", {})
                 out = np.ones(len(fp), dtype=bool)
                 for f in fp.unique():
                     blob = dvmap.get(f)
                     if blob is None:
                         continue  # file has no DV: every row survives
-                    bits = dv_bits(blob)
+                    ent = cache.get(f)
+                    if ent is None:
+                        ent = cache[f] = dv_packed(blob)
+                    packed, nbits = ent
                     m = (fp.values == f)
-                    posv = rp.values[m].astype("int64")
-                    dead = np.zeros(posv.size, dtype=bool)
-                    inr = posv < bits.size
-                    dead[inr] = bits[posv[inr]].astype(bool)
-                    out[m] = ~dead
+                    out[m] = ~dv_contains(
+                        packed, nbits, rp.values[m].astype("int64")
+                    )
                 return pd.Series(out)
 
             data = data.filter(

@@ -745,6 +745,7 @@ def snapshot_stream_available_now(
     process,
     skip_non_append: bool = False,
     max_files_per_batch: int | None = None,
+    progress: list | None = None,
 ) -> list[int]:
     """SnapshotTable as a STREAMING SOURCE (round-5 verdict item #4) —
     Iceberg's streaming read: one micro-batch per new snapshot, with a
@@ -774,6 +775,13 @@ def snapshot_stream_available_now(
     replay into a no-op: exactly-once end to end, the same
     batch-token idiom as ``snapshot_ingest_available_now``. Returns
     the snapshot ids processed this invocation.
+
+    ``progress``: an optional caller-owned list that receives each
+    snapshot id as soon as its batch is DURABLY handled (checkpoint
+    advanced) — unlike the return value, it survives a mid-drain
+    exception, so a trigger loop can report exactly which snapshots a
+    failing invocation still completed (review catch: the tail loop
+    previously lost them and its ledger under-reported).
 
     ``max_files_per_batch`` (Iceberg's ``max-files-per-micro-batch``
     rate limit): a snapshot whose commit added more files than the cap
@@ -883,6 +891,8 @@ def snapshot_stream_available_now(
         # the downstream append_once token makes the replay a no-op.
         _save_stream_checkpoint(checkpoint_path, v)
         done = v
+        if progress is not None and processed and processed[-1] == v:
+            progress.append(v)
     return processed
 
 
@@ -1036,15 +1046,26 @@ def snapshot_stream_tail(
         raise ValueError("n_triggers must be >= 1")
     out: dict = {"triggers": [], "errors": [], "processed": []}
     for i in range(n_triggers):
+        # the progress list survives a mid-drain exception, so
+        # snapshots this trigger fully handled (checkpoint advanced)
+        # before the failure still enter the ledger — they will NOT be
+        # redelivered, so dropping them would under-report forever
+        # (review catch)
+        prog: list = []
         try:
             got = snapshot_stream_available_now(
-                spark, table, checkpoint_path, process, **kwargs
+                spark,
+                table,
+                checkpoint_path,
+                process,
+                progress=prog,
+                **kwargs,
             )
         except Exception as ex:  # noqa: BLE001 — recorded, next trigger retries
             if stop_on_error:
                 raise
             out["errors"].append((i, repr(ex)))
-            got = []
+            got = list(prog)
         out["triggers"].append(got)
         out["processed"].extend(got)
         if interval_s and i + 1 < n_triggers:
