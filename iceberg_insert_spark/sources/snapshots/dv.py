@@ -135,16 +135,45 @@ def build_dv_frame(hits, prior: dict[str, bytes]):
     """Turn a (``__iis_dfile``, ``__iis_dpos``) hit frame into one DV
     row per touched data file, unioned with each file's PRIOR live DV
     (Iceberg v3's supersede-on-write rule) so the newest DV per file is
-    always the complete delete state. One Arrow-batched task per
-    touched file — the bitmap build never leaves the executors; only
-    ``prior`` (the touched files' existing blobs, KB-scale) rides the
-    closure."""
+    always the complete delete state.
 
-    def _build(pdf):
+    Two-stage, shuffle-light (review catch: a groupBy over the raw hit
+    frame shuffled O(matches) rows): stage one builds PARTIAL DVs
+    map-side — the scan already co-locates a file's rows, so each task
+    folds its hits into one bitmap per file it saw, and only these
+    one-row-per-(file, task) partials reach the exchange; stage two
+    OR-merges partials per file (a file split across scan tasks yields
+    several) and folds in ``prior`` (the touched files' existing
+    blobs, KB-scale, riding the closure). Shuffle volume is
+    O(touched files), never O(deleted rows)."""
+
+    def _partial(batches):
+        import numpy as np
+        import pandas as pd
+
+        acc: dict = {}
+        for pdf in batches:
+            for f, grp in pdf.groupby("__iis_dfile", sort=False):
+                acc.setdefault(f, []).append(
+                    grp["__iis_dpos"].values.astype("int64")
+                )
+        for f, chunks in acc.items():
+            blob = dv_encode(np.concatenate(chunks))
+            yield pd.DataFrame(
+                {
+                    "__iis_dfile": [f],
+                    "__iis_dv": [blob],
+                    "__iis_dcard": [dv_cardinality(blob)],
+                }
+            )
+
+    def _merge(pdf):
         import pandas as pd
 
         f = pdf["__iis_dfile"].iloc[0]
-        blob = dv_encode(pdf["__iis_dpos"].values)
+        blob = None
+        for b in pdf["__iis_dv"]:
+            blob = bytes(b) if blob is None else dv_union(blob, bytes(b))
         old = prior.get(f)
         if old is not None:
             blob = dv_union(old, blob)
@@ -156,4 +185,5 @@ def build_dv_frame(hits, prior: dict[str, bytes]):
             }
         )
 
-    return hits.groupBy("__iis_dfile").applyInPandas(_build, DV_SCHEMA)
+    partials = hits.mapInPandas(_partial, DV_SCHEMA)
+    return partials.groupBy("__iis_dfile").applyInPandas(_merge, DV_SCHEMA)

@@ -1181,8 +1181,19 @@ class SnapshotStatsMixin:
                     )
                 return pd.Series(out)
 
+            # "files without a DV pay nothing" is enforced, not hoped
+            # (review follow-up): the frame splits JVM-side on the DV'd
+            # files' paths — the clean side never leaves whole-stage
+            # codegen, only rows of files that actually carry deletes
+            # cross the Arrow boundary. dvmap keys are the writer's
+            # scan-reported URIs, the same spelling fp_name carries.
+            affected = sorted(dvmap)
             data = data.filter(
-                _dv_keep(F.col(fp_name), F.col(rp_name))
+                ~F.col(fp_name).isin(affected)
+            ).unionByName(
+                data.filter(F.col(fp_name).isin(affected)).filter(
+                    _dv_keep(F.col(fp_name), F.col(rp_name))
+                )
             )
         return strip(data.drop("__iis_seq"))
 
