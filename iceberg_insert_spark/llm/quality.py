@@ -350,3 +350,136 @@ def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weight_ppm",
         )
     )
+
+
+# Repetition-gate thresholds (Rae et al. 2021 §A1.1's repetition
+# signals, re-parameterized for the fixture's short token-soup docs:
+# Gopher gates top-2gram char share at 20% and duplicate-5gram at 15%
+# over web documents; at 20-120 words the equivalent discrimination
+# lands at 12% top-bigram / 5% duplicate-trigram occurrence share).
+REP_MAX_TOP_BIGRAM_PPM = 120_000
+REP_MAX_DUP_TRIGRAM_PPM = 50_000
+
+
+@query(
+    "q_text_repetition_gates",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents
+    ), sig AS (
+        SELECT doc_id,
+               LEN(w) AS n_words,
+               LEN(LIST_DISTINCT(w)) AS nd_words,
+               LIST_TRANSFORM(LIST_ZIP(w[:-2], w[2:]),
+                              s -> s[1] || ' ' || s[2]) AS bg,
+               LIST_TRANSFORM(LIST_ZIP(w[:-3], w[2:-2], w[3:]),
+                              s -> s[1] || ' ' || s[2] || ' ' || s[3])
+                   AS tg
+        FROM t
+    ), agg AS (
+        SELECT doc_id,
+               CAST((n_words - nd_words) * 1000000 // n_words
+                    AS BIGINT) AS dup_word_ppm,
+               CAST((SELECT MAX(c) FROM (
+                        SELECT COUNT(*) AS c
+                        FROM UNNEST(sig.bg) AS u(g) GROUP BY g))
+                    * 1000000 // LEN(bg) AS BIGINT) AS top_bigram_ppm,
+               CAST((LEN(tg) - LEN(LIST_DISTINCT(tg))) * 1000000
+                    // LEN(tg) AS BIGINT) AS dup_trigram_ppm
+        FROM sig
+    )
+    SELECT doc_id, dup_word_ppm, top_bigram_ppm, dup_trigram_ppm,
+           CAST(CASE WHEN top_bigram_ppm > {REP_MAX_TOP_BIGRAM_PPM}
+                       OR dup_trigram_ppm > {REP_MAX_DUP_TRIGRAM_PPM}
+                     THEN 1 ELSE 0 END AS BIGINT) AS repetitive
+    FROM agg
+    """,
+)
+def q_text_repetition_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's REPETITION gates (Rae et al. 2021 §A1.1 — the signals
+    beside the length/stopword rules of q_text_gopher_rules, and the
+    MODE-count complement to q_text_repetition's duplicate-bigram
+    ratio):
+    per doc, the duplicate-word share, the occurrence share of the MOST
+    FREQUENT word bigram, and the duplicate-trigram share, each an
+    exact ppm BIGINT, plus the gate verdict. Catches the
+    machine-generated/boilerplate failure mode quality scores built on
+    length and vocabulary miss: a document can look healthy on every
+    Gopher rule while being one sentence repeated forty times. The
+    top-bigram gate composes AFTER the length floor (gopher_rules'
+    30-word minimum), exactly as in Gopher — a very short document
+    trivially concentrates its bigram mass.
+    (Gopher's line/paragraph variants don't apply — the fixture is
+    single-line; the n-gram forms are the corpus-agnostic core.)
+
+    Exactness: counts are integers, shares are one integer
+    cross-multiplication with ``div``/``//`` (non-negative, so
+    truncation and flooring agree) — hash-identical cross-engine.
+
+    Scale shape: ZERO shuffle. The top-bigram count — the one signal
+    that usually drags in an explode + groupBy + max (two exchanges on
+    a blown-up gram table) — is computed ROW-LOCALLY as the longest
+    run in the SORTED bigram array via one ``aggregate`` fold, all
+    inside whole-stage codegen; at 100 TB every signal is a projection
+    over the documents scan. The oracle computes the same number the
+    readable way (unnest + group + max) — semantics, not plan, are
+    what's compared."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("w"))
+    sig = t.select(
+        "doc_id",
+        F.size("w").alias("n_words"),
+        F.size(F.array_distinct("w")).alias("nd_words"),
+        F.expr(
+            "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w)-1),"
+            " i -> concat(element_at(w, i), ' ', element_at(w, i+1)))"
+            " ELSE array() END"
+        ).alias("bg"),
+        F.expr(
+            "CASE WHEN size(w) >= 3 THEN transform(sequence(1, size(w)-2),"
+            " i -> concat(element_at(w, i), ' ', element_at(w, i+1), ' ',"
+            " element_at(w, i+2))) ELSE array() END"
+        ).alias("tg"),
+    )
+    # longest run in the sorted array == max occurrence count of any
+    # bigram — the row-local spelling of the mode count (no explode)
+    top_bg = F.expr(
+        "aggregate(array_sort(bg),"
+        " named_struct('prev', CAST(NULL AS STRING), 'run', 0L,"
+        "              'best', 0L),"
+        " (acc, x) -> named_struct("
+        "   'prev', x,"
+        "   'run', IF(x <=> acc.prev, acc.run + 1L, 1L),"
+        "   'best', GREATEST(acc.best,"
+        "                    IF(x <=> acc.prev, acc.run + 1L, 1L))),"
+        " acc -> acc.best)"
+    )
+    out = sig.select(
+        "doc_id",
+        F.expr("(n_words - nd_words) * 1000000 div n_words").alias(
+            "dup_word_ppm"
+        ),
+        top_bg.alias("_top"),
+        F.size("bg").alias("_nbg"),
+        F.expr(
+            "(size(tg) - size(array_distinct(tg))) * 1000000"
+            " div size(tg)"
+        ).alias("dup_trigram_ppm"),
+    ).select(
+        "doc_id",
+        "dup_word_ppm",
+        F.expr("_top * 1000000 div _nbg").alias("top_bigram_ppm"),
+        "dup_trigram_ppm",
+    )
+    return out.select(
+        "doc_id",
+        "dup_word_ppm",
+        "top_bigram_ppm",
+        "dup_trigram_ppm",
+        (
+            (F.col("top_bigram_ppm") > REP_MAX_TOP_BIGRAM_PPM)
+            | (F.col("dup_trigram_ppm") > REP_MAX_DUP_TRIGRAM_PPM)
+        )
+        .cast("bigint")
+        .alias("repetitive"),
+    )

@@ -192,3 +192,46 @@ def test_symdelete_spark_expression_matches_python(spark):
         ).collect()
     }
     assert got == {w: _symdelete_py(w) for w in words}
+
+
+def test_repetition_gates_flag_planted_loops(spark, tmp_path):
+    """q_text_repetition_gates semantics on crafted docs: a healthy doc
+    passes, a one-bigram loop and a repeated-sentence doc are flagged,
+    signals are exact integers, and the plan is SHUFFLE-FREE (the
+    top-bigram mode count folds row-locally over the sorted array —
+    no explode/groupBy exchange)."""
+    import os
+
+    from iceberg_insert_spark.llm.quality import q_text_repetition_gates
+
+    docs = spark.createDataFrame(
+        [
+            # healthy: 30 distinct words -> top-bigram share 1/29,
+            # dup signals 0 (the gate composes AFTER gopher's 30-word
+            # length floor — a 6-word doc trivially has top share 1/5)
+            (1, " ".join(f"w{i}" for i in range(30)), "en", "s", 30),
+            # one-bigram loop: "spam ham" repeated -> top bigram share
+            # huge, dup words huge
+            (2, " ".join(["spam", "ham"] * 20), "en", "s", 40),
+            # repeated sentence -> duplicate trigrams dominate
+            (3, " ".join(["the cat sat on the mat"] * 8), "en", "s", 48),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    docs.write.parquet(os.path.join(d, "documents.parquet"))
+    rows = {r.doc_id: r for r in q_text_repetition_gates(spark, d).collect()}
+    assert rows[1].repetitive == 0
+    assert (
+        rows[1].dup_word_ppm == 0
+        and rows[1].dup_trigram_ppm == 0
+    )
+    assert rows[2].repetitive == 1
+    # "ham spam" x19 + "spam ham" x20 over 39 bigrams -> top = 20
+    assert rows[2].top_bigram_ppm == 20 * 1_000_000 // 39
+    assert rows[3].repetitive == 1
+    assert rows[3].dup_trigram_ppm > 500_000
+    # plan pin: zero Exchange nodes
+    plan = q_text_repetition_gates(spark, d)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
