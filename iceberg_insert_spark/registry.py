@@ -40,6 +40,7 @@ _MODULES = [
     "iceberg_insert_spark.operators.tpch",
     "iceberg_insert_spark.operators.udf",
     "iceberg_insert_spark.operators.graph",
+    "iceberg_insert_spark.operators.cost",
     "iceberg_insert_spark.llm.dedup",
     "iceberg_insert_spark.llm.similarity",
     "iceberg_insert_spark.llm.text",

@@ -685,3 +685,64 @@ def test_orders_gini_single_exchange(spark):
     p = plan_of(QUERIES["q_orders_gini"](spark, SF_DIR))
     exchanges = re.findall(r"^\(\d+\) Exchange", p, re.M)
     assert len(exchanges) == 1, exchanges
+
+
+def test_join_advisor_broadcast_pin_and_salt_advice(spark, tmp_path):
+    """advise_join's decisions, pinned against real plans and inputs:
+    (a) a small dimension is advised broadcast and the executed plan
+    contains BroadcastHashJoin with NO shuffle of the fact side's join
+    key; (b) two above-threshold sides advise shuffle, and a low-NDV
+    key on the big side (rows/NDV > 1000) raises the salt flag while a
+    high-NDV key does not; every cost input resolves from metadata on
+    maintained tables."""
+    from pyspark.sql import functions as F
+
+    from iceberg_insert_spark.operators.cost import (
+        advise_join,
+        apply_advice,
+    )
+    from iceberg_insert_spark.sources.snapshots import SnapshotTable
+
+    fact = SnapshotTable(
+        str(tmp_path / "fact"),
+        stats_cols=["k"],
+        ndv_cols=["k", "hot"],
+    )
+    dim = SnapshotTable(
+        str(tmp_path / "dim"), stats_cols=["k"], ndv_cols=["k"]
+    )
+    n = 200_000
+    fact.append(
+        spark.range(n).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).alias("hot"),  # 3 distinct: skew proxy
+            F.lit("x" * 32).alias("pad"),
+        )
+    )
+    dim.append(
+        spark.range(500).select(
+            F.col("id").alias("k"), F.lit("d").alias("attr")
+        )
+    )
+    adv = advise_join(spark, fact, dim, "k")
+    assert adv["strategy"] == "broadcast_right"
+    assert adv["left"]["rows_meta"] and adv["right"]["rows_meta"]
+    assert adv["left"]["ndv_meta"] and adv["right"]["ndv_meta"]
+    assert abs(adv["left"]["ndv"] - n) <= 0.05 * n
+    joined = apply_advice(
+        fact.read(spark),
+        dim.read(spark).withColumnRenamed("k", "dk"),
+        F.col("k") == F.col("dk"),
+        adv,
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # (b) force the shuffle regime with a tiny threshold: high-NDV key
+    # -> no salt; low-NDV key -> salt advised
+    adv2 = advise_join(spark, fact, fact, "k", broadcast_bytes=1)
+    assert adv2["strategy"] == "shuffle" and adv2["salt_advice"] is False
+    adv3 = advise_join(
+        spark, fact, fact, "hot", broadcast_bytes=1
+    )
+    assert adv3["strategy"] == "shuffle" and adv3["salt_advice"] is True
