@@ -738,9 +738,20 @@ class SnapshotCommitMixin:
                     # equality deletes also carry their merge key
                     ent = {"path": rel, "key": delete_key, "seq": v}
                 new_dels.append(ent)
-        all_dels = (
+        inherited_dels = (
             base_meta.get("delete_files", []) if inherit else []
-        ) + new_dels
+        )
+        if delete_kind == "dv" and new_dels:
+            # a DV commit writes the CONSOLIDATED state (every file's
+            # complete bitmap, prior generations folded in), so older
+            # dv entries are fully superseded: drop them here and the
+            # manifest's delete_files stays one DV generation deep
+            # however many deletes stack — expire reclaims the old DV
+            # parquet once no surviving snapshot references it
+            inherited_dels = [
+                d for d in inherited_dels if d.get("kind") != "dv"
+            ]
+        all_dels = inherited_dels + new_dels
         if all_dels:
             meta["delete_files"] = all_dels
         if token is not None:

@@ -668,7 +668,9 @@ class SnapshotDmlMixin:
             inherit=True,
             op="delete",
             expected_base=base,
-            deletes_df=build_dv_frame(hits, self._prior_dvs(base)),
+            deletes_df=build_dv_frame(
+                spark, hits, self._prior_dvs(base)
+            ),
             delete_kind="dv",
         )
 
@@ -749,7 +751,9 @@ class SnapshotDmlMixin:
             inherit=True,
             op="update",
             expected_base=base,
-            deletes_df=build_dv_frame(dels, self._prior_dvs(base)),
+            deletes_df=build_dv_frame(
+                spark, dels, self._prior_dvs(base)
+            ),
             delete_kind="dv",
         )
 

@@ -131,11 +131,18 @@ def dv_union(a: bytes, b: bytes) -> bytes:
 DV_SCHEMA = "__iis_dfile string, __iis_dv binary, __iis_dcard long"
 
 
-def build_dv_frame(hits, prior: dict[str, bytes]):
-    """Turn a (``__iis_dfile``, ``__iis_dpos``) hit frame into one DV
-    row per touched data file, unioned with each file's PRIOR live DV
-    (Iceberg v3's supersede-on-write rule) so the newest DV per file is
-    always the complete delete state.
+def build_dv_frame(spark, hits, prior: dict[str, bytes]):
+    """Turn a (``__iis_dfile``, ``__iis_dpos``) hit frame into the
+    COMPLETE deletion-vector state after this delete: one DV row per
+    data file that has any delete — touched files union their PRIOR
+    live DV (Iceberg v3's supersede-on-write rule), and untouched
+    files' prior DVs are CARRIED into the same delete file. Writing
+    the full consolidated state each commit is what lets the manifest
+    drop every older DV entry: ``delete_files`` holds exactly ONE live
+    DV generation however many deletes stack (Iceberg needs a separate
+    rewrite-position-deletes maintenance pass for this; here the state
+    is bitmap-small, so the commit does it inline), and expire
+    reclaims superseded DV files as their snapshots age out.
 
     Two-stage, shuffle-light (review catch: a groupBy over the raw hit
     frame shuffled O(matches) rows): stage one builds PARTIAL DVs
@@ -143,9 +150,8 @@ def build_dv_frame(hits, prior: dict[str, bytes]):
     folds its hits into one bitmap per file it saw, and only these
     one-row-per-(file, task) partials reach the exchange; stage two
     OR-merges partials per file (a file split across scan tasks yields
-    several) and folds in ``prior`` (the touched files' existing
-    blobs, KB-scale, riding the closure). Shuffle volume is
-    O(touched files), never O(deleted rows)."""
+    several, and the prior state arrives as one more partial each).
+    Shuffle volume is O(files with deletes), never O(deleted rows)."""
 
     def _partial(batches):
         import numpy as np
@@ -174,9 +180,6 @@ def build_dv_frame(hits, prior: dict[str, bytes]):
         blob = None
         for b in pdf["__iis_dv"]:
             blob = bytes(b) if blob is None else dv_union(blob, bytes(b))
-        old = prior.get(f)
-        if old is not None:
-            blob = dv_union(old, blob)
         return pd.DataFrame(
             {
                 "__iis_dfile": [f],
@@ -186,4 +189,13 @@ def build_dv_frame(hits, prior: dict[str, bytes]):
         )
 
     partials = hits.mapInPandas(_partial, DV_SCHEMA)
+    if prior:
+        prior_rows = spark.createDataFrame(
+            [
+                (f, bytearray(b), dv_cardinality(b))
+                for f, b in sorted(prior.items())
+            ],
+            DV_SCHEMA,
+        )
+        partials = partials.unionByName(prior_rows)
     return partials.groupBy("__iis_dfile").applyInPandas(_merge, DV_SCHEMA)

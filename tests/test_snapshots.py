@@ -4158,11 +4158,14 @@ def test_deletion_vectors_supersede_per_file(spark, tmp_path):
     assert {r.rid for r in tbl.read(spark, as_of=v3).collect()} == {
         i for i in range(100) if i % 10 not in (3, 7)
     }
-    # the NEWEST DV for the (single) data file carries the full union:
-    # folding at write means a reader needs exactly one bitmap per file
+    # each DV commit writes the CONSOLIDATED state and the manifest
+    # drops superseded generations: delete_files holds exactly ONE dv
+    # entry however many deletes stack (bounded metadata), whose
+    # coverage list names the touched data file
     dels = tbl._meta(v4)["delete_files"]
-    assert [d["kind"] for d in dels] == ["dv"] * 3
-    newest = max(dels, key=lambda d: d["seq"])
+    assert [d["kind"] for d in dels] == ["dv"]
+    [newest] = dels
+    assert newest["seq"] == v4
     t = pq.read_table(os.path.join(tbl.path, newest["path"]))
     assert t.num_rows == 1  # one data file touched -> one DV row
     [blob] = t.column("__iis_dv").to_pylist()
@@ -4171,6 +4174,11 @@ def test_deletion_vectors_supersede_per_file(spark, tmp_path):
         i for i in range(100) if i % 10 in (3, 7) or i < 5
     }
     assert card == len(expect_dead) == dv_cardinality(blob)
+    # superseded DV generations stay reachable only through OLD
+    # snapshots: expiring past them reclaims the old DV parquet
+    reclaimed = tbl.expire(keep_from=v4)
+    assert sum("_deletes" in p for p in reclaimed) == 2  # v2+v3 DVs
+    assert {r.rid for r in tbl.read(spark).collect()} == alive
     # compact folds everything into plain data, as before
     vc = tbl.compact(spark)
     assert "delete_files" not in tbl._meta(vc)
