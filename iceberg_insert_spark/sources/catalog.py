@@ -207,6 +207,45 @@ class LocalCatalog:
         ent = self._entry(ident)
         return SnapshotTable(ent["location"], **ent.get("table_kwargs", {}))
 
+    def analyze_table(
+        self,
+        ident: str,
+        columns: list[str],
+        blooms: bool = False,
+    ) -> dict:
+        """``ANALYZE TABLE`` (Iceberg's ``compute_table_stats``
+        procedure): backfill footer range/null stats AND NDV sketches
+        (plus Bloom indexes with ``blooms=True``) for the named columns
+        over the table's live files, and PERSIST the expanded column
+        sets in the registry so every future ``load_table`` handle
+        keeps recording them at commit time — analysis is a property
+        of the table, not of one handle. Returns the backfill report
+        (``files_analyzed``). The registry update and the sidecar
+        backfill are both idempotent; re-analyzing is a no-op."""
+        if not columns:
+            raise ValueError("ANALYZE needs at least one column")
+        tbl = self.load_table(ident)
+        report = tbl.compute_stats(
+            stats_cols=columns,
+            ndv_cols=columns,
+            bloom_cols=columns if blooms else (),
+        )
+        with self._lock():
+            reg = self._read()
+            ent = reg["tables"].get(ident)
+            if ent is None:
+                raise ValueError(f"table {ident!r} does not exist")
+            kw = ent.setdefault("table_kwargs", {})
+            for k, cols in (
+                ("stats_cols", tbl.stats_cols),
+                ("ndv_cols", tbl.ndv_cols),
+                ("bloom_cols", tbl.bloom_cols),
+            ):
+                if cols:
+                    kw[k] = sorted(set(kw.get(k, [])) | set(cols))
+            self._write(reg)
+        return report
+
     def _entry(self, ident: str) -> dict:
         _split_ident(ident)
         ent = self._read()["tables"].get(ident)
@@ -713,7 +752,33 @@ class LocalCatalog:
             return self.sql_delete(spark, sql)
         if verb == "UPDATE":
             return self.sql_update(spark, sql)
+        if verb == "ANALYZE":
+            return self.sql_analyze(sql)
         return self.sql(spark, sql)
+
+    _ANALYZE_RE = re.compile(
+        r"^\s*ANALYZE\s+TABLE\s+\{\{\s*([A-Za-z_][\w.]*)\s*\}\}\s+"
+        r"COMPUTE\s+STATISTICS\s+FOR\s+COLUMNS\s+"
+        r"([A-Za-z_][\w]*(?:\s*,\s*[A-Za-z_][\w]*)*)"
+        r"(\s+WITH\s+BLOOM)?\s*$",
+        re.IGNORECASE,
+    )
+
+    def sql_analyze(self, sql: str) -> dict:
+        """``ANALYZE TABLE {{ns.t}} COMPUTE STATISTICS FOR COLUMNS a, b
+        [WITH BLOOM]`` — the SQL spelling of :meth:`analyze_table`."""
+        m = self._ANALYZE_RE.match(sql)
+        if not m:
+            raise ValueError(
+                "expected 'ANALYZE TABLE {{namespace.table}} COMPUTE "
+                "STATISTICS FOR COLUMNS col[, col...] [WITH BLOOM]'"
+            )
+        ident, cols, bloom = m.group(1), m.group(2), m.group(3)
+        return self.analyze_table(
+            ident,
+            [c.strip() for c in cols.split(",")],
+            blooms=bloom is not None,
+        )
 
     def create_table_as(
         self,
@@ -1416,4 +1481,89 @@ def q_catalog_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS cents
         FROM {{an.t}} GROUP BY o_orderstatus
         """,
+    )
+
+
+@query(
+    "q_catalog_analyze",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_ndv,
+           CAST(0 AS BIGINT) AS meta_before,
+           CAST(1 AS BIGINT) AS meta_after,
+           CAST(1 AS BIGINT) AS ndv_within_5pct,
+           CAST(1 AS BIGINT) AS persisted_for_new_handles
+    FROM orders
+    """,
+)
+def q_catalog_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ANALYZE TABLE`` through the SQL front-end, DuckDB-oracled: a
+    table created WITHOUT any maintenance takes two appends (its files
+    have no sidecar entries — count/min-max/NDV all answer via full
+    scans, ``meta_before`` = 0 oracled); one
+    ``ANALYZE TABLE {{t}} COMPUTE STATISTICS FOR COLUMNS ...`` then
+    BACKFILLS footer stats and HLL sketches over the live files
+    (Iceberg's ``compute_table_stats`` procedure), after which the
+    same three questions answer from METADATA (``meta_after`` = 1
+    oracled) with values that must equal DuckDB's scan of the raw
+    data — and the exact row count / MIN / MAX prove the backfilled
+    stats are the data's, not approximations (NDV carries its pinned
+    5% HLL bound). The analyzed column sets persist in the catalog
+    registry, so a FRESH ``load_table`` handle keeps recording stats
+    on its own appends (``persisted_for_new_handles`` — checked by
+    re-opening the table and asking the registry-loaded handle).
+
+    100 TB: this is how an un-maintained adopted warehouse becomes
+    cost-plannable — one backfill pass over live files (idempotent,
+    crash-resumable), zero rewrites, and every later commit records
+    incrementally."""
+    root = scratch_dir(spark, sf_dir, "catalog_analyze")
+    cat = LocalCatalog(root)
+    cat.create_namespace("an2")
+    t = cat.create_table("an2.orders")  # NO stats/ndv maintenance
+    o = load_table(spark, sf_dir, "orders")
+    for r in range(2):
+        t.append(o.filter(F.col("o_orderkey") % 2 == r))
+    fresh0 = cat.load_table("an2.orders")
+    _, _, mm0 = fresh0.min_max(spark, "o_totalprice")
+    _, ndv0 = fresh0.ndv(spark, "o_custkey")
+    n0, nmeta0 = fresh0.count_rows(spark)
+    meta_before = int(mm0 or ndv0 or nmeta0 > 0)
+    cat.execute(
+        spark,
+        "ANALYZE TABLE {{an2.orders}} COMPUTE STATISTICS FOR "
+        "COLUMNS o_totalprice, o_custkey",
+    )
+    fresh = cat.load_table("an2.orders")
+    n_rows, nmeta = fresh.count_rows(spark)
+    lo, hi, mm = fresh.min_max(spark, "o_totalprice")
+    est, ndv_meta = fresh.ndv(spark, "o_custkey")
+    exact_ndv = o.agg(F.countDistinct("o_custkey")).collect()[0][0]
+    meta_after = int(
+        mm and ndv_meta and nmeta == len(fresh._manifest(
+            fresh._resolve_snapshot(None)
+        ))
+    )
+    # persistence: a registry-loaded handle records stats on ITS OWN
+    # append (no re-ANALYZE) — the new file answers from metadata too
+    fresh.append(o.limit(0))  # schema-compatible empty commit
+    persisted = int(
+        sorted(fresh.ndv_cols)
+        == sorted(["o_custkey", "o_totalprice"])
+    )
+    return spark.range(1).select(
+        F.lit(int(n_rows)).cast("bigint").alias("n_rows"),
+        F.lit(round(lo, 2)).alias("min_price"),
+        F.lit(round(hi, 2)).alias("max_price"),
+        F.lit(int(exact_ndv)).cast("bigint").alias("exact_ndv"),
+        F.lit(meta_before).cast("bigint").alias("meta_before"),
+        F.lit(meta_after).cast("bigint").alias("meta_after"),
+        F.lit(int(abs(est - exact_ndv) <= 0.05 * exact_ndv))
+        .cast("bigint")
+        .alias("ndv_within_5pct"),
+        F.lit(persisted).cast("bigint").alias(
+            "persisted_for_new_handles"
+        ),
     )

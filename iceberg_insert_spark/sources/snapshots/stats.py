@@ -909,6 +909,53 @@ class SnapshotStatsMixin:
             )
         return sorted(agg.values(), key=lambda d: sorted(d["partition"].items()))
 
+    def compute_stats(
+        self,
+        stats_cols: list[str] | tuple = (),
+        bloom_cols: list[str] | tuple = (),
+        ndv_cols: list[str] | tuple = (),
+    ) -> dict:
+        """Iceberg's ``compute_table_stats`` / SQL ``ANALYZE TABLE``:
+        BACKFILL the sidecars for live files missing entries, so a
+        table created without maintenance (or with a narrower column
+        set) adopts footer stats / Bloom / NDV sketches after the
+        fact — from then on ``count_rows``/``min_max``/``ndv``/point
+        pruning answer from metadata. The requested columns are ADDED
+        to this handle's recorded sets (future commits through this
+        handle keep recording them; the catalog's ANALYZE verb also
+        persists the sets for future handles).
+
+        Cost: one footer read per missing file, plus one column-pruned
+        Arrow read per missing (file, sketch column) — files already
+        covered for every requested column are untouched (immutable
+        files make recomputation idempotent, so a crash mid-backfill
+        just re-runs). Returns ``{"files_analyzed": n}``."""
+        self.stats_cols = sorted(set(self.stats_cols) | set(stats_cols))
+        self.bloom_cols = sorted(set(self.bloom_cols) | set(bloom_cols))
+        self.ndv_cols = sorted(set(self.ndv_cols) | set(ndv_cols))
+        v = self._resolve_snapshot(None)
+        files = self._manifest(v)
+        stats = self._load_stats()
+        blooms = self._load_blooms()
+        ndvs = self._load_ndvs()
+        need = [
+            rel
+            for rel in files
+            if rel not in stats
+            or any(
+                c not in blooms.get(rel, {}) for c in self.bloom_cols
+            )
+            or any(c not in ndvs.get(rel, {}) for c in self.ndv_cols)
+            or any(
+                c not in stats.get(rel, {})
+                and "::nulls::" + c not in stats.get(rel, {})
+                for c in self.stats_cols
+            )
+        ]
+        if need:
+            self._record_stats(need)
+        return {"files_analyzed": len(need)}
+
     def _live_dvs(self, dv_dels: list[dict]) -> dict[str, bytes]:
         """Newest live deletion-vector blob per data file, resolved in
         two metadata-scale steps (Iceberg's manifest-level DV

@@ -780,3 +780,52 @@ def test_clone_table_never_destroys_preserved_data(spark, tmp_path):
     from iceberg_insert_spark.sources.snapshots import SnapshotTable
 
     assert [r.k for r in SnapshotTable(old_loc).read(spark).collect()] == [42]
+
+
+def test_analyze_table_backfill_grammar_and_idempotence(spark, tmp_path):
+    """ANALYZE: backfills sidecars for an un-maintained table (point
+    bloom pruning included with WITH BLOOM), persists the column sets
+    for future handles, re-analyzing is a zero-file no-op, and grammar
+    near-misses get the verb's clean error."""
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("db")
+    t = cat.create_table("db.t")
+    t.append(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(100)], "k long, v double"
+        ).coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(100, 200)], "k long, v double"
+        ).coalesce(1)
+    )
+    # un-analyzed: all metadata paths fall back
+    h0 = cat.load_table("db.t")
+    assert h0.min_max(spark, "v")[2] is False
+    rep = cat.execute(
+        spark,
+        "ANALYZE TABLE {{db.t}} COMPUTE STATISTICS FOR COLUMNS k, v"
+        " WITH BLOOM",
+    )
+    assert rep["files_analyzed"] == 2
+    h1 = cat.load_table("db.t")
+    assert h1.min_max(spark, "v") == (0.0, 199.0, True)
+    assert h1.count_rows(spark) == (200, 2)
+    est, meta = h1.ndv(spark, "k")
+    assert meta is True and abs(est - 200) <= 10
+    # bloom: a point probe prunes to the one file holding the key
+    plan, _ = h1.plan_files(eq=("k", 150))
+    assert len(plan) == 1
+    # idempotent: nothing left to backfill
+    assert cat.analyze_table("db.t", ["k", "v"], blooms=True) == {
+        "files_analyzed": 0
+    }
+    # a fresh handle keeps recording on its own appends
+    h2 = cat.load_table("db.t")
+    h2.append(
+        spark.createDataFrame([(500, 500.0)], "k long, v double")
+    )
+    assert h2.min_max(spark, "v") == (0.0, 500.0, True)
+    with pytest.raises(ValueError, match="expected 'ANALYZE"):
+        cat.execute(spark, "ANALYZE TABLE {{db.t}} COMPUTE STATISTICS")

@@ -1186,3 +1186,52 @@ def test_mmr_suppresses_duplicates(spark):
     assert 1 not in ids  # the duplicate is suppressed
     scores = [s for _, s in picked]
     assert scores[0] == max(scores)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=300_000),
+        min_size=1,
+        max_size=400,
+    ),
+    st.lists(
+        st.integers(min_value=0, max_value=300_000),
+        min_size=1,
+        max_size=400,
+    ),
+)
+@settings(max_examples=150, deadline=None)
+def test_dv_codec_roundtrip_and_union_properties(a, b):
+    """Property: the deletion-vector codec is a faithful set codec —
+    encode/positions round-trips any position set, cardinality equals
+    the set size, and union is exactly set union (commutative,
+    idempotent, length-mixing), for sparse/dense/high-position inputs
+    alike. The packed membership test agrees with the decoded set."""
+    import numpy as np
+
+    from iceberg_insert_spark.sources.snapshots.dv import (
+        dv_cardinality,
+        dv_contains,
+        dv_encode,
+        dv_packed,
+        dv_positions,
+        dv_union,
+    )
+
+    sa, sb = set(a), set(b)
+    ea, eb = dv_encode(a), dv_encode(b)
+    assert set(dv_positions(ea).tolist()) == sa
+    assert dv_cardinality(ea) == len(sa)
+    u = dv_union(ea, eb)
+    assert set(dv_positions(u).tolist()) == sa | sb
+    assert dv_union(eb, ea) == u  # commutative at the byte level
+    assert dv_union(u, ea) == u  # idempotent absorption
+    # packed membership == decoded membership on a probe mix of
+    # members, non-members, and out-of-range positions
+    packed, nbits = dv_packed(ea)
+    probes = np.array(
+        sorted(sa)[:50] + [max(sa) + 1, max(sa) + 1000, 0],
+        dtype=np.int64,
+    )
+    got = dv_contains(packed, nbits, probes)
+    assert got.tolist() == [int(p) in sa for p in probes.tolist()]
