@@ -476,10 +476,14 @@ def q_text_repetition_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_word_ppm",
         "top_bigram_ppm",
         "dup_trigram_ppm",
-        (
-            (F.col("top_bigram_ppm") > REP_MAX_TOP_BIGRAM_PPM)
-            | (F.col("dup_trigram_ppm") > REP_MAX_DUP_TRIGRAM_PPM)
-        )
-        .cast("bigint")
-        .alias("repetitive"),
+        # coalesce: a <2-word doc has NULL shares (0 bigrams) on both
+        # engines, but the 0/1 gate must be 0 like the oracle's CASE,
+        # not NULL (review catch — latent until a short doc appears)
+        F.coalesce(
+            (
+                (F.col("top_bigram_ppm") > REP_MAX_TOP_BIGRAM_PPM)
+                | (F.col("dup_trigram_ppm") > REP_MAX_DUP_TRIGRAM_PPM)
+            ).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        ).alias("repetitive"),
     )

@@ -57,6 +57,7 @@ def advise_join(
     left_key: str,
     right_key: str | None = None,
     broadcast_bytes: int = BROADCAST_THRESHOLD_BYTES,
+    full: bool = False,
 ) -> dict:
     """Pick the join strategy for ``left JOIN right ON left_key =
     right_key`` (``right_key`` defaults to ``left_key``) from table
@@ -70,25 +71,33 @@ def advise_join(
          "right": {...}}
 
     ``rows``/``ndv`` fall back to exact scans on unmaintained tables
-    (the *_meta flags say which path answered) — the decision is the
-    same either way; maintained tables just pay zero IO for it."""
+    (the *_meta flags say which path answered). They are computed
+    LAZILY: byte sizes alone settle the broadcast case, and reading
+    row counts / NDV there would trigger the fallback scans on an
+    unmaintained big side for a decision that uses neither (review
+    catch — the "metadata-only planner" scanned petabytes it never
+    consulted). ``full=True`` forces the complete cost picture (the
+    provenance the oracled query claims; zero extra IO on maintained
+    tables)."""
     right_key = right_key or left_key
-    sides = {}
-    for name, tbl, key in (
-        ("left", left, left_key),
-        ("right", right, right_key),
-    ):
-        nbytes = table_bytes(tbl)
+    sides = {
+        "left": {"bytes": table_bytes(left)},
+        "right": {"bytes": table_bytes(right)},
+    }
+
+    def _cost(name, tbl, key):
+        if "rows" in sides[name]:
+            return
         rows, n_meta = tbl.count_rows(spark)
         n_files = len(tbl._manifest(tbl._resolve_snapshot(None)))
         ndv, ndv_meta = tbl.ndv(spark, key)
-        sides[name] = {
-            "bytes": nbytes,
-            "rows": rows,
-            "rows_meta": n_meta == n_files,
-            "ndv": ndv,
-            "ndv_meta": ndv_meta,
-        }
+        sides[name].update(
+            rows=rows,
+            rows_meta=n_meta == n_files,
+            ndv=ndv,
+            ndv_meta=ndv_meta,
+        )
+
     lb, rb = sides["left"]["bytes"], sides["right"]["bytes"]
     if min(lb, rb) <= broadcast_bytes:
         strategy = "broadcast_left" if lb <= rb else "broadcast_right"
@@ -99,10 +108,19 @@ def advise_join(
         # a shuffle join degrades when one reducer's key group holds
         # a disproportionate share, and rows/NDV is the metadata-only
         # proxy for that concentration
-        big = sides["left"] if lb >= rb else sides["right"]
+        name, tbl, key = (
+            ("left", left, left_key)
+            if lb >= rb
+            else ("right", right, right_key)
+        )
+        _cost(name, tbl, key)
+        big = sides[name]
         salt = big["ndv"] > 0 and (
             big["rows"] // big["ndv"] > SKEW_ROWS_PER_KEY
         )
+    if full:
+        _cost("left", left, left_key)
+        _cost("right", right, right_key)
     return {"strategy": strategy, "salt_advice": salt, **sides}
 
 
@@ -170,7 +188,9 @@ def q_join_cost_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in range(2):
         fact.append(o.filter(F.col("o_orderkey") % 2 == r))
     dim.append(c)
-    advice = advise_join(spark, fact, dim, "o_custkey", "c_custkey")
+    advice = advise_join(
+        spark, fact, dim, "o_custkey", "c_custkey", full=True
+    )
     result = (
         apply_advice(
             fact.read(spark),

@@ -372,8 +372,18 @@ class SnapshotStatsMixin:
                     ent[c] = [min(mins), max(maxs)]
                 if nulls_ok:
                     ent["::nulls::" + c] = nulls
+                if not (ok and mins) and not nulls_ok:
+                    # explicit "attempted, footer can't say" marker so
+                    # a BACKFILL converges instead of re-reading this
+                    # footer forever (review catch); readers treat the
+                    # column as absent — conservative 'must read'
+                    ent["::nostat::" + c] = True
             if ent:
-                stats[rel] = ent
+                # MERGE into any existing entry (review catch: plain
+                # replacement was only safe for freshly written files;
+                # a backfill from a narrower handle wiped previously
+                # recorded columns and their pruning forever)
+                stats[rel] = {**stats.get(rel, {}), **ent}
         self._atomic_json(self._stats_path(), stats)
         if self.bloom_cols or self.ndv_cols:
             # one column read per (file, column) feeds BOTH value-level
@@ -386,20 +396,27 @@ class SnapshotStatsMixin:
                 nent: dict = {}
                 for c in sorted(set(self.bloom_cols) | set(self.ndv_cols)):
                     vals = self._unique_nonnull(rel, c)
-                    if vals is None:
-                        continue
+                    # an unreadable/missing column or an un-encodable
+                    # value records an explicit None — "attempted, no
+                    # sketch" — so backfills converge (review catch);
+                    # every consumer treats None as sketch-absent
+                    # (conservative keep / exact fallback)
                     if c in self.bloom_cols:
-                        bloom = self._bloom_for_file(rel, c, values=vals)
-                        if bloom is not None:
-                            bent[c] = bloom
+                        bent[c] = (
+                            self._bloom_for_file(rel, c, values=vals)
+                            if vals is not None
+                            else None
+                        )
                     if c in self.ndv_cols:
-                        sk = self._ndv_for_file(rel, c, values=vals)
-                        if sk is not None:
-                            nent[c] = sk
+                        nent[c] = (
+                            self._ndv_for_file(rel, c, values=vals)
+                            if vals is not None
+                            else None
+                        )
                 if bent:
-                    blooms[rel] = bent
+                    blooms[rel] = {**blooms.get(rel, {}), **bent}
                 if nent:
-                    ndvs[rel] = nent
+                    ndvs[rel] = {**ndvs.get(rel, {}), **nent}
             if blooms is not None:
                 self._atomic_json(self._bloom_sidecar_path(), blooms)
             if ndvs is not None:
@@ -929,7 +946,23 @@ class SnapshotStatsMixin:
         Arrow read per missing (file, sketch column) — files already
         covered for every requested column are untouched (immutable
         files make recomputation idempotent, so a crash mid-backfill
-        just re-runs). Returns ``{"files_analyzed": n}``."""
+        just re-runs; columns a file CANNOT serve record explicit
+        markers so they never re-process). Unknown columns are a clean
+        error — silently persisting a typo would re-probe it at every
+        future commit (review catch). Returns
+        ``{"files_analyzed": n}``."""
+        sj = self._meta(self._resolve_snapshot(None)).get("schema")
+        if sj is not None:
+            known = {f["name"] for f in sj.get("fields", [])}
+            unknown = sorted(
+                (set(stats_cols) | set(bloom_cols) | set(ndv_cols))
+                - known
+            )
+            if unknown:
+                raise ValueError(
+                    f"cannot ANALYZE unknown column(s) {unknown}; "
+                    f"table columns: {sorted(known)}"
+                )
         self.stats_cols = sorted(set(self.stats_cols) | set(stats_cols))
         self.bloom_cols = sorted(set(self.bloom_cols) | set(bloom_cols))
         self.ndv_cols = sorted(set(self.ndv_cols) | set(ndv_cols))
@@ -949,6 +982,7 @@ class SnapshotStatsMixin:
             or any(
                 c not in stats.get(rel, {})
                 and "::nulls::" + c not in stats.get(rel, {})
+                and "::nostat::" + c not in stats.get(rel, {})
                 for c in self.stats_cols
             )
         ]

@@ -724,7 +724,7 @@ def test_join_advisor_broadcast_pin_and_salt_advice(spark, tmp_path):
             F.col("id").alias("k"), F.lit("d").alias("attr")
         )
     )
-    adv = advise_join(spark, fact, dim, "k")
+    adv = advise_join(spark, fact, dim, "k", full=True)
     assert adv["strategy"] == "broadcast_right"
     assert adv["left"]["rows_meta"] and adv["right"]["rows_meta"]
     assert adv["left"]["ndv_meta"] and adv["right"]["ndv_meta"]

@@ -4302,3 +4302,43 @@ def test_ndv_metadata_estimate_and_guards(spark, tmp_path):
     tbl.rename_column("k", "kid")
     est, meta = tbl.ndv(spark, "kid")
     assert (est, meta) == (2500, False)
+
+
+def test_compute_stats_converges_and_merges(spark, tmp_path):
+    """Backfill hygiene (review catches): (a) a narrower-handle backfill
+    MERGES into existing sidecar entries — it must never wipe another
+    column's recorded stats/sketches; (b) un-stat-able columns record
+    explicit markers so re-analysis converges to zero files instead of
+    re-reading footers forever; (c) unknown columns refuse cleanly."""
+    t = SnapshotTable(
+        str(tmp_path / "t"), stats_cols=["a"], ndv_cols=["a"]
+    )
+    t.append(
+        spark.createDataFrame(
+            [(i, float(i), True) for i in range(50)],
+            "a long, v double, flag boolean",
+        ).coalesce(1)
+    )
+    assert t.min_max(spark, "a") == (0, 49, True)
+    # (a) narrower handle backfills column v only: a's stats survive
+    narrow = SnapshotTable(str(tmp_path / "t"))
+    rep = narrow.compute_stats(stats_cols=["v"], ndv_cols=["v"])
+    assert rep["files_analyzed"] == 1
+    again = SnapshotTable(
+        str(tmp_path / "t"), stats_cols=["a", "v"], ndv_cols=["a", "v"]
+    )
+    assert again.min_max(spark, "a") == (0, 49, True)  # NOT wiped
+    assert again.min_max(spark, "v") == (0.0, 49.0, True)
+    est, meta = again.ndv(spark, "a")
+    assert meta is True and est == 50
+    # (b) boolean columns have no storable footer stat (_stat_value
+    # -> None): the marker makes re-analysis a no-op, not a loop
+    assert narrow.compute_stats(stats_cols=["flag"]) == {
+        "files_analyzed": 1
+    }
+    assert narrow.compute_stats(stats_cols=["flag"]) == {
+        "files_analyzed": 0
+    }
+    # (c) a typo'd column is a clean refusal, never persisted work
+    with pytest.raises(ValueError, match="unknown column"):
+        narrow.compute_stats(ndv_cols=["nope"])
