@@ -903,6 +903,7 @@ def changelog_stream_available_now(
     process,
     skip_replace: bool = False,
     on_skip=None,
+    progress: list | None = None,
 ) -> list[int]:
     """CDC STREAMING READ — Iceberg's streaming changelog: one
     CHANGELOG micro-batch per new main-branch snapshot, each batch the
@@ -940,6 +941,10 @@ def changelog_stream_available_now(
     returns (at-least-once on a crash between; a downstream
     ``append_once(..., token=f"cdc-{v}")`` makes replays no-ops —
     exactly-once end to end). Returns the snapshot ids processed.
+
+    ``progress``: same contract as ``snapshot_stream_available_now`` —
+    a caller-owned list receiving each snapshot id once durably
+    handled, surviving a mid-drain exception (the tail loop's ledger).
 
     100 TB shape: each batch costs the commit's own delta files plus a
     broadcast of its (dimension-sized) delete keys joined to the prior
@@ -1001,6 +1006,8 @@ def changelog_stream_available_now(
             )
         prev = v
         _save_stream_checkpoint(checkpoint_path, v)
+        if progress is not None and processed and processed[-1] == v:
+            progress.append(v)
     return processed
 
 
@@ -1012,14 +1019,17 @@ def snapshot_stream_tail(
     n_triggers: int,
     interval_s: float = 0.0,
     stop_on_error: bool = False,
+    stream_fn=None,
     **kwargs,
 ) -> dict:
-    """The CONTINUOUS-TRIGGER posture over the snapshot stream — what a
+    """The CONTINUOUS-TRIGGER posture over a table stream — what a
     real tailing consumer runs for days: a ProcessingTime-style loop
     where each trigger drains every snapshot committed since the last
-    one (``snapshot_stream_available_now``), sleeps the trigger
-    interval, and fires again while writers keep appending
-    concurrently. AvailableNow covers the per-batch semantics; this
+    one (``snapshot_stream_available_now`` by default; pass
+    ``stream_fn=changelog_stream_available_now`` to tail the CDC
+    changelog with the identical loop/ledger/recovery contract),
+    sleeps the trigger interval, and fires again while writers keep
+    appending concurrently. AvailableNow covers the per-batch semantics; this
     covers the long-running shape — an idle trigger costs one history
     listing and touches nothing, a failed trigger leaves the durable
     checkpoint at the last fully-handled snapshot so the NEXT trigger
@@ -1044,6 +1054,8 @@ def snapshot_stream_tail(
 
     if n_triggers < 1:
         raise ValueError("n_triggers must be >= 1")
+    if stream_fn is None:
+        stream_fn = snapshot_stream_available_now
     out: dict = {"triggers": [], "errors": [], "processed": []}
     for i in range(n_triggers):
         # the progress list survives a mid-drain exception, so
@@ -1053,7 +1065,7 @@ def snapshot_stream_tail(
         # (review catch)
         prog: list = []
         try:
-            got = snapshot_stream_available_now(
+            got = stream_fn(
                 spark,
                 table,
                 checkpoint_path,

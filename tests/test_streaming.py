@@ -884,3 +884,104 @@ def test_snapshot_stream_continuous_soak_with_concurrent_writer(
         ck = json.load(fh)
     assert set(ck) <= {"last_snapshot", "next_snapshot", "next_pos"}
     assert os.path.getsize(ckpt) < 1024
+
+
+def test_changelog_tail_soak_replica_converges_under_writer(
+    spark, tmp_path
+):
+    """CDC continuous-trigger soak: the SAME tail loop drives the
+    changelog stream (stream_fn=changelog_stream_available_now) while
+    a writer thread interleaves appends and MERGE commits; a crash is
+    injected mid-trigger AFTER a batch was applied (worst-case window);
+    the loop keeps firing, the redelivered changelog batch re-applies
+    idempotently (delete-then-insert over a keyed replica), and the
+    replica CONVERGES exactly to the source state with the full
+    snapshot ledger accounted."""
+    import threading
+    import time
+
+    from pyspark.sql import functions as F
+
+    from iceberg_insert_spark.sources.snapshots import SnapshotTable
+    from iceberg_insert_spark.streaming.file_stream import (
+        changelog_stream_available_now,
+        snapshot_stream_tail,
+    )
+
+    src = SnapshotTable(str(tmp_path / "src"))
+    src.append(
+        spark.createDataFrame(
+            [(i, "v0") for i in range(20)], "k long, v string"
+        )
+    )
+    writer_err: list = []
+
+    def writer():
+        try:
+            for i in range(1, 9):
+                if i % 3 == 0:
+                    # merge: update half the keys, delete one, insert one
+                    ch = spark.createDataFrame(
+                        [(kk, f"u{i}", "U") for kk in range(0, 20, 4)]
+                        + [(i, None, "D"), (100 + i, f"n{i}", "I")],
+                        "k long, v string, _op string",
+                    )
+                    src.merge(spark, ch, key="k")
+                else:
+                    src.append(
+                        spark.createDataFrame(
+                            [(200 + 10 * i + j, f"a{i}") for j in range(3)],
+                            "k long, v string",
+                        )
+                    )
+                time.sleep(0.2)
+        except Exception as ex:
+            writer_err.append(ex)
+
+    replica: dict = {}
+    crash = {"armed": True}
+
+    def apply(batch, v):
+        rows = batch.collect()
+        for r in rows:
+            if r["_change_type"] == "delete":
+                replica.pop(r.k, None)
+        for r in rows:
+            if r["_change_type"] == "insert":
+                replica[r.k] = r.v
+        if v >= 4 and crash["armed"]:
+            crash["armed"] = False
+            raise RuntimeError("injected crash after apply")
+
+    ckpt = str(tmp_path / "ckpt")
+    t = threading.Thread(target=writer)
+    t.start()
+    try:
+        report = snapshot_stream_tail(
+            spark,
+            src,
+            ckpt,
+            apply,
+            n_triggers=25,
+            interval_s=0.15,
+            stream_fn=changelog_stream_available_now,
+        )
+    finally:
+        t.join()
+    assert not writer_err, writer_err
+    assert len(report["errors"]) == 1
+    tail = snapshot_stream_tail(
+        spark,
+        src,
+        ckpt,
+        apply,
+        n_triggers=2,
+        stream_fn=changelog_stream_available_now,
+    )
+    assert not tail["errors"]
+    # exact convergence: replica == source, despite the redelivery
+    srcmap = {r.k: r.v for r in src.read(spark).collect()}
+    assert replica == srcmap
+    # complete ledger: every main snapshot delivered exactly once
+    all_ids = report["processed"] + tail["processed"]
+    assert all_ids == sorted(src.snapshots())
