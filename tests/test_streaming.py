@@ -852,13 +852,16 @@ def test_snapshot_stream_continuous_soak_with_concurrent_writer(
     finally:
         t.join()
     assert not writer_err, writer_err
-    # the injected crash was recorded, the loop kept firing
-    assert len(report["errors"]) == 1 and "injected" in report["errors"][0][1]
-    # drain anything the last trigger raced past
+    # drain anything the last trigger raced past — under a loaded host
+    # the writer may lag the whole main loop, so the injected crash is
+    # allowed to fire in EITHER loop (exactly once in total); the
+    # drain loop has enough triggers to absorb the crash + redelivery
     tail = snapshot_stream_tail(
-        spark, src, ckpt, process, n_triggers=2
+        spark, src, ckpt, process, n_triggers=4
     )
-    assert not tail["errors"]
+    all_errors = report["errors"] + tail["errors"]
+    assert len(all_errors) == 1 and "injected" in all_errors[0][1]
+    assert crash_once["armed"] is False
     # snapshot 5 was DELIVERED twice (at-least-once) ...
     assert delivered.count(5) == 2
     # ... but exactly-once downstream: every row once, no dupes
@@ -969,16 +972,20 @@ def test_changelog_tail_soak_replica_converges_under_writer(
     finally:
         t.join()
     assert not writer_err, writer_err
-    assert len(report["errors"]) == 1
+    # the crash may fire in either loop under host load (the writer
+    # can lag the whole main loop): exactly once in total, and the
+    # drain loop absorbs the redelivery
     tail = snapshot_stream_tail(
         spark,
         src,
         ckpt,
         apply,
-        n_triggers=2,
+        n_triggers=4,
         stream_fn=changelog_stream_available_now,
     )
-    assert not tail["errors"]
+    all_errors = report["errors"] + tail["errors"]
+    assert len(all_errors) == 1 and "injected" in all_errors[0][1]
+    assert crash["armed"] is False
     # exact convergence: replica == source, despite the redelivery
     srcmap = {r.k: r.v for r in src.read(spark).collect()}
     assert replica == srcmap
