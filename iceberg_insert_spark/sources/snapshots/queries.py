@@ -1048,11 +1048,13 @@ def q_snapshot_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ('healthy', 'dangling_refs', 0),
         ('healthy', 'orphan_stats', 0),
         ('healthy', 'orphan_blooms', 0),
+        ('healthy', 'orphan_ndv', 0),
         ('injected', 'missing_files', 1),
         ('injected', 'dangling_tokens', 1),
         ('injected', 'dangling_refs', 1),
         ('injected', 'orphan_stats', 1),
-        ('injected', 'orphan_blooms', 1)
+        ('injected', 'orphan_blooms', 1),
+        ('injected', 'orphan_ndv', 1)
     ) AS t(phase, bucket, n)
     """,
 )
@@ -1063,14 +1065,14 @@ def q_snapshot_fsck(spark: SparkSession, sf_dir: str) -> DataFrame:
     then exactly one inconsistency of each class is injected — a live
     data file deleted externally, an exactly-once token pointing at a
     snapshot that no longer exists, a tag pinning a removed snapshot,
-    and a stats-sidecar entry plus a bloom-sidecar entry for
+    and a stats-sidecar entry plus bloom- and NDV-sidecar entries for
     unreferenced files — and each must land in exactly its own bucket
     ('injected' rows). A miscount, a
     miss, or cross-bucket bleed hash-mismatches the constant oracle;
     the per-bucket payload details are pinned in
     tests/test_snapshots.py.
 
-    Scale shape: fsck is O(live files) existence probes + three sidecar
+    Scale shape: fsck is O(live files) existence probes + four sidecar
     reads — no data IO — so a 100 TB table audits in metadata time;
     it is the routine health gate before trusting expire/compact
     automation on a table restored from backup or shared with external
@@ -1103,6 +1105,10 @@ def q_snapshot_fsck(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl._atomic_json(
         tbl._bloom_sidecar_path(),
         {"_snap=9/ghost.parquet": {"o_orderkey": {"m": 256, "k": 4}}},
+    )
+    tbl._atomic_json(
+        tbl._ndv_sidecar_path(),
+        {"_snap=9/ghost.parquet": {"o_orderkey": "AAAA"}},
     )
     rows += report("injected")
     return spark.createDataFrame(
