@@ -764,6 +764,100 @@ def q_snapshot_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_snapshot_delete_files",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS cents,
+           (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT)
+            FROM orders WHERE o_orderkey % 9 = 0) AS eq_entries,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_orderkey % 9 <> 0
+              AND o_orderkey % 10 IN (3, 4)
+              AND o_orderstatus <> 'O') AS dv_dead_rows,
+           CAST(2 AS BIGINT) AS dv_files_covered
+    FROM orders
+    WHERE o_orderkey % 9 <> 0
+      AND NOT (o_orderkey % 10 IN (3, 4) AND o_orderstatus <> 'O')
+    GROUP BY o_orderstatus
+    """,
+)
+def q_snapshot_delete_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``.delete_files`` METADATA TABLE, DuckDB-oracled: a table
+    carrying BOTH live delete kinds — an equality-delete file from a
+    MERGE (every key ≡ 0 mod 9 deleted) and a deletion vector from a
+    MoR delete over the survivors — reports, without decoding a single
+    bitmap or scanning data, exactly the delete state a read folds:
+    the eq file's entry count must equal the distinct deleted keys,
+    the DV's recorded cardinality must equal the rows the second
+    delete actually killed (matched AFTER the eq fold — a DV that
+    re-counted eq-deleted rows would overstate), and the DV coverage
+    list names both data files. The table content rides along as the
+    oracled payload, proving the metadata describes the same state the
+    read serves.
+
+    100 TB: this is the MoR-health view an administrator checks before
+    scheduling compaction — delete state per file, dead-row volume,
+    and which files carry vectors, all from footers + manifest
+    (KB-scale at any table size)."""
+    from ...tables import scratch_dir
+
+    path = scratch_dir(spark, sf_dir, "snapshot_delete_files")
+    o = load_table(spark, sf_dir, "orders")
+    tbl = SnapshotTable(path)
+    for r in range(2):
+        # one data file per parity append: the coverage claim (exactly
+        # 2 files carry DV bits) is structural, not partitioning luck
+        tbl.append(o.filter(F.col("o_orderkey") % 2 == r).coalesce(1))
+    ch = (
+        o.filter(F.col("o_orderkey") % 9 == 0)
+        .select("o_orderkey")
+        .withColumn("_op", F.lit("D"))
+    )
+    tbl.merge(spark, ch, key="o_orderkey")
+    # keys ≡ 3 (odd) and ≡ 4 (even) mod 10: the delete provably
+    # touches BOTH parity files, so the coverage claim is deterministic
+    tbl.delete_where(
+        spark,
+        "o_orderkey % 10 IN (3, 4) AND o_orderstatus <> 'O'",
+        strategy="mor",
+    )
+    info = tbl.delete_files_info()
+    eq_entries = sum(
+        e["n_entries"] for e in info if e["kind"] == "eq"
+    )
+    dv_dead = sum(
+        e.get("n_dead_rows", 0) for e in info if e["kind"] == "dv"
+    )
+    dv_covered = sum(
+        e.get("files_covered", 0) for e in info if e["kind"] == "dv"
+    )
+    return (
+        tbl.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_orders",
+            "cents",
+            F.lit(eq_entries).cast("bigint").alias("eq_entries"),
+            F.lit(dv_dead).cast("bigint").alias("dv_dead_rows"),
+            F.lit(dv_covered).cast("bigint").alias(
+                "dv_files_covered"
+            ),
+        )
+    )
+
+
+@query(
     "q_snapshot_write_distribution",
     oracle="""
     SELECT o_orderstatus,

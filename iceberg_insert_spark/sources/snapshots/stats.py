@@ -926,6 +926,40 @@ class SnapshotStatsMixin:
             )
         return sorted(agg.values(), key=lambda d: sorted(d["partition"].items()))
 
+    def delete_files_info(self, as_of: int | None = None) -> list[dict]:
+        """Iceberg's ``.delete_files`` METADATA TABLE: one dict per
+        live delete file of the snapshot — path, kind (eq / pos / dv),
+        commit seq, entry count, plus per-kind payload facts: the
+        equality key for eq files, and for DELETION VECTORS the total
+        dead-row cardinality and covered-file count WITHOUT decoding a
+        bitmap (the ``__iis_dcard`` column and the manifest coverage
+        list carry them). The administrator's MoR-health view: how much
+        delete state a read folds, and whether compaction is due —
+        footer-read-only, no data IO, KB-scale however large the
+        table."""
+        import pyarrow.parquet as pq
+
+        v = self._resolve_snapshot(as_of)
+        out = []
+        for d in self._meta(v).get("delete_files", []):
+            ent = {
+                "path": d["path"],
+                "kind": d.get("kind", "eq"),
+                "seq": d["seq"],
+            }
+            p = os.path.join(self.path, d["path"])
+            ent["n_entries"] = pq.ParquetFile(p).metadata.num_rows
+            if ent["kind"] == "dv":
+                t = pq.read_table(p, columns=["__iis_dcard"])
+                ent["n_dead_rows"] = int(
+                    sum(t.column(0).to_pylist())
+                )
+                ent["files_covered"] = len(d.get("files", []))
+            if "key" in d:
+                ent["key"] = d["key"]
+            out.append(ent)
+        return sorted(out, key=lambda e: (e["seq"], e["path"]))
+
     def compute_stats(
         self,
         stats_cols: list[str] | tuple = (),
