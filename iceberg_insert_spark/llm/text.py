@@ -2081,9 +2081,9 @@ CHUNK_STRIDE = 30  # 10-token overlap between consecutive chunks
 def q_docs_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window document CHUNKING — the context-window prep step
     of pretraining and RAG pipelines (split long documents into
-    {CHUNK_TOKENS}-token windows at stride {CHUNK_STRIDE}, consecutive
-    chunks overlapping by {CHUNK_TOKENS - CHUNK_STRIDE} tokens so no
-    span is ever cut without context), DuckDB-oracled per chunk: ids,
+    CHUNK_TOKENS=40-token windows at stride CHUNK_STRIDE=30,
+    consecutive chunks overlapping by 10 tokens so no span is ever cut
+    without context), DuckDB-oracled per chunk: ids,
     window numbers, token counts, and the md5 of every chunk's exact
     text must match — an off-by-one at a window edge, a dropped tail
     chunk, or a wrong stride all hash-mismatch. Complements

@@ -948,13 +948,16 @@ class SnapshotStatsMixin:
                 "seq": d["seq"],
             }
             p = os.path.join(self.path, d["path"])
-            ent["n_entries"] = pq.ParquetFile(p).metadata.num_rows
             if ent["kind"] == "dv":
+                # one footer+column read serves both facts
                 t = pq.read_table(p, columns=["__iis_dcard"])
+                ent["n_entries"] = t.num_rows
                 ent["n_dead_rows"] = int(
                     sum(t.column(0).to_pylist())
                 )
                 ent["files_covered"] = len(d.get("files", []))
+            else:
+                ent["n_entries"] = pq.ParquetFile(p).metadata.num_rows
             if "key" in d:
                 ent["key"] = d["key"]
             out.append(ent)

@@ -903,8 +903,6 @@ def test_changelog_tail_soak_replica_converges_under_writer(
     import threading
     import time
 
-    from pyspark.sql import functions as F
-
     from iceberg_insert_spark.sources.snapshots import SnapshotTable
     from iceberg_insert_spark.streaming.file_stream import (
         changelog_stream_available_now,
