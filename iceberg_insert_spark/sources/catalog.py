@@ -754,7 +754,125 @@ class LocalCatalog:
             return self.sql_update(spark, sql)
         if verb == "ANALYZE":
             return self.sql_analyze(sql)
+        if verb == "DESCRIBE":
+            m = self._DESCRIBE_RE.match(sql)
+            if not m:
+                raise ValueError(
+                    "expected 'DESCRIBE [TABLE] [EXTENDED] "
+                    "{{namespace.table}}'"
+                )
+            return self.describe_table(spark, m.group(1))
+        if verb == "SHOW":
+            m = self._SHOW_RE.match(sql)
+            if not m:
+                raise ValueError("expected 'SHOW TABLES [IN namespace]'")
+            return self.show_tables(spark, m.group(1))
         return self.sql(spark, sql)
+
+    def describe_table(self, spark: SparkSession, ident: str) -> DataFrame:
+        """``DESCRIBE TABLE EXTENDED`` for the console: the CURRENT
+        schema (era-resolved names and types from the head manifest —
+        renames/adds/widens show their live form) followed by a
+        ``# Metadata`` section: location, head snapshot + count,
+        partition spec, write distribution, CHECK constraints,
+        maintained stats/bloom/NDV columns, live delete-file kinds,
+        and registry properties. Entirely registry + manifest
+        metadata — zero data IO at any table size."""
+        ent = self._entry(ident)
+        tbl = self.load_table(ident)
+        rows: list[tuple[str, str, str]] = []
+        head = tbl._latest_published()
+        sj = tbl._meta(head).get("schema") if head is not None else None
+        if sj is not None:
+            for f in sj.get("fields", []):
+                t = f.get("type")
+                rows.append(
+                    (
+                        f.get("name"),
+                        t if isinstance(t, str) else "struct",
+                        "",
+                    )
+                )
+        meta = tbl._meta(head) if head is not None else {}
+        snaps = tbl.snapshots()
+        dels = meta.get("delete_files", [])
+        kinds = sorted({d.get("kind", "eq") for d in dels})
+        info = [
+            ("location", ent["location"]),
+            ("format", "parquet (snapshot manifests)"),
+            ("head_snapshot", str(head)),
+            ("n_snapshots", str(len(snaps))),
+            (
+                "partition_by",
+                ", ".join(meta.get("partition_by", [])) or "(none)",
+            ),
+            (
+                "write_distribution",
+                meta.get("write_distribution") or "none",
+            ),
+            (
+                "constraints",
+                "; ".join(
+                    f"{k}: {v}"
+                    for k, v in sorted(
+                        meta.get("constraints", {}).items()
+                    )
+                )
+                or "(none)",
+            ),
+            ("stats_cols", ", ".join(tbl.stats_cols) or "(none)"),
+            ("bloom_cols", ", ".join(tbl.bloom_cols) or "(none)"),
+            ("ndv_cols", ", ".join(tbl.ndv_cols) or "(none)"),
+            (
+                "delete_files",
+                f"{len(dels)} ({', '.join(kinds)})" if dels else "(none)",
+            ),
+            (
+                "properties",
+                "; ".join(
+                    f"{k}={v}"
+                    for k, v in sorted(
+                        ent.get("properties", {}).items()
+                    )
+                )
+                or "(none)",
+            ),
+        ]
+        rows.append(("# Metadata", "", ""))
+        rows.extend((k, "", v) for k, v in info)
+        return spark.createDataFrame(
+            rows, "col_name string, data_type string, info string"
+        )
+
+    def show_tables(
+        self, spark: SparkSession, ns: str | None = None
+    ) -> DataFrame:
+        """``SHOW TABLES [IN ns]``: identifier, kind (table/view/mv),
+        and namespace — one registry read."""
+        reg = self._read()
+        rows = []
+        for ident in sorted(reg.get("tables", {})):
+            n, _ = _split_ident(ident)
+            if ns is None or n == ns:
+                rows.append((n, ident, "table"))
+        for ident, v in sorted(reg.get("views", {}).items()):
+            n, _ = _split_ident(ident)
+            kind = "materialized_view" if v.get("storage") else "view"
+            if ns is None or n == ns:
+                rows.append((n, ident, kind))
+        return spark.createDataFrame(
+            rows, "namespace string, identifier string, kind string"
+        )
+
+    _DESCRIBE_RE = re.compile(
+        r"^\s*DESCRIBE\s+(?:TABLE\s+)?(?:EXTENDED\s+)?"
+        r"\{\{\s*([A-Za-z_][\w.]*)\s*\}\}\s*$",
+        re.IGNORECASE,
+    )
+    _SHOW_RE = re.compile(
+        r"^\s*SHOW\s+TABLES(?:\s+IN\s+([A-Za-z_]\w*))?\s*$",
+        re.IGNORECASE,
+    )
 
     _ANALYZE_RE = re.compile(
         r"^\s*ANALYZE\s+TABLE\s+\{\{\s*([A-Za-z_][\w.]*)\s*\}\}\s+"

@@ -829,3 +829,56 @@ def test_analyze_table_backfill_grammar_and_idempotence(spark, tmp_path):
     assert h2.min_max(spark, "v") == (0.0, 500.0, True)
     with pytest.raises(ValueError, match="expected 'ANALYZE"):
         cat.execute(spark, "ANALYZE TABLE {{db.t}} COMPUTE STATISTICS")
+
+
+def test_describe_and_show_tables_verbs(spark, tmp_path):
+    """DESCRIBE [TABLE] [EXTENDED] and SHOW TABLES [IN ns] — the
+    console's metadata verbs: era-resolved schema rows, the metadata
+    section (constraints, maintained columns, delete-file kinds,
+    properties), view/MV kinds in the listing, and clean grammar
+    errors. Zero data IO: both answer from registry + manifests."""
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("db")
+    cat.create_namespace("other")
+    t = cat.create_table(
+        "db.t",
+        stats_cols=["k"],
+        ndv_cols=["k"],
+        properties={"owner": "etl"},
+    )
+    t.append(
+        spark.createDataFrame([(1, 2.0)], "k long, v double")
+    )
+    t.add_constraint(spark, "pos", "v > 0")
+    t.rename_column("v", "val")
+    t.delete_where(spark, "k = 99", strategy="mor")  # no-op, no files
+    cat.create_table("other.t2")
+    cat.create_view("db.v", "SELECT k FROM {{db.t}}")
+    rows = cat.execute(spark, "DESCRIBE {{db.t}}").collect()
+    by = {r.col_name: r for r in rows}
+    assert by["k"].data_type == "long"
+    assert by["val"].data_type == "double"  # renamed form shows
+    assert "v" not in by
+    assert "pos: v > 0" in by["constraints"].info
+    assert by["stats_cols"].info == "k"
+    assert by["ndv_cols"].info == "k"
+    assert by["properties"].info == "owner=etl"
+    assert by["n_snapshots"].info == "3"  # append + constraint + rename
+    listing = {
+        (r.identifier, r.kind)
+        for r in cat.execute(spark, "SHOW TABLES").collect()
+    }
+    assert listing == {
+        ("db.t", "table"),
+        ("other.t2", "table"),
+        ("db.v", "view"),
+    }
+    only_db = {
+        r.identifier
+        for r in cat.execute(spark, "SHOW TABLES IN db").collect()
+    }
+    assert only_db == {"db.t", "db.v"}
+    with pytest.raises(ValueError, match="expected 'DESCRIBE"):
+        cat.execute(spark, "DESCRIBE db.t")
+    with pytest.raises(ValueError, match="expected 'SHOW"):
+        cat.execute(spark, "SHOW NAMESPACES")
