@@ -2051,83 +2051,3 @@ def q_docs_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_langs"),
         )
     )
-
-
-CHUNK_TOKENS = 40
-CHUNK_STRIDE = 30  # 10-token overlap between consecutive chunks
-
-
-@query(
-    "q_docs_chunk",
-    oracle=f"""
-    WITH t AS (
-        SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents
-    ), c AS (
-        SELECT doc_id,
-               CAST(u.i AS BIGINT) AS chunk_no,
-               ARRAY_TO_STRING(
-                   w[u.i*{CHUNK_STRIDE}+1 :
-                     u.i*{CHUNK_STRIDE}+{CHUNK_TOKENS}], ' ') AS chunk
-        FROM t, UNNEST(RANGE(0,
-            GREATEST((LEN(w) - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1)
-                     // {CHUNK_STRIDE}, 0) + 1)) u(i)
-    )
-    SELECT doc_id, chunk_no,
-           MD5(chunk) AS chunk_md5,
-           CAST(LEN(STRING_SPLIT(chunk, ' ')) AS BIGINT) AS n_tokens
-    FROM c
-    """,
-)
-def q_docs_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding-window document CHUNKING — the context-window prep step
-    of pretraining and RAG pipelines (split long documents into
-    CHUNK_TOKENS=40-token windows at stride CHUNK_STRIDE=30,
-    consecutive chunks overlapping by 10 tokens so no span is ever cut
-    without context), DuckDB-oracled per chunk: ids,
-    window numbers, token counts, and the md5 of every chunk's exact
-    text must match — an off-by-one at a window edge, a dropped tail
-    chunk, or a wrong stride all hash-mismatch. Complements
-    q_docs_pack (which BINS short docs up to a budget; this SPLITS
-    long ones down to it).
-
-    Exactness note: the chunk-count formula divides a possibly
-    NEGATIVE numerator where Spark's ``div`` truncates and DuckDB's
-    ``//`` floors — the GREATEST(..., 0) clamp absorbs the one-off
-    disagreement (−1 vs 0 both clamp to 0), so short docs yield
-    exactly one clipped chunk in both engines by construction.
-
-    Scale shape: ZERO shuffle — chunk windows are a row-local
-    transform + posexplode over the documents scan (array slices
-    inside codegen); at 100 TB chunking is embarrassingly parallel and
-    the only growth is output rows (~n_tokens/stride per doc)."""
-    d = load_table(spark, sf_dir, "documents")
-    t = d.select("doc_id", F.split("text", " ").alias("w"))
-    n_chunks = (
-        F.greatest(
-            F.expr(
-                f"(size(w) - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1) "
-                f"div {CHUNK_STRIDE}"
-            ),
-            F.lit(0),
-        )
-        + 1
-    )
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(
-            F.slice(
-                F.col("w"),
-                i * CHUNK_STRIDE + 1,
-                CHUNK_TOKENS,
-            ),
-            " ",
-        ),
-    )
-    return t.select(
-        "doc_id", F.posexplode(chunks).alias("chunk_no", "chunk")
-    ).select(
-        "doc_id",
-        F.col("chunk_no").cast("bigint").alias("chunk_no"),
-        F.md5("chunk").alias("chunk_md5"),
-        F.size(F.split("chunk", " ")).cast("bigint").alias("n_tokens"),
-    )
