@@ -84,6 +84,13 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # Honesty pin (advisor catch, r7): the FATAL log level above
+        # scrubs ALL JVM ERROR output from the recorded stderr tail —
+        # including any unexpected executor failure/OOM retry, not just
+        # the intentional refusal traces it targets. Recorded here so a
+        # reader knows the quiet tail is scrubbed, not naturally clean;
+        # rc/n_failures remain the integrity signals.
+        "jvm_log_level": "FATAL",
     }
     # Concurrent-load annotation (round-5 verdict #8): this box swings
     # 2-4x with neighbor load, so cross-round deltas are only

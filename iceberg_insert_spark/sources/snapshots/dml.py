@@ -690,6 +690,15 @@ class SnapshotDmlMixin:
         images live in this commit's own files, which the DVs (naming
         only pre-existing files) can never kill. Reads fold the
         bitmaps row-locally; ``compact`` folds them into data.
+
+        ROW LINEAGE (advisor catch, r7): on a lineage table the new
+        images must MATERIALIZE the old rows' ``_row_id`` — they land
+        in this commit's own files, where the virtual id (seq * 2^40 +
+        position) would mint fresh identities and break Iceberg v3's
+        'row id survives update' rule the CoW path already honors.
+        ``_last_updated_seq`` is materialized as NULL, which the read
+        path resolves to this commit's sequence — exactly the CoW
+        update's rule, without knowing the version pre-commit.
         """
         base = self._resolve_snapshot(None)
         candidates, _ = self.plan_files(
@@ -703,12 +712,18 @@ class SnapshotDmlMixin:
         if partitions:
             for c, val in partitions.items():
                 matched = matched & F.col(c).eqNullSafe(F.lit(val))
+        lineage = self._lineage_on()
         scan = self._read_files(
             spark,
             base,
             candidates,
             file_col="__iis_dfile",
             pos_col="__iis_dpos",
+            lineage_cols=(
+                (self._LIN_ROWID, self._LIN_LASTSEQ)
+                if lineage
+                else None
+            ),
         )
         hit_rows = scan.filter(matched)
         if not hit_rows.limit(1).collect():
@@ -719,7 +734,13 @@ class SnapshotDmlMixin:
         data_cols = [
             c
             for c in scan.columns
-            if c not in ("__iis_dfile", "__iis_dpos")
+            if c
+            not in (
+                "__iis_dfile",
+                "__iis_dpos",
+                self._LIN_ROWID,
+                self._LIN_LASTSEQ,
+            )
         ]
         sj = self._meta(base).get("schema")
         types = {}
@@ -742,7 +763,15 @@ class SnapshotDmlMixin:
                     else F.col(c)
                 )
                 for c in data_cols
-            ]
+            ],
+            *(
+                [
+                    F.col(self._LIN_ROWID),
+                    F.lit(None).cast("long").alias(self._LIN_LASTSEQ),
+                ]
+                if lineage
+                else []
+            ),
         )
         from .dv import build_dv_frame
 

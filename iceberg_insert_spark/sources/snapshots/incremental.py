@@ -132,6 +132,21 @@ def read_changelog(
         for d in tbl._meta(to_v).get("delete_files", [])
         if from_v < d["seq"] <= to_v
     ]
+    # Equality deletes ONLY, checked explicitly (advisor catch, r7):
+    # _validate_range happens to refuse the 'delete'/'update' ops that
+    # produce pos/DV entries today, but that is an implicit invariant —
+    # a future allowed-op addition (e.g. a DV-carrying merge) would
+    # otherwise surface as an opaque KeyError on d["key"] below. A
+    # pos/DV entry has no key column to join old images by, so the
+    # changelog genuinely cannot represent it.
+    other = [d for d in range_dels if d.get("kind", "eq") != "eq"]
+    if other:
+        raise ValueError(
+            "changelog cannot represent positional/deletion-vector "
+            f"delete commits in range (snapshots "
+            f"{sorted({d['seq'] for d in other})}); read full "
+            "snapshots instead"
+        )
     if not range_dels:
         return ins
     keys = {d["key"] for d in range_dels}

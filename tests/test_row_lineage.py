@@ -77,6 +77,29 @@ def test_cow_update_bumps_only_matched_rows(spark, tmp_path):
     assert final[2] == after[2] and final[3] == after[3]
 
 
+def test_mor_update_preserves_ids_like_cow(spark, tmp_path):
+    """MoR UPDATE (deletion vector + new images) must honor the same
+    Iceberg v3 lineage rule as the CoW path: the updated row KEEPS its
+    ``_row_id`` (materialized into the new image — its file would
+    otherwise mint a fresh virtual identity) and its
+    ``_last_updated_seq`` becomes the update commit (materialized NULL
+    resolving to the commit sequence at read time). Advisor catch, r7:
+    the MoR path silently minted fresh ids."""
+    t = _mk(spark, tmp_path)
+    before = _lin(spark, t)
+    v = t.update_where(spark, "k = 2", {"v": "v + 1"}, strategy="mor")
+    after = _lin(spark, t)
+    assert after[1] == before[1] and after[3] == before[3]
+    assert after[2][0] == before[2][0]  # same identity
+    assert after[2][1] == v  # modified at the update's sequence
+    # values actually updated through the DV fold
+    vals = {r.k: r.v for r in t.read(spark).collect()}
+    assert vals[2] == 21.0
+    # compaction folds the DV and must keep the materialized lineage
+    t.compact(spark)
+    assert _lin(spark, t) == after
+
+
 def test_time_travel_lineage_and_rollback(spark, tmp_path):
     t = _mk(spark, tmp_path)
     v1 = t._latest_published()

@@ -1425,6 +1425,34 @@ def test_changelog_read_edge_cases(spark, tmp_path):
         read_changelog(tbl, spark, 1, 4)
 
 
+def test_changelog_refuses_pos_dv_delete_kinds_explicitly(spark, tmp_path):
+    """Advisor catch (r7): read_changelog's old-image join assumes every
+    in-range delete entry is an EQUALITY delete; pos/DV entries have no
+    key column. Today that is guaranteed only because _validate_range
+    refuses the 'delete' op — an implicit invariant a future DV-carrying
+    allowed op would break with an opaque KeyError. Pin the explicit
+    guard: doctor a DV delete commit's op to 'merge' (the shape such a
+    future op would have) and assert the clean refusal."""
+    import json
+    import os
+
+    from iceberg_insert_spark.sources.snapshots import read_changelog
+
+    tbl = SnapshotTable(str(tmp_path / "cldv"))
+    tbl.append(spark.createDataFrame(
+        [(i, float(i)) for i in range(5)], "k long, v double"))
+    v = tbl.delete_where(spark, "k = 2", strategy="mor")
+    mpath = os.path.join(tbl._mdir, f"v{v}.json")
+    with open(mpath) as fh:
+        m = json.load(fh)
+    assert m["op"] == "delete"
+    m["op"] = "merge"  # simulate a future DV-carrying allowed op
+    with open(mpath, "w") as fh:
+        json.dump(m, fh)
+    with pytest.raises(ValueError, match="cannot represent"):
+        read_changelog(tbl, spark, 1, v)
+
+
 def test_partition_value_encoding_booleans_and_nulls(spark, tmp_path):
     """Review catch: partition-value compares must use the hive-path
     encoding (Spark casts True -> 'true'; NULL lands in the hive
