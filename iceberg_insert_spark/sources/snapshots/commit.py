@@ -812,7 +812,7 @@ class SnapshotCommitMixin:
         # write burns its number via _next_version instead of bricking
         # commits; a missing stats entry (stats are recorded after the
         # lock) only ever means conservative 'must read'.
-        self._write_manifest(v, meta)
+        self._write_manifest(v, meta, base=base)
         if branch is not None:
             # Advance the branch ref to this commit — still inside the
             # commit critical section, so ref and manifest move
@@ -845,12 +845,169 @@ class SnapshotCommitMixin:
             json.dump(obj, fh)
         os.rename(tmp, path)
 
-    def _write_manifest(self, v: int, meta: dict) -> None:
+    @staticmethod
+    def _mf_identity(p, pt: dict | None, sv):
+        """Entry identity for manifest REUSE: a base manifest carries
+        forward verbatim iff every entry's (path, partition tuple,
+        schema era) is unchanged in the new snapshot."""
+        return (
+            p,
+            tuple(sorted(pt.items())) if pt is not None else None,
+            sv,
+        )
+
+    def _write_manifest(
+        self, v: int, meta: dict, base: int | None = None
+    ) -> None:
+        """The one split point between the FLAT commit metadata the
+        engine builds (files / file_partitions / file_schema_v) and the
+        TWO-LEVEL on-disk form (see core.py): reuse the base snapshot's
+        manifest files for every file carried unchanged, write ONE new
+        immutable manifest for the rest, then swap the manifest list in
+        atomically. ``base`` is the snapshot whose manifests are the
+        reuse candidates (the commit's inherit base / rollback target /
+        branch head); without a hint the newest prior snapshot is
+        tried — reuse is an optimization, a miss only costs a rewrite.
+
+        Crash ordering: manifest files land BEFORE the list that
+        references them — a crash between the two leaves orphan
+        ``m-*.json`` (reclaimed by expire), never a list pointing at
+        missing manifests. 100 TB shape: an append to a million-file
+        table writes one manifest with its own files plus a list of
+        O(#manifests) references, instead of re-serializing the whole
+        file inventory on the driver at every commit."""
         # commit wall-clock (Iceberg's snapshot timestamp-ms): the
         # TIMESTAMP AS OF resolution key. Recorded for every commit
         # type at the single manifest-write choke point.
         meta.setdefault("ts", time_time())
+        files = meta.pop("files")
+        fparts = meta.pop("file_partitions", None)
+        if fparts is not None:
+            meta["fp"] = True
+        fp = fparts or {}
+        eras = meta.pop("file_schema_v", None) or {}
+        desired = {
+            p: self._mf_identity(p, fp.get(p), eras.get(p))
+            for p in files
+        }
+        if base is None:
+            base = next(
+                (x for x in reversed(self.snapshots()) if x != v), None
+            )
+        base_list: list[dict] = []
+        if base is not None:
+            try:
+                base_list = self._raw_meta(base).get(
+                    "manifest_list", []
+                )
+            except FileNotFoundError:
+                pass  # concurrent expire of the hint: no reuse
+        covered: set[str] = set()
+        mlist: list[dict] = []
+        for mref in base_list:
+            try:
+                ents = self._load_mf(mref["path"])
+            except FileNotFoundError:
+                continue
+            paths = [e["p"] for e in ents]
+            if any(p in covered for p in paths) or not all(
+                desired.get(e["p"])
+                == self._mf_identity(
+                    e["p"], e.get("pt"), e.get("sv")
+                )
+                for e in ents
+            ):
+                continue
+            mlist.append(mref)  # reused BY REFERENCE — zero IO
+            covered.update(paths)
+        remaining = [p for p in files if p not in covered]
+        seq = 0
+        if remaining:
+            ents = []
+            for p in remaining:
+                e: dict = {"p": p}
+                if p in fp:
+                    e["pt"] = fp[p]
+                if p in eras:
+                    e["sv"] = eras[p]
+                ents.append(e)
+            name = f"m-{v}-{seq}.json"
+            seq += 1
+            self._atomic_json(
+                os.path.join(self._mdir, name), {"entries": ents}
+            )
+            mlist.append(self._mf_summary(name, ents))
+        mlist, seq = self._merge_small_manifests(v, mlist, seq)
+        meta["manifest_list"] = mlist
         self._atomic_json(os.path.join(self._mdir, f"v{v}.json"), meta)
+
+    # Manifest MERGING (Iceberg's commit.manifest.min-count-to-merge /
+    # target-size): without it a per-commit-one-manifest stream grows
+    # the manifest LIST one reference per commit forever. Runs of >= 8
+    # CONSECUTIVE small manifests (entry count < 512) are rewritten
+    # into one; consecutiveness preserves the global file order, and a
+    # merged manifest re-enters future merges until it crosses the
+    # target — so per-entry rewrite count is bounded by TARGET/MIN (a
+    # constant), the list stays O(live/TARGET + MIN), and amortized
+    # commit metadata IO stays O(delta). Old manifests stay on disk for
+    # the snapshots that reference them (expire GCs them).
+    MANIFEST_TARGET_ENTRIES = 512
+    MANIFEST_MIN_TO_MERGE = 8
+
+    def _merge_small_manifests(
+        self, v: int, mlist: list[dict], seq: int
+    ) -> tuple[list[dict], int]:
+        out: list[dict] = []
+        run: list[dict] = []
+
+        def flush():
+            nonlocal seq
+            if len(run) >= self.MANIFEST_MIN_TO_MERGE:
+                ents = [
+                    e for m in run for e in self._load_mf(m["path"])
+                ]
+                name = f"m-{v}-{seq}.json"
+                seq += 1
+                self._atomic_json(
+                    os.path.join(self._mdir, name), {"entries": ents}
+                )
+                out.append(self._mf_summary(name, ents))
+            else:
+                out.extend(run)
+            run.clear()
+
+        for m in mlist:
+            if m["n"] < self.MANIFEST_TARGET_ENTRIES:
+                run.append(m)
+            else:
+                flush()
+                out.append(m)
+        flush()
+        return out, seq
+
+    @staticmethod
+    def _mf_summary(name: str, ents: list[dict]) -> dict:
+        """Manifest-list reference with pruning summary: entry count
+        plus, for each partition column EVERY entry records, the
+        lexicographic [min, max] of its (hive-encoded string) values —
+        sound for equality probes: a probe value outside the bounds is
+        provably absent from the manifest, whatever the column's
+        numeric semantics. Columns only some entries record are
+        omitted (those entries must be conservatively kept)."""
+        ref = {"path": name, "n": len(ents)}
+        if ents:
+            common = set(ents[0].get("pt", {}))
+            for e in ents[1:]:
+                common &= set(e.get("pt", {}))
+                if not common:
+                    break
+            parts = {}
+            for c in sorted(common):
+                vals = [e["pt"][c] for e in ents]
+                parts[c] = [min(vals), max(vals)]
+            if parts:
+                ref["parts"] = parts
+        return ref
 
     def _token(self, v: int) -> str | None:
         with open(os.path.join(self._mdir, f"v{v}.json")) as fh:
@@ -1062,8 +1219,12 @@ class SnapshotCommitMixin:
                     f"no staged snapshot carries wap_id {wap_id!r}"
                 )
             sv, smeta = staged
+            # the scan above read RAW manifests (op/wap_id live there);
+            # _apply_onto_main needs the flat per-file records
             return self._apply_onto_main(
-                smeta, op="publish", extra={"wap_id": wap_id}
+                self._expand_meta(smeta),
+                op="publish",
+                extra={"wap_id": wap_id},
             )
 
     def cherrypick(self, snapshot: int) -> int:
@@ -1193,5 +1354,5 @@ class SnapshotCommitMixin:
             pmeta["partition_by"] = base_meta.get(
                 "partition_by"
             ) or smeta.get("partition_by", [])
-        self._write_manifest(v, pmeta)
+        self._write_manifest(v, pmeta, base=base)
         return v

@@ -115,7 +115,7 @@ class SnapshotDdlMixin:
             ):
                 if carry in meta:
                     emeta[carry] = meta[carry]
-            self._write_manifest(v, emeta)
+            self._write_manifest(v, emeta, base=base)
         return v
 
     def evolve_partitioning(self, partition_by: list[str]) -> int:
@@ -151,7 +151,7 @@ class SnapshotDdlMixin:
             ):
                 if carry in meta:
                     emeta[carry] = meta[carry]
-            self._write_manifest(v, emeta)
+            self._write_manifest(v, emeta, base=base)
         self.partition_by = list(partition_by)
         return v
 
@@ -229,7 +229,7 @@ class SnapshotDdlMixin:
             ):
                 if carry in meta:
                     emeta[carry] = meta[carry]
-            self._write_manifest(v, emeta)
+            self._write_manifest(v, emeta, base=base)
         if self.constraints is not None:
             self.constraints = cons
         return v
@@ -267,7 +267,7 @@ class SnapshotDdlMixin:
             ):
                 if carry in meta:
                     emeta[carry] = meta[carry]
-            self._write_manifest(v, emeta)
+            self._write_manifest(v, emeta, base=base)
         if self.constraints is not None:
             self.constraints = cons
         return v

@@ -69,7 +69,7 @@ class SnapshotMaintenanceMixin:
             ):
                 if carry in tmeta:
                     rmeta[carry] = tmeta[carry]
-            self._write_manifest(v, rmeta)
+            self._write_manifest(v, rmeta, base=to)
         return v
 
     def compact(
@@ -596,7 +596,7 @@ class SnapshotMaintenanceMixin:
             # source delivers for this commit).
             meta["new_files"] = sorted(set(hm["files"]) - main_files)
             meta["op"] = "fast_forward"
-            self._write_manifest(v, meta)
+            self._write_manifest(v, meta, base=head)
             refs[name] = {**entry, "snapshot": v, "forked_from": v}
             self._atomic_json(self._refs_path(), refs)
             return v
@@ -715,6 +715,33 @@ class SnapshotMaintenanceMixin:
             )
             for v in drop:
                 os.remove(os.path.join(self._mdir, f"v{v}.json"))
+            # Manifest-FILE reachability (two-level metadata): an
+            # m-*.json no surviving manifest list references —
+            # dropped-snapshot manifests, plus crash-window orphans
+            # from writers that died between the manifest write and
+            # the list swap — is reclaimed here, under the same lock
+            # that guarantees no new list can reference it (reuse
+            # candidates come from live snapshots only). KB-scale
+            # JSON reads: lists only, never entries.
+            if drop:
+                live_m = set()
+                for kv in keep:
+                    try:
+                        live_m.update(
+                            r["path"]
+                            for r in self._raw_meta(kv).get(
+                                "manifest_list", []
+                            )
+                        )
+                    except FileNotFoundError:
+                        pass
+                for name in os.listdir(self._mdir):
+                    if (
+                        name.startswith("m-")
+                        and name.endswith(".json")
+                        and name not in live_m
+                    ):
+                        os.remove(os.path.join(self._mdir, name))
             # Token-index hygiene: entries for expired snapshots are
             # already ignored (append_once checks membership in
             # snapshots()), but trimming keeps the index bounded by

@@ -1610,3 +1610,72 @@ def q_snapshot_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus string, n_files long, n_records long, "
         "share_ppm long, skew_ppm long",
     )
+
+
+@query(
+    "q_snapshot_manifest_pruning",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(3 AS INTEGER) AS manifests_total,
+           CAST(2 AS INTEGER) AS manifests_pruned,
+           CAST(1 AS INTEGER) AS files_kept,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_snapshot_manifest_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-level manifest metadata (Iceberg spec v1 §Manifests),
+    DuckDB-oracled end-to-end: orders land in three appends, one per
+    o_orderstatus, so each commit's immutable manifest file covers
+    exactly one partition value and the snapshot's manifest LIST
+    carries three references with [min, max] partition summaries.
+    For every status, the manifest-level planner must then prune the
+    OTHER TWO manifests from the list summaries alone (their entries
+    are never read), keep one file, and the read through that plan
+    must return exactly the status's rows — pinned against a DuckDB
+    group-by of the same parquet. A wrong summary, an over-eager skip
+    (missing rows), or a reuse bug that re-listed another commit's
+    files (row overcount) all hash-mismatch.
+
+    100 TB shape: the pruning tier ABOVE file pruning — with ~10^6
+    file entries sharded over manifests, a partition probe decides
+    which manifest JSONs are even opened; commits write O(delta)
+    metadata because unchanged manifests are reused by reference
+    (reference parity: the reference commits a full Iceberg snapshot
+    per file via the real manifest machinery, App.java:147-149 — this
+    is the local twin of that machinery's two-level layout)."""
+    from ...tables import require_local_master, scratch_dir
+
+    require_local_master(spark, "q_snapshot_manifest_pruning")
+    path = scratch_dir(spark, sf_dir, "snap_manifest_pruning")
+    o = load_table(spark, sf_dir, "orders")
+    tbl = SnapshotTable(path, partition_by=["o_orderstatus"])
+    statuses = sorted(
+        r[0] for r in o.select("o_orderstatus").distinct().collect()
+    )
+    for s in statuses:
+        tbl.append(o.filter(F.col("o_orderstatus") == s).coalesce(1))
+    rows = []
+    for s in statuses:
+        rep = tbl.plan_manifests(partitions={"o_orderstatus": s})
+        files, _total = tbl.plan_files(partitions={"o_orderstatus": s})
+        n = tbl.read(
+            spark, partitions={"o_orderstatus": s}, plan=files
+        ).count()
+        rows.append(
+            (
+                s,
+                rep["manifests_total"],
+                rep["manifests_pruned"],
+                len(files),
+                n,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "status string, manifests_total int, manifests_pruned int, "
+        "files_kept int, n_rows long",
+    )

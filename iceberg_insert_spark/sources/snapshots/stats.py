@@ -503,6 +503,62 @@ class SnapshotStatsMixin:
         except TypeError:
             return False
 
+    def _mf_skippable(self, mref: dict, partitions: dict) -> bool:
+        """Manifest-level partition pruning (Iceberg's manifest-list
+        partition summaries): True when the reference's [min, max]
+        value summary PROVABLY excludes some equality probe — the
+        whole manifest is skipped without reading a single file entry.
+        Sound for equality whatever the column's numeric semantics
+        (a value outside the lexicographic bounds of a string set is
+        not in the set); columns without a summary (recorded by only
+        some entries) keep conservatively."""
+        parts = mref.get("parts")
+        if not parts:
+            return False
+        for c, val in partitions.items():
+            b = parts.get(c)
+            if b is not None:
+                vs = self._part_str(val)
+                if vs < b[0] or vs > b[1]:
+                    return True
+        return False
+
+    def plan_manifests(
+        self,
+        partitions: dict | None = None,
+        as_of: int | None = None,
+    ) -> dict:
+        """Manifest-level planning report: how many manifest FILES the
+        snapshot's list carries, how many a partition probe prunes
+        from the list's summaries alone, and the file counts on each
+        side — the tier ABOVE file pruning (at 100 TB with ~10⁶ file
+        entries sharded over manifests, this decides which manifest
+        JSONs are even read). Flat legacy snapshots report one
+        implicit manifest, never pruned."""
+        v = self._resolve_snapshot(as_of)
+        raw = self._raw_meta(v)
+        mlist = raw.get("manifest_list")
+        if mlist is None:
+            n = len(raw.get("files", []))
+            return {
+                "manifests_total": 1,
+                "manifests_pruned": 0,
+                "files_total": n,
+                "files_after_manifest_prune": n,
+            }
+        skipped = [
+            m
+            for m in mlist
+            if partitions and self._mf_skippable(m, partitions)
+        ]
+        return {
+            "manifests_total": len(mlist),
+            "manifests_pruned": len(skipped),
+            "files_total": sum(m["n"] for m in mlist),
+            "files_after_manifest_prune": sum(m["n"] for m in mlist)
+            - sum(m["n"] for m in skipped),
+        }
+
     def plan_files(
         self,
         where: tuple | None = None,
@@ -522,22 +578,55 @@ class SnapshotStatsMixin:
         (files to scan, total files in the snapshot) — no data file is
         opened."""
         as_of = self._resolve_snapshot(as_of)
-        files = self._manifest(as_of)
-        total = len(files)
+        raw = self._raw_meta(as_of)
+        mlist = raw.get("manifest_list")
+        if mlist is None:
+            # flat legacy manifest: everything is already in raw
+            files = list(raw["files"])
+            total = len(files)
+            fparts = raw.get("file_partitions", {})
+            f_eras = raw.get("file_schema_v", {})
+        else:
+            # two-level: prune whole manifests from the list's
+            # partition summaries BEFORE reading any file entries —
+            # the read-side half of the O(delta) metadata design
+            # (write-side: _write_manifest's manifest reuse)
+            total = sum(m["n"] for m in mlist)
+            files = []
+            fparts = {}
+            f_eras = {}
+            for mref in mlist:
+                if partitions and self._mf_skippable(mref, partitions):
+                    continue
+                for e in self._load_mf(mref["path"]):
+                    files.append(e["p"])
+                    if "pt" in e:
+                        fparts[e["p"]] = e["pt"]
+                    if "sv" in e:
+                        f_eras[e["p"]] = e["sv"]
         if partitions:
-            meta = self._meta(as_of)
-            fparts = meta.get("file_partitions", {})
-            pby = meta.get("partition_by", [])
+            pby = raw.get("partition_by", [])
             for c in partitions:
                 # valid if in the CURRENT spec or recorded by any file
                 # (an old spec after partition evolution) — a column no
-                # spec ever had is a caller error
+                # spec ever had is a caller error. The kept manifests'
+                # records decide; a column recorded ONLY in manifests
+                # the summary pruning skipped is still valid — fall
+                # back to the full expansion before refusing (rare:
+                # multi-column probes across a partition evolution).
                 if c not in pby and not any(
                     c in p for p in fparts.values()
                 ):
-                    raise ValueError(
-                        f"{c!r} is not a partition column (have {pby})"
+                    allp = (
+                        self._meta(as_of).get("file_partitions", {})
+                        if mlist is not None
+                        else fparts
                     )
+                    if not any(c in p for p in allp.values()):
+                        raise ValueError(
+                            f"{c!r} is not a partition column "
+                            f"(have {pby})"
+                        )
             # a file is pruned only when it PROVABLY mismatches: its
             # record has the column and the value differs. Files
             # without a record, or written under a spec lacking the
@@ -579,9 +668,9 @@ class SnapshotStatsMixin:
         # IDs prevent in Iceberg proper); for such files every row
         # holds the field's initial-default, so the predicate is
         # decided EXACTLY from the default instead.
-        smeta = self._meta(as_of)
-        sjson = smeta.get("schema")
-        f_eras = smeta.get("file_schema_v", {})
+        sjson = raw.get("schema")
+        # f_eras was collected above (flat: from raw; two-level: from
+        # the kept manifests' entries — pruned files never reach here)
         fmd = (
             {f["name"]: f.get("metadata") or {} for f in sjson["fields"]}
             if sjson

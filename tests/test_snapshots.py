@@ -144,8 +144,12 @@ def test_snapshot_ingest_exactly_once(spark, tmp_path):
     ]
     assert manifests
     for f in manifests:
-        meta = _json.loads(open(os.path.join(mdir, f)).read())
-        assert meta["files"] and meta["token"].startswith("batch-")
+        raw = _json.loads(open(os.path.join(mdir, f)).read())
+        assert raw["token"].startswith("batch-")
+        # two-level form: the list references immutable manifest files;
+        # the expanded view still lists every visible data file
+        v = int(f[1:-5])
+        assert tbl2._meta(v)["files"]
 
 
 def test_expire_crash_window_leaves_table_consistent(spark, tmp_path):
