@@ -921,7 +921,14 @@ class SnapshotCommitMixin:
             mlist.append(mref)  # reused BY REFERENCE — zero IO
             covered.update(paths)
         remaining = [p for p in files if p not in covered]
-        seq = 0
+        # items: (reusable ref, None) | (None, in-memory delta entries).
+        # The delta stays IN MEMORY through merging (review catch: a
+        # merging commit that wrote the delta first orphaned it
+        # instantly — one wasted fsync per merge plus reclamation
+        # debt); only refs that survive merging are materialized.
+        items: list[tuple[dict | None, list | None]] = [
+            (m, None) for m in mlist
+        ]
         if remaining:
             ents = []
             for p in remaining:
@@ -931,14 +938,20 @@ class SnapshotCommitMixin:
                 if p in eras:
                     e["sv"] = eras[p]
                 ents.append(e)
+            items.append((None, ents))
+        final: list[dict] = []
+        seq = 0
+        for ref, ents in self._merge_small_manifests(items):
+            if ref is not None:
+                final.append(ref)
+                continue
             name = f"m-{v}-{seq}.json"
             seq += 1
             self._atomic_json(
                 os.path.join(self._mdir, name), {"entries": ents}
             )
-            mlist.append(self._mf_summary(name, ents))
-        mlist, seq = self._merge_small_manifests(v, mlist, seq)
-        meta["manifest_list"] = mlist
+            final.append(self._mf_summary(name, ents))
+        meta["manifest_list"] = final
         self._atomic_json(os.path.join(self._mdir, f"v{v}.json"), meta)
 
     # Manifest MERGING (Iceberg's commit.manifest.min-count-to-merge /
@@ -954,36 +967,39 @@ class SnapshotCommitMixin:
     MANIFEST_TARGET_ENTRIES = 512
     MANIFEST_MIN_TO_MERGE = 8
 
-    def _merge_small_manifests(
-        self, v: int, mlist: list[dict], seq: int
-    ) -> tuple[list[dict], int]:
-        out: list[dict] = []
-        run: list[dict] = []
+    def _merge_small_manifests(self, items: list[tuple]) -> list[tuple]:
+        """Collapse runs of >= MIN_TO_MERGE consecutive small items
+        into single (None, entries) items; everything else passes
+        through. Pure in-memory planning — the caller materializes."""
+
+        def n_of(item) -> int:
+            ref, ents = item
+            return ref["n"] if ref is not None else len(ents)
+
+        def ents_of(item) -> list:
+            ref, ents = item
+            return ents if ents is not None else self._load_mf(ref["path"])
+
+        out: list[tuple] = []
+        run: list[tuple] = []
 
         def flush():
-            nonlocal seq
             if len(run) >= self.MANIFEST_MIN_TO_MERGE:
-                ents = [
-                    e for m in run for e in self._load_mf(m["path"])
-                ]
-                name = f"m-{v}-{seq}.json"
-                seq += 1
-                self._atomic_json(
-                    os.path.join(self._mdir, name), {"entries": ents}
+                out.append(
+                    (None, [e for it in run for e in ents_of(it)])
                 )
-                out.append(self._mf_summary(name, ents))
             else:
                 out.extend(run)
             run.clear()
 
-        for m in mlist:
-            if m["n"] < self.MANIFEST_TARGET_ENTRIES:
-                run.append(m)
+        for it in items:
+            if n_of(it) < self.MANIFEST_TARGET_ENTRIES:
+                run.append(it)
             else:
                 flush()
-                out.append(m)
+                out.append(it)
         flush()
-        return out, seq
+        return out
 
     @staticmethod
     def _mf_summary(name: str, ents: list[dict]) -> dict:
@@ -1263,7 +1279,9 @@ class SnapshotCommitMixin:
                     "(append/branch-append/stage) can be cherry-picked"
                 )
             for v in self.snapshots():
-                m = self._meta(v)
+                # op/source_snapshot are raw O(1) fields — the dedup
+                # scan must not expand every snapshot's file inventory
+                m = self._raw_meta(v)
                 if (
                     m.get("op") == "cherry-pick"
                     and m.get("source_snapshot") == snapshot

@@ -258,18 +258,30 @@ class SnapshotTable(
 
     # manifest files are immutable once written; cache parsed entries
     # process-wide, keyed by (path, mtime_ns, size) so a re-created
-    # fixture path can never serve stale entries
-    _MF_CACHE: dict = {}
+    # fixture path can never serve stale entries. Bounded LRU (review
+    # catch: insert-only growth held every superseded/expired manifest
+    # generation a long-lived CDC driver ever read — an eventual OOM);
+    # at 512 entries/manifest the cap covers ~1M live file entries
+    # before any eviction, and an evicted manifest only costs a re-read.
+    from collections import OrderedDict as _OD
+
+    _MF_CACHE: "SnapshotTable._OD" = _OD()
+    _MF_CACHE_MAX = 2048
 
     def _load_mf(self, name: str) -> list[dict]:
         p = os.path.join(self._mdir, name)
         st = os.stat(p)
         key = (p, st.st_mtime_ns, st.st_size)
-        ents = SnapshotTable._MF_CACHE.get(key)
+        cache = SnapshotTable._MF_CACHE
+        ents = cache.get(key)
         if ents is None:
             with open(p) as fh:
                 ents = json.load(fh)["entries"]
-            SnapshotTable._MF_CACHE[key] = ents
+            cache[key] = ents
+            while len(cache) > SnapshotTable._MF_CACHE_MAX:
+                cache.popitem(last=False)
+        else:
+            cache.move_to_end(key)
         return ents
 
     def _raw_meta(self, v: int) -> dict:
@@ -330,7 +342,11 @@ class SnapshotTable(
         for v, op in self.history():
             if op in ("stage", "branch-append"):
                 continue  # staged/branch snapshots are not on main
-            mts = self._meta(v).get("ts", float("-inf"))
+            # ts lives in the raw manifest list — never pay the
+            # O(live files) flat expansion for an O(1) field (review
+            # catch: TIMESTAMP AS OF on a long history re-expanded
+            # every snapshot)
+            mts = self._raw_meta(v).get("ts", float("-inf"))
             if mts <= ts:
                 best = v  # history is version-ascending; ts ascends too
         if best is None:

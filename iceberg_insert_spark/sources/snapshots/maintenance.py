@@ -620,13 +620,40 @@ class SnapshotMaintenanceMixin:
             sidecar entries (range/null stats, bloom sketches, NDV
             sketches) for files no live manifest references
             (crash-window leftovers expire's trim missed;
-            conservative, never wrong reads).
+            conservative, never wrong reads);
+          * ``missing_manifests`` — manifest FILES a live manifest
+            list references that do not exist on disk (two-level
+            metadata; partial-backup restore or external deletion) —
+            reported, not crashed on (review catch: the FSCK whose job
+            is diagnosing a partial restore died with a raw
+            FileNotFoundError before producing its report). Files of a
+            missing manifest cannot be enumerated, so the other
+            buckets are computed from the READABLE manifests.
 
         Metadata-only: O(live files) existence probes, no data IO."""
         snaps = self.snapshots()
-        live_paths = {p for v in snaps for p in self._all_paths(v)}
+        live_paths: set[str] = set()
+        missing_m: set[str] = set()
+        for v in snaps:
+            raw = self._raw_meta(v)
+            mlist = raw.get("manifest_list")
+            if mlist is None:
+                live_paths.update(raw.get("files", []))
+            else:
+                for ref in mlist:
+                    mp = os.path.join(self._mdir, ref["path"])
+                    if not os.path.exists(mp):
+                        missing_m.add(ref["path"])
+                        continue
+                    live_paths.update(
+                        e["p"] for e in self._load_mf(ref["path"])
+                    )
+            live_paths.update(
+                d["path"] for d in raw.get("delete_files", [])
+            )
         report: dict[str, list] = {
             "missing_files": [],
+            "missing_manifests": sorted(missing_m),
             "dangling_tokens": [],
             "dangling_refs": [],
             "orphan_stats": [],
@@ -665,7 +692,7 @@ class SnapshotMaintenanceMixin:
         keep = [
             v
             for v in self.snapshots()
-            if self._meta(v).get("ts", float("-inf")) >= ts
+            if self._raw_meta(v).get("ts", float("-inf")) >= ts
         ]
         if latest is not None:
             keep.append(latest)
@@ -717,31 +744,35 @@ class SnapshotMaintenanceMixin:
                 os.remove(os.path.join(self._mdir, f"v{v}.json"))
             # Manifest-FILE reachability (two-level metadata): an
             # m-*.json no surviving manifest list references —
-            # dropped-snapshot manifests, plus crash-window orphans
-            # from writers that died between the manifest write and
-            # the list swap — is reclaimed here, under the same lock
-            # that guarantees no new list can reference it (reuse
-            # candidates come from live snapshots only). KB-scale
-            # JSON reads: lists only, never entries.
-            if drop:
-                live_m = set()
-                for kv in keep:
-                    try:
-                        live_m.update(
-                            r["path"]
-                            for r in self._raw_meta(kv).get(
-                                "manifest_list", []
-                            )
+            # dropped-snapshot manifests, crash-window orphans from
+            # writers that died between the manifest write and the
+            # list swap, and deltas superseded by a merge — is
+            # reclaimed here, under the same lock that guarantees no
+            # new list can reference it (reuse candidates come from
+            # live snapshots only). Runs on EVERY expire, not just
+            # dropping ones (review catch: a table whose retention
+            # keeps all snapshots otherwise accumulated orphans
+            # forever, and remove_orphan_files deliberately skips
+            # _manifests). KB-scale JSON reads: lists only, never
+            # entries.
+            live_m = set()
+            for kv in keep:
+                try:
+                    live_m.update(
+                        r["path"]
+                        for r in self._raw_meta(kv).get(
+                            "manifest_list", []
                         )
-                    except FileNotFoundError:
-                        pass
-                for name in os.listdir(self._mdir):
-                    if (
-                        name.startswith("m-")
-                        and name.endswith(".json")
-                        and name not in live_m
-                    ):
-                        os.remove(os.path.join(self._mdir, name))
+                    )
+                except FileNotFoundError:
+                    pass
+            for name in os.listdir(self._mdir):
+                if (
+                    name.startswith("m-")
+                    and name.endswith(".json")
+                    and name not in live_m
+                ):
+                    os.remove(os.path.join(self._mdir, name))
             # Token-index hygiene: entries for expired snapshots are
             # already ignored (append_once checks membership in
             # snapshots()), but trimming keeps the index bounded by

@@ -1044,12 +1044,14 @@ def q_snapshot_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT phase, bucket, CAST(n AS BIGINT) AS n
     FROM (VALUES
         ('healthy', 'missing_files', 0),
+        ('healthy', 'missing_manifests', 0),
         ('healthy', 'dangling_tokens', 0),
         ('healthy', 'dangling_refs', 0),
         ('healthy', 'orphan_stats', 0),
         ('healthy', 'orphan_blooms', 0),
         ('healthy', 'orphan_ndv', 0),
         ('injected', 'missing_files', 1),
+        ('injected', 'missing_manifests', 1),
         ('injected', 'dangling_tokens', 1),
         ('injected', 'dangling_refs', 1),
         ('injected', 'orphan_stats', 1),
@@ -1095,8 +1097,19 @@ def q_snapshot_fsck(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rows = report("healthy")
     os.remove(os.path.join(tbl.path, tbl._manifest(2)[0]))
+    # missing MANIFEST file (two-level metadata, r8): a snapshot whose
+    # list references a manifest that never landed — the
+    # partial-backup-restore shape. Injected as a SEPARATE doctored
+    # snapshot so it cascades into no other bucket (its files are
+    # unknowable, so live_paths is unchanged); note it makes v99 a
+    # real snapshot, which is why the dangling token points at 97.
+    tbl._atomic_json(
+        os.path.join(tbl._mdir, "v99.json"),
+        {"op": "append", "new_files": [],
+         "manifest_list": [{"path": "m-99-0.json", "n": 1}]},
+    )
     idx = tbl._token_index()
-    idx["ghost"] = 99
+    idx["ghost"] = 97
     tbl._atomic_json(tbl._tokens_path(), idx)
     tbl._atomic_json(tbl._refs_path(), {"old": 98})
     st = tbl._load_stats()

@@ -537,6 +537,21 @@ class SnapshotStatsMixin:
         implicit manifest, never pruned."""
         v = self._resolve_snapshot(as_of)
         raw = self._raw_meta(v)
+        if partitions:
+            # same validity contract as plan_files (review catch: a
+            # typo'd column silently reported 0 pruned here while
+            # plan_files raised) — current spec, else any file record
+            pby = raw.get("partition_by", [])
+            for c in partitions:
+                if c not in pby and not any(
+                    c in p
+                    for p in self._meta(v)
+                    .get("file_partitions", {})
+                    .values()
+                ):
+                    raise ValueError(
+                        f"{c!r} is not a partition column (have {pby})"
+                    )
         mlist = raw.get("manifest_list")
         if mlist is None:
             n = len(raw.get("files", []))

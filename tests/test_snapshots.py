@@ -1897,15 +1897,17 @@ def test_verify_fsck_reports_each_inconsistency(spark, tmp_path):
     tbl.append_once(o.filter(F.col("o_orderkey") % 2 == 0), token="t1")
     tbl.append(o.filter(F.col("o_orderkey") % 2 == 1))
     assert tbl.verify() == {
-        "missing_files": [], "dangling_tokens": [],
+        "missing_files": [], "missing_manifests": [],
+        "dangling_tokens": [],
         "dangling_refs": [], "orphan_stats": [],
         "orphan_blooms": [], "orphan_ndv": [],
     }
     # inject: delete a live data file externally
     victim = tbl._manifest(2)[0]
     os.remove(os.path.join(tbl.path, victim))
-    # inject: token to a nonexistent snapshot
-    idx = tbl._token_index(); idx["ghost"] = 99
+    # inject: token to a nonexistent snapshot (97, not 99 — the
+    # missing-manifest injection below makes v99 a real snapshot)
+    idx = tbl._token_index(); idx["ghost"] = 97
     tbl._atomic_json(tbl._tokens_path(), idx)
     # inject: ref to a removed snapshot
     tbl._atomic_json(tbl._refs_path(), {"old": 98})
@@ -1917,8 +1919,18 @@ def test_verify_fsck_reports_each_inconsistency(spark, tmp_path):
         tbl._bloom_sidecar_path(),
         {"_snap=8/ghost.parquet": {"o_orderkey": {"m": 256, "k": 4}}},
     )
+    # inject: a manifest LIST referencing a manifest file that never
+    # landed (partial-backup restore) — fsck must REPORT it, not crash
+    # with FileNotFoundError (advisor-grade review catch, r8); a
+    # doctored separate snapshot, so no other bucket cascades
+    tbl._atomic_json(
+        os.path.join(tbl._mdir, "v99.json"),
+        {"op": "append", "new_files": [],
+         "manifest_list": [{"path": "m-99-0.json", "n": 1}]},
+    )
     rep = tbl.verify()
     assert rep["missing_files"] == [victim]
+    assert rep["missing_manifests"] == ["m-99-0.json"]
     assert rep["dangling_tokens"] == ["ghost"]
     assert rep["dangling_refs"] == ["old"]
     assert rep["orphan_stats"] == ["_snap=9/ghost.parquet"]
