@@ -96,3 +96,91 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         "span_chars long",
     )
     return out
+
+
+def _make_sentence_udtf():
+    """Python UDTF (Spark >= 3.5, exercised here on 4.1): a
+    sentence/segment splitter whose ``eval`` YIELDS a variable number
+    of rows per input row — the table-function shape ``explode`` can
+    only fake when the array is precomputed. Built lazily inside a
+    factory so importing this module never requires the UDTF API
+    (SURVEY §2.4 deferred it while the floor was Spark < 3.5; the
+    deferral expired with pyspark 4.1 in the container)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="seg_id int, sentence string, n_words int")
+    class SentenceUDTF:
+        def eval(self, text: str):
+            import re
+
+            if text is None:
+                return
+            i = 0
+            for raw in re.split(r"[.!?]+\s+", text):
+                s = raw.strip()
+                if not s:
+                    continue
+                i += 1
+                yield i, s, len(s.split())
+
+    return SentenceUDTF
+
+
+@query(
+    "q_udtf_sentences",
+    oracle="""
+    WITH segs AS (
+        SELECT doc_id,
+               LIST_FILTER(
+                   LIST_TRANSFORM(
+                       regexp_split_to_array(text, '[.!?]+\\s+'),
+                       x -> TRIM(x)),
+                   x -> x <> '') AS arr
+        FROM documents
+    ),
+    flat AS (
+        SELECT doc_id,
+               UNNEST(LIST_ZIP(arr, RANGE(1, LENGTH(arr) + 1))) AS z
+        FROM segs
+    )
+    SELECT doc_id,
+           CAST(z[2] AS INTEGER) AS seg_id,
+           z[1] AS sentence,
+           CAST(LENGTH(regexp_split_to_array(z[1], '\\s+')) AS INTEGER)
+               AS n_words
+    FROM flat
+    """,
+)
+def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF through a LATERAL join (r7 verdict item #4),
+    DuckDB-oracled end-to-end: every document's text is split into
+    sentence segments by a generator UDTF — one input row yielding N
+    output rows with a per-doc ordinal — driven through SQL
+    ``LATERAL``, and the (doc_id, seg_id, sentence, n_words) set must
+    hash-match DuckDB's unnest-with-ordinality reconstruction of the
+    same regex split. This pins the UDTF execution path itself (row
+    fan-out, ordinal state per eval, NULL input, empty/whitespace
+    segments dropped), not just the splitting arithmetic.
+
+    Scale shape: the UDTF runs inside the scan stage per partition —
+    rows fan out executor-side with no shuffle and no driver
+    materialization (plan pinned in tests/test_udtf.py); counting
+    words re-splits the segment rather than carrying a token array
+    across the Python boundary. For pure array fan-out prefer
+    ``explode`` (JVM-side, q_explode); a UDTF earns its Python round
+    trip when the per-row expansion needs real imperative logic."""
+    import re
+
+    tag = re.sub(r"\W", "_", sf_dir.rstrip("/").split("/")[-1])
+    view = f"_udtf_docs__{tag}"
+    fn = f"iis_sentences__{tag}"
+    spark.udtf.register(fn, _make_sentence_udtf())
+    load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, s.seg_id, s.sentence, s.n_words
+        FROM {view} d, LATERAL {fn}(d.text) s
+        """
+    )
