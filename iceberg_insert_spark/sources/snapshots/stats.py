@@ -790,6 +790,76 @@ class SnapshotStatsMixin:
                 files = [f for f in files if _keep_bloom(f)]
         return files, total
 
+    def plan_row_groups(
+        self,
+        where: tuple,
+        as_of: int | None = None,
+        partitions: dict | None = None,
+    ) -> dict:
+        """ROW-GROUP-granularity scan planning report (r7 verdict #5):
+        the tier between file pruning and the scan. Runs ``plan_files``
+        first (manifest summaries -> file stats -> blooms, all
+        sidecar-metadata-only), then opens ONLY the surviving files'
+        parquet FOOTERS and scores each row group's [min, max] against
+        the range predicate — on a large sorted file whose file-level
+        range spans the predicate, most groups are provably disjoint
+        and an engine reads a handful of group's pages instead of the
+        file. Same conservative rule everywhere: groups without usable
+        stats must be read; ISO date/timestamp bounds compare through
+        the granularity-safe normalizer. Returns file- and group-tier
+        counters; read() itself is unchanged (Spark's own parquet
+        reader applies group-level filters when given the residual
+        predicate — this is the report that makes the saving a
+        checkable number, the file_skipping_report pattern one level
+        down)."""
+        import pyarrow.parquet as pq
+
+        col, lo, hi = where
+        v = self._resolve_snapshot(as_of)
+        kept, total = self.plan_files(
+            where=where, as_of=v, partitions=partitions
+        )
+        rep = {
+            "files_total": total,
+            "files_pruned": total - len(kept),
+            "n_groups": 0,
+            "groups_skipped": 0,
+            "rows_in_kept_files": 0,
+            "rows_must_read": 0,
+        }
+        for rel in kept:
+            md = pq.ParquetFile(
+                os.path.join(self.path, rel)
+            ).metadata
+            try:
+                idx = md.schema.to_arrow_schema().get_field_index(col)
+            except KeyError:
+                idx = -1
+            rep["rows_in_kept_files"] += md.num_rows
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                rep["n_groups"] += 1
+                st = g.column(idx).statistics if idx >= 0 else None
+                glo = (
+                    self._stat_value(st.min)
+                    if st is not None and st.has_min_max
+                    else None
+                )
+                ghi = (
+                    self._stat_value(st.max)
+                    if st is not None and st.has_min_max
+                    else None
+                )
+                if (
+                    glo is not None
+                    and ghi is not None
+                    and self._provably_disjoint(glo, ghi, lo, hi)
+                ):
+                    rep["groups_skipped"] += 1
+                else:
+                    rep["rows_must_read"] += g.num_rows
+        return rep
+
     @staticmethod
     def _norm_eq(eq) -> list[tuple]:
         """Normalize the equality-predicate argument: None -> [], one
