@@ -437,6 +437,103 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUZZY_DECONTAM_NGRAM = 13
+FUZZY_DECONTAM_THRESHOLD_PPM = 200_000
+
+
+@query(
+    "q_text_decontaminate_fuzzy",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+    ), g AS (
+        SELECT doc_id,
+               [ARRAY_TO_STRING(t[i : i + {FUZZY_DECONTAM_NGRAM} - 1], ' ')
+                FOR i IN RANGE(1, GREATEST(LEN(t) - {FUZZY_DECONTAM_NGRAM}
+                                           + 2, 1))] AS grams
+        FROM toks
+    ), eval_g AS (
+        SELECT DISTINCT UNNEST(grams) AS gram FROM g WHERE doc_id % 50 = 0
+    ), tr AS (
+        SELECT doc_id, UNNEST(grams) AS gram FROM g WHERE doc_id % 50 != 0
+    ), agg AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN gram IN (SELECT gram FROM eval_g)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+        FROM tr GROUP BY doc_id
+    )
+    SELECT doc_id AS train_doc_id, n_grams, n_hits,
+           CAST(n_hits * 1000000 // n_grams AS BIGINT) AS overlap_ppm,
+           CAST(CASE WHEN n_hits * 1000000 // n_grams
+                          >= {FUZZY_DECONTAM_THRESHOLD_PPM}
+                     THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+    FROM agg
+    """,
+)
+def q_text_decontaminate_fuzzy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FUZZY benchmark decontamination (the GPT-3 appendix-C / PaLM
+    tier above q_text_decontaminate's exact any-collision membership):
+    per training document, the FRACTION of its positional 13-gram
+    windows that collide with the benchmark set — contaminated when
+    the overlap reaches a threshold (here 20%; GPT-3 flagged any
+    13-gram collision, PaLM used 70% of 8-grams — the fraction is the
+    knob, exact integer ppm so the DuckDB oracle hash-matches
+    bit-stably). Positional windows (not distinct grams) make the
+    fraction a share of the DOCUMENT, so a long doc quoting one
+    benchmark line scores low while a near-copy scores high.
+
+    Scale shape identical to the exact tier: benchmark grams are a
+    small DISTINCT broadcast set (benchmarks are MBs); the corpus-side
+    stream is exploded windows counted per doc with map-side partial
+    aggregation — no corpus shuffle, no driver materialization. Docs
+    shorter than the window yield no rows (no denominator), exactly
+    the oracle's empty RANGE."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    n = FUZZY_DECONTAM_NGRAM
+    gram = F.expr(
+        f"CASE WHEN size(t) >= {n} THEN"
+        f" transform(sequence(0, size(t) - {n}),"
+        f" i -> concat_ws(' ', slice(t, i + 1, {n})))"
+        f" ELSE CAST(array() AS array<string>) END"
+    )
+    grams = toks.select("doc_id", F.explode(gram).alias("gram"))
+    eval_g = (
+        grams.filter(F.col("doc_id") % 50 == 0)
+        .select("gram")
+        .distinct()
+    )
+    tr = grams.filter(F.col("doc_id") % 50 != 0)
+    # one pass: every window counts toward the denominator; hit windows
+    # (broadcast membership against the benchmark set) toward the
+    # numerator — left_semi would need a second scan for totals
+    hit = tr.join(
+        F.broadcast(eval_g.withColumn("__hit", F.lit(1))),
+        "gram",
+        "left_outer",
+    )
+    agg = hit.groupBy(F.col("doc_id").alias("train_doc_id")).agg(
+        F.count("*").alias("n_grams"),
+        F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_hits"),
+    )
+    # integer `div`, never float `/`+floor: an exactly-integral
+    # quotient can round to x.999... in double and floor off-by-one
+    # against DuckDB's exact `//` (house exactness recipe)
+    ppm = F.expr("n_hits * CAST(1000000 AS BIGINT) div n_grams")
+    return agg.select(
+        "train_doc_id",
+        "n_grams",
+        "n_hits",
+        ppm.alias("overlap_ppm"),
+        F.when(
+            ppm >= FUZZY_DECONTAM_THRESHOLD_PPM, F.lit(1)
+        ).otherwise(F.lit(0)).cast("long").alias("contaminated"),
+    )
+
+
 @query(
     "q_text_repetition",
     oracle="""

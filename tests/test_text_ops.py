@@ -235,3 +235,55 @@ def test_repetition_gates_flag_planted_loops(spark, tmp_path):
     # plan pin: zero Exchange nodes
     plan = q_text_repetition_gates(spark, d)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_fuzzy_decontamination_planted(spark, tmp_path):
+    """Planted-contamination semantics for the 13-gram overlap tier: a
+    near-copy of a benchmark doc scores high ppm and flags; a doc
+    quoting ONE benchmark line scores low and passes; clean and
+    too-short docs behave per contract. The fixture plants doc ids on
+    the % 50 == 0 grid so the query's eval/train split applies."""
+    import shutil
+
+    words = [f"w{i}" for i in range(40)]
+    bench = " ".join(words)  # doc 0: the benchmark (eval side)
+    near_copy = " ".join(words[:36] + ["zzz", "yyy", "xxx", "qqq"])
+    # 24 of near_copy's 28 windows hit (positions 1..24 of 36-13+1... )
+    one_quote = " ".join(
+        ["a%d" % i for i in range(30)] + words[:13] + ["b%d" % i for i in range(30)]
+    )
+    clean = " ".join("c%d" % i for i in range(40))
+    short = "tiny doc"
+    df = spark.createDataFrame(
+        [
+            (0, bench),
+            (1, near_copy),
+            (2, one_quote),
+            (3, clean),
+            (4, short),
+        ],
+        "doc_id long, text string",
+    )
+    sf = str(tmp_path / "sf")
+    shutil.os.makedirs(sf)
+    df.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    out = {
+        r.train_doc_id: r
+        for r in QUERIES["q_text_decontaminate_fuzzy"](spark, sf).collect()
+    }
+    assert set(out) == {1, 2, 3}  # eval doc 0 and 8-token doc 4 absent
+    # near-copy: 40 tokens -> 28 windows; the 24 windows fully inside
+    # the copied 36-word prefix hit (36-13+1), the 4 crossing into the
+    # junk tail don't
+    nc = out[1]
+    assert nc.n_grams == 28 and nc.n_hits == 24
+    assert nc.overlap_ppm == 24 * 1_000_000 // 28
+    assert nc.contaminated == 1
+    # one quoted line: 73 tokens -> 61 windows, exactly 1 hit (only the
+    # window aligned on the quoted 13 words)
+    q = out[2]
+    assert q.n_grams == 61 and q.n_hits == 1
+    assert q.overlap_ppm == 1_000_000 // 61 and q.contaminated == 0
+    # clean: zero hits
+    c = out[3]
+    assert c.n_hits == 0 and c.overlap_ppm == 0 and c.contaminated == 0
