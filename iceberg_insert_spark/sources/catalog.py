@@ -754,6 +754,11 @@ class LocalCatalog:
             return self.sql_update(spark, sql)
         if verb == "ANALYZE":
             return self.sql_analyze(sql)
+        if verb == "EXPLAIN":
+            rest = sql.split(None, 1)
+            if len(rest) < 2 or not rest[1].strip():
+                raise ValueError("expected 'EXPLAIN <statement>'")
+            return self.explain(spark, rest[1])
         if verb == "DESCRIBE":
             m = self._DESCRIBE_RE.match(sql)
             if not m:
@@ -863,6 +868,119 @@ class LocalCatalog:
         return spark.createDataFrame(
             rows, "namespace string, identifier string, kind string"
         )
+
+    # simple conjunct extractor for the metadata-planner EXPLAIN rows:
+    # `col BETWEEN lo AND hi` with numeric or single-quoted bounds —
+    # the shape plan_files prunes on; anything richer is left to
+    # Spark's own PushedFilters row (authoritative for the scan)
+    _EXPLAIN_BETWEEN_RE = re.compile(
+        r"\b([A-Za-z_]\w*)\s+BETWEEN\s+"
+        r"('[^']*'|-?\d+(?:\.\d+)?)\s+AND\s+"
+        r"('[^']*'|-?\d+(?:\.\d+)?)",
+        re.IGNORECASE,
+    )
+
+    @staticmethod
+    def _explain_lit(tok: str):
+        if tok.startswith("'"):
+            return tok[1:-1]
+        return float(tok) if "." in tok else int(tok)
+
+    def explain(self, spark: SparkSession, statement: str) -> DataFrame:
+        """``EXPLAIN <read statement>`` for the console (r7 verdict
+        item #7): what every warehouse front-end answers before a user
+        commits to a scan. Returns ``(kind, item)`` rows:
+
+          * ``table`` — per referenced catalog table: resolved
+            snapshot, live file count, manifest count (raw manifest
+            list only — no entry expansion, no data IO);
+          * ``pruning`` — for each ``col BETWEEN lo AND hi`` conjunct
+            on a table's recorded stats column: the METADATA PLANNER's
+            verdict (files kept / total from plan_files, manifests in
+            the list) — the files-planned/pruned number Spark's
+            own plan cannot show because pruning here happens in the
+            catalog's planner;
+          * ``join`` — every join node in the optimized physical plan
+            (BroadcastHashJoin vs SortMergeJoin — THE 100 TB strategy
+            question);
+          * ``pushed_filters`` / ``read_schema`` — per parquet scan:
+            what reached the reader (filter pushdown and column
+            pruning, straight from the FileScan node).
+
+        Read statements only (SELECT/WITH): EXPLAIN of a write verb is
+        refused — the write paths plan against the table head at
+        commit time, so a pre-shown plan would be a stale promise."""
+        head = statement.split(None, 1)
+        if not head or head[0].upper() not in ("SELECT", "WITH"):
+            raise ValueError(
+                "EXPLAIN supports read statements (SELECT/WITH ...); "
+                f"got {statement.split(None, 1)[0] if statement.split() else ''!r}"
+            )
+        rows: list[tuple[str, str]] = []
+        reg = self._read()
+        views = reg.get("views", {})
+        idents = []
+        for m in self._SQL_REF_RE.finditer(statement):
+            ref, pin = m.group(1), m.group(2)
+            if ref in views or ref in idents:
+                continue
+            idents.append(ref)
+            tbl = self.load_table(ref)
+            v = (
+                int(pin)
+                if pin
+                else tbl._resolve_snapshot(None)
+            )
+            raw = tbl._raw_meta(v)
+            mlist = raw.get("manifest_list")
+            n_files = (
+                sum(mm["n"] for mm in mlist)
+                if mlist is not None
+                else len(raw.get("files", []))
+            )
+            n_m = len(mlist) if mlist is not None else 1
+            rows.append(
+                (
+                    "table",
+                    f"{ref}@{v}: files={n_files}, manifests={n_m}",
+                )
+            )
+            for bm in self._EXPLAIN_BETWEEN_RE.finditer(statement):
+                col = bm.group(1)
+                if col not in tbl.stats_cols:
+                    continue
+                lo = self._explain_lit(bm.group(2))
+                hi = self._explain_lit(bm.group(3))
+                kept, total = tbl.plan_files(
+                    where=(col, lo, hi), as_of=v
+                )
+                rows.append(
+                    (
+                        "pruning",
+                        f"{ref}.{col} BETWEEN {lo} AND {hi}: "
+                        f"files {len(kept)}/{total} after metadata "
+                        "pruning",
+                    )
+                )
+        plan = (
+            self.sql(spark, statement)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for line in plan.splitlines():
+            s = line.strip().lstrip("*+-: ").strip()
+            jm = re.match(r"\(?\d*\)?\s*(\w*Join\w*)", s)
+            if jm and "Join" in jm.group(1):
+                rows.append(("join", jm.group(1)))
+            if "FileScan" in line:
+                pf = re.search(r"PushedFilters: (\[[^\]]*\])", line)
+                if pf:
+                    rows.append(("pushed_filters", pf.group(1)))
+                rs = re.search(r"ReadSchema: (\S+)", line)
+                if rs:
+                    rows.append(("read_schema", rs.group(1)))
+        return spark.createDataFrame(rows, "kind string, item string")
 
     _DESCRIBE_RE = re.compile(
         r"^\s*DESCRIBE\s+(?:TABLE\s+)?(?:EXTENDED\s+)?"
