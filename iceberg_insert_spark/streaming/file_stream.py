@@ -1083,3 +1083,76 @@ def snapshot_stream_tail(
         if interval_s and i + 1 < n_triggers:
             _time.sleep(interval_s)
     return out
+
+
+def mirror_available_now(
+    spark: SparkSession,
+    source: "object",
+    target: "object",
+    key: str,
+    checkpoint_path: str,
+    skip_replace: bool = False,
+    on_skip=None,
+) -> list[int]:
+    """TABLE MIRROR / replication (r7 verdict item #8) — the deployed
+    composition of the pieces the replica-rebuild tests prove one by
+    one: tail the source's CHANGELOG STREAM, fold each batch's
+    (delete old image, insert new image) update pairs into MERGE
+    changes, and apply them to the target as ONE tokened merge commit
+    per source snapshot — ``token=f"mirror-{v}"``, so the
+    at-least-once window between a durable apply and the checkpoint
+    advance replays as a no-op (exactly-once end to end, the
+    append_once contract through merge).
+
+    Per delivered batch:
+
+      * rows with ``_change_type='insert'`` become 'U' (upsert) —
+        covers appends, merge re-inserts, and the new half of updates;
+        the fresh-subscriber bootstrap batch (full insert image of the
+        first surviving snapshot) therefore builds the replica from
+        empty through the same path;
+      * delete rows whose key has NO insert image in the batch become
+        'D' — a delete+insert pair for one key is exactly an update,
+        applied as its upsert half (applying D then U separately would
+        be two commits for one source commit and break the
+        one-token-per-snapshot idempotence);
+      * replace-type source commits (overwrite / rollback / CoW
+        rewrite / compaction) refuse by default, exactly like the
+        changelog stream — their delta is not derivable, and a
+        silently skipped overwrite means a diverged replica. Pass
+        ``skip_replace=True`` (with ``on_skip`` wired) only when the
+        source's replaces are known layout-only (compaction): row
+        content is then unchanged and the mirror stays correct.
+
+    Returns the source snapshot ids applied this run. 100 TB shape:
+    per source commit the mirror moves O(that commit's delta) + one
+    broadcast of its delete keys — a replica tails a hot table at the
+    cost of its changes, and the target's own history (one merge per
+    source snapshot) stays independently time-travelable,
+    compactable, and expirable."""
+
+    def apply(batch: DataFrame, v: int) -> None:
+        ins = batch.filter(
+            F.col("_change_type") == "insert"
+        ).drop("_change_type")
+        dels = batch.filter(
+            F.col("_change_type") == "delete"
+        ).drop("_change_type")
+        del_only = dels.join(
+            ins.select(key).distinct(), key, "left_anti"
+        )
+        chg = ins.withColumn("_op", F.lit("U")).unionByName(
+            del_only.withColumn("_op", F.lit("D"))
+        )
+        if not chg.limit(1).collect():
+            return  # empty-delta commit: nothing to apply
+        target.merge(spark, chg, key=key, token=f"mirror-{v}")
+
+    return changelog_stream_available_now(
+        spark,
+        source,
+        checkpoint_path,
+        apply,
+        skip_replace=skip_replace,
+        on_skip=on_skip,
+    )

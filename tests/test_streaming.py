@@ -990,3 +990,90 @@ def test_changelog_tail_soak_replica_converges_under_writer(
     # complete ledger: every main snapshot delivered exactly once
     all_ids = report["processed"] + tail["processed"]
     assert all_ids == sorted(src.snapshots())
+
+
+def test_mirror_lifecycle_merge_heavy_with_crash(spark, tmp_path):
+    """mirror_available_now (r7 verdict #8): a MERGE-heavy source —
+    appends, two CDC merges (updates + deletes + re-insert of a
+    deleted key), another append — mirrors into an independent target
+    whose rows equal the source's after every run. Crash treatment:
+    the checkpoint is REWOUND past an applied batch (the worst-case
+    window — durable merge, lost checkpoint advance), and the re-run
+    replays the batch into the mirror token, committing NOTHING new
+    (one merge commit per source snapshot, exactly-once). A CoW
+    delete on the source then refuses by default."""
+    import json as _json
+
+    import pytest
+
+    from iceberg_insert_spark.sources.snapshots import SnapshotTable
+    from iceberg_insert_spark.streaming.file_stream import (
+        mirror_available_now,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "k long, v string")
+
+    def state(t):
+        return {r.k: r.v for r in t.read(spark).collect()}
+
+    src = SnapshotTable(str(tmp_path / "src"))
+    src.append(mk([(1, "a"), (2, "b"), (3, "c")]))
+    src.merge(
+        spark,
+        spark.createDataFrame(
+            [(2, "b2", "U"), (3, None, "D"), (4, "d", "I")],
+            "k long, v string, _op string",
+        ),
+        key="k",
+    )
+    src.append(mk([(5, "e")]))
+    tgt = SnapshotTable(str(tmp_path / "tgt"))
+    ckpt = str(tmp_path / "ckpt")
+
+    done = mirror_available_now(spark, src, tgt, "k", ckpt)
+    assert done == [1, 2, 3]
+    assert state(tgt) == state(src) == {1: "a", 2: "b2", 4: "d", 5: "e"}
+    n_tgt = len(tgt.snapshots())
+    assert n_tgt == 3  # one merge commit per source snapshot
+
+    # worst-case crash window: merge durable, checkpoint advance lost
+    # — rewind the cursor one snapshot and re-run; the replayed batch
+    # must be absorbed by its mirror token (no new target commit)
+    with open(ckpt) as fh:
+        cur = _json.load(fh)
+    cur["last_snapshot"] = 2
+    with open(ckpt, "w") as fh:
+        _json.dump(cur, fh)
+    redone = mirror_available_now(spark, src, tgt, "k", ckpt)
+    assert redone == [3]
+    assert len(tgt.snapshots()) == n_tgt  # token absorbed the replay
+    assert state(tgt) == state(src)
+
+    # keep mirroring: a second merge wave re-inserts a DELETED key and
+    # deletes a mirrored one — the fold (delete+insert pair == upsert,
+    # delete-only == D) must land it in one commit
+    src.merge(
+        spark,
+        spark.createDataFrame(
+            [(3, "c2", "I"), (5, None, "D"), (1, "a2", "U")],
+            "k long, v string, _op string",
+        ),
+        key="k",
+    )
+    done2 = mirror_available_now(spark, src, tgt, "k", ckpt)
+    assert done2 == [4]
+    assert state(tgt) == state(src) == {1: "a2", 2: "b2", 3: "c2", 4: "d"}
+    assert len(tgt.snapshots()) == n_tgt + 1
+
+    # replace-type source commit: refuse by default (silent divergence
+    # is the failure mode), deliverable only via skip_replace
+    src.delete_where(spark, "k = 4")  # CoW rewrite
+    with pytest.raises(ValueError, match="not derivable"):
+        mirror_available_now(spark, src, tgt, "k", ckpt)
+    skipped: list = []
+    mirror_available_now(
+        spark, src, tgt, "k", ckpt,
+        skip_replace=True, on_skip=lambda v, op: skipped.append((v, op)),
+    )
+    assert skipped == [(5, "delete")]
