@@ -144,14 +144,48 @@ def main() -> None:
     # throughput, failure count, and the slowest queries (the ones that
     # matter for grading), plus a pointer to the full map.
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_full.json"), "w") as fh:
+    full_path = os.path.join(here, "BENCH_full.json")
+    # Overwrite-race guard (r7 verdict #9): the driver re-runs bench
+    # AFTER round close on a loaded host, and a blind write here
+    # replaced the committed quiet-host artifact with the noisy re-run.
+    # If BENCH_full.json is git-tracked AND clean (i.e. the canonical
+    # committed artifact), divert this run to BENCH_full.latest.json;
+    # the round-close run refreshes the canonical explicitly via
+    # SPARK_GRAFT_BENCH_CANONICAL=1.
+    if os.environ.get("SPARK_GRAFT_BENCH_CANONICAL") != "1" and (
+        os.path.exists(full_path)
+    ):
+        import subprocess
+
+        try:
+            tracked = (
+                subprocess.run(
+                    ["git", "-C", here, "ls-files",
+                     "--error-unmatch", "BENCH_full.json"],
+                    capture_output=True, timeout=10,
+                ).returncode == 0
+            )
+            clean = tracked and not subprocess.run(
+                ["git", "-C", here, "status", "--porcelain",
+                 "--", "BENCH_full.json"],
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip()
+        except Exception:
+            # FAIL CLOSED (review catch): the motivating clobber is a
+            # re-run on a LOADED host — exactly where the git probe can
+            # time out. Inconclusive means protect the committed
+            # artifact and divert.
+            clean = True
+        if clean:
+            full_path = os.path.join(here, "BENCH_full.latest.json")
+    with open(full_path, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
 
     compact = dict(out)
     compact["n_queries"] = len(timings)
     compact["n_failures"] = len(failures)
     compact.pop("failures", None)
-    compact["queries_full"] = "BENCH_full.json"
+    compact["queries_full"] = os.path.basename(full_path)
     slowest = sorted(timings.items(), key=lambda kv: -kv[1])
     for keep in range(min(40, len(slowest)), -1, -5):
         compact["queries"] = {k: round(v, 2) for k, v in slowest[:keep]}

@@ -108,6 +108,10 @@ def _make_sentence_udtf():
     deferral expired with pyspark 4.1 in the container)."""
     from pyspark.sql.functions import udtf
 
+    # Whitespace is the EXPLICIT ASCII class [ \t\n\r\f\v] on both
+    # engines (review catch: Python strip()/split() are Unicode-wide
+    # while DuckDB TRIM strips only spaces and RE2 \s is ASCII — a
+    # tab or newline at a segment boundary diverged the oracle).
     @udtf(returnType="seg_id int, sentence string, n_words int")
     class SentenceUDTF:
         def eval(self, text: str):
@@ -116,12 +120,14 @@ def _make_sentence_udtf():
             if text is None:
                 return
             i = 0
-            for raw in re.split(r"[.!?]+\s+", text):
-                s = raw.strip()
+            for raw in re.split(r"[.!?]+[ \t\n\r\f\v]+", text):
+                s = raw.strip(" \t\n\r\f\v")
                 if not s:
                     continue
                 i += 1
-                yield i, s, len(s.split())
+                yield i, s, len(
+                    [w for w in re.split(r"[ \t\n\r\f\v]+", s) if w]
+                )
 
     return SentenceUDTF
 
@@ -133,8 +139,10 @@ def _make_sentence_udtf():
         SELECT doc_id,
                LIST_FILTER(
                    LIST_TRANSFORM(
-                       regexp_split_to_array(text, '[.!?]+\\s+'),
-                       x -> TRIM(x)),
+                       regexp_split_to_array(
+                           text, '[.!?]+[ \\t\\n\\r\\f\\v]+'),
+                       x -> TRIM(x, ' ' || CHR(9) || CHR(10) || CHR(13)
+                                      || CHR(12) || CHR(11))),
                    x -> x <> '') AS arr
         FROM documents
     ),
@@ -146,7 +154,8 @@ def _make_sentence_udtf():
     SELECT doc_id,
            CAST(z[2] AS INTEGER) AS seg_id,
            z[1] AS sentence,
-           CAST(LENGTH(regexp_split_to_array(z[1], '\\s+')) AS INTEGER)
+           CAST(LENGTH(regexp_split_to_array(
+                    z[1], '[ \\t\\n\\r\\f\\v]+')) AS INTEGER)
                AS n_words
     FROM flat
     """,

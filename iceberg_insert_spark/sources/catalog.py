@@ -514,22 +514,9 @@ class LocalCatalog:
                 t = self.load_table(ref)
                 as_of = int(pin) if pin else None
                 if tspin is not None:
-                    # TIMESTAMP AS OF through the front-end: epoch
-                    # seconds, or a naive ISO instant read as UTC (a
-                    # wall-clock pin must not drift with the driver's
-                    # local timezone)
-                    import datetime
-
-                    try:
-                        ts = float(tspin)
-                    except ValueError:
-                        dt = datetime.datetime.fromisoformat(tspin)
-                        if dt.tzinfo is None:
-                            dt = dt.replace(
-                                tzinfo=datetime.timezone.utc
-                            )
-                        ts = dt.timestamp()
-                    as_of = t.resolve_as_of_ts(ts)
+                    as_of = t.resolve_as_of_ts(
+                        self._resolve_ts_pin(tspin)
+                    )
                 df = t.read(spark, as_of=as_of)
             df.createOrReplaceTempView(tmp)
             return tmp
@@ -870,11 +857,17 @@ class LocalCatalog:
         )
 
     # simple conjunct extractor for the metadata-planner EXPLAIN rows:
-    # `col BETWEEN lo AND hi` with numeric or single-quoted bounds —
-    # the shape plan_files prunes on; anything richer is left to
-    # Spark's own PushedFilters row (authoritative for the scan)
+    # `[alias.]col BETWEEN lo AND hi` with numeric or single-quoted
+    # bounds — the shape plan_files prunes on; anything richer is left
+    # to Spark's own PushedFilters row (authoritative for the scan).
+    # Review catches baked in: the optional alias qualifier is matched
+    # back to its table (an x.k conjunct must not claim pruning on
+    # table y), and a statement whose predicate tree contains OR/NOT
+    # emits NO pruning rows at all — a BETWEEN under OR does not prune,
+    # and claiming it would be exactly the misinformation EXPLAIN
+    # exists to prevent.
     _EXPLAIN_BETWEEN_RE = re.compile(
-        r"\b([A-Za-z_]\w*)\s+BETWEEN\s+"
+        r"\b(?:([A-Za-z_]\w*)\s*\.\s*)?([A-Za-z_]\w*)\s+BETWEEN\s+"
         r"('[^']*'|-?\d+(?:\.\d+)?)\s+AND\s+"
         r"('[^']*'|-?\d+(?:\.\d+)?)",
         re.IGNORECASE,
@@ -885,6 +878,41 @@ class LocalCatalog:
         if tok.startswith("'"):
             return tok[1:-1]
         return float(tok) if "." in tok else int(tok)
+
+    @staticmethod
+    def _resolve_ts_pin(tspin: str) -> float:
+        """``@ts:`` pin -> epoch seconds: a float, or a naive ISO
+        instant read as UTC (a wall-clock pin must not drift with the
+        driver's local timezone). ONE spelling shared by sql() and
+        explain() — a diverged copy would make EXPLAIN describe a
+        different snapshot than the query reads."""
+        import datetime
+
+        try:
+            return float(tspin)
+        except ValueError:
+            dt = datetime.datetime.fromisoformat(tspin)
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=datetime.timezone.utc)
+            return dt.timestamp()
+
+    def _explain_aliases(self, statement: str) -> dict[str, str]:
+        """alias -> table ident for every ``{{ns.t[@pin]}} [AS] alias``
+        occurrence — enough FROM-clause parsing to attribute qualified
+        BETWEEN conjuncts to the right table."""
+        out: dict[str, str] = {}
+        for m in self._SQL_REF_RE.finditer(statement):
+            tail = statement[m.end():]
+            am = re.match(
+                r"\s+(?:AS\s+)?([A-Za-z_]\w*)", tail, re.IGNORECASE
+            )
+            if am and am.group(1).upper() not in (
+                "JOIN", "ON", "WHERE", "GROUP", "ORDER", "LEFT",
+                "RIGHT", "FULL", "INNER", "CROSS", "UNION", "LIMIT",
+                "HAVING", "AND", "OR",
+            ):
+                out[am.group(1)] = m.group(1)
+        return out
 
     def explain(self, spark: SparkSession, statement: str) -> DataFrame:
         """``EXPLAIN <read statement>`` for the console (r7 verdict
@@ -919,18 +947,31 @@ class LocalCatalog:
         rows: list[tuple[str, str]] = []
         reg = self._read()
         views = reg.get("views", {})
-        idents = []
+        aliases = self._explain_aliases(statement)
+        # pruning rows only for a pure-conjunction predicate tree: a
+        # BETWEEN under OR (or negated) does not prune the scan
+        conjunctive = not re.search(
+            r"\b(OR|NOT)\b", statement, re.IGNORECASE
+        )
+        seen: set[str] = set()
         for m in self._SQL_REF_RE.finditer(statement):
-            ref, pin = m.group(1), m.group(2)
-            if ref in views or ref in idents:
+            ref, pin, tspin = m.group(1), m.group(2), m.group(3)
+            key = f"{ref}@{pin or ''}~{tspin or ''}"
+            if ref in views or key in seen:
                 continue
-            idents.append(ref)
+            seen.add(key)
             tbl = self.load_table(ref)
-            v = (
-                int(pin)
-                if pin
-                else tbl._resolve_snapshot(None)
-            )
+            if pin:
+                v = int(pin)
+            elif tspin is not None:
+                # same resolution sql() applies (review catch: EXPLAIN
+                # of {{t@ts:...}} reported the head's numbers while the
+                # query reads the ts-pinned snapshot)
+                v = tbl.resolve_as_of_ts(
+                    self._resolve_ts_pin(tspin.strip())
+                )
+            else:
+                v = tbl._resolve_snapshot(None)
             raw = tbl._raw_meta(v)
             mlist = raw.get("manifest_list")
             n_files = (
@@ -945,12 +986,19 @@ class LocalCatalog:
                     f"{ref}@{v}: files={n_files}, manifests={n_m}",
                 )
             )
+            if not conjunctive:
+                continue
+            these_aliases = {
+                a for a, t in aliases.items() if t == ref
+            }
             for bm in self._EXPLAIN_BETWEEN_RE.finditer(statement):
-                col = bm.group(1)
+                qual, col = bm.group(1), bm.group(2)
+                if qual is not None and qual not in these_aliases:
+                    continue  # qualified to a DIFFERENT table
                 if col not in tbl.stats_cols:
                     continue
-                lo = self._explain_lit(bm.group(2))
-                hi = self._explain_lit(bm.group(3))
+                lo = self._explain_lit(bm.group(3))
+                hi = self._explain_lit(bm.group(4))
                 kept, total = tbl.plan_files(
                     where=(col, lo, hi), as_of=v
                 )
@@ -974,13 +1022,34 @@ class LocalCatalog:
             if jm and "Join" in jm.group(1):
                 rows.append(("join", jm.group(1)))
             if "FileScan" in line:
-                pf = re.search(r"PushedFilters: (\[[^\]]*\])", line)
+                pf = self._balanced_after(line, "PushedFilters: ")
                 if pf:
-                    rows.append(("pushed_filters", pf.group(1)))
+                    rows.append(("pushed_filters", pf))
                 rs = re.search(r"ReadSchema: (\S+)", line)
                 if rs:
                     rows.append(("read_schema", rs.group(1)))
         return spark.createDataFrame(rows, "kind string, item string")
+
+    @staticmethod
+    def _balanced_after(line: str, marker: str) -> str | None:
+        """The bracket-balanced [...] list following ``marker`` —
+        review catch: a non-greedy regex truncated nested lists like
+        ``[In(k, [1,2,3])]`` at the first ']'."""
+        i = line.find(marker)
+        if i < 0:
+            return None
+        j = i + len(marker)
+        if j >= len(line) or line[j] != "[":
+            return None
+        depth = 0
+        for k in range(j, len(line)):
+            if line[k] == "[":
+                depth += 1
+            elif line[k] == "]":
+                depth -= 1
+                if depth == 0:
+                    return line[j : k + 1]
+        return None
 
     _DESCRIBE_RE = re.compile(
         r"^\s*DESCRIBE\s+(?:TABLE\s+)?(?:EXTENDED\s+)?"

@@ -24,6 +24,22 @@ from ..registry import query
 from ..tables import load_table
 
 
+def _leaf_index(md, column: str) -> int:
+    """Parquet LEAF-column index of ``column`` by path_in_schema, or -1
+    when absent — the arrow top-level field index is a different index
+    space once nested columns exist (review catch: a struct before the
+    target made the report score the wrong leaf; a typo'd column
+    crashed with IndexError instead of the documented conservative
+    must-read)."""
+    if md.num_row_groups == 0:
+        return -1
+    rg0 = md.row_group(0)
+    for i in range(rg0.num_columns):
+        if rg0.column(i).path_in_schema == column:
+            return i
+    return -1
+
+
 def file_skipping_report(
     path: str, column: str, lo, hi
 ) -> dict[str, int]:
@@ -42,10 +58,12 @@ def file_skipping_report(
     n_files = n_skipped = n_rows = n_rows_read = 0
     for f in files:
         md = pq.ParquetFile(f).metadata
-        idx = md.schema.to_arrow_schema().get_field_index(column)
+        idx = _leaf_index(md, column)
         file_rows = md.num_rows
-        skippable = True
+        skippable = idx >= 0
         for rg in range(md.num_row_groups):
+            if idx < 0:
+                break  # column absent: conservative, file must be read
             st = md.row_group(rg).column(idx).statistics
             if st is None or not st.has_min_max:
                 skippable = False
@@ -209,13 +227,13 @@ def rowgroup_skipping_report(
     }
     for f in files:
         md = pq.ParquetFile(f).metadata
-        idx = md.schema.to_arrow_schema().get_field_index(column)
+        idx = _leaf_index(md, column)
         out["n_files"] += 1
         out["n_rows"] += md.num_rows
         file_skippable = md.num_row_groups > 0
         for rg in range(md.num_row_groups):
             g = md.row_group(rg)
-            st = g.column(idx).statistics
+            st = g.column(idx).statistics if idx >= 0 else None
             out["n_groups"] += 1
             skippable = (
                 st is not None

@@ -831,10 +831,19 @@ class SnapshotStatsMixin:
             md = pq.ParquetFile(
                 os.path.join(self.path, rel)
             ).metadata
-            try:
-                idx = md.schema.to_arrow_schema().get_field_index(col)
-            except KeyError:
-                idx = -1
+            # locate by path_in_schema on the parquet LEAF columns —
+            # the arrow top-level field index is a DIFFERENT index
+            # space once nested columns exist (review catch, the same
+            # hazard _record_stats already guards: a struct before the
+            # stats column scored the wrong leaf's range and reported
+            # skippable groups that hold matching rows)
+            idx = -1
+            if md.num_row_groups:
+                rg0 = md.row_group(0)
+                for i in range(rg0.num_columns):
+                    if rg0.column(i).path_in_schema == col:
+                        idx = i
+                        break
             rep["rows_in_kept_files"] += md.num_rows
             for rg in range(md.num_row_groups):
                 g = md.row_group(rg)

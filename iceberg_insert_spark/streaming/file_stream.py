@@ -1144,9 +1144,17 @@ def mirror_available_now(
         chg = ins.withColumn("_op", F.lit("U")).unionByName(
             del_only.withColumn("_op", F.lit("D"))
         )
-        if not chg.limit(1).collect():
-            return  # empty-delta commit: nothing to apply
-        target.merge(spark, chg, key=key, token=f"mirror-{v}")
+        # cache across the emptiness probe + merge's own validation
+        # pass + the write (review catch: the changelog's delete-image
+        # broadcast join otherwise re-evaluates 3x per snapshot — the
+        # dominant per-batch cost on a hot table)
+        chg = chg.persist()
+        try:
+            if not chg.limit(1).collect():
+                return  # empty-delta commit: nothing to apply
+            target.merge(spark, chg, key=key, token=f"mirror-{v}")
+        finally:
+            chg.unpersist()
 
     return changelog_stream_available_now(
         spark,

@@ -935,6 +935,36 @@ def test_explain_verb_pruned_read_and_broadcast_join(spark, tmp_path):
         for it in by_kind["pushed_filters"]
     )
     assert any("struct<k:bigint,v:double>" in it for it in by_kind["read_schema"])
+    # alias attribution (review catch): a conjunct qualified to the
+    # fact alias must NOT claim pruning on dim, even if dim recorded a
+    # same-named stats column
+    cat.analyze_table("db.dim", ["k"])
+    rows2 = cat.execute(
+        spark,
+        "EXPLAIN SELECT f.k FROM {{db.fact}} f JOIN {{db.dim}} d "
+        "ON f.k = d.k WHERE f.k BETWEEN 120 AND 160",
+    ).collect()
+    prunes = [r.item for r in rows2 if r.kind == "pruning"]
+    assert any(it.startswith("db.fact.k") for it in prunes)
+    assert not any(it.startswith("db.dim.k") for it in prunes)
+    # OR context (review catch): a BETWEEN under OR does not prune —
+    # no pruning rows at all
+    rows3 = cat.execute(
+        spark,
+        "EXPLAIN SELECT k FROM {{db.fact}} "
+        "WHERE k BETWEEN 120 AND 160 OR v > 1e9",
+    ).collect()
+    assert not [r for r in rows3 if r.kind == "pruning"]
+    # snapshot pins get their OWN table rows (review catch: bare-name
+    # dedup dropped the pinned side of a time-travel diff)
+    rows4 = cat.execute(
+        spark,
+        "EXPLAIN SELECT a.k FROM {{db.fact}} a JOIN {{db.fact@1}} b "
+        "ON a.k = b.k",
+    ).collect()
+    tables4 = [r.item for r in rows4 if r.kind == "table"]
+    assert any(it.startswith("db.fact@3:") for it in tables4)
+    assert any(it.startswith("db.fact@1: files=1") for it in tables4)
     # near-miss grammar
     with pytest.raises(ValueError, match="EXPLAIN <statement>"):
         cat.execute(spark, "EXPLAIN")

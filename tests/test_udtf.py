@@ -6,16 +6,12 @@ the scan stage, not behind a shuffle or a driver materialization."""
 
 from __future__ import annotations
 
-import os
-
 from iceberg_insert_spark.operators.udf import (
     _make_sentence_udtf,
     q_udtf_sentences,
 )
 
-SF_DIR = os.environ.get(
-    "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
-)
+from .conftest import SF_DIR
 
 
 def test_udtf_semantics_planted(spark):
@@ -31,6 +27,7 @@ def test_udtf_semantics_planted(spark):
             (4, "No delimiter here"),
             (5, "Trailing stop."),
             (6, "a.  .  b"),  # whitespace-only middle segment drops
+            (7, "Tab\tsep. Line\nbreak.\n"),  # ASCII-ws alignment
         ],
         "doc_id long, text string",
     ).createOrReplaceTempView("udtf_docs_t")
@@ -49,6 +46,12 @@ def test_udtf_semantics_planted(spark):
         (5, 1, "Trailing stop.", 2),
         (6, 1, "a", 1),
         (6, 2, "b", 1),
+        # tabs/newlines are word separators AND strippable — the
+        # explicit ASCII class both engines share (review catch)
+        (7, 1, "Tab\tsep", 2),
+        # the final ".\n" IS a delimiter match, so the period is
+        # consumed and the trailing empty segment drops
+        (7, 2, "Line\nbreak", 2),
     ]
 
 
