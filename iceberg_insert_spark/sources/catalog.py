@@ -755,9 +755,15 @@ class LocalCatalog:
                 )
             return self.describe_table(spark, m.group(1))
         if verb == "SHOW":
+            mc = self._SHOW_CREATE_RE.match(sql)
+            if mc:
+                return self.show_create_table(spark, mc.group(1))
             m = self._SHOW_RE.match(sql)
             if not m:
-                raise ValueError("expected 'SHOW TABLES [IN namespace]'")
+                raise ValueError(
+                    "expected 'SHOW TABLES [IN namespace]' or "
+                    "'SHOW CREATE TABLE {{namespace.table}}'"
+                )
             return self.show_tables(spark, m.group(1))
         return self.sql(spark, sql)
 
@@ -854,6 +860,68 @@ class LocalCatalog:
                 rows.append((n, ident, kind))
         return spark.createDataFrame(
             rows, "namespace string, identifier string, kind string"
+        )
+
+    _SHOW_CREATE_RE = re.compile(
+        r"^\s*SHOW\s+CREATE\s+TABLE\s+"
+        r"\{\{\s*([A-Za-z_][\w.]*)\s*\}\}\s*$",
+        re.IGNORECASE,
+    )
+
+    def show_create_table(
+        self, spark: SparkSession, ident: str
+    ) -> DataFrame:
+        """``SHOW CREATE TABLE`` for the console: one ``create_stmt``
+        row reconstructing the table's CURRENT definition — era-
+        resolved schema from the head manifest (renames/adds/widens
+        show their live form), partition spec, maintained column sets,
+        write distribution, row lineage, CHECK constraints, location,
+        and registry properties — in the catalog's own dialect
+        (``create_table`` kwargs spelled as clauses), so an operator
+        can re-create the table's shape elsewhere. Registry + one
+        manifest read; zero data IO. Views are refused (their
+        definition is the view SQL, shown by the registry)."""
+        ent = self._entry(ident)
+        tbl = self.load_table(ident)
+        head = tbl._latest_published()
+        lines = [f"CREATE TABLE {{{{{ident}}}}} ("]
+        sj = tbl._meta(head).get("schema") if head is not None else None
+        if sj is not None:
+            cols = [
+                f"  {f['name']} {f['type']}"
+                for f in sj.get("fields", [])
+            ]
+            lines.append(",\n".join(cols))
+        lines.append(")")
+        if tbl.partition_by:
+            lines.append(
+                f"PARTITIONED BY ({', '.join(tbl.partition_by)})"
+            )
+        kw = ent.get("table_kwargs", {})
+        for k in ("stats_cols", "bloom_cols", "ndv_cols"):
+            cols = kw.get(k) or getattr(tbl, k, [])
+            if cols:
+                lines.append(f"{k.upper()} ({', '.join(cols)})")
+        meta = tbl._meta(head) if head is not None else {}
+        wd = meta.get("write_distribution")
+        if wd:
+            lines.append(f"WRITE DISTRIBUTION {wd}")
+        if meta.get("row_lineage"):
+            lines.append("ROW LINEAGE")
+        for cname in sorted(meta.get("constraints") or {}):
+            lines.append(
+                f"CONSTRAINT {cname} CHECK "
+                f"({meta['constraints'][cname]})"
+            )
+        lines.append(f"LOCATION '{ent['location']}'")
+        props = ent.get("properties") or {}
+        if props:
+            body = ",\n".join(
+                f"  '{k}' = '{props[k]}'" for k in sorted(props)
+            )
+            lines.append(f"TBLPROPERTIES (\n{body}\n)")
+        return spark.createDataFrame(
+            [("\n".join(lines),)], "create_stmt string"
         )
 
     # simple conjunct extractor for the metadata-planner EXPLAIN rows:

@@ -857,7 +857,11 @@ class SnapshotCommitMixin:
         )
 
     def _write_manifest(
-        self, v: int, meta: dict, base: int | None = None
+        self,
+        v: int,
+        meta: dict,
+        base: int | None = None,
+        reuse: bool = True,
     ) -> None:
         """The one split point between the FLAT commit metadata the
         engine builds (files / file_partitions / file_schema_v) and the
@@ -890,7 +894,9 @@ class SnapshotCommitMixin:
             p: self._mf_identity(p, fp.get(p), eras.get(p))
             for p in files
         }
-        if base is None:
+        if not reuse:
+            base = None  # rewrite_manifests: repack everything fresh
+        elif base is None:
             base = next(
                 (x for x in reversed(self.snapshots()) if x != v), None
             )
@@ -938,7 +944,12 @@ class SnapshotCommitMixin:
                 if p in eras:
                     e["sv"] = eras[p]
                 ents.append(e)
-            items.append((None, ents))
+            # chunk a large delta at the target size (a giant first
+            # commit / overwrite / rewrite_manifests repack gets
+            # sane manifests instead of one monolith)
+            step = self.MANIFEST_TARGET_ENTRIES
+            for i in range(0, len(ents), step):
+                items.append((None, ents[i : i + step]))
         final: list[dict] = []
         seq = 0
         for ref, ents in self._merge_small_manifests(items):

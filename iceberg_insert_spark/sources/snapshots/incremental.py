@@ -70,7 +70,7 @@ def _read_incremental(
     _validate_range(
         tbl, from_v, to_v,
         allowed=("append", "publish", "stage", "branch-append",
-                 "fast_forward"),
+                 "fast_forward", "rewrite_manifests"),
         what="incremental append scan",
     )
     new_files = sorted(
@@ -114,7 +114,7 @@ def read_changelog(
     _validate_range(
         tbl, from_v, to_v,
         allowed=("append", "publish", "merge", "stage", "branch-append",
-                 "fast_forward"),
+                 "fast_forward", "rewrite_manifests"),
         what="changelog read",
     )
     ct = F.lit("insert").alias("_change_type")

@@ -72,6 +72,42 @@ class SnapshotMaintenanceMixin:
             self._write_manifest(v, rmeta, base=to)
         return v
 
+    def rewrite_manifests(self) -> int:
+        """Iceberg's ``rewrite_manifests`` procedure: repack the
+        current snapshot's manifest METADATA — all file entries
+        re-chunked into target-sized manifest files — as one
+        metadata-only commit (op='rewrite_manifests'). Zero data IO:
+        data files are untouched; only the manifest layout changes.
+        The auto-merge policy already bounds steady-state growth, but
+        an admin runs this after a burst of partition-scattered
+        commits left many sub-target manifests whose summaries no
+        longer cluster (planning reads every one), or to re-cluster
+        summaries after heavy CoW churn — the metadata twin of
+        ``compact`` for data files. Historic snapshots keep their old
+        manifests until ``expire`` reclaims them."""
+        with self._commit_lock():
+            base = self._latest_published()
+            if base is None:
+                raise ValueError("nothing published to rewrite")
+            meta = self._meta(base)
+            v = self._next_version()
+            rmeta = {"files": meta["files"], "op": "rewrite_manifests"}
+            for carry in (
+                "schema",
+                "schema_v",
+                "delete_files",
+                "file_partitions",
+                "partition_by",
+                "file_schema_v",
+                *self._PROP_CARRY,
+            ):
+                if carry in meta:
+                    rmeta[carry] = meta[carry]
+            # reuse=False: every entry repacks into fresh
+            # target-sized chunks (the whole point of the procedure)
+            self._write_manifest(v, rmeta, reuse=False)
+        return v
+
     def compact(
         self,
         spark: SparkSession,

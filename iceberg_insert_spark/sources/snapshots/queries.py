@@ -1692,3 +1692,57 @@ def q_snapshot_manifest_pruning(
         "status string, manifests_total int, manifests_pruned int, "
         "files_kept int, n_rows long",
     )
+
+
+@query(
+    "q_snapshot_manifests",
+    oracle="""
+    SELECT phase, n_entries, part_lo, part_hi
+    FROM (VALUES
+        ('written', 1, 'F', 'F'),
+        ('written', 1, 'O', 'O'),
+        ('written', 1, 'P', 'P'),
+        ('rewritten', 3, 'F', 'P')
+    ) AS t(phase, n_entries, part_lo, part_hi)
+    """,
+)
+def q_snapshot_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg's ``.manifests`` METADATA TABLE + the
+    ``rewrite_manifests`` procedure, DuckDB-oracled as deterministic
+    constants: three single-status appends produce three one-entry
+    manifests whose partition summaries are their own status
+    ([F,F]/[O,O]/[P,P]); ``rewrite_manifests()`` then repacks them
+    into ONE three-entry manifest whose summary spans [F,P] — the
+    metadata twin of data-file compaction. Raw-list reads only (no
+    manifest entries opened, zero data IO); a wrong entry count, a
+    mis-clustered summary, or a repack that dropped/duplicated an
+    entry all hash-mismatch. Row identity after the repack is pinned
+    by the manifest-pruning query's read path and the pytest module.
+
+    100 TB shape: many tiny manifests make PLANNING slow the way many
+    tiny files make scans slow; this is the admin view + procedure
+    that measures and repairs the metadata layout.
+    """
+    from ...tables import require_local_master, scratch_dir
+
+    require_local_master(spark, "q_snapshot_manifests")
+    path = scratch_dir(spark, sf_dir, "snapshot_manifests")
+    o = load_table(spark, sf_dir, "orders")
+    tbl = SnapshotTable(path, partition_by=["o_orderstatus"])
+    statuses = sorted(
+        r[0] for r in o.select("o_orderstatus").distinct().collect()
+    )
+    rows = []
+    for s in statuses:
+        tbl.append(o.filter(F.col("o_orderstatus") == s).coalesce(1))
+    for mi in tbl.manifests_info():
+        ps = mi["partition_summary"].get("o_orderstatus", [None, None])
+        rows.append(("written", mi["n_entries"], ps[0], ps[1]))
+    tbl.rewrite_manifests()
+    for mi in tbl.manifests_info():
+        ps = mi["partition_summary"].get("o_orderstatus", [None, None])
+        rows.append(("rewritten", mi["n_entries"], ps[0], ps[1]))
+    return spark.createDataFrame(
+        rows,
+        "phase string, n_entries int, part_lo string, part_hi string",
+    )

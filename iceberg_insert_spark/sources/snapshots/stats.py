@@ -790,6 +790,36 @@ class SnapshotStatsMixin:
                 files = [f for f in files if _keep_bloom(f)]
         return files, total
 
+    def manifests_info(self, as_of: int | None = None) -> list[dict]:
+        """Iceberg's ``.manifests`` METADATA TABLE: one dict per
+        manifest FILE referenced by the snapshot's manifest list —
+        path, entry count, and the per-partition-column [min, max]
+        value summary the list-level pruner decides from. Raw list
+        read only: no manifest entries are opened, no data IO — the
+        admin view for 'is my metadata layout healthy / is
+        rewrite_manifests due' (many tiny manifests = slow planning,
+        exactly like many tiny data files = slow scans). Flat legacy
+        snapshots report one synthetic inline manifest."""
+        v = self._resolve_snapshot(as_of)
+        raw = self._raw_meta(v)
+        mlist = raw.get("manifest_list")
+        if mlist is None:
+            return [
+                {
+                    "path": "(inline)",
+                    "n_entries": len(raw.get("files", [])),
+                    "partition_summary": {},
+                }
+            ]
+        return [
+            {
+                "path": m["path"],
+                "n_entries": m["n"],
+                "partition_summary": dict(m.get("parts", {})),
+            }
+            for m in mlist
+        ]
+
     def plan_row_groups(
         self,
         where: tuple,

@@ -838,7 +838,7 @@ def snapshot_stream_available_now(
                 "its delta is a changelog, not an append batch — "
                 "consume full snapshots instead"
             )
-        if op in ("append", "publish", "fast_forward"):
+        if op in ("append", "publish", "fast_forward", "rewrite_manifests"):
             new_files = table._meta(v).get("new_files")
             if new_files is None:
                 # pre-summary manifest: delta via manifest arithmetic
@@ -989,7 +989,8 @@ def changelog_stream_available_now(
             )
             process(batch, v)
             processed.append(v)
-        elif op in ("append", "publish", "merge", "fast_forward"):
+        elif op in ("append", "publish", "merge", "fast_forward",
+                    "rewrite_manifests"):
             batch = read_changelog(table, spark, prev, v)
             process(batch, v)
             processed.append(v)

@@ -970,3 +970,39 @@ def test_explain_verb_pruned_read_and_broadcast_join(spark, tmp_path):
         cat.execute(spark, "EXPLAIN")
     with pytest.raises(ValueError, match="read statements"):
         cat.execute(spark, "EXPLAIN DELETE FROM {{db.fact}} WHERE k = 1")
+
+
+def test_show_create_table_verb(spark, tmp_path):
+    """SHOW CREATE TABLE reconstructs the CURRENT definition — era-
+    resolved schema (a renamed column shows its live name), partition
+    spec, maintained columns, constraints, properties — from registry
+    + one manifest read; views refused; grammar near-miss errors."""
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("db")
+    t = cat.create_table(
+        "db.t",
+        stats_cols=["k"],
+        partition_by=["g"],
+        properties={"owner": "etl"},
+    )
+    t.append(
+        spark.createDataFrame([(1, 2.0, "a")], "k long, v double, g string")
+    )
+    t.add_constraint(spark, "pos", "v > 0")
+    t.rename_column("v", "val")
+    stmt = cat.execute(
+        spark, "SHOW CREATE TABLE {{db.t}}"
+    ).collect()[0].create_stmt
+    assert stmt.startswith("CREATE TABLE {{db.t}} (")
+    assert "  k long" in stmt and "  val double" in stmt
+    assert "v double" not in stmt  # era-resolved live name only
+    assert "PARTITIONED BY (g)" in stmt
+    assert "STATS_COLS (k)" in stmt
+    assert "CONSTRAINT pos CHECK (v > 0)" in stmt
+    assert "'owner' = 'etl'" in stmt
+    # near-miss + view refusal
+    with pytest.raises(ValueError, match="SHOW CREATE TABLE"):
+        cat.execute(spark, "SHOW CREATE {{db.t}}")
+    cat.create_view("db.v", "SELECT k FROM {{db.t}}")
+    with pytest.raises(ValueError):
+        cat.execute(spark, "SHOW CREATE TABLE {{db.v}}")

@@ -283,3 +283,43 @@ def test_plan_row_groups_skips_inside_an_unprunable_file(spark, tmp_path):
     rep2 = t2.plan_row_groups(("k", 4200, 4800))
     assert rep2["n_groups"] == 10 and rep2["groups_skipped"] == 0
     assert rep2["rows_must_read"] == n
+
+
+def test_rewrite_manifests_repacks_and_preserves_reads(spark, tmp_path):
+    """rewrite_manifests(): a burst of small commits leaves many tiny
+    manifests; the procedure repacks every entry into target-sized
+    fresh manifests as ONE metadata-only commit — rows, partition
+    records, and time travel unchanged; historic snapshots keep their
+    old manifests until expire; subsequent commits reuse the repacked
+    layout."""
+    t = SnapshotTable(
+        str(tmp_path / "t"),
+        partition_by=["g"],
+        write_distribution="hash",
+    )
+    for i in range(6):
+        t.append(
+            spark.createDataFrame(
+                [(i * 10 + j, f"g{i}") for j in range(3)],
+                "k long, g string",
+            )
+        )
+    before = t.manifests_info()
+    assert len(before) > 1
+    v = t.rewrite_manifests()
+    after = t.manifests_info()
+    assert len(after) == 1
+    assert after[0]["n_entries"] == sum(m["n_entries"] for m in before)
+    assert dict(t.history())[v] == "rewrite_manifests"
+    # semantics untouched
+    assert t.read(spark).count() == 18
+    assert t.read(spark, partitions={"g": "g2"}).count() == 3
+    assert t.read(spark, as_of=v - 1).count() == 18  # time travel OK
+    # incremental/changelog consumers cross the repack (empty delta)
+    from iceberg_insert_spark.sources.snapshots import read_changelog
+
+    assert read_changelog(t, spark, v - 1, v).count() == 0
+    # the next append reuses the repacked manifest by reference
+    t.append(spark.createDataFrame([(99, "g9")], "k long, g string"))
+    names = [m["path"] for m in t.manifests_info()]
+    assert after[0]["path"] in names
