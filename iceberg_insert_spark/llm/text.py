@@ -2148,3 +2148,127 @@ def q_docs_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_langs"),
         )
     )
+
+
+DSIR_BUCKETS = 4096
+
+
+@query(
+    "q_docs_dsir",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+        FROM documents
+    ), tk AS (
+        SELECT doc_id,
+               CAST(CONCAT('0x', SUBSTR(md5(w), 1, 8)) AS BIGINT)
+                   % {DSIR_BUCKETS} AS b
+        FROM toks WHERE w <> ''
+    ), ct AS (
+        SELECT b, COUNT(*) AS c FROM tk WHERE doc_id % 50 = 0 GROUP BY b
+    ), cs AS (
+        SELECT b, COUNT(*) AS c FROM tk WHERE doc_id % 50 != 0 GROUP BY b
+    ), tot AS (
+        SELECT (SELECT COUNT(*) FROM tk WHERE doc_id % 50 = 0) AS ctot,
+               (SELECT COUNT(*) FROM tk WHERE doc_id % 50 != 0) AS stot
+    ), lam AS (
+        SELECT cs.b,
+               CAST(ROUND(LN(
+                   CAST((COALESCE(ct.c, 0) + 1)
+                        * (stot + {DSIR_BUCKETS}) AS DOUBLE)
+                   / ((cs.c + 1) * (ctot + {DSIR_BUCKETS}))
+               ) * 1000000) AS BIGINT) AS l
+        FROM cs LEFT JOIN ct USING (b), tot
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(l.l) AS BIGINT) AS dsir_micro_nats,
+           CAST(CASE WHEN SUM(l.l) > 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS selected
+    FROM tk t JOIN lam l USING (b)
+    WHERE t.doc_id % 50 != 0
+    GROUP BY t.doc_id
+    """,
+)
+def q_docs_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance-weighted data selection (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"),
+    DuckDB-oracled bit-stably: hashed word-unigram features (md5 ->
+    4096 buckets), add-one-smoothed bucket distributions for
+    the TARGET domain (the doc_id % 50 == 0 grid — the same
+    benchmark-like slice the decontamination fixtures use) and the
+    SOURCE corpus, and per source document the log importance weight
+    sum log p_target(b)/p_source(b) over its token occurrences —
+    ``selected`` marks docs that look more target- than source-like.
+    The house transcendental recipe keeps it exact: each bucket's
+    log-ratio is ln of one double ratio of EXACT integers, rounded to
+    micro-nats ONCE into a BIGINT, and per-doc weights are exact
+    integer sums — partition-order-independent and identical in both
+    engines.
+
+    Scale shape: the model is two map-side-combined bucket counts
+    collapsed to a <= 4096-row lambda table (broadcast);
+    scoring is the token scan joined to that broadcast plus ONE
+    doc-key shuffle. At 100 TB the target set is MBs (a benchmark /
+    curated seed), the source stream never reshuffles on anything
+    wider than doc_id, and resampling downstream composes with the
+    weighted/temperature samplers (q_docs_weighted_sample's
+    Horvitz-Thompson contract)."""
+    d = load_table(spark, sf_dir, "documents")
+    B = DSIR_BUCKETS
+    tk = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast(
+                    "long"
+                )
+                % B
+            ).alias("b"),
+        )
+    )
+    is_target = F.col("doc_id") % 50 == 0
+    ct = tk.filter(is_target).groupBy("b").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    cs = tk.filter(~is_target).groupBy("b").agg(
+        F.count(F.lit(1)).alias("cs")
+    )
+    totals = tk.groupBy().agg(
+        F.sum(is_target.cast("long")).alias("ctot"),
+        F.sum((~is_target).cast("long")).alias("stot"),
+    )
+    lam = (
+        cs.join(ct, "b", "left_outer")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                        * (F.col("stot") + B)
+                    ).cast("double")
+                    / ((F.col("cs") + 1) * (F.col("ctot") + B))
+                )
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("l"),
+        )
+    )
+    return (
+        tk.filter(~is_target)
+        .join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("l").cast("bigint").alias("dsir_micro_nats"),
+            F.when(F.sum("l") > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("selected"),
+        )
+    )

@@ -287,3 +287,42 @@ def test_fuzzy_decontamination_planted(spark, tmp_path):
     # clean: zero hits
     c = out[3]
     assert c.n_hits == 0 and c.overlap_ppm == 0 and c.contaminated == 0
+
+
+def test_dsir_selection_planted(spark, tmp_path):
+    """Planted DSIR semantics: source docs written in the TARGET
+    domain's vocabulary score positive importance (selected), docs in
+    a disjoint vocabulary score negative (rejected), and a mixed doc
+    sits between the two. Target = the doc_id % 50 grid."""
+    import shutil
+
+    target_vocab = " ".join(["alpha", "beta", "gamma", "delta"] * 10)
+    source_like_target = " ".join(["alpha", "beta", "gamma"] * 12)
+    source_other = " ".join(["xray", "york", "zulu", "quux"] * 12)
+    source_mixed = " ".join(["alpha", "xray"] * 18)
+    df = spark.createDataFrame(
+        [
+            (0, target_vocab),     # target grid
+            (50, target_vocab),    # target grid
+            (1, source_like_target),
+            (2, source_other),
+            (3, source_mixed),
+        ],
+        "doc_id long, text string",
+    )
+    sf = str(tmp_path / "sf")
+    shutil.os.makedirs(sf)
+    df.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    out = {
+        r.doc_id: r
+        for r in QUERIES["q_docs_dsir"](spark, sf).collect()
+    }
+    assert set(out) == {1, 2, 3}  # target docs never scored
+    assert out[1].selected == 1 and out[1].dsir_micro_nats > 0
+    assert out[2].selected == 0 and out[2].dsir_micro_nats < 0
+    assert (
+        out[2].dsir_micro_nats
+        < out[3].dsir_micro_nats
+        < out[1].dsir_micro_nats
+    )
+    assert out[1].n_tokens == 36
