@@ -9,10 +9,13 @@ commit a SNAPSHOT — an immutable manifest of data files — and any historic
 snapshot remains readable (time travel: ``VERSION AS OF`` /
 ``TIMESTAMP AS OF``). This module reproduces that contract locally:
 
-  * ``append`` writes data files under ``_snap=N/`` and records a manifest
-    JSON (``_manifests/vN.json``) listing EVERY file visible at snapshot N
-    (its own plus all inherited ones) — reads never list directories, they
-    read the manifest, exactly like Iceberg's metadata-driven planning;
+  * ``append`` writes data files under ``_snap=N/`` and records a MANIFEST
+    LIST (``_manifests/vN.json``): per-commit summary fields plus ordered
+    references to immutable manifest files (``m-*.json``) holding the file
+    entries — the base's manifests carry BY REFERENCE and only the commit's
+    own delta is written (Iceberg spec v1 §Manifests; see the two-level
+    notes below). Reads never list directories, they plan from the list,
+    exactly like Iceberg's metadata-driven planning;
   * ``read(as_of=N)`` hands Spark the manifest's file list — a historic
     read costs the same planning work as "latest" and needs no directory
     state to survive (files are immutable, append-only);
@@ -179,7 +182,7 @@ class SnapshotTable(
             return self.row_lineage
         lp = self._latest_published()
         return (
-            bool(self._meta(lp).get("row_lineage"))
+            bool(self._raw_meta(lp).get("row_lineage"))
             if lp is not None
             else False
         )
@@ -269,6 +272,13 @@ class SnapshotTable(
     _MF_CACHE_MAX = 2048
 
     def _load_mf(self, name: str) -> list[dict]:
+        """Cached manifest entries. CONTRACT: the returned list and its
+        entry dicts are SHARED across every table/snapshot whose list
+        references the manifest (the cache is process-wide) — callers
+        treat them as immutable leaves; anything that must mutate an
+        entry copies it first (`dict(e)`), as _expand_meta and
+        _entries_for_paths do. Mutating in place would silently corrupt
+        reads for every sharer (r8 advisor finding)."""
         p = os.path.join(self._mdir, name)
         st = os.stat(p)
         key = (p, st.st_mtime_ns, st.st_size)

@@ -90,7 +90,12 @@ class SnapshotDdlMixin:
             base = self._latest_published()
             if base is None:
                 raise ValueError("nothing published to evolve")
-            meta = self._meta(base)
+            # metadata-only commit: the base's manifests carry BY
+            # REFERENCE (r9: O(#manifests), never the flat file list);
+            # mutate callbacks see the RAW summary fields and answer
+            # file-level questions through the manifest-tier helpers
+            # (_guard_column_ddl / _live_pt_columns).
+            meta = self._raw_meta(base)
             sj = meta.get("schema")
             if sj is None:
                 raise ValueError(
@@ -101,21 +106,18 @@ class SnapshotDdlMixin:
             v = self._next_version()
             new_schema = mutate(T.StructType.fromJson(sj), v, meta)
             emeta = {
-                "files": meta["files"],
                 "op": "evolve",
                 "schema": new_schema.jsonValue(),
                 "schema_v": v,
             }
             for carry in (
                 "delete_files",
-                "file_partitions",
                 "partition_by",
-                "file_schema_v",
                 *self._PROP_CARRY,
             ):
                 if carry in meta:
                     emeta[carry] = meta[carry]
-            self._write_manifest(v, emeta, base=base)
+            self._write_manifest_delta(v, emeta, base=base)
         return v
 
     def evolve_partitioning(self, partition_by: list[str]) -> int:
@@ -134,10 +136,9 @@ class SnapshotDdlMixin:
             base = self._latest_published()
             if base is None:
                 raise ValueError("nothing published to evolve")
-            meta = self._meta(base)
+            meta = self._raw_meta(base)
             v = self._next_version()
             emeta = {
-                "files": meta["files"],
                 "op": "evolve_spec",
                 "partition_by": list(partition_by),
             }
@@ -145,13 +146,11 @@ class SnapshotDdlMixin:
                 "schema",
                 "schema_v",
                 "delete_files",
-                "file_partitions",
-                "file_schema_v",
                 *self._PROP_CARRY,
             ):
                 if carry in meta:
                     emeta[carry] = meta[carry]
-            self._write_manifest(v, emeta, base=base)
+            self._write_manifest_delta(v, emeta, base=base)
         self.partition_by = list(partition_by)
         return v
 
@@ -205,14 +204,13 @@ class SnapshotDdlMixin:
                     "table advanced during constraint validation; "
                     "re-run add_constraint against the current state"
                 )
-            meta = self._meta(base)
+            meta = self._raw_meta(base)
             cons = dict(meta.get("constraints") or {})
             if name in cons:
                 raise ValueError(f"constraint {name!r} already exists")
             cons[name] = expr
             v = self._next_version()
             emeta = {
-                "files": meta["files"],
                 "op": "alter_constraints",
                 "constraints": cons,
             }
@@ -220,16 +218,14 @@ class SnapshotDdlMixin:
                 "schema",
                 "schema_v",
                 "delete_files",
-                "file_partitions",
                 "partition_by",
-                "file_schema_v",
                 # property carry MINUS constraints (set explicitly above)
                 *(k for k in self._PROP_CARRY
                   if k != "constraints"),
             ):
                 if carry in meta:
                     emeta[carry] = meta[carry]
-            self._write_manifest(v, emeta, base=base)
+            self._write_manifest_delta(v, emeta, base=base)
         if self.constraints is not None:
             self.constraints = cons
         return v
@@ -242,14 +238,13 @@ class SnapshotDdlMixin:
             base = self._latest_published()
             if base is None:
                 raise ValueError("nothing published")
-            meta = self._meta(base)
+            meta = self._raw_meta(base)
             cons = dict(meta.get("constraints") or {})
             if name not in cons:
                 raise ValueError(f"constraint {name!r} does not exist")
             del cons[name]
             v = self._next_version()
             emeta = {
-                "files": meta["files"],
                 "op": "alter_constraints",
             }
             if cons:
@@ -258,16 +253,14 @@ class SnapshotDdlMixin:
                 "schema",
                 "schema_v",
                 "delete_files",
-                "file_partitions",
                 "partition_by",
-                "file_schema_v",
                 # property carry MINUS constraints (set explicitly above)
                 *(k for k in self._PROP_CARRY
                   if k != "constraints"),
             ):
                 if carry in meta:
                     emeta[carry] = meta[carry]
-            self._write_manifest(v, emeta, base=base)
+            self._write_manifest_delta(v, emeta, base=base)
         if self.constraints is not None:
             self.constraints = cons
         return v
@@ -376,23 +369,46 @@ class SnapshotDdlMixin:
 
         return self._evolve(mutate)
 
+    def _live_pt_columns(self, raw: dict) -> set:
+        """Union of partition-record column names across a snapshot's
+        live files — manifest-tier via the list's ``pk`` key-set
+        summaries; only manifests whose summaries predate the field
+        are loaded (cached). The RENAME/DROP COLUMN guard's input."""
+        if "manifest_list" not in raw:
+            return {
+                c
+                for p in (
+                    self._expand_meta(raw).get("file_partitions") or {}
+                ).values()
+                for c in p
+            }
+        cols: set = set()
+        for mref in raw["manifest_list"]:
+            pk = mref.get("pk")
+            if pk is None:
+                for e in self._load_mf(mref["path"]):
+                    cols.update(e.get("pt") or ())
+            else:
+                for ks in pk:
+                    cols.update(ks)
+        return cols
+
     def _guard_column_ddl(self, name: str, meta: dict, verb: str) -> None:
-        """Shared refusals for RENAME/DROP COLUMN. Iceberg proper
-        resolves partition specs and equality-delete keys by field ID,
-        so renames are free; this local twin's specs and delete files
-        reference columns by NAME, so mutating a referenced name would
-        silently break partition pruning or the MoR anti-join — refuse
-        honestly instead, with compact (which folds delete files and
-        rewrites old-spec files) as the documented unblock."""
+        """Shared refusals for RENAME/DROP COLUMN (``meta`` is the base
+        snapshot's RAW manifest). Iceberg proper resolves partition
+        specs and equality-delete keys by field ID, so renames are
+        free; this local twin's specs and delete files reference
+        columns by NAME, so mutating a referenced name would silently
+        break partition pruning or the MoR anti-join — refuse honestly
+        instead, with compact (which folds delete files and rewrites
+        old-spec files) as the documented unblock."""
         pby = meta.get("partition_by") or self.partition_by or []
         if name in pby:
             raise ValueError(
                 f"cannot {verb} {name!r}: it is a partition column "
                 f"({pby}); evolve_partitioning away from it first"
             )
-        if any(
-            name in p for p in meta.get("file_partitions", {}).values()
-        ):
+        if name in self._live_pt_columns(meta):
             raise ValueError(
                 f"cannot {verb} {name!r}: live files carry partition "
                 "records under that name (an old spec); compact to "

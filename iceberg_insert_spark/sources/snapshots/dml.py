@@ -157,7 +157,7 @@ class SnapshotDmlMixin:
             raise ValueError(
                 "merge_into needs a published table (append first)"
             )
-        sj = self._meta(base).get("schema")
+        sj = self._raw_meta(base).get("schema")
         if sj is None:
             raise ValueError(
                 "table predates schema-tracking manifests; re-commit "
@@ -376,7 +376,7 @@ class SnapshotDmlMixin:
         # CommitConflict if a concurrent DDL changed it mid-import.
         cons0 = self.constraints
         if cons0 is None and cur is not None:
-            cons0 = self._meta(cur).get("constraints")
+            cons0 = self._raw_meta(cur).get("constraints")
         cons0 = dict(cons0) if cons0 else {}
         if cons0:
             self._guard_constraints(
@@ -456,7 +456,7 @@ class SnapshotDmlMixin:
                 base = self._latest_published()
                 cons1 = self.constraints
                 if cons1 is None and base is not None:
-                    cons1 = self._meta(base).get("constraints")
+                    cons1 = self._raw_meta(base).get("constraints")
                 if (dict(cons1) if cons1 else {}) != cons0:
                     raise CommitConflict(
                         "table constraints changed while add_files was "
@@ -464,7 +464,7 @@ class SnapshotDmlMixin:
                         "so the scan covers the current constraint set"
                     )
                 if base is not None:
-                    tj = self._meta(base).get("schema")
+                    tj = self._raw_meta(base).get("schema")
                     if tj is not None and self._schema_names_types(
                         tj
                     ) != self._schema_names_types(file_schema):
@@ -611,7 +611,7 @@ class SnapshotDmlMixin:
         return self._live_dvs(
             [
                 d
-                for d in self._meta(base).get("delete_files", [])
+                for d in self._raw_meta(base).get("delete_files", [])
                 if d.get("kind") == "dv"
             ]
         )
@@ -742,7 +742,7 @@ class SnapshotDmlMixin:
                 self._LIN_LASTSEQ,
             )
         ]
-        sj = self._meta(base).get("schema")
+        sj = self._raw_meta(base).get("schema")
         types = {}
         if sj is not None:
             from pyspark.sql import types as T
@@ -866,7 +866,7 @@ class SnapshotDmlMixin:
                 "that changes nothing"
             )
         base = self._resolve_snapshot(None)
-        sj = self._meta(base).get("schema")
+        sj = self._raw_meta(base).get("schema")
         types = {}
         if sj is not None:
             from pyspark.sql import types as T

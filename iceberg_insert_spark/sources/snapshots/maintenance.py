@@ -56,20 +56,20 @@ class SnapshotMaintenanceMixin:
                     "back to it"
                 )
             v = self._next_version()
-            tmeta = self._meta(to)
-            rmeta = {"files": tmeta["files"], "op": "rollback"}
+            # metadata-only: the target's manifests carry BY REFERENCE
+            # (r9: a rollback is O(#manifests) however large the table)
+            tmeta = self._raw_meta(to)
+            rmeta = {"op": "rollback"}
             for carry in (
                 "schema",
                 "schema_v",
                 "delete_files",
-                "file_partitions",
                 "partition_by",
-                "file_schema_v",
                 *self._PROP_CARRY,
             ):
                 if carry in tmeta:
                     rmeta[carry] = tmeta[carry]
-            self._write_manifest(v, rmeta, base=to)
+            self._write_manifest_delta(v, rmeta, base=to)
         return v
 
     def rewrite_manifests(self) -> int:
@@ -103,9 +103,9 @@ class SnapshotMaintenanceMixin:
             ):
                 if carry in meta:
                     rmeta[carry] = meta[carry]
-            # reuse=False: every entry repacks into fresh
+            # the flat writer repacks every entry into fresh
             # target-sized chunks (the whole point of the procedure)
-            self._write_manifest(v, rmeta, reuse=False)
+            self._write_manifest(v, rmeta)
         return v
 
     def compact(
@@ -423,7 +423,7 @@ class SnapshotMaintenanceMixin:
             published = [
                 v
                 for v in self.snapshots()
-                if self._meta(v).get("op", "append")
+                if self._raw_meta(v).get("op", "append")
                 not in ("stage", "branch-append")
             ]
             if len(published) > keep_last:
@@ -616,23 +616,62 @@ class SnapshotMaintenanceMixin:
                     f"fork point {fork}; re-create the branch from the "
                     "current state and re-apply its commits"
                 )
-            hm = self._meta(head)
+            hraw = self._raw_meta(head)
             v = self._next_version()
             meta = {
                 k: val
-                for k, val in hm.items()
-                if k not in ("branch", "ts", "token", "wap_id", "op")
+                for k, val in hraw.items()
+                if k
+                not in (
+                    "branch",
+                    "ts",
+                    "token",
+                    "wap_id",
+                    "op",
+                    "new_files",
+                    "manifest_list",
+                    "fp",
+                    "files",
+                    "file_partitions",
+                    "file_schema_v",
+                )
             }
-            main_files = (
-                set(self._meta(main).get("files", []))
-                if main is not None
-                else set()
-            )
             # added-files summary relative to MAIN (what the streaming
-            # source delivers for this commit).
-            meta["new_files"] = sorted(set(hm["files"]) - main_files)
+            # source delivers for this commit) — computed at the
+            # manifest tier (r9): candidates are the entries of head's
+            # manifests NOT shared with main's list (the branch's own
+            # commits plus any merge spill), then a membership probe
+            # against main filters the spilled-in main files. O(branch
+            # delta), never a flat expansion of either side.
+            if "manifest_list" in hraw:
+                main_raw = (
+                    self._raw_meta(main) if main is not None else {}
+                )
+                shared = {
+                    m["path"]
+                    for m in main_raw.get("manifest_list", [])
+                }
+                cand: list[str] = []
+                for mref in hraw["manifest_list"]:
+                    if mref["path"] in shared:
+                        continue
+                    cand.extend(
+                        e["p"] for e in self._load_mf(mref["path"])
+                    )
+                meta["new_files"] = self._paths_missing_from(
+                    main_raw, cand
+                )
+            else:
+                main_files = (
+                    set(self._meta(main).get("files", []))
+                    if main is not None
+                    else set()
+                )
+                meta["new_files"] = sorted(
+                    set(self._expand_meta(hraw)["files"]) - main_files
+                )
             meta["op"] = "fast_forward"
-            self._write_manifest(v, meta, base=head)
+            self._write_manifest_delta(v, meta, base=head)
             refs[name] = {**entry, "snapshot": v, "forked_from": v}
             self._atomic_json(self._refs_path(), refs)
             return v
@@ -1027,7 +1066,7 @@ class SnapshotMaintenanceMixin:
         staged = [
             v
             for v in self.snapshots()
-            if self._meta(v).get("op") in ("stage",)
+            if self._raw_meta(v).get("op") in ("stage",)
         ]
         if staged:
             raise ValueError(
@@ -1037,7 +1076,7 @@ class SnapshotMaintenanceMixin:
         head = self._latest_published()
         if head is None:
             raise ValueError("nothing published to forget from")
-        if self._meta(head).get("delete_files"):
+        if self._raw_meta(head).get("delete_files"):
             self.compact(spark)
         before = set(self.snapshots())
         v = self.delete_where(spark, predicate)
@@ -1057,7 +1096,7 @@ class SnapshotMaintenanceMixin:
                 s
                 for s in self.snapshots()
                 if s < v
-                and self._meta(s).get("op", "append")
+                and self._raw_meta(s).get("op", "append")
                 not in ("stage", "branch-append")
             )
             n_matched = (

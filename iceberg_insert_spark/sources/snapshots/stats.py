@@ -543,11 +543,8 @@ class SnapshotStatsMixin:
             # plan_files raised) — current spec, else any file record
             pby = raw.get("partition_by", [])
             for c in partitions:
-                if c not in pby and not any(
-                    c in p
-                    for p in self._meta(v)
-                    .get("file_partitions", {})
-                    .values()
+                if c not in pby and c not in self._live_pt_columns(
+                    raw
                 ):
                     raise ValueError(
                         f"{c!r} is not a partition column (have {pby})"
@@ -632,12 +629,10 @@ class SnapshotStatsMixin:
                 if c not in pby and not any(
                     c in p for p in fparts.values()
                 ):
-                    allp = (
-                        self._meta(as_of).get("file_partitions", {})
-                        if mlist is not None
-                        else fparts
-                    )
-                    if not any(c in p for p in allp.values()):
+                    if (
+                        mlist is None
+                        or c not in self._live_pt_columns(raw)
+                    ):
                         raise ValueError(
                             f"{c!r} is not a partition column "
                             f"(have {pby})"
@@ -979,7 +974,7 @@ class SnapshotStatsMixin:
         manifest + one sidecar read — zero data IO, zero cluster work —
         where a plain parquet count schedules a task per file."""
         v = self._resolve_snapshot(as_of)
-        if self._meta(v).get("delete_files"):
+        if self._raw_meta(v).get("delete_files"):
             return self.read(spark, as_of=v).count(), 0
         stats = self._load_stats()
         total = 0
@@ -1201,7 +1196,7 @@ class SnapshotStatsMixin:
         error — silently persisting a typo would re-probe it at every
         future commit (review catch). Returns
         ``{"files_analyzed": n}``."""
-        sj = self._meta(self._resolve_snapshot(None)).get("schema")
+        sj = self._raw_meta(self._resolve_snapshot(None)).get("schema")
         if sj is not None:
             known = {f["name"] for f in sj.get("fields", [])}
             unknown = sorted(
@@ -1620,7 +1615,7 @@ class SnapshotStatsMixin:
                 # for pre-schema manifests, from ONE file — handing
                 # Spark the whole manifest here would pay full planning
                 # IO on exactly the path pruning proved needs none.
-                if self._meta(v).get("schema") is not None:
+                if self._raw_meta(v).get("schema") is not None:
                     return _lin_empty(self._empty_frame(spark, v))
                 rels = self._manifest(v)[:1]
                 if not rels:
