@@ -806,7 +806,12 @@ class SnapshotCommitMixin:
                 e["pt"] = new_parts[p]
             added.append(e)
         self._write_manifest_delta(
-            v, meta, base=base, added=added, removed=removed
+            v,
+            meta,
+            base=base,
+            added=added,
+            removed=removed,
+            base_raw=base_raw if base is not None else None,
         )
         if branch is not None:
             # Advance the branch ref to this commit — still inside the
@@ -887,16 +892,9 @@ class SnapshotCommitMixin:
         if not want:
             return out
         if "manifest_list" not in raw:
-            flat = self._expand_meta(raw)
-            fp = flat.get("file_partitions", {})
-            eras = flat.get("file_schema_v", {})
-            for p in want & set(flat.get("files", [])):
-                e: dict = {"p": p}
-                if p in fp:
-                    e["pt"] = dict(fp[p])
-                if p in eras:
-                    e["sv"] = eras[p]
-                out[p] = e
+            for e in self._flat_entries(self._expand_meta(raw)):
+                if e["p"] in want:
+                    out[e["p"]] = e
             return out
         for mref in raw["manifest_list"]:
             if not self._mf_may_contain(mref, want):
@@ -907,6 +905,38 @@ class SnapshotCommitMixin:
             if len(out) == len(want):
                 break
         return out
+
+    @staticmethod
+    def _flat_entries(flat: dict, removed: set = frozenset()) -> list:
+        """Manifest entries ({"p", optional "pt", "sv"}) built from a
+        FLAT inventory dict (files / file_partitions / file_schema_v) —
+        the one conversion between the legacy form and the two-level
+        entries, shared by the flat writer, the legacy-base upgrade
+        path, and the legacy branch of _entries_for_paths. Partition
+        tuples are copied (the flat dict may alias cached entries)."""
+        fp = flat.get("file_partitions", {})
+        eras = flat.get("file_schema_v", {})
+        out = []
+        for p in flat.get("files", []):
+            if p in removed:
+                continue
+            e: dict = {"p": p}
+            if p in fp:
+                e["pt"] = dict(fp[p])
+            if p in eras:
+                e["sv"] = eras[p]
+            out.append(e)
+        return out
+
+    def _chunk_entries(self, ents: list) -> list:
+        """(None, entries) items chunked at the manifest target size —
+        a giant first commit / overwrite / repack gets sane manifests
+        instead of one monolith."""
+        step = self.MANIFEST_TARGET_ENTRIES
+        return [
+            (None, ents[i : i + step])
+            for i in range(0, len(ents), step)
+        ]
 
     @staticmethod
     def _mf_tuples_disjoint(mref: dict, replaced: set) -> bool:
@@ -992,6 +1022,7 @@ class SnapshotCommitMixin:
         base: int | None,
         added: list | None = None,
         removed: set = frozenset(),
+        base_raw: dict | None = None,
     ) -> None:
         """O(delta) manifest write — the new snapshot's inventory IS
         ``base − removed + added`` by construction (r8 verdict missing
@@ -1020,9 +1051,13 @@ class SnapshotCommitMixin:
             )
         added = list(added or ())
         any_pt = any("pt" in e for e in added)
-        base_raw: dict = {}
-        if base is not None:
-            base_raw = self._raw_meta(base)
+        # callers already hold the base's raw manifest (review catch:
+        # re-reading it here doubled the per-commit list parse — the
+        # dominant remaining O(live/512) term)
+        if base_raw is None:
+            base_raw = (
+                self._raw_meta(base) if base is not None else {}
+            )
         # items: (reusable ref, None) | (None, in-memory entries). The
         # delta stays IN MEMORY through merging (review catch: a
         # merging commit that wrote the delta first orphaned it
@@ -1047,29 +1082,13 @@ class SnapshotCommitMixin:
         elif base_raw:
             # legacy FLAT base: expand once — the upgrade path that
             # moves a pre-r8 table onto two-level manifests
-            flat = self._expand_meta(base_raw)
-            fp = flat.get("file_partitions", {})
-            eras = flat.get("file_schema_v", {})
-            surv = []
-            for p in flat.get("files", []):
-                if p in removed:
-                    continue
-                e = {"p": p}
-                if p in fp:
-                    e["pt"] = dict(fp[p])
-                    any_pt = True
-                if p in eras:
-                    e["sv"] = eras[p]
-                surv.append(e)
-            step = self.MANIFEST_TARGET_ENTRIES
-            for i in range(0, len(surv), step):
-                items.append((None, surv[i : i + step]))
+            surv = self._flat_entries(
+                self._expand_meta(base_raw), removed
+            )
+            any_pt = any_pt or any("pt" in e for e in surv)
+            items.extend(self._chunk_entries(surv))
         if added:
-            # chunk a large delta at the target size (a giant first
-            # commit / overwrite gets sane manifests, not one monolith)
-            step = self.MANIFEST_TARGET_ENTRIES
-            for i in range(0, len(added), step):
-                items.append((None, added[i : i + step]))
+            items.extend(self._chunk_entries(added))
         if any_pt:
             meta["fp"] = True
         self._materialize_manifest_list(v, meta, items)
@@ -1082,26 +1101,16 @@ class SnapshotCommitMixin:
         inventory — rewrite_manifests' repack and clone()'s v1 — and
         chunks everything into fresh target-sized manifests (neither
         caller has reusable base manifests by definition)."""
-        files = meta.pop("files")
-        fparts = meta.pop("file_partitions", None)
-        if fparts is not None:
+        flat = {
+            "files": meta.pop("files"),
+            "file_partitions": meta.pop("file_partitions", None) or {},
+            "file_schema_v": meta.pop("file_schema_v", None) or {},
+        }
+        if flat["file_partitions"]:
             meta["fp"] = True
-        fp = fparts or {}
-        eras = meta.pop("file_schema_v", None) or {}
-        ents = []
-        for p in files:
-            e: dict = {"p": p}
-            if p in fp:
-                e["pt"] = fp[p]
-            if p in eras:
-                e["sv"] = eras[p]
-            ents.append(e)
-        step = self.MANIFEST_TARGET_ENTRIES
-        items = [
-            (None, ents[i : i + step])
-            for i in range(0, len(ents), step)
-        ]
-        self._materialize_manifest_list(v, meta, items)
+        self._materialize_manifest_list(
+            v, meta, self._chunk_entries(self._flat_entries(flat))
+        )
 
     def _materialize_manifest_list(
         self, v: int, meta: dict, items: list
@@ -1566,5 +1575,11 @@ class SnapshotCommitMixin:
             pmeta["partition_by"] = base_raw.get(
                 "partition_by"
             ) or sraw.get("partition_by", [])
-        self._write_manifest_delta(v, pmeta, base=base, added=added)
+        self._write_manifest_delta(
+            v,
+            pmeta,
+            base=base,
+            added=added,
+            base_raw=base_raw if base is not None else None,
+        )
         return v

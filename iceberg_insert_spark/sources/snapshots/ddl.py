@@ -117,7 +117,9 @@ class SnapshotDdlMixin:
             ):
                 if carry in meta:
                     emeta[carry] = meta[carry]
-            self._write_manifest_delta(v, emeta, base=base)
+            self._write_manifest_delta(
+                v, emeta, base=base, base_raw=meta
+            )
         return v
 
     def evolve_partitioning(self, partition_by: list[str]) -> int:
@@ -150,7 +152,9 @@ class SnapshotDdlMixin:
             ):
                 if carry in meta:
                     emeta[carry] = meta[carry]
-            self._write_manifest_delta(v, emeta, base=base)
+            self._write_manifest_delta(
+                v, emeta, base=base, base_raw=meta
+            )
         self.partition_by = list(partition_by)
         return v
 
@@ -225,7 +229,9 @@ class SnapshotDdlMixin:
             ):
                 if carry in meta:
                     emeta[carry] = meta[carry]
-            self._write_manifest_delta(v, emeta, base=base)
+            self._write_manifest_delta(
+                v, emeta, base=base, base_raw=meta
+            )
         if self.constraints is not None:
             self.constraints = cons
         return v
@@ -260,7 +266,9 @@ class SnapshotDdlMixin:
             ):
                 if carry in meta:
                     emeta[carry] = meta[carry]
-            self._write_manifest_delta(v, emeta, base=base)
+            self._write_manifest_delta(
+                v, emeta, base=base, base_raw=meta
+            )
         if self.constraints is not None:
             self.constraints = cons
         return v

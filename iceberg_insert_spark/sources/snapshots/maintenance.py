@@ -69,7 +69,9 @@ class SnapshotMaintenanceMixin:
             ):
                 if carry in tmeta:
                     rmeta[carry] = tmeta[carry]
-            self._write_manifest_delta(v, rmeta, base=to)
+            self._write_manifest_delta(
+                v, rmeta, base=to, base_raw=tmeta
+            )
         return v
 
     def rewrite_manifests(self) -> int:
@@ -671,7 +673,9 @@ class SnapshotMaintenanceMixin:
                     set(self._expand_meta(hraw)["files"]) - main_files
                 )
             meta["op"] = "fast_forward"
-            self._write_manifest_delta(v, meta, base=head)
+            self._write_manifest_delta(
+                v, meta, base=head, base_raw=hraw
+            )
             refs[name] = {**entry, "snapshot": v, "forked_from": v}
             self._atomic_json(self._refs_path(), refs)
             return v
