@@ -1746,3 +1746,90 @@ def q_snapshot_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "phase string, n_entries int, part_lo string, part_hi string",
     )
+
+
+@query(
+    "q_snapshot_pruned_read_in",
+    oracle="""
+    WITH b AS (SELECT MAX(o_orderkey) AS mx FROM orders)
+    SELECT 'in_probe' AS shape,
+           CAST(3 AS BIGINT) AS n_files_total,
+           CAST(2 AS BIGINT) AS n_files_scanned,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_price
+    FROM orders
+    WHERE o_orderkey IN (
+        (SELECT MIN(o_orderkey) FROM orders),
+        (SELECT MAX(o_orderkey) FROM orders)
+    )
+    UNION ALL
+    SELECT 'gt_probe' AS shape,
+           CAST(3 AS BIGINT) AS n_files_total,
+           CAST(1 AS BIGINT) AS n_files_scanned,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_price
+    FROM orders WHERE o_orderkey > 2 * (SELECT mx FROM b) // 3
+    """,
+)
+def q_snapshot_pruned_read_in(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Generalized metadata-planner predicate grammar (r8 verdict
+    missing #3), DuckDB-oracled end-to-end: orders land in three
+    appends covering disjoint o_orderkey tertiles with per-file
+    [min, max] stats, then TWO predicate shapes beyond BETWEEN plan
+    the scan from metadata:
+
+      * ``IN (min_key, max_key)`` — a per-column disjunction: the
+        planner must keep exactly the two OUTER files (each value's
+        degenerate range intersects one) and prune the middle, and the
+        read must return exactly those two rows;
+      * ``> 2*mx//3`` — an OPEN-ENDED range ((col, lo, None), no upper
+        bound): the planner must keep only the top tertile's file.
+
+    Both `n_files_scanned` figures come from ``plan_files`` (zero data
+    IO) and both row sets equal the oracle's plain WHERE over the full
+    table, because pruning only removes provably-disjoint files and
+    the exact predicate re-applies as a residual filter. Probe keys
+    (MIN/MAX o_orderkey, the tertile boundary) are deterministic
+    functions of the data, computed identically in both engines
+    (Python // == DuckDB // on positive operands).
+
+    Scale shape: IN-list point lookups and one-sided time cutoffs
+    (``event_ts > watermark``) are the two commonest predicates a
+    100 TB scan sees; both now plan at manifest+sidecar cost with the
+    cluster only ever seeing the surviving files.
+    """
+    from ...tables import require_local_master, scratch_dir
+
+    require_local_master(
+        spark, "q_snapshot_pruned_read_in (footer stats)"
+    )
+    path = scratch_dir(spark, sf_dir, "snapshot_pruned_in")
+    o = load_table(spark, sf_dir, "orders")
+    row = o.agg(
+        F.min("o_orderkey").alias("mn"), F.max("o_orderkey").alias("mx")
+    ).collect()[0]
+    mn, mx = row.mn, row.mx
+    b1, b2 = mx // 3, 2 * mx // 3
+    tbl = SnapshotTable(path, stats_cols=["o_orderkey"])
+    k = F.col("o_orderkey")
+    tbl.append(o.filter(k <= b1).coalesce(1))
+    tbl.append(o.filter((k > b1) & (k <= b2)).coalesce(1))
+    tbl.append(o.filter(k > b2).coalesce(1))
+
+    def probe(shape: str, plan_kw: dict) -> DataFrame:
+        kept, total = tbl.plan_files(**plan_kw)
+        return tbl.read(spark, plan=kept, **plan_kw).agg(
+            F.lit(shape).alias("shape"),
+            F.lit(total).cast("bigint").alias("n_files_total"),
+            F.lit(len(kept)).cast("bigint").alias("n_files_scanned"),
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+        )
+
+    return probe("in_probe", {"isin": ("o_orderkey", [mn, mx])}).unionAll(
+        probe("gt_probe", {"where": ("o_orderkey", b2 + 1, None)})
+    )

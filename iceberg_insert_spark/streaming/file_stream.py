@@ -1125,6 +1125,12 @@ def mirror_available_now(
         source's replaces are known layout-only (compaction): row
         content is then unchanged and the mirror stays correct.
 
+    PRECONDITION: the source is KEY-UNIQUE on ``key`` (the fold turns
+    delete+insert pairs into updates, which is only an equivalence
+    when a key names one row). Each batch asserts its insert images
+    are key-unique and fails loudly on a violation — a duplicate-key
+    source would otherwise collapse rows into the replica silently.
+
     Returns the source snapshot ids applied this run. 100 TB shape:
     per source commit the mirror moves O(that commit's delta) + one
     broadcast of its delete keys — a replica tails a hot table at the
@@ -1153,6 +1159,28 @@ def mirror_available_now(
         try:
             if not chg.limit(1).collect():
                 return  # empty-delta commit: nothing to apply
+            # Key-uniqueness guard (r8 advisor): the fold assumes the
+            # SOURCE is key-unique — a source append introducing a
+            # second row for an existing key would collapse to one
+            # upsert and silently diverge the replica. Two insert
+            # images for one key inside a batch are that violation
+            # made visible; fail loudly instead of mirroring wrong.
+            # (One aggregation over the already-persisted batch delta.)
+            dupk = (
+                chg.filter(F.col("_op") == "U")
+                .groupBy(key)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dupk:
+                raise ValueError(
+                    f"mirror_available_now requires a key-unique "
+                    f"source: snapshot {v} carries multiple insert "
+                    f"images for {key}={dupk[0][0]!r} — deduplicate "
+                    "the source or mirror on a unique key"
+                )
             target.merge(spark, chg, key=key, token=f"mirror-{v}")
         finally:
             chg.unpersist()

@@ -920,7 +920,7 @@ def test_explain_verb_pruned_read_and_broadcast_join(spark, tmp_path):
         by_kind.setdefault(r.kind, []).append(r.item)
     # metadata planner: only the middle file survives the range
     assert any(
-        "db.fact.k BETWEEN 120 AND 160: files 1/3" in it
+        "db.fact@3.k BETWEEN 120 AND 160: files 1/3" in it
         for it in by_kind["pruning"]
     )
     # table rows: resolved snapshot + file/manifest counts
@@ -945,8 +945,8 @@ def test_explain_verb_pruned_read_and_broadcast_join(spark, tmp_path):
         "ON f.k = d.k WHERE f.k BETWEEN 120 AND 160",
     ).collect()
     prunes = [r.item for r in rows2 if r.kind == "pruning"]
-    assert any(it.startswith("db.fact.k") for it in prunes)
-    assert not any(it.startswith("db.dim.k") for it in prunes)
+    assert any(it.startswith("db.fact@") for it in prunes)
+    assert not any(it.startswith("db.dim@") for it in prunes)
     # OR context (review catch): a BETWEEN under OR does not prune —
     # no pruning rows at all
     rows3 = cat.execute(
@@ -1006,3 +1006,88 @@ def test_show_create_table_verb(spark, tmp_path):
     cat.create_view("db.v", "SELECT k FROM {{db.t}}")
     with pytest.raises(ValueError):
         cat.execute(spark, "SHOW CREATE TABLE {{db.v}}")
+
+
+def test_explain_pruning_grammar_shapes(spark, tmp_path):
+    """r9 predicate grammar for the metadata-planner EXPLAIN rows
+    (r8 verdict missing #3): `=`, `>`, `<`, `<=`, `>=`, and IN claim
+    pruning verdicts like BETWEEN; a conjunct ANDed NEXT TO an
+    OR-group still claims while anything INSIDE the group stays
+    silent; an UNQUALIFIED conjunct with two candidate recorders is
+    silent (r8 advisor: attribution must be unambiguous); quoted text
+    that looks like a predicate never claims."""
+    from iceberg_insert_spark.sources.catalog import LocalCatalog
+
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("db")
+    t = cat.create_table("db.fact", stats_cols=["k"])
+    for lo in (0, 100, 200):
+        t.append(
+            spark.createDataFrame(
+                [(lo + i, float(i)) for i in range(50)],
+                "k long, v double",
+            ).coalesce(1)
+        )
+
+    def prunes(stmt):
+        return [
+            r.item
+            for r in cat.explain(spark, stmt).collect()
+            if r.kind == "pruning"
+        ]
+
+    # equality: degenerate range + (absent) bloom -> middle file only
+    p = prunes("SELECT * FROM {{db.fact}} WHERE k = 120")
+    assert any("k = 120: files 1/3" in it for it in p)
+    # one-sided ranges
+    p = prunes("SELECT * FROM {{db.fact}} WHERE k > 210")
+    assert any("k > 210: files 1/3" in it for it in p)
+    p = prunes("SELECT * FROM {{db.fact}} WHERE k <= 49")
+    assert any("k <= 49: files 1/3" in it for it in p)
+    # IN list spanning two files
+    p = prunes("SELECT * FROM {{db.fact}} WHERE k IN (5, 205)")
+    assert any("k IN (5, 205): files 2/3" in it for it in p)
+    # IN with a subquery never claims
+    assert not prunes(
+        "SELECT * FROM {{db.fact}} WHERE k IN "
+        "(SELECT k FROM {{db.fact}})"
+    )
+    # != / <> never claim
+    assert not prunes("SELECT * FROM {{db.fact}} WHERE k != 120")
+    # conjunct NEXT TO an OR-group claims; the group's members do not
+    p = prunes(
+        "SELECT * FROM {{db.fact}} WHERE k BETWEEN 120 AND 160 "
+        "AND (v = 1.0 OR k = 290)"
+    )
+    assert any("BETWEEN 120 AND 160: files 1/3" in it for it in p)
+    assert not any("k = 290" in it for it in p)
+    # top-level OR silences everything
+    assert not prunes(
+        "SELECT * FROM {{db.fact}} WHERE k = 120 OR k = 220"
+    )
+    # ambiguous unqualified conjunct (r8 advisor): db.dim RECORDS a
+    # stats column named k even though its live schema spells it j —
+    # with two recorders of the name, the unqualified claim is
+    # ambiguous and must stay silent; a qualified one claims exactly
+    # its table
+    d = cat.create_table("db.dim", stats_cols=["k"])
+    d.append(
+        spark.createDataFrame(
+            [(i, "x") for i in range(300)], "j long, g string"
+        ).coalesce(1)
+    )
+    p = prunes(
+        "SELECT * FROM {{db.fact}} f JOIN {{db.dim}} d ON f.k = d.j "
+        "WHERE k = 120"
+    )
+    assert not p
+    p = prunes(
+        "SELECT * FROM {{db.fact}} f JOIN {{db.dim}} d ON f.k = d.j "
+        "WHERE f.k = 120"
+    )
+    assert any(it.startswith("db.fact@") for it in p)
+    assert not any(it.startswith("db.dim@") for it in p)
+    # a predicate-shaped STRING literal never claims
+    assert not prunes(
+        "SELECT * FROM {{db.fact}} WHERE CAST(k AS STRING) = 'k > 5'"
+    )

@@ -4386,3 +4386,69 @@ def test_compute_stats_converges_and_merges(spark, tmp_path):
     # (c) a typo'd column is a clean refusal, never persisted work
     with pytest.raises(ValueError, match="unknown column"):
         narrow.compute_stats(ndv_cols=["nope"])
+
+
+def test_plan_files_open_ended_and_in_list(spark, tmp_path):
+    """r9 predicate grammar: open-ended ranges (`>` / `<` as
+    half-bounded (col, lo, None) / (col, None, hi)) and IN lists prune
+    from the same [min, max] stats as BETWEEN, and the read result is
+    identical to an unpruned filtered read (residual filters re-apply
+    exact semantics, including strict bounds the planner relaxes to
+    their inclusive hull)."""
+    t = SnapshotTable(str(tmp_path / "t"), stats_cols=["k"])
+    # three sorted-disjoint files: [0,99], [100,199], [200,299]
+    for lo in (0, 100, 200):
+        t.append(
+            spark.createDataFrame(
+                [(lo + i, float(i)) for i in range(100)],
+                "k long, v double",
+            ).coalesce(1)
+        )
+    # k > 250: only the top file
+    kept, total = t.plan_files(where=("k", 251, None))
+    assert total == 3 and len(kept) == 1
+    assert t.read(spark, where=("k", 251, None)).count() == 49
+    # k < 100: only the bottom file
+    kept, _ = t.plan_files(where=("k", None, 99))
+    assert len(kept) == 1
+    assert t.read(spark, where=("k", None, 99)).count() == 100
+    # IN list spanning two files prunes the third
+    kept, _ = t.plan_files(isin=("k", [5, 205]))
+    assert len(kept) == 2
+    got = {r.k for r in t.read(spark, isin=("k", [5, 205])).collect()}
+    assert got == {5, 205}
+    # IN values all outside every range: zero files, typed empty read
+    kept, _ = t.plan_files(isin=("k", [1000, 2000]))
+    assert kept == []
+    assert t.read(spark, isin=("k", [1000, 2000])).count() == 0
+    # empty / all-NULL IN matches nothing (SQL semantics)
+    kept, _ = t.plan_files(isin=("k", [None]))
+    assert kept == []
+    # files without stats keep conservatively
+    t2 = SnapshotTable(str(tmp_path / "t2"))
+    t2.append(
+        spark.createDataFrame(
+            [(1, 1.0)], "k long, v double"
+        ).coalesce(1)
+    )
+    kept, total = t2.plan_files(isin=("k", [99]))
+    assert len(kept) == total == 1
+    assert t2.read(spark, isin=("k", [99])).count() == 0
+
+
+def test_plan_files_in_list_bloom_tier(spark, tmp_path):
+    """IN pruning composes with per-file blooms on a hash-scattered
+    layout where range stats keep everything: a two-value IN keeps
+    only the residue-class files those keys occupy."""
+    t = SnapshotTable(str(tmp_path / "t"), bloom_cols=["k"])
+    for r in range(4):
+        t.append(
+            spark.createDataFrame(
+                [(i, float(i)) for i in range(r, 400, 4)],
+                "k long, v double",
+            ).coalesce(1)
+        )
+    kept, total = t.plan_files(isin=("k", [13, 14]))  # classes 1, 2
+    assert total == 4 and len(kept) == 2
+    got = {r.k for r in t.read(spark, isin=("k", [13, 14])).collect()}
+    assert got == {13, 14}
