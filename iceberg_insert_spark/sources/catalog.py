@@ -943,7 +943,10 @@ class LocalCatalog:
     # NOT emits no pruning row (per-conjunct now — a BETWEEN ANDed
     # next to an OR-group still prunes; one anywhere inside the group
     # does not).
-    _EXPLAIN_LIT = r"('[^']*'|-?\d+(?:\.\d+)?)"
+    # string literals handle the '' escape (review catch: a literal
+    # containing a doubled quote otherwise truncates and EXPLAIN
+    # claims counts for a value the query does not contain)
+    _EXPLAIN_LIT = r"('(?:[^']|'')*'|-?\d+(?:\.\d+)?)"
     _EXPLAIN_BETWEEN_RE = re.compile(
         r"\b(?:([A-Za-z_]\w*)\s*\.\s*)?([A-Za-z_]\w*)\s+BETWEEN\s+"
         + _EXPLAIN_LIT
@@ -964,7 +967,7 @@ class LocalCatalog:
     @staticmethod
     def _explain_lit(tok: str):
         if tok.startswith("'"):
-            return tok[1:-1]
+            return tok[1:-1].replace("''", "'")
         return float(tok) if "." in tok else int(tok)
 
     @classmethod
@@ -1046,40 +1049,74 @@ class LocalCatalog:
             taken.append(cm.span())
         return out
 
-    @staticmethod
-    def _explain_blocked_spans(
-        statement: str,
-    ) -> tuple[bool, list[tuple[int, int]]]:
-        """(top_level_disjunctive, blocked spans): a conjunct may claim
-        pruning only when the predicate tree conjoins it at the top —
-        so OR/NOT at paren depth 0 silences everything, and any
-        outermost parenthesized group whose text contains OR/NOT
-        blocks claims INSIDE it (conjuncts next to it still claim:
-        ``k BETWEEN 1 AND 5 AND (a = 1 OR b = 2)`` prunes on k).
-        Conservative by construction: quoting or nesting oddities can
-        only block a claim, never fabricate one."""
+    @classmethod
+    def _explain_where_scope(
+        cls, statement: str
+    ) -> tuple[tuple[int, int] | None, bool, list[tuple[int, int]]]:
+        """(top-level WHERE clause span | None, top_disjunctive,
+        blocked sub-spans). A conjunct may claim pruning only when it
+        sits inside the OUTER query's WHERE clause (review catch:
+        SELECT-list CASE arms, JOIN ON predicates, and subquery-body
+        filters all matched the conjunct regexes but do not filter the
+        outer scan), is not under a parenthesized group containing
+        OR/NOT, and the clause has no top-level OR/NOT. All structure
+        is computed over a copy with string literals BLANKED (review
+        catch: a quoted '(' corrupted depth tracking and let conjuncts
+        under a top-level OR claim — quoting must only ever block,
+        never fabricate). UNION statements (two depth-0 WHEREs) claim
+        nothing — one clause does not describe both scans."""
+        masked_chars = list(statement)
+        for s, e in cls._quoted_spans(statement):
+            for i in range(s, e):
+                masked_chars[i] = " "
+        masked = "".join(masked_chars)
+        depth = 0
+        wheres: list[int] = []
+        for m in re.finditer(r"[()]|\bWHERE\b", masked, re.IGNORECASE):
+            tok = m.group(0)
+            if tok == "(":
+                depth += 1
+            elif tok == ")":
+                depth = max(0, depth - 1)
+            elif depth == 0:
+                wheres.append(m.end())
+        if len(wheres) != 1:
+            return None, False, []
+        wstart = wheres[0]
+        depth = 0
+        wend = len(statement)
+        for m in re.finditer(
+            r"[()]|\b(GROUP|ORDER|LIMIT|HAVING|UNION|WINDOW)\b",
+            masked[wstart:],
+            re.IGNORECASE,
+        ):
+            tok = m.group(0)
+            if tok == "(":
+                depth += 1
+            elif tok == ")":
+                depth = max(0, depth - 1)
+            elif depth == 0:
+                wend = wstart + m.start()
+                break
+        clause = masked[wstart:wend]
         blocked: list[tuple[int, int]] = []
         stack: list[int] = []
-        depth0_chars: list[str] = []
-        for i, ch in enumerate(statement):
+        depth0: list[str] = []
+        for i, ch in enumerate(clause):
             if ch == "(":
                 stack.append(i)
             elif ch == ")" and stack:
                 s = stack.pop()
                 if not stack and re.search(
-                    r"\b(OR|NOT)\b",
-                    statement[s : i + 1],
-                    re.IGNORECASE,
+                    r"\b(OR|NOT)\b", clause[s : i + 1], re.IGNORECASE
                 ):
-                    blocked.append((s, i + 1))
+                    blocked.append((wstart + s, wstart + i + 1))
             elif not stack:
-                depth0_chars.append(ch)
+                depth0.append(ch)
         top = bool(
-            re.search(
-                r"\b(OR|NOT)\b", "".join(depth0_chars), re.IGNORECASE
-            )
+            re.search(r"\b(OR|NOT)\b", "".join(depth0), re.IGNORECASE)
         )
-        return top, blocked
+        return (wstart, wend), top, blocked
 
     @staticmethod
     def _quoted_spans(statement: str) -> list[tuple[int, int]]:
@@ -1182,12 +1219,11 @@ class LocalCatalog:
         reg = self._read()
         views = reg.get("views", {})
         aliases = self._explain_aliases(statement)
-        top_disjunctive, blocked = self._explain_blocked_spans(
+        wspan, top_disjunctive, blocked = self._explain_where_scope(
             statement
         )
-        quoted = self._quoted_spans(statement)
         seen: set[str] = set()
-        refs: list[tuple] = []  # (key, ref, v, tbl)
+        refs: list[tuple] = []  # (key, ref, v, tbl, schema_cols)
         for m in self._SQL_REF_RE.finditer(statement):
             ref, pin, tspin = m.group(1), m.group(2), m.group(3)
             key = self._ref_key(m)
@@ -1220,11 +1256,20 @@ class LocalCatalog:
                     f"{ref}@{v}: files={n_files}, manifests={n_m}",
                 )
             )
-            refs.append((key, ref, v, tbl))
-        if not top_disjunctive:
+            sj = raw.get("schema")
+            scols = (
+                frozenset(f["name"] for f in sj.get("fields", []))
+                if sj is not None
+                else None  # pre-schema table: ownership unknowable
+            )
+            refs.append((key, ref, v, tbl, scols))
+        if wspan is not None and not top_disjunctive:
+            quoted = self._quoted_spans(statement)
             for qual, col, kw, desc, span in self._explain_conjuncts(
                 statement
             ):
+                if not (wspan[0] <= span[0] and span[1] <= wspan[1]):
+                    continue  # outside the outer query's WHERE clause
                 if any(s <= span[0] < e for s, e in blocked) or any(
                     s <= span[0] < e for s, e in quoted
                 ):
@@ -1233,16 +1278,20 @@ class LocalCatalog:
                     akey = aliases.get(qual)
                     cands = [r for r in refs if r[0] == akey]
                 else:
-                    # unqualified: attribute only when exactly ONE
-                    # referenced table records the column (r8 advisor:
-                    # claiming it for every recorder can describe a
-                    # table the predicate does not constrain)
-                    cands = [
-                        r for r in refs if col in r[3].stats_cols
-                    ]
+                    # unqualified: SQL resolves the bare name to the
+                    # table whose LIVE SCHEMA owns it — attribute only
+                    # when exactly one referenced table does (review
+                    # catch: keying on stats_cols alone attributed the
+                    # predicate to a table that merely RECORDS a
+                    # same-named column the query's name does not
+                    # resolve to); any schema-less ref makes ownership
+                    # unknowable -> silent.
+                    if any(r[4] is None for r in refs):
+                        continue
+                    cands = [r for r in refs if col in r[4]]
                     if len(cands) != 1:
                         continue
-                for key, ref, v, tbl in cands:
+                for key, ref, v, tbl, _sc in cands:
                     if col not in tbl.stats_cols:
                         continue
                     kept, total = tbl.plan_files(as_of=v, **kw)

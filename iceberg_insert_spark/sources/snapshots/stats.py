@@ -970,6 +970,17 @@ class SnapshotStatsMixin:
         """Normalize the IN-list argument: None -> [], one ``(column,
         values)`` pair -> [it], a list of pairs -> itself (a
         CONJUNCTION of per-column IN lists)."""
+        def vals(vs) -> list:
+            # a bare string would silently explode into characters
+            # (review catch: isin=("name", "bob") pruned against
+            # IN ('b','o','b')) — the values side must be a collection
+            if isinstance(vs, (str, bytes)):
+                raise TypeError(
+                    "isin values must be a list/tuple of values, got "
+                    f"a bare {type(vs).__name__}: {vs!r}"
+                )
+            return list(vs)
+
         if isin is None:
             return []
         if (
@@ -977,8 +988,8 @@ class SnapshotStatsMixin:
             and len(isin) == 2
             and isinstance(isin[0], str)
         ):
-            return [(isin[0], list(isin[1]))]
-        return [(c, list(vs)) for c, vs in isin]
+            return [(isin[0], vals(isin[1]))]
+        return [(c, vals(vs)) for c, vs in isin]
 
     @staticmethod
     def _norm_where(where) -> list[tuple]:

@@ -1065,11 +1065,12 @@ def test_explain_pruning_grammar_shapes(spark, tmp_path):
     assert not prunes(
         "SELECT * FROM {{db.fact}} WHERE k = 120 OR k = 220"
     )
-    # ambiguous unqualified conjunct (r8 advisor): db.dim RECORDS a
-    # stats column named k even though its live schema spells it j —
-    # with two recorders of the name, the unqualified claim is
-    # ambiguous and must stay silent; a qualified one claims exactly
-    # its table
+    # unqualified attribution resolves by LIVE SCHEMA ownership, not
+    # by who records stats (r8 advisor + r9 review): db.dim RECORDS a
+    # stats column named k but its live schema spells it j, so an
+    # unqualified k names db.fact's column — the claim lands on fact
+    # and NEVER on dim (attributing to the mere recorder was the
+    # misinformation the advisor flagged)
     d = cat.create_table("db.dim", stats_cols=["k"])
     d.append(
         spark.createDataFrame(
@@ -1080,13 +1081,36 @@ def test_explain_pruning_grammar_shapes(spark, tmp_path):
         "SELECT * FROM {{db.fact}} f JOIN {{db.dim}} d ON f.k = d.j "
         "WHERE k = 120"
     )
-    assert not p
+    assert any(it.startswith("db.fact@") for it in p)
+    assert not any(it.startswith("db.dim@") for it in p)
     p = prunes(
         "SELECT * FROM {{db.fact}} f JOIN {{db.dim}} d ON f.k = d.j "
         "WHERE f.k = 120"
     )
     assert any(it.startswith("db.fact@") for it in p)
     assert not any(it.startswith("db.dim@") for it in p)
+    # clause scoping (r9 review): predicate-shaped text in the
+    # SELECT list or a JOIN ON clause does not filter the outer scan
+    # and must not claim; a quoted '(' must not corrupt the OR guard
+    assert not prunes(
+        "SELECT CASE WHEN k > 210 THEN 1 ELSE 0 END AS flag "
+        "FROM {{db.fact}}"
+    )
+    assert not prunes(
+        "SELECT * FROM {{db.fact}} f LEFT JOIN {{db.dim}} d "
+        "ON f.k = 120 AND f.k = d.j"
+    )
+    assert not prunes(
+        "SELECT * FROM {{db.fact}} "
+        "WHERE CAST(v AS STRING) = '(' AND k = 120 OR v = 1.5"
+    )
+    # doubled-quote literals parse whole (no truncated-value claims)
+    p = prunes(
+        "SELECT * FROM {{db.fact}} "
+        "WHERE CAST(v AS STRING) = 'it''s' AND k = 120"
+    )
+    assert any("k = 120: files 1/3" in it for it in p)
+    assert not any(" = it" in it for it in p)
     # a predicate-shaped STRING literal never claims
     assert not prunes(
         "SELECT * FROM {{db.fact}} WHERE CAST(k AS STRING) = 'k > 5'"
