@@ -204,8 +204,96 @@ class LocalCatalog:
         return SnapshotTable(loc, **table_kwargs)
 
     def load_table(self, ident: str) -> SnapshotTable:
-        ent = self._entry(ident)
+        # ATOMICITY ON READ for multi-table transactions (Percolator's
+        # roll-forward rule): a committed-but-not-fully-published
+        # transaction is completed BEFORE any catalog-mediated read
+        # resolves a table — so every reader through the catalog sees
+        # all of a transaction's tables or none, whatever instant a
+        # committer crashed at. Zero cost on the common path: one key
+        # probe of the registry read load_table already performs.
+        reg = self._read()
+        if reg.get("txns"):
+            self._heal_txns()
+        ent = reg["tables"].get(ident)
+        if ent is None:
+            _split_ident(ident)
+            raise ValueError(f"table {ident!r} does not exist")
         return SnapshotTable(ent["location"], **ent.get("table_kwargs", {}))
+
+    # -- multi-table atomic transactions (r8 verdict #4) ---------------
+    #
+    # The consistent fact+dim publish, Iceberg REST-catalog-style,
+    # from the two primitives the repo already proves one by one:
+    #
+    #   * STAGE: each table's rows land as a write-audit-publish staged
+    #     snapshot (op='stage') — durable, fully readable by version,
+    #     invisible to every main-branch reader;
+    #   * COMMIT POINT: ONE registry CAS records the transaction as
+    #     committed with its (table, staged snapshot, wap_id) steps —
+    #     the single atomic word that flips the whole transaction;
+    #   * ROLL-FORWARD: each step then publishes (cherry-picks) its
+    #     staged snapshot onto its table's main — pure metadata,
+    #     idempotent per wap_id — by the committer, or, after a crash,
+    #     by ANY subsequent catalog read/transaction (load_table heals
+    #     before resolving). A crash BEFORE the CAS leaves only staged
+    #     snapshots (expire reclaims them — the rejected-WAP pattern);
+    #     a crash AFTER it is completed by the next reader.
+    #
+    # Consistency domain: catalog-mediated reads (load_table / sql /
+    # execute) — exactly a REST catalog's domain. A reader holding a
+    # direct filesystem handle to one table never consults the catalog
+    # and sees that table's own linearizable history, nothing less.
+    # 100 TB shape: the transaction's cost is its data writes (staged,
+    # fully parallel, zero coordination); the atomic step is one JSON
+    # CAS + N metadata-only publishes.
+
+    def begin_transaction(self) -> "CatalogTransaction":
+        """Start a multi-table transaction. Heals any crashed
+        committed transaction first (the recovery point a long-lived
+        writer process provides even if nothing ever reads)."""
+        if self._read().get("txns"):
+            self._heal_txns()
+        return CatalogTransaction(self)
+
+    def _heal_txns(self) -> None:
+        """Publish every committed transaction's unpublished steps
+        (idempotent — publish dedupes per wap_id inside the table's
+        commit critical section, so concurrent healers are safe), then
+        retire the transaction records. A committed step whose staged
+        snapshot was expired before healing is unrecoverable data loss
+        and raises loudly — run heal (any catalog read) before
+        aggressive expire maintenance."""
+        reg = self._read()
+        for txn_id in sorted(reg.get("txns") or {}):
+            rec = reg["txns"][txn_id]
+            if rec.get("state") != "committed":
+                continue
+            for ident, sv, wap in rec["steps"]:
+                ent = reg["tables"].get(ident)
+                if ent is None:
+                    raise RuntimeError(
+                        f"transaction {txn_id} references dropped "
+                        f"table {ident!r}; cannot roll forward"
+                    )
+                tbl = SnapshotTable(
+                    ent["location"], **ent.get("table_kwargs", {})
+                )
+                try:
+                    tbl.publish(wap)
+                except ValueError as ex:
+                    raise RuntimeError(
+                        f"transaction {txn_id} step ({ident}, "
+                        f"snapshot {sv}) cannot roll forward: {ex} — "
+                        "if the staged snapshot was expired before "
+                        "healing, the transaction's rows are lost"
+                    ) from ex
+            with self._lock():
+                reg2 = self._read()
+                if txn_id in reg2.get("txns", {}):
+                    del reg2["txns"][txn_id]
+                    if not reg2["txns"]:
+                        del reg2["txns"]
+                    self._write(reg2)
 
     def analyze_table(
         self,
@@ -1620,6 +1708,98 @@ class LocalCatalog:
             return dict(props)
 
 
+class CatalogTransaction:
+    """A multi-table atomic transaction over a :class:`LocalCatalog`
+    (see the protocol comment at LocalCatalog.begin_transaction).
+    APPEND-shaped writes only: each ``append`` stages its rows
+    durably off-main; ``commit`` flips one registry CAS then rolls
+    the publishes forward; ``abort`` (or a crash before commit)
+    leaves nothing visible — the staged snapshots are reclaimed by
+    expire, the rejected-WAP pattern. Replace-shaped writes are
+    refused by design: a staged overwrite expresses 'the table IS
+    this' relative to its stage-time base, and rebasing that onto a
+    moved main silently destroys concurrent commits (the same rule
+    cherrypick enforces)."""
+
+    def __init__(self, cat: LocalCatalog):
+        self._cat = cat
+        self.txn_id = (
+            f"txn-{os.getpid()}-{threading.get_ident()}"
+            f"-{time.time_ns()}"
+        )
+        # [(ident, staged_version, wap_id)] in append order; wap ids
+        # are unique PER STEP (two appends to one table are two
+        # cherry-picks — publish dedupes by wap_id, so reusing one id
+        # would silently drop the second batch on publish)
+        self._steps: list[tuple[str, int, str]] = []
+        self._done = False
+
+    def append(self, ident: str, df: DataFrame) -> int:
+        """Stage ``df`` as this transaction's write to ``ident``.
+        Durable immediately (auditable via ``read(as_of=version)``),
+        invisible to every reader until commit. Returns the staged
+        snapshot version."""
+        if self._done:
+            raise ValueError("transaction already committed/aborted")
+        tbl = self._cat.load_table(ident)
+        wap = f"{self.txn_id}#{len(self._steps)}"
+        sv = tbl.stage_append(df, wap_id=wap)
+        self._steps.append((ident, sv, wap))
+        return sv
+
+    def _mark_committed(self) -> None:
+        """THE atomic commit point: one registry CAS records the
+        transaction as committed with its steps. After this returns,
+        the transaction IS committed — the publishes that make it
+        visible on each table's main branch are deterministic
+        roll-forward work that any catalog reader completes if this
+        process dies first. Exposed separately so crash-window tests
+        can stop exactly here; normal callers use commit()."""
+        if self._done:
+            raise ValueError("transaction already committed/aborted")
+        if not self._steps:
+            self._done = True
+            return
+        with self._cat._lock():
+            reg = self._cat._read()
+            for ident, _sv, _wap in self._steps:
+                if ident not in reg["tables"]:
+                    raise ValueError(
+                        f"table {ident!r} was dropped during the "
+                        "transaction"
+                    )
+            reg.setdefault("txns", {})[self.txn_id] = {
+                "state": "committed",
+                "steps": [list(s) for s in self._steps],
+                "ts": time.time(),
+            }
+            self._cat._write(reg)
+        self._done = True
+
+    def commit(self) -> dict:
+        """Commit: one CAS, then roll the publishes forward. Returns
+        {ident: table head after this transaction's publish}."""
+        steps = list(self._steps)
+        self._mark_committed()
+        if steps:
+            self._cat._heal_txns()
+        out: dict[str, int] = {}
+        for ident, _sv, wap in steps:
+            # publish() is idempotent per wap_id: this re-resolve
+            # returns the version the heal (ours or a racer's) landed
+            out[ident] = self._cat.load_table(ident).publish(wap)
+        return out
+
+    def abort(self) -> None:
+        """Forget the transaction. Nothing was ever visible; the
+        staged snapshots await expire (they are reachable by version
+        for audit until then)."""
+        if self._done:
+            raise ValueError("transaction already committed/aborted")
+        self._done = True
+        self._steps.clear()
+
+
 @query(
     "q_catalog_tables",
     oracle="""
@@ -2166,3 +2346,99 @@ def q_catalog_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
             "persisted_for_new_handles"
         ),
     )
+
+
+@query(
+    "q_txn_multi_table",
+    oracle="""
+    WITH f0 AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+         d0 AS (SELECT * FROM customer WHERE c_custkey % 2 = 0),
+         pre AS (
+           SELECT COUNT(*) AS n_pairs,
+                  CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT)
+                      AS n_custs,
+                  CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                       AS DOUBLE) / 100.0 AS sum_price
+           FROM f0 o JOIN d0 c ON o.o_custkey = c.c_custkey
+         ),
+         post AS (
+           SELECT COUNT(*) AS n_pairs,
+                  CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT)
+                      AS n_custs,
+                  CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                       AS DOUBLE) / 100.0 AS sum_price
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         )
+    SELECT 'a_pre_txn' AS phase, * FROM pre
+    UNION ALL
+    SELECT 'b_staged' AS phase, * FROM pre
+    UNION ALL
+    SELECT 'c_committed_heal_on_read' AS phase, * FROM post
+    """,
+)
+def q_txn_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-TABLE ATOMIC TRANSACTION (r8 verdict #4), DuckDB-oracled
+    end-to-end: a fact (orders) and a dim (customer) table get a
+    CONSISTENT pair of appends through one CatalogTransaction, and a
+    catalog-mediated join is measured at three points:
+
+      * ``a_pre_txn`` — only the seed halves (even keys) are visible;
+      * ``b_staged`` — the transaction has durably STAGED the odd
+        halves on both tables, and the join is UNCHANGED: staged
+        snapshots are off-main, so no reader sees a partial pair;
+      * ``c_committed_heal_on_read`` — the transaction is committed
+        via ``_mark_committed()`` ONLY (the single registry CAS — the
+        committer 'crashes' before publishing anything), and the join
+        STILL sees both tables' full contents, because the catalog
+        read itself rolls the committed transaction forward
+        (Percolator's roll-forward rule) before resolving either
+        table. The oracle's post phase is the full orders x customer
+        join — equality proves the reader healed BOTH tables: a
+        half-published pair would drop every odd-even join pair and
+        hash-mismatch.
+
+    Scale shape: the transaction's data writes are ordinary staged
+    commits (parallel, uncoordinated); atomicity costs ONE registry
+    CAS plus per-table metadata-only cherry-picks, and crash recovery
+    is reader-driven and idempotent — no coordinator, no WAL replay.
+    """
+    from ..tables import require_local_master
+
+    require_local_master(spark, "q_txn_multi_table (catalog registry)")
+    root = scratch_dir(spark, sf_dir, "txn_multi")
+    cat = LocalCatalog(root)
+    cat.create_namespace("db")
+    fact = cat.create_table("db.fact")
+    dim = cat.create_table("db.dim")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    fact.append(o.filter(F.col("o_orderkey") % 2 == 0))
+    dim.append(c.filter(F.col("c_custkey") % 2 == 0))
+
+    join_sql = (
+        "SELECT COUNT(*) AS n_pairs, "
+        "COUNT(DISTINCT c.c_custkey) AS n_custs, "
+        "CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) "
+        "AS DOUBLE) / 100.0 AS sum_price "
+        "FROM {{db.fact}} o JOIN {{db.dim}} c "
+        "ON o.o_custkey = c.c_custkey"
+    )
+
+    def phase(name: str) -> DataFrame:
+        return cat.sql(spark, join_sql).select(
+            F.lit(name).alias("phase"),
+            F.col("n_pairs"),
+            F.col("n_custs"),
+            F.col("sum_price"),
+        )
+
+    pre = phase("a_pre_txn")
+    txn = cat.begin_transaction()
+    txn.append("db.fact", o.filter(F.col("o_orderkey") % 2 == 1))
+    txn.append("db.dim", c.filter(F.col("c_custkey") % 2 == 1))
+    staged = phase("b_staged")
+    # the commit point ONLY — the 'committer' dies before publishing;
+    # the next catalog read (the phase query) heals both tables
+    txn._mark_committed()
+    post = phase("c_committed_heal_on_read")
+    return pre.unionAll(staged).unionAll(post)

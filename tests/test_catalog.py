@@ -1115,3 +1115,121 @@ def test_explain_pruning_grammar_shapes(spark, tmp_path):
     assert not prunes(
         "SELECT * FROM {{db.fact}} WHERE CAST(k AS STRING) = 'k > 5'"
     )
+
+
+def _heal_worker(root):
+    from iceberg_insert_spark.sources.catalog import LocalCatalog
+
+    LocalCatalog(root)._heal_txns()
+    return True
+
+
+def test_txn_crash_window_heals_atomically_across_processes(
+    spark, tmp_path
+):
+    """Multi-table transaction crash protocol: the committer dies
+    right after the registry CAS (_mark_committed), publishing
+    NOTHING. Direct main-branch readers still see only the seed rows
+    (all-or-nothing held); then 6 OS processes race to heal — publish
+    idempotence per wap_id means the transaction's rows land exactly
+    once on each table, and the txn record retires."""
+    import multiprocessing as mp
+
+    root = str(tmp_path)
+    cat = LocalCatalog(root)
+    cat.create_namespace("db")
+    f = cat.create_table("db.f")
+    d = cat.create_table("db.d")
+    f.append(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(0, 100, 2)], "k long, v double"
+        )
+    )
+    d.append(
+        spark.createDataFrame(
+            [(i, f"c{i}") for i in range(0, 100, 2)], "k long, g string"
+        )
+    )
+    txn = cat.begin_transaction()
+    txn.append(
+        "db.f",
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(1, 100, 2)], "k long, v double"
+        ),
+    )
+    txn.append(
+        "db.d",
+        spark.createDataFrame(
+            [(i, f"c{i}") for i in range(1, 100, 2)], "k long, g string"
+        ),
+    )
+    txn._mark_committed()  # committer crashes here
+    # staged rows are durable but invisible: all-or-nothing holds
+    assert f.read(spark).count() == 50
+    assert d.read(spark).count() == 50
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(6) as pool:
+        assert all(pool.map(_heal_worker, [root] * 6))
+    # exactly once on BOTH tables, record retired
+    fk = [r.k for r in f.read(spark).collect()]
+    dk = [r.k for r in d.read(spark).collect()]
+    assert sorted(fk) == list(range(100))  # no duplicates, no gaps
+    assert sorted(dk) == list(range(100))
+    assert "txns" not in cat._read()
+    # and a catalog read AFTER a fresh commit+crash heals inline
+    txn2 = cat.begin_transaction()
+    txn2.append(
+        "db.f",
+        spark.createDataFrame([(1000, 1.0)], "k long, v double"),
+    )
+    txn2.append(
+        "db.d",
+        spark.createDataFrame([(1000, "x")], "k long, g string"),
+    )
+    txn2._mark_committed()
+    assert cat.load_table("db.f").read(spark).count() == 101
+    assert cat.load_table("db.d").read(spark).count() == 101
+
+
+def test_txn_abort_and_api_guards(spark, tmp_path):
+    """abort leaves nothing visible (staged snapshots expire like
+    rejected WAP stages); a finished transaction refuses further use;
+    two appends to ONE table in a txn land as two cherry-picks; an
+    empty commit is a no-op."""
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("db")
+    t = cat.create_table("db.t")
+    t.append(spark.createDataFrame([(0, 0.0)], "k long, v double"))
+    txn = cat.begin_transaction()
+    txn.append(
+        "db.t", spark.createDataFrame([(1, 1.0)], "k long, v double")
+    )
+    txn.abort()
+    assert t.read(spark).count() == 1
+    assert "txns" not in cat._read()
+    with pytest.raises(ValueError, match="already committed/aborted"):
+        txn.commit()
+    # two appends to the same table within one transaction
+    txn2 = cat.begin_transaction()
+    txn2.append(
+        "db.t", spark.createDataFrame([(2, 2.0)], "k long, v double")
+    )
+    txn2.append(
+        "db.t", spark.createDataFrame([(3, 3.0)], "k long, v double")
+    )
+    assert t.read(spark).count() == 1  # still invisible
+    heads = txn2.commit()
+    assert set(heads) == {"db.t"}
+    ks = sorted(r.k for r in t.read(spark).collect())
+    assert ks == [0, 2, 3]
+    # empty transaction commits as a no-op
+    assert cat.begin_transaction().commit() == {}
+    # a concurrent plain append between stage and commit merges
+    txn3 = cat.begin_transaction()
+    txn3.append(
+        "db.t", spark.createDataFrame([(4, 4.0)], "k long, v double")
+    )
+    t.append(spark.createDataFrame([(5, 5.0)], "k long, v double"))
+    txn3.commit()
+    ks = sorted(r.k for r in t.read(spark).collect())
+    assert ks == [0, 2, 3, 4, 5]
