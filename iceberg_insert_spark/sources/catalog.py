@@ -207,13 +207,22 @@ class LocalCatalog:
         # ATOMICITY ON READ for multi-table transactions (Percolator's
         # roll-forward rule): a committed-but-not-fully-published
         # transaction is completed BEFORE any catalog-mediated read
-        # resolves a table — so every reader through the catalog sees
-        # all of a transaction's tables or none, whatever instant a
-        # committer crashed at. Zero cost on the common path: one key
-        # probe of the registry read load_table already performs.
+        # resolves a table — so a CRASHED committer's transaction is
+        # never observed half-published, whatever instant it died at.
+        # (A LIVE commit racing a multi-table statement is handled one
+        # level up: sql()'s txn_seq fence pins every bare ref inside
+        # one consistent cut. Sequential manual load_table+read pairs
+        # get crash-atomicity only — pin versions for more.) Zero cost
+        # on the common path: one key probe of the registry read
+        # load_table already performs.
         reg = self._read()
         if reg.get("txns"):
             self._heal_txns()
+            # re-read AFTER healing (review catch: heal can take long
+            # enough for a concurrent analyze_table/rename to land —
+            # resolving from the pre-heal snapshot handed back a
+            # handle missing just-persisted stats columns)
+            reg = self._read()
         ent = reg["tables"].get(ident)
         if ent is None:
             _split_ident(ident)
@@ -255,38 +264,49 @@ class LocalCatalog:
             self._heal_txns()
         return CatalogTransaction(self)
 
-    def _heal_txns(self) -> None:
+    def _heal_txns(self) -> dict:
         """Publish every committed transaction's unpublished steps
         (idempotent — publish dedupes per wap_id inside the table's
         commit critical section, so concurrent healers are safe), then
-        retire the transaction records. A committed step whose staged
-        snapshot was expired before healing is unrecoverable data loss
-        and raises loudly — run heal (any catalog read) before
-        aggressive expire maintenance."""
+        retire the transaction records. Returns {(ident, wap_id):
+        published version} for everything THIS healer published.
+
+        A transaction that cannot roll forward (its staged snapshot
+        expired before healing, or a step's table vanished) is
+        QUARANTINED — state flips to 'failed' with the error recorded
+        — instead of raised (review catch: raising here bricked every
+        catalog read on every unrelated table forever). Failed
+        transactions surface in verify()'s ``failed_txns`` bucket and
+        in the committer's own commit(); ``retry_failed_transaction``
+        re-arms one after the operator restores the missing piece."""
+        healed: dict[tuple[str, str], int] = {}
         reg = self._read()
         for txn_id in sorted(reg.get("txns") or {}):
             rec = reg["txns"][txn_id]
             if rec.get("state") != "committed":
                 continue
-            for ident, sv, wap in rec["steps"]:
-                ent = reg["tables"].get(ident)
-                if ent is None:
-                    raise RuntimeError(
-                        f"transaction {txn_id} references dropped "
-                        f"table {ident!r}; cannot roll forward"
+            try:
+                for ident, sv, wap in rec["steps"]:
+                    ent = reg["tables"].get(ident)
+                    if ent is None:
+                        raise ValueError(
+                            f"step table {ident!r} no longer exists"
+                        )
+                    tbl = SnapshotTable(
+                        ent["location"], **ent.get("table_kwargs", {})
                     )
-                tbl = SnapshotTable(
-                    ent["location"], **ent.get("table_kwargs", {})
-                )
-                try:
-                    tbl.publish(wap)
-                except ValueError as ex:
-                    raise RuntimeError(
-                        f"transaction {txn_id} step ({ident}, "
-                        f"snapshot {sv}) cannot roll forward: {ex} — "
-                        "if the staged snapshot was expired before "
-                        "healing, the transaction's rows are lost"
-                    ) from ex
+                    healed[(ident, wap)] = tbl.publish(wap)
+            except ValueError as ex:
+                # quarantine; already-published steps are harmless
+                # (a later retry re-publishes idempotently)
+                with self._lock():
+                    reg2 = self._read()
+                    r2 = reg2.get("txns", {}).get(txn_id)
+                    if r2 is not None and r2.get("state") == "committed":
+                        r2["state"] = "failed"
+                        r2["error"] = str(ex)[:500]
+                        self._write(reg2)
+                continue
             with self._lock():
                 reg2 = self._read()
                 if txn_id in reg2.get("txns", {}):
@@ -294,6 +314,42 @@ class LocalCatalog:
                     if not reg2["txns"]:
                         del reg2["txns"]
                     self._write(reg2)
+        return healed
+
+    def failed_transactions(self) -> dict:
+        """Quarantined transactions: {txn_id: record} — committed but
+        not rolled forward (see _heal_txns). Their rows stay invisible
+        until retry_failed_transaction succeeds."""
+        return {
+            t: dict(r)
+            for t, r in (self._read().get("txns") or {}).items()
+            if r.get("state") == "failed"
+        }
+
+    def retry_failed_transaction(self, txn_id: str) -> dict:
+        """Re-arm one quarantined transaction (after restoring what
+        broke it — e.g. re-registering a dropped table) and heal.
+        Returns the {(ident, wap_id): version} publishes; raises if it
+        quarantines again."""
+        with self._lock():
+            reg = self._read()
+            rec = reg.get("txns", {}).get(txn_id)
+            if rec is None or rec.get("state") != "failed":
+                raise ValueError(
+                    f"no failed transaction {txn_id!r} "
+                    f"(have {sorted(self.failed_transactions())})"
+                )
+            rec["state"] = "committed"
+            rec.pop("error", None)
+            self._write(reg)
+        healed = self._heal_txns()
+        still = self._read().get("txns", {}).get(txn_id)
+        if still is not None:
+            raise RuntimeError(
+                f"transaction {txn_id} failed again: "
+                f"{still.get('error')}"
+            )
+        return healed
 
     def analyze_table(
         self,
@@ -364,6 +420,15 @@ class LocalCatalog:
             if dns not in reg["namespaces"]:
                 raise ValueError(f"namespace {dns!r} does not exist")
             reg["tables"][dst] = reg["tables"].pop(src)
+            # pending transaction steps follow the pointer (review
+            # catch: heal resolves steps by identifier, so a rename
+            # between a txn's commit CAS and its roll-forward would
+            # otherwise orphan the record forever — the data location
+            # the staged snapshot lives at is untouched by rename)
+            for rec in (reg.get("txns") or {}).values():
+                for step in rec.get("steps", []):
+                    if step[0] == src:
+                        step[0] = dst
             self._write(reg)
 
     def clone_table(self, src: str, dst: str) -> SnapshotTable:
@@ -410,6 +475,20 @@ class LocalCatalog:
             ent = reg["tables"].get(ident)
             if ent is None:
                 raise ValueError(f"table {ident!r} does not exist")
+            # a committed-but-unpublished transaction still owes this
+            # table a publish — dropping it would quarantine the txn
+            # (and purge would destroy its staged rows); heal first
+            owed = sorted(
+                t
+                for t, r in (reg.get("txns") or {}).items()
+                if any(s[0] == ident for s in r.get("steps", []))
+            )
+            if owed:
+                raise ValueError(
+                    f"table {ident!r} is referenced by pending "
+                    f"transaction(s) {owed}; heal (any catalog read) "
+                    "or retry_failed_transaction first"
+                )
             reg["tables"].pop(ident)
             self._write(reg)
         # data IO stays outside the metadata critical section
@@ -554,6 +633,55 @@ class LocalCatalog:
 
         reg = self._read()
         views = reg.get("views", {})
+        # STATEMENT-LEVEL SNAPSHOT ISOLATION w.r.t. transactions
+        # (review catch: per-ref resolution is sequential, so a
+        # multi-table transaction committing BETWEEN two refs'
+        # resolutions joined old-fact with new-dim — the half-applied
+        # pair the transaction protocol exists to prevent). Bare table
+        # refs are pre-pinned to heads resolved inside one fence:
+        # heal, resolve every head, and confirm the registry's txn_seq
+        # did not move and no committed txn appeared meanwhile —
+        # otherwise retry. Plain single-table appends don't bump the
+        # fence (they are not cross-table claims). Views re-resolve
+        # per expansion: the guarantee is per statement per nesting
+        # level.
+        bare = {
+            m.group(1)
+            for m in self._SQL_REF_RE.finditer(sql)
+            if m.group(2) is None
+            and m.group(3) is None
+            and m.group(1) not in views
+            and m.group(1) in reg["tables"]
+        }
+        pins: dict[str, int] = {}
+        if bare:
+            for _ in range(8):
+                s1 = self._read()
+                if s1.get("txns"):
+                    self._heal_txns()
+                    continue
+                pins = {}
+                for ref in bare:
+                    ent = s1["tables"].get(ref)
+                    if ent is None:
+                        break  # dropped mid-flight: sub() raises clean
+                    v = SnapshotTable(
+                        ent["location"],
+                        **ent.get("table_kwargs", {}),
+                    )._latest_published()
+                    if v is not None:
+                        pins[ref] = v
+                s2 = self._read()
+                if s2.get("txn_seq", 0) == s1.get(
+                    "txn_seq", 0
+                ) and not s2.get("txns"):
+                    break
+            else:
+                raise RuntimeError(
+                    "could not obtain a transaction-consistent "
+                    "snapshot (transactions kept committing during "
+                    "resolution); retry the statement"
+                )
 
         def sub(m: re.Match) -> str:
             ref, pin, tspin = m.group(1), m.group(2), m.group(3)
@@ -600,7 +728,7 @@ class LocalCatalog:
                     )
             else:
                 t = self.load_table(ref)
-                as_of = int(pin) if pin else None
+                as_of = int(pin) if pin else pins.get(ref)
                 if tspin is not None:
                     as_of = t.resolve_as_of_ts(
                         self._resolve_ts_pin(tspin)
@@ -1687,6 +1815,14 @@ class LocalCatalog:
                 tuple(v) for v in by_loc.values() if len(v) > 1
             ),
             "stale_lock": stale,
+            # committed-but-unrollable multi-table transactions (see
+            # _heal_txns quarantine) — rows invisible until
+            # retry_failed_transaction succeeds
+            "failed_txns": sorted(
+                t
+                for t, r in (reg.get("txns") or {}).items()
+                if r.get("state") == "failed"
+            ),
         }
 
     def properties(self, ident: str) -> dict:
@@ -1773,21 +1909,42 @@ class CatalogTransaction:
                 "steps": [list(s) for s in self._steps],
                 "ts": time.time(),
             }
+            # statement-snapshot fence: sql() detects a transaction
+            # commit landing mid-resolution through this counter
+            reg["txn_seq"] = int(reg.get("txn_seq", 0)) + 1
             self._cat._write(reg)
         self._done = True
 
     def commit(self) -> dict:
         """Commit: one CAS, then roll the publishes forward. Returns
-        {ident: table head after this transaction's publish}."""
+        {ident: table head after this transaction's publish}. If the
+        roll-forward quarantines (see _heal_txns) the transaction IS
+        committed but its rows stay invisible — raised here with the
+        recorded error so the committer knows to retry."""
         steps = list(self._steps)
         self._mark_committed()
-        if steps:
-            self._cat._heal_txns()
+        if not steps:
+            return {}
+        healed = self._cat._heal_txns()
         out: dict[str, int] = {}
         for ident, _sv, wap in steps:
-            # publish() is idempotent per wap_id: this re-resolve
-            # returns the version the heal (ours or a racer's) landed
-            out[ident] = self._cat.load_table(ident).publish(wap)
+            v = healed.get((ident, wap))
+            if v is None:
+                # a concurrent healer may have beaten us to the whole
+                # record — publish() idempotently re-resolves; a
+                # quarantined own-record raises instead
+                rec = (
+                    self._cat._read().get("txns", {}).get(self.txn_id)
+                )
+                if rec is not None:
+                    raise RuntimeError(
+                        f"transaction {self.txn_id} committed but its "
+                        f"roll-forward failed: {rec.get('error')} — "
+                        "rows stay invisible until "
+                        "retry_failed_transaction succeeds"
+                    )
+                v = self._cat.load_table(ident).publish(wap)
+            out[ident] = v
         return out
 
     def abort(self) -> None:

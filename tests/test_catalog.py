@@ -170,6 +170,7 @@ def test_catalog_verify_reports_each_bucket(spark, tmp_path):
         "unregistered_dirs": [],
         "shared_locations": [],
         "stale_lock": False,
+        "failed_txns": [],
     }
     # missing location
     gone = cat.create_table("db.gone")
@@ -1233,3 +1234,87 @@ def test_txn_abort_and_api_guards(spark, tmp_path):
     txn3.commit()
     ks = sorted(r.k for r in t.read(spark).collect())
     assert ks == [0, 2, 3, 4, 5]
+
+
+def test_txn_quarantine_rename_and_drop_guards(spark, tmp_path):
+    """Failure containment for the transaction protocol: a committed
+    txn whose staged snapshot is destroyed QUARANTINES (reads of
+    unrelated tables keep working, verify() reports it,
+    retry_failed_transaction re-arms); rename_table carries pending
+    txn steps to the new identifier; drop_table refuses while a txn
+    still owes the table a publish."""
+    import shutil
+
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("db")
+    a = cat.create_table("db.a")
+    b = cat.create_table("db.b")
+    a.append(spark.createDataFrame([(0, 0.0)], "k long, v double"))
+    b.append(spark.createDataFrame([(0, 0.0)], "k long, v double"))
+    # rename between commit CAS and heal: steps follow the pointer
+    txn = cat.begin_transaction()
+    txn.append(
+        "db.a", spark.createDataFrame([(1, 1.0)], "k long, v double")
+    )
+    txn._mark_committed()
+    cat.rename_table("db.a", "db.a2")
+    assert cat.load_table("db.a2").read(spark).count() == 2  # healed
+    assert "txns" not in cat._read()
+    # drop refusal while a txn owes the table a publish
+    txn2 = cat.begin_transaction()
+    txn2.append(
+        "db.b", spark.createDataFrame([(1, 1.0)], "k long, v double")
+    )
+    txn2._mark_committed()
+    with pytest.raises(ValueError, match="pending transaction"):
+        cat.drop_table("db.b")
+    # quarantine: destroy the staged snapshot's manifest, then read an
+    # UNRELATED table — must succeed, with the txn parked as failed
+    rec = cat._read()["txns"][txn2.txn_id]
+    sv = rec["steps"][0][1]
+    os.remove(
+        os.path.join(cat._entry("db.b")["location"], "_manifests", f"v{sv}.json")
+    )
+    assert cat.load_table("db.a2").read(spark).count() == 2
+    assert cat.verify()["failed_txns"] == [txn2.txn_id]
+    assert list(cat.failed_transactions()) == [txn2.txn_id]
+    # restore the staged manifest? gone for good here — retry fails
+    # loudly and stays quarantined
+    with pytest.raises(RuntimeError, match="failed again"):
+        cat.retry_failed_transaction(txn2.txn_id)
+    # unknown ids get the clean error
+    with pytest.raises(ValueError, match="no failed transaction"):
+        cat.retry_failed_transaction("nope")
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def test_sql_statement_snapshot_fence(spark, tmp_path):
+    """sql() pins every bare ref inside one txn_seq fence: a
+    transaction committing between two refs' resolutions cannot be
+    half-seen by one statement. Simulated by committing a txn from
+    inside the resolution window via a monkeypatched read hook is
+    overkill here — instead pin the mechanics: pins resolve to the
+    pre-commit heads, and a post-commit statement sees both tables
+    move together."""
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("db")
+    f = cat.create_table("db.f")
+    d = cat.create_table("db.d")
+    f.append(spark.createDataFrame([(0, 0.0)], "k long, v double"))
+    d.append(spark.createDataFrame([(0, "a")], "k long, g string"))
+    q = (
+        "SELECT (SELECT COUNT(*) FROM {{db.f}}) AS nf, "
+        "(SELECT COUNT(*) FROM {{db.d}}) AS nd"
+    )
+    r = cat.sql(spark, q).collect()[0]
+    assert (r.nf, r.nd) == (1, 1)
+    txn = cat.begin_transaction()
+    txn.append(
+        "db.f", spark.createDataFrame([(1, 1.0)], "k long, v double")
+    )
+    txn.append(
+        "db.d", spark.createDataFrame([(1, "b")], "k long, g string")
+    )
+    txn.commit()
+    r = cat.sql(spark, q).collect()[0]
+    assert (r.nf, r.nd) == (2, 2)  # both moved together
