@@ -125,7 +125,13 @@ def q_sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 IVF_CELLS = 16
-IVF_NPROBE = 4
+# nprobe picks the recall/cost point: measured at sf0.001/0.01/0.1,
+# nprobe=4 probes 25% of the data for 56-64% recall@5, 6 -> 37.5% for
+# 70-78%, 8 -> 50% for 80-86% (SCALE.md r9 curve). 8 is the default
+# because q_sim_ann_recall pins a >=70% recall floor as an ORACLED
+# claim — the dial a deployment turns down once its own recall
+# measurement (same query) says it can.
+IVF_NPROBE = 8
 
 
 @query("q_sim_knn_ivf")
@@ -874,4 +880,55 @@ def q_emb_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
             for rank, (pid, score) in enumerate(picked)
         ],
         "rank long, vec_id long, mmr_score double",
+    )
+
+
+ANN_RECALL_FLOORS = {"ivf": 70, "lsh": 85}
+
+
+@query(
+    "q_sim_ann_recall",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('ivf', CAST(5 AS BIGINT), CAST(70 AS BIGINT), CAST(1 AS BIGINT)),
+        ('lsh', CAST(5 AS BIGINT), CAST(85 AS BIGINT), CAST(1 AS BIGINT))
+    ) AS t(method, k, floor_pct, meets_floor)
+    """,
+)
+def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED ANN recall@k (r8 verdict missing #4): the LSH and IVF
+    approximate tiers are scored against the exact brute-force twin
+    (q_sim_knn) and each must clear its recall floor — turning two
+    permanently rows-only queries into a CHECKED claim: 'the ANN tier
+    ran' becomes 'the ANN tier returns >= floor% of the true top-k'.
+
+    recall@k = |ANN top-k ∩ exact top-k| / (N_PROBES * TOP_K), the
+    standard definition. Both tiers are seeded (hyperplanes, k-means
+    init), so the measurement is deterministic per dataset; floors
+    (lsh >= 85%, ivf >= 70%) sit >= 7 points under every measured
+    value across sf0.001/0.01/0.1 (lsh 92-98%, ivf 80-86% at
+    nprobe=8 — SCALE.md r9 has the recall-vs-cost curve). A silent
+    quality regression in either tier (wrong bucket join, broken
+    quantizer, bad re-score) drops recall below the floor and
+    hash-mismatches the oracle's constant table.
+
+    Scale shape: the measurement is itself the deployment's tuning
+    tool — exact top-k over a bounded probe sample (broadcast, one
+    candidate scan) scores an ANN tier of ANY size; at 100 TB you run
+    it on a 1%% sample table before committing to an nprobe/bucket
+    setting, exactly how FAISS users calibrate IVF.
+    """
+    exact = q_sim_knn(spark, sf_dir).select("probe_id", "cand_id")
+    total = N_PROBES * TOP_K
+    rows = []
+    for method, fn in (("ivf", q_sim_knn_ivf), ("lsh", q_sim_knn_lsh)):
+        ann = fn(spark, sf_dir).select("probe_id", "cand_id")
+        hits = exact.join(ann, ["probe_id", "cand_id"]).count()
+        floor = ANN_RECALL_FLOORS[method]
+        rows.append(
+            (method, TOP_K, floor, int(100 * hits >= floor * total))
+        )
+    return spark.createDataFrame(
+        rows,
+        "method string, k bigint, floor_pct bigint, meets_floor bigint",
     )
