@@ -68,3 +68,72 @@ def test_udtf_plan_fans_out_in_scan_stage(spark):
     # the lateral join needs are read
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
     assert df.limit(5).count() > 0
+
+
+def test_udtf_profile_polymorphic_analyze(spark):
+    """Polymorphic analyze() UDTF (r8 verdict #7): the output schema
+    adapts to the TABLE argument's columns (numeric -> min/max/sum
+    triples, non-numeric skipped), the UDTF itself demands the
+    hash-partitioning, NULLs follow SQL aggregate semantics, and a
+    bad key fails at PLAN time with the analyze() error."""
+    import pytest
+
+    from iceberg_insert_spark.operators.udf import _make_profile_udtf
+
+    spark.udtf.register("iis_profile_t", _make_profile_udtf())
+    spark.createDataFrame(
+        [
+            ("a", 1, 10.0, "x"),
+            ("a", 5, None, "y"),
+            ("b", 3, 2.5, None),
+        ],
+        "g string, k long, v double, s string",
+    ).createOrReplaceTempView("prof_t1")
+    rows = {
+        r.g: r
+        for r in spark.sql(
+            "SELECT * FROM iis_profile_t(TABLE(prof_t1), 'g')"
+        ).collect()
+    }
+    assert set(rows) == {"a", "b"}
+    a = rows["a"]
+    # schema adapted: k -> long triple, v -> double triple, s skipped
+    assert (a.n_rows, a.min_k, a.max_k, a.sum_k) == (2, 1, 5, 6)
+    assert (a.min_v, a.max_v, a.sum_v) == (10.0, 10.0, 10.0)  # NULL skip
+    assert "min_s" not in rows["a"].asDict()
+    b = rows["b"]
+    assert (b.n_rows, b.sum_k, b.sum_v) == (1, 3, 2.5)
+    # a DIFFERENT shape gets a DIFFERENT schema from the same UDTF
+    spark.createDataFrame(
+        [("p", 7), ("p", 9)], "tag string, only_col long"
+    ).createOrReplaceTempView("prof_t2")
+    r2 = spark.sql(
+        "SELECT * FROM iis_profile_t(TABLE(prof_t2), 'tag')"
+    ).collect()[0]
+    assert sorted(r2.asDict()) == [
+        "max_only_col", "min_only_col", "n_rows", "sum_only_col", "tag",
+    ]
+    assert (r2.tag, r2.sum_only_col) == ("p", 16)
+    # bad partition key: analyze() raises at plan time
+    with pytest.raises(Exception, match="not a column"):
+        spark.sql(
+            "SELECT * FROM iis_profile_t(TABLE(prof_t1), 'nope')"
+        ).collect()
+
+
+def test_udtf_profile_plan_pin(spark):
+    """Plan pin (r8 verdict #7 'done' criterion): the profile UDTF
+    evaluates as BatchEvalPythonUDTF behind EXACTLY the one
+    hash-partition exchange its analyze() demanded — no extra
+    shuffle, no driver materialization."""
+    from iceberg_insert_spark.operators.udf import q_udtf_profile
+
+    df = q_udtf_profile(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPythonUDTF" in plan
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges == 1, plan
+    # Spark projects the demanded key as partition_by_0 and hashes it
+    assert "hashpartitioning(partition_by_0" in plan, plan
+    # and the rows are the per-language profile (5 langs in testdata)
+    assert df.count() == 5
