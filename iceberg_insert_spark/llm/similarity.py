@@ -132,6 +132,7 @@ IVF_CELLS = 16
 # claim — the dial a deployment turns down once its own recall
 # measurement (same query) says it can.
 IVF_NPROBE = 8
+IVF_TRAIN_CAP = 100_000  # quantizer training-sample bound (see fit)
 
 
 @query("q_sim_knn_ivf")
@@ -161,7 +162,18 @@ def q_sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         featuresCol="features",
         predictionCol="cell",
     )
-    model = km.fit(emb)
+    # Train the quantizer on a DETERMINISTIC single-partition sample
+    # (review catch: Spark's seeded random init samples PER PARTITION,
+    # so centroids — and therefore recall — varied with the parquet
+    # split layout, i.e. with core count / maxPartitionBytes; the
+    # oracled q_sim_ann_recall floor must not move with the host).
+    # Sampling-to-train is the standard IVF workflow (FAISS trains on
+    # ~100k vectors however big the index); the cap bounds the
+    # single-partition training cost at any table size, and cell
+    # ASSIGNMENT below stays fully distributed.
+    model = km.fit(
+        emb.orderBy("vec_id").limit(IVF_TRAIN_CAP).coalesce(1)
+    )
     cand = model.transform(emb).select("vec_id", "label", "embedding", "cell")
     # C centroids are model metadata — broadcast-sized at any data scale.
     cents = [
@@ -918,12 +930,25 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     it on a 1%% sample table before committing to an nprobe/bucket
     setting, exactly how FAISS users calibrate IVF.
     """
-    exact = q_sim_knn(spark, sf_dir).select("probe_id", "cand_id")
+    # the exact top-k is N_PROBES*TOP_K = 50 pairs — collect ONCE and
+    # intersect locally (review catch: an uncached `exact` lineage
+    # re-ran the full brute-force scan per ANN method)
+    exact = {
+        (r.probe_id, r.cand_id)
+        for r in q_sim_knn(spark, sf_dir)
+        .select("probe_id", "cand_id")
+        .collect()
+    }
     total = N_PROBES * TOP_K
     rows = []
     for method, fn in (("ivf", q_sim_knn_ivf), ("lsh", q_sim_knn_lsh)):
-        ann = fn(spark, sf_dir).select("probe_id", "cand_id")
-        hits = exact.join(ann, ["probe_id", "cand_id"]).count()
+        ann = {
+            (r.probe_id, r.cand_id)
+            for r in fn(spark, sf_dir)
+            .select("probe_id", "cand_id")
+            .collect()
+        }
+        hits = len(exact & ann)
         floor = ANN_RECALL_FLOORS[method]
         rows.append(
             (method, TOP_K, floor, int(100 * hits >= floor * total))

@@ -213,6 +213,7 @@ def _make_profile_udtf():
 
     from pyspark.sql.functions import udtf
     from pyspark.sql.types import (
+        ByteType,
         DoubleType,
         FloatType,
         IntegerType,
@@ -226,7 +227,11 @@ def _make_profile_udtf():
         PartitioningColumn,
     )
 
-    _INTS = (LongType, IntegerType, ShortType)
+    # the profiled "numeric" contract: integral and floating types.
+    # DecimalType is deliberately excluded (its exact-arithmetic
+    # profile belongs to the engine's DECIMAL aggregate recipes, not a
+    # float triple) — analyze() simply skips it like any non-numeric.
+    _INTS = (LongType, IntegerType, ShortType, ByteType)
     _FLTS = (DoubleType, FloatType)
 
     @dataclass
@@ -238,6 +243,7 @@ def _make_profile_udtf():
 
         key: str = ""
         cols: list = field(default_factory=list)
+        flts: frozenset = frozenset()  # float cols: NaN semantics
 
     class PartitionProfile:
         def __init__(self, analyze_result: "ProfilePlan"):
@@ -268,6 +274,7 @@ def _make_profile_udtf():
             out.add(key, table_arg.dataType[key].dataType)
             out.add("n_rows", LongType())
             cols = []
+            flts = set()
             for f in table_arg.dataType.fields:
                 if f.name == key:
                     continue
@@ -275,19 +282,32 @@ def _make_profile_udtf():
                     t = LongType()
                 elif isinstance(f.dataType, _FLTS):
                     t = DoubleType()
+                    flts.add(f.name)
                 else:
                     continue  # non-numeric columns are not profiled
                 cols.append(f.name)
                 for agg in ("min", "max", "sum"):
                     out.add(f"{agg}_{f.name}", t)
+            if key in {f"{a}_{c}" for c in cols for a in ("min", "max", "sum")} | {
+                "n_rows"
+            }:
+                # StructType.add accepts duplicates silently; refuse at
+                # plan time instead of emitting an ambiguous schema
+                raise Exception(
+                    f"partition key {key!r} collides with a generated "
+                    "profile column name"
+                )
             return ProfilePlan(
                 schema=out,
                 partitionBy=[PartitioningColumn(key)],
                 key=key,
                 cols=cols,
+                flts=frozenset(flts),
             )
 
         def eval(self, row, key: str):
+            import math
+
             if not self._seen:
                 self._key_val = row[self._plan.key]
                 self._seen = True
@@ -296,23 +316,44 @@ def _make_profile_udtf():
                 v = row[c]
                 if v is None:
                     continue  # SQL aggregate semantics: NULLs skip
+                # Spark/DuckDB MIN/MAX order NaN ABOVE every double
+                # (review catch: naive `<`/`>` comparisons freeze the
+                # accumulator at NaN or drop it from max); SUM
+                # propagates NaN, which plain += already does
+                if c in self._plan.flts and math.isnan(v):
+                    a = self._acc.setdefault(
+                        c, [None, None, 0.0]
+                    )
+                    a[1] = v  # NaN is the max the moment it appears
+                    a[2] += v
+                    continue
                 a = self._acc.get(c)
                 if a is None:
                     self._acc[c] = [v, v, v]
                 else:
-                    if v < a[0]:
+                    if a[0] is None or v < a[0]:
                         a[0] = v
-                    if v > a[1]:
-                        a[1] = v
+                    if a[1] is None or (
+                        v > a[1] if a[1] == a[1] else False
+                    ):
+                        a[1] = v  # a NaN max (a[1]!=a[1]) stays NaN
                     a[2] += v
 
         def terminate(self):
+            import math
+
             if not self._seen:
                 return
             out = [self._key_val, self._n]
             for c in self._plan.cols:
                 a = self._acc.get(c)
-                out.extend([None, None, None] if a is None else a)
+                if a is None:
+                    out.extend([None, None, None])
+                    continue
+                # all-NaN column: MIN is NaN too (nothing below it)
+                if a[0] is None:
+                    a[0] = math.nan
+                out.extend(a)
             yield tuple(out)
 
     return udtf(PartitionProfile)
@@ -350,7 +391,12 @@ def q_udtf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the exchange is exactly the one hash-partition
     shuffle the UDTF requested — per-partition state is O(numeric
-    columns), rows stream through Arrow batches, nothing driver-side.
+    columns) and nothing is driver-side. Rows cross the Python
+    boundary on the pickled-row UDTF path (the plan pin shows
+    BatchEvalPythonUDTF; Arrow UDTF eval is the
+    ``spark.sql.execution.pythonUDTF.arrow.enabled`` session conf,
+    off by default — flip it deployment-wide for the 10-100x batch
+    transfer win, the operator's logic is transfer-agnostic).
     Use the built-in groupBy().agg for anything this simple in
     production; the polymorphic UDTF earns its Python round trip when
     per-partition logic is genuinely imperative (sessionization,

@@ -137,3 +137,57 @@ def test_udtf_profile_plan_pin(spark):
     assert "hashpartitioning(partition_by_0" in plan, plan
     # and the rows are the per-language profile (5 langs in testdata)
     assert df.count() == 5
+
+
+def test_udtf_profile_nan_and_collision_edges(spark):
+    """Float NaN follows Spark aggregate order (NaN above every
+    double: MAX catches it whenever present, MIN ignores it unless
+    all-NaN, SUM propagates), tinyint profiles like any integral, and
+    a partition key colliding with a generated column name fails at
+    plan time."""
+    import math
+
+    import pytest
+
+    from iceberg_insert_spark.operators.udf import _make_profile_udtf
+
+    spark.udtf.register("iis_profile_e", _make_profile_udtf())
+    nan = float("nan")
+    spark.createDataFrame(
+        [("a", 2.0), ("a", nan), ("a", 7.0), ("b", nan)],
+        "g string, v double",
+    ).createOrReplaceTempView("prof_nan")
+    rows = {
+        r.g: r
+        for r in spark.sql(
+            "SELECT * FROM iis_profile_e(TABLE(prof_nan), 'g')"
+        ).collect()
+    }
+    # engine parity checked directly against Spark's own aggregates
+    ref = {
+        r.g: r
+        for r in spark.sql(
+            "SELECT g, MIN(v) mn, MAX(v) mx, SUM(v) s "
+            "FROM prof_nan GROUP BY g"
+        ).collect()
+    }
+    assert rows["a"].min_v == ref["a"].mn == 2.0
+    assert math.isnan(rows["a"].max_v) and math.isnan(ref["a"].mx)
+    assert math.isnan(rows["a"].sum_v) and math.isnan(ref["a"].s)
+    assert math.isnan(rows["b"].min_v) and math.isnan(ref["b"].mn)
+    # tinyint counts as numeric
+    spark.sql(
+        "SELECT 'x' AS g, CAST(3 AS TINYINT) AS t"
+    ).createOrReplaceTempView("prof_tiny")
+    r = spark.sql(
+        "SELECT * FROM iis_profile_e(TABLE(prof_tiny), 'g')"
+    ).collect()[0]
+    assert (r.min_t, r.max_t, r.sum_t) == (3, 3, 3)
+    # key colliding with a generated name refuses at plan time
+    spark.createDataFrame(
+        [("k", 1)], "n_rows string, x long"
+    ).createOrReplaceTempView("prof_bad")
+    with pytest.raises(Exception, match="collides"):
+        spark.sql(
+            "SELECT * FROM iis_profile_e(TABLE(prof_bad), 'n_rows')"
+        ).collect()
