@@ -13,6 +13,10 @@ Four tiers, each separately recall-measured (q_sim_ann_recall):
   * ``q_sim_knn_pq`` — product quantization shrinks the CANDIDATE BYTES
     (8-byte codes + broadcast lookup tables, 64x less scan bandwidth,
     exact re-rank of the ADC shortlist).
+
+A fifth tier composes the last two over a PERSISTED, incrementally
+maintained index (FAISS IndexIVFPQ on the repo's own table format):
+``q_sim_knn_ivfpq`` in llm/vecindex.py.
 """
 
 from __future__ import annotations
@@ -899,24 +903,25 @@ def q_emb_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ANN_RECALL_FLOORS = {"ivf": 70, "lsh": 85, "pq": 80}
+ANN_RECALL_FLOORS = {"ivf": 70, "lsh": 85, "pq": 80, "ivfpq": 72}
 
 
 @query(
     "q_sim_ann_recall",
     oracle="""
     SELECT * FROM (VALUES
-        ('ivf', CAST(5 AS BIGINT), CAST(70 AS BIGINT), CAST(1 AS BIGINT)),
-        ('lsh', CAST(5 AS BIGINT), CAST(85 AS BIGINT), CAST(1 AS BIGINT)),
-        ('pq',  CAST(5 AS BIGINT), CAST(80 AS BIGINT), CAST(1 AS BIGINT))
+        ('ivf',   CAST(5 AS BIGINT), CAST(70 AS BIGINT), CAST(1 AS BIGINT)),
+        ('lsh',   CAST(5 AS BIGINT), CAST(85 AS BIGINT), CAST(1 AS BIGINT)),
+        ('pq',    CAST(5 AS BIGINT), CAST(80 AS BIGINT), CAST(1 AS BIGINT)),
+        ('ivfpq', CAST(5 AS BIGINT), CAST(72 AS BIGINT), CAST(1 AS BIGINT))
     ) AS t(method, k, floor_pct, meets_floor)
     """,
 )
 def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MEASURED ANN recall@k (r8 verdict missing #4): the LSH and IVF
-    approximate tiers are scored against the exact brute-force twin
-    (q_sim_knn) and each must clear its recall floor — turning two
-    permanently rows-only queries into a CHECKED claim: 'the ANN tier
+    """MEASURED ANN recall@k (r8 verdict missing #4): every
+    approximate tier is scored against the exact brute-force twin
+    (q_sim_knn) and must clear its recall floor — turning permanently
+    rows-only queries into a CHECKED claim: 'the ANN tier
     ran' becomes 'the ANN tier returns >= floor% of the true top-k'.
 
     recall@k = |ANN top-k ∩ exact top-k| / (N_PROBES * TOP_K), the
@@ -925,7 +930,8 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the measurement is deterministic per dataset; floors sit >= 7
     points under every measured value across sf0.001/0.01/0.1 (lsh
     92-98%, ivf 80-86% at nprobe=8, pq 88-100% at 8x256 codes +
-    R=50 re-rank — SCALE.md r9 has the recall-vs-cost curves). A silent
+    R=50 re-rank, ivfpq 82-84% at nprobe=8 + residual codes + R=100
+    over the PERSISTED index — SCALE.md r9 curves). A silent
     quality regression in either tier (wrong bucket join, broken
     quantizer, bad re-score) drops recall below the floor and
     hash-mismatches the oracle's constant table.
@@ -947,10 +953,15 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     total = N_PROBES * TOP_K
     rows = []
+    # lazy import: vecindex imports N_PROBES/TOP_K from this module,
+    # so the persisted-index tier resolves at call time, not load time
+    from .vecindex import q_sim_knn_ivfpq
+
     for method, fn in (
         ("ivf", q_sim_knn_ivf),
         ("lsh", q_sim_knn_lsh),
         ("pq", q_sim_knn_pq),
+        ("ivfpq", q_sim_knn_ivfpq),
     ):
         ann = {
             (r.probe_id, r.cand_id)

@@ -48,6 +48,7 @@ _MODULES = [
     "iceberg_insert_spark.llm.bpe",
     "iceberg_insert_spark.llm.multimodal",
     "iceberg_insert_spark.llm.langid",
+    "iceberg_insert_spark.llm.vecindex",
     "iceberg_insert_spark.sources.json_ingest",
     "iceberg_insert_spark.sources.csv_ingest",
     "iceberg_insert_spark.sources.orc_ingest",

@@ -1,0 +1,140 @@
+"""Persisted IVF-PQ vector index: lifecycle, pruning, and quality.
+
+The oracled end-to-end checks live in the registry (q_vecindex_build /
+q_vecindex_incremental via test_oracle.py); these tests pin the
+mechanics the hashes can't see — planted-neighbor retrieval, planner
+file pruning, quantizer immutability across refreshes, and the
+build-required / exactly-once contracts."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_insert_spark.llm import vecindex as V
+from iceberg_insert_spark.sources.snapshots import SnapshotTable
+
+
+def _mk_src(spark, tmp_path, vecs):
+    src = SnapshotTable(str(tmp_path / "src"))
+    rows = [(i, i % 3, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    src.append(
+        spark.createDataFrame(
+            rows, "vec_id long, label int, embedding array<double>"
+        )
+    )
+    return src
+
+
+def _clustered_vectors(n_clusters=6, per=40, d=16, planted=True):
+    """Deterministic clustered corpus: vec 0 gets a planted
+    near-duplicate (vec 1) that exact cosine must rank #1."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(n_clusters, d) * 4.0
+    vecs = []
+    for c in range(n_clusters):
+        vecs.extend(centers[c] + rng.randn(per, d) * 0.3)
+    vecs = np.asarray(vecs)
+    if planted:
+        vecs[1] = vecs[0] + 1e-3  # near-duplicate of vec 0
+    return vecs
+
+
+def test_planted_neighbor_retrieved(spark, tmp_path):
+    """The planted near-duplicate of probe 0 must come back rank 1:
+    a broken LUT, a wrong residual, or a bad cell join would lose it."""
+    src = _mk_src(spark, tmp_path, _clustered_vectors())
+    V.build_vector_index(spark, src, str(tmp_path / "idx"))
+    got = (
+        V.query_vector_index(spark, str(tmp_path / "idx"), src)
+        .filter((F.col("probe_id") == 0) & (F.col("rn") == 1))
+        .collect()
+    )
+    assert len(got) == 1 and got[0].cand_id == 1
+    assert got[0].cos_sim > 0.999
+
+
+def test_probe_reads_fewer_files_than_index_holds(spark, tmp_path):
+    """The inverted lists are FILES: an nprobe plan must open a strict
+    subset — the scale claim, measured from metadata alone."""
+    src = _mk_src(spark, tmp_path, _clustered_vectors())
+    idx = V.build_vector_index(spark, src, str(tmp_path / "idx"))
+    kept, total = idx.plan_files(
+        isin=("cell", list(range(V.VI_NPROBE)))
+    )
+    assert total > V.VI_NPROBE // 2  # hash write: ~1 file per cell
+    assert 0 < len(kept) < total
+
+
+def test_refresh_is_delta_only_and_exactly_once(spark, tmp_path):
+    vecs = _clustered_vectors(planted=False)
+    src = _mk_src(spark, tmp_path, vecs[:150])
+    path = str(tmp_path / "idx")
+    idx = V.build_vector_index(spark, src, path)
+    assert V.indexed_through(idx) == src.snapshots()[-1]
+    rows = [
+        (150 + i, 0, [float(x) for x in v])
+        for i, v in enumerate(vecs[150:])
+    ]
+    src.append(
+        spark.createDataFrame(
+            rows, "vec_id long, label int, embedding array<double>"
+        )
+    )
+    v1 = V.refresh_vector_index(spark, src, path)
+    v2 = V.refresh_vector_index(spark, src, path)  # replay: no-op
+    assert v1 == v2 == src._latest_published()
+    assert len(idx.snapshots()) == 2
+    assert idx.read(spark).count() == len(vecs)
+    # the delta commit holds exactly the appended ids
+    delta_ids = {
+        r.vec_id
+        for r in idx.read(spark).join(
+            idx.read(spark, as_of=idx.snapshots()[0]),
+            "vec_id",
+            "left_anti",
+        ).collect()
+    }
+    assert delta_ids == {150 + i for i in range(len(vecs) - 150)}
+
+
+def test_quantizer_frozen_across_refresh(spark, tmp_path):
+    """Refresh must encode with the PERSISTED quantizer — the sidecar
+    bytes are identical before and after (train-once contract)."""
+    vecs = _clustered_vectors(planted=False)
+    src = _mk_src(spark, tmp_path, vecs[:150])
+    path = str(tmp_path / "idx")
+    V.build_vector_index(spark, src, path)
+    before = open(V._quantizer_path(path)).read()
+    rows = [
+        (150 + i, 0, [float(x) for x in v])
+        for i, v in enumerate(vecs[150:])
+    ]
+    src.append(
+        spark.createDataFrame(
+            rows, "vec_id long, label int, embedding array<double>"
+        )
+    )
+    V.refresh_vector_index(spark, src, path)
+    assert open(V._quantizer_path(path)).read() == before
+    q = json.loads(before)
+    assert len(q["cells"]) == V.VI_CELLS
+    assert len(q["books"]) == V.VI_PQ_M
+
+
+def test_refresh_requires_build(spark, tmp_path):
+    src = _mk_src(spark, tmp_path, _clustered_vectors(planted=False))
+    with pytest.raises(ValueError, match="build_vector_index first"):
+        V.refresh_vector_index(spark, src, str(tmp_path / "nope"))
+
+
+def test_bad_dim_refuses(spark, tmp_path):
+    import numpy as np
+
+    with pytest.raises(ValueError, match="not divisible"):
+        V._train_quantizer(np.ones((10, 15)))
