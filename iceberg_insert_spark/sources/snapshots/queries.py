@@ -1833,3 +1833,103 @@ def q_snapshot_pruned_read_in(
     return probe("in_probe", {"isin": ("o_orderkey", [mn, mx])}).unionAll(
         probe("gt_probe", {"where": ("o_orderkey", b2 + 1, None)})
     )
+
+
+@query(
+    "q_snapshot_pruned_read_or",
+    oracle="""
+    WITH b AS (SELECT MAX(o_orderkey) AS mx FROM orders)
+    SELECT 'or_ranges' AS shape,
+           CAST(3 AS BIGINT) AS n_files_total,
+           CAST(2 AS BIGINT) AS n_files_scanned,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_price
+    FROM orders
+    WHERE o_orderkey <= (SELECT mx FROM b) // 3
+       OR o_orderkey > 2 * (SELECT mx FROM b) // 3
+    UNION ALL
+    SELECT 'or_mixed' AS shape,
+           CAST(3 AS BIGINT) AS n_files_total,
+           CAST(2 AS BIGINT) AS n_files_scanned,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_price
+    FROM orders
+    WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM orders)
+       OR (o_orderkey > 2 * (SELECT mx FROM b) // 3
+           AND o_orderkey IN ((SELECT MAX(o_orderkey) FROM orders)))
+    """,
+)
+def q_snapshot_pruned_read_or(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OR-TREE metadata pruning (the r8 verdict's remaining
+    predicate-grammar gap: "OR-trees emit no pruning rows at all"),
+    DuckDB-oracled end-to-end. Same three-tertile fixture as the IN
+    probe; two disjunction shapes plan the scan from metadata via
+    ``plan_files(any_of=[...])`` — a file is pruned only when EVERY
+    branch provably excludes it:
+
+      * ``k <= b1 OR k > b2`` (two open-ended ranges): branch 1 keeps
+        the bottom file, branch 2 the top — union keeps 2 of 3, the
+        MIDDLE tertile is pruned even though neither branch alone is
+        a conjunction the old grammar could see past;
+      * ``k = mn OR (k > b2 AND k IN (mx))`` (a MIXED tree: equality
+        branch OR'd with a range+IN conjunction branch): keeps the two
+        outer files, exercising nested AND-inside-OR plus the eq and
+        isin tiers inside branches.
+
+    Both row sets equal the oracle's plain WHERE over the full table
+    (the residual OR filter re-applies exactly on survivors), and the
+    pruned-file counts ride in the hash. Scale shape: OR-of-ranges is
+    the third commonest predicate a 100 TB scan sees (multi-tenant
+    id lists, time-window unions, status unions); it now plans at
+    manifest+sidecar cost instead of falling back to a full scan.
+    """
+    from ...tables import require_local_master, scratch_dir
+
+    require_local_master(
+        spark, "q_snapshot_pruned_read_or (footer stats)"
+    )
+    path = scratch_dir(spark, sf_dir, "snapshot_pruned_or")
+    o = load_table(spark, sf_dir, "orders")
+    row = o.agg(
+        F.min("o_orderkey").alias("mn"), F.max("o_orderkey").alias("mx")
+    ).collect()[0]
+    mn, mx = row.mn, row.mx
+    b1, b2 = mx // 3, 2 * mx // 3
+    tbl = SnapshotTable(path, stats_cols=["o_orderkey"])
+    k = F.col("o_orderkey")
+    tbl.append(o.filter(k <= b1).coalesce(1))
+    tbl.append(o.filter((k > b1) & (k <= b2)).coalesce(1))
+    tbl.append(o.filter(k > b2).coalesce(1))
+
+    def probe(shape: str, branches: list[dict]) -> DataFrame:
+        kept, total = tbl.plan_files(any_of=branches)
+        return tbl.read(spark, plan=kept, any_of=branches).agg(
+            F.lit(shape).alias("shape"),
+            F.lit(total).cast("bigint").alias("n_files_total"),
+            F.lit(len(kept)).cast("bigint").alias("n_files_scanned"),
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+        )
+
+    return probe(
+        "or_ranges",
+        [
+            {"where": ("o_orderkey", None, b1)},
+            {"where": ("o_orderkey", b2 + 1, None)},
+        ],
+    ).unionAll(
+        probe(
+            "or_mixed",
+            [
+                {"eq": ("o_orderkey", mn)},
+                {
+                    "where": ("o_orderkey", b2 + 1, None),
+                    "isin": ("o_orderkey", [mx]),
+                },
+            ],
+        )
+    )

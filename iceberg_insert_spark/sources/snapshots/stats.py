@@ -576,6 +576,13 @@ class SnapshotStatsMixin:
             - sum(m["n"] for m in skipped),
         }
 
+    # keys a disjunction branch may carry (everything except
+    # `partitions`: partition probes compose at the top level; a
+    # per-branch partition OR adds nothing the stats tiers don't
+    # already decide, since partition columns stay in the data files
+    # and can be ranged/eq'd/IN'd like any other column)
+    _ANY_OF_KEYS = frozenset(("where", "eq", "isin", "not_null", "any_of"))
+
     def plan_files(
         self,
         where: tuple | None = None,
@@ -584,6 +591,7 @@ class SnapshotStatsMixin:
         eq: tuple | None = None,
         not_null: list[str] | None = None,
         isin: tuple | None = None,
+        any_of: list[dict] | None = None,
     ) -> tuple[list[str], int]:
         """Metadata-only scan planning: the manifest's file list, pruned
         by (a) PARTITION values — ``partitions = {col: value}`` keeps
@@ -597,10 +605,33 @@ class SnapshotStatsMixin:
         half-ranges (r8 verdict missing #3). ``isin = (column,
         [values])`` is SQL ``IN``: a single-column DISJUNCTION — a
         file survives iff SOME value could be present (range stats
-        and blooms both prune it, value by value). Returns (files to
-        scan, total files in the snapshot) — no data file is
-        opened."""
+        and blooms both prune it, value by value). ``any_of`` is an
+        OR-TREE (r9): a list of branch dicts (keys: where / eq / isin
+        / not_null / nested any_of), each an AND of its entries — a
+        file is pruned only when EVERY branch provably excludes it
+        (union of over-approximations: sound because each branch's
+        keep-set over-approximates its matches). Top-level arguments
+        AND with the disjunction, so arbitrary AND-of-OR-of-AND trees
+        compose. Cost is one metadata pass per branch — O(branches x
+        entries) driver work, the same order as the base pass.
+        Returns (files to scan, total files in the snapshot) — no
+        data file is opened."""
         as_of = self._resolve_snapshot(as_of)
+        anykeep: set | None = None
+        if any_of is not None:
+            if not any_of:
+                # SQL has no empty disjunction; an empty list is a
+                # caller bug, not "matches nothing" — refuse loudly
+                raise ValueError("any_of needs at least one branch")
+            anykeep = set()
+            for br in any_of:
+                bad = set(br) - self._ANY_OF_KEYS
+                if bad:
+                    raise ValueError(
+                        f"any_of branch has unknown keys {sorted(bad)}; "
+                        f"allowed: {sorted(self._ANY_OF_KEYS)}"
+                    )
+                anykeep |= set(self.plan_files(as_of=as_of, **br)[0])
         raw = self._raw_meta(as_of)
         mlist = raw.get("manifest_list")
         if mlist is None:
@@ -678,6 +709,10 @@ class SnapshotStatsMixin:
         # null-count branch below.
         conds += [(c, v, v) for c, v in eqs if v is not None]
         ins = self._norm_isin(isin)
+        if anykeep is not None:
+            # intersect the disjunction's union-of-keeps with the
+            # top-level conjunction (order-preserving)
+            files = [f for f in files if f in anykeep]
         if not conds and not eqs and not not_null and not ins:
             return files, total
         stats = self._load_stats()
@@ -1617,6 +1652,7 @@ class SnapshotStatsMixin:
         not_null: list[str] | None = None,
         lineage: bool = False,
         isin: tuple | None = None,
+        any_of: list[dict] | None = None,
     ) -> DataFrame:
         """Read the table as of snapshot ``as_of`` (default: latest). The
         file list comes from the manifest, never a directory walk.
@@ -1675,6 +1711,7 @@ class SnapshotStatsMixin:
             and eq is None
             and not_null is None
             and isin is None
+            and any_of is None
         ):
             rels = self._manifest(v)
             if not rels:
@@ -1690,6 +1727,7 @@ class SnapshotStatsMixin:
                     eq=eq,
                     not_null=not_null,
                     isin=isin,
+                    any_of=any_of,
                 )[0]
             )
             if not rels:
@@ -1755,4 +1793,54 @@ class SnapshotStatsMixin:
             )
         for col in not_null or []:
             df = df.filter(F.col(col).isNotNull())
+        if any_of:
+            # residual OR filter: pruning only removed files EVERY
+            # branch provably excludes; conservatively-kept files
+            # re-filter here, so the result equals an unpruned
+            # filtered read (the same contract as every tier above)
+            df = df.filter(self._any_of_expr(any_of))
         return df
+
+    @classmethod
+    def _branch_expr(cls, br: dict):
+        """Residual Column for ONE any_of branch: the AND of its
+        entries, each spelled exactly like the top-level residual
+        filters in ``read`` (open-ended ranges skip the absent side;
+        eq None = IS NULL; IN drops NULLs — SQL IN never matches
+        NULL; empty IN matches nothing)."""
+        import functools
+
+        exprs = []
+        for col, lo, hi in cls._norm_where(br.get("where")):
+            if lo is not None:
+                exprs.append(F.col(col) >= lo)
+            if hi is not None:
+                exprs.append(F.col(col) <= hi)
+        for col, val in cls._norm_eq(br.get("eq")):
+            exprs.append(
+                F.col(col).isNull()
+                if val is None
+                else F.col(col) == F.lit(val)
+            )
+        for col, vals in cls._norm_isin(br.get("isin")):
+            nn = [x for x in vals if x is not None]
+            exprs.append(
+                F.col(col).isin(nn) if nn else F.lit(False)
+            )
+        for col in br.get("not_null") or []:
+            exprs.append(F.col(col).isNotNull())
+        if br.get("any_of"):
+            exprs.append(cls._any_of_expr(br["any_of"]))
+        if not exprs:
+            return F.lit(True)
+        return functools.reduce(lambda a, b: a & b, exprs)
+
+    @classmethod
+    def _any_of_expr(cls, any_of: list[dict]):
+        """Residual Column for a disjunction: OR over branch ANDs."""
+        import functools
+
+        return functools.reduce(
+            lambda a, b: a | b,
+            [cls._branch_expr(br) for br in any_of],
+        )

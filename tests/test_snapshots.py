@@ -4452,3 +4452,65 @@ def test_plan_files_in_list_bloom_tier(spark, tmp_path):
     assert total == 4 and len(kept) == 2
     got = {r.k for r in t.read(spark, isin=("k", [13, 14])).collect()}
     assert got == {13, 14}
+
+
+def test_plan_files_any_of_or_tree(spark, tmp_path):
+    """OR-tree pruning (any_of): a file is pruned only when EVERY
+    branch provably excludes it; the residual OR filter makes pruned
+    reads equal unpruned filtered reads; nesting and top-level AND
+    compose; malformed branches refuse."""
+    t = SnapshotTable(str(tmp_path / "t"), stats_cols=["k"])
+    for lo in (0, 100, 200):
+        t.append(
+            spark.createDataFrame(
+                [(lo + i, float(lo + i)) for i in range(100)],
+                "k long, v double",
+            ).coalesce(1)
+        )
+    # k < 50 OR k > 250: outer files only, middle pruned
+    br = [{"where": ("k", None, 49)}, {"where": ("k", 251, None)}]
+    kept, total = t.plan_files(any_of=br)
+    assert total == 3 and len(kept) == 2
+    assert t.read(spark, any_of=br).count() == 50 + 49
+    # eq branch OR (range AND in) branch — mixed tree
+    br2 = [
+        {"eq": ("k", 5)},
+        {"where": ("k", 200, None), "isin": ("k", [205, 299])},
+    ]
+    kept, _ = t.plan_files(any_of=br2)
+    assert len(kept) == 2
+    got = {r.k for r in t.read(spark, any_of=br2).collect()}
+    assert got == {5, 205, 299}
+    # top-level conjunct ANDs with the disjunction: restrict to k<=49
+    kept, _ = t.plan_files(where=("k", None, 49), any_of=br2)
+    assert len(kept) == 1
+    assert t.read(spark, where=("k", None, 49), any_of=br2).count() == 1
+    # nested any_of: (k<5) OR ((k>=205 AND k<=205) OR (k>=299))
+    br3 = [
+        {"where": ("k", None, 4)},
+        {
+            "any_of": [
+                {"where": ("k", 205, 205)},
+                {"where": ("k", 299, None)},
+            ]
+        },
+    ]
+    kept, _ = t.plan_files(any_of=br3)
+    assert len(kept) == 2
+    assert t.read(spark, any_of=br3).count() == 5 + 1 + 1
+    # every branch excluding everything prunes all files, typed empty
+    br4 = [{"eq": ("k", 10_000)}, {"where": ("k", 5_000, 6_000)}]
+    kept, _ = t.plan_files(any_of=br4)
+    assert kept == []
+    assert t.read(spark, any_of=br4).count() == 0
+    # a branch with no stats coverage keeps conservatively (v has no
+    # stats): the whole disjunction keeps every file, rows re-filter
+    br5 = [{"eq": ("k", 10_000)}, {"where": ("v", 0.0, 1.0)}]
+    kept, _ = t.plan_files(any_of=br5)
+    assert len(kept) == 3
+    assert t.read(spark, any_of=br5).count() == 2  # v in {0.0, 1.0}
+    # guards: empty list and unknown branch keys refuse loudly
+    with pytest.raises(ValueError, match="at least one branch"):
+        t.plan_files(any_of=[])
+    with pytest.raises(ValueError, match="unknown keys"):
+        t.plan_files(any_of=[{"partitions": {"k": 1}}])
