@@ -733,7 +733,9 @@ class LocalCatalog:
                     as_of = t.resolve_as_of_ts(
                         self._resolve_ts_pin(tspin)
                     )
-                df = t.read(spark, as_of=as_of)
+                df = self._apply_policies(
+                    ref, t.read(spark, as_of=as_of)
+                )
             df.createOrReplaceTempView(tmp)
             return tmp
 
@@ -1047,6 +1049,17 @@ class LocalCatalog:
                     f"{k}={v}"
                     for k, v in sorted(
                         ent.get("properties", {}).items()
+                    )
+                )
+                or "(none)",
+            ),
+            ("row_filter", ent.get("row_filter") or "(none)"),
+            (
+                "column_masks",
+                "; ".join(
+                    f"{c}: {m}"
+                    for c, m in sorted(
+                        ent.get("column_masks", {}).items()
                     )
                 )
                 or "(none)",
@@ -1843,6 +1856,132 @@ class LocalCatalog:
             self._write(reg)
             return dict(props)
 
+    # -- row/column access policies (fine-grained governance) ----------
+    #
+    # The lakehouse governance surface (Unity/Lake-Formation-style row
+    # filters + column masks), enforced at CATALOG-MEDIATED READ time:
+    # every table reference resolved through sql()/execute() — and
+    # therefore every view/MV expansion that reaches the table —
+    # applies the table's policies before the statement sees a row.
+    # Same consistency-domain rule as multi-table transactions: a
+    # reader holding a direct filesystem SnapshotTable handle bypasses
+    # the catalog and its policies (that handle IS the admin path; a
+    # real deployment gates it with storage ACLs).
+    #
+    # Semantics (the Unity model):
+    #   * the ROW FILTER evaluates against UNMASKED rows;
+    #   * every COLUMN MASK also evaluates against the UNMASKED row
+    #     (one projection applies all masks simultaneously, so a mask
+    #     may reference other columns — e.g. region-conditional
+    #     nulling — without seeing a half-masked tuple);
+    #   * masks preserve the column's type (cast — a schema-stable
+    #     contract for downstream readers);
+    #   * policies compose with user predicates inside ONE Catalyst
+    #     plan: a policy filter on a stats column still prunes at the
+    #     parquet scan, because it lands before the optimizer like any
+    #     inline WHERE.
+    # Expressions are validated lazily at read (Spark resolution —
+    # the catalog never knows schemas without reading metadata);
+    # failures raise naming the policy, never silently drop it.
+
+    def set_row_filter(self, ident: str, expr: str) -> None:
+        """Attach a boolean SQL row filter to ``ident``. Every
+        catalog-mediated read sees only rows where the expression is
+        TRUE (NULL/FALSE rows are hidden — WHERE semantics)."""
+        if not expr or not isinstance(expr, str):
+            raise ValueError("row filter must be a non-empty SQL expr")
+        with self._lock():
+            reg = self._read()
+            ent = reg["tables"].get(ident)
+            if ent is None:
+                raise ValueError(f"table {ident!r} does not exist")
+            ent["row_filter"] = expr
+            self._write(reg)
+
+    def drop_row_filter(self, ident: str) -> None:
+        with self._lock():
+            reg = self._read()
+            ent = reg["tables"].get(ident)
+            if ent is None:
+                raise ValueError(f"table {ident!r} does not exist")
+            ent.pop("row_filter", None)
+            self._write(reg)
+
+    def set_column_mask(self, ident: str, col: str, expr: str) -> None:
+        """Attach a SQL masking expression to column ``col``: every
+        catalog-mediated read sees the expression's value (cast to the
+        column's type) in place of the raw value. The expression
+        evaluates against the UNMASKED row, so it may reference other
+        columns (conditional masks)."""
+        if not expr or not isinstance(expr, str):
+            raise ValueError("column mask must be a non-empty SQL expr")
+        with self._lock():
+            reg = self._read()
+            ent = reg["tables"].get(ident)
+            if ent is None:
+                raise ValueError(f"table {ident!r} does not exist")
+            ent.setdefault("column_masks", {})[col] = expr
+            self._write(reg)
+
+    def drop_column_mask(self, ident: str, col: str) -> None:
+        with self._lock():
+            reg = self._read()
+            ent = reg["tables"].get(ident)
+            if ent is None:
+                raise ValueError(f"table {ident!r} does not exist")
+            ent.get("column_masks", {}).pop(col, None)
+            self._write(reg)
+
+    def table_policies(self, ident: str) -> dict:
+        """The governance view: {'row_filter': expr|None,
+        'column_masks': {col: expr}} for ``ident``."""
+        ent = self._entry(ident)
+        return {
+            "row_filter": ent.get("row_filter"),
+            "column_masks": dict(ent.get("column_masks", {})),
+        }
+
+    def _apply_policies(self, ref: str, df: DataFrame) -> DataFrame:
+        """Apply ``ref``'s row filter then column masks to a resolved
+        table read (see the policy-semantics comment above). Called on
+        every sql()/execute() table resolution; zero cost when no
+        policy is attached (the common path: two dict probes)."""
+        ent = self._entry(ref)
+        rf = ent.get("row_filter")
+        masks = ent.get("column_masks") or {}
+        if rf:
+            try:
+                df = df.filter(F.expr(rf))
+            except Exception as e:
+                raise ValueError(
+                    f"row filter on {ref!r} failed to resolve: "
+                    f"{rf!r} ({e})"
+                ) from e
+        if masks:
+            missing = sorted(set(masks) - set(df.columns))
+            if missing:
+                raise ValueError(
+                    f"column mask(s) on {ref!r} name missing "
+                    f"column(s) {missing} (have {df.columns})"
+                )
+            try:
+                df = df.select(
+                    *[
+                        F.expr(masks[c])
+                        .cast(df.schema[c].dataType)
+                        .alias(c)
+                        if c in masks
+                        else F.col(c)
+                        for c in df.columns
+                    ]
+                )
+            except Exception as e:
+                raise ValueError(
+                    f"column mask on {ref!r} failed to resolve "
+                    f"({e}); masks: {masks!r}"
+                ) from e
+        return df
+
 
 class CatalogTransaction:
     """A multi-table atomic transaction over a :class:`LocalCatalog`
@@ -2599,3 +2738,88 @@ def q_txn_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     txn._mark_committed()
     post = phase("c_committed_heal_on_read")
     return pre.unionAll(staged).unionAll(post)
+
+
+@query(
+    "q_catalog_policies",
+    oracle="""
+    WITH governed AS (
+        SELECT c_mktsegment,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN c_name
+                    ELSE 'REDACTED' END AS c_name,
+               c_custkey % 97 AS c_custkey,
+               CAST(NULL AS DOUBLE) AS c_acctbal
+        FROM customer
+        WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_cust,
+           COUNT(c_acctbal) AS n_bal_visible,
+           CAST(COUNT(DISTINCT c_name) AS BIGINT) AS n_names,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_pseudonyms,
+           (SELECT COUNT(*) FROM customer) AS n_after_filter_drop
+    FROM governed
+    GROUP BY c_mktsegment
+    """,
+)
+def q_catalog_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-filter + column-mask governance, DuckDB-oracled end-to-end
+    (the oracle spells the policies out as plain SQL — exactly the
+    contract: a policied read IS that rewritten query). The catalog
+    attaches to a customer table:
+
+      * a ROW FILTER ``c_acctbal > 0`` — evaluated on UNMASKED rows
+        (the acctbal MASK below nulls the column, so a post-mask
+        filter would return zero rows; the oracle proves it ran pre-
+        mask);
+      * a CONDITIONAL mask on ``c_name`` referencing ANOTHER column
+        (BUILDING keeps names, every other segment reads 'REDACTED' —
+        one projection applies all masks against the unmasked tuple);
+      * a PSEUDONYMIZING mask on the key (``c_custkey % 97`` — joins
+        within the governed view still work by pseudonym, identities
+        don't leave it) and a nulling mask on ``c_acctbal``
+        (type-preserving CAST, so downstream aggregates see NULLs,
+        not errors).
+
+    The governed aggregate runs through ``cat.sql`` — policies resolve
+    inside the SAME Catalyst plan as the user query, so the filter
+    still reaches the parquet scan as a pushed predicate.
+    ``n_after_filter_drop`` re-counts after ``drop_row_filter``: every
+    row returns (masks alone never hide rows). pytest pins the rest:
+    policies flow through views, pinned (@N) reads, and INSERT-SELECT
+    sources; direct SnapshotTable handles bypass (the documented
+    admin path); bad expressions raise naming the policy."""
+    root = scratch_dir(spark, sf_dir, "catalog_policies")
+    cat = LocalCatalog(root)
+    cat.create_namespace("gov")
+    c = load_table(spark, sf_dir, "customer")
+    cat.create_table("gov.customer", stats_cols=["c_acctbal"]).append(c)
+    cat.set_row_filter("gov.customer", "c_acctbal > 0")
+    cat.set_column_mask(
+        "gov.customer",
+        "c_name",
+        "CASE WHEN c_mktsegment = 'BUILDING' THEN c_name "
+        "ELSE 'REDACTED' END",
+    )
+    cat.set_column_mask("gov.customer", "c_custkey", "c_custkey % 97")
+    cat.set_column_mask("gov.customer", "c_acctbal", "NULL")
+    governed = cat.sql(
+        spark,
+        """
+        SELECT c_mktsegment,
+               COUNT(*) AS n_cust,
+               COUNT(c_acctbal) AS n_bal_visible,
+               CAST(COUNT(DISTINCT c_name) AS BIGINT) AS n_names,
+               CAST(COUNT(DISTINCT c_custkey) AS BIGINT)
+                   AS n_pseudonyms
+        FROM {{gov.customer}}
+        GROUP BY c_mktsegment
+        """,
+    )
+    cat.drop_row_filter("gov.customer")
+    n_after = cat.sql(
+        spark, "SELECT COUNT(*) AS n FROM {{gov.customer}}"
+    ).collect()[0].n
+    return governed.withColumn(
+        "n_after_filter_drop", F.lit(n_after).cast("bigint")
+    )

@@ -1318,3 +1318,106 @@ def test_sql_statement_snapshot_fence(spark, tmp_path):
     txn.commit()
     r = cat.sql(spark, q).collect()[0]
     assert (r.nf, r.nd) == (2, 2)  # both moved together
+
+
+def _policied_cat(spark, tmp_path):
+    cat = LocalCatalog(str(tmp_path / "cat"))
+    cat.create_namespace("gov")
+    cat.create_table("gov.t").append(
+        spark.createDataFrame(
+            [(1, "alice", 10.0, "EU"), (2, "bob", -5.0, "EU"),
+             (3, "carol", 7.0, "US"), (4, "dave", 3.0, "US")],
+            "id long, name string, bal double, region string",
+        )
+    )
+    return cat
+
+
+def test_policies_filter_and_masks_compose(spark, tmp_path):
+    """Row filter on unmasked rows; masks see the unmasked tuple;
+    masks preserve column types; drop restores."""
+    cat = _policied_cat(spark, tmp_path)
+    cat.set_row_filter("gov.t", "bal > 0")
+    cat.set_column_mask(
+        "gov.t",
+        "name",
+        "CASE WHEN region = 'EU' THEN name ELSE 'X' END",
+    )
+    cat.set_column_mask("gov.t", "bal", "NULL")
+    rows = {
+        (r.id, r.name, r.bal)
+        for r in cat.sql(spark, "SELECT * FROM {{gov.t}}").collect()
+    }
+    # bob (bal<0) filtered on the RAW value even though bal masks to
+    # NULL; carol/dave redacted because region!='EU' pre-mask
+    assert rows == {(1, "alice", None), (3, "X", None), (4, "X", None)}
+    df = cat.sql(spark, "SELECT * FROM {{gov.t}}")
+    assert dict(df.dtypes)["bal"] == "double"  # type-preserving mask
+    cat.drop_column_mask("gov.t", "name")
+    cat.drop_row_filter("gov.t")
+    rows = {
+        (r.id, r.name)
+        for r in cat.sql(spark, "SELECT * FROM {{gov.t}}").collect()
+    }
+    assert rows == {(1, "alice"), (2, "bob"), (3, "carol"), (4, "dave")}
+    pol = cat.table_policies("gov.t")
+    assert pol["row_filter"] is None and list(pol["column_masks"]) == ["bal"]
+
+
+def test_policies_flow_through_views_and_pins(spark, tmp_path):
+    cat = _policied_cat(spark, tmp_path)
+    cat.create_view(
+        "gov.v", "SELECT region, COUNT(*) AS n FROM {{gov.t}} GROUP BY region"
+    )
+    cat.set_row_filter("gov.t", "region = 'EU'")
+    got = {(r.region, r.n) for r in cat.read_view(spark, "gov.v").collect()}
+    assert got == {("EU", 2)}
+    # pinned (@N) reads are catalog-mediated too — still policied
+    v1 = cat.load_table("gov.t").snapshots()[0]
+    n = cat.sql(
+        spark, "SELECT COUNT(*) AS n FROM {{gov.t@%d}}" % v1
+    ).collect()[0].n
+    assert n == 2
+    # the direct filesystem handle is the documented admin bypass
+    assert cat.load_table("gov.t").read(spark).count() == 4
+
+
+def test_policies_bad_exprs_raise_naming_the_policy(spark, tmp_path):
+    cat = _policied_cat(spark, tmp_path)
+    cat.set_column_mask("gov.t", "ghost", "1")
+    with pytest.raises(ValueError, match="missing column.*ghost"):
+        cat.sql(spark, "SELECT * FROM {{gov.t}}")
+    cat.drop_column_mask("gov.t", "ghost")
+    cat.set_row_filter("gov.t", "no_such_col > 0")
+    with pytest.raises(ValueError, match="row filter on 'gov.t'"):
+        cat.sql(spark, "SELECT * FROM {{gov.t}}")
+    with pytest.raises(ValueError, match="non-empty SQL"):
+        cat.set_row_filter("gov.t", "")
+    with pytest.raises(ValueError, match="does not exist"):
+        cat.set_column_mask("gov.nope", "x", "1")
+
+
+def test_policies_apply_to_insert_select_sources(spark, tmp_path):
+    """INSERT INTO ... SELECT from a policied table copies only what
+    the policy exposes (the SELECT runs through sql())."""
+    cat = _policied_cat(spark, tmp_path)
+    cat.set_row_filter("gov.t", "region = 'US'")
+    cat.create_table("gov.copy")
+    cat.sql_insert(
+        spark, "INSERT INTO {{gov.copy}} SELECT * FROM {{gov.t}}"
+    )
+    cat.drop_row_filter("gov.t")
+    assert cat.load_table("gov.copy").read(spark).count() == 2
+
+
+def test_policies_in_describe_output(spark, tmp_path):
+    cat = _policied_cat(spark, tmp_path)
+    cat.set_row_filter("gov.t", "bal > 0")
+    cat.set_column_mask("gov.t", "name", "'X'")
+    info = {
+        r.col_name: r.info
+        for r in cat.describe_table(spark, "gov.t").collect()
+        if r.col_name in ("row_filter", "column_masks")
+    }
+    assert info["row_filter"] == "bal > 0"
+    assert "name: 'X'" in info["column_masks"]
