@@ -1933,3 +1933,84 @@ def q_snapshot_pruned_read_or(
             ],
         )
     )
+
+
+@query(
+    "q_snapshot_topk_pruned",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderkey, o_totalprice
+        FROM orders ORDER BY o_orderkey DESC LIMIT 100
+    ), asc_ranked AS (
+        SELECT o_orderkey, o_totalprice
+        FROM orders ORDER BY o_orderkey ASC LIMIT 50
+    )
+    SELECT 'top_desc' AS shape,
+           CAST(3 AS BIGINT) AS n_files_total,
+           CAST(1 AS BIGINT) AS n_files_scanned,
+           COUNT(*) AS n_rows,
+           MIN(o_orderkey) AS edge_key,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_price
+    FROM ranked
+    UNION ALL
+    SELECT 'bottom_asc' AS shape,
+           CAST(3 AS BIGINT) AS n_files_total,
+           CAST(1 AS BIGINT) AS n_files_scanned,
+           COUNT(*) AS n_rows,
+           MAX(o_orderkey) AS edge_key,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_price
+    FROM asc_ranked
+    """,
+)
+def q_snapshot_topk_pruned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TOP-K metadata pruning (ORDER BY ... LIMIT k — the ClickHouse
+    PK-skip / Snowflake-pruning shape plain Spark cannot plan),
+    DuckDB-oracled end-to-end: the three-tertile orders fixture, then
+    ``plan_topk`` proves from per-file [min, max] + footer row counts
+    that the top 100 keys live entirely in the top tertile's file
+    (and the bottom 50 in the bottom file) — ONE file read of three,
+    decided with zero data IO. The returned rows re-apply the exact
+    ORDER BY ... LIMIT on survivors, so both aggregates equal the
+    oracle's plain LIMIT query over the full table; the pruned-file
+    counters and the boundary key ride in the hash (a one-off
+    boundary error — pruning a file that still held the 100th key —
+    shifts edge_key/sum and mismatches).
+
+    Scale shape: 'latest N events' / 'top-N spenders' on the layout
+    sorted compaction or range write-distribution already produces
+    reads one file's worth of data instead of scheduling a scan task
+    per file — the third most common interactive query after point
+    lookups and range scans."""
+    from ...tables import require_local_master, scratch_dir
+
+    require_local_master(
+        spark, "q_snapshot_topk_pruned (footer stats)"
+    )
+    path = scratch_dir(spark, sf_dir, "snapshot_topk")
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderkey")).collect()[0][0]
+    b1, b2 = mx // 3, 2 * mx // 3
+    tbl = SnapshotTable(path, stats_cols=["o_orderkey"])
+    k = F.col("o_orderkey")
+    tbl.append(o.filter(k <= b1).coalesce(1))
+    tbl.append(o.filter((k > b1) & (k <= b2)).coalesce(1))
+    tbl.append(o.filter(k > b2).coalesce(1))
+
+    def probe(shape: str, kk: int, desc: bool, edge) -> DataFrame:
+        kept, total, _bound = tbl.plan_topk("o_orderkey", kk, desc=desc)
+        return tbl.read_topk(spark, "o_orderkey", kk, desc=desc).agg(
+            F.lit(shape).alias("shape"),
+            F.lit(total).cast("bigint").alias("n_files_total"),
+            F.lit(len(kept)).cast("bigint").alias("n_files_scanned"),
+            F.count(F.lit(1)).alias("n_rows"),
+            edge.alias("edge_key"),
+            exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+        )
+
+    return probe(
+        "top_desc", 100, True, F.min("o_orderkey")
+    ).unionAll(probe("bottom_asc", 50, False, F.max("o_orderkey")))

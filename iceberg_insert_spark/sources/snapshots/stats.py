@@ -1218,6 +1218,139 @@ class SnapshotStatsMixin:
                 hi = datetime.datetime.fromisoformat(hi)
         return lo, hi, True
 
+    def plan_topk(
+        self,
+        col: str,
+        k: int,
+        desc: bool = True,
+        as_of: int | None = None,
+    ) -> tuple[list[str], int, object]:
+        """TOP-K scan planning from metadata (the ORDER BY col
+        DESC|ASC LIMIT k shape — ClickHouse PK skipping / Snowflake
+        pruning's trick, absent from plain Spark): per-file [min, max]
+        + footer row/null counts prove a BOUND on the k-th extreme
+        value, and every file provably outside the bound cannot
+        contribute a top-k row.
+
+        Soundness (desc case): walk files by recorded ``min``
+        descending, accumulating NON-NULL row counts (``::rows`` minus
+        the recorded null count — files with unknown nulls or missing
+        stats contribute zero to the accumulation, never to a bound).
+        Every accumulated row is >= its file's min, so once the running
+        total reaches k there provably exist >= k non-NULL values >= L
+        (that file's min) — any file whose recorded max < L can be
+        pruned; files without usable stats keep conservatively. NULLs
+        sort last in both engines' default DESC|ASC LIMIT semantics
+        and never enter the top-k while >= k non-null values exist —
+        exactly what the accumulation established. ``asc`` mirrors
+        with max ascending / min > U. Returns ``(files_to_scan,
+        total_files, bound)`` — bound None when metadata could not
+        prove one (every file kept). The caller re-applies the real
+        ORDER BY ... LIMIT k on survivors (``read_topk``): pruning
+        changes IO, never the result.
+
+        100 TB shape: 'latest 1000 events' / 'top spenders' on a
+        time-ordered or range-distributed layout reads ONE file's
+        worth of data instead of scheduling a scan task per file —
+        the layout sorted compaction / range write-distribution
+        already produces."""
+        if k <= 0:
+            raise ValueError(f"k must be positive, got {k}")
+        v = self._resolve_snapshot(as_of)
+        files = self._manifest(v)
+        # live delete files: a top-k row may be deleted — the counts
+        # are overcounts, so no bound is provable (the same guard as
+        # count_rows); all files keep, the MoR read stays exact
+        if self._raw_meta(v).get("delete_files"):
+            return list(files), len(files), None
+        stats = self._load_stats()
+        meta = self._meta(v)
+        fmd = None
+        for f in (meta.get("schema") or {}).get("fields", []):
+            if f.get("name") == col:
+                fmd = f.get("metadata") or {}
+        # rename/add DDL history or per-file schema eras: sidecars key
+        # by write-time names — conservative full keep (the min_max
+        # guard, minus its string-truncation concern: a truncated max
+        # is still an UPPER bound and a truncated min a LOWER bound,
+        # which is all pruning needs)
+        if (fmd is not None and ("iis_names" in fmd or "iis_added_v" in fmd)) or meta.get(
+            "file_schema_v"
+        ):
+            return list(files), len(files), None
+        entries = []
+        for rel in files:
+            ent = stats.get(rel, {})
+            b = ent.get(col)
+            nrows = ent.get("::rows")
+            nulls = ent.get("::nulls::" + col)
+            nonnull = (
+                nrows - nulls
+                if nrows is not None and nulls is not None
+                else None
+            )
+            entries.append((rel, b, nonnull))
+        # sort under the SAME normalized ordering _provably_disjoint
+        # compares with (mixed-granularity ISO date/datetime strings
+        # sort chronologically, not lexicographically) — the bound's
+        # soundness claim 'every accumulated row >= the last
+        # accumulated file's min' is about THAT ordering. Un-sortable
+        # mixed types: no bound, conservative full keep.
+        try:
+            ordered = sorted(
+                (e for e in entries if e[1] is not None and e[2]),
+                key=(
+                    (lambda e: self._norm_bound(e[1][0]))
+                    if desc
+                    else (lambda e: self._norm_bound(e[1][1]))
+                ),
+                reverse=desc,
+            )
+        except TypeError:
+            return list(files), len(files), None
+        bound = None
+        acc = 0
+        for _rel, b, nonnull in ordered:
+            acc += nonnull
+            bound = b[0] if desc else b[1]
+            if acc >= k:
+                break
+        if acc < k:
+            return list(files), len(files), None  # no provable bound
+        kept = []
+        for rel, b, _nn in entries:
+            if b is None:
+                kept.append(rel)  # no stats: must read
+            elif desc:
+                if not self._provably_disjoint(
+                    b[0], b[1], bound, None
+                ):
+                    kept.append(rel)
+            else:
+                if not self._provably_disjoint(
+                    b[0], b[1], None, bound
+                ):
+                    kept.append(rel)
+        return kept, len(files), bound
+
+    def read_topk(
+        self,
+        spark: SparkSession,
+        col: str,
+        k: int,
+        desc: bool = True,
+        as_of: int | None = None,
+    ) -> DataFrame:
+        """``SELECT * ORDER BY col DESC|ASC LIMIT k`` with the scan
+        planned by :meth:`plan_topk` — identical rows to the unpruned
+        query (the exact ORDER BY ... LIMIT re-applies on survivors;
+        Spark's TakeOrderedAndProject does the per-partition top-k +
+        driver merge), only the IO changes."""
+        kept, _total, _bound = self.plan_topk(col, k, desc, as_of)
+        df = self.read(spark, as_of=as_of, plan=kept)
+        order = F.col(col).desc() if desc else F.col(col).asc()
+        return df.orderBy(order).limit(k)
+
     def partitions_info(self, as_of: int | None = None) -> list[dict]:
         """Iceberg's ``.partitions`` METADATA TABLE: one dict per live
         partition of the snapshot — the partition record, its file
@@ -1712,6 +1845,7 @@ class SnapshotStatsMixin:
             and not_null is None
             and isin is None
             and any_of is None
+            and plan is None
         ):
             rels = self._manifest(v)
             if not rels:

@@ -4514,3 +4514,80 @@ def test_plan_files_any_of_or_tree(spark, tmp_path):
         t.plan_files(any_of=[])
     with pytest.raises(ValueError, match="unknown keys"):
         t.plan_files(any_of=[{"partitions": {"k": 1}}])
+
+
+def test_plan_topk_prunes_and_stays_exact(spark, tmp_path):
+    """plan_topk: bound proved from min/max + footer counts; pruned
+    top-k reads equal unpruned ORDER BY ... LIMIT; conservative under
+    nulls-unknown, overlap, deletes, and k > provable coverage."""
+    t = SnapshotTable(str(tmp_path / "t"), stats_cols=["k"])
+    for lo in (0, 100, 200):
+        t.append(
+            spark.createDataFrame(
+                [(lo + i, float(lo + i)) for i in range(100)],
+                "k long, v double",
+            ).coalesce(1)
+        )
+    kept, total, bound = t.plan_topk("k", 10, desc=True)
+    assert (total, len(kept), bound) == (3, 1, 200)
+    got = [r.k for r in t.read_topk(spark, "k", 10).collect()]
+    assert got == list(range(299, 289, -1))
+    # ascending mirror
+    kept, _, bound = t.plan_topk("k", 5, desc=False)
+    assert (len(kept), bound) == (1, 99)
+    assert [r.k for r in t.read_topk(spark, "k", 5, desc=False).collect()] == [
+        0, 1, 2, 3, 4,
+    ]
+    # k spanning two files keeps two
+    kept, _, _ = t.plan_topk("k", 150, desc=True)
+    assert len(kept) == 2
+    assert t.read_topk(spark, "k", 150).count() == 150
+    # k beyond any provable coverage: every file kept, still exact
+    kept, _, bound = t.plan_topk("k", 10_000, desc=True)
+    assert len(kept) == 3 and bound is None
+    assert t.read_topk(spark, "k", 10_000).count() == 300
+    # NULL keys never enter the top-k and never break the bound
+    t2 = SnapshotTable(str(tmp_path / "n"), stats_cols=["k"])
+    t2.append(
+        spark.createDataFrame(
+            [(None, 0.0)] * 50 + [(i, float(i)) for i in range(100)],
+            "k long, v double",
+        ).coalesce(1)
+    )
+    t2.append(
+        spark.createDataFrame(
+            [(100 + i, float(i)) for i in range(100)],
+            "k long, v double",
+        ).coalesce(1)
+    )
+    kept, total, _ = t2.plan_topk("k", 60, desc=True)
+    assert (total, len(kept)) == (2, 1)
+    got = [r.k for r in t2.read_topk(spark, "k", 60).collect()]
+    assert got == list(range(199, 139, -1))  # no NULLs
+    # overlapping ranges: both files can hold top keys -> both kept
+    t3 = SnapshotTable(str(tmp_path / "o"), stats_cols=["k"])
+    t3.append(
+        spark.createDataFrame(
+            [(i, 0.0) for i in range(0, 200, 2)], "k long, v double"
+        ).coalesce(1)
+    )
+    t3.append(
+        spark.createDataFrame(
+            [(i, 0.0) for i in range(1, 200, 2)], "k long, v double"
+        ).coalesce(1)
+    )
+    kept, _, _ = t3.plan_topk("k", 10, desc=True)
+    assert len(kept) == 2
+    assert [r.k for r in t3.read_topk(spark, "k", 10).collect()] == list(
+        range(199, 189, -1)
+    )
+    # live delete files force the conservative full keep (counts are
+    # overcounts) and the MoR read stays exact
+    t.delete_where(spark, "k >= 290", strategy="mor")
+    kept, _, bound = t.plan_topk("k", 10, desc=True)
+    assert len(kept) == 3 and bound is None
+    assert [r.k for r in t.read_topk(spark, "k", 10).collect()] == list(
+        range(289, 279, -1)
+    )
+    with pytest.raises(ValueError, match="positive"):
+        t.plan_topk("k", 0)
