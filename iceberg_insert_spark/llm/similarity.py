@@ -993,8 +993,15 @@ def _pq_codebooks(vectors):
     independent seeded Lloyd k-means per subspace over the training
     sample — pure numpy on the driver, deterministic for a given
     sample (no per-partition sampling, same layout-independence rule
-    as the IVF quantizer). Returns PQ_M arrays of shape (PQ_K, d/M)."""
+    as the IVF quantizer). Delegates to the shared trainer
+    (vecindex._lloyd — one k-means implementation in the package;
+    lazy import because vecindex imports this module's constants);
+    one RandomState threads sequentially across subspaces, preserving
+    this function's original draw order. Returns PQ_M arrays of shape
+    (PQ_K, d/M)."""
     import numpy as np
+
+    from .vecindex import _lloyd
 
     x = np.asarray(vectors, dtype=np.float64)
     # L2-normalize BEFORE quantizing: the exact twin ranks by COSINE,
@@ -1005,25 +1012,10 @@ def _pq_codebooks(vectors):
     n, d = x.shape
     sub = d // PQ_M
     rng = np.random.RandomState(42)
-    books = []
-    for m in range(PQ_M):
-        s = x[:, m * sub : (m + 1) * sub]
-        k0 = min(PQ_K, n)  # tiny training sets: at most n centroids
-        c = s[rng.choice(n, size=k0, replace=False)].copy()
-        if k0 < PQ_K:
-            # pad by repeating (harmless: duplicate centroids never
-            # win argmin ties in a harmful way; codes stay < PQ_K)
-            import numpy as _np
-            c = _np.vstack([c, c[rng.choice(k0, size=PQ_K - k0)]])
-        for _ in range(10):
-            d2 = ((s[:, None, :] - c[None, :, :]) ** 2).sum(-1)
-            assign = d2.argmin(1)
-            for k in range(PQ_K):
-                pts = s[assign == k]
-                if len(pts):
-                    c[k] = pts.mean(0)
-        books.append(c)
-    return books
+    return [
+        _lloyd(x[:, m * sub : (m + 1) * sub], PQ_K, rng)
+        for m in range(PQ_M)
+    ]
 
 
 @query("q_sim_knn_pq")

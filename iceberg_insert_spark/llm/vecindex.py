@@ -71,19 +71,20 @@ VI_RERANK = 100  # exact re-score depth per probe (top-R by ADC);
 # (R=50 dipped to 80 % at sf0.1) — the ceiling is the coarse nprobe
 # pruning, same as the pure-IVF tier (SCALE.md r9 curve)
 VI_TRAIN_CAP = 20_000  # quantizer training-sample bound
-_VI_TOKEN = "vidx-through-"
+_VI_TOKEN = "vidx-through-"  # refresh commits: delta appended
+_VI_BUILD_TOKEN = "vidx-built-"  # build commits: full overwrite
 
 
-def _lloyd(x, k: int, seed: int, iters: int = 10):
-    """Seeded Lloyd k-means on the driver (same determinism contract
-    as similarity._pq_codebooks: fixed sample, fixed seed — recall
-    floors must not move with host/layout). Tiny inputs pad by
-    repeating centroids; assignment distances use the dot-product
-    expansion so memory stays n x k."""
+def _lloyd(x, k: int, rng, iters: int = 10):
+    """Seeded Lloyd k-means on the driver — THE shared quantizer
+    trainer (similarity._pq_codebooks delegates here; one
+    implementation, one determinism contract: fixed sample, caller-
+    owned RandomState — recall floors must not move with host or
+    layout). Tiny inputs pad by repeating centroids; assignment
+    distances use the dot-product expansion so memory stays n x k."""
     import numpy as np
 
     n = len(x)
-    rng = np.random.RandomState(seed)
     k0 = min(k, n)
     c = x[rng.choice(n, size=k0, replace=False)].copy()
     if k0 < k:
@@ -116,7 +117,7 @@ def _train_quantizer(vectors) -> dict:
     n, d = x.shape
     if d % VI_PQ_M:
         raise ValueError(f"dim {d} not divisible by VI_PQ_M={VI_PQ_M}")
-    cents = _lloyd(x, VI_CELLS, seed=42)
+    cents = _lloyd(x, VI_CELLS, np.random.RandomState(42))
     d2 = (
         (x * x).sum(1)[:, None]
         - 2.0 * (x @ cents.T)
@@ -125,7 +126,11 @@ def _train_quantizer(vectors) -> dict:
     resid = x - cents[d2.argmin(1)]
     sub = d // VI_PQ_M
     books = [
-        _lloyd(resid[:, m * sub : (m + 1) * sub], VI_PQ_K, seed=43 + m)
+        _lloyd(
+            resid[:, m * sub : (m + 1) * sub],
+            VI_PQ_K,
+            np.random.RandomState(43 + m),
+        )
         for m in range(VI_PQ_M)
     ]
     return {
@@ -137,12 +142,35 @@ def _train_quantizer(vectors) -> dict:
     }
 
 
-def _quantizer_path(path: str) -> str:
-    return os.path.join(path, "_quantizer.json")
+def _quantizer_path(path: str, epoch: int) -> str:
+    """The quantizer sidecar is IMMUTABLE PER BUILD EPOCH (named by
+    the source snapshot the build covered): a REBUILD writes a new
+    file and its overwrite commit atomically flips which epoch the
+    token index names — readers resolving through ``_build_epoch``
+    always pair codes with the codebooks that produced them (review
+    catch: a single mutable _quantizer.json made rebuild a torn-read
+    window where old codes decoded against retrained codebooks)."""
+    return os.path.join(path, f"_quantizer.{epoch}.json")
 
 
-def _load_quantizer(path: str) -> dict:
-    with open(_quantizer_path(path)) as f:
+def _build_epoch(idx: SnapshotTable) -> int | None:
+    """The source snapshot of the live build commit (max over
+    ``vidx-built-*`` tokens still in history)."""
+    vs = [
+        int(t[len(_VI_BUILD_TOKEN):])
+        for t, v in idx._token_index().items()
+        if t.startswith(_VI_BUILD_TOKEN) and v in idx.snapshots()
+    ]
+    return max(vs) if vs else None
+
+
+def _load_quantizer(path: str, idx: SnapshotTable) -> dict:
+    epoch = _build_epoch(idx)
+    if epoch is None:
+        raise ValueError(
+            f"no index at {path!r} — build_vector_index first"
+        )
+    with open(_quantizer_path(path, epoch)) as f:
         return json.load(f)
 
 
@@ -211,11 +239,13 @@ def _index_handle(path: str) -> SnapshotTable:
 def indexed_through(idx: SnapshotTable) -> int | None:
     """The source snapshot the index covers — from the index table's
     own commit tokens (the MV-refresh checkpoint idiom: state moves
-    atomically with the commit, crash-replay finds it and no-ops)."""
+    atomically with the commit, crash-replay finds it and no-ops).
+    Build (overwrite) and refresh (append) tokens both count."""
     vs = [
-        int(t[len(_VI_TOKEN):])
+        int(t[len(p):])
         for t, v in idx._token_index().items()
-        if t.startswith(_VI_TOKEN) and v in idx.snapshots()
+        for p in (_VI_TOKEN, _VI_BUILD_TOKEN)
+        if t.startswith(p) and v in idx.snapshots()
     ]
     return max(vs) if vs else None
 
@@ -223,11 +253,17 @@ def indexed_through(idx: SnapshotTable) -> int | None:
 def build_vector_index(
     spark: SparkSession, src: SnapshotTable, path: str
 ) -> SnapshotTable:
-    """Bootstrap: train the quantizer on a deterministic bounded
-    sample of the source's CURRENT snapshot, persist it, encode every
-    row, commit as the index's first snapshot (token = source
-    version). The quantizer is immutable afterwards — refreshes only
-    ADD codes."""
+    """Build (or REBUILD — the documented recovery after an
+    overwrite/rollback-shaped source history): train the quantizer on
+    a deterministic bounded sample of the source's CURRENT snapshot,
+    persist it under a new epoch-named sidecar, encode every row, and
+    commit the codes as ONE idempotent OVERWRITE (token = source
+    version). Overwrite — never append — so a rebuild on an existing
+    index atomically REPLACES the old codes instead of duplicating
+    every vec_id (review catch), and the epoch flip pairs readers
+    with the matching codebooks whichever side of the commit they
+    read. The epoch's quantizer is immutable afterwards — refreshes
+    only ADD codes encoded with it."""
     cur = src._latest_published()
     if cur is None:
         raise ValueError("source table has nothing published")
@@ -238,13 +274,16 @@ def build_vector_index(
     ]
     quantizer = _train_quantizer(sample)
     os.makedirs(path, exist_ok=True)
-    qp = _quantizer_path(path)
+    qp = _quantizer_path(path, cur)
     tmp = qp + ".tmp"
     with open(tmp, "w") as f:
         json.dump(quantizer, f)
-    os.replace(tmp, qp)
+    os.replace(tmp, qp)  # before the commit: an orphan on crash,
+    # never a live pointer to codes that don't match it
     idx = _index_handle(path)
-    idx.append_once(_encode(state, quantizer), token=f"{_VI_TOKEN}{cur}")
+    idx.overwrite(
+        _encode(state, quantizer), token=f"{_VI_BUILD_TOKEN}{cur}"
+    )
     return idx
 
 
@@ -273,7 +312,7 @@ def refresh_vector_index(
     delta = _read_incremental(src, spark, last, cur).select(
         "vec_id", "embedding"
     )
-    quantizer = _load_quantizer(path)
+    quantizer = _load_quantizer(path, idx)
     idx.append_once(_encode(delta, quantizer), token=f"{_VI_TOKEN}{cur}")
     return cur
 
@@ -297,7 +336,8 @@ def query_vector_index(
     size."""
     import numpy as np
 
-    quantizer = _load_quantizer(path)
+    idx = _index_handle(path)
+    quantizer = _load_quantizer(path, idx)
     cents = np.asarray(quantizer["cells"], dtype=np.float64)
     books = np.stack(
         [np.asarray(b, dtype=np.float64) for b in quantizer["books"]]
@@ -318,29 +358,20 @@ def query_vector_index(
         d2c = ((p[None, :] - cents) ** 2).sum(1)
         for cell in np.argsort(d2c, kind="stable")[:nprobe]:
             resid = p - cents[cell]
-            lut = [
-                [
-                    float(
-                        (
-                            (
-                                resid[m * sub : (m + 1) * sub]
-                                - books[m][j]
-                            )
-                            ** 2
-                        ).sum()
-                    )
-                    for j in range(VI_PQ_K)
-                ]
-                for m in range(VI_PQ_M)
-            ]
-            rows.append((int(r.vec_id), p_raw, int(cell), lut))
+            # one vectorized (M, K) distance table per (probe, cell)
+            # — not M x K scalar reductions (review catch)
+            lut = (
+                (books - resid.reshape(VI_PQ_M, 1, sub)) ** 2
+            ).sum(-1)
+            rows.append(
+                (int(r.vec_id), p_raw, int(cell), lut.tolist())
+            )
     probe_cells = spark.createDataFrame(
         rows,
         "probe_id long, pe array<double>, cell int, "
         "lut array<array<double>>",
     )
     cells_needed = sorted({c for _, _, c, _ in rows})
-    idx = _index_handle(path)
     codes = idx.read(spark, isin=("cell", cells_needed))
     adc = F.expr(
         "aggregate(zip_with(codes, lut, (c, l) -> l[c]), 0D, "
@@ -436,7 +467,7 @@ def q_vecindex_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     src, base = _src_from_embeddings(spark, sf_dir, "vecindex_build")
     path = f"{base}/idx"
     idx = build_vector_index(spark, src, path)
-    quantizer = _load_quantizer(path)
+    quantizer = _load_quantizer(path, idx)
     cents = np.asarray(quantizer["cells"], dtype=np.float64)
     p0 = np.asarray(
         src.read(spark)
@@ -513,13 +544,16 @@ def q_vecindex_incremental(
     refresh_vector_index(spark, src, path)  # replay: must no-op
     full = _encode(
         src.read(spark).select("vec_id", "embedding"),
-        _load_quantizer(path),
+        _load_quantizer(path, idx),
     ).select(
         F.col("vec_id"),
         F.col("cell").alias("_fcell"),
         F.col("codes").alias("_fcodes"),
     )
-    got = idx.read(spark)
+    # pin the index state once: the mismatch join, total, and delta
+    # all read it — three lineage re-scans otherwise (review catch)
+    got = idx.read(spark).localCheckpoint(eager=True)
+    n_total = got.count()
     mism = (
         got.join(full, "vec_id", "full_outer")
         .filter(
@@ -530,9 +564,11 @@ def q_vecindex_incremental(
         )
         .count()
     )
-    n_delta = got.count() - idx.read(spark, as_of=idx.snapshots()[0]).count()
+    n_delta = n_total - idx.read(
+        spark, as_of=idx.snapshots()[0]
+    ).count()
     return spark.createDataFrame(
-        [(got.count(), n_delta, mism, len(idx.snapshots()))],
+        [(n_total, n_delta, mism, len(idx.snapshots()))],
         "n_total bigint, n_delta bigint, n_mismatch bigint, "
         "n_commits bigint",
     )

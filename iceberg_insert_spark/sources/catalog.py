@@ -734,7 +734,9 @@ class LocalCatalog:
                         self._resolve_ts_pin(tspin)
                     )
                 df = self._apply_policies(
-                    ref, t.read(spark, as_of=as_of)
+                    ref,
+                    t.read(spark, as_of=as_of),
+                    ent=reg["tables"].get(ref),
                 )
             df.createOrReplaceTempView(tmp)
             return tmp
@@ -1707,7 +1709,8 @@ class LocalCatalog:
         they read (an MV over a view is fresh exactly when the
         underlying tables haven't moved; the view definition version
         rides along so a view replace also invalidates)."""
-        views = self._read().get("views", {})
+        reg = self._read()
+        views = reg.get("views", {})
         out: dict = {}
         seen = set()
         frontier = list(self.view_dependencies(ident))
@@ -1725,6 +1728,19 @@ class LocalCatalog:
                 )
             else:
                 out[dep] = self.load_table(dep)._latest_published() or 0
+                # governance fingerprint: a row-filter/mask change is
+                # a freshness event even with zero data commits —
+                # otherwise a fresh MV keeps serving PRE-POLICY rows
+                # from storage (review catch: the governance leak).
+                # A string (not a tuple) so the freshness record
+                # compares equal across its JSON round-trip.
+                tent = reg["tables"].get(dep) or {}
+                pol = (
+                    tent.get("row_filter"),
+                    sorted((tent.get("column_masks") or {}).items()),
+                )
+                if pol != (None, []):
+                    out[f"{dep}::policy"] = repr(pol)
         return out
 
     def is_stale(self, ident: str) -> bool:
@@ -1941,12 +1957,17 @@ class LocalCatalog:
             "column_masks": dict(ent.get("column_masks", {})),
         }
 
-    def _apply_policies(self, ref: str, df: DataFrame) -> DataFrame:
+    def _apply_policies(
+        self, ref: str, df: DataFrame, ent: dict | None = None
+    ) -> DataFrame:
         """Apply ``ref``'s row filter then column masks to a resolved
         table read (see the policy-semantics comment above). Called on
         every sql()/execute() table resolution; zero cost when no
-        policy is attached (the common path: two dict probes)."""
-        ent = self._entry(ref)
+        policy is attached (two dict probes — sql() passes the entry
+        from its statement-start registry snapshot so the hot path
+        never re-reads the registry file per ref; review catch)."""
+        if ent is None:
+            ent = self._entry(ref)
         rf = ent.get("row_filter")
         masks = ent.get("column_masks") or {}
         if rf:

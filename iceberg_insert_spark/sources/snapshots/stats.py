@@ -1239,10 +1239,11 @@ class SnapshotStatsMixin:
         Every accumulated row is >= its file's min, so once the running
         total reaches k there provably exist >= k non-NULL values >= L
         (that file's min) — any file whose recorded max < L can be
-        pruned; files without usable stats keep conservatively. NULLs
-        sort last in both engines' default DESC|ASC LIMIT semantics
-        and never enter the top-k while >= k non-null values exist —
-        exactly what the accumulation established. ``asc`` mirrors
+        pruned; files without usable stats keep conservatively. The
+        read path orders NULLS LAST explicitly (Spark's bare ``asc()``
+        is NULLS FIRST), so NULLs never enter the top-k while >= k
+        non-null values exist — exactly what the accumulation
+        established. ``asc`` mirrors
         with max ascending / min > U. Returns ``(files_to_scan,
         total_files, bound)`` — bound None when metadata could not
         prove one (every file kept). The caller re-applies the real
@@ -1348,7 +1349,17 @@ class SnapshotStatsMixin:
         driver merge), only the IO changes."""
         kept, _total, _bound = self.plan_topk(col, k, desc, as_of)
         df = self.read(spark, as_of=as_of, plan=kept)
-        order = F.col(col).desc() if desc else F.col(col).asc()
+        # NULLS LAST explicitly on BOTH directions: Spark's bare asc()
+        # defaults to NULLS FIRST (review catch — NULL keys would have
+        # entered an ascending top-k on the unpruned path while the
+        # bound proof assumed they never surface, so pruning would
+        # have CHANGED the result), and plan_topk's soundness argument
+        # is stated for nulls-last semantics.
+        order = (
+            F.col(col).desc_nulls_last()
+            if desc
+            else F.col(col).asc_nulls_last()
+        )
         return df.orderBy(order).limit(k)
 
     def partitions_info(self, as_of: int | None = None) -> list[dict]:

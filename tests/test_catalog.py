@@ -1421,3 +1421,29 @@ def test_policies_in_describe_output(spark, tmp_path):
     }
     assert info["row_filter"] == "bal > 0"
     assert "name: 'X'" in info["column_masks"]
+
+
+def test_policy_change_staleness_reaches_materialized_views(spark, tmp_path):
+    """A row-filter/mask change with ZERO data commits must flip a
+    fresh MV to stale so the live fallback serves policied rows — a
+    storage-served MV would otherwise leak pre-policy data through a
+    catalog-mediated read (review catch)."""
+    cat = _policied_cat(spark, tmp_path)
+    cat.create_materialized_view(
+        "gov.mv", "SELECT COUNT(*) AS n FROM {{gov.t}}"
+    )
+    cat.refresh_materialized(spark, "gov.mv")
+    assert not cat.is_stale("gov.mv")
+    df, from_storage = cat.read_materialized(spark, "gov.mv")
+    assert from_storage and df.collect()[0].n == 4
+    cat.set_row_filter("gov.t", "region = 'EU'")
+    assert cat.is_stale("gov.mv")  # no data commit happened
+    df, from_storage = cat.read_materialized(spark, "gov.mv")
+    assert not from_storage and df.collect()[0].n == 2
+    # refresh re-materializes THROUGH the policy and is fresh again;
+    # dropping the policy is itself a freshness event
+    cat.refresh_materialized(spark, "gov.mv")
+    df, from_storage = cat.read_materialized(spark, "gov.mv")
+    assert from_storage and df.collect()[0].n == 2
+    cat.drop_row_filter("gov.t")
+    assert cat.is_stale("gov.mv")

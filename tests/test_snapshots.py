@@ -4564,6 +4564,12 @@ def test_plan_topk_prunes_and_stays_exact(spark, tmp_path):
     assert (total, len(kept)) == (2, 1)
     got = [r.k for r in t2.read_topk(spark, "k", 60).collect()]
     assert got == list(range(199, 139, -1))  # no NULLs
+    # ascending with NULLs in the corpus: NULLS LAST explicitly (bare
+    # asc() is NULLS FIRST in Spark — review catch), pruned == unpruned
+    kept, _, bound = t2.plan_topk("k", 30, desc=False)
+    assert (len(kept), bound) == (1, 99)
+    got = [r.k for r in t2.read_topk(spark, "k", 30, desc=False).collect()]
+    assert got == list(range(0, 30))  # no NULLs at the front either
     # overlapping ranges: both files can hold top keys -> both kept
     t3 = SnapshotTable(str(tmp_path / "o"), stats_cols=["k"])
     t3.append(

@@ -109,8 +109,9 @@ def test_quantizer_frozen_across_refresh(spark, tmp_path):
     vecs = _clustered_vectors(planted=False)
     src = _mk_src(spark, tmp_path, vecs[:150])
     path = str(tmp_path / "idx")
-    V.build_vector_index(spark, src, path)
-    before = open(V._quantizer_path(path)).read()
+    idx = V.build_vector_index(spark, src, path)
+    epoch = V._build_epoch(idx)
+    before = open(V._quantizer_path(path, epoch)).read()
     rows = [
         (150 + i, 0, [float(x) for x in v])
         for i, v in enumerate(vecs[150:])
@@ -121,10 +122,46 @@ def test_quantizer_frozen_across_refresh(spark, tmp_path):
         )
     )
     V.refresh_vector_index(spark, src, path)
-    assert open(V._quantizer_path(path)).read() == before
+    assert V._build_epoch(idx) == epoch  # refresh never moves epochs
+    assert open(V._quantizer_path(path, epoch)).read() == before
     q = json.loads(before)
     assert len(q["cells"]) == V.VI_CELLS
     assert len(q["books"]) == V.VI_PQ_M
+
+
+def test_rebuild_replaces_codes_and_flips_epoch(spark, tmp_path):
+    """The documented recovery after an overwrite-shaped source
+    history: rebuild on the SAME path must atomically REPLACE the old
+    codes (no duplicate vec_ids — review catch: an append-shaped
+    build doubled every row) and pair readers with the new epoch's
+    quantizer; the old epoch's sidecar stays immutable on disk."""
+    vecs = _clustered_vectors(planted=False)
+    src = _mk_src(spark, tmp_path, vecs)
+    path = str(tmp_path / "idx")
+    idx = V.build_vector_index(spark, src, path)
+    e1 = V._build_epoch(idx)
+    src.overwrite(
+        spark.createDataFrame(
+            [(i, i % 3, [float(x) for x in v]) for i, v in enumerate(vecs[:100])],
+            "vec_id long, label int, embedding array<double>",
+        )
+    )
+    with pytest.raises(ValueError):
+        V.refresh_vector_index(spark, src, path)  # crosses overwrite
+    idx = V.build_vector_index(spark, src, path)
+    e2 = V._build_epoch(idx)
+    assert e2 > e1
+    got = idx.read(spark)
+    assert got.count() == 100
+    assert got.select("vec_id").distinct().count() == 100  # no dups
+    assert os.path.exists(V._quantizer_path(path, e1))  # immutable
+    # queries resolve the NEW epoch's quantizer and still retrieve
+    top = (
+        V.query_vector_index(spark, path, src)
+        .filter(F.col("rn") == 1)
+        .count()
+    )
+    assert top == min(10, 100)  # one rank-1 hit per probe
 
 
 def test_refresh_requires_build(spark, tmp_path):
