@@ -966,6 +966,8 @@ class LocalCatalog:
             if len(rest) < 2 or not rest[1].strip():
                 raise ValueError("expected 'EXPLAIN <statement>'")
             return self.explain(spark, rest[1])
+        if verb == "ALTER":
+            return self.sql_alter(sql)
         if verb == "DESCRIBE":
             m = self._DESCRIBE_RE.match(sql)
             if not m:
@@ -1574,6 +1576,45 @@ class LocalCatalog:
                 if depth == 0:
                     return line[j : k + 1]
         return None
+
+    # ALTER TABLE policy verbs — the console spelling of the
+    # governance API. The filter/mask EXPRESSION is the raw remainder
+    # of the statement (never parsed here — stored verbatim, resolved
+    # by Spark at read like the programmatic setters), so quoting
+    # needs no special casing.
+    _ALTER_POLICY_RE = re.compile(
+        r"^\s*ALTER\s+TABLE\s+\{\{\s*([A-Za-z_][\w.]*)\s*\}\}\s+"
+        r"(?:SET\s+ROW\s+FILTER\s+(?P<rf>.+?)"
+        r"|DROP\s+ROW\s+FILTER"
+        r"|SET\s+COLUMN\s+MASK\s+(?P<mcol>[A-Za-z_]\w*)\s+(?P<mex>.+?)"
+        r"|DROP\s+COLUMN\s+MASK\s+(?P<dcol>[A-Za-z_]\w*))\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def sql_alter(self, sql: str) -> dict:
+        """``ALTER TABLE {{ns.t}} SET ROW FILTER <expr>`` /
+        ``DROP ROW FILTER`` / ``SET COLUMN MASK <col> <expr>`` /
+        ``DROP COLUMN MASK <col>`` — the SQL spellings of the policy
+        API. Returns the table's policies after the change."""
+        m = self._ALTER_POLICY_RE.match(sql)
+        if not m:
+            raise ValueError(
+                "expected 'ALTER TABLE {{ns.t}} SET ROW FILTER "
+                "<expr>' | 'DROP ROW FILTER' | 'SET COLUMN MASK <col> "
+                "<expr>' | 'DROP COLUMN MASK <col>'"
+            )
+        ident = m.group(1)
+        if m.group("rf") is not None:
+            self.set_row_filter(ident, m.group("rf").strip())
+        elif m.group("mcol") is not None:
+            self.set_column_mask(
+                ident, m.group("mcol"), m.group("mex").strip()
+            )
+        elif m.group("dcol") is not None:
+            self.drop_column_mask(ident, m.group("dcol"))
+        else:
+            self.drop_row_filter(ident)
+        return self.table_policies(ident)
 
     _DESCRIBE_RE = re.compile(
         r"^\s*DESCRIBE\s+(?:TABLE\s+)?(?:EXTENDED\s+)?"

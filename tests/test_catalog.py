@@ -1447,3 +1447,33 @@ def test_policy_change_staleness_reaches_materialized_views(spark, tmp_path):
     assert from_storage and df.collect()[0].n == 2
     cat.drop_row_filter("gov.t")
     assert cat.is_stale("gov.mv")
+
+
+def test_alter_table_policy_verbs(spark, tmp_path):
+    """Console spellings: ALTER TABLE ... SET/DROP ROW FILTER and
+    SET/DROP COLUMN MASK dispatch through execute(), return the
+    resulting policy set, and survive quoted expressions verbatim."""
+    cat = _policied_cat(spark, tmp_path)
+    pol = cat.execute(
+        spark, "ALTER TABLE {{gov.t}} SET ROW FILTER region = 'EU'"
+    )
+    assert pol["row_filter"] == "region = 'EU'"
+    cat.execute(
+        spark,
+        "ALTER TABLE {{gov.t}} SET COLUMN MASK name "
+        "CASE WHEN region = 'EU' THEN name ELSE 'X' END",
+    )
+    rows = {
+        (r.id, r.name)
+        for r in cat.sql(spark, "SELECT * FROM {{gov.t}}").collect()
+    }
+    assert rows == {(1, "alice"), (2, "bob")}
+    pol = cat.execute(spark, "ALTER TABLE {{gov.t}} DROP COLUMN MASK name")
+    assert pol["column_masks"] == {}
+    pol = cat.execute(spark, "ALTER TABLE {{gov.t}} DROP ROW FILTER")
+    assert pol["row_filter"] is None
+    assert cat.sql(spark, "SELECT COUNT(*) AS n FROM {{gov.t}}").collect()[0].n == 4
+    with pytest.raises(ValueError, match="expected 'ALTER TABLE"):
+        cat.execute(spark, "ALTER TABLE {{gov.t}} ADD COLUMN x INT")
+    with pytest.raises(ValueError, match="does not exist"):
+        cat.execute(spark, "ALTER TABLE {{gov.nope}} DROP ROW FILTER")
