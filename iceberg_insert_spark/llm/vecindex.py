@@ -572,3 +572,63 @@ def q_vecindex_incremental(
         "n_total bigint, n_delta bigint, n_mismatch bigint, "
         "n_commits bigint",
     )
+
+
+def vector_index_stream_available_now(
+    spark: SparkSession,
+    src_glob: str,
+    schema,
+    table_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> SnapshotTable:
+    """CONTINUOUS index maintenance: a file stream of (vec_id,
+    embedding) rows lands in the source snapshot table and the
+    persisted IVF-PQ index refreshes once per micro-batch — the
+    vector-search twin of ``incremental_dedup_stream_available_now``
+    (file_stream.py:398), composed entirely from proven exactly-once
+    primitives.
+
+    Per micro-batch (inside ``foreachBatch``, which is AT-LEAST-ONCE):
+      1. ``append_once(batch, token=vecstream-<batch_id>)`` — a
+         replayed batch finds its token and no-ops (the commit-dedup
+         idiom every streaming sink here uses);
+      2. first batch ever: ``build_vector_index`` (itself an
+         idempotent tokened overwrite); later batches:
+         ``refresh_vector_index`` — encodes only the batch's rows
+         (manifest set-difference), no-ops on ITS token when replayed.
+
+    The quantizer therefore trains on the FIRST batch and stays
+    frozen — the FAISS streaming posture (train on a bootstrap
+    sample, add forever; retrain = a new build epoch, a planned
+    operation, not something a stream does implicitly). At 100 TB
+    each trigger costs O(batch) encode + one metadata commit; index
+    freshness lags ingest by exactly one trigger."""
+    from ..streaming.file_stream import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    tbl = SnapshotTable(table_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.select("vec_id", "embedding")
+        tbl.append_once(rows, token=f"vecstream-{batch_id}")
+        idx = _index_handle(index_dir)
+        if _build_epoch(idx) is None:
+            build_vector_index(batch_df.sparkSession, tbl, index_dir)
+        else:
+            refresh_vector_index(
+                batch_df.sparkSession, tbl, index_dir
+            )
+
+    (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_glob)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return _index_handle(index_dir)

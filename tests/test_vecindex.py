@@ -175,3 +175,49 @@ def test_bad_dim_refuses(spark, tmp_path):
 
     with pytest.raises(ValueError, match="not divisible"):
         V._train_quantizer(np.ones((10, 15)))
+
+
+def test_vector_index_stream_available_now(spark, tmp_path):
+    """Continuous maintenance: files stream into the source table one
+    per trigger, the index builds on batch 0 and refreshes per batch;
+    a full RERUN of the stream (same checkpoint gone, same files)
+    replays every batch into no-ops — exactly-once end to end."""
+    import numpy as np
+
+    vecs = _clustered_vectors(planted=False)
+    land = tmp_path / "landing"
+    land.mkdir()
+    for part, sl in enumerate((slice(0, 80), slice(80, 160), slice(160, 240))):
+        rows = [
+            (int(sl.start + i), [float(x) for x in v])
+            for i, v in enumerate(vecs[sl])
+        ]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).coalesce(1).write.parquet(str(land / f"b{part}"))
+    glob = str(land / "*")
+    idx = V.vector_index_stream_available_now(
+        spark,
+        glob,
+        "vec_id long, embedding array<double>",
+        str(tmp_path / "src"),
+        str(tmp_path / "idx"),
+        str(tmp_path / "ckpt"),
+    )
+    n_snaps = len(idx.snapshots())
+    assert idx.read(spark).count() == 240
+    assert idx.read(spark).select("vec_id").distinct().count() == 240
+    epoch = V._build_epoch(idx)
+    # rerun with a FRESH checkpoint: every batch replays, all tokens
+    # hit, nothing double-appends, the quantizer epoch never moves
+    V.vector_index_stream_available_now(
+        spark,
+        glob,
+        "vec_id long, embedding array<double>",
+        str(tmp_path / "src"),
+        str(tmp_path / "idx"),
+        str(tmp_path / "ckpt2"),
+    )
+    assert idx.read(spark).count() == 240
+    assert len(idx.snapshots()) == n_snaps
+    assert V._build_epoch(idx) == epoch
