@@ -1351,6 +1351,125 @@ class LocalCatalog:
         )
         return (wstart, wend), top, blocked
 
+    @classmethod
+    def _blank_quotes(cls, text: str) -> str:
+        """Copy of ``text`` with string-literal spans blanked — all
+        structural scanning (parens, keywords) runs over this so a
+        quoted '(' or 'OR' can only ever BLOCK a claim, never
+        fabricate one (the rule _explain_where_scope established)."""
+        chars = list(text)
+        for s, e in cls._quoted_spans(text):
+            for i in range(s, e):
+                chars[i] = " "
+        return "".join(chars)
+
+    @classmethod
+    def _split_depth0(
+        cls, masked: str, word: str
+    ) -> list[tuple[int, int]]:
+        """Spans between depth-0 occurrences of keyword ``word`` over
+        a string-blanked copy (one span when the word never occurs at
+        depth 0)."""
+        import re as _re
+
+        cuts = []
+        depth = 0
+        for m in _re.finditer(
+            r"[()]|\b" + word + r"\b", masked, _re.IGNORECASE
+        ):
+            tok = m.group(0)
+            if tok == "(":
+                depth += 1
+            elif tok == ")":
+                depth = max(0, depth - 1)
+            elif depth == 0:
+                cuts.append(m.span())
+        spans = []
+        prev = 0
+        for s, e in cuts:
+            spans.append((prev, s))
+            prev = e
+        spans.append((prev, len(masked)))
+        return spans
+
+    @classmethod
+    def _strip_outer_parens(cls, text: str) -> str:
+        t = text.strip()
+        while t.startswith("(") and t.endswith(")"):
+            masked = cls._blank_quotes(t)
+            depth = 0
+            closes_early = False
+            for i, ch in enumerate(masked):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0 and i != len(masked) - 1:
+                        closes_early = True
+                        break
+            if closes_early or depth != 0:
+                break
+            t = t[1:-1].strip()
+        return t
+
+    @classmethod
+    def _explain_or_tree(cls, text: str) -> tuple | None:
+        """Decompose a disjunctive clause into ``plan_files`` any_of
+        branches of AND'ed claimable conjuncts, recursing into
+        parenthesized sub-disjunctions. ALL-OR-NOTHING: any fragment
+        that is not a claimable conjunct (LIKE, !=, IS NULL, function
+        call, subquery, NOT anywhere, two sub-disjunctions AND'ed in
+        one branch) returns None — a partial claim would report
+        pruning for a predicate the scan does not actually have, the
+        misinformation hazard the EXPLAIN advice history polices.
+        Returns ``(branches, [(qualifier, column), ...])`` — the
+        latter for single-table attribution by the caller."""
+        import re as _re
+
+        masked = cls._blank_quotes(text)
+        if _re.search(r"\bNOT\b", masked, _re.IGNORECASE):
+            return None
+        branches: list[dict] = []
+        quals: list[tuple] = []
+        for s, e in cls._split_depth0(masked, "OR"):
+            piece = cls._strip_outer_parens(text[s:e])
+            if not piece:
+                return None
+            pmask = cls._blank_quotes(piece)
+            br: dict = {}
+            for ps, pe in cls._split_depth0(pmask, "AND"):
+                frag = cls._strip_outer_parens(piece[ps:pe])
+                if not frag:
+                    return None
+                fmask = cls._blank_quotes(frag)
+                if _re.search(r"\bOR\b", fmask, _re.IGNORECASE):
+                    # parenthesized sub-disjunction inside this AND
+                    sub = cls._explain_or_tree(frag)
+                    if sub is None or "any_of" in br:
+                        return None  # a 2nd one needs AND-of-OR nesting
+                    br["any_of"] = sub[0]
+                    quals.extend(sub[1])
+                    continue
+                claims = cls._explain_conjuncts(frag)
+                full = [
+                    c
+                    for c in claims
+                    if not frag[: c[4][0]].strip()
+                    and not frag[c[4][1] :].strip()
+                ]
+                if len(full) != 1:
+                    return None
+                qual, col, kw, _desc, _span = full[0]
+                quals.append((qual, col))
+                for k, v in kw.items():
+                    br.setdefault(k, []).append(v)
+            if not br:
+                return None
+            branches.append(br)
+        if len(branches) < 2:
+            return None
+        return branches, quals
+
     @staticmethod
     def _quoted_spans(statement: str) -> list[tuple[int, int]]:
         """Spans of single-quoted string literals ('' escapes) — a
@@ -1426,12 +1545,16 @@ class LocalCatalog:
           * ``table`` — per referenced catalog table: resolved
             snapshot, live file count, manifest count (raw manifest
             list only — no entry expansion, no data IO);
-          * ``pruning`` — for each ``col BETWEEN lo AND hi`` conjunct
-            on a table's recorded stats column: the METADATA PLANNER's
-            verdict (files kept / total from plan_files, manifests in
-            the list) — the files-planned/pruned number Spark's
-            own plan cannot show because pruning here happens in the
-            catalog's planner;
+          * ``pruning`` — for each claimable conjunct (BETWEEN, =,
+            <, >, <=, >=, IN of literals) on a table's recorded stats
+            column, and — r9 — for a TOP-DISJUNCTIVE clause whose
+            every OR branch decomposes to such conjuncts on ONE
+            table (claimed whole through plan_files(any_of=...),
+            all-or-nothing): the METADATA PLANNER's verdict (files
+            kept / total from plan_files, manifests in the list) —
+            the files-planned/pruned number Spark's own plan cannot
+            show because pruning here happens in the catalog's
+            planner;
           * ``join`` — every join node in the optimized physical plan
             (BroadcastHashJoin vs SortMergeJoin — THE 100 TB strategy
             question);
@@ -1496,6 +1619,51 @@ class LocalCatalog:
                 else None  # pre-schema table: ownership unknowable
             )
             refs.append((key, ref, v, tbl, scols))
+        if wspan is not None and top_disjunctive:
+            # OR-TREE claim (r9): a top-disjunctive WHERE claims as a
+            # WHOLE clause through plan_files(any_of=...) — and only
+            # when EVERY disjunct decomposes to claimable conjuncts
+            # that all attribute to ONE referenced table's stats
+            # columns (all-or-nothing: a partial claim would report
+            # pruning the scan does not have). Anything else keeps
+            # the documented conservative silence.
+            clause = statement[wspan[0] : wspan[1]]
+            dec = self._explain_or_tree(clause)
+            keys: set = set()
+            ok = dec is not None
+            if ok:
+                branches, qcols = dec
+                for qual, col in qcols:
+                    if qual is not None:
+                        keys.add(aliases.get(qual))
+                    else:
+                        if any(r[4] is None for r in refs):
+                            ok = False
+                            break
+                        cands = [r for r in refs if col in r[4]]
+                        if len(cands) != 1:
+                            ok = False
+                            break
+                        keys.add(cands[0][0])
+            if ok and len(keys) == 1:
+                matches = [r for r in refs if r[0] == keys.pop()]
+                if matches:
+                    _key, ref, v, tbl, _sc = matches[0]
+                    if all(
+                        col in tbl.stats_cols for _q, col in qcols
+                    ):
+                        kept, total = tbl.plan_files(
+                            as_of=v, any_of=branches
+                        )
+                        desc = re.sub(r"\s+", " ", clause).strip()
+                        rows.append(
+                            (
+                                "pruning",
+                                f"{ref}@{v}.OR[{desc}]: files "
+                                f"{len(kept)}/{total} after metadata "
+                                "pruning",
+                            )
+                        )
         if wspan is not None and not top_disjunctive:
             quoted = self._quoted_spans(statement)
             for qual, col, kw, desc, span in self._explain_conjuncts(

@@ -1062,9 +1062,11 @@ def test_explain_pruning_grammar_shapes(spark, tmp_path):
     )
     assert any("BETWEEN 120 AND 160: files 1/3" in it for it in p)
     assert not any("k = 290" in it for it in p)
-    # top-level OR silences everything
-    assert not prunes(
-        "SELECT * FROM {{db.fact}} WHERE k = 120 OR k = 220"
+    # top-level OR of claimable conjuncts claims the WHOLE clause
+    # through plan_files(any_of=...) (r9 wave 13 — previously silent)
+    p = prunes("SELECT * FROM {{db.fact}} WHERE k = 120 OR k = 220")
+    assert any(
+        "OR[k = 120 OR k = 220]: files 2/3" in it for it in p
     )
     # unqualified attribution resolves by LIVE SCHEMA ownership, not
     # by who records stats (r8 advisor + r9 review): db.dim RECORDS a
@@ -1477,3 +1479,75 @@ def test_alter_table_policy_verbs(spark, tmp_path):
         cat.execute(spark, "ALTER TABLE {{gov.t}} ADD COLUMN x INT")
     with pytest.raises(ValueError, match="does not exist"):
         cat.execute(spark, "ALTER TABLE {{gov.nope}} DROP ROW FILTER")
+
+
+def test_explain_or_tree_claims(spark, tmp_path):
+    """OR-tree EXPLAIN claims (r9): a top-disjunctive WHERE claims as
+    ONE clause iff every disjunct decomposes to claimable conjuncts
+    attributing to a single table's stats columns; anything less
+    keeps the conservative silence (all-or-nothing)."""
+    from iceberg_insert_spark.sources.catalog import LocalCatalog
+
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("db")
+    t = cat.create_table("db.fact", stats_cols=["k"])
+    for lo in (0, 100, 200):
+        t.append(
+            spark.createDataFrame(
+                [(lo + i, float(i)) for i in range(50)],
+                "k long, v double",
+            ).coalesce(1)
+        )
+
+    def prunes(stmt):
+        return [
+            r.item
+            for r in cat.explain(spark, stmt).collect()
+            if r.kind == "pruning"
+        ]
+
+    # two open ranges: middle file pruned
+    p = prunes("SELECT * FROM {{db.fact}} WHERE k <= 40 OR k > 210")
+    assert any(": files 2/3" in it and it.count("OR[") for it in p)
+    # AND inside a parenthesized branch + IN branch
+    p = prunes(
+        "SELECT * FROM {{db.fact}} WHERE (k >= 200 AND k <= 240) "
+        "OR k IN (5)"
+    )
+    assert any(": files 2/3" in it for it in p)
+    # nested disjunction inside a branch recurses
+    p = prunes(
+        "SELECT * FROM {{db.fact}} WHERE k <= 40 OR "
+        "(k >= 100 AND (k = 120 OR k = 130))"
+    )
+    assert any(": files 2/3" in it for it in p)
+    # one unclaimable disjunct (LIKE) silences the WHOLE clause
+    assert not prunes(
+        "SELECT * FROM {{db.fact}} WHERE k = 120 OR v LIKE 'x%'"
+    )
+    # NOT anywhere silences
+    assert not prunes(
+        "SELECT * FROM {{db.fact}} WHERE k = 120 OR NOT (k = 5)"
+    )
+    # a quoted 'OR' is data, not structure: the clause is a single
+    # claimable conjunct on g... (string col has no stats) -> silent,
+    # and crucially no crash / no fabricated disjunction
+    t2 = cat.create_table("db.s", stats_cols=["k"])
+    t2.append(
+        spark.createDataFrame(
+            [(1, "a OR b")], "k long, g string"
+        ).coalesce(1)
+    )
+    assert not prunes("SELECT * FROM {{db.s}} WHERE g = 'a OR b'")
+    # disjuncts across TWO tables never claim (attribution must be
+    # one table)
+    d = cat.create_table("db.dim", stats_cols=["m"])
+    d.append(
+        spark.createDataFrame(
+            [(i, 1.0) for i in range(10)], "m long, w double"
+        ).coalesce(1)
+    )
+    assert not prunes(
+        "SELECT * FROM {{db.fact}} f JOIN {{db.dim}} d ON f.k = d.m "
+        "WHERE f.k = 120 OR d.m = 5"
+    )
