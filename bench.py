@@ -27,6 +27,15 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    # Environment load BEFORE the run: the completion-time load_avg_1m
+    # below largely measures the bench's own final-minute activity
+    # (since r9 the heavy ANN/vecindex queries sort last and keep all
+    # cores hot), so the START reading is the one that says whether
+    # the HOST was quiet — the cross-round comparability signal.
+    try:
+        load_at_start = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_at_start = None
     spark = get_spark("iceberg-insert-spark-bench")
     # Several queries EXERCISE refusal paths on purpose (constraint
     # violations, merge-on-stream refusals): the Python side catches the
@@ -99,6 +108,8 @@ def main() -> None:
         out["load_avg_1m"] = round(os.getloadavg()[0], 2)
     except OSError:
         pass
+    if load_at_start is not None:
+        out["load_avg_1m_at_start"] = load_at_start
     if failures:
         out["failures"] = failures
 
