@@ -746,3 +746,32 @@ def test_join_advisor_broadcast_pin_and_salt_advice(spark, tmp_path):
         spark, fact, fact, "hot", broadcast_bytes=1
     )
     assert adv3["strategy"] == "shuffle" and adv3["salt_advice"] is True
+
+
+def test_policy_filter_reaches_parquet_scan(spark, tmp_path):
+    """The governance claim 'a policy filter on a stats column still
+    pushes to the scan': the catalog-applied row filter must appear in
+    the parquet scan's PushedFilters exactly like an inline WHERE — a
+    policy that materialized-then-filtered would read every byte of a
+    100 TB table to hide half of it."""
+    from iceberg_insert_spark.sources.catalog import LocalCatalog
+
+    cat = LocalCatalog(str(tmp_path / "cat"))
+    cat.create_namespace("gov")
+    cat.create_table("gov.t", stats_cols=["k"]).append(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(100)], "k long, v double"
+        ).coalesce(1)
+    )
+    cat.set_row_filter("gov.t", "k > 90")
+    p = plan_of(cat.sql(spark, "SELECT v FROM {{gov.t}}"))
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert pushed and any(
+        "GreaterThan(k,90" in ln for ln in pushed
+    ), p
+    # column masks keep pruning intact: selecting one unmasked column
+    # must not widen the scan to the masked ones it doesn't reference
+    cat.set_column_mask("gov.t", "v", "v * 0.0")
+    p = plan_of(cat.sql(spark, "SELECT k FROM {{gov.t}}"))
+    rs = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert rs and all("v:double" not in ln for ln in rs), p

@@ -221,3 +221,43 @@ def test_vector_index_stream_available_now(spark, tmp_path):
     assert idx.read(spark).count() == 240
     assert len(idx.snapshots()) == n_snaps
     assert V._build_epoch(idx) == epoch
+
+
+def test_build_crash_before_commit_leaves_index_intact(spark, tmp_path):
+    """The rebuild crash window: a rebuild that wrote its new
+    epoch-named quantizer sidecar but DIED before the overwrite
+    commit leaves readers exactly where they were — the token index
+    still names the old epoch, so old codes keep decoding against the
+    codebooks that produced them; the orphan sidecar is inert and the
+    retried build completes idempotently over it."""
+    vecs = _clustered_vectors()
+    src = _mk_src(spark, tmp_path, vecs)
+    path = str(tmp_path / "idx")
+    idx = V.build_vector_index(spark, src, path)
+    e1 = V._build_epoch(idx)
+    # source moves by an overwrite; the rebuild gets as far as the
+    # new quantizer file and crashes before committing any codes
+    src.overwrite(
+        spark.createDataFrame(
+            [(i, i % 3, [float(x) for x in v])
+             for i, v in enumerate(vecs[:120])],
+            "vec_id long, label int, embedding array<double>",
+        )
+    )
+    cur2 = src._latest_published()
+    orphan = V._train_quantizer(vecs[:50])
+    with open(V._quantizer_path(path, cur2), "w") as fh:
+        json.dump(orphan, fh)
+    # nothing moved: old epoch resolves, queries still retrieve
+    assert V._build_epoch(idx) == e1
+    got = (
+        V.query_vector_index(spark, path, src)
+        .filter((F.col("probe_id") == 0) & (F.col("rn") == 1))
+        .collect()
+    )
+    assert got and got[0].cand_id == 1
+    # the retried build completes over the orphan (os.replace is
+    # idempotent) and flips the epoch atomically with its commit
+    idx = V.build_vector_index(spark, src, path)
+    assert V._build_epoch(idx) == cur2
+    assert idx.read(spark).count() == 120
