@@ -1730,3 +1730,58 @@ def q_orders_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             num.cast("double") / den.cast("double"), 6
         ).alias("gini"),
     )
+
+
+HLL_ERROR_BOUND_PCT = 15  # 3x the configured rsd=5%: measured relative
+# error 0.0 / 0.67 / 6.67 % at sf0.001/0.01/0.1 — the standard
+# HyperLogLog 3-sigma envelope, never tight against the measurement
+PCTL_RANK_EPS = 0.01  # approx_percentile accuracy=100 -> 1% rank error
+
+
+@query(
+    "q_sketch_error_bounds",
+    oracle=f"""
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST({HLL_ERROR_BOUND_PCT} AS BIGINT) AS hll_bound_pct,
+           CAST(1 AS BIGINT) AS hll_within_bound,
+           CAST(1 AS BIGINT) AS pctl_within_rank_eps
+    FROM events
+    """,
+)
+def q_sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED sketch accuracy (the recall-floor pattern applied to
+    the two approximate aggregates): the HyperLogLog distinct count
+    (rsd=5%) must land within {HLL_ERROR_BOUND_PCT}% of the exact
+    count, and approx_percentile's median (accuracy=100, i.e. <=1%
+    rank error by the Greenwald-Khanna contract) must land between
+    the EXACT 49th and 51st percentiles — the sketch guarantee
+    checked as data, not assumed. Converts 'the sketches ran'
+    (q_agg_approx_distinct / q_agg_percentile_approx stay rows-only
+    for their full outputs, which are engine-specific at the
+    boundary) into oracled claims about their ERROR. ``exact_users``
+    rides in the hash so both engines count the ground truth
+    independently — a fixture drift and a broken sketch both
+    mismatch.
+
+    Scale shape: this is the production acceptance test for replacing
+    an exact distinct/percentile (full shuffle of the key space) with
+    a constant-state sketch at 100 TB — run on a sample, check the
+    bound holds, then deploy the sketch; both sketch buffers are
+    map-side combinable, one scan, no shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    r = ev.agg(
+        F.approx_count_distinct("user_id", 0.05).alias("hll"),
+        F.countDistinct("user_id").alias("exact"),
+        F.expr("approx_percentile(value, 0.5, 100)").alias("p50a"),
+        F.expr(f"percentile(value, {0.5 - PCTL_RANK_EPS})").alias("lo"),
+        F.expr(f"percentile(value, {0.5 + PCTL_RANK_EPS})").alias("hi"),
+    ).collect()[0]
+    hll_ok = int(
+        100 * abs(r.hll - r.exact) <= HLL_ERROR_BOUND_PCT * r.exact
+    )
+    pctl_ok = int(r.lo <= r.p50a <= r.hi)
+    return spark.createDataFrame(
+        [(r.exact, HLL_ERROR_BOUND_PCT, hll_ok, pctl_ok)],
+        "exact_users bigint, hll_bound_pct bigint, "
+        "hll_within_bound bigint, pctl_within_rank_eps bigint",
+    )
