@@ -1512,12 +1512,18 @@ def q_dedup_near_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
+    # the twin-id offset must clear the real id space, or a planted id
+    # could collide with (or the found-pair filter could count) a real
+    # document (review catch) — derive it from the data, keeping the
+    # configured value as the floor so small corpora stay stable
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0] or 0
+    offset = max(_RECALL_OFFSET, max_id + 1)
     eligible = docs.filter(
         (F.col("doc_id") % 20 == 0)
         & (F.size(F.split("text", " ")) >= 30)
     )
     twins = eligible.select(
-        (F.col("doc_id") + _RECALL_OFFSET).alias("doc_id"),
+        (F.col("doc_id") + offset).alias("doc_id"),
         F.expr(
             "array_join(slice(split(text, ' '), 1,"
             " CAST(size(split(text, ' ')) * 3 / 4 AS INT)), ' ')"
@@ -1526,9 +1532,8 @@ def q_dedup_near_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_near_pairs(docs.unionByName(twins))
     n_planted = eligible.count()
     found = (
-        pairs.filter(
-            F.col("doc_b") - F.col("doc_a") == _RECALL_OFFSET
-        )
+        pairs.filter(F.col("doc_b") - F.col("doc_a") == offset)
+        .filter(F.col("doc_b") > max_id)  # twin side only
         .join(eligible.select(F.col("doc_id").alias("doc_a")), "doc_a")
         .count()
     )

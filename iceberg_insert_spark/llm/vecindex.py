@@ -591,9 +591,18 @@ def vector_index_stream_available_now(
     primitives.
 
     Per micro-batch (inside ``foreachBatch``, which is AT-LEAST-ONCE):
-      1. ``append_once(batch, token=vecstream-<batch_id>)`` — a
+      1. ``append_once(batch, token=md5(sorted input files))`` — a
          replayed batch finds its token and no-ops (the commit-dedup
-         idiom every streaming sink here uses);
+         idiom every streaming sink here uses). The token is the
+         batch's FILE SET, not its ordinal (review catch: a
+         fresh-checkpoint rerun whose file->batch grouping shifted
+         would have matched an old ordinal token and silently DROPPED
+         the regrouped files); with content tokens an identical rerun
+         no-ops file-for-file. Exactly-once across a rerun whose
+         grouping genuinely differs (files split across different
+         batches than the committed run) is out of contract — that is
+         what the stream's CHECKPOINT is for; rebuild the index or
+         keep the checkpoint;
       2. first batch ever: ``build_vector_index`` (itself an
          idempotent tokened overwrite); later batches:
          ``refresh_vector_index`` — encodes only the batch's rows
@@ -611,8 +620,17 @@ def vector_index_stream_available_now(
     tbl = SnapshotTable(table_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        import hashlib
+
         rows = batch_df.select("vec_id", "embedding")
-        tbl.append_once(rows, token=f"vecstream-{batch_id}")
+        files = sorted(batch_df.inputFiles())
+        tok = (
+            "vecstream-"
+            + hashlib.md5("\n".join(files).encode()).hexdigest()[:16]
+            if files
+            else f"vecstream-{batch_id}"
+        )
+        tbl.append_once(rows, token=tok)
         idx = _index_handle(index_dir)
         if _build_epoch(idx) is None:
             build_vector_index(batch_df.sparkSession, tbl, index_dir)

@@ -1298,11 +1298,7 @@ class LocalCatalog:
         under a top-level OR claim — quoting must only ever block,
         never fabricate). UNION statements (two depth-0 WHEREs) claim
         nothing — one clause does not describe both scans."""
-        masked_chars = list(statement)
-        for s, e in cls._quoted_spans(statement):
-            for i in range(s, e):
-                masked_chars[i] = " "
-        masked = "".join(masked_chars)
+        masked = cls._blank_quotes(statement)
         depth = 0
         wheres: list[int] = []
         for m in re.finditer(r"[()]|\bWHERE\b", masked, re.IGNORECASE):
@@ -1365,17 +1361,21 @@ class LocalCatalog:
 
     @classmethod
     def _split_depth0(
-        cls, masked: str, word: str
+        cls,
+        masked: str,
+        word: str,
+        exclude: list[tuple[int, int]] | None = None,
     ) -> list[tuple[int, int]]:
         """Spans between depth-0 occurrences of keyword ``word`` over
         a string-blanked copy (one span when the word never occurs at
-        depth 0)."""
-        import re as _re
-
+        depth 0). Occurrences inside an ``exclude`` span do not split
+        — the BETWEEN ... AND ... guard (review catch: the branch
+        splitter severed BETWEEN at its own AND, silencing every
+        disjunction the docstring promised to claim)."""
         cuts = []
         depth = 0
-        for m in _re.finditer(
-            r"[()]|\b" + word + r"\b", masked, _re.IGNORECASE
+        for m in re.finditer(
+            r"[()]|\b" + word + r"\b", masked, re.IGNORECASE
         ):
             tok = m.group(0)
             if tok == "(":
@@ -1383,12 +1383,16 @@ class LocalCatalog:
             elif tok == ")":
                 depth = max(0, depth - 1)
             elif depth == 0:
+                if exclude and any(
+                    xs <= m.start() < xe for xs, xe in exclude
+                ):
+                    continue
                 cuts.append(m.span())
         spans = []
         prev = 0
-        for s, e in cuts:
-            spans.append((prev, s))
-            prev = e
+        for s0, e0 in cuts:
+            spans.append((prev, s0))
+            prev = e0
         spans.append((prev, len(masked)))
         return spans
 
@@ -1423,11 +1427,10 @@ class LocalCatalog:
         pruning for a predicate the scan does not actually have, the
         misinformation hazard the EXPLAIN advice history polices.
         Returns ``(branches, [(qualifier, column), ...])`` — the
-        latter for single-table attribution by the caller."""
-        import re as _re
-
+        latter for single-table/single-alias attribution by the
+        caller."""
         masked = cls._blank_quotes(text)
-        if _re.search(r"\bNOT\b", masked, _re.IGNORECASE):
+        if re.search(r"\bNOT\b", masked, re.IGNORECASE):
             return None
         branches: list[dict] = []
         quals: list[tuple] = []
@@ -1437,12 +1440,22 @@ class LocalCatalog:
                 return None
             pmask = cls._blank_quotes(piece)
             br: dict = {}
-            for ps, pe in cls._split_depth0(pmask, "AND"):
+            # ANDs that belong to a BETWEEN must not split the branch
+            # (a non-literal BETWEEN won't match the RE, its AND splits,
+            # the fragments are unclaimable, the clause stays silent —
+            # conservative, never wrong)
+            betweens = [
+                m.span()
+                for m in cls._EXPLAIN_BETWEEN_RE.finditer(piece)
+            ]
+            for ps, pe in cls._split_depth0(
+                pmask, "AND", exclude=betweens
+            ):
                 frag = cls._strip_outer_parens(piece[ps:pe])
                 if not frag:
                     return None
                 fmask = cls._blank_quotes(frag)
-                if _re.search(r"\bOR\b", fmask, _re.IGNORECASE):
+                if re.search(r"\bOR\b", fmask, re.IGNORECASE):
                     # parenthesized sub-disjunction inside this AND
                     sub = cls._explain_or_tree(frag)
                     if sub is None or "any_of" in br:
@@ -1633,6 +1646,18 @@ class LocalCatalog:
             ok = dec is not None
             if ok:
                 branches, qcols = dec
+                # SINGLE-ALIAS gate (review catch): disjuncts spanning
+                # two aliases of the SAME table resolve to one ref key
+                # but the disjunction applies to NEITHER scan alone —
+                # a.k = 1 OR b.k = 2 in a self-join cannot prune side
+                # a's files (they may join b-rows that satisfy the
+                # OR). Every disjunct must carry the same qualifier
+                # (or all be unqualified, where the one-owner rule
+                # below plus Spark's own ambiguity error for
+                # self-joins keep attribution sound).
+                if len({q for q, _c in qcols}) != 1:
+                    ok = False
+            if ok:
                 for qual, col in qcols:
                     if qual is not None:
                         keys.add(aliases.get(qual))

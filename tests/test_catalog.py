@@ -1521,6 +1521,20 @@ def test_explain_or_tree_claims(spark, tmp_path):
         "(k >= 100 AND (k = 120 OR k = 130))"
     )
     assert any(": files 2/3" in it for it in p)
+    # BETWEEN inside a branch: its own AND must not sever it
+    # (review catch — the branch splitter cut BETWEEN at AND)
+    p = prunes(
+        "SELECT * FROM {{db.fact}} WHERE k BETWEEN 120 AND 160 "
+        "OR k = 5"
+    )
+    assert any(": files 2/3" in it for it in p)
+    # disjuncts across TWO ALIASES of the SAME table never claim: the
+    # disjunction applies to neither scan alone (review catch — the
+    # one-ref-key gate passed self-joins)
+    assert not prunes(
+        "SELECT * FROM {{db.fact}} a JOIN {{db.fact}} b "
+        "ON a.k = b.k WHERE a.k = 120 OR b.k = 220"
+    )
     # one unclaimable disjunct (LIKE) silences the WHOLE clause
     assert not prunes(
         "SELECT * FROM {{db.fact}} WHERE k = 120 OR v LIKE 'x%'"
