@@ -1565,3 +1565,31 @@ def test_explain_or_tree_claims(spark, tmp_path):
         "SELECT * FROM {{db.fact}} f JOIN {{db.dim}} d ON f.k = d.m "
         "WHERE f.k = 120 OR d.m = 5"
     )
+
+
+def test_policy_flip_under_concurrent_reads_is_atomic(spark, tmp_path):
+    """Readers racing a policy flip see either the old or the new
+    policy applied in full — never a crash, never a half state (the
+    registry's atomic-rename write is the guarantee)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    cat = _policied_cat(spark, tmp_path)
+
+    def flip(i):
+        if i % 2:
+            cat.set_row_filter("gov.t", "region = 'EU'")
+        else:
+            cat.drop_row_filter("gov.t")
+        return True
+
+    def read(_):
+        n = cat.sql(
+            spark, "SELECT COUNT(*) AS n FROM {{gov.t}}"
+        ).collect()[0].n
+        return n
+
+    with ThreadPoolExecutor(4) as ex:
+        flips = list(ex.map(flip, range(6)))
+        counts = list(ex.map(read, range(8)))
+    assert all(flips)
+    assert set(counts) <= {2, 4}  # filtered or unfiltered, nothing else

@@ -261,3 +261,35 @@ def test_build_crash_before_commit_leaves_index_intact(spark, tmp_path):
     idx = V.build_vector_index(spark, src, path)
     assert V._build_epoch(idx) == cur2
     assert idx.read(spark).count() == 120
+
+
+def test_concurrent_refreshes_commit_exactly_once(spark, tmp_path):
+    """Two sessions refreshing the same index after one source append:
+    the commit critical section + the vidx-through token admit exactly
+    ONE delta commit; the loser no-ops onto the winner's snapshot."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    vecs = _clustered_vectors(planted=False)
+    src = _mk_src(spark, tmp_path, vecs[:150])
+    path = str(tmp_path / "idx")
+    idx = V.build_vector_index(spark, src, path)
+    src.append(
+        spark.createDataFrame(
+            [(150 + i, 0, [float(x) for x in v])
+             for i, v in enumerate(vecs[150:])],
+            "vec_id long, label int, embedding array<double>",
+        )
+    )
+    with ThreadPoolExecutor(2) as ex:
+        got = list(
+            ex.map(
+                lambda _: V.refresh_vector_index(spark, src, path),
+                range(2),
+            )
+        )
+    assert got[0] == got[1] == src._latest_published()
+    assert len(idx.snapshots()) == 2  # ONE delta commit, not two
+    assert idx.read(spark).count() == len(vecs)
+    assert (
+        idx.read(spark).select("vec_id").distinct().count() == len(vecs)
+    )
