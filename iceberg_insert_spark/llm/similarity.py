@@ -952,17 +952,12 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     }
     total = N_PROBES * TOP_K
-    rows = []
     # lazy import: vecindex imports N_PROBES/TOP_K from this module,
     # so the persisted-index tier resolves at call time, not load time
     from .vecindex import q_sim_knn_ivfpq
 
-    for method, fn in (
-        ("ivf", q_sim_knn_ivf),
-        ("lsh", q_sim_knn_lsh),
-        ("pq", q_sim_knn_pq),
-        ("ivfpq", q_sim_knn_ivfpq),
-    ):
+    def score(item):
+        method, fn = item
         ann = {
             (r.probe_id, r.cand_id)
             for r in fn(spark, sf_dir)
@@ -971,8 +966,33 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
         hits = len(exact & ann)
         floor = ANN_RECALL_FLOORS[method]
-        rows.append(
-            (method, TOP_K, floor, int(100 * hits >= floor * total))
+        return (method, TOP_K, floor, int(100 * hits >= floor * total))
+
+    # the four tiers are independent fixtures (per-operator scratch
+    # dirs) driving independent Spark jobs — evaluate them
+    # CONCURRENTLY so the query's wall time is the slowest tier, not
+    # the sum (measured 8.7 s -> ~4 s at sf0.1); result order is
+    # pinned by ex.map. Python module FIRST-imports are not
+    # thread-safe for packages with import-time cycles — pre-import
+    # the pyspark.ml modules the tiers use before spawning threads
+    # (observed: concurrent first imports raised 'partially
+    # initialized module pyspark.ml.wrapper')
+    import pyspark.ml.clustering  # noqa: F401
+    import pyspark.ml.feature  # noqa: F401
+    import pyspark.ml.functions  # noqa: F401
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(4) as ex:
+        rows = list(
+            ex.map(
+                score,
+                (
+                    ("ivf", q_sim_knn_ivf),
+                    ("lsh", q_sim_knn_lsh),
+                    ("pq", q_sim_knn_pq),
+                    ("ivfpq", q_sim_knn_ivfpq),
+                ),
+            )
         )
     return spark.createDataFrame(
         rows,
