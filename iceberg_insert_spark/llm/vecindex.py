@@ -486,6 +486,20 @@ def q_vecindex_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept, total = idx.plan_files(isin=("cell", cells))
     n_src = src.read(spark).count()
     n_codes = idx.read(spark).count()
+    # The strict invariant (a VI_NPROBE-cell probe opens FEWER files
+    # than the index holds) presupposes the trained k-means populated
+    # MORE than VI_NPROBE cells; on a small or degenerate corpus the
+    # quantizer can collapse cells so kept == total with nothing
+    # broken (r9 ADVICE). Guard on the OBSERVED populated-cell count:
+    # with <= VI_NPROBE populated cells, probing them all IS the whole
+    # index and pruning holds vacuously (there is nothing to skip).
+    populated = (
+        idx.read(spark).select("cell").distinct().count()
+    )
+    if populated > VI_NPROBE:
+        pruning_held = int(0 < len(kept) < total)
+    else:
+        pruning_held = int(0 < len(kept) <= total)
     return spark.createDataFrame(
         [
             (
@@ -493,7 +507,7 @@ def q_vecindex_build(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n_codes,
                 VI_PQ_M,
                 (8 * 64) // VI_PQ_M,
-                int(0 < len(kept) < total),
+                pruning_held,
             )
         ],
         "n_src bigint, n_codes bigint, code_bytes bigint, "
@@ -591,18 +605,20 @@ def vector_index_stream_available_now(
     primitives.
 
     Per micro-batch (inside ``foreachBatch``, which is AT-LEAST-ONCE):
-      1. ``append_once(batch, token=md5(sorted input files))`` — a
+      1. ``append_once(batch, token=md5(batch row signature))`` — a
          replayed batch finds its token and no-ops (the commit-dedup
-         idiom every streaming sink here uses). The token is the
-         batch's FILE SET, not its ordinal (review catch: a
-         fresh-checkpoint rerun whose file->batch grouping shifted
-         would have matched an old ordinal token and silently DROPPED
-         the regrouped files); with content tokens an identical rerun
-         no-ops file-for-file. Exactly-once across a rerun whose
-         grouping genuinely differs (files split across different
-         batches than the committed run) is out of contract — that is
-         what the stream's CHECKPOINT is for; rebuild the index or
-         keep the checkpoint;
+         idiom every streaming sink here uses). The token is derived
+         from the batch's ROW CONTENT (count, vec_id range, an
+         order-independent hash sum), not its ordinal and not its
+         input files (review catches, r9: ``inputFiles()`` is empty
+         inside foreachBatch here, and an ordinal token collides when
+         a fresh-checkpoint rerun's batch numbering shifts); with
+         content tokens an identical rerun no-ops row-for-row, and an
+         EMPTY batch skips entirely — no rows, no token. Exactly-once
+         across a rerun whose grouping genuinely differs (files split
+         across different batches than the committed run) is out of
+         contract — that is what the stream's CHECKPOINT is for;
+         rebuild the index or keep the checkpoint;
       2. first batch ever: ``build_vector_index`` (itself an
          idempotent tokened overwrite); later batches:
          ``refresh_vector_index`` — encodes only the batch's rows
@@ -623,12 +639,37 @@ def vector_index_stream_available_now(
         import hashlib
 
         rows = batch_df.select("vec_id", "embedding")
-        files = sorted(batch_df.inputFiles())
+        # CONTENT token from the batch's ROWS, not its input files and
+        # not its ordinal. batch_df.inputFiles() is EMPTY inside
+        # foreachBatch on this Spark (the micro-batch plan carries no
+        # file relation), so a file-set token silently degraded to the
+        # ordinal fallback — the exact batch-regrouping replay hazard
+        # content tokens exist to avoid (r9 ADVICE; a fresh-checkpoint
+        # rerun whose batch numbering shifts could collide with an old
+        # ordinal token and no-op a REAL batch). The order-independent
+        # aggregate (count, id range, xor-free hash sum over full rows)
+        # identifies the batch by what it CONTAINS: an identical rerun
+        # no-ops row-for-row whatever the grouping; a genuinely
+        # different regrouping (files split across batches differently
+        # than the committed run) remains out of contract — that is
+        # what the stream's CHECKPOINT is for.
+        sig = rows.agg(
+            F.count("*").alias("n"),
+            F.min("vec_id").alias("lo"),
+            F.max("vec_id").alias("hi"),
+            F.sum(
+                F.hash("vec_id", "embedding").cast("long")
+            ).alias("h"),
+        ).collect()[0]
+        if sig["n"] == 0:
+            # An empty batch commits NOTHING — no rows, no token; a
+            # minted token would only create collision surface.
+            return
         tok = (
             "vecstream-"
-            + hashlib.md5("\n".join(files).encode()).hexdigest()[:16]
-            if files
-            else f"vecstream-{batch_id}"
+            + hashlib.md5(
+                repr((sig["n"], sig["lo"], sig["hi"], sig["h"])).encode()
+            ).hexdigest()[:16]
         )
         tbl.append_once(rows, token=tok)
         idx = _index_handle(index_dir)

@@ -53,6 +53,55 @@ def _split_ident(ident: str) -> tuple[str, str]:
     return parts[0], parts[1]
 
 
+def _mask_cast_ok(have, want) -> bool:
+    """True when a column-mask expression of type ``have`` casts
+    LOSSLESSLY to the column's type ``want`` (Spark's ``canUpCast``
+    posture, conservatively): equal types, NULL literals, integral
+    widening, exact-to-wider fractional, date->timestamp, and
+    atomic->string. Everything else — notably string->numeric, the
+    'REDACTED'-on-a-number case — is refused so a policy can never
+    silently degrade to nulling (r9 ADVICE)."""
+    from pyspark.sql import types as T
+
+    if have == want or isinstance(have, T.NullType):
+        return True
+    widen = {
+        T.ByteType: (
+            T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.DecimalType,
+        ),
+        T.ShortType: (
+            T.IntegerType, T.LongType, T.FloatType,
+            T.DoubleType, T.DecimalType,
+        ),
+        T.IntegerType: (T.LongType, T.DoubleType, T.DecimalType),
+        T.FloatType: (T.DoubleType,),
+        T.DateType: (T.TimestampType,),
+    }
+    for src, dsts in widen.items():
+        if isinstance(have, src) and isinstance(want, dsts):
+            return True
+    if isinstance(have, T.DecimalType):
+        # SQL literals like 0.0 resolve as decimal(1,1); a double
+        # holds any decimal of <= 15 significant digits exactly
+        if isinstance(want, T.DoubleType) and have.precision <= 15:
+            return True
+        if isinstance(want, T.FloatType) and have.precision <= 6:
+            return True
+        if (
+            isinstance(want, T.DecimalType)
+            and want.scale >= have.scale
+            and (want.precision - want.scale)
+            >= (have.precision - have.scale)
+        ):
+            return True
+    if isinstance(want, T.StringType) and isinstance(
+        have, T.AtomicType
+    ):
+        return True
+    return False
+
+
 class LocalCatalog:
     """Namespace + table registry rooted at a directory."""
 
@@ -885,7 +934,15 @@ class LocalCatalog:
         ``SnapshotTable.delete_where`` (copy-on-write): one atomic
         snapshot, no-op when nothing matches, views refused. The
         predicate is Spark SQL, evaluated by the table's own planner
-        (partition/stats pruning decide which files rewrite)."""
+        (partition/stats pruning decide which files rewrite).
+
+        GOVERNED targets (r9 ADVICE, medium): a row filter conjoins
+        into the predicate — rows the policy hides cannot be deleted
+        through the front-end; a predicate referencing a MASKED
+        column refuses by policy name (evaluating it against raw
+        rows would let the statement's match/no-match behavior probe
+        values the mask hides). Policy-free tables pay two dict
+        probes, nothing else."""
         m = self._DELETE_RE.match(sql)
         if not m:
             raise ValueError(
@@ -894,13 +951,22 @@ class LocalCatalog:
         ident, pred = m.group(1), m.group(2)
         if ident in self._read().get("views", {}):
             raise ValueError(f"cannot DELETE FROM view {ident!r}")
+        pred = self._dml_policy_guard(ident, pred)
         return self.load_table(ident).delete_where(spark, pred)
 
     def sql_update(self, spark: SparkSession, sql: str) -> int:
         """``UPDATE {{ns.table}} SET col = expr[, ...] WHERE <pred>`` —
         routed to ``SnapshotTable.update_where`` (copy-on-write): SET
         expressions see the OLD row (standard SQL UPDATE), unmatched
-        rows carry unchanged, one atomic snapshot, views refused."""
+        rows carry unchanged, one atomic snapshot, views refused.
+
+        GOVERNED targets (r9 ADVICE, medium): a row filter conjoins
+        into the predicate — rows the policy hides stay untouched;
+        a predicate OR a SET expression referencing a MASKED column
+        refuses by policy name (``SET open = masked_col`` would copy
+        the raw value somewhere the mask does not cover — the exact
+        laundering path the front-end must not provide). ASSIGNING to
+        a masked column stays allowed: a pure write reveals nothing."""
         m = self._UPDATE_RE.match(sql)
         if not m:
             raise ValueError(
@@ -916,8 +982,10 @@ class LocalCatalog:
             )
         if ident in self._read().get("views", {}):
             raise ValueError(f"cannot UPDATE view {ident!r}")
+        set_exprs = self._split_assignments(assigns)
+        pred = self._dml_policy_guard(ident, pred, set_exprs)
         return self.load_table(ident).update_where(
-            spark, pred, self._split_assignments(assigns)
+            spark, pred, set_exprs
         )
 
     def sql_overwrite(self, spark: SparkSession, sql: str) -> int:
@@ -935,6 +1003,19 @@ class LocalCatalog:
         ident, select = m.group(1), m.group(2)
         if ident in self._read().get("views", {}):
             raise ValueError(f"cannot INSERT OVERWRITE view {ident!r}")
+        # A row-filtered target refuses OVERWRITE through the
+        # front-end (r9 ADVICE, medium): the replace would destroy
+        # rows the policy HIDES from this very statement's author —
+        # you cannot atomically replace a table you can only see part
+        # of. (Masks alone don't block: overwrite is a pure write and
+        # its SELECT source already reads through sql()'s policies.)
+        rf = self._entry(ident).get("row_filter")
+        if rf:
+            raise ValueError(
+                f"INSERT OVERWRITE on {ident!r} refused: the table "
+                f"carries row filter {rf!r} and an overwrite would "
+                "drop the rows it hides; use the admin table handle"
+            )
         return self.load_table(ident).overwrite(self.sql(spark, select))
 
     def execute(self, spark: SparkSession, sql: str):
@@ -1671,7 +1752,30 @@ class LocalCatalog:
                             break
                         keys.add(cands[0][0])
             if ok and len(keys) == 1:
-                matches = [r for r in refs if r[0] == keys.pop()]
+                the_key = keys.pop()
+                matches = [r for r in refs if r[0] == the_key]
+                # SELF-JOIN attribution (r9 ADVICE): the single-alias
+                # gate above proves every disjunct names ONE alias,
+                # but when the SAME ref key is in scope under several
+                # aliases ({{t}} a JOIN {{t}} b) the statement scans
+                # the table more than once and the OR prunes only the
+                # named alias's scan. Attributing the claim to the
+                # bare table ref would overstate pruning for the
+                # other, unpruned scan — so the claim carries the
+                # alias; unqualified disjuncts in that situation stay
+                # silent (Spark itself rejects the ambiguous name,
+                # but EXPLAIN must not promise first).
+                key_aliases = [
+                    a for a, k in aliases.items() if k == the_key
+                ]
+                quals = {q for q, _c in qcols}
+                the_qual = next(iter(quals)) if quals else None
+                scan_tag = ""
+                if len(key_aliases) > 1:
+                    if the_qual is None:
+                        matches = []
+                    else:
+                        scan_tag = f" AS {the_qual}"
                 if matches:
                     _key, ref, v, tbl, _sc = matches[0]
                     if all(
@@ -1684,9 +1788,9 @@ class LocalCatalog:
                         rows.append(
                             (
                                 "pruning",
-                                f"{ref}@{v}.OR[{desc}]: files "
-                                f"{len(kept)}/{total} after metadata "
-                                "pruning",
+                                f"{ref}@{v}{scan_tag}.OR[{desc}]: "
+                                f"files {len(kept)}/{total} after "
+                                "metadata pruning",
                             )
                         )
         if wspan is not None and not top_disjunctive:
@@ -2109,14 +2213,31 @@ class LocalCatalog:
     # -- row/column access policies (fine-grained governance) ----------
     #
     # The lakehouse governance surface (Unity/Lake-Formation-style row
-    # filters + column masks), enforced at CATALOG-MEDIATED READ time:
+    # filters + column masks), enforced at CATALOG-MEDIATED access:
     # every table reference resolved through sql()/execute() — and
     # therefore every view/MV expansion that reaches the table —
-    # applies the table's policies before the statement sees a row.
-    # Same consistency-domain rule as multi-table transactions: a
-    # reader holding a direct filesystem SnapshotTable handle bypasses
-    # the catalog and its policies (that handle IS the admin path; a
-    # real deployment gates it with storage ACLs).
+    # applies the table's policies before the statement sees a row,
+    # and front-end DML (DELETE/UPDATE/INSERT OVERWRITE through
+    # execute()) goes through _dml_policy_guard — row filters conjoin
+    # into the DML predicate, masked-column references refuse, and
+    # OVERWRITE of a row-filtered table refuses (r9 ADVICE, medium).
+    #
+    # SCOPE STATEMENT (r9 verdict #6 — the exact enforcement
+    # boundary, pinned by tests/test_catalog.py policy-scope tests):
+    # policies bind where the CATALOG resolves the reference. Outside
+    # that domain they do NOT apply, by design, because those
+    # surfaces never consult the catalog:
+    #   * a direct filesystem SnapshotTable handle (read/ read_tag/
+    #     time travel as_of= on the handle) — that handle IS the
+    #     admin path; a real deployment gates it with storage ACLs;
+    #   * snapshot_stream / mirror / incremental readers constructed
+    #     from a direct handle — streaming attaches to the TABLE, not
+    #     to a catalog resolution;
+    #   * catalog-mediated PINNED reads ({{t@v}} / {{t@ts:..}}) DO
+    #     apply the CURRENT policies (policy state is registry-now,
+    #     data state is snapshot-then — Unity's rule: governance is
+    #     never time-travelable, or a dropped mask would resurrect).
+    # Same consistency-domain rule as multi-table transactions.
     #
     # Semantics (the Unity model):
     #   * the ROW FILTER evaluates against UNMASKED rows;
@@ -2191,6 +2312,63 @@ class LocalCatalog:
             "column_masks": dict(ent.get("column_masks", {})),
         }
 
+    def _dml_policy_guard(
+        self,
+        ident: str,
+        pred: str,
+        set_exprs: dict | None = None,
+    ) -> str:
+        """Governance for front-end DML (r9 ADVICE, medium): returns
+        the EFFECTIVE predicate for a DELETE/UPDATE dispatched through
+        execute()/sql_delete/sql_update against ``ident``.
+
+          * row filter  -> conjoined null-safely into the predicate:
+            ``(pred) AND (filter)`` — the statement can only match
+            rows its author is allowed to SEE (hidden rows survive a
+            DELETE and are untouched by an UPDATE, the Unity/Lake-
+            Formation DML rule);
+          * column mask -> any reference to a masked column in the
+            predicate or a SET expression REFUSES naming the policy.
+            DML evaluates against raw stored rows, so a predicate on
+            a masked column would let match/no-match behavior probe
+            hidden values, and a SET copying one would launder it
+            into an unmasked column. The scan is a conservative
+            identifier tokenization (case-insensitive): a false
+            positive (the name inside a string literal) refuses —
+            the safe direction; rewrite the statement or use the
+            admin table handle.
+
+        Tables without policies pass through untouched (two dict
+        probes). Direct SnapshotTable handles remain the admin path,
+        same consistency-domain rule as reads."""
+        ent = self._entry(ident)
+        masks = ent.get("column_masks") or {}
+        if masks:
+            import re as _re
+
+            text = " ".join(
+                [pred or ""] + list((set_exprs or {}).values())
+            )
+            toks = {
+                t.lower()
+                for t in _re.findall(
+                    r"[A-Za-z_][A-Za-z0-9_]*", text
+                )
+            }
+            hit = sorted(c for c in masks if c.lower() in toks)
+            if hit:
+                raise ValueError(
+                    f"DML on {ident!r} refused: statement references "
+                    f"masked column(s) {hit} (masks: "
+                    f"{ {c: masks[c] for c in hit} }); DML evaluates "
+                    "raw rows, so this would bypass the mask — "
+                    "rewrite the statement or use the admin handle"
+                )
+        rf = ent.get("row_filter")
+        if rf:
+            return f"({pred}) AND ({rf})"
+        return pred
+
     def _apply_policies(
         self, ref: str, df: DataFrame, ent: dict | None = None
     ) -> DataFrame:
@@ -2220,11 +2398,51 @@ class LocalCatalog:
                     f"column(s) {missing} (have {df.columns})"
                 )
             try:
+                # Resolve every mask's type FIRST (analysis only — no
+                # job) and refuse a lossy cast by name (r9 ADVICE):
+                # the schema-stable cast below uses Spark cast
+                # semantics, which silently yield NULL on
+                # non-castable values — a 'REDACTED' string mask on a
+                # numeric column would degrade to nulling instead of
+                # raising, violating the contract that policy
+                # failures raise naming the policy.
+                mtypes = {
+                    c: f.dataType
+                    for c, f in zip(
+                        sorted(masks),
+                        df.select(
+                            *[
+                                F.expr(masks[c]).alias(f"_m_{i}")
+                                for i, c in enumerate(sorted(masks))
+                            ]
+                        ).schema.fields,
+                    )
+                }
+            except Exception as e:
+                raise ValueError(
+                    f"column mask on {ref!r} failed to resolve "
+                    f"({e}); masks: {masks!r}"
+                ) from e
+            for c in sorted(masks):
+                want = df.schema[c].dataType
+                if not _mask_cast_ok(mtypes[c], want):
+                    raise ValueError(
+                        f"column mask on {ref!r}.{c} resolves to "
+                        f"{mtypes[c].simpleString()}, which does not "
+                        f"cast losslessly to the column's "
+                        f"{want.simpleString()} — rewrite the mask "
+                        "to produce the column's type"
+                    )
+            try:
                 df = df.select(
                     *[
-                        F.expr(masks[c])
-                        .cast(df.schema[c].dataType)
-                        .alias(c)
+                        (
+                            F.expr(masks[c])
+                            if mtypes[c] == df.schema[c].dataType
+                            else F.expr(masks[c]).cast(
+                                df.schema[c].dataType
+                            )
+                        ).alias(c)
                         if c in masks
                         else F.col(c)
                         for c in df.columns

@@ -1412,6 +1412,140 @@ def test_policies_apply_to_insert_select_sources(spark, tmp_path):
     assert cat.load_table("gov.copy").read(spark).count() == 2
 
 
+def test_dml_respects_row_filter(spark, tmp_path):
+    """Front-end DELETE/UPDATE only touch rows the row filter exposes
+    (r9 ADVICE, medium): the filter conjoins into the DML predicate,
+    so hidden rows survive a DELETE and keep their values through an
+    UPDATE — while the admin handle still sees everything."""
+    cat = _policied_cat(spark, tmp_path)
+    cat.set_row_filter("gov.t", "region = 'US'")
+    # matches all four rows unfiltered; only the two US rows may go
+    cat.execute(spark, "DELETE FROM {{gov.t}} WHERE id >= 1")
+    cat.drop_row_filter("gov.t")
+    left = {
+        r.id for r in cat.load_table("gov.t").read(spark).collect()
+    }
+    assert left == {1, 2}  # EU rows (hidden from the deleter) survive
+    cat.set_row_filter("gov.t", "id = 1")
+    cat.execute(
+        spark, "UPDATE {{gov.t}} SET bal = 99.0 WHERE bal < 100"
+    )
+    cat.drop_row_filter("gov.t")
+    bals = {
+        r.id: r.bal
+        for r in cat.load_table("gov.t").read(spark).collect()
+    }
+    assert bals[1] == 99.0 and bals[2] == -5.0  # hidden row untouched
+
+
+def test_dml_refuses_masked_column_references(spark, tmp_path):
+    """A masked column referenced in a DML predicate or SET expression
+    refuses naming the policy — DML evaluates raw rows, so either
+    reference would probe or launder the value the mask hides."""
+    cat = _policied_cat(spark, tmp_path)
+    cat.set_column_mask("gov.t", "bal", "NULL")
+    with pytest.raises(ValueError, match="masked column.*bal"):
+        cat.execute(spark, "DELETE FROM {{gov.t}} WHERE bal < 0")
+    with pytest.raises(ValueError, match="masked column.*bal"):
+        cat.execute(
+            spark,
+            "UPDATE {{gov.t}} SET name = CAST(bal AS STRING) "
+            "WHERE id = 1",
+        )
+    # writing TO the masked column reveals nothing -> allowed
+    cat.execute(spark, "UPDATE {{gov.t}} SET bal = 0.0 WHERE id = 1")
+    cat.drop_column_mask("gov.t", "bal")
+    bals = {
+        r.id: r.bal
+        for r in cat.load_table("gov.t").read(spark).collect()
+    }
+    assert bals[1] == 0.0
+    # unrelated DML on a policied table is untouched by the guard
+    cat.set_column_mask("gov.t", "name", "'X'")
+    cat.execute(spark, "DELETE FROM {{gov.t}} WHERE id = 4")
+    assert cat.load_table("gov.t").read(spark).count() == 3
+
+
+def test_overwrite_refused_under_row_filter(spark, tmp_path):
+    """INSERT OVERWRITE through the front-end refuses on a
+    row-filtered table: the replace would destroy the rows the policy
+    hides from the statement's own author."""
+    cat = _policied_cat(spark, tmp_path)
+    cat.set_row_filter("gov.t", "region = 'US'")
+    with pytest.raises(ValueError, match="row filter"):
+        cat.execute(
+            spark,
+            "INSERT OVERWRITE {{gov.t}} SELECT * FROM {{gov.t}}",
+        )
+    # masks alone do not block a pure write
+    cat.drop_row_filter("gov.t")
+    cat.set_column_mask("gov.t", "name", "'X'")
+    cat.execute(
+        spark,
+        "INSERT OVERWRITE {{gov.t}} SELECT * FROM {{gov.t}} "
+        "WHERE id <= 2",
+    )
+    cat.drop_column_mask("gov.t", "name")
+    got = cat.load_table("gov.t").read(spark)
+    assert got.count() == 2
+    # the SELECT source ran through sql() -> it saw MASKED names
+    assert {r.name for r in got.collect()} == {"X"}
+
+
+def test_mask_lossy_cast_refuses_naming_policy(spark, tmp_path):
+    """A mask whose resolved type cannot cast losslessly to the
+    column's type raises at read (r9 ADVICE): Spark cast semantics
+    would silently null the column instead — 'REDACTED' on a number
+    must be a policy ERROR, not a quiet degrade."""
+    cat = _policied_cat(spark, tmp_path)
+    cat.set_column_mask("gov.t", "bal", "'REDACTED'")
+    with pytest.raises(ValueError, match="cast losslessly"):
+        cat.sql(spark, "SELECT * FROM {{gov.t}}")
+    # lossless directions still work: int literal on a long column,
+    # numeric on string (to-string is total), NULL anywhere
+    cat.set_column_mask("gov.t", "bal", "0.0")
+    cat.set_column_mask("gov.t", "id", "CAST(7 AS INT)")
+    cat.set_column_mask("gov.t", "name", "id * 10")
+    rows = cat.sql(spark, "SELECT * FROM {{gov.t}}").collect()
+    assert {r.id for r in rows} == {7}
+    assert {r.bal for r in rows} == {0.0}
+    assert {r.name for r in rows} == {"10", "20", "30", "40"}
+
+
+def test_policy_scope_direct_handles_and_streams(spark, tmp_path):
+    """Pin the governance scope statement (r9 verdict #6): policies
+    bind at catalog resolution — a DIRECT SnapshotTable handle and
+    streaming/incremental readers built from one see raw rows (the
+    admin path, gated by storage ACLs in a real deployment), while
+    catalog-mediated pinned reads apply the CURRENT policies."""
+    cat = _policied_cat(spark, tmp_path)
+    cat.set_row_filter("gov.t", "region = 'US'")
+    cat.set_column_mask("gov.t", "name", "'X'")
+    # catalog-mediated: filtered + masked
+    gov = cat.sql(spark, "SELECT * FROM {{gov.t}}").collect()
+    assert len(gov) == 2 and {r.name for r in gov} == {"X"}
+    # pinned catalog read: CURRENT policies still apply
+    pinned = cat.sql(spark, "SELECT * FROM {{gov.t@1}}").collect()
+    assert len(pinned) == 2 and {r.name for r in pinned} == {"X"}
+    # direct handle: raw — the documented bypass surface
+    raw = cat.load_table("gov.t").read(spark).collect()
+    assert len(raw) == 4 and "alice" in {r.name for r in raw}
+    # incremental/changelog-style reader from a direct handle: raw
+    tbl = cat.load_table("gov.t")
+    from iceberg_insert_spark.sources.snapshots.incremental import (
+        _read_incremental,
+    )
+
+    tbl.append(
+        spark.createDataFrame(
+            [(5, "erin", 1.0, "EU")],
+            "id long, name string, bal double, region string",
+        )
+    )
+    inc = _read_incremental(tbl, spark, 1, 2).collect()
+    assert {r.name for r in inc} == {"erin"}
+
+
 def test_policies_in_describe_output(spark, tmp_path):
     cat = _policied_cat(spark, tmp_path)
     cat.set_row_filter("gov.t", "bal > 0")
@@ -1535,6 +1669,18 @@ def test_explain_or_tree_claims(spark, tmp_path):
         "SELECT * FROM {{db.fact}} a JOIN {{db.fact}} b "
         "ON a.k = b.k WHERE a.k = 120 OR b.k = 220"
     )
+    # disjuncts on ONE alias of a self-join DO claim, but the claim
+    # names the alias — the other scan of the same table is unpruned
+    # and a bare-table attribution would overstate it (r9 ADVICE)
+    p = prunes(
+        "SELECT * FROM {{db.fact}} a JOIN {{db.fact}} b "
+        "ON a.k = b.k WHERE a.k = 120 OR a.k = 220"
+    )
+    assert any(" AS a.OR[" in it and ": files 2/3" in it for it in p)
+    # single-scan claims carry NO alias tag (the common case's text
+    # is unchanged)
+    p = prunes("SELECT * FROM {{db.fact}} WHERE k = 120 OR k = 220")
+    assert any(".OR[" in it and " AS " not in it for it in p)
     # one unclaimable disjunct (LIKE) silences the WHOLE clause
     assert not prunes(
         "SELECT * FROM {{db.fact}} WHERE k = 120 OR v LIKE 'x%'"
