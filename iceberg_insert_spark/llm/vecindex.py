@@ -432,12 +432,64 @@ def q_sim_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     VI_NPROBE/VI_CELLS cells — reading only those cells' FILES via
     metadata isin pruning — then ADC-shortlists and exactly re-scores.
     Output schema matches the other tiers, so recall vs the exact twin
-    is a CHECKED claim: q_sim_ann_recall's 'ivfpq' floor. Rows-only
-    here (candidate generation is approximate by design; the recall
-    query is the correctness statement)."""
+    is a CHECKED claim: q_vecindex_recall's floor (r9 verdict #5 moved
+    it here from q_sim_ann_recall, next to the build it measures).
+    Rows-only here (candidate generation is approximate by design; the
+    recall query is the correctness statement)."""
     src, base = _src_from_embeddings(spark, sf_dir, "sim_ivfpq")
     build_vector_index(spark, src, f"{base}/idx")
     return query_vector_index(spark, f"{base}/idx", src)
+
+
+@query(
+    "q_vecindex_recall",
+    oracle="""
+    SELECT 'ivfpq'             AS method,
+           CAST(5  AS BIGINT)  AS k,
+           CAST(72 AS BIGINT)  AS floor_pct,
+           CAST(1  AS BIGINT)  AS meets_floor
+    """,
+)
+def q_vecindex_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED recall@k of the PERSISTED IVF-PQ index vs the exact
+    brute-force twin — the q_vecindex_* family's quality statement
+    (r9 verdict #5: split from q_sim_ann_recall so the floor reuses
+    ONE index build instead of a second full fixture inside the
+    suite's most expensive row, and bench attribution lands on the
+    index it measures). One build, one probe pass, one bounded exact
+    twin: recall@k = |ANN top-k ∩ exact top-k| / (N_PROBES * TOP_K);
+    the 72% floor sits >= 10 points under the measured 82-84% band
+    (nprobe=8, residual codes, R=100 re-rank — SCALE.md r9 curves)
+    across sf0.001/0.01/0.1. A silent quality regression anywhere in
+    the persisted path (quantizer train, encode, cell pruning, ADC,
+    re-score) drops below the floor and hash-mismatches the oracle's
+    constant row.
+
+    Scale shape: identical to q_sim_ann_recall's — the exact twin is
+    a bounded broadcast probe scan, so this measurement calibrates an
+    index of ANY size from a sample table (the FAISS workflow)."""
+    from .similarity import (
+        ANN_RECALL_FLOORS,
+        _exact_knn_pairs,
+    )
+
+    src, base = _src_from_embeddings(spark, sf_dir, "vecindex_recall")
+    idx_path = f"{base}/idx"
+    build_vector_index(spark, src, idx_path)
+    ann = {
+        (r.probe_id, r.cand_id)
+        for r in query_vector_index(spark, idx_path, src)
+        .select("probe_id", "cand_id")
+        .collect()
+    }
+    exact = _exact_knn_pairs(spark, sf_dir)
+    total = N_PROBES * TOP_K
+    floor = ANN_RECALL_FLOORS["ivfpq"]
+    hits = len(exact & ann)
+    return spark.createDataFrame(
+        [("ivfpq", TOP_K, floor, int(100 * hits >= floor * total))],
+        "method string, k bigint, floor_pct bigint, meets_floor bigint",
+    )
 
 
 @query(
