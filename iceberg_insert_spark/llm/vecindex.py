@@ -295,8 +295,10 @@ def refresh_vector_index(
     set-difference — no source rescan) with the PERSISTED quantizer,
     and append them as one tokened commit. Returns the source snapshot
     the index now covers; a replayed refresh no-ops on its token.
-    Overwrite/rollback-shaped source history refuses inside
-    ``_read_incremental`` — rebuild with ``build_vector_index`` then
+    APPEND-shaped history only — a range containing merge commits
+    (dedup deletes, doc updates) refuses inside ``_read_incremental``;
+    use :func:`refresh_vector_index_cdc` for those, and rebuild with
+    ``build_vector_index`` after overwrite/rollback-shaped history
     (same contract as the incremental MV)."""
     cur = src._latest_published()
     if cur is None:
@@ -314,6 +316,82 @@ def refresh_vector_index(
     )
     quantizer = _load_quantizer(path, idx)
     idx.append_once(_encode(delta, quantizer), token=f"{_VI_TOKEN}{cur}")
+    return cur
+
+
+def refresh_vector_index_cdc(
+    spark: SparkSession, src: SnapshotTable, path: str
+) -> int:
+    """Advance the index across source DELETES and UPDATES (r9
+    verdict #3): consume the source's CDC changelog between the last
+    indexed snapshot and the current one (``read_changelog`` — pure
+    manifest arithmetic + two bounded scans) and apply it to the
+    index as ONE atomic merge commit:
+
+      * delete images whose key never re-inserts -> equality-delete
+        entries on ``vec_id`` (the index's own MoR delete — O(keys)
+        write, zero rewrite; readers pay the broadcast anti-join
+        until the index is compacted);
+      * insert images (including the new halves of update pairs) ->
+        encoded with the FROZEN quantizer and written as 'U' rows
+        (eq-delete of any stale code + the new code, together).
+
+    One tokened commit (token = source snapshot, the same
+    ``indexed_through`` checkpoint idiom as the append path): a
+    crash before it leaves the index exactly at ``last``; a replay
+    after it finds the token and no-ops. Codes are BIT-IDENTICAL to
+    a from-scratch re-encode under the same quantizer — the oracled
+    q_vecindex_cdc claim — because both paths run the identical
+    seeded encoder; a cell CHANGE on update is handled naturally
+    (the eq-delete hides the old cell's row at read, whatever file
+    holds it). Overwrite/rollback-shaped history still refuses
+    inside ``read_changelog`` — rebuild for those.
+
+    Before this existed, any real corpus taking dedup deletes or doc
+    updates stranded the index until a full rebuild epoch; now those
+    are O(|changelog|) encode + one metadata commit, the same cost
+    shape as the append refresh. Returns the source snapshot the
+    index now covers."""
+    from ..sources.snapshots.incremental import read_changelog
+
+    cur = src._latest_published()
+    if cur is None:
+        raise ValueError("source table has nothing published")
+    idx = _index_handle(path)
+    last = indexed_through(idx)
+    if last is None:
+        raise ValueError(
+            f"no index at {path!r} — build_vector_index first"
+        )
+    if last >= cur:
+        return last  # nothing new: no commit, no data IO
+    ch = read_changelog(src, spark, last, cur)
+    quantizer = _load_quantizer(path, idx)
+    ins = ch.filter(F.col("_change_type") == "insert").select(
+        "vec_id", "embedding"
+    )
+    # update pairs carry BOTH images; a key with an insert image is
+    # an upsert ('U' eq-deletes the stale code itself), so only
+    # delete-without-reinsert keys become pure 'D' rows
+    del_only = (
+        ch.filter(F.col("_change_type") == "delete")
+        .select("vec_id")
+        .distinct()
+        .join(ins.select("vec_id"), "vec_id", "left_anti")
+    )
+    chg = (
+        _encode(ins, quantizer)
+        .withColumn("_op", F.lit("U"))
+        .unionByName(
+            del_only.select(
+                "vec_id",
+                F.lit(None).cast("int").alias("cell"),
+                F.lit(None).cast("array<int>").alias("codes"),
+                F.lit("D").alias("_op"),
+            )
+        )
+    )
+    idx.merge(spark, chg, key="vec_id", token=f"{_VI_TOKEN}{cur}")
     return cur
 
 
@@ -637,6 +715,106 @@ def q_vecindex_incremental(
         [(n_total, n_delta, mism, len(idx.snapshots()))],
         "n_total bigint, n_delta bigint, n_mismatch bigint, "
         "n_commits bigint",
+    )
+
+
+@query(
+    "q_vecindex_cdc",
+    oracle="""
+    SELECT CAST((SELECT COUNT(*) FROM embeddings
+                 WHERE NOT (vec_id % 7 <> 0 AND vec_id % 5 = 1))
+                AS BIGINT) AS n_total,
+           CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id % 7 = 0)
+                AS BIGINT) AS n_upd,
+           CAST((SELECT COUNT(*) FROM embeddings
+                 WHERE vec_id % 7 <> 0 AND vec_id % 5 = 1)
+                AS BIGINT) AS n_del,
+           CAST(0 AS BIGINT) AS n_mismatch,
+           CAST(1 AS BIGINT) AS replay_noop
+    """,
+)
+def q_vecindex_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-driven index maintenance, DuckDB-oracled end-to-end (r9
+    verdict #3): the index builds on the full corpus, the SOURCE then
+    takes one merge commit carrying real churn — every %7==0 vector's
+    embedding is UPDATED (reversed — a deterministic new vector) and
+    every (%7!=0, %5==1) vector is DELETED (disjoint sets) — and ONE
+    ``refresh_vector_index_cdc`` applies the changelog to the index.
+    Checks folded into the hash:
+
+      * n_total — the refreshed index covers exactly the post-churn
+        source rows (deletes really hide codes, updates don't
+        double them);
+      * n_upd / n_del — fixture-integrity pins counted independently
+        by both engines from the %-arithmetic;
+      * n_mismatch = 0 — re-encoding the FULL post-churn source with
+        the frozen quantizer and full-outer-joining on vec_id finds
+        zero disagreements: the CDC path writes BIT-IDENTICAL codes
+        to a from-scratch rebuild under the same quantizer, updated
+        vectors included (cell moves covered by the eq-delete);
+      * replay_noop = 1 — a second refresh_vector_index_cdc call
+        returns without committing (token checkpoint), the
+        crash-replay contract.
+
+    Scale shape: the refresh costs O(|changelog|) encode + one
+    metadata commit; the mismatch audit is the QUERY's cost, not the
+    operation's (a deployment runs it on samples). Before this, any
+    deleting/updating corpus stranded the index until a full rebuild
+    epoch."""
+    src, base = _src_from_embeddings(spark, sf_dir, "vecindex_cdc")
+    path = f"{base}/idx"
+    idx = build_vector_index(spark, src, path)
+    state = src.read(spark)
+    upd = (
+        state.filter(F.col("vec_id") % 7 == 0)
+        .select(
+            "vec_id",
+            "label",
+            F.reverse("embedding").alias("embedding"),
+            F.lit("U").alias("_op"),
+        )
+    )
+    dele = (
+        state.filter(
+            (F.col("vec_id") % 7 != 0) & (F.col("vec_id") % 5 == 1)
+        )
+        .select("vec_id", "label", "embedding", F.lit("D").alias("_op"))
+    )
+    n_upd = upd.count()
+    n_del = dele.count()
+    src.merge(spark, upd.unionByName(dele), key="vec_id")
+    refresh_vector_index_cdc(spark, src, path)
+    # replay with a FRESH handle (a restarted process): token found,
+    # zero new commits
+    before = len(_index_handle(path).snapshots())
+    refresh_vector_index_cdc(spark, src, path)
+    replay_noop = int(
+        len(_index_handle(path).snapshots()) == before
+    )
+    quantizer = _load_quantizer(path, idx)
+    full = _encode(
+        src.read(spark).select("vec_id", "embedding"), quantizer
+    ).select(
+        "vec_id",
+        F.col("cell").alias("_fcell"),
+        F.col("codes").alias("_fcodes"),
+    )
+    got = idx.read(spark).localCheckpoint(eager=True)
+    n_total = got.count()
+    mism = (
+        got.join(full, "vec_id", "full_outer")
+        .filter(
+            F.col("cell").isNull()
+            | F.col("_fcell").isNull()
+            | (F.col("cell") != F.col("_fcell"))
+            | (F.col("codes") != F.col("_fcodes"))
+        )
+        .count()
+    )
+    return spark.createDataFrame(
+        [(n_total, n_upd, n_del, mism, replay_noop)],
+        "n_total bigint, n_upd bigint, n_del bigint, "
+        "n_mismatch bigint, replay_noop bigint",
     )
 
 

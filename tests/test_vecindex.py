@@ -293,3 +293,108 @@ def test_concurrent_refreshes_commit_exactly_once(spark, tmp_path):
     assert (
         idx.read(spark).select("vec_id").distinct().count() == len(vecs)
     )
+
+
+def test_cdc_refresh_applies_deletes_and_updates(spark, tmp_path):
+    """refresh_vector_index_cdc (r9 verdict #3): after a source merge
+    carrying updates + deletes, the index must equal a from-scratch
+    re-encode under the frozen quantizer — deletes hidden, updated
+    vectors re-encoded (cell moves included), nothing doubled."""
+    vecs = _clustered_vectors(planted=False)
+    src = _mk_src(spark, tmp_path, vecs)
+    path = str(tmp_path / "idx")
+    idx = V.build_vector_index(spark, src, path)
+    state = src.read(spark)
+    upd = state.filter(F.col("vec_id") % 7 == 0).select(
+        "vec_id",
+        "label",
+        F.reverse("embedding").alias("embedding"),
+        F.lit("U").alias("_op"),
+    )
+    dele = state.filter(
+        (F.col("vec_id") % 7 != 0) & (F.col("vec_id") % 5 == 1)
+    ).select("vec_id", "label", "embedding", F.lit("D").alias("_op"))
+    gone = {r.vec_id for r in dele.select("vec_id").collect()}
+    src.merge(spark, upd.unionByName(dele), key="vec_id")
+    got_v = V.refresh_vector_index_cdc(spark, src, path)
+    assert got_v == src._latest_published()
+    live = idx.read(spark)
+    assert live.count() == len(vecs) - len(gone)
+    ids = {r.vec_id for r in live.select("vec_id").collect()}
+    assert ids.isdisjoint(gone)
+    # bit-identity vs a full re-encode under the SAME quantizer
+    quant = V._load_quantizer(path, idx)
+    fresh = V._encode(
+        src.read(spark).select("vec_id", "embedding"), quant
+    ).select(
+        "vec_id",
+        F.col("cell").alias("_fc"),
+        F.col("codes").alias("_fk"),
+    )
+    mism = (
+        live.join(fresh, "vec_id", "full_outer")
+        .filter(
+            F.col("cell").isNull()
+            | F.col("_fc").isNull()
+            | (F.col("cell") != F.col("_fc"))
+            | (F.col("codes") != F.col("_fk"))
+        )
+        .count()
+    )
+    assert mism == 0
+    # the probe path still works over the MoR'd index: deleted ids
+    # never surface as candidates
+    cands = {
+        r.cand_id
+        for r in V.query_vector_index(spark, path, src).collect()
+    }
+    assert cands.isdisjoint(gone)
+
+
+def test_cdc_refresh_crash_replay_noops(spark, tmp_path):
+    """The CDC refresh is ONE tokened merge commit: a replay from a
+    restarted process (fresh handle) finds the token and no-ops —
+    same count, same snapshots, same indexed_through."""
+    vecs = _clustered_vectors(planted=False)
+    src = _mk_src(spark, tmp_path, vecs)
+    path = str(tmp_path / "idx")
+    V.build_vector_index(spark, src, path)
+    state = src.read(spark)
+    src.merge(
+        spark,
+        state.filter(F.col("vec_id") < 10).select(
+            "vec_id", "label", "embedding", F.lit("D").alias("_op")
+        ),
+        key="vec_id",
+    )
+    V.refresh_vector_index_cdc(spark, src, path)
+    idx = V._index_handle(path)
+    snaps, n = idx.snapshots(), idx.read(spark).count()
+    through = V.indexed_through(idx)
+    # restarted process = fresh handle, same call
+    got = V.refresh_vector_index_cdc(spark, src, path)
+    idx2 = V._index_handle(path)
+    assert got == through == V.indexed_through(idx2)
+    assert idx2.snapshots() == snaps
+    assert idx2.read(spark).count() == n
+
+
+def test_cdc_refresh_refuses_overwrite_history(spark, tmp_path):
+    """Overwrite-shaped source history still refuses (the changelog
+    cannot represent it) — the documented recovery is a rebuild."""
+    vecs = _clustered_vectors(planted=False)
+    src = _mk_src(spark, tmp_path, vecs[:100])
+    path = str(tmp_path / "idx")
+    V.build_vector_index(spark, src, path)
+    src.overwrite(
+        spark.createDataFrame(
+            [(i, 0, [float(x) for x in v])
+             for i, v in enumerate(vecs[:50])],
+            "vec_id long, label int, embedding array<double>",
+        )
+    )
+    with pytest.raises(ValueError, match="overwrite"):
+        V.refresh_vector_index_cdc(spark, src, path)
+    # rebuild recovers
+    idx = V.build_vector_index(spark, src, path)
+    assert idx.read(spark).count() == 50
