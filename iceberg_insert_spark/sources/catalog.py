@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from ..registry import query
 from ..tables import exact_sum, load_table, scratch_dir
 from .snapshots import SnapshotTable
+from .snapshots.errors import CommitConflict
 
 _IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
@@ -285,7 +286,10 @@ class LocalCatalog:
     #
     #   * STAGE: each table's rows land as a write-audit-publish staged
     #     snapshot (op='stage') — durable, fully readable by version,
-    #     invisible to every main-branch reader;
+    #     invisible to every main-branch reader. Append steps rebase at
+    #     publish; replace steps (overwrite/compact, r9 verdict #4)
+    #     carry their stage-time base and VALIDATE instead — see the
+    #     CatalogTransaction class contract;
     #   * COMMIT POINT: ONE registry CAS records the transaction as
     #     committed with its (table, staged snapshot, wap_id) steps —
     #     the single atomic word that flips the whole transaction;
@@ -345,7 +349,7 @@ class LocalCatalog:
                         ent["location"], **ent.get("table_kwargs", {})
                     )
                     healed[(ident, wap)] = tbl.publish(wap)
-            except ValueError as ex:
+            except (ValueError, CommitConflict) as ex:
                 # quarantine; already-published steps are harmless
                 # (a later retry re-publishes idempotently)
                 with self._lock():
@@ -2459,15 +2463,42 @@ class LocalCatalog:
 class CatalogTransaction:
     """A multi-table atomic transaction over a :class:`LocalCatalog`
     (see the protocol comment at LocalCatalog.begin_transaction).
-    APPEND-shaped writes only: each ``append`` stages its rows
-    durably off-main; ``commit`` flips one registry CAS then rolls
-    the publishes forward; ``abort`` (or a crash before commit)
-    leaves nothing visible — the staged snapshots are reclaimed by
-    expire, the rejected-WAP pattern. Replace-shaped writes are
-    refused by design: a staged overwrite expresses 'the table IS
-    this' relative to its stage-time base, and rebasing that onto a
-    moved main silently destroys concurrent commits (the same rule
-    cherrypick enforces)."""
+    Each ``append`` stages its rows durably off-main; ``commit``
+    flips one registry CAS then rolls the publishes forward;
+    ``abort`` (or a crash before commit) leaves nothing visible —
+    the staged snapshots are reclaimed by expire, the rejected-WAP
+    pattern.
+
+    REPLACE-shaped steps (r9 verdict #4): ``overwrite`` and
+    ``compact`` stage via ``SnapshotTable.stage_replace``, recording
+    the published snapshot they planned against. They are never
+    rebased — 'the table IS this' onto a moved main would silently
+    destroy concurrent commits (the cherrypick rule) — so instead:
+
+      * ``commit()`` re-validates every replace step's table head
+        against its stage-time base immediately before the CAS; a
+        moved head ABORTS the whole transaction with
+        ``CommitConflict`` (nothing visible, re-plan and retry — the
+        compact_with_retry workflow, transaction-wide);
+      * replace steps are ordered FIRST in the recorded roll-forward,
+        and ``publish`` re-validates inside the table's commit
+        critical section — so a direct-writer commit racing the
+        post-CAS window quarantines the transaction with NO step
+        published (appends follow replaces; the failure mode is
+        all-invisible, never half);
+      * a table taking a replace step may take NO other step in the
+        same transaction (the replace already IS that table's whole
+        next state — fold the rows into it).
+
+    Residual window, stated honestly: with SEVERAL replace steps, a
+    direct writer landing between the first replace's publish and a
+    later one's quarantines the transaction with the earlier replace
+    visible — same partial-visibility class as a dropped-table
+    quarantine today, surfaced in failed_transactions(). Closing it
+    needs every table's commit lock held across the CAS (a real
+    REST catalog's server-side multi-table CAS); catalog-mediated
+    writers never hit it (they heal first), only raw filesystem
+    handles racing the microsecond publish window can."""
 
     def __init__(self, cat: LocalCatalog):
         self._cat = cat
@@ -2480,6 +2511,8 @@ class CatalogTransaction:
         # cherry-picks — publish dedupes by wap_id, so reusing one id
         # would silently drop the second batch on publish)
         self._steps: list[tuple[str, int, str]] = []
+        # wap_id -> (ident, stage-time base) for replace-shaped steps
+        self._replaces: dict[str, tuple[str, int | None]] = {}
         self._done = False
 
     def append(self, ident: str, df: DataFrame) -> int:
@@ -2489,11 +2522,82 @@ class CatalogTransaction:
         snapshot version."""
         if self._done:
             raise ValueError("transaction already committed/aborted")
+        if any(
+            i == ident for i, _b in self._replaces.values()
+        ):
+            raise ValueError(
+                f"transaction already stages a replace of {ident!r}; "
+                "a replace IS the table's whole next state — fold "
+                "the rows into it"
+            )
         tbl = self._cat.load_table(ident)
         wap = f"{self.txn_id}#{len(self._steps)}"
         sv = tbl.stage_append(df, wap_id=wap)
         self._steps.append((ident, sv, wap))
         return sv
+
+    def _stage_replace(
+        self, ident: str, tbl, df: DataFrame, base: int | None
+    ) -> int:
+        if self._done:
+            raise ValueError("transaction already committed/aborted")
+        if any(i == ident for i, _s, _w in self._steps):
+            raise ValueError(
+                f"transaction already has a step on {ident!r}; a "
+                "replace must be that table's ONLY step (it IS the "
+                "whole next state)"
+            )
+        wap = f"{self.txn_id}#{len(self._steps)}"
+        sv = tbl.stage_replace(df, wap_id=wap, replace_base=base)
+        self._steps.append((ident, sv, wap))
+        self._replaces[wap] = (ident, base)
+        return sv
+
+    def overwrite(self, ident: str, df: DataFrame) -> int:
+        """Stage ``df`` as ``ident``'s ENTIRE next state (the
+        transactional INSERT OVERWRITE). Validated against the
+        current head at commit point — see the class contract."""
+        tbl = self._cat.load_table(ident)
+        return self._stage_replace(
+            ident, tbl, df, tbl._latest_published()
+        )
+
+    def compact(
+        self,
+        spark: SparkSession,
+        ident: str,
+        target_files: int = 1,
+        sort_by: list[str] | None = None,
+    ) -> int:
+        """Stage a bin-pack (or sort) compaction of ``ident`` inside
+        this transaction — maintenance + dim publish as ONE atomic
+        flip, the first real multi-table shape beyond fact+dim
+        append (r9 verdict #4). Same rewrite as
+        ``SnapshotTable.compact`` (rows identical, layout coalesced,
+        row lineage materialized through the rewrite when on), but
+        the replace lands at COMMIT, not now, and conflicts abort
+        the transaction instead of just this step."""
+        tbl = self._cat.load_table(ident)
+        base = tbl._latest_published()
+        if base is None:
+            raise ValueError("nothing published to compact")
+        rels = tbl._manifest(base)
+        if tbl._lineage_on() and rels:
+            df = tbl._read_files(
+                spark,
+                base,
+                rels,
+                lineage_cols=(tbl._LIN_ROWID, tbl._LIN_LASTSEQ),
+            )
+        else:
+            df = tbl.read(spark, as_of=base)
+        if sort_by:
+            df = df.repartitionByRange(
+                target_files, *sort_by
+            ).sortWithinPartitions(*sort_by)
+        else:
+            df = df.coalesce(target_files)
+        return self._stage_replace(ident, tbl, df, base)
 
     def _mark_committed(self) -> None:
         """THE atomic commit point: one registry CAS records the
@@ -2508,6 +2612,26 @@ class CatalogTransaction:
         if not self._steps:
             self._done = True
             return
+        # Replace steps VALIDATE, then order FIRST in the recorded
+        # roll-forward (class contract): a moved head aborts the
+        # whole transaction pre-CAS; post-CAS, publish re-validates
+        # in the table's critical section and a conflict quarantines
+        # with the appends still unpublished — all-invisible, never
+        # half. Relative order within each group is preserved.
+        for wap, (ident, base) in self._replaces.items():
+            head = self._cat.load_table(ident)._latest_published()
+            if head != base:
+                self._done = True
+                self._steps.clear()
+                raise CommitConflict(
+                    f"table {ident!r} advanced past snapshot {base} "
+                    f"(now {head}) while the transaction staged its "
+                    "replace; transaction aborted — re-plan against "
+                    "the current state and retry"
+                )
+        self._steps = [
+            s for s in self._steps if s[2] in self._replaces
+        ] + [s for s in self._steps if s[2] not in self._replaces]
         with self._cat._lock():
             reg = self._cat._read()
             for ident, _sv, _wap in self._steps:
@@ -2528,13 +2652,17 @@ class CatalogTransaction:
         self._done = True
 
     def commit(self) -> dict:
-        """Commit: one CAS, then roll the publishes forward. Returns
-        {ident: table head after this transaction's publish}. If the
-        roll-forward quarantines (see _heal_txns) the transaction IS
-        committed but its rows stay invisible — raised here with the
-        recorded error so the committer knows to retry."""
+        """Commit: validate replace bases, one CAS, then roll the
+        publishes forward (replaces first — class contract). Returns
+        {ident: table head after this transaction's publish}. A moved
+        replace base raises CommitConflict BEFORE the CAS and aborts
+        the whole transaction (nothing visible — re-plan and retry).
+        If the roll-forward quarantines (see _heal_txns) the
+        transaction IS committed but its rows stay invisible —
+        raised here with the recorded error so the committer knows
+        to retry."""
+        self._mark_committed()  # validates + reorders self._steps
         steps = list(self._steps)
-        self._mark_committed()
         if not steps:
             return {}
         healed = self._cat._heal_txns()
@@ -3210,6 +3338,104 @@ def q_txn_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the next catalog read (the phase query) heals both tables
     txn._mark_committed()
     post = phase("c_committed_heal_on_read")
+    return pre.unionAll(staged).unionAll(post)
+
+
+@query(
+    "q_txn_compact_publish",
+    oracle="""
+    WITH f AS (SELECT COUNT(*) AS nf,
+                      CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                           AS DOUBLE) / 100.0 AS sp
+               FROM orders),
+         d AS (SELECT COUNT(CASE WHEN c_custkey % 2 = 0 THEN 1 END)
+                          AS n_even,
+                      COUNT(*) AS n_all
+               FROM customer)
+    SELECT 'a_pre' AS phase, f.nf AS n_fact_rows, f.sp AS sum_price,
+           CAST(3 AS BIGINT) AS n_fact_files, d.n_even AS n_dim_rows
+    FROM f, d
+    UNION ALL
+    SELECT 'b_staged', f.nf, f.sp, CAST(3 AS BIGINT), d.n_even
+    FROM f, d
+    UNION ALL
+    SELECT 'c_committed', f.nf, f.sp, CAST(1 AS BIGINT), d.n_all
+    FROM f, d
+    """,
+)
+def q_txn_compact_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED-REPLACE MULTI-TABLE TRANSACTION (r9 verdict #4),
+    DuckDB-oracled end-to-end: maintenance (a compaction of the fact
+    table) and a dim publish flip together in ONE transaction — the
+    first real multi-table shape beyond fact+dim append. Three
+    measured phases, all catalog-mediated:
+
+      * ``a_pre`` — the fact table holds 3 small files (three
+        appends) and the dim only its even keys;
+      * ``b_staged`` — the transaction has staged ``compact('fact')``
+        (a replace planned against the 3-file head) and
+        ``append('dim', odd keys)``; readers see NOTHING change:
+        still 3 files, still rows identical (sum_price pins values,
+        not just counts), still even-only dim;
+      * ``c_committed`` — the committer 'crashes' right after the
+        registry CAS (``_mark_committed`` only); the next catalog
+        read heals: the fact table is now ONE file with the SAME
+        rows and the dim holds all keys — compaction and publish
+        became visible as one flip, with the replace ordered first
+        in the roll-forward so no reader could have seen the dim
+        move without the layout.
+
+    Scale shape: the rewrite's data IO happened at stage time
+    (parallel, uncoordinated, off-main); the atomic step is one JSON
+    CAS + a metadata-only validate-and-swap per table. Conflict
+    handling is the compact_with_retry rule transaction-wide: a
+    commit landing on the fact table between stage and commit aborts
+    the WHOLE transaction pre-CAS (pytest-pinned race)."""
+    from ..tables import require_local_master
+
+    require_local_master(
+        spark, "q_txn_compact_publish (catalog registry)"
+    )
+    root = scratch_dir(spark, sf_dir, "txn_compact")
+    cat = LocalCatalog(root)
+    cat.create_namespace("db")
+    fact = cat.create_table("db.fact")
+    dim = cat.create_table("db.dim")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    for m in range(3):
+        fact.append(
+            o.filter(F.col("o_orderkey") % 3 == m).coalesce(1)
+        )
+    dim.append(c.filter(F.col("c_custkey") % 2 == 0))
+
+    def phase(name: str) -> DataFrame:
+        t = cat.load_table("db.fact")  # heals committed txns first
+        n_files = len(t._manifest(t._latest_published()))
+        return cat.sql(
+            spark,
+            "SELECT COUNT(*) AS n_fact_rows, "
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) "
+            "AS DOUBLE) / 100.0 AS sum_price FROM {{db.fact}}",
+        ).select(
+            F.lit(name).alias("phase"),
+            "n_fact_rows",
+            "sum_price",
+            F.lit(n_files).cast("bigint").alias("n_fact_files"),
+            F.lit(
+                cat.sql(
+                    spark, "SELECT COUNT(*) AS n FROM {{db.dim}}"
+                ).collect()[0]["n"]
+            ).alias("n_dim_rows"),
+        )
+
+    pre = phase("a_pre")
+    txn = cat.begin_transaction()
+    txn.compact(spark, "db.fact", target_files=1)
+    txn.append("db.dim", c.filter(F.col("c_custkey") % 2 == 1))
+    staged = phase("b_staged")
+    txn._mark_committed()  # CAS only; readers roll forward
+    post = phase("c_committed")
     return pre.unionAll(staged).unionAll(post)
 
 

@@ -253,6 +253,7 @@ class SnapshotCommitMixin:
         branch: str | None = None,
         drop_files: set | None = None,
         delete_kind: str = "eq",
+        extra_meta: dict | None = None,
     ) -> int:
         """Optimistic-concurrency commit, Iceberg's shape: the data
         files are written in PARALLEL into a private staging dir (the
@@ -498,7 +499,7 @@ class SnapshotCommitMixin:
                 new_files = self._finish_commit(
                     v, d, inherit, token, op, wap_id, schema_json,
                     delete_key, replace_partitions, branch, drop_files,
-                    delete_kind,
+                    delete_kind, extra_meta,
                 )
             # Footer-stat recording OUTSIDE the lock (review catch:
             # thousands of footer reads inside it would overrun the
@@ -529,6 +530,7 @@ class SnapshotCommitMixin:
         branch: str | None = None,
         drop_files: set | None = None,
         delete_kind: str = "eq",
+        extra_meta: dict | None = None,
     ) -> list[str]:
         new_files = []
         for root, dirs, files in os.walk(d):
@@ -745,6 +747,9 @@ class SnapshotCommitMixin:
             meta["token"] = token
         if wap_id is not None:
             meta["wap_id"] = wap_id
+        if extra_meta:
+            # summary-only side channel (stage_replace's replace_base)
+            meta.update(extra_meta)
         if branch is not None:
             # Iceberg's branch ref: the snapshot lives in the shared
             # version space but is OFF main — op "branch-append" keeps
@@ -1394,6 +1399,34 @@ class SnapshotCommitMixin:
         exactly like a branch forked from main."""
         return self._commit(df, inherit=True, op="stage", wap_id=wap_id)
 
+    def stage_replace(
+        self, df: DataFrame, wap_id: str, replace_base: int | None
+    ) -> int:
+        """Stage a REPLACE-shaped commit (r9 verdict #4, the staged
+        half of a transactional compact/overwrite): ``df`` is staged
+        as the table's ENTIRE next state — op='stage' (off-main like
+        any staged snapshot: invisible to readers, reclaimed by
+        expire if never published) but carrying ``replace_base``, the
+        published snapshot the caller PLANNED this state against.
+
+        ``publish(wap_id)`` then takes the replace path instead of the
+        append cherry-pick: inside the commit critical section it
+        validates main is STILL at ``replace_base`` — the
+        compact/rewriteDataFiles conflict rule; a blind rebase of
+        'the table IS this' onto a moved main would silently destroy
+        concurrent commits — and commits a metadata-only ``replace``
+        whose inventory is exactly the staged files. On conflict it
+        raises :class:`CommitConflict` and publishes NOTHING; the
+        caller re-plans against the new state (stage a fresh
+        replace), exactly like compact_with_retry."""
+        return self._commit(
+            df,
+            inherit=False,
+            op="stage",
+            wap_id=wap_id,
+            extra_meta={"replace_base": replace_base},
+        )
+
     def publish(self, wap_id: str) -> int:
         """Write-audit-publish PUBLISH step (Iceberg's
         ``cherrypick_snapshot``): apply the audited staged snapshot's
@@ -1432,6 +1465,10 @@ class SnapshotCommitMixin:
                     f"no staged snapshot carries wap_id {wap_id!r}"
                 )
             sv, smeta = staged
+            if "replace_base" in smeta:
+                # staged REPLACE (stage_replace): validate-and-swap,
+                # never rebase — see stage_replace's contract
+                return self._publish_replace(smeta, wap_id)
             # the scan above read RAW manifests (op/wap_id live there);
             # _apply_onto_main plans from the raw form too (r9: the
             # publish rebase is O(delta), no flat expansion)
@@ -1440,6 +1477,59 @@ class SnapshotCommitMixin:
                 op="publish",
                 extra={"wap_id": wap_id},
             )
+
+    def _publish_replace(self, sraw: dict, wap_id: str) -> int:
+        """Publish a stage_replace snapshot — MUST run inside the
+        commit lock: validate main still sits at the staged
+        ``replace_base`` (CommitConflict otherwise — the
+        compact/rewriteDataFiles rule; committing would destroy
+        whatever landed meanwhile), then commit op='replace' whose
+        inventory is exactly the staged snapshot's own files. Pure
+        metadata — the staged commit already wrote the data in
+        parallel, outside any lock; this swap is O(staged files /
+        chunk). The staged schema/schema_v carry (the files were
+        written under them; a replace establishes the table's next
+        era), the base's delete_files do NOT (the staged frame was
+        planned from a MoR-resolved read — a replace supersedes
+        them, same as compact)."""
+        base = self._latest_published()
+        rb = sraw.get("replace_base")
+        if base != rb:
+            raise CommitConflict(
+                f"staged replace {wap_id!r} planned against snapshot "
+                f"{rb}, but main is now at {base}; re-stage against "
+                "the current state"
+            )
+        src_new = sraw.get("new_files", [])
+        ents = self._entries_for_paths(sraw, src_new)
+        lost = [p for p in src_new if p not in ents]
+        if lost:
+            raise ValueError(
+                "cannot publish replace: the staged snapshot no "
+                f"longer lists {lost[:3]} (concurrent expire?)"
+            )
+        v = self._next_version()
+        pmeta: dict = {
+            "new_files": src_new,
+            "op": "replace",
+            "wap_id": wap_id,
+        }
+        for carry in (
+            "schema",
+            "schema_v",
+            "partition_by",
+            *self._PROP_CARRY,
+        ):
+            if carry in sraw:
+                pmeta[carry] = sraw[carry]
+        self._write_manifest_delta(
+            v,
+            pmeta,
+            base=None,
+            added=[ents[p] for p in src_new],
+            removed=set(),
+        )
+        return v
 
     def cherrypick(self, snapshot: int) -> int:
         """Iceberg's ``cherrypick_snapshot`` for BRANCH commits: apply

@@ -1739,3 +1739,139 @@ def test_policy_flip_under_concurrent_reads_is_atomic(spark, tmp_path):
         counts = list(ex.map(read, range(8)))
     assert all(flips)
     assert set(counts) <= {2, 4}  # filtered or unfiltered, nothing else
+
+
+def test_txn_replace_conflict_aborts_whole_transaction(spark, tmp_path):
+    """Staged-replace conflict handling (r9 verdict #4): a commit
+    landing on the replaced table between stage and commit aborts
+    the WHOLE transaction pre-CAS — nothing visible on EITHER table
+    — and a re-planned transaction then succeeds."""
+    from iceberg_insert_spark.sources.snapshots.errors import (
+        CommitConflict,
+    )
+
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("db")
+    fact = cat.create_table("db.fact")
+    dim = cat.create_table("db.dim")
+    for k in range(3):
+        fact.append(
+            spark.createDataFrame(
+                [(k, float(k))], "k long, v double"
+            ).coalesce(1)
+        )
+    dim.append(spark.createDataFrame([(0, "a")], "k long, s string"))
+    txn = cat.begin_transaction()
+    txn.compact(spark, "db.fact", target_files=1)
+    txn.append(
+        "db.dim", spark.createDataFrame([(1, "b")], "k long, s string")
+    )
+    # racing direct writer advances the fact head mid-transaction
+    fact.append(
+        spark.createDataFrame([(9, 9.0)], "k long, v double").coalesce(1)
+    )
+    with pytest.raises(CommitConflict, match="advanced past"):
+        txn.commit()
+    # all-invisible: dim untouched, fact = base + racer, 4 live files
+    assert dim.read(spark).count() == 1
+    ks = sorted(r.k for r in fact.read(spark).collect())
+    assert ks == [0, 1, 2, 9]
+    assert len(fact._manifest(fact._latest_published())) == 4
+    assert "txns" not in cat._read()
+    # re-planned transaction compacts the NEW state and succeeds
+    txn2 = cat.begin_transaction()
+    txn2.compact(spark, "db.fact", target_files=1)
+    txn2.append(
+        "db.dim", spark.createDataFrame([(1, "b")], "k long, s string")
+    )
+    heads = txn2.commit()
+    assert set(heads) == {"db.fact", "db.dim"}
+    assert len(fact._manifest(fact._latest_published())) == 1
+    assert sorted(r.k for r in fact.read(spark).collect()) == ks
+    assert dim.read(spark).count() == 2
+
+
+def test_txn_replace_post_cas_conflict_quarantines_all_invisible(
+    spark, tmp_path
+):
+    """The honest residual window: a raw-filesystem writer landing
+    AFTER the CAS but before the roll-forward quarantines the
+    transaction — and because replace steps publish FIRST, the
+    quarantine leaves NOTHING of the transaction visible (the dim
+    append is still unpublished), never half."""
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("db")
+    fact = cat.create_table("db.fact")
+    dim = cat.create_table("db.dim")
+    fact.append(spark.createDataFrame([(0, 0.0)], "k long, v double"))
+    dim.append(spark.createDataFrame([(0, "a")], "k long, s string"))
+    txn = cat.begin_transaction()
+    txn.compact(spark, "db.fact", target_files=1)
+    txn.append(
+        "db.dim", spark.createDataFrame([(1, "b")], "k long, s string")
+    )
+    txn._mark_committed()  # committer 'crashes' here
+    # raw handle racer slips into the crash window
+    fact.append(spark.createDataFrame([(7, 7.0)], "k long, v double"))
+    # next catalog read heals -> replace conflicts -> quarantine;
+    # the read itself keeps working
+    assert cat.load_table("db.dim").read(spark).count() == 1
+    failed = cat.failed_transactions()
+    assert len(failed) == 1
+    (rec,) = failed.values()
+    assert "re-stage" in rec["error"]
+    # nothing of the transaction is visible on either table
+    assert sorted(
+        r.k for r in cat.load_table("db.fact").read(spark).collect()
+    ) == [0, 7]
+    assert cat.load_table("db.dim").read(spark).count() == 1
+
+
+def test_txn_replace_heals_on_read_and_step_guards(spark, tmp_path):
+    """A committed-but-unpublished replace+append transaction heals on
+    the next catalog read (replace first); mixing steps on one table
+    refuses both ways; overwrite stages the table's whole next
+    state."""
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("db")
+    fact = cat.create_table("db.fact")
+    dim = cat.create_table("db.dim")
+    for k in range(2):
+        fact.append(
+            spark.createDataFrame(
+                [(k, float(k))], "k long, v double"
+            ).coalesce(1)
+        )
+    dim.append(spark.createDataFrame([(0, "a")], "k long, s string"))
+    txn = cat.begin_transaction()
+    txn.overwrite(
+        "db.fact",
+        spark.createDataFrame([(42, 42.0)], "k long, v double"),
+    )
+    with pytest.raises(ValueError, match="replace"):
+        txn.append(
+            "db.fact",
+            spark.createDataFrame([(3, 3.0)], "k long, v double"),
+        )
+    txn.append(
+        "db.dim", spark.createDataFrame([(1, "b")], "k long, s string")
+    )
+    # nothing visible pre-commit
+    assert fact.read(spark).count() == 2
+    txn._mark_committed()  # crash before publish
+    # heal-on-read completes both, atomically visible
+    got = cat.load_table("db.fact").read(spark).collect()
+    assert [(r.k, r.v) for r in got] == [(42, 42.0)]
+    assert cat.load_table("db.dim").read(spark).count() == 2
+    assert "txns" not in cat._read()
+    # append-then-replace on one table refuses too
+    txn2 = cat.begin_transaction()
+    txn2.append(
+        "db.dim", spark.createDataFrame([(2, "c")], "k long, s string")
+    )
+    with pytest.raises(ValueError, match="ONLY step"):
+        txn2.overwrite(
+            "db.dim",
+            spark.createDataFrame([(9, "z")], "k long, s string"),
+        )
+    txn2.abort()
