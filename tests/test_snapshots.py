@@ -4597,3 +4597,88 @@ def test_plan_topk_prunes_and_stays_exact(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="positive"):
         t.plan_topk("k", 0)
+
+
+def test_stage_replace_publish_is_idempotent_and_conflict_safe(
+    spark, tmp_path
+):
+    """stage_replace/publish mechanics outside transactions (r9
+    verdict #4 plumbing): double publish dedupes on wap_id (one
+    replace commit, same version returned); a commit landing between
+    stage and publish makes publish raise CommitConflict and commit
+    NOTHING; racing a publisher against a direct appender always
+    leaves one of the two legal serializations, never a lost update
+    or a doubled row."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from iceberg_insert_spark.sources.snapshots.errors import (
+        CommitConflict,
+    )
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    for k in range(3):
+        t.append(
+            spark.createDataFrame(
+                [(k, float(k))], "k long, v double"
+            ).coalesce(1)
+        )
+    base = t._latest_published()
+    sv = t.stage_replace(
+        t.read(spark).coalesce(1), wap_id="w1", replace_base=base
+    )
+    # staged: off-main, readable by version
+    assert t._latest_published() == base
+    assert t.read(spark, as_of=sv).count() == 3
+    # double publish -> one replace commit, same version
+    with ThreadPoolExecutor(2) as ex:
+        got = list(ex.map(lambda _: t.publish("w1"), range(2)))
+    assert got[0] == got[1] == t._latest_published()
+    assert len(t._manifest(t._latest_published())) == 1
+    assert sorted(r.k for r in t.read(spark).collect()) == [0, 1, 2]
+    # conflict: stage against the new head, let an append land, publish
+    base2 = t._latest_published()
+    t.stage_replace(
+        t.read(spark).coalesce(1), wap_id="w2", replace_base=base2
+    )
+    t.append(
+        spark.createDataFrame([(9, 9.0)], "k long, v double").coalesce(1)
+    )
+    head_before = t._latest_published()
+    with pytest.raises(CommitConflict, match="re-stage"):
+        t.publish("w2")
+    assert t._latest_published() == head_before  # nothing committed
+    assert sorted(r.k for r in t.read(spark).collect()) == [0, 1, 2, 9]
+    # race publish vs direct append from a fresh stage: either legal
+    # serialization, never lost/doubled rows
+    base3 = t._latest_published()
+    t.stage_replace(
+        t.read(spark).coalesce(1), wap_id="w3", replace_base=base3
+    )
+
+    def _pub():
+        try:
+            return ("pub", t.publish("w3"))
+        except CommitConflict:
+            return ("conflict", None)
+
+    def _app():
+        return (
+            "app",
+            t.append(
+                spark.createDataFrame(
+                    [(77, 7.7)], "k long, v double"
+                ).coalesce(1)
+            ),
+        )
+
+    with ThreadPoolExecutor(2) as ex:
+        f1, f2 = ex.submit(_pub), ex.submit(_app)
+        res = {f1.result()[0]: f1.result()[1], "app": f2.result()[1]}
+    ks = sorted(r.k for r in t.read(spark).collect())
+    if "pub" in res:
+        # replace won the lock first; append landed on top
+        assert ks == [0, 1, 2, 9, 77]
+    else:
+        # append won; replace conflicted and committed nothing
+        assert ks == [0, 1, 2, 9, 77]
+        assert t.read(spark).count() == 5
