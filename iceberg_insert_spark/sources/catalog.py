@@ -404,6 +404,57 @@ class LocalCatalog:
             )
         return healed
 
+    def abort_failed_transaction(self, txn_id: str) -> None:
+        """ABANDON one quarantined transaction (r10): the operator's
+        other exit when retry can never succeed — e.g. a staged
+        REPLACE whose base is permanently gone (a conflicting commit
+        landed in the post-CAS crash window; re-validating against
+        the moved head will fail forever). Removes the record, so
+        catalogs stop carrying it and its staged snapshots await
+        ``expire`` like any rejected WAP stage.
+
+        REFUSED if any step already published (the scan is
+        manifest-raw per step table): a partially-published
+        transaction abandoned here would freeze exactly the
+        half-visible state the protocol exists to prevent — that
+        state must go FORWARD (fix the blocker, retry) and the error
+        says so. A transaction whose steps all remained staged
+        abandons cleanly: nothing was ever visible."""
+        with self._lock():
+            reg = self._read()
+            rec = reg.get("txns", {}).get(txn_id)
+            if rec is None or rec.get("state") != "failed":
+                raise ValueError(
+                    f"no failed transaction {txn_id!r} "
+                    f"(have {sorted(self.failed_transactions())})"
+                )
+            published = []
+            for ident, _sv, wap in rec["steps"]:
+                ent = reg["tables"].get(ident)
+                if ent is None:
+                    continue  # table gone: certainly nothing visible
+                tbl = SnapshotTable(
+                    ent["location"], **ent.get("table_kwargs", {})
+                )
+                for v in tbl.snapshots():
+                    m = tbl._raw_meta(v)
+                    if (
+                        m.get("wap_id") == wap
+                        and m.get("op") != "stage"
+                    ):
+                        published.append((ident, wap, v))
+            if published:
+                raise ValueError(
+                    f"transaction {txn_id!r} already published "
+                    f"step(s) {published}; abandoning now would "
+                    "freeze a half-visible state — fix the blocker "
+                    "and retry_failed_transaction instead"
+                )
+            del reg["txns"][txn_id]
+            if not reg["txns"]:
+                del reg["txns"]
+            self._write(reg)
+
     def analyze_table(
         self,
         ident: str,

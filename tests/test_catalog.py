@@ -1875,3 +1875,65 @@ def test_txn_replace_heals_on_read_and_step_guards(spark, tmp_path):
             spark.createDataFrame([(9, "z")], "k long, s string"),
         )
     txn2.abort()
+
+
+def test_abort_failed_transaction(spark, tmp_path):
+    """The operator's other exit from quarantine (r10): a replace
+    conflicted in the post-CAS window can never retry forward —
+    abort_failed_transaction abandons it (record gone, reads clean,
+    staged snapshots await expire), but REFUSES once any step has
+    published (that state must go forward, not freeze)."""
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("db")
+    fact = cat.create_table("db.fact")
+    dim = cat.create_table("db.dim")
+    fact.append(
+        spark.createDataFrame([(0, 0.0)], "k long, v double").coalesce(1)
+    )
+    dim.append(
+        spark.createDataFrame([(0, "a")], "k long, s string").coalesce(1)
+    )
+    txn = cat.begin_transaction()
+    txn.compact(spark, "db.fact", target_files=1)
+    txn.append(
+        "db.dim", spark.createDataFrame([(1, "b")], "k long, s string")
+    )
+    txn._mark_committed()
+    fact.append(  # racer in the crash window -> replace can never land
+        spark.createDataFrame([(7, 7.0)], "k long, v double").coalesce(1)
+    )
+    cat.load_table("db.dim")  # heal -> quarantine
+    (txn_id,) = cat.failed_transactions()
+    with pytest.raises(ValueError, match="no failed transaction"):
+        cat.abort_failed_transaction("txn-nope")
+    cat.abort_failed_transaction(txn_id)
+    assert cat.failed_transactions() == {}
+    assert "txns" not in cat._read()
+    # nothing of the transaction ever became visible
+    assert sorted(
+        r.k for r in cat.load_table("db.fact").read(spark).collect()
+    ) == [0, 7]
+    assert cat.load_table("db.dim").read(spark).count() == 1
+    # a quarantined txn with a PUBLISHED step refuses to abandon:
+    # build one by dropping the dim mid-roll-forward so the fact
+    # append publishes and the dim step quarantines
+    txn2 = cat.begin_transaction()
+    txn2.append(
+        "db.fact",
+        spark.createDataFrame([(1, 1.0)], "k long, v double"),
+    )
+    txn2.append(
+        "db.dim", spark.createDataFrame([(2, "c")], "k long, s string")
+    )
+    txn2._mark_committed()
+    # simulate the dim's staged snapshot vanishing (expire raced)
+    import shutil
+
+    dim_loc = cat._read()["tables"]["db.dim"]["location"]
+    shutil.rmtree(os.path.join(dim_loc, "_manifests"))
+    cat._heal_txns()
+    failed = cat.failed_transactions()
+    if failed:  # fact step published, dim step broke
+        (t2,) = failed
+        with pytest.raises(ValueError, match="already published"):
+            cat.abort_failed_transaction(t2)
