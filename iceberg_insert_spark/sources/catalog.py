@@ -3211,6 +3211,106 @@ def q_catalog_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_catalog_dml_policies",
+    oracle="""
+    WITH after_del AS (
+        SELECT * FROM customer
+        WHERE NOT (c_mktsegment = 'BUILDING' AND c_acctbal > 0)
+    )
+    SELECT (SELECT COUNT(*) FROM after_del) AS n_after_delete,
+           (SELECT COUNT(*) FROM customer
+            WHERE c_mktsegment = 'BUILDING' AND c_acctbal <= 0)
+               AS n_hidden_survivors,
+           (SELECT COUNT(*) FROM after_del
+            WHERE c_nationkey < 5 AND c_acctbal > 0) AS n_touched,
+           (SELECT COUNT(*) FROM after_del
+            WHERE c_nationkey < 5 AND c_acctbal <= 0)
+               AS n_hidden_untouched,
+           CAST(2 AS BIGINT) AS n_refused
+    """,
+)
+def q_catalog_dml_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOVERNED DML, DuckDB-oracled end-to-end (makes the r10
+    enforcement — r9 ADVICE medium — a hash-checked claim, not just a
+    pytest): a row-filtered customer table takes a front-end DELETE
+    and UPDATE through ``execute()``, and the oracle replays the
+    POLICY-CONJOINED statements over raw customer:
+
+      * DELETE WHERE segment = 'BUILDING' under filter
+        ``c_acctbal > 0`` removes only the visible BUILDING rows —
+        ``n_hidden_survivors`` counts the BUILDING rows the filter
+        hid, still alive (counted by the ADMIN handle: the governed
+        author cannot even see what they failed to delete);
+      * UPDATE SET c_name WHERE c_nationkey < 5 touches only
+        visible rows — ``n_touched`` / ``n_hidden_untouched`` split
+        the predicate's matches by policy visibility, counted from
+        the written data;
+      * with a mask then attached to c_acctbal, a DELETE predicated
+        on it and an UPDATE copying it out both REFUSE naming the
+        policy — ``n_refused`` pins the laundering guard.
+
+    Scale shape: the guard is two dict probes + a string scan per
+    statement; the conjoined filter lands INSIDE the DML's own
+    planning predicate, so partition/stats pruning still applies to
+    the composite — governance costs no extra pass."""
+    root = scratch_dir(spark, sf_dir, "catalog_dml_policies")
+    cat = LocalCatalog(root)
+    cat.create_namespace("gov")
+    cat.create_table("gov.customer").append(
+        load_table(spark, sf_dir, "customer")
+    )
+    cat.set_row_filter("gov.customer", "c_acctbal > 0")
+    cat.execute(
+        spark,
+        "DELETE FROM {{gov.customer}} "
+        "WHERE c_mktsegment = 'BUILDING'",
+    )
+    cat.execute(
+        spark,
+        "UPDATE {{gov.customer}} SET c_name = 'touched' "
+        "WHERE c_nationkey < 5",
+    )
+    admin = cat.load_table("gov.customer").read(spark)
+    n_after = admin.count()
+    n_hidden_surv = admin.filter(
+        (F.col("c_mktsegment") == "BUILDING")
+        & (F.col("c_acctbal") <= 0)
+    ).count()
+    n_touched = admin.filter(F.col("c_name") == "touched").count()
+    n_hidden_untouched = admin.filter(
+        (F.col("c_nationkey") < 5)
+        & (F.col("c_acctbal") <= 0)
+        & (F.col("c_name") != "touched")
+    ).count()
+    cat.set_column_mask("gov.customer", "c_acctbal", "NULL")
+    n_refused = 0
+    for stmt in (
+        "DELETE FROM {{gov.customer}} WHERE c_acctbal < -500",
+        "UPDATE {{gov.customer}} SET c_name = "
+        "CAST(c_acctbal AS STRING) WHERE c_custkey = 1",
+    ):
+        try:
+            cat.execute(spark, stmt)
+        except ValueError as e:
+            if "masked column" in str(e):
+                n_refused += 1
+    return spark.createDataFrame(
+        [
+            (
+                n_after,
+                n_hidden_surv,
+                n_touched,
+                n_hidden_untouched,
+                n_refused,
+            )
+        ],
+        "n_after_delete bigint, n_hidden_survivors bigint, "
+        "n_touched bigint, n_hidden_untouched bigint, "
+        "n_refused bigint",
+    )
+
+
+@query(
     "q_catalog_analyze",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
