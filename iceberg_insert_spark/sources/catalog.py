@@ -3250,9 +3250,11 @@ def q_catalog_dml_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
         policy — ``n_refused`` pins the laundering guard.
 
     Scale shape: the guard is two dict probes + a string scan per
-    statement; the conjoined filter lands INSIDE the DML's own
-    planning predicate, so partition/stats pruning still applies to
-    the composite — governance costs no extra pass."""
+    statement; the conjoined filter folds INTO the DML's single match
+    predicate, evaluated in the one candidate-narrowing pass
+    delete_where/update_where already makes — governance adds no
+    extra pass (metadata pruning remains what the caller's
+    stats_hint/partitions provide, unchanged by the conjunct)."""
     root = scratch_dir(spark, sf_dir, "catalog_dml_policies")
     cat = LocalCatalog(root)
     cat.create_namespace("gov")
