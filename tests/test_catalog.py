@@ -1937,3 +1937,34 @@ def test_abort_failed_transaction(spark, tmp_path):
         (t2,) = failed
         with pytest.raises(ValueError, match="already published"):
             cat.abort_failed_transaction(t2)
+
+
+def test_txn_compact_partitioned_table_keeps_spec(spark, tmp_path):
+    """Transactional compact of a PARTITIONED table: the staged
+    replace rewrites through the partition spec (hive shadow dirs,
+    per-file partition records), so post-publish partition pruning
+    still proves file skips from the manifest alone."""
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("db")
+    t = cat.create_table("db.p", partition_by=["day"])
+    rows = [(d, i, float(i)) for d in ("a", "b") for i in range(6)]
+    for chunk in (rows[:4], rows[4:8], rows[8:]):
+        t.append(
+            spark.createDataFrame(
+                chunk, "day string, k long, v double"
+            ).coalesce(1)
+        )
+    pre = {
+        (r.day, r.k) for r in t.read(spark).collect()
+    }
+    txn = cat.begin_transaction()
+    txn.compact(spark, "db.p", target_files=1)
+    txn.commit()
+    t2 = cat.load_table("db.p")
+    assert {
+        (r.day, r.k) for r in t2.read(spark).collect()
+    } == pre
+    # per-file partition records survived the rewrite: pruning to one
+    # day keeps a strict file subset, proven from metadata
+    kept, total = t2.plan_files(partitions={"day": "a"})
+    assert 0 < len(kept) < total

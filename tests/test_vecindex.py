@@ -398,3 +398,47 @@ def test_cdc_refresh_refuses_overwrite_history(spark, tmp_path):
     # rebuild recovers
     idx = V.build_vector_index(spark, src, path)
     assert idx.read(spark).count() == 50
+
+
+def test_index_compact_folds_cdc_deletes(spark, tmp_path):
+    """After CDC churn the index carries equality-delete files (reads
+    pay the broadcast anti-join); a plain SnapshotTable.compact folds
+    them back into data — delete_files gone, rows identical, the
+    probe path still returns the same candidates."""
+    vecs = _clustered_vectors(planted=False)
+    src = _mk_src(spark, tmp_path, vecs)
+    path = str(tmp_path / "idx")
+    V.build_vector_index(spark, src, path)
+    state = src.read(spark)
+    src.merge(
+        spark,
+        state.filter(F.col("vec_id") % 6 == 1).select(
+            "vec_id", "label", "embedding", F.lit("D").alias("_op")
+        ),
+        key="vec_id",
+    )
+    V.refresh_vector_index_cdc(spark, src, path)
+    idx = V._index_handle(path)
+    head = idx._latest_published()
+    assert idx._raw_meta(head).get("delete_files")  # MoR debt exists
+    before = {
+        (r.vec_id, r.cell, tuple(r.codes))
+        for r in idx.read(spark).collect()
+    }
+    pre_q = {
+        (r.probe_id, r.cand_id)
+        for r in V.query_vector_index(spark, path, src).collect()
+    }
+    idx.compact(spark, target_files=V.VI_CELLS)
+    head2 = idx._latest_published()
+    assert not idx._raw_meta(head2).get("delete_files")
+    after = {
+        (r.vec_id, r.cell, tuple(r.codes))
+        for r in idx.read(spark).collect()
+    }
+    assert after == before
+    post_q = {
+        (r.probe_id, r.cand_id)
+        for r in V.query_vector_index(spark, path, src).collect()
+    }
+    assert post_q == pre_q
