@@ -615,17 +615,19 @@ def q_vecindex_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     kept, total = idx.plan_files(isin=("cell", cells))
     n_src = src.read(spark).count()
-    n_codes = idx.read(spark).count()
     # The strict invariant (a VI_NPROBE-cell probe opens FEWER files
     # than the index holds) presupposes the trained k-means populated
     # MORE than VI_NPROBE cells; on a small or degenerate corpus the
     # quantizer can collapse cells so kept == total with nothing
-    # broken (r9 ADVICE). Guard on the OBSERVED populated-cell count:
-    # with <= VI_NPROBE populated cells, probing them all IS the whole
-    # index and pruning holds vacuously (there is nothing to skip).
-    populated = (
-        idx.read(spark).select("cell").distinct().count()
-    )
+    # broken (r9 ADVICE). Guard on the OBSERVED populated-cell count
+    # — folded into ONE pass with the code count (review catch, r10:
+    # a second full MoR scan just for countDistinct).
+    stats_row = idx.read(spark).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("cell").alias("pop"),
+    ).collect()[0]
+    n_codes = stats_row["n"]
+    populated = stats_row["pop"]
     if populated > VI_NPROBE:
         pruning_held = int(0 < len(kept) < total)
     else:
@@ -844,7 +846,15 @@ def vector_index_stream_available_now(
          inside foreachBatch here, and an ordinal token collides when
          a fresh-checkpoint rerun's batch numbering shifts); with
          content tokens an identical rerun no-ops row-for-row, and an
-         EMPTY batch skips entirely — no rows, no token. Exactly-once
+         EMPTY batch skips entirely — no rows, no token. The flip
+         side is EXPLICIT (review catch, r10): a later batch whose
+         rows are content-identical to a committed one also no-ops —
+         which is CORRECT for this sink (the source is keyed by
+         vec_id; re-delivered identical vectors must not double the
+         table or the index), but means this stream deduplicates by
+         content, not by delivery — a source that legitimately emits
+         identical (vec_id, embedding) rows twice and MEANS it needs
+         a delivery-id column folded into the row. Exactly-once
          across a rerun whose grouping genuinely differs (files split
          across different batches than the committed run) is out of
          contract — that is what the stream's CHECKPOINT is for;

@@ -69,19 +69,33 @@ def _mask_cast_ok(have, want) -> bool:
     widen = {
         T.ByteType: (
             T.ShortType, T.IntegerType, T.LongType,
-            T.FloatType, T.DoubleType, T.DecimalType,
+            T.FloatType, T.DoubleType,
         ),
         T.ShortType: (
-            T.IntegerType, T.LongType, T.FloatType,
-            T.DoubleType, T.DecimalType,
+            T.IntegerType, T.LongType, T.FloatType, T.DoubleType,
         ),
-        T.IntegerType: (T.LongType, T.DoubleType, T.DecimalType),
+        T.IntegerType: (T.LongType, T.DoubleType),
         T.FloatType: (T.DoubleType,),
         T.DateType: (T.TimestampType,),
     }
     for src, dsts in widen.items():
         if isinstance(have, src) and isinstance(want, dsts):
             return True
+    # integral -> decimal only when the target's INTEGER DIGITS hold
+    # the source's full range (Spark canUpCast's rule — int needs
+    # p-s >= 10, etc.); an unchecked int->decimal(7,2) would overflow
+    # to NULL under the very cast this guard exists to refuse
+    # (review catch, r10)
+    int_digits = {
+        T.ByteType: 3,
+        T.ShortType: 5,
+        T.IntegerType: 10,
+        T.LongType: 20,
+    }
+    if isinstance(want, T.DecimalType):
+        for src, need in int_digits.items():
+            if isinstance(have, src):
+                return (want.precision - want.scale) >= need
     if isinstance(have, T.DecimalType):
         # SQL literals like 0.0 resolve as decimal(1,1); a double
         # holds any decimal of <= 15 significant digits exactly
@@ -2526,11 +2540,15 @@ class CatalogTransaction:
     rebased — 'the table IS this' onto a moved main would silently
     destroy concurrent commits (the cherrypick rule) — so instead:
 
-      * ``commit()`` re-validates every replace step's table head
-        against its stage-time base immediately before the CAS; a
-        moved head ABORTS the whole transaction with
-        ``CommitConflict`` (nothing visible, re-plan and retry — the
-        compact_with_retry workflow, transaction-wide);
+      * ``commit()`` re-validates every replace step INSIDE the
+        registry CAS critical section — the head must still be the
+        stage-time base AND no other committed transaction may still
+        owe the table a publish; either condition ABORTS the whole
+        transaction with ``CommitConflict`` (nothing visible,
+        re-plan and retry — the compact_with_retry workflow,
+        transaction-wide). Two catalog-mediated transactions racing
+        a replace of one table therefore serialize at the registry
+        lock: exactly one commits, the other aborts pre-CAS;
       * replace steps are ordered FIRST in the recorded roll-forward,
         and ``publish`` re-validates inside the table's commit
         critical section — so a direct-writer commit racing the
@@ -2632,22 +2650,9 @@ class CatalogTransaction:
         base = tbl._latest_published()
         if base is None:
             raise ValueError("nothing published to compact")
-        rels = tbl._manifest(base)
-        if tbl._lineage_on() and rels:
-            df = tbl._read_files(
-                spark,
-                base,
-                rels,
-                lineage_cols=(tbl._LIN_ROWID, tbl._LIN_LASTSEQ),
-            )
-        else:
-            df = tbl.read(spark, as_of=base)
-        if sort_by:
-            df = df.repartitionByRange(
-                target_files, *sort_by
-            ).sortWithinPartitions(*sort_by)
-        else:
-            df = df.coalesce(target_files)
+        df = tbl._plan_compaction_frame(
+            spark, base, target_files, sort_by
+        )
         return self._stage_replace(ident, tbl, df, base)
 
     def _mark_committed(self) -> None:
@@ -2663,23 +2668,11 @@ class CatalogTransaction:
         if not self._steps:
             self._done = True
             return
-        # Replace steps VALIDATE, then order FIRST in the recorded
-        # roll-forward (class contract): a moved head aborts the
-        # whole transaction pre-CAS; post-CAS, publish re-validates
-        # in the table's critical section and a conflict quarantines
-        # with the appends still unpublished — all-invisible, never
-        # half. Relative order within each group is preserved.
-        for wap, (ident, base) in self._replaces.items():
-            head = self._cat.load_table(ident)._latest_published()
-            if head != base:
-                self._done = True
-                self._steps.clear()
-                raise CommitConflict(
-                    f"table {ident!r} advanced past snapshot {base} "
-                    f"(now {head}) while the transaction staged its "
-                    "replace; transaction aborted — re-plan against "
-                    "the current state and retry"
-                )
+        # Replace steps order FIRST in the recorded roll-forward
+        # (class contract): post-CAS, publish re-validates in the
+        # table's critical section and a conflict quarantines with
+        # the appends still unpublished — all-invisible, never half.
+        # Relative order within each group is preserved.
         self._steps = [
             s for s in self._steps if s[2] in self._replaces
         ] + [s for s in self._steps if s[2] not in self._replaces]
@@ -2691,6 +2684,56 @@ class CatalogTransaction:
                         f"table {ident!r} was dropped during the "
                         "transaction"
                     )
+            # Replace validation happens INSIDE the CAS critical
+            # section (review catch, r10: validated-then-CAS outside
+            # one lock let two catalog-mediated transactions both
+            # commit replaces of one table, quarantining the loser
+            # post-CAS — the contract says catalog-mediated racers
+            # abort PRE-CAS). Two checks per replaced table:
+            #   * no other COMMITTED transaction still owes it a
+            #     publish (their roll-forward will move the head);
+            #   * the head is still the stage-time base (direct
+            #     writers land outside any catalog lock).
+            # Cost: a dict scan + one O(1) newest-first manifest read
+            # per replaced table, microseconds inside the lock.
+            if self._replaces:
+                rtables = {
+                    ident for ident, _b in self._replaces.values()
+                }
+                for tid, rec in (reg.get("txns") or {}).items():
+                    if rec.get("state") != "committed":
+                        continue
+                    touched = rtables & {
+                        s[0] for s in rec.get("steps", [])
+                    }
+                    if touched:
+                        self._done = True
+                        self._steps.clear()
+                        raise CommitConflict(
+                            f"transaction {tid!r} is committed but "
+                            f"not yet rolled forward on "
+                            f"{sorted(touched)}; its publish will "
+                            "move the head this transaction's "
+                            "replace planned against — transaction "
+                            "aborted, re-plan against the healed "
+                            "state and retry"
+                        )
+                for wap, (ident, base) in self._replaces.items():
+                    ent = reg["tables"][ident]
+                    head = SnapshotTable(
+                        ent["location"],
+                        **ent.get("table_kwargs", {}),
+                    )._latest_published()
+                    if head != base:
+                        self._done = True
+                        self._steps.clear()
+                        raise CommitConflict(
+                            f"table {ident!r} advanced past snapshot "
+                            f"{base} (now {head}) while the "
+                            "transaction staged its replace; "
+                            "transaction aborted — re-plan against "
+                            "the current state and retry"
+                        )
             reg.setdefault("txns", {})[self.txn_id] = {
                 "state": "committed",
                 "steps": [list(s) for s in self._steps],

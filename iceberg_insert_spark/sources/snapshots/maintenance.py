@@ -151,12 +151,35 @@ class SnapshotMaintenanceMixin:
         base = self._latest_published()
         if base is None:
             raise ValueError("nothing published to compact")
+        df = self._plan_compaction_frame(
+            spark, base, target_files, sort_by
+        )
+        return self._commit(
+            df,
+            inherit=False,
+            op="replace",
+            expected_base=base,
+        )
+
+    def _plan_compaction_frame(
+        self,
+        spark: SparkSession,
+        base: int,
+        target_files: int,
+        sort_by: list[str] | None,
+    ) -> DataFrame:
+        """The rewrite-planning half of ``compact``, shared with the
+        transactional compact (CatalogTransaction.compact — review
+        catch, r10: a copy would silently diverge on the next lineage
+        or layout fix): read the base state — MATERIALIZING row
+        lineage into the rewritten files when the table tracks it (a
+        compaction is layout-only, so every row keeps its id AND its
+        last-updated sequence, Iceberg v3's rewrite rule; without
+        this, moving a row would mint it a new identity) — then
+        bin-pack (coalesce) or sort-rewrite (range partition + sort
+        within) into ``target_files``."""
         rels = self._manifest(base)
         if self._lineage_on() and rels:
-            # MATERIALIZE row lineage into the rewritten files: a
-            # compaction is layout-only, so every row keeps its id AND
-            # its last-updated sequence (Iceberg v3's rewrite rule —
-            # without this, moving a row would mint it a new identity)
             df = self._read_files(
                 spark,
                 base,
@@ -166,17 +189,10 @@ class SnapshotMaintenanceMixin:
         else:
             df = self.read(spark, as_of=base)
         if sort_by:
-            df = df.repartitionByRange(
+            return df.repartitionByRange(
                 target_files, *sort_by
             ).sortWithinPartitions(*sort_by)
-        else:
-            df = df.coalesce(target_files)
-        return self._commit(
-            df,
-            inherit=False,
-            op="replace",
-            expected_base=base,
-        )
+        return df.coalesce(target_files)
 
     def compact_zorder(
         self,

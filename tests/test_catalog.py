@@ -1968,3 +1968,56 @@ def test_txn_compact_partitioned_table_keeps_spec(spark, tmp_path):
     # day keeps a strict file subset, proven from metadata
     kept, total = t2.plan_files(partitions={"day": "a"})
     assert 0 < len(kept) < total
+
+
+def test_two_txns_racing_one_replace_serialize_at_the_cas(
+    spark, tmp_path
+):
+    """Two catalog-mediated transactions both compacting one table:
+    the in-CAS validation (head still at base + no committed txn
+    owing the table a publish) lets exactly ONE commit; the other
+    aborts pre-CAS with CommitConflict — no quarantine, nothing
+    half-visible, and a re-planned retry succeeds."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from iceberg_insert_spark.sources.snapshots.errors import (
+        CommitConflict,
+    )
+
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("db")
+    fact = cat.create_table("db.fact")
+    for k in range(3):
+        fact.append(
+            spark.createDataFrame(
+                [(k, float(k))], "k long, v double"
+            ).coalesce(1)
+        )
+    t1 = cat.begin_transaction()
+    t1.compact(spark, "db.fact", target_files=1)
+    t2 = cat.begin_transaction()
+    t2.compact(spark, "db.fact", target_files=2)
+
+    def _commit(txn):
+        try:
+            return ("ok", txn.commit())
+        except CommitConflict as e:
+            return ("conflict", str(e))
+
+    with ThreadPoolExecutor(2) as ex:
+        r1, r2 = list(ex.map(_commit, (t1, t2)))
+    outcomes = sorted(x[0] for x in (r1, r2))
+    assert outcomes == ["conflict", "ok"]
+    # loser aborted pre-CAS: registry clean, no quarantine
+    assert cat.failed_transactions() == {}
+    assert "txns" not in cat._read()
+    t = cat.load_table("db.fact")
+    files = len(t._manifest(t._latest_published()))
+    assert files in (1, 2)  # exactly the winner's layout
+    assert sorted(r.k for r in t.read(spark).collect()) == [0, 1, 2]
+    # the loser re-plans against the new state and succeeds
+    t3 = cat.begin_transaction()
+    t3.compact(spark, "db.fact", target_files=3)
+    t3.commit()
+    t = cat.load_table("db.fact")
+    assert sorted(r.k for r in t.read(spark).collect()) == [0, 1, 2]
