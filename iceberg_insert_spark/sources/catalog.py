@@ -2559,15 +2559,17 @@ class CatalogTransaction:
         same transaction (the replace already IS that table's whole
         next state — fold the rows into it).
 
-    Residual window, stated honestly: with SEVERAL replace steps, a
-    direct writer landing between the first replace's publish and a
-    later one's quarantines the transaction with the earlier replace
-    visible — same partial-visibility class as a dropped-table
-    quarantine today, surfaced in failed_transactions(). Closing it
-    needs every table's commit lock held across the CAS (a real
-    REST catalog's server-side multi-table CAS); catalog-mediated
-    writers never hit it (they heal first), only raw filesystem
-    handles racing the microsecond publish window can."""
+    Residual window (r10: now CRASH-ONLY): ``commit()`` holds every
+    replaced table's commit lock across the CAS and the replace
+    publishes (see its docstring), so neither a racing transaction
+    nor a direct filesystem writer can move a validated head before
+    its replace lands — a live committer's replaces are all-or-
+    nothing, full stop. Only a committer that CASes and then DIES
+    holding the locks reopens a window (locks break as stale, a
+    direct commit may slip in before the next heal), and that
+    quarantines all-invisible with the appends unpublished —
+    surfaced in failed_transactions(), exited via
+    retry_failed_transaction / abort_failed_transaction."""
 
     def __init__(self, cat: LocalCatalog):
         self._cat = cat
@@ -2754,8 +2756,52 @@ class CatalogTransaction:
         If the roll-forward quarantines (see _heal_txns) the
         transaction IS committed but its rows stay invisible —
         raised here with the recorded error so the committer knows
-        to retry."""
-        self._mark_committed()  # validates + reorders self._steps
+        to retry.
+
+        LOCK-SPANNED REPLACES (r10, closing the residual window): a
+        committing transaction with replace steps holds every
+        replaced table's COMMIT LOCK — acquired in sorted-ident
+        order, so racing transactions cannot deadlock — across the
+        in-CAS validation AND the replace publishes. Direct
+        filesystem writers need that same lock to commit, so nothing
+        can land between validation and publish: in the non-crash
+        path a validated replace ALWAYS publishes. The one remaining
+        window is a committer that CASes and then dies while holding
+        the locks — the locks go stale and break, and a direct
+        commit slipping in before the next heal quarantines the
+        transaction all-invisible (replaces ordered first), exactly
+        the crash semantics _heal_txns already owns."""
+        replace_idents = sorted(
+            {i for i, _b in self._replaces.values()}
+        )
+        if replace_idents:
+            # load (and heal) BEFORE taking any lock: load_table's
+            # heal may publish other transactions' steps, which needs
+            # the very locks we are about to hold
+            tbls = {
+                i: self._cat.load_table(i) for i in replace_idents
+            }
+            from contextlib import ExitStack
+
+            with ExitStack() as stack:
+                for i in replace_idents:
+                    stack.enter_context(tbls[i]._commit_lock())
+                self._mark_committed()  # validates + reorders steps
+                for ident, _sv, wap in list(self._steps):
+                    if wap not in self._replaces:
+                        continue
+                    try:
+                        tbls[ident]._publish_locked(wap)
+                    except (ValueError, CommitConflict) as ex:
+                        self._quarantine_self(str(ex))
+                        raise RuntimeError(
+                            f"transaction {self.txn_id} committed "
+                            f"but its replace publish failed: {ex} "
+                            "— rows stay invisible; see "
+                            "failed_transactions"
+                        ) from ex
+        else:
+            self._mark_committed()
         steps = list(self._steps)
         if not steps:
             return {}
@@ -2780,6 +2826,19 @@ class CatalogTransaction:
                 v = self._cat.load_table(ident).publish(wap)
             out[ident] = v
         return out
+
+    def _quarantine_self(self, err: str) -> None:
+        """Flip this committed transaction to 'failed' with the error
+        recorded — the committer-side twin of _heal_txns' quarantine
+        (used when a replace publish dies under the committer's own
+        locks, post-CAS)."""
+        with self._cat._lock():
+            reg = self._cat._read()
+            rec = reg.get("txns", {}).get(self.txn_id)
+            if rec is not None and rec.get("state") == "committed":
+                rec["state"] = "failed"
+                rec["error"] = str(err)[:500]
+                self._cat._write(reg)
 
     def abort(self) -> None:
         """Forget the transaction. Nothing was ever visible; the

@@ -1447,36 +1447,44 @@ class SnapshotCommitMixin:
         scan is manifest-JSON-only, so the in-lock cost is bounded by
         history length in KBs."""
         with self._commit_lock():
-            staged = pub = None
-            for v in self.snapshots():
-                with open(
-                    os.path.join(self._mdir, f"v{v}.json")
-                ) as fh:
-                    m = json.load(fh)
-                if m.get("wap_id") == wap_id:
-                    if m.get("op") == "stage":
-                        staged = (v, m)
-                    else:
-                        pub = v
-            if pub is not None:
-                return pub
-            if staged is None:
-                raise ValueError(
-                    f"no staged snapshot carries wap_id {wap_id!r}"
-                )
-            sv, smeta = staged
-            if "replace_base" in smeta:
-                # staged REPLACE (stage_replace): validate-and-swap,
-                # never rebase — see stage_replace's contract
-                return self._publish_replace(smeta, wap_id)
-            # the scan above read RAW manifests (op/wap_id live there);
-            # _apply_onto_main plans from the raw form too (r9: the
-            # publish rebase is O(delta), no flat expansion)
-            return self._apply_onto_main(
-                smeta,
-                op="publish",
-                extra={"wap_id": wap_id},
+            return self._publish_locked(wap_id)
+
+    def _publish_locked(self, wap_id: str) -> int:
+        """``publish`` body — caller MUST hold the commit lock. Split
+        out (r10) so a multi-table transaction can hold several
+        tables' commit locks across its CAS and publish its replace
+        steps under them (the lock is not re-entrant; publish()
+        acquiring it again would deadlock the holder)."""
+        staged = pub = None
+        for v in self.snapshots():
+            with open(
+                os.path.join(self._mdir, f"v{v}.json")
+            ) as fh:
+                m = json.load(fh)
+            if m.get("wap_id") == wap_id:
+                if m.get("op") == "stage":
+                    staged = (v, m)
+                else:
+                    pub = v
+        if pub is not None:
+            return pub
+        if staged is None:
+            raise ValueError(
+                f"no staged snapshot carries wap_id {wap_id!r}"
             )
+        sv, smeta = staged
+        if "replace_base" in smeta:
+            # staged REPLACE (stage_replace): validate-and-swap,
+            # never rebase — see stage_replace's contract
+            return self._publish_replace(smeta, wap_id)
+        # the scan above read RAW manifests (op/wap_id live there);
+        # _apply_onto_main plans from the raw form too (r9: the
+        # publish rebase is O(delta), no flat expansion)
+        return self._apply_onto_main(
+            smeta,
+            op="publish",
+            extra={"wap_id": wap_id},
+        )
 
     def _publish_replace(self, sraw: dict, wap_id: str) -> int:
         """Publish a stage_replace snapshot — MUST run inside the

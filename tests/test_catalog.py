@@ -2021,3 +2021,63 @@ def test_two_txns_racing_one_replace_serialize_at_the_cas(
     t3.commit()
     t = cat.load_table("db.fact")
     assert sorted(r.k for r in t.read(spark).collect()) == [0, 1, 2]
+
+
+def test_txn_replace_vs_direct_writer_never_quarantines(
+    spark, tmp_path
+):
+    """The r10 lock-spanned commit: a DIRECT writer racing a live
+    committing transaction can no longer open the post-CAS window —
+    either it lands first (the transaction aborts pre-CAS with
+    CommitConflict) or it blocks on the table's commit lock and
+    lands after the replace. In NO interleaving does a live
+    committer quarantine."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from iceberg_insert_spark.sources.snapshots.errors import (
+        CommitConflict,
+    )
+
+    for trial in range(3):
+        cat = LocalCatalog(str(tmp_path / f"c{trial}"))
+        cat.create_namespace("db")
+        fact = cat.create_table("db.fact")
+        for k in range(3):
+            fact.append(
+                spark.createDataFrame(
+                    [(k, float(k))], "k long, v double"
+                ).coalesce(1)
+            )
+        txn = cat.begin_transaction()
+        txn.compact(spark, "db.fact", target_files=1)
+
+        def _commit():
+            try:
+                return ("ok", txn.commit())
+            except CommitConflict:
+                return ("conflict", None)
+
+        def _append():
+            return (
+                "app",
+                fact.append(
+                    spark.createDataFrame(
+                        [(9, 9.0)], "k long, v double"
+                    ).coalesce(1)
+                ),
+            )
+
+        with ThreadPoolExecutor(2) as ex:
+            fc, fa = ex.submit(_commit), ex.submit(_append)
+            outcome = fc.result()[0]
+            fa.result()
+        # never a quarantine, never lost rows, whatever the order
+        assert cat.failed_transactions() == {}
+        assert "txns" not in cat._read()
+        ks = sorted(r.k for r in fact.read(spark).collect())
+        assert ks == [0, 1, 2, 9]
+        n_files = len(fact._manifest(fact._latest_published()))
+        if outcome == "ok":
+            assert n_files == 2  # compacted file + the append
+        else:
+            assert n_files == 4  # 3 originals + the append
