@@ -775,3 +775,49 @@ def test_policy_filter_reaches_parquet_scan(spark, tmp_path):
     p = plan_of(cat.sql(spark, "SELECT k FROM {{gov.t}}"))
     rs = [ln for ln in p.splitlines() if "ReadSchema" in ln]
     assert rs and all("v:double" not in ln for ln in rs), p
+
+
+def test_cdc_index_read_prunes_cells_and_broadcasts_delete_keys(
+    spark, tmp_path
+):
+    """The r10 CDC-refresh read-path claim, pinned mechanically (the
+    PLANS.md snapshot's assertions): after a CDC refresh the probed-
+    cell read must (a) push the cell IN-list to the parquet scan,
+    (b) resolve the equality-delete debt as a BROADCAST LeftAnti —
+    churn-sized keys, never a shuffle of the code table."""
+    from pyspark.sql import functions as F
+
+    from iceberg_insert_spark.llm import vecindex as V
+    from iceberg_insert_spark.sources.snapshots import SnapshotTable
+
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    src = SnapshotTable(str(tmp_path / "src"))
+    src.append(
+        spark.createDataFrame(
+            [
+                (i, 0, [float(x) for x in rng.randn(16)])
+                for i in range(200)
+            ],
+            "vec_id long, label int, embedding array<double>",
+        )
+    )
+    path = str(tmp_path / "idx")
+    V.build_vector_index(spark, src, path)
+    src.merge(
+        spark,
+        src.read(spark)
+        .filter(F.col("vec_id") < 20)
+        .select(
+            "vec_id", "label", "embedding", F.lit("D").alias("_op")
+        ),
+        key="vec_id",
+    )
+    V.refresh_vector_index_cdc(spark, src, path)
+    idx = V._index_handle(path)
+    p = plan_of(idx.read(spark, isin=("cell", [0, 1, 2, 3])))
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert any("In(cell" in ln for ln in pushed), p
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p, p
+    assert "SortMergeJoin" not in p, p
