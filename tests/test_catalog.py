@@ -2081,3 +2081,24 @@ def test_txn_replace_vs_direct_writer_never_quarantines(
             assert n_files == 2  # compacted file + the append
         else:
             assert n_files == 4  # 3 originals + the append
+
+
+def test_dml_row_filter_may_reference_masked_columns(spark, tmp_path):
+    """Composition pin: the ROW FILTER evaluates against unmasked rows
+    (the Unity rule), so a filter referencing a MASKED column is
+    legal and the DML guard conjoins it untouched — only the USER'S
+    predicate/SET text is scanned for masked references."""
+    cat = _policied_cat(spark, tmp_path)
+    cat.set_row_filter("gov.t", "bal > 0")   # references bal...
+    cat.set_column_mask("gov.t", "bal", "NULL")  # ...which is masked
+    # user statement never names bal -> allowed; filter still scopes it
+    cat.execute(spark, "DELETE FROM {{gov.t}} WHERE region = 'EU'")
+    cat.drop_row_filter("gov.t")
+    cat.drop_column_mask("gov.t", "bal")
+    left = {
+        (r.id, r.region)
+        for r in cat.load_table("gov.t").read(spark).collect()
+    }
+    # EU rows with bal>0 (id=1) deleted; hidden EU row (bal<0, id=2)
+    # survives; US rows untouched
+    assert left == {(2, "EU"), (3, "US"), (4, "US")}
