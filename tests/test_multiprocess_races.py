@@ -86,3 +86,50 @@ def test_catalog_distinct_creates_across_processes_all_land(tmp_path):
     assert LocalCatalog(root).list_tables() == sorted(
         f"db.t{i}" for i in range(16)
     )
+
+
+def _publish_wap(args):
+    root, wap = args
+    from iceberg_insert_spark.sources.snapshots import SnapshotTable
+    from iceberg_insert_spark.sources.snapshots.errors import (
+        CommitConflict,
+    )
+
+    try:
+        return ("ok", SnapshotTable(root).publish(wap))
+    except CommitConflict:
+        return ("conflict", None)
+
+
+def test_racing_replace_publishes_across_processes(tmp_path, spark):
+    """Two OS processes publish two staged REPLACES planned against
+    the same base: the commit lock + in-lock base validation admit
+    exactly one; the loser gets CommitConflict and commits nothing.
+    (The thread twin lives in test_snapshots; this exercises the
+    O_EXCL lock file across real kernels of execution. Publish itself
+    is pure metadata, so the children never need Spark.)"""
+    from iceberg_insert_spark.sources.snapshots import SnapshotTable
+
+    root = str(tmp_path / "t")
+    t = SnapshotTable(root)
+    for k in range(3):
+        t.append(
+            spark.createDataFrame(
+                [(k, float(k))], "k long, v double"
+            ).coalesce(1)
+        )
+    base = t._latest_published()
+    state = t.read(spark)
+    t.stage_replace(state.coalesce(1), wap_id="wa", replace_base=base)
+    t.stage_replace(state.coalesce(2), wap_id="wb", replace_base=base)
+    with mp.Pool(2) as pool:
+        res = pool.map(_publish_wap, [(root, "wa"), (root, "wb")])
+    outcomes = sorted(r[0] for r in res)
+    assert outcomes == ["conflict", "ok"]
+    n_files = len(t._manifest(t._latest_published()))
+    winner_wap = [r for r in res if r[0] == "ok"]
+    assert len(winner_wap) == 1
+    assert n_files in (1, 2)  # exactly the winner's layout
+    assert sorted(r.k for r in t.read(spark).collect()) == [0, 1, 2]
+    # the loser's staged snapshot is still reclaimable audit state
+    assert t._raw_meta(t._latest_published()).get("op") == "replace"
