@@ -820,6 +820,95 @@ def q_vecindex_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def exact_topk_pairs(
+    spark: SparkSession,
+    src: SnapshotTable,
+    k: int = TOP_K,
+    n_probes: int = N_PROBES,
+) -> set:
+    """Exact brute-force top-k (probe_id, cand_id) pairs over an
+    arbitrary source snapshot table — q_sim_knn's shape generalized
+    off the fixture tables, the scoring baseline ``tune_nprobe``
+    uses. Probes broadcast against the candidate scan; rounded-cosine
+    ordering tie-broken by cand_id so the cut is deterministic."""
+    from .vector import cosine
+
+    emb = src.read(spark).select("vec_id", "embedding")
+    probes = emb.filter(F.col("vec_id") < n_probes).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pe"),
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("ce"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos_sim"), F.asc("cand_id")
+    )
+    top = (
+        cands.crossJoin(F.broadcast(probes))
+        .filter(F.col("cand_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "cand_id",
+            F.round(cosine("pe", "ce"), 6).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+    return {(r.probe_id, r.cand_id) for r in top.collect()}
+
+
+def tune_nprobe(
+    spark: SparkSession,
+    src: SnapshotTable,
+    path: str,
+    target_recall_pct: float,
+    k: int = TOP_K,
+    max_nprobe: int | None = None,
+) -> dict:
+    """The documented FAISS calibration workflow as ONE call (r10):
+    measure recall@k of the persisted index against the exact twin at
+    doubling nprobe values (1, 2, 4, ...) and return the SMALLEST
+    measured nprobe meeting ``target_recall_pct`` — the dial a
+    deployment turns before committing a probe budget, run on a
+    sample table at any corpus size (the exact twin is a bounded
+    broadcast scan; each index probe reads nprobe/C of the files).
+
+    Returns ``{"nprobe", "recall_pct", "met", "curve"}`` where curve
+    is the full measured [(nprobe, recall_pct), ...] — the artifact
+    SCALE.md's recall-vs-cost tables are made of. Doubling (not
+    linear) walk: recall is monotone in nprobe (a superset of cells
+    can only add candidates), so the first meeting point is within 2x
+    of the minimal one at log cost; callers wanting the exact minimum
+    bisect the last interval with further calls."""
+    exact = exact_topk_pairs(spark, src, k=k)
+    total = max(len(exact), 1)
+    if max_nprobe is None:
+        max_nprobe = VI_CELLS
+    curve: list[tuple[int, float]] = []
+    nprobe = 1
+    while True:
+        ann = {
+            (r.probe_id, r.cand_id)
+            for r in query_vector_index(
+                spark, path, src, nprobe=nprobe, k=k
+            )
+            .select("probe_id", "cand_id")
+            .collect()
+        }
+        rec = round(100.0 * len(exact & ann) / total, 1)
+        curve.append((nprobe, rec))
+        if rec >= target_recall_pct or nprobe >= max_nprobe:
+            return {
+                "nprobe": nprobe,
+                "recall_pct": rec,
+                "met": rec >= target_recall_pct,
+                "curve": curve,
+            }
+        nprobe = min(nprobe * 2, max_nprobe)
+
+
 def vector_index_stream_available_now(
     spark: SparkSession,
     src_glob: str,

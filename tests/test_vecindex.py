@@ -535,3 +535,29 @@ def test_cdc_refresh_model_random_churn(spark, tmp_path):
         assert state == fresh, f"step {step} ({op}): codes diverged"
     # at least the model ran a real mix (seeded, so deterministic)
     assert len(refresh_every) == 6
+
+
+def test_tune_nprobe_walks_to_the_target(spark, tmp_path):
+    """tune_nprobe (r10): recall is monotone in nprobe (superset of
+    probed cells), the walk stops at the first doubling point meeting
+    the target, and an unreachable target caps at max_nprobe with
+    met=False — the calibration workflow as one call."""
+    vecs = _clustered_vectors(planted=False)
+    src = _mk_src(spark, tmp_path, vecs)
+    path = str(tmp_path / "idx")
+    V.build_vector_index(spark, src, path)
+    got = V.tune_nprobe(spark, src, path, target_recall_pct=70.0)
+    assert got["met"] and got["recall_pct"] >= 70.0
+    assert got["nprobe"] <= V.VI_CELLS
+    # monotone: each curve step's recall never drops by more than
+    # rounding noise (cells are supersets)
+    recs = [r for _np, r in got["curve"]]
+    assert all(b >= a - 0.1 for a, b in zip(recs, recs[1:])), recs
+    # the found nprobe is the FIRST meeting point on the doubling walk
+    assert all(r < 70.0 for _np, r in got["curve"][:-1])
+    # unreachable target: cap at max_nprobe, met=False, full curve
+    capped = V.tune_nprobe(
+        spark, src, path, target_recall_pct=101.0, max_nprobe=4
+    )
+    assert not capped["met"] and capped["nprobe"] == 4
+    assert [n for n, _r in capped["curve"]] == [1, 2, 4]
