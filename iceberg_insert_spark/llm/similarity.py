@@ -41,6 +41,48 @@ _COS_SQL = """
 """
 
 
+def exact_topk(
+    emb: DataFrame,
+    k: int = TOP_K,
+    n_probes: int = N_PROBES,
+    label_col: str | None = None,
+) -> DataFrame:
+    """THE exact-twin convention, in one place (review catch, r10: a
+    second copy in vecindex desynchronizes the baselines the recall
+    floors compare against): brute-force top-``k`` cosine neighbors
+    of the first ``n_probes`` vectors of an (vec_id, embedding[,
+    label]) frame. Probes broadcast against the candidate scan;
+    ordering on the ROUNDED similarity tie-broken by cand_id, so the
+    cut is deterministic cross-engine and cross-caller."""
+    probes = emb.filter(F.col("vec_id") < n_probes).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pe"),
+    )
+    cand_cols = [
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("ce"),
+    ]
+    out_cols = ["probe_id", "cand_id"]
+    if label_col is not None:
+        cand_cols.append(F.col(label_col).alias("cand_label"))
+        out_cols.append("cand_label")
+    scored = (
+        emb.select(*cand_cols)
+        .crossJoin(F.broadcast(probes))
+        .filter(F.col("cand_id") != F.col("probe_id"))
+        .select(
+            *out_cols,
+            F.round(cosine("pe", "ce"), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos_sim"), F.asc("cand_id")
+    )
+    return scored.withColumn(
+        "rn", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rn") <= k)
+
+
 @query(
     "q_sim_knn",
     oracle=f"""
@@ -68,30 +110,11 @@ def q_sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k cosine neighbors for the first N_PROBES vectors.
 
     Ordering is on the *rounded* similarity (both engines), tie-broken by
-    cand_id, so the top-k cut is deterministic cross-engine.
-    """
-    emb = load_table(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
-    )
-    cands = emb.select(
-        F.col("vec_id").alias("cand_id"),
-        F.col("label").alias("cand_label"),
-        F.col("embedding").alias("ce"),
-    )
-    scored = (
-        cands.crossJoin(F.broadcast(probes))
-        .filter(F.col("cand_id") != F.col("probe_id"))
-        .select(
-            "probe_id",
-            "cand_id",
-            "cand_label",
-            F.round(cosine("pe", "ce"), 6).alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
-    return scored.withColumn("rn", F.row_number().over(w).cast("bigint")).filter(
-        F.col("rn") <= TOP_K
+    cand_id, so the top-k cut is deterministic cross-engine. Core in
+    :func:`exact_topk` — shared with the persisted-index calibration
+    path (vecindex.exact_topk_pairs)."""
+    return exact_topk(
+        load_table(spark, sf_dir, "embeddings"), label_col="label"
     )
 
 

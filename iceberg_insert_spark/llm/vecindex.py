@@ -827,36 +827,21 @@ def exact_topk_pairs(
     n_probes: int = N_PROBES,
 ) -> set:
     """Exact brute-force top-k (probe_id, cand_id) pairs over an
-    arbitrary source snapshot table — q_sim_knn's shape generalized
-    off the fixture tables, the scoring baseline ``tune_nprobe``
-    uses. Probes broadcast against the candidate scan; rounded-cosine
-    ordering tie-broken by cand_id so the cut is deterministic."""
-    from .vector import cosine
+    arbitrary source snapshot table — the scoring baseline
+    ``tune_nprobe`` uses. Delegates to similarity.exact_topk (review
+    catch, r10: one exact-twin convention, not two copies that
+    desynchronize the recall baselines)."""
+    from .similarity import exact_topk
 
-    emb = src.read(spark).select("vec_id", "embedding")
-    probes = emb.filter(F.col("vec_id") < n_probes).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("embedding").alias("pe"),
+    top = exact_topk(
+        src.read(spark).select("vec_id", "embedding"),
+        k=k,
+        n_probes=n_probes,
     )
-    cands = emb.select(
-        F.col("vec_id").alias("cand_id"),
-        F.col("embedding").alias("ce"),
-    )
-    w = Window.partitionBy("probe_id").orderBy(
-        F.desc("cos_sim"), F.asc("cand_id")
-    )
-    top = (
-        cands.crossJoin(F.broadcast(probes))
-        .filter(F.col("cand_id") != F.col("probe_id"))
-        .select(
-            "probe_id",
-            "cand_id",
-            F.round(cosine("pe", "ce"), 6).alias("cos_sim"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-    )
-    return {(r.probe_id, r.cand_id) for r in top.collect()}
+    return {
+        (r.probe_id, r.cand_id)
+        for r in top.select("probe_id", "cand_id").collect()
+    }
 
 
 def tune_nprobe(
@@ -878,10 +863,17 @@ def tune_nprobe(
     Returns ``{"nprobe", "recall_pct", "met", "curve"}`` where curve
     is the full measured [(nprobe, recall_pct), ...] — the artifact
     SCALE.md's recall-vs-cost tables are made of. Doubling (not
-    linear) walk: recall is monotone in nprobe (a superset of cells
-    can only add candidates), so the first meeting point is within 2x
-    of the minimal one at log cost; callers wanting the exact minimum
-    bisect the last interval with further calls."""
+    linear) walk; the ADC re-rank budget SCALES WITH nprobe
+    (rerank = VI_RERANK * nprobe / VI_NPROBE, floored at VI_RERANK —
+    review catch, r10: at a FIXED shortlist depth, probing more
+    cells adds quantization-noise candidates that can push a true
+    neighbor below the re-rank cut, so recall could locally DIP as
+    nprobe doubles and the walk would overshoot; constant per-cell
+    depth keeps the candidate-superset argument — and therefore
+    monotone-up-to-ADC-noise recall — honest, the efSearch-style
+    scaling FAISS users apply). The first meeting point is within 2x
+    of the minimal one at log cost; callers wanting the exact
+    minimum bisect the last interval with further calls."""
     exact = exact_topk_pairs(spark, src, k=k)
     total = max(len(exact), 1)
     if max_nprobe is None:
@@ -892,7 +884,14 @@ def tune_nprobe(
         ann = {
             (r.probe_id, r.cand_id)
             for r in query_vector_index(
-                spark, path, src, nprobe=nprobe, k=k
+                spark,
+                path,
+                src,
+                nprobe=nprobe,
+                k=k,
+                rerank=max(
+                    VI_RERANK, VI_RERANK * nprobe // VI_NPROBE
+                ),
             )
             .select("probe_id", "cand_id")
             .collect()

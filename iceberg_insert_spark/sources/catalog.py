@@ -2680,11 +2680,34 @@ class CatalogTransaction:
         ] + [s for s in self._steps if s[2] not in self._replaces]
         with self._cat._lock():
             reg = self._cat._read()
-            for ident, _sv, _wap in self._steps:
+            for ident, sv, _wap in self._steps:
                 if ident not in reg["tables"]:
                     raise ValueError(
                         f"table {ident!r} was dropped during the "
                         "transaction"
+                    )
+                # Staged-snapshot existence, validated before the CAS
+                # (review catch, r10): an operator expire between
+                # staging and commit would otherwise CAS a
+                # transaction whose roll-forward can only quarantine
+                # — and for a multi-replace transaction, quarantine
+                # AFTER an earlier replace published is exactly the
+                # half-visible state the protocol promises away.
+                # Post-CAS this cannot recur: expire needs the same
+                # commit lock the replace publishes hold.
+                ent = reg["tables"][ident]
+                t = SnapshotTable(
+                    ent["location"], **ent.get("table_kwargs", {})
+                )
+                if sv not in t.snapshots():
+                    self._done = True
+                    self._steps.clear()
+                    self._replaces.clear()
+                    raise ValueError(
+                        f"staged snapshot {sv} of {ident!r} no "
+                        "longer exists (expired during the "
+                        "transaction); transaction aborted — "
+                        "re-stage and retry"
                     )
             # Replace validation happens INSIDE the CAS critical
             # section (review catch, r10: validated-then-CAS outside
@@ -2711,6 +2734,7 @@ class CatalogTransaction:
                     if touched:
                         self._done = True
                         self._steps.clear()
+                        self._replaces.clear()
                         raise CommitConflict(
                             f"transaction {tid!r} is committed but "
                             f"not yet rolled forward on "
@@ -2729,6 +2753,7 @@ class CatalogTransaction:
                     if head != base:
                         self._done = True
                         self._steps.clear()
+                        self._replaces.clear()
                         raise CommitConflict(
                             f"table {ident!r} advanced past snapshot "
                             f"{base} (now {head}) while the "
@@ -2771,6 +2796,8 @@ class CatalogTransaction:
         commit slipping in before the next heal quarantines the
         transaction all-invisible (replaces ordered first), exactly
         the crash semantics _heal_txns already owns."""
+        if self._done:
+            raise ValueError("transaction already committed/aborted")
         replace_idents = sorted(
             {i for i, _b in self._replaces.values()}
         )
@@ -2787,18 +2814,21 @@ class CatalogTransaction:
                 for i in replace_idents:
                     stack.enter_context(tbls[i]._commit_lock())
                 self._mark_committed()  # validates + reorders steps
+                published: list[tuple[str, str, int]] = []
                 for ident, _sv, wap in list(self._steps):
                     if wap not in self._replaces:
                         continue
                     try:
-                        tbls[ident]._publish_locked(wap)
+                        out_pub = tbls[ident]._publish_locked(wap)
+                        published.append((ident, wap, out_pub))
                     except (ValueError, CommitConflict) as ex:
                         self._quarantine_self(str(ex))
                         raise RuntimeError(
                             f"transaction {self.txn_id} committed "
-                            f"but its replace publish failed: {ex} "
-                            "— rows stay invisible; see "
-                            "failed_transactions"
+                            f"but its replace publish on {ident!r} "
+                            f"failed: {ex} — quarantined; steps "
+                            f"already published: {published or 'none'}; "
+                            "see failed_transactions"
                         ) from ex
         else:
             self._mark_committed()
@@ -2848,6 +2878,7 @@ class CatalogTransaction:
             raise ValueError("transaction already committed/aborted")
         self._done = True
         self._steps.clear()
+        self._replaces.clear()
 
 
 @query(

@@ -447,12 +447,15 @@ def test_index_compact_folds_cdc_deletes(spark, tmp_path):
 def test_cdc_refresh_model_random_churn(spark, tmp_path):
     """Seeded randomized churn model (the lifecycle-model idiom):
     interleave appends, merge-updates, and merge-deletes on the
-    source, CDC-refreshing the index after EVERY commit, and at each
-    step the index must exactly equal a frozen-quantizer re-encode of
-    the live source — ids, cells, and codes. Covers the compositions
-    a single-shape test can't: update-then-delete of one id, delete
-    then re-insert via append, refresh ranges spanning several merge
-    commits, and empty-churn refreshes."""
+    source; the refresh fires only every OTHER step (so refresh
+    ranges genuinely span several commits, merges included), appends
+    RE-USE previously deleted ids when available (delete then
+    re-insert — the eq-delete must not hide the higher-sequence
+    re-insert), and after each refresh the index must exactly equal
+    a frozen-quantizer re-encode of the live source — ids, cells,
+    and codes. Review catch, r10: the first version refreshed every
+    step and never re-used ids, so its docstring claimed these two
+    compositions without exercising them."""
     import numpy as np
 
     rng = np.random.RandomState(11)
@@ -473,12 +476,26 @@ def test_cdc_refresh_model_random_churn(spark, tmp_path):
     idx = V._index_handle(path)
     live = {i: r[2] for i, r in enumerate(rows)}
     next_id = 60
-    refresh_every = []
-    for step in range(6):
-        op = rng.choice(["append", "update", "delete", "noop"])
+    deleted: list[int] = []
+    reinserted = 0
+    ops_run = []
+    forced = ["delete", "append"]  # guarantee delete-then-reinsert
+    for step in range(8):
+        op = (
+            forced[step]
+            if step < len(forced)
+            else rng.choice(["append", "update", "delete", "noop"])
+        )
         if op == "append":
-            batch = [(next_id + j, 0, vec()) for j in range(5)]
-            next_id += 5
+            batch = []
+            # re-insert up to two previously deleted ids (fresh
+            # vectors): delete-then-reinsert composition
+            for _ in range(min(2, len(deleted))):
+                rid = deleted.pop()
+                batch.append((rid, 0, vec()))
+                reinserted += 1
+            batch += [(next_id + j, 0, vec()) for j in range(3)]
+            next_id += 3
             src.append(
                 spark.createDataFrame(
                     batch,
@@ -515,9 +532,12 @@ def test_cdc_refresh_model_random_churn(spark, tmp_path):
             )
             for i in pick:
                 del live[i]
+                deleted.append(i)
+        ops_run.append(op)
+        if step % 2 == 0:
+            continue  # next refresh spans this commit AND the next
         got_v = V.refresh_vector_index_cdc(spark, src, path)
         assert got_v == src._latest_published()
-        refresh_every.append(op)
         state = {
             r.vec_id: (r.cell, tuple(r.codes))
             for r in idx.read(spark).collect()
@@ -533,8 +553,23 @@ def test_cdc_refresh_model_random_churn(spark, tmp_path):
             ).collect()
         }
         assert state == fresh, f"step {step} ({op}): codes diverged"
-    # at least the model ran a real mix (seeded, so deterministic)
-    assert len(refresh_every) == 6
+    # final refresh covers any trailing unrefreshed commit
+    V.refresh_vector_index_cdc(spark, src, path)
+    final = {
+        r.vec_id: (r.cell, tuple(r.codes))
+        for r in idx.read(spark).collect()
+    }
+    quant = V._load_quantizer(path, idx)
+    fresh = {
+        r.vec_id: (r.cell, tuple(r.codes))
+        for r in V._encode(
+            src.read(spark).select("vec_id", "embedding"), quant
+        ).collect()
+    }
+    assert final == fresh
+    # the seeded mix really exercised the claimed compositions
+    assert len(ops_run) == 8
+    assert reinserted > 0, f"seed produced no re-inserts: {ops_run}"
 
 
 def test_tune_nprobe_walks_to_the_target(spark, tmp_path):

@@ -48,10 +48,15 @@ def main() -> None:
         src.append(emb)
         path = f"{base}/idx"
         V.build_vector_index(spark, src, path)
-        # churn = pct% of the corpus: half updates, half deletes
+        # churn = pct% of the corpus: half updates, half deletes.
+        # Split by the QUOTIENT's parity, not the id's (review catch,
+        # r10: every multiple of an even mod is even, so an id-parity
+        # split put zero rows in the delete half and the probe
+        # measured an all-update churn while claiming half/half)
         mod = max(2, round(100 / pct))
+        hit = F.col("vec_id") % mod == 0
         upd = emb.filter(
-            (F.col("vec_id") % mod == 0) & (F.col("vec_id") % 2 == 0)
+            hit & ((F.col("vec_id") / mod).cast("long") % 2 == 0)
         ).select(
             "vec_id",
             "label",
@@ -59,11 +64,13 @@ def main() -> None:
             F.lit("U").alias("_op"),
         )
         dele = emb.filter(
-            (F.col("vec_id") % mod == 0) & (F.col("vec_id") % 2 == 1)
+            hit & ((F.col("vec_id") / mod).cast("long") % 2 == 1)
         ).select(
             "vec_id", "label", "embedding", F.lit("D").alias("_op")
         )
-        n_churn = upd.count() + dele.count()
+        n_upd, n_del = upd.count(), dele.count()
+        assert n_del > 0, "delete half empty — churn model broken"
+        n_churn = n_upd + n_del
         src.merge(spark, upd.unionByName(dele), key="vec_id")
         t0 = time.time()
         V.refresh_vector_index_cdc(spark, src, path)
@@ -85,6 +92,8 @@ def main() -> None:
                 "corpus": n_corpus,
                 "churn_pct": pct,
                 "churn_rows": n_churn,
+                "churn_updates": n_upd,
+                "churn_deletes": n_del,
                 "refresh_sec": round(t_refresh, 2),
                 "read_with_debt_sec": round(t_read_debt, 2),
                 "compact_sec": round(t_compact, 2),
