@@ -1139,6 +1139,133 @@ class LocalCatalog:
             return self.show_tables(spark, m.group(1))
         return self.sql(spark, sql)
 
+    _COMPACT_RE = re.compile(
+        r"^\s*COMPACT\s+\{\{\s*([A-Za-z_][\w.]*)\s*\}\}"
+        r"(?:\s+INTO\s+(\d+)\s+FILES?)?\s*$",
+        re.IGNORECASE,
+    )
+
+    def execute_script(self, spark: SparkSession, script: str) -> list:
+        """Multi-statement console script with TRANSACTION verbs
+        (r10): statements split on ';' outside string literals, and
+
+          * ``BEGIN`` opens one :class:`CatalogTransaction`;
+            ``COMMIT`` flips it (one registry CAS + lock-spanned
+            roll-forward); ``ABORT`` forgets it — nested BEGIN and
+            bare COMMIT/ABORT refuse;
+          * inside the transaction, ``INSERT INTO {{t}} SELECT ...``
+            stages an append, ``INSERT OVERWRITE {{t}} SELECT ...``
+            stages the table's whole next state (refused on a
+            row-filtered target, same rule as the immediate verb),
+            and ``COMPACT {{t}} [INTO n FILES]`` stages a bin-pack —
+            the maintenance + publish flip q_txn_compact_publish
+            proves, now speakable as SQL;
+          * reads inside the transaction see the PRE-transaction
+            state (staged snapshots are off-main): read-your-own-
+            writes is deliberately NOT offered — this is WAP, not
+            MVCC, and pretending otherwise would silently diverge
+            from what a crash-healing reader later observes;
+          * outside a transaction every statement dispatches through
+            :meth:`execute` (``COMPACT`` runs immediately via
+            ``compact_with_retry``).
+
+        Returns one result per statement (staged/committed snapshot
+        versions for writes, DataFrames for reads, ``{ident: head}``
+        for COMMIT, None for BEGIN/ABORT). A script ending with an
+        OPEN transaction aborts it and raises — nothing half-done
+        ever outlives the script, which is the point of speaking
+        BEGIN at all."""
+        masked = self._blank_quotes(script)
+        stmts = []
+        start = 0
+        for i, ch in enumerate(masked):
+            if ch == ";":
+                piece = script[start:i].strip()
+                if piece:
+                    stmts.append(piece)
+                start = i + 1
+        tail = script[start:].strip()
+        if tail:
+            stmts.append(tail)
+        txn = None
+        out: list = []
+        try:
+            for stmt in stmts:
+                verb = stmt.split(None, 1)[0].upper()
+                if verb == "BEGIN":
+                    if txn is not None:
+                        raise ValueError(
+                            "nested BEGIN — commit or abort first"
+                        )
+                    txn = self.begin_transaction()
+                    out.append(None)
+                elif verb == "COMMIT":
+                    if txn is None:
+                        raise ValueError("COMMIT outside BEGIN")
+                    heads = txn.commit()
+                    txn = None
+                    out.append(heads)
+                elif verb == "ABORT":
+                    if txn is None:
+                        raise ValueError("ABORT outside BEGIN")
+                    txn.abort()
+                    txn = None
+                    out.append(None)
+                elif txn is not None and verb == "INSERT":
+                    mo = self._OVERWRITE_RE.match(stmt)
+                    if mo:
+                        ident, select = mo.group(1), mo.group(2)
+                        rf = self._entry(ident).get("row_filter")
+                        if rf:
+                            raise ValueError(
+                                f"INSERT OVERWRITE on {ident!r} "
+                                f"refused: row filter {rf!r} — an "
+                                "overwrite would drop the rows it "
+                                "hides; use the admin table handle"
+                            )
+                        out.append(
+                            txn.overwrite(
+                                ident, self.sql(spark, select)
+                            )
+                        )
+                        continue
+                    mi = self._INSERT_RE.match(stmt)
+                    if not mi:
+                        raise ValueError(
+                            "expected 'INSERT [OVERWRITE|INTO] "
+                            "{{namespace.table}} SELECT ...'"
+                        )
+                    out.append(
+                        txn.append(
+                            mi.group(1),
+                            self.sql(spark, mi.group(2)),
+                        )
+                    )
+                elif (mc := self._COMPACT_RE.match(stmt)) is not None:
+                    ident = mc.group(1)
+                    n = int(mc.group(2) or 1)
+                    if txn is not None:
+                        out.append(txn.compact(spark, ident, n))
+                    else:
+                        out.append(
+                            self.load_table(
+                                ident
+                            ).compact_with_retry(spark, n)
+                        )
+                else:
+                    out.append(self.execute(spark, stmt))
+            if txn is not None:
+                txn.abort()
+                raise ValueError(
+                    "script ended with an OPEN transaction — "
+                    "aborted; add COMMIT (or ABORT) to the script"
+                )
+            return out
+        except Exception:
+            if txn is not None and not txn._done:
+                txn.abort()
+            raise
+
     def describe_table(self, spark: SparkSession, ident: str) -> DataFrame:
         """``DESCRIBE TABLE EXTENDED`` for the console: the CURRENT
         schema (era-resolved names and types from the head manifest —

@@ -2102,3 +2102,78 @@ def test_dml_row_filter_may_reference_masked_columns(spark, tmp_path):
     # EU rows with bal>0 (id=1) deleted; hidden EU row (bal<0, id=2)
     # survives; US rows untouched
     assert left == {(2, "EU"), (3, "US"), (4, "US")}
+
+
+def test_execute_script_transactions(spark, tmp_path):
+    """The script front-end (r10): BEGIN/COMMIT wrap INSERT INTO /
+    INSERT OVERWRITE / COMPACT into one CatalogTransaction — staged
+    invisibly, flipped atomically; ABORT forgets; reads inside the
+    transaction see the pre-transaction state (WAP, not MVCC); a
+    script ending with an open transaction aborts and raises."""
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("db")
+    fact = cat.create_table("db.fact")
+    dim = cat.create_table("db.dim")
+    for k in range(3):
+        fact.append(
+            spark.createDataFrame(
+                [(k, float(k))], "k long, v double"
+            ).coalesce(1)
+        )
+    dim.append(
+        spark.createDataFrame([(0, "a")], "k long, s string").coalesce(1)
+    )
+    seed = cat.create_table("db.seed")
+    seed.append(
+        spark.createDataFrame([(1, "b"), (2, "c")], "k long, s string")
+    )
+    res = cat.execute_script(
+        spark,
+        """
+        BEGIN;
+        COMPACT {{db.fact}} INTO 1 FILES;
+        INSERT INTO {{db.dim}} SELECT * FROM {{db.seed}};
+        SELECT COUNT(*) AS n FROM {{db.dim}};
+        COMMIT;
+        SELECT COUNT(*) AS n FROM {{db.dim}}
+        """,
+    )
+    # mid-txn read saw the PRE-transaction dim; post-commit sees all
+    assert res[3].collect()[0]["n"] == 1
+    assert res[5].collect()[0]["n"] == 3
+    assert set(res[4]) == {"db.fact", "db.dim"}
+    assert len(fact._manifest(fact._latest_published())) == 1
+    assert sorted(r.k for r in fact.read(spark).collect()) == [0, 1, 2]
+    # ABORT forgets; semicolon inside a string literal doesn't split
+    res = cat.execute_script(
+        spark,
+        """
+        BEGIN;
+        INSERT INTO {{db.dim}} SELECT k, 'x;y' AS s FROM {{db.seed}};
+        ABORT;
+        SELECT COUNT(*) AS n FROM {{db.dim}}
+        """,
+    )
+    assert res[-1].collect()[0]["n"] == 3
+    # open transaction at EOF aborts and raises, nothing visible
+    with pytest.raises(ValueError, match="OPEN transaction"):
+        cat.execute_script(
+            spark,
+            "BEGIN; INSERT INTO {{db.dim}} SELECT * FROM {{db.seed}}",
+        )
+    assert cat.load_table("db.dim").read(spark).count() == 3
+    assert "txns" not in cat._read()
+    # guards: nested BEGIN, bare COMMIT, immediate COMPACT
+    with pytest.raises(ValueError, match="nested BEGIN"):
+        cat.execute_script(spark, "BEGIN; BEGIN; COMMIT")
+    with pytest.raises(ValueError, match="COMMIT outside"):
+        cat.execute_script(spark, "COMMIT")
+    cat.execute_script(spark, "COMPACT {{db.dim}} INTO 2 FILES")
+    assert (
+        len(
+            cat.load_table("db.dim")._manifest(
+                cat.load_table("db.dim")._latest_published()
+            )
+        )
+        == 2
+    )
