@@ -863,21 +863,32 @@ def tune_nprobe(
     Returns ``{"nprobe", "recall_pct", "met", "curve"}`` where curve
     is the full measured [(nprobe, recall_pct), ...] — the artifact
     SCALE.md's recall-vs-cost tables are made of. Doubling (not
-    linear) walk; the ADC re-rank budget SCALES WITH nprobe
-    (rerank = VI_RERANK * nprobe / VI_NPROBE, floored at VI_RERANK —
-    review catch, r10: at a FIXED shortlist depth, probing more
-    cells adds quantization-noise candidates that can push a true
-    neighbor below the re-rank cut, so recall could locally DIP as
-    nprobe doubles and the walk would overshoot; constant per-cell
-    depth keeps the candidate-superset argument — and therefore
-    monotone-up-to-ADC-noise recall — honest, the efSearch-style
-    scaling FAISS users apply). The first meeting point is within 2x
-    of the minimal one at log cost; callers wanting the exact
-    minimum bisect the last interval with further calls."""
+    linear) walk; the ADC re-rank budget is PROPORTIONAL to nprobe
+    across the whole walk (rerank = ceil(VI_RERANK / VI_NPROBE) *
+    nprobe — review catches, r10, twice: a FIXED shortlist depth
+    lets added cells' quantization-noise candidates push a true
+    neighbor below the cut, and a floor at the nprobe=VI_NPROBE
+    total still shrank the PER-CELL depth 8x across the walk;
+    strictly constant per-cell depth keeps the candidate-superset
+    argument — and therefore monotone-up-to-ADC-noise recall —
+    honest, the efSearch-style scaling FAISS users apply). The first
+    meeting point is within 2x of the minimal one at log cost;
+    callers wanting the exact minimum bisect the last interval with
+    further calls. Raises if the source holds no probe vectors
+    (vec_id < n_probes is empty): an empty exact baseline would
+    otherwise report every recall as 0.0 and walk the full curve —
+    a misconfiguration dressed as an index-quality result."""
     exact = exact_topk_pairs(spark, src, k=k)
-    total = max(len(exact), 1)
+    if not exact:
+        raise ValueError(
+            "tune_nprobe: the exact baseline is empty — the source "
+            f"has no rows with vec_id < {N_PROBES}; re-key the "
+            "sample (probes are the lowest n_probes vec_ids)"
+        )
+    total = len(exact)
     if max_nprobe is None:
         max_nprobe = VI_CELLS
+    per_cell = -(-VI_RERANK // VI_NPROBE)  # ceil: constant depth
     curve: list[tuple[int, float]] = []
     nprobe = 1
     while True:
@@ -889,9 +900,7 @@ def tune_nprobe(
                 src,
                 nprobe=nprobe,
                 k=k,
-                rerank=max(
-                    VI_RERANK, VI_RERANK * nprobe // VI_NPROBE
-                ),
+                rerank=max(k, per_cell * nprobe),
             )
             .select("probe_id", "cand_id")
             .collect()

@@ -1070,14 +1070,22 @@ class LocalCatalog:
                 "SELECT ...'"
             )
         ident, select = m.group(1), m.group(2)
+        self._overwrite_guard(ident)
+        return self.load_table(ident).overwrite(self.sql(spark, select))
+
+    def _overwrite_guard(self, ident: str) -> None:
+        """Shared INSERT OVERWRITE admission (immediate verb AND the
+        script transaction's staged variant — review catch, r10: two
+        drifting copies, and the script path lost the view refusal):
+        views refuse; a ROW-FILTERED target refuses (r9 ADVICE,
+        medium — the replace would destroy rows the policy HIDES
+        from this very statement's author; masks alone don't block:
+        overwrite is a pure write and its SELECT source already
+        reads through sql()'s policies)."""
         if ident in self._read().get("views", {}):
-            raise ValueError(f"cannot INSERT OVERWRITE view {ident!r}")
-        # A row-filtered target refuses OVERWRITE through the
-        # front-end (r9 ADVICE, medium): the replace would destroy
-        # rows the policy HIDES from this very statement's author —
-        # you cannot atomically replace a table you can only see part
-        # of. (Masks alone don't block: overwrite is a pure write and
-        # its SELECT source already reads through sql()'s policies.)
+            raise ValueError(
+                f"cannot INSERT OVERWRITE view {ident!r}"
+            )
         rf = self._entry(ident).get("row_filter")
         if rf:
             raise ValueError(
@@ -1085,7 +1093,6 @@ class LocalCatalog:
                 f"carries row filter {rf!r} and an overwrite would "
                 "drop the rows it hides; use the admin table handle"
             )
-        return self.load_table(ident).overwrite(self.sql(spark, select))
 
     def execute(self, spark: SparkSession, sql: str):
         """One entry point for any front-end statement: dispatches
@@ -1215,14 +1222,7 @@ class LocalCatalog:
                     mo = self._OVERWRITE_RE.match(stmt)
                     if mo:
                         ident, select = mo.group(1), mo.group(2)
-                        rf = self._entry(ident).get("row_filter")
-                        if rf:
-                            raise ValueError(
-                                f"INSERT OVERWRITE on {ident!r} "
-                                f"refused: row filter {rf!r} — an "
-                                "overwrite would drop the rows it "
-                                "hides; use the admin table handle"
-                            )
+                        self._overwrite_guard(ident)
                         out.append(
                             txn.overwrite(
                                 ident, self.sql(spark, select)
@@ -1240,6 +1240,22 @@ class LocalCatalog:
                             mi.group(1),
                             self.sql(spark, mi.group(2)),
                         )
+                    )
+                elif txn is not None and verb in (
+                    "DELETE", "UPDATE", "ALTER", "ANALYZE",
+                ):
+                    # These verbs commit IMMEDIATELY through their own
+                    # paths — running one inside BEGIN would silently
+                    # escape the transaction's atomicity (review
+                    # catch, r10: a DELETE between BEGIN and ABORT
+                    # was gone for good despite the ABORT). Refuse;
+                    # row-level DML has no staged form here.
+                    raise ValueError(
+                        f"{verb} inside BEGIN refused: it would "
+                        "commit immediately and escape the "
+                        "transaction; run it outside BEGIN (only "
+                        "INSERT INTO / INSERT OVERWRITE / COMPACT "
+                        "stage transactionally)"
                     )
                 elif (mc := self._COMPACT_RE.match(stmt)) is not None:
                     ident = mc.group(1)
@@ -2817,11 +2833,11 @@ class CatalogTransaction:
                 # (review catch, r10): an operator expire between
                 # staging and commit would otherwise CAS a
                 # transaction whose roll-forward can only quarantine
-                # — and for a multi-replace transaction, quarantine
-                # AFTER an earlier replace published is exactly the
-                # half-visible state the protocol promises away.
-                # Post-CAS this cannot recur: expire needs the same
-                # commit lock the replace publishes hold.
+                # — and quarantine AFTER an earlier step published
+                # is exactly the half-visible state the protocol
+                # promises away. Post-CAS this cannot recur: commit()
+                # holds EVERY step table's commit lock (which expire
+                # also needs) until every step has published.
                 ent = reg["tables"][ident]
                 t = SnapshotTable(
                     ent["location"], **ent.get("table_kwargs", {})
@@ -2925,26 +2941,31 @@ class CatalogTransaction:
         the crash semantics _heal_txns already owns."""
         if self._done:
             raise ValueError("transaction already committed/aborted")
-        replace_idents = sorted(
-            {i for i, _b in self._replaces.values()}
-        )
-        if replace_idents:
+        # Lock EVERY step table, not just the replaced ones (review
+        # catch, r10: an expire on an APPEND step's table in the
+        # post-CAS window could still quarantine a mixed transaction
+        # with its replace already published — half-visible). With
+        # all locks held from before the CAS until every step has
+        # published, nothing (direct commit, expire, racing publish)
+        # can touch any step table mid-flip: a live committer is
+        # all-or-nothing across the WHOLE transaction, and the
+        # quarantine window really is crash-only.
+        lock_idents = sorted({i for i, _sv, _w in self._steps})
+        if lock_idents:
             # load (and heal) BEFORE taking any lock: load_table's
             # heal may publish other transactions' steps, which needs
             # the very locks we are about to hold
             tbls = {
-                i: self._cat.load_table(i) for i in replace_idents
+                i: self._cat.load_table(i) for i in lock_idents
             }
             from contextlib import ExitStack
 
             with ExitStack() as stack:
-                for i in replace_idents:
+                for i in lock_idents:
                     stack.enter_context(tbls[i]._commit_lock())
                 self._mark_committed()  # validates + reorders steps
                 published: list[tuple[str, str, int]] = []
                 for ident, _sv, wap in list(self._steps):
-                    if wap not in self._replaces:
-                        continue
                     try:
                         out_pub = tbls[ident]._publish_locked(wap)
                         published.append((ident, wap, out_pub))
@@ -2952,9 +2973,9 @@ class CatalogTransaction:
                         self._quarantine_self(str(ex))
                         raise RuntimeError(
                             f"transaction {self.txn_id} committed "
-                            f"but its replace publish on {ident!r} "
-                            f"failed: {ex} — quarantined; steps "
-                            f"already published: {published or 'none'}; "
+                            f"but its publish on {ident!r} failed: "
+                            f"{ex} — quarantined; steps already "
+                            f"published: {published or 'none'}; "
                             "see failed_transactions"
                         ) from ex
         else:

@@ -126,10 +126,23 @@ def test_racing_replace_publishes_across_processes(tmp_path, spark):
         res = pool.map(_publish_wap, [(root, "wa"), (root, "wb")])
     outcomes = sorted(r[0] for r in res)
     assert outcomes == ["conflict", "ok"]
-    n_files = len(t._manifest(t._latest_published()))
-    winner_wap = [r for r in res if r[0] == "ok"]
-    assert len(winner_wap) == 1
-    assert n_files in (1, 2)  # exactly the winner's layout
+    # tie the published layout to WHICH wap won (review catch, r10:
+    # 'n_files in (1, 2)' accepted either layout regardless of
+    # winner): wa staged coalesce(1), wb coalesce(2)
+    (widx,) = [i for i, r in enumerate(res) if r[0] == "ok"]
+    winner = ("wa", "wb")[widx]
+    head = t._latest_published()
+    n_files = len(t._manifest(head))
+    assert n_files == {"wa": 1, "wb": 2}[winner], (winner, n_files)
+    assert t._raw_meta(head).get("op") == "replace"
+    assert t._raw_meta(head).get("wap_id") == winner
     assert sorted(r.k for r in t.read(spark).collect()) == [0, 1, 2]
-    # the loser's staged snapshot is still reclaimable audit state
-    assert t._raw_meta(t._latest_published()).get("op") == "replace"
+    # the loser's staged snapshot survives, reclaimable audit state
+    loser = ("wa", "wb")[1 - widx]
+    staged = [
+        v
+        for v in t.snapshots()
+        if t._raw_meta(v).get("wap_id") == loser
+        and t._raw_meta(v).get("op") == "stage"
+    ]
+    assert len(staged) == 1
