@@ -820,6 +820,72 @@ def q_vecindex_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_vecindex_tune",
+    oracle="""
+    SELECT CAST(75 AS BIGINT) AS target_pct,
+           CAST(8  AS BIGINT) AS nprobe,
+           CAST(1  AS BIGINT) AS met,
+           CAST(1  AS BIGINT) AS first_meeting_point,
+           CAST(1  AS BIGINT) AS doubling_walk,
+           CAST(4  AS BIGINT) AS n_curve_points
+    """,
+)
+def q_vecindex_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``tune_nprobe`` — the FAISS nprobe-calibration workflow —
+    DuckDB-oracled (r10 verdict #2): one persisted build, one
+    batched-concurrent doubling walk against the exact twin at
+    target recall 75 %. Oracled constants on the seeded corpus:
+
+      * ``nprobe = 8`` — the chosen probe budget. Measured across
+        sf0.001/0.01/0.1: recall@8 lands 82–84 % (≥7 points above
+        target) while recall@4 lands 46–66 % (≥9 points below), so
+        the step function's answer is stable wherever the driver
+        runs it — a quantizer/ADC/re-rank quality regression moves
+        the meeting point and breaks the hash, exactly like
+        q_vecindex_recall's floor;
+      * ``met`` / ``first_meeting_point`` — the walk stopped AT the
+        target and every earlier curve point was below it (the
+        contract that makes the chosen value minimal-up-to-2x);
+      * ``doubling_walk`` / ``n_curve_points`` — the measured curve
+        is exactly the doubling sequence 1,2,4,8 (log cost in the
+        chosen budget, the efSearch-style calibration shape).
+
+    Scale shape: the exact twin is a bounded broadcast probe scan and
+    each walk point reads nprobe/C of the index's files via metadata
+    pruning — a deployment calibrates an index of ANY size from a
+    sample table; the batch evaluation keeps the wall time at ~one
+    probe pass."""
+    src, base = _src_from_embeddings(spark, sf_dir, "vecindex_tune")
+    path = f"{base}/idx"
+    build_vector_index(spark, src, path)
+    out = tune_nprobe(spark, src, path, target_recall_pct=75.0)
+    curve = out["curve"]
+    first_meeting = int(
+        all(r < 75.0 for _n, r in curve[:-1])
+        and curve[-1][1] >= 75.0
+    )
+    doubling = int(
+        [n for n, _r in curve]
+        == [2**i for i in range(len(curve))]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                75,
+                out["nprobe"],
+                int(out["met"]),
+                first_meeting,
+                doubling,
+                len(curve),
+            )
+        ],
+        "target_pct bigint, nprobe bigint, met bigint, "
+        "first_meeting_point bigint, doubling_walk bigint, "
+        "n_curve_points bigint",
+    )
+
+
 def exact_topk_pairs(
     spark: SparkSession,
     src: SnapshotTable,
@@ -851,6 +917,7 @@ def tune_nprobe(
     target_recall_pct: float,
     k: int = TOP_K,
     max_nprobe: int | None = None,
+    batch: int = 4,
 ) -> dict:
     """The documented FAISS calibration workflow as ONE call (r10):
     measure recall@k of the persisted index against the exact twin at
@@ -877,7 +944,19 @@ def tune_nprobe(
     further calls. Raises if the source holds no probe vectors
     (vec_id < n_probes is empty): an empty exact baseline would
     otherwise report every recall as 0.0 and walk the full curve —
-    a misconfiguration dressed as an index-quality result."""
+    a misconfiguration dressed as an index-quality result.
+
+    The walk is evaluated in CONCURRENT batches of ``batch`` doubling
+    points (r11): recall at a given nprobe is a pure function of the
+    frozen index, so measuring 1/2/4/8 concurrently and taking the
+    first meeting point returns the identical answer to the
+    one-at-a-time walk at ~max instead of sum of the probe passes'
+    wall time (the q_sim_ann_recall concurrency pattern — Spark
+    schedules the three probe jobs side by side on one session). Up
+    to ``batch - 1`` points past the meeting one are measured and
+    discarded — wasted cluster-side work bounded by the batch, zero
+    wasted wall time. ``batch=1`` recovers the strictly sequential
+    walk."""
     exact = exact_topk_pairs(spark, src, k=k)
     if not exact:
         raise ValueError(
@@ -889,32 +968,50 @@ def tune_nprobe(
     if max_nprobe is None:
         max_nprobe = VI_CELLS
     per_cell = -(-VI_RERANK // VI_NPROBE)  # ceil: constant depth
-    curve: list[tuple[int, float]] = []
+    points: list[int] = []
     nprobe = 1
     while True:
+        points.append(nprobe)
+        if nprobe >= max_nprobe:
+            break
+        nprobe = min(nprobe * 2, max_nprobe)
+
+    def measure(np_: int) -> float:
         ann = {
             (r.probe_id, r.cand_id)
             for r in query_vector_index(
                 spark,
                 path,
                 src,
-                nprobe=nprobe,
+                nprobe=np_,
                 k=k,
-                rerank=max(k, per_cell * nprobe),
+                rerank=max(k, per_cell * np_),
             )
             .select("probe_id", "cand_id")
             .collect()
         }
-        rec = round(100.0 * len(exact & ann) / total, 1)
-        curve.append((nprobe, rec))
-        if rec >= target_recall_pct or nprobe >= max_nprobe:
-            return {
-                "nprobe": nprobe,
-                "recall_pct": rec,
-                "met": rec >= target_recall_pct,
-                "curve": curve,
-            }
-        nprobe = min(nprobe * 2, max_nprobe)
+        return round(100.0 * len(exact & ann) / total, 1)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    curve: list[tuple[int, float]] = []
+    for i in range(0, len(points), max(batch, 1)):
+        window = points[i : i + max(batch, 1)]
+        if len(window) == 1:
+            recs = [measure(window[0])]
+        else:
+            with ThreadPoolExecutor(len(window)) as ex:
+                recs = list(ex.map(measure, window))
+        for np_, rec in zip(window, recs):
+            curve.append((np_, rec))
+            if rec >= target_recall_pct or np_ >= max_nprobe:
+                return {
+                    "nprobe": np_,
+                    "recall_pct": rec,
+                    "met": rec >= target_recall_pct,
+                    "curve": curve,
+                }
+    raise AssertionError("unreachable: the walk ends at max_nprobe")
 
 
 def vector_index_stream_available_now(

@@ -127,6 +127,37 @@ class LocalCatalog:
         os.makedirs(root, exist_ok=True)
         self._reg_path = os.path.join(root, "catalog.json")
         self._lock_path = os.path.join(root, "catalog.lock")
+        # Open-time transaction sweep (r10 verdict #5): committed-but-
+        # unpublished transactions already heal on ANY catalog read,
+        # but a QUARANTINED (failed) one used to wait silently for an
+        # operator to call failed_transactions() by hand. Surface them
+        # at open: list + warn, so no catalog session starts on top of
+        # an invisible wedged transaction. Zero cost on the common
+        # path — one registry read this constructor already implies,
+        # and the branch only runs when a txns block exists at all.
+        self.quarantined_at_open: dict = {}
+        reg = self._read()
+        if reg.get("txns"):
+            self.quarantined_at_open = {
+                t: dict(r)
+                for t, r in reg["txns"].items()
+                if r.get("state") == "failed"
+            }
+            if self.quarantined_at_open:
+                import warnings
+
+                warnings.warn(
+                    f"catalog at {root!r} holds "
+                    f"{len(self.quarantined_at_open)} quarantined "
+                    "transaction(s) — committed but not rolled "
+                    "forward: "
+                    f"{sorted(self.quarantined_at_open)}; their rows "
+                    "stay invisible until "
+                    "retry_failed_transaction(txn_id) succeeds (or "
+                    "abort_failed_transaction abandons them)",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
 
     # -- registry IO (same atomic contract as SnapshotTable manifests) --
 
@@ -1020,7 +1051,7 @@ class LocalCatalog:
         ident, pred = m.group(1), m.group(2)
         if ident in self._read().get("views", {}):
             raise ValueError(f"cannot DELETE FROM view {ident!r}")
-        pred = self._dml_policy_guard(ident, pred)
+        pred = self._dml_policy_guard(ident, pred, spark=spark)
         return self.load_table(ident).delete_where(spark, pred)
 
     def sql_update(self, spark: SparkSession, sql: str) -> int:
@@ -1052,7 +1083,9 @@ class LocalCatalog:
         if ident in self._read().get("views", {}):
             raise ValueError(f"cannot UPDATE view {ident!r}")
         set_exprs = self._split_assignments(assigns)
-        pred = self._dml_policy_guard(ident, pred, set_exprs)
+        pred = self._dml_policy_guard(
+            ident, pred, set_exprs, spark=spark
+        )
         return self.load_table(ident).update_where(
             spark, pred, set_exprs
         )
@@ -1164,9 +1197,15 @@ class LocalCatalog:
             stages an append, ``INSERT OVERWRITE {{t}} SELECT ...``
             stages the table's whole next state (refused on a
             row-filtered target, same rule as the immediate verb),
-            and ``COMPACT {{t}} [INTO n FILES]`` stages a bin-pack —
-            the maintenance + publish flip q_txn_compact_publish
-            proves, now speakable as SQL;
+            ``DELETE FROM {{t}} WHERE ...`` / ``UPDATE {{t}} SET ...
+            WHERE ...`` stage their CoW rewrite (r11 — policy guard
+            at stage time, base validated in the commit CAS, a
+            no-match DML stages nothing and returns None), and
+            ``COMPACT {{t}} [INTO n FILES]`` stages a bin-pack — the
+            maintenance + publish flip q_txn_compact_publish proves,
+            now speakable as SQL. A replace-shaped step (overwrite /
+            compact / DELETE / UPDATE) must be its table's FIRST step
+            in the transaction; appends may follow it;
           * reads inside the transaction see the PRE-transaction
             state (staged snapshots are off-main): read-your-own-
             writes is deliberately NOT offered — this is WAP, not
@@ -1241,21 +1280,59 @@ class LocalCatalog:
                             self.sql(spark, mi.group(2)),
                         )
                     )
-                elif txn is not None and verb in (
-                    "DELETE", "UPDATE", "ALTER", "ANALYZE",
-                ):
+                elif txn is not None and verb == "DELETE":
+                    # r11 (r10 verdict #3): row-level DML stages
+                    # transactionally — the CoW rewrite is planned and
+                    # written NOW against the pre-transaction head,
+                    # validated and published as one flip at COMMIT,
+                    # with the policy guard applied at stage time.
+                    md = self._DELETE_RE.match(stmt)
+                    if not md:
+                        raise ValueError(
+                            "expected 'DELETE FROM "
+                            "{{namespace.table}} WHERE ...'"
+                        )
+                    out.append(
+                        txn.delete_where(
+                            spark, md.group(1), md.group(2)
+                        )
+                    )
+                elif txn is not None and verb == "UPDATE":
+                    mu = self._UPDATE_RE.match(stmt)
+                    if not mu:
+                        raise ValueError(
+                            "expected 'UPDATE {{namespace.table}} "
+                            "SET col = expr WHERE ...'"
+                        )
+                    assigns, pred = self._split_on_where(
+                        mu.group(2)
+                    )
+                    if not assigns or not pred:
+                        raise ValueError(
+                            "expected 'UPDATE {{namespace.table}} "
+                            "SET col = expr WHERE ...'"
+                        )
+                    out.append(
+                        txn.update_where(
+                            spark,
+                            mu.group(1),
+                            pred,
+                            self._split_assignments(assigns),
+                        )
+                    )
+                elif txn is not None and verb in ("ALTER", "ANALYZE"):
                     # These verbs commit IMMEDIATELY through their own
                     # paths — running one inside BEGIN would silently
                     # escape the transaction's atomicity (review
-                    # catch, r10: a DELETE between BEGIN and ABORT
-                    # was gone for good despite the ABORT). Refuse;
-                    # row-level DML has no staged form here.
+                    # catch, r10: DDL between BEGIN and ABORT was
+                    # kept despite the ABORT). Refuse; DDL has no
+                    # staged form here.
                     raise ValueError(
                         f"{verb} inside BEGIN refused: it would "
                         "commit immediately and escape the "
-                        "transaction; run it outside BEGIN (only "
-                        "INSERT INTO / INSERT OVERWRITE / COMPACT "
-                        "stage transactionally)"
+                        "transaction; run it outside BEGIN (INSERT "
+                        "INTO / INSERT OVERWRITE / DELETE / UPDATE / "
+                        "COMPACT stage transactionally)"
                     )
                 elif (mc := self._COMPACT_RE.match(stmt)) is not None:
                     ident = mc.group(1)
@@ -2529,6 +2606,7 @@ class LocalCatalog:
         ident: str,
         pred: str,
         set_exprs: dict | None = None,
+        spark: SparkSession | None = None,
     ) -> str:
         """Governance for front-end DML (r9 ADVICE, medium): returns
         the EFFECTIVE predicate for a DELETE/UPDATE dispatched through
@@ -2544,11 +2622,21 @@ class LocalCatalog:
             DML evaluates against raw stored rows, so a predicate on
             a masked column would let match/no-match behavior probe
             hidden values, and a SET copying one would launder it
-            into an unmasked column. The scan is a conservative
-            identifier tokenization (case-insensitive): a false
-            positive (the name inside a string literal) refuses —
-            the safe direction; rewrite the statement or use the
-            admin table handle.
+            into an unmasked column.
+
+        The mask reference check is RESOLVED-PLAN, not textual (r10
+        verdict #7): each expression is analyzed against the table's
+        stored schema on an empty frame (Catalyst analysis only, no
+        job); an expression that resolves on the full schema but NOT
+        with a masked column dropped genuinely READS that column and
+        refuses — while the column's name inside a string literal, or
+        shadowed by a higher-order-function lambda variable, resolves
+        both ways and passes (the false-refusal class the r10 verdict
+        called out). Anything analysis cannot decide (no spark handle,
+        no stored schema, the expression fails to resolve on the full
+        schema — e.g. a qualified alias this front-end never binds)
+        falls back to the conservative identifier tokenization: a
+        textual hit refuses, the safe direction.
 
         Tables without policies pass through untouched (two dict
         probes). Direct SnapshotTable handles remain the admin path,
@@ -2556,18 +2644,8 @@ class LocalCatalog:
         ent = self._entry(ident)
         masks = ent.get("column_masks") or {}
         if masks:
-            import re as _re
-
-            text = " ".join(
-                [pred or ""] + list((set_exprs or {}).values())
-            )
-            toks = {
-                t.lower()
-                for t in _re.findall(
-                    r"[A-Za-z_][A-Za-z0-9_]*", text
-                )
-            }
-            hit = sorted(c for c in masks if c.lower() in toks)
+            exprs = [pred or ""] + list((set_exprs or {}).values())
+            hit = self._masked_refs(ident, masks, exprs, spark)
             if hit:
                 raise ValueError(
                     f"DML on {ident!r} refused: statement references "
@@ -2580,6 +2658,65 @@ class LocalCatalog:
         if rf:
             return f"({pred}) AND ({rf})"
         return pred
+
+    def _masked_refs(
+        self,
+        ident: str,
+        masks: dict,
+        exprs: list[str],
+        spark: SparkSession | None,
+    ) -> list[str]:
+        """Masked columns the expressions actually READ — resolved
+        against the table schema when possible, textual-conservative
+        otherwise (see _dml_policy_guard)."""
+        if spark is not None:
+            try:
+                tbl = self.load_table(ident)
+                lp = tbl._latest_published()
+                sj = (
+                    tbl._raw_meta(lp).get("schema")
+                    if lp is not None
+                    else None
+                )
+            except ValueError:
+                sj = None
+            if sj is not None:
+                from pyspark.sql import types as T
+
+                probe = spark.createDataFrame(
+                    [], T.StructType.fromJson(sj)
+                )
+
+                def resolves(df: DataFrame, e: str) -> bool:
+                    try:
+                        df.select(F.expr(e))
+                        return True
+                    except Exception:
+                        return False
+
+                if all(resolves(probe, e) for e in exprs):
+                    hit = []
+                    for c in sorted(masks):
+                        if c not in probe.columns:
+                            continue  # mask names a missing column:
+                            # nothing here can read it
+                        nomask = probe.drop(c)
+                        if any(
+                            not resolves(nomask, e) for e in exprs
+                        ):
+                            hit.append(c)
+                    return hit
+        # fallback: conservative identifier tokenization — a name
+        # inside a string literal refuses (safe direction)
+        import re as _re
+
+        toks = {
+            t.lower()
+            for t in _re.findall(
+                r"[A-Za-z_][A-Za-z0-9_]*", " ".join(exprs)
+            )
+        }
+        return sorted(c for c in masks if c.lower() in toks)
 
     def _apply_policies(
         self, ref: str, df: DataFrame, ent: dict | None = None
@@ -2698,9 +2835,16 @@ class CatalogTransaction:
         post-CAS window quarantines the transaction with NO step
         published (appends follow replaces; the failure mode is
         all-invisible, never half);
-      * a table taking a replace step may take NO other step in the
-        same transaction (the replace already IS that table's whole
-        next state — fold the rows into it).
+      * a replace-shaped step must be its table's FIRST step in the
+        transaction (publish order would silently reorder it ahead
+        of an earlier append); appends may FOLLOW it — they publish
+        after it, in staging order, cherry-picked onto its result.
+        r11 adds the row-level DML shapes: ``delete_where`` /
+        ``update_where`` stage the same CoW rewrite the immediate
+        verbs commit (planned + written at stage time, validated
+        against their base in the commit CAS, published as one
+        metadata delta) — "BEGIN; DELETE …; UPDATE …; COMMIT" is one
+        visible flip.
 
     Residual window (r10: now CRASH-ONLY): ``commit()`` holds every
     replaced table's commit lock across the CAS and the replace
@@ -2736,14 +2880,13 @@ class CatalogTransaction:
         snapshot version."""
         if self._done:
             raise ValueError("transaction already committed/aborted")
-        if any(
-            i == ident for i, _b in self._replaces.values()
-        ):
-            raise ValueError(
-                f"transaction already stages a replace of {ident!r}; "
-                "a replace IS the table's whole next state — fold "
-                "the rows into it"
-            )
+        # appends AFTER a replace-shaped step on the same table are
+        # fine (r11): publishes run replaces first, then appends
+        # cherry-pick onto the replaced head — exactly staging order,
+        # so "DELETE ...; INSERT INTO ..." lands as written. The
+        # converse (a replace staged after an append, see
+        # _stage_replace) stays refused: publish would silently
+        # reorder it ahead of the append.
         tbl = self._cat.load_table(ident)
         wap = f"{self.txn_id}#{len(self._steps)}"
         sv = tbl.stage_append(df, wap_id=wap)
@@ -2755,17 +2898,28 @@ class CatalogTransaction:
     ) -> int:
         if self._done:
             raise ValueError("transaction already committed/aborted")
-        if any(i == ident for i, _s, _w in self._steps):
-            raise ValueError(
-                f"transaction already has a step on {ident!r}; a "
-                "replace must be that table's ONLY step (it IS the "
-                "whole next state)"
-            )
+        self._refuse_prior_step(ident, "replace")
         wap = f"{self.txn_id}#{len(self._steps)}"
         sv = tbl.stage_replace(df, wap_id=wap, replace_base=base)
         self._steps.append((ident, sv, wap))
         self._replaces[wap] = (ident, base)
         return sv
+
+    def _refuse_prior_step(self, ident: str, kind: str) -> None:
+        """A replace-shaped step (overwrite/compact/DELETE/UPDATE)
+        must be its table's FIRST step: publishes run replaces before
+        appends, so staging one after an append would silently
+        reorder it ahead of that append — and a second replace on one
+        table has no serial order at all (each planned against the
+        same base). Appends AFTER the replace are fine and publish in
+        staging order."""
+        if any(i == ident for i, _s, _w in self._steps):
+            raise ValueError(
+                f"transaction already has a step on {ident!r}; a "
+                f"{kind} must be that table's FIRST step — fold the "
+                "rows into it or reorder the statements (appends may "
+                "FOLLOW it)"
+            )
 
     def overwrite(self, ident: str, df: DataFrame) -> int:
         """Stage ``df`` as ``ident``'s ENTIRE next state (the
@@ -2799,6 +2953,82 @@ class CatalogTransaction:
             spark, base, target_files, sort_by
         )
         return self._stage_replace(ident, tbl, df, base)
+
+    def _stage_dml(
+        self,
+        spark: SparkSession,
+        ident: str,
+        pred: str,
+        set_exprs: dict | None,
+        verb: str,
+    ) -> int | None:
+        """Shared transactional DELETE/UPDATE staging (r10 verdict #3):
+        the CoW rewrite PLANS AND WRITES now — same pruning, same
+        touched-file rewrite as the immediate verb, fully parallel,
+        off-main — and publishes at COMMIT as a validated metadata
+        delta (commit holds the table's lock across the CAS and the
+        publish, so the flip is atomic with every other step). The
+        policy guard applies at stage time exactly as the immediate
+        path's: row filters conjoin into the predicate, masked-column
+        references refuse by policy name. Returns the staged snapshot
+        version, or None when nothing matched (nothing staged — the
+        no-op DML's transactional twin; the statement is still
+        serialized against the pre-stage head by every OTHER step's
+        validation, matching the immediate verb's no-op-commits-
+        nothing rule)."""
+        if self._done:
+            raise ValueError("transaction already committed/aborted")
+        if ident in self._cat._read().get("views", {}):
+            raise ValueError(f"cannot {verb} view {ident!r}")
+        pred = self._cat._dml_policy_guard(
+            ident, pred, set_exprs, spark=spark
+        )
+        self._refuse_prior_step(ident, verb)
+        tbl = self._cat.load_table(ident)
+        wap = f"{self.txn_id}#{len(self._steps)}"
+        if set_exprs is None:
+            sv = tbl.delete_where(spark, pred, wap_id=wap)
+        else:
+            sv = tbl.update_where(
+                spark, pred, set_exprs, wap_id=wap
+            )
+        if sv is None:
+            return None
+        # the in-CAS validation must check the EXACT base the rewrite
+        # was planned against — read it back from the staged manifest
+        # (O(1) raw field), not from a fresh head probe a concurrent
+        # commit may already have moved
+        base = tbl._raw_meta(sv).get("replace_base")
+        self._steps.append((ident, sv, wap))
+        self._replaces[wap] = (ident, base)
+        return sv
+
+    def delete_where(
+        self, spark: SparkSession, ident: str, pred: str
+    ) -> int | None:
+        """Stage ``DELETE FROM ident WHERE pred`` inside this
+        transaction — visible only at COMMIT, atomically with every
+        other step. See _stage_dml for the contract."""
+        return self._stage_dml(spark, ident, pred, None, "DELETE")
+
+    def update_where(
+        self,
+        spark: SparkSession,
+        ident: str,
+        pred: str,
+        set_exprs: dict,
+    ) -> int | None:
+        """Stage ``UPDATE ident SET ... WHERE pred`` inside this
+        transaction — visible only at COMMIT, atomically with every
+        other step. See _stage_dml for the contract."""
+        if not set_exprs:
+            raise ValueError(
+                "UPDATE with no assignments — refusing a full "
+                "rewrite that changes nothing"
+            )
+        return self._stage_dml(
+            spark, ident, pred, set_exprs, "UPDATE"
+        )
 
     def _mark_committed(self) -> None:
         """THE atomic commit point: one registry CAS records the
@@ -3871,6 +4101,123 @@ def q_txn_compact_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     txn._mark_committed()  # CAS only; readers roll forward
     post = phase("c_committed")
     return pre.unionAll(staged).unionAll(post)
+
+
+@query(
+    "q_catalog_script",
+    oracle="""
+    WITH fact0 AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ), fact1 AS (
+        SELECT * FROM fact0
+        WHERE NOT (o_orderkey % 5 = 0 AND o_orderstatus = 'F')
+        UNION ALL
+        SELECT o_orderkey + 1000000000, o_orderstatus, o_totalprice
+        FROM fact0 WHERE o_orderkey % 7 = 3
+    ), dim1 AS (
+        SELECT CASE WHEN c_mktsegment = 'BUILDING'
+                    THEN ROUND(c_acctbal + 100.0, 2)
+                    ELSE c_acctbal END AS bal
+        FROM customer
+    )
+    SELECT (SELECT COUNT(*) FROM fact0) AS pre_n,
+           (SELECT COUNT(*) FROM fact1) AS post_fact_n,
+           (SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) FROM fact1) AS fact_cents,
+           (SELECT CAST(SUM(CAST(ROUND(bal * 100) AS BIGINT))
+                        AS BIGINT) FROM dim1) AS dim_cents,
+           CAST(2 AS BIGINT) AS committed_tables
+    """,
+)
+def q_catalog_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``execute_script`` transactions with row-level DML, DuckDB-
+    oracled end-to-end (r10 verdict #2 + #3): ONE script runs
+
+        BEGIN;
+        DELETE FROM fact WHERE …;      -- staged CoW rewrite
+        UPDATE  dim  SET … WHERE …;    -- staged CoW rewrite
+        INSERT INTO fact SELECT …;     -- staged append (follows the
+                                       --   DELETE: escapes it, as
+                                       --   statement order says)
+        SELECT COUNT(*) FROM fact;     -- WAP: sees the PRE-state
+        COMMIT;                        -- one registry CAS, one flip
+
+    and the oracle replays the statements over raw orders/customer.
+    Hash-checked claims: ``pre_n`` — the in-transaction read returned
+    the PRE-transaction count (reads inside BEGIN see nothing staged,
+    the one-visible-flip property from the read side); ``post_fact_n``
+    / ``fact_cents`` — the DELETE removed exactly its matches and the
+    INSERT landed on top (statement order preserved through the
+    replace-first publish); ``dim_cents`` — the UPDATE's bumped
+    balances replayed to the cent; ``committed_tables`` — COMMIT
+    returned both tables' heads from the one CAS.
+
+    Scale shape: each DML's data rewrite runs at STAGE time (parallel,
+    off-main, touched-files-only — the same pruning as the immediate
+    verb); COMMIT is one JSON CAS plus per-table metadata deltas under
+    held locks. The atomic flip of a 100 TB "DELETE + UPDATE + INSERT"
+    costs the same milliseconds as a 1 GB one. The reference cannot
+    express any of this (blind single-table appends,
+    App.java:147-149)."""
+    root = scratch_dir(spark, sf_dir, "catalog_script")
+    cat = LocalCatalog(root)
+    cat.create_namespace("scr")
+    fact0 = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    cat.create_table("scr.fact").append(fact0)
+    cat.create_table("scr.dim").append(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+    )
+    cat.create_table("scr.stage").append(
+        fact0.filter(F.col("o_orderkey") % 7 == 3)
+    )
+    res = cat.execute_script(
+        spark,
+        """
+        BEGIN;
+        DELETE FROM {{scr.fact}}
+            WHERE o_orderkey % 5 = 0 AND o_orderstatus = 'F';
+        UPDATE {{scr.dim}}
+            SET c_acctbal = round(c_acctbal + 100.0, 2)
+            WHERE c_mktsegment = 'BUILDING';
+        INSERT INTO {{scr.fact}}
+            SELECT o_orderkey + 1000000000 AS o_orderkey,
+                   o_orderstatus, o_totalprice
+            FROM {{scr.stage}};
+        SELECT COUNT(*) AS n FROM {{scr.fact}};
+        COMMIT
+        """,
+    )
+    pre_n = res[4].collect()[0]["n"]
+    heads = res[5]
+    audit = cat.sql(
+        spark,
+        """
+        SELECT (SELECT COUNT(*) FROM {{scr.fact}}) AS post_fact_n,
+               (SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100)
+                                     AS BIGINT)) AS BIGINT)
+                FROM {{scr.fact}}) AS fact_cents,
+               (SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100)
+                                     AS BIGINT)) AS BIGINT)
+                FROM {{scr.dim}}) AS dim_cents
+        """,
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                pre_n,
+                audit["post_fact_n"],
+                audit["fact_cents"],
+                audit["dim_cents"],
+                len(heads),
+            )
+        ],
+        "pre_n bigint, post_fact_n bigint, fact_cents bigint, "
+        "dim_cents bigint, committed_tables bigint",
+    )
 
 
 @query(

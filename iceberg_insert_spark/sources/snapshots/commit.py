@@ -1473,6 +1473,12 @@ class SnapshotCommitMixin:
                 f"no staged snapshot carries wap_id {wap_id!r}"
             )
         sv, smeta = staged
+        if "cow_drop" in smeta:
+            # staged CoW DELETE/UPDATE (delete_where/update_where with
+            # wap_id): validate-and-delta, never rebase — the rewrite
+            # was planned against replace_base, so a moved head means
+            # the touched-file set is stale
+            return self._publish_cow(smeta, wap_id)
         if "replace_base" in smeta:
             # staged REPLACE (stage_replace): validate-and-swap,
             # never rebase — see stage_replace's contract
@@ -1536,6 +1542,71 @@ class SnapshotCommitMixin:
             base=None,
             added=[ents[p] for p in src_new],
             removed=set(),
+        )
+        return v
+
+    def _publish_cow(self, sraw: dict, wap_id: str) -> int:
+        """Publish a staged CoW DELETE/UPDATE (``delete_where`` /
+        ``update_where`` with ``wap_id``) — MUST run inside the commit
+        lock. Validate main still sits at the staged ``replace_base``
+        (CommitConflict otherwise: the rewrite's touched-file plan is
+        only correct against that exact head — a row landing after the
+        plan would silently escape the predicate), then commit the
+        SAME delta the immediate path writes: manifest =
+        (base − cow_drop) + staged files, op = the original
+        delete/update verb (so CDC/incremental consumers refuse to
+        stream across it, exactly like an immediate rewrite). Pure
+        metadata — the staged commit already wrote the rewritten files
+        in parallel, outside any lock. Schema/props/delete_files carry
+        from the staged manifest, which recorded them against this
+        very base (head == replace_base is validated first, so they
+        cannot have drifted)."""
+        base = self._latest_published()
+        rb = sraw.get("replace_base")
+        if base != rb:
+            raise CommitConflict(
+                f"staged rewrite {wap_id!r} planned against snapshot "
+                f"{rb}, but main is now at {base}; re-stage against "
+                "the current state"
+            )
+        src_new = sraw.get("new_files", [])
+        ents = self._entries_for_paths(sraw, src_new)
+        lost = [p for p in src_new if p not in ents]
+        if lost:
+            raise ValueError(
+                "cannot publish rewrite: the staged snapshot no "
+                f"longer lists {lost[:3]} (concurrent expire?)"
+            )
+        drop = set(sraw.get("cow_drop") or ())
+        base_raw = self._raw_meta(base) if base is not None else {}
+        unknown = self._paths_missing_from(base_raw, drop)
+        if unknown:
+            raise CommitConflict(
+                "files planned for rewrite are no longer in the "
+                f"base manifest: {unknown[:3]}"
+            )
+        v = self._next_version()
+        pmeta: dict = {
+            "new_files": src_new,
+            "op": sraw.get("cow_op") or "delete",
+            "wap_id": wap_id,
+        }
+        for carry in (
+            "schema",
+            "schema_v",
+            "partition_by",
+            "delete_files",
+            *self._PROP_CARRY,
+        ):
+            if carry in sraw:
+                pmeta[carry] = sraw[carry]
+        self._write_manifest_delta(
+            v,
+            pmeta,
+            base=base,
+            added=[ents[p] for p in src_new],
+            removed=drop,
+            base_raw=base_raw,
         )
         return v
 

@@ -511,7 +511,8 @@ class SnapshotDmlMixin:
         op: str,
         stats_hint: tuple | None,
         partitions: dict | None = None,
-    ) -> int:
+        wap_id: str | None = None,
+    ) -> int | None:
         """Copy-on-write row-level mutation (Iceberg's
         ``RewriteStrategy=copy-on-write`` DELETE/UPDATE plan):
 
@@ -536,13 +537,27 @@ class SnapshotDmlMixin:
         rewrite of a handful of files. The op name is excluded from
         ``_validate_range``'s allow-list, so CDC/changelog/incremental
         consumers refuse to stream across the rewrite rather than
-        replaying it as inserts."""
+        replaying it as inserts.
+
+        ``wap_id`` (r11): STAGE the rewrite instead of committing it —
+        the transactional DELETE/UPDATE's write half. Steps 1–2 are
+        identical (same pruning, same touched-file rewrite, same data
+        IO, fully parallel, outside any lock); step 3 commits
+        op='stage' carrying ``replace_base`` (the planned-against
+        head), ``cow_drop`` (the rewritten files), and ``cow_op`` —
+        publish() then validates main is STILL at ``replace_base``
+        inside the commit critical section and lands the SAME
+        (base − touched) + new delta the immediate path writes, as a
+        pure-metadata swap (see commit._publish_cow). Returns the
+        staged version, or ``None`` when nothing matched (parity with
+        the immediate path's no-op: nothing staged, nothing to
+        publish)."""
         base = self._resolve_snapshot(None)
         candidates, _ = self.plan_files(
             where=stats_hint, as_of=base, partitions=partitions
         )
         if not candidates:
-            return base
+            return None if wap_id is not None else base
         matched = (
             F.coalesce(F.expr(condition).cast("boolean"), F.lit(False))
         )
@@ -566,7 +581,7 @@ class SnapshotDmlMixin:
             .collect()
         ]
         if not touched_uris:
-            return base
+            return None if wap_id is not None else base
         touched = {self._rel_of_uri(u) for u in touched_uris}
         lineage = self._lineage_on()
         src = self._read_files(
@@ -595,6 +610,20 @@ class SnapshotDmlMixin:
                     F.col("__iis_upd"), F.lit(None).cast("long")
                 ).otherwise(F.col(self._LIN_LASTSEQ)),
             ).drop("__iis_upd")
+        if wap_id is not None:
+            return self._commit(
+                rewritten,
+                inherit=True,
+                op="stage",
+                wap_id=wap_id,
+                expected_base=base,
+                drop_files=touched,
+                extra_meta={
+                    "replace_base": base,
+                    "cow_drop": sorted(touched),
+                    "cow_op": op,
+                },
+            )
         return self._commit(
             rewritten,
             inherit=True,
@@ -793,7 +822,8 @@ class SnapshotDmlMixin:
         stats_hint: tuple | None = None,
         partitions: dict | None = None,
         strategy: str = "cow",
-    ) -> int:
+        wap_id: str | None = None,
+    ) -> int | None:
         """``DELETE FROM t WHERE condition`` as ONE copy-on-write
         snapshot: rows where the SQL ``condition`` evaluates to TRUE
         are removed (NULL keeps the row, SQL semantics); only files
@@ -817,8 +847,22 @@ class SnapshotDmlMixin:
         file of exact (data file, row) entries — O(matches) write,
         zero rewrite, reads pay a broadcast anti-join until
         ``compact`` folds it. Equality deletes (the third kind) come
-        from ``merge``'s CDC path; all three compose on one table."""
+        from ``merge``'s CDC path; all three compose on one table.
+
+        ``wap_id`` (r11, the transactional DELETE): STAGE the CoW
+        rewrite off-main instead of committing it — the data IO runs
+        now (parallel, uncoordinated), publish() later validates the
+        head is still this plan's base and lands the identical
+        (base − touched) + new delta as pure metadata. Returns the
+        staged version, or ``None`` when nothing matched (nothing was
+        staged — the no-op DELETE's transactional twin). CoW only:
+        a staged MoR delete would defer delete-file visibility rules
+        publish() does not speak."""
         if strategy == "mor":
+            if wap_id is not None:
+                raise ValueError(
+                    "staged DELETE supports strategy='cow' only"
+                )
             return self._delete_where_mor(
                 spark, condition, stats_hint, partitions
             )
@@ -834,6 +878,7 @@ class SnapshotDmlMixin:
             "delete",
             stats_hint,
             partitions,
+            wap_id=wap_id,
         )
 
     def update_where(
@@ -844,7 +889,8 @@ class SnapshotDmlMixin:
         stats_hint: tuple | None = None,
         partitions: dict | None = None,
         strategy: str = "cow",
-    ) -> int:
+        wap_id: str | None = None,
+    ) -> int | None:
         """``UPDATE t SET col = expr, ... WHERE condition`` as ONE
         snapshot. ``set_exprs`` maps column name -> SQL expression
         (evaluated against the OLD row image, all assignments
@@ -854,7 +900,14 @@ class SnapshotDmlMixin:
         rewrites touched files with non-matching rows byte-identical;
         ``strategy="mor"`` writes a position-delete of the old images
         plus data files of the new images — O(matches) write, reads
-        pay the anti-join until ``compact``."""
+        pay the anti-join until ``compact``. ``wap_id`` stages the CoW
+        rewrite off-main for a transactional UPDATE — same contract as
+        ``delete_where(wap_id=...)``: returns the staged version or
+        ``None`` on no match, publish validates the base."""
+        if wap_id is not None and strategy != "cow":
+            raise ValueError(
+                "staged UPDATE supports strategy='cow' only"
+            )
         if strategy not in ("cow", "mor"):
             raise ValueError(
                 f"unknown UPDATE strategy {strategy!r}; use 'cow' or "
@@ -915,5 +968,11 @@ class SnapshotDmlMixin:
             )
 
         return self._rewrite_where(
-            spark, condition, apply_set, "update", stats_hint, partitions
+            spark,
+            condition,
+            apply_set,
+            "update",
+            stats_hint,
+            partitions,
+            wap_id=wap_id,
         )

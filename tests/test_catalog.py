@@ -1829,9 +1829,10 @@ def test_txn_replace_post_cas_conflict_quarantines_all_invisible(
 
 def test_txn_replace_heals_on_read_and_step_guards(spark, tmp_path):
     """A committed-but-unpublished replace+append transaction heals on
-    the next catalog read (replace first); mixing steps on one table
-    refuses both ways; overwrite stages the table's whole next
-    state."""
+    the next catalog read (replace first); an append AFTER a replace
+    on the same table stages fine and publishes in staging order
+    (r11); a replace AFTER an append still refuses (publish order
+    would silently reorder it ahead of the append)."""
     cat = LocalCatalog(str(tmp_path))
     cat.create_namespace("db")
     fact = cat.create_table("db.fact")
@@ -1848,28 +1849,29 @@ def test_txn_replace_heals_on_read_and_step_guards(spark, tmp_path):
         "db.fact",
         spark.createDataFrame([(42, 42.0)], "k long, v double"),
     )
-    with pytest.raises(ValueError, match="replace"):
-        txn.append(
-            "db.fact",
-            spark.createDataFrame([(3, 3.0)], "k long, v double"),
-        )
+    # r11: "OVERWRITE …; INSERT INTO …" on one table = whole next
+    # state, then rows on top — publishes in staging order
+    txn.append(
+        "db.fact",
+        spark.createDataFrame([(3, 3.0)], "k long, v double"),
+    )
     txn.append(
         "db.dim", spark.createDataFrame([(1, "b")], "k long, s string")
     )
     # nothing visible pre-commit
     assert fact.read(spark).count() == 2
     txn._mark_committed()  # crash before publish
-    # heal-on-read completes both, atomically visible
+    # heal-on-read completes all three, atomically visible
     got = cat.load_table("db.fact").read(spark).collect()
-    assert [(r.k, r.v) for r in got] == [(42, 42.0)]
+    assert sorted((r.k, r.v) for r in got) == [(3, 3.0), (42, 42.0)]
     assert cat.load_table("db.dim").read(spark).count() == 2
     assert "txns" not in cat._read()
-    # append-then-replace on one table refuses too
+    # append-then-replace on one table refuses (reorder hazard)
     txn2 = cat.begin_transaction()
     txn2.append(
         "db.dim", spark.createDataFrame([(2, "c")], "k long, s string")
     )
-    with pytest.raises(ValueError, match="ONLY step"):
+    with pytest.raises(ValueError, match="FIRST step"):
         txn2.overwrite(
             "db.dim",
             spark.createDataFrame([(9, "z")], "k long, s string"),
