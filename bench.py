@@ -61,8 +61,7 @@ def main() -> None:
     ).count()
 
     queries = get_queries()
-    timings: dict[str, float] = {}
-    failures: dict[str, str] = {}
+
     # Best-of-2 per query, plus an adaptive third run when the best still
     # looks slow: single-run numbers on this shared box swing 2-4x with
     # neighbor load/GC (observed: a 1.3s query spiking to 14.7s), and the
@@ -70,22 +69,65 @@ def main() -> None:
     # only triggers for slow-looking queries, so the fast majority stay at
     # two runs.
     SLOW_RETRY_SEC = 1.0
-    for name in sorted(queries):
-        best = None
-        for attempt in range(3):
-            if attempt == 2 and best is not None and best <= SLOW_RETRY_SEC:
-                break
-            t0 = time.perf_counter()
-            try:
-                df = queries[name](spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            except Exception as exc:  # a failed query must not hide the others
-                failures[name] = f"{type(exc).__name__}: {exc}"[:200]
-                break
-        if best is not None:
-            timings[name] = round(best, 3)
+
+    def run_pass() -> tuple[dict[str, float], dict[str, str]]:
+        timings: dict[str, float] = {}
+        failures: dict[str, str] = {}
+        for name in sorted(queries):
+            best = None
+            for attempt in range(3):
+                if (
+                    attempt == 2
+                    and best is not None
+                    and best <= SLOW_RETRY_SEC
+                ):
+                    break
+                t0 = time.perf_counter()
+                try:
+                    df = queries[name](spark, sf_dir)
+                    df.write.format("noop").mode("overwrite").save()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                except Exception as exc:
+                    # a failed query must not hide the others
+                    failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+                    break
+            if best is not None:
+                timings[name] = round(best, 3)
+        return timings, failures
+
+    # Median-of-N whole-suite passes (r10 verdict #8): host drift on
+    # this box produced a 216 s vs 199.5 s same-day spread on identical
+    # code, so the canonical cross-round artifact should not ride on
+    # one sample. SPARK_GRAFT_BENCH_RUNS=N (the close protocol uses 3)
+    # repeats the WHOLE suite — back-to-back full passes, not per-query
+    # triplicates, so each pass samples the host at a different moment
+    # — and records the per-query MEDIAN (the artifact's `queries` map,
+    # shape unchanged for cross-round tooling) plus each pass's total
+    # and the per-query max/min spread. Default 1: the driver's
+    # per-round run stays one pass.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1")))
+    passes: list[dict[str, float]] = []
+    failures: dict[str, str] = {}
+    for _ in range(runs):
+        t_r, f_r = run_pass()
+        passes.append(t_r)
+        for k, v in f_r.items():
+            failures.setdefault(k, v)
+    if runs == 1:
+        timings = passes[0]
+    else:
+        import statistics
+
+        timings = {
+            name: round(
+                statistics.median(
+                    [p[name] for p in passes if name in p]
+                ),
+                3,
+            )
+            for name in sorted({n for p in passes for n in p})
+        }
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "total_query_wall_sec",
@@ -110,6 +152,23 @@ def main() -> None:
         pass
     if load_at_start is not None:
         out["load_avg_1m_at_start"] = load_at_start
+    if runs > 1:
+        out["runs"] = runs
+        out["run_totals"] = [
+            round(sum(p.values()), 3) for p in passes
+        ]
+        # per-query worst spread across passes (max - min seconds);
+        # only queries whose spread is visible at all — a flat 0.0
+        # for the sub-100ms majority would triple the artifact for
+        # nothing
+        spread = {}
+        for name in timings:
+            vals = [p[name] for p in passes if name in p]
+            if len(vals) > 1 and max(vals) - min(vals) >= 0.05:
+                spread[name] = round(max(vals) - min(vals), 3)
+        out["query_spread_sec"] = dict(
+            sorted(spread.items(), key=lambda kv: -kv[1])
+        )
     if failures:
         out["failures"] = failures
 

@@ -90,16 +90,31 @@ def _lloyd(x, k: int, rng, iters: int = 10):
     if k0 < k:
         c = np.vstack([c, c[rng.choice(k0, size=k - k0)]])
     for _ in range(iters):
-        d2 = (
-            (x * x).sum(1)[:, None]
-            - 2.0 * (x @ c.T)
-            + (c * c).sum(1)[None, :]
-        )
+        # argmin_j ||x - c_j||² == argmin_j (-2 x·c_j + ||c_j||²):
+        # the ||x||² row constant can't change the winner, and
+        # dropping it (plus in-place accumulation) removes two
+        # n x k float64 temporaries per iteration — the training
+        # loop's actual cost at k=256 (r11; assignment ties shift
+        # only where two centroids were equidistant to the ulp,
+        # re-measured against every recall-shaped oracle constant)
+        d2 = x @ c.T
+        d2 *= -2.0
+        d2 += (c * c).sum(1)[None, :]
         assign = d2.argmin(1)
-        for j in range(k):
-            pts = x[assign == j]
-            if len(pts):
-                c[j] = pts.mean(0)
+        # vectorized per-cell means (r11): the per-centroid boolean-
+        # mask loop was 10 iters x k masks per training call — ~1.5 s
+        # of pure driver Python per index build at k=256. add.at sums
+        # each cell's members in index order (vs np.mean's pairwise
+        # summation), a last-ulp numerics change; every recall- and
+        # nprobe-shaped oracle constant was re-measured across
+        # sf0.001/0.01/0.1 after the switch (margins >= 7 points,
+        # unchanged). Empty cells keep their previous centroid,
+        # exactly like the masked loop did.
+        sums = np.zeros_like(c)
+        np.add.at(sums, assign, x)
+        counts = np.bincount(assign, minlength=k).astype(np.float64)
+        nz = counts > 0
+        c[nz] = sums[nz] / counts[nz, None]
     return c
 
 
@@ -749,20 +764,30 @@ def q_vecindex_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         double them);
       * n_upd / n_del — fixture-integrity pins counted independently
         by both engines from the %-arithmetic;
-      * n_mismatch = 0 — re-encoding the FULL post-churn source with
-        the frozen quantizer and full-outer-joining on vec_id finds
-        zero disagreements: the CDC path writes BIT-IDENTICAL codes
-        to a from-scratch rebuild under the same quantizer, updated
-        vectors included (cell moves covered by the eq-delete);
+      * n_mismatch = 0 — re-encoding the AUDIT SLICE of the post-churn
+        source with the frozen quantizer and full-outer-joining on
+        vec_id finds zero disagreements. The slice (r10 verdict #6,
+        halving the suite's most expensive row without weakening the
+        claim) is every churn-TOUCHED key — all updated rows (new
+        codes must match a from-scratch encode bit-for-bit, cell
+        moves included) and all deleted keys (a code wrongly
+        surviving the eq-delete lands in the index side of the join
+        with no source twin → mismatch) — plus the deterministic
+        %11==3 sample of UNTOUCHED rows (their files were never
+        rewritten — the refresh is O(changelog) by construction and
+        the no-op-replay token pins that no later commit touched
+        them — so a sample re-check of the carried codes is the
+        proportionate audit; the pre-r11 full-corpus join re-proved
+        byte-carries the manifest already guarantees);
       * replay_noop = 1 — a second refresh_vector_index_cdc call
         returns without committing (token checkpoint), the
         crash-replay contract.
 
     Scale shape: the refresh costs O(|changelog|) encode + one
     metadata commit; the mismatch audit is the QUERY's cost, not the
-    operation's (a deployment runs it on samples). Before this, any
-    deleting/updating corpus stranded the index until a full rebuild
-    epoch."""
+    operation's (a deployment runs it on samples — exactly what the
+    audit slice is). Before this, any deleting/updating corpus
+    stranded the index until a full rebuild epoch."""
     src, base = _src_from_embeddings(spark, sf_dir, "vecindex_cdc")
     path = f"{base}/idx"
     idx = build_vector_index(spark, src, path)
@@ -794,8 +819,16 @@ def q_vecindex_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         len(_index_handle(path).snapshots()) == before
     )
     quantizer = _load_quantizer(path, idx)
+    # audit slice: churn-touched keys exactly + a 1/11 untouched
+    # sample (see docstring) — pushed into both scans as one predicate
+    aud = (
+        (F.col("vec_id") % 7 == 0)
+        | (F.col("vec_id") % 5 == 1)
+        | (F.col("vec_id") % 11 == 3)
+    )
     full = _encode(
-        src.read(spark).select("vec_id", "embedding"), quantizer
+        src.read(spark).select("vec_id", "embedding").filter(aud),
+        quantizer,
     ).select(
         "vec_id",
         F.col("cell").alias("_fcell"),
@@ -804,7 +837,8 @@ def q_vecindex_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     got = idx.read(spark).localCheckpoint(eager=True)
     n_total = got.count()
     mism = (
-        got.join(full, "vec_id", "full_outer")
+        got.filter(aud)
+        .join(full, "vec_id", "full_outer")
         .filter(
             F.col("cell").isNull()
             | F.col("_fcell").isNull()
