@@ -1090,6 +1090,183 @@ class LocalCatalog:
             spark, pred, set_exprs
         )
 
+    _MERGE_RE = re.compile(
+        r"^\s*MERGE\s+INTO\s+\{\{\s*([A-Za-z_][\w.]*)\s*\}\}\s+"
+        r"USING\s+\{\{\s*([A-Za-z_][\w.]*)\s*\}\}\s+"
+        r"ON\s+(.+?)\s+(WHEN\s+.+)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _MERGE_HEAD_RE = re.compile(
+        r"^\s*(NOT\s+)?MATCHED\s*(?:\bAND\b(.+))?$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def sql_merge(self, spark: SparkSession, sql: str) -> int:
+        """``MERGE INTO {{ns.t}} USING {{ns.s}} ON key WHEN ...`` —
+        the last DML verb a warehouse console needs (r11), routed to
+        ``SnapshotTable.merge_into`` (ONE atomic snapshot: equality
+        deletes + new data files, O(|changelog|) write, no target file
+        rewritten). Grammar:
+
+            MERGE INTO {{ns.target}} USING {{ns.source}}
+            ON key | ON t.key = s.key
+            [WHEN MATCHED [AND cond] THEN DELETE]...
+            [WHEN MATCHED [AND cond] THEN UPDATE SET col = expr, ...]...
+            [WHEN NOT MATCHED [AND cond] THEN INSERT [*]]
+
+        Clauses evaluate FIRST-MATCH-WINS in statement order (SQL
+        semantics, merge_into's contract); conditions and SET
+        expressions speak ``t.col`` / ``s.col``. The USING source is
+        any catalog-readable relation — table, view, MV — resolved
+        through :meth:`sql`, so source-side policies apply to what the
+        merge can read. The target must be a table.
+
+        GOVERNED targets: a row filter becomes merge_into's
+        ``target_filter`` — hidden rows never match a clause and
+        survive untouched (the DELETE/UPDATE rule); combining a
+        filtered target with WHEN NOT MATCHED refuses (a hidden key
+        looks not-matched, and the insert would silently duplicate
+        it). Masked-column references in any condition or SET
+        expression refuse by policy name via the shared guard —
+        conservatively textual here, because ``t.``/``s.``-qualified
+        names don't resolve on the single-schema probe (a source
+        column merely SHARING a masked target column's name also
+        refuses; qualify less or use the admin handle)."""
+        m = self._MERGE_RE.match(sql)
+        if not m:
+            raise ValueError(
+                "expected 'MERGE INTO {{ns.target}} USING "
+                "{{ns.source}} ON <key> WHEN ...'"
+            )
+        tgt_ident, src_ident, on_raw, when_raw = m.groups()
+        if tgt_ident in self._read().get("views", {}):
+            raise ValueError(f"cannot MERGE INTO view {tgt_ident!r}")
+        on = on_raw.strip()
+        key = None
+        if re.match(r"^[A-Za-z_]\w*$", on):
+            key = on
+        else:
+            mq = re.match(
+                r"^[ts]\.([A-Za-z_]\w*)\s*=\s*[ts]\.([A-Za-z_]\w*)$",
+                on,
+                re.IGNORECASE,
+            )
+            if mq and mq.group(1) == mq.group(2):
+                key = mq.group(1)
+        if key is None:
+            raise ValueError(
+                f"unsupported ON clause {on!r}; use 'ON key' or "
+                "'ON t.key = s.key' (one shared equality key)"
+            )
+        # split the WHEN clauses at depth 0 over a string-blanked copy
+        masked = self._blank_quotes(when_raw)
+        spans = self._split_depth0(masked, "WHEN")
+        clauses = [
+            when_raw[s:e].strip()
+            for s, e in spans
+            if when_raw[s:e].strip()
+        ]
+        matched: list[tuple] = []
+        not_matched: tuple | None = None
+        guard_exprs: list[str] = []
+        for cl in clauses:
+            cmask = self._blank_quotes(cl)
+            tspans = self._split_depth0(cmask, "THEN")
+            if len(tspans) != 2:
+                raise ValueError(
+                    f"malformed WHEN clause {cl!r}: expected exactly "
+                    "one THEN"
+                )
+            head = cl[tspans[0][0] : tspans[0][1]].strip()
+            action = cl[tspans[1][0] : tspans[1][1]].strip()
+            hm = self._MERGE_HEAD_RE.match(head)
+            if not hm:
+                raise ValueError(
+                    f"malformed WHEN clause head {head!r}; expected "
+                    "'[NOT] MATCHED [AND cond]'"
+                )
+            is_not = bool(hm.group(1))
+            cond = (hm.group(2) or "").strip() or None
+            if cond:
+                guard_exprs.append(cond)
+            verb = action.split(None, 1)[0].upper()
+            if is_not:
+                if verb != "INSERT" or action.upper() not in (
+                    "INSERT",
+                    "INSERT *",
+                ):
+                    raise ValueError(
+                        "WHEN NOT MATCHED supports 'THEN INSERT [*]' "
+                        f"only; got {action!r} (the inserted image is "
+                        "the source row projected onto the table "
+                        "schema)"
+                    )
+                if not_matched is not None:
+                    raise ValueError(
+                        "at most one WHEN NOT MATCHED clause"
+                    )
+                not_matched = ("insert", cond)
+            elif verb == "DELETE":
+                if action.upper() != "DELETE":
+                    raise ValueError(
+                        f"malformed DELETE action {action!r}"
+                    )
+                matched.append(("delete", cond))
+            elif verb == "UPDATE":
+                mu = re.match(
+                    r"^UPDATE\s+SET\s+(.+)$",
+                    action,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if not mu:
+                    raise ValueError(
+                        f"malformed UPDATE action {action!r}; "
+                        "expected 'UPDATE SET col = expr, ...'"
+                    )
+                assigns = self._split_assignments(mu.group(1))
+                guard_exprs.extend(assigns.values())
+                matched.append(("update", cond, assigns))
+            else:
+                raise ValueError(
+                    f"unsupported MERGE action {action!r}; use "
+                    "DELETE, UPDATE SET ..., or INSERT"
+                )
+        ent = self._entry(tgt_ident)
+        masks = ent.get("column_masks") or {}
+        if masks and guard_exprs:
+            # qualified t./s. refs don't resolve on the schema probe,
+            # so this lands on the tokenization fallback — the
+            # conservative direction (see docstring)
+            hit = self._masked_refs(tgt_ident, masks, guard_exprs, spark)
+            if hit:
+                raise ValueError(
+                    f"MERGE INTO {tgt_ident!r} refused: statement "
+                    f"references masked column(s) {hit} (masks: "
+                    f"{ {c: masks[c] for c in hit} }); MERGE evaluates "
+                    "raw rows — rewrite the statement or use the "
+                    "admin handle"
+                )
+        rf = ent.get("row_filter")
+        if rf and not_matched is not None:
+            raise ValueError(
+                f"MERGE INTO {tgt_ident!r} with WHEN NOT MATCHED "
+                f"refused: the table carries row filter {rf!r}, and a "
+                "key the filter hides would look not-matched and be "
+                "duplicated by the insert; drop the NOT MATCHED "
+                "clause or use the admin table handle"
+            )
+        src_df = self.sql(
+            spark, f"SELECT * FROM {{{{{src_ident}}}}}"
+        )
+        return self.load_table(tgt_ident).merge_into(
+            spark,
+            src_df,
+            key=key,
+            matched=matched,
+            not_matched=not_matched,
+            target_filter=rf,
+        )
+
     def sql_overwrite(self, spark: SparkSession, sql: str) -> int:
         """``INSERT OVERWRITE {{ns.table}} SELECT ...`` — the SELECT
         evaluates through :meth:`sql` and commits via
@@ -1149,6 +1326,12 @@ class LocalCatalog:
             return self.sql_delete(spark, sql)
         if verb == "UPDATE":
             return self.sql_update(spark, sql)
+        if verb == "MERGE":
+            return self.sql_merge(spark, sql)
+        if verb == "EXPIRE":
+            return self.sql_expire(sql)
+        if verb == "VACUUM":
+            return self.sql_vacuum(sql)
         if verb == "ANALYZE":
             return self.sql_analyze(sql)
         if verb == "EXPLAIN":
@@ -1184,6 +1367,74 @@ class LocalCatalog:
         r"(?:\s+INTO\s+(\d+)\s+FILES?)?\s*$",
         re.IGNORECASE,
     )
+    _EXPIRE_RE = re.compile(
+        r"^\s*EXPIRE\s+\{\{\s*([A-Za-z_][\w.]*)\s*\}\}\s+"
+        r"(?:KEEP\s+LAST\s+(\d+)|OLDER\s+THAN\s+'([^']+)')\s*$",
+        re.IGNORECASE,
+    )
+    _VACUUM_RE = re.compile(
+        r"^\s*VACUUM\s+\{\{\s*([A-Za-z_][\w.]*)\s*\}\}"
+        r"(?:\s+GRACE\s+(\d+(?:\.\d+)?))?\s*$",
+        re.IGNORECASE,
+    )
+
+    def sql_expire(self, sql: str) -> dict:
+        """``EXPIRE {{ns.t}} KEEP LAST n`` / ``EXPIRE {{ns.t}} OLDER
+        THAN '<iso-or-epoch>'`` — snapshot retention as console SQL
+        (r11, completing the maintenance verbs next to COMPACT):
+        routed to ``SnapshotTable.expire`` / ``expire_older_than``
+        (ref-pinned snapshots survive, the latest published always
+        kept, data files only deleted once unreachable — the
+        contracts those methods own). Returns
+        ``{"table", "deleted_files", "kept_from"}``. KEEP LAST n with
+        n >= the table's history is a no-op, like Iceberg's
+        retain_last."""
+        m = self._EXPIRE_RE.match(sql)
+        if not m:
+            raise ValueError(
+                "expected \"EXPIRE {{namespace.table}} KEEP LAST n\" "
+                "or \"EXPIRE {{namespace.table}} OLDER THAN "
+                "'<iso|epoch>'\""
+            )
+        ident, keep_n, older = m.groups()
+        tbl = self.load_table(ident)
+        if keep_n is not None:
+            n = int(keep_n)
+            if n < 1:
+                raise ValueError("KEEP LAST needs n >= 1")
+            snaps = tbl.snapshots()
+            keep_from = snaps[-n] if n <= len(snaps) else snaps[0]
+            deleted = tbl.expire(keep_from=keep_from)
+        else:
+            keep_from = None
+            deleted = tbl.expire_older_than(
+                self._resolve_ts_pin(older)
+            )
+        return {
+            "table": ident,
+            "deleted_files": len(deleted),
+            "kept_from": keep_from,
+        }
+
+    def sql_vacuum(self, sql: str) -> dict:
+        """``VACUUM {{ns.t}} [GRACE <seconds>]`` — orphan-file cleanup
+        as console SQL: routed to
+        ``SnapshotTable.remove_orphan_files`` (crash debris older than
+        the grace window and referenced by no live manifest; default
+        grace 3600 s, the in-flight-writer safety contract). Returns
+        ``{"table", "removed"}``."""
+        m = self._VACUUM_RE.match(sql)
+        if not m:
+            raise ValueError(
+                "expected 'VACUUM {{namespace.table}} "
+                "[GRACE seconds]'"
+            )
+        ident, grace = m.groups()
+        tbl = self.load_table(ident)
+        removed = tbl.remove_orphan_files(
+            grace_sec=float(grace) if grace is not None else 3600.0
+        )
+        return {"table": ident, "removed": len(removed)}
 
     def execute_script(self, spark: SparkSession, script: str) -> list:
         """Multi-statement console script with TRANSACTION verbs
@@ -1320,13 +1571,17 @@ class LocalCatalog:
                             self._split_assignments(assigns),
                         )
                     )
-                elif txn is not None and verb in ("ALTER", "ANALYZE"):
+                elif txn is not None and verb in (
+                    "ALTER", "ANALYZE", "MERGE", "EXPIRE", "VACUUM",
+                ):
                     # These verbs commit IMMEDIATELY through their own
                     # paths — running one inside BEGIN would silently
                     # escape the transaction's atomicity (review
                     # catch, r10: DDL between BEGIN and ABORT was
                     # kept despite the ABORT). Refuse; DDL has no
-                    # staged form here.
+                    # staged form here, and MERGE's delete-file commit
+                    # has no staged publish shape (publish speaks
+                    # appends and CoW rewrites only).
                     raise ValueError(
                         f"{verb} inside BEGIN refused: it would "
                         "commit immediately and escape the "

@@ -95,6 +95,7 @@ class SnapshotDmlMixin:
         matched: list[tuple] = (),
         not_matched: tuple | None = None,
         token: str | None = None,
+        target_filter: str | None = None,
     ) -> int:
         """Full MERGE INTO clause semantics (Spark SQL / Iceberg
         ``MERGE INTO t USING s ON ... WHEN ...``): the engine DERIVES
@@ -116,6 +117,14 @@ class SnapshotDmlMixin:
         * CARDINALITY: a target key matched by MORE THAN ONE source row
           is refused (Spark's MERGE_CARDINALITY_VIOLATION) — applying
           an ambiguous update would nondeterministically pick an image.
+        * ``target_filter``: a SQL predicate over bare target columns
+          limiting which target rows the merge can SEE (r11 — the
+          governed front-end's row-filter hook): hidden rows never
+          match a clause and survive untouched, exactly the
+          DELETE/UPDATE policy rule. Callers combining a filter with
+          ``not_matched`` must decide the duplicate-key hazard
+          themselves (a hidden key looks not-matched and would
+          re-insert); the catalog front-end refuses that combination.
 
         Isolation: the target state is read once (snapshot-consistent,
         merge-on-read resolved), the changelog derives from it, and the
@@ -186,6 +195,8 @@ class SnapshotDmlMixin:
                         "express a key change as delete + insert"
                     )
         tgt = self.read(spark)
+        if target_filter:
+            tgt = tgt.filter(F.expr(target_filter))
         s = source.alias("s")
         t = tgt.alias("t")
         on = F.col(f"s.{key}") == F.col(f"t.{key}")

@@ -1,0 +1,191 @@
+"""SQL front-end MERGE INTO (r11): grammar, clause routing,
+first-match-wins, cardinality, governance. The engine underneath is
+SnapshotTable.merge_into (tested in test_snapshots); these tests pin
+the console verb and its policy behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_insert_spark.sources.catalog import LocalCatalog
+
+
+def _mk(spark, tmp_path):
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("m")
+    tgt = cat.create_table("m.tgt")
+    tgt.append(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0),
+             (4, "d", 40.0)],
+            "k long, name string, bal double",
+        )
+    )
+    src = cat.create_table("m.src")
+    src.append(
+        spark.createDataFrame(
+            [(2, "B", 200.0), (3, "C", -1.0), (5, "E", 50.0)],
+            "k long, name string, bal double",
+        )
+    )
+    return cat, tgt, src
+
+
+def test_sql_merge_full_clause_set(spark, tmp_path):
+    """UPDATE + DELETE + INSERT in one statement, conditions over
+    t.*/s.*, one atomic snapshot."""
+    cat, tgt, _src = _mk(spark, tmp_path)
+    n_before = len(tgt.snapshots())
+    cat.execute(
+        spark,
+        """
+        MERGE INTO {{m.tgt}} USING {{m.src}} ON k
+        WHEN MATCHED AND s.bal < 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET name = s.name, bal = s.bal + t.bal
+        WHEN NOT MATCHED THEN INSERT
+        """,
+    )
+    got = {
+        r.k: (r.name, r.bal)
+        for r in cat.load_table("m.tgt").read(spark).collect()
+    }
+    assert got == {
+        1: ("a", 10.0),     # never matched: untouched
+        2: ("B", 220.0),    # updated (s.bal + t.bal)
+        4: ("d", 40.0),     # never matched: untouched
+        5: ("E", 50.0),     # inserted
+    }  # 3 deleted (s.bal < 0, first match wins)
+    assert len(tgt.snapshots()) == n_before + 1  # ONE snapshot
+
+
+def test_sql_merge_first_match_wins_and_on_forms(spark, tmp_path):
+    """Clause order is SQL's first-match-wins; 'ON t.k = s.k' parses
+    to the same key."""
+    cat, _tgt, _src = _mk(spark, tmp_path)
+    cat.execute(
+        spark,
+        """
+        MERGE INTO {{m.tgt}} USING {{m.src}} ON t.k = s.k
+        WHEN MATCHED AND t.k = 2 THEN UPDATE SET name = 'first'
+        WHEN MATCHED THEN DELETE
+        """,
+    )
+    got = {
+        r.k: r.name
+        for r in cat.load_table("m.tgt").read(spark).collect()
+    }
+    # k=2 hit the UPDATE (first clause), k=3 fell through to DELETE
+    assert got == {1: "a", 2: "first", 4: "d"}
+
+
+def test_sql_merge_grammar_and_cardinality(spark, tmp_path):
+    cat, _tgt, src = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="expected 'MERGE INTO"):
+        cat.execute(spark, "MERGE INTO m.tgt USING {{m.src}} ON k "
+                           "WHEN MATCHED THEN DELETE")
+    with pytest.raises(ValueError, match="unsupported ON"):
+        cat.execute(
+            spark,
+            "MERGE INTO {{m.tgt}} USING {{m.src}} ON t.k = s.j "
+            "WHEN MATCHED THEN DELETE",
+        )
+    with pytest.raises(ValueError, match="NOT MATCHED supports"):
+        cat.execute(
+            spark,
+            "MERGE INTO {{m.tgt}} USING {{m.src}} ON k "
+            "WHEN NOT MATCHED THEN UPDATE SET name = 'x'",
+        )
+    with pytest.raises(ValueError, match="at most one WHEN NOT"):
+        cat.execute(
+            spark,
+            "MERGE INTO {{m.tgt}} USING {{m.src}} ON k "
+            "WHEN NOT MATCHED THEN INSERT "
+            "WHEN NOT MATCHED AND s.k > 1 THEN INSERT",
+        )
+    # duplicate source keys + a matched clause = cardinality refusal
+    src.append(spark.createDataFrame([(2, "dup", 0.0)],
+                                     "k long, name string, bal double"))
+    with pytest.raises(ValueError, match="cardinality"):
+        cat.execute(
+            spark,
+            "MERGE INTO {{m.tgt}} USING {{m.src}} ON k "
+            "WHEN MATCHED THEN DELETE",
+        )
+
+
+def test_sql_merge_governance(spark, tmp_path):
+    """Row filter: hidden target rows survive every clause; NOT
+    MATCHED on a filtered target refuses (duplicate-key hazard).
+    Masked columns in conditions/assignments refuse by policy."""
+    cat, tgt, _src = _mk(spark, tmp_path)
+    cat.set_row_filter("m.tgt", "bal < 25.0")  # hides k=3 (30) k=4 (40)
+    with pytest.raises(ValueError, match="NOT MATCHED"):
+        cat.execute(
+            spark,
+            "MERGE INTO {{m.tgt}} USING {{m.src}} ON k "
+            "WHEN NOT MATCHED THEN INSERT",
+        )
+    cat.execute(
+        spark,
+        "MERGE INTO {{m.tgt}} USING {{m.src}} ON k "
+        "WHEN MATCHED THEN DELETE",
+    )
+    got = {r.k for r in tgt.read(spark).collect()}
+    # k=2 (visible, matched) deleted; k=3 matched but HIDDEN: survives
+    assert got == {1, 3, 4}
+    cat.drop_row_filter("m.tgt")
+    cat.set_column_mask("m.tgt", "bal", "0.0")
+    with pytest.raises(ValueError, match="masked column"):
+        cat.execute(
+            spark,
+            "MERGE INTO {{m.tgt}} USING {{m.src}} ON k "
+            "WHEN MATCHED AND t.bal > 5 THEN DELETE",
+        )
+    with pytest.raises(ValueError, match="masked column"):
+        cat.execute(
+            spark,
+            "MERGE INTO {{m.tgt}} USING {{m.src}} ON k "
+            "WHEN MATCHED THEN UPDATE SET name = CAST(t.bal AS STRING)",
+        )
+    # writing INTO the masked column reveals nothing: allowed
+    cat.execute(
+        spark,
+        "MERGE INTO {{m.tgt}} USING {{m.src}} ON k "
+        "WHEN MATCHED AND s.k = 1000 THEN UPDATE SET bal = 0.0",
+    )
+
+
+def test_sql_merge_view_rules_and_script(spark, tmp_path):
+    """Target view refuses; a VIEW as the USING source works (resolved
+    through sql(), source policies apply); MERGE inside BEGIN
+    refuses."""
+    cat, tgt, _src = _mk(spark, tmp_path)
+    cat.create_view("m.v_src", "SELECT * FROM {{m.src}} WHERE k <> 3")
+    cat.create_view("m.v_tgt", "SELECT * FROM {{m.tgt}}")
+    with pytest.raises(ValueError, match="view"):
+        cat.execute(
+            spark,
+            "MERGE INTO {{m.v_tgt}} USING {{m.src}} ON k "
+            "WHEN MATCHED THEN DELETE",
+        )
+    cat.execute(
+        spark,
+        "MERGE INTO {{m.tgt}} USING {{m.v_src}} ON k "
+        "WHEN MATCHED THEN DELETE",
+    )
+    # the view filtered k=3 out of the source: only k=2 deleted
+    assert {r.k for r in tgt.read(spark).collect()} == {1, 3, 4}
+    with pytest.raises(ValueError, match="MERGE inside BEGIN"):
+        cat.execute_script(
+            spark,
+            "BEGIN; MERGE INTO {{m.tgt}} USING {{m.src}} ON k "
+            "WHEN MATCHED THEN DELETE; COMMIT",
+        )
+    # a string literal containing ' THEN ' must not confuse the
+    # clause splitter
+    cat.execute(
+        spark,
+        "MERGE INTO {{m.tgt}} USING {{m.src}} ON k "
+        "WHEN MATCHED AND s.name = 'if THEN else' THEN DELETE",
+    )
