@@ -1233,6 +1233,15 @@ class LocalCatalog:
                 )
         ent = self._entry(tgt_ident)
         masks = ent.get("column_masks") or {}
+        if masks and key in masks:
+            # the ON join itself evaluates raw key values: matched vs
+            # not-matched behavior would probe whether a hidden value
+            # exists — the same laundering class as a masked predicate
+            raise ValueError(
+                f"MERGE INTO {tgt_ident!r} refused: merge key {key!r} "
+                f"is masked ({masks[key]!r}); joining on it would "
+                "probe hidden values — use the admin handle"
+            )
         if masks and guard_exprs:
             # qualified t./s. refs don't resolve on the schema probe,
             # so this lands on the tokenization fallback — the

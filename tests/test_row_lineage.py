@@ -148,3 +148,44 @@ def test_flag_inherited_and_composes_with_rename(spark, tmp_path):
         for r in t2.read(spark, lineage=True).collect()
     }
     assert after == before
+
+
+def test_staged_txn_update_preserves_lineage(spark, tmp_path):
+    """r11 staged DML x row lineage: a transactional UPDATE keeps
+    every row's _row_id through the CoW rewrite (Iceberg v3's 'row id
+    survives update' rule, same as the immediate path) and stamps
+    updated rows' _last_updated_seq STRICTLY AFTER the pre-transaction
+    head — the staged snapshot's own version, which no incremental
+    consumer watermark can sit past before the publish lands (only
+    published versions are watermarks, and publish validates the head
+    never moved)."""
+    from iceberg_insert_spark.sources.catalog import LocalCatalog
+
+    cat = LocalCatalog(str(tmp_path / "cat"))
+    cat.create_namespace("db")
+    cat.create_table("db.t", row_lineage=True)
+    t = cat.load_table("db.t")
+    t.append(
+        _one_file(
+            spark.createDataFrame(
+                [(1, 10.0), (2, 20.0), (3, 30.0)], "k int, v double"
+            )
+        )
+    )
+    pre_head = t._latest_published()
+    before = _lin(spark, t)
+    txn = cat.begin_transaction()
+    txn.update_where(spark, "db.t", "k <= 2", {"v": "v + 1.0"})
+    txn.commit()
+    t2 = cat.load_table("db.t")
+    after = _lin(spark, t2)
+    # ids preserved row-for-row, updated and untouched alike
+    assert {k: rid for k, (rid, _s) in after.items()} == {
+        k: rid for k, (rid, _s) in before.items()
+    }
+    # updated rows' last-seq strictly after the pre-txn head;
+    # untouched rows keep their original stamp
+    assert after[1][1] > pre_head and after[2][1] > pre_head
+    assert after[3][1] == before[3][1]
+    vals = {r.k: r.v for r in t2.read(spark).collect()}
+    assert vals == {1: 11.0, 2: 21.0, 3: 30.0}

@@ -154,6 +154,15 @@ def test_sql_merge_governance(spark, tmp_path):
         "MERGE INTO {{m.tgt}} USING {{m.src}} ON k "
         "WHEN MATCHED AND s.k = 1000 THEN UPDATE SET bal = 0.0",
     )
+    # a MASKED merge key refuses outright: the join itself would
+    # probe hidden values (matched vs not-matched = existence oracle)
+    cat.set_column_mask("m.tgt", "k", "CAST(-1 AS BIGINT)")
+    with pytest.raises(ValueError, match="merge key"):
+        cat.execute(
+            spark,
+            "MERGE INTO {{m.tgt}} USING {{m.src}} ON k "
+            "WHEN MATCHED THEN DELETE",
+        )
 
 
 def test_sql_merge_view_rules_and_script(spark, tmp_path):

@@ -208,6 +208,40 @@ def test_txn_dml_policy_guard_at_stage_time(spark, tmp_path):
     txn2.abort()
 
 
+def test_txn_dml_on_mor_table(spark, tmp_path):
+    """Staged DML on a table carrying LIVE merge-on-read state: the
+    rewrite folds the touched files' pending deletes (same as the
+    immediate path) and the untouched files' delete entries carry
+    through the publish — the post-commit state equals what the
+    immediate verb produces on an identical twin."""
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("db")
+    a = cat.create_table("db.a")
+    b = cat.create_table("db.b")
+    rows = [(i, float(i)) for i in range(20)]
+    for t in (a, b):
+        t.append(
+            spark.createDataFrame(rows, "k long, v double").coalesce(2)
+        )
+        # MoR delete: hide k in {3, 4} via a position-delete commit
+        t.delete_where(spark, "k IN (3, 4)", strategy="mor")
+    # immediate verb on the twin
+    b.update_where(spark, "k < 8", {"v": "v + 100.0"})
+    # staged verb through a transaction on a
+    txn = cat.begin_transaction()
+    txn.update_where(spark, "db.a", "k < 8", {"v": "v + 100.0"})
+    txn.commit()
+    got_a = sorted(
+        (r.k, r.v)
+        for r in cat.load_table("db.a").read(spark).collect()
+    )
+    got_b = sorted((r.k, r.v) for r in b.read(spark).collect())
+    assert got_a == got_b
+    # the MoR-hidden rows stayed hidden through the staged rewrite
+    assert all(k not in (3, 4) for k, _v in got_a)
+    assert (0, 100.0) in got_a and (9, 9.0) in got_a
+
+
 def test_mask_guard_resolved_not_textual(spark, tmp_path):
     """The r10 verdict #7 pair: a masked column's NAME inside a string
     literal (or shadowed by a lambda variable) no longer false-
