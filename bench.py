@@ -114,6 +114,15 @@ def main() -> None:
         passes.append(t_r)
         for k, v in f_r.items():
             failures.setdefault(k, v)
+    # a query that failed in SOME pass but succeeded in another is
+    # FLAKY, not failed — recording it in both maps would make the
+    # artifact self-contradictory (a wall time for a 'failed' query)
+    # and its median silently covers fewer samples than `runs` claims.
+    flaky = {
+        k: failures.pop(k)
+        for k in sorted(failures)
+        if any(k in p for p in passes)
+    }
     if runs == 1:
         timings = passes[0]
     else:
@@ -169,6 +178,10 @@ def main() -> None:
         out["query_spread_sec"] = dict(
             sorted(spread.items(), key=lambda kv: -kv[1])
         )
+    if flaky:
+        # succeeded in >=1 pass (its median is in `queries`) but
+        # failed in another — the first error recorded for triage
+        out["flaky"] = flaky
     if failures:
         out["failures"] = failures
 

@@ -1179,6 +1179,11 @@ class LocalCatalog:
                 )
             head = cl[tspans[0][0] : tspans[0][1]].strip()
             action = cl[tspans[1][0] : tspans[1][1]].strip()
+            if not action:
+                raise ValueError(
+                    f"malformed WHEN clause {cl!r}: THEN needs an "
+                    "action (DELETE, UPDATE SET ..., or INSERT)"
+                )
             hm = self._MERGE_HEAD_RE.match(head)
             if not hm:
                 raise ValueError(
@@ -1233,14 +1238,20 @@ class LocalCatalog:
                 )
         ent = self._entry(tgt_ident)
         masks = ent.get("column_masks") or {}
-        if masks and key in masks:
+        masked_key = next(
+            (c for c in masks if c.lower() == key.lower()), None
+        )
+        if masked_key is not None:
             # the ON join itself evaluates raw key values: matched vs
             # not-matched behavior would probe whether a hidden value
-            # exists — the same laundering class as a masked predicate
+            # exists — the same laundering class as a masked
+            # predicate. Case-insensitive compare (review catch, r11):
+            # Spark resolves 'ON K' to a masked column 'k', so an
+            # exact-case probe was a spelling-deep bypass.
             raise ValueError(
                 f"MERGE INTO {tgt_ident!r} refused: merge key {key!r} "
-                f"is masked ({masks[key]!r}); joining on it would "
-                "probe hidden values — use the admin handle"
+                f"is masked ({masks[masked_key]!r}); joining on it "
+                "would probe hidden values — use the admin handle"
             )
         if masks and guard_exprs:
             # qualified t./s. refs don't resolve on the schema probe,
@@ -1412,6 +1423,14 @@ class LocalCatalog:
             if n < 1:
                 raise ValueError("KEEP LAST needs n >= 1")
             snaps = tbl.snapshots()
+            if not snaps:
+                # created-but-never-committed table: nothing to retain
+                # or delete — a clean no-op, not an index error
+                return {
+                    "table": ident,
+                    "deleted_files": 0,
+                    "kept_from": None,
+                }
             keep_from = snaps[-n] if n <= len(snaps) else snaps[0]
             deleted = tbl.expire(keep_from=keep_from)
         else:
@@ -2932,7 +2951,29 @@ class LocalCatalog:
     ) -> list[str]:
         """Masked columns the expressions actually READ — resolved
         against the table schema when possible, textual-conservative
-        otherwise (see _dml_policy_guard)."""
+        otherwise (see _dml_policy_guard).
+
+        Two-stage (review catches, r11): the cheap tokenization runs
+        FIRST and its hit set bounds the answer — an expression cannot
+        resolve-and-read a column whose identifier token never appears
+        — so the common no-mention statement pays two regex scans and
+        zero Catalyst analyses; the resolved probe runs only to
+        EXONERATE textual hits (literals, lambda shadowing). Mask
+        names map onto schema columns CASE-INSENSITIVELY, matching
+        Spark's resolution — an exact-case probe would silently skip a
+        mask registered as 'EMAIL' over a schema column 'email', the
+        unsafe direction."""
+        import re as _re
+
+        toks = {
+            t.lower()
+            for t in _re.findall(
+                r"[A-Za-z_][A-Za-z0-9_]*", " ".join(exprs)
+            )
+        }
+        textual = sorted(c for c in masks if c.lower() in toks)
+        if not textual:
+            return []
         if spark is not None:
             try:
                 tbl = self.load_table(ident)
@@ -2950,6 +2991,7 @@ class LocalCatalog:
                 probe = spark.createDataFrame(
                     [], T.StructType.fromJson(sj)
                 )
+                by_lower = {c.lower(): c for c in probe.columns}
 
                 def resolves(df: DataFrame, e: str) -> bool:
                     try:
@@ -2960,27 +3002,21 @@ class LocalCatalog:
 
                 if all(resolves(probe, e) for e in exprs):
                     hit = []
-                    for c in sorted(masks):
-                        if c not in probe.columns:
-                            continue  # mask names a missing column:
-                            # nothing here can read it
-                        nomask = probe.drop(c)
+                    for c in textual:
+                        actual = by_lower.get(c.lower())
+                        if actual is None:
+                            continue  # mask names a column the
+                            # schema lacks entirely: nothing here
+                            # can read it
+                        nomask = probe.drop(actual)
                         if any(
                             not resolves(nomask, e) for e in exprs
                         ):
                             hit.append(c)
                     return hit
-        # fallback: conservative identifier tokenization — a name
-        # inside a string literal refuses (safe direction)
-        import re as _re
-
-        toks = {
-            t.lower()
-            for t in _re.findall(
-                r"[A-Za-z_][A-Za-z0-9_]*", " ".join(exprs)
-            )
-        }
-        return sorted(c for c in masks if c.lower() in toks)
+        # fallback: the conservative textual hits — a name inside a
+        # string literal refuses (safe direction)
+        return textual
 
     def _apply_policies(
         self, ref: str, df: DataFrame, ent: dict | None = None

@@ -296,6 +296,40 @@ class SnapshotDmlMixin:
         from functools import reduce
 
         changelog = reduce(DataFrame.unionByName, parts)
+        if target_filter and matched:
+            # review catch (r11): merge() expresses U/D as EQUALITY
+            # deletes, which remove EVERY row holding the key — if a
+            # filter-HIDDEN row shares a key with a visible matched
+            # row, the delete would silently destroy the very row the
+            # policy protects. Refuse that state instead of breaking
+            # the 'hidden rows survive untouched' contract. Cost: only
+            # on filtered targets — the batch-sized mutated-key set
+            # broadcast against the hidden complement's key scan.
+            mut = (
+                changelog.filter(F.col("_op").isin("U", "D"))
+                .select(key)
+                .distinct()
+            )
+            hidden = self.read(spark).filter(
+                ~F.coalesce(
+                    F.expr(target_filter).cast("boolean"),
+                    F.lit(False),
+                )
+            )
+            clash = (
+                hidden.select(key)
+                .join(F.broadcast(mut), key)
+                .limit(1)
+                .collect()
+            )
+            if clash:
+                raise ValueError(
+                    f"MERGE refused: key {clash[0][key]!r} is matched "
+                    "by this merge AND held by a row the target "
+                    "filter hides — the equality delete would destroy "
+                    "the hidden row; deduplicate the key or use the "
+                    "admin handle"
+                )
         return self.merge(spark, changelog, key, token=token)
 
     def add_files(

@@ -43,6 +43,14 @@ def test_expire_keep_last(spark, tmp_path):
         cat.execute(spark, "EXPIRE {{db.t}} KEEP LAST 0")
     with pytest.raises(ValueError, match="expected"):
         cat.execute(spark, "EXPIRE {{db.t}}")
+    # created-but-never-committed table: clean no-op, not IndexError
+    cat.create_table("db.empty")
+    out3 = cat.execute(spark, "EXPIRE {{db.empty}} KEEP LAST 1")
+    assert out3 == {
+        "table": "db.empty",
+        "deleted_files": 0,
+        "kept_from": None,
+    }
 
 
 def test_expire_older_than_and_script_refusal(spark, tmp_path):

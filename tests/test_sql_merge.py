@@ -163,6 +163,62 @@ def test_sql_merge_governance(spark, tmp_path):
             "MERGE INTO {{m.tgt}} USING {{m.src}} ON k "
             "WHEN MATCHED THEN DELETE",
         )
+    # ...and the refusal is case-insensitive, like Spark's own
+    # resolution (review catch: 'ON K' resolved to masked 'k' but
+    # bypassed an exact-case guard)
+    with pytest.raises(ValueError, match="merge key"):
+        cat.execute(
+            spark,
+            "MERGE INTO {{m.tgt}} USING {{m.src}} ON K "
+            "WHEN MATCHED THEN DELETE",
+        )
+
+
+def test_sql_merge_hidden_duplicate_key_refused(spark, tmp_path):
+    """Review catch (r11): merge() writes EQUALITY deletes, which
+    remove every row holding a key — a filter-hidden row sharing a
+    key with a visible matched row would be destroyed. Refused by
+    name; disjoint-key merges under the same filter still work."""
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("m")
+    tgt = cat.create_table("m.tgt")
+    # k=2 appears twice: visible (bal 20) and hidden (bal 30)
+    tgt.append(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (2, "b2", 30.0)],
+            "k long, name string, bal double",
+        )
+    )
+    cat.create_table("m.src").append(
+        spark.createDataFrame(
+            [(2, "B", 0.0)], "k long, name string, bal double"
+        )
+    )
+    cat.set_row_filter("m.tgt", "bal < 25.0")
+    with pytest.raises(ValueError, match="hides"):
+        cat.execute(
+            spark,
+            "MERGE INTO {{m.tgt}} USING {{m.src}} ON k "
+            "WHEN MATCHED THEN UPDATE SET name = s.name",
+        )
+    # nothing was committed by the refusal
+    assert cat.load_table("m.tgt").read(spark).count() == 3
+    # a merge whose matched keys don't straddle the filter passes
+    cat.execute(
+        spark,
+        "MERGE INTO {{m.tgt}} USING {{m.src}} ON k "
+        "WHEN MATCHED AND s.k = 999 THEN DELETE",
+    )
+
+
+def test_sql_merge_grammar_bare_then(spark, tmp_path):
+    cat, _tgt, _src = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="THEN needs an action"):
+        cat.execute(
+            spark,
+            "MERGE INTO {{m.tgt}} USING {{m.src}} ON k "
+            "WHEN MATCHED THEN",
+        )
 
 
 def test_sql_merge_view_rules_and_script(spark, tmp_path):

@@ -286,6 +286,20 @@ def test_mask_guard_resolved_not_textual(spark, tmp_path):
         spark,
         "UPDATE {{db.users}} SET email = 'redacted' WHERE id = 1",
     )
+    # case-insensitive mask mapping (review catch, r11): a mask
+    # registered under a different case than the schema column must
+    # still refuse — Spark resolves case-insensitively, so skipping
+    # it was a spelling-deep bypass
+    cat.drop_column_mask("db.users", "email")
+    cat.set_column_mask("db.users", "EMAIL", "'***'")
+    with pytest.raises(ValueError, match="masked column"):
+        cat.sql_delete(
+            spark, "DELETE FROM {{db.users}} WHERE email = 'x'"
+        )
+    # and the exonerating paths still exonerate under the case skew
+    cat.sql_delete(
+        spark, "DELETE FROM {{db.users}} WHERE note = 'email me'"
+    )
 
 
 def test_quarantined_txn_surfaces_at_catalog_open(spark, tmp_path):

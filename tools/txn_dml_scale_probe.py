@@ -59,7 +59,13 @@ def main() -> None:
                 (F.col("id") % nf).cast("int").alias("slice"),
                 (F.col("id") % 97).cast("double").alias("v"),
             )
-            .repartition(nf, "slice")
+            # RANGE partitioning, not hash (review catch: hash
+            # collides slice values into shared partitions and leaves
+            # others empty, so the 'one file per slice' premise — the
+            # probe's control variable — silently broke); the actual
+            # file and rewrite counts are recorded below so the
+            # published table states measured reality either way
+            .repartitionByRange(nf, "slice")
         )
         fact.append(rows)
         dim.append(
@@ -67,13 +73,19 @@ def main() -> None:
                 F.col("id").alias("d"), F.lit("x").alias("tag")
             )
         )
+        n_files_actual = len(fact._manifest(fact._latest_published()))
         t0 = time.perf_counter()
         txn = cat.begin_transaction()
-        txn.delete_where(spark, "p.fact", "slice = 0 AND k % 3 = 0")
+        sv = txn.delete_where(
+            spark, "p.fact", "slice = 0 AND k % 3 = 0"
+        )
         txn.update_where(
             spark, "p.dim", "d < 100", {"tag": "'probed'"}
         )
         t_stage = time.perf_counter() - t0
+        n_rewritten = len(
+            fact._raw_meta(sv).get("cow_drop") or ()
+        )
         t0 = time.perf_counter()
         heads = txn.commit()
         t_commit = time.perf_counter() - t0
@@ -92,6 +104,8 @@ def main() -> None:
         out.append(
             {
                 "files": nf,
+                "files_actual": n_files_actual,
+                "files_rewritten": n_rewritten,
                 "rows": n_rows,
                 "stage_sec": round(t_stage, 3),
                 "commit_sec": round(t_commit, 3),
