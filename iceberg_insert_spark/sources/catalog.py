@@ -1132,6 +1132,24 @@ class LocalCatalog:
         names don't resolve on the single-schema probe (a source
         column merely SHARING a masked target column's name also
         refuses; qualify less or use the admin handle)."""
+        tgt_ident, src_df, key, matched, not_matched, rf = (
+            self._parse_merge(spark, sql)
+        )
+        return self.load_table(tgt_ident).merge_into(
+            spark,
+            src_df,
+            key=key,
+            matched=matched,
+            not_matched=not_matched,
+            target_filter=rf,
+        )
+
+    def _parse_merge(self, spark: SparkSession, sql: str) -> tuple:
+        """Parse + policy-check a MERGE statement (shared by the
+        immediate verb and the script transaction's staged path —
+        one grammar, one guard). Returns (target ident, resolved
+        source frame, key, matched clauses, not_matched clause,
+        target row filter)."""
         m = self._MERGE_RE.match(sql)
         if not m:
             raise ValueError(
@@ -1278,14 +1296,7 @@ class LocalCatalog:
         src_df = self.sql(
             spark, f"SELECT * FROM {{{{{src_ident}}}}}"
         )
-        return self.load_table(tgt_ident).merge_into(
-            spark,
-            src_df,
-            key=key,
-            matched=matched,
-            not_matched=not_matched,
-            target_filter=rf,
-        )
+        return (tgt_ident, src_df, key, matched, not_matched, rf)
 
     def sql_overwrite(self, spark: SparkSession, sql: str) -> int:
         """``INSERT OVERWRITE {{ns.table}} SELECT ...`` — the SELECT
@@ -1599,23 +1610,49 @@ class LocalCatalog:
                             self._split_assignments(assigns),
                         )
                     )
+                elif txn is not None and verb == "MERGE":
+                    # r11: MERGE stages transactionally — the
+                    # changelog derives from the pre-transaction
+                    # state, the equality-delete + new-image commit
+                    # stages off-main, COMMIT validates the
+                    # derivation base in the CAS. Same parse + policy
+                    # guards as the immediate verb.
+                    (
+                        tgt_i,
+                        src_df,
+                        mkey,
+                        mm,
+                        nm,
+                        rf,
+                    ) = self._parse_merge(spark, stmt)
+                    out.append(
+                        txn.merge_into(
+                            spark,
+                            tgt_i,
+                            src_df,
+                            key=mkey,
+                            matched=mm,
+                            not_matched=nm,
+                            target_filter=rf,
+                        )
+                    )
                 elif txn is not None and verb in (
-                    "ALTER", "ANALYZE", "MERGE", "EXPIRE", "VACUUM",
+                    "ALTER", "ANALYZE", "EXPIRE", "VACUUM",
                 ):
                     # These verbs commit IMMEDIATELY through their own
                     # paths — running one inside BEGIN would silently
                     # escape the transaction's atomicity (review
                     # catch, r10: DDL between BEGIN and ABORT was
                     # kept despite the ABORT). Refuse; DDL has no
-                    # staged form here, and MERGE's delete-file commit
-                    # has no staged publish shape (publish speaks
-                    # appends and CoW rewrites only).
+                    # staged form, and an in-transaction EXPIRE could
+                    # reclaim this very transaction's staged
+                    # snapshots.
                     raise ValueError(
                         f"{verb} inside BEGIN refused: it would "
                         "commit immediately and escape the "
                         "transaction; run it outside BEGIN (INSERT "
                         "INTO / INSERT OVERWRITE / DELETE / UPDATE / "
-                        "COMPACT stage transactionally)"
+                        "MERGE / COMPACT stage transactionally)"
                     )
                 elif (mc := self._COMPACT_RE.match(stmt)) is not None:
                     ident = mc.group(1)
@@ -3143,8 +3180,12 @@ class CatalogTransaction:
         ``update_where`` stage the same CoW rewrite the immediate
         verbs commit (planned + written at stage time, validated
         against their base in the commit CAS, published as one
-        metadata delta) — "BEGIN; DELETE …; UPDATE …; COMMIT" is one
-        visible flip.
+        metadata delta), and ``merge_into`` stages its equality-
+        delete + new-image commit the same way (delete entries
+        publish at the STAGED sequence, so the merge's own re-inserts
+        survive and CDC reads see the immediate path's exact shape) —
+        "BEGIN; DELETE …; UPDATE …; MERGE …; COMMIT" is one visible
+        flip.
 
     Residual window (r10: now CRASH-ONLY): ``commit()`` holds every
     replaced table's commit lock across the CAS and the replace
@@ -3329,6 +3370,47 @@ class CatalogTransaction:
         return self._stage_dml(
             spark, ident, pred, set_exprs, "UPDATE"
         )
+
+    def merge_into(
+        self,
+        spark: SparkSession,
+        ident: str,
+        source: DataFrame,
+        key: str,
+        matched: list[tuple] = (),
+        not_matched: tuple | None = None,
+        target_filter: str | None = None,
+    ) -> int:
+        """Stage a MERGE INTO inside this transaction (r11): the
+        changelog derives from the PRE-transaction state now, the
+        new images and equality-delete entries stage off-main, and
+        COMMIT validates the derivation base inside the CAS before
+        publishing the same O(|changelog|) delta the immediate verb
+        commits — "BEGIN; MERGE …; COMMIT" is one visible flip with
+        the other steps. Replace-shaped rules apply (the changelog is
+        only correct against its derivation head): first step on its
+        table, appends may follow, conflicts abort the whole
+        transaction. Callers coming through the script front-end get
+        the policy guards from _parse_merge; direct callers are the
+        admin path, same as SnapshotTable handles."""
+        if self._done:
+            raise ValueError("transaction already committed/aborted")
+        self._refuse_prior_step(ident, "MERGE")
+        tbl = self._cat.load_table(ident)
+        wap = f"{self.txn_id}#{len(self._steps)}"
+        sv = tbl.merge_into(
+            spark,
+            source,
+            key=key,
+            matched=matched,
+            not_matched=not_matched,
+            target_filter=target_filter,
+            wap_id=wap,
+        )
+        base = tbl._raw_meta(sv).get("replace_base")
+        self._steps.append((ident, sv, wap))
+        self._replaces[wap] = (ident, base)
+        return sv
 
     def _mark_committed(self) -> None:
         """THE atomic commit point: one registry CAS records the

@@ -24,6 +24,8 @@ class SnapshotDmlMixin:
         key: str,
         op_col: str = "_op",
         token: str | None = None,
+        wap_id: str | None = None,
+        stage_base: int | None = None,
     ) -> int:
         """MERGE INTO as ONE atomic snapshot — Iceberg v2's CDC write
         path (round-5 verdict item #2). The changelog carries an op
@@ -47,7 +49,25 @@ class SnapshotDmlMixin:
         broadcast anti-join until compaction). This is exactly the
         write-amplification trade Iceberg v2 made for CDC; the
         reference can only blind-append (App.java:147-149).
+
+        ``wap_id`` (r11, the transactional MERGE): STAGE the commit
+        off-main instead of landing it. The staged snapshot carries
+        the new images AND the equality-delete entries at the STAGED
+        version's sequence; publish validates main is STILL at the
+        stage-time base (the changelog — and merge_into's derivation
+        of it — is only correct against that head) and lands the same
+        delta as a pure-metadata commit. The seq algebra is unchanged:
+        deletes at seq K apply to data below K, base files sit below
+        K, this merge's own re-inserts sit AT K and survive their own
+        deletes — exactly the immediate path's rule. Incompatible
+        with ``token`` (the wap_id IS the replay identity: publish
+        dedupes on it).
         """
+        if wap_id is not None and token is not None:
+            raise ValueError(
+                "staged merge takes its replay identity from the "
+                "wap_id; drop the token"
+            )
         if key not in changelog.columns:
             raise ValueError(f"changelog has no key column {key!r}")
         if op_col not in changelog.columns:
@@ -78,6 +98,37 @@ class SnapshotDmlMixin:
         # Optional idempotency token (same contract as append_once): a
         # replayed merge of the same changelog batch becomes a no-op —
         # the primitive incremental view maintenance builds on.
+        if wap_id is not None:
+            # stage_base = the head the CALLER derived the changelog
+            # against (merge_into pins it at derivation time — a
+            # commit racing the derive→stage window must fail the
+            # expected_base check here, not slip a moved head into
+            # replace_base and launder a stale changelog past the
+            # publish validation); raw-changelog callers default to
+            # the stage-time head
+            base = (
+                stage_base
+                if stage_base is not None
+                else self._latest_published()
+            )
+            return self._commit(
+                upserts,
+                inherit=True,
+                op="stage",
+                wap_id=wap_id,
+                expected_base=base,
+                deletes_df=dels,
+                delete_key=key,
+                # publish routes through _publish_cow with an EMPTY
+                # drop set: base files all carry, the staged images
+                # add, and the staged delete entries ride in the
+                # delete_files carry — see _publish_cow
+                extra_meta={
+                    "replace_base": base,
+                    "cow_drop": [],
+                    "cow_op": "merge",
+                },
+            )
         return self._commit(
             upserts,
             inherit=True,
@@ -96,6 +147,7 @@ class SnapshotDmlMixin:
         not_matched: tuple | None = None,
         token: str | None = None,
         target_filter: str | None = None,
+        wap_id: str | None = None,
     ) -> int:
         """Full MERGE INTO clause semantics (Spark SQL / Iceberg
         ``MERGE INTO t USING s ON ... WHEN ...``): the engine DERIVES
@@ -330,7 +382,17 @@ class SnapshotDmlMixin:
                     "the hidden row; deduplicate the key or use the "
                     "admin handle"
                 )
-        return self.merge(spark, changelog, key, token=token)
+        # wap_id stages the commit off-main (transactional MERGE); the
+        # derivation base pins the stage's expected_base so a commit
+        # racing the derive→stage window aborts the stage cleanly
+        return self.merge(
+            spark,
+            changelog,
+            key,
+            token=token,
+            wap_id=wap_id,
+            stage_base=base if wap_id is not None else None,
+        )
 
     def add_files(
         self,

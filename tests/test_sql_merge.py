@@ -241,12 +241,6 @@ def test_sql_merge_view_rules_and_script(spark, tmp_path):
     )
     # the view filtered k=3 out of the source: only k=2 deleted
     assert {r.k for r in tgt.read(spark).collect()} == {1, 3, 4}
-    with pytest.raises(ValueError, match="MERGE inside BEGIN"):
-        cat.execute_script(
-            spark,
-            "BEGIN; MERGE INTO {{m.tgt}} USING {{m.src}} ON k "
-            "WHEN MATCHED THEN DELETE; COMMIT",
-        )
     # a string literal containing ' THEN ' must not confuse the
     # clause splitter
     cat.execute(
@@ -254,3 +248,102 @@ def test_sql_merge_view_rules_and_script(spark, tmp_path):
         "MERGE INTO {{m.tgt}} USING {{m.src}} ON k "
         "WHEN MATCHED AND s.name = 'if THEN else' THEN DELETE",
     )
+
+
+def test_sql_merge_transactional(spark, tmp_path):
+    """r11: MERGE stages inside BEGIN — invisible until COMMIT, gone
+    on ABORT, equal to the immediate verb's result, and a conflicting
+    commit between stage and COMMIT aborts the whole transaction."""
+    cat, tgt, _src = _mk(spark, tmp_path)
+    # twin for the immediate result
+    cat.create_table("m.twin").append(tgt.read(spark))
+    cat.execute(
+        spark,
+        "MERGE INTO {{m.twin}} USING {{m.src}} ON k "
+        "WHEN MATCHED AND s.bal < 0 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET name = s.name "
+        "WHEN NOT MATCHED THEN INSERT",
+    )
+    # ABORT leaves nothing
+    cat.execute_script(
+        spark,
+        "BEGIN; MERGE INTO {{m.tgt}} USING {{m.src}} ON k "
+        "WHEN MATCHED THEN DELETE; ABORT",
+    )
+    assert tgt.read(spark).count() == 4
+    # staged + committed == the immediate twin, one visible flip
+    res = cat.execute_script(
+        spark,
+        """
+        BEGIN;
+        MERGE INTO {{m.tgt}} USING {{m.src}} ON k
+            WHEN MATCHED AND s.bal < 0 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET name = s.name
+            WHEN NOT MATCHED THEN INSERT;
+        SELECT COUNT(*) AS n FROM {{m.tgt}};
+        COMMIT
+        """,
+    )
+    assert res[2].collect()[0]["n"] == 4  # in-txn read: PRE-state
+    got = sorted(
+        (r.k, r.name, r.bal)
+        for r in cat.load_table("m.tgt").read(spark).collect()
+    )
+    twin = sorted(
+        (r.k, r.name, r.bal)
+        for r in cat.load_table("m.twin").read(spark).collect()
+    )
+    assert got == twin
+    # conflict: a commit racing stage->COMMIT aborts the transaction
+    txn = cat.begin_transaction()
+    src_df = cat.sql(spark, "SELECT * FROM {{m.src}}")
+    txn.merge_into(
+        spark, "m.tgt", src_df, key="k",
+        matched=[("delete", None)],
+    )
+    cat.load_table("m.tgt").append(
+        spark.createDataFrame(
+            [(777, "racer", 0.0)], "k long, name string, bal double"
+        )
+    )
+    from iceberg_insert_spark.sources.snapshots import CommitConflict
+
+    with pytest.raises(CommitConflict):
+        txn.commit()
+    got2 = cat.load_table("m.tgt").read(spark)
+    assert got2.filter(F.col("k") == 777).count() == 1  # racer intact
+    assert got2.count() == twin.__len__() + 1  # merge not applied
+
+
+def test_txn_merge_crash_heals_and_cdc_readable(spark, tmp_path):
+    """A committed-but-unpublished staged MERGE heals on the next
+    catalog read, and the published commit is a well-formed CDC
+    source: read_changelog over the flip returns the merge's own
+    delete keys + new images (the staged delete entries' sequence
+    lands inside the (from, to] range)."""
+    from iceberg_insert_spark.sources.snapshots.incremental import (
+        read_changelog,
+    )
+
+    cat, tgt, _src = _mk(spark, tmp_path)
+    from_v = tgt._latest_published()
+    txn = cat.begin_transaction()
+    src_df = cat.sql(spark, "SELECT * FROM {{m.src}}")
+    txn.merge_into(
+        spark, "m.tgt", src_df, key="k",
+        matched=[("update", None, {"name": "s.name"})],
+        not_matched=("insert", None),
+    )
+    txn._mark_committed()  # crash before publish
+    t2 = cat.load_table("m.tgt")  # heal
+    assert "txns" not in cat._read()
+    to_v = t2._latest_published()
+    ch = read_changelog(t2, spark, from_v, to_v)
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in ch.groupBy("_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # updates k=2,3 -> delete(old)+insert(new); insert k=5 -> insert
+    assert by_type == {"delete": 2, "insert": 3}
