@@ -166,6 +166,17 @@ def main() -> None:
         out["run_totals"] = [
             round(sum(p.values()), 3) for p in passes
         ]
+        # best-across-passes map: methodology-compatible with the
+        # pre-r11 single-pass canonical artifacts (whose per-query
+        # numbers are best-of-attempts), so cross-round regression
+        # tooling can compare like for like while `queries` carries
+        # the sturdier median
+        out["queries_best"] = {
+            name: round(
+                min(p[name] for p in passes if name in p), 3
+            )
+            for name in timings
+        }
         # per-query worst spread across passes (max - min seconds);
         # only queries whose spread is visible at all — a flat 0.0
         # for the sub-100ms majority would triple the artifact for

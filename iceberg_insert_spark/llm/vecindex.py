@@ -738,12 +738,15 @@ def q_vecindex_incremental(
 @query(
     "q_vecindex_cdc",
     oracle="""
-    SELECT CAST((SELECT COUNT(*) FROM embeddings
+    WITH corpus AS (
+        SELECT * FROM embeddings WHERE vec_id % 2 = 0
+    )
+    SELECT CAST((SELECT COUNT(*) FROM corpus
                  WHERE NOT (vec_id % 7 <> 0 AND vec_id % 5 = 1))
                 AS BIGINT) AS n_total,
-           CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id % 7 = 0)
+           CAST((SELECT COUNT(*) FROM corpus WHERE vec_id % 7 = 0)
                 AS BIGINT) AS n_upd,
-           CAST((SELECT COUNT(*) FROM embeddings
+           CAST((SELECT COUNT(*) FROM corpus
                  WHERE vec_id % 7 <> 0 AND vec_id % 5 = 1)
                 AS BIGINT) AS n_del,
            CAST(0 AS BIGINT) AS n_mismatch,
@@ -788,7 +791,13 @@ def q_vecindex_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     operation's (a deployment runs it on samples — exactly what the
     audit slice is). Before this, any deleting/updating corpus
     stranded the index until a full rebuild epoch."""
-    src, base = _src_from_embeddings(spark, sf_dir, "vecindex_cdc")
+    # fixture corpus = the seeded %2==0 half (r10 verdict #6's cost
+    # trim, second half: every pinned count scales with the slice on
+    # both engines, and none of the claims — bit-identity, delete
+    # visibility, replay no-op — depends on corpus size)
+    src, base = _src_from_embeddings(
+        spark, sf_dir, "vecindex_cdc", flt=F.col("vec_id") % 2 == 0
+    )
     path = f"{base}/idx"
     idx = build_vector_index(spark, src, path)
     state = src.read(spark)
@@ -807,8 +816,20 @@ def q_vecindex_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", "label", "embedding", F.lit("D").alias("_op"))
     )
-    n_upd = upd.count()
-    n_del = dele.count()
+    # fixture-integrity pins in ONE aggregate pass (not two scans)
+    cnt = state.agg(
+        F.sum(
+            F.when(F.col("vec_id") % 7 == 0, 1).otherwise(0)
+        ).alias("u"),
+        F.sum(
+            F.when(
+                (F.col("vec_id") % 7 != 0)
+                & (F.col("vec_id") % 5 == 1),
+                1,
+            ).otherwise(0)
+        ).alias("d"),
+    ).collect()[0]
+    n_upd, n_del = int(cnt["u"]), int(cnt["d"])
     src.merge(spark, upd.unionByName(dele), key="vec_id")
     refresh_vector_index_cdc(spark, src, path)
     # replay with a FRESH handle (a restarted process): token found,
@@ -834,19 +855,35 @@ def q_vecindex_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell").alias("_fcell"),
         F.col("codes").alias("_fcodes"),
     )
-    got = idx.read(spark).localCheckpoint(eager=True)
-    n_total = got.count()
-    mism = (
-        got.filter(aud)
-        .join(full, "vec_id", "full_outer")
-        .filter(
-            F.col("cell").isNull()
-            | F.col("_fcell").isNull()
-            | (F.col("cell") != F.col("_fcell"))
-            | (F.col("codes") != F.col("_fcodes"))
-        )
-        .count()
-    )
+    # ONE audit job (r11): n_total (every index row, audited or not)
+    # and the slice's mismatch count fold into a single aggregate
+    # over got ⟗ full — the checkpoint + two counts this replaces
+    # were ~3 driver-visible jobs on a fixture whose wall time is
+    # job-count-bound, not row-bound
+    got = idx.read(spark).withColumn("_g", F.lit(1))
+    joined = got.withColumn(
+        "_a", F.when(aud, F.lit(1))
+    ).join(full, "vec_id", "full_outer")
+    row = joined.agg(
+        F.sum("_g").alias("n_total"),
+        F.sum(
+            F.when(
+                (
+                    F.col("_a").isNotNull()
+                    | F.col("_g").isNull()  # full-side-only row
+                )
+                & (
+                    F.col("cell").isNull()
+                    | F.col("_fcell").isNull()
+                    | (F.col("cell") != F.col("_fcell"))
+                    | (F.col("codes") != F.col("_fcodes"))
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("mism"),
+    ).collect()[0]
+    n_total = int(row["n_total"] or 0)
+    mism = int(row["mism"] or 0)
     return spark.createDataFrame(
         [(n_total, n_upd, n_del, mism, replay_noop)],
         "n_total bigint, n_upd bigint, n_del bigint, "
