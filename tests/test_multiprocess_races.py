@@ -146,3 +146,55 @@ def test_racing_replace_publishes_across_processes(tmp_path, spark):
         and t._raw_meta(v).get("op") == "stage"
     ]
     assert len(staged) == 1
+
+
+def test_racing_staged_dml_publishes_across_processes(tmp_path, spark):
+    """r11 twin of the replace race for STAGED ROW-LEVEL DML: two OS
+    processes publish two staged CoW rewrites planned against the same
+    base — the commit lock + in-lock replace_base validation admit
+    exactly one; the loser conflicts and publishes nothing. The winner
+    lands with its original DML op (history says what happened), the
+    rows reflect exactly one statement, and the loser's staged
+    snapshot survives as reclaimable audit state."""
+    from pyspark.sql import functions as F
+
+    from iceberg_insert_spark.sources.snapshots import SnapshotTable
+
+    root = str(tmp_path / "t")
+    t = SnapshotTable(root)
+    t.append(
+        spark.range(0, 20)
+        .select(F.col("id").alias("k"), (F.col("id") % 4).alias("g"))
+        .coalesce(2)
+    )
+    # two rewrites against the SAME base: a delete and an update
+    sva = t.delete_where(spark, "g = 0", wap_id="wa")
+    svb = t.update_where(spark, "g = 1", {"k": "k + 1000"}, wap_id="wb")
+    assert sva is not None and svb is not None
+    with mp.Pool(2) as pool:
+        res = pool.map(_publish_wap, [(root, "wa"), (root, "wb")])
+    outcomes = sorted(r[0] for r in res)
+    assert outcomes == ["conflict", "ok"]
+    (widx,) = [i for i, r in enumerate(res) if r[0] == "ok"]
+    winner = ("wa", "wb")[widx]
+    head = t._latest_published()
+    assert t._raw_meta(head).get("wap_id") == winner
+    assert t._raw_meta(head).get("op") == {
+        "wa": "delete", "wb": "update",
+    }[winner]
+    ks = sorted(r.k for r in t.read(spark).collect())
+    if winner == "wa":
+        # delete g=0 landed; update didn't
+        assert len(ks) == 15 and all(k % 4 != 0 for k in ks)
+    else:
+        # update g=1 landed; delete didn't
+        assert len(ks) == 20 and sum(k >= 1000 for k in ks) == 5
+    # loser's staged snapshot survives for audit / expire
+    loser = ("wa", "wb")[1 - widx]
+    staged = [
+        v
+        for v in t.snapshots()
+        if t._raw_meta(v).get("wap_id") == loser
+        and t._raw_meta(v).get("op") == "stage"
+    ]
+    assert len(staged) == 1

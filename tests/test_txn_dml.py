@@ -242,6 +242,43 @@ def test_txn_dml_on_mor_table(spark, tmp_path):
     assert (0, 100.0) in got_a and (9, 9.0) in got_a
 
 
+def test_txn_dml_publish_preserves_stats_pruning(spark, tmp_path):
+    """After a staged DML publishes, the metadata planner still
+    prunes: carried files keep their stats-sidecar entries (same
+    paths), and the rewrite's new files got theirs recorded at STAGE
+    time — a range predicate disjoint from a file's [min, max] skips
+    it, exactly as after the immediate verb."""
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("db")
+    cat.create_table("db.t", stats_cols=["k"])
+    t = cat.load_table("db.t")
+    # two files with disjoint k ranges
+    t.append(
+        spark.createDataFrame(
+            [(k, "lo") for k in range(0, 100)], "k long, s string"
+        ).coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame(
+            [(k, "hi") for k in range(1000, 1100)], "k long, s string"
+        ).coalesce(1)
+    )
+    txn = cat.begin_transaction()
+    assert (
+        txn.delete_where(spark, "db.t", "k >= 1050") is not None
+    )
+    txn.commit()
+    t2 = cat.load_table("db.t")
+    assert t2.read(spark).count() == 150
+    # prune to the untouched low file: the rewritten high file's
+    # stats (recorded at stage time) prove it disjoint
+    kept, total = t2.plan_files(where=("k", 0, 50))
+    assert total == 2 and len(kept) == 1
+    # and to the rewritten file: the carried low file prunes away
+    kept2, _ = t2.plan_files(where=("k", 1000, 1049))
+    assert len(kept2) == 1 and kept2 != kept
+
+
 def test_mask_guard_resolved_not_textual(spark, tmp_path):
     """The r10 verdict #7 pair: a masked column's NAME inside a string
     literal (or shadowed by a lambda variable) no longer false-
