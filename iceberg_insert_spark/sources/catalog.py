@@ -3008,7 +3008,18 @@ class LocalCatalog:
                 r"[A-Za-z_][A-Za-z0-9_]*", " ".join(exprs)
             )
         }
-        textual = sorted(c for c in masks if c.lower() in toks)
+        # a mask on a NON-identifier column name (backticked hyphens/
+        # spaces/unicode — set_column_mask validates nothing) cannot
+        # be tokenized, so it is ALWAYS a candidate: the resolved
+        # probe exonerates it when nothing reads it, the fallback
+        # refuses (conservative — review catch, r11: the pre-filter
+        # skipped such masks entirely, the unsafe direction)
+        textual = sorted(
+            c
+            for c in masks
+            if c.lower() in toks
+            or not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", c)
+        )
         if not textual:
             return []
         if spark is not None:
@@ -3317,28 +3328,46 @@ class CatalogTransaction:
         serialized against the pre-stage head by every OTHER step's
         validation, matching the immediate verb's no-op-commits-
         nothing rule)."""
-        if self._done:
-            raise ValueError("transaction already committed/aborted")
-        if ident in self._cat._read().get("views", {}):
-            raise ValueError(f"cannot {verb} view {ident!r}")
         pred = self._cat._dml_policy_guard(
             ident, pred, set_exprs, spark=spark
         )
-        self._refuse_prior_step(ident, verb)
+        if set_exprs is None:
+            return self._stage_replace_step(
+                ident,
+                verb,
+                lambda tbl, wap: tbl.delete_where(
+                    spark, pred, wap_id=wap
+                ),
+            )
+        return self._stage_replace_step(
+            ident,
+            verb,
+            lambda tbl, wap: tbl.update_where(
+                spark, pred, set_exprs, wap_id=wap
+            ),
+        )
+
+    def _stage_replace_step(
+        self, ident: str, kind: str, stage
+    ) -> int | None:
+        """Shared staging bookkeeping for every validated-base step
+        (DELETE/UPDATE/MERGE — one path, so the guards cannot drift,
+        the _overwrite_guard lesson from r10): done-check, view
+        refusal, first-step rule, wap mint, then ``stage(tbl, wap)``
+        runs the operator's own staged write. A None from the stage
+        (no-match DML) records nothing. The in-CAS validation base is
+        read back from the staged manifest (O(1) raw field) — never
+        from a fresh head probe a concurrent commit may have moved."""
+        if self._done:
+            raise ValueError("transaction already committed/aborted")
+        if ident in self._cat._read().get("views", {}):
+            raise ValueError(f"cannot {kind} view {ident!r}")
+        self._refuse_prior_step(ident, kind)
         tbl = self._cat.load_table(ident)
         wap = f"{self.txn_id}#{len(self._steps)}"
-        if set_exprs is None:
-            sv = tbl.delete_where(spark, pred, wap_id=wap)
-        else:
-            sv = tbl.update_where(
-                spark, pred, set_exprs, wap_id=wap
-            )
+        sv = stage(tbl, wap)
         if sv is None:
             return None
-        # the in-CAS validation must check the EXACT base the rewrite
-        # was planned against — read it back from the staged manifest
-        # (O(1) raw field), not from a fresh head probe a concurrent
-        # commit may already have moved
         base = tbl._raw_meta(sv).get("replace_base")
         self._steps.append((ident, sv, wap))
         self._replaces[wap] = (ident, base)
@@ -3393,24 +3422,19 @@ class CatalogTransaction:
         transaction. Callers coming through the script front-end get
         the policy guards from _parse_merge; direct callers are the
         admin path, same as SnapshotTable handles."""
-        if self._done:
-            raise ValueError("transaction already committed/aborted")
-        self._refuse_prior_step(ident, "MERGE")
-        tbl = self._cat.load_table(ident)
-        wap = f"{self.txn_id}#{len(self._steps)}"
-        sv = tbl.merge_into(
-            spark,
-            source,
-            key=key,
-            matched=matched,
-            not_matched=not_matched,
-            target_filter=target_filter,
-            wap_id=wap,
+        return self._stage_replace_step(
+            ident,
+            "MERGE",
+            lambda tbl, wap: tbl.merge_into(
+                spark,
+                source,
+                key=key,
+                matched=matched,
+                not_matched=not_matched,
+                target_filter=target_filter,
+                wap_id=wap,
+            ),
         )
-        base = tbl._raw_meta(sv).get("replace_base")
-        self._steps.append((ident, sv, wap))
-        self._replaces[wap] = (ident, base)
-        return sv
 
     def _mark_committed(self) -> None:
         """THE atomic commit point: one registry CAS records the

@@ -354,9 +354,15 @@ class SnapshotDmlMixin:
             # filter-HIDDEN row shares a key with a visible matched
             # row, the delete would silently destroy the very row the
             # policy protects. Refuse that state instead of breaking
-            # the 'hidden rows survive untouched' contract. Cost: only
-            # on filtered targets — the batch-sized mutated-key set
-            # broadcast against the hidden complement's key scan.
+            # the 'hidden rows survive untouched' contract. The
+            # changelog is PINNED first (batch-sized — localCheckpoint
+            # is safe here where it never is for table-sized frames):
+            # the guard, merge()'s bad-op probe, and the delete/upsert
+            # writes would otherwise each re-run the clause join
+            # (second review catch, r11). Remaining cost: one
+            # column-pruned key scan of the hidden complement with the
+            # batch-sized key set broadcast against it.
+            changelog = changelog.localCheckpoint(eager=True)
             mut = (
                 changelog.filter(F.col("_op").isin("U", "D"))
                 .select(key)

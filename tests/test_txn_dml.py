@@ -337,6 +337,23 @@ def test_mask_guard_resolved_not_textual(spark, tmp_path):
     cat.sql_delete(
         spark, "DELETE FROM {{db.users}} WHERE note = 'email me'"
     )
+    # non-identifier mask names (review catch, r11): a backticked
+    # column can't be tokenized, so it is always probed — a statement
+    # reading it refuses, one ignoring it passes
+    cat.drop_column_mask("db.users", "EMAIL")
+    t2 = cat.create_table("db.odd")
+    t2.append(
+        spark.createDataFrame(
+            [(1, "x")], "id long, `user-email` string"
+        )
+    )
+    cat.set_column_mask("db.odd", "user-email", "'***'")
+    with pytest.raises(ValueError, match="masked column"):
+        cat.sql_delete(
+            spark,
+            "DELETE FROM {{db.odd}} WHERE `user-email` = 'x'",
+        )
+    cat.sql_delete(spark, "DELETE FROM {{db.odd}} WHERE id = 99")
 
 
 def test_quarantined_txn_surfaces_at_catalog_open(spark, tmp_path):
