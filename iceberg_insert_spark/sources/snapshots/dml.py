@@ -145,6 +145,7 @@ class SnapshotDmlMixin:
         key: str,
         matched: list[tuple] = (),
         not_matched: tuple | None = None,
+        not_matched_by_source: list[tuple] = (),
         token: str | None = None,
         target_filter: str | None = None,
         wap_id: str | None = None,
@@ -166,6 +167,18 @@ class SnapshotDmlMixin:
           column values, with table columns the source lacks filled by
           the schema's write-default/NULL. Matched rows hit by NO
           clause, and target rows never matched, survive untouched.
+        * ``not_matched_by_source``: ordered ``WHEN NOT MATCHED BY
+          SOURCE`` clauses (r12 — the full-sync / SCD-close shape
+          Spark 4 and Iceberg both speak): each is ``("delete", cond)``
+          or ``("update", cond, {col: sql_expr})``, evaluated
+          FIRST-MATCH-WINS against TARGET rows whose key appears in no
+          source row (``cond`` speaks ``t.*`` / bare target columns
+          only — there is no source row to reference). A NULL target
+          key never equals any source key (SQL), so NULL-key rows are
+          source-absent. Cost shape: one broadcast LEFT ANTI of the
+          column-pruned source keys against the target scan — BY
+          SOURCE is inherently a full-target-scan operation (that is
+          its semantics), but it adds no extra shuffle.
         * CARDINALITY: a target key matched by MORE THAN ONE source row
           is refused (Spark's MERGE_CARDINALITY_VIOLATION) — applying
           an ambiguous update would nondeterministically pick an image.
@@ -176,7 +189,13 @@ class SnapshotDmlMixin:
           DELETE/UPDATE policy rule. Callers combining a filter with
           ``not_matched`` must decide the duplicate-key hazard
           themselves (a hidden key looks not-matched and would
-          re-insert); the catalog front-end refuses that combination.
+          re-insert); the catalog front-end refuses that combination,
+          and likewise refuses filter + ``not_matched_by_source``
+          (BY SOURCE derives "absent" from what the caller can SEE —
+          an engine-level caller combining them gets coherent
+          hidden-rows-survive semantics plus the clash guard below,
+          but should know a BY SOURCE changelog can be target-sized,
+          which makes this branch's localCheckpoint pin expensive).
 
         Isolation: the target state is read once (snapshot-consistent,
         merge-on-read resolved), the changelog derives from it, and the
@@ -190,26 +209,30 @@ class SnapshotDmlMixin:
         inserts — then everything downstream is O(|changelog|); no
         target file is rewritten (the v2 delete-file trade)."""
         matched = list(matched or [])
-        for cl in matched:
-            if not cl or cl[0] not in ("delete", "update"):
-                raise ValueError(
-                    f"matched clause must be ('delete', cond) or "
-                    f"('update', cond, assignments); got {cl!r}"
-                )
-            if cl[0] == "update" and (
-                len(cl) < 3 or not isinstance(cl[2], dict) or not cl[2]
-            ):
-                raise ValueError(
-                    "update clause needs a non-empty {column: sql_expr} "
-                    "assignment dict"
-                )
+        by_source = list(not_matched_by_source or [])
+        for what, cls_ in (("matched", matched), ("by-source", by_source)):
+            for cl in cls_:
+                if not cl or cl[0] not in ("delete", "update"):
+                    raise ValueError(
+                        f"{what} clause must be ('delete', cond) or "
+                        f"('update', cond, assignments); got {cl!r}"
+                    )
+                if cl[0] == "update" and (
+                    len(cl) < 3
+                    or not isinstance(cl[2], dict)
+                    or not cl[2]
+                ):
+                    raise ValueError(
+                        "update clause needs a non-empty "
+                        "{column: sql_expr} assignment dict"
+                    )
         if not_matched is not None and (
             not_matched[0] != "insert" or len(not_matched) > 2
         ):
             raise ValueError(
                 f"not_matched must be ('insert', cond); got {not_matched!r}"
             )
-        if not matched and not_matched is None:
+        if not matched and not_matched is None and not by_source:
             raise ValueError("merge_into needs at least one clause")
         if key not in source.columns:
             raise ValueError(f"source has no key column {key!r}")
@@ -228,7 +251,7 @@ class SnapshotDmlMixin:
 
         tschema = T.StructType.fromJson(sj)
         tcols = [f.name for f in tschema.fields]
-        for cl in matched:
+        for cl in matched + by_source:
             if cl[0] == "update":
                 unknown = sorted(set(cl[2]) - set(tcols))
                 if unknown:
@@ -284,17 +307,69 @@ class SnapshotDmlMixin:
         # order: one chained CASE tags each matched pair with the index
         # of the first clause whose condition holds (NULL = no clause
         # -> the target row survives untouched).
-        route = None
-        for i, cl in enumerate(matched):
-            cond = F.expr(cl[1]) if cl[1] else F.lit(True)
-            route = (
-                F.when(cond, F.lit(i))
-                if route is None
-                else route.when(cond, F.lit(i))
+        def _first_match_route(clauses: list[tuple]):
+            route = None
+            for i, cl in enumerate(clauses):
+                cond = F.expr(cl[1]) if cl[1] else F.lit(True)
+                route = (
+                    F.when(cond, F.lit(i))
+                    if route is None
+                    else route.when(cond, F.lit(i))
+                )
+            return route
+
+        def _refuse_partial_keys(flagged: DataFrame, what: str) -> None:
+            # Equality deletes remove EVERY row holding a key, so a key
+            # where SOME rows routed to a clause and siblings routed to
+            # none would silently destroy the unrouted siblings ("rows
+            # no clause hits survive untouched" is the contract). Only
+            # reachable when every clause is conditional (any
+            # unconditional clause routes all rows) AND the target holds
+            # duplicate keys — refuse instead of corrupting (r12; the
+            # same hazard class as the r11 hidden-row clash guard).
+            # flagged: (__iis_k, __iis_routed boolean), one row per
+            # participating target row.
+            bad = (
+                flagged.groupBy("__iis_k")
+                .agg(
+                    F.sum(F.col("__iis_routed").cast("int")).alias(
+                        "__iis_r"
+                    ),
+                    F.count(F.lit(1)).alias("__iis_n"),
+                )
+                .filter(
+                    (F.col("__iis_r") > 0)
+                    & (F.col("__iis_r") < F.col("__iis_n"))
+                )
+                .limit(1)
+                .collect()
             )
+            if bad:
+                raise ValueError(
+                    f"MERGE refused: {what} key "
+                    f"{bad[0]['__iis_k']!r} holds target rows routed "
+                    "to a clause AND sibling rows no clause matched — "
+                    "the equality delete would destroy the unrouted "
+                    "siblings; cover the key fully (add an "
+                    "unconditional clause) or deduplicate the key"
+                )
+
+        route = _first_match_route(matched)
         parts: list[DataFrame] = []
         if matched:
             routed = m.withColumn("__iis_clause", route)
+            if all(cl[1] for cl in matched):
+                # cost: one aggregate over the BATCH-sized matched-pair
+                # set (cardinality check already bounds source keys)
+                _refuse_partial_keys(
+                    routed.select(
+                        F.col(f"t.{key}").alias("__iis_k"),
+                        F.col("__iis_clause")
+                        .isNotNull()
+                        .alias("__iis_routed"),
+                    ),
+                    "matched",
+                )
             for i, cl in enumerate(matched):
                 hit = routed.filter(F.col("__iis_clause") == i)
                 if cl[0] == "delete":
@@ -326,6 +401,94 @@ class SnapshotDmlMixin:
                             F.lit("U").alias("_op"),
                         )
                     )
+        if by_source:
+            # Target rows whose key no source row carries: broadcast
+            # LEFT ANTI of the column-pruned, deduped source keys
+            # against the target scan (batch-sized build side; the
+            # target side is the scan BY SOURCE semantically requires).
+            # NULL target keys never equal a source key -> source-absent
+            # (SQL's ON semantics), which plain == anti-join gives us.
+            skeys = (
+                source.select(F.col(key).alias("__iis_sk")).distinct()
+            )
+            absent = tgt.alias("t").join(
+                F.broadcast(skeys),
+                F.col(f"t.{key}") == F.col("__iis_sk"),
+                "left_anti",
+            )
+            routed_bs = absent.withColumn(
+                "__iis_clause", _first_match_route(by_source)
+            )
+            if tschema[key].nullable:
+                # a NULL-key row IS source-absent (SQL: NULL matches
+                # nothing) but the equality-delete anti-join also
+                # matches nothing for it — a D tombstone would no-op
+                # and an U image would DUPLICATE the row. Refuse NULL
+                # keys a clause routes; skipped when the schema proves
+                # the key non-nullable.
+                nullhit = (
+                    routed_bs.filter(
+                        F.col(f"t.{key}").isNull()
+                        & F.col("__iis_clause").isNotNull()
+                    )
+                    .limit(1)
+                    .collect()
+                )
+                if nullhit:
+                    raise ValueError(
+                        "MERGE refused: a NULL-key target row routes "
+                        "to a WHEN NOT MATCHED BY SOURCE clause, and "
+                        "equality deletes cannot address NULL keys "
+                        "(the update would duplicate the row, the "
+                        "delete would no-op); filter NULL keys out "
+                        "with a clause condition"
+                    )
+            if all(cl[1] for cl in by_source):
+                # all clauses conditional -> unrouted source-absent rows
+                # exist; guard the duplicate-key partial-routing hazard.
+                # Cost: one key+flag aggregate over the source-absent
+                # scan — the scan BY SOURCE already pays; skipped
+                # entirely when a catch-all clause routes every row.
+                _refuse_partial_keys(
+                    routed_bs.select(
+                        F.col(f"t.{key}").alias("__iis_k"),
+                        F.col("__iis_clause")
+                        .isNotNull()
+                        .alias("__iis_routed"),
+                    ),
+                    "source-absent",
+                )
+            for i, cl in enumerate(by_source):
+                hit = routed_bs.filter(F.col("__iis_clause") == i)
+                if cl[0] == "delete":
+                    parts.append(
+                        hit.select(
+                            *[
+                                F.col(f"t.{c}").alias(c)
+                                if c == key
+                                else F.lit(None)
+                                .cast(tschema[c].dataType)
+                                .alias(c)
+                                for c in tcols
+                            ],
+                            F.lit("D").alias("_op"),
+                        )
+                    )
+                else:
+                    assigns = cl[2]
+                    parts.append(
+                        hit.select(
+                            *[
+                                F.expr(assigns[c])
+                                .cast(tschema[c].dataType)
+                                .alias(c)
+                                if c in assigns
+                                else F.col(f"t.{c}").alias(c)
+                                for c in tcols
+                            ],
+                            F.lit("U").alias("_op"),
+                        )
+                    )
         if not_matched is not None:
             ins = source.alias("s").join(
                 tgt.select(key), key, "left_anti"
@@ -348,7 +511,7 @@ class SnapshotDmlMixin:
         from functools import reduce
 
         changelog = reduce(DataFrame.unionByName, parts)
-        if target_filter and matched:
+        if target_filter and (matched or by_source):
             # review catch (r11): merge() expresses U/D as EQUALITY
             # deletes, which remove EVERY row holding the key — if a
             # filter-HIDDEN row shares a key with a visible matched
@@ -374,9 +537,13 @@ class SnapshotDmlMixin:
                     F.lit(False),
                 )
             )
+            # matched-only changelogs are batch-sized -> broadcast the
+            # key set; a BY SOURCE changelog can be target-sized, so
+            # let AQE pick the strategy there (r12)
+            mutb = F.broadcast(mut) if not by_source else mut
             clash = (
                 hidden.select(key)
-                .join(F.broadcast(mut), key)
+                .join(mutb, key)
                 .limit(1)
                 .collect()
             )

@@ -347,3 +347,211 @@ def test_txn_merge_crash_heals_and_cdc_readable(spark, tmp_path):
     }
     # updates k=2,3 -> delete(old)+insert(new); insert k=5 -> insert
     assert by_type == {"delete": 2, "insert": 3}
+
+
+def test_sql_merge_by_source_full_sync(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE (r12, r11 verdict #3): the full-sync
+    / SCD-close shape — target rows absent from the source close or
+    delete, FIRST-MATCH-WINS among BY SOURCE clauses, all in the same
+    ONE atomic snapshot as the matched/not-matched clauses. BY TARGET
+    parses as the explicit synonym of plain NOT MATCHED (Spark 4)."""
+    cat, tgt, _src = _mk(spark, tmp_path)
+    n_before = len(tgt.snapshots())
+    cat.execute(
+        spark,
+        """
+        MERGE INTO {{m.tgt}} USING {{m.src}} ON k
+        WHEN MATCHED THEN UPDATE SET name = s.name, bal = s.bal
+        WHEN NOT MATCHED BY TARGET THEN INSERT
+        WHEN NOT MATCHED BY SOURCE AND t.k = 1 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET name = 'closed'
+        """,
+    )
+    got = {
+        r.k: (r.name, r.bal)
+        for r in cat.load_table("m.tgt").read(spark).collect()
+    }
+    assert got == {
+        # k=1 source-absent, first BY SOURCE clause wins: deleted
+        2: ("B", 200.0),      # matched: updated
+        3: ("C", -1.0),       # matched: updated
+        4: ("closed", 40.0),  # source-absent, catch-all: closed
+        5: ("E", 50.0),       # not matched (BY TARGET): inserted
+    }
+    assert len(tgt.snapshots()) == n_before + 1  # ONE snapshot
+
+
+def test_sql_merge_by_source_grammar_refusals(spark, tmp_path):
+    """BY SOURCE grammar edges: INSERT is meaningless (no source row),
+    BY requires NOT, and a row-filtered target refuses the clause
+    outright — hidden rows look source-absent, so the clause would
+    close the very rows the policy protects (the same governance
+    class as the NOT MATCHED insert-duplicate refusal)."""
+    cat, _tgt, _src = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="BY SOURCE supports"):
+        cat.execute(
+            spark,
+            "MERGE INTO {{m.tgt}} USING {{m.src}} ON k "
+            "WHEN NOT MATCHED BY SOURCE THEN INSERT",
+        )
+    with pytest.raises(ValueError, match="requires NOT MATCHED"):
+        cat.execute(
+            spark,
+            "MERGE INTO {{m.tgt}} USING {{m.src}} ON k "
+            "WHEN MATCHED BY SOURCE THEN DELETE",
+        )
+    cat.set_row_filter("m.tgt", "bal < 25.0")
+    with pytest.raises(ValueError, match="BY SOURCE"):
+        cat.execute(
+            spark,
+            "MERGE INTO {{m.tgt}} USING {{m.src}} ON k "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+        )
+    # the refusal committed nothing (raw admin read: all 4 rows)
+    assert cat.load_table("m.tgt").read(spark).count() == 4
+
+
+def test_sql_merge_by_source_transactional(spark, tmp_path):
+    """BY SOURCE composes with the staged/transactional path: BEGIN;
+    MERGE … BY SOURCE …; COMMIT is one visible flip, and an ABORT
+    leaves the target untouched."""
+    cat, tgt, _src = _mk(spark, tmp_path)
+    res = cat.execute_script(
+        spark,
+        """
+        BEGIN;
+        MERGE INTO {{m.tgt}} USING {{m.src}} ON k
+          WHEN MATCHED THEN UPDATE SET bal = s.bal
+          WHEN NOT MATCHED BY SOURCE THEN UPDATE SET name = 'closed';
+        SELECT COUNT(*) AS n FROM {{m.tgt}};
+        COMMIT
+        """,
+    )
+    # WAP: the in-transaction read saw the PRE state
+    assert res[2].collect()[0]["n"] == 4
+    got = {
+        r.k: (r.name, r.bal)
+        for r in cat.load_table("m.tgt").read(spark).collect()
+    }
+    assert got == {
+        1: ("closed", 10.0),
+        2: ("b", 200.0),
+        3: ("c", -1.0),
+        4: ("closed", 40.0),
+    }
+    # ABORT path: nothing staged leaks
+    cat.execute_script(
+        spark,
+        """
+        BEGIN;
+        MERGE INTO {{m.tgt}} USING {{m.src}} ON k
+          WHEN NOT MATCHED BY SOURCE THEN DELETE;
+        ABORT
+        """,
+    )
+    assert cat.load_table("m.tgt").read(spark).count() == 4
+
+
+def test_merge_mask_guard_resolved_not_textual(spark, tmp_path):
+    """The exact MERGE twin of r11's DML pair (r11 verdict #5 / demerit
+    #3): the two-sided t×s probe resolves qualified names, so a masked
+    column's NAME inside a SET string literal passes, a genuine
+    ``t.``-qualified read still refuses, and an ``s.``-qualified read
+    of a SOURCE column merely SHARING the masked name passes (the
+    false-refusal class the textual fallback carried)."""
+    cat, _tgt, _src = _mk(spark, tmp_path)
+    cat.set_column_mask("m.tgt", "bal", "0.0")
+    # masked name inside a string literal: passes and commits
+    cat.execute(
+        spark,
+        "MERGE INTO {{m.tgt}} USING {{m.src}} ON k "
+        "WHEN MATCHED AND s.k = 2 THEN UPDATE SET name = 'bal audit'",
+    )
+    got = {
+        r.k: r.name
+        for r in cat.load_table("m.tgt")
+        .read(spark)
+        .collect()
+    }
+    assert got[2] == "bal audit"
+    # genuine qualified read of the masked target column: refuses
+    with pytest.raises(ValueError, match="masked column"):
+        cat.execute(
+            spark,
+            "MERGE INTO {{m.tgt}} USING {{m.src}} ON k "
+            "WHEN MATCHED THEN UPDATE SET name = CAST(t.bal AS STRING)",
+        )
+    # s.-qualified read of the SOURCE's same-named column: passes
+    # (reads source data, reveals nothing the mask hides)
+    cat.execute(
+        spark,
+        "MERGE INTO {{m.tgt}} USING {{m.src}} ON k "
+        "WHEN MATCHED AND s.k = 3 THEN UPDATE SET "
+        "name = CAST(s.bal AS STRING)",
+    )
+    got = {
+        r.k: r.name
+        for r in cat.load_table("m.tgt").read(spark).collect()
+    }
+    assert got[3] == "-1.0"
+
+
+def test_merge_by_source_engine_guards(spark, tmp_path):
+    """Engine-level BY SOURCE hazards refuse instead of corrupting
+    (r12): equality deletes address ROWS BY KEY, so (a) a NULL-key
+    row routed to a clause would no-op the delete / duplicate the
+    update, and (b) a duplicate key where only SOME sibling rows
+    route would destroy the unrouted siblings. A catch-all clause
+    (cond None) routes every row and needs no guard."""
+    from iceberg_insert_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "nulls"))
+    t.append(
+        spark.createDataFrame(
+            [(1, "a"), (None, "n")], "k long, s string"
+        )
+    )
+    src = spark.createDataFrame([(1, "x")], "k long, s string")
+    with pytest.raises(ValueError, match="NULL-key"):
+        t.merge_into(
+            spark, src, key="k",
+            not_matched_by_source=[("delete", None)],
+        )
+    # a condition excluding NULL keys makes the same merge legal
+    t.merge_into(
+        spark, src, key="k",
+        not_matched_by_source=[("delete", "t.k IS NOT NULL")],
+    )
+    assert {(r.k, r.s) for r in t.read(spark).collect()} == {
+        (1, "a"), (None, "n")
+    }  # k=1 matched (no matched clause), NULL unrouted: both survive
+
+    t2 = SnapshotTable(str(tmp_path / "dups"))
+    t2.append(
+        spark.createDataFrame(
+            [(1, "hit"), (1, "miss"), (2, "z")], "k long, s string"
+        )
+    )
+    src2 = spark.createDataFrame([(2, "x")], "k long, s string")
+    with pytest.raises(ValueError, match="source-absent key"):
+        t2.merge_into(
+            spark, src2, key="k",
+            not_matched_by_source=[("delete", "t.s = 'hit'")],
+        )
+    # same hazard on the MATCHED side (duplicate target keys +
+    # all-conditional clauses): refuse
+    with pytest.raises(ValueError, match="matched key"):
+        t2.merge_into(
+            spark,
+            spark.createDataFrame([(1, "x")], "k long, s string"),
+            key="k",
+            matched=[("delete", "t.s = 'hit'")],
+        )
+    # fully-routed duplicate keys are legal: catch-all deletes both
+    t2.merge_into(
+        spark, src2, key="k",
+        not_matched_by_source=[
+            ("delete", "t.s = 'hit'"), ("delete", None),
+        ],
+    )
+    assert {(r.k, r.s) for r in t2.read(spark).collect()} == {(2, "z")}
