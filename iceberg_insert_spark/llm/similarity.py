@@ -46,6 +46,7 @@ def exact_topk(
     k: int = TOP_K,
     n_probes: int = N_PROBES,
     label_col: str | None = None,
+    cand_filter: str | None = None,
 ) -> DataFrame:
     """THE exact-twin convention, in one place (review catch, r10: a
     second copy in vecindex desynchronizes the baselines the recall
@@ -53,11 +54,18 @@ def exact_topk(
     of the first ``n_probes`` vectors of an (vec_id, embedding[,
     label]) frame. Probes broadcast against the candidate scan;
     ordering on the ROUNDED similarity tie-broken by cand_id, so the
-    cut is deterministic cross-engine and cross-caller."""
+    cut is deterministic cross-engine and cross-caller.
+
+    ``cand_filter`` (r12, filtered ANN's exact twin): a SQL predicate
+    restricting the CANDIDATE space only — probes stay unfiltered,
+    mirroring query_vector_index(where=...)'s contract (the query set
+    is the caller's; the searched subspace filters)."""
     probes = emb.filter(F.col("vec_id") < n_probes).select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("pe"),
     )
+    if cand_filter is not None:
+        emb = emb.filter(F.expr(cand_filter))
     cand_cols = [
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("ce"),

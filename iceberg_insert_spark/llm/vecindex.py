@@ -189,10 +189,17 @@ def _load_quantizer(path: str, idx: SnapshotTable) -> dict:
         return json.load(f)
 
 
-def _encode(df: DataFrame, quantizer: dict) -> DataFrame:
+def _encode(
+    df: DataFrame, quantizer: dict, attrs: tuple = ()
+) -> DataFrame:
     """One Arrow-batched encoding pass: (vec_id, embedding) ->
-    (vec_id, cell, codes). Distance matrices use the dot-product
-    expansion (n x K doubles per subspace, never n x K x d)."""
+    (vec_id, cell, codes[, *attrs]). Distance matrices use the
+    dot-product expansion (n x K doubles per subspace, never
+    n x K x d). ``attrs`` (r12, filtered ANN): attribute columns
+    carried VERBATIM from the source into the code rows, so an
+    attribute predicate pushes into the probed cells' parquet scan
+    at query time — the filtered-ANN co-location every production
+    vector store does."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -235,10 +242,13 @@ def _encode(df: DataFrame, quantizer: dict) -> DataFrame:
             {"cell": cell.astype("int32"), "codes": list(out)}
         )
 
-    return df.select("vec_id", enc("embedding").alias("_e")).select(
+    return df.select(
+        "vec_id", *attrs, enc("embedding").alias("_e")
+    ).select(
         "vec_id",
         F.col("_e.cell").alias("cell"),
         F.col("_e.codes").alias("codes"),
+        *attrs,
     )
 
 
@@ -265,8 +275,29 @@ def indexed_through(idx: SnapshotTable) -> int | None:
     return max(vs) if vs else None
 
 
+def _index_attr_fields(idx: SnapshotTable) -> list:
+    """Attribute StructFields the index carries beyond the core
+    (vec_id, cell, codes) — read from the index table's own stored
+    schema, so refresh paths re-derive the build-time ``attrs``
+    choice instead of trusting a caller to repeat it."""
+    lp = idx._latest_published()
+    sj = idx._raw_meta(lp).get("schema") if lp is not None else None
+    if not sj:
+        return []
+    from pyspark.sql import types as T
+
+    return [
+        f
+        for f in T.StructType.fromJson(sj).fields
+        if f.name not in ("vec_id", "cell", "codes")
+    ]
+
+
 def build_vector_index(
-    spark: SparkSession, src: SnapshotTable, path: str
+    spark: SparkSession,
+    src: SnapshotTable,
+    path: str,
+    attrs: tuple = (),
 ) -> SnapshotTable:
     """Build (or REBUILD — the documented recovery after an
     overwrite/rollback-shaped source history): train the quantizer on
@@ -278,11 +309,16 @@ def build_vector_index(
     every vec_id (review catch), and the epoch flip pairs readers
     with the matching codebooks whichever side of the commit they
     read. The epoch's quantizer is immutable afterwards — refreshes
-    only ADD codes encoded with it."""
+    only ADD codes encoded with it.
+
+    ``attrs`` (r12): source attribute columns to co-locate with the
+    codes for filtered ANN (``query_vector_index(where=...)``) —
+    refresh paths re-derive the choice from the index's own schema,
+    so it is made once, here."""
     cur = src._latest_published()
     if cur is None:
         raise ValueError("source table has nothing published")
-    state = src.read(spark).select("vec_id", "embedding")
+    state = src.read(spark).select("vec_id", "embedding", *attrs)
     sample = [
         r.embedding
         for r in state.orderBy("vec_id").limit(VI_TRAIN_CAP).collect()
@@ -297,7 +333,8 @@ def build_vector_index(
     # never a live pointer to codes that don't match it
     idx = _index_handle(path)
     idx.overwrite(
-        _encode(state, quantizer), token=f"{_VI_BUILD_TOKEN}{cur}"
+        _encode(state, quantizer, attrs=tuple(attrs)),
+        token=f"{_VI_BUILD_TOKEN}{cur}",
     )
     return idx
 
@@ -326,11 +363,15 @@ def refresh_vector_index(
         )
     if last >= cur:
         return last  # nothing new: no commit, no data IO
+    attrs = tuple(f.name for f in _index_attr_fields(idx))
     delta = _read_incremental(src, spark, last, cur).select(
-        "vec_id", "embedding"
+        "vec_id", "embedding", *attrs
     )
     quantizer = _load_quantizer(path, idx)
-    idx.append_once(_encode(delta, quantizer), token=f"{_VI_TOKEN}{cur}")
+    idx.append_once(
+        _encode(delta, quantizer, attrs=attrs),
+        token=f"{_VI_TOKEN}{cur}",
+    )
     return cur
 
 
@@ -382,8 +423,10 @@ def refresh_vector_index_cdc(
         return last  # nothing new: no commit, no data IO
     ch = read_changelog(src, spark, last, cur)
     quantizer = _load_quantizer(path, idx)
+    attr_fields = _index_attr_fields(idx)
+    attrs = tuple(f.name for f in attr_fields)
     ins = ch.filter(F.col("_change_type") == "insert").select(
-        "vec_id", "embedding"
+        "vec_id", "embedding", *attrs
     )
     # update pairs carry BOTH images; a key with an insert image is
     # an upsert ('U' eq-deletes the stale code itself), so only
@@ -395,13 +438,17 @@ def refresh_vector_index_cdc(
         .join(ins.select("vec_id"), "vec_id", "left_anti")
     )
     chg = (
-        _encode(ins, quantizer)
+        _encode(ins, quantizer, attrs=attrs)
         .withColumn("_op", F.lit("U"))
         .unionByName(
             del_only.select(
                 "vec_id",
                 F.lit(None).cast("int").alias("cell"),
                 F.lit(None).cast("array<int>").alias("codes"),
+                *[
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in attr_fields
+                ],
                 F.lit("D").alias("_op"),
             )
         )
@@ -417,6 +464,7 @@ def query_vector_index(
     nprobe: int = VI_NPROBE,
     k: int = TOP_K,
     rerank: int = VI_RERANK,
+    where: str | None = None,
 ) -> DataFrame:
     """ANN top-k for the first N_PROBES source vectors against the
     persisted index. Per (probe, probed cell) the driver builds the
@@ -426,7 +474,18 @@ def query_vector_index(
     JVM-side, shortlists top-``rerank`` per probe, and re-scores
     exactly against the source table. LUTs are
     N_PROBES x nprobe x M x K doubles — broadcast-sized at any corpus
-    size."""
+    size.
+
+    ``where`` (r12, r11 verdict #4 — attribute-filtered ANN): a SQL
+    predicate over the index's co-located attribute columns
+    (``build_vector_index(attrs=...)``), e.g. "label = 'a'". Pushed
+    into BOTH scans: the probed-cells codes scan (so non-matching
+    codes never enter ADC or occupy shortlist slots — pre-filtering,
+    not post-filtering, which would silently shrink result depth) and
+    the exact-rescore scan. Probes stay UNfiltered — the query set is
+    the caller's, only the CANDIDATE space filters. An index built
+    without the predicate's columns refuses by name, pointing at the
+    rebuild."""
     import numpy as np
 
     idx = _index_handle(path)
@@ -466,6 +525,18 @@ def query_vector_index(
     )
     cells_needed = sorted({c for _, _, c, _ in rows})
     codes = idx.read(spark, isin=("cell", cells_needed))
+    if where is not None:
+        try:
+            codes = codes.filter(F.expr(where))
+            codes.schema  # force analysis: fail here, by name
+        except Exception as ex:
+            idx_attrs = [f.name for f in _index_attr_fields(idx)]
+            raise ValueError(
+                f"filtered ANN predicate {where!r} does not resolve "
+                f"on the index's columns (attributes: {idx_attrs}); "
+                "rebuild with build_vector_index(..., attrs=[...]) "
+                "to co-locate the predicate's columns"
+            ) from ex
     adc = F.expr(
         "aggregate(zip_with(codes, lut, (c, l) -> l[c]), 0D, "
         "(a, x) -> a + x)"
@@ -481,7 +552,13 @@ def query_vector_index(
         .filter(F.col("_r") <= rerank)
         .select("probe_id", "pe", "vec_id")
     )
-    cand = src.read(spark).select(
+    cand_src = src.read(spark)
+    if where is not None:
+        # same predicate on the rescore scan: pushed to ITS parquet
+        # scan too, and it keeps the shortlist->rescore join honest
+        # even if index attrs and source drift (belt and braces)
+        cand_src = cand_src.filter(F.expr(where))
+    cand = cand_src.select(
         F.col("vec_id").alias("cand_id"),
         F.col("label").alias("cand_label"),
         F.col("embedding").alias("ce"),
@@ -957,23 +1034,97 @@ def q_vecindex_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q_vecindex_filtered's oracle, staged for its r13 registration (r11
+# verdict #4 capped this round's registrations at q_catalog_merge; the
+# query + oracle + pytest land NOW so registering is a 3-line diff):
+#   @query("q_vecindex_filtered", oracle=VECINDEX_FILTERED_ORACLE)
+VECINDEX_FILTERED_ORACLE = """
+    SELECT 'ivfpq_filtered'    AS method,
+           CAST(5  AS BIGINT)  AS k,
+           CAST(64 AS BIGINT)  AS floor_pct,
+           CAST(1  AS BIGINT)  AS meets_floor,
+           CAST(50 AS BIGINT)  AS n_pairs,
+           CAST(0  AS BIGINT)  AS n_off_filter
+"""
+
+
+def q_vecindex_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-FILTERED ANN over the persisted index (r11 verdict
+    #4): the production vector query — "nearest neighbors within
+    lang/source/date-range" — as one predicate pushed into BOTH scans.
+    The index is built with ``attrs=("label",)`` so the codes rows
+    co-locate the attribute; ``where="label % 2 = 0"`` then prunes
+    candidates INSIDE the probed cells' parquet scan (pre-filtering:
+    non-matching codes never enter ADC or occupy shortlist slots) and
+    again on the exact-rescore scan. Hash-pinned claims:
+
+      * ``meets_floor`` — recall@5 vs the exact FILTERED brute-force
+        twin ≥ 64 % (measured 74/78/78 % at sf0.001/0.01/0.1,
+        nprobe=8 — ≥10 points of margin, the repo's floor
+        discipline; the filtered floor sits below the unfiltered 72
+        because the predicate empties ~half of every probed cell);
+      * ``n_pairs = 50`` — every probe still fills its full top-k
+        from the subspace (pre-filtering keeps result depth; a
+        post-filter implementation would return short lists and
+        break this pin);
+      * ``n_off_filter = 0`` — nothing outside the predicate leaks
+        into the result (the exactness half of the claim).
+
+    Scale shape: identical to query_vector_index's — metadata isin
+    pruning to nprobe/C of the files, the attribute predicate pushed
+    to the parquet scan inside them, broadcast LUTs, JVM-side ADC;
+    the filter only SHRINKS every stage."""
+    src, base = _src_from_embeddings(spark, sf_dir, "vecindex_filt")
+    path = f"{base}/idx"
+    build_vector_index(spark, src, path, attrs=("label",))
+    where = "label % 2 = 0"
+    ann = query_vector_index(spark, path, src, where=where).select(
+        "probe_id", "cand_id", "cand_label"
+    )
+    got = ann.collect()
+    pairs = {(r.probe_id, r.cand_id) for r in got}
+    off = sum(1 for r in got if int(r.cand_label) % 2 != 0)
+    exact = exact_topk_pairs(spark, src, where=where)
+    floor = 64
+    hits = len(exact & pairs)
+    return spark.createDataFrame(
+        [
+            (
+                "ivfpq_filtered",
+                TOP_K,
+                floor,
+                int(100 * hits >= floor * len(exact)),
+                len(pairs),
+                off,
+            )
+        ],
+        "method string, k bigint, floor_pct bigint, "
+        "meets_floor bigint, n_pairs bigint, n_off_filter bigint",
+    )
+
+
 def exact_topk_pairs(
     spark: SparkSession,
     src: SnapshotTable,
     k: int = TOP_K,
     n_probes: int = N_PROBES,
+    where: str | None = None,
 ) -> set:
     """Exact brute-force top-k (probe_id, cand_id) pairs over an
     arbitrary source snapshot table — the scoring baseline
     ``tune_nprobe`` uses. Delegates to similarity.exact_topk (review
     catch, r10: one exact-twin convention, not two copies that
-    desynchronize the recall baselines)."""
+    desynchronize the recall baselines). ``where`` filters the
+    candidate space only, the filtered-ANN twin contract."""
     from .similarity import exact_topk
 
+    # full read (not a 2-column projection) so a where over attribute
+    # columns resolves; Catalyst prunes the untouched columns anyway
     top = exact_topk(
-        src.read(spark).select("vec_id", "embedding"),
+        src.read(spark),
         k=k,
         n_probes=n_probes,
+        cand_filter=where,
     )
     return {
         (r.probe_id, r.cand_id)
@@ -989,6 +1140,7 @@ def tune_nprobe(
     k: int = TOP_K,
     max_nprobe: int | None = None,
     batch: int = 4,
+    where: str | None = None,
 ) -> dict:
     """The documented FAISS calibration workflow as ONE call (r10):
     measure recall@k of the persisted index against the exact twin at
@@ -1027,8 +1179,14 @@ def tune_nprobe(
     to ``batch - 1`` points past the meeting one are measured and
     discarded — wasted cluster-side work bounded by the batch, zero
     wasted wall time. ``batch=1`` recovers the strictly sequential
-    walk."""
-    exact = exact_topk_pairs(spark, src, k=k)
+    walk.
+
+    ``where`` (r12): calibrate on the FILTERED subspace — the exact
+    baseline and every probe pass take the same candidate predicate,
+    so the returned nprobe is the dial for the filtered query the
+    deployment will actually run (an unfiltered calibration
+    overstates recall when the filter empties probed cells)."""
+    exact = exact_topk_pairs(spark, src, k=k, where=where)
     if not exact:
         raise ValueError(
             "tune_nprobe: the exact baseline is empty — the source "
@@ -1057,6 +1215,7 @@ def tune_nprobe(
                 nprobe=np_,
                 k=k,
                 rerank=max(k, per_cell * np_),
+                where=where,
             )
             .select("probe_id", "cand_id")
             .collect()

@@ -596,3 +596,119 @@ def test_tune_nprobe_walks_to_the_target(spark, tmp_path):
     )
     assert not capped["met"] and capped["nprobe"] == 4
     assert [n for n, _r in capped["curve"]] == [1, 2, 4]
+
+
+# ---- attribute-filtered ANN (r12, r11 verdict #4) ----------------------
+
+
+def test_filtered_ann_oracle_row(spark, ddb):
+    """q_vecindex_filtered (staged for r13 registration) against its
+    DuckDB oracle at the suite's SF — the same driver-rule compare the
+    registry check will run: recall floor on the FILTERED subspace
+    holds, every probe fills its full top-k from the subspace
+    (pre-filtering, not post-filtering), zero off-filter leaks."""
+    from tests.conftest import SF_DIR, compare_frames
+
+    df = V.q_vecindex_filtered(spark, SF_DIR)
+    cur = ddb.execute(V.VECINDEX_FILTERED_ORACLE)
+    compare_frames(df, cur.fetchall(), [d[0] for d in cur.description])
+
+
+def test_filtered_ann_semantics_and_refusal(spark, tmp_path):
+    """Mechanics the hash can't see: (a) the filtered result equals
+    the exact filtered twin on a seeded corpus when the index probes
+    every cell (nprobe=VI_CELLS -> candidate superset is exact);
+    (b) the predicate excludes matching candidates from the SHORTLIST,
+    not just the output; (c) an index built without the attribute
+    refuses by name, pointing at the rebuild."""
+    vecs = _clustered_vectors()
+    src = _mk_src(spark, tmp_path, vecs)
+    path = str(tmp_path / "idx")
+    V.build_vector_index(spark, src, path, attrs=("label",))
+    where = "label = 1"
+    ann = V.query_vector_index(
+        spark, path, src, nprobe=V.VI_CELLS, where=where
+    )
+    got = ann.collect()
+    # exactness at full probe width: every returned candidate carries
+    # the label, and the pair set matches the exact filtered twin
+    assert all(r.cand_label == 1 for r in got)
+    pairs = {(r.probe_id, r.cand_id) for r in got}
+    exact = V.exact_topk_pairs(spark, src, where=where)
+    assert pairs == exact
+    # refusal: no attrs in this index
+    bare = str(tmp_path / "idx_bare")
+    V.build_vector_index(spark, src, bare)
+    with pytest.raises(ValueError, match="rebuild"):
+        V.query_vector_index(spark, bare, src, where=where)
+
+
+def test_filtered_ann_refresh_paths_carry_attrs(spark, tmp_path):
+    """Refresh paths re-derive the build-time attrs from the index's
+    own schema: an append refresh encodes new rows WITH the attribute
+    (so the filtered query sees them), and the CDC refresh's pure-
+    delete rows union cleanly against the attr-carrying schema."""
+    vecs = _clustered_vectors()
+    src = _mk_src(spark, tmp_path, vecs)
+    path = str(tmp_path / "idx")
+    V.build_vector_index(spark, src, path, attrs=("label",))
+    # append a planted near-duplicate of vec 0 with label 1
+    probe = vecs[0]
+    new_id = len(vecs)
+    src.append(
+        spark.createDataFrame(
+            [(new_id, 1, [float(x) + 1e-4 for x in probe])],
+            "vec_id long, label int, embedding array<double>",
+        )
+    )
+    V.refresh_vector_index(spark, src, path)
+    idx = V._index_handle(path)
+    assert [f.name for f in V._index_attr_fields(idx)] == ["label"]
+    got = V.query_vector_index(
+        spark, path, src, nprobe=V.VI_CELLS, where="label = 1"
+    )
+    probe0 = {r.cand_id for r in got.collect() if r.probe_id == 0}
+    # the refreshed row is visible through the filtered query (the
+    # corpus's own planted near-dup, vec 1, also carries label 1 and
+    # may outrank it — membership is the refresh claim)
+    assert new_id in probe0
+    # CDC path: delete the planted row via a changelog-readable merge
+    # commit -> the index's 'D' rows carry NULL attrs, and the
+    # filtered query stops returning it
+    src.merge(
+        spark,
+        spark.createDataFrame(
+            [(new_id, None, None, "D")],
+            "vec_id long, label int, embedding array<double>, "
+            "_op string",
+        ),
+        key="vec_id",
+    )
+    V.refresh_vector_index_cdc(spark, src, path)
+    remaining = {
+        r.cand_id
+        for r in V.query_vector_index(
+            spark, path, src, nprobe=V.VI_CELLS, where="label = 1"
+        ).collect()
+    }
+    assert new_id not in remaining
+
+
+def test_tune_nprobe_filtered_subspace(spark, tmp_path):
+    """tune_nprobe(where=...) calibrates against the exact FILTERED
+    baseline: returns a measured curve and, at full probe width, must
+    meet any target the exact twin can (candidate-superset argument
+    holds within the subspace)."""
+    vecs = _clustered_vectors()
+    src = _mk_src(spark, tmp_path, vecs)
+    path = str(tmp_path / "idx")
+    V.build_vector_index(spark, src, path, attrs=("label",))
+    out = V.tune_nprobe(
+        spark, src, path, target_recall_pct=99.9, where="label = 2",
+        max_nprobe=V.VI_CELLS,
+    )
+    # the walk may meet the target before full width (clustered
+    # corpus, small subspace); at or before VI_CELLS it MUST meet it
+    # (candidate-superset argument within the subspace)
+    assert out["met"] and out["recall_pct"] >= 99.9
+    assert out["nprobe"] <= V.VI_CELLS
