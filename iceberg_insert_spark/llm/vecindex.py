@@ -579,6 +579,94 @@ def query_vector_index(
     )
 
 
+def _shared_index_fixture(
+    spark: SparkSession, sf_dir: str, flt_sql: str | None = None
+) -> tuple[SnapshotTable, str]:
+    """CONTENT-KEYED shared (src table, built index) fixture for the
+    read-only benchmark queries (r11 verdict #6: the top bench tier
+    was five from-scratch builds of the same frozen index; the
+    queries' claims are about the FROZEN index, not about building it
+    five times). Key = sha256(embeddings parquet bytes, this module's
+    source, the VI_* config): any corpus change, encoder change, or
+    config change misses and rebuilds — the result_cache idiom
+    (content IS the invalidation), applied to the index artifact.
+
+    Immutable after publish: built under a tmp dir, renamed into the
+    keyed path atomically; concurrent builders race safely (first
+    rename wins, losers discard and read the winner's). No
+    applicationId in the path ON PURPOSE — cross-process reuse is the
+    point (the driver's bench and correctness processes both hit it),
+    and immutability makes that safe where scratch_dir's per-session
+    wipe would not be. MUTATING queries (incremental, CDC) keep their
+    private scratch fixtures."""
+    import hashlib
+    import shutil
+    import threading
+
+    h = hashlib.sha256()
+    src_file = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isdir(src_file):
+        for f in sorted(os.listdir(src_file)):
+            p = os.path.join(src_file, f)
+            h.update(f.encode())
+            h.update(str(os.path.getsize(p)).encode())
+    else:
+        with open(src_file, "rb") as fh:
+            h.update(fh.read())
+    with open(__file__.rstrip("c"), "rb") as fh:
+        h.update(fh.read())
+    h.update(
+        json.dumps(
+            [VI_CELLS, VI_PQ_M, VI_PQ_K, VI_TRAIN_CAP, flt_sql]
+        ).encode()
+    )
+    digest = h.hexdigest()[:16]
+    import re as _re
+
+    tag = _re.sub(r"\W", "_", sf_dir.rstrip("/").split("/")[-1])
+    root = f"/tmp/iceberg_insert_spark/vecindex_shared/{tag}/{digest}"
+    if not os.path.isdir(root):
+        tmp = f"{root}.tmp-{os.getpid()}-{threading.get_ident()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        src_t = SnapshotTable(f"{tmp}/src")
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", "embedding"
+        )
+        if flt_sql is not None:
+            emb = emb.filter(F.expr(flt_sql))
+        src_t.append(emb)
+        build_vector_index(spark, src_t, f"{tmp}/idx")
+        os.makedirs(os.path.dirname(root), exist_ok=True)
+        try:
+            os.rename(tmp, root)
+        except OSError:
+            # another process published first: theirs is identical
+            # (deterministic seeded build over the same content key)
+            shutil.rmtree(tmp, ignore_errors=True)
+    return SnapshotTable(f"{root}/src"), f"{root}/idx"
+
+
+def _cloned_index_fixture(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    flt_sql: str | None = None,
+) -> tuple[SnapshotTable, str]:
+    """Private MUTABLE copy of the shared fixture for queries that
+    churn the source/index (incremental refresh, CDC): copytree the
+    immutable artifact into this query's scratch dir — a file copy of
+    a KB-scale table instead of a 2-3 s train+encode+commit rebuild
+    (r11 verdict #6). The copy starts bit-identical to a private
+    build (the shared-fixture pytest pins that), so nothing a query
+    observes changes; the shared artifact itself is never written."""
+    import shutil
+
+    src, idx_path = _shared_index_fixture(spark, sf_dir, flt_sql)
+    base = scratch_dir(spark, sf_dir, name)  # rmtree'd fresh path
+    shutil.copytree(os.path.dirname(idx_path), base)
+    return SnapshotTable(f"{base}/src"), f"{base}/idx"
+
+
 def _src_from_embeddings(
     spark: SparkSession, sf_dir: str, name: str, flt=None
 ) -> tuple[SnapshotTable, str]:
@@ -605,10 +693,12 @@ def q_sim_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a CHECKED claim: q_vecindex_recall's floor (r9 verdict #5 moved
     it here from q_sim_ann_recall, next to the build it measures).
     Rows-only here (candidate generation is approximate by design; the
-    recall query is the correctness statement)."""
-    src, base = _src_from_embeddings(spark, sf_dir, "sim_ivfpq")
-    build_vector_index(spark, src, f"{base}/idx")
-    return query_vector_index(spark, f"{base}/idx", src)
+    recall query is the correctness statement). Serves from the
+    content-keyed shared fixture (r12): the claim is about the frozen
+    index, which the fixture builds once per (corpus, encoder,
+    config) key."""
+    src, idx_path = _shared_index_fixture(spark, sf_dir)
+    return query_vector_index(spark, idx_path, src)
 
 
 @query(
@@ -637,15 +727,16 @@ def q_vecindex_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: identical to q_sim_ann_recall's — the exact twin is
     a bounded broadcast probe scan, so this measurement calibrates an
-    index of ANY size from a sample table (the FAISS workflow)."""
+    index of ANY size from a sample table (the FAISS workflow).
+    Serves from the content-keyed shared fixture (r12, r11 verdict
+    #6): one deterministic build per (corpus, encoder, config) key —
+    the floor is a claim about the frozen index, not the build."""
     from .similarity import (
         ANN_RECALL_FLOORS,
         _exact_knn_pairs,
     )
 
-    src, base = _src_from_embeddings(spark, sf_dir, "vecindex_recall")
-    idx_path = f"{base}/idx"
-    build_vector_index(spark, src, idx_path)
+    src, idx_path = _shared_index_fixture(spark, sf_dir)
     ann = {
         (r.probe_id, r.cand_id)
         for r in query_vector_index(spark, idx_path, src)
@@ -769,11 +860,14 @@ def q_vecindex_incremental(
         refresh (called again below) found its token and no-opped
         (exactly-once: a third snapshot would break the hash).
     """
-    src, base = _src_from_embeddings(
-        spark, sf_dir, "vecindex_incr", flt=F.col("vec_id") % 5 != 0
+    # bootstrap state (subset corpus + its built index) clones from
+    # the content-keyed shared fixture (r12): the query's claims start
+    # at the append below, and the clone is bit-identical to a
+    # private build
+    src, path = _cloned_index_fixture(
+        spark, sf_dir, "vecindex_incr", "vec_id % 5 != 0"
     )
-    path = f"{base}/idx"
-    idx = build_vector_index(spark, src, path)
+    idx = _index_handle(path)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding"
     )
@@ -872,11 +966,10 @@ def q_vecindex_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # trim, second half: every pinned count scales with the slice on
     # both engines, and none of the claims — bit-identity, delete
     # visibility, replay no-op — depends on corpus size)
-    src, base = _src_from_embeddings(
-        spark, sf_dir, "vecindex_cdc", flt=F.col("vec_id") % 2 == 0
+    src, path = _cloned_index_fixture(
+        spark, sf_dir, "vecindex_cdc", "vec_id % 2 = 0"
     )
-    path = f"{base}/idx"
-    idx = build_vector_index(spark, src, path)
+    idx = _index_handle(path)
     state = src.read(spark)
     upd = (
         state.filter(F.col("vec_id") % 7 == 0)
@@ -1003,10 +1096,10 @@ def q_vecindex_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
     each walk point reads nprobe/C of the index's files via metadata
     pruning — a deployment calibrates an index of ANY size from a
     sample table; the batch evaluation keeps the wall time at ~one
-    probe pass."""
-    src, base = _src_from_embeddings(spark, sf_dir, "vecindex_tune")
-    path = f"{base}/idx"
-    build_vector_index(spark, src, path)
+    probe pass. Serves from the content-keyed shared fixture (r12,
+    r11 verdict #6): the walk measures the FROZEN index, so one
+    deterministic build serves recall and tune alike."""
+    src, path = _shared_index_fixture(spark, sf_dir)
     out = tune_nprobe(spark, src, path, target_recall_pct=75.0)
     curve = out["curve"]
     first_meeting = int(

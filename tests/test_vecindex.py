@@ -712,3 +712,39 @@ def test_tune_nprobe_filtered_subspace(spark, tmp_path):
     # (candidate-superset argument within the subspace)
     assert out["met"] and out["recall_pct"] >= 99.9
     assert out["nprobe"] <= V.VI_CELLS
+
+
+def test_shared_fixture_reuses_and_matches_private_build(spark):
+    """The content-keyed shared fixture (r12): (a) a second call
+    serves the SAME published artifact without rebuilding (the index
+    table's snapshot set is unchanged); (b) the served codes are
+    bit-identical to a private from-scratch build over the same
+    corpus (deterministic seeded build — sharing changes nothing a
+    query can observe)."""
+    import shutil
+
+    from tests.conftest import SF_DIR
+
+    src1, idx1 = V._shared_index_fixture(spark, SF_DIR)
+    handle = V._index_handle(idx1)
+    snaps_before = handle.snapshots()
+    src2, idx2 = V._shared_index_fixture(spark, SF_DIR)
+    assert idx2 == idx1
+    assert V._index_handle(idx2).snapshots() == snaps_before
+    # bit-identity vs a private build (fresh scratch, same corpus)
+    priv_src, priv_base = V._src_from_embeddings(
+        spark, SF_DIR, "vf_private_twin"
+    )
+    V.build_vector_index(spark, priv_src, f"{priv_base}/idx")
+    a = {
+        (r.vec_id, r.cell, tuple(r.codes))
+        for r in V._index_handle(idx1).read(spark).collect()
+    }
+    b = {
+        (r.vec_id, r.cell, tuple(r.codes))
+        for r in V._index_handle(f"{priv_base}/idx")
+        .read(spark)
+        .collect()
+    }
+    assert a == b
+    shutil.rmtree(priv_base, ignore_errors=True)
