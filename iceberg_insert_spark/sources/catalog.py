@@ -41,6 +41,16 @@ from ..tables import exact_sum, load_table, scratch_dir
 from .snapshots import SnapshotTable
 from .snapshots.errors import CommitConflict
 
+
+def _strip_mv_hidden(df: DataFrame) -> DataFrame:
+    """Drop the incremental-MV support columns (``__iis_mv_*``,
+    mv_incremental.py) from a storage-table read: they are maintenance
+    state, not part of the view's declared schema — every catalog read
+    path serves exactly the definition's columns whether storage is
+    augmented or plain."""
+    hid = [c for c in df.columns if c.startswith("__iis_mv_")]
+    return df.drop(*hid) if hid else df
+
 _IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
@@ -866,9 +876,11 @@ class LocalCatalog:
                             _resolving | {ref},
                         )
                     else:
-                        df = self.load_table(
-                            views[ref]["storage"]
-                        ).read(spark)
+                        df = _strip_mv_hidden(
+                            self.load_table(
+                                views[ref]["storage"]
+                            ).read(spark)
+                        )
                 else:
                     df = self.sql(
                         spark,
@@ -1430,6 +1442,16 @@ class LocalCatalog:
             return self.sql_vacuum(sql)
         if verb == "ANALYZE":
             return self.sql_analyze(sql)
+        if verb == "REFRESH":
+            m = self._REFRESH_RE.match(sql)
+            if not m:
+                raise ValueError(
+                    "expected 'REFRESH {{namespace.view}} "
+                    "[FULL | INCREMENTAL | AUTO]'"
+                )
+            return self.refresh_materialized(
+                spark, m.group(1), mode=(m.group(2) or "auto").lower()
+            )
         if verb == "EXPLAIN":
             rest = sql.split(None, 1)
             if len(rest) < 2 or not rest[1].strip():
@@ -1471,6 +1493,14 @@ class LocalCatalog:
     _VACUUM_RE = re.compile(
         r"^\s*VACUUM\s+\{\{\s*([A-Za-z_][\w.]*)\s*\}\}"
         r"(?:\s+GRACE\s+(\d+(?:\.\d+)?))?\s*$",
+        re.IGNORECASE,
+    )
+    # REFRESH {{ns.view}} [FULL | INCREMENTAL | AUTO] — MV refresh as
+    # console SQL; AUTO (the default) maintains incrementally when the
+    # definition is eligible (mv_incremental.py), else recomputes
+    _REFRESH_RE = re.compile(
+        r"^\s*REFRESH\s+\{\{\s*([A-Za-z_][\w.]*)\s*\}\}"
+        r"(?:\s+(FULL|INCREMENTAL|AUTO))?\s*$",
         re.IGNORECASE,
     )
 
@@ -1704,7 +1734,7 @@ class LocalCatalog:
                         )
                     )
                 elif txn is not None and verb in (
-                    "ALTER", "ANALYZE", "EXPIRE", "VACUUM",
+                    "ALTER", "ANALYZE", "EXPIRE", "VACUUM", "REFRESH",
                 ):
                     # These verbs commit IMMEDIATELY through their own
                     # paths — running one inside BEGIN would silently
@@ -2769,20 +2799,65 @@ class LocalCatalog:
             return True
         return fresh["deps"] != self._dep_versions(ident)
 
-    def refresh_materialized(self, spark: SparkSession, ident: str) -> dict:
-        """Recompute the definition and overwrite the storage table as
-        ONE snapshot, recording the dependency snapshot versions the
-        result was computed FROM (the spec's lineage record). The
-        dependency versions are captured BEFORE the compute: a source
-        commit racing the refresh leaves the MV marked stale rather
-        than silently-fresh-but-wrong."""
+    def refresh_materialized(
+        self, spark: SparkSession, ident: str, mode: str = "full"
+    ) -> dict:
+        """Refresh the MV's storage table and record the dependency
+        snapshot versions the result was computed FROM (the spec's
+        lineage record). ``mode``:
+
+        * ``"full"`` (default) — recompute the definition and
+          overwrite storage as ONE snapshot, any definition;
+        * ``"incremental"`` — maintain storage from the base table's
+          CDC changelog since the last refresh (O(churn), the
+          mv_incremental module's contract); raises
+          :class:`~.mv_incremental.MVNotIncremental` if the
+          definition is outside the maintainable fragment. First
+          refresh bootstraps full (with the hidden support columns);
+          ranges the changelog cannot represent fall back to full —
+          the returned ``mode`` says which path ran;
+        * ``"auto"`` — incremental when the definition is eligible,
+          plain full otherwise (the console ``REFRESH`` default).
+
+        Returns ``{"mode": ..., "deps": ...}`` (incremental adds
+        ``from``/``to``; fallbacks add ``reason``). Dependency
+        versions are captured BEFORE the compute in every mode: a
+        source commit racing the refresh leaves the MV marked stale
+        rather than silently-fresh-but-wrong."""
+        if mode not in ("full", "incremental", "auto"):
+            raise ValueError(
+                f"mode must be full | incremental | auto, got {mode!r}"
+            )
+        if mode == "full":
+            return self._refresh_full(spark, ident)
+        from . import mv_incremental as _ivm
+
+        return _ivm.refresh(self, spark, ident, strict=mode == "incremental")
+
+    def _refresh_full(
+        self,
+        spark: SparkSession,
+        ident: str,
+        plan=None,
+        reason: str | None = None,
+    ) -> dict:
+        """Full-recompute refresh body. With ``plan`` (an eligible
+        :class:`~.mv_incremental.MVPlan`) the storage write carries the
+        hidden incremental-maintenance support columns so later
+        refreshes can run O(churn); without it, the plain visible-only
+        write (exact prior behavior)."""
         ent0 = self._view_entry(ident)
         # definition version captured WITH deps before the compute
         # (review catch: read after it, a concurrent replace makes
         # old-SQL storage report as fresh for the NEW definition)
         defn_v = len(ent0["versions"])
         deps = self._dep_versions(ident)
-        df = self.read_view(spark, ident, version=defn_v)
+        if plan is None:
+            df = self.read_view(spark, ident, version=defn_v)
+        else:
+            from . import mv_incremental as _ivm
+
+            df = _ivm.augmented_aggregate(self, spark, plan)
         self.load_table(ent0["storage"]).overwrite(df)
         with self._lock():
             reg = self._read()
@@ -2791,9 +2866,20 @@ class LocalCatalog:
                 "deps": deps,
                 "version": defn_v,
                 "refreshed_ts": time.time(),
+                "augmented": plan is not None,
             }
             self._write(reg)
-        return deps
+        out = {
+            "mode": (
+                "full"
+                if plan is None
+                else ("full_fallback" if reason else "bootstrap")
+            ),
+            "deps": deps,
+        }
+        if reason:
+            out["reason"] = reason
+        return out
 
     def read_materialized(
         self, spark: SparkSession, ident: str
@@ -2805,7 +2891,10 @@ class LocalCatalog:
         if self.is_stale(ident):
             return self.read_view(spark, ident), False
         storage = self._view_entry(ident)["storage"]
-        return self.load_table(storage).read(spark), True
+        return (
+            _strip_mv_hidden(self.load_table(storage).read(spark)),
+            True,
+        )
 
     def verify(self) -> dict:
         """Catalog fsck — registry-vs-filesystem consistency, the
@@ -3986,6 +4075,79 @@ def q_catalog_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(hit1), int(hit2), int(hit3))],
         "first_from_storage long, stale_from_storage long, "
         "refreshed_from_storage long",
+    )
+    return final.crossJoin(F.broadcast(scalars))
+
+
+# q_catalog_mv_inc's oracle, staged for its r13 registration (the r11
+# verdict capped this round's registrations at q_catalog_merge; the
+# query + oracle + pytest land NOW so registering is a 3-line diff):
+#   @query("q_catalog_mv_inc", oracle=CATALOG_MV_INC_ORACLE)
+CATALOG_MV_INC_ORACLE = """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS cents,
+           'bootstrap'   AS mode1,
+           'incremental' AS mode2,
+           'incremental' AS mode3,
+           CAST(1 AS BIGINT) AS served_from_storage
+    FROM orders
+    WHERE o_orderkey % 4 IN (0, 1) AND o_orderkey % 8 <> 1
+    GROUP BY o_orderstatus
+"""
+
+
+def q_catalog_mv_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MV MAINTENANCE lifecycle (sources/mv_incremental.py),
+    DuckDB-oracled: an aggregate MV bootstraps with hidden support
+    columns (mode 'bootstrap'), an append maintains it from the CDC
+    changelog (mode 'incremental' — O(delta files), the base is never
+    rescanned), then a CDC merge RETRACTS a slice and the counting
+    algebra subtracts it (mode 'incremental' again, SUM/COUNT running
+    backwards). The final read serves from storage (flag 1) with the
+    support columns stripped, and must equal the oracle's plain
+    recomputation over the surviving rows — the IVM claim is exactly
+    that the delta path and the recompute are indistinguishable.
+
+    Scale shape: each refresh reads only the range's delta files plus
+    the MV-sized storage table, and writes O(touched groups) via an
+    equality-delete merge (dml.py:20) — on a 100 TB fact table a
+    refresh after a 1 M-row day costs the day, not the decade. The
+    modes returned by the engine are part of the hashed result, so a
+    silent fallback to full recompute fails the oracle."""
+    root = scratch_dir(spark, sf_dir, "catalog_mv_inc")
+    cat = LocalCatalog(root)
+    cat.create_namespace("gold")
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    src = cat.create_table("gold.orders")
+    src.append(o.filter(k % 4 == 0))
+    cat.create_materialized_view(
+        "gold.by_status",
+        """
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM {{gold.orders}}
+        GROUP BY o_orderstatus
+        """,
+    )
+    m1 = cat.execute(spark, "REFRESH {{gold.by_status}}")["mode"]
+    src.append(o.filter(k % 4 == 1))
+    m2 = cat.execute(spark, "REFRESH {{gold.by_status}} INCREMENTAL")[
+        "mode"
+    ]
+    retract = o.filter(k % 8 == 1).withColumn("_op", F.lit("D"))
+    src.merge(spark, retract, key="o_orderkey", op_col="_op")
+    m3 = cat.execute(spark, "REFRESH {{gold.by_status}} INCREMENTAL")[
+        "mode"
+    ]
+    final, hit = cat.read_materialized(spark, "gold.by_status")
+    scalars = spark.createDataFrame(
+        [(m1, m2, m3, int(hit))],
+        "mode1 string, mode2 string, mode3 string, "
+        "served_from_storage long",
     )
     return final.crossJoin(F.broadcast(scalars))
 

@@ -1,0 +1,465 @@
+"""Incremental materialized-view maintenance (sources/mv_incremental.py):
+the parser's eligibility fence, the counting algebra (bootstrap →
+append delta → retraction via CDC merge → group death → noop), every
+soundness fallback (MIN/MAX over deletes, non-changelog ranges,
+governance changes, definition replace), idempotent replay, and the
+console REFRESH verb."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_insert_spark.sources.catalog import LocalCatalog
+from iceberg_insert_spark.sources.mv_incremental import (
+    MVNotIncremental,
+    parse_mv_plan,
+)
+
+from .conftest import SF_DIR
+
+
+def _orders(spark):
+    return spark.read.parquet(f"{SF_DIR}/orders.parquet")
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+# ------------------------------------------------------------- parser
+
+
+def test_parse_accepts_the_maintainable_fragment():
+    p = parse_mv_plan(
+        """
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS sum_price,
+               COUNT(o_clerk) AS clerks,
+               MIN(o_orderdate) AS first_day
+        FROM {{gold.orders}}
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY o_orderstatus
+        """
+    )
+    assert p.table == "gold.orders"
+    assert p.where.strip() == "o_orderpriority = '1-URGENT'"
+    assert [a.fn for a in p.aggs] == ["COUNT*", "SUM", "COUNT", "MIN"]
+    assert p.order == (
+        "o_orderstatus", "n", "sum_price", "clerks", "first_day",
+    )
+    # the fixed-point wrapper round-trips through the raw column
+    s = dict((a.alias, a) for a in p.aggs)["sum_price"]
+    assert s.final_sql().startswith("CAST(")
+    assert "__iis_mv_agg__sum_price" in s.final_sql()
+
+
+@pytest.mark.parametrize(
+    "sql, why",
+    [
+        ("SELECT a, COUNT(*) AS n FROM {{g.t}} JOIN x GROUP BY a", "JOIN"),
+        ("SELECT a, AVG(b) AS m FROM {{g.t}} GROUP BY a", "AVG"),
+        ("SELECT a, COUNT(DISTINCT b) AS n FROM {{g.t}} GROUP BY a",
+         "DISTINCT"),
+        ("SELECT a, SUM(b) AS s FROM {{g.t}} GROUP BY 1", "positional"),
+        ("SELECT a, SUM(b) AS s FROM {{g.t}} WHERE c IN "
+         "(SELECT d FROM e) GROUP BY a", "fragment"),
+        ("SELECT a, SUM(b) AS s, SUM(c) + SUM(d) AS t FROM {{g.t}} "
+         "GROUP BY a", "one aggregate"),
+        ("SELECT a, SUM(b) FROM {{g.t}} GROUP BY a", "alias"),
+        ("SELECT a FROM {{g.t}} GROUP BY a", "key-only"),
+        ("SELECT a, b, SUM(c) AS s FROM {{g.t}} GROUP BY a",
+         "GROUP BY"),
+        ("SELECT a, SUM(b) AS s FROM {{g.t@3}} GROUP BY a", "pinned"),
+        ("SELECT a, SUM(b) AS s FROM {{g.t}} WHERE x < RAND() "
+         "GROUP BY a", "ondeterministic"),
+        ("SELECT t.a AS a, SUM(u.b) AS s FROM {{g.t}} t, {{g.u}} u "
+         "GROUP BY t.a", "one"),
+        ("SELECT * FROM {{g.t}} GROUP BY a", "SELECT \\*"),
+    ],
+)
+def test_parse_refuses_outside_the_fragment(sql, why):
+    with pytest.raises(MVNotIncremental, match=why):
+        parse_mv_plan(sql)
+
+
+def test_parse_keyword_inside_string_literal_is_not_forbidden():
+    # 'JOINED' appearing in a literal must not trip the JOIN fence,
+    # and the literal must survive the span slicing intact
+    p = parse_mv_plan(
+        "SELECT a, COUNT(*) AS n FROM {{g.t}} "
+        "WHERE label = 'JOINED UNION DISTINCT' GROUP BY a"
+    )
+    assert p.where == "label = 'JOINED UNION DISTINCT'"
+
+
+# --------------------------------------------------- the counting core
+
+
+MV_SQL = """
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM {{g.orders}}
+    GROUP BY o_orderstatus
+"""
+
+
+def _expected(src_df):
+    return src_df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")
+        ).alias("cents"),
+    )
+
+
+def test_bootstrap_then_append_then_retract_then_noop(spark, tmp_path):
+    o = _orders(spark)
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("g")
+    t = cat.create_table("g.orders")
+    t.append(o.filter(F.col("o_orderkey") % 4 == 0))
+    cat.create_materialized_view("g.mv", MV_SQL)
+
+    r1 = cat.refresh_materialized(spark, "g.mv", mode="incremental")
+    assert r1["mode"] == "bootstrap"
+    df, hit = cat.read_materialized(spark, "g.mv")
+    # hidden support columns never leak through a catalog read
+    assert hit and df.columns == ["o_orderstatus", "n_orders", "cents"]
+    assert _rows(df) == _rows(_expected(t.read(spark)))
+
+    # append-only delta maintains incrementally
+    t.append(o.filter(F.col("o_orderkey") % 4 == 1))
+    r2 = cat.refresh_materialized(spark, "g.mv", mode="incremental")
+    assert r2["mode"] == "incremental" and r2["applied"]
+    df, hit = cat.read_materialized(spark, "g.mv")
+    assert hit
+    assert _rows(df) == _rows(_expected(t.read(spark)))
+
+    # retraction: a CDC merge deletes a slice; SUM/COUNT subtract
+    chg = o.filter(F.col("o_orderkey") % 8 == 1).withColumn(
+        "_op", F.lit("D")
+    )
+    t.merge(spark, chg, key="o_orderkey", op_col="_op")
+    r3 = cat.refresh_materialized(spark, "g.mv", mode="incremental")
+    assert r3["mode"] == "incremental"
+    df, hit = cat.read_materialized(spark, "g.mv")
+    assert hit
+    assert _rows(df) == _rows(_expected(t.read(spark)))
+
+    # nothing moved -> metadata-only noop
+    assert (
+        cat.refresh_materialized(spark, "g.mv", mode="incremental")[
+            "mode"
+        ]
+        == "noop"
+    )
+
+
+def test_group_death_and_birth(spark, tmp_path):
+    """A group whose last row is retracted disappears from storage; a
+    group first seen in the delta appears — the liveness count, not a
+    recompute, decides both."""
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("g")
+    t = cat.create_table("g.kv")
+    t.append(
+        _orders(spark)
+        .limit(0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("grp"),
+            F.col("o_totalprice").alias("v"),
+        )
+    )
+    spark_df = lambda rows: (  # noqa: E731
+        t.read(spark)
+        .sparkSession.createDataFrame(
+            rows, "k long, grp string, v double"
+        )
+    )
+    t.append(spark_df([(1, "a", 10.0), (2, "a", 20.0), (3, "b", 5.0)]))
+    cat.create_materialized_view(
+        "g.mv",
+        "SELECT grp, COUNT(*) AS n, SUM(CAST(ROUND(v * 100) AS BIGINT))"
+        " AS cents FROM {{g.kv}} GROUP BY grp",
+    )
+    cat.refresh_materialized(spark, "g.mv", mode="incremental")
+
+    # kill group b entirely, birth group c, shrink group a
+    chg = spark_df(
+        [(3, "b", 5.0), (2, "a", 20.0), (9, "c", 7.0)]
+    ).withColumn(
+        "_op",
+        F.when(F.col("k") == 9, F.lit("I")).otherwise(F.lit("D")),
+    )
+    t.merge(spark, chg, key="k", op_col="_op")
+    r = cat.refresh_materialized(spark, "g.mv", mode="incremental")
+    assert r["mode"] == "incremental"
+    df, hit = cat.read_materialized(spark, "g.mv")
+    assert hit
+    assert _rows(df) == {("a", 1, 1000), ("c", 1, 700)}
+
+
+def test_sum_returns_to_null_when_last_nonnull_leaves(spark, tmp_path):
+    """The per-SUM non-null contribution count: deleting the only
+    non-null value must take SUM back to NULL, not 0 — the case plain
+    old+delta arithmetic gets wrong."""
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("g")
+    t = cat.create_table("g.kv")
+    df0 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", None), (3, "a", None)],
+        "k long, grp string, v double",
+    )
+    t.append(df0)
+    cat.create_materialized_view(
+        "g.mv",
+        "SELECT grp, COUNT(*) AS n, SUM(v) AS total "
+        "FROM {{g.kv}} GROUP BY grp",
+    )
+    cat.refresh_materialized(spark, "g.mv", mode="incremental")
+    chg = spark.createDataFrame(
+        [(1, "a", 10.0)], "k long, grp string, v double"
+    ).withColumn("_op", F.lit("D"))
+    t.merge(spark, chg, key="k", op_col="_op")
+    r = cat.refresh_materialized(spark, "g.mv", mode="incremental")
+    assert r["mode"] == "incremental"
+    df, _ = cat.read_materialized(spark, "g.mv")
+    assert _rows(df) == {("a", 2, None)}
+
+
+def test_minmax_incremental_on_appends_full_on_deletes(spark, tmp_path):
+    o = _orders(spark)
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("g")
+    t = cat.create_table("g.orders")
+    t.append(o.filter(F.col("o_orderkey") % 4 == 0))
+    cat.create_materialized_view(
+        "g.mv",
+        "SELECT o_orderstatus, MIN(o_totalprice) AS lo, "
+        "MAX(o_totalprice) AS hi, COUNT(*) AS n "
+        "FROM {{g.orders}} GROUP BY o_orderstatus",
+    )
+    cat.refresh_materialized(spark, "g.mv", mode="incremental")
+    t.append(o.filter(F.col("o_orderkey") % 4 == 1))
+    r = cat.refresh_materialized(spark, "g.mv", mode="incremental")
+    assert r["mode"] == "incremental"  # insert-only range: maintained
+
+    chg = o.filter(F.col("o_orderkey") % 8 == 0).withColumn(
+        "_op", F.lit("D")
+    )
+    t.merge(spark, chg, key="o_orderkey", op_col="_op")
+    r = cat.refresh_materialized(spark, "g.mv", mode="incremental")
+    assert r["mode"] == "full_fallback"
+    assert "MIN/MAX" in r["reason"]
+    df, hit = cat.read_materialized(spark, "g.mv")
+    cur = t.read(spark)
+    exp = cur.groupBy("o_orderstatus").agg(
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    assert hit and _rows(df) == _rows(exp)
+
+
+# ------------------------------------------------------ the fallbacks
+
+
+def test_cow_delete_range_falls_back_full(spark, tmp_path):
+    """Copy-on-write DELETE commits rewrite visibility wholesale — the
+    changelog refuses the range and the refresh falls back, still
+    producing the correct answer."""
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("g")
+    t = cat.create_table("g.orders")
+    t.append(_orders(spark).limit(2000))
+    cat.create_materialized_view(
+        "g.mv",
+        "SELECT o_orderstatus, COUNT(*) AS n FROM {{g.orders}} "
+        "GROUP BY o_orderstatus",
+    )
+    cat.refresh_materialized(spark, "g.mv", mode="incremental")
+    t.delete_where(spark, "o_orderkey % 2 = 0")
+    r = cat.refresh_materialized(spark, "g.mv", mode="incremental")
+    assert r["mode"] == "full_fallback"
+    assert "not changelog-readable" in r["reason"]
+    df, hit = cat.read_materialized(spark, "g.mv")
+    exp = t.read(spark).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    assert hit and _rows(df) == _rows(exp)
+
+
+def test_policy_change_falls_back_and_applies_to_deltas(
+    spark, tmp_path
+):
+    """A governance change invalidates the stored aggregates (computed
+    under the old policy) — full fallback; under a CONSTANT policy the
+    delta rows are policy-filtered exactly like a full read."""
+    o = _orders(spark)
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("g")
+    t = cat.create_table("g.orders")
+    t.append(o.limit(2000))
+    cat.create_materialized_view(
+        "g.mv",
+        "SELECT o_orderstatus, COUNT(*) AS n FROM {{g.orders}} "
+        "GROUP BY o_orderstatus",
+    )
+    cat.refresh_materialized(spark, "g.mv", mode="incremental")
+    cat.set_row_filter("g.orders", "o_orderkey % 3 != 0")
+    r = cat.refresh_materialized(spark, "g.mv", mode="incremental")
+    assert r["mode"] == "full_fallback"
+    assert "policy" in r["reason"]
+
+    t.append(o.limit(3000).subtract(o.limit(2000)))
+    r = cat.refresh_materialized(spark, "g.mv", mode="incremental")
+    assert r["mode"] == "incremental"
+    df, hit = cat.read_materialized(spark, "g.mv")
+    exp = (
+        t.read(spark)
+        .filter("o_orderkey % 3 != 0")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert hit and _rows(df) == _rows(exp)
+
+
+def test_definition_replace_bootstraps(spark, tmp_path):
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("g")
+    t = cat.create_table("g.orders")
+    t.append(_orders(spark).limit(1000))
+    cat.create_materialized_view("g.mv", MV_SQL.replace("g.orders", "g.orders"))
+    cat.refresh_materialized(spark, "g.mv", mode="incremental")
+    cat.create_materialized_view(
+        "g.mv",
+        "SELECT o_orderstatus, COUNT(*) AS n FROM {{g.orders}} "
+        "GROUP BY o_orderstatus",
+        replace=True,
+    )
+    r = cat.refresh_materialized(spark, "g.mv", mode="incremental")
+    assert r["mode"] == "bootstrap"
+
+
+def test_strict_raises_auto_falls_back(spark, tmp_path):
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("g")
+    t = cat.create_table("g.orders")
+    t.append(_orders(spark).limit(500))
+    cat.create_materialized_view(
+        "g.mv",
+        "SELECT o_orderstatus, AVG(o_totalprice) AS m "
+        "FROM {{g.orders}} GROUP BY o_orderstatus",
+    )
+    with pytest.raises(MVNotIncremental, match="AVG"):
+        cat.refresh_materialized(spark, "g.mv", mode="incremental")
+    r = cat.refresh_materialized(spark, "g.mv", mode="auto")
+    assert r["mode"] == "full"  # plain full: no augmentation possible
+    df, hit = cat.read_materialized(spark, "g.mv")
+    assert hit and df.columns == ["o_orderstatus", "m"]
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    """Crash between the storage merge and the freshness record: the
+    re-run replays the same range and the merge token dedupes — no
+    double-applied delta."""
+    o = _orders(spark)
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("g")
+    t = cat.create_table("g.orders")
+    t.append(o.filter(F.col("o_orderkey") % 2 == 0))
+    cat.create_materialized_view("g.mv", MV_SQL)
+    cat.refresh_materialized(spark, "g.mv", mode="incremental")
+    t.append(o.filter(F.col("o_orderkey") % 2 == 1))
+    r = cat.refresh_materialized(spark, "g.mv", mode="incremental")
+    assert r["mode"] == "incremental"
+    # simulate the crash: freshness never recorded
+    with cat._lock():
+        reg = cat._read()
+        reg["views"]["g.mv"]["freshness"]["deps"]["g.orders"] = r["from"]
+        cat._write(reg)
+    r2 = cat.refresh_materialized(spark, "g.mv", mode="incremental")
+    assert r2["mode"] == "incremental"
+    df, hit = cat.read_materialized(spark, "g.mv")
+    assert hit and _rows(df) == _rows(_expected(t.read(spark)))
+
+
+# --------------------------------------------------------- the console
+
+
+def test_refresh_verb_and_txn_refusal(spark, tmp_path):
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("g")
+    t = cat.create_table("g.orders")
+    t.append(_orders(spark).limit(1000))
+    cat.create_materialized_view("g.mv", MV_SQL)
+    assert cat.execute(spark, "REFRESH {{g.mv}}")["mode"] == "bootstrap"
+    t.append(_orders(spark).limit(1500).subtract(_orders(spark).limit(1000)))
+    assert (
+        cat.execute(spark, "REFRESH {{g.mv}} INCREMENTAL")["mode"]
+        == "incremental"
+    )
+    assert cat.execute(spark, "REFRESH {{g.mv}} FULL")["mode"] == "full"
+    with pytest.raises(ValueError, match="expected 'REFRESH"):
+        cat.execute(spark, "REFRESH g.mv")
+    with pytest.raises(ValueError, match="REFRESH inside BEGIN"):
+        cat.execute_script(spark, "BEGIN; REFRESH {{g.mv}}; COMMIT")
+
+
+def test_refresh_reads_only_the_delta_files(spark, tmp_path):
+    """The O(churn) claim, pinned structurally: after the bootstrap, an
+    incremental refresh of a 9-file base with a 1-file delta reads the
+    changelog's manifest set-difference — the base's untouched files
+    never enter the delta frame's plan (their count stays out of the
+    delta aggregate's input)."""
+    o = _orders(spark)
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("g")
+    t = cat.create_table("g.orders")
+    for i in range(9):
+        t.append(o.filter(F.col("o_orderkey") % 9 == i))
+    cat.create_materialized_view("g.mv", MV_SQL)
+    cat.refresh_materialized(spark, "g.mv", mode="incremental")
+    before = set(t._manifest(t._latest_published()))
+    t.append(o.limit(50))
+    from iceberg_insert_spark.sources.snapshots.incremental import (
+        read_changelog,
+    )
+
+    ch = read_changelog(
+        t, spark, t._latest_published() - 1, t._latest_published()
+    )
+    # the delta the refresh aggregates is exactly the new files' rows
+    assert ch.count() == 50
+    after = set(t._manifest(t._latest_published()))
+    assert len(after - before) == 1  # one delta file for the range
+    r = cat.refresh_materialized(spark, "g.mv", mode="incremental")
+    assert r["mode"] == "incremental"
+    df, hit = cat.read_materialized(spark, "g.mv")
+    assert hit and _rows(df) == _rows(_expected(t.read(spark)))
+
+
+# ---------------------------------------------- the staged r13 query
+
+
+def test_q_catalog_mv_inc_oracle_row(spark, ddb):
+    """q_catalog_mv_inc (staged for r13 registration) against its
+    DuckDB oracle at the suite's SF — the same driver-rule compare the
+    registry check will run: final MV content equals the plain
+    recomputation over surviving rows, AND the refresh modes hashed
+    into the result prove the delta path (not a silent full recompute)
+    produced it."""
+    from iceberg_insert_spark.sources.catalog import (
+        CATALOG_MV_INC_ORACLE,
+        q_catalog_mv_inc,
+    )
+
+    from .conftest import compare_frames
+
+    df = q_catalog_mv_inc(spark, SF_DIR)
+    cur = ddb.execute(CATALOG_MV_INC_ORACLE)
+    compare_frames(df, cur.fetchall(), [d[0] for d in cur.description])
