@@ -608,8 +608,14 @@ def _shared_index_fixture(
     if os.path.isdir(src_file):
         for f in sorted(os.listdir(src_file)):
             p = os.path.join(src_file, f)
+            st = os.stat(p)
             h.update(f.encode())
-            h.update(str(os.path.getsize(p)).encode())
+            # size AND mtime_ns: a regenerated corpus with identical
+            # part names and byte sizes (fixed-width encodings make
+            # that plausible) must miss, not serve a stale index from
+            # the cross-process cache (review catch); the single-file
+            # branch below hashes full bytes and never had the hole
+            h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
     else:
         with open(src_file, "rb") as fh:
             h.update(fh.read())

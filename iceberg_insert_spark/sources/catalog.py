@@ -2857,7 +2857,12 @@ class LocalCatalog:
         else:
             from . import mv_incremental as _ivm
 
-            df = _ivm.augmented_aggregate(self, spark, plan)
+            # pin the read at the RECORDED dep version: storage must
+            # hold exactly what freshness claims, or the next
+            # incremental refresh double-applies the gap (review catch)
+            df = _ivm.augmented_aggregate(
+                self, spark, plan, as_of=deps.get(plan.table)
+            )
         self.load_table(ent0["storage"]).overwrite(df)
         with self._lock():
             reg = self._read()

@@ -137,9 +137,15 @@ _FORBIDDEN = re.compile(
     re.IGNORECASE,
 )
 _NONDET = re.compile(
-    r"\b(RAND|RANDN|RANDOM|UUID|SHUFFLE|NOW|CURRENT_TIMESTAMP|"
-    r"CURRENT_DATE|CURRENT_TIMEZONE|MONOTONICALLY_INCREASING_ID|"
-    r"INPUT_FILE_NAME|SPARK_PARTITION_ID)\s*\(",
+    # call-shaped nondeterminism …
+    r"\b(RAND|RANDN|RANDOM|UUID|SHUFFLE|NOW|CURRENT_TIMEZONE|"
+    r"MONOTONICALLY_INCREASING_ID|INPUT_FILE_NAME|"
+    r"SPARK_PARTITION_ID|UNIX_TIMESTAMP)\s*\("
+    # … and the clock keywords Spark accepts WITHOUT parentheses
+    # (review catch: 'WHERE d >= current_date - INTERVAL 30 DAYS'
+    # passed the fence, and a rolling-window MV maintained from
+    # deltas never retracts rows that age out — silent divergence)
+    r"|\b(CURRENT_DATE|CURRENT_TIMESTAMP|LOCALTIMESTAMP|CURDATE)\b",
     re.IGNORECASE,
 )
 _AGG_CALL = re.compile(r"\b(SUM|COUNT|MIN|MAX|AVG)\s*\(", re.IGNORECASE)
@@ -247,9 +253,10 @@ def parse_mv_plan(sql: str) -> MVPlan:
         )
     nd = _NONDET.search(blank)
     if nd:
+        what = (nd.group(1) or nd.group(2)).upper()
         raise MVNotIncremental(
-            f"nondeterministic function {nd.group(1).upper()}() — "
-            "a delta recomputation would disagree with the stored rows"
+            f"nondeterministic expression {what} — a delta "
+            "recomputation would disagree with the stored rows"
         )
     refs = re.findall(r"\{\{[^}]*\}\}", blank)
     if len(refs) != 1:
@@ -393,14 +400,19 @@ def _visible(plan: MVPlan) -> list:
 
 
 def augmented_aggregate(
-    cat, spark: SparkSession, plan: MVPlan
+    cat, spark: SparkSession, plan: MVPlan, as_of: int | None = None
 ) -> DataFrame:
     """Full recompute WITH the hidden support columns — the bootstrap
     (and fallback) write for an incrementally-maintained MV. Reads the
-    base through ``cat.sql`` so governance policies and the
-    transaction-consistent head pin apply exactly as ``read_view``
-    would."""
-    src = cat.sql(spark, f"SELECT * FROM {{{{{plan.table}}}}}")
+    base through ``cat.sql`` so governance policies apply exactly as
+    ``read_view`` would. ``as_of`` pins the read at the snapshot the
+    caller RECORDS as the refresh point (review catch: the plain full
+    path's capture-deps-then-read race was stale-but-correct, but an
+    augmented bootstrap that aggregates a head NEWER than the recorded
+    dep version makes the next incremental refresh re-apply that
+    window — silent double counting, not staleness)."""
+    pin = f"@{as_of}" if as_of else ""
+    src = cat.sql(spark, f"SELECT * FROM {{{{{plan.table}{pin}}}}}")
     if plan.where:
         src = src.filter(F.expr(plan.where))
     keyc = [F.expr(e).alias(a) for e, a in plan.keys]
@@ -485,21 +497,15 @@ def _merge_changelog(
     """Join the churn-sized delta against current storage and emit the
     I/U/D changelog ``SnapshotTable.merge`` applies: new groups insert,
     groups whose liveness count reaches 0 delete, everything else
-    updates. Raises on a negative liveness count — that means the
-    changelog retracted rows storage never aggregated, i.e. state and
-    history have diverged and only a full refresh is honest."""
+    updates. A negative liveness count — the changelog retracting rows
+    storage never aggregated — survives into the output for the CALLER
+    to probe on the pinned frame (one execution, not two)."""
     old = cur.select([F.col(c).alias(f"__old_{c}") for c in cur.columns])
     j = delta.join(
         old, delta[KEY] == old[f"__old_{KEY}"], "left"
     )
     exists = F.col(f"__old_{N}").isNotNull()
     new_n = F.coalesce(F.col(f"__old_{N}"), F.lit(0)) + F.col(N)
-    if j.filter(new_n < 0).limit(1).count():
-        raise RuntimeError(
-            "incremental MV maintenance inconsistency: the delta "
-            "retracts more rows than storage holds for a group — "
-            "run refresh_materialized(mode='full')"
-        )
     named: list = [
         F.col(KEY),
         new_n.alias(N),
@@ -555,7 +561,9 @@ def _merge_changelog(
 
 # -------------------------------------------------------------- driver
 
-def refresh(cat, spark: SparkSession, ident: str, strict: bool) -> dict:
+def refresh(
+    cat, spark: SparkSession, ident: str, strict: bool, _depth: int = 0
+) -> dict:
     """Incremental refresh driver — the ``mode="incremental"/"auto"``
     body of :meth:`LocalCatalog.refresh_materialized`. Returns a dict
     with ``mode`` (noop | incremental | bootstrap | full |
@@ -563,7 +571,24 @@ def refresh(cat, spark: SparkSession, ident: str, strict: bool) -> dict:
     ``reason``. ``strict`` controls only ELIGIBILITY: an ineligible
     definition raises instead of silently running full; bootstraps
     and soundness fallbacks always run (refusing them would trade a
-    correct answer for a lecture)."""
+    correct answer for a lecture).
+
+    Crash safety is a WRITE-AHEAD INTENT: the (from, to) range and
+    the dep record are written into ``freshness["pending"]`` BEFORE
+    the storage merge, and the merge token is derived from that exact
+    range. A refresh that finds a pending intent replays THAT range
+    (the token makes an already-landed merge a no-op), records its
+    deps, then recurses for whatever landed since. Without the
+    intent, a crash between merge and freshness record re-derives the
+    range against a moved head, gets a DIFFERENT token, and
+    double-applies the landed window (review catch)."""
+    if _depth > 4:
+        return cat._refresh_full(
+            spark,
+            ident,
+            reason="refresh lost 5 races against concurrent "
+            "refreshes/commits; full recompute is the stable exit",
+        )
     ent = cat._view_entry(ident)
     if not ent.get("materialized"):
         raise ValueError(f"{ident!r} is not materialized")
@@ -604,6 +629,25 @@ def refresh(cat, spark: SparkSession, ident: str, strict: bool) -> dict:
             "governance policy changed since the last refresh — "
             "stored aggregates were computed under the old policy"
         )
+    pending = fresh.get("pending") if usable else None
+    if pending:
+        # crashed (or concurrent) refresh left an intent: replay its
+        # exact range — the token dedupes if its merge landed — then
+        # recurse for anything committed since
+        res = _apply_range(
+            cat,
+            spark,
+            ident,
+            plan,
+            defn_v,
+            from_v=pending["from"],
+            to_v=pending["to"],
+            deps_rec=pending["deps"],
+            reg=reg,
+        )
+        if res["mode"] != "incremental":
+            return res  # full fallback already reached the head
+        return refresh(cat, spark, ident, strict, _depth + 1)
     if usable and fresh["deps"] == deps_new:
         return {"mode": "noop", "deps": deps_new}
     from_v = fresh.get("deps", {}).get(plan.table, 0) if usable else 0
@@ -619,13 +663,68 @@ def refresh(cat, spark: SparkSession, ident: str, strict: bool) -> dict:
             "no forward changelog exists",
         )
 
+    # write the intent BEFORE any data work, re-validating under the
+    # lock that no other refresh advanced the record meanwhile
+    with cat._lock():
+        r2 = cat._read()
+        fr = r2["views"][ident].get("freshness")
+        if (
+            not fr
+            or fr.get("version") != defn_v
+            or not fr.get("augmented")
+            or fr.get("deps", {}).get(plan.table) != from_v
+            or fr.get("pending")
+        ):
+            raced = True
+        else:
+            raced = False
+            fr["pending"] = {
+                "from": from_v,
+                "to": to_v,
+                "deps": deps_new,
+            }
+            cat._write(r2)
+    if raced:
+        return refresh(cat, spark, ident, strict, _depth + 1)
+    return _apply_range(
+        cat,
+        spark,
+        ident,
+        plan,
+        defn_v,
+        from_v=from_v,
+        to_v=to_v,
+        deps_rec=deps_new,
+        reg=reg,
+    )
+
+
+def _apply_range(
+    cat,
+    spark: SparkSession,
+    ident: str,
+    plan: MVPlan,
+    defn_v: int,
+    from_v: int,
+    to_v: int,
+    deps_rec: dict,
+    reg: dict,
+) -> dict:
+    """Apply one pinned changelog range (from_v, to_v] to storage and
+    record ``deps_rec`` as the new freshness (clearing any pending
+    intent). Falls back to a full refresh — which also clears the
+    intent — when the range is not incrementally applicable."""
+    ent = cat._view_entry(ident)
     tbl = cat.load_table(plan.table)
     if any(a.fn in ("MIN", "MAX") for a in plan.aggs):
-        rng_dels = [
-            d
-            for d in tbl._meta(to_v).get("delete_files", [])
-            if from_v < d["seq"] <= to_v
-        ]
+        try:
+            rng_dels = [
+                d
+                for d in tbl._meta(to_v).get("delete_files", [])
+                if from_v < d["seq"] <= to_v
+            ]
+        except (KeyError, FileNotFoundError):
+            rng_dels = None  # snapshot gone: let the changelog refuse
         if rng_dels:
             return cat._refresh_full(
                 spark,
@@ -648,7 +747,20 @@ def refresh(cat, spark: SparkSession, ident: str, strict: bool) -> dict:
     )
     delta = _delta_aggregate(ch, plan)
     st = cat.load_table(ent["storage"])
-    clog = _merge_changelog(st.read(spark), delta, plan)
+    # one execution of the whole churn-sized pipeline (changelog scan,
+    # policies, signed aggregate, storage join); the consistency
+    # probe, the emptiness check, and merge()'s own probes and writes
+    # all read the pinned result instead of re-running it (review
+    # catch: ~5 re-executions per refresh)
+    clog = _merge_changelog(st.read(spark), delta, plan).localCheckpoint(
+        eager=True
+    )
+    if clog.filter(F.col(N) < 0).limit(1).count():
+        raise RuntimeError(
+            "incremental MV maintenance inconsistency: the delta "
+            "retracts more rows than storage holds for a group — "
+            "run refresh_materialized(mode='full')"
+        )
     if clog.isEmpty():
         # churn filtered out entirely (WHERE pruned it, or every
         # group netted to an exact no-op) — no storage commit needed
@@ -673,7 +785,7 @@ def refresh(cat, spark: SparkSession, ident: str, strict: bool) -> dict:
         r2 = cat._read()
         e2 = r2["views"][ident]
         e2["freshness"] = {
-            "deps": deps_new,
+            "deps": deps_rec,
             "version": defn_v,
             "refreshed_ts": time.time(),
             "augmented": True,
@@ -681,7 +793,7 @@ def refresh(cat, spark: SparkSession, ident: str, strict: bool) -> dict:
         cat._write(r2)
     return {
         "mode": "incremental",
-        "deps": deps_new,
+        "deps": deps_rec,
         "from": from_v,
         "to": to_v,
         "applied": applied,

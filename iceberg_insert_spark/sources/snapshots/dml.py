@@ -419,45 +419,69 @@ class SnapshotDmlMixin:
             routed_bs = absent.withColumn(
                 "__iis_clause", _first_match_route(by_source)
             )
-            if tschema[key].nullable:
-                # a NULL-key row IS source-absent (SQL: NULL matches
-                # nothing) but the equality-delete anti-join also
-                # matches nothing for it — a D tombstone would no-op
-                # and an U image would DUPLICATE the row. Refuse NULL
-                # keys a clause routes; skipped when the schema proves
-                # the key non-nullable.
-                nullhit = (
-                    routed_bs.filter(
-                        F.col(f"t.{key}").isNull()
-                        & F.col("__iis_clause").isNotNull()
-                    )
-                    .limit(1)
-                    .collect()
-                )
-                if nullhit:
-                    raise ValueError(
-                        "MERGE refused: a NULL-key target row routes "
-                        "to a WHEN NOT MATCHED BY SOURCE clause, and "
-                        "equality deletes cannot address NULL keys "
-                        "(the update would duplicate the row, the "
-                        "delete would no-op); filter NULL keys out "
-                        "with a clause condition"
-                    )
-            if all(cl[1] for cl in by_source):
-                # all clauses conditional -> unrouted source-absent rows
-                # exist; guard the duplicate-key partial-routing hazard.
-                # Cost: one key+flag aggregate over the source-absent
-                # scan — the scan BY SOURCE already pays; skipped
-                # entirely when a catch-all clause routes every row.
-                _refuse_partial_keys(
+            # Both BY SOURCE guards in ONE column-pruned aggregate job
+            # (review catch: separate null-key probe + partial-key
+            # aggregate each re-ran the target-sized anti-join; the
+            # frame is deliberately NOT checkpointed — it can be
+            # target-sized — so every extra action is a full re-scan):
+            #  * NULL-key routed rows: a NULL-key row IS source-absent
+            #    (SQL: NULL matches nothing) but the equality-delete
+            #    anti-join also matches nothing for it — a D tombstone
+            #    would no-op and a U image would DUPLICATE the row.
+            #    Skipped when the schema proves the key non-nullable.
+            #  * Partial routing: with every clause conditional and
+            #    duplicate target keys, a key where some rows routed
+            #    and siblings did not would have its siblings
+            #    destroyed by the equality delete. Skipped when a
+            #    catch-all clause routes every row.
+            check_partial = all(cl[1] for cl in by_source)
+            if tschema[key].nullable or check_partial:
+                per_key = (
                     routed_bs.select(
                         F.col(f"t.{key}").alias("__iis_k"),
                         F.col("__iis_clause")
                         .isNotNull()
+                        .cast("int")
                         .alias("__iis_routed"),
-                    ),
-                    "source-absent",
+                    )
+                    .groupBy("__iis_k")
+                    .agg(
+                        F.sum("__iis_routed").alias("__iis_r"),
+                        F.count(F.lit(1)).alias("__iis_n"),
+                    )
                 )
+                viol = F.lit(False)
+                if tschema[key].nullable:
+                    viol = viol | (
+                        F.col("__iis_k").isNull()
+                        & (F.col("__iis_r") > 0)
+                    )
+                if check_partial:
+                    viol = viol | (
+                        F.col("__iis_k").isNotNull()
+                        & (F.col("__iis_r") > 0)
+                        & (F.col("__iis_r") < F.col("__iis_n"))
+                    )
+                bad = per_key.filter(viol).limit(1).collect()
+                if bad:
+                    if bad[0]["__iis_k"] is None:
+                        raise ValueError(
+                            "MERGE refused: a NULL-key target row "
+                            "routes to a WHEN NOT MATCHED BY SOURCE "
+                            "clause, and equality deletes cannot "
+                            "address NULL keys (the update would "
+                            "duplicate the row, the delete would "
+                            "no-op); filter NULL keys out with a "
+                            "clause condition"
+                        )
+                    raise ValueError(
+                        "MERGE refused: source-absent key "
+                        f"{bad[0]['__iis_k']!r} holds target rows "
+                        "routed to a clause AND sibling rows no "
+                        "clause matched — the equality delete would "
+                        "destroy the unrouted siblings; deduplicate "
+                        "the key or widen the clause conditions"
+                    )
             for i, cl in enumerate(by_source):
                 hit = routed_bs.filter(F.col("__iis_clause") == i)
                 if cl[0] == "delete":

@@ -463,3 +463,85 @@ def test_q_catalog_mv_inc_oracle_row(spark, ddb):
     df = q_catalog_mv_inc(spark, SF_DIR)
     cur = ddb.execute(CATALOG_MV_INC_ORACLE)
     compare_frames(df, cur.fetchall(), [d[0] for d in cur.description])
+
+
+# ----------------------------------------- review-wave regression pins
+
+
+def test_bare_clock_keywords_are_refused():
+    """Spark accepts current_date / current_timestamp WITHOUT parens;
+    a rolling-window MV built on them would pass a paren-anchored
+    fence and then silently diverge (rows aging out of the window are
+    never retracted by any delta)."""
+    for kw in ("current_date", "CURRENT_TIMESTAMP", "localtimestamp"):
+        with pytest.raises(MVNotIncremental, match="nondeterministic"):
+            parse_mv_plan(
+                f"SELECT a, COUNT(*) AS n FROM {{{{g.t}}}} "
+                f"WHERE d >= {kw} - INTERVAL 30 DAYS GROUP BY a"
+            )
+
+
+def test_crash_replay_with_moved_head_no_double_apply(spark, tmp_path):
+    """The write-ahead intent: a crash between the storage merge and
+    the freshness record, followed by MORE base commits, must replay
+    the pending range (token no-op) and then catch up — deriving one
+    big range instead would re-apply the landed window with a fresh
+    token and double-count it."""
+    o = _orders(spark)
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("g")
+    t = cat.create_table("g.orders")
+    t.append(o.filter(F.col("o_orderkey") % 4 == 0))
+    cat.create_materialized_view("g.mv", MV_SQL)
+    cat.refresh_materialized(spark, "g.mv", mode="incremental")
+
+    t.append(o.filter(F.col("o_orderkey") % 4 == 1))
+    r = cat.refresh_materialized(spark, "g.mv", mode="incremental")
+    assert r["mode"] == "incremental"
+    # simulate the crash: merge landed, freshness write never ran —
+    # restore deps to the pre-refresh head and leave the intent behind
+    with cat._lock():
+        reg = cat._read()
+        fr = reg["views"]["g.mv"]["freshness"]
+        pend_deps = dict(fr["deps"])
+        fr["deps"] = dict(fr["deps"], **{"g.orders": r["from"]})
+        fr["pending"] = {
+            "from": r["from"],
+            "to": r["to"],
+            "deps": pend_deps,
+        }
+        cat._write(reg)
+    # the head moves past the crashed range
+    t.append(o.filter(F.col("o_orderkey") % 4 == 2))
+    r2 = cat.refresh_materialized(spark, "g.mv", mode="incremental")
+    assert r2["mode"] == "incremental"
+    assert r2["from"] == r["to"]  # the catch-up range, after replay
+    df, hit = cat.read_materialized(spark, "g.mv")
+    assert hit
+    assert _rows(df) == _rows(_expected(t.read(spark)))
+    # the intent is gone
+    fr = cat._read()["views"]["g.mv"]["freshness"]
+    assert "pending" not in fr
+
+
+def test_bootstrap_pins_the_recorded_dep_version(spark, tmp_path):
+    """augmented_aggregate(as_of=v) reads snapshot v, not the head:
+    the bootstrap records deps BEFORE computing, so a commit landing
+    in between must leave storage at the RECORDED version (stale but
+    correct) — aggregating the newer head would make the next
+    incremental refresh double-apply the gap."""
+    from iceberg_insert_spark.sources.mv_incremental import (
+        augmented_aggregate,
+    )
+
+    o = _orders(spark)
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("g")
+    t = cat.create_table("g.orders")
+    t.append(o.filter(F.col("o_orderkey") % 4 == 0))
+    v1 = t._latest_published()
+    t.append(o.filter(F.col("o_orderkey") % 4 == 1))
+    plan = parse_mv_plan(MV_SQL)
+    pinned = augmented_aggregate(cat, spark, plan, as_of=v1)
+    n_pinned = pinned.agg(F.sum("n_orders")).collect()[0][0]
+    assert n_pinned == o.filter(F.col("o_orderkey") % 4 == 0).count()
