@@ -44,7 +44,7 @@ from .snapshots.errors import CommitConflict
 
 def _strip_mv_hidden(df: DataFrame) -> DataFrame:
     """Drop the incremental-MV support columns (``__iis_mv_*``,
-    mv_incremental.py) from a storage-table read: they are maintenance
+    catalog_mv.py) from a storage-table read: they are maintenance
     state, not part of the view's declared schema — every catalog read
     path serves exactly the definition's columns whether storage is
     augmented or plain."""
@@ -1497,7 +1497,7 @@ class LocalCatalog:
     )
     # REFRESH {{ns.view}} [FULL | INCREMENTAL | AUTO] — MV refresh as
     # console SQL; AUTO (the default) maintains incrementally when the
-    # definition is eligible (mv_incremental.py), else recomputes
+    # definition is eligible (catalog_mv.py), else recomputes
     _REFRESH_RE = re.compile(
         r"^\s*REFRESH\s+\{\{\s*([A-Za-z_][\w.]*)\s*\}\}"
         r"(?:\s+(FULL|INCREMENTAL|AUTO))?\s*$",
@@ -2810,8 +2810,8 @@ class LocalCatalog:
           overwrite storage as ONE snapshot, any definition;
         * ``"incremental"`` — maintain storage from the base table's
           CDC changelog since the last refresh (O(churn), the
-          mv_incremental module's contract); raises
-          :class:`~.mv_incremental.MVNotIncremental` if the
+          catalog_mv module's contract); raises
+          :class:`~.catalog_mv.MVNotIncremental` if the
           definition is outside the maintainable fragment. First
           refresh bootstraps full (with the hidden support columns);
           ranges the changelog cannot represent fall back to full —
@@ -2830,7 +2830,7 @@ class LocalCatalog:
             )
         if mode == "full":
             return self._refresh_full(spark, ident)
-        from . import mv_incremental as _ivm
+        from . import catalog_mv as _ivm
 
         return _ivm.refresh(self, spark, ident, strict=mode == "incremental")
 
@@ -2842,7 +2842,7 @@ class LocalCatalog:
         reason: str | None = None,
     ) -> dict:
         """Full-recompute refresh body. With ``plan`` (an eligible
-        :class:`~.mv_incremental.MVPlan`) the storage write carries the
+        :class:`~.catalog_mv.MVPlan`) the storage write carries the
         hidden incremental-maintenance support columns so later
         refreshes can run O(churn); without it, the plain visible-only
         write (exact prior behavior)."""
@@ -2855,7 +2855,7 @@ class LocalCatalog:
         if plan is None:
             df = self.read_view(spark, ident, version=defn_v)
         else:
-            from . import mv_incremental as _ivm
+            from . import catalog_mv as _ivm
 
             # pin the read at the RECORDED dep version: storage must
             # hold exactly what freshness claims, or the next
@@ -4104,7 +4104,7 @@ CATALOG_MV_INC_ORACLE = """
 
 
 def q_catalog_mv_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INCREMENTAL MV MAINTENANCE lifecycle (sources/mv_incremental.py),
+    """INCREMENTAL MV MAINTENANCE lifecycle (sources/catalog_mv.py),
     DuckDB-oracled: an aggregate MV bootstraps with hidden support
     columns (mode 'bootstrap'), an append maintains it from the CDC
     changelog (mode 'incremental' — O(delta files), the base is never

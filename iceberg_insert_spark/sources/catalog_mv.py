@@ -42,6 +42,16 @@ Gupta/Mumick/Subrahmanian, "Maintaining Views Incrementally", SIGMOD
      snapshot range): a crash between the storage commit and the
      freshness record replays as a no-op instead of double-applying.
 
+Relation to ``incremental_mv.py`` (r6): that module is the TABLE-level
+primitive — one fixed rollup shape (key → count + cents sum) between
+two explicit SnapshotTables, checkpointed through the MV's own commit
+tokens, registered as ``q_snapshot_mv``. This module is the general
+CATALOG-level engine on the same algebra: arbitrary eligible SQL
+definitions, hidden support columns for exact retraction, governance
+policies, definition versioning, and the refresh-mode protocol. The
+fixed-shape primitive stays as the registered table-level surface;
+new callers should speak ``refresh_materialized(mode=...)``.
+
 Soundness boundaries, enforced not assumed:
 
   * MIN/MAX cannot retract — a range containing ANY delete falls back

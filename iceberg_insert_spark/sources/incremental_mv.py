@@ -31,6 +31,13 @@ is group-cardinality-sized (broadcast); nothing rescans the fact
 table. Ranges crossing overwrite/compact commits refuse (changelog
 semantics) — rebuild with ``full_rebuild_agg_mv`` instead, which is
 also the bootstrap path.
+
+This is the TABLE-level, fixed-shape primitive (and the registered
+``q_snapshot_mv`` surface). The general engine — arbitrary eligible
+SQL definitions over CATALOG materialized views, exact retraction via
+hidden support columns, policy/definition versioning, fallback + crash
+protocols — is ``catalog_mv.py`` (r12), reachable as
+``LocalCatalog.refresh_materialized(mode="incremental"|"auto")``.
 """
 
 from __future__ import annotations

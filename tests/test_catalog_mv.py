@@ -1,4 +1,4 @@
-"""Incremental materialized-view maintenance (sources/mv_incremental.py):
+"""Incremental materialized-view maintenance (sources/catalog_mv.py):
 the parser's eligibility fence, the counting algebra (bootstrap →
 append delta → retraction via CDC merge → group death → noop), every
 soundness fallback (MIN/MAX over deletes, non-changelog ranges,
@@ -11,7 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from iceberg_insert_spark.sources.catalog import LocalCatalog
-from iceberg_insert_spark.sources.mv_incremental import (
+from iceberg_insert_spark.sources.catalog_mv import (
     MVNotIncremental,
     parse_mv_plan,
 )
@@ -530,7 +530,7 @@ def test_bootstrap_pins_the_recorded_dep_version(spark, tmp_path):
     in between must leave storage at the RECORDED version (stale but
     correct) — aggregating the newer head would make the next
     incremental refresh double-apply the gap."""
-    from iceberg_insert_spark.sources.mv_incremental import (
+    from iceberg_insert_spark.sources.catalog_mv import (
         augmented_aggregate,
     )
 

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Scale probe for incremental MV maintenance (sources/mv_incremental.py):
+"""Scale probe for incremental MV maintenance (sources/catalog_mv.py):
 the module's 100 TB claim is that a refresh after a bounded churn costs
 the churn, not the corpus. Measured here directly — the same FIXED
 churn (an append batch, then a CDC retraction of it) applied to a base
@@ -159,7 +159,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "probe": "mv_incremental_sf_scaling",
+                "probe": "catalog_mv_sf_scaling",
                 "load_avg_1m_at_start": load0,
                 "exponents_log10_per_10x": exps,
                 "rows": [r01, r1],
