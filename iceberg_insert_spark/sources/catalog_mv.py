@@ -13,10 +13,12 @@ Gupta/Mumick/Subrahmanian, "Maintaining Views Incrementally", SIGMOD
   1. PARSE the view definition into a maintainable shape:
      ``SELECT keys…, aggs… FROM {{one.table}} [WHERE pred] GROUP BY
      keys…`` with self-decomposable aggregates (SUM / COUNT /
-     COUNT(*) / MIN / MAX, each optionally wrapped in a deterministic
-     scalar expression, e.g. the house fixed-point idiom
-     ``CAST(SUM(…) AS DOUBLE)/100.0``). Anything else —
-     joins, DISTINCT, AVG (rewrite it as SUM and COUNT), window
+     COUNT(*) / MIN / MAX / AVG — AVG auto-decomposes into SUM +
+     count state for non-decimal input; each optionally wrapped in a
+     deterministic scalar expression, e.g. the house fixed-point
+     idiom ``CAST(SUM(…) AS DOUBLE)/100.0``). Anything else — joins,
+     DISTINCT, decimal AVG (Spark's decimal Average has its own
+     precision algebra a sum/count division cannot reproduce), window
      functions, nondeterministic exprs — is declared not-incremental
      and falls back to a full refresh (or refuses under
      ``mode="incremental"``).
@@ -25,9 +27,11 @@ Gupta/Mumick/Subrahmanian, "Maintaining Views Incrementally", SIGMOD
      prefix, stripped by every catalog read path): a group-liveness
      row count ``__iis_mv_n`` (a group vanishes exactly when it hits
      0), the raw aggregate value per output column, and a non-null
-     contribution count per SUM (so SUM correctly returns to NULL
+     contribution count per SUM/AVG (so SUM correctly returns to NULL
      when its last non-null contributor is deleted — plain
-     ``new = old + delta`` gets that wrong).
+     ``new = old + delta`` gets that wrong — and AVG recombines as a
+     guarded ``sum / count`` division, bit-identical to Spark's own
+     non-decimal Average).
   3. DELTA: read the base table's CDC changelog between the snapshot
      recorded at the last refresh and the current head
      (``read_changelog`` — pure manifest arithmetic + bounded scans,
@@ -119,8 +123,20 @@ class AggItem:
 
     def final_sql(self) -> str:
         """The visible column, recomputed from the maintained raw
-        aggregate (hidden column) through the scalar wrapper."""
-        return f"{self.prefix}`{_raw(self.alias)}`{self.suffix}"
+        aggregate (hidden columns) through the scalar wrapper. AVG is
+        the decomposed case: its state is a SUM + a non-null count
+        (exactly how Spark's own Average works for non-decimal input,
+        so the maintained value and the live-fallback AVG agree
+        bit-for-bit), recombined by guarded division — guarded so an
+        all-NULL group yields NULL under ANSI instead of a
+        divide-by-zero."""
+        r, n = _raw(self.alias), _nn(self.alias)
+        if self.fn == "AVG":
+            return (
+                f"{self.prefix}(CASE WHEN `{n}` > 0 "
+                f"THEN `{r}` / `{n}` END){self.suffix}"
+            )
+        return f"{self.prefix}`{r}`{self.suffix}"
 
 
 @dataclass(frozen=True)
@@ -330,11 +346,6 @@ def parse_mv_plan(sql: str) -> MVPlan:
         else:
             call, close = agg
             fn = call.group(1).upper()
-            if fn == "AVG":
-                raise MVNotIncremental(
-                    "AVG does not self-decompose — rewrite as SUM "
-                    "and COUNT columns"
-                )
             if alias is None:
                 raise MVNotIncremental(
                     f"alias each aggregate (… AS name): {expr!r}"
@@ -429,7 +440,7 @@ def augmented_aggregate(
     aggcols = []
     for a in plan.aggs:
         inner = F.expr(a.arg) if a.arg else None
-        if a.fn == "SUM":
+        if a.fn in ("SUM", "AVG"):
             aggcols.append(F.sum(inner).alias(_raw(a.alias)))
             aggcols.append(F.count(inner).alias(_nn(a.alias)))
         elif a.fn == "COUNT*":
@@ -447,7 +458,7 @@ def augmented_aggregate(
         for a in plan.aggs
         for c in (
             [_raw(a.alias), _nn(a.alias)]
-            if a.fn == "SUM"
+            if a.fn in ("SUM", "AVG")
             else [_raw(a.alias)]
         )
     ]
@@ -467,7 +478,7 @@ def _delta_aggregate(ch: DataFrame, plan: MVPlan) -> DataFrame:
     aggcols = []
     for a in plan.aggs:
         inner = F.expr(a.arg) if a.arg else None
-        if a.fn == "SUM":
+        if a.fn in ("SUM", "AVG"):
             # negate the VALUE (not sgn*value) so decimal types keep
             # their precision instead of widening through the multiply
             aggcols.append(
@@ -523,7 +534,7 @@ def _merge_changelog(
     ]
     for a in plan.aggs:
         r = _raw(a.alias)
-        if a.fn == "SUM":
+        if a.fn in ("SUM", "AVG"):
             nn_new = F.coalesce(F.col(f"__old_{_nn(a.alias)}"), F.lit(0)) + F.col(
                 _nn(a.alias)
             )
@@ -567,6 +578,42 @@ def _merge_changelog(
         *[F.col(c).cast(types[c]).alias(c) for c in cur.columns],
         F.col("_op"),
     )
+
+
+def _refuse_decimal_avg(cat, spark: SparkSession, plan: MVPlan) -> None:
+    """AVG over a DECIMAL argument is outside the fragment: Spark's
+    decimal Average carries its own precision/scale algebra
+    (avg(decimal(p,s)) → decimal(p+4,s+4) via an internal scaled
+    division) that a maintained sum/count recombination cannot
+    reproduce — the maintained value would disagree with the live
+    fallback's type and rounding. Probed against the table's current
+    schema on an empty frame (Catalyst analysis only, zero jobs);
+    an unreadable/empty table skips the probe — the bootstrap of
+    nothing is trivially consistent and the next refresh re-probes."""
+    avgs = [a for a in plan.aggs if a.fn == "AVG"]
+    if not avgs:
+        return
+    from pyspark.sql.types import DecimalType
+
+    try:
+        schema = cat.load_table(plan.table).read(spark).schema
+        empty = spark.createDataFrame([], schema)
+        probed = empty.select(
+            *[F.expr(a.arg).alias(a.alias) for a in avgs]
+        ).schema
+    except MVNotIncremental:
+        raise
+    except Exception:
+        return
+    for f in probed.fields:
+        if isinstance(f.dataType, DecimalType):
+            raise MVNotIncremental(
+                f"AVG({dict((a.alias, a.arg) for a in avgs)[f.name]}) "
+                "over a DECIMAL argument — Spark's decimal Average "
+                "precision algebra is not reproducible from "
+                "maintained sum/count state; CAST the argument to "
+                "DOUBLE or keep explicit SUM and COUNT columns"
+            )
 
 
 # -------------------------------------------------------------- driver
@@ -616,6 +663,7 @@ def refresh(
             raise ValueError(
                 f"definition references unknown table {plan.table!r}"
             )
+        _refuse_decimal_avg(cat, spark, plan)
     except MVNotIncremental:
         if strict:
             raise

@@ -59,8 +59,9 @@ def test_parse_accepts_the_maintainable_fragment():
     "sql, why",
     [
         ("SELECT a, COUNT(*) AS n FROM {{g.t}} JOIN x GROUP BY a", "JOIN"),
-        ("SELECT a, AVG(b) AS m FROM {{g.t}} GROUP BY a", "AVG"),
         ("SELECT a, COUNT(DISTINCT b) AS n FROM {{g.t}} GROUP BY a",
+         "DISTINCT"),
+        ("SELECT a, AVG(DISTINCT b) AS m FROM {{g.t}} GROUP BY a",
          "DISTINCT"),
         ("SELECT a, SUM(b) AS s FROM {{g.t}} GROUP BY 1", "positional"),
         ("SELECT a, SUM(b) AS s FROM {{g.t}} WHERE c IN "
@@ -352,15 +353,83 @@ def test_strict_raises_auto_falls_back(spark, tmp_path):
     t.append(_orders(spark).limit(500))
     cat.create_materialized_view(
         "g.mv",
-        "SELECT o_orderstatus, AVG(o_totalprice) AS m "
+        "SELECT o_orderstatus, COUNT(DISTINCT o_orderpriority) AS m "
         "FROM {{g.orders}} GROUP BY o_orderstatus",
     )
-    with pytest.raises(MVNotIncremental, match="AVG"):
+    with pytest.raises(MVNotIncremental, match="DISTINCT"):
         cat.refresh_materialized(spark, "g.mv", mode="incremental")
     r = cat.refresh_materialized(spark, "g.mv", mode="auto")
     assert r["mode"] == "full"  # plain full: no augmentation possible
     df, hit = cat.read_materialized(spark, "g.mv")
     assert hit and df.columns == ["o_orderstatus", "m"]
+
+
+def test_avg_maintains_incrementally_and_decimal_refuses(
+    spark, tmp_path
+):
+    """AVG auto-decomposes into SUM + count state for non-decimal
+    input and recombines by guarded division (Spark's own non-decimal
+    Average algebra); a DECIMAL argument refuses — Spark's decimal
+    Average carries precision/scale promotion no sum/count
+    recombination reproduces."""
+    o = _orders(spark)
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("g")
+    t = cat.create_table("g.orders")
+    t.append(o.filter(F.col("o_orderkey") % 4 == 0))
+    cat.create_materialized_view(
+        "g.mv",
+        "SELECT o_orderstatus, AVG(o_totalprice) AS avg_price, "
+        "COUNT(*) AS n FROM {{g.orders}} GROUP BY o_orderstatus",
+    )
+    assert (
+        cat.refresh_materialized(spark, "g.mv", mode="incremental")[
+            "mode"
+        ]
+        == "bootstrap"
+    )
+    t.append(o.filter(F.col("o_orderkey") % 4 == 1))
+    r = cat.refresh_materialized(spark, "g.mv", mode="incremental")
+    assert r["mode"] == "incremental"
+    chg = o.filter(F.col("o_orderkey") % 8 == 1).withColumn(
+        "_op", F.lit("D")
+    )
+    t.merge(spark, chg, key="o_orderkey", op_col="_op")
+    r = cat.refresh_materialized(spark, "g.mv", mode="incremental")
+    assert r["mode"] == "incremental"
+    df, hit = cat.read_materialized(spark, "g.mv")
+    assert hit
+    exp = t.read(spark).groupBy("o_orderstatus").agg(
+        F.avg("o_totalprice").alias("avg_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    got = {r2["o_orderstatus"]: r2 for r2 in df.collect()}
+    for e in exp.collect():
+        g = got[e["o_orderstatus"]]
+        assert g["n"] == e["n"]
+        assert g["avg_price"] == pytest.approx(
+            e["avg_price"], rel=1e-12
+        )
+
+    # decimal argument: eligibility probe refuses by type
+    t2 = cat.create_table("g.dec")
+    t2.append(
+        o.limit(100).select(
+            "o_orderstatus",
+            F.expr(
+                "CAST(o_totalprice AS DECIMAL(12,2))"
+            ).alias("price_dec"),
+        )
+    )
+    cat.create_materialized_view(
+        "g.mv_dec",
+        "SELECT o_orderstatus, AVG(price_dec) AS m "
+        "FROM {{g.dec}} GROUP BY o_orderstatus",
+    )
+    with pytest.raises(MVNotIncremental, match="DECIMAL"):
+        cat.refresh_materialized(spark, "g.mv_dec", mode="incremental")
+    r = cat.refresh_materialized(spark, "g.mv_dec", mode="auto")
+    assert r["mode"] == "full"
 
 
 def test_replay_is_idempotent(spark, tmp_path):
