@@ -2875,10 +2875,13 @@ class LocalCatalog:
             }
             self._write(reg)
         out = {
+            # a reason means a FALLBACK whatever the augmentation —
+            # callers branch on mode, and a reason-carrying "full"
+            # would misreport a degraded refresh as a requested one
             "mode": (
-                "full"
-                if plan is None
-                else ("full_fallback" if reason else "bootstrap")
+                "full_fallback"
+                if reason
+                else ("full" if plan is None else "bootstrap")
             ),
             "deps": deps,
         }

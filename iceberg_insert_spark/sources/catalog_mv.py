@@ -166,7 +166,11 @@ _NONDET = re.compile(
     # call-shaped nondeterminism …
     r"\b(RAND|RANDN|RANDOM|UUID|SHUFFLE|NOW|CURRENT_TIMEZONE|"
     r"MONOTONICALLY_INCREASING_ID|INPUT_FILE_NAME|"
-    r"SPARK_PARTITION_ID|UNIX_TIMESTAMP)\s*\("
+    r"SPARK_PARTITION_ID)\s*\("
+    # UNIX_TIMESTAMP is clock-reading ONLY in its zero-arg form; the
+    # 1/2-arg forms are deterministic string->epoch parses (review
+    # catch: the bare \s*\( fence refused those too)
+    r"|\b(UNIX_TIMESTAMP)\s*\(\s*\)"
     # … and the clock keywords Spark accepts WITHOUT parentheses
     # (review catch: 'WHERE d >= current_date - INTERVAL 30 DAYS'
     # passed the fence, and a rolling-window MV maintained from
@@ -279,7 +283,7 @@ def parse_mv_plan(sql: str) -> MVPlan:
         )
     nd = _NONDET.search(blank)
     if nd:
-        what = (nd.group(1) or nd.group(2)).upper()
+        what = next(g for g in nd.groups() if g).upper()
         raise MVNotIncremental(
             f"nondeterministic expression {what} — a delta "
             "recomputation would disagree with the stored rows"
@@ -580,43 +584,82 @@ def _merge_changelog(
     )
 
 
-def _refuse_decimal_avg(cat, spark: SparkSession, plan: MVPlan) -> None:
-    """AVG over a DECIMAL argument is outside the fragment: Spark's
-    decimal Average carries its own precision/scale algebra
+def _check_agg_arg_types(cat, spark: SparkSession, plan: MVPlan) -> None:
+    """Type fence for SUM/AVG arguments, probed against the table's
+    current schema on an empty frame (Catalyst analysis only, zero
+    jobs). Refuses (a) non-numeric arguments — Spark's Sum/Average
+    implicitly cast and skip cast-nulled values, which the maintained
+    pre-cast non-null count cannot see — and (b) AVG over DECIMAL:
+    Spark's decimal Average carries its own precision/scale algebra
     (avg(decimal(p,s)) → decimal(p+4,s+4) via an internal scaled
     division) that a maintained sum/count recombination cannot
-    reproduce — the maintained value would disagree with the live
-    fallback's type and rounding. Probed against the table's current
-    schema on an empty frame (Catalyst analysis only, zero jobs);
-    an unreadable/empty table skips the probe — the bootstrap of
-    nothing is trivially consistent and the next refresh re-probes."""
-    avgs = [a for a in plan.aggs if a.fn == "AVG"]
-    if not avgs:
+    reproduce. An unreadable/empty table skips the probe — the
+    bootstrap of nothing is trivially consistent and the next refresh
+    re-probes."""
+    probes = [a for a in plan.aggs if a.fn in ("SUM", "AVG")]
+    if not probes:
         return
-    from pyspark.sql.types import DecimalType
+    from pyspark.sql.types import DecimalType, NumericType
 
     try:
         schema = cat.load_table(plan.table).read(spark).schema
         empty = spark.createDataFrame([], schema)
         probed = empty.select(
-            *[F.expr(a.arg).alias(a.alias) for a in avgs]
+            *[F.expr(a.arg).alias(a.alias) for a in probes]
         ).schema
-    except MVNotIncremental:
-        raise
     except Exception:
         return
+    by_alias = {a.alias: a for a in probes}
     for f in probed.fields:
-        if isinstance(f.dataType, DecimalType):
+        a = by_alias[f.name]
+        if not isinstance(f.dataType, NumericType):
+            # review catch: Spark's Sum/Average implicitly CAST a
+            # non-numeric argument and skip values the cast nulls out,
+            # but the maintained non-null count sees the PRE-cast
+            # value — AVG('10','abc') would divide by 2 where Spark
+            # divides by 1, and an all-uncastable SUM group would
+            # report 0 where Spark reports NULL
             raise MVNotIncremental(
-                f"AVG({dict((a.alias, a.arg) for a in avgs)[f.name]}) "
-                "over a DECIMAL argument — Spark's decimal Average "
-                "precision algebra is not reproducible from "
-                "maintained sum/count state; CAST the argument to "
-                "DOUBLE or keep explicit SUM and COUNT columns"
+                f"{a.fn}({a.arg}) over non-numeric type "
+                f"{f.dataType.simpleString()} — Spark's implicit "
+                "numeric cast can null values out AFTER the "
+                "maintained non-null count sees them; CAST the "
+                "argument to a numeric type explicitly"
+            )
+        if a.fn == "AVG" and isinstance(f.dataType, DecimalType):
+            raise MVNotIncremental(
+                f"AVG({a.arg}) over a DECIMAL argument — Spark's "
+                "decimal Average precision algebra is not "
+                "reproducible from maintained sum/count state; CAST "
+                "the argument to DOUBLE or keep explicit SUM and "
+                "COUNT columns"
             )
 
 
 # -------------------------------------------------------------- driver
+
+def _range_token(ident: str, defn_v: int, from_v: int, to_v: int) -> str:
+    """The merge commit token for one refresh range — the recovery
+    path's landed-or-not probe and the merge's dedup identity MUST
+    agree, so both read it from here."""
+    return f"mv-inc:{ident}:{defn_v}:{from_v}->{to_v}"
+
+
+def _record_freshness(cat, ident: str, deps: dict, defn_v: int) -> None:
+    """Record the refresh point (clearing any pending intent) — the
+    bookkeeping half of a refresh, shared by the apply and the
+    landed-replay recovery paths."""
+    with cat._lock():
+        r2 = cat._read()
+        e2 = r2["views"][ident]
+        e2["freshness"] = {
+            "deps": deps,
+            "version": defn_v,
+            "refreshed_ts": time.time(),
+            "augmented": True,
+        }
+        cat._write(r2)
+
 
 def refresh(
     cat, spark: SparkSession, ident: str, strict: bool, _depth: int = 0
@@ -640,9 +683,23 @@ def refresh(
     range against a moved head, gets a DIFFERENT token, and
     double-applies the landed window (review catch)."""
     if _depth > 4:
+        # stable exit after repeated races — still pass the plan when
+        # the definition parses, so the O(base) recompute this buys
+        # writes AUGMENTED storage and the next refresh can run
+        # incrementally instead of paying a second bootstrap (review
+        # catch)
+        try:
+            plan0 = parse_mv_plan(
+                cat._view_entry(ident)["versions"][-1]["sql"]
+            )
+            if plan0.table not in cat._read()["tables"]:
+                plan0 = None
+        except (MVNotIncremental, ValueError, KeyError):
+            plan0 = None
         return cat._refresh_full(
             spark,
             ident,
+            plan=plan0,
             reason="refresh lost 5 races against concurrent "
             "refreshes/commits; full recompute is the stable exit",
         )
@@ -663,7 +720,7 @@ def refresh(
             raise ValueError(
                 f"definition references unknown table {plan.table!r}"
             )
-        _refuse_decimal_avg(cat, spark, plan)
+        _check_agg_arg_types(cat, spark, plan)
     except MVNotIncremental:
         if strict:
             raise
@@ -689,20 +746,36 @@ def refresh(
         )
     pending = fresh.get("pending") if usable else None
     if pending:
-        # crashed (or concurrent) refresh left an intent: replay its
-        # exact range — the token dedupes if its merge landed — then
-        # recurse for anything committed since
-        res = _apply_range(
-            cat,
-            spark,
-            ident,
-            plan,
-            defn_v,
-            from_v=pending["from"],
-            to_v=pending["to"],
-            deps_rec=pending["deps"],
-            reg=reg,
+        # Crashed (or concurrent) refresh left an intent. FIRST ask
+        # storage whether the pending range's merge already landed —
+        # its commit token is in the token index iff it did (review
+        # catch: recomputing the delta against POST-merge storage is
+        # wrong, not just wasteful: an already-applied retraction
+        # reads as a negative liveness count and the recovery wedges
+        # on its own consistency probe). Landed -> just finish the
+        # bookkeeping; not landed -> storage is still pre-merge, so
+        # the normal apply is consistent. Either way, recurse for
+        # anything committed since.
+        st = cat.load_table(ent["storage"])
+        tok = _range_token(
+            ident, defn_v, pending["from"], pending["to"]
         )
+        landed = st._token_index().get(tok) in st.snapshots()
+        if landed:
+            _record_freshness(cat, ident, pending["deps"], defn_v)
+            res = {"mode": "incremental", "deps": pending["deps"]}
+        else:
+            res = _apply_range(
+                cat,
+                spark,
+                ident,
+                plan,
+                defn_v,
+                from_v=pending["from"],
+                to_v=pending["to"],
+                deps_rec=pending["deps"],
+                reg=reg,
+            )
         if res["mode"] != "incremental":
             return res  # full fallback already reached the head
         return refresh(cat, spark, ident, strict, _depth + 1)
@@ -809,7 +882,11 @@ def _apply_range(
     # policies, signed aggregate, storage join); the consistency
     # probe, the emptiness check, and merge()'s own probes and writes
     # all read the pinned result instead of re-running it (review
-    # catch: ~5 re-executions per refresh)
+    # catch: ~5 re-executions per refresh). The checkpoint blocks are
+    # released by the ContextCleaner when this frame is GC'd — the
+    # same lifetime model as dml.py's and incremental_mv.py's pinned
+    # changelogs; an explicit unpersist() would not reach
+    # localCheckpoint's RDD blocks anyway.
     clog = _merge_changelog(st.read(spark), delta, plan).localCheckpoint(
         eager=True
     )
@@ -829,7 +906,7 @@ def _apply_range(
             clog,
             key=KEY,
             op_col="_op",
-            token=f"mv-inc:{ident}:{defn_v}:{from_v}->{to_v}",
+            token=_range_token(ident, defn_v, from_v, to_v),
         )
         applied = True
         head = st._latest_published()
@@ -839,16 +916,7 @@ def _apply_range(
             > MV_COMPACT_DELETES
         ):
             st.compact_with_retry(spark, 1)
-    with cat._lock():
-        r2 = cat._read()
-        e2 = r2["views"][ident]
-        e2["freshness"] = {
-            "deps": deps_rec,
-            "version": defn_v,
-            "refreshed_ts": time.time(),
-            "augmented": True,
-        }
-        cat._write(r2)
+    _record_freshness(cat, ident, deps_rec, defn_v)
     return {
         "mode": "incremental",
         "deps": deps_rec,

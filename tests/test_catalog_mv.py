@@ -614,3 +614,93 @@ def test_bootstrap_pins_the_recorded_dep_version(spark, tmp_path):
     pinned = augmented_aggregate(cat, spark, plan, as_of=v1)
     n_pinned = pinned.agg(F.sum("n_orders")).collect()[0][0]
     assert n_pinned == o.filter(F.col("o_orderkey") % 4 == 0).count()
+
+
+def test_crash_replay_of_a_retraction_recovers(spark, tmp_path):
+    """Second review wave: replaying a pending range whose merge
+    ALREADY landed must consult the storage token index and finish the
+    bookkeeping — recomputing the delta against post-merge storage
+    reads an already-applied retraction as a negative liveness count
+    and wedges every subsequent refresh on the consistency probe."""
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("g")
+    t = cat.create_table("g.kv")
+    t.append(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 5.0)], "k long, grp string, v double"
+        )
+    )
+    cat.create_materialized_view(
+        "g.mv",
+        "SELECT grp, COUNT(*) AS n, SUM(CAST(ROUND(v * 100) AS BIGINT))"
+        " AS cents FROM {{g.kv}} GROUP BY grp",
+    )
+    cat.refresh_materialized(spark, "g.mv", mode="incremental")
+    # CDC-delete group b entirely, refresh (merge lands), then undo
+    # the freshness write to simulate the crash-after-merge
+    chg = spark.createDataFrame(
+        [(2, "b", 5.0)], "k long, grp string, v double"
+    ).withColumn("_op", F.lit("D"))
+    t.merge(spark, chg, key="k", op_col="_op")
+    r = cat.refresh_materialized(spark, "g.mv", mode="incremental")
+    assert r["mode"] == "incremental"
+    with cat._lock():
+        reg = cat._read()
+        fr = reg["views"]["g.mv"]["freshness"]
+        pend_deps = dict(fr["deps"])
+        fr["deps"] = dict(fr["deps"], **{"g.kv": r["from"]})
+        fr["pending"] = {
+            "from": r["from"], "to": r["to"], "deps": pend_deps,
+        }
+        cat._write(reg)
+    r2 = cat.refresh_materialized(spark, "g.mv", mode="incremental")
+    assert r2["mode"] in ("incremental", "noop")
+    df, hit = cat.read_materialized(spark, "g.mv")
+    assert hit and _rows(df) == {("a", 1, 1000)}
+    assert "pending" not in cat._read()["views"]["g.mv"]["freshness"]
+
+
+def test_nonnumeric_sum_avg_args_refuse(spark, tmp_path):
+    """Spark's Sum/Average implicitly cast non-numeric args and skip
+    cast-nulled values AFTER the maintained non-null count saw them
+    (AVG('10','abc') would divide by 2 where Spark divides by 1) —
+    the type probe refuses both."""
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("g")
+    t = cat.create_table("g.s")
+    # castable values — the refusal is TYPE-based (an 'abc' here would
+    # also blow up the plain full refresh under ANSI, which is Spark's
+    # own behavior and not this module's concern)
+    t.append(
+        spark.createDataFrame(
+            [("a", "10"), ("a", "20")], "grp string, sval string"
+        )
+    )
+    for fn in ("AVG", "SUM"):
+        cat.create_materialized_view(
+            "g.mv_s",
+            f"SELECT grp, {fn}(sval) AS m, COUNT(*) AS n "
+            "FROM {{g.s}} GROUP BY grp",
+            replace=True,
+        )
+        with pytest.raises(MVNotIncremental, match="non-numeric"):
+            cat.refresh_materialized(spark, "g.mv_s", mode="incremental")
+        assert (
+            cat.refresh_materialized(spark, "g.mv_s", mode="auto")["mode"]
+            == "full"
+        )
+
+
+def test_unix_timestamp_forms():
+    """Zero-arg UNIX_TIMESTAMP() reads the clock (refused); the 1/2-arg
+    forms are deterministic string->epoch parses (eligible)."""
+    with pytest.raises(MVNotIncremental, match="UNIX_TIMESTAMP"):
+        parse_mv_plan(
+            "SELECT a, COUNT(*) AS n FROM {{g.t}} "
+            "WHERE ts < UNIX_TIMESTAMP() GROUP BY a"
+        )
+    p = parse_mv_plan(
+        "SELECT a, COUNT(*) AS n FROM {{g.t}} "
+        "WHERE UNIX_TIMESTAMP(evt, 'yyyy-MM-dd') > 100 GROUP BY a"
+    )
+    assert "UNIX_TIMESTAMP(evt" in p.where
