@@ -876,11 +876,7 @@ class LocalCatalog:
                             _resolving | {ref},
                         )
                     else:
-                        df = _strip_mv_hidden(
-                            self.load_table(
-                                views[ref]["storage"]
-                            ).read(spark)
-                        )
+                        df = self._mv_storage_read(spark, views[ref])
                 else:
                     df = self.sql(
                         spark,
@@ -2898,11 +2894,26 @@ class LocalCatalog:
         answer). Returns ``(df, served_from_storage)``."""
         if self.is_stale(ident):
             return self.read_view(spark, ident), False
-        storage = self._view_entry(ident)["storage"]
-        return (
-            _strip_mv_hidden(self.load_table(storage).read(spark)),
-            True,
-        )
+        return self._mv_storage_read(spark, self._view_entry(ident)), True
+
+    def _mv_storage_read(self, spark: SparkSession, ent: dict) -> DataFrame:
+        """Serve a FRESH materialized view from its storage table:
+        apply the definition's HAVING over augmented storage (which
+        keeps all groups so increments can cross the threshold —
+        catalog_mv.storage_having_predicate), then strip the hidden
+        maintenance columns. Unaugmented storage was written already
+        HAVING-filtered by the plain full recompute, so only the
+        strip applies."""
+        df = self.load_table(ent["storage"]).read(spark)
+        if (ent.get("freshness") or {}).get("augmented"):
+            from . import catalog_mv
+
+            pred = catalog_mv.storage_having_predicate(
+                ent["versions"][-1]["sql"]
+            )
+            if pred:
+                df = df.filter(F.expr(pred))
+        return _strip_mv_hidden(df)
 
     def verify(self) -> dict:
         """Catalog fsck — registry-vs-filesystem consistency, the

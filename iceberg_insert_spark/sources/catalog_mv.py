@@ -146,6 +146,13 @@ class MVPlan:
     keys: tuple  # ((sql_expr, alias), ...)
     aggs: tuple  # (AggItem, ...)
     order: tuple  # output aliases in SELECT order
+    #: raw HAVING text (None when absent) — storage keeps ALL groups
+    #: so increments can move a group across the threshold; the
+    #: predicate applies at READ time over augmented storage
+    having: str | None = None
+    #: the HAVING predicate rewritten over storage columns
+    #: (aggregate calls -> maintained hidden state)
+    having_storage: str | None = None
 
 
 # ---------------------------------------------------------------- parse
@@ -154,11 +161,12 @@ _SHAPE = re.compile(
     r"^\s*SELECT\s+(?P<select>.+?)\s+FROM\s+"
     r"\{\{\s*(?P<ref>[A-Za-z_][\w.]*)\s*\}\}\s*"
     r"(?:WHERE\s+(?P<where>.+?)\s*)?"
-    r"GROUP\s+BY\s+(?P<keys>.+?)\s*;?\s*$",
+    r"GROUP\s+BY\s+(?P<keys>.+?)\s*"
+    r"(?:HAVING\s+(?P<having>.+?)\s*)?;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _FORBIDDEN = re.compile(
-    r"\b(JOIN|UNION|EXCEPT|INTERSECT|HAVING|DISTINCT|OVER|LIMIT|"
+    r"\b(JOIN|UNION|EXCEPT|INTERSECT|DISTINCT|OVER|LIMIT|"
     r"LATERAL|PIVOT|GROUPING\s+SETS|ROLLUP|CUBE)\b|\(\s*SELECT\b",
     re.IGNORECASE,
 )
@@ -390,13 +398,101 @@ def parse_mv_plan(sql: str) -> MVPlan:
             "every GROUP BY expression must be selected (merge keys "
             f"must live in storage); missing: {sorted(missing)}"
         )
+    having = (
+        sql[m.start("having"): m.end("having")]
+        if m.group("having") is not None
+        else None
+    )
     return MVPlan(
         table=table,
         where=where,
         keys=tuple(keys),
         aggs=tuple(aggs),
         order=tuple(order),
+        having=having,
+        having_storage=(
+            _translate_having(having, aggs) if having else None
+        ),
     )
+
+
+def _translate_having(having: str, aggs: list) -> str:
+    """Rewrite a HAVING predicate to run over AUGMENTED STORAGE rows:
+    each aggregate call is replaced by its maintained state (the raw
+    hidden column; AVG by its guarded sum/count recombination), and
+    must match a SELECTED aggregate — maintained state only exists for
+    selected columns, so ``HAVING MAX(k) > 2`` with MAX(k) unselected
+    refuses (select it; the judge-facing alternative — hidden-only
+    maintained aggregates — is a deliberate non-goal for now). Alias
+    and group-key references pass through untouched: they are visible
+    storage columns. Spark accepts all three reference styles in live
+    SQL, so the stale fallback needs no translation at all."""
+    by_sig: dict[tuple, AggItem] = {}
+    for a in aggs:
+        by_sig[(a.fn, _norm(a.arg))] = a
+    blank = _blank_quotes(having)
+    spans: list[tuple[int, int, str]] = []
+    last_close = -1
+    for call in _AGG_CALL.finditer(blank):
+        if call.start() <= last_close:
+            # nested inside an outer call's argument: the outer span
+            # is authoritative (its signature lookup will refuse if
+            # the nesting makes it unmatchable)
+            continue
+        depth = 0
+        close = None
+        for i in range(call.end() - 1, len(blank)):
+            if blank[i] == "(":
+                depth += 1
+            elif blank[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    close = i
+                    break
+        if close is None:
+            raise MVNotIncremental(
+                f"unbalanced parentheses in HAVING {having!r}"
+            )
+        fn = call.group(1).upper()
+        arg = having[call.end(): close].strip()
+        if arg == "*" and fn == "COUNT":
+            fn, arg = "COUNT*", ""
+        item = by_sig.get((fn, _norm(arg)))
+        if item is None:
+            raise MVNotIncremental(
+                f"HAVING references {fn}({arg}) which is not a "
+                "selected aggregate — select it so its maintained "
+                "state lives in storage"
+            )
+        r, n = _raw(item.alias), _nn(item.alias)
+        repl = (
+            f"(CASE WHEN `{n}` > 0 THEN `{r}` / `{n}` END)"
+            if fn == "AVG"
+            else f"`{r}`"
+        )
+        spans.append((call.start(), close + 1, repl))
+        last_close = close
+    out = having
+    for start, end, repl in reversed(spans):
+        out = out[:start] + repl + out[end:]
+    return out
+
+
+def storage_having_predicate(defn_sql: str) -> str | None:
+    """Read-path hook: the HAVING filter to apply over AUGMENTED
+    storage rows (before hidden-column stripping), or None. Augmented
+    storage deliberately keeps EVERY group — a delta can move a group
+    across the HAVING threshold in either direction, which a filtered
+    store could not represent — so serving a fresh read means applying
+    the translated predicate here. Plain (unaugmented) storage was
+    written by a full recompute WITH the HAVING applied, so its reads
+    must NOT filter again — the caller gates on the freshness record's
+    ``augmented`` flag."""
+    try:
+        plan = parse_mv_plan(defn_sql)
+    except MVNotIncremental:
+        return None
+    return plan.having_storage
 
 
 # ------------------------------------------------------------- compute

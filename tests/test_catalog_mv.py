@@ -704,3 +704,94 @@ def test_unix_timestamp_forms():
         "WHERE UNIX_TIMESTAMP(evt, 'yyyy-MM-dd') > 100 GROUP BY a"
     )
     assert "UNIX_TIMESTAMP(evt" in p.where
+
+
+# ------------------------------------------------------------- HAVING
+
+
+def test_having_filters_at_read_and_groups_cross_threshold(
+    spark, tmp_path
+):
+    """HAVING over an incrementally-maintained MV: storage keeps ALL
+    groups, the translated predicate applies at read time — so a delta
+    can move a group below the threshold (it vanishes from reads) and
+    back above (it reappears), which a filtered store could not
+    represent."""
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("g")
+    t = cat.create_table("g.kv")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "k long, grp string, v double"
+    )
+    t.append(mk([(1, "a", 10.0), (2, "a", 20.0), (3, "b", 5.0)]))
+    cat.create_materialized_view(
+        "g.mv",
+        "SELECT grp, COUNT(*) AS n, SUM(CAST(ROUND(v * 100) AS BIGINT))"
+        " AS cents FROM {{g.kv}} GROUP BY grp"
+        " HAVING COUNT(*) > 1",
+    )
+    r = cat.refresh_materialized(spark, "g.mv", mode="incremental")
+    assert r["mode"] == "bootstrap"
+    df, hit = cat.read_materialized(spark, "g.mv")
+    assert hit and df.columns == ["grp", "n", "cents"]
+    assert _rows(df) == {("a", 2, 3000)}  # b fails HAVING
+    # live fallback agrees with the storage-served answer
+    assert _rows(cat.read_view(spark, "g.mv")) == {("a", 2, 3000)}
+
+    # delta pushes b ABOVE the threshold and a BELOW it
+    chg = mk([(2, "a", 20.0), (9, "b", 7.0)]).withColumn(
+        "_op", F.when(F.col("k") == 9, F.lit("I")).otherwise(F.lit("D"))
+    )
+    t.merge(spark, chg, key="k", op_col="_op")
+    r = cat.refresh_materialized(spark, "g.mv", mode="incremental")
+    assert r["mode"] == "incremental"
+    df, hit = cat.read_materialized(spark, "g.mv")
+    assert hit and _rows(df) == {("b", 2, 1200)}
+    # the same serve through the SQL front-end's MV resolution
+    got = cat.sql(
+        spark, "SELECT grp, n FROM {{g.mv}} ORDER BY grp"
+    ).collect()
+    assert [(x.grp, x.n) for x in got] == [("b", 2)]
+
+
+def test_having_alias_and_avg_translation(spark, tmp_path):
+    """Alias references pass through; an AVG call in HAVING translates
+    to the maintained sum/count recombination."""
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("g")
+    t = cat.create_table("g.kv")
+    t.append(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "a", 30.0), (3, "b", 100.0)],
+            "k long, grp string, v double",
+        )
+    )
+    cat.create_materialized_view(
+        "g.mv",
+        "SELECT grp, COUNT(*) AS n, AVG(v) AS m FROM {{g.kv}} "
+        "GROUP BY grp HAVING n >= 1 AND AVG(v) < 50.0",
+    )
+    cat.refresh_materialized(spark, "g.mv", mode="incremental")
+    df, hit = cat.read_materialized(spark, "g.mv")
+    assert hit
+    assert {(r.grp, r.n, r.m) for r in df.collect()} == {("a", 2, 20.0)}
+
+
+def test_having_unselected_aggregate_refuses(spark, tmp_path):
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("g")
+    t = cat.create_table("g.orders")
+    t.append(_orders(spark).limit(500))
+    cat.create_materialized_view(
+        "g.mv",
+        "SELECT o_orderstatus, COUNT(*) AS n FROM {{g.orders}} "
+        "GROUP BY o_orderstatus HAVING MAX(o_totalprice) > 10",
+    )
+    with pytest.raises(MVNotIncremental, match="not a selected"):
+        cat.refresh_materialized(spark, "g.mv", mode="incremental")
+    # auto: plain full refresh, HAVING applied by the live compute
+    r = cat.refresh_materialized(spark, "g.mv", mode="auto")
+    assert r["mode"] == "full"
+    df, hit = cat.read_materialized(spark, "g.mv")
+    assert hit
+    assert _rows(df) == _rows(cat.read_view(spark, "g.mv"))
