@@ -795,3 +795,41 @@ def test_having_unselected_aggregate_refuses(spark, tmp_path):
     df, hit = cat.read_materialized(spark, "g.mv")
     assert hit
     assert _rows(df) == _rows(cat.read_view(spark, "g.mv"))
+
+
+def test_concurrent_refreshes_converge(spark, tmp_path):
+    """Three refreshers race on one delta: the in-lock intent write
+    admits one deriver at a time, losers retry against the advanced
+    record (raced -> recurse), the shared range token collapses any
+    doubled merge — nobody throws, nothing double-applies, no intent
+    is left behind."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    o = _orders(spark)
+    root = str(tmp_path)
+    cat = LocalCatalog(root)
+    cat.create_namespace("g")
+    t = cat.create_table("g.orders")
+    t.append(o.filter(F.col("o_orderkey") % 4 == 0))
+    cat.create_materialized_view("g.mv", MV_SQL)
+    cat.refresh_materialized(spark, "g.mv", mode="incremental")
+    t.append(o.filter(F.col("o_orderkey") % 4 == 1))
+
+    def worker(_i):
+        # a separate catalog handle per racer, like separate clients
+        return LocalCatalog(root).refresh_materialized(
+            spark, "g.mv", mode="incremental"
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        results = list(ex.map(worker, range(3)))
+    assert all(
+        r["mode"] in ("incremental", "noop", "full_fallback")
+        for r in results
+    ), results
+    # at least one racer did the work
+    assert any(r["mode"] == "incremental" for r in results), results
+    df, hit = cat.read_materialized(spark, "g.mv")
+    assert hit
+    assert _rows(df) == _rows(_expected(t.read(spark)))
+    assert "pending" not in cat._read()["views"]["g.mv"]["freshness"]
