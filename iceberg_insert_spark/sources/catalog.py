@@ -876,7 +876,15 @@ class LocalCatalog:
                             _resolving | {ref},
                         )
                     else:
-                        df = self._mv_storage_read(spark, views[ref])
+                        # re-fetch the LIVE entry: the statement-start
+                        # snapshot exists for table-pin consistency,
+                        # but is_stale() above re-read the registry —
+                        # serving with the snapshot's freshness/having
+                        # could pair an OLD filter (or none) with NEW
+                        # storage contents (review catch)
+                        df = self._mv_storage_read(
+                            spark, self._view_entry(ref)
+                        )
                 else:
                     df = self.sql(
                         spark,
@@ -2868,6 +2876,14 @@ class LocalCatalog:
                 "version": defn_v,
                 "refreshed_ts": time.time(),
                 "augmented": plan is not None,
+                # the storage-translated read filter travels with the
+                # augmented flag it gates on (augmented storage keeps
+                # ALL groups; plain storage was written pre-filtered)
+                **(
+                    {"having": plan.having_storage}
+                    if plan is not None and plan.having_storage
+                    else {}
+                ),
             }
             self._write(reg)
         out = {
@@ -2898,21 +2914,18 @@ class LocalCatalog:
 
     def _mv_storage_read(self, spark: SparkSession, ent: dict) -> DataFrame:
         """Serve a FRESH materialized view from its storage table:
-        apply the definition's HAVING over augmented storage (which
-        keeps all groups so increments can cross the threshold —
-        catalog_mv.storage_having_predicate), then strip the hidden
-        maintenance columns. Unaugmented storage was written already
+        apply the HAVING filter the REFRESH recorded (augmented
+        storage keeps all groups so increments can cross the
+        threshold; the translated, schema-validated predicate lives in
+        the freshness record next to the augmented flag it gates on —
+        no per-read re-parse), then strip the hidden maintenance
+        columns. Unaugmented storage was written already
         HAVING-filtered by the plain full recompute, so only the
         strip applies."""
+        fresh = ent.get("freshness") or {}
         df = self.load_table(ent["storage"]).read(spark)
-        if (ent.get("freshness") or {}).get("augmented"):
-            from . import catalog_mv
-
-            pred = catalog_mv.storage_having_predicate(
-                ent["versions"][-1]["sql"]
-            )
-            if pred:
-                df = df.filter(F.expr(pred))
+        if fresh.get("augmented") and fresh.get("having"):
+            df = df.filter(F.expr(fresh["having"]))
         return _strip_mv_hidden(df)
 
     def verify(self) -> dict:

@@ -166,8 +166,12 @@ _SHAPE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _FORBIDDEN = re.compile(
+    # ORDER BY is refused explicitly (it is meaningless on a
+    # maintained aggregate and — review catch — would otherwise be
+    # swallowed into the optional HAVING capture as predicate text)
     r"\b(JOIN|UNION|EXCEPT|INTERSECT|DISTINCT|OVER|LIMIT|"
-    r"LATERAL|PIVOT|GROUPING\s+SETS|ROLLUP|CUBE)\b|\(\s*SELECT\b",
+    r"LATERAL|PIVOT|GROUPING\s+SETS|ROLLUP|CUBE|ORDER\s+BY)\b"
+    r"|\(\s*SELECT\b",
     re.IGNORECASE,
 )
 _NONDET = re.compile(
@@ -247,7 +251,29 @@ def _split_alias(item: str) -> tuple[str, str | None]:
 
 
 def _norm(s: str) -> str:
-    return re.sub(r"\s+", " ", s).strip().lower()
+    """Whitespace-collapsed, case-folded form for comparing SQL
+    expressions — QUOTE-AWARE (review catch): case-folding inside a
+    string literal would equate ``CASE WHEN c='a'`` with
+    ``CASE WHEN c='A'`` and bind a HAVING aggregate (or a GROUP BY
+    key) to the WRONG maintained state; literals keep their exact
+    bytes, only code case-folds."""
+    out: list[str] = []
+    q = None
+    for ch in s:
+        if q:
+            out.append(ch)
+            if ch == q:
+                q = None
+        elif ch in "'\"":
+            q = ch
+            out.append(ch)
+        elif ch.isspace():
+            # collapse runs of whitespace OUTSIDE literals only
+            if out and out[-1] != " ":
+                out.append(" ")
+        else:
+            out.append(ch.lower())
+    return "".join(out).strip()
 
 
 def _find_agg(item: str) -> tuple[re.Match, int] | None:
@@ -478,23 +504,6 @@ def _translate_having(having: str, aggs: list) -> str:
     return out
 
 
-def storage_having_predicate(defn_sql: str) -> str | None:
-    """Read-path hook: the HAVING filter to apply over AUGMENTED
-    storage rows (before hidden-column stripping), or None. Augmented
-    storage deliberately keeps EVERY group — a delta can move a group
-    across the HAVING threshold in either direction, which a filtered
-    store could not represent — so serving a fresh read means applying
-    the translated predicate here. Plain (unaugmented) storage was
-    written by a full recompute WITH the HAVING applied, so its reads
-    must NOT filter again — the caller gates on the freshness record's
-    ``augmented`` flag."""
-    try:
-        plan = parse_mv_plan(defn_sql)
-    except MVNotIncremental:
-        return None
-    return plan.having_storage
-
-
 # ------------------------------------------------------------- compute
 
 def _key_col(plan: MVPlan):
@@ -534,6 +543,14 @@ def augmented_aggregate(
     window — silent double counting, not staleness)."""
     pin = f"@{as_of}" if as_of else ""
     src = cat.sql(spark, f"SELECT * FROM {{{{{plan.table}{pin}}}}}")
+    return _aggregate_frame(src, plan)
+
+
+def _aggregate_frame(src: DataFrame, plan: MVPlan) -> DataFrame:
+    """The augmented-aggregate plan over an arbitrary source frame —
+    shared by the bootstrap write and the refresh-time HAVING schema
+    validation (which runs it on an EMPTY frame: analysis only, zero
+    jobs)."""
     if plan.where:
         src = src.filter(F.expr(plan.where))
     keyc = [F.expr(e).alias(a) for e, a in plan.keys]
@@ -689,11 +706,15 @@ def _check_agg_arg_types(cat, spark: SparkSession, plan: MVPlan) -> None:
     Spark's decimal Average carries its own precision/scale algebra
     (avg(decimal(p,s)) → decimal(p+4,s+4) via an internal scaled
     division) that a maintained sum/count recombination cannot
-    reproduce. An unreadable/empty table skips the probe — the
-    bootstrap of nothing is trivially consistent and the next refresh
-    re-probes."""
+    reproduce. Also validates a translated HAVING predicate against
+    the AUGMENTED-storage schema (review catch: a Spark-legal HAVING
+    over a non-alias group-key expression — ``HAVING UPPER(c) = …`` —
+    references no storage column, and without this fence it
+    bootstrapped fine and then crashed every fresh READ). An
+    unreadable/empty table skips the probes — the bootstrap of
+    nothing is trivially consistent and the next refresh re-probes."""
     probes = [a for a in plan.aggs if a.fn in ("SUM", "AVG")]
-    if not probes:
+    if not probes and not plan.having_storage:
         return
     from pyspark.sql.types import DecimalType, NumericType
 
@@ -705,6 +726,20 @@ def _check_agg_arg_types(cat, spark: SparkSession, plan: MVPlan) -> None:
         ).schema
     except Exception:
         return
+    if plan.having_storage:
+        try:
+            _aggregate_frame(empty, plan).filter(
+                F.expr(plan.having_storage)
+            ).schema  # analysis only, zero jobs
+        except Exception as exc:
+            raise MVNotIncremental(
+                "HAVING does not resolve over maintained storage "
+                "columns — reference selected output ALIASES or the "
+                "exact selected aggregate expressions (a group-key "
+                "EXPRESSION like UPPER(c) is not a storage column; "
+                f"use its alias). Analyzer said: "
+                f"{str(exc).splitlines()[0][:160]}"
+            ) from None
     by_alias = {a.alias: a for a in probes}
     for f in probed.fields:
         a = by_alias[f.name]
@@ -741,10 +776,16 @@ def _range_token(ident: str, defn_v: int, from_v: int, to_v: int) -> str:
     return f"mv-inc:{ident}:{defn_v}:{from_v}->{to_v}"
 
 
-def _record_freshness(cat, ident: str, deps: dict, defn_v: int) -> None:
+def _record_freshness(
+    cat, ident: str, deps: dict, defn_v: int, having: str | None
+) -> None:
     """Record the refresh point (clearing any pending intent) — the
     bookkeeping half of a refresh, shared by the apply and the
-    landed-replay recovery paths."""
+    landed-replay recovery paths. ``having`` is the STORAGE-translated
+    read filter computed (and schema-validated) at refresh time: the
+    read path serves from this record instead of re-parsing the
+    definition per read (review catch), so the filter travels
+    atomically with the augmented flag it gates on."""
     with cat._lock():
         r2 = cat._read()
         e2 = r2["views"][ident]
@@ -753,6 +794,7 @@ def _record_freshness(cat, ident: str, deps: dict, defn_v: int) -> None:
             "version": defn_v,
             "refreshed_ts": time.time(),
             "augmented": True,
+            **({"having": having} if having else {}),
         }
         cat._write(r2)
 
@@ -858,7 +900,9 @@ def refresh(
         )
         landed = st._token_index().get(tok) in st.snapshots()
         if landed:
-            _record_freshness(cat, ident, pending["deps"], defn_v)
+            _record_freshness(
+                cat, ident, pending["deps"], defn_v, plan.having_storage
+            )
             res = {"mode": "incremental", "deps": pending["deps"]}
         else:
             res = _apply_range(
@@ -986,7 +1030,24 @@ def _apply_range(
     clog = _merge_changelog(st.read(spark), delta, plan).localCheckpoint(
         eager=True
     )
+    tok = _range_token(ident, defn_v, from_v, to_v)
     if clog.filter(F.col(N) < 0).limit(1).count():
+        # TOCTOU with a concurrent refresher (review catch): we may
+        # have derived against storage that ANOTHER racer's merge of
+        # THIS range advanced after our landed-probe/intent — in that
+        # case the negative count is the already-applied retraction,
+        # not divergence. Re-probe the token before crying corruption.
+        if st._token_index().get(tok) in st.snapshots():
+            _record_freshness(
+                cat, ident, deps_rec, defn_v, plan.having_storage
+            )
+            return {
+                "mode": "incremental",
+                "deps": deps_rec,
+                "from": from_v,
+                "to": to_v,
+                "applied": True,
+            }
         raise RuntimeError(
             "incremental MV maintenance inconsistency: the delta "
             "retracts more rows than storage holds for a group — "
@@ -997,13 +1058,7 @@ def _apply_range(
         # group netted to an exact no-op) — no storage commit needed
         applied = False
     else:
-        st.merge(
-            spark,
-            clog,
-            key=KEY,
-            op_col="_op",
-            token=_range_token(ident, defn_v, from_v, to_v),
-        )
+        st.merge(spark, clog, key=KEY, op_col="_op", token=tok)
         applied = True
         head = st._latest_published()
         if (
@@ -1012,7 +1067,7 @@ def _apply_range(
             > MV_COMPACT_DELETES
         ):
             st.compact_with_retry(spark, 1)
-    _record_freshness(cat, ident, deps_rec, defn_v)
+    _record_freshness(cat, ident, deps_rec, defn_v, plan.having_storage)
     return {
         "mode": "incremental",
         "deps": deps_rec,

@@ -833,3 +833,113 @@ def test_concurrent_refreshes_converge(spark, tmp_path):
     assert hit
     assert _rows(df) == _rows(_expected(t.read(spark)))
     assert "pending" not in cat._read()["views"]["g.mv"]["freshness"]
+
+
+def test_having_fences_from_third_review(spark, tmp_path):
+    """Third review wave pins: (a) ORDER BY refuses instead of being
+    swallowed into the HAVING capture; (b) a HAVING over a group-key
+    EXPRESSION (not a storage column) refuses at REFRESH time instead
+    of crashing every fresh read; (c) aggregate signatures differing
+    only by string-literal case do NOT bind to each other's maintained
+    state."""
+    with pytest.raises(MVNotIncremental, match="ORDER"):
+        parse_mv_plan(
+            "SELECT a, COUNT(*) AS n FROM {{g.t}} GROUP BY a "
+            "HAVING COUNT(*) > 1 ORDER BY a"
+        )
+    # literal-case: the HAVING aggregate is NOT the selected one
+    with pytest.raises(MVNotIncremental, match="not a selected"):
+        parse_mv_plan(
+            "SELECT g, SUM(CASE WHEN c = 'a' THEN v END) AS s "
+            "FROM {{g.t}} GROUP BY g "
+            "HAVING SUM(CASE WHEN c = 'A' THEN v END) > 0"
+        )
+    # matching literal case binds fine
+    p = parse_mv_plan(
+        "SELECT g, SUM(CASE WHEN c = 'a' THEN v END) AS s "
+        "FROM {{g.t}} GROUP BY g "
+        "HAVING SUM(CASE WHEN c = 'a' THEN v END) > 0"
+    )
+    assert p.having_storage == "`__iis_mv_agg__s` > 0"
+
+    # (b) needs the schema probe: group-key expression in HAVING
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("g")
+    t = cat.create_table("g.kv")
+    t.append(
+        spark.createDataFrame(
+            [(1, "a", 1.0)], "k long, c string, v double"
+        )
+    )
+    cat.create_materialized_view(
+        "g.mv",
+        "SELECT UPPER(c) AS u, COUNT(*) AS n FROM {{g.kv}} "
+        "GROUP BY UPPER(c) HAVING UPPER(c) = 'A'",
+    )
+    with pytest.raises(MVNotIncremental, match="storage column"):
+        cat.refresh_materialized(spark, "g.mv", mode="incremental")
+    r = cat.refresh_materialized(spark, "g.mv", mode="auto")
+    assert r["mode"] == "full"
+    df, hit = cat.read_materialized(spark, "g.mv")
+    assert hit and _rows(df) == {("A", 1)}
+    # alias form IS maintainable, same semantics
+    cat.create_materialized_view(
+        "g.mv2",
+        "SELECT UPPER(c) AS u, COUNT(*) AS n FROM {{g.kv}} "
+        "GROUP BY UPPER(c) HAVING u = 'A'",
+    )
+    assert (
+        cat.refresh_materialized(spark, "g.mv2", mode="incremental")[
+            "mode"
+        ]
+        == "bootstrap"
+    )
+    df, hit = cat.read_materialized(spark, "g.mv2")
+    assert hit and _rows(df) == {("A", 1)}
+
+
+def test_apply_range_toctou_reprobe_recovers(spark, tmp_path):
+    """Direct _apply_range on a state where the range's merge ALREADY
+    landed (the landed-probe TOCTOU): the negative-liveness probe must
+    re-check the token index and finish the bookkeeping instead of
+    raising the consistency error."""
+    from iceberg_insert_spark.sources import catalog_mv as CM
+
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("g")
+    t = cat.create_table("g.kv")
+    t.append(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 5.0)], "k long, grp string, v double"
+        )
+    )
+    cat.create_materialized_view(
+        "g.mv",
+        "SELECT grp, COUNT(*) AS n, SUM(CAST(ROUND(v * 100) AS BIGINT))"
+        " AS cents FROM {{g.kv}} GROUP BY grp",
+    )
+    cat.refresh_materialized(spark, "g.mv", mode="incremental")
+    chg = spark.createDataFrame(
+        [(2, "b", 5.0)], "k long, grp string, v double"
+    ).withColumn("_op", F.lit("D"))
+    t.merge(spark, chg, key="k", op_col="_op")
+    r = cat.refresh_materialized(spark, "g.mv", mode="incremental")
+    assert r["mode"] == "incremental"
+    # storage is POST-merge; call _apply_range for the SAME range as
+    # a racer that probed landed=False just before the winner landed
+    ent = cat._view_entry("g.mv")
+    plan = parse_mv_plan(ent["versions"][-1]["sql"])
+    res = CM._apply_range(
+        cat,
+        spark,
+        "g.mv",
+        plan,
+        defn_v=len(ent["versions"]),
+        from_v=r["from"],
+        to_v=r["to"],
+        deps_rec=r["deps"],
+        reg=cat._read(),
+    )
+    assert res["mode"] == "incremental"
+    df, hit = cat.read_materialized(spark, "g.mv")
+    assert hit and _rows(df) == {("a", 1, 1000)}
