@@ -1468,9 +1468,12 @@ class LocalCatalog:
             if not m:
                 raise ValueError(
                     "expected 'DESCRIBE [TABLE] [EXTENDED] "
-                    "{{namespace.table}}'"
+                    "{{namespace.table_or_view}}'"
                 )
-            return self.describe_table(spark, m.group(1))
+            ident = m.group(1)
+            if ident in self._read().get("views", {}):
+                return self.describe_view(spark, ident)
+            return self.describe_table(spark, ident)
         if verb == "SHOW":
             mc = self._SHOW_CREATE_RE.match(sql)
             if mc:
@@ -1862,6 +1865,75 @@ class LocalCatalog:
         ]
         rows.append(("# Metadata", "", ""))
         rows.extend((k, "", v) for k, v in info)
+        return spark.createDataFrame(
+            rows, "col_name string, data_type string, info string"
+        )
+
+    def describe_view(self, spark: SparkSession, ident: str) -> DataFrame:
+        """``DESCRIBE`` for a VIEW / MATERIALIZED VIEW — the operator-
+        facing state the table variant cannot show: kind, definition
+        version, current SQL, transitive table dependencies, and for
+        MVs the storage ident, freshness verdict (fresh/stale),
+        refresh posture (augmented / recorded HAVING read-filter /
+        pending crash-recovery intent / last refresh time), and the
+        INCREMENTAL-MAINTAINABILITY verdict — eligible, or the exact
+        parser reason a ``REFRESH … INCREMENTAL`` would refuse.
+        Registry metadata only: zero data IO. Same 3-column shape as
+        ``describe_table`` so one console renders both."""
+        ent = self._view_entry(ident)
+        is_mv = bool(ent.get("materialized"))
+        sql = ent["versions"][-1]["sql"]
+        info: list[tuple[str, str]] = [
+            ("kind", "materialized_view" if is_mv else "view"),
+            ("definition_version", str(len(ent["versions"]))),
+            ("definition", " ".join(sql.split())),
+            (
+                "dependencies",
+                ", ".join(sorted(self.view_dependencies(ident)))
+                or "(none)",
+            ),
+        ]
+        if is_mv:
+            from . import catalog_mv
+
+            fresh = ent.get("freshness") or {}
+            try:
+                catalog_mv.parse_mv_plan(sql)
+                maintain = "eligible (REFRESH INCREMENTAL maintains "\
+                    "from the base changelog)"
+            except catalog_mv.MVNotIncremental as exc:
+                maintain = f"full-refresh only: {exc}"
+            ts = fresh.get("refreshed_ts")
+            info += [
+                ("storage", ent["storage"]),
+                (
+                    "freshness",
+                    "stale" if self.is_stale(ident) else "fresh",
+                ),
+                (
+                    "last_refreshed",
+                    time.strftime(
+                        "%Y-%m-%d %H:%M:%SZ", time.gmtime(ts)
+                    )
+                    if ts
+                    else "(never)",
+                ),
+                ("augmented_storage", str(bool(fresh.get("augmented")))),
+                ("read_filter", fresh.get("having") or "(none)"),
+                (
+                    "pending_intent",
+                    (
+                        f"range {p['from']}->{p['to']} (crashed or "
+                        "in-flight refresh; next refresh recovers)"
+                        if (p := fresh.get("pending"))
+                        else "(none)"
+                    ),
+                ),
+                ("incremental_maintenance", maintain),
+            ]
+        rows = [("# View", "", "")] + [
+            (k, "", v) for k, v in info
+        ]
         return spark.createDataFrame(
             rows, "col_name string, data_type string, info string"
         )

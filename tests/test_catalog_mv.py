@@ -943,3 +943,53 @@ def test_apply_range_toctou_reprobe_recovers(spark, tmp_path):
     assert res["mode"] == "incremental"
     df, hit = cat.read_materialized(spark, "g.mv")
     assert hit and _rows(df) == {("a", 1, 1000)}
+
+
+def test_describe_view_surfaces_mv_state(spark, tmp_path):
+    """DESCRIBE on a view/MV: kind + definition for plain views; for
+    MVs the freshness verdict, augmented flag, recorded read filter,
+    pending intent, and the incremental-maintainability verdict (the
+    exact refusal reason for ineligible definitions)."""
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("g")
+    t = cat.create_table("g.kv")
+    t.append(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "a", 2.0)], "k long, grp string, v double"
+        )
+    )
+    cat.create_view("g.v", "SELECT grp FROM {{g.kv}}")
+    d = {r.col_name: r.info for r in cat.execute(
+        spark, "DESCRIBE {{g.v}}"
+    ).collect()}
+    assert d["kind"] == "view" and "storage" not in d
+
+    cat.create_materialized_view(
+        "g.mv",
+        "SELECT grp, COUNT(*) AS n FROM {{g.kv}} GROUP BY grp "
+        "HAVING COUNT(*) > 1",
+    )
+    d = {r.col_name: r.info for r in cat.execute(
+        spark, "DESCRIBE {{g.mv}}"
+    ).collect()}
+    assert d["kind"] == "materialized_view"
+    assert d["freshness"] == "stale" and d["last_refreshed"] == "(never)"
+    assert d["incremental_maintenance"].startswith("eligible")
+    cat.refresh_materialized(spark, "g.mv", mode="incremental")
+    d = {r.col_name: r.info for r in cat.execute(
+        spark, "DESCRIBE {{g.mv}}"
+    ).collect()}
+    assert d["freshness"] == "fresh"
+    assert d["augmented_storage"] == "True"
+    assert d["read_filter"] == "`__iis_mv_agg__n` > 1"
+    assert d["pending_intent"] == "(none)"
+
+    cat.create_materialized_view(
+        "g.mv_avgdec",
+        "SELECT grp, COUNT(DISTINCT k) AS n FROM {{g.kv}} GROUP BY grp",
+    )
+    d = {r.col_name: r.info for r in cat.execute(
+        spark, "DESCRIBE {{g.mv_avgdec}}"
+    ).collect()}
+    assert d["incremental_maintenance"].startswith("full-refresh only:")
+    assert "DISTINCT" in d["incremental_maintenance"]
