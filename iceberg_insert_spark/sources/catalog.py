@@ -1883,14 +1883,32 @@ class LocalCatalog:
         ent = self._view_entry(ident)
         is_mv = bool(ent.get("materialized"))
         sql = ent["versions"][-1]["sql"]
+        # ONE live dependency walk feeds BOTH the dependencies row and
+        # the freshness verdict (review catch: direct-refs-only next to
+        # a transitive-walk verdict let the two rows disagree); a
+        # dropped/renamed dependency must DESCRIBE as dangling, not
+        # crash the introspection verb an operator reaches for to
+        # diagnose exactly that state (review catch)
+        try:
+            deps_live = self._dep_versions(ident)
+            dep_tables = sorted(
+                k for k in deps_live if "::" not in k
+            )
+            dep_err = None
+        except Exception as exc:
+            deps_live, dep_tables = None, []
+            dep_err = str(exc).splitlines()[0][:160]
         info: list[tuple[str, str]] = [
             ("kind", "materialized_view" if is_mv else "view"),
             ("definition_version", str(len(ent["versions"]))),
             ("definition", " ".join(sql.split())),
             (
                 "dependencies",
-                ", ".join(sorted(self.view_dependencies(ident)))
-                or "(none)",
+                (
+                    ", ".join(dep_tables) or "(none)"
+                )
+                if dep_err is None
+                else f"DANGLING: {dep_err}",
             ),
         ]
         if is_mv:
@@ -1898,18 +1916,33 @@ class LocalCatalog:
 
             fresh = ent.get("freshness") or {}
             try:
-                catalog_mv.parse_mv_plan(sql)
+                plan = catalog_mv.parse_mv_plan(sql)
+                # same fences REFRESH runs (zero jobs): parse alone
+                # said "eligible" for definitions the refresh-time
+                # schema probe refuses (review catch)
+                catalog_mv._check_agg_arg_types(self, spark, plan)
                 maintain = "eligible (REFRESH INCREMENTAL maintains "\
                     "from the base changelog)"
             except catalog_mv.MVNotIncremental as exc:
                 maintain = f"full-refresh only: {exc}"
+            # freshness verdict from the SAME ent snapshot as the
+            # posture rows below (review catch: a refresh landing
+            # between two registry reads showed 'fresh' beside
+            # last_refreshed '(never)')
+            if deps_live is None:
+                verdict = "unknown (dangling dependency)"
+            elif (
+                not fresh
+                or fresh.get("version") != len(ent["versions"])
+                or fresh.get("deps") != deps_live
+            ):
+                verdict = "stale"
+            else:
+                verdict = "fresh"
             ts = fresh.get("refreshed_ts")
             info += [
                 ("storage", ent["storage"]),
-                (
-                    "freshness",
-                    "stale" if self.is_stale(ident) else "fresh",
-                ),
+                ("freshness", verdict),
                 (
                     "last_refreshed",
                     time.strftime(

@@ -993,3 +993,53 @@ def test_describe_view_surfaces_mv_state(spark, tmp_path):
     ).collect()}
     assert d["incremental_maintenance"].startswith("full-refresh only:")
     assert "DISTINCT" in d["incremental_maintenance"]
+
+
+def test_describe_view_dangling_and_refresh_fence_parity(
+    spark, tmp_path
+):
+    """Fourth-wave pins: DESCRIBE on an MV with a dropped dependency
+    reports DANGLING instead of crashing; the maintainability verdict
+    runs the refresh-time type fences, not parse alone (a decimal AVG
+    must read full-refresh-only); dependencies show the transitive
+    TABLES the freshness verdict is computed from."""
+    o = _orders(spark)
+    cat = LocalCatalog(str(tmp_path))
+    cat.create_namespace("g")
+    t = cat.create_table("g.dec")
+    t.append(
+        o.limit(50).select(
+            "o_orderstatus",
+            F.expr("CAST(o_totalprice AS DECIMAL(12,2))").alias("d"),
+        )
+    )
+    cat.create_materialized_view(
+        "g.mv",
+        "SELECT o_orderstatus, AVG(d) AS m FROM {{g.dec}} "
+        "GROUP BY o_orderstatus",
+    )
+    d = {r.col_name: r.info for r in cat.execute(
+        spark, "DESCRIBE {{g.mv}}"
+    ).collect()}
+    assert d["incremental_maintenance"].startswith("full-refresh only:")
+    assert "DECIMAL" in d["incremental_maintenance"]
+
+    # MV over a VIEW over a table: dependencies list the TABLE
+    cat.create_view("g.v", "SELECT o_orderstatus FROM {{g.dec}}")
+    cat.create_materialized_view(
+        "g.mv2",
+        "SELECT o_orderstatus, COUNT(*) AS n FROM {{g.v}} "
+        "GROUP BY o_orderstatus",
+    )
+    d = {r.col_name: r.info for r in cat.execute(
+        spark, "DESCRIBE {{g.mv2}}"
+    ).collect()}
+    assert d["dependencies"] == "g.dec"
+
+    # dangling: drop the base table out from under both MVs
+    cat.drop_table("g.dec")
+    d = {r.col_name: r.info for r in cat.execute(
+        spark, "DESCRIBE {{g.mv}}"
+    ).collect()}
+    assert d["dependencies"].startswith("DANGLING:")
+    assert d["freshness"] == "unknown (dangling dependency)"
