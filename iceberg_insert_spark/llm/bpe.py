@@ -34,6 +34,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..tables import tiny_df
+
 from ..registry import query
 from ..tables import load_table
 
@@ -189,7 +191,7 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence is pinned merge-for-merge against a sequential pure-python
     BPE in tests/test_bpe.py."""
     merges = _merges_for(spark, sf_dir)
-    return spark.createDataFrame(
+    return tiny_df(spark, 
         merges, "rank long, left string, right string, pair_freq long"
     )
 

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..tables import tiny_df
+
 from ..registry import query
 from ..tables import load_table
 
@@ -1537,7 +1539,7 @@ def q_dedup_near_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(eligible.select(F.col("doc_id").alias("doc_a")), "doc_a")
         .count()
     )
-    return spark.createDataFrame(
+    return tiny_df(spark, 
         [
             (
                 n_planted,

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..tables import tiny_df
+
 from ..registry import query
 from ..tables import load_table
 from .vector import cosine
@@ -221,7 +223,7 @@ def q_sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = [
         (int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
-    cdf = spark.createDataFrame(cents, "cell int, centroid array<double>")
+    cdf = tiny_df(spark, cents, "cell int, centroid array<double>")
     probes = cand.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
     )
@@ -928,7 +930,7 @@ def q_emb_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in crows:
         cent[r.pos] = r.m
     picked = mmr_select(emb, cent)
-    return spark.createDataFrame(
+    return tiny_df(spark, 
         [
             (rank + 1, pid, round(score, 6))
             for rank, (pid, score) in enumerate(picked)
@@ -1032,7 +1034,7 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         )
-    return spark.createDataFrame(
+    return tiny_df(spark, 
         rows,
         "method string, k bigint, floor_pct bigint, meets_floor bigint",
     )
@@ -1163,7 +1165,7 @@ def q_sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             for m in range(PQ_M)
         ]
         luts.append((int(r.vec_id), [float(v) for v in p], lut))
-    probes = spark.createDataFrame(
+    probes = tiny_df(spark, 
         luts,
         "probe_id long, pe array<double>, lut array<array<double>>",
     )

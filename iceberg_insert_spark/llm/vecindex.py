@@ -55,6 +55,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..tables import tiny_df
+
 from ..registry import query
 from ..tables import load_table, scratch_dir
 from ..sources.snapshots import SnapshotTable
@@ -518,7 +520,7 @@ def query_vector_index(
             rows.append(
                 (int(r.vec_id), p_raw, int(cell), lut.tolist())
             )
-    probe_cells = spark.createDataFrame(
+    probe_cells = tiny_df(spark, 
         rows,
         "probe_id long, pe array<double>, cell int, "
         "lut array<array<double>>",
@@ -593,12 +595,19 @@ def _shared_index_fixture(
 
     Immutable after publish: built under a tmp dir, renamed into the
     keyed path atomically; concurrent builders race safely (first
-    rename wins, losers discard and read the winner's). No
-    applicationId in the path ON PURPOSE — cross-process reuse is the
-    point (the driver's bench and correctness processes both hit it),
-    and immutability makes that safe where scratch_dir's per-session
-    wipe would not be. MUTATING queries (incremental, CDC) keep their
-    private scratch fixtures."""
+    rename wins, losers discard and read the winner's). SCOPED TO THE
+    SPARK APPLICATION (r12 optimization round): the key includes the
+    applicationId, so every bench/driver invocation rebuilds the index
+    from the parquet inputs exactly once — the r11 shape (no app id,
+    cross-process reuse "on purpose") was a persisted intermediate
+    keyed on the test data, which the optimization rounds ban as
+    cross-run result caching, and it would also have distorted the
+    driver's core-count scaling passes (the second pass would read the
+    first pass's index instead of building). Within one application
+    the one-build-serves-five sharing stands: the read-only queries'
+    claims are about the FROZEN index, not about building it five
+    times. MUTATING queries (incremental, CDC) keep their private
+    scratch fixtures."""
     import hashlib
     import shutil
     import threading
@@ -630,7 +639,10 @@ def _shared_index_fixture(
     import re as _re
 
     tag = _re.sub(r"\W", "_", sf_dir.rstrip("/").split("/")[-1])
-    root = f"/tmp/iceberg_insert_spark/vecindex_shared/{tag}/{digest}"
+    app = spark.sparkContext.applicationId
+    root = (
+        f"/tmp/iceberg_insert_spark/vecindex_shared/{app}/{tag}/{digest}"
+    )
     if not os.path.isdir(root):
         tmp = f"{root}.tmp-{os.getpid()}-{threading.get_ident()}"
         shutil.rmtree(tmp, ignore_errors=True)
@@ -753,7 +765,7 @@ def q_vecindex_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = N_PROBES * TOP_K
     floor = ANN_RECALL_FLOORS["ivfpq"]
     hits = len(exact & ann)
-    return spark.createDataFrame(
+    return tiny_df(spark, 
         [("ivfpq", TOP_K, floor, int(100 * hits >= floor * total))],
         "method string, k bigint, floor_pct bigint, meets_floor bigint",
     )
@@ -821,7 +833,7 @@ def q_vecindex_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         pruning_held = int(0 < len(kept) < total)
     else:
         pruning_held = int(0 < len(kept) <= total)
-    return spark.createDataFrame(
+    return tiny_df(spark, 
         [
             (
                 n_src,
@@ -905,7 +917,7 @@ def q_vecindex_incremental(
     n_delta = n_total - idx.read(
         spark, as_of=idx.snapshots()[0]
     ).count()
-    return spark.createDataFrame(
+    return tiny_df(spark, 
         [(n_total, n_delta, mism, len(idx.snapshots()))],
         "n_total bigint, n_delta bigint, n_mismatch bigint, "
         "n_commits bigint",
@@ -1060,7 +1072,7 @@ def q_vecindex_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     n_total = int(row["n_total"] or 0)
     mism = int(row["mism"] or 0)
-    return spark.createDataFrame(
+    return tiny_df(spark, 
         [(n_total, n_upd, n_del, mism, replay_noop)],
         "n_total bigint, n_upd bigint, n_del bigint, "
         "n_mismatch bigint, replay_noop bigint",
@@ -1116,7 +1128,7 @@ def q_vecindex_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
         [n for n, _r in curve]
         == [2**i for i in range(len(curve))]
     )
-    return spark.createDataFrame(
+    return tiny_df(spark, 
         [
             (
                 75,
@@ -1186,7 +1198,7 @@ def q_vecindex_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = exact_topk_pairs(spark, src, where=where)
     floor = 64
     hits = len(exact & pairs)
-    return spark.createDataFrame(
+    return tiny_df(spark, 
         [
             (
                 "ivfpq_filtered",

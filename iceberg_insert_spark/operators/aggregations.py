@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..tables import tiny_df
+
 from ..registry import query
 from ..tables import exact_sum, load_table
 
@@ -1786,7 +1788,7 @@ def q_sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         100 * abs(r.hll - r.exact) <= HLL_ERROR_BOUND_PCT * r.exact
     )
     pctl_ok = int(r.lo <= r.p50a <= r.hi)
-    return spark.createDataFrame(
+    return tiny_df(spark, 
         [(r.exact, HLL_ERROR_BOUND_PCT, hll_ok, pctl_ok)],
         "exact_users bigint, hll_bound_pct bigint, "
         "hll_within_bound bigint, pctl_within_rank_eps bigint",

@@ -36,6 +36,8 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..tables import tiny_df
+
 from ..registry import query
 from ..tables import exact_sum, load_table, scratch_dir
 from .snapshots import SnapshotTable
@@ -1865,7 +1867,7 @@ class LocalCatalog:
         ]
         rows.append(("# Metadata", "", ""))
         rows.extend((k, "", v) for k, v in info)
-        return spark.createDataFrame(
+        return tiny_df(spark, 
             rows, "col_name string, data_type string, info string"
         )
 
@@ -1967,7 +1969,7 @@ class LocalCatalog:
         rows = [("# View", "", "")] + [
             (k, "", v) for k, v in info
         ]
-        return spark.createDataFrame(
+        return tiny_df(spark, 
             rows, "col_name string, data_type string, info string"
         )
 
@@ -1987,7 +1989,7 @@ class LocalCatalog:
             kind = "materialized_view" if v.get("storage") else "view"
             if ns is None or n == ns:
                 rows.append((n, ident, kind))
-        return spark.createDataFrame(
+        return tiny_df(spark, 
             rows, "namespace string, identifier string, kind string"
         )
 
@@ -2055,7 +2057,7 @@ class LocalCatalog:
                 f"  '{q(k)}' = '{q(props[k])}'" for k in sorted(props)
             )
             lines.append(f"TBLPROPERTIES (\n{body}\n)")
-        return spark.createDataFrame(
+        return tiny_df(spark, 
             [("\n".join(lines),)], "create_stmt string"
         )
 
@@ -2666,7 +2668,7 @@ class LocalCatalog:
                 rs = re.search(r"ReadSchema: (\S+)", line)
                 if rs:
                     rows.append(("read_schema", rs.group(1)))
-        return spark.createDataFrame(rows, "kind string, item string")
+        return tiny_df(spark, rows, "kind string, item string")
 
     @staticmethod
     def _balanced_after(line: str, marker: str) -> str | None:
@@ -4079,7 +4081,7 @@ def q_catalog_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     for ident in cat.list_tables():
         tbl = cat.load_table(ident)
         rows.append((ident, tbl.count_rows(spark)[0], len(tbl.snapshots())))
-    listing = spark.createDataFrame(
+    listing = tiny_df(spark, 
         rows, "ident string, record_count long, n_snapshots long"
     )
     return listing.withColumn("renamed_sum_price", F.lit(sum_price))
@@ -4144,7 +4146,7 @@ def q_catalog_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         replace=True,
     )
     v1_rows = cat.read_view(spark, "raw.all_orders", version=1).count()
-    scalars = spark.createDataFrame(
+    scalars = tiny_df(spark, 
         [(cat.view_versions("raw.all_orders"), v1_rows)],
         "n_versions long, v1_rows long",
     )
@@ -4208,7 +4210,7 @@ def q_catalog_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     stale_df.count()  # the fallback runs live over the FULL source
     cat.refresh_materialized(spark, "gold.by_status")
     final, hit3 = cat.read_materialized(spark, "gold.by_status")
-    scalars = spark.createDataFrame(
+    scalars = tiny_df(spark, 
         [(int(hit1), int(hit2), int(hit3))],
         "first_from_storage long, stale_from_storage long, "
         "refreshed_from_storage long",
@@ -4281,7 +4283,7 @@ def q_catalog_mv_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mode"
     ]
     final, hit = cat.read_materialized(spark, "gold.by_status")
-    scalars = spark.createDataFrame(
+    scalars = tiny_df(spark, 
         [(m1, m2, m3, int(hit))],
         "mode1 string, mode2 string, mode3 string, "
         "served_from_storage long",
@@ -4609,17 +4611,35 @@ def q_catalog_dml_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE c_nationkey < 5",
     )
     admin = cat.load_table("gov.customer").read(spark)
-    n_after = admin.count()
-    n_hidden_surv = admin.filter(
-        (F.col("c_mktsegment") == "BUILDING")
-        & (F.col("c_acctbal") <= 0)
-    ).count()
-    n_touched = admin.filter(F.col("c_name") == "touched").count()
-    n_hidden_untouched = admin.filter(
-        (F.col("c_nationkey") < 5)
-        & (F.col("c_acctbal") <= 0)
-        & (F.col("c_name") != "touched")
-    ).count()
+    # ONE aggregation pass (r12 optimization round): the four audit
+    # counters previously ran four independent count() actions — four
+    # full MoR scans of the same table; count(when(p)) ≡
+    # filter(p).count() per row, so one scan+agg computes all four.
+    arow = admin.agg(
+        F.count(F.lit(1)).alias("n_after"),
+        F.count(
+            F.when(
+                (F.col("c_mktsegment") == "BUILDING")
+                & (F.col("c_acctbal") <= 0),
+                1,
+            )
+        ).alias("n_hidden_surv"),
+        F.count(F.when(F.col("c_name") == "touched", 1)).alias(
+            "n_touched"
+        ),
+        F.count(
+            F.when(
+                (F.col("c_nationkey") < 5)
+                & (F.col("c_acctbal") <= 0)
+                & (F.col("c_name") != "touched"),
+                1,
+            )
+        ).alias("n_hidden_untouched"),
+    ).collect()[0]
+    n_after = arow["n_after"]
+    n_hidden_surv = arow["n_hidden_surv"]
+    n_touched = arow["n_touched"]
+    n_hidden_untouched = arow["n_hidden_untouched"]
     cat.set_column_mask("gov.customer", "c_acctbal", "NULL")
     n_refused = 0
     for stmt in (
@@ -4632,7 +4652,7 @@ def q_catalog_dml_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
         except ValueError as e:
             if "masked column" in str(e):
                 n_refused += 1
-    return spark.createDataFrame(
+    return tiny_df(spark, 
         [
             (
                 n_after,
@@ -5030,7 +5050,7 @@ def q_catalog_script(spark: SparkSession, sf_dir: str) -> DataFrame:
                 FROM {{scr.dim}}) AS dim_cents
         """,
     ).collect()[0]
-    return spark.createDataFrame(
+    return tiny_df(spark, 
         [
             (
                 pre_n,
@@ -5175,22 +5195,29 @@ def q_catalog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pre_n = res[2].collect()[0]["n"]
     heads = res[3]
+    # ONE aggregation pass over the post-merge table (r12 optimization
+    # round): the audit previously ran five scalar subqueries, i.e.
+    # five independent MoR scans of {{mg.fact}} (~13 Spark jobs);
+    # conditional aggregation computes the identical five values in a
+    # single scan+agg — COUNT(CASE WHEN p THEN 1 END) ≡
+    # (SELECT COUNT(*) ... WHERE p) on a non-empty relation, and the
+    # DuckDB oracle (unchanged) still spells the subquery form.
     audit = cat.sql(
         spark,
         """
-        SELECT (SELECT COUNT(*) FROM {{mg.fact}}) AS post_n,
-               (SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100)
-                                     AS BIGINT)) AS BIGINT)
-                FROM {{mg.fact}}) AS fact_cents,
-               (SELECT COUNT(*) FROM {{mg.fact}}
-                WHERE o_orderstatus = 'U') AS n_upd,
-               (SELECT COUNT(*) FROM {{mg.fact}}
-                WHERE o_orderstatus = 'X') AS n_closed,
-               (SELECT COUNT(*) FROM {{mg.fact}}
-                WHERE o_orderkey > 1000000000) AS n_ins
+        SELECT COUNT(*) AS post_n,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100)
+                             AS BIGINT)) AS BIGINT) AS fact_cents,
+               COUNT(CASE WHEN o_orderstatus = 'U' THEN 1 END)
+                   AS n_upd,
+               COUNT(CASE WHEN o_orderstatus = 'X' THEN 1 END)
+                   AS n_closed,
+               COUNT(CASE WHEN o_orderkey > 1000000000 THEN 1 END)
+                   AS n_ins
+        FROM {{mg.fact}}
         """,
     ).collect()[0]
-    return spark.createDataFrame(
+    return tiny_df(spark, 
         [
             (
                 pre_n,

@@ -20,6 +20,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..tables import tiny_df
+
 from ..registry import query
 from ..tables import load_table
 
@@ -196,7 +198,7 @@ def q_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 r["rows_read"] * 1_000_000 // max(r["n_rows"], 1),
             )
         )
-    return spark.createDataFrame(
+    return tiny_df(spark, 
         rows, "layout string, n_files long, files_skipped long, read_frac_ppm long"
     )
 
@@ -368,7 +370,7 @@ def q_rowgroup_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                 r["rows_read"] * 1_000_000 // max(r["n_rows"], 1),
             )
         )
-    return spark.createDataFrame(
+    return tiny_df(spark, 
         rows,
         "layout string, files_skipped int, n_groups long, "
         "groups_skipped long, read_frac_ppm long",

@@ -427,6 +427,9 @@ class SnapshotCommitMixin:
                 # dir so both land — or neither lands — in one commit.
                 deldir = os.path.join(staging, "del")
                 deletes_df.write.mode("error").parquet(deldir)
+                delete_schema = deletes_df.schema.jsonValue()
+            else:
+                delete_schema = None
             with self._commit_lock():
                 # Token dedup DECIDED under the lock: two replays racing
                 # the same batch token both pass append_once's advisory
@@ -499,7 +502,7 @@ class SnapshotCommitMixin:
                 new_files = self._finish_commit(
                     v, d, inherit, token, op, wap_id, schema_json,
                     delete_key, replace_partitions, branch, drop_files,
-                    delete_kind, extra_meta,
+                    delete_kind, extra_meta, delete_schema,
                 )
             # Footer-stat recording OUTSIDE the lock (review catch:
             # thousands of footer reads inside it would overrun the
@@ -531,6 +534,7 @@ class SnapshotCommitMixin:
         drop_files: set | None = None,
         delete_kind: str = "eq",
         extra_meta: dict | None = None,
+        delete_schema: dict | None = None,
     ) -> list[str]:
         new_files = []
         for root, dirs, files in os.walk(d):
@@ -726,6 +730,14 @@ class SnapshotCommitMixin:
                 else:
                     # equality deletes also carry their merge key
                     ent = {"path": rel, "key": delete_key, "seq": v}
+                if delete_schema is not None and delete_kind != "dv":
+                    # the delete file's exact parquet schema (one write
+                    # per commit, every file identical): scan-side MoR
+                    # reads hand it to spark.read.schema() and skip the
+                    # per-read footer-inference job (r12 optimization —
+                    # Iceberg readers plan schemas from metadata, never
+                    # footers; DV blobs are pyarrow-read and need none)
+                    ent["sch"] = delete_schema
                 new_dels.append(ent)
         inherited_dels = (
             base_raw.get("delete_files", []) if inherit else []

@@ -32,6 +32,8 @@ from __future__ import annotations
 
 import zlib
 
+from ...tables import tiny_df
+
 _MAGIC = b"IISDV1"
 _HDR = len(_MAGIC) + 8
 
@@ -190,7 +192,7 @@ def build_dv_frame(spark, hits, prior: dict[str, bytes]):
 
     partials = hits.mapInPandas(_partial, DV_SCHEMA)
     if prior:
-        prior_rows = spark.createDataFrame(
+        prior_rows = tiny_df(spark, 
             [
                 (f, bytearray(b), dv_cardinality(b))
                 for f, b in sorted(prior.items())

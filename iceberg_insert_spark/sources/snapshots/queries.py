@@ -8,6 +8,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ...tables import tiny_df
+
 from ...registry import query
 from ...tables import exact_sum, load_table
 from .core import SnapshotTable
@@ -852,7 +854,7 @@ def q_snapshot_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for fi in sorted(tbl.files_info(), key=lambda d: d["path"])
     ]
-    return spark.createDataFrame(
+    return tiny_df(spark, 
         rows,
         "snapshot_seq long, n_records long, min_key long, max_key long",
     )
@@ -1033,7 +1035,7 @@ def q_snapshot_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         (p["partition"]["o_orderstatus"], p["n_files"], p["n_records"])
         for p in tbl.partitions_info()
     ]
-    return spark.createDataFrame(
+    return tiny_df(spark, 
         rows, "o_orderstatus string, n_files int, n_records long"
     )
 
@@ -1124,7 +1126,7 @@ def q_snapshot_fsck(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"_snap=9/ghost.parquet": {"o_orderkey": "AAAA"}},
     )
     rows += report("injected")
-    return spark.createDataFrame(
+    return tiny_df(spark, 
         rows, "phase string, bucket string, n long"
     )
 
@@ -1175,7 +1177,7 @@ def q_snapshot_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n, "branch", b["snapshot"])
         for n, b in sorted(tbl.branches().items())
     ]
-    return spark.createDataFrame(
+    return tiny_df(spark, 
         rows, "name string, type string, snapshot long"
     )
 
@@ -1242,7 +1244,7 @@ def q_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
         1 for f in doomed if os.path.exists(os.path.join(tbl.path, f))
     )
     tagged_n = tbl.read(spark, as_of=tbl.tags()["audit"]).count()
-    scalars = spark.createDataFrame(
+    scalars = tiny_df(spark, 
         [(tagged_n, len(live), len(before) - len(live), leftover)],
         "tagged_rows long, n_live_snapshots long, "
         "n_expired_snapshots long, n_leftover_files long",
@@ -1305,7 +1307,7 @@ def q_snapshot_cherrypick(spark: SparkSession, sf_dir: str) -> DataFrame:
     idem = 1 if tbl.cherrypick(bv) == pick else 0
     head_op = tbl.history()[-1][1]
     branch_n = tbl.read_branch(spark, "hotfix").count()
-    scalars = spark.createDataFrame(
+    scalars = tiny_df(spark, 
         [(branch_n, head_op, idem)],
         "branch_rows long, head_op string, idempotent long",
     )
@@ -1381,7 +1383,7 @@ def q_snapshot_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         and not rep2["reclaimed_files"]
         and not rep2["orphans_removed"]
     )
-    scalars = spark.createDataFrame(
+    scalars = tiny_df(spark, 
         [
             (
                 rep["files_before"],
@@ -1509,7 +1511,7 @@ def q_snapshot_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
                 int(abs(est - exact) <= 0.05 * exact),
             )
         )
-    return spark.createDataFrame(
+    return tiny_df(spark, 
         rows, "col string, exact_ndv long, from_meta long, within_5pct long"
     ).orderBy("col")
 
@@ -1618,7 +1620,7 @@ def q_snapshot_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for p in parts
     ]
-    return spark.createDataFrame(
+    return tiny_df(spark, 
         rows,
         "o_orderstatus string, n_files long, n_records long, "
         "share_ppm long, skew_ppm long",
@@ -1687,7 +1689,7 @@ def q_snapshot_manifest_pruning(
                 n,
             )
         )
-    return spark.createDataFrame(
+    return tiny_df(spark, 
         rows,
         "status string, manifests_total int, manifests_pruned int, "
         "files_kept int, n_rows long",
@@ -1742,7 +1744,7 @@ def q_snapshot_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
     for mi in tbl.manifests_info():
         ps = mi["partition_summary"].get("o_orderstatus", [None, None])
         rows.append(("rewritten", mi["n_entries"], ps[0], ps[1]))
-    return spark.createDataFrame(
+    return tiny_df(spark, 
         rows,
         "phase string, n_entries int, part_lo string, part_hi string",
     )

@@ -8,6 +8,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ...tables import tiny_df
+
 from ...registry import query
 from ...tables import exact_sum, load_table
 from .core import SnapshotTable
@@ -521,7 +523,7 @@ def q_snapshot_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = f"{base}/ckpt"
     snapshot_stream_available_now(spark, tbl, ckpt, sink)
     snapshot_stream_available_now(spark, tbl, ckpt, sink)  # restart: no-op
-    return spark.createDataFrame(got, "snapshot long, n_rows long")
+    return tiny_df(spark, got, "snapshot long, n_rows long")
 
 
 @query(
@@ -594,7 +596,7 @@ def q_snapshot_changelog_stream(
     ckpt = f"{base}/ckpt"
     changelog_stream_available_now(spark, tbl, ckpt, sink)
     changelog_stream_available_now(spark, tbl, ckpt, sink)  # restart
-    return spark.createDataFrame(
+    return tiny_df(spark, 
         got, "snapshot long, change_type string, n_rows long"
     )
 
@@ -917,7 +919,7 @@ def q_snapshot_write_distribution(
     )  # one scalar
     none_files = len(none_t._manifest(none_t._latest_published()))
     hash_files = len(hash_t._manifest(hash_t._latest_published()))
-    scalars = spark.createDataFrame(
+    scalars = tiny_df(spark, 
         [
             (
                 int(hash_files == n_status),

@@ -14,6 +14,45 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _schema_sans_metadata(sj: dict) -> dict:
+    """Recursively drop StructField ``metadata`` from a schema JSON
+    before handing it to ``spark.read.schema()``. Two reasons (r12):
+    the JVM-side parse rejects array-valued metadata ("Do not support
+    array of type class org.json4s.JArray" — the evolve/rename history
+    some fields carry), and footer-inferred schemas — what this
+    explicit schema replaces — never carried metadata, so stripping it
+    keeps the read result byte-identical to the inferred path."""
+
+    def clean_type(t):
+        if isinstance(t, dict):
+            if t.get("type") == "struct":
+                return {
+                    "type": "struct",
+                    "fields": [
+                        {
+                            "name": f["name"],
+                            "type": clean_type(f["type"]),
+                            "nullable": f.get("nullable", True),
+                            "metadata": {},
+                        }
+                        for f in t.get("fields", [])
+                    ],
+                }
+            if t.get("type") == "array":
+                return {
+                    **t,
+                    "elementType": clean_type(t["elementType"]),
+                }
+            if t.get("type") == "map":
+                return {
+                    **t,
+                    "keyType": clean_type(t["keyType"]),
+                    "valueType": clean_type(t["valueType"]),
+                }
+        return t
+
+    return clean_type(sj)
+
 
 class SnapshotStatsMixin:
 
@@ -1634,11 +1673,34 @@ class SnapshotStatsMixin:
                     df = df.drop(n)
             return df
 
+        # Scan schema comes from the MANIFEST, not from parquet footers
+        # (r12 optimization): a schema-less spark.read.parquet() runs a
+        # footer-inference job (one driver-blocking Spark job per read
+        # call) before planning; the manifest already records the exact
+        # schema every current-era file was written with, so handing it
+        # to spark.read.schema() removes that job — exactly how an
+        # Iceberg reader plans (schema-id from metadata). Only
+        # current-era groups qualify (older-era files are projected by
+        # _resolve_onto from their OWN footer shape), and lineage
+        # tables keep inference (rewritten files carry materialized
+        # physical lineage columns the logical schema must not hide).
+        cur_st = None
+        if sj is not None and not lineage_table:
+            from pyspark.sql import types as T
+
+            cur_st = T.StructType.fromJson(
+                _schema_sans_metadata(sj)
+            )
+
+        def rdr(era: int | None = None):
+            if cur_st is not None and (era is None or era >= schema_v):
+                return spark.read.schema(cur_st)
+            return spark.read
+
         if not dels and not needs_resolve and not lineage_table:
             return tag(
-                spark.read.parquet(
-                    *[os.path.join(self.path, f) for f in rels]
-                )
+                rdr(min(e for _, e in by_seq) if by_seq else None)
+                .parquet(*[os.path.join(self.path, f) for f in rels])
             )
         target = None
         if needs_resolve:
@@ -1649,7 +1711,7 @@ class SnapshotStatsMixin:
         parts = []
         for (s, e), fs in sorted(by_seq.items()):
             df = tag(
-                spark.read.parquet(
+                rdr(e).parquet(
                     *[os.path.join(self.path, f) for f in fs]
                 )
             )
@@ -1688,6 +1750,18 @@ class SnapshotStatsMixin:
                 )
             parts.append(df.withColumn("__iis_seq", F.lit(s).cast("long")))
         data = reduce(lambda a, b: a.unionByName(b), parts)
+        def _del_rdr(d: dict):
+            # delete entries record their file's exact schema at
+            # commit time ("sch"); pre-recording entries infer
+            sch = d.get("sch")
+            if sch is not None:
+                from pyspark.sql import types as T
+
+                return spark.read.schema(
+                    T.StructType.fromJson(_schema_sans_metadata(sch))
+                )
+            return spark.read
+
         if eq_dels:
             keys = {d["key"] for d in eq_dels}
             if len(keys) != 1:
@@ -1697,7 +1771,8 @@ class SnapshotStatsMixin:
                 )
             key = keys.pop()
             dparts = [
-                spark.read.parquet(os.path.join(self.path, d["path"]))
+                _del_rdr(d)
+                .parquet(os.path.join(self.path, d["path"]))
                 .select(
                     F.col(d["key"]).alias("__iis_dkey"),
                     F.lit(d["seq"]).cast("long").alias("__iis_dseq"),
@@ -1718,7 +1793,7 @@ class SnapshotStatsMixin:
             # only reference files that existed when it was written.
             # Delete files are match-sized (two columns), broadcast.
             pparts = [
-                spark.read.parquet(os.path.join(self.path, d["path"]))
+                _del_rdr(d).parquet(os.path.join(self.path, d["path"]))
                 for d in pos_dels
             ]
             delpos = reduce(DataFrame.unionAll, pparts)

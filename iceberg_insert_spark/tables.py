@@ -113,6 +113,26 @@ def exact_sum(col: F.Column, scale: int = 2) -> F.Column:
     return F.sum(quantized).cast("double") / float(factor)
 
 
+def tiny_df(spark: SparkSession, rows: list, schema) -> DataFrame:
+    """Driver-computed result rows as a ONE-slice DataFrame.
+
+    ``spark.createDataFrame(rows, schema)`` parallelizes a local list
+    into ``defaultParallelism`` slices — 32 tasks (each with a Python
+    worker round-trip) to serve a handful of audit rows, measured
+    0.42 s per no-op action on local[32] vs 0.16 s with one slice (r12
+    optimization round, guide §6: size output partitions to the data).
+    Semantics are unchanged from createDataFrame: same row order, same
+    schema application, same null handling — only the slice count
+    differs, and these results are a few rows BY CONSTRUCTION (audit
+    counters, recall scores), so one slice is the right layout at any
+    scale factor."""
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
+
+
 def scratch_dir(spark: SparkSession, sf_dir: str, name: str) -> str:
     """Fresh scratch path for a query that materializes files mid-run,
     keyed by (operator name, Spark applicationId, sf basename): two
