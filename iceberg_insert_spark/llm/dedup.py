@@ -631,7 +631,30 @@ def connected_components(
     real cluster with executor churn, swap in a reliable ``checkpoint`` dir
     (same call shape, survives executor loss).
     """
-    edges = (
+    def _ck_with_signature(e: DataFrame):
+        """Eager localCheckpoint whose materialization job ALSO
+        computes the round's convergence signature via ``observe()``
+        (r12 optimization: the signature was a second full job per
+        round — observed metrics ride the checkpoint job for free,
+        verified on Spark 4.1). The signature itself is unchanged: an
+        order-independent set fingerprint — count + decimal sum of
+        xxhash64 (a long sum overflows under ANSI; hash collisions
+        cancelling in the sum is a ~2^-64 event, acceptable for a
+        convergence check bounded by max_rounds)."""
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        ck = e.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias(
+                "h"
+            ),
+        ).localCheckpoint(eager=True)
+        m = obs.get
+        return ck, (m["n"], m["h"])
+
+    edges, sig = _ck_with_signature(
         pairs.select(
             F.greatest(F.col("doc_a"), F.col("doc_b")).alias("u"),
             F.least(F.col("doc_a"), F.col("doc_b")).alias("v"),
@@ -639,7 +662,6 @@ def connected_components(
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .repartition(partitions, "u")
-        .localCheckpoint(eager=True)
     )
     nodes = (
         edges.select(F.col("u").alias("node"))
@@ -648,18 +670,6 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    def _signature(e: DataFrame):
-        # Order-independent set fingerprint: one tiny aggregate, no collect
-        # of edges. xxhash64 collisions cancelling in the sum is a ~2^-64
-        # event — acceptable for a convergence check bounded by max_rounds.
-        row = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            # decimal sum: a long sum of 64-bit hashes overflows (ANSI throws)
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
-        ).first()
-        return (row["n"], row["h"])
-
-    sig = _signature(edges)
     rounds = 0
     converged = False
     for _ in range(max_rounds):
@@ -686,9 +696,10 @@ def connected_components(
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
-        edges = small.repartition(partitions, "u").localCheckpoint(eager=True)
+        edges, new_sig = _ck_with_signature(
+            small.repartition(partitions, "u")
+        )
         rounds += 1
-        new_sig = _signature(edges)
         if new_sig == sig:
             converged = True
             break
@@ -823,15 +834,21 @@ def pagerank(
     edges = canon.select(
         F.col("a").alias("u"), F.col("b").alias("v")
     ).unionByName(canon.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    from pyspark.sql import Observation
+
     edges = edges.repartition(CC_PARTITIONS, "u").localCheckpoint(eager=True)
     # deg is consumed EVERY round: checkpoint once so the round plans
-    # don't each re-run an O(|edges|) aggregation
+    # don't each re-run an O(|edges|) aggregation. The node count rides
+    # the checkpoint job as an observed metric (r12: it was a second
+    # full job).
+    obs_n = Observation()
     deg = (
         edges.groupBy("u")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .observe(obs_n, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    n = deg.count()  # driver O(1): one scalar
+    n = obs_n.get["n"]  # driver O(1): one scalar
     if n == 0:
         # empty graph: empty result, like connected_components
         return (
@@ -863,7 +880,11 @@ def pagerank(
             .agg(F.sum("c").alias("in_mass"))
         )
         # every node has an in-edge (symmetric graph), so the join is
-        # inner; prev rides along for the O(1) L1-delta scalar
+        # inner; prev rides along for the O(1) L1-delta scalar, which
+        # is OBSERVED on the checkpoint job itself (r12: the delta
+        # aggregate was a second job per round; the exact long sum is
+        # unchanged)
+        obs_d = Observation()
         new_ranks = (
             ranks.join(contribs, "u")
             .select(
@@ -874,12 +895,16 @@ def pagerank(
                 ).cast("long").alias("rank"),
                 F.col("rank").alias("_prev"),
             )
+            .observe(
+                obs_d,
+                F.sum(F.abs(F.col("rank") - F.col("_prev"))).alias(
+                    "delta"
+                ),
+            )
             .localCheckpoint(eager=True)
         )
         rounds += 1
-        delta = new_ranks.agg(
-            F.sum(F.abs(F.col("rank") - F.col("_prev")))
-        ).first()[0]
+        delta = obs_d.get["delta"]
         ranks = new_ranks.drop("_prev")
         if delta <= tol_nano:
             break

@@ -62,24 +62,33 @@ def train_langid(
     """
 
     def _count(batches):
-        from collections import Counter
+        from collections import Counter, defaultdict
 
         import pandas as pd
 
         for pdf in batches:
-            agg: Counter = Counter()
+            # one Counter PER LABEL and C-level Counter.update over the
+            # whole gram list (r12 optimization, guide §4.2): the
+            # per-gram python loop built a (lab, gram) tuple and dict
+            # probe per occurrence; update() counts the same list in C.
+            # Counts are exact integers either way — output identical.
+            per_lab: dict = defaultdict(Counter)
+            docs: Counter = Counter()
             for txt, lab in zip(pdf[text_col], pdf[label_col]):
                 if lab is None:
                     continue
                 # per-doc marker under the empty gram (no real trigram
                 # has length 0): doc counts ride the SAME counting pass
-                agg[(lab, "")] += 1
-                for g in _grams(txt):
-                    agg[(lab, g)] += 1
-            if agg:
-                labs, grams, counts = zip(
-                    *[(lab, g, c) for (lab, g), c in agg.items()]
-                )
+                docs[lab] += 1
+                per_lab[lab].update(_grams(txt))
+            if docs:
+                rows = [(lab, "", docs[lab]) for lab in docs]
+                rows += [
+                    (lab, g, c)
+                    for lab, ctr in per_lab.items()
+                    for g, c in ctr.items()
+                ]
+                labs, grams, counts = zip(*rows)
                 yield pd.DataFrame(
                     {"lab": labs, "gram": grams, "c": counts}
                 )

@@ -1269,6 +1269,11 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("support"))
         .orderBy(F.desc("support"), F.asc("part_a"), F.asc("part_b"))
         .limit(BASKET_TOP_K)
+        # BOTH rule directions read this subtree; without a cut the
+        # pair aggregation + top-K runs twice (AQE reuses the exchange
+        # but not the final agg/limit — r12 optimization, measured one
+        # duplicated multi-million-pair reduce). K rows, O(1) storage.
+        .localCheckpoint(eager=True)
     )
     rules = pairs.select(
         F.col("part_a").alias("antecedent"),
