@@ -1350,7 +1350,7 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dot"),
         (F.col("a.nsq") * F.col("b.nsq")).cast("double").alias("dend"),
     )
-    thr = spark.range(1).select(
+    thr = spark.range(0, 1, 1, 1).select(
         F.explode(
             F.array([F.lit(t) for t in SWEEP_THRESHOLDS])
         ).alias("threshold")

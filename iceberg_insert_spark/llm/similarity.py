@@ -994,26 +994,17 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     it on a 1%% sample table before committing to an nprobe/bucket
     setting, exactly how FAISS users calibrate IVF.
     """
-    exact = _exact_knn_pairs(spark, sf_dir)
     total = N_PROBES * TOP_K
-
-    def score(item):
-        method, fn = item
-        ann = {
-            (r.probe_id, r.cand_id)
-            for r in fn(spark, sf_dir)
-            .select("probe_id", "cand_id")
-            .collect()
-        }
-        hits = len(exact & ann)
-        floor = ANN_RECALL_FLOORS[method]
-        return (method, TOP_K, floor, int(100 * hits >= floor * total))
 
     # the tiers are independent fixtures (per-operator scratch
     # dirs) driving independent Spark jobs — evaluate them
     # CONCURRENTLY so the query's wall time is the slowest tier, not
     # the sum (measured 8.7 s -> ~4 s at sf0.1); result order is
-    # pinned by ex.map. Python module FIRST-imports are not
+    # pinned by ex.map. The exact brute-force twin is independent of
+    # every tier too, so it rides the SAME pool (r13: it ran serially
+    # BEFORE the pool, adding its full wall time to the query) — each
+    # scorer blocks on its future only at the set-intersection point.
+    # Python module FIRST-imports are not
     # thread-safe for packages with import-time cycles — pre-import
     # the pyspark.ml modules the tiers use before spawning threads
     # (observed: concurrent first imports raised 'partially
@@ -1023,7 +1014,23 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyspark.ml.functions  # noqa: F401
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(3) as ex:
+    with ThreadPoolExecutor(4) as ex:
+        exact_fut = ex.submit(_exact_knn_pairs, spark, sf_dir)
+
+        def score(item):
+            method, fn = item
+            ann = {
+                (r.probe_id, r.cand_id)
+                for r in fn(spark, sf_dir)
+                .select("probe_id", "cand_id")
+                .collect()
+            }
+            hits = len(exact_fut.result() & ann)
+            floor = ANN_RECALL_FLOORS[method]
+            return (
+                method, TOP_K, floor, int(100 * hits >= floor * total)
+            )
+
         rows = list(
             ex.map(
                 score,

@@ -754,14 +754,20 @@ def q_vecindex_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         _exact_knn_pairs,
     )
 
-    src, idx_path = _shared_index_fixture(spark, sf_dir)
-    ann = {
-        (r.probe_id, r.cand_id)
-        for r in query_vector_index(spark, idx_path, src)
-        .select("probe_id", "cand_id")
-        .collect()
-    }
-    exact = _exact_knn_pairs(spark, sf_dir)
+    # the exact twin is independent of the index probe — overlap the
+    # two job chains (r13; same pattern as q_sim_ann_recall's pool)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(1) as ex:
+        exact_fut = ex.submit(_exact_knn_pairs, spark, sf_dir)
+        src, idx_path = _shared_index_fixture(spark, sf_dir)
+        ann = {
+            (r.probe_id, r.cand_id)
+            for r in query_vector_index(spark, idx_path, src)
+            .select("probe_id", "cand_id")
+            .collect()
+        }
+        exact = exact_fut.result()
     total = N_PROBES * TOP_K
     floor = ANN_RECALL_FLOORS["ivfpq"]
     hits = len(exact & ann)

@@ -35,6 +35,20 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass
+    # executeTake (limit(1).collect() / first / head) scans ONE partition
+    # in its first job by default, then retries with 4x more — a
+    # no-match guard probe pays two serial Spark jobs. One SCHEDULING
+    # WAVE of partitions per attempt is the scale-adaptive choice: the
+    # cluster runs that many tasks concurrently anyway, so the first
+    # attempt costs one wave whatever the cluster size, and per-partition
+    # early exit keeps the scan bounded (r13 optimization, guide §1).
+    try:
+        spark.conf.set(
+            "spark.sql.limit.initialNumPartitions",
+            str(max(spark.sparkContext.defaultParallelism, 1)),
+        )
+    except Exception:
+        pass
     _ensure_package_on_workers(spark)
     return spark
 

@@ -4738,7 +4738,7 @@ def q_catalog_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted(fresh.ndv_cols)
         == sorted(["o_custkey", "o_totalprice"])
     )
-    return spark.range(1).select(
+    return spark.range(0, 1, 1, 1).select(
         F.lit(int(n_rows)).cast("bigint").alias("n_rows"),
         F.lit(round(lo, 2)).alias("min_price"),
         F.lit(round(hi, 2)).alias("max_price"),

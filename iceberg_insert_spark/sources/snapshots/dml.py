@@ -26,6 +26,7 @@ class SnapshotDmlMixin:
         token: str | None = None,
         wap_id: str | None = None,
         stage_base: int | None = None,
+        _ops_validated: bool = False,
     ) -> int:
         """MERGE INTO as ONE atomic snapshot — Iceberg v2's CDC write
         path (round-5 verdict item #2). The changelog carries an op
@@ -75,18 +76,23 @@ class SnapshotDmlMixin:
         # Unknown op codes (lowercase 'd', 'DELETE', NULL, typos) must
         # fail loudly, not silently drop changelog rows (review catch).
         # NULL-safe: isin() yields NULL for NULL ops, which ~ would
-        # filter away.
-        bad = changelog.filter(
-            ~F.coalesce(
-                F.col(op_col).isin("I", "U", "D"), F.lit(False)
-            )
-        ).limit(1)
-        bad_row = bad.collect()
-        if bad_row:
-            raise ValueError(
-                f"changelog op column {op_col!r} contains "
-                f"{bad_row[0][op_col]!r}; expected 'I', 'U', or 'D'"
-            )
+        # filter away. ``_ops_validated`` skips the probe job when the
+        # CALLER constructed every op as an 'I'/'U'/'D' literal
+        # (merge_into's derived changelogs — provably valid by
+        # construction, so the validation scan is a no-op by design;
+        # r13 optimization, guide §1: don't compute what is proven).
+        if not _ops_validated:
+            bad = changelog.filter(
+                ~F.coalesce(
+                    F.col(op_col).isin("I", "U", "D"), F.lit(False)
+                )
+            ).limit(1)
+            bad_row = bad.collect()
+            if bad_row:
+                raise ValueError(
+                    f"changelog op column {op_col!r} contains "
+                    f"{bad_row[0][op_col]!r}; expected 'I', 'U', or 'D'"
+                )
         dels = (
             changelog.filter(F.col(op_col).isin("U", "D"))
             .select(key)
@@ -285,6 +291,14 @@ class SnapshotDmlMixin:
         # BROADCAST against the column-pruned target key scan — never
         # an aggregate over the table (review catch: a .distinct() on
         # the target keys was a full-table shuffle).
+        # All guard probes below are DEFERRED into guard_probes —
+        # (priority, key) frames unioned and evaluated in ONE Spark job
+        # (r13 optimization, guide §2.4: q_catalog_merge paid a serial
+        # probe job per guard; the union evaluates the same scans in
+        # parallel under one action). Refusal type/message and the
+        # raise priority (cardinality, then matched-partial, then the
+        # BY SOURCE guards) are unchanged.
+        guard_probes: list[DataFrame] = []
         if matched:
             dupkeys = (
                 source.groupBy(key)
@@ -292,17 +306,14 @@ class SnapshotDmlMixin:
                 .filter(F.col("__iis_c") > 1)
                 .select(key)
             )
-            dup = (
+            guard_probes.append(
                 tgt.select(key)
                 .join(F.broadcast(dupkeys), key)
-                .limit(1)
-                .collect()
-            )
-            if dup:
-                raise ValueError(
-                    f"MERGE cardinality violation: source has multiple "
-                    f"rows for matched key {dup[0][key]!r}"
+                .select(
+                    F.lit(0).alias("__iis_why"),
+                    F.col(key).alias("__iis_k"),
                 )
+            )
         # First-match-wins clause routing, exactly SQL's evaluation
         # order: one chained CASE tags each matched pair with the index
         # of the first clause whose condition holds (NULL = no clause
@@ -318,7 +329,9 @@ class SnapshotDmlMixin:
                 )
             return route
 
-        def _refuse_partial_keys(flagged: DataFrame, what: str) -> None:
+        def _partial_keys_probe(
+            flagged: DataFrame, why: int
+        ) -> DataFrame:
             # Equality deletes remove EVERY row holding a key, so a key
             # where SOME rows routed to a clause and siblings routed to
             # none would silently destroy the unrouted siblings ("rows
@@ -328,8 +341,9 @@ class SnapshotDmlMixin:
             # duplicate keys — refuse instead of corrupting (r12; the
             # same hazard class as the r11 hidden-row clash guard).
             # flagged: (__iis_k, __iis_routed boolean), one row per
-            # participating target row.
-            bad = (
+            # participating target row. Returns a (priority, key)
+            # violation frame for the fused guard job.
+            return (
                 flagged.groupBy("__iis_k")
                 .agg(
                     F.sum(F.col("__iis_routed").cast("int")).alias(
@@ -341,18 +355,10 @@ class SnapshotDmlMixin:
                     (F.col("__iis_r") > 0)
                     & (F.col("__iis_r") < F.col("__iis_n"))
                 )
-                .limit(1)
-                .collect()
-            )
-            if bad:
-                raise ValueError(
-                    f"MERGE refused: {what} key "
-                    f"{bad[0]['__iis_k']!r} holds target rows routed "
-                    "to a clause AND sibling rows no clause matched — "
-                    "the equality delete would destroy the unrouted "
-                    "siblings; cover the key fully (add an "
-                    "unconditional clause) or deduplicate the key"
+                .select(
+                    F.lit(why).alias("__iis_why"), F.col("__iis_k")
                 )
+            )
 
         route = _first_match_route(matched)
         parts: list[DataFrame] = []
@@ -361,14 +367,16 @@ class SnapshotDmlMixin:
             if all(cl[1] for cl in matched):
                 # cost: one aggregate over the BATCH-sized matched-pair
                 # set (cardinality check already bounds source keys)
-                _refuse_partial_keys(
-                    routed.select(
-                        F.col(f"t.{key}").alias("__iis_k"),
-                        F.col("__iis_clause")
-                        .isNotNull()
-                        .alias("__iis_routed"),
-                    ),
-                    "matched",
+                guard_probes.append(
+                    _partial_keys_probe(
+                        routed.select(
+                            F.col(f"t.{key}").alias("__iis_k"),
+                            F.col("__iis_clause")
+                            .isNotNull()
+                            .alias("__iis_routed"),
+                        ),
+                        1,
+                    )
                 )
             for i, cl in enumerate(matched):
                 hit = routed.filter(F.col("__iis_clause") == i)
@@ -462,26 +470,14 @@ class SnapshotDmlMixin:
                         & (F.col("__iis_r") > 0)
                         & (F.col("__iis_r") < F.col("__iis_n"))
                     )
-                bad = per_key.filter(viol).limit(1).collect()
-                if bad:
-                    if bad[0]["__iis_k"] is None:
-                        raise ValueError(
-                            "MERGE refused: a NULL-key target row "
-                            "routes to a WHEN NOT MATCHED BY SOURCE "
-                            "clause, and equality deletes cannot "
-                            "address NULL keys (the update would "
-                            "duplicate the row, the delete would "
-                            "no-op); filter NULL keys out with a "
-                            "clause condition"
-                        )
-                    raise ValueError(
-                        "MERGE refused: source-absent key "
-                        f"{bad[0]['__iis_k']!r} holds target rows "
-                        "routed to a clause AND sibling rows no "
-                        "clause matched — the equality delete would "
-                        "destroy the unrouted siblings; deduplicate "
-                        "the key or widen the clause conditions"
+                guard_probes.append(
+                    per_key.filter(viol).select(
+                        F.when(F.col("__iis_k").isNull(), F.lit(2))
+                        .otherwise(F.lit(3))
+                        .alias("__iis_why"),
+                        F.col("__iis_k"),
                     )
+                )
             for i, cl in enumerate(by_source):
                 hit = routed_bs.filter(F.col("__iis_clause") == i)
                 if cl[0] == "delete":
@@ -513,6 +509,54 @@ class SnapshotDmlMixin:
                             F.lit("U").alias("_op"),
                         )
                     )
+        if guard_probes:
+            # ONE probe job for every applicable guard: union the
+            # (priority, key) violation frames, reduce to one row per
+            # kind, and raise the HIGHEST-priority refusal — the same
+            # order the serial probes raised in (cardinality, matched-
+            # partial, BY SOURCE null-key, BY SOURCE partial).
+            from functools import reduce as _reduce
+
+            found = (
+                _reduce(DataFrame.unionAll, guard_probes)
+                .groupBy("__iis_why")
+                .agg(F.max("__iis_k").alias("__iis_k"))
+                .collect()
+            )
+            if found:
+                why, k = min((r["__iis_why"], r["__iis_k"]) for r in found)
+                if why == 0:
+                    raise ValueError(
+                        f"MERGE cardinality violation: source has "
+                        f"multiple rows for matched key {k!r}"
+                    )
+                if why == 1:
+                    raise ValueError(
+                        f"MERGE refused: matched key "
+                        f"{k!r} holds target rows routed "
+                        "to a clause AND sibling rows no clause matched — "
+                        "the equality delete would destroy the unrouted "
+                        "siblings; cover the key fully (add an "
+                        "unconditional clause) or deduplicate the key"
+                    )
+                if why == 2:
+                    raise ValueError(
+                        "MERGE refused: a NULL-key target row "
+                        "routes to a WHEN NOT MATCHED BY SOURCE "
+                        "clause, and equality deletes cannot "
+                        "address NULL keys (the update would "
+                        "duplicate the row, the delete would "
+                        "no-op); filter NULL keys out with a "
+                        "clause condition"
+                    )
+                raise ValueError(
+                    "MERGE refused: source-absent key "
+                    f"{k!r} holds target rows "
+                    "routed to a clause AND sibling rows no "
+                    "clause matched — the equality delete would "
+                    "destroy the unrouted siblings; deduplicate "
+                    "the key or widen the clause conditions"
+                )
         if not_matched is not None:
             ins = source.alias("s").join(
                 tgt.select(key), key, "left_anti"
@@ -589,6 +633,9 @@ class SnapshotDmlMixin:
             token=token,
             wap_id=wap_id,
             stage_base=base if wap_id is not None else None,
+            # every part above attaches _op as an 'I'/'U'/'D' literal —
+            # provably valid, the probe job would scan for nothing
+            _ops_validated=True,
         )
 
     def add_files(

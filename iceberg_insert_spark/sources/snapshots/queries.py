@@ -564,7 +564,7 @@ def q_snapshot_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_scanned_rows = n - sum(
         stats[r]["::rows"] for r in rels if r not in scanned
     )
-    return spark.range(1).select(
+    return spark.range(0, 1, 1, 1).select(
         F.lit(n).cast("bigint").alias("n_rows"),
         F.lit(n_meta).cast("bigint").alias("n_files_metadata"),
         F.lit(n_scanned_rows).cast("bigint").alias("n_rows_scanned"),
@@ -1444,7 +1444,7 @@ def q_snapshot_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         tbl.append(o.filter(F.col("o_orderkey") % 3 == r))
     plo, phi, pmeta = tbl.min_max(spark, "o_totalprice")
     klo, khi, kmeta = tbl.min_max(spark, "o_orderkey")
-    return spark.range(1).select(
+    return spark.range(0, 1, 1, 1).select(
         F.lit(round(plo, 2)).alias("min_price"),
         F.lit(round(phi, 2)).alias("max_price"),
         F.lit(int(pmeta)).cast("bigint").alias("price_from_meta"),

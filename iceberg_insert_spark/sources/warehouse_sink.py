@@ -67,7 +67,7 @@ def avro_available(spark: SparkSession) -> bool:
 
     d = tempfile.mkdtemp(prefix="avro_probe_")
     try:
-        spark.range(1).write.mode("overwrite").format("avro").save(
+        spark.range(0, 1, 1, 1).write.mode("overwrite").format("avro").save(
             os.path.join(d, "probe")
         )
         return True
