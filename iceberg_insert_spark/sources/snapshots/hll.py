@@ -52,6 +52,46 @@ def hll_add_key(regs: bytearray, key: bytes) -> None:
         regs[idx] = rank
 
 
+_POP8 = None  # 256-entry popcount LUT, built lazily with numpy
+
+
+def hll_add_keys(regs: bytearray, keys: list[bytes]) -> None:
+    """Fold MANY canonical value encodings into the register array —
+    byte-identical to calling :func:`hll_add_key` per key (verified:
+    the per-key register write is a max, which is order-independent),
+    with the index/rank bit arithmetic vectorized over the md5
+    digests (r13 optimization, guide §4.2 — the per-value python loop
+    was ~40% of a stats-maintained commit's driver gap)."""
+    import numpy as np
+
+    global _POP8
+    if _POP8 is None:
+        _POP8 = np.array(
+            [bin(i).count("1") for i in range(256)], dtype=np.uint8
+        )
+    if not keys:
+        return
+    md5 = hashlib.md5
+    buf = b"".join(md5(k).digest()[:8] for k in keys)
+    h = np.frombuffer(buf, dtype=">u8").astype(np.uint64)
+    idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    w = h << np.uint64(HLL_P)  # uint64 wrap == the & (2^64 - 1) mask
+    # bit_length(w) = popcount of the bit-smeared value
+    s = w.copy()
+    for sh in (1, 2, 4, 8, 16, 32):
+        s |= s >> np.uint64(sh)
+    bl = _POP8[s.view(np.uint8).reshape(-1, 8)].sum(axis=1).astype(
+        np.int64
+    )
+    cap = 64 - HLL_P + 1
+    rank = np.where(
+        w == np.uint64(0), cap, np.minimum(64 - bl + 1, cap)
+    ).astype(np.uint8)
+    cur = np.frombuffer(regs, dtype=np.uint8).copy()
+    np.maximum.at(cur, idx, rank)
+    regs[:] = cur.tobytes()
+
+
 def hll_merge(a: bytes, b: bytes) -> bytes:
     """Register-wise max — the lossless HLL union."""
     if len(a) != HLL_M or len(b) != HLL_M:

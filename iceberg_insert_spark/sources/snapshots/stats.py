@@ -105,18 +105,22 @@ class SnapshotStatsMixin:
         same canonical encoding the Bloom sidecar uses. Returns None
         (no sketch, ndv() falls back to the exact scan) for a missing
         column or un-encodable values."""
-        from .hll import hll_add_key, hll_empty, hll_encode
+        from .hll import hll_add_keys, hll_empty, hll_encode
 
         if values is None:
             values = self._unique_nonnull(rel, col)
         if values is None:
             return None
-        regs = hll_empty()
+        keys = []
         for v in values:
             key = self._bloom_key(v)
             if key is None:
                 return None  # un-encodable: conservative, no sketch
-            hll_add_key(regs, key)
+            keys.append(key)
+        regs = hll_empty()
+        # one vectorized fold — register-identical to the per-key loop
+        # (max is order-independent; r13, guide §4.2)
+        hll_add_keys(regs, keys)
         return hll_encode(regs)
 
     def ndv(
@@ -304,10 +308,42 @@ class SnapshotStatsMixin:
         )
         while m < target:
             m *= 2
+        # Vectorized bit-set, BIT-IDENTICAL to the per-key
+        # _bloom_hashes loop (r13, guide §4.2): the k positions are
+        # (h1 + i*h2) mod m over one blake2b digest per key; m is a
+        # power of two, so computing the sum in wrapping uint64 and
+        # then mod m equals the unbounded-int mod — verified
+        # byte-equal on int/str/date keys at every m tier.
         bits = bytearray(m // 8)
-        for k in keys:
-            for pos in cls._bloom_hashes(k, m, cls.BLOOM_K):
-                bits[pos >> 3] |= 1 << (pos & 7)
+        if keys:
+            import hashlib
+
+            import numpy as np
+
+            b2 = hashlib.blake2b
+            buf = b"".join(
+                b2(k, digest_size=16).digest() for k in keys
+            )
+            hh = (
+                np.frombuffer(buf, dtype=">u8")
+                .reshape(-1, 2)
+                .astype(np.uint64)
+            )
+            h1 = hh[:, 0]
+            h2 = hh[:, 1] | np.uint64(1)
+            arr = np.zeros(m // 8, dtype=np.uint8)
+            for i in range(cls.BLOOM_K):
+                pos = (
+                    (h1 + np.uint64(i) * h2) % np.uint64(m)
+                ).astype(np.int64)
+                np.bitwise_or.at(
+                    arr,
+                    pos >> 3,
+                    np.left_shift(
+                        np.uint8(1), (pos & 7).astype(np.uint8)
+                    ),
+                )
+            bits = bytearray(arr.tobytes())
         return {
             "m": m,
             "k": cls.BLOOM_K,
@@ -1692,9 +1728,35 @@ class SnapshotStatsMixin:
                 _schema_sans_metadata(sj)
             )
 
+        def _era_schema(era: int):
+            # Older-era files were WRITTEN projected onto the schema
+            # their own commit recorded (v{era}.json "schema" — the
+            # written frame's exact shape), so that recorded schema IS
+            # the group's footer schema and the inference job is as
+            # redundant as the current-era one (r13, extending the r12
+            # manifest-schema read). Conservative fallbacks keep
+            # inference: a pre-schema-tracking manifest, an expired
+            # era manifest (reachable files can outlive their writer's
+            # manifest), or any parse surprise.
+            try:
+                esj = self._raw_meta(era).get("schema")
+                if esj is None:
+                    return None
+                from pyspark.sql import types as T
+
+                return T.StructType.fromJson(
+                    _schema_sans_metadata(esj)
+                )
+            except (OSError, ValueError, KeyError):
+                return None
+
         def rdr(era: int | None = None):
             if cur_st is not None and (era is None or era >= schema_v):
                 return spark.read.schema(cur_st)
+            if era is not None and not lineage_table:
+                est = _era_schema(era)
+                if est is not None:
+                    return spark.read.schema(est)
             return spark.read
 
         if not dels and not needs_resolve and not lineage_table:
