@@ -7,15 +7,15 @@ data before the model is). The scale-correct shape, used here:
   1. Collapse the corpus to its WORD-FREQUENCY table first — one shuffle.
      BPE statistics depend only on (distinct word, count), and the distinct
      vocabulary is orders of magnitude smaller than the corpus (Heaps'
-     law), so every later round runs on the compressed table, never the
-     raw text. This is exactly how sequential BPE trainers work; the
-     distributed version keeps the word table as a DataFrame because at
+     law), so every later step runs on the compressed table, never the
+     raw text. This is exactly how sequential BPE trainers work; at
      100 TB the distinct-word table itself can be billions of rows.
-  2. Each merge round: explode adjacent symbol pairs weighted by word
-     frequency -> one groupBy(pair) sum -> argmax to the driver (a single
-     O(1) row, like connected_components' convergence signature) -> the
-     winning pair broadcast into an Arrow-batched rewrite of the symbol
-     arrays. Rounds are O(vocab) work each, independent of corpus size.
+  2. Take the deterministic top-``BPE_TRAIN_TOP_WORDS`` sample in the
+     same distributed pass (per-partition top-N heaps, one O(top_n)
+     driver merge) and run the merge rounds on the DRIVER over that
+     bounded sample (r13; the rounds previously paid 3 Spark jobs each
+     to iterate a table whose size is independent of the corpus). Each
+     round is O(sample) work; only step 1 ever sees the corpus.
 
 Determinism: the argmax orders by (frequency DESC, pair ASC) — a total
 order, so the merge sequence is reproducible and equals the sequential
@@ -93,74 +93,57 @@ def bounded_word_sample(
     return words.orderBy(F.desc("freq"), F.asc("word")).limit(top_n)
 
 
-def _initial_symbols(words: DataFrame) -> DataFrame:
-    """word -> array of single-character symbols + the end-of-word marker
-    (the standard BPE word boundary, so merges never cross words)."""
-    return words.select(
-        F.concat(
-            F.split(F.col("word"), ""),
-            F.array(F.lit(END_OF_WORD)),
-        ).alias("syms"),
-        "freq",
-    )
 
-
-def _pair_counts(syms: DataFrame) -> DataFrame:
-    """Frequency-weighted adjacent-pair counts: explode zip(s, s[1:]) and
-    sum word freqs — map-side partials collapse each partition to its
-    distinct pairs before the one exchange."""
-    pairs = F.expr(
-        "CASE WHEN size(syms) >= 2 THEN"
-        " zip_with(slice(syms, 1, size(syms) - 1),"
-        "          slice(syms, 2, size(syms) - 1),"
-        "          (a, b) -> struct(a AS l, b AS r))"
-        " ELSE CAST(array() AS array<struct<l: string, r: string>>) END"
-    )
-    return (
-        syms.select(F.explode(pairs).alias("p"), "freq")
-        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-        .agg(F.sum("freq").alias("n"))
-    )
-
-
-def _apply_merge(syms: DataFrame, left: str, right: str) -> DataFrame:
-    """Rewrite every symbol array, merging (left, right) occurrences
-    left-to-right — Arrow-batched; the pair is a broadcast closure."""
-
-    def rewrite(batches):
-        for pdf in batches:
-            out = [
-                _merge_pair(list(arr), left, right) for arr in pdf["syms"]
-            ]
-            yield pd.DataFrame({"syms": out, "freq": pdf["freq"]})
-
-    return syms.mapInPandas(rewrite, schema="syms array<string>, freq long")
 
 
 def train_bpe(
     words: DataFrame, n_merges: int = BPE_MERGES
 ) -> list[tuple[int, str, str, int]]:
     """Run ``n_merges`` BPE rounds over a (word, freq) table; returns
-    [(rank, left, right, pair_freq_at_merge_time)]. The driver holds ONE
-    row per round; the symbol table is checkpointed each round so the plan
-    doesn't grow with the iteration (the connected_components rationale).
-    """
-    syms = _initial_symbols(words).localCheckpoint(eager=True)
+    [(rank, left, right, pair_freq_at_merge_time)].
+
+    Cost shape (r13 optimization, guide §1.2 — pick the right
+    distributed algorithm): ONE corpus-scale Spark job takes the
+    deterministic top-``BPE_TRAIN_TOP_WORDS`` sample
+    (TakeOrderedAndProject — per-partition heaps, an O(top_n) driver
+    merge), then the merge rounds run on the driver over that BOUNDED
+    sample — which is how sequential BPE trainers work, and what the
+    sample cap was for. The previous shape ran 3 Spark jobs per round
+    (pair-count argmax + checkpointed rewrite) over the same ≤50k-row
+    table; ~30 driver round-trips to iterate a sample whose size is
+    independent of the corpus. Merge-for-merge IDENTICAL output: the
+    driver loop counts the same freq-weighted adjacent pairs with the
+    same (freq DESC, pair ASC) tie-break and the same ``_merge_pair``
+    rewrite (pinned by tests/test_bpe.py's sequential-reference
+    parity)."""
+    from collections import Counter
+
+    rows = (
+        words.orderBy(F.desc("freq"), F.asc("word"))
+        .limit(BPE_TRAIN_TOP_WORDS)
+        .collect()
+    )
+    vocab: dict[tuple, int] = {}
+    for r in rows:
+        syms = tuple(list(r["word"]) + [END_OF_WORD])
+        vocab[syms] = vocab.get(syms, 0) + r["freq"]
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
-        top = (
-            _pair_counts(syms)
-            .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
-            .limit(1)
-            .collect()
-        )
-        if not top:
+        pairs: Counter = Counter()
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
             break
-        row = top[0]
-        merges.append((rank, row["l"], row["r"], row["n"]))
-        syms = _apply_merge(syms, row["l"], row["r"]).localCheckpoint(
-            eager=True
+        (left, right), n = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0])
         )
+        merges.append((rank, left, right, n))
+        new_vocab: dict[tuple, int] = {}
+        for syms, f in vocab.items():
+            out = tuple(_merge_pair(list(syms), left, right))
+            new_vocab[out] = new_vocab.get(out, 0) + f
+        vocab = new_vocab
     return merges
 
 

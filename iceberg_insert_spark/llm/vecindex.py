@@ -455,7 +455,10 @@ def refresh_vector_index_cdc(
             )
         )
     )
-    idx.merge(spark, chg, key="vec_id", token=f"{_VI_TOKEN}{cur}")
+    idx.merge(
+        spark, chg, key="vec_id", token=f"{_VI_TOKEN}{cur}",
+        _ops_validated=True,  # _op is F.lit("U")/F.lit("D") above
+    )
     return cur
 
 
@@ -1024,7 +1027,10 @@ def q_vecindex_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("d"),
     ).collect()[0]
     n_upd, n_del = int(cnt["u"]), int(cnt["d"])
-    src.merge(spark, upd.unionByName(dele), key="vec_id")
+    src.merge(
+        spark, upd.unionByName(dele), key="vec_id",
+        _ops_validated=True,  # _op is F.lit("U")/F.lit("D") above
+    )
     refresh_vector_index_cdc(spark, src, path)
     # replay with a FRESH handle (a restarted process): token found,
     # zero new commits

@@ -4278,7 +4278,10 @@ def q_catalog_mv_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mode"
     ]
     retract = o.filter(k % 8 == 1).withColumn("_op", F.lit("D"))
-    src.merge(spark, retract, key="o_orderkey", op_col="_op")
+    src.merge(
+        spark, retract, key="o_orderkey", op_col="_op",
+        _ops_validated=True,  # _op is F.lit("D") above
+    )
     m3 = cat.execute(spark, "REFRESH {{gold.by_status}} INCREMENTAL")[
         "mode"
     ]

@@ -1058,7 +1058,10 @@ def _apply_range(
         # group netted to an exact no-op) — no storage commit needed
         applied = False
     else:
-        st.merge(spark, clog, key=KEY, op_col="_op", token=tok)
+        st.merge(
+            spark, clog, key=KEY, op_col="_op", token=tok,
+            _ops_validated=True,  # op is when/otherwise over I/D/U literals
+        )
         applied = True
         head = st._latest_published()
         if (

@@ -150,7 +150,10 @@ def refresh_agg_mv(
     # is O(groups) storage and turns three delta-file reads into one —
     # measured 2x on the refresh path at sf0.1.
     ops = ops.localCheckpoint(eager=True)
-    mv.merge(spark, ops, key=key, token=f"{_TOKEN_PREFIX}{cur}")
+    mv.merge(
+        spark, ops, key=key, token=f"{_TOKEN_PREFIX}{cur}",
+        _ops_validated=True,  # _op is when/otherwise over I/D/U literals
+    )
     return cur
 
 
@@ -214,7 +217,7 @@ def q_snapshot_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("_op", F.lit("U"))
         )
     )
-    src.merge(spark, chg, key="o_orderkey")
+    src.merge(spark, chg, key="o_orderkey", _ops_validated=True)
     refresh_agg_mv(spark, src, mv, "o_orderstatus", "o_totalprice")
 
     return mv.read(spark).select(

@@ -176,7 +176,7 @@ def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             o.filter(k % 3 == 2).withColumn("_op", F.lit("I"))
         )
     )
-    tbl.merge(spark, changelog, key="o_orderkey")
+    tbl.merge(spark, changelog, key="o_orderkey", _ops_validated=True)
     return (
         tbl.read(spark)
         .groupBy("o_orderstatus")
@@ -314,7 +314,7 @@ def q_snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
             o.filter(k % 3 == 2).withColumn("_op", F.lit("I"))
         )
     )
-    tbl.merge(spark, changelog, key="o_orderkey")
+    tbl.merge(spark, changelog, key="o_orderkey", _ops_validated=True)
     return (
         read_changelog(tbl, spark, 1, 2)
         .groupBy(
@@ -582,7 +582,7 @@ def q_snapshot_changelog_stream(
             .withColumn("_op", F.lit("U"))
         )
     )
-    tbl.merge(spark, chg, key="o_orderkey")
+    tbl.merge(spark, chg, key="o_orderkey", _ops_validated=True)
     tbl.append(o.filter(F.col("o_orderkey") % 3 == 1))
 
     got: list[tuple[int, str, int]] = []
@@ -817,7 +817,7 @@ def q_snapshot_delete_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey")
         .withColumn("_op", F.lit("D"))
     )
-    tbl.merge(spark, ch, key="o_orderkey")
+    tbl.merge(spark, ch, key="o_orderkey", _ops_validated=True)
     # keys ≡ 3 (odd) and ≡ 4 (even) mod 10: the delete provably
     # touches BOTH parity files, so the coverage claim is deterministic
     tbl.delete_where(
