@@ -5041,18 +5041,33 @@ def q_catalog_script(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pre_n = res[4].collect()[0]["n"]
     heads = res[5]
-    audit = cat.sql(
+    # ONE scan+agg per audited table (r13, the r12 q_catalog_merge
+    # audit-fusion pattern): the three scalar subqueries each ran an
+    # independent MoR scan job; the fact table's count and cents ride
+    # one aggregate, dim's cents another. Values identical; the DuckDB
+    # oracle (unchanged) still spells the subquery form.
+    fact_audit = cat.sql(
         spark,
         """
-        SELECT (SELECT COUNT(*) FROM {{scr.fact}}) AS post_fact_n,
-               (SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100)
-                                     AS BIGINT)) AS BIGINT)
-                FROM {{scr.fact}}) AS fact_cents,
-               (SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100)
-                                     AS BIGINT)) AS BIGINT)
-                FROM {{scr.dim}}) AS dim_cents
+        SELECT COUNT(*) AS post_fact_n,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100)
+                             AS BIGINT)) AS BIGINT) AS fact_cents
+        FROM {{scr.fact}}
         """,
     ).collect()[0]
+    dim_audit = cat.sql(
+        spark,
+        """
+        SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100)
+                             AS BIGINT)) AS BIGINT) AS dim_cents
+        FROM {{scr.dim}}
+        """,
+    ).collect()[0]
+    audit = {
+        "post_fact_n": fact_audit["post_fact_n"],
+        "fact_cents": fact_audit["fact_cents"],
+        "dim_cents": dim_audit["dim_cents"],
+    }
     return tiny_df(spark, 
         [
             (

@@ -254,6 +254,7 @@ class SnapshotCommitMixin:
         drop_files: set | None = None,
         delete_kind: str = "eq",
         extra_meta: dict | None = None,
+        _pre_commit=None,
     ) -> int:
         """Optimistic-concurrency commit, Iceberg's shape: the data
         files are written in PARALLEL into a private staging dir (the
@@ -430,6 +431,13 @@ class SnapshotCommitMixin:
                 delete_schema = deletes_df.schema.jsonValue()
             else:
                 delete_schema = None
+            if _pre_commit is not None:
+                # caller-supplied validation barrier (merge_into's
+                # fused guard job, run concurrently with the staging
+                # writes above — guide §2.6): raises BEFORE the commit
+                # lock, so a refusal leaves staging to the finally
+                # sweep and the table head untouched.
+                _pre_commit()
             with self._commit_lock():
                 # Token dedup DECIDED under the lock: two replays racing
                 # the same batch token both pass append_once's advisory

@@ -27,6 +27,7 @@ class SnapshotDmlMixin:
         wap_id: str | None = None,
         stage_base: int | None = None,
         _ops_validated: bool = False,
+        _pre_commit=None,
     ) -> int:
         """MERGE INTO as ONE atomic snapshot — Iceberg v2's CDC write
         path (round-5 verdict item #2). The changelog carries an op
@@ -134,6 +135,7 @@ class SnapshotDmlMixin:
                     "cow_drop": [],
                     "cow_op": "merge",
                 },
+                _pre_commit=_pre_commit,
             )
         return self._commit(
             upserts,
@@ -142,6 +144,7 @@ class SnapshotDmlMixin:
             deletes_df=dels,
             delete_key=key,
             token=token,
+            _pre_commit=_pre_commit,
         )
 
     def merge_into(
@@ -416,9 +419,11 @@ class SnapshotDmlMixin:
             # target side is the scan BY SOURCE semantically requires).
             # NULL target keys never equal a source key -> source-absent
             # (SQL's ON semantics), which plain == anti-join gives us.
-            skeys = (
-                source.select(F.col(key).alias("__iis_sk")).distinct()
-            )
+            # no .distinct() on the build side (r13): LEFT ANTI only
+            # probes key EXISTENCE in the broadcast hash relation, so
+            # deduping first bought nothing but a shuffle stage; the
+            # source is batch-sized either way
+            skeys = source.select(F.col(key).alias("__iis_sk"))
             absent = tgt.alias("t").join(
                 F.broadcast(skeys),
                 F.col(f"t.{key}") == F.col("__iis_sk"),
@@ -509,12 +514,19 @@ class SnapshotDmlMixin:
                             F.lit("U").alias("_op"),
                         )
                     )
-        if guard_probes:
+        def _check_guards() -> None:
             # ONE probe job for every applicable guard: union the
             # (priority, key) violation frames, reduce to one row per
             # kind, and raise the HIGHEST-priority refusal — the same
             # order the serial probes raised in (cardinality, matched-
-            # partial, BY SOURCE null-key, BY SOURCE partial).
+            # partial, BY SOURCE null-key, BY SOURCE partial). Invoked
+            # CONCURRENTLY with the commit's staging writes (r13,
+            # guide §2.6 — overlap independent jobs): the refusal
+            # still strictly precedes the manifest swap (_commit runs
+            # this hook before taking the commit lock; a refused merge
+            # leaves staging to the sweep and the table untouched).
+            if not guard_probes:
+                return
             from functools import reduce as _reduce
 
             found = (
@@ -549,14 +561,23 @@ class SnapshotDmlMixin:
                         "no-op); filter NULL keys out with a "
                         "clause condition"
                     )
+                if why == 3:
+                    raise ValueError(
+                        "MERGE refused: source-absent key "
+                        f"{k!r} holds target rows "
+                        "routed to a clause AND sibling rows no "
+                        "clause matched — the equality delete would "
+                        "destroy the unrouted siblings; deduplicate "
+                        "the key or widen the clause conditions"
+                    )
                 raise ValueError(
-                    "MERGE refused: source-absent key "
-                    f"{k!r} holds target rows "
-                    "routed to a clause AND sibling rows no "
-                    "clause matched — the equality delete would "
-                    "destroy the unrouted siblings; deduplicate "
-                    "the key or widen the clause conditions"
+                    f"MERGE refused: key {k!r} is matched "
+                    "by this merge AND held by a row the target "
+                    "filter hides — the equality delete would destroy "
+                    "the hidden row; deduplicate the key or use the "
+                    "admin handle"
                 )
+
         if not_matched is not None:
             ins = source.alias("s").join(
                 tgt.select(key), key, "left_anti"
@@ -607,25 +628,43 @@ class SnapshotDmlMixin:
             )
             # matched-only changelogs are batch-sized -> broadcast the
             # key set; a BY SOURCE changelog can be target-sized, so
-            # let AQE pick the strategy there (r12)
+            # let AQE pick the strategy there (r12). The clash probe
+            # joins the fused guard job as the LOWEST priority (it was
+            # checked after every other guard).
             mutb = F.broadcast(mut) if not by_source else mut
-            clash = (
+            guard_probes.append(
                 hidden.select(key)
                 .join(mutb, key)
-                .limit(1)
-                .collect()
-            )
-            if clash:
-                raise ValueError(
-                    f"MERGE refused: key {clash[0][key]!r} is matched "
-                    "by this merge AND held by a row the target "
-                    "filter hides — the equality delete would destroy "
-                    "the hidden row; deduplicate the key or use the "
-                    "admin handle"
+                .select(
+                    F.lit(4).alias("__iis_why"),
+                    F.col(key).alias("__iis_k"),
                 )
+            )
         # wap_id stages the commit off-main (transactional MERGE); the
         # derivation base pins the stage's expected_base so a commit
-        # racing the derive→stage window aborts the stage cleanly
+        # racing the derive→stage window aborts the stage cleanly.
+        # The fused guard job rides a WORKER THREAD so it overlaps the
+        # commit's staging writes (guide §2.6); _commit joins it via
+        # _pre_commit strictly before the manifest swap, so a refusal
+        # still leaves the table untouched (staging is swept).
+        if guard_probes:
+            from concurrent.futures import ThreadPoolExecutor
+
+            ex = ThreadPoolExecutor(1)
+            try:
+                fut = ex.submit(_check_guards)
+                return self.merge(
+                    spark,
+                    changelog,
+                    key,
+                    token=token,
+                    wap_id=wap_id,
+                    stage_base=base if wap_id is not None else None,
+                    _ops_validated=True,
+                    _pre_commit=fut.result,
+                )
+            finally:
+                ex.shutdown(wait=False)
         return self.merge(
             spark,
             changelog,

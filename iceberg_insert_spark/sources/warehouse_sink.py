@@ -12,9 +12,11 @@ at-most-once). Here:
     (equivalent to Iceberg ``write.distribution-mode=hash``);
   * layout: ``partitionBy`` writes hive-style ``col=val/`` paths, matching the
     reference's path builder (App.java:112-131);
-  * atomicity: one commit per batch, not per file (parquet writer's _SUCCESS
-    protocol locally; the real Iceberg catalog commit when the runtime jars
-    are on the cluster — this container has no Iceberg jars, so the catalog
+  * atomicity: one commit per batch, not per file (the parquet writer's
+    job-commit protocol locally — the _SUCCESS marker itself is disabled
+    session-wide, the manifest-swap tables being the real commit story;
+    the real Iceberg catalog commit applies when the runtime jars are on
+    the cluster — this container has no Iceberg jars, so the catalog
     itself is exercised only behind ``iceberg_available()``).
 
 Exactly-once upgrade of the reference's delete-before-commit lives in
