@@ -255,6 +255,7 @@ class SnapshotCommitMixin:
         delete_kind: str = "eq",
         extra_meta: dict | None = None,
         _pre_commit=None,
+        _skip_if_empty: tuple | None = None,
     ) -> int:
         """Optimistic-concurrency commit, Iceberg's shape: the data
         files are written in PARALLEL into a private staging dir (the
@@ -421,6 +422,16 @@ class SnapshotCommitMixin:
                 ).parquet(sdir)
             else:
                 df.write.mode("error").parquet(sdir)
+            if _skip_if_empty is not None and df is not None:
+                # MoR UPDATE's no-match detection rode the data write
+                # just above as an observed metric (r13): zero matched
+                # rows -> nothing to commit, return the caller's base
+                # (staging swept by the finally; the delete write and
+                # the manifest swap never run) — identical semantics
+                # to the old pre-write probe job, minus the job.
+                _obs, _basev = _skip_if_empty
+                if _obs.get["n"] == 0:
+                    return _basev
             deldir = None
             if deletes_df is not None:
                 # Equality-delete keys are dimension-sized (keys only);
@@ -429,6 +440,12 @@ class SnapshotCommitMixin:
                 deldir = os.path.join(staging, "del")
                 deletes_df.write.mode("error").parquet(deldir)
                 delete_schema = deletes_df.schema.jsonValue()
+                if _skip_if_empty is not None and df is None:
+                    # MoR DELETE: the hit count rode the DV write (the
+                    # commit's only data job) — zero hits means no-op
+                    _obs, _basev = _skip_if_empty
+                    if _obs.get["n"] == 0:
+                        return _basev
             else:
                 delete_schema = None
             if _pre_commit is not None:

