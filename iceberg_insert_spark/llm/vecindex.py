@@ -614,6 +614,7 @@ def _shared_index_fixture(
     import hashlib
     import shutil
     import threading
+    import time
 
     h = hashlib.sha256()
     src_file = os.path.join(sf_dir, "embeddings.parquet")
@@ -643,9 +644,23 @@ def _shared_index_fixture(
 
     tag = _re.sub(r"\W", "_", sf_dir.rstrip("/").split("/")[-1])
     app = spark.sparkContext.applicationId
-    root = (
-        f"/tmp/iceberg_insert_spark/vecindex_shared/{app}/{tag}/{digest}"
-    )
+    shared_base = "/tmp/iceberg_insert_spark/vecindex_shared"
+    root = f"{shared_base}/{app}/{tag}/{digest}"
+    # prune SIBLING applications' dirs on first use (r12 ADVICE: the
+    # app-keyed scoping means every invocation leaves a full built
+    # index behind; reclaiming dead apps' dirs here bounds /tmp growth
+    # without reintroducing cross-run reuse — our own key is
+    # untouched). Age-gated (> 2 h since last touch) so a CONCURRENT
+    # application's live index is never yanked out from under it.
+    if not os.path.isdir(root):
+        try:
+            now = time.time()
+            for other in os.listdir(shared_base):
+                p = os.path.join(shared_base, other)
+                if other != app and now - os.path.getmtime(p) > 7200:
+                    shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
     if not os.path.isdir(root):
         tmp = f"{root}.tmp-{os.getpid()}-{threading.get_ident()}"
         shutil.rmtree(tmp, ignore_errors=True)
