@@ -1557,13 +1557,24 @@ def q_dedup_near_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     pairs = minhash_near_pairs(docs.unionByName(twins))
-    n_planted = eligible.count()
-    found = (
+    found_df = (
         pairs.filter(F.col("doc_b") - F.col("doc_a") == offset)
         .filter(F.col("doc_b") > max_id)  # twin side only
         .join(eligible.select(F.col("doc_id").alias("doc_a")), "doc_a")
-        .count()
     )
+    # planted count and found count in ONE action (r13): the two
+    # serial .count() jobs union into one tagged aggregate — the cheap
+    # eligible count rides the LSH pass's job instead of paying its own
+    counts = {
+        r["w"]: r["n"]
+        for r in eligible.select(F.lit("p").alias("w"))
+        .unionAll(found_df.select(F.lit("f").alias("w")))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_planted = int(counts.get("p", 0))
+    found = int(counts.get("f", 0))
     return tiny_df(spark, 
         [
             (
