@@ -97,7 +97,9 @@ def bounded_word_sample(
 
 
 def train_bpe(
-    words: DataFrame, n_merges: int = BPE_MERGES
+    words: DataFrame,
+    n_merges: int = BPE_MERGES,
+    top_n: int = BPE_TRAIN_TOP_WORDS,
 ) -> list[tuple[int, str, str, int]]:
     """Run ``n_merges`` BPE rounds over a (word, freq) table; returns
     [(rank, left, right, pair_freq_at_merge_time)].
@@ -118,11 +120,7 @@ def train_bpe(
     parity)."""
     from collections import Counter
 
-    rows = (
-        words.orderBy(F.desc("freq"), F.asc("word"))
-        .limit(BPE_TRAIN_TOP_WORDS)
-        .collect()
-    )
+    rows = bounded_word_sample(words, top_n).collect()
     vocab: dict[tuple, int] = {}
     for r in rows:
         syms = tuple(list(r["word"]) + [END_OF_WORD])
@@ -160,9 +158,10 @@ def _merges_for(
     key = (sf_dir, n_merges)
     if key not in _MERGE_CACHE:
         d = load_table(spark, sf_dir, "documents")
-        _MERGE_CACHE[key] = train_bpe(
-            bounded_word_sample(word_freq_table(d)), n_merges
-        )
+        # train_bpe bounds its own sample (the bound is part of the
+        # model's definition) — no pre-bounding here, or the sort
+        # stage would run twice (review catch)
+        _MERGE_CACHE[key] = train_bpe(word_freq_table(d), n_merges)
     return _MERGE_CACHE[key]
 
 

@@ -614,7 +614,6 @@ def _shared_index_fixture(
     import hashlib
     import shutil
     import threading
-    import time
 
     h = hashlib.sha256()
     src_file = os.path.join(sf_dir, "embeddings.parquet")
@@ -646,21 +645,24 @@ def _shared_index_fixture(
     app = spark.sparkContext.applicationId
     shared_base = "/tmp/iceberg_insert_spark/vecindex_shared"
     root = f"{shared_base}/{app}/{tag}/{digest}"
-    # prune SIBLING applications' dirs on first use (r12 ADVICE: the
+    # reclaim OUR OWN app dir at driver exit (r12 ADVICE: the
     # app-keyed scoping means every invocation leaves a full built
-    # index behind; reclaiming dead apps' dirs here bounds /tmp growth
-    # without reintroducing cross-run reuse — our own key is
-    # untouched). Age-gated (> 2 h since last touch) so a CONCURRENT
-    # application's live index is never yanked out from under it.
-    if not os.path.isdir(root):
-        try:
-            now = time.time()
-            for other in os.listdir(shared_base):
-                p = os.path.join(shared_base, other)
-                if other != app and now - os.path.getmtime(p) > 7200:
-                    shutil.rmtree(p, ignore_errors=True)
-        except OSError:
-            pass
+    # index behind). Self-cleanup via atexit touches no other
+    # application's files — a sibling-pruning sweep could yank a
+    # concurrent app's live index (review catch: any age gate reads a
+    # creation-time mtime and cannot prove the owner is gone) — and
+    # it cannot reintroduce cross-run reuse: the dir dies with the
+    # process that built it.
+    _registered = _shared_index_fixture.__dict__.setdefault(
+        "_cleanup_registered", set()
+    )
+    if app not in _registered:
+        import atexit
+
+        atexit.register(
+            shutil.rmtree, f"{shared_base}/{app}", ignore_errors=True
+        )
+        _registered.add(app)
     if not os.path.isdir(root):
         tmp = f"{root}.tmp-{os.getpid()}-{threading.get_ident()}"
         shutil.rmtree(tmp, ignore_errors=True)

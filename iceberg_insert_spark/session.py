@@ -51,18 +51,20 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
         pass
     # The snapshot tables' ATOMIC MANIFEST SWAP is the commit protocol
     # (staging dir + rename + versioned manifest); Hadoop's _SUCCESS
-    # marker and v1 job-level commit renames are a convention the table
-    # format supersedes — Iceberg's writers disable the marker for the
-    # same reason. Dropping them removes two driver-side file ops from
-    # EVERY parquet write job (measured ~0.1-0.25 s per commit-train
-    # query at sf0.1; on object storage the saved renames are worth
-    # more, not less — this is not a local-mode tune).
+    # marker is a convention the table format supersedes — Iceberg's
+    # writers disable it for the same reason. Dropping it removes a
+    # driver-side file op (plus its checksum twin) from EVERY parquet
+    # write job (measured ~0.1-0.25 s per commit-train query at sf0.1;
+    # on object storage the saved request is worth more, not less —
+    # this is not a local-mode tune). The v1 committer is deliberately
+    # KEPT: algorithm v2 publishes per-task and would weaken the crash
+    # story of direct-to-destination writers (warehouse_sink), and its
+    # measured delta here was within noise.
     try:
         hc = spark.sparkContext._jsc.hadoopConfiguration()
         hc.set(
             "mapreduce.fileoutputcommitter.marksuccessfuljobs", "false"
         )
-        hc.set("mapreduce.fileoutputcommitter.algorithm.version", "2")
     except Exception:
         pass
     _ensure_package_on_workers(spark)

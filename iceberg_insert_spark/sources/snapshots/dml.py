@@ -653,16 +653,29 @@ class SnapshotDmlMixin:
             ex = ThreadPoolExecutor(1)
             try:
                 fut = ex.submit(_check_guards)
-                return self.merge(
-                    spark,
-                    changelog,
-                    key,
-                    token=token,
-                    wap_id=wap_id,
-                    stage_base=base if wap_id is not None else None,
-                    _ops_validated=True,
-                    _pre_commit=fut.result,
-                )
+                try:
+                    return self.merge(
+                        spark,
+                        changelog,
+                        key,
+                        token=token,
+                        wap_id=wap_id,
+                        stage_base=base if wap_id is not None else None,
+                        _ops_validated=True,
+                        _pre_commit=fut.result,
+                    )
+                except BaseException:
+                    # a failed staging write must not leave the guard
+                    # job running detached (review catch): join it —
+                    # and if it REFUSED, that refusal is the primary
+                    # explanation of the state, so it wins
+                    try:
+                        fut.result()
+                    except ValueError:
+                        raise
+                    except Exception:
+                        pass
+                    raise
             finally:
                 ex.shutdown(wait=False)
         return self.merge(
